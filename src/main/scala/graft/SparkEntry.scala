@@ -1,13 +1,173 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
+import graft.quality.DataQuality
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Every `queries` key has a matching `oracleSql` entry (ANSI SQL run by
+  * DuckDB over the same parquet tables) unless the operator is not
+  * SQL-expressible, in which case the driver records a rows-only check.
+  * Column names are aliased identically on both sides — the driver's
+  * compare sorts columns by name before hashing.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val dir = "/root/testdata/sf0.001"
+    Aggregates.revenueDailyByZone(silver(spark, dir))
+  }
+
+  // ---- shared intermediates -------------------------------------------
+
+  private def silver(s: SparkSession, dir: String): DataFrame =
+    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(s, dir)))
+
+  /** DuckDB CTE mirroring [[Silver.cleanEvents]] — embedded in every
+    * downstream oracle so each oracle stays self-contained. */
+  private val silverCte: String =
+    """WITH silver AS (
+      |  SELECT event_id, ts, user_id, event_type, value, props, zone_id, event_date FROM (
+      |    SELECT event_id, ts, user_id,
+      |           lower(trim(event_type)) AS event_type,
+      |           CASE WHEN lower(trim(event_type)) = 'error' THEN NULL ELSE value END AS value,
+      |           props,
+      |           CAST(json_extract_string(props, '$.k') AS BIGINT) AS zone_id,
+      |           CAST(ts AS DATE) AS event_date,
+      |           row_number() OVER (PARTITION BY event_id ORDER BY ts DESC) AS rn
+      |    FROM events
+      |    WHERE event_id IS NOT NULL AND user_id IS NOT NULL AND ts IS NOT NULL
+      |  ) WHERE rn = 1
+      |)""".stripMargin
+
+  // ---- queries ---------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 medallion pipeline
+    "bronze_ingest" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
+    "silver_clean" -> ((s, dir) => silver(s, dir)),
+    "dim_time" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
+    "dim_users" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
+    "dim_zones" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
+    "fact_events" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
+    }),
+    "fact_payments" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      Gold.factPayments(sv, Gold.dimUsers(sv))
+    }),
+    "agg_demand_hourly" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
+    "agg_revenue_daily" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
+    "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    "dq_summary" -> ((s, dir) => DataQuality.summary(
+      silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "bronze_ingest" ->
+      """SELECT event_id, ts, user_id, event_type, value, props,
+        |       CAST(ts AS DATE) AS event_date
+        |FROM events""".stripMargin,
+
+    "silver_clean" -> s"$silverCte SELECT * FROM silver",
+
+    "dim_time" ->
+      s"""$silverCte
+         |SELECT sha256(concat_ws('||', CAST(date AS VARCHAR), CAST(hour AS VARCHAR), CAST(minute AS VARCHAR))) AS time_id,
+         |       date, year, month, day, day_of_week, hour, minute
+         |FROM (
+         |  SELECT DISTINCT CAST(ts AS DATE) AS date,
+         |         year(ts) AS year, month(ts) AS month, day(ts) AS day,
+         |         dayofweek(ts) + 1 AS day_of_week,
+         |         hour(ts) AS hour, minute(ts) AS minute
+         |  FROM silver WHERE ts IS NOT NULL
+         |)""".stripMargin,
+
+    "dim_users" ->
+      s"""$silverCte
+         |SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id
+         |FROM (SELECT DISTINCT user_id FROM silver WHERE user_id IS NOT NULL)""".stripMargin,
+
+    "dim_zones" ->
+      s"""$silverCte
+         |SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
+         |       'synthetic_city' AS city, 'zone' AS zone_type
+         |FROM (SELECT DISTINCT zone_id FROM silver WHERE zone_id IS NOT NULL)""".stripMargin,
+
+    "fact_events" ->
+      s"""$silverCte
+         |SELECT event_id,
+         |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
+         |       sha256(CAST(user_id AS VARCHAR)) AS user_key,
+         |       sha256(CAST(zone_id AS VARCHAR)) AS location_id,
+         |       event_type, value, ts, event_date
+         |FROM silver""".stripMargin,
+
+    "fact_payments" ->
+      s"""$silverCte
+         |SELECT event_id AS payment_id, event_id,
+         |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
+         |       sha256(CAST(user_id AS VARCHAR)) AS user_key,
+         |       value AS amount, event_date
+         |FROM silver WHERE event_type = 'purchase'""".stripMargin,
+
+    "agg_demand_hourly" ->
+      s"""$silverCte
+         |SELECT event_date AS date, hour(ts) AS hour, zone_id,
+         |       count(*) AS event_count
+         |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+
+    "agg_revenue_daily" ->
+      s"""$silverCte
+         |SELECT event_date AS date, zone_id,
+         |       round(sum(value), 2) AS total_revenue,
+         |       round(avg(value), 4) AS avg_value,
+         |       count(*) AS purchase_count
+         |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "agg_user_daily" ->
+      s"""$silverCte
+         |SELECT event_date AS date, user_id,
+         |       count(*) AS purchase_count,
+         |       round(sum(value), 2) AS user_revenue,
+         |       round(avg(value), 4) AS avg_purchase_value
+         |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "dq_summary" ->
+      s"""$silverCte
+         |SELECT col_name,
+         |       CAST(null_count AS BIGINT) AS null_count,
+         |       CAST(negative_count AS BIGINT) AS negative_count,
+         |       CAST(total_count AS BIGINT) AS total_count FROM (
+         |  SELECT 'event_id' AS col_name,
+         |         sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS null_count,
+         |         sum(CASE WHEN event_id < 0 THEN 1 ELSE 0 END) AS negative_count,
+         |         count(*) AS total_count FROM silver
+         |  UNION ALL
+         |  SELECT 'user_id',
+         |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+         |         sum(CASE WHEN user_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'ts',
+         |         sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END),
+         |         0, count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'event_type',
+         |         sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+         |         0, count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'value',
+         |         sum(CASE WHEN value IS NULL OR isnan(value) THEN 1 ELSE 0 END),
+         |         sum(CASE WHEN value < 0 THEN 1 ELSE 0 END), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'zone_id',
+         |         sum(CASE WHEN zone_id IS NULL THEN 1 ELSE 0 END),
+         |         sum(CASE WHEN zone_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
+         |)""".stripMargin,
+  )
 }

@@ -1,0 +1,46 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gold aggregate tables (reference src/transformation/gold_aggregates.py:37-66).
+  *
+  * Every aggregate is a single groupBy over the date-partitioned fact —
+  * map-side partial aggregation then one shuffle on the (low-cardinality)
+  * group key. Double-typed measures are rounded at the edge so results are
+  * bit-stable across partition orderings (sum-of-doubles is
+  * order-sensitive in the last ulps; rounding to the business precision
+  * makes the output deterministic).
+  */
+object Aggregates {
+
+  /** Hourly demand by zone (reference demand_hourly_by_pickup_zone). */
+  def demandHourlyByZone(fact: DataFrame): DataFrame =
+    fact
+      .groupBy(
+        col("event_date").as("date"),
+        hour(col("ts")).as("hour"),
+        col("zone_id"))
+      .agg(count(lit(1)).as("event_count"))
+
+  /** Daily revenue stats by zone on monetary events (reference
+    * revenue_daily_by_pickup_zone keeps completed trips; here purchases). */
+  def revenueDailyByZone(fact: DataFrame): DataFrame =
+    fact
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_date").as("date"), col("zone_id"))
+      .agg(
+        round(sum(col("value")), 2).as("total_revenue"),
+        round(avg(col("value")), 4).as("avg_value"),
+        count(lit(1)).as("purchase_count"))
+
+  /** Per-user daily summary (reference driver_daily_summary). */
+  def userDailySummary(fact: DataFrame): DataFrame =
+    fact
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("event_date").as("date"), col("user_id"))
+      .agg(
+        count(lit(1)).as("purchase_count"),
+        round(sum(col("value")), 2).as("user_revenue"),
+        round(avg(col("value")), 4).as("avg_purchase_value"))
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Gold layer: star schema (dimensions + facts).
+  *
+  * Re-expresses the reference's gold build (reference
+  * src/transformation/silver_to_gold.py:27-165): surrogate keys are
+  * sha256 hashes of the natural key so dimension keys are stable across
+  * incremental rebuilds (no monotonically_increasing_id, which is
+  * partition-layout dependent and unusable at scale).
+  *
+  * Scale notes: all dims here are bounded (calendar minutes, zones ≤ ~100,
+  * users bounded by the population) while the fact grows with data — so
+  * every fact-dim join is a broadcast join; the fact table is never
+  * shuffled during the star build. Dim builds themselves are
+  * distinct-aggregations: one partial-agg shuffle each, on keys whose
+  * cardinality is tiny relative to input.
+  */
+object Gold {
+
+  /** Surrogate time key at minute grain (reference silver_to_gold.py:40-43). */
+  private def timeIdCol = sha2(
+    concat_ws("||",
+      to_date(col("ts")).cast("string"),
+      hour(col("ts")).cast("string"),
+      minute(col("ts")).cast("string")), 256)
+
+  /** Calendar dimension at minute grain. */
+  def dimTime(silver: DataFrame): DataFrame =
+    silver.select(col("ts")).where(col("ts").isNotNull)
+      .select(
+        to_date(col("ts")).as("date"),
+        year(col("ts")).as("year"),
+        month(col("ts")).as("month"),
+        dayofmonth(col("ts")).as("day"),
+        dayofweek(col("ts")).as("day_of_week"),
+        hour(col("ts")).as("hour"),
+        minute(col("ts")).as("minute"))
+      .dropDuplicates()
+      .withColumn("time_id",
+        sha2(concat_ws("||",
+          col("date").cast("string"),
+          col("hour").cast("string"),
+          col("minute").cast("string")), 256))
+      .select("time_id", "date", "year", "month", "day", "day_of_week", "hour", "minute")
+
+  /** User dimension with stable surrogate key. */
+  def dimUsers(silver: DataFrame): DataFrame =
+    silver.select("user_id").where(col("user_id").isNotNull).dropDuplicates()
+      .withColumn("user_key", sha2(col("user_id").cast("string"), 256))
+      .select("user_key", "user_id")
+
+  /** Zone dimension (analog of the reference's location dim, which unions
+    * pickup+dropoff zones — silver_to_gold.py:46-59). */
+  def dimZones(silver: DataFrame): DataFrame =
+    silver.select(col("zone_id")).where(col("zone_id").isNotNull).dropDuplicates()
+      .withColumn("city", lit("synthetic_city"))
+      .withColumn("zone_type", lit("zone"))
+      .withColumn("location_id", sha2(col("zone_id").cast("string"), 256))
+      .select("location_id", "zone_id", "city", "zone_type")
+
+  /** Event fact: silver grain, dim surrogate keys resolved via broadcast
+    * left joins (dims are bounded; the fact never shuffles here). */
+  def factEvents(silver: DataFrame, users: DataFrame, zones: DataFrame): DataFrame =
+    silver
+      .withColumn("time_id", timeIdCol)
+      .join(broadcast(users), Seq("user_id"), "left")
+      .join(broadcast(zones.select(col("location_id"), col("zone_id"))), Seq("zone_id"), "left")
+      .select(
+        col("event_id"), col("time_id"), col("user_key"),
+        col("location_id"), col("event_type"), col("value"),
+        col("ts"), col("event_date"))
+
+  /** Payments fact: monetary events only (reference payments_fact keeps
+    * fares — silver_to_gold.py:146-165; here `purchase` events carry the
+    * amount). Filter FIRST so the join input is already pruned. */
+  def factPayments(silver: DataFrame, users: DataFrame): DataFrame =
+    silver
+      .filter(col("event_type") === "purchase")
+      .withColumn("time_id", timeIdCol)
+      .join(broadcast(users), Seq("user_id"), "left")
+      .select(
+        col("event_id").as("payment_id"),
+        col("event_id"), col("time_id"), col("user_key"),
+        col("value").as("amount"), col("event_date"))
+}

@@ -1,0 +1,66 @@
+package graft.quality
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Declarative data-quality checks.
+  *
+  * The reference runs one Spark job per column per check (reference
+  * src/utils/data_quality.py:52-77 — `_null_count` collects per column,
+  * `check_positive` filters+counts per column). graft folds EVERY counter
+  * into a single `agg` over one scan: at 100 TB the audit costs one pass,
+  * not 3×|columns| passes.
+  *
+  * NaN counts as null for floating-point columns (matching the
+  * reference's `isnan` handling); negativity applies to numeric columns.
+  */
+object DataQuality {
+
+  final case class QualityResult(name: String, passed: Boolean, details: String)
+
+  /** Long-format audit: one row per column with null/negative/total
+    * counters, computed in one distributed pass. */
+  def summary(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def isFloating(dt: DataType) = dt == DoubleType || dt == FloatType
+    def isNumeric(dt: DataType)  = dt.isInstanceOf[NumericType]
+
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      val dt = df.schema(c).dataType
+      val nullPred = if (isFloating(dt)) col(c).isNull || isnan(col(c)) else col(c).isNull
+      val negCount =
+        if (isNumeric(dt)) sum(when(col(c) < 0, 1L).otherwise(0L))
+        else sum(lit(0L))
+      Seq(
+        sum(when(nullPred, 1L).otherwise(0L)).as(s"${c}__null"),
+        negCount.as(s"${c}__neg"))
+    } :+ count(lit(1)).as("__total")
+
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    // unpivot the single wide row into (col_name, null_count, negative_count, total_count)
+    val stackArgs = cols
+      .map(c => s"'$c', `${c}__null`, `${c}__neg`")
+      .mkString(", ")
+    wide.select(expr(
+      s"stack(${cols.size}, $stackArgs) AS (col_name, null_count, negative_count)"),
+      col("__total").as("total_count"))
+  }
+
+  /** Threshold evaluation on a computed [[summary]] — the driver-facing
+    * pass/fail gate (reference run_silver_checks). Only the tiny summary
+    * is collected. */
+  def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
+    val rows = summaryDf.collect()
+    rows.toSeq.map { r =>
+      val name  = r.getAs[String]("col_name")
+      val nulls = r.getAs[Long]("null_count")
+      val negs  = r.getAs[Long]("negative_count")
+      val total = r.getAs[Long]("total_count")
+      val nullRate = if (total == 0) 1.0 else nulls.toDouble / total
+      val passed = nullRate <= maxNullRate && negs == 0
+      QualityResult(name, passed,
+        f"null_rate=$nullRate%.5f negatives=$negs total=$total")
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
+import graft.quality.DataQuality
+
+class PipelineSpec extends SparkSpec {
+
+  private lazy val bronze = Bronze.ingestEvents(Tables.events(spark, sfDir))
+  private lazy val silver = Silver.cleanEvents(bronze)
+
+  test("bronze ingest derives partition date and keeps every row") {
+    assert(bronze.count() === Tables.events(spark, sfDir).count())
+    assert(bronze.filter(col("event_date").isNull).count() === 0)
+  }
+
+  test("silver clean: no null keys, error values nulled, pk unique") {
+    assert(silver.filter(col("event_id").isNull || col("user_id").isNull || col("ts").isNull).count() === 0)
+    assert(silver.filter(col("event_type") === "error" && col("value").isNotNull).count() === 0)
+    val dupes = silver.groupBy("event_id").count().filter(col("count") > 1).count()
+    assert(dupes === 0)
+  }
+
+  test("silver dedup keeps latest row per key") {
+    import spark.implicits._
+    val raw = Seq(
+      (1L, "2024-01-01 00:00:00", 10L, "click", 1.0, """{"k": 5}"""),
+      (1L, "2024-01-02 00:00:00", 10L, "click", 2.0, """{"k": 5}"""),
+      (2L, "2024-01-01 00:00:00", 11L, "view", 3.0, """{"k": 6}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val cleaned = Silver.cleanEvents(Bronze.ingestEvents(raw))
+    assert(cleaned.count() === 2)
+    val kept = cleaned.filter(col("event_id") === 1).select("value").head().getDouble(0)
+    assert(kept === 2.0)
+  }
+
+  test("gold dims have unique surrogate keys") {
+    for (dim <- Seq(Gold.dimTime(silver), Gold.dimUsers(silver), Gold.dimZones(silver))) {
+      val keyCol = dim.columns.head
+      assert(dim.select(keyCol).distinct().count() === dim.count())
+    }
+  }
+
+  test("fact_events keeps silver grain and resolves dim keys") {
+    val fact = Gold.factEvents(silver, Gold.dimUsers(silver), Gold.dimZones(silver))
+    assert(fact.count() === silver.count())
+    assert(fact.filter(col("user_key").isNull).count() === 0)
+  }
+
+  test("fact build broadcasts dims (no fact shuffle)") {
+    val fact = Gold.factEvents(silver, Gold.dimUsers(silver), Gold.dimZones(silver))
+    val plan = fact.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "fact-dim join must not sort-merge")
+  }
+
+  test("aggregates reconcile with silver totals") {
+    val purchases = silver.filter(col("event_type") === "purchase")
+    val rev = Aggregates.revenueDailyByZone(silver)
+    val totalFromAgg = rev.agg(sum("purchase_count")).head().getLong(0)
+    assert(totalFromAgg === purchases.count())
+  }
+
+  test("data quality summary computes in a single pass and evaluates") {
+    val summary = DataQuality.summary(silver, Seq("event_id", "user_id", "ts", "value"))
+    val results = DataQuality.evaluate(summary)
+    assert(results.size === 4)
+    // value column has nulls by design (error events) → fails strict gate
+    assert(results.filter(_.name == "event_id").forall(_.passed))
+    assert(!results.find(_.name == "value").get.passed)
+  }
+}

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Local replay of the driver's correctness gate.
+
+Usage:
+    python tools/check.py /tmp/verify_out [sf_dir]
+
+Expects `sbt "runMain graft.Verify <sf_dir> <out_dir>"` to have populated
+<out_dir> with one parquet dir per query + oracle_sql.json. Runs each
+oracle SQL in DuckDB (tables = views over the sf_dir parquet files) and
+compares: columns sorted by name, rows sorted, values compared exactly for
+non-floats and with 1e-9 relative tolerance for floats.
+"""
+import json
+import math
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def norm_cell(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+
+def compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols):
+    if [c.lower() for c in spark_cols] != [c.lower() for c in oracle_cols]:
+        return f"SCHEMA MISMATCH: spark={spark_cols} oracle={oracle_cols}"
+    if len(spark_rows) != len(oracle_rows):
+        return f"ROWCOUNT MISMATCH: spark={len(spark_rows)} oracle={len(oracle_rows)}"
+    mismatches = 0
+    first = None
+    for i, (a, b) in enumerate(zip(spark_rows, oracle_rows)):
+        for j, (x, y) in enumerate(zip(a, b)):
+            x, y = norm_cell(x), norm_cell(y)
+            if x is None and y is None:
+                continue
+            if isinstance(x, float) and isinstance(y, float):
+                if x == y:
+                    continue
+                if abs(x - y) <= 1e-9 * max(1.0, abs(x), abs(y)):
+                    continue
+                mismatches += 1
+            elif str(x) != str(y):
+                mismatches += 1
+            if mismatches and first is None:
+                first = f"row {i} col {spark_cols[j]}: spark={x!r} oracle={y!r}"
+    if mismatches:
+        return f"{mismatches} VALUE MISMATCHES; first: {first}"
+    return None
+
+
+def main():
+    out_dir = Path(sys.argv[1])
+    sf_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+
+    con = duckdb.connect()
+    for p in sf_dir.glob("*.parquet"):
+        con.execute(f"CREATE VIEW {p.stem} AS SELECT * FROM '{p}'")
+
+    oracles = json.loads((out_dir / "oracle_sql.json").read_text())
+    failures = 0
+    for name, sql in sorted(oracles.items()):
+        qdir = out_dir / name
+        if not qdir.exists():
+            print(f"FAIL {name}: no spark output")
+            failures += 1
+            continue
+        try:
+            spark_rel = con.sql(f"SELECT * FROM '{qdir}/*.parquet'")
+            spark_cols = sorted(spark_rel.columns)
+            order = ", ".join(f'"{c}"' for c in spark_cols)
+            spark_rows = con.sql(
+                f"SELECT {order} FROM '{qdir}/*.parquet' ORDER BY {order}"
+            ).fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            failures += 1
+            continue
+        try:
+            orel = con.sql(sql)
+            ocols = sorted(orel.columns)
+            oorder = ", ".join(f'"{c}"' for c in ocols)
+            oracle_rows = con.sql(
+                f"SELECT {oorder} FROM ({sql}) ORDER BY {oorder}"
+            ).fetchall()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        err = compare(name, spark_rows, spark_cols, oracle_rows, ocols)
+        if err:
+            print(f"FAIL {name}: {err}")
+            failures += 1
+        else:
+            print(f"PASS {name} ({len(spark_rows)} rows)")
+
+    extra = [d.name for d in out_dir.iterdir()
+             if d.is_dir() and d.name not in oracles]
+    for name in extra:
+        try:
+            n = con.sql(f"SELECT count(*) FROM '{out_dir / name}/*.parquet'").fetchone()[0]
+            print(f"ROWS-ONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+            if n == 0:
+                failures += 1
+        except Exception as e:
+            print(f"FAIL {name} (rows-only): {e}")
+            failures += 1
+
+    print(f"\n{'ALL GREEN' if failures == 0 else f'{failures} FAILURES'}")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
