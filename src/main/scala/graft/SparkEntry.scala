@@ -24,8 +24,28 @@ object SparkEntry {
 
   // ---- shared intermediates -------------------------------------------
 
+  /** Memoized silver per (session, dir): every downstream query reuses the
+    * same DataFrame object, so a persist() from [[warmCache]] benefits all
+    * of them. Operator code itself stays pure — only this entry-point
+    * memoizes. */
+  private val silverCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
   private def silver(s: SparkSession, dir: String): DataFrame =
-    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(s, dir)))
+    silverCache.getOrElseUpdate((s, dir),
+      Silver.cleanEvents(Bronze.ingestEvents(Tables.events(s, dir))))
+
+  /** Persist + materialize shared intermediates (called by Bench/Verify so
+    * per-query timings reflect the operator, not the silver rebuild). */
+  def warmCache(s: SparkSession, dir: String): Unit = {
+    silver(s, dir).persist().count()
+    ()
+  }
+
+  def clearCache(): Unit = {
+    silverCache.values.foreach(_.unpersist())
+    silverCache.clear()
+  }
 
   /** DuckDB CTE mirroring [[Silver.cleanEvents]] — embedded in every
     * downstream oracle so each oracle stays self-contained. */

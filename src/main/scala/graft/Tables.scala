@@ -19,11 +19,12 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
 
   /** `events.parquet` carries nanosecond timestamps, which Spark 4 rejects
-    * outright. We read them as raw nanos-since-epoch longs
-    * (spark.sql.legacy.parquet.nanosAsLong) and truncate to microsecond
-    * TimestampType — the same truncation DuckDB applies, so oracles agree. */
+    * outright. We read them as raw nanos-since-epoch longs and truncate to
+    * microsecond TimestampType — the same truncation DuckDB applies, so
+    * oracles agree. Requires `spark.sql.legacy.parquet.nanosAsLong=true`,
+    * which every graft entry point (Bench/Verify/SparkSpec) sets at session
+    * construction. */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(spark, dir, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -61,12 +61,18 @@ object Gold {
       .withColumn("location_id", sha2(col("zone_id").cast("string"), 256))
       .select("location_id", "zone_id", "city", "zone_type")
 
-  /** Event fact: silver grain, dim surrogate keys resolved via broadcast
-    * left joins (dims are bounded; the fact never shuffles here). */
+  /** Event fact: silver grain, dim surrogate keys resolved via dim joins.
+    *
+    * Zones are structurally bounded (≤ ~200) so they carry an explicit
+    * broadcast hint. The user dimension grows with the population — an
+    * unconditional hint could exceed broadcast limits on a 100 TB run, so
+    * we leave the strategy to Catalyst/AQE size estimation: small user
+    * dims still broadcast (autoBroadcastJoinThreshold), huge ones degrade
+    * gracefully to a shuffled join instead of OOMing the driver. */
   def factEvents(silver: DataFrame, users: DataFrame, zones: DataFrame): DataFrame =
     silver
       .withColumn("time_id", timeIdCol)
-      .join(broadcast(users), Seq("user_id"), "left")
+      .join(users, Seq("user_id"), "left")
       .join(broadcast(zones.select(col("location_id"), col("zone_id"))), Seq("zone_id"), "left")
       .select(
         col("event_id"), col("time_id"), col("user_key"),
@@ -80,7 +86,7 @@ object Gold {
     silver
       .filter(col("event_type") === "purchase")
       .withColumn("time_id", timeIdCol)
-      .join(broadcast(users), Seq("user_id"), "left")
+      .join(users, Seq("user_id"), "left")
       .select(
         col("event_id").as("payment_id"),
         col("event_id"), col("time_id"), col("user_key"),
