@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.features.FeatureEngineering
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
 
@@ -86,6 +87,10 @@ object SparkEntry {
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "dq_summary" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
+    // §2.2 feature engineering
+    "feat_demand" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
+    "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
+    "feat_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -189,5 +194,113 @@ object SparkEntry {
          |         sum(CASE WHEN zone_id IS NULL THEN 1 ELSE 0 END),
          |         sum(CASE WHEN zone_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
          |)""".stripMargin,
+
+    "feat_demand" ->
+      s"""$silverCte,
+         |hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
+         |         count(*) AS event_count, round(avg(value), 4) AS avg_value
+         |  FROM silver WHERE ts IS NOT NULL AND zone_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |),
+         |feat AS (
+         |  SELECT CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour,
+         |         zone_id, event_count,
+         |         lag(event_count, 1) OVER w AS demand_lag_1,
+         |         lag(event_count, 7) OVER w AS demand_lag_7,
+         |         lag(event_count, 14) OVER w AS demand_lag_14,
+         |         round(avg(event_count) OVER w7, 4) AS demand_avg_7d,
+         |         round(avg(event_count) OVER w30, 4) AS demand_avg_30d,
+         |         round(stddev(event_count) OVER w7, 4) AS demand_std_7d,
+         |         avg_value,
+         |         lag(avg_value, 1) OVER w AS avg_value_lag_1
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
+         |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING),
+         |         w30 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 720 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT trip_date, hour, zone_id, event_count,
+         |       demand_lag_1, demand_lag_7, demand_lag_14,
+         |       demand_avg_7d, demand_avg_30d, demand_std_7d,
+         |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
+         |       CASE WHEN hour >= 22 OR hour <= 5 THEN 1 ELSE 0 END AS is_night,
+         |       CASE WHEN hour BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS is_business_hours,
+         |       avg_value, avg_value_lag_1
+         |FROM feat
+         |WHERE demand_lag_1 IS NOT NULL AND demand_lag_7 IS NOT NULL
+         |  AND demand_lag_14 IS NOT NULL AND avg_value IS NOT NULL
+         |  AND avg_value_lag_1 IS NOT NULL AND demand_avg_7d IS NOT NULL
+         |  AND demand_avg_30d IS NOT NULL AND demand_std_7d IS NOT NULL""".stripMargin,
+
+    "feat_surge" ->
+      s"""$silverCte,
+         |hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
+         |         count(*) AS event_count,
+         |         count(DISTINCT user_id) AS user_count,
+         |         round(avg(value), 4) AS avg_value,
+         |         max(value) AS max_value
+         |  FROM silver
+         |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND zone_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |),
+         |base AS (
+         |  SELECT *, round(CAST(event_count AS DOUBLE) / user_count, 4) AS demand_supply_ratio,
+         |         CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour
+         |  FROM hourly
+         |),
+         |feat AS (
+         |  SELECT trip_date, hour, zone_id, avg_value, max_value, event_count,
+         |         user_count, demand_supply_ratio,
+         |         lag(avg_value, 1) OVER w AS value_lag_1,
+         |         lag(demand_supply_ratio, 1) OVER w AS ratio_lag_1,
+         |         avg(round(avg_value * 10000)) OVER w7 / 10000 AS value_avg_7d,
+         |         avg(round(demand_supply_ratio * 10000)) OVER w7 / 10000 AS ratio_avg_7d,
+         |         round(avg(event_count) OVER w7, 4) AS count_avg_7d
+         |  FROM base
+         |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
+         |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT trip_date, hour,
+         |       dayofweek(trip_date) + 1 AS day_of_week,
+         |       CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
+         |       zone_id, avg_value, max_value, event_count, user_count, demand_supply_ratio,
+         |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
+         |       CASE WHEN hour >= 23 OR hour <= 3 THEN 1 ELSE 0 END AS is_late_night,
+         |       value_lag_1, ratio_lag_1, value_avg_7d, ratio_avg_7d, count_avg_7d,
+         |       CASE WHEN event_count < count_avg_7d * 0.7 AND avg_value > value_avg_7d THEN 1 ELSE 0 END AS likely_anomaly
+         |FROM feat
+         |WHERE value_lag_1 IS NOT NULL AND ratio_lag_1 IS NOT NULL""".stripMargin,
+
+    "feat_churn" ->
+      s"""$silverCte,
+         |daily AS (
+         |  SELECT user_id, event_date,
+         |         count(*) AS daily_events,
+         |         round(sum(value), 2) AS daily_value,
+         |         round(avg(value), 4) AS avg_value
+         |  FROM silver WHERE event_type = 'purchase' AND ts IS NOT NULL
+         |  GROUP BY 1, 2
+         |),
+         |feat AS (
+         |  SELECT *,
+         |         lag(daily_events, 7) OVER w AS events_lag_7,
+         |         lag(daily_events, 14) OVER w AS events_lag_14,
+         |         lag(daily_events, 30) OVER w AS events_lag_30,
+         |         round(avg(daily_events) OVER w30, 4) AS avg_events_30d,
+         |         round(avg(daily_value) OVER w30, 4) AS avg_value_30d,
+         |         lead(event_date, 1) OVER w AS next_date
+         |  FROM daily
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_date),
+         |         w30 AS (PARTITION BY user_id ORDER BY event_date ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+         |)
+         |SELECT user_id, event_date, daily_events, daily_value, avg_value,
+         |       events_lag_7, events_lag_14, events_lag_30,
+         |       avg_events_30d, avg_value_30d,
+         |       CASE WHEN daily_events < avg_events_30d * 0.5 THEN 1 ELSE 0 END AS events_declining,
+         |       CASE WHEN daily_value < avg_value_30d * 0.5 THEN 1 ELSE 0 END AS value_declining,
+         |       date_diff('day', event_date, next_date) AS days_to_next,
+         |       CASE WHEN next_date IS NULL OR date_diff('day', event_date, next_date) > 7 THEN 1 ELSE 0 END AS will_churn
+         |FROM feat WHERE events_lag_7 IS NOT NULL""".stripMargin,
   )
 }

@@ -1,0 +1,162 @@
+package graft.features
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Lag / rolling-window feature builders.
+  *
+  * Re-expresses the reference's feature engineering (reference
+  * src/ml/feature_engineering.py:90-115 demand, :171-240 surge, :275-320
+  * churn) over the driver's `events` data model:
+  *   - `zone_id` plays the pickup-location role, `value` plays surge/fare,
+  *     `purchase` events play completed trips, users play drivers.
+  *   - Window partitioning: the reference partitions demand windows by
+  *     (location, hour-of-day), i.e. lag-1 = "same hour yesterday". The
+  *     synthetic data spans 30 days, so a lag-14 on that grain has no
+  *     support; graft partitions by zone over the *hourly sequence*
+  *     (lag-1 = previous hour), which exercises identical window machinery
+  *     with the same lag/rolling frame shapes.
+  *
+  * Scale notes (100 TB): every window partitions by a key whose cardinality
+  * grows with the data (zone, user) — per-partition state stays bounded and
+  * there is no global sort. The hourly/daily grains are built with one
+  * map-side-combinable groupBy each; the window pass is one additional
+  * shuffle on the partition key. Doubles are rounded at the grain edge
+  * (4 dp) so downstream lag/rolling values are bit-stable across partition
+  * orderings.
+  */
+object FeatureEngineering {
+
+  private val peakHour =
+    when(col("hour").between(7, 9), 1).when(col("hour").between(17, 19), 1).otherwise(0)
+
+  /** Demand features at the hourly-by-zone grain: lag 1/7/14, rolling
+    * 7d (168h) / 30d (720h) means, rolling stddev, time-of-day flags.
+    * Rows with incomplete history (any null lag/rolling feature) are
+    * dropped, mirroring the reference's `na.drop()`. */
+  def demandFeatures(silver: DataFrame): DataFrame = {
+    val hourly = silver
+      .filter(col("ts").isNotNull && col("zone_id").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("zone_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+    val w = Window.partitionBy("zone_id").orderBy("hour_ts")
+    val w7d = w.rowsBetween(-168, -1)
+    val w30d = w.rowsBetween(-720, -1)
+
+    val out = hourly
+      .withColumn("trip_date", to_date(col("hour_ts")))
+      .withColumn("hour", hour(col("hour_ts")))
+      .withColumn("demand_lag_1", lag("event_count", 1).over(w))
+      .withColumn("demand_lag_7", lag("event_count", 7).over(w))
+      .withColumn("demand_lag_14", lag("event_count", 14).over(w))
+      .withColumn("avg_value_lag_1", lag("avg_value", 1).over(w))
+      .withColumn("demand_avg_7d", round(avg("event_count").over(w7d), 4))
+      .withColumn("demand_avg_30d", round(avg("event_count").over(w30d), 4))
+      .withColumn("demand_std_7d", round(stddev("event_count").over(w7d), 4))
+      .withColumn("is_peak_hour", peakHour)
+      .withColumn("is_night", when(col("hour") >= 22 || col("hour") <= 5, 1).otherwise(0))
+      .withColumn("is_business_hours", when(col("hour").between(9, 17), 1).otherwise(0))
+      .select(
+        "trip_date", "hour", "zone_id", "event_count",
+        "demand_lag_1", "demand_lag_7", "demand_lag_14",
+        "demand_avg_7d", "demand_avg_30d", "demand_std_7d",
+        "is_peak_hour", "is_night", "is_business_hours",
+        "avg_value", "avg_value_lag_1")
+    out.na.drop()
+  }
+
+  /** Surge features at the hourly-by-zone grain over monetary (purchase)
+    * events: distinct-user supply proxy, demand/supply ratio, weekend /
+    * late-night flags, lag-1, 7d rolling means, and a low-volume/high-value
+    * anomaly flag (reference's likely_bad_weather). Rows lacking lag-1
+    * history are dropped (reference `na.drop(subset=lags)`). */
+  def surgeFeatures(silver: DataFrame): DataFrame = {
+    val hourly = silver
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull && col("zone_id").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("zone_id"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        countDistinct(col("user_id")).as("user_count"),
+        round(avg(col("value")), 4).as("avg_value"),
+        max(col("value")).as("max_value"))
+      .withColumn("demand_supply_ratio",
+        round(col("event_count").cast("double") / col("user_count"), 4))
+
+    val w = Window.partitionBy("zone_id").orderBy("hour_ts")
+    val w7d = w.rowsBetween(-168, -1)
+
+    hourly
+      .withColumn("trip_date", to_date(col("hour_ts")))
+      .withColumn("hour", hour(col("hour_ts")))
+      .withColumn("day_of_week", dayofweek(col("trip_date")))
+      .withColumn("is_weekend", when(col("day_of_week").isin(1, 7), 1).otherwise(0))
+      .withColumn("is_peak_hour", peakHour)
+      .withColumn("is_late_night", when(col("hour") >= 23 || col("hour") <= 3, 1).otherwise(0))
+      .withColumn("value_lag_1", lag("avg_value", 1).over(w))
+      .withColumn("ratio_lag_1", lag("demand_supply_ratio", 1).over(w))
+      // Rolling means over rounded doubles: scale to exact integers first so
+      // the window sum is order-independent (integer-valued doubles add
+      // exactly), making the result bit-identical across engines. No final
+      // rounding — the exact quotient is already deterministic, and rounding
+      // a computed double reintroduces .xxxx5 tie ambiguity.
+      .withColumn("value_avg_7d",
+        avg(round(col("avg_value") * 10000)).over(w7d) / 10000)
+      .withColumn("ratio_avg_7d",
+        avg(round(col("demand_supply_ratio") * 10000)).over(w7d) / 10000)
+      .withColumn("count_avg_7d", round(avg("event_count").over(w7d), 4))
+      .withColumn("likely_anomaly",
+        when(col("event_count") < col("count_avg_7d") * 0.7 &&
+          col("avg_value") > col("value_avg_7d"), 1).otherwise(0))
+      .filter(col("value_lag_1").isNotNull && col("ratio_lag_1").isNotNull)
+      .select(
+        "trip_date", "hour", "day_of_week", "is_weekend", "zone_id",
+        "avg_value", "max_value", "event_count", "user_count",
+        "demand_supply_ratio", "is_peak_hour", "is_late_night",
+        "value_lag_1", "ratio_lag_1",
+        "value_avg_7d", "ratio_avg_7d", "count_avg_7d", "likely_anomaly")
+  }
+
+  /** Churn features at the per-user daily grain over purchases: activity
+    * lags 7/14/30 (the long lags stay nullable — a 30-day dataset has no
+    * lag-30 support, and nulling them beats silently dropping every row),
+    * 30d rolling means, declining flags, and a lead-based churn label
+    * (`will_churn` = no next activity, or a gap > 7 days — the reference's
+    * 30-day threshold scaled to the 30-day data span). */
+  def churnFeatures(silver: DataFrame): DataFrame = {
+    val daily = silver
+      .filter(col("event_type") === "purchase" && col("ts").isNotNull)
+      .groupBy(col("user_id"), col("event_date"))
+      .agg(
+        count(lit(1)).as("daily_events"),
+        round(sum(col("value")), 2).as("daily_value"),
+        round(avg(col("value")), 4).as("avg_value"))
+
+    val w = Window.partitionBy("user_id").orderBy("event_date")
+    val w30 = w.rowsBetween(-30, -1)
+
+    daily
+      .withColumn("events_lag_7", lag("daily_events", 7).over(w))
+      .withColumn("events_lag_14", lag("daily_events", 14).over(w))
+      .withColumn("events_lag_30", lag("daily_events", 30).over(w))
+      .withColumn("avg_events_30d", round(avg("daily_events").over(w30), 4))
+      .withColumn("avg_value_30d", round(avg("daily_value").over(w30), 4))
+      .withColumn("events_declining",
+        when(col("daily_events") < col("avg_events_30d") * 0.5, 1).otherwise(0))
+      .withColumn("value_declining",
+        when(col("daily_value") < col("avg_value_30d") * 0.5, 1).otherwise(0))
+      .withColumn("next_date", lead("event_date", 1).over(w))
+      .withColumn("days_to_next", datediff(col("next_date"), col("event_date")))
+      .withColumn("will_churn",
+        when(col("next_date").isNull || col("days_to_next") > 7, 1).otherwise(0))
+      .filter(col("events_lag_7").isNotNull)
+      .select(
+        "user_id", "event_date", "daily_events", "daily_value", "avg_value",
+        "events_lag_7", "events_lag_14", "events_lag_30",
+        "avg_events_30d", "avg_value_30d",
+        "events_declining", "value_declining", "days_to_next", "will_churn")
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.features.FeatureEngineering
+import graft.pipeline.{Bronze, Silver}
+
+class FeatureSpec extends SparkSpec {
+
+  // sf0.001 has too few rows per zone for lag-14 support; features specs
+  // exercise real data at sf0.01 (the correctness-gate SF).
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val silver =
+    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir)))
+
+  test("demand features: complete history only, lag semantics correct") {
+    val feat = FeatureEngineering.demandFeatures(silver).cache()
+    assert(feat.count() > 0)
+    val lagCols = Seq("demand_lag_1", "demand_lag_7", "demand_lag_14",
+      "demand_avg_7d", "demand_avg_30d", "demand_std_7d", "avg_value_lag_1")
+    assert(feat.filter(lagCols.map(col(_).isNull).reduce(_ || _)).count() === 0)
+    // flags are consistent with the hour column
+    assert(feat.filter(col("hour").between(7, 9) && col("is_peak_hour") =!= 1).count() === 0)
+    assert(feat.filter(col("hour") === 12 && col("is_night") =!= 0).count() === 0)
+  }
+
+  test("lag/lead/rolling window semantics on a handcrafted frame") {
+    import spark.implicits._
+    // one user, 10 purchase days, value = day index → easy to verify lags
+    val raw = (1 to 10).map { d =>
+      (d.toLong, f"2024-01-$d%02d 08:00:00", 1L, "purchase", d.toDouble, """{"k": 1}""")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val churn = FeatureEngineering.churnFeatures(
+      Silver.cleanEvents(Bronze.ingestEvents(raw)))
+    // lag-7 requires 7 prior days: rows for days 8..10 survive
+    assert(churn.count() === 3)
+    val day8 = churn.filter(col("event_date") === "2024-01-08").head()
+    assert(day8.getAs[Long]("events_lag_7") === 1L)        // day 1 activity
+    assert(day8.getAs[Long]("daily_events") === 1L)
+    assert(day8.getAs[Double]("avg_events_30d") === 1.0)   // mean of days 1..7
+    assert(day8.getAs[Int]("days_to_next") === 1)
+    assert(day8.getAs[Int]("will_churn") === 0)
+    // last day: lead is null → churn label fires
+    val day10 = churn.filter(col("event_date") === "2024-01-10").head()
+    assert(day10.getAs[Int]("will_churn") === 1)
+  }
+
+  test("surge features: ratio bounded below by 1 and windows partition by zone") {
+    val feat = FeatureEngineering.surgeFeatures(silver).cache()
+    assert(feat.count() > 0)
+    // each hourly group has >=1 event per distinct user → ratio >= 1
+    assert(feat.filter(col("demand_supply_ratio") < 1.0).count() === 0)
+    val plan = feat.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"))
+  }
+}
