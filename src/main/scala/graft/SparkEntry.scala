@@ -4,8 +4,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.features.FeatureEngineering
+import graft.monitoring.Monitoring
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
+import graft.scoring.Scoring
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -65,6 +67,9 @@ object SparkEntry {
       |  ) WHERE rn = 1
       |)""".stripMargin
 
+  /** Monitoring windows split the 30-day dataset at its midpoint. */
+  private val monitorSplit = "2024-01-15"
+
   // ---- queries ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -91,7 +96,129 @@ object SparkEntry {
     "feat_demand" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
     "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
     "feat_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
+    // §2.3 scoring + monitoring
+    "score_demand" -> ((s, dir) =>
+      Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    "score_surge" -> ((s, dir) =>
+      Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
+    "score_metrics" -> ((s, dir) =>
+      Scoring.scoringMetrics(
+        Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir))),
+        "event_count", "predicted_demand")),
+    "monitor_psi" -> ((s, dir) =>
+      Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
+    "monitor_missing" -> ((s, dir) =>
+      Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
+    "monitor_volume" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
   )
+
+  private val featDemandSql: String =
+    s"""$silverCte,
+       |hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
+       |         count(*) AS event_count, round(avg(value), 4) AS avg_value
+       |  FROM silver WHERE ts IS NOT NULL AND zone_id IS NOT NULL
+       |  GROUP BY 1, 2
+       |),
+       |feat AS (
+       |  SELECT CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour,
+       |         zone_id, event_count,
+       |         lag(event_count, 1) OVER w AS demand_lag_1,
+       |         lag(event_count, 7) OVER w AS demand_lag_7,
+       |         lag(event_count, 14) OVER w AS demand_lag_14,
+       |         round(avg(event_count) OVER w7, 4) AS demand_avg_7d,
+       |         round(avg(event_count) OVER w30, 4) AS demand_avg_30d,
+       |         round(stddev(event_count) OVER w7, 4) AS demand_std_7d,
+       |         avg_value,
+       |         lag(avg_value, 1) OVER w AS avg_value_lag_1
+       |  FROM hourly
+       |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
+       |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING),
+       |         w30 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 720 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT trip_date, hour, zone_id, event_count,
+       |       demand_lag_1, demand_lag_7, demand_lag_14,
+       |       demand_avg_7d, demand_avg_30d, demand_std_7d,
+       |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
+       |       CASE WHEN hour >= 22 OR hour <= 5 THEN 1 ELSE 0 END AS is_night,
+       |       CASE WHEN hour BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS is_business_hours,
+       |       avg_value, avg_value_lag_1
+       |FROM feat
+       |WHERE demand_lag_1 IS NOT NULL AND demand_lag_7 IS NOT NULL
+       |  AND demand_lag_14 IS NOT NULL AND avg_value IS NOT NULL
+       |  AND avg_value_lag_1 IS NOT NULL AND demand_avg_7d IS NOT NULL
+       |  AND demand_avg_30d IS NOT NULL AND demand_std_7d IS NOT NULL""".stripMargin
+
+  private val featSurgeSql: String =
+    s"""$silverCte,
+       |hourly AS (
+       |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
+       |         count(*) AS event_count,
+       |         count(DISTINCT user_id) AS user_count,
+       |         round(avg(value), 4) AS avg_value,
+       |         max(value) AS max_value
+       |  FROM silver
+       |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND zone_id IS NOT NULL
+       |  GROUP BY 1, 2
+       |),
+       |base AS (
+       |  SELECT *, round(CAST(event_count AS DOUBLE) / user_count, 4) AS demand_supply_ratio,
+       |         CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour
+       |  FROM hourly
+       |),
+       |feat AS (
+       |  SELECT trip_date, hour, zone_id, avg_value, max_value, event_count,
+       |         user_count, demand_supply_ratio,
+       |         lag(avg_value, 1) OVER w AS value_lag_1,
+       |         lag(demand_supply_ratio, 1) OVER w AS ratio_lag_1,
+       |         avg(round(avg_value * 10000)) OVER w7 / 10000 AS value_avg_7d,
+       |         avg(round(demand_supply_ratio * 10000)) OVER w7 / 10000 AS ratio_avg_7d,
+       |         round(avg(event_count) OVER w7, 4) AS count_avg_7d
+       |  FROM base
+       |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
+       |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT trip_date, hour,
+       |       dayofweek(trip_date) + 1 AS day_of_week,
+       |       CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
+       |       zone_id, avg_value, max_value, event_count, user_count, demand_supply_ratio,
+       |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
+       |       CASE WHEN hour >= 23 OR hour <= 3 THEN 1 ELSE 0 END AS is_late_night,
+       |       value_lag_1, ratio_lag_1, value_avg_7d, ratio_avg_7d, count_avg_7d,
+       |       CASE WHEN event_count < count_avg_7d * 0.7 AND avg_value > value_avg_7d THEN 1 ELSE 0 END AS likely_anomaly
+       |FROM feat
+       |WHERE value_lag_1 IS NOT NULL AND ratio_lag_1 IS NOT NULL""".stripMargin
+
+  private val featChurnSql: String =
+    s"""$silverCte,
+       |daily AS (
+       |  SELECT user_id, event_date,
+       |         count(*) AS daily_events,
+       |         round(sum(value), 2) AS daily_value,
+       |         round(avg(value), 4) AS avg_value
+       |  FROM silver WHERE event_type = 'purchase' AND ts IS NOT NULL
+       |  GROUP BY 1, 2
+       |),
+       |feat AS (
+       |  SELECT *,
+       |         lag(daily_events, 7) OVER w AS events_lag_7,
+       |         lag(daily_events, 14) OVER w AS events_lag_14,
+       |         lag(daily_events, 30) OVER w AS events_lag_30,
+       |         round(avg(daily_events) OVER w30, 4) AS avg_events_30d,
+       |         round(avg(daily_value) OVER w30, 4) AS avg_value_30d,
+       |         lead(event_date, 1) OVER w AS next_date
+       |  FROM daily
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY event_date),
+       |         w30 AS (PARTITION BY user_id ORDER BY event_date ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+       |)
+       |SELECT user_id, event_date, daily_events, daily_value, avg_value,
+       |       events_lag_7, events_lag_14, events_lag_30,
+       |       avg_events_30d, avg_value_30d,
+       |       CASE WHEN daily_events < avg_events_30d * 0.5 THEN 1 ELSE 0 END AS events_declining,
+       |       CASE WHEN daily_value < avg_value_30d * 0.5 THEN 1 ELSE 0 END AS value_declining,
+       |       date_diff('day', event_date, next_date) AS days_to_next,
+       |       CASE WHEN next_date IS NULL OR date_diff('day', event_date, next_date) > 7 THEN 1 ELSE 0 END AS will_churn
+       |FROM feat WHERE events_lag_7 IS NOT NULL""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bronze_ingest" ->
@@ -195,112 +322,117 @@ object SparkEntry {
          |         sum(CASE WHEN zone_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
          |)""".stripMargin,
 
-    "feat_demand" ->
-      s"""$silverCte,
-         |hourly AS (
-         |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
-         |         count(*) AS event_count, round(avg(value), 4) AS avg_value
-         |  FROM silver WHERE ts IS NOT NULL AND zone_id IS NOT NULL
-         |  GROUP BY 1, 2
-         |),
-         |feat AS (
-         |  SELECT CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour,
-         |         zone_id, event_count,
-         |         lag(event_count, 1) OVER w AS demand_lag_1,
-         |         lag(event_count, 7) OVER w AS demand_lag_7,
-         |         lag(event_count, 14) OVER w AS demand_lag_14,
-         |         round(avg(event_count) OVER w7, 4) AS demand_avg_7d,
-         |         round(avg(event_count) OVER w30, 4) AS demand_avg_30d,
-         |         round(stddev(event_count) OVER w7, 4) AS demand_std_7d,
-         |         avg_value,
-         |         lag(avg_value, 1) OVER w AS avg_value_lag_1
-         |  FROM hourly
-         |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
-         |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING),
-         |         w30 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 720 PRECEDING AND 1 PRECEDING)
-         |)
-         |SELECT trip_date, hour, zone_id, event_count,
-         |       demand_lag_1, demand_lag_7, demand_lag_14,
-         |       demand_avg_7d, demand_avg_30d, demand_std_7d,
-         |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
-         |       CASE WHEN hour >= 22 OR hour <= 5 THEN 1 ELSE 0 END AS is_night,
-         |       CASE WHEN hour BETWEEN 9 AND 17 THEN 1 ELSE 0 END AS is_business_hours,
-         |       avg_value, avg_value_lag_1
-         |FROM feat
-         |WHERE demand_lag_1 IS NOT NULL AND demand_lag_7 IS NOT NULL
-         |  AND demand_lag_14 IS NOT NULL AND avg_value IS NOT NULL
-         |  AND avg_value_lag_1 IS NOT NULL AND demand_avg_7d IS NOT NULL
-         |  AND demand_avg_30d IS NOT NULL AND demand_std_7d IS NOT NULL""".stripMargin,
+    "feat_demand" -> featDemandSql,
 
-    "feat_surge" ->
-      s"""$silverCte,
-         |hourly AS (
-         |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id,
-         |         count(*) AS event_count,
-         |         count(DISTINCT user_id) AS user_count,
-         |         round(avg(value), 4) AS avg_value,
-         |         max(value) AS max_value
-         |  FROM silver
-         |  WHERE event_type = 'purchase' AND ts IS NOT NULL AND zone_id IS NOT NULL
-         |  GROUP BY 1, 2
-         |),
-         |base AS (
-         |  SELECT *, round(CAST(event_count AS DOUBLE) / user_count, 4) AS demand_supply_ratio,
-         |         CAST(hour_ts AS DATE) AS trip_date, hour(hour_ts) AS hour
-         |  FROM hourly
-         |),
-         |feat AS (
-         |  SELECT trip_date, hour, zone_id, avg_value, max_value, event_count,
-         |         user_count, demand_supply_ratio,
-         |         lag(avg_value, 1) OVER w AS value_lag_1,
-         |         lag(demand_supply_ratio, 1) OVER w AS ratio_lag_1,
-         |         avg(round(avg_value * 10000)) OVER w7 / 10000 AS value_avg_7d,
-         |         avg(round(demand_supply_ratio * 10000)) OVER w7 / 10000 AS ratio_avg_7d,
-         |         round(avg(event_count) OVER w7, 4) AS count_avg_7d
-         |  FROM base
-         |  WINDOW w AS (PARTITION BY zone_id ORDER BY hour_ts),
-         |         w7 AS (PARTITION BY zone_id ORDER BY hour_ts ROWS BETWEEN 168 PRECEDING AND 1 PRECEDING)
-         |)
-         |SELECT trip_date, hour,
-         |       dayofweek(trip_date) + 1 AS day_of_week,
+    "feat_surge" -> featSurgeSql,
+
+    "feat_churn" -> featChurnSql,
+
+    "score_demand" ->
+      s"""WITH df AS ($featDemandSql)
+         |SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
+         |       is_peak_hour,
          |       CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
-         |       zone_id, avg_value, max_value, event_count, user_count, demand_supply_ratio,
-         |       CASE WHEN hour BETWEEN 7 AND 9 THEN 1 WHEN hour BETWEEN 17 AND 19 THEN 1 ELSE 0 END AS is_peak_hour,
-         |       CASE WHEN hour >= 23 OR hour <= 3 THEN 1 ELSE 0 END AS is_late_night,
-         |       value_lag_1, ratio_lag_1, value_avg_7d, ratio_avg_7d, count_avg_7d,
-         |       CASE WHEN event_count < count_avg_7d * 0.7 AND avg_value > value_avg_7d THEN 1 ELSE 0 END AS likely_anomaly
-         |FROM feat
-         |WHERE value_lag_1 IS NOT NULL AND ratio_lag_1 IS NOT NULL""".stripMargin,
+         |       demand_avg_7d
+         |         * (CASE WHEN hour IN (7, 8, 9, 16, 17, 18) THEN 1.25 ELSE 1.0 END)
+         |         * (CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 0.85 ELSE 1.0 END)
+         |         * (1.0 + greatest(avg_value / 100.0 - 1.0, 0.0) * 0.15) AS predicted_demand
+         |FROM df""".stripMargin,
 
-    "feat_churn" ->
-      s"""$silverCte,
-         |daily AS (
-         |  SELECT user_id, event_date,
-         |         count(*) AS daily_events,
-         |         round(sum(value), 2) AS daily_value,
-         |         round(avg(value), 4) AS avg_value
-         |  FROM silver WHERE event_type = 'purchase' AND ts IS NOT NULL
-         |  GROUP BY 1, 2
-         |),
-         |feat AS (
-         |  SELECT *,
-         |         lag(daily_events, 7) OVER w AS events_lag_7,
-         |         lag(daily_events, 14) OVER w AS events_lag_14,
-         |         lag(daily_events, 30) OVER w AS events_lag_30,
-         |         round(avg(daily_events) OVER w30, 4) AS avg_events_30d,
-         |         round(avg(daily_value) OVER w30, 4) AS avg_value_30d,
-         |         lead(event_date, 1) OVER w AS next_date
-         |  FROM daily
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_date),
-         |         w30 AS (PARTITION BY user_id ORDER BY event_date ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    "score_surge" ->
+      s"""WITH sf AS ($featSurgeSql)
+         |SELECT trip_date, hour, zone_id, event_count, user_count, count_avg_7d,
+         |       least(CAST(user_count AS DOUBLE) / 20.0, 1.0) AS supply_index,
+         |       least(greatest(
+         |         least(greatest(count_avg_7d / 6.0, 0.5), 2.0)
+         |           * (1.0 + greatest(1.0 - least(CAST(user_count AS DOUBLE) / 20.0, 1.0), 0.0) * 0.8)
+         |           * (1.0 + least(greatest(0.0, 0.0), 1.0) * 0.25), 1.0), 3.0) AS predicted_surge
+         |FROM sf""".stripMargin,
+
+    "score_metrics" ->
+      s"""WITH df AS ($featDemandSql),
+         |scored AS (
+         |  SELECT CAST(event_count AS DOUBLE) AS y,
+         |         demand_avg_7d
+         |           * (CASE WHEN hour IN (7, 8, 9, 16, 17, 18) THEN 1.25 ELSE 1.0 END)
+         |           * (CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 0.85 ELSE 1.0 END)
+         |           * (1.0 + greatest(avg_value / 100.0 - 1.0, 0.0) * 0.15) AS yhat
+         |  FROM df
          |)
-         |SELECT user_id, event_date, daily_events, daily_value, avg_value,
-         |       events_lag_7, events_lag_14, events_lag_30,
-         |       avg_events_30d, avg_value_30d,
-         |       CASE WHEN daily_events < avg_events_30d * 0.5 THEN 1 ELSE 0 END AS events_declining,
-         |       CASE WHEN daily_value < avg_value_30d * 0.5 THEN 1 ELSE 0 END AS value_declining,
-         |       date_diff('day', event_date, next_date) AS days_to_next,
-         |       CASE WHEN next_date IS NULL OR date_diff('day', event_date, next_date) > 7 THEN 1 ELSE 0 END AS will_churn
-         |FROM feat WHERE events_lag_7 IS NOT NULL""".stripMargin,
+         |SELECT count(*) AS n,
+         |       avg(abs(y - yhat)) AS mae,
+         |       sqrt(avg(pow(y - yhat, 2))) AS rmse,
+         |       avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
+         |FROM scored""".stripMargin,
+
+    "monitor_psi" ->
+      s"""$silverCte,
+         |melted AS (
+         |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
+         |  UNION ALL
+         |  SELECT 'zone_id', CAST(zone_id AS DOUBLE), event_date FROM silver
+         |),
+         |flagged AS (
+         |  SELECT feature, x,
+         |         CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base
+         |  FROM melted WHERE x IS NOT NULL
+         |),
+         |stats AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM flagged WHERE is_base = 1 GROUP BY 1),
+         |binned AS (
+         |  SELECT f.feature, is_base,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(greatest(floor((x - lo) / ((hi - lo) / 10)), 0), 9) AS INT) END AS bin
+         |  FROM flagged f JOIN stats USING (feature)
+         |),
+         |counts AS (SELECT feature, bin, sum(is_base) AS b_cnt, sum(1 - is_base) AS c_cnt FROM binned GROUP BY 1, 2),
+         |tot AS (SELECT feature, sum(b_cnt) AS b_tot, sum(c_cnt) AS c_tot FROM counts GROUP BY 1)
+         |SELECT c.feature, t.b_tot AS base_count, t.c_tot AS cur_count,
+         |       sum((greatest(c_cnt / t.c_tot, 1e-6) - greatest(b_cnt / t.b_tot, 1e-6))
+         |           * ln(greatest(c_cnt / t.c_tot, 1e-6) / greatest(b_cnt / t.b_tot, 1e-6))) AS psi
+         |FROM counts c JOIN tot t USING (feature)
+         |GROUP BY 1, 2, 3""".stripMargin,
+
+    "monitor_missing" ->
+      s"""$silverCte,
+         |melted AS (
+         |  SELECT 'value' AS feature, CAST(value IS NULL AS INT) AS is_null, event_date FROM silver
+         |  UNION ALL
+         |  SELECT 'zone_id', CAST(zone_id IS NULL AS INT), event_date FROM silver
+         |  UNION ALL
+         |  SELECT 'user_id', CAST(user_id IS NULL AS INT), event_date FROM silver
+         |),
+         |flagged AS (
+         |  SELECT feature, is_null,
+         |         CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base
+         |  FROM melted
+         |)
+         |SELECT feature,
+         |       sum(is_base) AS base_total,
+         |       sum(1 - is_base) AS cur_total,
+         |       sum(is_base * is_null) / sum(is_base) AS base_missing_rate,
+         |       sum((1 - is_base) * is_null) / sum(1 - is_base) AS cur_missing_rate,
+         |       sum((1 - is_base) * is_null) / sum(1 - is_base)
+         |         - sum(is_base * is_null) / sum(is_base) AS shift
+         |FROM flagged GROUP BY 1""".stripMargin,
+
+    "monitor_volume" ->
+      s"""$silverCte,
+         |flagged AS (
+         |  SELECT CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base,
+         |         event_date
+         |  FROM silver
+         |),
+         |agg AS (
+         |  SELECT sum(is_base) AS base_count, sum(1 - is_base) AS cur_count,
+         |         count(DISTINCT CASE WHEN is_base = 1 THEN event_date END) AS base_days,
+         |         count(DISTINCT CASE WHEN is_base = 0 THEN event_date END) AS cur_days
+         |  FROM flagged
+         |)
+         |SELECT base_count, cur_count, base_days, cur_days,
+         |       base_count / base_days AS base_daily_avg,
+         |       cur_count / cur_days AS cur_daily_avg,
+         |       (cur_count / cur_days) / (base_count / base_days) AS volume_ratio,
+         |       CASE WHEN (cur_count / cur_days) / (base_count / base_days) < 0.8 THEN 1 ELSE 0 END AS volume_alert
+         |FROM agg""".stripMargin,
   )
 }

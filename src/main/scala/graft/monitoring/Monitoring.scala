@@ -1,0 +1,97 @@
+package graft.monitoring
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Model / data monitoring: PSI drift, missing-rate shift, volume drop.
+  *
+  * Re-expresses the reference's model monitoring (reference
+  * src/ml/model_monitoring.py:78-124 PSI, :126-134 missing, :154-172
+  * volume) with two Spark-first changes:
+  *   - histograms stay distributed — the reference collects per-bucket
+  *     counts to the driver and loops in Python; graft computes the PSI
+  *     sum as one aggregate, so only the final per-feature row moves.
+  *   - bins are deterministic fixed-width over the baseline min/max, not
+  *     `approxQuantile` (whose sampling is neither oracle-stable nor
+  *     run-stable). Fixed-width bins are one extra tiny aggregate and
+  *     reproduce bit-identically on any engine.
+  *
+  * All monitored features melt into (feature, x) rows via `stack`, so N
+  * features cost one scan, not N (the reference runs one job per feature
+  * per check).
+  */
+object Monitoring {
+
+  private def melted(df: DataFrame, cols: Seq[String], castTo: String, splitDate: String) = {
+    val stackExpr =
+      s"stack(${cols.size}, ${cols.map(c => s"'$c', cast(`$c` as $castTo)").mkString(", ")}) as (feature, x)"
+    df.select(expr(stackExpr), col("event_date"))
+      .withColumn("is_base",
+        when(col("event_date") <= lit(splitDate).cast("date"), 1).otherwise(0))
+  }
+
+  /** Population-stability index per feature: 10 fixed-width bins over the
+    * baseline [min, max]; current-window values clamp into the edge bins.
+    * Output: one row per feature (feature, base_count, cur_count, psi). */
+  def psi(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
+    val m = melted(df, cols, "double", splitDate).filter(col("x").isNotNull)
+    val stats = m.filter(col("is_base") === 1)
+      .groupBy("feature").agg(min("x").as("lo"), max("x").as("hi"))
+    val width = (col("hi") - col("lo")) / bins
+    val binned = m.join(broadcast(stats), Seq("feature"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(greatest(floor((col("x") - col("lo")) / width), lit(0)), lit(bins - 1)))
+          .cast("int"))
+    val counts = binned.groupBy("feature", "bin").agg(
+      sum("is_base").as("b_cnt"),
+      sum(lit(1) - col("is_base")).as("c_cnt"))
+    val tot = counts.groupBy("feature").agg(
+      sum("b_cnt").as("b_tot"), sum("c_cnt").as("c_tot"))
+    val bPct = greatest(col("b_cnt") / col("b_tot"), lit(1e-6))
+    val cPct = greatest(col("c_cnt") / col("c_tot"), lit(1e-6))
+    counts.join(broadcast(tot), Seq("feature"))
+      .groupBy(col("feature"), col("b_tot").as("base_count"), col("c_tot").as("cur_count"))
+      .agg(sum((cPct - bPct) * log(cPct / bPct)).as("psi"))
+  }
+
+  /** Missing-rate per feature in baseline vs current window + shift.
+    * One scan for all features. */
+  def missingRates(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {
+    val stackExpr =
+      s"stack(${cols.size}, ${cols.map(c => s"'$c', cast(`$c` is null as int)").mkString(", ")}) as (feature, is_null)"
+    val m = df.select(expr(stackExpr), col("event_date"))
+      .withColumn("is_base",
+        when(col("event_date") <= lit(splitDate).cast("date"), 1).otherwise(0))
+    m.groupBy("feature")
+      .agg(
+        sum("is_base").as("base_total"),
+        sum(col("is_base") * col("is_null")).as("base_null"),
+        sum(lit(1) - col("is_base")).as("cur_total"),
+        sum((lit(1) - col("is_base")) * col("is_null")).as("cur_null"))
+      .select(
+        col("feature"), col("base_total"), col("cur_total"),
+        (col("base_null") / col("base_total")).as("base_missing_rate"),
+        (col("cur_null") / col("cur_total")).as("cur_missing_rate"),
+        (col("cur_null") / col("cur_total") - col("base_null") / col("base_total")).as("shift"))
+  }
+
+  /** Volume monitoring: row counts and active days per window, daily-rate
+    * ratio, and a <80% drop alert (reference model_monitoring.py:154-172).
+    * Single aggregate pass, single output row. */
+  def volume(df: DataFrame, splitDate: String, alertBelow: Double = 0.8): DataFrame = {
+    val isBase = when(col("event_date") <= lit(splitDate).cast("date"), 1).otherwise(0)
+    val agg = df.agg(
+      sum(isBase).as("base_count"),
+      sum(lit(1) - isBase).as("cur_count"),
+      countDistinct(when(isBase === 1, col("event_date"))).as("base_days"),
+      countDistinct(when(isBase === 0, col("event_date"))).as("cur_days"))
+    agg.select(
+      col("base_count"), col("cur_count"), col("base_days"), col("cur_days"),
+      (col("base_count") / col("base_days")).as("base_daily_avg"),
+      (col("cur_count") / col("cur_days")).as("cur_daily_avg"),
+      ((col("cur_count") / col("cur_days")) / (col("base_count") / col("base_days"))).as("volume_ratio"),
+      when((col("cur_count") / col("cur_days")) / (col("base_count") / col("base_days")) < alertBelow, 1)
+        .otherwise(0).as("volume_alert"))
+  }
+}

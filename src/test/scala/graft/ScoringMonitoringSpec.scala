@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.features.FeatureEngineering
+import graft.monitoring.Monitoring
+import graft.pipeline.{Bronze, Silver}
+import graft.scoring.Scoring
+
+class ScoringMonitoringSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val silver =
+    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir))).cache()
+
+  test("demand scorer: pure column expr, no UDF, factors bounded") {
+    val scored = Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver)).cache()
+    assert(scored.count() > 0)
+    // peak factor 1.25, weekend 0.85, value factor >= 1 → prediction within
+    // [0.85, 1.25 * valueFactor] times the rolling mean
+    assert(scored.filter(col("predicted_demand") < col("demand_avg_7d") * 0.85).count() === 0)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppendColumn"))
+  }
+
+  test("surge scorer clamps to [1, 3]") {
+    val scored = Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver)).cache()
+    assert(scored.count() > 0)
+    assert(scored.filter(col("predicted_surge") < 1.0 || col("predicted_surge") > 3.0).count() === 0)
+  }
+
+  test("scoring metrics: single row, mae <= rmse") {
+    val m = Scoring.scoringMetrics(
+      Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver)),
+      "event_count", "predicted_demand").head()
+    assert(m.getAs[Long]("n") > 0)
+    assert(m.getAs[Double]("mae") <= m.getAs[Double]("rmse"))
+  }
+
+  test("psi: identical windows give ~0, disjoint distributions give large psi") {
+    import spark.implicits._
+    // uniform baseline vs shifted current: psi must be clearly nonzero
+    val df = ((1 to 100).map(i => (i.toDouble, "2024-01-10")) ++
+      (1 to 100).map(i => (i.toDouble + 1000, "2024-01-20")))
+      .toDF("value", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    val drift = Monitoring.psi(df, Seq("value"), "2024-01-15").head()
+    assert(drift.getAs[Double]("psi") > 1.0)
+
+    val same = ((1 to 100).map(i => (i.toDouble, "2024-01-10")) ++
+      (1 to 100).map(i => (i.toDouble, "2024-01-20")))
+      .toDF("value", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    assert(math.abs(Monitoring.psi(same, Seq("value"), "2024-01-15")
+      .head().getAs[Double]("psi")) < 1e-12)
+  }
+
+  test("missing rates: value column reflects nulled error events in both windows") {
+    val rates = Monitoring.missingRates(silver, Seq("value", "user_id"), "2024-01-15")
+      .collect().map(r => r.getAs[String]("feature") -> r).toMap
+    assert(rates("user_id").getAs[Double]("base_missing_rate") === 0.0)
+    assert(rates("value").getAs[Double]("base_missing_rate") > 0.0)
+  }
+
+  test("volume monitor: one row, ratio consistent with counts") {
+    val v = Monitoring.volume(silver, "2024-01-15").head()
+    val expected = (v.getAs[Long]("cur_count").toDouble / v.getAs[Long]("cur_days")) /
+      (v.getAs[Long]("base_count").toDouble / v.getAs[Long]("base_days"))
+    assert(math.abs(v.getAs[Double]("volume_ratio") - expected) < 1e-12)
+  }
+}
