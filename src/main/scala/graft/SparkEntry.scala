@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.analytics.Analytics
 import graft.features.FeatureEngineering
 import graft.monitoring.Monitoring
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
@@ -110,6 +111,17 @@ object SparkEntry {
     "monitor_missing" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
     "monitor_volume" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
+    // §2.5 analytics core
+    "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
+    "q3_join" -> ((s, dir) => Analytics.shippingPriority(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    "q5_multijoin" -> ((s, dir) => Analytics.localSupplierVolume(
+      Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+      Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_topn_group" -> ((s, dir) => Analytics.topPartsPerBrand(
+      Tables.lineitem(s, dir), Tables.part(s, dir))),
+    "q_rollup" -> ((s, dir) => Analytics.customersRollup(
+      Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -434,5 +446,64 @@ object SparkEntry {
          |       (cur_count / cur_days) / (base_count / base_days) AS volume_ratio,
          |       CASE WHEN (cur_count / cur_days) / (base_count / base_days) < 0.8 THEN 1 ELSE 0 END AS volume_alert
          |FROM agg""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice) AS sum_base_price,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price,
+        |       sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)) AS sum_charge,
+        |       avg(l_quantity) AS avg_qty,
+        |       avg(l_extendedprice) AS avg_price,
+        |       avg(l_discount) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q3_join" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       count(*) AS line_count
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q_topn_group" ->
+      """WITH counts AS (
+        |  SELECT p_brand, p_partkey, count(*) AS order_count
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p_brand, p_partkey, order_count, "rank" FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY p_brand ORDER BY order_count DESC, p_partkey) AS "rank"
+        |  FROM counts
+        |) WHERE "rank" <= 3""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS customer_count, sum(c_acctbal) AS total_acctbal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
   )
 }

@@ -1,0 +1,98 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytic query capability over the TPC-H-ish star schema —
+  * graft's OLAP core (SURVEY.md §2.5). No reference-counterpart module;
+  * these exercise the engine the way a warehouse user would.
+  *
+  * Scale notes: the fact (`lineitem`) is only ever scanned and hash-
+  * aggregated — predicates and column pruning reach the parquet scan.
+  * Dimension tables are broadcast (region/nation/supplier are structurally
+  * tiny; customer/orders broadcast at these SFs and would shuffle-join
+  * cleanly at 100 TB via AQE size estimation — only `region`/`nation`
+  * carry explicit hints, mirroring the Gold-layer policy of hinting only
+  * structurally-bounded dims).
+  */
+object Analytics {
+
+  /** TPC-H Q1-shape multi-aggregate scan: one pass, eight aggregates,
+    * map-side partial aggregation into a 6-group result. */
+  def pricingSummary(lineitem: DataFrame, shipBefore: String = "1999-01-01"): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit(shipBefore).cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum("l_quantity").as("sum_qty"),
+        sum("l_extendedprice").as("sum_base_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        avg("l_quantity").as("avg_qty"),
+        avg("l_extendedprice").as("avg_price"),
+        avg("l_discount").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-shape: segment-filtered customer × orders × lineitem,
+    * revenue per order. Filters apply before every join so the join inputs
+    * are pruned at the scan. */
+  def shippingPriority(
+      customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+      segment: String = "BUILDING", cutoff: String = "1998-01-01"): DataFrame = {
+    val cut = lit(cutoff).cast("timestamp")
+    customer.filter(col("c_mktsegment") === segment)
+      .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
+      .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_count"))
+  }
+
+  /** TPC-H Q5-shape snowflake: lineitem × orders × customer × supplier ×
+    * nation × region, revenue by nation within one region-year. The
+    * customer-supplier co-nationality predicate makes this a genuine
+    * 6-table multijoin. */
+  def localSupplierVolume(
+      lineitem: DataFrame, orders: DataFrame, customer: DataFrame,
+      supplier: DataFrame, nation: DataFrame, region: DataFrame,
+      regionName: String = "ASIA", yearStart: String = "1996-01-01", yearEnd: String = "1997-01-01"): DataFrame =
+    lineitem
+      .join(orders.filter(col("o_orderdate") >= lit(yearStart).cast("timestamp") &&
+        col("o_orderdate") < lit(yearEnd).cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(customer, col("o_custkey") === col("c_custkey"))
+      .join(supplier, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("line_count"))
+
+  /** Per-group top-N via a rank window: top 3 parts per brand by lineitem
+    * popularity. Integer sort keys + partkey tie-break keep the ranking
+    * bit-deterministic. The window partitions by brand — bounded state per
+    * partition, no global sort. */
+  def topPartsPerBrand(lineitem: DataFrame, part: DataFrame, n: Int = 3): DataFrame = {
+    val counts = lineitem
+      .join(part.select("p_partkey", "p_brand"), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"))
+      .agg(count(lit(1)).as("order_count"))
+    val w = Window.partitionBy("p_brand").orderBy(col("order_count").desc, col("p_partkey"))
+    counts
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
+  /** Hierarchical ROLLUP: customers per region → nation with subtotal and
+    * grand-total rows (null-filled grouping columns, same convention as
+    * ANSI ROLLUP). */
+  def customersRollup(customer: DataFrame, nation: DataFrame, region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("customer_count"), sum(col("c_acctbal")).as("total_acctbal"))
+}

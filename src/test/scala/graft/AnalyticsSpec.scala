@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.Analytics
+
+class AnalyticsSpec extends SparkSpec {
+
+  test("q1 pricing summary: one aggregate pass, bounded group count") {
+    val q1 = Analytics.pricingSummary(Tables.lineitem(spark, sfDir)).cache()
+    assert(q1.count() > 0 && q1.count() <= 9) // |returnflag| x |linestatus|
+    // one scan, no join, whole-stage codegen
+    val plan = q1.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"))
+    // ship-date filter reaches the parquet scan
+    val formatted = q1.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(formatted.contains("PushedFilters") && formatted.contains("l_shipdate"))
+  }
+
+  test("q5 snowflake joins broadcast the bounded dims and filter the region early") {
+    val q5 = Analytics.localSupplierVolume(
+      Tables.lineitem(spark, sfDir), Tables.orders(spark, sfDir),
+      Tables.customer(spark, sfDir), Tables.supplier(spark, sfDir),
+      Tables.nation(spark, sfDir), Tables.region(spark, sfDir)).cache()
+    assert(q5.count() > 0 && q5.count() <= 5) // nations of one region
+    val plan = q5.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
+  test("top-N per group: exactly n rows per brand with dense coverage") {
+    val top = Analytics.topPartsPerBrand(
+      Tables.lineitem(spark, sfDir), Tables.part(spark, sfDir), n = 3).cache()
+    val perBrand = top.groupBy("p_brand").count()
+    assert(perBrand.filter(col("count") > 3).count() === 0)
+    assert(top.filter(col("rank") < 1 || col("rank") > 3).count() === 0)
+  }
+
+  test("rollup emits subtotal and grand-total rows") {
+    val r = Analytics.customersRollup(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir)).cache()
+    assert(r.filter(col("r_name").isNull && col("n_name").isNull).count() === 1)
+    val regions = r.filter(col("r_name").isNotNull && col("n_name").isNull).count()
+    assert(regions === 5)
+    // grand total equals full customer count
+    val total = r.filter(col("r_name").isNull && col("n_name").isNull)
+      .head().getAs[Long]("customer_count")
+    assert(total === Tables.customer(spark, sfDir).count())
+  }
+}
