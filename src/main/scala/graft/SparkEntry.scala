@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.analytics.Analytics
+import graft.dedup.Dedup
 import graft.features.FeatureEngineering
 import graft.monitoring.Monitoring
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
@@ -71,6 +72,47 @@ object SparkEntry {
   /** Monitoring windows split the 30-day dataset at its midpoint. */
   private val monitorSplit = "2024-01-15"
 
+  /** DuckDB CTE: distinct word-3-gram shingles per document (mirrors
+    * Dedup.shingleCol). */
+  private val shingleCte: String =
+    """WITH docs AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct(CASE WHEN len(w) >= 3
+      |    THEN list_transform(generate_series(1, len(w) - 2), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+      |    ELSE [] END) AS shingles
+      |  FROM docs
+      |),
+      |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
+
+  /** DuckDB oracle for banded MinHash-LSH (k=16, 4 bands of 4). */
+  private val minhashOracleSql: String = {
+    val k = 16; val bands = 4; val r = k / bands
+    val sigDefs = (0 until k)
+      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n       ")
+    val sigList = (0 until k).map(i => s"sig_$i").mkString("[", ", ", "]")
+    val bandSelects = (0 until bands).map { b =>
+      val h = (0 until r).map(j => s"sig_${b * r + j}").mkString(" || '|' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($h) AS band_hash, $sigList AS sig FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |sig AS (
+       |  SELECT doc_id,
+       |       $sigDefs
+       |  FROM ex GROUP BY doc_id
+       |),
+       |banded AS (
+       |  $bandSelects
+       |),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
+       |  FROM banded a JOIN banded b
+       |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_filter(generate_series(1, $k), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 AS est_jaccard
+       |FROM pairs""".stripMargin
+  }
+
   // ---- queries ---------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -122,6 +164,12 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    // §2.7 dedup suite
+    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -505,5 +553,71 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, md5(lower(text)) AS text_hash,
+        |       min(doc_id) OVER w AS winner_id,
+        |       count(*) OVER w AS dup_count,
+        |       CAST(doc_id <> min(doc_id) OVER w AS INT) AS is_duplicate
+        |FROM documents
+        |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
+
+    "dedup_minhash_lsh" -> minhashOracleSql,
+
+    "dedup_ngram_jaccard" ->
+      s"""$shingleCte,
+         |sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_cnt
+         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, both_cnt, jaccard FROM (
+         |  SELECT doc_a, doc_b, both_cnt,
+         |         CAST(both_cnt AS DOUBLE) / (sa.n_shingles + sb.n_shingles - both_cnt) AS jaccard
+         |  FROM inter
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |) WHERE jaccard >= 0.5""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
+        |),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+        |bits AS (
+        |  SELECT doc_id, b.bit,
+        |         sum(CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  GROUP BY 1, 2
+        |),
+        |fp AS (
+        |  SELECT doc_id, sum(CASE WHEN s > 0 THEN CAST(power(2, bit) AS BIGINT) ELSE 0 END) AS simhash
+        |  FROM bits GROUP BY 1
+        |),
+        |banded AS (
+        |  SELECT doc_id, simhash, b.b AS band_idx,
+        |         (simhash // CAST(power(2, 8 * b.b) AS BIGINT)) % 256 AS band_val
+        |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash AS ha, b.simhash AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+        |)
+        |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
+        |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
+
+    "dedup_embedding" ->
+      """SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |         list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |         / (sqrt(list_reduce(list_transform(generate_series(1, len(a.embedding)),
+        |               i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+        |            * sqrt(list_reduce(list_transform(generate_series(1, len(b.embedding)),
+        |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cosine
+        |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |) WHERE cosine >= 0.35""".stripMargin,
   )
 }

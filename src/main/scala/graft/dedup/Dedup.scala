@@ -1,0 +1,163 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Document deduplication suite: exact, MinHash-LSH, n-gram Jaccard,
+  * SimHash, embedding-cosine (SURVEY.md §2.7).
+  *
+  * All candidate generation is *blocked* — the engine never materializes
+  * the all-pairs cross product:
+  *   - MinHash-LSH: shingle explode → per-doc signature aggregate → band
+  *     explode → equi-join on (band, hash). Cost is linear in corpus size
+  *     plus the (tiny) candidate set; the only shuffle keys are band
+  *     buckets.
+  *   - SimHash: 32-bit fingerprint → byte-band equi-join → popcount filter.
+  *   - n-gram Jaccard: pairs only via shared-shingle equi-join (a pair with
+  *     zero common shingles has Jaccard 0 and is never formed).
+  *   - Embedding cosine: label-blocked equi-join.
+  * At 100 TB the skew risk is hot buckets (stop-shingles, dense bands);
+  * the mitigations are AQE skew-join splitting plus a document-frequency
+  * cap on shingles (drop shingles appearing in > df_max docs — standard
+  * stop-shingle removal, not applied at test SF where the vocabulary is
+  * tiny and candidate counts are small).
+  *
+  * Determinism: hashes are md5 hex strings (identical in any engine);
+  * "minimum hash" = lexicographic min of hex strings; all similarity
+  * scores are exact integer ratios evaluated in double precision.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set (distinct) of the lowercased text. */
+  private def shingleCol(n: Int): Column = {
+    val words = split(lower(col("text")), " ")
+    val cnt = size(words) - (n - 1)
+    when(cnt > 0,
+      array_distinct(transform(sequence(lit(0), cnt - 1), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(words, i + j + lit(1))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup by normalized-text hash: hash-partitioned window, min-id
+    * winner per hash group. One shuffle on the (high-cardinality) hash. */
+  def exactDedup(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy("text_hash")
+    docs
+      .withColumn("text_hash", md5(lower(col("text"))))
+      .withColumn("winner_id", min("doc_id").over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("is_duplicate", (col("doc_id") =!= col("winner_id")).cast("int"))
+      .select("doc_id", "text_hash", "winner_id", "dup_count", "is_duplicate")
+  }
+
+  /** Banded MinHash-LSH near-dup candidate pairs with signature-estimated
+    * Jaccard. k hash functions approximated as md5("i:" + shingle); the
+    * signature is the per-function lexicographic min over the doc's
+    * shingles; b bands of k/b rows each bucket the join. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    val r = k / bands
+    val ex = docs.select(col("doc_id"), explode(shingleCol(shingleN)).as("shingle"))
+    val sigAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"sig_$i"))
+    val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
+    val sigArr = array((0 until k).map(i => col(s"sig_$i")): _*)
+    val bandStructs = (0 until bands).map { b =>
+      struct(lit(b).as("band_idx"),
+        md5(concat_ws("|", (0 until r).map(j => col(s"sig_${b * r + j}")): _*)).as("band_hash"))
+    }
+    val banded = sig
+      .select(col("doc_id"), sigArr.as("sig"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("sig"),
+        col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("est_jaccard",
+        aggregate(
+          zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / k)
+      .select("doc_a", "doc_b", "est_jaccard")
+  }
+
+  /** Exact n-gram Jaccard over shared-shingle candidate pairs. Pairs form
+    * only through the shingle equi-join (zero-overlap pairs never exist);
+    * the similarity is |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle sets. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingleCol(n).as("shingles"))
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val inter = ex.alias("a")
+      .join(ex.alias("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("both_cnt"))
+    inter
+      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard",
+        col("both_cnt").cast("double") /
+          (col("sa.n_shingles") + col("sb.n_shingles") - col("both_cnt")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "both_cnt", "jaccard")
+  }
+
+  /** 32-bit SimHash fingerprint per doc: token hash = first 8 hex chars of
+    * md5, each bit votes +1/-1 weighted by token frequency, fingerprint
+    * bit = sign of the vote. Shift/mask is expressed as div/mod so the
+    * arithmetic is identical in any ANSI engine. */
+  def simhashFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
+      .groupBy("doc_id", "bit")
+      .agg(sum(when(expr("(h div cast(power(2, bit) as bigint)) % 2") === 1, 1)
+        .otherwise(-1)).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, expr("cast(power(2, bit) as bigint)")).otherwise(0L))
+        .as("simhash"))
+
+  /** Near-dup pairs via byte-band blocking over the SimHash fingerprint +
+    * Hamming (popcount of xor) filter. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = simhashFingerprints(docs)
+      .select(col("doc_id"), col("simhash"), explode(sequence(lit(0), lit(3))).as("band_idx"))
+      .withColumn("band_val", expr("(simhash div cast(power(2, 8 * band_idx) as bigint)) % 256"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("doc_a", "doc_b", "hamming")
+  }
+
+  /** Embedding-cosine near-dup pairs, blocked by label. The cosine is an
+    * explicit index-ordered fold (cast-to-double, multiply, left-sum) so
+    * any engine reproduces it bit-identically. */
+  def embeddingNearDups(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
+    def sq(c: Column) = aggregate(
+      transform(c, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
+    val dot = aggregate(
+      zip_with(col("a.embedding"), col("b.embedding"),
+        (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val cos = dot / (sqrt(sq(col("a.embedding"))) * sqrt(sq(col("b.embedding"))))
+    emb.alias("a")
+      .join(emb.alias("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

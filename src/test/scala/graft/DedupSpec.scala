@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables.documents(spark, dir).cache()
+
+  test("exact dedup: planted duplicates share hash, winner is min id") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "ALPHA beta gamma delta"),
+      (3L, "totally different text here")).toDF("doc_id", "text")
+    val out = Dedup.exactDedup(planted).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(2L).getAs[Long]("winner_id") === 1L)
+    assert(out(2L).getAs[Int]("is_duplicate") === 1)
+    assert(out(1L).getAs[Int]("is_duplicate") === 0)
+    assert(out(3L).getAs[Long]("dup_count") === 1L)
+  }
+
+  test("minhash-lsh finds the planted near-dups without an all-pairs join") {
+    val pairs = Dedup.minhashLsh(docs).cache()
+    assert(pairs.count() > 0)
+    // every candidate surviving 4-of-4 band agreement should be high-sim
+    assert(pairs.filter(col("est_jaccard") <= 0.25).count() === 0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), "LSH must never cross-join")
+  }
+
+  test("minhash candidates agree with exact jaccard pairs at high threshold") {
+    val lsh = Dedup.minhashLsh(docs).select("doc_a", "doc_b")
+    val exact = Dedup.ngramJaccard(docs, threshold = 0.8).select("doc_a", "doc_b")
+    // at jaccard >= 0.8 every exact pair must be recalled by 4x4 LSH
+    assert(exact.except(lsh).count() === 0)
+  }
+
+  test("simhash: near-identical docs collide, fingerprints are 32-bit") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "key agg row scan slow fast table value part hash merge batch"),
+      (2L, "key agg row scan slow fast table value part hash merge window"),
+      (3L, "completely unrelated words nothing shared whatsoever here today")).toDF("doc_id", "text")
+    val fp = Dedup.simhashFingerprints(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 8).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L))
+  }
+
+  test("embedding near-dups are label-blocked (no cross-label pairs)") {
+    val emb = Tables.embeddings(spark, dir)
+    val pairs = Dedup.embeddingNearDups(emb, threshold = 0.3).cache()
+    assert(pairs.count() > 0)
+    val labels = emb.select(col("vec_id"), col("label"))
+    val joined = pairs
+      .join(labels.withColumnRenamed("vec_id", "vec_a").withColumnRenamed("label", "la"), "vec_a")
+      .join(labels.withColumnRenamed("vec_id", "vec_b").withColumnRenamed("label", "lb"), "vec_b")
+    assert(joined.filter(col("la") =!= col("lb")).count() === 0)
+    assert(pairs.filter(col("cosine") > 1.0 || col("cosine") < -1.0).count() === 0)
+  }
+}
