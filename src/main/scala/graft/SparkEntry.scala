@@ -7,9 +7,11 @@ import graft.analytics.Analytics
 import graft.dedup.Dedup
 import graft.features.FeatureEngineering
 import graft.monitoring.Monitoring
+import graft.multimodal.Multimodal
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
 import graft.scoring.Scoring
+import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
   *
@@ -170,6 +172,13 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    // §2.9 text analysis
+    "text_langid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
+    "text_quality" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
+    "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
+    "text_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
+    // §2.10 multimodal
+    "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
   )
 
   private val featDemandSql: String =
@@ -619,5 +628,70 @@ object SparkEntry {
         |               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y))) AS cosine
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosine >= 0.35""".stripMargin,
+
+    "text_langid" -> {
+      val scoreDefs = TextFunctions.langs.map { l =>
+        val set = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set))) AS score_$l"
+      }.mkString(",\n       ")
+      val bestExpr = TextFunctions.langs.map(l => s"score_$l").mkString("greatest(", ", ", ")")
+      val predCases = TextFunctions.langs
+        .map(l => s"WHEN score_$l = best THEN '$l'").mkString(" ")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |       $scoreDefs
+         |  FROM documents
+         |),
+         |withbest AS (SELECT *, $bestExpr AS best FROM scored)
+         |SELECT doc_id, lang,
+         |       CASE $predCases END AS predicted_lang,
+         |       CAST((CASE $predCases END) = lang AS INT) AS is_match,
+         |       ${TextFunctions.langs.map(l => s"score_$l").mkString(", ")}
+         |FROM withbest""".stripMargin
+    },
+
+    "text_quality" -> {
+      val enSet = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
+      s"""SELECT doc_id,
+         |       length(text) AS n_chars,
+         |       len(string_split(lower(text), ' ')) AS n_tokens,
+         |       CAST(length(text) AS DOUBLE) / len(string_split(lower(text), ' ')) AS chars_per_token,
+         |       CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+         |       CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |       CAST(len(list_filter(string_split(lower(text), ' '), t -> t IN ($enSet))) AS DOUBLE)
+         |         / len(string_split(lower(text), ' ')) AS stopword_ratio,
+         |       least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50.0, 1.0)
+         |         * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / length(text)) AS quality_score
+         |FROM documents""".stripMargin
+    },
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
+        |       len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens,
+        |       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_ws_token
+        |FROM documents""".stripMargin,
+
+    "text_fingerprint" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(text) AS norm,
+        |         greatest(length(lower(text)) - 4, 0) AS n_k
+        |  FROM documents
+        |)
+        |SELECT doc_id, md5(norm) AS norm_md5, n_k AS n_kgrams,
+        |       CASE WHEN n_k >= 1 THEN list_aggregate(list_transform(generate_series(1, n_k, 1), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min,
+        |       CASE WHEN n_k >= 1 THEN list_aggregate(list_transform(generate_series(1, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_0,
+        |       CASE WHEN n_k >= 2 THEN list_aggregate(list_transform(generate_series(2, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_1,
+        |       CASE WHEN n_k >= 3 THEN list_aggregate(list_transform(generate_series(3, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_2,
+        |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
+        |FROM base""".stripMargin,
+
+    "mm_metadata" ->
+      """SELECT doc_id,
+        |       octet_length(encode(text)) AS byte_size,
+        |       lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |       md5(text) AS checksum
+        |FROM documents""".stripMargin,
   )
 }

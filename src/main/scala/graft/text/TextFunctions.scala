@@ -1,0 +1,107 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators over the documents table (SURVEY.md §2.9).
+  *
+  * Everything here is a pure `Column` expression over the text — no UDF,
+  * no tokenizer library — so each operator runs inside whole-stage codegen
+  * at scan speed and scales embarrassingly parallel: no shuffle at all
+  * except the (optional) aggregations a caller adds downstream.
+  *
+  * Language ID uses stopword-profile counting (the classic n-gram/stopword
+  * heuristic, cf. Cavnar-Trenkle-style profiling): per-language token hits
+  * with a fixed argmax order for determinism.
+  */
+object TextFunctions {
+
+  private def toks(c: Column): Column = split(lower(c), " ")
+
+  /** Stopword profiles (small, public, deterministic). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine", "von", "mit", "zu"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es", "en", "que", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "pour", "que", "au", "du"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "就", "不", "人"))
+
+  /** Deterministic language order for the argmax tie-break. */
+  val langs: Seq[String] = Seq("en", "de", "es", "fr", "zh")
+
+  private def stopHits(c: Column, lang: String): Column =
+    size(filter(toks(c), t => t.isInCollection(stopwords(lang))))
+
+  /** Stopword-profile language ID: per-language hit counts + argmax with
+    * fixed-order tie-break, compared against the labeled `lang`. */
+  def langId(docs: DataFrame): DataFrame = {
+    val scored = langs.foldLeft(docs) { (df, l) =>
+      df.withColumn(s"score_$l", stopHits(col("text"), l))
+    }
+    val best = greatest(langs.map(l => col(s"score_$l")): _*)
+    val predicted = langs.tail.foldLeft(when(col(s"score_${langs.head}") === best, langs.head)) {
+      (acc, l) => acc.when(col(s"score_$l") === best, l)
+    }
+    scored
+      .withColumn("predicted_lang", predicted)
+      .withColumn("is_match", (col("predicted_lang") === col("lang")).cast("int"))
+      .select((Seq("doc_id", "lang", "predicted_lang", "is_match") ++
+        langs.map(l => s"score_$l")).map(col): _*)
+  }
+
+  /** Quality scoring: length, token, alpha/punct/stopword ratios and a
+    * bounded composite score. All ratios are exact integer divisions
+    * evaluated in double precision. */
+  def quality(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val nChars = length(t)
+    val nTokens = size(toks(t))
+    val alpha = length(regexp_replace(lower(t), "[^a-z]", ""))
+    val punct = length(regexp_replace(lower(t), "[a-z0-9 ]", ""))
+    val stop = stopHits(t, "en")
+    docs.select(
+      col("doc_id"),
+      nChars.as("n_chars"),
+      nTokens.as("n_tokens"),
+      (nChars.cast("double") / nTokens).as("chars_per_token"),
+      (alpha.cast("double") / nChars).as("alpha_ratio"),
+      (punct.cast("double") / nChars).as("punct_ratio"),
+      (stop.cast("double") / nTokens).as("stopword_ratio"),
+      (least(nTokens.cast("double") / 50.0, lit(1.0)) *
+        (lit(1.0) - punct.cast("double") / nChars)).as("quality_score"))
+  }
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs,
+    * digit runs, other non-space symbols), distinct tokens. */
+  def tokenCounts(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    docs.select(
+      col("doc_id"),
+      size(toks(t)).as("ws_tokens"),
+      size(regexp_extract_all(lower(t), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .as("re_tokens"),
+      size(array_distinct(toks(t))).as("distinct_tokens"),
+      (length(t).cast("double") / size(toks(t))).as("chars_per_ws_token"))
+  }
+
+  /** Document fingerprinting: normalized-text md5 plus a positional
+    * min-hash over character 5-grams — the global min and four
+    * position-partitioned mins (i mod 4), a deterministic variant of
+    * winnowing that keeps a fixed-width fingerprint. */
+  def fingerprint(docs: DataFrame, k: Int = 5): DataFrame = {
+    val norm = lower(col("text"))
+    val nK = greatest(length(norm) - (k - 1), lit(0))
+    // min md5 over k-gram start positions start, start+step, ... — 1-based
+    // positions so the stepped sequences mirror ANSI generate_series
+    def minOver(start: Int, step: Int): Column =
+      when(nK >= start,
+        array_min(transform(sequence(lit(start), nK, lit(step)),
+          i => md5(norm.substr(i, lit(k))))))
+        .otherwise(lit(null).cast("string"))
+    docs.select(
+      col("doc_id"), md5(norm).as("norm_md5"), nK.as("n_kgrams"),
+      minOver(1, 1).as("kgram_min"),
+      minOver(1, 4).as("kgram_min_0"), minOver(2, 4).as("kgram_min_1"),
+      minOver(3, 4).as("kgram_min_2"), minOver(4, 4).as("kgram_min_3"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+import graft.text.TextFunctions
+
+class TextMultimodalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val docs = Tables.documents(spark, dir).cache()
+
+  test("langid: stopword-heavy planted docs classify correctly") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the cat and the dog of the house is in it", "en"),
+      (2L, "der hund und die katze ist ein tier von hier", "de"),
+      (3L, "el perro y los gatos es un animal que corre", "es")).toDF("doc_id", "text", "lang")
+    val out = TextFunctions.langId(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("predicted_lang")).toMap
+    assert(out(1L) === "en" && out(2L) === "de" && out(3L) === "es")
+  }
+
+  test("quality: ratios bounded in [0,1], score bounded") {
+    val q = TextFunctions.quality(docs).cache()
+    assert(q.count() === docs.count())
+    for (c <- Seq("alpha_ratio", "punct_ratio", "stopword_ratio", "quality_score"))
+      assert(q.filter(col(c) < 0.0 || col(c) > 1.0).count() === 0, c)
+  }
+
+  test("token counts: re_tokens >= ws_tokens on alnum text, distinct <= total") {
+    val t = TextFunctions.tokenCounts(docs)
+    assert(t.filter(col("distinct_tokens") > col("ws_tokens")).count() === 0)
+    assert(t.filter(col("ws_tokens") <= 0).count() === 0)
+  }
+
+  test("fingerprint: identical normalized texts get identical fingerprints") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "Alpha Beta Gamma Delta Epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "zeta eta theta iota kappa")).toDF("doc_id", "text")
+    val fp = TextFunctions.fingerprint(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(fp(1L).getAs[String]("norm_md5") === fp(2L).getAs[String]("norm_md5"))
+    assert(fp(1L).getAs[String]("kgram_min") === fp(2L).getAs[String]("kgram_min"))
+    assert(fp(1L).getAs[String]("norm_md5") !== fp(3L).getAs[String]("norm_md5"))
+  }
+
+  test("multimodal metadata: byte size and checksum over the payload") {
+    val m = Multimodal.metadata(docs).cache()
+    assert(m.count() === docs.count())
+    assert(m.filter(col("byte_size") <= 0).count() === 0)
+    assert(m.filter(length(col("checksum")) =!= 32).count() === 0)
+    assert(m.filter(length(col("magic_hex")) =!= 8).count() === 0)
+  }
+
+  test("decode plumbing: stub decoder is deterministic and schema-stable") {
+    val frames = Multimodal.decodeFrames(spark, Multimodal.metadata(docs), maxFrames = 3).cache()
+    assert(frames.count() > 0)
+    assert(frames.columns.toSeq === Seq(
+      "doc_id", "frame_idx", "width", "height", "n_channels", "frame_checksum"))
+    // deterministic across repartitionings (decoder state is per-row pure)
+    val a = frames.orderBy("doc_id", "frame_idx").collect()
+    val b = Multimodal.decodeFrames(spark,
+      Multimodal.metadata(docs).repartition(7), maxFrames = 3)
+      .orderBy("doc_id", "frame_idx").collect()
+    assert(a.sameElements(b))
+    // every frame belongs to a real doc and respects maxFrames
+    assert(frames.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
+  }
+}
