@@ -11,6 +11,7 @@ import graft.multimodal.Multimodal
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
 import graft.scoring.Scoring
+import graft.similarity.Similarity
 import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -73,6 +74,24 @@ object SparkEntry {
 
   /** Monitoring windows split the 30-day dataset at its midpoint. */
   private val monitorSplit = "2024-01-15"
+
+  /** DuckDB index-ordered cosine mirroring Similarity.cosine. */
+  private def duckCosine(a: String, b: String): String = {
+    def sq(v: String) =
+      s"sqrt(list_reduce(list_transform(generate_series(1, len($v)), i -> CAST($v[i] AS DOUBLE) * CAST($v[i] AS DOUBLE)), (x, y) -> x + y))"
+    s"""list_reduce(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)), (x, y) -> x + y)
+       |         / (${sq(a)} * ${sq(b)})""".stripMargin
+  }
+
+  /** DuckDB LCG-hyperplane LSH bucket mirroring Similarity.bucketCol
+    * (dim=64, 4 planes). */
+  private val duckBucket: String = {
+    def dot(p: Int) =
+      s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(((CAST(1103515245 AS BIGINT) * (${p * 64} + i - 1) + 12345) % 2048) - 1024 AS DOUBLE)), (x, y) -> x + y)"
+    (0 until 4)
+      .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
+      .mkString("\n         + ")
+  }
 
   /** DuckDB CTE: distinct word-3-gram shingles per document (mirrors
     * Dedup.shingleCol). */
@@ -179,6 +198,15 @@ object SparkEntry {
     "text_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
+    // §2.8 similarity search
+    "sim_bruteforce_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
+    "sim_lsh_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
   )
 
   private val featDemandSql: String =
@@ -693,5 +721,32 @@ object SparkEntry {
         |       lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
+
+    "sim_bruteforce_topk" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${duckCosine("q_emb", "c_emb")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    "sim_lsh_ann" ->
+      s"""WITH bkt AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bkt WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, bucket FROM bkt),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, bucket, ${duckCosine("q_emb", "c_emb")} AS cosine
+         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+         |  FROM scored
+         |)
+         |SELECT query_id, neighbor_id, bucket, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
   )
 }
