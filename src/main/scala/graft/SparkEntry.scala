@@ -12,6 +12,7 @@ import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
 import graft.scoring.Scoring
 import graft.similarity.Similarity
+import graft.streaming.Streams
 import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
@@ -207,6 +208,9 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
+    "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -748,5 +752,32 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, bucket, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    "stream_tumbling" ->
+      s"""$silverCte
+         |SELECT date_trunc('hour', ts) AS window_start,
+         |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+         |       event_type, count(*) AS event_count
+         |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+
+    "stream_session" ->
+      s"""$silverCte,
+         |marked AS (
+         |  SELECT user_id, ts,
+         |         CASE WHEN lag(ts) OVER w IS NULL
+         |                OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+         |  FROM silver
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+         |),
+         |grouped AS (
+         |  SELECT user_id, ts,
+         |         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+         |  FROM marked
+         |)
+         |SELECT user_id,
+         |       min(ts) AS session_start,
+         |       max(ts) + INTERVAL 30 MINUTE AS session_end,
+         |       count(*) AS event_count
+         |FROM grouped GROUP BY user_id, sid""".stripMargin,
   )
 }

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming pipelines (SURVEY.md §2.6).
+  *
+  * The windowed transforms are written against a plain DataFrame, so the
+  * SAME function runs in batch (oracle-checkable) and as a streaming
+  * stage (`readStream → transform → writeStream`): Spark's unified
+  * Dataset API guarantees identical semantics; watermarking only bounds
+  * state, it does not change the (eventual) results.
+  *
+  * Scale notes: both aggregations key their state by (window, type) /
+  * (user, session) — state per key is O(1) and keys expire with the
+  * watermark, so a 100 TB/day stream holds only the open windows.
+  */
+object Streams {
+
+  /** Tumbling 1-hour event counts by type. Works on static and streaming
+    * frames alike. */
+  def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("event_count"))
+
+  /** Per-user session windows with a 30-minute inactivity gap. A session
+    * spans [first_ts, last_ts + gap]; an event exactly `gap` after the
+    * previous one MERGES into the session (Spark session_window treats
+    * the end bound inclusively when merging). */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        col("user_id"),
+        col("s.start").as("session_start"),
+        col("s.end").as("session_end"),
+        col("event_count"))
+
+  /** Streaming entry: parquet source dir → watermarked tumbling counts.
+    * The watermark bounds aggregation state; late rows beyond it drop. */
+  def tumblingCountsStream(spark: SparkSession, sourceDir: String, watermark: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val stream = spark.readStream.schema(schema).parquet(sourceDir)
+    tumblingCounts(stream.withWatermark("ts", watermark))
+  }
+
+  /** Custom streaming state: running per-user event counts via
+    * mapGroupsWithState (the arbitrary-state API; the built-in windowed
+    * aggs above cover everything expressible declaratively). */
+  case class UserCount(user_id: Long, events: Long)
+
+  def runningUserCounts(spark: SparkSession, events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserCount] = {
+    import spark.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState[Long, UserCount](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[Long]) =>
+          val next = state.getOption.getOrElse(0L) + rows.size
+          state.update(next)
+          UserCount(user, next)
+      }
+  }
+
+  /** Convenience writer used by specs and examples: stream → memory sink. */
+  def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    df.writeStream.format("memory").queryName(name).outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ()
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.pipeline.{Bronze, Silver}
+import graft.streaming.Streams
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("session windows: gap-exact event merges; beyond-gap event opens a new session") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")),   // same session
+      (1L, ts("2024-01-01 10:40:00")),   // exactly 30min after prev → merges
+      (1L, ts("2024-01-01 11:40:30")),   // > 30min after prev → NEW session
+      (2L, ts("2024-01-01 09:00:00")))
+      .toDF("user_id", "ts")
+    val sessions = Streams.sessionCounts(df).collect()
+    assert(sessions.length === 3)
+    val u1 = sessions.filter(_.getAs[Long]("user_id") == 1L)
+      .sortBy(_.getAs[Timestamp]("session_start").getTime)
+    assert(u1(0).getAs[Long]("event_count") === 3)
+    assert(u1(0).getAs[Timestamp]("session_end") === ts("2024-01-01 11:10:00"))
+    assert(u1(1).getAs[Long]("event_count") === 1)
+  }
+
+  test("tumbling counts: same transform is streamable with a watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData(
+      (1L, ts("2024-01-01 10:05:00"), "click"),
+      (2L, ts("2024-01-01 10:55:00"), "click"),
+      (3L, ts("2024-01-01 11:05:00"), "view"))
+    val streamed = Streams.tumblingCounts(
+      mem.toDF.toDF("event_id", "ts", "event_type").withWatermark("ts", "2 hours"))
+    Streams.toMemorySink(streamed, "tumbling_test", OutputMode.Complete())
+    val rows = spark.sql("SELECT * FROM tumbling_test").collect()
+    assert(rows.length === 2)
+    val clicks = rows.find(_.getAs[String]("event_type") == "click").get
+    assert(clicks.getAs[Long]("event_count") === 2)
+    assert(clicks.getAs[Timestamp]("window_start") === ts("2024-01-01 10:00:00"))
+  }
+
+  test("batch and streaming tumbling counts agree on real events") {
+    val silver = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, sfDir)))
+    val batch = Streams.tumblingCounts(silver)
+    assert(batch.agg(sum("event_count")).head().getLong(0) === silver.count())
+  }
+
+  test("mapGroupsWithState accumulates per-user counts across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val counts = Streams.runningUserCounts(spark, mem.toDS())
+    val query = counts.writeStream.format("memory")
+      .queryName("running_counts").outputMode(OutputMode.Update()).start()
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:01:00")))
+    query.processAllAvailable()
+    mem.addData((1L, ts("2024-01-01 10:02:00")))
+    query.processAllAvailable()
+    query.stop()
+    val states = spark.sql("SELECT * FROM running_counts").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("events")))
+    // second batch sees state from the first: 2 then 3
+    assert(states.contains((1L, 2L)) && states.contains((1L, 3L)))
+  }
+}
