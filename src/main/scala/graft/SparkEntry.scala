@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.Analytics
 import graft.dedup.Dedup
 import graft.features.FeatureEngineering
+import graft.ml.Models
 import graft.monitoring.Monitoring
 import graft.multimodal.Multimodal
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
@@ -211,6 +212,13 @@ object SparkEntry {
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
+    // §2.4 spark.ml training (rows-only oracle: no SQL equivalent)
+    "ml_demand_rf" -> ((s, dir) =>
+      Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    "ml_demand_lr" -> ((s, dir) =>
+      Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    "ml_surge_classify" -> ((s, dir) =>
+      Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
   )
 
   private val featDemandSql: String =

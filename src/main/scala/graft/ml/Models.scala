@@ -1,0 +1,102 @@
+package graft.ml
+
+import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.classification.RandomForestClassifier
+import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
+import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
+import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** spark.ml training pipelines (SURVEY.md §2.4; rows-only oracle — model
+  * outputs have no SQL equivalent).
+  *
+  * Re-expresses the reference's model training (reference
+  * src/ml/demand_forecasting.py:63-300, surge_pricing.py:114-330): the
+  * same StringIndexer → OneHotEncoder → VectorAssembler prep, RF / linear
+  * regressors and an RF classifier over bucketed surge categories.
+  *
+  * Determinism: fixed seeds everywhere, and the train/test split is a
+  * DATE split (last 5 days held out), not randomSplit — so results are
+  * stable across partitionings and runs.
+  *
+  * Scale notes: spark.ml tree ensembles train distributed (histogram-based
+  * splits, no driver-side data); the prep stages are narrow column ops.
+  * At 100 TB you bound training cost by sampling the training window, not
+  * by changing the pipeline.
+  */
+object Models {
+
+  private val splitDate = "2024-01-25"
+
+  private def demandPrep(inputCols: Array[String]) = {
+    val zoneIdx = new StringIndexer()
+      .setInputCol("zone_id").setOutputCol("zone_idx").setHandleInvalid("keep")
+    val zoneOh = new OneHotEncoder()
+      .setInputCol("zone_idx").setOutputCol("zone_oh")
+    val va = new VectorAssembler()
+      .setInputCols(inputCols :+ "zone_oh").setOutputCol("features")
+    Seq(zoneIdx, zoneOh, va)
+  }
+
+  private val demandFeatureCols = Array(
+    "hour", "demand_lag_1", "demand_lag_7", "demand_avg_7d",
+    "demand_avg_30d", "avg_value", "is_peak_hour", "is_night")
+
+  private def demandSplit(feat: DataFrame): (DataFrame, DataFrame) = {
+    val labeled = feat.withColumn("label", col("event_count").cast("double"))
+    (labeled.filter(col("trip_date") < splitDate),
+      labeled.filter(col("trip_date") >= splitDate))
+  }
+
+  private def fitPredict(feat: DataFrame, estimator: org.apache.spark.ml.PipelineStage): DataFrame = {
+    val (train, test) = demandSplit(feat)
+    val pipeline = new Pipeline().setStages((demandPrep(demandFeatureCols) :+ estimator).toArray)
+    pipeline.fit(train).transform(test)
+      .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
+
+  /** RandomForest demand regressor: held-out-window predictions. */
+  def demandRandomForest(feat: DataFrame): DataFrame =
+    fitPredict(feat, new RandomForestRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(20).setMaxDepth(8).setSeed(42))
+
+  /** Linear-regression baseline with identical prep and split. */
+  def demandLinear(feat: DataFrame): DataFrame =
+    fitPredict(feat, new LinearRegression()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setRegParam(0.1).setElasticNetParam(0.0))
+
+  /** RMSE / MAE / R² on a predictions frame (one evaluator pass each). */
+  def regressionMetrics(predictions: DataFrame): Map[String, Double] = {
+    val ev = new RegressionEvaluator().setLabelCol("label").setPredictionCol("prediction")
+    Seq("rmse", "mae", "r2").map(m => m -> ev.setMetricName(m).evaluate(predictions)).toMap
+  }
+
+  /** Surge-category classifier: bucket the hourly value level into
+    * low/mid/high (reference bucketed surge_multiplier), RF classifier,
+    * held-out-window predictions. */
+  def surgeClassifier(surgeFeat: DataFrame): DataFrame = {
+    val labeled = surgeFeat.withColumn("label",
+      when(col("avg_value") < 40, 0.0).when(col("avg_value") < 80, 1.0).otherwise(2.0))
+    val train = labeled.filter(col("trip_date") < splitDate)
+    val test = labeled.filter(col("trip_date") >= splitDate)
+    val prep = demandPrep(Array(
+      "hour", "event_count", "user_count", "demand_supply_ratio",
+      "is_weekend", "is_peak_hour", "value_lag_1", "count_avg_7d"))
+    val rf = new RandomForestClassifier()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(20).setMaxDepth(8).setSeed(42)
+    new Pipeline().setStages((prep :+ rf).toArray)
+      .fit(train).transform(test)
+      .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
+
+  /** Accuracy / weighted F1 for the classifier. */
+  def classificationMetrics(predictions: DataFrame): Map[String, Double] = {
+    val ev = new MulticlassClassificationEvaluator()
+      .setLabelCol("label").setPredictionCol("prediction")
+    Seq("accuracy", "f1").map(m => m -> ev.setMetricName(m).evaluate(predictions)).toMap
+  }
+}

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.features.FeatureEngineering
+import graft.ml.Models
+import graft.pipeline.{Bronze, Silver}
+
+class ModelsSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+  private lazy val silver =
+    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir))).cache()
+  private lazy val demandFeat = FeatureEngineering.demandFeatures(silver).cache()
+
+  test("rf demand model: held-out predictions beat a naive constant") {
+    val preds = Models.demandRandomForest(demandFeat).cache()
+    assert(preds.count() > 0)
+    val m = Models.regressionMetrics(preds)
+    // naive baseline: rmse of predicting the global mean
+    val stats = preds.agg(stddev("label").as("sd")).head()
+    assert(m("rmse") <= stats.getAs[Double]("sd") * 1.2,
+      s"rf rmse ${m("rmse")} should not be far above label sd")
+    assert(m("mae") <= m("rmse"))
+  }
+
+  test("linear baseline trains on the same prep and emits finite predictions") {
+    val preds = Models.demandLinear(demandFeat).cache()
+    assert(preds.count() > 0)
+    assert(preds.filter(isnan(col("prediction")) || col("prediction").isNull).count() === 0)
+  }
+
+  test("surge classifier: deterministic seeded predictions with sane accuracy") {
+    val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
+    val preds = Models.surgeClassifier(surgeFeat).cache()
+    assert(preds.count() > 0)
+    val m = Models.classificationMetrics(preds)
+    assert(m("accuracy") > 0.34, s"accuracy ${m("accuracy")} should beat 3-way chance")
+    // determinism: same seed + date split → identical predictions
+    val again = Models.surgeClassifier(surgeFeat)
+    assert(preds.exceptAll(again).count() === 0)
+  }
+}
