@@ -17,6 +17,15 @@ import org.apache.spark.sql.SparkSession
   *     code nonzero — a broken query can never masquerade as a fast one.
   */
 object Bench {
+  /** Materialize EVERY output column: a bare count() lets Catalyst prune
+    * unused columns, so map-only queries would be timed as row-count scans
+    * instead of real work. Hashing the full row defeats pruning. */
+  private def force(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.functions.{col, count, xxhash64}
+    df.agg(count(xxhash64(df.columns.map(col): _*))).head()
+    ()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -46,7 +55,7 @@ object Bench {
     var errors = List.empty[(String, String)]
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).count()
+      try force(fn(spark, sfDir))
       catch { case e: Throwable =>
         errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
       }

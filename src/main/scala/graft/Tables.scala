@@ -30,8 +30,17 @@ object Tables {
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = load(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+  /** documents/embeddings arrive as one small parquet file per SF → one
+    * input partition, which would serialize every downstream explode/join
+    * on a single core. Spread them across the cluster at load; on a real
+    * multi-file 100 TB layout the scan is already parallel and this
+    * repartition of a tiny table is noise. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame  = spread(load(spark, dir, "documents"))
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(load(spark, dir, "embeddings"))
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")

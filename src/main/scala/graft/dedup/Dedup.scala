@@ -29,14 +29,19 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set (distinct) of the lowercased text. */
+  /** Word n-gram shingle set (distinct) of the lowercased text.
+    *
+    * Deliberately `when`-free: wrapping a higher-order function in a CASE
+    * branch drops the projection out of whole-stage codegen into
+    * interpreted eval (~30x slower at sf0.1). Short-doc safety comes from
+    * overshooting the position range (trailing partial shingles) and
+    * slicing back to the first size-(n-1) entries, which is empty for
+    * docs shorter than n words. */
   private def shingleCol(n: Int): Column = {
     val words = split(lower(col("text")), " ")
-    val cnt = size(words) - (n - 1)
-    when(cnt > 0,
-      array_distinct(transform(sequence(lit(0), cnt - 1), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(words, i + j + lit(1))): _*))))
-      .otherwise(array().cast("array<string>"))
+    val all = transform(sequence(lit(0), size(words) - 1), i =>
+      concat_ws(" ", (0 until n).map(j => try_element_at(words, i + j + lit(1))): _*))
+    array_distinct(slice(all, lit(1), greatest(size(words) - (n - 1), lit(0))))
   }
 
   /** Exact dedup by normalized-text hash: hash-partitioned window, min-id
@@ -98,9 +103,11 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("both_cnt"))
+    // sizes is one row per doc (corpus-cardinality, tiny next to the pair
+    // set) — broadcast both lookups or they sort-merge the full pair set
     inter
-      .join(sizes.alias("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.alias("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(broadcast(sizes.alias("sa")), col("doc_a") === col("sa.doc_id"))
+      .join(broadcast(sizes.alias("sb")), col("doc_b") === col("sb.doc_id"))
       .withColumn("jaccard",
         col("both_cnt").cast("double") /
           (col("sa.n_shingles") + col("sb.n_shingles") - col("both_cnt")))

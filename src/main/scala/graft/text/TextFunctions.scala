@@ -89,18 +89,25 @@ object TextFunctions {
     * position-partitioned mins (i mod 4), a deterministic variant of
     * winnowing that keeps a fixed-width fingerprint. */
   def fingerprint(docs: DataFrame, k: Int = 5): DataFrame = {
-    val norm = lower(col("text"))
-    val nK = greatest(length(norm) - (k - 1), lit(0))
-    // min md5 over k-gram start positions start, start+step, ... — 1-based
-    // positions so the stepped sequences mirror ANSI generate_series
+    // `when`-free on purpose — a CASE around a higher-order function forces
+    // the projection into interpreted eval (~30x slower). The k-gram hash
+    // array `h` overshoots past the last full k-gram (short-substr hashes)
+    // and slices back to the valid n_kgrams prefix (empty for docs shorter
+    // than k); the stepped mins read it with try_element_at, whose
+    // out-of-range nulls are skipped by array_min (all-null → null).
+    val h = col("h")
+    val withH = docs
+      .withColumn("norm", lower(col("text")))
+      .withColumn("n_kgrams", greatest(length(col("norm")) - (k - 1), lit(0)))
+      .withColumn("h",
+        slice(transform(sequence(lit(1), greatest(length(col("norm")), lit(1))),
+          i => md5(col("norm").substr(i, lit(k)))), lit(1), col("n_kgrams")))
     def minOver(start: Int, step: Int): Column =
-      when(nK >= start,
-        array_min(transform(sequence(lit(start), nK, lit(step)),
-          i => md5(norm.substr(i, lit(k))))))
-        .otherwise(lit(null).cast("string"))
-    docs.select(
-      col("doc_id"), md5(norm).as("norm_md5"), nK.as("n_kgrams"),
-      minOver(1, 1).as("kgram_min"),
+      array_min(transform(sequence(lit(start), greatest(size(h), lit(start)), lit(step)),
+        i => try_element_at(h, i)))
+    withH.select(
+      col("doc_id"), md5(col("norm")).as("norm_md5"), col("n_kgrams"),
+      array_min(h).as("kgram_min"),
       minOver(1, 4).as("kgram_min_0"), minOver(2, 4).as("kgram_min_1"),
       minOver(3, 4).as("kgram_min_2"), minOver(4, 4).as("kgram_min_3"))
   }
