@@ -150,21 +150,18 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
-  /** Embedding-cosine near-dup pairs, blocked by label. The cosine is an
-    * explicit index-ordered fold (cast-to-double, multiply, left-sum) so
-    * any engine reproduces it bit-identically. */
+  /** Embedding-cosine near-dup pairs, blocked by label. The cosine is
+    * graft's native codegen'd one-pass expression
+    * ([[graft.functions.CosineSimilarity]]) — index-ordered accumulation,
+    * bit-identical to the ANSI list_reduce oracle. */
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
-    def sq(c: Column) = aggregate(
-      transform(c, x => x.cast("double") * x.cast("double")), lit(0.0), (acc, v) => acc + v)
-    val dot = aggregate(
-      zip_with(col("a.embedding"), col("b.embedding"),
-        (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val cos = dot / (sqrt(sq(col("a.embedding"))) * sqrt(sq(col("b.embedding"))))
+    graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.alias("a")
       .join(emb.alias("b"),
         col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"), cos.as("cosine"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.functions.GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+          .as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration + Column-API surface for graft's native expressions.
+  *
+  * Two registration paths:
+  *   - [[GraftFunctions.register]] — imperative, idempotent; graft
+  *     operators call it on their input's own session, so library users
+  *     need no setup.
+  *   - [[GraftExtensions]] — the SparkSessionExtensions injector for
+  *     cluster-wide deployment (`spark.sql.extensions=graft.functions.GraftExtensions`),
+  *     making the functions available to pure-SQL users too.
+  */
+object GraftFunctions {
+
+  val cosineName = "graft_cosine_sim"
+
+  private def cosineBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$cosineName expects 2 arguments, got ${exprs.length}")
+    CosineSimilarity(exprs.head, exprs(1))
+  }
+
+  /** Register graft functions into an existing session (idempotent). */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      cosineName, cosineBuilder, "built-in")
+
+  /** Codegen'd one-pass cosine similarity between two array columns. The
+    * caller's DataFrame session must have graft functions registered;
+    * operators that use this call [[register]] themselves. */
+  def cosineSim(a: Column, b: Column): Column = call_function(cosineName, a, b)
+}
+
+/** `spark.sql.extensions` injector (see [[GraftFunctions]]). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.cosineName),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
+      exprs => CosineSimilarity(exprs.head, exprs(1))))
+    ()
+  }
+}

@@ -25,16 +25,15 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Index-ordered cosine between two embedding array columns. */
-  private def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  /** Index-ordered cosine — graft's native codegen'd one-pass expression
+    * (same accumulation order as an explicit fold, so the ANSI oracle
+    * reproduces it bit-identically). */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.cosineSim(a, b)
 
   /** Exact top-k neighbors per query vector (correctness baseline). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
@@ -64,6 +63,7 @@ object Similarity {
     * several plane seeds) when needed. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       dim: Int = 64, nPlanes: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
       bucketCol(col("embedding"), dim, nPlanes).as("bucket"))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),

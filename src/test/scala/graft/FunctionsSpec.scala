@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftExtensions, GraftFunctions}
+
+class FunctionsSpec extends SparkSpec {
+
+  test("native cosine matches the HOF fold bit-for-bit on real embeddings") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val pairs = emb.alias("a").join(emb.alias("b"),
+      col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+    def foldDot(x: String, y: String) = aggregate(
+      zip_with(col(x), col(y), (u, v) => u.cast("double") * v.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val hof = foldDot("a.embedding", "b.embedding") /
+      (sqrt(foldDot("a.embedding", "a.embedding")) * sqrt(foldDot("b.embedding", "b.embedding")))
+    val diff = pairs.select(
+      (GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")) - hof).as("d"))
+      .agg(max(abs(col("d")))).head().getDouble(0)
+    assert(diff === 0.0, "codegen'd cosine must be bit-identical to the fold")
+  }
+
+  test("native cosine participates in whole-stage codegen and evals interpreted too") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f)), (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+    val out = df.select(GraftFunctions.cosineSim(col("a"), col("b")).as("c")).collect()
+    assert(math.abs(out(0).getDouble(0) - 1.0) < 1e-15)
+    assert(math.abs(out(1).getDouble(0)) < 1e-15)
+    // plan stays inside WholeStageCodegen (no eval fallback node) — use a
+    // parquet-backed frame (a local Seq collapses to LocalTableScan) and
+    // execute first so AQE materializes the final stage plan
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val q = emb.select(GraftFunctions.cosineSim(col("embedding"), col("embedding")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // the "*(n)" prefix marks a WholeStageCodegen stage; the projection
+    // holding our expression must carry it (no eval fallback)
+    assert("""\*\(\d+\) Project \[graft_cosine_sim""".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("function is SQL-callable after registration and via extensions injector") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq((Array(3.0f, 4.0f), Array(3.0f, 4.0f))).toDF("a", "b").createOrReplaceTempView("v")
+    val c = spark.sql(s"SELECT ${GraftFunctions.cosineName}(a, b) AS c FROM v")
+      .head().getDouble(0)
+    assert(math.abs(c - 1.0) < 1e-15)
+    // the extensions injector accepts our function tuple without error
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+}
