@@ -107,11 +107,13 @@ object SparkEntry {
       |),
       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
 
-  /** DuckDB oracle for banded MinHash-LSH (k=16, 4 bands of 4). */
+  /** DuckDB oracle for banded MinHash-LSH (k=16, 4 salted digests sliced
+    * into 4 components each, one salt per band). */
   private val minhashOracleSql: String = {
     val k = 16; val bands = 4; val r = k / bands
     val sigDefs = (0 until k)
-      .map(i => s"min(md5('$i:' || shingle)) AS sig_$i").mkString(",\n       ")
+      .map(i => s"min(substr(md5('${i / r}:' || shingle), ${(i % r) * 8 + 1}, 8)) AS sig_$i")
+      .mkString(",\n       ")
     val sigList = (0 until k).map(i => s"sig_$i").mkString("[", ", ", "]")
     val bandSelects = (0 until bands).map { b =>
       val h = (0 until r).map(j => s"sig_${b * r + j}").mkString(" || '|' || ")
