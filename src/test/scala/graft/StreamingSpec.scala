@@ -55,6 +55,18 @@ class StreamingSpec extends SparkSpec {
     assert(batch.agg(sum("event_count")).head().getLong(0) === silver.count())
   }
 
+  test("parquet-source stream: watermarked tumbling counts over a real directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, sfDir)))
+      .select("event_id", "ts", "event_type").write.mode("overwrite").parquet(dir)
+    val streamed = Streams.tumblingCountsStream(spark, dir)
+    Streams.toMemorySink(streamed, "tumbling_pq", OutputMode.Append())
+    val n = spark.sql("SELECT sum(event_count) FROM tumbling_pq").head().getLong(0)
+    // append mode emits only windows sealed by the watermark; with a 2h
+    // watermark over 30 days of data, all but the tail hours are sealed
+    assert(n > 0)
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
