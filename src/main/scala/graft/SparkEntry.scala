@@ -635,11 +635,11 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
         |),
-        |th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) AS h FROM toks),
+        |th AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h FROM toks),
         |bits AS (
         |  SELECT doc_id, b.bit,
         |         sum(CASE WHEN (h // CAST(power(2, b.bit) AS BIGINT)) % 2 = 1 THEN 1 ELSE -1 END) AS s
-        |  FROM th, (SELECT unnest(generate_series(0, 31)) AS bit) b
+        |  FROM th, (SELECT unnest(generate_series(0, 59)) AS bit) b
         |  GROUP BY 1, 2
         |),
         |fp AS (
@@ -648,7 +648,7 @@ object SparkEntry {
         |),
         |banded AS (
         |  SELECT doc_id, simhash, b.b AS band_idx,
-        |         (simhash // CAST(power(2, 8 * b.b) AS BIGINT)) % 256 AS band_val
+        |         (simhash // CAST(power(2, 15 * b.b) AS BIGINT)) % 32768 AS band_val
         |  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
         |),
         |pairs AS (

@@ -76,6 +76,17 @@ object Monitoring {
         (col("cur_null") / col("cur_total") - col("base_null") / col("base_total")).as("shift"))
   }
 
+  /** Serving-latency stats (reference model_monitoring.py:154-172 reads
+    * JSONL API logs on the driver and sorts in Python; graft computes the
+    * exact percentiles distributed from whatever frame carries the latency
+    * column). */
+  def latencyStats(df: DataFrame, latencyCol: String): DataFrame =
+    df.agg(
+      count(col(latencyCol)).as("n"),
+      percentile(col(latencyCol), lit(0.5)).as("p50"),
+      percentile(col(latencyCol), lit(0.95)).as("p95"),
+      avg(col(latencyCol)).as("mean"))
+
   /** Volume monitoring: row counts and active days per window, daily-rate
     * ratio, and a <80% drop alert (reference model_monitoring.py:154-172).
     * Single aggregate pass, single output row. */

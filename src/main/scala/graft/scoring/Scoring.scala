@@ -1,6 +1,7 @@
 package graft.scoring
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Heuristic batch scorers + scoring metrics.
@@ -53,6 +54,29 @@ object Scoring {
       .select(
         "trip_date", "hour", "zone_id", "event_count", "user_count",
         "count_avg_7d", "supply_index", "predicted_surge")
+  }
+
+  /** Stamp scoring-run metadata (reference batch_scoring.py:147-151 uses
+    * wall-clock utcnow; graft takes both values as parameters so reruns
+    * are reproducible). */
+  def addRunMetadata(df: DataFrame, runId: String, scoredAt: String): DataFrame =
+    df.withColumn("scoring_run_id", lit(runId))
+      .withColumn("scored_at", lit(scoredAt).cast("timestamp"))
+
+  /** Idempotent prediction upsert — the reference's Delta MERGE
+    * (batch_scoring.py:161-186) re-expressed storage-agnostically as
+    * union + latest-wins key window: re-scoring the same keys replaces
+    * rows, replaying the same run is a no-op, unseen keys insert.
+    * One shuffle on the (high-cardinality) key set; at 100 TB this is the
+    * same exchange a MERGE's join phase would pay, without requiring a
+    * transactional table format. */
+  def upsertPredictions(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("scored_at").desc, col("scoring_run_id").desc)
+    existing.unionByName(incoming)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
   }
 
   /** One-pass MAE / RMSE / MAPE between a label and a prediction column

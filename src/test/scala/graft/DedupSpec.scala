@@ -38,17 +38,20 @@ class DedupSpec extends SparkSpec {
     assert(exact.except(lsh).count() === 0)
   }
 
-  test("simhash: near-identical docs collide, fingerprints are 32-bit") {
+  test("simhash: bag-of-words permutations collide at hamming 0, fingerprints are 60-bit") {
     import spark.implicits._
     val planted = Seq(
       (1L, "key agg row scan slow fast table value part hash merge batch"),
-      (2L, "key agg row scan slow fast table value part hash merge window"),
+      (2L, "batch merge hash part value table fast slow scan row agg key"), // permutation
       (3L, "completely unrelated words nothing shared whatsoever here today")).toDF("doc_id", "text")
     val fp = Dedup.simhashFingerprints(planted).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash")).toMap
-    assert(fp.values.forall(v => v >= 0 && v < (1L << 32)))
-    val pairs = Dedup.simhashPairs(planted, maxHamming = 8).collect()
-    assert(pairs.exists(r => r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L))
+    assert(fp.values.forall(v => v >= 0 && v < (1L << 60)))
+    assert(fp(1L) === fp(2L), "simhash is order-invariant over the token bag")
+    val pairs = Dedup.simhashPairs(planted, maxHamming = 3).collect()
+    assert(pairs.exists(r => r.getAs[Long]("doc_a") === 1L &&
+      r.getAs[Long]("doc_b") === 2L && r.getAs[Int]("hamming") === 0))
+    assert(!pairs.exists(r => r.getAs[Long]("doc_b") === 3L))
   }
 
   test("embedding near-dups are label-blocked (no cross-label pairs)") {

@@ -62,6 +62,34 @@ class ScoringMonitoringSpec extends SparkSpec {
     assert(rates("value").getAs[Double]("base_missing_rate") > 0.0)
   }
 
+  test("prediction upsert: latest wins, replay is a no-op, new keys insert") {
+    import spark.implicits._
+    val run1 = Scoring.addRunMetadata(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("zone_id", "predicted_demand"),
+      "run1", "2024-01-20 00:00:00")
+    val run2 = Scoring.addRunMetadata(
+      Seq((2L, 25.0), (3L, 30.0)).toDF("zone_id", "predicted_demand"),
+      "run2", "2024-01-21 00:00:00")
+    val merged = Scoring.upsertPredictions(run1, run2, Seq("zone_id")).cache()
+    assert(merged.count() === 3)
+    val byZone = merged.collect().map(r => r.getAs[Long]("zone_id") -> r).toMap
+    assert(byZone(1L).getAs[Double]("predicted_demand") === 10.0) // untouched
+    assert(byZone(2L).getAs[Double]("predicted_demand") === 25.0) // updated
+    assert(byZone(3L).getAs[Double]("predicted_demand") === 30.0) // inserted
+    // idempotency: replaying run2 changes nothing
+    val replayed = Scoring.upsertPredictions(merged, run2, Seq("zone_id"))
+    assert(replayed.exceptAll(merged).count() === 0 && replayed.count() === 3)
+  }
+
+  test("latency stats: exact distributed percentiles") {
+    import spark.implicits._
+    val lat = (1 to 100).map(_.toDouble).toDF("latency_ms")
+    val s = Monitoring.latencyStats(lat, "latency_ms").head()
+    assert(s.getAs[Long]("n") === 100)
+    assert(s.getAs[Double]("p50") === 50.5)
+    assert(math.abs(s.getAs[Double]("p95") - 95.05) < 1e-9)
+  }
+
   test("volume monitor: one row, ratio consistent with counts") {
     val v = Monitoring.volume(silver, "2024-01-15").head()
     val expected = (v.getAs[Long]("cur_count").toDouble / v.getAs[Long]("cur_days")) /
