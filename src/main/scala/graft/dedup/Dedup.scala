@@ -100,9 +100,30 @@ object Dedup {
 
   /** Exact n-gram Jaccard over shared-shingle candidate pairs. Pairs form
     * only through the shingle equi-join (zero-overlap pairs never exist);
-    * the similarity is |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle sets. */
-  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingleCol(n).as("shingles"))
+    * the similarity is |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle sets.
+    *
+    * `dfMax` is the scale escape hatch: when set, shingles appearing in
+    * more than `dfMax` documents are dropped from BOTH the candidate join
+    * and the per-doc set sizes (standard stop-shingle removal — a shingle
+    * shared by thousands of documents carries no near-dup signal but
+    * contributes quadratically many join rows). Similarity is then exact
+    * Jaccard over the DF-filtered shingle sets. Unset by default: the
+    * test corpus has max DF 25. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      dfMax: Option[Int] = None): DataFrame = {
+    val shAll = docs.select(col("doc_id"), shingleCol(n).as("shingles"))
+    val sh = dfMax match {
+      case None => shAll
+      case Some(cap) =>
+        val keep = shAll.select(explode(col("shingles")).as("shingle"))
+          .groupBy("shingle").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("shingle").as("kept_shingle"))
+        // arrays stay arrays: re-group the filtered explode per doc
+        shAll.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+          .join(keep, col("shingle") === col("kept_shingle"))
+          .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+    }
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
     val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     val inter = ex.alias("a")

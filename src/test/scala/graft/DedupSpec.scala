@@ -54,6 +54,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") === 3L))
   }
 
+  test("ngram jaccard df cap drops stop-shingles from candidates and sizes") {
+    import spark.implicits._
+    // "x y z" appears in every doc (stop-shingle); each pair also shares a
+    // rare tail. With dfMax=2 the universal shingle is ignored everywhere.
+    val planted = Seq(
+      (1L, "x y z a b c"), (2L, "x y z a b c"), (3L, "x y z q r s")).toDF("doc_id", "text")
+    val uncapped = Dedup.ngramJaccard(planted, threshold = 0.0)
+    assert(uncapped.count() === 3) // all pairs share "x y z"
+    val capped = Dedup.ngramJaccard(planted, threshold = 0.0, dfMax = Some(2))
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) -> r).toMap
+    // (1,3)/(2,3) shared ONLY the universal shingle → no candidate at all
+    assert(capped.keySet === Set((1L, 2L)))
+    // (1,2) jaccard computed on DF-filtered sets: identical docs → 1.0
+    assert(capped((1L, 2L)).getAs[Double]("jaccard") === 1.0)
+  }
+
   test("embedding near-dups are label-blocked (no cross-label pairs)") {
     val emb = Tables.embeddings(spark, dir)
     val pairs = Dedup.embeddingNearDups(emb, threshold = 0.3).cache()
