@@ -219,6 +219,8 @@ object SparkEntry {
       Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_demand_lr" -> ((s, dir) =>
       Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    "ml_demand_gbt" -> ((s, dir) =>
+      Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_surge_classify" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
   )

@@ -4,7 +4,7 @@ import org.apache.spark.ml.Pipeline
 import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
-import org.apache.spark.ml.regression.{LinearRegression, RandomForestRegressor}
+import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -62,11 +62,31 @@ object Models {
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(20).setMaxDepth(8).setSeed(42))
 
+  /** Gradient-boosted-trees demand regressor (reference trains RF, GBT and
+    * LR and keeps the best — demand_forecasting.py:74-260). */
+  def demandGBT(feat: DataFrame): DataFrame =
+    fitPredict(feat, new GBTRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(6).setSeed(42))
+
   /** Linear-regression baseline with identical prep and split. */
   def demandLinear(feat: DataFrame): DataFrame =
     fitPredict(feat, new LinearRegression()
       .setLabelCol("label").setFeaturesCol("features")
       .setRegParam(0.1).setElasticNetParam(0.0))
+
+  /** Best-model select (reference's select_best_model): train all three
+    * demand regressors on the same prep/split, evaluate on the held-out
+    * window, return one metrics row per model ordered best-first. */
+  def bestDemandModel(feat: DataFrame): Seq[(String, Map[String, Double])] = {
+    val candidates = Seq(
+      "random_forest" -> demandRandomForest(feat),
+      "gbt" -> demandGBT(feat),
+      "linear" -> demandLinear(feat))
+    candidates
+      .map { case (name, preds) => name -> regressionMetrics(preds.cache()) }
+      .sortBy(_._2("rmse"))
+  }
 
   /** RMSE / MAE / R² on a predictions frame (one evaluator pass each). */
   def regressionMetrics(predictions: DataFrame): Map[String, Double] = {

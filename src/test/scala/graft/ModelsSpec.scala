@@ -30,6 +30,13 @@ class ModelsSpec extends SparkSpec {
     assert(preds.filter(isnan(col("prediction")) || col("prediction").isNull).count() === 0)
   }
 
+  test("best-model select ranks all three regressors by held-out rmse") {
+    val ranked = Models.bestDemandModel(demandFeat)
+    assert(ranked.map(_._1).toSet === Set("random_forest", "gbt", "linear"))
+    val rmses = ranked.map(_._2("rmse"))
+    assert(rmses === rmses.sorted, "must be ordered best-first")
+  }
+
   test("surge classifier: deterministic seeded predictions with sane accuracy") {
     val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
     val preds = Models.surgeClassifier(surgeFeat).cache()
