@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Typed file sources (reference src/ingestion/bronze_loader.py:16-37 —
+  * CSV with explicit schema and timestamp casts; schema-on-read is never
+  * inferred in production: inference scans the data twice and drifts).
+  */
+object Sources {
+
+  /** The raw events schema (CSV carries ts as epoch micros or ISO text). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = true),
+    StructField("ts", TimestampType, nullable = true),
+    StructField("user_id", LongType, nullable = true),
+    StructField("event_type", StringType, nullable = true),
+    StructField("value", DoubleType, nullable = true),
+    StructField("props", StringType, nullable = true)))
+
+  /** CSV → typed events frame: explicit schema, malformed rows preserved
+    * in a corrupt-record column for auditing instead of silently dropped
+    * (PERMISSIVE, the bronze-layer contract: keep everything, flag junk). */
+  def readEventsCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(eventsSchema.add("_corrupt_record", StringType))
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(path)
+
+  /** Generic parquet source with column pruning pushed by construction. */
+  def readParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (columns.isEmpty) df else df.select(columns.map(col): _*)
+  }
+}
