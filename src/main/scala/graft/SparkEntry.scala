@@ -499,7 +499,7 @@ object SparkEntry {
          |),
          |counts AS (SELECT feature, bin, sum(is_base) AS b_cnt, sum(1 - is_base) AS c_cnt FROM binned GROUP BY 1, 2),
          |tot AS (SELECT feature, sum(b_cnt) AS b_tot, sum(c_cnt) AS c_tot FROM counts GROUP BY 1)
-         |SELECT c.feature, t.b_tot AS base_count, t.c_tot AS cur_count,
+         |SELECT c.feature, CAST(t.b_tot AS BIGINT) AS base_count, CAST(t.c_tot AS BIGINT) AS cur_count,
          |       sum((greatest(c_cnt / t.c_tot, 1e-6) - greatest(b_cnt / t.b_tot, 1e-6))
          |           * ln(greatest(c_cnt / t.c_tot, 1e-6) / greatest(b_cnt / t.b_tot, 1e-6))) AS psi
          |FROM counts c JOIN tot t USING (feature)
@@ -520,8 +520,8 @@ object SparkEntry {
          |  FROM melted
          |)
          |SELECT feature,
-         |       sum(is_base) AS base_total,
-         |       sum(1 - is_base) AS cur_total,
+         |       CAST(sum(is_base) AS BIGINT) AS base_total,
+         |       CAST(sum(1 - is_base) AS BIGINT) AS cur_total,
          |       sum(is_base * is_null) / sum(is_base) AS base_missing_rate,
          |       sum((1 - is_base) * is_null) / sum(1 - is_base) AS cur_missing_rate,
          |       sum((1 - is_base) * is_null) / sum(1 - is_base)
@@ -536,7 +536,7 @@ object SparkEntry {
          |  FROM silver
          |),
          |agg AS (
-         |  SELECT sum(is_base) AS base_count, sum(1 - is_base) AS cur_count,
+         |  SELECT CAST(sum(is_base) AS BIGINT) AS base_count, CAST(sum(1 - is_base) AS BIGINT) AS cur_count,
          |         count(DISTINCT CASE WHEN is_base = 1 THEN event_date END) AS base_days,
          |         count(DISTINCT CASE WHEN is_base = 0 THEN event_date END) AS cur_days
          |  FROM flagged

@@ -55,6 +55,25 @@ def compare(name, spark_rows, spark_cols, oracle_rows, oracle_cols):
     return None
 
 
+_TYPE_FAMILY = {
+    "TINYINT": "int", "SMALLINT": "int", "INTEGER": "int", "BIGINT": "int",
+    "FLOAT": "float", "DOUBLE": "float",
+}
+
+
+def _types_compatible(spark_t, oracle_t):
+    """Same type, or both in the int/float family at <= 64 bits.
+
+    HUGEINT / DECIMAL on the oracle side are NOT compatible with Spark's
+    int64/double — that width difference is exactly what the driver's
+    hash compare catches and str-compare misses.
+    """
+    if spark_t == oracle_t:
+        return True
+    return _TYPE_FAMILY.get(spark_t) is not None and \
+        _TYPE_FAMILY.get(spark_t) == _TYPE_FAMILY.get(oracle_t)
+
+
 def main():
     out_dir = Path(sys.argv[1])
     sf_dir = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
@@ -91,6 +110,19 @@ def main():
             ).fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {e}")
+            failures += 1
+            continue
+        # Type parity: the driver hashes typed values, so DuckDB HUGEINT
+        # (sum of INTEGER) vs Spark BIGINT fails even when str() matches.
+        stypes = dict(zip(spark_rel.columns, (str(t) for t in spark_rel.types)))
+        otypes = dict(zip(orel.columns, (str(t) for t in orel.types)))
+        type_errs = [
+            f"{c}: spark={stypes[c]} oracle={otypes[c]}"
+            for c in spark_cols
+            if c in otypes and not _types_compatible(stypes[c], otypes[c])
+        ]
+        if type_errs:
+            print(f"FAIL {name}: TYPE MISMATCH: {'; '.join(type_errs)}")
             failures += 1
             continue
         err = compare(name, spark_rows, spark_cols, oracle_rows, ocols)
