@@ -42,29 +42,44 @@ object Bench {
 
     // Warmup at the smallest SF: exercises every code path (JIT, codegen
     // caches, parquet footer reads) without touching the timed dataset.
+    // ML queries warm at sf0.01: at sf0.001 the 30-day feature windows are
+    // empty after na.drop, Pipeline.fit throws, and the timed passes would
+    // be cold-start. Warmup failures print to stderr — a silent warm hole
+    // shows up as an inexplicably slow first timed pass otherwise.
     val warmDir = "/root/testdata/sf0.001"
+    val mlWarmDir = sys.env.getOrElse("SPARK_GRAFT_ML_WARM_DIR", "/root/testdata/sf0.01")
     SparkEntry.warmCache(spark, warmDir)
-    ordered.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+    ordered.foreach { case (name, fn) =>
+      val dir = if (name.startsWith("ml_")) mlWarmDir else warmDir
+      try fn(spark, dir).count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup failed for $name at $dir: ${e.getMessage}")
+      }
     }
     SparkEntry.clearCache()
 
     // A warm failure (e.g. unreadable dir) must not abort before the JSON
     // line: per-query errors below still report what actually broke.
     try SparkEntry.warmCache(spark, sfDir) catch { case _: Throwable => () }
-    var errors = List.empty[(String, String)]
+    // Errors keyed by query name (a query failing both passes must not
+    // produce duplicate JSON keys), and a failed pass contributes no
+    // timing: a query with zero successful passes reports null, not the
+    // near-zero elapsed time of its throw.
+    var errors = Map.empty[String, String]
     // best-of-2 per query: single-JVM timings carry multi-second GC/JIT
     // noise; the min of two passes is a far stabler point estimate
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+    val results: Seq[(String, Option[Double])] = ordered.map { case (name, fn) =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try force(fn(spark, sfDir))
-        catch { case e: Throwable =>
-          errors ::= (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        try {
+          force(fn(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          errors += (name -> Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      name -> times.min
+      name -> times.minOption
     }
 
     def jstr(s: String): String =
@@ -72,9 +87,9 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(_.toString)}" }.mkString("{", ",", "}")
+    val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val total = results.flatMap(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)

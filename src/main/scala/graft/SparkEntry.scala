@@ -85,15 +85,47 @@ object SparkEntry {
        |         / (${sq(a)} * ${sq(b)})""".stripMargin
   }
 
-  /** DuckDB LCG-hyperplane LSH bucket mirroring Similarity.bucketCol
-    * (dim=64, 4 planes). */
-  private val duckBucket: String = {
-    def dot(p: Int) =
-      s"list_reduce(list_transform(generate_series(1, 64), i -> CAST(embedding[i] AS DOUBLE) * CAST(((CAST(1103515245 AS BIGINT) * (${p * 64} + i - 1) + 12345) % 2048) - 1024 AS DOUBLE)), (x, y) -> x + y)"
-    (0 until 4)
-      .map(p => s"(CASE WHEN ${dot(p)} >= 0 THEN ${1 << p} ELSE 0 END)")
-      .mkString("\n         + ")
-  }
+  /** DuckDB mirror of Similarity.lshTopK: plane count derived from corpus
+    * size (GREATEST(4, ceil(log2(N/64)))), 2 independent hash tables with
+    * disjoint global plane indexes, candidates deduped across tables,
+    * k=5, queries = vec_id < 10. */
+  private val lshAnnOracleSql: String =
+    s"""WITH params AS (
+       |  SELECT GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS np FROM embeddings
+       |),
+       |planes AS (
+       |  SELECT tt.t AS t, pp.p AS p, tt.t * params.np + pp.p AS gp
+       |  FROM params, generate_series(0, 1) tt(t), generate_series(0, 63) pp(p)
+       |  WHERE pp.p < params.np
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, pl.t, pl.p,
+       |         list_reduce(list_transform(generate_series(1, 64), i ->
+       |           CAST(embedding[i] AS DOUBLE)
+       |             * CAST(((CAST(1103515245 AS BIGINT) * (pl.gp * 64 + i - 1) + 12345) % 2048) - 1024 AS DOUBLE)),
+       |           (x, y) -> x + y) AS dot
+       |  FROM embeddings e CROSS JOIN planes pl
+       |),
+       |bkt AS (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM bkt c JOIN bkt q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qe.embedding", "ce.embedding")} AS cosine
+       |  FROM cand
+       |  JOIN embeddings qe ON query_id = qe.vec_id
+       |  JOIN embeddings ce ON neighbor_id = ce.vec_id
+       |),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM scored
+       |)
+       |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
 
   /** DuckDB CTE: distinct word-3-gram shingles per document (mirrors
     * Dedup.shingleCol). */
@@ -617,12 +649,17 @@ object SparkEntry {
 
     "dedup_minhash_lsh" -> minhashOracleSql,
 
+    // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
+    // dropped before the candidate join; drops nothing at test SF where
+    // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
     "dedup_ngram_jaccard" ->
       s"""$shingleCte,
-         |sizes AS (SELECT doc_id, len(shingles) AS n_shingles FROM sh),
+         |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
+         |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM exf GROUP BY 1),
          |inter AS (
          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_cnt
-         |  FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |)
          |SELECT doc_a, doc_b, both_cnt, jaccard FROM (
@@ -751,19 +788,7 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
-    "sim_lsh_ann" ->
-      s"""WITH bkt AS (SELECT vec_id, embedding, $duckBucket AS bucket FROM embeddings),
-         |q AS (SELECT vec_id AS query_id, embedding AS q_emb, bucket FROM bkt WHERE vec_id < 10),
-         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb, bucket FROM bkt),
-         |scored AS (
-         |  SELECT query_id, neighbor_id, bucket, ${duckCosine("q_emb", "c_emb")} AS cosine
-         |  FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
-         |),
-         |ranked AS (
-         |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
-         |  FROM scored
-         |)
-         |SELECT query_id, neighbor_id, bucket, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+    "sim_lsh_ann" -> lshAnnOracleSql,
 
     "stream_tumbling" ->
       s"""$silverCte

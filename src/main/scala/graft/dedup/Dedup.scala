@@ -98,30 +98,41 @@ object Dedup {
       .select("doc_a", "doc_b", "est_jaccard")
   }
 
+  /** Default stop-shingle document-frequency cap for [[ngramJaccard]]: a
+    * shingle in more than this many documents is removed before the
+    * candidate join. A shingle shared by d docs contributes ~d²/2 join
+    * rows, so an uncapped common phrase ("terms and conditions apply") is
+    * a quadratic cliff on any real corpus; 1000 bounds every shingle's
+    * join contribution at ~500k rows while leaving genuine near-dup
+    * signal (near-dups share many RARE shingles) untouched. */
+  val DefaultStopShingleDf = 1000
+
   /** Exact n-gram Jaccard over shared-shingle candidate pairs. Pairs form
     * only through the shingle equi-join (zero-overlap pairs never exist);
     * the similarity is |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle sets.
     *
-    * `dfMax` is the scale escape hatch: when set, shingles appearing in
-    * more than `dfMax` documents are dropped from BOTH the candidate join
-    * and the per-doc set sizes (standard stop-shingle removal — a shingle
-    * shared by thousands of documents carries no near-dup signal but
-    * contributes quadratically many join rows). Similarity is then exact
-    * Jaccard over the DF-filtered shingle sets. Unset by default: the
-    * test corpus has max DF 25. */
+    * `dfMax` (ON by default — the deployed path must be the safe one):
+    * shingles appearing in more than `dfMax` documents are dropped from
+    * BOTH the candidate join and the per-doc set sizes (standard
+    * stop-shingle removal). Similarity is then exact Jaccard over the
+    * DF-filtered shingle sets. `None` disables the cap for exact
+    * whole-set Jaccard on corpora known to have no hot shingles. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      dfMax: Option[Int] = None): DataFrame = {
+      dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
     val shAll = docs.select(col("doc_id"), shingleCol(n).as("shingles"))
     val sh = dfMax match {
       case None => shAll
       case Some(cap) =>
-        val keep = shAll.select(explode(col("shingles")).as("shingle"))
+        // Anti-join against the STOP list (df > cap), not a join against
+        // the keep list: the stop set is only the heavy hitters (bounded
+        // by total_shingle_instances / cap), so AQE broadcasts it, while
+        // a keep-list join would shuffle the full vocabulary.
+        val stop = shAll.select(explode(col("shingles")).as("shingle"))
           .groupBy("shingle").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap)
-          .select(col("shingle").as("kept_shingle"))
-        // arrays stay arrays: re-group the filtered explode per doc
+          .filter(col("df") > cap)
+          .select(col("shingle").as("stop_shingle"))
         shAll.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-          .join(keep, col("shingle") === col("kept_shingle"))
+          .join(stop, col("shingle") === col("stop_shingle"), "left_anti")
           .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
     }
     val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_shingles"))

@@ -45,8 +45,11 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
-  /** Sign-pattern LSH bucket id from `nPlanes` LCG hyperplanes. */
-  def bucketCol(emb: Column, dim: Int, nPlanes: Int): Column = {
+  /** Sign-pattern LSH bucket id from `nPlanes` LCG hyperplanes starting at
+    * global plane index `planeOffset` (distinct offsets give independent
+    * hash tables — the LCG coefficient stream is indexed by the GLOBAL
+    * plane number, so table t's planes are disjoint from table t−1's). */
+  def bucketCol(emb: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column = {
     def planeDot(p: Int): Column = aggregate(
       transform(sequence(lit(0), lit(dim - 1)), d =>
         element_at(emb, d + lit(1)).cast("double") *
@@ -54,26 +57,50 @@ object Similarity {
             .cast("double")),
       lit(0.0), (acc, v) => acc + v)
     (0 until nPlanes)
-      .map(p => when(planeDot(p) >= 0, lit(1 << p)).otherwise(lit(0)))
+      .map(p => when(planeDot(planeOffset + p) >= 0, lit(1 << p)).otherwise(lit(0)))
       .reduce(_ + _)
   }
 
-  /** Bucketed ANN: top-k per query among same-bucket candidates. Recall is
-    * approximate by construction; widen with more tables (union over
-    * several plane seeds) when needed. */
+  /** Planes needed so the EXPECTED bucket occupancy stays ~`targetBucket`
+    * as the corpus grows: ⌈log₂(N / targetBucket)⌉, floored at 4. A
+    * constant plane count is a scale cliff — per-query candidate cost is
+    * |C|/2^planes, linear in corpus size unless the bucket space grows
+    * with it (same lesson as the simhash 8-bit→15-bit band fix). */
+  def autoPlanes(corpusSize: Long, targetBucket: Int = 64): Int =
+    math.max(4, math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetBucket) / math.log(2)).toInt)
+
+  /** Bucketed ANN: top-k per query among candidates that share a bucket
+    * with the query in ANY of `tables` independent hash tables.
+    *
+    *   - plane count auto-scales with corpus size ([[autoPlanes]]) unless
+    *     pinned via `nPlanes` — per-query cost stays ~`targetBucket` ×
+    *     `tables` candidates at any corpus size;
+    *   - recall widens with `tables` (a true neighbor is missed only if
+    *     it hashes away from the query in EVERY table); candidates are
+    *     deduped before scoring so a pair found by both tables is scored
+    *     once.
+    *
+    * `nPlanes = 0` (auto) triggers one `corpus.count()` — a metadata-only
+    * job on a parquet scan; pass an explicit value to avoid it. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, nPlanes: Int = 4): DataFrame = {
+      dim: Int = 64, nPlanes: Int = 0, tables: Int = 2, targetBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      bucketCol(col("embedding"), dim, nPlanes).as("bucket"))
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      bucketCol(col("embedding"), dim, nPlanes).as("bucket"))
-    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
-    c.join(broadcast(q), Seq("bucket"))
+    val np = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucket)
+    val candidates = (0 until tables).map { t =>
+      val bucket = bucketCol(col("embedding"), dim, np, planeOffset = t * np)
+      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        bucket.as("bucket"))
+      val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        bucket.as("bucket"))
+      c.join(broadcast(q), Seq("bucket")).drop("bucket")
+    }.reduce(_ unionByName _)
       .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    candidates
       .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+      .select("query_id", "neighbor_id", "cosine", "rank")
   }
 }

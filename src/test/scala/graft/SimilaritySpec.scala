@@ -21,16 +21,39 @@ class SimilaritySpec extends SparkSpec {
     assert(top.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
-  test("lsh buckets are balanced enough and ann results come from one bucket") {
+  test("lsh buckets are balanced enough and every ann pair shares a bucket in some table") {
     val buckets = emb.select(
       Similarity.bucketCol(col("embedding"), 64, 4).as("bucket"))
     val n = buckets.select("bucket").distinct().count()
     assert(n > 4, s"expected spread over >4 of 16 buckets, got $n")
     val ann = Similarity.lshTopK(emb, queries, k = 5).cache()
     assert(ann.count() > 0)
-    // each (query, neighbor) pair shares the query's bucket by construction
-    assert(ann.select("query_id", "bucket").distinct().groupBy("query_id")
-      .count().filter(col("count") > 1).count() === 0)
+    assert(ann.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
+    // every returned pair collides with the query in at least one table
+    val np = Similarity.autoPlanes(emb.count())
+    val withBuckets = (0 until 2).map { t =>
+      emb.select(col("vec_id"),
+        Similarity.bucketCol(col("embedding"), 64, np, planeOffset = t * np).as(s"b$t"))
+    }.reduce(_.join(_, "vec_id"))
+    val joined = ann
+      .join(withBuckets.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("b0", "qb0").withColumnRenamed("b1", "qb1"), "query_id")
+      .join(withBuckets.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+    assert(joined.filter(col("qb0") =!= col("b0") && col("qb1") =!= col("b1")).count() === 0)
+  }
+
+  test("auto plane count scales with corpus size; multi-table recall never hurts") {
+    assert(Similarity.autoPlanes(500) === 4)
+    assert(Similarity.autoPlanes(2000) === 5)
+    assert(Similarity.autoPlanes(1000000000L) === 24)
+    // table 0 of the 2-table index IS the 1-table index → candidate set
+    // only grows → per-query top-1 cosine can only improve
+    val np = Similarity.autoPlanes(emb.count())
+    val one = Similarity.lshTopK(emb, queries, k = 1, nPlanes = np, tables = 1)
+      .select(col("query_id"), col("cosine").as("c1"))
+    val two = Similarity.lshTopK(emb, queries, k = 1, nPlanes = np, tables = 2)
+      .select(col("query_id"), col("cosine").as("c2"))
+    assert(one.join(two, "query_id").filter(col("c2") < col("c1") - 1e-12).count() === 0)
   }
 
   test("lsh ann recalls the bucket-local subset of brute-force ranking") {
