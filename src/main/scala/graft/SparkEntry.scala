@@ -210,6 +210,12 @@ object SparkEntry {
     "monitor_missing" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
     "monitor_volume" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
+    // serving-latency percentiles over a deterministic synthetic latency
+    // column (the container has no API logs; the LCG-ish derivation is
+    // portable so the oracle checks the PERCENTILE operator itself)
+    "monitor_latency" -> ((s, dir) => Monitoring.latencyStats(
+      silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
+      "latency_ms")),
     // §2.5 analytics core
     "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_join" -> ((s, dir) => Analytics.shippingPriority(
@@ -255,6 +261,8 @@ object SparkEntry {
       Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_surge_classify" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
+    "ml_surge_rf" -> ((s, dir) =>
+      Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
   )
 
   private val featDemandSql: String =
@@ -579,6 +587,18 @@ object SparkEntry {
          |       (cur_count / cur_days) / (base_count / base_days) AS volume_ratio,
          |       CASE WHEN (cur_count / cur_days) / (base_count / base_days) < 0.8 THEN 1 ELSE 0 END AS volume_alert
          |FROM agg""".stripMargin,
+
+    // DuckDB quantile_cont ≡ Spark percentile (exact, linear interpolation)
+    // on integer inputs — the p50/p95 rule the reference computes from API
+    // logs (model_monitoring.py:154-172)
+    "monitor_latency" ->
+      s"""$silverCte,
+         |lat AS (SELECT (event_id * 37 + 11) % 450 + 50 AS latency_ms FROM silver)
+         |SELECT count(latency_ms) AS n,
+         |       quantile_cont(latency_ms, 0.5) AS p50,
+         |       quantile_cont(latency_ms, 0.95) AS p95,
+         |       avg(latency_ms) AS mean
+         |FROM lat""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

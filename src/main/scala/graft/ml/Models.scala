@@ -94,6 +94,10 @@ object Models {
     Seq("rmse", "mae", "r2").map(m => m -> ev.setMetricName(m).evaluate(predictions)).toMap
   }
 
+  private val surgeFeatureCols = Array(
+    "hour", "event_count", "user_count", "demand_supply_ratio",
+    "is_weekend", "is_peak_hour", "value_lag_1", "count_avg_7d")
+
   /** Surge-category classifier: bucket the hourly value level into
     * low/mid/high (reference bucketed surge_multiplier), RF classifier,
     * held-out-window predictions. */
@@ -102,15 +106,57 @@ object Models {
       when(col("avg_value") < 40, 0.0).when(col("avg_value") < 80, 1.0).otherwise(2.0))
     val train = labeled.filter(col("trip_date") < splitDate)
     val test = labeled.filter(col("trip_date") >= splitDate)
-    val prep = demandPrep(Array(
-      "hour", "event_count", "user_count", "demand_supply_ratio",
-      "is_weekend", "is_peak_hour", "value_lag_1", "count_avg_7d"))
     val rf = new RandomForestClassifier()
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(20).setMaxDepth(8).setSeed(42)
-    new Pipeline().setStages((prep :+ rf).toArray)
+    new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
       .fit(train).transform(test)
       .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
+
+  /** Surge-level RF REGRESSOR (the reference trains BOTH a regressor on
+    * the continuous surge multiplier and a classifier on its buckets —
+    * surge_pricing.py:63 prepare_data_regression, :183-231): same prep,
+    * features and date split as the classifier, continuous label = the
+    * hourly value level the classifier buckets. */
+  def surgeRegressor(surgeFeat: DataFrame): DataFrame = {
+    val labeled = surgeFeat.withColumn("label", col("avg_value").cast("double"))
+    val train = labeled.filter(col("trip_date") < splitDate)
+    val test = labeled.filter(col("trip_date") >= splitDate)
+    val rf = new RandomForestRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(20).setMaxDepth(8).setSeed(42)
+    new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
+      .fit(train).transform(test)
+      .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
+
+  /** Feature importances of the fitted RF demand regressor (reference
+    * logs model.featureImportances — demand_forecasting.py:171-173): one
+    * (feature, importance) row per assembled vector slot, slot names from
+    * the vector's ML attribute metadata (one-hot slots expand to their
+    * category name). Importances are impurity-based and sum to 1. */
+  def demandFeatureImportances(feat: DataFrame): DataFrame = {
+    val (train, _) = demandSplit(feat)
+    val rf = new RandomForestRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setNumTrees(20).setMaxDepth(8).setSeed(42)
+    val model = new Pipeline()
+      .setStages((demandPrep(demandFeatureCols) :+ rf).toArray).fit(train)
+    val fitted = model.stages.last
+      .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
+    val schema = model.transform(train.limit(1)).schema
+    val attrs = org.apache.spark.ml.attribute.AttributeGroup
+      .fromStructField(schema("features")).attributes
+    val imps = fitted.featureImportances.toArray
+    val names = attrs match {
+      case Some(a) => a.map(at => at.name.getOrElse(s"f${at.index.getOrElse(-1)}"))
+      case None => imps.indices.map(i => s"f$i").toArray
+    }
+    val spark = feat.sparkSession
+    import spark.implicits._
+    names.zip(imps).toSeq.toDF("feature", "importance")
+      .orderBy(col("importance").desc, col("feature"))
   }
 
   /** Accuracy / weighted F1 for the classifier. */

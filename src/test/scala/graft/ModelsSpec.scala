@@ -37,6 +37,30 @@ class ModelsSpec extends SparkSpec {
     assert(rmses === rmses.sorted, "must be ordered best-first")
   }
 
+  test("surge regressor: same prep/split as classifier, predictions track the label") {
+    val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
+    val preds = Models.surgeRegressor(surgeFeat).cache()
+    assert(preds.count() > 0)
+    assert(preds.filter(isnan(col("prediction")) || col("prediction").isNull).count() === 0)
+    val m = Models.regressionMetrics(preds)
+    val sd = preds.agg(stddev("label").as("sd")).head().getAs[Double]("sd")
+    assert(m("rmse") <= sd * 1.2, s"surge rf rmse ${m("rmse")} should not be far above label sd $sd")
+  }
+
+  test("demand feature importances: one row per vector slot, sum ~1, named slots rank") {
+    val imp = Models.demandFeatureImportances(demandFeat).cache()
+    val total = imp.agg(sum("importance")).head().getDouble(0)
+    assert(math.abs(total - 1.0) < 1e-6, s"importances must sum to 1, got $total")
+    assert(imp.filter(col("importance") < 0).count() === 0)
+    // the raw demand features must be present among the named slots
+    val names = imp.select("feature").collect().map(_.getString(0)).toSet
+    assert(Set("demand_lag_1", "demand_avg_7d", "hour").subsetOf(names))
+    // lag/rolling demand features carry real signal on this synthetic data
+    val topNames = imp.limit(8).collect().map(_.getString(0)).toSet
+    assert(topNames.exists(n => n.startsWith("demand_")),
+      s"expected a demand_* feature in the top slots, got $topNames")
+  }
+
   test("surge classifier: deterministic seeded predictions with sane accuracy") {
     val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
     val preds = Models.surgeClassifier(surgeFeat).cache()
