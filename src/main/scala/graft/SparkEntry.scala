@@ -231,6 +231,11 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    // production-path minhash (xxhash64 family): rows-only — DuckDB has no
+    // xxhash64, so the md5 family above carries the oracle; this entry
+    // keeps the fast path benched and row-checked
+    "dedup_minhash_xx" -> ((s, dir) =>
+      Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
@@ -788,10 +793,13 @@ object SparkEntry {
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
 
+    // magic_hex slices the first 4 BYTES (substr over the hex dump), not
+    // the first 4 CHARACTERS — Spark's substring on BinaryType is
+    // byte-based, and the two diverge on any multi-byte UTF-8 text
     "mm_metadata" ->
       """SELECT doc_id,
         |       octet_length(encode(text)) AS byte_size,
-        |       lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        |       lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
 

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+
+/** 10× scale stress harness — reproduces BASELINE.md's "10× scale stress"
+  * table. The point is validating SCALE BEHAVIOR, not test-SF timings:
+  * bucket spaces that must grow with the corpus, stop-shingle caps that
+  * must bound quadratic joins, hash families that must stay cheap.
+  *
+  * Three corpora, all built deterministically from sf0.1 inputs:
+  *   - `dupHeavy`: documents replicated 10× with a per-copy word suffixed
+  *     (near-identical variants — adversarially duplicate-heavy, every doc
+  *     has 9 true near-dups). Exercises minhash/simhash candidate volume.
+  *   - `stopShingle`: 10 copies with EVERY word suffixed by the copy index
+  *     (copies share no content shingles) plus one common phrase appended
+  *     to every doc — a planted stop-shingle with document frequency = the
+  *     whole corpus. Exercises the ngram df cap: uncapped, that one phrase
+  *     alone generates ~N²/2 join rows.
+  *   - `emb10x`: embeddings replicated 10× (20k vectors). Exercises ANN
+  *     bucket-space scaling: auto planes keep per-query candidates flat,
+  *     a constant plane count grows them linearly.
+  *
+  * Prints `STRESS <name> <sec> (<rows> rows)` lines; copy into BASELINE.md.
+  */
+object Stress {
+
+  /** Materialize every column (same rationale as Bench.force: a bare
+    * count() lets Catalyst prune the similarity math out of the timing). */
+  private def force(df: DataFrame): Long =
+    df.agg(count(xxhash64(df.columns.map(col): _*))).head().getLong(0)
+
+  private def time(name: String)(df: => DataFrame): Unit = {
+    val t0 = System.nanoTime()
+    val n = force(df)
+    val s = (System.nanoTime() - t0) / 1e9
+    println(f"STRESS $name%-26s $s%8.2f s  ($n rows)")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+
+    val dupHeavy = (0 until 10).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        (if (i == 0) col("text") else concat(col("text"), lit(s" variant$i"))).as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"dup-heavy corpus: ${dupHeavy.count()} docs")
+
+    time("minhash_md5_10x")(Dedup.minhashLsh(dupHeavy))
+    time("minhash_xxhash64_10x")(Dedup.minhashLsh(dupHeavy, family = Dedup.XxHash64Family))
+    time("simhash_10x")(Dedup.simhashPairs(dupHeavy))
+    time("dedup_exact_10x")(Dedup.exactDedup(dupHeavy))
+    dupHeavy.unpersist()
+
+    // Stop-shingle corpora: every doc ends with the same common phrase
+    // (document frequency = |corpus|), copies share no CONTENT shingles
+    // (every word suffixed with the copy index). Uncapped, each of the 5
+    // phrase shingles generates |corpus|²/2 join rows — at 10× (50k docs)
+    // that is ~6×10⁹ rows, hours of work, so the uncapped cliff is only
+    // measured at 1× (~6×10⁷ rows) and the CAPPED path at 1× and 10×:
+    // sub-quadratic growth shows as capped_10x ≈ 10 × capped_1x.
+    def stopShingleCorpus(copies: Int): DataFrame = (0 until copies).map { i =>
+      docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+        concat(regexp_replace(col("text"), "(\\S+)", s"$$1_$i"),
+          lit(" all rights reserved terms and conditions apply")).as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+
+    val ss1 = stopShingleCorpus(1)
+    println(s"stop-shingle corpus 1x: ${ss1.count()} docs")
+    time("ngram_capped_1x")(Dedup.ngramJaccard(ss1))
+    if (sys.env.get("SPARK_GRAFT_STRESS_UNCAPPED").contains("1"))
+      time("ngram_UNCAPPED_1x")(Dedup.ngramJaccard(ss1, dfMax = None))
+    ss1.unpersist()
+
+    val ss10 = stopShingleCorpus(10)
+    println(s"stop-shingle corpus 10x: ${ss10.count()} docs")
+    time("ngram_capped_10x")(Dedup.ngramJaccard(ss10))
+    ss10.unpersist()
+
+    val emb = Tables.embeddings(spark, sfDir)
+    val emb10x = (0 until 10).map { i =>
+      emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"embedding corpus: ${emb10x.count()} vectors" +
+      s" (auto planes = ${Similarity.autoPlanes(emb10x.count())})")
+    val queries = emb10x.filter(col("vec_id") < 10)
+
+    time("ann_auto_planes_10x")(Similarity.lshTopK(emb10x, queries))
+    time("ann_const_4planes_10x")(Similarity.lshTopK(emb10x, queries, nPlanes = 4, tables = 1))
+
+    spark.stop()
+  }
+}

@@ -56,28 +56,55 @@ object Dedup {
       .select("doc_id", "text_hash", "winner_id", "dup_count", "is_duplicate")
   }
 
+  /** Signature hash family for [[minhashLsh]]. */
+  sealed trait HashFamily
+  /** Salted md5 hex slices — byte-identical in any ANSI engine, so the
+    * DuckDB oracle can replay the full signature math. The parity-checked
+    * path. */
+  case object Md5Family extends HashFamily
+  /** `xxhash64` — whole-stage-codegen'd, ~4× cheaper per shingle than md5
+    * (SURVEY.md §7). The PRODUCTION path for corpora where cross-engine
+    * parity isn't needed: no oracle (DuckDB has no xxhash64), identical
+    * recall structure (min-hash over a uniform 64-bit family). */
+  case object XxHash64Family extends HashFamily
+
   /** Banded MinHash-LSH near-dup candidate pairs with signature-estimated
-    * Jaccard. The k=16 hash family comes from FOUR salted md5 digests per
+    * Jaccard.
+    *
+    * Md5Family: the k=16 family comes from FOUR salted md5 digests per
     * shingle, each sliced into four 8-hex-char components (one-permutation
     * style — 4x fewer digest computations than k independent md5 calls);
     * the signature is the per-component lexicographic min over the doc's
-    * shingles, and each salt's 4 slices form one LSH band. */
-  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3): DataFrame = {
+    * shingles, and each salt's 4 slices form one LSH band.
+    *
+    * XxHash64Family: k independent seeded xxhash64 values per shingle
+    * (numeric min), band key = xxhash64 over the band's r components. */
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      family: HashFamily = Md5Family): DataFrame = {
     require(k % bands == 0, "bands must divide k")
-    require(k / bands <= 4, "at most 4 components per salted digest")
     val r = k / bands
     val ex = docs.select(col("doc_id"), explode(shingleCol(shingleN)).as("shingle"))
-    val sigAggs = (0 until k).map { i =>
-      val salt = i / r
-      val slot = i % r
-      min(substring(md5(concat(lit(s"$salt:"), col("shingle"))), slot * 8 + 1, 8))
-        .as(s"sig_$i")
+    val sigAggs = family match {
+      case Md5Family =>
+        require(r <= 4, "at most 4 components per salted digest")
+        (0 until k).map { i =>
+          val salt = i / r
+          val slot = i % r
+          min(substring(md5(concat(lit(s"$salt:"), col("shingle"))), slot * 8 + 1, 8))
+            .as(s"sig_$i")
+        }
+      case XxHash64Family =>
+        (0 until k).map(i => min(xxhash64(lit(i), col("shingle"))).as(s"sig_$i"))
     }
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val sigArr = array((0 until k).map(i => col(s"sig_$i")): _*)
     val bandStructs = (0 until bands).map { b =>
-      struct(lit(b).as("band_idx"),
-        md5(concat_ws("|", (0 until r).map(j => col(s"sig_${b * r + j}")): _*)).as("band_hash"))
+      val bandCols = (0 until r).map(j => col(s"sig_${b * r + j}"))
+      val bandHash: Column = family match {
+        case Md5Family => md5(concat_ws("|", bandCols: _*))
+        case XxHash64Family => xxhash64(bandCols: _*).cast("string")
+      }
+      struct(lit(b).as("band_idx"), bandHash.as("band_hash"))
     }
     val banded = sig
       .select(col("doc_id"), sigArr.as("sig"), explode(array(bandStructs: _*)).as("band"))
@@ -119,24 +146,24 @@ object Dedup {
     * whole-set Jaccard on corpora known to have no hot shingles. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
-    val shAll = docs.select(col("doc_id"), shingleCol(n).as("shingles"))
-    val sh = dfMax match {
-      case None => shAll
+    val exploded = docs.select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
+    val ex = dfMax match {
+      case None => exploded
       case Some(cap) =>
         // Anti-join against the STOP list (df > cap), not a join against
         // the keep list: the stop set is only the heavy hitters (bounded
         // by total_shingle_instances / cap), so AQE broadcasts it, while
-        // a keep-list join would shuffle the full vocabulary.
-        val stop = shAll.select(explode(col("shingles")).as("shingle"))
+        // a keep-list join would shuffle the full vocabulary. The filter
+        // stays on the EXPLODED rows — no array re-group shuffle; sizes
+        // and the candidate join both read the filtered explode.
+        val stop = exploded
           .groupBy("shingle").agg(count(lit(1)).as("df"))
           .filter(col("df") > cap)
           .select(col("shingle").as("stop_shingle"))
-        shAll.select(col("doc_id"), explode(col("shingles")).as("shingle"))
-          .join(stop, col("shingle") === col("stop_shingle"), "left_anti")
-          .groupBy("doc_id").agg(collect_list("shingle").as("shingles"))
+        exploded.join(stop, col("shingle") === col("stop_shingle"), "left_anti")
     }
-    val sizes = sh.select(col("doc_id"), size(col("shingles")).as("n_shingles"))
-    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    // shingles are distinct per doc, so the DF-filtered set size is a count
+    val sizes = ex.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
     val inter = ex.alias("a")
       .join(ex.alias("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

@@ -54,6 +54,22 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(r => r.getAs[Long]("doc_b") === 3L))
   }
 
+  test("xxhash64 minhash family recalls every true exact-duplicate pair") {
+    // identical shingle sets → identical signatures under any hash family
+    // → guaranteed same-band candidates with est = 1.0. The corpus has no
+    // exact dups, so plant two on top of it.
+    val planted = docs.select("doc_id", "text").unionByName(
+      docs.filter(col("doc_id") < 2)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    val xx = Dedup.minhashLsh(planted, family = Dedup.XxHash64Family).cache()
+    val dupHits = xx.filter(col("doc_b") >= 1000000L && col("doc_a") === col("doc_b") - 1000000L)
+    assert(dupHits.count() === 2)
+    assert(dupHits.filter(col("est_jaccard") =!= 1.0).count() === 0)
+    // and the xx family never emits low-similarity junk on the real corpus
+    assert(Dedup.minhashLsh(docs, family = Dedup.XxHash64Family)
+      .filter(col("est_jaccard") <= 0.25).count() === 0)
+  }
+
   test("ngram jaccard df cap drops stop-shingles from candidates and sizes") {
     import spark.implicits._
     // "x y z" appears in every doc (stop-shingle); each pair also shares a

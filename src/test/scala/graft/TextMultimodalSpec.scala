@@ -55,6 +55,14 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.filter(length(col("magic_hex")) =!= 8).count() === 0)
   }
 
+  test("multimodal metadata: magic_hex is the first 4 BYTES, not characters") {
+    import spark.implicits._
+    // 'é' is 2 UTF-8 bytes (c3 a9): byte-based magic of "héllo" = 68 c3 a9 6c
+    val m = Multimodal.metadata(Seq((1L, "héllo wörld")).toDF("doc_id", "text")).head()
+    assert(m.getAs[String]("magic_hex") === "68c3a96c")
+    assert(m.getAs[Long]("byte_size") === 13L)
+  }
+
   test("decode plumbing: stub decoder is deterministic and schema-stable") {
     val frames = Multimodal.decodeFrames(spark, Multimodal.metadata(docs), maxFrames = 3).cache()
     assert(frames.count() > 0)
