@@ -141,7 +141,9 @@ object SparkEntry {
 
   /** DuckDB oracle for banded MinHash-LSH (k=16, 4 salted digests sliced
     * into 4 components each, one salt per band). */
-  private val minhashOracleSql: String = {
+  /** CTE chain `sig → banded → pairs` (appended after [[shingleCte]]) —
+    * shared by the minhash oracle and the cluster oracle. */
+  private val minhashPairCtes: String = {
     val k = 16; val bands = 4; val r = k / bands
     val sigDefs = (0 until k)
       .map(i => s"min(substr(md5('${i / r}:' || shingle), ${(i % r) * 8 + 1}, 8)) AS sig_$i")
@@ -151,8 +153,7 @@ object SparkEntry {
       val h = (0 until r).map(j => s"sig_${b * r + j}").mkString(" || '|' || ")
       s"SELECT doc_id, $b AS band_idx, md5($h) AS band_hash, $sigList AS sig FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shingleCte,
-       |sig AS (
+    s"""sig AS (
        |  SELECT doc_id,
        |       $sigDefs
        |  FROM ex GROUP BY doc_id
@@ -164,11 +165,15 @@ object SparkEntry {
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sig AS sig_a, b.sig AS sig_b
        |  FROM banded a JOIN banded b
        |    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(len(list_filter(generate_series(1, $k), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / $k.0 AS est_jaccard
-       |FROM pairs""".stripMargin
+       |)""".stripMargin
   }
+
+  private val minhashOracleSql: String =
+    s"""$shingleCte,
+       |$minhashPairCtes
+       |SELECT doc_a, doc_b,
+       |       CAST(len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 AS est_jaccard
+       |FROM pairs""".stripMargin
 
   // ---- queries ---------------------------------------------------------
 
@@ -236,6 +241,18 @@ object SparkEntry {
     // keeps the fast path benched and row-checked
     "dedup_minhash_xx" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.dupClusters(docs, Dedup.minhashLsh(docs))
+    }),
+    "decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0)).select("doc_id")
+    }),
+    "sample_stratified" -> ((s, dir) =>
+      graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+        .select("doc_id", "lang")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
@@ -673,6 +690,54 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracleSql,
+
+    // connected components over the minhash candidate pairs: cluster_id =
+    // min doc_id reachable in the pair graph (recursive CTE ≡ the Spark
+    // side's min-label propagation fixpoint)
+    "dedup_clusters" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$minhashPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+         |)
+         |SELECT node AS doc_id, min(lbl) AS cluster_id,
+         |       CAST(min(lbl) = node AS INT) AS is_canonical
+         |FROM reach GROUP BY 1""".stripMargin,
+
+    // corpus docs surviving benchmark decontamination (benchmark = every
+    // 20th doc): no exact normalized-hash match AND < 5 shared 3-gram
+    // shingles with every single benchmark doc
+    "decontaminate" ->
+      s"""$shingleCte,
+         |bench_hash AS (
+         |  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 20 = 0
+         |),
+         |near AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |    FROM ex c JOIN (SELECT * FROM ex WHERE doc_id % 20 = 0) b
+         |      ON c.shingle = b.shingle
+         |    GROUP BY 1, 2
+         |  ) WHERE shared >= 5
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id FROM documents d
+         |WHERE md5(lower(d.text)) NOT IN (SELECT h FROM bench_hash)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
+
+    // deterministic hash sampling: md5-fraction < per-stratum rate —
+    // byte-identical selection in any engine
+    "sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |        / 4294967296.0
+        |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin,
 
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where

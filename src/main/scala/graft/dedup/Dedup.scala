@@ -229,6 +229,79 @@ object Dedup {
       .select("doc_a", "doc_b", "hamming")
   }
 
+  /** Connected-component cluster assignment over near-dup candidate pairs:
+    * every doc gets `cluster_id` = the MINIMUM doc_id reachable through
+    * the pair graph (singletons cluster to themselves), plus an
+    * `is_canonical` flag — the standard "pairs → clusters → keep one per
+    * cluster" step after MinHash/SimHash candidate generation.
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; converges in ≤ diameter
+    * rounds (near-dup clusters are dense, diameter is small). Convergence
+    * is detected by the label SUM going stationary (labels only ever
+    * decrease) — one tiny aggregate per round, no change-join. Each round
+    * is one shuffle on doc_id, linear in |edges|; at much larger diameters
+    * the classic upgrade is pointer-doubling / large-star-small-star
+    * (halves rounds), same join shape. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
+    var i = 0
+    var converged = edges.isEmpty
+    while (!converged && i < maxIter) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
+      val next = labels.alias("l")
+        .join(nbrMin, col("l.doc_id") === col("src"), "left")
+        .select(col("l.doc_id").as("doc_id"),
+          least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
+        .persist()
+      val s = labelSum(next)
+      labels.unpersist()
+      labels = next
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      i += 1
+    }
+    edges.unpersist()
+    labels.withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+  }
+
+  /** Benchmark decontamination: drop corpus docs that match an eval set —
+    * the step every training-data pipeline runs so benchmark answers don't
+    * leak into the training mix.
+    *
+    * A corpus doc is contaminated if (a) its normalized text hash equals a
+    * benchmark doc's (exact leak), or (b) it shares ≥ `minOverlap`
+    * distinct n-gram shingles with SOME single benchmark doc (near leak —
+    * paraphrases, partial copies). Benchmarks are tiny next to corpora, so
+    * both probes broadcast the benchmark side; the corpus is never
+    * shuffled, cost is one scan + per-row hash/shingle work. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minOverlap: Int = 5): DataFrame = {
+    val benchHashes = benchmark
+      .select(md5(lower(col("text"))).as("bench_hash")).distinct()
+    val benchShingles = benchmark
+      .select(col("doc_id").as("bench_id"), explode(shingleCol(n)).as("shingle"))
+    val nearHits = corpus
+      .select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minOverlap)
+      .select("doc_id").distinct()
+    corpus
+      .join(broadcast(benchHashes),
+        md5(lower(col("text"))) === col("bench_hash"), "left_anti")
+      // no broadcast hint: nearHits is usually tiny (AQE broadcasts it)
+      // but is bounded by the CORPUS under heavy contamination
+      .join(nearHits, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label. The cosine is
     * graft's native codegen'd one-pass expression
     * ([[graft.functions.CosineSimilarity]]) — index-ordered accumulation,

@@ -51,9 +51,16 @@ object Models {
 
   private def fitPredict(feat: DataFrame, estimator: org.apache.spark.ml.PipelineStage): DataFrame = {
     val (train, test) = demandSplit(feat)
-    val pipeline = new Pipeline().setStages((demandPrep(demandFeatureCols) :+ estimator).toArray)
-    pipeline.fit(train).transform(test)
-      .select("trip_date", "hour", "zone_id", "label", "prediction")
+    // The feature frame is a lag/rolling WINDOW chain; every fit stage
+    // (indexer scan, one-hot fit, each tree/boosting pass) re-triggers it
+    // unless materialized. Persist for the fit, release after.
+    val cachedTrain = train.persist()
+    try {
+      val pipeline = new Pipeline().setStages((demandPrep(demandFeatureCols) :+ estimator).toArray)
+      val model = pipeline.fit(cachedTrain) // eager; transform below reads only test
+      model.transform(test)
+        .select("trip_date", "hour", "zone_id", "label", "prediction")
+    } finally cachedTrain.unpersist()
   }
 
   /** RandomForest demand regressor: held-out-window predictions. */
@@ -104,14 +111,16 @@ object Models {
   def surgeClassifier(surgeFeat: DataFrame): DataFrame = {
     val labeled = surgeFeat.withColumn("label",
       when(col("avg_value") < 40, 0.0).when(col("avg_value") < 80, 1.0).otherwise(2.0))
-    val train = labeled.filter(col("trip_date") < splitDate)
-    val test = labeled.filter(col("trip_date") >= splitDate)
-    val rf = new RandomForestClassifier()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(8).setSeed(42)
-    new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
-      .fit(train).transform(test)
-      .select("trip_date", "hour", "zone_id", "label", "prediction")
+    val train = labeled.filter(col("trip_date") < splitDate).persist()
+    try {
+      val test = labeled.filter(col("trip_date") >= splitDate)
+      val rf = new RandomForestClassifier()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(20).setMaxDepth(8).setSeed(42)
+      new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
+        .fit(train).transform(test)
+        .select("trip_date", "hour", "zone_id", "label", "prediction")
+    } finally train.unpersist()
   }
 
   /** Surge-level RF REGRESSOR (the reference trains BOTH a regressor on
@@ -121,14 +130,16 @@ object Models {
     * hourly value level the classifier buckets. */
   def surgeRegressor(surgeFeat: DataFrame): DataFrame = {
     val labeled = surgeFeat.withColumn("label", col("avg_value").cast("double"))
-    val train = labeled.filter(col("trip_date") < splitDate)
-    val test = labeled.filter(col("trip_date") >= splitDate)
-    val rf = new RandomForestRegressor()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(8).setSeed(42)
-    new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
-      .fit(train).transform(test)
-      .select("trip_date", "hour", "zone_id", "label", "prediction")
+    val train = labeled.filter(col("trip_date") < splitDate).persist()
+    try {
+      val test = labeled.filter(col("trip_date") >= splitDate)
+      val rf = new RandomForestRegressor()
+        .setLabelCol("label").setFeaturesCol("features")
+        .setNumTrees(20).setMaxDepth(8).setSeed(42)
+      new Pipeline().setStages((demandPrep(surgeFeatureCols) :+ rf).toArray)
+        .fit(train).transform(test)
+        .select("trip_date", "hour", "zone_id", "label", "prediction")
+    } finally train.unpersist()
   }
 
   /** Feature importances of the fitted RF demand regressor (reference
@@ -137,12 +148,14 @@ object Models {
     * the vector's ML attribute metadata (one-hot slots expand to their
     * category name). Importances are impurity-based and sum to 1. */
   def demandFeatureImportances(feat: DataFrame): DataFrame = {
-    val (train, _) = demandSplit(feat)
+    val (rawTrain, _) = demandSplit(feat)
+    val train = rawTrain.persist()
     val rf = new RandomForestRegressor()
       .setLabelCol("label").setFeaturesCol("features")
       .setNumTrees(20).setMaxDepth(8).setSeed(42)
-    val model = new Pipeline()
+    val model = try new Pipeline()
       .setStages((demandPrep(demandFeatureCols) :+ rf).toArray).fit(train)
+    finally train.unpersist()
     val fitted = model.stages.last
       .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
     val schema = model.transform(train.limit(1)).schema

@@ -1,0 +1,57 @@
+package graft.sampling
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for reproducible training-data pipelines.
+  *
+  * `Dataset.sample` draws from a per-partition RNG: the selected rows
+  * change under repartitioning, retries, and engine versions — useless
+  * for a pipeline that must be able to re-derive exactly which documents
+  * went into a training mix. Hash-based sampling decides per ROW from a
+  * stable key (keep iff hash(key, salt) as a fraction < rate), so the
+  * sample is:
+  *   - reproducible on any engine (md5 is engine-portable → SQL oracle),
+  *   - stable under repartitioning / retries / incremental reruns,
+  *   - consistent across tables (same key+salt samples the same entities
+  *     everywhere — referential integrity for free),
+  *   - and a narrow, codegen'd filter: no shuffle, pushes down nothing
+  *     but costs one hash per row at scan speed.
+  * Changing `salt` draws an independent sample (disjoint-ish splits come
+  * from disjoint rate intervals of the SAME salt, e.g. [0,0.8) train /
+  * [0.8,1) eval via [[hashFraction]]).
+  */
+object Sampling {
+
+  /** Uniform [0,1) fraction from md5(key ":" salt): first 8 hex chars as
+    * a 32-bit integer over 2³². */
+  def hashFraction(key: Column, salt: String): Column =
+    conv(substring(md5(concat(key.cast("string"), lit(":" + salt))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Keep rows whose key hashes below `rate`. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double, salt: String = "graft"): DataFrame =
+    df.filter(hashFraction(col(keyCol), salt) < rate)
+
+  /** Per-stratum rates (e.g. language-balanced corpus mixing): rows in a
+    * stratum listed in `rates` keep with that rate, everything else with
+    * `defaultRate`. The rate lookup is a literal CASE chain — strata maps
+    * are small (languages, sources), so no join, stays codegen'd. */
+  def stratifiedHashSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0,
+      salt: String = "graft"): DataFrame = {
+    val rateCol = rates.foldLeft(lit(defaultRate): Column) {
+      case (acc, (k, r)) => when(col(stratumCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashFraction(col(keyCol), salt) < rateCol)
+  }
+
+  /** Deterministic train/eval style split: returns rows whose hash
+    * fraction lands in [lo, hi) — disjoint intervals of one salt give
+    * disjoint, jointly-exhaustive splits. */
+  def hashSplit(df: DataFrame, keyCol: String, lo: Double, hi: Double,
+      salt: String = "graft"): DataFrame = {
+    val f = hashFraction(col(keyCol), salt)
+    df.filter(f >= lo && f < hi)
+  }
+}

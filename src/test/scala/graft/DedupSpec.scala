@@ -86,6 +86,39 @@ class DedupSpec extends SparkSpec {
     assert(capped((1L, 2L)).getAs[Double]("jaccard") === 1.0)
   }
 
+  test("dup clusters: chain of pairs collapses to one component, singletons stay canonical") {
+    import spark.implicits._
+    val planted = Seq(1L, 2L, 3L, 4L, 10L).toDF("doc_id")
+    // chain 1-2-3-4 (diameter 3 — takes >1 propagation round), 10 isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val out = Dedup.dupClusters(planted, pairs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Int]("is_canonical"))).toMap
+    assert(out(1L) === (1L, 1) && out(2L) === (1L, 0) && out(3L) === (1L, 0) && out(4L) === (1L, 0))
+    assert(out(10L) === (10L, 1))
+    // real corpus: every minhash pair lands in one cluster, exactly one
+    // canonical doc per cluster, all docs labeled
+    val clusters = Dedup.dupClusters(docs, Dedup.minhashLsh(docs)).cache()
+    assert(clusters.count() === docs.count())
+    assert(clusters.groupBy("cluster_id")
+      .agg(sum("is_canonical").as("n_canon")).filter(col("n_canon") =!= 1).count() === 0)
+  }
+
+  test("decontaminate drops exact and near benchmark matches, keeps the rest") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "THE QUICK brown fox jumps over the lazy dog today"), // exact after normalize
+      (3L, "the quick brown fox jumps over the lazy cat today"), // near: shares >= 5 shingles
+      (4L, "completely unrelated content about spark query planning")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val kept = Dedup.decontaminate(corpus, bench).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L))
+    // a lenient overlap threshold keeps the near-match
+    val keptLoose = Dedup.decontaminate(corpus, bench, minOverlap = 100)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptLoose === Set(3L, 4L))
+  }
+
   test("embedding near-dups are label-blocked (no cross-label pairs)") {
     val emb = Tables.embeddings(spark, dir)
     val pairs = Dedup.embeddingNearDups(emb, threshold = 0.3).cache()
