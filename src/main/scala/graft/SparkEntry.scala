@@ -260,6 +260,7 @@ object SparkEntry {
     "text_quality" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
+    "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // §2.8 similarity search
@@ -274,6 +275,11 @@ object SparkEntry {
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
+    // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
+    // a stream; first-event-wins per key in batch)
+    "stream_dedup" -> ((s, dir) =>
+      Streams.firstEventPerKey(Tables.events(s, dir).filter(col("event_id").isNotNull))
+        .select("event_id", "ts", "user_id")),
     // §2.4 spark.ml training (rows-only oracle: no SQL equivalent)
     "ml_demand_rf" -> ((s, dir) =>
       Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
@@ -836,6 +842,25 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
+    // expression shapes mirror TextFunctions.tfidfBm25 exactly (operator
+    // order matters for double bit-parity; integer '/' is float division
+    // in BOTH engines)
+    "text_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id, t AS token FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
+        |  ) WHERE t <> ''
+        |),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, count(*) AS doc_len FROM toks GROUP BY 1),
+        |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl)
+        |SELECT t.doc_id, t.token, t.tf, d.doc_len, f.df,
+        |       t.tf * ln(s.n_docs / f.df) AS tfidf,
+        |       ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |         * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS bm25
+        |FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (token), stats s""".stripMargin,
+
     "text_tokens" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
@@ -882,6 +907,13 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "sim_lsh_ann" -> lshAnnOracleSql,
+
+    "stream_dedup" ->
+      """SELECT event_id, ts, user_id FROM (
+        |  SELECT event_id, ts, user_id,
+        |         row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |  FROM events WHERE event_id IS NOT NULL
+        |) WHERE rn = 1""".stripMargin,
 
     "stream_tumbling" ->
       s"""$silverCte

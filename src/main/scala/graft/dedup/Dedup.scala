@@ -138,6 +138,13 @@ object Dedup {
     * only through the shingle equi-join (zero-overlap pairs never exist);
     * the similarity is |A∩B| / (|A|+|B|-|A∩B|) on distinct shingle sets.
     *
+    * Plan note: the shingle explode feeds four branches (stop-list count,
+    * both self-join sides, set sizes) and Catalyst evaluates each branch
+    * independently — 4 passes over the input. At test SF the explode is
+    * ~0.1 s so this is irrelevant; at very large corpora pass a
+    * PERSISTED `docs` frame (the explode then reads memory, not parquet)
+    * or materialize the shingle table once and join from it.
+    *
     * `dfMax` (ON by default — the deployed path must be the safe one):
     * shingles appearing in more than `dfMax` documents are dropped from
     * BOTH the candidate join and the per-doc set sizes (standard

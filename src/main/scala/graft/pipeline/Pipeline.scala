@@ -70,4 +70,48 @@ object Pipeline {
     val silver = medallion("silver")
     medallion ++ runScoring(silver) ++ runMonitoring(silver, splitDate)
   }
+
+  /** Training-data curation stage — the LLM-corpus counterpart of the
+    * medallion flow, chaining the §2.7-§2.9 operators the way a real
+    * corpus pipeline runs them:
+    *
+    *   1. score: language ID + quality signals per doc;
+    *   2. filter: keep docs whose quality score clears `minQuality`;
+    *   3. exact dedup: drop byte-identical texts (keep min doc_id);
+    *   4. near dedup: MinHash-LSH pairs → connected components → keep
+    *      only each cluster's canonical doc;
+    *   5. decontaminate against the benchmark set;
+    *   6. deterministic per-language sample into the final mix.
+    *
+    * Every stage is a DataFrame→DataFrame transform: the whole curation
+    * is ONE Catalyst lineage (plus the bounded label-propagation loop),
+    * so column pruning reaches the parquet scan through all six stages. */
+  def runCuration(docs: DataFrame, benchmark: DataFrame,
+      minQuality: Double = 0.2,
+      rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0):
+      Map[String, DataFrame] = {
+    import org.apache.spark.sql.functions._
+    val scored = graft.text.TextFunctions.quality(docs)
+      .select(col("doc_id"), col("quality_score"))
+    val qualityKept = docs.join(
+      scored.filter(col("quality_score") >= minQuality).select("doc_id"), "doc_id")
+    val exactKept = graft.dedup.Dedup.exactDedup(qualityKept)
+      .filter(col("is_duplicate") === 0).select("doc_id")
+      .join(qualityKept, "doc_id")
+    val clusters = graft.dedup.Dedup.dupClusters(
+      exactKept, graft.dedup.Dedup.minhashLsh(exactKept))
+    val nearKept = clusters.filter(col("is_canonical") === 1).select("doc_id")
+      .join(exactKept, "doc_id")
+    val clean = graft.dedup.Dedup.decontaminate(nearKept, benchmark)
+    val sampled =
+      if (rates.isEmpty && defaultRate >= 1.0) clean
+      else graft.sampling.Sampling.stratifiedHashSample(
+        clean, "doc_id", "lang", rates, defaultRate)
+    Map(
+      "quality_kept" -> qualityKept,
+      "exact_kept" -> exactKept,
+      "near_kept" -> nearKept,
+      "decontaminated" -> clean,
+      "curated" -> sampled)
+  }
 }

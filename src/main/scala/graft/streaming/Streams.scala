@@ -43,6 +43,30 @@ object Streams {
         col("s.end").as("session_end"),
         col("event_count"))
 
+  /** Streaming dedup: first event wins per key. In batch this is the
+    * min-ts row per key (oracle-checkable); on a stream the same call
+    * becomes `dropDuplicatesWithinWatermark` state — see
+    * [[dedupedStream]]. Used for exactly-once-ish ingest where upstream
+    * retries duplicate events. */
+  def firstEventPerKey(events: DataFrame, keyCol: String = "event_id"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(col("ts"))
+    events.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Streaming side of [[firstEventPerKey]]: watermarked
+    * dropDuplicatesWithinWatermark — state holds one entry per key seen
+    * within the watermark horizon, then expires. At 100 TB/day the state
+    * is bounded by keys-per-horizon, not stream history. */
+  def dedupedStream(spark: SparkSession, sourceDir: String,
+      keyCol: String = "event_id", watermark: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    spark.readStream.schema(schema).parquet(sourceDir)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCol)
+  }
+
   /** Streaming entry: parquet source dir → watermarked tumbling counts.
     * The watermark bounds aggregation state; late rows beyond it drop. */
   def tumblingCountsStream(spark: SparkSession, sourceDir: String, watermark: String = "2 hours"): DataFrame = {

@@ -84,6 +84,38 @@ object TextFunctions {
       (length(t).cast("double") / size(toks(t))).as("chars_per_ws_token"))
   }
 
+  /** Per-(doc, token) TF-IDF and Okapi BM25 scores over whitespace tokens.
+    *
+    * One explode feeds three aggregates (term frequency, doc length,
+    * document frequency); corpus stats (N, avg doc length) are a single
+    * scalar row broadcast into the scoring join. Shuffle keys are
+    * (doc_id, token) and token — both grow with the corpus, so partition
+    * state stays bounded at any scale; tf→df reuses the tf aggregate
+    * rather than re-counting the explode.
+    *
+    * Formulas (ln = natural log, expression shapes mirrored exactly in
+    * the oracle so double arithmetic is bit-identical):
+    *   tfidf = tf · ln(N / df)
+    *   bm25  = ln((N − df + 0.5)/(df + 0.5) + 1) ·
+    *           tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) */
+  def tfidfBm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val toksDf = docs.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    val tf = toksDf.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toksDf.groupBy("doc_id").agg(count(lit(1)).as("doc_len"))
+    val dft = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("doc_len").as("avgdl"))
+    tf.join(dl, "doc_id")
+      .join(dft, "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
+      .withColumn("bm25",
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+          * (col("tf") * (k1 + 1))
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / col("avgdl"))))
+      .select("doc_id", "token", "tf", "doc_len", "df", "tfidf", "bm25")
+  }
+
   /** Document fingerprinting: normalized-text md5 plus a positional
     * min-hash over character 5-grams — the global min and four
     * position-partitioned mins (i mod 4), a deterministic variant of

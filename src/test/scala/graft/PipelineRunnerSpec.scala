@@ -22,6 +22,25 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(out("monitor_volume").count() === 1)
   }
 
+  test("runCuration: each stage shrinks or holds the corpus; curated docs are canonical and clean") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val out = Pipeline.runCuration(docs, bench,
+      minQuality = 0.2, rates = Map("en" -> 0.5), defaultRate = 1.0)
+    val n0 = docs.count()
+    val counts = Seq("quality_kept", "exact_kept", "near_kept", "decontaminated", "curated")
+      .map(k => k -> out(k).count())
+    // monotone non-increasing through the stages
+    assert(counts.map(_._2).sliding(2).forall(p => p.head >= p.last),
+      s"stage counts must shrink: $counts (from $n0)")
+    assert(counts.last._2 > 0)
+    // benchmark docs themselves never survive decontamination
+    assert(out("decontaminated").join(bench.select("doc_id"), "doc_id").count() === 0)
+    // curated is a subset of decontaminated
+    assert(out("curated").join(out("decontaminated").select("doc_id"), "doc_id").count()
+      === out("curated").count())
+  }
+
   test("cross-stage optimization: fact build reuses the silver lineage plan") {
     val out = Pipeline.runMedallion(spark, sfDir)
     // the fact's analyzed plan embeds the silver dedup window — one

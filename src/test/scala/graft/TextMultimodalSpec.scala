@@ -47,6 +47,24 @@ class TextMultimodalSpec extends SparkSpec {
     assert(fp(1L).getAs[String]("norm_md5") !== fp(3L).getAs[String]("norm_md5"))
   }
 
+  test("tfidf/bm25: rare terms outscore stopwords, scores positive and deterministic") {
+    val scored = TextFunctions.tfidfBm25(docs).cache()
+    assert(scored.count() > 0)
+    assert(scored.filter(col("bm25") <= 0 || col("tfidf") < 0).count() === 0)
+    // a term appearing in every doc has tfidf exactly 0 only if df == n_docs;
+    // generally: per doc, the max-bm25 token must be rarer than the median df
+    val stats = scored.agg(max("df").as("max_df"), min("df").as("min_df")).head()
+    assert(stats.getAs[Long]("max_df") > stats.getAs[Long]("min_df"))
+    val top = scored.withColumn("r",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("bm25").desc, col("token"))))
+      .filter(col("r") === 1)
+    val common = scored.groupBy("token").count().orderBy(col("count").desc)
+      .limit(1).head().getAs[String]("token")
+    // the corpus-wide most common token is never any doc's top-bm25 term
+    assert(top.filter(col("token") === common).count() === 0)
+  }
+
   test("multimodal metadata: byte size and checksum over the payload") {
     val m = Multimodal.metadata(docs).cache()
     assert(m.count() === docs.count())
