@@ -18,21 +18,44 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val cosineName = "graft_cosine_sim"
+  val bucketName = "graft_hyperplane_bucket"
 
   private def cosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"$cosineName expects 2 arguments, got ${exprs.length}")
     CosineSimilarity(exprs.head, exprs(1))
   }
 
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$bucketName's $what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def bucketBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3, s"$bucketName expects 3 arguments, got ${exprs.length}")
+    HyperplaneBuckets(exprs.head,
+      intArg(exprs(1), "nPlanes"), intArg(exprs(2), "planeOffset"))
+  }
+
   /** Register graft functions into an existing session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, cosineBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bucketName, bucketBuilder, "built-in")
+  }
 
   /** Codegen'd one-pass cosine similarity between two array columns. The
     * caller's DataFrame session must have graft functions registered;
     * operators that use this call [[register]] themselves. */
   def cosineSim(a: Column, b: Column): Column = call_function(cosineName, a, b)
+
+  /** Codegen'd one-pass hyperplane-LSH bucket id (all plane dot products
+    * in a single fused loop — see [[HyperplaneBuckets]]). Same
+    * registration contract as [[cosineSim]]. */
+  def hyperplaneBucket(emb: Column, nPlanes: Int, planeOffset: Int): Column =
+    call_function(bucketName, emb,
+      org.apache.spark.sql.functions.lit(nPlanes),
+      org.apache.spark.sql.functions.lit(planeOffset))
 }
 
 /** `spark.sql.extensions` injector (see [[GraftFunctions]]). */
@@ -42,6 +65,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.cosineName),
       new ExpressionInfo(classOf[CosineSimilarity].getName, GraftFunctions.cosineName),
       exprs => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.bucketName),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, GraftFunctions.bucketName),
+      exprs => HyperplaneBuckets(exprs.head,
+        exprs(1).eval().asInstanceOf[Number].intValue(),
+        exprs(2).eval().asInstanceOf[Number].intValue())))
     ()
   }
 }

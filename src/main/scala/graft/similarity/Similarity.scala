@@ -48,18 +48,18 @@ object Similarity {
   /** Sign-pattern LSH bucket id from `nPlanes` LCG hyperplanes starting at
     * global plane index `planeOffset` (distinct offsets give independent
     * hash tables — the LCG coefficient stream is indexed by the GLOBAL
-    * plane number, so table t's planes are disjoint from table t−1's). */
-  def bucketCol(emb: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column = {
-    def planeDot(p: Int): Column = aggregate(
-      transform(sequence(lit(0), lit(dim - 1)), d =>
-        element_at(emb, d + lit(1)).cast("double") *
-          (((lit(1103515245L) * (lit(p.toLong * dim) + d) + lit(12345L)) % 2048L) - 1024L)
-            .cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    (0 until nPlanes)
-      .map(p => when(planeDot(planeOffset + p) >= 0, lit(1 << p)).otherwise(lit(0)))
-      .reduce(_ + _)
-  }
+    * plane number, so table t's planes are disjoint from table t−1's).
+    *
+    * Delegates to the native codegen'd expression
+    * ([[graft.functions.HyperplaneBuckets]]): ONE fused loop computes all
+    * plane dots, vs one interpreted HOF fold per plane — the cost gap
+    * grows with the auto-scaled plane count. The session must have graft
+    * functions registered ([[graft.functions.GraftFunctions.register]];
+    * [[lshTopK]] does it for callers). `dim` must equal the array length
+    * (the expression reads the actual length; the LCG stream is indexed
+    * by it). */
+  def bucketCol(emb: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column =
+    graft.functions.GraftFunctions.hyperplaneBucket(emb, nPlanes, planeOffset)
 
   /** Planes needed so the EXPECTED bucket occupancy stays ~`targetBucket`
     * as the corpus grows: ⌈log₂(N / targetBucket)⌉, floored at 4. A

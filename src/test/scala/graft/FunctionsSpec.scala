@@ -43,6 +43,36 @@ class FunctionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_cosine_sim""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("native hyperplane bucket matches the per-plane HOF folds exactly") {
+    GraftFunctions.register(spark)
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val dim = 64
+    // the reference formulation this expression replaced: one fold per plane
+    def hofBucket(nPlanes: Int, planeOffset: Int) = {
+      def planeDot(p: Int) = aggregate(
+        transform(sequence(lit(0), lit(dim - 1)), d =>
+          element_at(col("embedding"), d + lit(1)).cast("double") *
+            (((lit(1103515245L) * (lit(p.toLong * dim) + d) + lit(12345L)) % 2048L) - 1024L)
+              .cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      (0 until nPlanes)
+        .map(p => when(planeDot(planeOffset + p) >= 0, lit(1 << p)).otherwise(lit(0)))
+        .reduce(_ + _)
+    }
+    Seq((4, 0), (9, 9)).foreach { case (np, off) =>
+      val mismatches = emb.select(
+        GraftFunctions.hyperplaneBucket(col("embedding"), np, off).as("native"),
+        hofBucket(np, off).as("hof"))
+        .filter(col("native") =!= col("hof")).count()
+      assert(mismatches === 0, s"bucket mismatch at nPlanes=$np offset=$off")
+    }
+    // and it stays inside whole-stage codegen
+    val q = emb.select(GraftFunctions.hyperplaneBucket(col("embedding"), 9, 0))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[graft_hyperplane_bucket""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("function is SQL-callable after registration and via extensions injector") {
     GraftFunctions.register(spark)
     import spark.implicits._
