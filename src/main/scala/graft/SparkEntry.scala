@@ -221,6 +221,16 @@ object SparkEntry {
     "monitor_latency" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
+    // as-of join: each event annotated with the user's latest purchase
+    // value at-or-before the event time (union-window formulation — one
+    // key shuffle, no range nested-loop)
+    "q_asof_join" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val purchases = sv.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "ts", "purchase_value_asof")
+    }),
     // §2.5 analytics core
     "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_join" -> ((s, dir) => Analytics.shippingPriority(
@@ -627,6 +637,18 @@ object SparkEntry {
          |       quantile_cont(latency_ms, 0.95) AS p95,
          |       avg(latency_ms) AS mean
          |FROM lat""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the union-window as-of
+    // (>= bound ≡ the right-before-left tie order on the Spark side)
+    "q_asof_join" ->
+      s"""$silverCte,
+         |purch AS (
+         |  SELECT user_id, ts, max(value) AS purchase_value
+         |  FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2
+         |)
+         |SELECT l.event_id, l.user_id, l.ts, r.purchase_value AS purchase_value_asof
+         |FROM silver l ASOF LEFT JOIN purch r
+         |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -6,6 +6,30 @@ import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("as-of join: latest prior payload per key, tie-inclusive, no range nested-loop") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 20L), (3L, 100L, 25L), (4L, 200L, 15L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, 1.0),  // exactly at event 1's ts -> visible to it (>=)
+      (100L, 22L, 2.0),  // between events 2 and 3
+      (200L, 99L, 9.0))  // after event 4 -> never visible
+      .toDF("user_id", "ts", "purchase_value")
+    val out = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"))
+    val byEvent = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(byEvent(1L) === Some(1.0))
+    assert(byEvent(2L) === Some(1.0))
+    assert(byEvent(3L) === Some(2.0))
+    assert(byEvent(4L) === None)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "as-of must plan as union+window, never a range join")
+  }
+
   test("q1 pricing summary: one aggregate pass, bounded group count") {
     val q1 = Analytics.pricingSummary(Tables.lineitem(spark, sfDir)).cache()
     assert(q1.count() > 0 && q1.count() <= 9) // |returnflag| x |linestatus|
