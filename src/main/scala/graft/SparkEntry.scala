@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.analytics.Analytics
+import graft.analytics.{Analytics, RangeJoin}
 import graft.dedup.Dedup
 import graft.features.FeatureEngineering
 import graft.ml.Models
@@ -230,6 +230,16 @@ object SparkEntry {
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
       graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts", Seq("purchase_value"))
         .select("event_id", "user_id", "ts", "purchase_value_asof")
+    }),
+    // range join: orders matched into OVERLAPPING price bands (each order
+    // hits 1-2 bands) through the bucketed equi-join — no nested loop
+    "q_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 700).select(
+        col("id").as("band_id"),
+        (col("id") * 1000.0 - 500.0).as("lo"),
+        (col("id") * 1000.0 + 500.0).as("hi"))
+      RangeJoin.bucketed(Tables.orders(s, dir), bands, "o_totalprice", "lo", "hi", 1000.0)
+        .select("o_orderkey", "o_totalprice", "band_id", "lo", "hi")
     }),
     // §2.5 analytics core
     "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
@@ -637,6 +647,19 @@ object SparkEntry {
          |       quantile_cont(latency_ms, 0.95) AS p95,
          |       avg(latency_ms) AS mean
          |FROM lat""".stripMargin,
+
+    // plain inequality join is the oracle for the bucketed range join
+    "q_range_join" ->
+      """WITH bands AS (
+        |  -- CAST keeps the bounds DOUBLE: DuckDB decimal-literal
+        |  -- arithmetic yields DECIMAL, Spark emits float64
+        |  SELECT b AS band_id,
+        |         b * CAST(1000.0 AS DOUBLE) - 500.0 AS lo,
+        |         b * CAST(1000.0 AS DOUBLE) + 500.0 AS hi
+        |  FROM generate_series(0, 699) t(b)
+        |)
+        |SELECT o_orderkey, o_totalprice, band_id, lo, hi
+        |FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union-window as-of
     // (>= bound ≡ the right-before-left tie order on the Spark side)

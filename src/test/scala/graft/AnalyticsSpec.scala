@@ -6,6 +6,21 @@ import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("range join: values land in every containing interval, bounds half-open, equi-join plan") {
+    import spark.implicits._
+    val points = Seq((1L, 5.0), (2L, 10.0), (3L, 14.9), (4L, 25.0)).toDF("id", "v")
+    val ranges = Seq(("a", 0.0, 10.0), ("b", 5.0, 15.0), ("c", 30.0, 40.0))
+      .toDF("name", "lo", "hi")
+    val out = graft.analytics.RangeJoin.bucketed(points, ranges, "v", "lo", "hi", 4.0)
+      .select("id", "name").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // 5.0 ∈ [0,10) and [5,15) (lo-inclusive); 10.0 ∉ [0,10) (hi-exclusive)
+    assert(out === Set((1L, "a"), (1L, "b"), (2L, "b"), (3L, "b")))
+    val plan = graft.analytics.RangeJoin.bucketed(points, ranges, "v", "lo", "hi", 4.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      "range join must plan as a bucketed equi-join")
+  }
+
   test("as-of join: latest prior payload per key, tie-inclusive, no range nested-loop") {
     import spark.implicits._
     val left = Seq(
