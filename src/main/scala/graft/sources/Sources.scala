@@ -31,6 +31,27 @@ object Sources {
       .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(path)
 
+  /** JSONL (one JSON document per line) → typed frame with the same
+    * bronze-layer contract as the CSV path: explicit schema (inference
+    * double-scans and drifts), PERMISSIVE parse, malformed lines kept in
+    * `_corrupt_record`. The default format for web-scraped / exported
+    * training-data corpora; line-delimited JSON splits cleanly, so a
+    * 100 TB dump parallelizes like any text source. */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** The documents schema for JSONL corpora. */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType, nullable = true),
+    StructField("text", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("source", StringType, nullable = true),
+    StructField("n_chars", LongType, nullable = true)))
+
   /** Generic parquet source with column pruning pushed by construction. */
   def readParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): DataFrame = {
     val df = spark.read.parquet(path)

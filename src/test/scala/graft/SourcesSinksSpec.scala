@@ -27,6 +27,26 @@ class SourcesSinksSpec extends SparkSpec {
     assert(bronze.filter(col("event_date").isNull).count() === 0)
   }
 
+  test("jsonl source: typed docs, corrupt lines flagged, feeds the dedup ops directly") {
+    val dir = Files.createTempDirectory("graft_jsonl").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/docs.jsonl"),
+      """{"doc_id": 1, "text": "alpha beta gamma delta", "lang": "en", "source": "web", "n_chars": 22}
+        |{"doc_id": 2, "text": "alpha beta gamma delta", "lang": "en", "source": "web", "n_chars": 22}
+        |{this is not json at all
+        |{"doc_id": 3, "text": "something else entirely here", "lang": "en"}
+        |""".stripMargin)
+    val df = Sources.readJsonl(spark, dir, Sources.documentsSchema).cache()
+    assert(df.count() === 4)
+    assert(df.filter(col("_corrupt_record").isNotNull).count() === 1)
+    val good = df.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    assert(good.schema("doc_id").dataType.typeName === "long")
+    // partial documents parse with nulls, not corruption
+    assert(good.filter(col("doc_id") === 3 && col("source").isNull).count() === 1)
+    // the jsonl path feeds the dedup suite unchanged
+    val dups = graft.dedup.Dedup.exactDedup(good).filter(col("is_duplicate") === 1)
+    assert(dups.count() === 1)
+  }
+
   test("partitioned sink: layout on disk + dynamic partition overwrite") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sink").toString
