@@ -288,6 +288,12 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // rows-only: the deterministic k-means quantizer has no tractable SQL
+    // equivalent; recall vs brute force is spec-asserted instead
+    "sim_ivf_ann" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
     "sim_lsh_ann" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))

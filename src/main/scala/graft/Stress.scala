@@ -102,6 +102,7 @@ object Stress {
 
     time("ann_auto_planes_10x")(Similarity.lshTopK(emb10x, queries))
     time("ann_const_4planes_10x")(Similarity.lshTopK(emb10x, queries, nPlanes = 4, tables = 1))
+    time("ann_ivf_10x")(Similarity.ivfTopK(emb10x, queries))
 
     spark.stop()
   }

@@ -69,6 +69,74 @@ object Similarity {
   def autoPlanes(corpusSize: Long, targetBucket: Int = 64): Int =
     math.max(4, math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetBucket) / math.log(2)).toInt)
 
+  /** Deterministic IVF (inverted-file) ANN — the coarse-quantizer
+    * counterpart of [[lshTopK]]: partition the corpus into `nlist` cells
+    * around k-means centroids, search only the `nprobe` cells nearest to
+    * each query.
+    *
+    *   - centroids are DETERMINISTIC: seeds = the `nlist` lowest-vec_id
+    *     vectors, refined by `iters` Lloyd rounds (assignment is a
+    *     codegen'd argmax over centroid-literal cosines; the per-round
+    *     collect is nlist×dim means — KB-sized at any corpus scale);
+    *   - the cell id is the ONLY shuffle key; per-query candidate cost is
+    *     nprobe/nlist of the corpus, tunable at query time;
+    *   - recall comes from probing multiple cells (a neighbor is missed
+    *     only when it quantizes outside all probed cells).
+    *
+    * IVF vs LSH trade-off: IVF adapts its partition to the data
+    * distribution (tighter candidate sets on clustered embeddings; the
+    * centroid fit is a light training pass), LSH is data-oblivious (no
+    * fit, stable under distribution drift). Both are O(|C|) build +
+    * sub-linear probe. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+
+    def cosTo(cent: Array[Double]): Column =
+      cosine(col("embedding"), typedLit(cent.toSeq))
+    def cellOf(cents: Array[Array[Double]]): Column =
+      greatest(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosTo(c).as("cos"), lit(i).as("cell"))
+      }: _*).getField("cell")
+
+    val dim = 64
+    var cents: Array[Array[Double]] = corpus.orderBy("vec_id").limit(nlist)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    for (_ <- 0 until iters) {
+      val means = corpus.withColumn("cell", cellOf(cents))
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cell", "dim").agg(avg("v").as("m"))
+        .collect()
+        .groupBy(_.getAs[Int]("cell"))
+      cents = cents.indices.map { c =>
+        means.get(c) match {
+          case Some(rows) =>
+            val m = new Array[Double](dim)
+            rows.foreach(r => m(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
+            m
+          case None => cents(c) // empty cell keeps its seed
+        }
+      }.toArray
+    }
+
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("c_emb"), cellOf(cents).as("cell"))
+    val probed = queries.select(col("vec_id").as("query_id"),
+      col("embedding").as("q_emb"),
+      explode(slice(sort_array(array(cents.zipWithIndex.map { case (ct, i) =>
+        struct(cosTo(ct).as("cos"), lit(i).as("cell"))
+      }: _*), asc = false), 1, nprobe)).as("probe"))
+      .select(col("query_id"), col("q_emb"), col("probe.cell").as("cell"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    c.join(broadcast(probed), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
   /** Bucketed ANN: top-k per query among candidates that share a bucket
     * with the query in ANY of `tables` independent hash tables.
     *

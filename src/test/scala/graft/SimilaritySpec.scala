@@ -45,6 +45,27 @@ class SimilaritySpec extends SparkSpec {
     assert(joined.filter(col("qb0") =!= col("b0") && col("qb1") =!= col("b1")).count() === 0)
   }
 
+  test("ivf ann: deterministic centroids, bounded candidates, decent recall vs brute force") {
+    val ivf = Similarity.ivfTopK(emb, queries, k = 1).cache()
+    // deterministic: same call, same results
+    assert(ivf.exceptAll(Similarity.ivfTopK(emb, queries, k = 1)).count() === 0)
+    // at most k rows per query, never the query itself
+    assert(ivf.groupBy("query_id").count().filter(col("count") > 1).count() === 0)
+    assert(ivf.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // probing 4/16 cells must recall the true top-1 for a majority of
+    // queries on this corpus (embeddings are label-clustered)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("neighbor_id").as("bf_top1"))
+    val hits = ivf.join(bf, "query_id")
+      .filter(col("neighbor_id") === col("bf_top1")).count()
+    assert(hits >= queries.count() / 2, s"ivf recall@1 too low: $hits/${queries.count()}")
+    // ANN cosine can never beat brute force
+    val j = bf.join(Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("cosine").as("bf_cos")), "query_id")
+      .join(ivf.select(col("query_id"), col("cosine").as("ivf_cos")), "query_id")
+    assert(j.filter(col("ivf_cos") > col("bf_cos") + 1e-12).count() === 0)
+  }
+
   test("auto plane count scales with corpus size; multi-table recall never hurts") {
     assert(Similarity.autoPlanes(500) === 4)
     assert(Similarity.autoPlanes(2000) === 5)
