@@ -195,6 +195,9 @@ object SparkEntry {
     "agg_demand_hourly" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_revenue_daily" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    // rows-only: HLL++/quantile sketches are implementation-specific —
+    // the spec asserts approx-vs-exact tolerance instead of an oracle
+    "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
     "dq_summary" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // §2.2 feature engineering

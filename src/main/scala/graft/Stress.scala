@@ -64,6 +64,9 @@ object Stress {
     time("minhash_xxhash64_10x")(Dedup.minhashLsh(dupHeavy, family = Dedup.XxHash64Family))
     time("simhash_10x")(Dedup.simhashPairs(dupHeavy))
     time("dedup_exact_10x")(Dedup.exactDedup(dupHeavy))
+    // label propagation over ~250k near-dup pairs (xx family: cheapest)
+    time("dedup_clusters_10x")(Dedup.dupClusters(dupHeavy,
+      Dedup.minhashLsh(dupHeavy, family = Dedup.XxHash64Family)))
     dupHeavy.unpersist()
 
     // Stop-shingle corpora: every doc ends with the same common phrase

@@ -50,6 +50,24 @@ object DataQuality {
   /** Threshold evaluation on a computed [[summary]] — the driver-facing
     * pass/fail gate (reference run_silver_checks). Only the tiny summary
     * is collected. */
+  /** One-pass sketch profile of a document corpus: exact counts where
+    * cheap, sketches where exact would shuffle the world —
+    * `approx_count_distinct` is HyperLogLog++ (constant memory, ~2% err;
+    * an exact distinct over 100 TB of text is a full-corpus shuffle),
+    * `approx_percentile` is a mergeable quantile sketch. Everything
+    * computes in ONE aggregate over one scan, the same single-pass
+    * discipline as [[summary]]. */
+  def corpusProfile(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(col("text"), rsd = 0.02).as("approx_distinct_texts"),
+      approx_count_distinct(col("source")).as("approx_distinct_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      avg(length(col("text"))).as("avg_chars"),
+      expr("approx_percentile(length(text), array(0.5, 0.95))")
+        .as("chars_p50_p95"),
+      sum(size(split(col("text"), " "))).as("total_ws_tokens"))
+
   def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
     val rows = summaryDf.collect()
     rows.toSeq.map { r =>

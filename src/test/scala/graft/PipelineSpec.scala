@@ -71,4 +71,19 @@ class PipelineSpec extends SparkSpec {
     assert(results.filter(_.name == "event_id").forall(_.passed))
     assert(!results.find(_.name == "value").get.passed)
   }
+
+  test("corpus profile: one-pass sketches land within tolerance of exact answers") {
+    val docs = Tables.documents(spark, sfDir)
+    val p = DataQuality.corpusProfile(docs).head()
+    val nDocs = docs.count()
+    assert(p.getAs[Long]("n_docs") === nDocs)
+    val exactTexts = docs.select("text").distinct().count()
+    val approx = p.getAs[Long]("approx_distinct_texts").toDouble
+    assert(math.abs(approx - exactTexts) <= exactTexts * 0.05,
+      s"HLL distinct $approx too far from exact $exactTexts")
+    assert(p.getAs[Long]("n_langs") === 5)
+    val pcts = p.getAs[scala.collection.Seq[Int]]("chars_p50_p95").map(_.toDouble)
+    assert(pcts.size === 2 && pcts(0) <= pcts(1))
+    assert(p.getAs[Double]("avg_chars") > 0)
+  }
 }
