@@ -195,6 +195,8 @@ object SparkEntry {
     "agg_demand_hourly" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_revenue_daily" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
+    "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
@@ -284,6 +286,16 @@ object SparkEntry {
     "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "text_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
+    // the corpus carries no real PII, so the query salts every doc with a
+    // deterministic email/phone/IP tail — the oracle then actually
+    // exercises the redaction regexes on every row, not a passthrough
+    "text_redact_pii" -> ((s, dir) => TextFunctions.redactPii(
+      Tables.documents(s, dir).withColumn("text",
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or 555-867-5309 from 10.0.0."),
+          (col("doc_id") % 256).cast("string"))))),
+    "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
+    "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // §2.8 similarity search
@@ -303,6 +315,7 @@ object SparkEntry {
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    "stream_sliding" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
     "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
     // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
     // a stream; first-event-wins per key in batch)
@@ -499,6 +512,26 @@ object SparkEntry {
          |       round(sum(value), 2) AS user_revenue,
          |       round(avg(value), 4) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "agg_pivot" ->
+      s"""$silverCte
+         |SELECT zone_id,
+         |       count(*) FILTER (WHERE event_type = 'click') AS click,
+         |       count(*) FILTER (WHERE event_type = 'error') AS error,
+         |       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+         |       count(*) FILTER (WHERE event_type = 'signup') AS signup,
+         |       count(*) FILTER (WHERE event_type = 'view') AS "view"
+         |FROM silver WHERE zone_id IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "agg_percentiles" ->
+      s"""$silverCte
+         |SELECT zone_id, count(*) AS n,
+         |       round(quantile_cont(value, 0.25), 6) AS p25,
+         |       round(quantile_cont(value, 0.5), 6) AS p50,
+         |       round(quantile_cont(value, 0.75), 6) AS p75,
+         |       round(quantile_cont(value, 0.95), 6) AS p95
+         |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
+         |GROUP BY 1""".stripMargin,
 
     "dq_summary" ->
       s"""$silverCte
@@ -923,6 +956,61 @@ object SparkEntry {
         |       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_ws_token
         |FROM documents""".stripMargin,
 
+    // patterns + replacement order mirror TextFunctions.piiPatterns; counts
+    // are over the pre-redaction text on both sides
+    "text_redact_pii" ->
+      """WITH salted AS (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |           || '@example.com or 555-867-5309 from 10.0.0.'
+        |           || CAST(doc_id % 256 AS VARCHAR) AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |         '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b', '<PHONE>', 'g'),
+        |         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |         '\b\d{9,}\b', '<NUM>', 'g') AS redacted,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\b\d{3}[-. ]\d{3}[-. ]\d{4}\b')) AS INTEGER) AS n_phones,
+        |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |       CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS INTEGER) AS n_id_numbers
+        |FROM salted""".stripMargin,
+
+    "text_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |         COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+        |  FROM t
+        |)
+        |SELECT lang, CAST(floor(prior / 2048.0) AS BIGINT) AS pack_id,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1, 2""".stripMargin,
+
+    "text_heavy_hitters" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |),
+        |toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
+        |stats AS (
+        |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+        |  FROM toks GROUP BY 1
+        |),
+        |ranked AS (
+        |  SELECT token, tf, df, row_number() OVER (ORDER BY tf DESC, token) AS "rank"
+        |  FROM stats
+        |)
+        |SELECT token, tf, df, "rank" FROM ranked WHERE "rank" <= 100""".stripMargin,
+
     "text_fingerprint" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS norm,
@@ -975,6 +1063,22 @@ object SparkEntry {
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
          |       event_type, count(*) AS event_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+
+    // each event lands in exactly width/slide = 4 windows; Spark aligns
+    // window starts to epoch multiples of the slide, which 15-minute
+    // hour-truncated arithmetic reproduces exactly
+    "stream_sliding" ->
+      s"""$silverCte
+         |SELECT ws AS window_start,
+         |       ws + INTERVAL 1 HOUR AS window_end,
+         |       event_type, count(*) AS event_count
+         |FROM (
+         |  SELECT date_trunc('hour', ts)
+         |           + to_minutes(CAST(15 * (minute(ts) // 15) - 15 * g.k AS BIGINT)) AS ws,
+         |         event_type
+         |  FROM silver, generate_series(0, 3) g(k)
+         |)
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     "stream_session" ->
       s"""$silverCte,

@@ -43,4 +43,33 @@ object Aggregates {
         count(lit(1)).as("purchase_count"),
         round(sum(col("value")), 2).as("user_revenue"),
         round(avg(col("value")), 4).as("avg_purchase_value"))
+
+  /** Event-type counts pivoted to one column per type, per zone. The pivot
+    * values are EXPLICIT — an open-ended `.pivot(col)` first runs a
+    * distinct-values job over the whole fact to discover the columns;
+    * pinning them keeps this a single groupBy pass with a fixed schema. */
+  def eventTypePivot(fact: DataFrame,
+      types: Seq[String] = Seq("click", "error", "purchase", "signup", "view")): DataFrame =
+    fact
+      .filter(col("zone_id").isNotNull)
+      .groupBy(col("zone_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+
+  /** Per-zone exact value percentiles (p25/p50/p75/p95) on monetary
+    * events. Spark's `percentile` is a partial-aggregable exact sketch per
+    * group — group state is the zone's value set, bounded by the natural
+    * (zone) key; at 100 TB switch callers to `approx_percentile`
+    * ([[graft.quality.DataQuality.corpusProfile]] shows the sketch path). */
+  def valuePercentilesByZone(fact: DataFrame): DataFrame = {
+    def pct(q: Double, name: String) =
+      round(expr(s"percentile(value, $q)"), 6).as(name)
+    fact
+      .filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.95, "p95"))
+  }
 }

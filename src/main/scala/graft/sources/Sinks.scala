@@ -25,6 +25,16 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .parquet(path)
 
+  /** ORC sink, partitioned like [[writePartitioned]] — one call swaps the
+    * storage format without touching any operator. */
+  def writeOrcPartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write
+      .mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .orc(path)
+
   /** Incremental write: replaces ONLY the partitions present in `df`,
     * leaving the rest of the table untouched (idempotent re-run of one
     * day's batch). */

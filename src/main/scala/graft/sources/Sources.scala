@@ -52,6 +52,13 @@ object Sources {
     StructField("source", StringType, nullable = true),
     StructField("n_chars", LongType, nullable = true)))
 
+  /** ORC source (the other columnar warehouse format; schema enforced for
+    * the same no-inference reason as CSV/JSONL). ORC carries predicate
+    * pushdown + column pruning like parquet, so downstream plans are
+    * format-agnostic. */
+  def readOrc(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Generic parquet source with column pruning pushed by construction. */
   def readParquet(spark: SparkSession, path: String, columns: Seq[String] = Nil): DataFrame = {
     val df = spark.read.parquet(path)

@@ -29,6 +29,22 @@ object Streams {
         col("w.end").as("window_end"),
         col("event_type"), col("event_count"))
 
+  /** Sliding-window event counts: `width`-wide windows advancing every
+    * `slide` (each event lands in width/slide overlapping windows). Same
+    * batch/stream duality as [[tumblingCounts]]; streaming state is one
+    * count per open (window, type) — the overlap factor multiplies rows
+    * into the aggregate, not state size, and windows expire with the
+    * watermark. */
+  def slidingCounts(events: DataFrame, width: String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), width, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("event_count"))
+      .select(
+        col("w.start").as("window_start"),
+        col("w.end").as("window_end"),
+        col("event_type"), col("event_count"))
+
   /** Per-user session windows with a 30-minute inactivity gap. A session
     * spans [first_ts, last_ts + gap]; an event exactly `gap` after the
     * previous one MERGES into the session (Spark session_window treats

@@ -116,6 +116,75 @@ object TextFunctions {
       .select("doc_id", "token", "tf", "doc_len", "df", "tfidf", "bm25")
   }
 
+  /** PII redaction patterns, ordered — applied sequentially, so an email
+    * is redacted before the IP pattern could fire inside its domain.
+    * Every pattern is dialect-portable (ASCII classes, `\b`, bounded
+    * quantifiers behave identically in Java regex and RE2/DuckDB). */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("emails", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phones", "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b", "<PHONE>"),
+    ("ips", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b", "<IP>"),
+    ("id_numbers", "\\b\\d{9,}\\b", "<NUM>"))
+
+  /** PII redaction: regex scrub of emails / phone numbers / IPv4 / long id
+    * numbers, with per-category match counts (counted on the ORIGINAL
+    * text, replaced sequentially). Pure `Column` regex — codegen'd,
+    * shuffle-free, scan-speed at any corpus size. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val t = col("text")
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      size(regexp_extract_all(t, lit(pat), lit(0))).as(s"n_$name")
+    }
+    val redacted = piiPatterns.foldLeft(t) { case (c, (_, pat, repl)) =>
+      regexp_replace(c, pat, repl)
+    }
+    docs.select(col("doc_id") +: redacted.as("redacted") +: counts: _*)
+  }
+
+  /** Greedy sequence packing for training-batch assembly: docs are laid
+    * out in deterministic (lang, doc_id) order and cut into fixed
+    * token-budget packs — pack_id = ⌊prior_tokens / budget⌋ over a
+    * running per-lang token count.
+    *
+    * The window partitions by `lang` (in production: by shard key), so
+    * the running sum never needs a global sort; per-partition state is
+    * one counter. Output is one row per pack with doc span + token mass,
+    * the manifest a packing writer consumes. */
+  def packSequences(docs: DataFrame, budget: Int = 2048): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs
+      .select(col("doc_id"), col("lang"),
+        size(filter(toks(col("text")), t => t =!= "")).as("n_tokens"))
+      .withColumn("prior_tokens", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("pack_id", floor(col("prior_tokens") / lit(budget)))
+      .groupBy("lang", "pack_id")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").cast("long").as("pack_tokens"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"))
+  }
+
+  /** Vocabulary heavy hitters: global top-k tokens by total frequency
+    * (ties broken by token for determinism), with document frequency.
+    *
+    * The top-k is `orderBy(...).limit(k)` — Spark plans that as
+    * TakeOrderedAndProject (per-partition top-k heaps merged on the
+    * driver), so the full vocabulary is never globally sorted; the rank
+    * window then runs over only the k surviving rows. */
+  def heavyHitters(docs: DataFrame, k: Int = 100): DataFrame = {
+    val toksDf = docs.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    val stats = toksDf.groupBy("token")
+      .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+    val top = stats.orderBy(col("tf").desc, col("token")).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("token"))
+    top.withColumn("rank", row_number().over(w))
+  }
+
   /** Document fingerprinting: normalized-text md5 plus a positional
     * min-hash over character 5-grams — the global min and four
     * position-partitioned mins (i mod 4), a deterministic variant of

@@ -72,6 +72,27 @@ class PipelineSpec extends SparkSpec {
     assert(!results.find(_.name == "value").get.passed)
   }
 
+  test("event-type pivot: per-zone counts sum back to the zone's event total") {
+    val pivoted = Aggregates.eventTypePivot(silver).cache()
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    val fromPivot = pivoted.agg(sum(types.map(col).reduce(_ + _))).head().getLong(0)
+    assert(fromPivot === silver.filter(col("zone_id").isNotNull).count())
+    // explicit pivot values → no nulls, fixed schema
+    assert(pivoted.columns.toSeq === "zone_id" +: types)
+    assert(types.forall(t => pivoted.filter(col(t).isNull).count() === 0))
+  }
+
+  test("per-zone percentiles: ordered quantiles bounded by min/max") {
+    val p = Aggregates.valuePercentilesByZone(silver).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("p25") > col("p50") || col("p50") > col("p75") ||
+      col("p75") > col("p95")).count() === 0)
+    val bounds = silver.filter(col("event_type") === "purchase")
+      .agg(min("value").as("lo"), max("value").as("hi")).head()
+    assert(p.filter(col("p25") < bounds.getAs[Double]("lo") - 1e-6 ||
+      col("p95") > bounds.getAs[Double]("hi") + 1e-6).count() === 0)
+  }
+
   test("corpus profile: one-pass sketches land within tolerance of exact answers") {
     val docs = Tables.documents(spark, sfDir)
     val p = DataQuality.corpusProfile(docs).head()

@@ -47,6 +47,25 @@ class SourcesSinksSpec extends SparkSpec {
     assert(dups.count() === 1)
   }
 
+  test("orc source/sink: partitioned roundtrip preserves rows, pruning reaches the scan") {
+    import org.apache.spark.sql.types._
+    val out = Files.createTempDirectory("graft_orc").toString
+    val docsDf = Tables.documents(spark, sfDir).select("doc_id", "text", "lang")
+    Sinks.writeOrcPartitioned(docsDf, out, Seq("lang"))
+    assert(new java.io.File(s"$out/lang=en").exists())
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType)))
+    val back = Sources.readOrc(spark, out, schema)
+    assert(back.count() === docsDf.count())
+    assert(back.select("doc_id", "text", "lang")
+      .exceptAll(docsDf.select("doc_id", "text", "lang")).count() === 0)
+    // partition pruning: a lang filter must not scan the other partitions
+    val pruned = back.filter(col("lang") === "en").select("doc_id")
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("lang=en") || !scan.contains("lang=de"), s"expected pruned scan:\n$scan")
+  }
+
   test("partitioned sink: layout on disk + dynamic partition overwrite") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft_sink").toString

@@ -49,6 +49,25 @@ class StreamingSpec extends SparkSpec {
     assert(clicks.getAs[Timestamp]("window_start") === ts("2024-01-01 10:00:00"))
   }
 
+  test("sliding counts: event lands in exactly width/slide windows; stream agrees with batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    mem.addData((1L, ts("2024-01-01 10:05:00"), "click"))
+    val streamed = Streams.slidingCounts(
+      mem.toDF.toDF("event_id", "ts", "event_type").withWatermark("ts", "2 hours"))
+    Streams.toMemorySink(streamed, "sliding_test", OutputMode.Complete())
+    val rows = spark.sql("SELECT * FROM sliding_test").collect()
+    assert(rows.length === 4, "1h window / 15min slide → 4 windows per event")
+    val starts = rows.map(_.getAs[Timestamp]("window_start")).sortBy(_.getTime)
+    assert(starts.head === ts("2024-01-01 09:15:00"))
+    assert(starts.last === ts("2024-01-01 10:00:00"))
+    // batch face of the same transform: total count mass = 4 × events
+    val silver = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, sfDir)))
+    val batch = Streams.slidingCounts(silver)
+    assert(batch.agg(sum("event_count")).head().getLong(0) === 4 * silver.count())
+  }
+
   test("batch and streaming tumbling counts agree on real events") {
     val silver = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, sfDir)))
     val batch = Streams.tumblingCounts(silver)

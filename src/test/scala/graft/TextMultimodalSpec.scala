@@ -34,6 +34,51 @@ class TextMultimodalSpec extends SparkSpec {
     assert(t.filter(col("ws_tokens") <= 0).count() === 0)
   }
 
+  test("pii redaction: emails/phones/ips/ids scrubbed and counted") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "mail me at jane.doe+x@example.org or call 555-123-4567 now"),
+      (2L, "server 192.168.1.100 account 123456789012 ok"),
+      (3L, "nothing sensitive here at all")).toDF("doc_id", "text")
+    val out = TextFunctions.redactPii(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[String]("redacted") === "mail me at <EMAIL> or call <PHONE> now")
+    assert(out(1L).getAs[Int]("n_emails") === 1 && out(1L).getAs[Int]("n_phones") === 1)
+    assert(out(2L).getAs[String]("redacted") === "server <IP> account <NUM> ok")
+    assert(out(2L).getAs[Int]("n_ips") === 1 && out(2L).getAs[Int]("n_id_numbers") === 1)
+    assert(out(3L).getAs[String]("redacted") === "nothing sensitive here at all")
+    assert(out(3L).getAs[Int]("n_emails") === 0)
+  }
+
+  test("sequence packing: token mass conserved, packs dense and non-overlapping per lang") {
+    val packs = TextFunctions.packSequences(docs, budget = 500).cache()
+    val total = packs.agg(sum("pack_tokens")).head().getLong(0)
+    val expected = docs
+      .select(size(filter(split(lower(col("text")), " "), t => t =!= "")).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(total === expected, "every token lands in exactly one pack")
+    packs.select("lang", "pack_id", "first_doc", "last_doc").collect()
+      .groupBy(_.getAs[String]("lang")).foreach { case (lang, rows) =>
+        val sorted = rows.sortBy(_.getAs[Long]("pack_id"))
+        assert(sorted.map(_.getAs[Long]("pack_id")).head === 0L, s"$lang packs start at 0")
+        sorted.sliding(2).filter(_.length == 2).foreach { p =>
+          assert(p(0).getAs[Long]("last_doc") < p(1).getAs[Long]("first_doc"),
+            s"$lang pack doc spans must not overlap")
+        }
+      }
+  }
+
+  test("heavy hitters: k rows, rank follows (tf desc, token), df <= tf") {
+    val hh = TextFunctions.heavyHitters(docs, k = 20).collect()
+    assert(hh.length === 20)
+    assert(hh.map(_.getAs[Int]("rank")).sorted.toSeq === (1 to 20))
+    val byRank = hh.sortBy(_.getAs[Int]("rank"))
+    byRank.sliding(2).filter(_.length == 2).foreach { p =>
+      assert(p(0).getAs[Long]("tf") >= p(1).getAs[Long]("tf"))
+    }
+    assert(hh.forall(r => r.getAs[Long]("df") <= r.getAs[Long]("tf") && r.getAs[Long]("df") > 0))
+  }
+
   test("fingerprint: identical normalized texts get identical fingerprints") {
     import spark.implicits._
     val planted = Seq(
