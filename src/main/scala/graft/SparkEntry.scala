@@ -197,6 +197,7 @@ object SparkEntry {
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
     "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
+    "agg_cumulative" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
@@ -257,6 +258,17 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_semi_anti" -> ((s, dir) => Analytics.orderActivityByNation(
+      Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
+    // salted join: result must equal the plain join (the oracle IS the
+    // plain join); the salt's value shows on skewed corpora (see Stress)
+    "q_skew_join" -> ((s, dir) => {
+      val sv = silver(s, dir).filter(col("zone_id").isNotNull)
+      val zoneDim = sv.groupBy("zone_id").agg(count(lit(1)).as("zone_events"))
+      graft.analytics.SkewJoin.salted(
+        sv.select("event_id", "zone_id"), zoneDim, "zone_id", col("event_id"))
+        .select("event_id", "zone_id", "zone_events")
+    }),
     // §2.7 dedup suite
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
@@ -298,6 +310,11 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
+    // rows-only: the decode pipeline runs end-to-end over the binary
+    // payloads (per-partition decoder init, typed frames out); the decoder
+    // itself is the documented deterministic stub — no codec libs here
+    "mm_decode" -> ((s, dir) =>
+      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // §2.8 similarity search
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -317,6 +334,9 @@ object SparkEntry {
     "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     "stream_sliding" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
     "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
+    // batch face of the stream-stream interval join (clicks × purchases
+    // within 1h per user; streaming spec joins two watermarked streams)
+    "stream_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
     // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
     // a stream; first-event-wins per key in batch)
     "stream_dedup" -> ((s, dir) =>
@@ -333,6 +353,10 @@ object SparkEntry {
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     "ml_surge_rf" -> ((s, dir) =>
       Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
+    // rows-only: impurity-based importances of the fitted RF (reference
+    // demand_forecasting.py:171-173); sums-to-1 is spec-asserted
+    "ml_demand_importances" -> ((s, dir) =>
+      Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
   )
 
   private val featDemandSql: String =
@@ -512,6 +536,19 @@ object SparkEntry {
          |       round(sum(value), 2) AS user_revenue,
          |       round(avg(value), 4) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "agg_cumulative" ->
+      s"""$silverCte,
+         |daily AS (
+         |  SELECT zone_id, event_date AS date, round(sum(value), 2) AS daily_revenue
+         |  FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT zone_id, date, daily_revenue,
+         |       round(sum(daily_revenue) OVER (PARTITION BY zone_id ORDER BY date
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_revenue,
+         |       round(daily_revenue / sum(daily_revenue) OVER (PARTITION BY zone_id), 6) AS revenue_share
+         |FROM daily""".stripMargin,
 
     "agg_pivot" ->
       s"""$silverCte
@@ -773,6 +810,31 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q_semi_anti" ->
+      """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),
+        |flags AS (
+        |  SELECT c_nationkey,
+        |         CASE WHEN o_custkey IS NULL THEN 0 ELSE 1 END AS has_ord
+        |  FROM customer LEFT JOIN ord ON c_custkey = o_custkey
+        |)
+        |SELECT n_name AS nation,
+        |       CAST(sum(has_ord) AS BIGINT) AS active_customers,
+        |       CAST(sum(1 - has_ord) AS BIGINT) AS inactive_customers
+        |FROM flags JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    // the oracle is the UNSALTED join — salting must be invisible in the
+    // result
+    "q_skew_join" ->
+      s"""$silverCte,
+         |zd AS (
+         |  SELECT zone_id, count(*) AS zone_events
+         |  FROM silver WHERE zone_id IS NOT NULL GROUP BY 1
+         |)
+         |SELECT s.event_id, s.zone_id, zd.zone_events
+         |FROM silver s JOIN zd ON s.zone_id = zd.zone_id
+         |WHERE s.zone_id IS NOT NULL""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, md5(lower(text)) AS text_hash,
@@ -1049,6 +1111,16 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "sim_lsh_ann" -> lshAnnOracleSql,
+
+    "stream_join" ->
+      s"""$silverCte
+         |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         |       p.event_id AS purchase_id, p.ts AS purchase_ts,
+         |       p.value AS purchase_value
+         |FROM silver c JOIN silver p
+         |  ON c.user_id = p.user_id
+         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
     "stream_dedup" ->
       """SELECT event_id, ts, user_id FROM (

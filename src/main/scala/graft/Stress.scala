@@ -106,6 +106,26 @@ object Stress {
     time("ann_auto_planes_10x")(Similarity.lshTopK(emb10x, queries))
     time("ann_const_4planes_10x")(Similarity.lshTopK(emb10x, queries, nPlanes = 4, tables = 1))
     time("ann_ivf_10x")(Similarity.ivfTopK(emb10x, queries))
+    emb10x.unpersist()
+
+    // Skewed join: 4M-row fact with 50% of rows on ONE key, 20k-key dim.
+    // Broadcast disabled to model a dim too big to broadcast at 100 TB —
+    // the case where the shuffle join's hot partition is the straggler.
+    // Plain (AQE skew-split active) and explicitly salted, side by side.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val skewFact = spark.range(0, 4000000L).select(
+      col("id").as("row_id"),
+      when(col("id") % 2 === 0, lit(0L))
+        .otherwise(pmod(xxhash64(col("id")), lit(20000L))).as("key"))
+      .repartition(cpus.toInt).cache()
+    println(s"skew corpus: ${skewFact.count()} rows, hottest key holds 50%")
+    val skewDim = spark.range(0, 20000L)
+      .select(col("id").as("key"), (col("id") * 7 % 1000).as("dim_payload"))
+    time("skew_join_plain")(skewFact.join(skewDim, "key"))
+    time("skew_join_salted")(
+      graft.analytics.SkewJoin.salted(skewFact, skewDim, "key", col("row_id")))
+    skewFact.unpersist()
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     spark.stop()
   }

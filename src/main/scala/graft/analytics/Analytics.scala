@@ -86,6 +86,26 @@ object Analytics {
       .filter(col("rank") <= n)
   }
 
+  /** Semi/anti-join surface: per nation, customers WITH at least one order
+    * (left_semi — never duplicates the left side, unlike an inner join to
+    * a dedup'd orders) and customers with NONE (left_anti). Both joins
+    * shuffle only on custkey; the nation dim is broadcast at the end. */
+  def orderActivityByNation(customer: DataFrame, orders: DataFrame, nation: DataFrame): DataFrame = {
+    val ordKeys = orders.select("o_custkey")
+    val active = customer
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("active_customers"))
+    val inactive = customer
+      .join(ordKeys, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("inactive_customers"))
+    active.join(inactive, Seq("c_nationkey"), "full_outer")
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"),
+        coalesce(col("active_customers"), lit(0L)).as("active_customers"),
+        coalesce(col("inactive_customers"), lit(0L)).as("inactive_customers"))
+  }
+
   /** Hierarchical ROLLUP: customers per region → nation with subtotal and
     * grand-total rows (null-filled grouping columns, same convention as
     * ANSI ROLLUP). */

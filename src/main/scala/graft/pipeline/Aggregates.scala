@@ -44,6 +44,26 @@ object Aggregates {
         round(sum(col("value")), 2).as("user_revenue"),
         round(avg(col("value")), 4).as("avg_purchase_value"))
 
+  /** Daily revenue per zone with a running cumulative and each day's share
+    * of the zone total — the window-function face of [[revenueDailyByZone]].
+    * Both windows partition by zone (the data-growing key), so state per
+    * partition is one zone's days; the running sum adds in ascending date
+    * order on both engines, keeping the doubles bit-stable under rounding. */
+  def revenueCumulativeByZone(fact: DataFrame): DataFrame = {
+    val daily = fact
+      .filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+      .groupBy(col("zone_id"), col("event_date").as("date"))
+      .agg(round(sum(col("value")), 2).as("daily_revenue"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("zone_id").orderBy("date")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wTot = org.apache.spark.sql.expressions.Window.partitionBy("zone_id")
+    daily
+      .withColumn("cum_revenue", round(sum("daily_revenue").over(wCum), 2))
+      .withColumn("revenue_share",
+        round(col("daily_revenue") / sum("daily_revenue").over(wTot), 6))
+  }
+
   /** Event-type counts pivoted to one column per type, per zone. The pivot
     * values are EXPLICIT — an open-ended `.pivot(col)` first runs a
     * distinct-values job over the whole fact to discover the columns;

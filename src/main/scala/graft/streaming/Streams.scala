@@ -59,6 +59,30 @@ object Streams {
         col("s.end").as("session_end"),
         col("event_count"))
 
+  /** Click→purchase attribution join: every click matched to the same
+    * user's purchases within `horizon` after it — the stream-stream
+    * interval join (batch face carries the SQL oracle; the streaming spec
+    * joins two watermarked streams with this same function).
+    *
+    * The equi key (user_id) carries the shuffle; the time bounds ride
+    * along as join filters. In streaming, the two-sided time constraint
+    * plus watermarks is exactly what lets Spark bound both join buffers —
+    * state per side is one horizon of events, not the stream's history. */
+  def attributionJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+      .select("click_id", "user_id", "click_ts",
+        "purchase_id", "purchase_ts", "purchase_value")
+  }
+
   /** Streaming dedup: first event wins per key. In batch this is the
     * min-ts row per key (oracle-checkable); on a stream the same call
     * becomes `dropDuplicatesWithinWatermark` state — see

@@ -6,6 +6,31 @@ import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("semi/anti activity: partitions customers exactly, never multiplies the left side") {
+    val cust = Tables.customer(spark, sfDir)
+    val out = Analytics.orderActivityByNation(
+      cust, Tables.orders(spark, sfDir), Tables.nation(spark, sfDir)).cache()
+    val total = out.agg(sum(col("active_customers") + col("inactive_customers")))
+      .head().getLong(0)
+    assert(total === cust.count(), "semi + anti must partition the customers")
+    assert(out.filter(col("active_customers") < 0 || col("inactive_customers") < 0)
+      .count() === 0)
+  }
+
+  test("salted join: equals the plain join row-for-row, hot key spread across salts") {
+    val big = spark.range(0, 10000L).select(
+      col("id").as("row_id"),
+      when(col("id") % 4 === 0, lit(0L)).otherwise(col("id") % 100).as("key"))
+    val small = spark.range(0, 100L)
+      .select(col("id").as("key"), (col("id") * 2).as("payload"))
+    val salted = graft.analytics.SkewJoin.salted(big, small, "key", col("row_id"))
+      .select("key", "row_id", "payload")
+    val plain = big.join(small, "key").select("key", "row_id", "payload")
+    assert(salted.count() === plain.count())
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+  }
+
   test("range join: values land in every containing interval, bounds half-open, equi-join plan") {
     import spark.implicits._
     val points = Seq((1L, 5.0), (2L, 10.0), (3L, 14.9), (4L, 25.0)).toDF("id", "v")

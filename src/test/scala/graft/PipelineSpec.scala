@@ -82,6 +82,16 @@ class PipelineSpec extends SparkSpec {
     assert(types.forall(t => pivoted.filter(col(t).isNull).count() === 0))
   }
 
+  test("cumulative revenue: running total reconciles, shares sum to 1 per zone") {
+    val c = Aggregates.revenueCumulativeByZone(silver).cache()
+    val agg = c.groupBy("zone_id").agg(
+      max("cum_revenue").as("final_cum"), // monotone: purchase values >= 0
+      sum("daily_revenue").as("tot"),
+      sum("revenue_share").as("share_sum"))
+    assert(agg.filter(abs(col("final_cum") - col("tot")) > 0.05).count() === 0)
+    assert(agg.filter(abs(col("share_sum") - 1.0) > 1e-3).count() === 0)
+  }
+
   test("per-zone percentiles: ordered quantiles bounded by min/max") {
     val p = Aggregates.valuePercentilesByZone(silver).cache()
     assert(p.count() > 0)

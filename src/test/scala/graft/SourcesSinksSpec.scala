@@ -47,6 +47,26 @@ class SourcesSinksSpec extends SparkSpec {
     assert(dups.count() === 1)
   }
 
+  test("bucketed tables: equi-join on the bucket key plans with zero shuffle") {
+    val tmp = Files.createTempDirectory("graft_bucket").toString
+    val a = spark.range(0, 10000L).select(col("id").as("key"), (col("id") * 2).as("va"))
+    val b = spark.range(0, 10000L).select(col("id").as("key"), (col("id") * 3).as("vb"))
+    Sinks.writeBucketed(a, "bkt_a", s"$tmp/a", "key", nBuckets = 8)
+    Sinks.writeBucketed(b, "bkt_b", s"$tmp/b", "key", nBuckets = 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "key")
+      assert(joined.count() === 10000L)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("orc source/sink: partitioned roundtrip preserves rows, pruning reaches the scan") {
     import org.apache.spark.sql.types._
     val out = Files.createTempDirectory("graft_orc").toString

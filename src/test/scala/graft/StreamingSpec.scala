@@ -100,6 +100,36 @@ class StreamingSpec extends SparkSpec {
     assert(batchCount === raw.select("event_id").distinct().count())
   }
 
+  test("stream-stream attribution join: two watermarked streams, bounded state, matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.99), // within 1h of click 1
+      (3L, ts("2024-01-01 12:00:00"), 7L, "purchase", 5.00), // beyond 1h → no match
+      (4L, ts("2024-01-01 10:05:00"), 8L, "click", 0.0))     // other user → no match
+    val events = mem.toDF
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "2 hours")
+    val joined = Streams.attributionJoin(events)
+    Streams.toMemorySink(joined, "attr_test", OutputMode.Append())
+    val rows = spark.sql("SELECT * FROM attr_test").collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Long]("click_id") === 1L)
+    assert(rows.head.getAs[Long]("purchase_id") === 2L)
+    assert(rows.head.getAs[Double]("purchase_value") === 9.99)
+    // batch face on the same data agrees
+    val batchDf = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),
+      (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.99),
+      (3L, ts("2024-01-01 12:00:00"), 7L, "purchase", 5.00),
+      (4L, ts("2024-01-01 10:05:00"), 8L, "click", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val batchRows = Streams.attributionJoin(batchDf).collect()
+    assert(batchRows.length === 1 && batchRows.head.getAs[Long]("purchase_id") === 2L)
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
