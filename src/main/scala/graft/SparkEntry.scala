@@ -258,6 +258,9 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
+    "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
+    "q_above_nation_avg" -> ((s, dir) => Analytics.aboveNationAvg(
+      Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_semi_anti" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     // salted join: result must equal the plain join (the oracle IS the
@@ -308,6 +311,7 @@ object SparkEntry {
           (col("doc_id") % 256).cast("string"))))),
     "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
     "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
+    "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -337,6 +341,13 @@ object SparkEntry {
     // batch face of the stream-stream interval join (clicks × purchases
     // within 1h per user; streaming spec joins two watermarked streams)
     "stream_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
+    // batch face of the stream-static enrichment join (identical call on a
+    // readStream frame re-broadcasts the dim per micro-batch, zero state)
+    "stream_enrich" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      Streams.enrichWithDim(sv.select("event_id", "zone_id", "event_type", "value"),
+        Gold.dimZones(sv))
+    }),
     // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
     // a stream; first-event-wins per key in batch)
     "stream_dedup" -> ((s, dir) =>
@@ -811,6 +822,24 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       count(*) AS n_items,
+        |       sum(l_quantity) AS sum_qty,
+        |       sum(l_extendedprice * (1.0 - l_discount)) AS sum_disc_price
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_above_nation_avg" ->
+      """WITH na AS (
+        |  SELECT c_nationkey, avg(c_acctbal) AS nation_avg FROM customer GROUP BY 1
+        |)
+        |SELECT c_custkey, c_name, c_acctbal, n_name AS nation, nation_avg
+        |FROM customer
+        |JOIN na USING (c_nationkey)
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE c_acctbal > nation_avg""".stripMargin,
+
     "q_semi_anti" ->
       """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),
         |flags AS (
@@ -1087,6 +1116,22 @@ object SparkEntry {
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
 
+    "text_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
+        |), t AS (
+        |  SELECT doc_id, ws, len(ws) AS n_words,
+        |         CASE WHEN len(ws) >= 3
+        |              THEN list_transform(range(1, len(ws)-1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |              ELSE []::VARCHAR[] END AS tg
+        |  FROM w
+        |)
+        |SELECT doc_id, n_words, len(tg) AS n_trigrams,
+        |       1 - len(list_distinct(ws)) / nullif(n_words, 0) AS dup_word_frac,
+        |       1 - len(list_distinct(tg)) / nullif(len(tg), 0) AS dup_trigram_frac,
+        |       (1 - len(list_distinct(tg)) / nullif(len(tg), 0)) > 0.2 AS repetitive
+        |FROM t""".stripMargin,
+
     // magic_hex slices the first 4 BYTES (substr over the hex dump), not
     // the first 4 CHARACTERS — Spark's substring on BinaryType is
     // byte-based, and the two diverge on any multi-byte UTF-8 text
@@ -1121,6 +1166,17 @@ object SparkEntry {
          |  ON c.user_id = p.user_id
          | AND c.event_type = 'click' AND p.event_type = 'purchase'
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "stream_enrich" ->
+      s"""$silverCte,
+         |zd AS (
+         |  SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
+         |         'synthetic_city' AS city, 'zone' AS zone_type
+         |  FROM (SELECT DISTINCT zone_id FROM silver WHERE zone_id IS NOT NULL)
+         |)
+         |SELECT s.zone_id, s.event_id, s.event_type, s.value,
+         |       zd.location_id, zd.city, zd.zone_type
+         |FROM silver s LEFT JOIN zd ON s.zone_id = zd.zone_id""".stripMargin,
 
     "stream_dedup" ->
       """SELECT event_id, ts, user_id FROM (

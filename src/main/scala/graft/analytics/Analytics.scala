@@ -106,6 +106,35 @@ object Analytics {
         coalesce(col("inactive_customers"), lit(0L)).as("inactive_customers"))
   }
 
+  /** CUBE over (returnflag, linestatus): all four grouping combinations —
+    * per-pair, per-flag, per-status, grand total — in ONE pass. Spark
+    * expands the cube on the map side and partial-aggregates every
+    * grouping set before the single shuffle, so the fact is scanned once
+    * no matter how many grouping sets the cube implies. */
+  def pricingCube(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        sum("l_quantity").as("sum_qty"),
+        sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"))
+
+  /** Customers whose balance beats their nation's average — the classic
+    * correlated scalar subquery, expressed directly in its decorrelated
+    * form: one partial-agg shuffle builds the 25-row per-nation average,
+    * which is broadcast back onto the customer scan (Catalyst would plan
+    * the subquery form the same way; declaring the join makes the
+    * broadcast explicit and keeps the fact side shuffle-free). */
+  def aboveNationAvg(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val avgs = customer.groupBy("c_nationkey").agg(avg("c_acctbal").as("nation_avg"))
+    customer
+      .join(broadcast(avgs), "c_nationkey")
+      .filter(col("c_acctbal") > col("nation_avg"))
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        col("n_name").as("nation"), col("nation_avg"))
+  }
+
   /** Hierarchical ROLLUP: customers per region → nation with subtotal and
     * grand-total rows (null-filled grouping columns, same convention as
     * ANSI ROLLUP). */

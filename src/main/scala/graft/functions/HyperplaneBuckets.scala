@@ -68,23 +68,30 @@ case class HyperplaneBuckets(child: Expression, nPlanes: Int, planeOffset: Int)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val v = if (isFloat) s"(double) $a.getFloat(d)" else s"$a.getDouble(d)"
+      // all locals freshName'd — a bare `d`/`p`/`v`/`idx` would shadow any
+      // same-named local in the enclosing generated scope, which Janino
+      // rejects, silently dropping the projection to interpreted eval
       val acc = ctx.freshName("acc")
       val n = ctx.freshName("n")
       val bucket = ctx.freshName("bucket")
+      val d = ctx.freshName("d")
+      val p = ctx.freshName("p")
+      val vv = ctx.freshName("v")
+      val idx = ctx.freshName("idx")
+      val v = if (isFloat) s"(double) $a.getFloat($d)" else s"$a.getDouble($d)"
       s"""
          |int $n = $a.numElements();
          |double[] $acc = new double[$nPlanes];
-         |for (int d = 0; d < $n; d++) {
-         |  double v = $v;
-         |  for (int p = 0; p < $nPlanes; p++) {
-         |    long idx = ($planeOffset + p) * (long) $n + d;
-         |    $acc[p] += v * (double) ((1103515245L * idx + 12345L) % 2048L - 1024L);
+         |for (int $d = 0; $d < $n; $d++) {
+         |  double $vv = $v;
+         |  for (int $p = 0; $p < $nPlanes; $p++) {
+         |    long $idx = ($planeOffset + $p) * (long) $n + $d;
+         |    $acc[$p] += $vv * (double) ((1103515245L * $idx + 12345L) % 2048L - 1024L);
          |  }
          |}
          |int $bucket = 0;
-         |for (int p = 0; p < $nPlanes; p++) {
-         |  if ($acc[p] >= 0) $bucket |= (1 << p);
+         |for (int $p = 0; $p < $nPlanes; $p++) {
+         |  if ($acc[$p] >= 0) $bucket |= (1 << $p);
          |}
          |${ev.value} = $bucket;
        """.stripMargin

@@ -83,6 +83,15 @@ object Streams {
         "purchase_id", "purchase_ts", "purchase_value")
   }
 
+  /** Stream-static enrichment: events joined to a (bounded) dimension.
+    * On a streaming `events` this is Spark's stream-static join — the
+    * static side is re-broadcast per micro-batch, no state store at all
+    * (unlike stream-stream joins); on a batch frame the identical call is
+    * a plain broadcast join, which carries the SQL oracle. The left join
+    * keeps dimension gaps visible instead of silently dropping events. */
+  def enrichWithDim(events: DataFrame, dim: DataFrame, key: String = "zone_id"): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
   /** Streaming dedup: first event wins per key. In batch this is the
     * min-ts row per key (oracle-checkable); on a stream the same call
     * becomes `dropDuplicatesWithinWatermark` state — see

@@ -185,6 +185,37 @@ object TextFunctions {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Within-document repetition metrics — the classic repetitive-document
+    * quality filter for training corpora (duplicate-word and duplicate-
+    * trigram fractions; a crawl page of boilerplate lists scores high,
+    * natural prose scores near zero on trigrams).
+    *
+    * Pure Column HOFs over the token array — shuffle-free, scan-speed,
+    * and `when`-free on purpose (a CASE around a higher-order function
+    * drops the projection out of codegen, ~30×): the trigram array
+    * overshoots to at least one index (`try_element_at` nulls past the
+    * end, `concat_ws` skips them) and slices back to the n−2 valid
+    * prefix, which is empty for docs under 3 words. */
+  def repetition(docs: DataFrame, threshold: Double = 0.2): DataFrame = {
+    val ws = col("ws")
+    val tgRaw = transform(
+      sequence(lit(1), greatest(col("n_words") - 2, lit(1))),
+      i => concat_ws(" ", try_element_at(ws, i), try_element_at(ws, i + 1),
+        try_element_at(ws, i + 2)))
+    docs
+      .withColumn("ws", split(col("text"), " "))
+      .withColumn("n_words", size(ws))
+      .withColumn("tg", slice(tgRaw, lit(1), greatest(col("n_words") - 2, lit(0))))
+      .withColumn("dup_word_frac",
+        lit(1) - size(array_distinct(ws)) / nullif(col("n_words"), lit(0)))
+      .withColumn("dup_trigram_frac",
+        lit(1) - size(array_distinct(col("tg"))) / nullif(size(col("tg")), lit(0)))
+      .select(
+        col("doc_id"), col("n_words"), size(col("tg")).as("n_trigrams"),
+        col("dup_word_frac"), col("dup_trigram_frac"),
+        (col("dup_trigram_frac") > threshold).as("repetitive"))
+  }
+
   /** Document fingerprinting: normalized-text md5 plus a positional
     * min-hash over character 5-grams — the global min and four
     * position-partitioned mins (i mod 4), a deterministic variant of

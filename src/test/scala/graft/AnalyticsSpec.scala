@@ -6,6 +6,35 @@ import graft.analytics.Analytics
 
 class AnalyticsSpec extends SparkSpec {
 
+  test("cube: all four grouping sets in one pass, grand total equals row count") {
+    val li = Tables.lineitem(spark, sfDir)
+    val cube = Analytics.pricingCube(li)
+    val rows = cube.collect()
+    val grand = rows.filter(r => r.isNullAt(0) && r.isNullAt(1))
+    assert(grand.length === 1)
+    assert(grand.head.getAs[Long]("n_items") === li.count())
+    val flags = li.select("l_returnflag").distinct().count()
+    val stats = li.select("l_linestatus").distinct().count()
+    val pairs = li.select("l_returnflag", "l_linestatus").distinct().count()
+    assert(rows.length === pairs + flags + stats + 1)
+    // one pass: a cube must not scan the fact once per grouping set
+    // (sparkPlan, not executedPlan — AQE's string repr prints the scan
+    // twice, once under Final Plan and once under Initial Plan)
+    val scans = cube.queryExecution.sparkPlan.toString
+      .linesIterator.count(_.contains("Scan parquet"))
+    assert(scans <= 1, "cube must expand grouping sets, not union scans")
+    assert(cube.queryExecution.sparkPlan.toString.contains("Expand"))
+  }
+
+  test("above-nation-avg: every kept row beats its nation average, avgs broadcast") {
+    val out = Analytics.aboveNationAvg(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir)).cache()
+    assert(out.count() > 0)
+    assert(out.filter(col("c_acctbal") <= col("nation_avg")).count() === 0)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "nation avgs must broadcast")
+  }
+
   test("semi/anti activity: partitions customers exactly, never multiplies the left side") {
     val cust = Tables.customer(spark, sfDir)
     val out = Analytics.orderActivityByNation(

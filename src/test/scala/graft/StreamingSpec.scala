@@ -130,6 +130,22 @@ class StreamingSpec extends SparkSpec {
     assert(batchRows.length === 1 && batchRows.head.getAs[Long]("purchase_id") === 2L)
   }
 
+  test("stream-static enrich: dim joined per micro-batch, no state store, gaps kept") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((10L, "downtown"), (20L, "airport")).toDF("zone_id", "zone_name")
+    val mem = MemoryStream[(Long, Long)]
+    mem.addData((1L, 10L), (2L, 20L), (3L, 99L)) // 99 has no dim row
+    val enriched = Streams.enrichWithDim(
+      mem.toDF.toDF("event_id", "zone_id"), dim)
+    Streams.toMemorySink(enriched, "enrich_test", OutputMode.Append())
+    val rows = spark.sql("SELECT * FROM enrich_test").collect()
+    assert(rows.length === 3, "left join must keep dim-less events")
+    val byId = rows.map(r => r.getAs[Long]("event_id") -> r).toMap
+    assert(byId(1L).getAs[String]("zone_name") === "downtown")
+    assert(byId(3L).isNullAt(byId(3L).fieldIndex("zone_name")))
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

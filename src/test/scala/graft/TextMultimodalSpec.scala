@@ -34,6 +34,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(t.filter(col("ws_tokens") <= 0).count() === 0)
   }
 
+  test("repetition: boilerplate flags, natural prose doesn't, short docs null out") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "buy now click here buy now click here buy now click here buy now click here"),
+      (2L, "each word in this perfectly natural sentence appears exactly once overall"),
+      (3L, "too short")).toDF("doc_id", "text")
+    val out = TextFunctions.repetition(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("repetitive"), "looped boilerplate must flag")
+    assert(out(1L).getAs[Double]("dup_trigram_frac") > 0.5)
+    assert(!out(2L).getAs[Boolean]("repetitive"))
+    assert(out(2L).getAs[Double]("dup_trigram_frac") === 0.0)
+    assert(out(3L).getAs[Int]("n_trigrams") === 0)
+    assert(out(3L).isNullAt(out(3L).fieldIndex("dup_trigram_frac")))
+    // corpus-wide: fractions bounded, trigram count = max(words-2, 0)
+    val rep = TextFunctions.repetition(docs)
+    assert(rep.filter(col("n_trigrams") =!= greatest(col("n_words") - 2, lit(0))).count() === 0)
+    assert(rep.filter(col("dup_word_frac") < 0.0 || col("dup_word_frac") > 1.0).count() === 0)
+  }
+
   test("pii redaction: emails/phones/ips/ids scrubbed and counted") {
     import spark.implicits._
     val planted = Seq(
