@@ -261,6 +261,8 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
     "q_above_nation_avg" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
+    "q_window_funcs" -> ((s, dir) => Analytics.balanceWindows(
+      Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_semi_anti" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     // salted join: result must equal the plain join (the oracle IS the
@@ -320,6 +322,13 @@ object SparkEntry {
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // §2.8 similarity search
+    // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
+    // lowest vec_ids) — no tractable SQL equivalent; determinism + full
+    // coverage spec-asserted
+    "ml_embed_kmeans" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
+    }),
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
@@ -839,6 +848,16 @@ object SparkEntry {
         |JOIN na USING (c_nationkey)
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > nation_avg""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT n_name AS nation, c_custkey, c_acctbal,
+        |       rank() OVER w AS bal_rank,
+        |       percent_rank() OVER w AS bal_pct,
+        |       ntile(4) OVER w AS bal_quartile,
+        |       lag(c_acctbal, 1) OVER w AS prev_bal,
+        |       lead(c_acctbal, 1) OVER w AS next_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
 
     "q_semi_anti" ->
       """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),

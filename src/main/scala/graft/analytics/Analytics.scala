@@ -135,6 +135,28 @@ object Analytics {
         col("n_name").as("nation"), col("nation_avg"))
   }
 
+  /** The analytic-window suite over one partition pass: per-nation balance
+    * rank, percent_rank, quartile (ntile), and neighboring balances
+    * (lag/lead). All five functions share ONE window spec, so Spark plans
+    * a single partition-sort and evaluates them in the same Window
+    * operator — adding a function costs nothing extra. The partition key
+    * (nation) keeps per-partition state at customers-per-nation; the
+    * (acctbal DESC, custkey) order is a deterministic total order, which
+    * ntile/rank parity across engines requires. */
+  def balanceWindows(customer: DataFrame, nation: DataFrame): DataFrame = {
+    val w = Window.partitionBy("c_nationkey")
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .select(
+        col("n_name").as("nation"), col("c_custkey"), col("c_acctbal"),
+        rank().over(w).as("bal_rank"),
+        percent_rank().over(w).as("bal_pct"),
+        ntile(4).over(w).as("bal_quartile"),
+        lag("c_acctbal", 1).over(w).as("prev_bal"),
+        lead("c_acctbal", 1).over(w).as("next_bal"))
+  }
+
   /** Hierarchical ROLLUP: customers per region → nation with subtotal and
     * grand-total rows (null-filled grouping columns, same convention as
     * ANSI ROLLUP). */

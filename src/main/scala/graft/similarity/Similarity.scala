@@ -88,18 +88,21 @@ object Similarity {
     * centroid fit is a light training pass), LSH is data-oblivious (no
     * fit, stable under distribution drift). Both are O(|C|) build +
     * sub-linear probe. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(corpus.sparkSession)
+  private def cosTo(cent: Array[Double]): Column =
+    cosine(col("embedding"), typedLit(cent.toSeq))
 
-    def cosTo(cent: Array[Double]): Column =
-      cosine(col("embedding"), typedLit(cent.toSeq))
-    def cellOf(cents: Array[Array[Double]]): Column =
-      greatest(cents.zipWithIndex.map { case (c, i) =>
-        struct(cosTo(c).as("cos"), lit(i).as("cell"))
-      }: _*).getField("cell")
+  /** Codegen'd argmax-by-cosine cell assignment over centroid literals. */
+  private def cellOf(cents: Array[Array[Double]]): Column =
+    greatest(cents.zipWithIndex.map { case (c, i) =>
+      struct(cosTo(c).as("cos"), lit(i).as("cell"))
+    }: _*).getField("cell")
 
-    val dim = 64
+  /** Deterministic Lloyd k-means over an embedding column: seeds = the
+    * `nlist` lowest-vec_id vectors, `iters` refinement rounds. Each round
+    * is one distributed pass; the only driver traffic is the nlist×dim
+    * centroid means (KB-sized at any corpus scale). */
+  def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+      dim: Int = 64): Array[Array[Double]] = {
     var cents: Array[Array[Double]] = corpus.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray)
@@ -119,6 +122,25 @@ object Similarity {
         }
       }.toArray
     }
+    cents
+  }
+
+  /** Cluster assignment for a fitted [[kmeansFit]] model: every vector's
+    * cell plus its cosine to the winning centroid — shuffle-free (the
+    * centroids ride along as literals in a codegen'd projection). */
+  def kmeansAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    corpus.select(
+      col("vec_id"),
+      cellOf(cents).as("cell"),
+      greatest(cents.map(c => cosTo(c)): _*).as("centroid_cosine"))
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, iters: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+
+    val cents = kmeansFit(corpus, nlist, iters)
 
     val c = corpus.select(col("vec_id").as("neighbor_id"),
       col("embedding").as("c_emb"), cellOf(cents).as("cell"))

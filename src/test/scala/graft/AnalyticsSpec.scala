@@ -35,6 +35,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), "nation avgs must broadcast")
   }
 
+  test("window suite: five functions share one partition-sort, values consistent") {
+    val out = Analytics.balanceWindows(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+    // plan first, uncached (a cached frame's plan string embeds the
+    // InMemoryRelation's stored plan and double-counts operators): a
+    // shared window spec means ONE shuffle and ONE sort feed all five
+    // window functions
+    val plan = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.SimpleMode)
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"five window functions must share one shuffle:\n$plan")
+    assert(plan.linesIterator.count(_.contains("Sort [")) === 1,
+      s"five window functions must share one sort:\n$plan")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => { val q = r.getAs[Int]("bal_quartile"); q >= 1 && q <= 4 }))
+    assert(rows.forall(r => { val p = r.getAs[Double]("bal_pct"); p >= 0.0 && p <= 1.0 }))
+    // rank 1 rows have no prev; every other row's prev >= own balance
+    assert(rows.forall(r => r.getAs[Int]("bal_rank") != 1 || r.isNullAt(r.fieldIndex("prev_bal"))))
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("prev_bal")) ||
+      r.getAs[Double]("prev_bal") >= r.getAs[Double]("c_acctbal")))
+  }
+
   test("semi/anti activity: partitions customers exactly, never multiplies the left side") {
     val cust = Tables.customer(spark, sfDir)
     val out = Analytics.orderActivityByNation(

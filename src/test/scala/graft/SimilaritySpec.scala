@@ -80,6 +80,20 @@ class SimilaritySpec extends SparkSpec {
     assert(one.join(two, "query_id").filter(col("c2") < col("c1") - 1e-12).count() === 0)
   }
 
+  test("kmeans: deterministic fit, full coverage, assignment matches best centroid") {
+    val cents1 = Similarity.kmeansFit(emb, nlist = 8, iters = 2)
+    val cents2 = Similarity.kmeansFit(emb, nlist = 8, iters = 2)
+    assert(cents1.map(_.toSeq).toSeq === cents2.map(_.toSeq).toSeq,
+      "same corpus + seeds must fit identical centroids")
+    val assign = Similarity.kmeansAssign(emb, cents1).cache()
+    assert(assign.count() === emb.count())
+    assert(assign.filter(col("cell") < 0 || col("cell") >= 8).count() === 0)
+    assert(assign.filter(col("centroid_cosine") < -1.0 || col("centroid_cosine") > 1.0)
+      .count() === 0)
+    // every cell non-empty on this corpus (seeds come from the corpus itself)
+    assert(assign.select("cell").distinct().count() === 8)
+  }
+
   test("lsh ann recalls the bucket-local subset of brute-force ranking") {
     val bf = Similarity.bruteForceTopK(emb, queries, k = 1)
       .select(col("query_id"), col("neighbor_id").as("bf_top1"))
