@@ -71,6 +71,39 @@ object Pipeline {
     medallion ++ runScoring(silver) ++ runMonitoring(silver, splitDate)
   }
 
+  /** Incremental medallion: process ONLY `dates` and dynamic-overwrite
+    * exactly those partitions of the date-partitioned silver sink.
+    *
+    * This is the daily-production shape at 100 TB: the filter prunes the
+    * work to the new dates (on a date-partitioned source the scan itself
+    * is pruned; here the date derives from `ts`, so the filter runs at
+    * scan speed instead), and `overwritePartitions` makes re-runs
+    * IDEMPOTENT — replaying a date replaces that partition byte-for-byte
+    * instead of appending duplicates, the same guarantee the reference
+    * gets from Delta MERGE. Untouched partitions are never rewritten. */
+  def runIncremental(spark: SparkSession, dir: String, sinkPath: String,
+      dates: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val silver = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir)))
+      .filter(col("event_date").isin(dates.map(java.sql.Date.valueOf): _*))
+    graft.sources.Sinks.overwritePartitions(silver, sinkPath, Seq("event_date"))
+    spark.read.parquet(sinkPath)
+  }
+
+  /** Dates present in the source but absent from the sink — the discovery
+    * half of incremental processing. Both sides are tiny distinct-date
+    * aggregates; the sink side reads partition directories only. */
+  def newDates(spark: SparkSession, dir: String, sinkPath: String): Seq[String] = {
+    import org.apache.spark.sql.functions._
+    val src = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir)))
+      .select(col("event_date")).distinct()
+    val have =
+      try spark.read.parquet(sinkPath).select(col("event_date")).distinct()
+      catch { case _: Exception => return src.collect().map(_.get(0).toString).sorted.toSeq }
+    src.join(have, Seq("event_date"), "left_anti")
+      .collect().map(_.get(0).toString).sorted.toSeq
+  }
+
   /** Training-data curation stage — the LLM-corpus counterpart of the
     * medallion flow, chaining the §2.7-§2.9 operators the way a real
     * corpus pipeline runs them:

@@ -142,6 +142,26 @@ object Streams {
   }
 
   /** Convenience writer used by specs and examples: stream → memory sink. */
+  /** Idempotent partitioned parquet sink via foreachBatch: every
+    * micro-batch dynamic-overwrites exactly the date partitions it
+    * carries. Replaying a batch after a failure rewrites the same
+    * partitions to the same bytes instead of appending duplicates —
+    * exactly-once OUTPUT from at-least-once delivery, provided each
+    * partition's rows arrive within one batch (the contract for
+    * replay/backfill feeds; for cross-batch keys use
+    * [[dedupedStream]] upstream). This is the streaming face of
+    * `Sinks.overwritePartitions` / the reference's Delta MERGE sink. */
+  def toPartitionedSink(df: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("event_date")): Unit = {
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sources.Sinks.overwritePartitions(batch, path, partitionCols)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ()
+  }
+
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
     df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -6,6 +6,25 @@ import graft.pipeline.Pipeline
 
 class PipelineRunnerSpec extends SparkSpec {
 
+  test("incremental runs: only listed dates land, re-runs idempotent, discovery finds the gap") {
+    val sink = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val d1 = Pipeline.runIncremental(spark, sfDir, sink, Seq("2024-01-01"))
+    assert(d1.select("event_date").distinct().count() === 1)
+    val c1 = d1.count()
+    assert(c1 > 0)
+    Pipeline.runIncremental(spark, sfDir, sink, Seq("2024-01-02"))
+    val after2 = spark.read.parquet(sink)
+    assert(after2.select("event_date").distinct().count() === 2)
+    val c2 = after2.count()
+    // replaying date 1 rewrites its partition, never appends
+    Pipeline.runIncremental(spark, sfDir, sink, Seq("2024-01-01"))
+    assert(spark.read.parquet(sink).count() === c2, "replay must be idempotent")
+    // discovery: both processed dates excluded, the rest of the month remains
+    val nd = Pipeline.newDates(spark, sfDir, sink)
+    assert(!nd.contains("2024-01-01") && !nd.contains("2024-01-02"))
+    assert(nd.nonEmpty)
+  }
+
   test("runAll composes every stage over one shared silver lineage") {
     val out = Pipeline.runAll(spark, sfDir)
     val expected = Set(
