@@ -314,6 +314,7 @@ object SparkEntry {
     "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
     "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
+    "corpus_report" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -1134,6 +1135,16 @@ object SparkEntry {
         |       CASE WHEN n_k >= 3 THEN list_aggregate(list_transform(generate_series(3, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_2,
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
+
+    "corpus_report" ->
+      """SELECT lang, source,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       avg(n_chars) AS avg_chars,
+        |       min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars,
+        |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY 1, 2""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

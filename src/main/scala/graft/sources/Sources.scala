@@ -64,4 +64,14 @@ object Sources {
     val df = spark.read.parquet(path)
     if (columns.isEmpty) df else df.select(columns.map(col): _*)
   }
+
+  /** Parquet source tolerant of schema drift across files: `mergeSchema`
+    * unions every file's footer schema, so a column added mid-stream
+    * (the normal state of a months-old 100 TB landing zone) reads as null
+    * on older files instead of failing or silently disappearing —
+    * without it, Spark reads ONE footer and drops columns that file
+    * lacks. Footer merging costs one metadata pass at planning; data
+    * scans are unchanged, pruning/pushdown still apply. */
+  def readParquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }

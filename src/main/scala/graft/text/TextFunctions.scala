@@ -185,6 +185,22 @@ object TextFunctions {
     top.withColumn("rank", row_number().over(w))
   }
 
+  /** Corpus composition report: one partial-agg pass over the documents
+    * grouped by (lang, source) — doc counts, char/token mass, length
+    * spread. The grouping key is tiny (languages × sources) so the
+    * shuffle moves only partial aggregates; this is the curation
+    * dashboard a data-mix owner reads before sampling rates are set. */
+  def corpusReport(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(col("lang"), col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        avg(col("n_chars")).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(size(toks(col("text"))).cast("long")).as("total_tokens"))
+
   /** Within-document repetition metrics — the classic repetitive-document
     * quality filter for training corpora (duplicate-word and duplicate-
     * trigram fractions; a crawl page of boilerplate lists scores high,

@@ -47,6 +47,19 @@ class SourcesSinksSpec extends SparkSpec {
     assert(dups.count() === 1)
   }
 
+  test("merged-schema parquet: drifted files union their columns, old files read null") {
+    val tmp = Files.createTempDirectory("graft_drift").toString
+    spark.range(0, 5L).select(col("id"), (col("id") * 2).as("v1"))
+      .write.parquet(s"$tmp/batch=1")
+    spark.range(5L, 10L).select(col("id"), (col("id") * 2).as("v1"), lit("new").as("v2"))
+      .write.parquet(s"$tmp/batch=2")
+    val merged = Sources.readParquetMerged(spark, tmp)
+    assert(merged.columns.toSet === Set("id", "v1", "v2", "batch"))
+    assert(merged.count() === 10)
+    assert(merged.filter(col("v2").isNull).count() === 5, "pre-drift files read null")
+    assert(merged.filter(col("v2") === "new").count() === 5)
+  }
+
   test("bucketed tables: equi-join on the bucket key plans with zero shuffle") {
     val tmp = Files.createTempDirectory("graft_bucket").toString
     val a = spark.range(0, 10000L).select(col("id").as("key"), (col("id") * 2).as("va"))

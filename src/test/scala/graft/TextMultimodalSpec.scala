@@ -34,6 +34,15 @@ class TextMultimodalSpec extends SparkSpec {
     assert(t.filter(col("ws_tokens") <= 0).count() === 0)
   }
 
+  test("corpus report: one row per (lang, source), masses reconcile with the corpus") {
+    val rep = TextFunctions.corpusReport(docs).cache()
+    assert(rep.count() === docs.select("lang", "source").distinct().count())
+    val total = rep.agg(sum("n_docs"), sum("total_chars")).head()
+    assert(total.getLong(0) === docs.count())
+    assert(total.getLong(1) === docs.agg(sum("n_chars")).head().getLong(0))
+    assert(rep.filter(col("min_chars") > col("max_chars")).count() === 0)
+  }
+
   test("repetition: boilerplate flags, natural prose doesn't, short docs null out") {
     import spark.implicits._
     val planted = Seq(
