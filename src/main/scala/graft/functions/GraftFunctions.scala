@@ -36,12 +36,19 @@ object GraftFunctions {
       intArg(exprs(1), "nPlanes"), intArg(exprs(2), "planeOffset"))
   }
 
-  /** Register graft functions into an existing session (idempotent). */
+  /** Register graft functions into an existing session (idempotent), plus
+    * the HOF-cosine auto-acceleration rule (see
+    * [[graft.plans.CosineRewriteRule]]) via experimental
+    * extraOptimizations — the per-session counterpart of the
+    * [[GraftExtensions]] injector. */
   def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       cosineName, cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bucketName, bucketBuilder, "built-in")
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.CosineRewriteRule))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.CosineRewriteRule
   }
 
   /** Codegen'd one-pass cosine similarity between two array columns. The
@@ -71,6 +78,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    // portable HOF cosine → fused native kernel, for every session query
+    ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
     ()
   }
 }

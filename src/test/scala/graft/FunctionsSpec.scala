@@ -23,6 +23,34 @@ class FunctionsSpec extends SparkSpec {
     assert(diff === 0.0, "codegen'd cosine must be bit-identical to the fold")
   }
 
+  test("optimizer rule rewrites portable HOF cosine into the native kernel, floats untouched") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    // parquet-backed, not a local Seq — ConvertToLocalRelation would
+    // constant-fold a LocalRelation before the plan can be inspected
+    val df = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("a"))
+      .withColumn("b", reverse(col("a")))
+    def foldDot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (u, v) => u * v), lit(0.0), (acc, v) => acc + v)
+    def hofCos(a: Column, b: Column) =
+      foldDot(a, b) / (sqrt(foldDot(a, a)) * sqrt(foldDot(b, b)))
+    val q = df.select(hofCos(col("a"), col("b")).as("cos"))
+    assert(q.queryExecution.optimizedPlan.toString.contains("graft_cosine_sim"),
+      s"HOF cosine must rewrite to the native kernel:\n${q.queryExecution.optimizedPlan}")
+    val native = df.select(GraftFunctions.cosineSim(col("a"), col("b")).as("cos"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(q.collect().map(_.getDouble(0)).toSeq === native)
+    // float arrays stay un-rewritten: the lambda multiplies in float
+    // precision, the kernel in double — a rewrite would change results
+    val fdf = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("embedding").as("a")).withColumn("b", reverse(col("a")))
+    val fq = fdf.select(hofCos(col("a"), col("b")).as("cos"))
+    assert(!fq.queryExecution.optimizedPlan.toString.contains("graft_cosine_sim"))
+  }
+
   test("native cosine participates in whole-stage codegen and evals interpreted too") {
     GraftFunctions.register(spark)
     import spark.implicits._
