@@ -128,6 +128,9 @@ object Streams {
     * mapGroupsWithState (the arbitrary-state API; the built-in windowed
     * aggs above cover everything expressible declaratively). */
   case class UserCount(user_id: Long, events: Long)
+  case class SessionAgg(start: Long, last: Long, count: Long)
+  case class FinalSession(user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, event_count: Long)
 
   def runningUserCounts(spark: SparkSession, events: Dataset[(Long, java.sql.Timestamp)]): Dataset[UserCount] = {
     import spark.implicits._
@@ -141,7 +144,59 @@ object Streams {
       }
   }
 
-  /** Convenience writer used by specs and examples: stream → memory sink. */
+  /** Per-user sessions FINALIZED by the event-time watermark — the
+    * flatMapGroupsWithState tier of the streaming API: arbitrary state
+    * (one open session per user) plus an event-time TIMEOUT that emits
+    * the closed session once the watermark passes `gap` beyond its last
+    * event. The built-in `session_window` aggregation can only aggregate;
+    * this shape is for when session CLOSURE itself is the event a
+    * downstream consumer needs (billing a completed ride, expiring a
+    * cart) and arbitrary per-key state must ride along.
+    *
+    * State per user is one SessionAgg; the timeout clock is event time,
+    * so reprocessing old data replays identically. Sessions that close
+    * WITHIN a batch (a gap between two events of the same micro-batch)
+    * emit immediately; the open tail emits on timeout. */
+  def finalizedSessions(spark: SparkSession,
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMinutes: Int = 30, watermark: String = "0 seconds"): Dataset[FinalSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60L * 1000L
+    events.toDF("user_id", "ts").withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAgg, FinalSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionAgg]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(FinalSession(user,
+              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count))
+          } else {
+            var closed = List.empty[FinalSession]
+            var open = state.getOption
+            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.last <= gapMs =>
+                  open = Some(s.copy(last = t, count = s.count + 1))
+                case Some(s) =>
+                  closed ::= FinalSession(user,
+                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count)
+                  open = Some(SessionAgg(t, t, 1))
+                case None =>
+                  open = Some(SessionAgg(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverse.iterator
+          }
+      }
+  }
+
   /** Idempotent partitioned parquet sink via foreachBatch: every
     * micro-batch dynamic-overwrites exactly the date partitions it
     * carries. Replaying a batch after a failure rewrites the same
@@ -162,6 +217,7 @@ object Streams {
     ()
   }
 
+  /** Convenience writer used by specs and examples: stream → memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
     df.writeStream.format("memory").queryName(name).outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

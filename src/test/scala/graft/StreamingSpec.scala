@@ -164,6 +164,36 @@ class StreamingSpec extends SparkSpec {
     assert(byId(3L).isNullAt(byId(3L).fieldIndex("zone_name")))
   }
 
+  test("flatMapGroupsWithState: sessions finalize when the watermark passes the gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fmgws").toString
+    val mem = MemoryStream[(Long, Timestamp)]
+    val sessions = Streams.finalizedSessions(spark, mem.toDS())
+    val query = sessions.toDF().writeStream.format("memory").queryName("fin_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: user 7 has a 2-event session; user 8 a 1-event session
+      mem.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")),
+        (8L, ts("2024-01-01 10:00:00")))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fin_test").count() === 0,
+        "open sessions must not emit before the watermark passes the gap")
+      // batch 2 pushes the watermark to 12:00 — past both timeout stamps
+      mem.addData((9L, ts("2024-01-01 12:00:00")))
+      query.processAllAvailable()
+      // batch 3 lets the timeouts fire against the advanced watermark
+      mem.addData((9L, ts("2024-01-01 14:00:00")))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM fin_test").collect()
+        .map(r => r.getAs[Long]("user_id") ->
+          (r.getAs[Timestamp]("session_end"), r.getAs[Long]("event_count"))).toMap
+      assert(rows.contains(7L) && rows.contains(8L), s"both sessions must finalize: $rows")
+      assert(rows(7L) === (ts("2024-01-01 10:10:00"), 2L))
+      assert(rows(8L) === (ts("2024-01-01 10:00:00"), 1L))
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
