@@ -315,6 +315,8 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
+    "text_unigram_lm" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
+    "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -1145,6 +1147,35 @@ object SparkEntry {
         |       max(n_chars) AS max_chars,
         |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    "text_unigram_lm" ->
+      """WITH raw AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
+        |),
+        |toks AS (SELECT doc_id, token FROM raw WHERE token <> ''),
+        |vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
+        |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       avg(-ln(tf / n_total)) AS avg_nll,
+        |       sum(-ln(tf / n_total)) AS total_nll
+        |FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    "text_bpe_pairs" ->
+      """WITH words AS (
+        |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+        |),
+        |pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(word)), i -> substr(word, i, 2))) AS pair
+        |  FROM words WHERE word <> ''
+        |),
+        |counted AS (SELECT pair, count(*) AS pair_count FROM pairs GROUP BY 1),
+        |ranked AS (
+        |  SELECT pair, pair_count,
+        |         row_number() OVER (ORDER BY pair_count DESC, pair) AS "rank"
+        |  FROM counted
+        |)
+        |SELECT pair, pair_count, "rank" FROM ranked WHERE "rank" <= 100""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -116,6 +116,53 @@ object TextFunctions {
       .select("doc_id", "token", "tf", "doc_len", "df", "tfidf", "bm25")
   }
 
+  /** Unigram language-model scoring — the classic LM-based quality
+    * filter: fit a unigram LM on the corpus itself (token frequencies /
+    * total mass), then score every document by its per-token negative
+    * log-likelihood. Gibberish and off-distribution documents score a
+    * high avg_nll; boilerplate scores low. At 100 TB this is exactly two
+    * shuffles on data-growing keys (token for the vocab build + join,
+    * doc_id for the final roll-up) and the scalar total broadcasts.
+    *
+    * nll = −ln(tf / n_total), mirrored shape-for-shape in the oracle so
+    * the ln-chain stays bit-comparable (same operator order both sides). */
+  def unigramLogProb(docs: DataFrame): DataFrame = {
+    val toksDf = docs.select(col("doc_id"),
+      explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+    val vocab = toksDf.groupBy("token").agg(count(lit(1)).as("tf"))
+    val total = vocab.agg(sum("tf").as("n_total"))
+    toksDf.join(vocab, "token")
+      .crossJoin(broadcast(total))
+      .withColumn("nll", -log(col("tf") / col("n_total")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        avg(col("nll")).as("avg_nll"),
+        sum(col("nll")).as("total_nll"))
+  }
+
+  /** Adjacent character-pair statistics over in-word positions — the
+    * counting step of BPE vocabulary induction (the highest-count pair
+    * is the next merge). One explode chain, one pair-keyed aggregate,
+    * TakeOrderedAndProject for the top-k — the full pair table is never
+    * globally sorted. `when`-free: the pair array overshoots to one
+    * index (a 1-char word yields a 1-char "pair") and slices back to
+    * the len−1 valid prefix, which is empty for 1-char words. */
+  def bpePairStats(docs: DataFrame, k: Int = 100): DataFrame = {
+    val w = col("word")
+    val pairsRaw = transform(
+      sequence(lit(1), greatest(length(w) - 1, lit(1))),
+      i => w.substr(i, lit(2)))
+    val pairs = docs
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("word"))
+      .select(explode(slice(pairsRaw, lit(1), greatest(length(w) - 1, lit(0)))).as("pair"))
+    val top = pairs.groupBy("pair").agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(k)
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("pair_count").desc, col("pair"))
+    top.withColumn("rank", row_number().over(rw))
+  }
+
   /** PII redaction patterns, ordered — applied sequentially, so an email
     * is redacted before the IP pattern could fire inside its domain.
     * Every pattern is dialect-portable (ASCII classes, `\b`, bounded

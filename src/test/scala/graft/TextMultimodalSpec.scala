@@ -63,6 +63,29 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep.filter(col("dup_word_frac") < 0.0 || col("dup_word_frac") > 1.0).count() === 0)
   }
 
+  test("unigram LM: rare tokens raise a doc's nll above common-token docs") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "the the the the the"),          // only common tokens
+      (2L, "the the the the zyxqj"))        // one hapax
+      .toDF("doc_id", "text")
+    val out = TextFunctions.unigramLogProb(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("avg_nll")).toMap
+    assert(out(2L) > out(1L), "a hapax token must raise avg_nll")
+    val corpus = TextFunctions.unigramLogProb(docs).cache()
+    assert(corpus.count() === docs.count())
+    assert(corpus.filter(col("avg_nll") <= 0.0).count() === 0, "nll is positive")
+    assert(corpus.filter(col("total_nll") < col("avg_nll")).count() === 0)
+  }
+
+  test("bpe pairs: top-k adjacent char pairs, all length 2, counts non-increasing") {
+    val top = TextFunctions.bpePairStats(docs).collect()
+    assert(top.nonEmpty && top.length <= 100) // toy corpus has < 100 distinct pairs
+    assert(top.forall(_.getAs[String]("pair").length == 2))
+    val counts = top.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("pair_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("pii redaction: emails/phones/ips/ids scrubbed and counted") {
     import spark.implicits._
     val planted = Seq(
