@@ -127,6 +127,29 @@ object Stress {
     skewFact.unpersist()
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    // OLAP core at 1× and 10× lineitem (~6M rows): the aggregate/join
+    // plans are shuffle-bounded by GROUP keys (bounded) or broadcast dims,
+    // so time should grow ~linearly with the fact (scan-bound) — the
+    // "would this survive 100×" evidence for §2.5. Lineitem is replicated
+    // with shifted orderkeys so join fan-outs stay realistic.
+    val li = Tables.lineitem(spark, sfDir)
+    val li10 = (0 until 10).map { i =>
+      li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    val ord = Tables.orders(spark, sfDir)
+    val ord10 = (0 until 10).map { i =>
+      ord.withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"olap corpus: ${li10.count()} lineitems, ${ord10.count()} orders")
+    val cust = Tables.customer(spark, sfDir)
+    time("q1_agg_1x")(graft.analytics.Analytics.pricingSummary(li))
+    time("q1_agg_10x")(graft.analytics.Analytics.pricingSummary(li10))
+    time("q_cube_1x")(graft.analytics.Analytics.pricingCube(li))
+    time("q_cube_10x")(graft.analytics.Analytics.pricingCube(li10))
+    time("q3_join_1x")(graft.analytics.Analytics.shippingPriority(cust, ord, li))
+    time("q3_join_10x")(graft.analytics.Analytics.shippingPriority(cust, ord10, li10))
+    li10.unpersist(); ord10.unpersist()
+
     spark.stop()
   }
 }
