@@ -332,6 +332,8 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
     }),
+    "sim_label_outliers" -> ((s, dir) =>
+      Similarity.labelOutliers(Tables.embeddings(s, dir))),
     "sim_bruteforce_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
@@ -1217,6 +1219,25 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "sim_lsh_ann" -> lshAnnOracleSql,
+
+    "sim_label_outliers" ->
+      s"""WITH cent AS (
+         |  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
+         |  FROM embeddings, generate_series(1, 64) t(i)
+         |  GROUP BY 1, 2
+         |),
+         |cvec AS (
+         |  SELECT label, list(m ORDER BY dim) AS centroid FROM cent GROUP BY 1
+         |),
+         |scored AS (
+         |  SELECT e.label, e.vec_id, ${duckCosine("embedding", "centroid")} AS centroid_cosine
+         |  FROM embeddings e JOIN cvec USING (label)
+         |),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY label ORDER BY centroid_cosine ASC, vec_id) AS "rank"
+         |  FROM scored
+         |)
+         |SELECT label, vec_id, centroid_cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     "stream_join" ->
       s"""$silverCte

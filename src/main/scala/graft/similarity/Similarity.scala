@@ -97,6 +97,31 @@ object Similarity {
       struct(cosTo(c).as("cos"), lit(i).as("cell"))
     }: _*).getField("cell")
 
+  /** Per-label centroid outliers — embedding QA: the k vectors farthest
+    * (lowest cosine) from their OWN label's centroid are the mislabeled /
+    * corrupt-embedding candidates a curation pass reviews.
+    *
+    * One posexplode+aggregate builds the per-(label, dim) means (shuffle
+    * key grows with labels×dim, not corpus), centroids re-assemble as
+    * arrays and broadcast back onto the corpus scan, and the bottom-k
+    * window runs per label. Rank-based rather than threshold-based so the
+    * output is meaningful on any corpus without tuning. */
+  def labelOutliers(corpus: DataFrame, k: Int = 5): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = corpus
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .groupBy("label", "dim").agg(avg(col("v")).as("m"))
+      .groupBy("label").agg(
+        transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m")).as("centroid"))
+    val w = Window.partitionBy("label").orderBy(col("centroid_cosine").asc, col("vec_id"))
+    corpus.join(broadcast(cents), "label")
+      .withColumn("centroid_cosine", cosine(col("embedding"), col("centroid")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("label", "vec_id", "centroid_cosine", "rank")
+  }
+
   /** Deterministic Lloyd k-means over an embedding column: seeds = the
     * `nlist` lowest-vec_id vectors, `iters` refinement rounds. Each round
     * is one distributed pass; the only driver traffic is the nlist×dim

@@ -80,6 +80,22 @@ class SimilaritySpec extends SparkSpec {
     assert(one.join(two, "query_id").filter(col("c2") < col("c1") - 1e-12).count() === 0)
   }
 
+  test("label outliers: a planted far vector ranks first in its label") {
+    import spark.implicits._
+    // label 1: 20 near-identical vectors + one pointing the other way
+    val base = (0 until 20).map(i => (i.toLong, Array.fill(64)(1.0f + i * 0.001f), 1))
+    val planted = (99L, Array.fill(64)(-1.0f), 1)
+    val df = (base :+ planted).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelOutliers(df, k = 3).collect()
+    val first = out.filter(_.getAs[Int]("rank") == 1).head
+    assert(first.getAs[Long]("vec_id") === 99L, "the anti-aligned vector must rank 1")
+    assert(first.getAs[Double]("centroid_cosine") < 0.0)
+    // corpus-wide: k rows per label, ranks dense from 1
+    val corpus = Similarity.labelOutliers(emb).cache()
+    val perLabel = corpus.groupBy("label").count()
+    assert(perLabel.filter(col("count") =!= 5).count() === 0)
+  }
+
   test("kmeans: deterministic fit, full coverage, assignment matches best centroid") {
     val cents1 = Similarity.kmeansFit(emb, nlist = 8, iters = 2)
     val cents2 = Similarity.kmeansFit(emb, nlist = 8, iters = 2)
