@@ -201,6 +201,9 @@ object SparkEntry {
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
+    // rows-only: per-day HLL sketches merged by union — sketch bytes are
+    // implementation-specific; merged-vs-exact tolerance is spec-asserted
+    "dq_sketch_union" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
     "dq_summary" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // §2.2 feature engineering
@@ -235,6 +238,16 @@ object SparkEntry {
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
       graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts", Seq("purchase_value"))
+        .select("event_id", "user_id", "ts", "purchase_value_asof")
+    }),
+    // as-of with staleness bound: a prior purchase older than 24 h does
+    // not match (kdb/merge_asof ASOF TOLERANCE semantics)
+    "q_asof_tolerance" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val purchases = sv.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts",
+        Seq("purchase_value"), toleranceSeconds = Some(86400L))
         .select("event_id", "user_id", "ts", "purchase_value_asof")
     }),
     // range join: orders matched into OVERLAPPING price bands (each order
@@ -776,6 +789,28 @@ object SparkEntry {
          |SELECT l.event_id, l.user_id, l.ts, r.purchase_value AS purchase_value_asof
          |FROM silver l ASOF LEFT JOIN purch r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // floor(epoch()) mirrors Spark's truncating timestamp→long cast so
+    // the 24 h staleness bound compares identically on sub-second ts
+    "q_asof_tolerance" ->
+      s"""$silverCte,
+         |purch AS (
+         |  SELECT user_id, ts, max(value) AS purchase_value
+         |  FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2
+         |),
+         |best AS (
+         |  SELECT l.event_id, r.purchase_value, r.ts AS rts,
+         |         row_number() OVER (PARTITION BY l.event_id ORDER BY r.ts DESC) AS rn
+         |  FROM silver l JOIN purch r
+         |    ON l.user_id = r.user_id AND r.ts <= l.ts
+         |)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       CASE WHEN CAST(floor(epoch(l.ts)) AS BIGINT)
+         |                 - CAST(floor(epoch(m.rts)) AS BIGINT) <= 86400
+         |            THEN m.purchase_value END AS purchase_value_asof
+         |FROM silver l
+         |LEFT JOIN (SELECT event_id, purchase_value, rts FROM best WHERE rn = 1) m
+         |  USING (event_id)""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,

@@ -34,21 +34,38 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `toleranceSeconds`: when set, a prior right row older than the
+    * tolerance does NOT match (its payload reads null) — the "price is
+    * stale after N minutes" contract of ASOF TOLERANCE in kdb/Pandas
+    * merge_asof. Implemented by carrying the matched right timestamp
+    * through the same window and nulling payloads past the bound — same
+    * one-shuffle cost. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
-      payloadCols: Seq[String], outSuffix: String = "_asof"): DataFrame = {
+      payloadCols: Seq[String], outSuffix: String = "_asof",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
     val tagged = "__graft_is_left"
+    val rts = "__graft_r_ts"
     val renamed = payloadCols.map(c => c -> s"__graft_r_$c")
     val r = right.select(
       (Seq(col(key), col(ts)) ++ renamed.map { case (c, rc) => col(c).as(rc) }): _*)
       .withColumn(tagged, lit(0))
+      .withColumn(rts, col(ts))
     val l = left.withColumn(tagged, lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     val w = Window.partitionBy(key).orderBy(col(ts), col(tagged))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
+    val filled0 = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
       df.withColumn(rc, last(col(rc), ignoreNulls = true).over(w))
     }
-    val out = filled.filter(col(tagged) === 1).drop(tagged)
+    val filled = toleranceSeconds match {
+      case None => filled0
+      case Some(tol) =>
+        val fresh = col(ts).cast("long") - last(col(rts), ignoreNulls = true).over(w).cast("long") <= tol
+        renamed.foldLeft(filled0) { case (df, (_, rc)) =>
+          df.withColumn(rc, when(fresh, col(rc)))
+        }
+    }
+    val out = filled.filter(col(tagged) === 1).drop(tagged, rts)
     renamed.foldLeft(out) { case (df, (c, rc)) =>
       df.withColumnRenamed(rc, s"$c$outSuffix")
     }

@@ -68,6 +68,31 @@ object DataQuality {
         .as("chars_p50_p95"),
       sum(size(split(col("text"), " "))).as("total_ws_tokens"))
 
+  /** Incremental distinct counting with MERGEABLE sketches — the 100 TB
+    * pattern: each daily batch persists a KB-sized HLL sketch of its key,
+    * and any corpus-wide or windowed distinct count is a UNION of stored
+    * sketches, never a re-scan of the data. Here both halves run in one
+    * lineage (per-day `hll_sketch_agg` → `hll_union_agg`), but the daily
+    * sketch frame is exactly what an incremental pipeline would persist
+    * next to each partition.
+    *
+    * Returns one row: days covered, the union-merged distinct estimate,
+    * and the sum of per-day estimates (whose gap to the merged value is
+    * the cross-day repeat mass — a retention signal for free). */
+  def sketchUnionDistinct(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val daily = events
+      .filter(col(keyCol).isNotNull)
+      .groupBy(col("event_date"))
+      .agg(
+        hll_sketch_agg(col(keyCol)).as("sketch"),
+        count(lit(1)).as("day_rows"))
+    daily.agg(
+      count(lit(1)).as("n_days"),
+      hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_distinct"),
+      sum(hll_sketch_estimate(col("sketch"))).as("sum_daily_distinct"),
+      sum(col("day_rows")).as("total_rows"))
+  }
+
   def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
     val rows = summaryDf.collect()
     rows.toSeq.map { r =>

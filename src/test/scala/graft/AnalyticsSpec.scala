@@ -98,6 +98,20 @@ class AnalyticsSpec extends SparkSpec {
       "range join must plan as a bucketed equi-join")
   }
 
+  test("as-of tolerance: stale prior rows null out, fresh ones match") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (2L, 100L, 500L)).toDF("event_id", "user_id", "ts")
+    val right = Seq((100L, 5L, 1.0)).toDF("user_id", "ts", "purchase_value")
+    val out = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"),
+        toleranceSeconds = Some(100L))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(out(1L) === Some(1.0), "within tolerance: matches")
+    assert(out(2L) === None, "past tolerance: stale payload must null out")
+  }
+
   test("as-of join: latest prior payload per key, tie-inclusive, no range nested-loop") {
     import spark.implicits._
     val left = Seq(

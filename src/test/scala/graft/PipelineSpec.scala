@@ -103,6 +103,19 @@ class PipelineSpec extends SparkSpec {
       col("p95") > bounds.getAs[Double]("hi") + 1e-6).count() === 0)
   }
 
+  test("sketch union: merged daily HLLs track the exact global distinct") {
+    val out = graft.quality.DataQuality.sketchUnionDistinct(silver).head()
+    val exact = silver.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count()
+    val merged = out.getAs[Long]("merged_distinct").toDouble
+    assert(math.abs(merged - exact) <= exact * 0.05,
+      s"merged estimate $merged too far from exact $exact")
+    assert(out.getAs[Long]("n_days") ===
+      silver.select("event_date").distinct().count())
+    // repeat visitors make the per-day sum exceed the merged distinct
+    assert(out.getAs[Long]("sum_daily_distinct").toDouble >= merged)
+  }
+
   test("corpus profile: one-pass sketches land within tolerance of exact answers") {
     val docs = Tables.documents(spark, sfDir)
     val p = DataQuality.corpusProfile(docs).head()
