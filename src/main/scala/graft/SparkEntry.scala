@@ -368,6 +368,13 @@ object SparkEntry {
     // batch face of the stream-stream interval join (clicks × purchases
     // within 1h per user; streaming spec joins two watermarked streams)
     "stream_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
+    // outer face: unconverted clicks survive null-padded (in streaming,
+    // emitted once the watermark proves no in-horizon purchase remains)
+    "stream_join_outer" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
+    // event-grain sessionization: each event tagged with its per-user
+    // session ordinal (gaps-and-islands)
+    "q_sessionize" -> ((s, dir) => Streams.sessionize(silver(s, dir))
+      .select("event_id", "user_id", "ts", "session_seq")),
     // batch face of the stream-static enrichment join (identical call on a
     // readStream frame re-broadcasts the dim per micro-batch, zero state)
     "stream_enrich" -> ((s, dir) => {
@@ -1283,6 +1290,33 @@ object SparkEntry {
          |  ON c.user_id = p.user_id
          | AND c.event_type = 'click' AND p.event_type = 'purchase'
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
+
+    "stream_join_outer" ->
+      s"""$silverCte
+         |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+         |       p.event_id AS purchase_id, p.ts AS purchase_ts,
+         |       p.value AS purchase_value
+         |FROM silver c LEFT JOIN silver p
+         |  ON c.user_id = p.user_id
+         | AND p.event_type = 'purchase'
+         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+         |WHERE c.event_type = 'click'""".stripMargin,
+
+    "q_sessionize" ->
+      s"""$silverCte,
+         |lagged AS (
+         |  SELECT event_id, user_id, ts,
+         |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+         |  FROM silver
+         |)
+         |SELECT event_id, user_id, ts,
+         |       1 + CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+         |                          - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+         |                    THEN 1 ELSE 0 END)
+         |         OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS session_seq
+         |FROM lagged""".stripMargin,
 
     "stream_enrich" ->
       s"""$silverCte,

@@ -68,7 +68,8 @@ object Streams {
     * along as join filters. In streaming, the two-sided time constraint
     * plus watermarks is exactly what lets Spark bound both join buffers —
     * state per side is one horizon of events, not the stream's history. */
-  def attributionJoin(events: DataFrame, horizon: String = "1 hour"): DataFrame = {
+  def attributionJoin(events: DataFrame, horizon: String = "1 hour",
+      joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
@@ -78,9 +79,38 @@ object Streams {
     clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
-        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"))
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $horizon"),
+      joinType)
       .select("click_id", "user_id", "click_ts",
         "purchase_id", "purchase_ts", "purchase_value")
+  }
+
+  /** Left-outer face of [[attributionJoin]]: unconverted clicks survive
+    * with null purchase columns. On a stream this is the watermarked
+    * outer stream-stream join — Spark holds a click in state until the
+    * watermark proves no in-horizon purchase can still arrive, THEN
+    * emits the null-padded row; the conversion-rate input where
+    * non-events matter as much as events. */
+  def attributionJoinOuter(events: DataFrame, horizon: String = "1 hour"): DataFrame =
+    attributionJoin(events, horizon, "left_outer")
+
+  /** Event-level sessionization: every event tagged with its session
+    * ordinal per user (gaps-and-islands — a cumulative count of
+    * is-new-session flags over the per-user timeline). Unlike
+    * [[sessionCounts]] (one row per session), this keeps the event grain,
+    * which is what feature pipelines join against. One shuffle+sort on
+    * user_id; per-partition state is one user's events. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val gapSec = gapMinutes * 60L
+    val isNew = when(
+      col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long") > gapSec, 1)
+      .otherwise(0)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)) + 1)
   }
 
   /** Stream-static enrichment: events joined to a (bounded) dimension.

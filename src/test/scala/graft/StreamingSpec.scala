@@ -164,6 +164,51 @@ class StreamingSpec extends SparkSpec {
     assert(byId(3L).isNullAt(byId(3L).fieldIndex("zone_name")))
   }
 
+  test("sessionize: events get gaps-and-islands session ordinals at event grain") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00")),
+      (2L, 7L, ts("2024-01-01 10:10:00")),   // same session
+      (3L, 7L, ts("2024-01-01 11:30:00")),   // > 30 min gap → session 2
+      (4L, 8L, ts("2024-01-01 09:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val out = Streams.sessionize(df).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Long]("session_seq")).toMap
+    assert(out(1L) === 1L && out(2L) === 1L)
+    assert(out(3L) === 2L)
+    assert(out(4L) === 1L)
+  }
+
+  test("outer attribution join: unconverted clicks emit null-padded after the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_outer").toString
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double)]
+    val events = mem.toDF
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withWatermark("ts", "10 minutes")
+    val joined = Streams.attributionJoinOuter(events)
+    val query = joined.writeStream.format("memory").queryName("outer_test")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    try {
+      mem.addData(
+        (1L, ts("2024-01-01 10:00:00"), 7L, "click", 0.0),    // converts
+        (2L, ts("2024-01-01 10:30:00"), 7L, "purchase", 9.99),
+        (3L, ts("2024-01-01 10:00:00"), 8L, "click", 0.0))    // never converts
+      query.processAllAvailable()
+      // push the watermark far past click 3's horizon, then drain timeouts
+      mem.addData((4L, ts("2024-01-01 14:00:00"), 9L, "click", 0.0))
+      query.processAllAvailable()
+      mem.addData((5L, ts("2024-01-01 18:00:00"), 9L, "click", 0.0))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM outer_test").collect()
+      val byClick = rows.map(r => r.getAs[Long]("click_id") -> r).toMap
+      assert(byClick(1L).getAs[Long]("purchase_id") === 2L, "converted click joins")
+      assert(byClick.contains(3L), "unconverted click must emit after the watermark")
+      assert(byClick(3L).isNullAt(byClick(3L).fieldIndex("purchase_id")))
+    } finally query.stop()
+  }
+
   test("flatMapGroupsWithState: sessions finalize when the watermark passes the gap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
