@@ -198,6 +198,7 @@ object SparkEntry {
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
     "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     "agg_cumulative" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
+    "agg_retention" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
@@ -581,6 +582,19 @@ object SparkEntry {
          |       round(sum(value), 2) AS user_revenue,
          |       round(avg(value), 4) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "agg_retention" ->
+      s"""$silverCte,
+         |first AS (
+         |  SELECT user_id, min(event_date) AS cohort_date
+         |  FROM silver WHERE user_id IS NOT NULL GROUP BY 1
+         |)
+         |SELECT cohort_date,
+         |       date_diff('day', cohort_date, event_date) AS day_offset,
+         |       count(DISTINCT s.user_id) AS active_users
+         |FROM silver s JOIN first USING (user_id)
+         |WHERE s.user_id IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
 
     "agg_cumulative" ->
       s"""$silverCte,

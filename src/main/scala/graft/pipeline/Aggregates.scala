@@ -64,6 +64,24 @@ object Aggregates {
         round(col("daily_revenue") / sum("daily_revenue").over(wTot), 6))
   }
 
+  /** Cohort retention matrix: users grouped by first-seen date, activity
+    * counted per (cohort, day-offset) cell — the warehouse query behind
+    * every retention curve. Three shuffles, all on data-growing or
+    * bounded keys: the first-seen aggregate and the cohort join shuffle
+    * on user_id, the final cell aggregate on (cohort_date, offset) whose
+    * cardinality is days² — tiny at any corpus size. */
+  def retentionCohorts(fact: DataFrame): DataFrame = {
+    val first = fact
+      .filter(col("user_id").isNotNull)
+      .groupBy("user_id").agg(min(col("event_date")).as("cohort_date"))
+    fact
+      .filter(col("user_id").isNotNull)
+      .join(first, "user_id")
+      .groupBy(col("cohort_date"),
+        datediff(col("event_date"), col("cohort_date")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("active_users"))
+  }
+
   /** Event-type counts pivoted to one column per type, per zone. The pivot
     * values are EXPLICIT — an open-ended `.pivot(col)` first runs a
     * distinct-values job over the whole fact to discover the columns;

@@ -82,6 +82,19 @@ class PipelineSpec extends SparkSpec {
     assert(types.forall(t => pivoted.filter(col(t).isNull).count() === 0))
   }
 
+  test("retention cohorts: day-0 cell equals cohort size, cells never exceed it") {
+    val r = Aggregates.retentionCohorts(silver).cache()
+    val day0 = r.filter(col("day_offset") === 0)
+      .select(col("cohort_date"), col("active_users").as("cohort_size"))
+    // every user's first day counts them active → day-0 row per cohort
+    val total = day0.agg(sum("cohort_size")).head().getLong(0)
+    assert(total === silver.filter(col("user_id").isNotNull)
+      .select("user_id").distinct().count())
+    assert(r.join(day0, "cohort_date")
+      .filter(col("active_users") > col("cohort_size")).count() === 0)
+    assert(r.filter(col("day_offset") < 0).count() === 0)
+  }
+
   test("cumulative revenue: running total reconciles, shares sum to 1 per zone") {
     val c = Aggregates.revenueCumulativeByZone(silver).cache()
     val agg = c.groupBy("zone_id").agg(
