@@ -199,6 +199,7 @@ object SparkEntry {
     "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     "agg_cumulative" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
     "agg_retention" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
+    "agg_funnel" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
@@ -582,6 +583,36 @@ object SparkEntry {
          |       round(sum(value), 2) AS user_revenue,
          |       round(avg(value), 4) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
+
+    "agg_funnel" ->
+      s"""$silverCte,
+         |s1 AS (
+         |  SELECT user_id, event_id, ts, event_type,
+         |         min(CASE WHEN event_type = 'signup' THEN ts END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS saw_signup
+         |  FROM silver WHERE user_id IS NOT NULL
+         |),
+         |s2 AS (
+         |  SELECT *,
+         |         CASE WHEN event_type = 'click' AND saw_signup IS NOT NULL THEN ts END AS click_after,
+         |         min(CASE WHEN event_type = 'click' AND saw_signup IS NOT NULL THEN ts END)
+         |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_click_after
+         |  FROM s1
+         |),
+         |u AS (
+         |  SELECT user_id,
+         |         min(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+         |         min(click_after) AS t_click,
+         |         min(CASE WHEN event_type = 'purchase' AND first_click_after IS NOT NULL
+         |                  THEN ts END) AS t_purchase
+         |  FROM s2 GROUP BY 1
+         |)
+         |SELECT count(CASE WHEN t_signup IS NOT NULL THEN 1 END) AS n_signup,
+         |       count(CASE WHEN t_click IS NOT NULL THEN 1 END) AS n_signup_click,
+         |       count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_signup_click_purchase
+         |FROM u""".stripMargin,
 
     "agg_retention" ->
       s"""$silverCte,

@@ -64,6 +64,37 @@ object Aggregates {
         round(col("daily_revenue") / sum("daily_revenue").over(wTot), 6))
   }
 
+  /** Ordered conversion funnel: how many users reached each stage IN
+    * ORDER — a signup, then a click at-or-after that signup, then a
+    * purchase at-or-after that first qualifying click. The ordering
+    * constraints are running-window gates over ONE shuffle+sort on
+    * user_id (each event sees the stage state accumulated before it);
+    * the per-user and global roll-ups reuse that partitioning, so the
+    * whole funnel — any number of stages — costs one shuffle. */
+  def conversionFunnel(fact: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val staged = fact
+      .filter(col("user_id").isNotNull)
+      .withColumn("saw_signup",
+        min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("click_after",
+        when(col("event_type") === "click" && col("saw_signup").isNotNull, col("ts")))
+      .withColumn("first_click_after", min(col("click_after")).over(w))
+      .withColumn("purchase_after",
+        when(col("event_type") === "purchase" && col("first_click_after").isNotNull,
+          col("ts")))
+    val perUser = staged.groupBy("user_id").agg(
+      min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+      min(col("click_after")).as("t_click"),
+      min(col("purchase_after")).as("t_purchase"))
+    perUser.agg(
+      count(when(col("t_signup").isNotNull, 1)).as("n_signup"),
+      count(when(col("t_click").isNotNull, 1)).as("n_signup_click"),
+      count(when(col("t_purchase").isNotNull, 1)).as("n_signup_click_purchase"))
+  }
+
   /** Cohort retention matrix: users grouped by first-seen date, activity
     * counted per (cohort, day-offset) cell — the warehouse query behind
     * every retention curve. Three shuffles, all on data-growing or

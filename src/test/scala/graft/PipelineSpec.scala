@@ -82,6 +82,29 @@ class PipelineSpec extends SparkSpec {
     assert(types.forall(t => pivoted.filter(col(t).isNull).count() === 0))
   }
 
+  test("funnel: stages monotone, ordering enforced (click before signup doesn't count)") {
+    import spark.implicits._
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val planted = Seq(
+      // user 1: full ordered funnel
+      (1L, 10L, "signup"), (2L, 10L, "click"), (3L, 10L, "purchase"),
+      // user 2: click BEFORE signup → stalls at signup
+      (4L, 20L, "click"), (5L, 20L, "signup"),
+      // user 3: signup + click, purchase BEFORE the click → 2 stages
+      (6L, 30L, "signup"), (7L, 30L, "purchase"), (8L, 30L, "click"))
+      .zipWithIndex.map { case ((id, u, t), i) =>
+        (id, u, t, ts(f"2024-01-01 10:0$i%d:00")) }
+      .toDF("event_id", "user_id", "event_type", "ts")
+    val r = Aggregates.conversionFunnel(planted).head()
+    assert(r.getAs[Long]("n_signup") === 3)
+    assert(r.getAs[Long]("n_signup_click") === 2, "user 2's early click must not count")
+    assert(r.getAs[Long]("n_signup_click_purchase") === 1, "user 3's early purchase must not count")
+    // corpus: monotone non-increasing stages
+    val c = Aggregates.conversionFunnel(silver).head()
+    assert(c.getAs[Long]("n_signup") >= c.getAs[Long]("n_signup_click"))
+    assert(c.getAs[Long]("n_signup_click") >= c.getAs[Long]("n_signup_click_purchase"))
+  }
+
   test("retention cohorts: day-0 cell equals cohort size, cells never exceed it") {
     val r = Aggregates.retentionCohorts(silver).cache()
     val day0 = r.filter(col("day_offset") === 0)
