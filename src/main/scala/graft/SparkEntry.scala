@@ -339,6 +339,10 @@ object SparkEntry {
     // itself is the documented deterministic stub — no codec libs here
     "mm_decode" -> ((s, dir) =>
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
+    // rows-only: the full frame pipeline — decode → sample → resize —
+    // pipelined per partition with no intermediate materialization
+    "mm_resize" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
+      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))))).toDF()),
     // §2.8 similarity search
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
     // lowest vec_ids) — no tractable SQL equivalent; determinism + full

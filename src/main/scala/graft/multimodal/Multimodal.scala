@@ -73,4 +73,43 @@ object Multimodal {
         rows.flatMap { case (id, payload) => StubDecoder.decode(id, payload, maxFrames) }
       }
   }
+
+  /** Frame sampling: keep every `everyN`-th frame of each document — a
+    * pure filter on the typed frame stream, no shuffle (the standard
+    * video-to-training-frames thinning step). */
+  def sampleFrames(frames: Dataset[DecodedFrame], everyN: Int = 2): Dataset[DecodedFrame] =
+    frames.filter(f => f.frame_idx % everyN == 0)
+
+  /** Resized-frame record: source + output geometry and the (stub)
+    * resized-content checksum. */
+  case class ResizedFrame(
+      doc_id: Long,
+      frame_idx: Int,
+      src_w: Int,
+      src_h: Int,
+      out_w: Int,
+      out_h: Int,
+      scale: Double,
+      resized_checksum: String)
+
+  /** Batched resize stage: fit each frame into a `target`×`target` box
+    * preserving aspect ratio. The geometry math is real; the pixel
+    * resample is the stub (checksum derived deterministically from the
+    * frame's checksum + output dims, where a production kernel would
+    * hash the resampled buffer). Same per-partition batch shape as
+    * [[decodeFrames]], so the two stages pipeline inside one task with
+    * no intermediate materialization. */
+  def resizeFrames(frames: Dataset[DecodedFrame], target: Int = 224): Dataset[ResizedFrame] = {
+    import frames.sparkSession.implicits._
+    frames.mapPartitions { rows =>
+      // resampler init would happen once per partition here
+      rows.map { f =>
+        val scale = math.min(target.toDouble / f.width, target.toDouble / f.height)
+        val ow = math.max(1, math.round(f.width * scale).toInt)
+        val oh = math.max(1, math.round(f.height * scale).toInt)
+        val sum = (f.frame_checksum + s":${ow}x$oh").foldLeft(0L)((a, c) => a * 31 + c)
+        ResizedFrame(f.doc_id, f.frame_idx, f.width, f.height, ow, oh, scale, f"$sum%016x")
+      }
+    }
+  }
 }

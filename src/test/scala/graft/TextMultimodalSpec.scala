@@ -178,6 +178,20 @@ class TextMultimodalSpec extends SparkSpec {
     assert(m.getAs[Long]("byte_size") === 13L)
   }
 
+  test("resize pipeline: aspect preserved, bounded by target, sampling thins frames") {
+    val frames = Multimodal.decodeFrames(spark, Multimodal.metadata(docs)).cache()
+    val sampled = Multimodal.sampleFrames(frames, everyN = 2)
+    assert(sampled.filter(col("frame_idx") % 2 =!= 0).count() === 0)
+    assert(sampled.count() < frames.count() || frames.filter(col("frame_idx") > 0).count() === 0)
+    val resized = Multimodal.resizeFrames(frames, target = 224).cache()
+    assert(resized.count() === frames.count())
+    assert(resized.filter(col("out_w") > 224 || col("out_h") > 224).count() === 0)
+    // aspect preserved: out ratio within one rounding step of source ratio
+    val bad = resized.filter(
+      abs(col("out_w") / col("out_h") - col("src_w") / col("src_h")) > 0.05)
+    assert(bad.count() === 0, "resize must preserve aspect ratio")
+  }
+
   test("decode plumbing: stub decoder is deterministic and schema-stable") {
     val frames = Multimodal.decodeFrames(spark, Multimodal.metadata(docs), maxFrames = 3).cache()
     assert(frames.count() > 0)
