@@ -87,10 +87,23 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(_.toString)}" }.mkString("{", ",", "}")
+    // per-query values rounded to ms precision: the harness that archives
+    // this line keeps only the last 2 KB of stdout, and full-precision
+    // doubles pushed the 84-query line past that, silently truncating the
+    // alphabetically-first timings out of the archived file
+    def r3(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(d))
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(r3)}" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // belt-and-braces: the full line also lands in a repo file, immune to
+    // any stdout truncation
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case _: Throwable => () }
+    println(line)
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -221,6 +221,18 @@ object SparkEntry {
       Scoring.scoringMetrics(
         Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir))),
         "event_count", "predicted_demand")),
+    // idempotent MERGE semantics (reference batch_scoring.py:161-186):
+    // run_1 scores everything, run_2 re-scores a third of the zones 10%
+    // higher at a later scored_at — latest-wins per (date, hour, zone)
+    "score_upsert" -> ((s, dir) => {
+      val scored = Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))
+      val existing = Scoring.addRunMetadata(scored, "run_1", "2024-02-01 00:00:00")
+      val incoming = Scoring.addRunMetadata(
+        scored.filter(col("zone_id") % 3 === 0)
+          .withColumn("predicted_demand", col("predicted_demand") * 1.1),
+        "run_2", "2024-02-02 00:00:00")
+      Scoring.upsertPredictions(existing, incoming, Seq("trip_date", "hour", "zone_id"))
+    }),
     "monitor_psi" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     "monitor_missing" -> ((s, dir) =>
@@ -408,6 +420,12 @@ object SparkEntry {
     // demand_forecasting.py:171-173); sums-to-1 is spec-asserted
     "ml_demand_importances" -> ((s, dir) =>
       Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    // rows-only: save → load → predict with the RELOADED model (reference
+    // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
+    // byte-identical predictions pre/post reload are spec-asserted
+    "ml_model_persist" -> ((s, dir) =>
+      Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
+        "/root/repo/target/ml_model_persist")),
   )
 
   private val featDemandSql: String =
@@ -517,6 +535,18 @@ object SparkEntry {
        |       date_diff('day', event_date, next_date) AS days_to_next,
        |       CASE WHEN next_date IS NULL OR date_diff('day', event_date, next_date) > 7 THEN 1 ELSE 0 END AS will_churn
        |FROM feat WHERE events_lag_7 IS NOT NULL""".stripMargin
+
+  /** Shared by the score_demand oracle and the score_upsert oracle. */
+  private val scoreDemandSql: String =
+    s"""WITH df AS ($featDemandSql)
+       |SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
+       |       is_peak_hour,
+       |       CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
+       |       demand_avg_7d
+       |         * (CASE WHEN hour IN (7, 8, 9, 16, 17, 18) THEN 1.25 ELSE 1.0 END)
+       |         * (CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 0.85 ELSE 1.0 END)
+       |         * (1.0 + greatest(avg_value / 100.0 - 1.0, 0.0) * 0.15) AS predicted_demand
+       |FROM df""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "bronze_ingest" ->
@@ -702,16 +732,37 @@ object SparkEntry {
 
     "feat_churn" -> featChurnSql,
 
-    "score_demand" ->
-      s"""WITH df AS ($featDemandSql)
+    "score_demand" -> scoreDemandSql,
+
+    // latest-wins upsert over the scored frame: run_2 re-scores zone_id%3=0
+    // at a later scored_at; UNION ALL + row_number mirrors
+    // Scoring.upsertPredictions exactly
+    "score_upsert" ->
+      s"""WITH sd AS (SELECT * FROM ($scoreDemandSql)),
+         |existing AS (
+         |  SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
+         |         is_peak_hour, is_weekend, predicted_demand,
+         |         'run_1' AS scoring_run_id,
+         |         TIMESTAMP '2024-02-01 00:00:00' AS scored_at
+         |  FROM sd
+         |),
+         |incoming AS (
+         |  SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
+         |         is_peak_hour, is_weekend,
+         |         predicted_demand * CAST(1.1 AS DOUBLE) AS predicted_demand,
+         |         'run_2' AS scoring_run_id,
+         |         TIMESTAMP '2024-02-02 00:00:00' AS scored_at
+         |  FROM sd WHERE zone_id % 3 = 0
+         |),
+         |unioned AS (SELECT * FROM existing UNION ALL SELECT * FROM incoming),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY trip_date, hour, zone_id
+         |                               ORDER BY scored_at DESC, scoring_run_id DESC) AS rn
+         |  FROM unioned
+         |)
          |SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
-         |       is_peak_hour,
-         |       CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 1 ELSE 0 END AS is_weekend,
-         |       demand_avg_7d
-         |         * (CASE WHEN hour IN (7, 8, 9, 16, 17, 18) THEN 1.25 ELSE 1.0 END)
-         |         * (CASE WHEN dayofweek(trip_date) + 1 IN (1, 7) THEN 0.85 ELSE 1.0 END)
-         |         * (1.0 + greatest(avg_value / 100.0 - 1.0, 0.0) * 0.15) AS predicted_demand
-         |FROM df""".stripMargin,
+         |       is_peak_hour, is_weekend, predicted_demand, scoring_run_id, scored_at
+         |FROM ranked WHERE rn = 1""".stripMargin,
 
     "score_surge" ->
       s"""WITH sf AS ($featSurgeSql)

@@ -69,6 +69,15 @@ object Stress {
       Dedup.minhashLsh(dupHeavy, family = Dedup.XxHash64Family)))
     dupHeavy.unpersist()
 
+    // High-diameter pair graph: a 4096-node chain is the worst case for
+    // plain min-label propagation (diameter rounds — would blow maxIter);
+    // pointer doubling closes it in O(log d) ≈ 12 rounds.
+    val chainDocs = spark.range(4096L).select(col("id").as("doc_id"))
+    val chainPairs = spark.range(4095L)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    time("clusters_chain4k_dbl")(
+      Dedup.dupClusters(chainDocs, chainPairs, maxIter = 30, pointerDoubling = true))
+
     // Stop-shingle corpora: every doc ends with the same common phrase
     // (document frequency = |corpus|), copies share no CONTENT shingles
     // (every word suffixed with the copy index). Uncapped, each of the 5
@@ -92,6 +101,12 @@ object Stress {
     val ss10 = stopShingleCorpus(10)
     println(s"stop-shingle corpus 10x: ${ss10.count()} docs")
     time("ngram_capped_10x")(Dedup.ngramJaccard(ss10))
+    // materialized-shingle path: the explode is persisted, so the text is
+    // scanned once instead of feeding 4 independent plan branches (timing
+    // INCLUDES building the cache — first action populates it)
+    val sh10 = Dedup.shingleTable(ss10).persist()
+    time("ngram_capped_10x_mat")(Dedup.ngramJaccardFromShingles(sh10))
+    sh10.unpersist()
     ss10.unpersist()
 
     val emb = Tables.embeddings(spark, sfDir)

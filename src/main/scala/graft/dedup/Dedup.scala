@@ -141,9 +141,10 @@ object Dedup {
     * Plan note: the shingle explode feeds four branches (stop-list count,
     * both self-join sides, set sizes) and Catalyst evaluates each branch
     * independently — 4 passes over the input. At test SF the explode is
-    * ~0.1 s so this is irrelevant; at very large corpora pass a
-    * PERSISTED `docs` frame (the explode then reads memory, not parquet)
-    * or materialize the shingle table once and join from it.
+    * ~0.1 s so this is irrelevant; at very large corpora set
+    * `persistShingles = true` (or build [[shingleTable]] yourself,
+    * persist/write it, and call [[ngramJaccardFromShingles]]) so the text
+    * is scanned exactly once.
     *
     * `dfMax` (ON by default — the deployed path must be the safe one):
     * shingles appearing in more than `dfMax` documents are dropped from
@@ -152,8 +153,25 @@ object Dedup {
     * DF-filtered shingle sets. `None` disables the cap for exact
     * whole-set Jaccard on corpora known to have no hot shingles. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
+      dfMax: Option[Int] = Some(DefaultStopShingleDf),
+      persistShingles: Boolean = false): DataFrame = {
+    val sh = shingleTable(docs, n)
+    ngramJaccardFromShingles(if (persistShingles) sh.persist() else sh, threshold, dfMax)
+  }
+
+  /** Distinct word-n-gram shingle table `(doc_id, shingle)` — the explode
+    * as a standalone frame. At corpus scale compute this ONCE, persist it
+    * (or write it out), and feed [[ngramJaccardFromShingles]]: the text
+    * then scans once no matter how many plan branches read shingles.
+    * `ngramJaccard(persistShingles = true)` is the one-call form (the
+    * persisted table stays cached for the result's lifetime; unpersist via
+    * the session catalog when done). */
+  def shingleTable(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
+
+  /** [[ngramJaccard]] body over a pre-built [[shingleTable]]. */
+  def ngramJaccardFromShingles(exploded: DataFrame, threshold: Double = 0.5,
       dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
-    val exploded = docs.select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
     val ex = dfMax match {
       case None => exploded
       case Some(cap) =>
@@ -246,15 +264,32 @@ object Dedup {
     * of its own label and its neighbors' labels; converges in ≤ diameter
     * rounds (near-dup clusters are dense, diameter is small). Convergence
     * is detected by the label SUM going stationary (labels only ever
-    * decrease) — one tiny aggregate per round, no change-join. Each round
-    * is one shuffle on doc_id, linear in |edges|; at much larger diameters
-    * the classic upgrade is pointer-doubling / large-star-small-star
-    * (halves rounds), same join shape. */
-  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    * decrease) — one tiny aggregate per round, no change-join.
+    *
+    * Each round is one shuffle on doc_id, linear in |edges|. Near-dup
+    * clusters are dense (diameter 2-3), so plain propagation converges in
+    * a handful of rounds; for HIGH-diameter pair graphs (chained partial
+    * copies: A~B~C~…) set `pointerDoubling = true` — each round then also
+    * shortcuts every label to its label's label (`lbl(x) ← lbl(lbl(x))`),
+    * the classic path-halving step, and convergence needs O(log diameter)
+    * rounds instead of O(diameter) at the cost of one extra self-join per
+    * round. Labels only decrease and every label is itself a doc_id, so
+    * the shortcut preserves the fixpoint (= min reachable doc_id). */
+  def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
+      pointerDoubling: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id")).persist()
+    // Eager localCheckpoint, not persist: each round's plan references the
+    // previous round's labels 2-3× (propagation join + optional shortcut
+    // self-join), so the LOGICAL plan grows exponentially with rounds —
+    // persist caches data but keeps lineage, and ~10 rounds of doubling
+    // OOM'd the driver just STRINGIFYING the plan. Checkpointing truncates
+    // lineage to the materialized RDD each round (on a real cluster with
+    // dynamic allocation, swap for reliable checkpoint() to survive
+    // executor loss).
+    var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .localCheckpoint()
     def labelSum(df: DataFrame): java.math.BigDecimal =
       df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
@@ -263,13 +298,24 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
-      val next = labels.alias("l")
+      val propagated = labels.alias("l")
         .join(nbrMin, col("l.doc_id") === col("src"), "left")
         .select(col("l.doc_id").as("doc_id"),
           least(col("l.cluster_id"), coalesce(col("nbr_min"), col("l.cluster_id"))).as("cluster_id"))
-        .persist()
+      val stepped =
+        if (!pointerDoubling) propagated
+        else {
+          // path halving: follow each label one hop through the label
+          // table itself (left join: a root label maps to itself)
+          val p = propagated.localCheckpoint()
+          val hop = p.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lbl"))
+          p.alias("l")
+            .join(hop, col("l.cluster_id") === col("p_id"), "left")
+            .select(col("l.doc_id").as("doc_id"),
+              coalesce(col("p_lbl"), col("l.cluster_id")).as("cluster_id"))
+        }
+      val next = stepped.localCheckpoint()
       val s = labelSum(next)
-      labels.unpersist()
       labels = next
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -1,12 +1,15 @@
 package graft.ml
 
-import org.apache.spark.ml.Pipeline
+import org.apache.spark.ml.{Pipeline, PipelineModel}
 import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.evaluation.{MulticlassClassificationEvaluator, RegressionEvaluator}
 import org.apache.spark.ml.feature.{OneHotEncoder, StringIndexer, VectorAssembler}
 import org.apache.spark.ml.regression.{GBTRegressor, LinearRegression, RandomForestRegressor}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.functions._
+
+import scala.collection.concurrent.TrieMap
 
 /** spark.ml training pipelines (SURVEY.md §2.4; rows-only oracle — model
   * outputs have no SQL equivalent).
@@ -63,11 +66,48 @@ object Models {
     } finally cachedTrain.unpersist()
   }
 
+  /** The demand RF is fitted ONCE per distinct feature frame and shared by
+    * [[demandRandomForest]], [[demandFeatureImportances]] and
+    * [[persistRoundTrip]] — the reference fits one forest and reads both
+    * predictions and importances off it (demand_forecasting.py:120-173);
+    * refitting an identical seeded 20-tree forest per query is pure waste.
+    * Keyed by (session, canonicalized plan) so the same features over a
+    * different dataset fit their own model. */
+  private val demandRfCache = TrieMap.empty[(SparkSession, LogicalPlan), PipelineModel]
+
+  private def fitDemandRf(feat: DataFrame): PipelineModel =
+    demandRfCache.getOrElseUpdate(
+      (feat.sparkSession, feat.queryExecution.analyzed.canonicalized), {
+        val (train, _) = demandSplit(feat)
+        val cachedTrain = train.persist()
+        try new Pipeline()
+          .setStages((demandPrep(demandFeatureCols) :+ new RandomForestRegressor()
+            .setLabelCol("label").setFeaturesCol("features")
+            .setNumTrees(20).setMaxDepth(8).setSeed(42)).toArray)
+          .fit(cachedTrain)
+        finally cachedTrain.unpersist()
+      })
+
   /** RandomForest demand regressor: held-out-window predictions. */
-  def demandRandomForest(feat: DataFrame): DataFrame =
-    fitPredict(feat, new RandomForestRegressor()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(8).setSeed(42))
+  def demandRandomForest(feat: DataFrame): DataFrame = {
+    val (_, test) = demandSplit(feat)
+    fitDemandRf(feat).transform(test)
+      .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
+
+  /** Model persistence round-trip (reference trains + saves, the serving
+    * process loads — demand_forecasting.py:280 train_all_models, app.py:112
+    * load_models): save the fitted demand-RF pipeline, load it back, and
+    * predict the held-out window with the RELOADED model. Output is
+    * byte-identical to [[demandRandomForest]] (spec-asserted) — the
+    * round-trip is the operator under test. */
+  def persistRoundTrip(feat: DataFrame, path: String): DataFrame = {
+    fitDemandRf(feat).write.overwrite().save(path)
+    val reloaded = PipelineModel.load(path)
+    val (_, test) = demandSplit(feat)
+    reloaded.transform(test)
+      .select("trip_date", "hour", "zone_id", "label", "prediction")
+  }
 
   /** Gradient-boosted-trees demand regressor (reference trains RF, GBT and
     * LR and keeps the best — demand_forecasting.py:74-260). */
@@ -148,17 +188,11 @@ object Models {
     * the vector's ML attribute metadata (one-hot slots expand to their
     * category name). Importances are impurity-based and sum to 1. */
   def demandFeatureImportances(feat: DataFrame): DataFrame = {
-    val (rawTrain, _) = demandSplit(feat)
-    val train = rawTrain.persist()
-    val rf = new RandomForestRegressor()
-      .setLabelCol("label").setFeaturesCol("features")
-      .setNumTrees(20).setMaxDepth(8).setSeed(42)
-    val model = try new Pipeline()
-      .setStages((demandPrep(demandFeatureCols) :+ rf).toArray).fit(train)
-    finally train.unpersist()
+    val model = fitDemandRf(feat)
     val fitted = model.stages.last
       .asInstanceOf[org.apache.spark.ml.regression.RandomForestRegressionModel]
-    val schema = model.transform(train.limit(1)).schema
+    // transform is lazy — only the schema (vector ML attributes) is read
+    val schema = model.transform(demandSplit(feat)._1.limit(1)).schema
     val attrs = org.apache.spark.ml.attribute.AttributeGroup
       .fromStructField(schema("features")).attributes
     val imps = fitted.featureImportances.toArray

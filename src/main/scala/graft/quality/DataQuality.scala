@@ -64,8 +64,10 @@ object DataQuality {
       approx_count_distinct(col("source")).as("approx_distinct_sources"),
       countDistinct(col("lang")).as("n_langs"),
       avg(length(col("text"))).as("avg_chars"),
-      expr("approx_percentile(length(text), array(0.5, 0.95))")
-        .as("chars_p50_p95"),
+      expr("element_at(approx_percentile(length(text), array(0.5, 0.95)), 1)")
+        .as("chars_p50"),
+      expr("element_at(approx_percentile(length(text), array(0.5, 0.95)), 2)")
+        .as("chars_p95"),
       sum(size(split(col("text"), " "))).as("total_ws_tokens"))
 
   /** Incremental distinct counting with MERGEABLE sketches — the 100 TB

@@ -103,6 +103,26 @@ class DedupSpec extends SparkSpec {
       .agg(sum("is_canonical").as("n_canon")).filter(col("n_canon") =!= 1).count() === 0)
   }
 
+  test("dup clusters pointer doubling: long chain converges within maxIter, labels identical") {
+    import spark.implicits._
+    // path graph 0-1-2-…-63: diameter 63, far beyond the default 20 rounds
+    // of plain propagation — path halving must close it in O(log d)
+    val n = 64L
+    val chainDocs = spark.range(n).select(col("id").as("doc_id"))
+    val chainPairs = spark.range(n - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val out = Dedup.dupClusters(chainDocs, chainPairs, pointerDoubling = true)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(out.size === n.toInt)
+    assert(out.values.forall(_ == 0L), "every chain node must label to doc 0")
+    // and on the real corpus both paths must agree exactly
+    val pairs = Dedup.minhashLsh(docs)
+    val plain = Dedup.dupClusters(docs, pairs)
+    val doubled = Dedup.dupClusters(docs, pairs, pointerDoubling = true)
+    assert(plain.exceptAll(doubled).count() === 0)
+    assert(doubled.exceptAll(plain).count() === 0)
+  }
+
   test("decontaminate drops exact and near benchmark matches, keeps the rest") {
     import spark.implicits._
     val corpus = Seq(

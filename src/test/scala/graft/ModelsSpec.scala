@@ -61,6 +61,16 @@ class ModelsSpec extends SparkSpec {
       s"expected a demand_* feature in the top slots, got $topNames")
   }
 
+  test("model persistence: reloaded pipeline predicts identically to the in-memory one") {
+    val path = "/root/repo/target/test_ml_model_persist"
+    val direct = Models.demandRandomForest(demandFeat).cache()
+    val reloaded = Models.persistRoundTrip(demandFeat, path).cache()
+    assert(reloaded.count() === direct.count())
+    // byte-identical predictions: the round-trip must not perturb the model
+    assert(direct.exceptAll(reloaded).count() === 0)
+    assert(reloaded.exceptAll(direct).count() === 0)
+  }
+
   test("surge classifier: deterministic seeded predictions with sane accuracy") {
     val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
     val preds = Models.surgeClassifier(surgeFeat).cache()

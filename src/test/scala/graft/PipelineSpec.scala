@@ -162,8 +162,10 @@ class PipelineSpec extends SparkSpec {
     assert(math.abs(approx - exactTexts) <= exactTexts * 0.05,
       s"HLL distinct $approx too far from exact $exactTexts")
     assert(p.getAs[Long]("n_langs") === 5)
-    val pcts = p.getAs[scala.collection.Seq[Int]]("chars_p50_p95").map(_.toDouble)
-    assert(pcts.size === 2 && pcts(0) <= pcts(1))
+    // scalar percentile columns (the driver comparator can't sort rows on
+    // an array column, so the sketch emits p50/p95 separately; Catalyst
+    // dedupes the two identical approx_percentile aggregates into one)
+    assert(p.getAs[Int]("chars_p50") <= p.getAs[Int]("chars_p95"))
     assert(p.getAs[Double]("avg_chars") > 0)
   }
 }
