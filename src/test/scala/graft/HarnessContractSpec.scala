@@ -1,0 +1,31 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the driver-facing harness that no operator work may break. */
+class HarnessContractSpec extends AnyFunSuite {
+
+  test("every query has an oracle or a documented rows-only note, never a dangling oracle") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracles without queries: ${(os -- qs).mkString(", ")}")
+  }
+
+  test("bench JSON line fits the 2 KB archived stdout tail at worst-case widths") {
+    // the archiver keeps only the last 2048 bytes of bench stdout; if the
+    // line outgrows that, the alphabetically-first per-query timings are
+    // silently truncated out of the round's BENCH file (it happened:
+    // rounds 3-4 lost 16 of 84 timings). Reconstruct the line with every
+    // value at the widest %.2f rendering a sane run can produce — 99.99;
+    // any single query beyond 100 s is >2.5× the worst standing baseline
+    // line, so the round is failed regardless of archival fidelity.
+    val worstVal = "99.99"
+    val queries = SparkEntry.queries.keys.toSeq.sorted
+      .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$queries,"errors":{},"sf":"/root/testdata/sf0.1"}"""
+    assert(line.getBytes("UTF-8").length <= 2048,
+      s"bench line would be ${line.length} bytes — trim precision or key names " +
+        "(or teach the archiver to keep full stdout) before adding more queries")
+  }
+}
