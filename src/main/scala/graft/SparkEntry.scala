@@ -322,6 +322,16 @@ object SparkEntry {
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
+    // fixed-SIZE per-stratum sample (exact-count corpus balancing):
+    // hash-order rank ≤ n per lang, executed as a map-side WindowGroupLimit
+    "sample_reservoir" -> ((s, dir) =>
+      graft.sampling.Sampling.reservoirPerStratum(Tables.documents(s, dir),
+        "doc_id", "lang", n = 20).select("doc_id", "lang")),
+    // deterministic train/val/test assignment — stable under
+    // repartitioning, consistent across tables sharing key+salt
+    "sample_split" -> ((s, dir) =>
+      graft.sampling.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
+        .select("doc_id", "lang", "split")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
@@ -1088,6 +1098,27 @@ object SparkEntry {
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
         |        / 4294967296.0
         |      < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END""".stripMargin,
+
+    // hash-order rank per stratum — ties impossible below the fraction
+    // (doc_id breaks them), so both engines rank identically
+    "sample_reservoir" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |             / 4294967296.0, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 20""".stripMargin,
+
+    "sample_split" ->
+      """SELECT doc_id, lang,
+        |       CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+        |FROM (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |           / 4294967296.0 AS f
+        |  FROM documents
+        |)""".stripMargin,
 
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where

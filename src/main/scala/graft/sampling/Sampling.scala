@@ -54,4 +54,34 @@ object Sampling {
     val f = hashFraction(col(keyCol), salt)
     df.filter(f >= lo && f < hi)
   }
+
+  /** Split ASSIGNMENT as a column: every row labeled train/val/test by its
+    * hash fraction ([0, trainHi) / [trainHi, valHi) / [valHi, 1)) —
+    * disjoint, exhaustive, stable under repartitioning, and consistent
+    * across tables sharing key+salt. A pure codegen'd projection: one
+    * hash per row at scan speed, no shuffle. */
+  def splitAssign(df: DataFrame, keyCol: String, trainHi: Double = 0.8,
+      valHi: Double = 0.9, salt: String = "graft"): DataFrame = {
+    val f = hashFraction(col(keyCol), salt)
+    df.withColumn("split",
+      when(f < trainHi, "train").when(f < valHi, "val").otherwise("test"))
+  }
+
+  /** Fixed-SIZE deterministic sample per stratum — the distributed,
+    * reproducible replacement for reservoir sampling: rank each stratum's
+    * rows in hash order and keep the first `n`. Rate-based sampling can't
+    * promise exact counts (a balanced training mix often must); this
+    * does, while keeping every hash-sampling property above (the kept set
+    * is a prefix of a stable per-stratum permutation, so n' < n samples
+    * are nested). Catalyst executes the rank filter as a
+    * WindowGroupLimit: each task pre-prunes to its local top-n per
+    * stratum BEFORE the exchange, so the shuffle carries
+    * O(n × strata × tasks) rows, never the corpus. */
+  def reservoirPerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      n: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(hashFraction(col(keyCol), salt), col(keyCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  }
 }

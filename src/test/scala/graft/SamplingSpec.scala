@@ -42,4 +42,36 @@ class SamplingSpec extends SparkSpec {
     assert(lo.join(hi, "doc_id").count() === 0)
     assert(lo.count() + hi.count() === docs.count())
   }
+
+  test("split assignment labels every row, agrees with hashSplit, stays repartition-stable") {
+    val s = Sampling.splitAssign(docs, "doc_id").cache()
+    assert(s.count() === docs.count())
+    // the labeled train partition IS hashSplit's [0, 0.8) partition
+    val viaFilter = Sampling.hashSplit(docs, "doc_id", 0.0, 0.8).select("doc_id")
+    val viaLabel = s.filter(col("split") === "train").select("doc_id")
+    assert(viaFilter.exceptAll(viaLabel).count() === 0)
+    assert(viaLabel.exceptAll(viaFilter).count() === 0)
+    val again = Sampling.splitAssign(docs.repartition(7), "doc_id")
+      .select("doc_id", "split")
+    assert(s.select("doc_id", "split").exceptAll(again).count() === 0)
+  }
+
+  test("per-stratum reservoir: exact counts, nested prefixes, repartition-stable") {
+    val n20 = Sampling.reservoirPerStratum(docs, "doc_id", "lang", 20).cache()
+    // exact n per stratum (every lang has ≥ 20 docs at sf0.01)
+    val counts = n20.groupBy("lang").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getAs[Long]("count") === 20L))
+    // a smaller sample is a strict prefix of a bigger one (stable order)
+    val n5 = Sampling.reservoirPerStratum(docs, "doc_id", "lang", 5)
+    assert(n5.select("doc_id").exceptAll(n20.select("doc_id")).count() === 0)
+    // deterministic under repartitioning
+    val again = Sampling.reservoirPerStratum(docs.repartition(7), "doc_id", "lang", 20)
+    assert(n20.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // the rank filter must compile to a WindowGroupLimit (map-side top-n
+    // per stratum before the exchange — the 100 TB property); plan read
+    // off a FRESH frame: a cached one hides it inside InMemoryRelation
+    val plan = Sampling.reservoirPerStratum(docs, "doc_id", "lang", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
