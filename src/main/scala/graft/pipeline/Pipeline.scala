@@ -114,7 +114,8 @@ object Pipeline {
     *   4. near dedup: MinHash-LSH pairs → connected components → keep
     *      only each cluster's canonical doc;
     *   5. decontaminate against the benchmark set;
-    *   6. deterministic per-language sample into the final mix.
+    *   6. deterministic per-language sample into the final mix;
+    *   7. deterministic train/val/test assignment on the curated docs.
     *
     * Every stage is a DataFrame→DataFrame transform: the whole curation
     * is ONE Catalyst lineage (plus the bounded label-propagation loop),
@@ -145,6 +146,7 @@ object Pipeline {
       "exact_kept" -> exactKept,
       "near_kept" -> nearKept,
       "decontaminated" -> clean,
-      "curated" -> sampled)
+      "curated" -> sampled,
+      "split" -> graft.sampling.Sampling.splitAssign(sampled, "doc_id"))
   }
 }

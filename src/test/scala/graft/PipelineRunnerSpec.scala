@@ -58,6 +58,10 @@ class PipelineRunnerSpec extends SparkSpec {
     // curated is a subset of decontaminated
     assert(out("curated").join(out("decontaminated").select("doc_id"), "doc_id").count()
       === out("curated").count())
+    // split assignment covers every curated doc, disjointly and exhaustively
+    val split = out("split")
+    assert(split.count() === out("curated").count())
+    assert(split.filter(!col("split").isin("train", "val", "test")).count() === 0)
   }
 
   test("cross-stage optimization: fact build reuses the silver lineage plan") {
