@@ -99,7 +99,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(r3)}" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
-    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+    // sf as the directory BASENAME: the full path spends 15 bytes of the
+    // 2 KB archive budget saying "/root/testdata/" every time
+    val sfName = new java.io.File(sfDir).getName
+    val line = s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfName"}"""
     // belt-and-braces: the full line also lands in a repo file, immune to
     // any stdout truncation
     try java.nio.file.Files.write(

@@ -310,6 +310,15 @@ object SparkEntry {
     // keeps the fast path benched and row-checked
     "dedup_minhash_xx" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
+    // incremental dedup: the daily-batch reality at corpus scale — docs
+    // ending in 0 arrive as the new batch, the rest are the stored corpus
+    // whose minhashIndex is the ONLY thing the batch joins against
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 10 === 0),
+        Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 0)))
+    }),
     "dedup_clusters" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dupClusters(docs, Dedup.minhashLsh(docs))
@@ -1050,6 +1059,17 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
 
     "dedup_minhash_lsh" -> minhashOracleSql,
+
+    // incremental ≡ the full pair set restricted to pairs touching the
+    // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
+    // corpus ∪ batch equals banding each side separately
+    "dedup_minhash_incr" ->
+      s"""$shingleCte,
+         |$minhashPairCtes
+         |SELECT doc_a, doc_b,
+         |       CAST(len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 AS est_jaccard
+         |FROM pairs
+         |WHERE doc_a % 10 = 0 OR doc_b % 10 = 0""".stripMargin,
 
     // connected components over the minhash candidate pairs: cluster_id =
     // min doc_id reachable in the pair graph (recursive CTE ≡ the Spark

@@ -81,6 +81,26 @@ object Dedup {
     * (numeric min), band key = xxhash64 over the band's r components. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
       family: HashFamily = Md5Family): DataFrame = {
+    val banded = minhashIndex(docs, k, bands, shingleN, family)
+    estJaccard(
+      banded.alias("a")
+        .join(banded.alias("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_hash") === col("b.band_hash") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.sig").as("sig_a"), col("b.sig").as("sig_b")),
+      k)
+  }
+
+  /** The banded signature table `(doc_id, sig[k], band_idx, band_hash)` —
+    * the PERSISTABLE corpus index behind [[minhashLsh]]. At 100 TB this is
+    * the table a pipeline stores next to the corpus: each daily batch is
+    * signed once and [[minhashLshIncremental]] band-joins it against the
+    * stored index, so corpus text is never re-scanned or re-shingled to
+    * dedup a new batch. */
+  def minhashIndex(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      family: HashFamily = Md5Family): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
     val ex = docs.select(col("doc_id"), explode(shingleCol(shingleN)).as("shingle"))
@@ -106,23 +126,47 @@ object Dedup {
       }
       struct(lit(b).as("band_idx"), bandHash.as("band_hash"))
     }
-    val banded = sig
+    sig
       .select(col("doc_id"), sigArr.as("sig"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc_id"), col("sig"),
         col("band.band_idx").as("band_idx"), col("band.band_hash").as("band_hash"))
-    banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.band_idx") === col("b.band_idx") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+  }
+
+  /** Signature-estimated Jaccard over oriented candidate pairs (shared by
+    * the batch and incremental paths; symmetric in sig_a/sig_b). */
+  private def estJaccard(pairs: DataFrame, k: Int): DataFrame =
+    pairs
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("est_jaccard",
         aggregate(
           zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
           lit(0), (acc, v) => acc + v).cast("double") / k)
       .select("doc_a", "doc_b", "est_jaccard")
+
+  /** Incremental near-dup detection: candidate pairs touching a NEW batch
+    * — batch×corpus plus batch×batch — via one band equi-join of the
+    * batch's signatures against a stored [[minhashIndex]]. Equals the full
+    * [[minhashLsh]] over (corpus ∪ batch) restricted to pairs with ≥ 1
+    * batch doc (spec-asserted), but signs only the batch: the corpus
+    * contributes its (tiny) index table, its text is never re-read.
+    * Pairs are oriented doc_a < doc_b like the batch path. */
+  def minhashLshIncremental(newDocs: DataFrame, index: DataFrame, k: Int = 16,
+      bands: Int = 4, shingleN: Int = 3, family: HashFamily = Md5Family): DataFrame = {
+    val nb = minhashIndex(newDocs, k, bands, shingleN, family)
+    // batch side deduped against itself AND probed into the corpus index
+    // in ONE join: the right side is (batch ∪ index); a batch-batch pair
+    // arrives twice with both orientations, least/greatest + the estJaccard
+    // dropDuplicates collapse it (est_jaccard is symmetric in the sigs)
+    val candidates = nb.alias("a")
+      .join(nb.unionByName(index).alias("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+    estJaccard(candidates, k)
   }
 
   /** Default stop-shingle document-frequency cap for [[ngramJaccard]]: a

@@ -103,6 +103,19 @@ class DedupSpec extends SparkSpec {
       .agg(sum("is_canonical").as("n_canon")).filter(col("n_canon") =!= 1).count() === 0)
   }
 
+  test("incremental minhash equals the full batch restricted to batch-touching pairs") {
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    val batch = docs.filter(col("doc_id") % 10 === 0)
+    val incremental = Dedup.minhashLshIncremental(batch, Dedup.minhashIndex(corpus))
+    val fullFiltered = Dedup.minhashLsh(docs)
+      .filter(col("doc_a") % 10 === 0 || col("doc_b") % 10 === 0)
+    assert(incremental.exceptAll(fullFiltered).count() === 0)
+    assert(fullFiltered.exceptAll(incremental).count() === 0)
+    // and it finds something: the corpus has planted near-dups crossing
+    // the batch boundary
+    assert(incremental.count() > 0)
+  }
+
   test("dup clusters pointer doubling: long chain converges within maxIter, labels identical") {
     import spark.implicits._
     // path graph 0-1-2-…-63: diameter 63, far beyond the default 20 rounds

@@ -23,7 +23,7 @@ class HarnessContractSpec extends AnyFunSuite {
     val queries = SparkEntry.queries.keys.toSeq.sorted
       .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
     val line =
-      s"""{"metric":"total","value":9999.999,"unit":"sec","queries":$queries,"errors":{},"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$queries,"errors":{},"sf":"sf0.1"}"""
     assert(line.getBytes("UTF-8").length <= 2048,
       s"bench line would be ${line.length} bytes — trim precision or key names " +
         "(or teach the archiver to keep full stdout) before adding more queries")
