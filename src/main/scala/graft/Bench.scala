@@ -87,16 +87,22 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // per-query values rounded to 10 ms precision: the harness that
-    // archives this line keeps only the last 2 KB of stdout, and
-    // full-precision doubles pushed the 84-query line past that, silently
-    // truncating the alphabetically-first timings out of the archived
-    // file. Centiseconds keep every value ≤ 5 chars below 100 s (a query
-    // over 100 s is a broken round regardless of archival), bounding the
-    // line under 2 KB — HarnessContractSpec pins this
+    // per-query values width-capped at 4 chars: the harness that archives
+    // this line keeps only the last 2 KB of stdout, and full-precision
+    // doubles pushed the 84-query line past that, silently truncating the
+    // alphabetically-first timings out of the archived file. 10 ms
+    // precision below 10 s (where regression ratios live), 100 ms above
+    // (noise at that magnitude) keeps every value ≤ 4 chars below 100 s
+    // (a query over 100 s is a broken round regardless of archival),
+    // bounding the 91-query line under 2 KB — HarnessContractSpec pins this
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
-    val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(r3)}" }.mkString("{", ",", "}")
+    def rq(d: Double): String = {
+      val s2 = r3(d)
+      if (s2.length <= 4) s2
+      else String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
+    }
+    val qs = results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(rq)}" }.mkString("{", ",", "}")
     val errJson = errors.toSeq.sortBy(_._1).map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
     // sf as the directory BASENAME: the full path spends 15 bytes of the

@@ -192,6 +192,9 @@ object SparkEntry {
       val sv = silver(s, dir)
       Gold.factPayments(sv, Gold.dimUsers(sv))
     }),
+    // SCD type-2 versioned dimension: zone-assignment validity intervals
+    // per user (the reference's static dim_users cannot express history)
+    "dim_scd2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
     "agg_demand_hourly" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_revenue_daily" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
@@ -341,6 +344,11 @@ object SparkEntry {
     "sample_split" -> ((s, dir) =>
       graft.sampling.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "lang", "split")),
+    // probability-proportional-to-length sample (token-budgeted mixes):
+    // Efraimidis–Spirakis top-n on the deterministic hash uniform
+    "sample_weighted" -> ((s, dir) =>
+      graft.sampling.Sampling.weightedSample(Tables.documents(s, dir),
+        "doc_id", "n_chars", n = 200).select("doc_id", "lang", "n_chars")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
@@ -614,6 +622,36 @@ object SparkEntry {
          |       sha256(CAST(user_id AS VARCHAR)) AS user_key,
          |       value AS amount, event_date
          |FROM silver WHERE event_type = 'purchase'""".stripMargin,
+
+    // SCD-2 run construction: change flag → running group id → per-run
+    // min/count → interval chain via lead; (ts, event_id) is a unique
+    // order after silver dedup, so both engines build identical runs
+    "dim_scd2" ->
+      s"""$silverCte,
+         |marked AS (
+         |  SELECT user_id, ts, event_id, zone_id,
+         |         CASE WHEN lag(zone_id) OVER w IS NULL
+         |                OR lag(zone_id) OVER w <> zone_id THEN 1 ELSE 0 END AS chg
+         |  FROM silver WHERE zone_id IS NOT NULL AND ts IS NOT NULL
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+         |),
+         |grouped AS (
+         |  SELECT user_id, zone_id, ts,
+         |         CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+         |                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS grp
+         |  FROM marked
+         |),
+         |runs AS (
+         |  SELECT user_id, grp, min(zone_id) AS zone_id, min(ts) AS valid_from,
+         |         count(*) AS n_events
+         |  FROM grouped GROUP BY 1, 2
+         |)
+         |SELECT user_id, zone_id, valid_from,
+         |       lead(valid_from) OVER w2 AS valid_to,
+         |       lead(valid_from) OVER w2 IS NULL AS is_current,
+         |       n_events
+         |FROM runs
+         |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
 
     "agg_demand_hourly" ->
       s"""$silverCte
@@ -1139,6 +1177,17 @@ object SparkEntry {
         |           / 4294967296.0 AS f
         |  FROM documents
         |)""".stripMargin,
+
+    // Efraimidis–Spirakis priorities: ln(u)/w gaps at corpus scale are
+    // ~1e-3 relative, ~13 orders above cross-engine libm ulp differences,
+    // so both engines select the same top-n (doc_id breaks exact ties)
+    "sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |              / 4294967296.0) / CAST(n_chars AS DOUBLE) AS priority
+        |  FROM documents
+        |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where

@@ -91,4 +91,43 @@ object Gold {
         col("event_id").as("payment_id"),
         col("event_id"), col("time_id"), col("user_key"),
         col("value").as("amount"), col("event_date"))
+
+  /** Slowly-changing-dimension type 2: each user's zone-assignment history
+    * as validity intervals. Consecutive events in the same zone collapse
+    * into one run; a zone change closes the open interval
+    * (`valid_to` = next run's `valid_from`, half-open) and the last run
+    * per user is the current one (`valid_to` NULL, `is_current` true).
+    * This is the warehouse-standard versioned-dimension build the
+    * reference's static `dim_users` cannot express.
+    *
+    * Scale: both windows and the run aggregation partition by `user_id` —
+    * the natural key whose cardinality grows with data, so per-partition
+    * state stays bounded and there is no global sort. The run-group id is
+    * a running count of change points in (ts, event_id) order; event_id is
+    * unique after silver dedup, so the order — and therefore the whole
+    * output — is deterministic on any engine. */
+  def scd2UserZones(silver: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byEvent = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val runs = silver
+      .filter(col("zone_id").isNotNull && col("ts").isNotNull)
+      .select("user_id", "ts", "event_id", "zone_id")
+      .withColumn("chg",
+        when(lag(col("zone_id"), 1).over(byEvent).isNull
+          || lag(col("zone_id"), 1).over(byEvent) =!= col("zone_id"), 1L).otherwise(0L))
+      .withColumn("grp", sum(col("chg"))
+        .over(byEvent.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(
+        min(col("zone_id")).as("zone_id"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    // Same-timestamp runs order by grp (monotone in event order), so the
+    // interval chain is deterministic even under ts ties.
+    val byStart = Window.partitionBy("user_id").orderBy(col("valid_from"), col("grp"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(byStart))
+      .withColumn("is_current", col("valid_to").isNull)
+      .select("user_id", "zone_id", "valid_from", "valid_to", "is_current", "n_events")
+  }
 }

@@ -84,4 +84,23 @@ object Sampling {
       .orderBy(hashFraction(col(keyCol), salt), col(keyCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
+
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+    * each row draws priority u^(1/w) from its deterministic hash uniform
+    * and the global top-n by priority is a
+    * probability-proportional-to-weight sample — e.g. length-weighted
+    * document selection for a token-budgeted training mix. Ranked on
+    * ln(u)/w (monotone in u^(1/w), numerically flat where u^(1/w) would
+    * crowd toward 1.0 for heavy weights). Inherits every determinism
+    * property of [[hashFraction]], and `orderBy + limit` compiles to
+    * TakeOrderedAndProject: each task keeps a local n-row heap and the
+    * driver merges tasks×n rows — the corpus is never globally sorted.
+    * Weights must be > 0. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String, n: Int,
+      salt: String = "graft"): DataFrame =
+    df.withColumn("__priority",
+        log(hashFraction(col(keyCol), salt)) / col(weightCol).cast("double"))
+      .orderBy(col("__priority").desc, col(keyCol))
+      .limit(n)
+      .drop("__priority")
 }

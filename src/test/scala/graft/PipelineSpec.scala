@@ -49,6 +49,30 @@ class PipelineSpec extends SparkSpec {
     assert(fact.filter(col("user_key").isNull).count() === 0)
   }
 
+  test("scd2 intervals: exhaustive, non-overlapping, one current row per user") {
+    val scd = Gold.scd2UserZones(silver).cache()
+    val base = silver.filter(col("zone_id").isNotNull && col("ts").isNotNull)
+    // run construction loses no events
+    val total = scd.agg(sum("n_events")).head().getLong(0)
+    assert(total === base.count())
+    // exactly one open (current) interval per user
+    val users = base.select("user_id").distinct().count()
+    assert(scd.filter(col("is_current")).count() === users)
+    assert(scd.filter(col("is_current") && col("valid_to").isNotNull).count() === 0)
+    // intervals chain: every closed interval's valid_to equals the next
+    // interval's valid_from (half-open, no gaps, no overlaps)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("valid_from")
+    val chained = scd
+      .withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull)
+    assert(chained.filter(col("valid_to") =!= col("next_from")).count() === 0)
+    // consecutive runs always change zone (maximal runs)
+    val zoneChain = scd.withColumn("next_zone", lead(col("zone_id"), 1).over(w))
+      .filter(col("next_zone").isNotNull)
+    assert(zoneChain.filter(col("zone_id") === col("next_zone")).count() === 0)
+  }
+
   test("fact build broadcasts dims (no fact shuffle)") {
     val fact = Gold.factEvents(silver, Gold.dimUsers(silver), Gold.dimZones(silver))
     val plan = fact.queryExecution.executedPlan.toString

@@ -74,4 +74,26 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("weighted sample: exact size, deterministic, length-biased, no global sort") {
+    val w = Sampling.weightedSample(docs, "doc_id", "n_chars", 200).cache()
+    assert(w.count() === 200)
+    assert(w.columns.toSeq === docs.columns.toSeq) // priority column dropped
+    // deterministic under repartitioning
+    val again = Sampling.weightedSample(docs.repartition(7), "doc_id", "n_chars", 200)
+    assert(w.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // inclusion probability ∝ n_chars: the selected docs must be longer on
+    // average than the corpus (500 docs, 200 drawn — a uniform draw lands
+    // within ±3 sd of the corpus mean; weighting pushes it far above)
+    val corpusAvg = docs.agg(avg("n_chars")).head().getDouble(0)
+    val sampleAvg = w.agg(avg("n_chars")).head().getDouble(0)
+    assert(sampleAvg > corpusAvg * 1.05,
+      s"sample avg $sampleAvg not length-biased vs corpus $corpusAvg")
+    // top-n must execute as TakeOrderedAndProject (per-task heap + driver
+    // merge of tasks×n rows), never a global Sort
+    val plan = Sampling.weightedSample(docs, "doc_id", "n_chars", 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject in:\n$plan")
+  }
 }
