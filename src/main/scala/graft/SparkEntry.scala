@@ -308,6 +308,9 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    // precision/recall/F1 of the approximate (LSH) dedup path against the
+    // deployed exact path — the measurement that justifies LSH at scale
+    "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
@@ -1188,6 +1191,51 @@ object SparkEntry {
         |              / 4294967296.0) / CAST(n_chars AS DOUBLE) AS priority
         |  FROM documents
         |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
+
+    // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
+    // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
+    // ratios divide identical integers in both engines → identical doubles
+    "dedup_lsh_eval" ->
+      s"""$shingleCte,
+         |$minhashPairCtes,
+         |pred AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE CAST(len(list_filter(generate_series(1, 16), i -> sig_a[i] = sig_b[i])) AS DOUBLE) / 16.0 >= 0.5
+         |),
+         |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
+         |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
+         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM exf GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS both_cnt
+         |  FROM exf a JOIN exf b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |),
+         |truth AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |           CAST(both_cnt AS DOUBLE) / (sa.n_shingles + sb.n_shingles - both_cnt) AS jaccard
+         |    FROM inter
+         |    JOIN sizes sa ON doc_a = sa.doc_id
+         |    JOIN sizes sb ON doc_b = sb.doc_id
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |cm AS (
+         |  SELECT count(*) FILTER (WHERE p.doc_a IS NOT NULL AND t.doc_a IS NOT NULL) AS tp,
+         |         count(*) FILTER (WHERE p.doc_a IS NOT NULL AND t.doc_a IS NULL) AS fp,
+         |         count(*) FILTER (WHERE p.doc_a IS NULL AND t.doc_a IS NOT NULL) AS fn
+         |  FROM pred p FULL OUTER JOIN truth t
+         |    ON p.doc_a = t.doc_a AND p.doc_b = t.doc_b
+         |)
+         |SELECT tp, fp, fn, "precision", recall,
+         |       CASE WHEN "precision" + recall > 0
+         |            THEN 2.0 * "precision" * recall / ("precision" + recall)
+         |            ELSE 0.0 END AS f1
+         |FROM (
+         |  SELECT tp, fp, fn,
+         |         CAST(tp AS DOUBLE) / greatest(tp + fp, 1) AS "precision",
+         |         CAST(tp AS DOUBLE) / greatest(tp + fn, 1) AS recall
+         |  FROM cm
+         |)""".stripMargin,
 
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where

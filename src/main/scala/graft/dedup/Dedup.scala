@@ -250,6 +250,40 @@ object Dedup {
       .select("doc_a", "doc_b", "both_cnt", "jaccard")
   }
 
+  /** QA report for the approximate dedup path: precision / recall / F1 of
+    * banded MinHash-LSH (candidates with estimated Jaccard ≥ threshold)
+    * against the DEPLOYED exact path ([[ngramJaccard]], DF-capped shingle
+    * Jaccard ≥ threshold) — the measurement that justifies shipping the
+    * approximate dedup at corpus scale. One row out.
+    *
+    * Scale: both sides are blocked candidate generators (band buckets /
+    * shared shingles), never all-pairs, so the eval costs what the two
+    * dedup passes cost; the confusion-matrix join keys are pair ids and
+    * the final aggregate is a single row. At 100 TB run it on a sampled
+    * stratum ([[graft.sampling.Sampling.hashSample]]) — the ratios are
+    * what matter, not the corpus-wide counts. */
+  def lshEval(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val predicted = minhashLsh(docs)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
+    val truth = ngramJaccard(docs, threshold = threshold)
+      .select(col("doc_a").as("t_a"), col("doc_b").as("t_b"))
+    val cm = predicted
+      .join(truth, col("p_a") === col("t_a") && col("p_b") === col("t_b"), "full_outer")
+      .agg(
+        sum(when(col("p_a").isNotNull && col("t_a").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p_a").isNotNull && col("t_a").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p_a").isNull && col("t_a").isNotNull, 1L).otherwise(0L)).as("fn"))
+    cm.select(
+        col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fp"), lit(1L))).as("precision"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L))).as("recall"))
+      .withColumn("f1",
+        when(col("precision") + col("recall") > 0,
+          lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+          .otherwise(lit(0.0)))
+  }
+
   /** 60-bit SimHash fingerprint per doc: token hash = first 15 hex chars
     * of md5 (60 bits — the widest hex slice that stays inside a signed
     * 64-bit int in any engine), each bit votes +1/-1 weighted by token

@@ -152,6 +152,24 @@ class DedupSpec extends SparkSpec {
     assert(keptLoose === Set(3L, 4L))
   }
 
+  test("lsh eval: confusion matrix reconciles with both dedup paths") {
+    val row = Dedup.lshEval(docs).head()
+    val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))
+    // tp+fp = LSH-predicted pairs above threshold; tp+fn = exact pairs
+    val predicted = Dedup.minhashLsh(docs).filter(col("est_jaccard") >= 0.5).count()
+    val truth = Dedup.ngramJaccard(docs).count()
+    assert(tp + fp === predicted)
+    assert(tp + fn === truth)
+    val (p, r, f1) =
+      (row.getAs[Double]("precision"), row.getAs[Double]("recall"), row.getAs[Double]("f1"))
+    assert(p >= 0.0 && p <= 1.0 && r >= 0.0 && r <= 1.0)
+    assert(f1 <= math.max(p, r) + 1e-12, "F1 is bounded by its components")
+    // the synthetic corpus's near-dups are blatant — a sane LSH config
+    // must recover most of them; this guards against config drift between
+    // the predicted and truth paths (e.g. mismatched shingle widths)
+    assert(r >= 0.5, s"LSH recall $r collapsed vs exact path")
+  }
+
   test("embedding near-dups are label-blocked (no cross-label pairs)") {
     val emb = Tables.embeddings(spark, dir)
     val pairs = Dedup.embeddingNearDups(emb, threshold = 0.3).cache()
