@@ -37,4 +37,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(nlj.toSet.subsetOf(allowed),
       s"unexpected nested-loop joins in: ${nlj.mkString(", ")}")
   }
+
+  test("dim_scd2 plans exactly one data shuffle beyond silver's dedup") {
+    // the user_id exchange feeds BOTH windows and the run aggregation:
+    // partitioning on user_id satisfies the (user_id, grp) clustering, so
+    // Catalyst must not insert a second data exchange for the groupBy
+    val plan = SparkEntry.queries("dim_scd2")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2,
+      s"expected 2 exchanges (silver event_id dedup + one user_id shuffle), got $exchanges:\n$plan")
+    assert(plan.contains("hashpartitioning(user_id"), s"missing user_id shuffle:\n$plan")
+  }
 }
