@@ -67,6 +67,10 @@ object Stress {
     // label propagation over ~250k near-dup pairs (xx family: cheapest)
     time("dedup_clusters_10x")(Dedup.dupClusters(dupHeavy,
       Dedup.minhashLsh(dupHeavy, family = Dedup.XxHash64Family)))
+    // Efraimidis–Spirakis top-200 of 50k docs: TakeOrderedAndProject keeps
+    // per-task state at n rows — cost is the scan, not the top-n
+    time("weighted_sample_10x")(graft.sampling.Sampling.weightedSample(
+      dupHeavy.withColumn("n_chars", length(col("text"))), "doc_id", "n_chars", 200))
     dupHeavy.unpersist()
 
     // High-diameter pair graph: a 4096-node chain is the worst case for
@@ -147,6 +151,21 @@ object Stress {
     // so time should grow ~linearly with the fact (scan-bound) — the
     // "would this survive 100×" evidence for §2.5. Lineitem is replicated
     // with shifted orderkeys so join fan-outs stay realistic.
+    // SCD-2 at 10× per-user history depth: silver replicated with shifted
+    // ts/event_id so every user's event chain is 10× longer — the worst
+    // case for the per-user windows. All state partitions by user_id, so
+    // cost should track rows, not rows² per user.
+    val sv = graft.pipeline.Silver.cleanEvents(
+      graft.pipeline.Bronze.ingestEvents(Tables.events(spark, sfDir)))
+    val sv10 = (0 until 10).map { i =>
+      sv.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL '${i * 30}' DAY"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"scd2 corpus: ${sv10.count()} silver events")
+    time("scd2_1x")(graft.pipeline.Gold.scd2UserZones(sv))
+    time("scd2_10x")(graft.pipeline.Gold.scd2UserZones(sv10))
+    sv10.unpersist()
+
     val li = Tables.lineitem(spark, sfDir)
     val li10 = (0 until 10).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
