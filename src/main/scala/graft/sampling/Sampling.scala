@@ -103,4 +103,20 @@ object Sampling {
       .orderBy(col("__priority").desc, col(keyCol))
       .limit(n)
       .drop("__priority")
+
+  /** [[weightedSample]] within each stratum (e.g. a per-language
+    * length-weighted budget for a balanced training mix): rank the
+    * Efraimidis–Spirakis priority per stratum and keep the top n. Same
+    * WindowGroupLimit execution as [[reservoirPerStratum]] — each task
+    * pre-prunes to its local top-n per stratum before the exchange, so the
+    * shuffle carries O(n × strata × tasks) rows, never the corpus. */
+  def weightedSamplePerStratum(df: DataFrame, keyCol: String, stratumCol: String,
+      weightCol: String, n: Int, salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(
+        (log(hashFraction(col(keyCol), salt)) / col(weightCol).cast("double")).desc,
+        col(keyCol))
+    df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
+  }
 }

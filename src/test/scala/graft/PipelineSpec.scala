@@ -50,7 +50,11 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("scd2 intervals: exhaustive, non-overlapping, one current row per user") {
-    val scd = Gold.scd2UserZones(silver).cache()
+    // deliberately NOT cached: a cached frame registers its plan with the
+    // session-global cache manager, which then substitutes an
+    // InMemoryRelation into the identical plan PlanAuditSpec builds for
+    // its exchange-count audit (suites share one SparkSession)
+    val scd = Gold.scd2UserZones(silver)
     val base = silver.filter(col("zone_id").isNotNull && col("ts").isNotNull)
     // run construction loses no events
     val total = scd.agg(sum("n_events")).head().getLong(0)

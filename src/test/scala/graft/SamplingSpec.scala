@@ -96,4 +96,24 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"),
       s"expected TakeOrderedAndProject in:\n$plan")
   }
+
+  test("per-stratum weighted sample: exact counts, length-biased, map-side pruned") {
+    val s = Sampling.weightedSamplePerStratum(docs, "doc_id", "lang", "n_chars", 20).cache()
+    val counts = s.groupBy("lang").count().collect()
+    assert(counts.nonEmpty && counts.forall(_.getAs[Long]("count") === 20L))
+    // within every stratum the draw is length-biased vs that stratum
+    val corpus = docs.groupBy("lang").agg(avg("n_chars").as("corpus_avg"))
+    val sample = s.groupBy("lang").agg(avg("n_chars").as("sample_avg"))
+    val joined = sample.join(corpus, "lang").collect()
+    assert(joined.forall(r => r.getAs[Double]("sample_avg") > r.getAs[Double]("corpus_avg")),
+      joined.mkString("; "))
+    // deterministic under repartitioning
+    val again = Sampling.weightedSamplePerStratum(
+      docs.repartition(7), "doc_id", "lang", "n_chars", 20)
+    assert(s.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // same map-side WindowGroupLimit execution as the reservoir
+    val plan = Sampling.weightedSamplePerStratum(docs, "doc_id", "lang", "n_chars", 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
+  }
 }
