@@ -257,6 +257,16 @@ object SparkEntry {
       graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts", Seq("purchase_value"))
         .select("event_id", "user_id", "ts", "purchase_value_asof")
     }),
+    // forward as-of: each event annotated with the user's NEXT purchase
+    // at-or-after the event time (merge_asof direction='forward')
+    "q_asof_forward" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val purchases = sv.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts",
+          Seq("purchase_value"), direction = "forward")
+        .select("event_id", "user_id", "ts", "purchase_value_asof")
+    }),
     // as-of with staleness bound: a prior purchase older than 24 h does
     // not match (kdb/merge_asof ASOF TOLERANCE semantics)
     "q_asof_tolerance" -> ((s, dir) => {
@@ -956,6 +966,18 @@ object SparkEntry {
          |SELECT l.event_id, l.user_id, l.ts, r.purchase_value AS purchase_value_asof
          |FROM silver l ASOF LEFT JOIN purch r
          |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // DuckDB ASOF accepts any inequality comparator: <= is the forward
+    // (earliest at-or-after) direction
+    "q_asof_forward" ->
+      s"""$silverCte,
+         |purch AS (
+         |  SELECT user_id, ts, max(value) AS purchase_value
+         |  FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2
+         |)
+         |SELECT l.event_id, l.user_id, l.ts, r.purchase_value AS purchase_value_asof
+         |FROM silver l ASOF LEFT JOIN purch r
+         |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
     // floor(epoch()) mirrors Spark's truncating timestamp→long cast so
     // the 24 h staleness bound compares identically on sub-second ts

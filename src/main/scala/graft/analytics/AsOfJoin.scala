@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -34,35 +34,54 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** `toleranceSeconds`: when set, a prior right row older than the
-    * tolerance does NOT match (its payload reads null) — the "price is
+  /** `toleranceSeconds`: when set, a matched right row further away than
+    * the tolerance does NOT match (its payload reads null) — the "price is
     * stale after N minutes" contract of ASOF TOLERANCE in kdb/Pandas
     * merge_asof. Implemented by carrying the matched right timestamp
     * through the same window and nulling payloads past the bound — same
-    * one-shuffle cost. */
+    * one-shuffle cost.
+    *
+    * `direction`: `"backward"` (default) matches the latest right row at
+    * or before left.ts; `"forward"` the earliest right row at or after it
+    * (merge_asof's direction — "next scheduled maintenance after the
+    * alert", "first fill after the order"). Forward mirrors the window:
+    * right rows sort AFTER left at equal ts (tie-inclusive for `<=`), the
+    * frame runs current-row → unbounded FOLLOWING, and `first` replaces
+    * `last`. Identical one-shuffle cost. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       payloadCols: Seq[String], outSuffix: String = "_asof",
-      toleranceSeconds: Option[Long] = None): DataFrame = {
+      toleranceSeconds: Option[Long] = None,
+      direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    val fwd = direction == "forward"
     val tagged = "__graft_is_left"
     val rts = "__graft_r_ts"
     val renamed = payloadCols.map(c => c -> s"__graft_r_$c")
     val r = right.select(
       (Seq(col(key), col(ts)) ++ renamed.map { case (c, rc) => col(c).as(rc) }): _*)
-      .withColumn(tagged, lit(0))
+      .withColumn(tagged, lit(if (fwd) 2 else 0))
       .withColumn(rts, col(ts))
     val l = left.withColumn(tagged, lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(key).orderBy(col(ts), col(tagged))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = Window.partitionBy(key).orderBy(col(ts), col(tagged))
+    val w =
+      if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def pick(c: Column): Column =
+      if (fwd) first(c, ignoreNulls = true).over(w)
+      else last(c, ignoreNulls = true).over(w)
     val filled0 = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
-      df.withColumn(rc, last(col(rc), ignoreNulls = true).over(w))
+      df.withColumn(rc, pick(col(rc)))
     }
     val filled = toleranceSeconds match {
       case None => filled0
       case Some(tol) =>
-        val fresh = col(ts).cast("long") - last(col(rts), ignoreNulls = true).over(w).cast("long") <= tol
+        val gap =
+          if (fwd) pick(col(rts)).cast("long") - col(ts).cast("long")
+          else col(ts).cast("long") - pick(col(rts)).cast("long")
         renamed.foldLeft(filled0) { case (df, (_, rc)) =>
-          df.withColumn(rc, when(fresh, col(rc)))
+          df.withColumn(rc, when(gap <= tol, col(rc)))
         }
     }
     val out = filled.filter(col(tagged) === 1).drop(tagged, rts)

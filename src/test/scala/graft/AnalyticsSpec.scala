@@ -112,6 +112,36 @@ class AnalyticsSpec extends SparkSpec {
     assert(out(2L) === None, "past tolerance: stale payload must null out")
   }
 
+  test("as-of forward: earliest following payload, tie-inclusive, tolerance bounds the gap") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L), (2L, 100L, 20L), (3L, 100L, 30L), (4L, 200L, 15L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, 1.0),  // exactly at event 1's ts -> visible to it (<=)
+      (100L, 25L, 2.0),  // next after events 2 and 3? only 2 (3 is at 30)
+      (200L, 5L, 9.0))   // before event 4 -> never visible forward
+      .toDF("user_id", "ts", "purchase_value")
+    val out = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"), direction = "forward")
+    val byEvent = out.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(byEvent(1L) === Some(1.0), "right row at exactly left.ts matches (<=)")
+    assert(byEvent(2L) === Some(2.0))
+    assert(byEvent(3L) === None, "no following right row")
+    assert(byEvent(4L) === None, "prior right rows are invisible forward")
+    // tolerance: a following row further than the bound nulls out
+    val tol = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"),
+        direction = "forward", toleranceSeconds = Some(3L))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(tol(1L) === Some(1.0), "gap 0 within tolerance")
+    assert(tol(2L) === None, "gap 5 > tolerance 3")
+  }
+
   test("as-of join: latest prior payload per key, tie-inclusive, no range nested-loop") {
     import spark.implicits._
     val left = Seq(
