@@ -82,6 +82,30 @@ object Stress {
     time("clusters_chain4k_dbl")(
       Dedup.dupClusters(chainDocs, chainPairs, maxIter = 30, pointerDoubling = true))
 
+    // 100× CLEAN corpus (opt-in: SPARK_GRAFT_STRESS_100X=1): 500k docs,
+    // every word suffixed per copy so copies share no shingles — the
+    // "corpus grows, duplicates don't" case. Candidate volume must stay
+    // ~linear in N (band buckets hold only true dups + random collisions);
+    // a quadratic term here is the design failure banding exists to
+    // prevent. Clean-corpus by construction: each copy's only near-dups
+    // are within its own 5k docs.
+    if (sys.env.get("SPARK_GRAFT_STRESS_100X").contains("1")) {
+      def cleanCorpus(copies: Int): DataFrame = (0 until copies).map { i =>
+        docs.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"),
+          regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
+      }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+      val clean10 = cleanCorpus(10)
+      println(s"clean corpus 10x: ${clean10.count()} docs")
+      time("minhash_xx_clean_10x")(
+        Dedup.minhashLsh(clean10, family = Dedup.XxHash64Family))
+      clean10.unpersist()
+      val clean100 = cleanCorpus(100)
+      println(s"clean corpus 100x: ${clean100.count()} docs")
+      time("minhash_xx_clean_100x")(
+        Dedup.minhashLsh(clean100, family = Dedup.XxHash64Family))
+      clean100.unpersist()
+    }
+
     // Stop-shingle corpora: every doc ends with the same common phrase
     // (document frequency = |corpus|), copies share no CONTENT shingles
     // (every word suffixed with the copy index). Uncapped, each of the 5
