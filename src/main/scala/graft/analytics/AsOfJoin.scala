@@ -47,13 +47,16 @@ object AsOfJoin {
     * alert", "first fill after the order"). Forward mirrors the window:
     * right rows sort AFTER left at equal ts (tie-inclusive for `<=`), the
     * frame runs current-row → unbounded FOLLOWING, and `first` replaces
-    * `last`. Identical one-shuffle cost. */
+    * `last`. Identical one-shuffle cost. `"nearest"` (see [[asOfNearest]])
+    * picks whichever side is closer, ties backward — pandas semantics. */
   def asOf(left: DataFrame, right: DataFrame, key: String, ts: String,
       payloadCols: Seq[String], outSuffix: String = "_asof",
       toleranceSeconds: Option[Long] = None,
       direction: String = "backward"): DataFrame = {
+    if (direction == "nearest")
+      return asOfNearest(left, right, key, ts, payloadCols, outSuffix, toleranceSeconds)
     require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+      s"direction must be backward|forward|nearest, got $direction")
     val fwd = direction == "forward"
     val tagged = "__graft_is_left"
     val rts = "__graft_r_ts"
@@ -83,6 +86,50 @@ object AsOfJoin {
         renamed.foldLeft(filled0) { case (df, (_, rc)) =>
           df.withColumn(rc, when(gap <= tol, col(rc)))
         }
+    }
+    val out = filled.filter(col(tagged) === 1).drop(tagged, rts)
+    renamed.foldLeft(out) { case (df, (c, rc)) =>
+      df.withColumnRenamed(rc, s"$c$outSuffix")
+    }
+  }
+
+  /** merge_asof `direction='nearest'`: whichever of the latest-prior /
+    * earliest-following right rows is closer in time wins; equal gaps
+    * resolve backward (pandas tie rule). One union, one shuffle, ONE sort:
+    * right rows tag 0 (before left at equal ts), and both window frames —
+    * unbounded-preceding for the backward candidate, current-row→following
+    * for the forward one — share the same (ts, tag) sort order. A right
+    * row at exactly left.ts lands in the backward frame, which the tie
+    * rule prefers anyway. `toleranceSeconds` bounds the winning gap. */
+  def asOfNearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      payloadCols: Seq[String], outSuffix: String = "_asof",
+      toleranceSeconds: Option[Long] = None): DataFrame = {
+    val tagged = "__graft_is_left"
+    val rts = "__graft_r_ts"
+    val renamed = payloadCols.map(c => c -> s"__graft_r_$c")
+    val r = right.select(
+      (Seq(col(key), col(ts)) ++ renamed.map { case (c, rc) => col(c).as(rc) }): _*)
+      .withColumn(tagged, lit(0))
+      .withColumn(rts, col(ts))
+    val l = left.withColumn(tagged, lit(1))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val base = Window.partitionBy(key).orderBy(col(ts), col(tagged))
+    val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val gapB = col(ts).cast("long") - last(col(rts), ignoreNulls = true).over(wb).cast("long")
+    val gapF = first(col(rts), ignoreNulls = true).over(wf).cast("long") - col(ts).cast("long")
+    // backward wins when it exists and is at least as close (ties backward)
+    val backWins = gapB.isNotNull && (gapF.isNull || gapB <= gapF)
+    val withinTol: Column => Column = toleranceSeconds match {
+      case None => _ => lit(true)
+      case Some(tol) => g => g <= tol
+    }
+    val filled = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
+      val back = last(col(rc), ignoreNulls = true).over(wb)
+      val fwd = first(col(rc), ignoreNulls = true).over(wf)
+      df.withColumn(rc,
+        when(backWins && withinTol(gapB), back)
+          .when(!backWins && withinTol(gapF), fwd))
     }
     val out = filled.filter(col(tagged) === 1).drop(tagged, rts)
     renamed.foldLeft(out) { case (df, (c, rc)) =>

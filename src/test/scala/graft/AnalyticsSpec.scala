@@ -142,6 +142,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(tol(2L) === None, "gap 5 > tolerance 3")
   }
 
+  test("as-of nearest: closer side wins, ties backward, one sort in the plan") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, 10L),  // right at 10 (gap 0 back) and 12 (gap 2 fwd) -> back
+      (2L, 100L, 20L),  // right at 12 (gap 8 back) and 25 (gap 5 fwd) -> fwd
+      (3L, 100L, 26L),  // right at 25 (gap 1 back) and 27 (gap 1 fwd) -> tie: back
+      (4L, 200L, 50L))  // no right rows for key 200 -> null
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, 1.0), (100L, 12L, 2.0), (100L, 25L, 3.0), (100L, 27L, 4.0))
+      .toDF("user_id", "ts", "purchase_value")
+    val nearest = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"), direction = "nearest")
+    val byEvent = nearest.collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(byEvent(1L) === Some(1.0), "exact-ts match counts as backward gap 0")
+    assert(byEvent(2L) === Some(3.0), "closer following row wins")
+    assert(byEvent(3L) === Some(3.0), "equal gaps resolve backward (pandas tie rule)")
+    assert(byEvent(4L) === None)
+    // tolerance bounds the winning gap
+    val tol = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"),
+        direction = "nearest", toleranceSeconds = Some(1L))
+      .collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        Option(r.getAs[java.lang.Double]("purchase_value_asof")).map(_.toDouble)).toMap
+    assert(tol(1L) === Some(1.0) && tol(3L) === Some(3.0))
+    assert(tol(2L) === None, "winning gap 5 > tolerance 1")
+    // both window frames share one sort (AQE toString repeats the plan in
+    // its Initial Plan section — audit only the final plan): a second Sort
+    // would mean the mirrored frame broke the shared (ts, tag) order
+    val plan = nearest.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val sorts = "\\bSort \\[".r.findAllIn(plan).length
+    assert(sorts === 1, s"expected one shared sort, got $sorts:\n$plan")
+    assert("\\bWindow \\[".r.findAllIn(plan).length === 1,
+      "both frames must fuse into one Window operator")
+  }
+
   test("as-of join: latest prior payload per key, tie-inclusive, no range nested-loop") {
     import spark.implicits._
     val left = Seq(
