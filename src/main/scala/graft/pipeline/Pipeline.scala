@@ -120,9 +120,16 @@ object Pipeline {
     * Every stage is a DataFrame→DataFrame transform: the whole curation
     * is ONE Catalyst lineage (plus the bounded label-propagation loop),
     * so column pruning reaches the parquet scan through all six stages. */
+  /** `withLshEval = true` adds an `"lsh_eval"` output: the
+    * precision/recall/F1 of the approximate near-dup pass against the
+    * exact shingle-Jaccard path over the quality-kept corpus — the QA
+    * report a curation run ships alongside its outputs. Off by default
+    * (it costs an extra exact-Jaccard pass; at 100 TB run it on a
+    * sampled stratum). */
   def runCuration(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.2,
-      rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0):
+      rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0,
+      withLshEval: Boolean = false):
       Map[String, DataFrame] = {
     import org.apache.spark.sql.functions._
     val scored = graft.text.TextFunctions.quality(docs)
@@ -141,12 +148,15 @@ object Pipeline {
       if (rates.isEmpty && defaultRate >= 1.0) clean
       else graft.sampling.Sampling.stratifiedHashSample(
         clean, "doc_id", "lang", rates, defaultRate)
-    Map(
+    val outputs = Map(
       "quality_kept" -> qualityKept,
       "exact_kept" -> exactKept,
       "near_kept" -> nearKept,
       "decontaminated" -> clean,
       "curated" -> sampled,
       "split" -> graft.sampling.Sampling.splitAssign(sampled, "doc_id"))
+    if (withLshEval)
+      outputs + ("lsh_eval" -> graft.dedup.Dedup.lshEval(qualityKept))
+    else outputs
   }
 }

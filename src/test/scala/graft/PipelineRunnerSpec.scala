@@ -62,6 +62,13 @@ class PipelineRunnerSpec extends SparkSpec {
     val split = out("split")
     assert(split.count() === out("curated").count())
     assert(split.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    // default run ships no QA report; opting in adds the one-row
+    // confusion matrix over the quality-kept corpus
+    assert(!out.contains("lsh_eval"))
+    val withQa = Pipeline.runCuration(docs, bench, withLshEval = true)
+    val qa = withQa("lsh_eval").head()
+    assert(qa.getAs[Double]("recall") >= 0.0 && qa.getAs[Double]("recall") <= 1.0)
+    assert(qa.getAs[Long]("tp") + qa.getAs[Long]("fn") > 0, "eval saw the planted near-dups")
   }
 
   test("cross-stage optimization: fact build reuses the silver lineage plan") {
