@@ -208,6 +208,23 @@ object Stress {
     time("q3_join_10x")(graft.analytics.Analytics.shippingPriority(cust, ord10, li10))
     li10.unpersist(); ord10.unpersist()
 
+    // 100× OLAP (opt-in with the 100× gate): 60M lineitems / 15M orders —
+    // ~the largest corpus that fits this container. The agg plans shuffle
+    // only group keys (bounded), the join only its matched fan-out; cost
+    // must keep tracking the scan. NOT cached (60M rows would evict
+    // everything else): built from the 10×-replication lineage directly.
+    if (sys.env.get("SPARK_GRAFT_STRESS_100X").contains("1")) {
+      def rep100(df: DataFrame, keyCol: String): DataFrame =
+        (0 until 100).map { i =>
+          df.withColumn(keyCol, col(keyCol) + lit(i * 100000000L))
+        }.reduce(_ unionByName _)
+      val li100 = rep100(li, "l_orderkey")
+      val ord100 = rep100(ord, "o_orderkey")
+      println(s"olap corpus 100x: ${li100.count()} lineitems")
+      time("q1_agg_100x")(graft.analytics.Analytics.pricingSummary(li100))
+      time("q3_join_100x")(graft.analytics.Analytics.shippingPriority(cust, ord100, li100))
+    }
+
     spark.stop()
   }
 }
