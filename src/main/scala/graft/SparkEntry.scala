@@ -382,6 +382,9 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
+    // training-mix composition: tokens per (split, lang) + within-split
+    // share, over the deterministic split assignment
+    "corpus_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
     "text_unigram_lm" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // §2.10 multimodal
@@ -1461,6 +1464,29 @@ object SparkEntry {
         |       max(n_chars) AS max_chars,
         |       CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
         |FROM documents GROUP BY 1, 2""".stripMargin,
+
+    // token_share divides identical integers in both engines (exact long
+    // sums) -> identical doubles
+    "corpus_mix" ->
+      """WITH assigned AS (
+        |  SELECT lang, text,
+        |         CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (
+        |    SELECT lang, text,
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |             / 4294967296.0 AS f
+        |    FROM documents
+        |  )
+        |),
+        |cells AS (
+        |  SELECT split, lang, count(*) AS n_docs,
+        |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS total_tokens
+        |  FROM assigned GROUP BY 1, 2
+        |)
+        |SELECT split, lang, n_docs, total_tokens,
+        |       CAST(total_tokens AS DOUBLE)
+        |         / sum(total_tokens) OVER (PARTITION BY split) AS token_share
+        |FROM cells""".stripMargin,
 
     "text_unigram_lm" ->
       """WITH raw AS (

@@ -248,6 +248,26 @@ object TextFunctions {
         max(col("n_chars")).as("max_chars"),
         sum(size(toks(col("text"))).cast("long")).as("total_tokens"))
 
+  /** Training-mix composition: per-(split, lang) doc/token totals plus
+    * each cell's share of its split's tokens — the table a data-mixing
+    * run reports ("how many training tokens per language does this mix
+    * contain, and is val representative"). Split assignment is the
+    * deterministic [[graft.sampling.Sampling.splitAssign]] hash column,
+    * so the report is reproducible anywhere. One groupBy over bounded
+    * (split × lang) keys + a window over the 3-row split space — the
+    * corpus scans once, the shuffle carries only the cell grid. */
+  def corpusMix(docs: DataFrame): DataFrame = {
+    val assigned = graft.sampling.Sampling.splitAssign(docs, "doc_id")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("split")
+    assigned
+      .groupBy(col("split"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("total_tokens"))
+      .withColumn("token_share",
+        col("total_tokens").cast("double") / sum(col("total_tokens")).over(w))
+  }
+
   /** Within-document repetition metrics — the classic repetitive-document
     * quality filter for training corpora (duplicate-word and duplicate-
     * trigram fractions; a crawl page of boilerplate lists scores high,

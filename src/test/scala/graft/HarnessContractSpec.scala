@@ -23,8 +23,10 @@ class HarnessContractSpec extends AnyFunSuite {
     val worstVal = "99.9"
     val queries = SparkEntry.queries.keys.toSeq.sorted
       .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
+    // no "errors" key: Bench omits it on a clean run, and a run WITH
+    // errors exits 1 and fails the round before archival matters
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$queries,"errors":{},"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
     assert(line.getBytes("UTF-8").length <= 2048,
       s"bench line would be ${line.length} bytes — trim precision or key names " +
         "(or teach the archiver to keep full stdout) before adding more queries")

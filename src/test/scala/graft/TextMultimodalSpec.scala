@@ -43,6 +43,19 @@ class TextMultimodalSpec extends SparkSpec {
     assert(rep.filter(col("min_chars") > col("max_chars")).count() === 0)
   }
 
+  test("corpus mix: cells cover every doc, token shares sum to 1 per split") {
+    val mix = TextFunctions.corpusMix(docs).cache()
+    assert(mix.agg(sum("n_docs")).head().getLong(0) === docs.count())
+    // shares within each split form a distribution
+    val bySplit = mix.groupBy("split").agg(sum("token_share").as("s")).collect()
+    assert(bySplit.length === 3)
+    assert(bySplit.forall(r => math.abs(r.getAs[Double]("s") - 1.0) < 1e-9),
+      bySplit.mkString("; "))
+    // deterministic: the same assignment hash -> identical report
+    val again = TextFunctions.corpusMix(docs.repartition(7))
+    assert(mix.exceptAll(again).count() === 0)
+  }
+
   test("repetition: boilerplate flags, natural prose doesn't, short docs null out") {
     import spark.implicits._
     val planted = Seq(
