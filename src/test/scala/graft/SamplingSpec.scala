@@ -97,6 +97,23 @@ class SamplingSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("cross-table consistency: same key+salt samples the same entities everywhere") {
+    // the referential-integrity-for-free property: sampling documents and
+    // embeddings by the same id space + salt keeps exactly the joined
+    // pairs — no orphaned rows on either side of a sampled join
+    val emb = Tables.embeddings(spark, dir)
+      .withColumnRenamed("vec_id", "doc_id")
+    val docsKept = Sampling.hashSample(docs, "doc_id", 0.4).select("doc_id")
+    val embKept = Sampling.hashSample(emb, "doc_id", 0.4).select("doc_id")
+    assert(docsKept.exceptAll(embKept).count() === 0)
+    assert(embKept.exceptAll(docsKept).count() === 0)
+    // and split assignment agrees row-for-row across the tables
+    val dSplit = Sampling.splitAssign(docs, "doc_id").select("doc_id", "split")
+    val eSplit = Sampling.splitAssign(emb, "doc_id").select("doc_id", "split")
+    assert(dSplit.join(eSplit, "doc_id")
+      .filter(dSplit("split") =!= eSplit("split")).count() === 0)
+  }
+
   test("per-stratum weighted sample: exact counts, length-biased, map-side pruned") {
     val s = Sampling.weightedSamplePerStratum(docs, "doc_id", "lang", "n_chars", 20).cache()
     val counts = s.groupBy("lang").count().collect()
