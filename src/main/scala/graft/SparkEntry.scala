@@ -211,6 +211,12 @@ object SparkEntry {
     "dq_sketch_union" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
     "dq_summary" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
+    // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
+    // protected individual is user_id; at_risk marks QI classes shared
+    // by fewer than 5 distinct users
+    "dq_kanon" -> ((s, dir) => DataQuality.kAnonymity(
+      Tables.events(s, dir).withColumn("hour", hour(col("ts"))),
+      Seq("event_type", "hour"), "user_id")),
     // §2.2 feature engineering
     "feat_demand" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
     "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
@@ -362,6 +368,11 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(Tables.documents(s, dir),
         "doc_id", "n_chars", n = 200).select("doc_id", "lang", "n_chars")),
+    // deterministic epoch shuffle: salt-keyed md5 order, sharded for
+    // parallel writes — one reproducible corpus permutation on any engine
+    "sample_shuffle" -> ((s, dir) =>
+      graft.sampling.Sampling.shuffleShards(
+        Tables.documents(s, dir).select("doc_id"), "doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
@@ -387,6 +398,8 @@ object SparkEntry {
     "corpus_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
     "text_unigram_lm" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
+    // PMI-scored bigram collocations (phrase mining for vocab prep)
+    "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -798,6 +811,15 @@ object SparkEntry {
          |         sum(CASE WHEN zone_id IS NULL THEN 1 ELSE 0 END),
          |         sum(CASE WHEN zone_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
          |)""".stripMargin,
+
+    // k-anonymity: DuckDB hour() is BIGINT, Spark's is INT → cast; both
+    // engines truncate the parquet nanos to the same hour
+    "dq_kanon" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hour,
+        |       count(*) AS n_rows,
+        |       count(DISTINCT user_id) AS n_ids,
+        |       count(DISTINCT user_id) < 5 AS at_risk
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "feat_demand" -> featDemandSql,
 
@@ -1217,6 +1239,22 @@ object SparkEntry {
         |  FROM documents
         |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
+    // deterministic epoch shuffle: md5 hex order is engine-portable, and
+    // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64
+    "sample_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         md5(CAST(doc_id AS VARCHAR) || ':graft') AS shuffle_key
+        |  FROM documents
+        |), s AS (
+        |  SELECT doc_id, shuffle_key,
+        |         CAST(CAST('0x' || substr(shuffle_key, 1, 8) AS BIGINT) % 64 AS INT) AS shard
+        |  FROM h
+        |)
+        |SELECT doc_id, shuffle_key, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
+        |FROM s""".stripMargin,
+
     // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
     // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
     // ratios divide identical integers in both engines → identical doubles
@@ -1516,6 +1554,33 @@ object SparkEntry {
         |  FROM counted
         |)
         |SELECT pair, pair_count, "rank" FROM ranked WHERE "rank" <= 100""".stripMargin,
+
+    // PMI over corpus bigram/unigram counts: n_bg sums ALL bigrams (the
+    // probability denominator), minCount prunes output only; the ln-chain
+    // mirrors the Spark expression shape-for-shape so doubles agree
+    "text_pmi" ->
+      """WITH tl AS (
+        |  SELECT list_filter(str_split(lower(text), ' '), x -> x <> '') AS t FROM documents
+        |),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM tl
+        |),
+        |bgc AS (SELECT bigram, count(*) AS pair_count FROM bg GROUP BY 1),
+        |uc AS (SELECT word, count(*) AS c_word
+        |       FROM (SELECT unnest(t) AS word FROM tl) GROUP BY 1),
+        |tot AS (SELECT CAST((SELECT sum(c_word) FROM uc) AS BIGINT) AS n_uni,
+        |               CAST((SELECT sum(pair_count) FROM bgc) AS BIGINT) AS n_bg)
+        |SELECT str_split(bigram, ' ')[1] AS word_a,
+        |       str_split(bigram, ' ')[2] AS word_b,
+        |       pair_count, c_a, c_b,
+        |       ln((CAST(pair_count AS DOUBLE) / n_bg)
+        |          / ((CAST(c_a AS DOUBLE) / n_uni) * (CAST(c_b AS DOUBLE) / n_uni))) AS pmi
+        |FROM bgc
+        |JOIN (SELECT word AS word_a, c_word AS c_a FROM uc) a ON str_split(bigram, ' ')[1] = a.word_a
+        |JOIN (SELECT word AS word_b, c_word AS c_b FROM uc) b ON str_split(bigram, ' ')[2] = b.word_b
+        |CROSS JOIN tot
+        |WHERE pair_count >= 5""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -71,6 +71,13 @@ object Stress {
     // per-task state at n rows — cost is the scan, not the top-n
     time("weighted_sample_10x")(graft.sampling.Sampling.weightedSample(
       dupHeavy.withColumn("n_chars", length(col("text"))), "doc_id", "n_chars", 200))
+    // deterministic epoch shuffle: ONE shard-keyed exchange + per-shard
+    // local sort — no global ordering stage; must scale like the shuffle
+    time("shuffle_shards_10x")(graft.sampling.Sampling.shuffleShards(
+      dupHeavy.select("doc_id"), "doc_id"))
+    // PMI collocations: bigram explode+agg is linear in tokens; the
+    // marginal joins are vocab-sized, unaffected by corpus growth
+    time("text_pmi_10x")(graft.text.TextFunctions.pmiCollocations(dupHeavy))
     dupHeavy.unpersist()
 
     // High-diameter pair graph: a 4096-node chain is the worst case for

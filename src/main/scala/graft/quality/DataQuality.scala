@@ -95,6 +95,24 @@ object DataQuality {
       sum(col("day_rows")).as("total_rows"))
   }
 
+  /** k-anonymity audit: one row per quasi-identifier equivalence class
+    * with its row count, distinct-individual count, and an `at_risk` flag
+    * (fewer than `k` distinct individuals share the QI combination — the
+    * re-identification risk a privacy review screens a training corpus
+    * for BEFORE release, complementing content-level scrubbing like
+    * [[graft.text.TextFunctions.redactPii]]).
+    *
+    * One hash-groupBy over the QI grid; the distinct-count is a two-phase
+    * partial aggregate over (QI, id) so nothing driver-side grows with the
+    * data. At 100 TB the output is |QI-combination space| rows — audit
+    * tables, not data tables. */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], idCol: String, k: Int = 5): DataFrame =
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col(idCol)).as("n_ids"))
+      .withColumn("at_risk", col("n_ids") < k)
+
   def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
     val rows = summaryDf.collect()
     rows.toSeq.map { r =>

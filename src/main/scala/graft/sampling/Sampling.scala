@@ -119,4 +119,28 @@ object Sampling {
         col(keyCol))
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
+
+  /** Deterministic global shuffle for reproducible training-data order:
+    * every row gets a salt-keyed md5 `shuffle_key`, a `shard` (key mod
+    * `nShards` — the output file a writer would send it to) and `pos`
+    * (its rank within the shard). Reading shards in order replays one
+    * fixed, seed-reproducible permutation of the corpus on any engine —
+    * `Dataset.orderBy(rand())` can't promise that across retries, and a
+    * training run that can't re-derive its data order can't be debugged.
+    *
+    * Scale: one shuffle, keyed by `shard`; each shard then sorts locally
+    * (window per shard, no global ordering). Shard sizes are md5-uniform,
+    * so pick `nShards` ≥ cluster parallelism and no task sees more than
+    * ~corpus/nShards rows. Changing `salt` draws an independent epoch
+    * permutation — per-epoch reshuffles without touching the data. */
+  def shuffleShards(df: DataFrame, keyCol: String, nShards: Int = 64,
+      salt: String = "graft"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(keyCol))
+    df.withColumn("shuffle_key",
+        md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w))
+  }
 }

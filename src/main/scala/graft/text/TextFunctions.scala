@@ -163,6 +163,52 @@ object TextFunctions {
     top.withColumn("rank", row_number().over(rw))
   }
 
+  /** PMI-scored word-bigram collocations — the association statistic
+    * behind phrase mining for tokenizer/vocab prep ("new york" is a unit;
+    * "of the" is chance): pmi = ln(p(ab) / (p(a)·p(b))), estimated from
+    * corpus bigram and unigram counts. [[bpePairStats]] ranks raw pair
+    * frequency; PMI normalizes out the marginals, which is what separates
+    * collocations from merely-common words.
+    *
+    * Scale: bigram extraction is a shuffle-free index HOF over each doc's
+    * token array (overshoot-and-slice as in [[repetition]]); then one
+    * aggregate keyed by bigram, one keyed by word, and two equi-joins on
+    * the word marginals (vocab-sized — AQE broadcasts them when small,
+    * sort-merge when a 100 TB vocab isn't). The scalar totals broadcast.
+    * `minCount` prunes the hapax tail BEFORE the joins — PMI is noise
+    * below a handful of observations anyway. The ln-chain is mirrored
+    * shape-for-shape in the oracle so the doubles stay bit-comparable. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    val t = col("t")
+    val bgRaw = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
+    val toksDf = docs.select(filter(toks(col("text")), x => x =!= "").as("t"))
+    val bigrams = toksDf
+      .select(explode(slice(bgRaw, lit(1), greatest(size(t) - 1, lit(0)))).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
+    val uni = toksDf
+      .select(explode(t).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c_word"))
+    // totals aggregate the count tables, not the corpus: no third scan.
+    // n_bg sums ALL bigrams (the probability denominator), not just the
+    // ones surviving minCount.
+    val totals = broadcast(
+      uni.agg(sum(col("c_word")).as("n_uni"))
+        .crossJoin(bigrams.agg(sum(col("pair_count")).as("n_bg"))))
+    bigrams
+      .filter(col("pair_count") >= minCount)
+      .withColumn("word_a", split(col("bigram"), " ").getItem(0))
+      .withColumn("word_b", split(col("bigram"), " ").getItem(1))
+      .join(uni.select(col("word").as("word_a"), col("c_word").as("c_a")), "word_a")
+      .join(uni.select(col("word").as("word_b"), col("c_word").as("c_b")), "word_b")
+      .crossJoin(totals)
+      .select(col("word_a"), col("word_b"), col("pair_count"), col("c_a"), col("c_b"),
+        log((col("pair_count").cast("double") / col("n_bg"))
+          / ((col("c_a").cast("double") / col("n_uni"))
+            * (col("c_b").cast("double") / col("n_uni")))).as("pmi"))
+  }
+
   /** PII redaction patterns, ordered — applied sequentially, so an email
     * is redacted before the IP pattern could fire inside its domain.
     * Every pattern is dialect-portable (ASCII classes, `\b`, bounded

@@ -100,6 +100,27 @@ class PipelineSpec extends SparkSpec {
     assert(!results.find(_.name == "value").get.passed)
   }
 
+  test("k-anonymity: distinct individuals per QI class, at_risk below k only") {
+    import spark.implicits._
+    val rows = Seq(
+      // QI (a,1): 3 distinct users over 4 rows → at risk at k=5
+      ("a", 1, 10L), ("a", 1, 10L), ("a", 1, 11L), ("a", 1, 12L),
+      // QI (b,2): 5 distinct users → exactly k, safe
+      ("b", 2, 20L), ("b", 2, 21L), ("b", 2, 22L), ("b", 2, 23L), ("b", 2, 24L))
+      .toDF("event_type", "hour", "user_id")
+    val audit = DataQuality.kAnonymity(rows, Seq("event_type", "hour"), "user_id")
+      .collect().map(r => (r.getAs[String]("event_type"), r.getAs[Int]("hour")) -> r).toMap
+    val a = audit(("a", 1)); val b = audit(("b", 2))
+    assert(a.getAs[Long]("n_rows") === 4L && a.getAs[Long]("n_ids") === 3L)
+    assert(a.getAs[Boolean]("at_risk"))
+    assert(b.getAs[Long]("n_ids") === 5L && !b.getAs[Boolean]("at_risk"))
+    // the audit output is QI-grid-sized, never row-sized
+    val real = DataQuality.kAnonymity(
+      Tables.events(spark, sfDir).withColumn("hour", hour(col("ts"))),
+      Seq("event_type", "hour"), "user_id")
+    assert(real.count() <= 5 * 24)
+  }
+
   test("event-type pivot: per-zone counts sum back to the zone's event total") {
     val pivoted = Aggregates.eventTypePivot(silver).cache()
     val types = Seq("click", "error", "purchase", "signup", "view")

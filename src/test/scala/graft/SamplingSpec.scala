@@ -97,6 +97,30 @@ class SamplingSpec extends SparkSpec {
       s"expected TakeOrderedAndProject in:\n$plan")
   }
 
+  test("shuffle shards: a true permutation, repartition-stable, salt draws a new epoch") {
+    val s = Sampling.shuffleShards(docs.select("doc_id"), "doc_id").cache()
+    // every doc exactly once, shards within range
+    assert(s.count() === docs.count())
+    assert(s.select("doc_id").distinct().count() === docs.count())
+    assert(s.filter(col("shard") < 0 || col("shard") >= 64).count() === 0)
+    // pos is a dense 1..n rank within each shard (a permutation, no gaps)
+    val bad = s.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"),
+        countDistinct("pos").as("d"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1 || col("d") =!= col("n"))
+    assert(bad.count() === 0)
+    // the permutation is the hash order, not the input order: stable
+    // under repartitioning
+    val r = Sampling.shuffleShards(docs.select("doc_id").repartition(7), "doc_id")
+    assert(s.exceptAll(r).count() === 0 && r.exceptAll(s).count() === 0)
+    // a different salt is a different epoch permutation of the same rows
+    val e2 = Sampling.shuffleShards(docs.select("doc_id"), "doc_id", salt = "epoch2")
+    assert(e2.count() === docs.count())
+    val moved = s.select("doc_id", "shard", "pos")
+      .exceptAll(e2.select("doc_id", "shard", "pos")).count()
+    assert(moved > 400, s"only $moved of 500 rows moved between epochs")
+  }
+
   test("cross-table consistency: same key+salt samples the same entities everywhere") {
     // the referential-integrity-for-free property: sampling documents and
     // embeddings by the same id space + salt keeps exactly the joined

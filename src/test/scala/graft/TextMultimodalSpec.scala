@@ -99,6 +99,30 @@ class TextMultimodalSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("pmi: planted collocation outscores independent pairs, marginals reconcile") {
+    import spark.implicits._
+    // "aa bb" always adjacent (a collocation); "cc"/"dd" co-occur with
+    // everything uniformly (no association)
+    val planted = Seq.tabulate(20) { i =>
+      (i.toLong, s"aa bb cc dd ${if (i % 2 == 0) "cc aa bb" else "dd aa bb"}")
+    }.toDF("doc_id", "text")
+    val out = TextFunctions.pmiCollocations(planted, minCount = 5).cache()
+    val byPair = out.collect()
+      .map(r => (r.getAs[String]("word_a"), r.getAs[String]("word_b")) -> r).toMap
+    val ab = byPair(("aa", "bb"))
+    assert(ab.getAs[Long]("pair_count") === 40L)
+    // planted collocation: p(ab) ≫ p(a)p(b) → strongly positive PMI
+    assert(ab.getAs[Double]("pmi") > 0.5)
+    // unassociated filler pair scores below the collocation
+    for (k <- Seq(("bb", "cc"), ("cc", "dd")) if byPair.contains(k))
+      assert(byPair(k).getAs[Double]("pmi") < ab.getAs[Double]("pmi"))
+    // marginals are corpus unigram counts (aa appears twice per doc)
+    assert(ab.getAs[Long]("c_a") === 40L && ab.getAs[Long]("c_b") === 40L)
+    // 1-token and empty docs produce no bigrams and don't crash
+    val tiny = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    assert(TextFunctions.pmiCollocations(tiny, minCount = 1).count() === 0)
+  }
+
   test("pii redaction: emails/phones/ips/ids scrubbed and counted") {
     import spark.implicits._
     val planted = Seq(
