@@ -244,6 +244,10 @@ object SparkEntry {
     }),
     "monitor_psi" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
+    // binned two-sample KS: max CDF gap at the psi bin edges — the
+    // median-shift alarm PSI smooths over
+    "monitor_ks" -> ((s, dir) =>
+      Monitoring.ksStat(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     "monitor_missing" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
     "monitor_volume" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
@@ -400,6 +404,8 @@ object SparkEntry {
     "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
+    // Zipf rank-frequency OLS fit — corpus-level naturalness check
+    "text_zipf" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -911,6 +917,41 @@ object SparkEntry {
          |           * ln(greatest(c_cnt / t.c_tot, 1e-6) / greatest(b_cnt / t.b_tot, 1e-6))) AS psi
          |FROM counts c JOIN tot t USING (feature)
          |GROUP BY 1, 2, 3""".stripMargin,
+
+    // binned two-sample KS at the psi bin edges: cumulative integer
+    // counts over integer totals → identical doubles in both engines
+    "monitor_ks" ->
+      s"""$silverCte,
+         |melted AS (
+         |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
+         |  UNION ALL
+         |  SELECT 'zone_id', CAST(zone_id AS DOUBLE), event_date FROM silver
+         |),
+         |flagged AS (
+         |  SELECT feature, x,
+         |         CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base
+         |  FROM melted WHERE x IS NOT NULL
+         |),
+         |stats AS (SELECT feature, min(x) AS lo, max(x) AS hi FROM flagged WHERE is_base = 1 GROUP BY 1),
+         |binned AS (
+         |  SELECT f.feature, is_base,
+         |         CASE WHEN hi = lo THEN 0
+         |              ELSE CAST(least(greatest(floor((x - lo) / ((hi - lo) / 10)), 0), 9) AS INT) END AS bin
+         |  FROM flagged f JOIN stats USING (feature)
+         |),
+         |counts AS (SELECT feature, bin, sum(is_base) AS b_cnt, sum(1 - is_base) AS c_cnt FROM binned GROUP BY 1, 2),
+         |tot AS (SELECT feature, sum(b_cnt) AS b_tot, sum(c_cnt) AS c_tot FROM counts GROUP BY 1),
+         |cum AS (
+         |  SELECT c.feature, t.b_tot, t.c_tot,
+         |         sum(b_cnt) OVER (PARTITION BY c.feature ORDER BY bin
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS b_cum,
+         |         sum(c_cnt) OVER (PARTITION BY c.feature ORDER BY bin
+         |                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_cum
+         |  FROM counts c JOIN tot t USING (feature)
+         |)
+         |SELECT feature, CAST(b_tot AS BIGINT) AS base_count, CAST(c_tot AS BIGINT) AS cur_count,
+         |       max(abs(b_cum / b_tot - c_cum / c_tot)) AS ks
+         |FROM cum GROUP BY 1, 2, 3""".stripMargin,
 
     "monitor_missing" ->
       s"""$silverCte,
@@ -1581,6 +1622,32 @@ object SparkEntry {
         |JOIN (SELECT word AS word_b, c_word AS c_b FROM uc) b ON str_split(bigram, ' ')[2] = b.word_b
         |CROSS JOIN tot
         |WHERE pair_count >= 5""".stripMargin,
+
+    // OLS of ln(freq) on ln(rank) over the top-1000 vocab; outputs round
+    // to 6 dp (the sums accumulate doubles in engine-specific order)
+    "text_zipf" ->
+      """WITH freqs AS (
+        |  SELECT word, count(*) AS tf FROM (
+        |    SELECT unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS word
+        |    FROM documents
+        |  ) GROUP BY 1 ORDER BY tf DESC, word LIMIT 1000
+        |),
+        |pts AS (
+        |  SELECT ln(CAST(row_number() OVER (ORDER BY tf DESC, word) AS DOUBLE)) AS x,
+        |         ln(CAST(tf AS DOUBLE)) AS y
+        |  FROM freqs
+        |),
+        |s AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pts
+        |)
+        |SELECT CAST(n AS BIGINT) AS n_terms,
+        |       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+        |       round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+        |       round(pow(n * sxy - sx * sy, 2)
+        |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+        |FROM s""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -55,6 +55,45 @@ object Monitoring {
       .agg(sum((cPct - bPct) * log(cPct / bPct)).as("psi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic per feature: the max
+    * gap between baseline and current empirical CDFs, evaluated at the
+    * same deterministic fixed-width bin edges as [[psi]]. PSI weights the
+    * whole distribution (and saturates on disjoint supports); KS reads
+    * out the single worst CDF displacement — a sharper alarm for median
+    * shifts, and the two together are the standard drift dashboard pair.
+    *
+    * Binned on purpose: the exact statistic needs a global ordered CDF
+    * (an unpartitioned window — single-task at any scale); bin-edge
+    * evaluation underestimates KS by at most the probability mass of one
+    * bin and keeps the plan a (feature, bin)-keyed aggregate plus a
+    * window over ≤ `bins` rows per feature. Integer-ratio arithmetic
+    * throughout → bit-identical on any engine. */
+  def ksStat(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
+    val m = melted(df, cols, "double", splitDate).filter(col("x").isNotNull)
+    val stats = m.filter(col("is_base") === 1)
+      .groupBy("feature").agg(min("x").as("lo"), max("x").as("hi"))
+    val width = (col("hi") - col("lo")) / bins
+    val binned = m.join(broadcast(stats), Seq("feature"))
+      .withColumn("bin",
+        when(col("hi") === col("lo"), lit(0))
+          .otherwise(least(greatest(floor((col("x") - col("lo")) / width), lit(0)), lit(bins - 1)))
+          .cast("int"))
+    val counts = binned.groupBy("feature", "bin").agg(
+      sum("is_base").as("b_cnt"),
+      sum(lit(1) - col("is_base")).as("c_cnt"))
+    val tot = counts.groupBy("feature").agg(
+      sum("b_cnt").as("b_tot"), sum("c_cnt").as("c_tot"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("feature").orderBy("bin")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    counts.join(broadcast(tot), Seq("feature"))
+      .withColumn("b_cum", sum("b_cnt").over(w))
+      .withColumn("c_cum", sum("c_cnt").over(w))
+      .groupBy(col("feature"), col("b_tot").cast("long").as("base_count"),
+        col("c_tot").cast("long").as("cur_count"))
+      .agg(max(abs(col("b_cum") / col("b_tot") - col("c_cum") / col("c_tot"))).as("ks"))
+  }
+
   /** Missing-rate per feature in baseline vs current window + shift.
     * One scan for all features. */
   def missingRates(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {

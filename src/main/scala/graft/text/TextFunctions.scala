@@ -209,6 +209,44 @@ object TextFunctions {
             * (col("c_b").cast("double") / col("n_uni")))).as("pmi"))
   }
 
+  /** Zipf-law fit over the top-k vocabulary: OLS of ln(freq) on ln(rank).
+    * Natural-language corpora sit near slope −1; a slope far from it (or
+    * a poor r²) flags machine-generated / templated / tokenizer-broken
+    * text at the corpus level — the one-row health check a curation run
+    * reads next to [[corpusReport]].
+    *
+    * Scale: one token aggregate (the only data-sized shuffle), then
+    * `orderBy+limit` compiles to TakeOrderedAndProject (per-task top-k
+    * heap — the vocab is never globally sorted); the regression runs
+    * over k rows. Outputs round to 6 dp: the OLS sums accumulate ln()
+    * doubles whose addition order differs per engine. */
+  def zipfFit(docs: DataFrame, topK: Int = 1000): DataFrame = {
+    val freqs = docs
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("word")).limit(topK)
+    val rw = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tf").desc, col("word"))
+    val pts = freqs
+      .withColumn("r", row_number().over(rw))
+      .select(log(col("r").cast("double")).as("x"), log(col("tf").cast("double")).as("y"))
+    val s = pts.agg(
+      count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    s.select(
+      col("n").cast("long").as("n_terms"),
+      round(slope, 6).as("slope"),
+      round((col("sy") - slope * col("sx")) / col("n"), 6).as("intercept"),
+      round(pow(col("n") * col("sxy") - col("sx") * col("sy"), 2) /
+        ((col("n") * col("sxx") - col("sx") * col("sx"))
+          * (col("n") * col("syy") - col("sy") * col("sy"))), 6).as("r2"))
+  }
+
   /** PII redaction patterns, ordered — applied sequentially, so an email
     * is redacted before the IP pattern could fire inside its domain.
     * Every pattern is dialect-portable (ASCII classes, `\b`, bounded

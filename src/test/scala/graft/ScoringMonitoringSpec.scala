@@ -55,6 +55,29 @@ class ScoringMonitoringSpec extends SparkSpec {
       .head().getAs[Double]("psi")) < 1e-12)
   }
 
+  test("ks: bounded in [0,1], 0 on identical windows, ~1 on disjoint supports") {
+    import spark.implicits._
+    // disjoint supports: every current value clamps into the top bin →
+    // the CDF gap hits (bins-1)/bins at the penultimate edge
+    val df = ((1 to 100).map(i => (i.toDouble, "2024-01-10")) ++
+      (1 to 100).map(i => (i.toDouble + 1000, "2024-01-20")))
+      .toDF("value", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    val drift = Monitoring.ksStat(df, Seq("value"), "2024-01-15").head()
+    assert(drift.getAs[Long]("base_count") === 100L)
+    assert(drift.getAs[Double]("ks") === 0.9)
+
+    val same = ((1 to 100).map(i => (i.toDouble, "2024-01-10")) ++
+      (1 to 100).map(i => (i.toDouble, "2024-01-20")))
+      .toDF("value", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    assert(Monitoring.ksStat(same, Seq("value"), "2024-01-15")
+      .head().getAs[Double]("ks") === 0.0)
+    // real silver: a statistic, not a count — always inside [0, 1]
+    val real = Monitoring.ksStat(silver, Seq("value", "zone_id"), "2024-01-15")
+    assert(real.filter(col("ks") < 0.0 || col("ks") > 1.0).count() === 0)
+  }
+
   test("missing rates: value column reflects nulled error events in both windows") {
     val rates = Monitoring.missingRates(silver, Seq("value", "user_id"), "2024-01-15")
       .collect().map(r => r.getAs[String]("feature") -> r).toMap

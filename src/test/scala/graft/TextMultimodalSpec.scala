@@ -123,6 +123,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(TextFunctions.pmiCollocations(tiny, minCount = 1).count() === 0)
   }
 
+  test("zipf fit: planted power law recovers slope -1, r2 near 1") {
+    import spark.implicits._
+    // word w_i repeated floor(1000/i) times: freq ∝ 1/rank exactly
+    val planted = (1 to 50).flatMap { i =>
+      Seq.fill(1000 / i)(f"w$i%03d")
+    }.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val fit = TextFunctions.zipfFit(planted).head()
+    assert(fit.getAs[Long]("n_terms") === 50L)
+    assert(math.abs(fit.getAs[Double]("slope") + 1.0) < 0.05,
+      s"slope ${fit.getAs[Double]("slope")} not ~ -1")
+    assert(fit.getAs[Double]("r2") > 0.99)
+    // corpus-health read on real docs: slope negative, r2 in [0, 1]
+    val real = TextFunctions.zipfFit(docs).head()
+    assert(real.getAs[Double]("slope") < 0.0)
+    assert(real.getAs[Double]("r2") >= 0.0 && real.getAs[Double]("r2") <= 1.0)
+  }
+
   test("pii redaction: emails/phones/ips/ids scrubbed and counted") {
     import spark.implicits._
     val planted = Seq(
