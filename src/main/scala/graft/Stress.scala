@@ -78,6 +78,10 @@ object Stress {
     // PMI collocations: bigram explode+agg is linear in tokens; the
     // marginal joins are vocab-sized, unaffected by corpus growth
     time("text_pmi_10x")(graft.text.TextFunctions.pmiCollocations(dupHeavy))
+    // substring-dup anchors on the adversarial corpus: every 10-variant
+    // group shares nearly its whole token stream, so anchor volume is the
+    // worst case short of boilerplate (which the df cap removes)
+    time("substring_dups_10x")(Dedup.substringDups(dupHeavy))
     dupHeavy.unpersist()
 
     // High-diameter pair graph: a 4096-node chain is the worst case for

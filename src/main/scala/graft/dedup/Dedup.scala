@@ -250,6 +250,67 @@ object Dedup {
       .select("doc_a", "doc_b", "both_cnt", "jaccard")
   }
 
+  /** Cross-document EXACT substring duplication: maximal runs of ≥
+    * `minTokens` consecutive shared tokens between document pairs — the
+    * substring-granular dedup mode (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better") that catches partial
+    * copies whole-document Jaccard/MinHash dilute below threshold (a long
+    * doc quoting 50 tokens of another scores near-zero Jaccard).
+    *
+    * The suffix-array construction of the paper is a single-machine
+    * algorithm; the Spark-native equivalent here is fingerprint anchoring:
+    *   1. k-token rolling window fingerprints (md5) at every position;
+    *   2. DF cap (same rationale as [[ngramJaccard]]'s stop shingles): a
+    *      fingerprint in > `dfMax` docs is boilerplate whose anchor join
+    *      would be quadratic in df — dropped before pairing;
+    *   3. anchor equi-join on fingerprint (doc_a < doc_b);
+    *   4. diagonal run merge: anchors of one contiguous shared substring
+    *      share (doc_a, doc_b, pos_a − pos_b), and along a diagonal the
+    *      island trick (pos_a − row_number) groups consecutive positions;
+    *      a run of m ≥ k shared tokens yields m − k + 1 consecutive
+    *      anchors, so match_len = max(pos_a) − min(pos_a) + k.
+    * Every stage is an equi-join or a bounded window (per pair-diagonal);
+    * nothing is all-pairs. Output: (doc_a, doc_b, start_a, start_b,
+    * match_len) per maximal shared run, 1-based token offsets. */
+  def substringDups(docs: DataFrame, k: Int = 10, minTokens: Int = 20,
+      dfMax: Int = DefaultStopShingleDf): DataFrame = {
+    require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
+    val t = col("t")
+    // overshoot-and-slice (see ngram shingles): windows past n-k+1 hash a
+    // short tail slice and are cut by the outer slice
+    val fpRaw = transform(
+      sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
+      i => md5(concat_ws(" ", slice(t, i, lit(k)))))
+    val anchors = docs
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), x => x =!= "").as("t"))
+      .select(col("doc_id"),
+        posexplode(slice(fpRaw, lit(1), greatest(size(t) - (k - 1), lit(0)))))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("fp"))
+    val stop = anchors
+      .groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") > dfMax)
+      .select(col("fp").as("stop_fp"))
+    val kept = anchors.join(stop, col("fp") === col("stop_fp"), "left_anti")
+    val paired = kept.alias("a")
+      .join(kept.alias("b"),
+        col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pos_a"), col("b.pos").as("pos_b"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag")).orderBy(col("pos_a"))
+    paired
+      .withColumn("diag", col("pos_a") - col("pos_b"))
+      .withColumn("grp", col("pos_a") - row_number().over(w))
+      .groupBy("doc_a", "doc_b", "diag", "grp")
+      .agg(
+        min("pos_a").as("start_a"), min("pos_b").as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("match_len"))
+      .filter(col("match_len") >= minTokens)
+      .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
+  }
+
   /** QA report for the approximate dedup path: precision / recall / F1 of
     * banded MinHash-LSH (candidates with estimated Jaccard ≥ threshold)
     * against the DEPLOYED exact path ([[ngramJaccard]], DF-capped shingle

@@ -115,7 +115,9 @@ object Pipeline {
     *      only each cluster's canonical doc;
     *   5. decontaminate against the benchmark set;
     *   6. deterministic per-language sample into the final mix;
-    *   7. deterministic train/val/test assignment on the curated docs.
+    *   7. deterministic train/val/test assignment on the curated docs;
+    *   8. deterministic epoch shuffle of the curated mix (sharded md5
+    *      permutation — the order a training run replays).
     *
     * Every stage is a DataFrame→DataFrame transform: the whole curation
     * is ONE Catalyst lineage (plus the bounded label-propagation loop),
@@ -154,7 +156,8 @@ object Pipeline {
       "near_kept" -> nearKept,
       "decontaminated" -> clean,
       "curated" -> sampled,
-      "split" -> graft.sampling.Sampling.splitAssign(sampled, "doc_id"))
+      "split" -> graft.sampling.Sampling.splitAssign(sampled, "doc_id"),
+      "shuffled" -> graft.sampling.Sampling.shuffleShards(sampled, "doc_id"))
     if (withLshEval)
       outputs + ("lsh_eval" -> graft.dedup.Dedup.lshEval(qualityKept))
     else outputs

@@ -152,6 +152,36 @@ class DedupSpec extends SparkSpec {
     assert(keptLoose === Set(3L, 4L))
   }
 
+  test("substring dups: planted shared span found at exact offsets, df cap kills boilerplate") {
+    import spark.implicits._
+    // doc 1 tokens 6..30 === doc 2 tokens 11..35: one 25-token shared run
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      (1L, ((1 to 5).map(i => s"a$i").mkString(" ")) + " " + shared + " " +
+        ((1 to 10).map(i => s"z$i").mkString(" "))),
+      (2L, ((1 to 10).map(i => s"b$i").mkString(" ")) + " " + shared + " " +
+        ((1 to 5).map(i => s"y$i").mkString(" "))),
+      (3L, (1 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val runs = Dedup.substringDups(corpus, k = 10, minTokens = 20).collect()
+    assert(runs.length === 1)
+    val r = runs.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Int]("start_a") === 6 && r.getAs[Int]("start_b") === 11)
+    assert(r.getAs[Int]("match_len") === 25)
+    // a 15-token shared span stays below minTokens = 20
+    val short = Seq(
+      (1L, (1 to 15).map(i => s"s$i").mkString(" ") + " tail1 tail2 tail3 tail4 tail5"),
+      (2L, "h1 h2 h3 h4 h5 " + (1 to 15).map(i => s"s$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(Dedup.substringDups(short, k = 10, minTokens = 20).count() === 0)
+    // boilerplate guard: a 25-token phrase in EVERY doc of a 30-doc
+    // corpus exceeds dfMax and generates no pairs at all
+    val boiler = (1 to 30).map(i => (i.toLong, s"intro$i " + shared)).toDF("doc_id", "text")
+    assert(Dedup.substringDups(boiler, k = 10, minTokens = 20, dfMax = 10).count() === 0)
+    // ...while the uncapped run would have reported all ~435 pairs
+    assert(Dedup.substringDups(boiler, k = 10, minTokens = 20, dfMax = 1000).count() === 435)
+  }
+
   test("lsh eval: confusion matrix reconciles with both dedup paths") {
     val row = Dedup.lshEval(docs).head()
     val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))

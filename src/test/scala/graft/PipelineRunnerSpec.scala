@@ -62,6 +62,14 @@ class PipelineRunnerSpec extends SparkSpec {
     val split = out("split")
     assert(split.count() === out("curated").count())
     assert(split.filter(!col("split").isin("train", "val", "test")).count() === 0)
+    // epoch shuffle covers exactly the curated mix, permuted (dense
+    // 1..n positions per shard)
+    val shuffled = out("shuffled")
+    assert(shuffled.count() === out("curated").count())
+    assert(shuffled.select("doc_id").exceptAll(out("curated").select("doc_id")).count() === 0)
+    assert(shuffled.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"))
+      .filter(col("mx") =!= col("n")).count() === 0)
     // default run ships no QA report; opting in adds the one-row
     // confusion matrix over the quality-kept corpus
     assert(!out.contains("lsh_eval"))
