@@ -78,6 +78,9 @@ object Stress {
     // PMI collocations: bigram explode+agg is linear in tokens; the
     // marginal joins are vocab-sized, unaffected by corpus growth
     time("text_pmi_10x")(graft.text.TextFunctions.pmiCollocations(dupHeavy))
+    // persisted count tables: text scans twice instead of ~5x
+    time("text_pmi_10x_mat")(
+      graft.text.TextFunctions.pmiCollocations(dupHeavy, persistCounts = true))
     // substring-dup anchors on the adversarial corpus: every 10-variant
     // group shares nearly its whole token stream, so anchor volume is the
     // worst case short of boilerplate (which the df cap removes)

@@ -311,6 +311,34 @@ object Dedup {
       .select("doc_a", "doc_b", "start_a", "start_b", "match_len")
   }
 
+  /** Per-document duplicated-token fraction from [[substringDups]] runs —
+    * the number a curation policy actually filters on ("drop docs > 50%
+    * duplicated", Lee-et-al-style). Runs can overlap (the same span can
+    * match several partners), so coverage counts DISTINCT duplicated
+    * token positions per doc, not a sum of run lengths.
+    *
+    * Scale: each run explodes to its own positions (bounded by match
+    * lengths, not the corpus), one distinct-count per doc, and a join
+    * back to per-doc token counts. Docs with no runs report 0.0. */
+  def substringCoverage(docs: DataFrame, runs: DataFrame): DataFrame = {
+    val perSide = runs
+      .select(col("doc_a").as("doc_id"), col("start_a").as("start"), col("match_len"))
+      .unionByName(runs.select(col("doc_b").as("doc_id"), col("start_b").as("start"),
+        col("match_len")))
+    val covered = perSide
+      .select(col("doc_id"),
+        explode(sequence(col("start"), col("start") + col("match_len") - 1)).as("tok_pos"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("tok_pos")).as("dup_tokens"))
+    docs
+      .select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), x => x =!= "")).as("n_tokens"))
+      .join(covered, Seq("doc_id"), "left")
+      .withColumn("dup_tokens", coalesce(col("dup_tokens"), lit(0L)))
+      .withColumn("dup_frac",
+        col("dup_tokens").cast("double") / greatest(col("n_tokens"), lit(1)))
+  }
+
   /** QA report for the approximate dedup path: precision / recall / F1 of
     * banded MinHash-LSH (candidates with estimated Jaccard ≥ threshold)
     * against the DEPLOYED exact path ([[ngramJaccard]], DF-capped shingle

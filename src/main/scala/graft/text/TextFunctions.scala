@@ -177,20 +177,32 @@ object TextFunctions {
     * sort-merge when a 100 TB vocab isn't). The scalar totals broadcast.
     * `minCount` prunes the hapax tail BEFORE the joins — PMI is noise
     * below a handful of observations anyway. The ln-chain is mirrored
-    * shape-for-shape in the oracle so the doubles stay bit-comparable. */
-  def pmiCollocations(docs: DataFrame, minCount: Int = 5): DataFrame = {
+    * shape-for-shape in the oracle so the doubles stay bit-comparable.
+    *
+    * The two COUNT tables feed five plan branches (totals, both marginal
+    * joins, the output filter), and Catalyst re-evaluates each branch —
+    * ~5 text scans at default settings (irrelevant at test SF). At
+    * corpus scale set `persistCounts = true`: the cached tables are
+    * vocab-sized, not corpus-sized, and the text then scans exactly
+    * twice (once per count build) — same remedy as
+    * [[graft.dedup.Dedup.ngramJaccard]]'s `persistShingles`. */
+  def pmiCollocations(docs: DataFrame, minCount: Int = 5,
+      persistCounts: Boolean = false): DataFrame = {
     val t = col("t")
     val bgRaw = transform(
       sequence(lit(1), greatest(size(t) - 1, lit(1))),
       i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
     val toksDf = docs.select(filter(toks(col("text")), x => x =!= "").as("t"))
-    val bigrams = toksDf
+    val bigramsRaw = toksDf
       .select(explode(slice(bgRaw, lit(1), greatest(size(t) - 1, lit(0)))).as("bigram"))
       .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
-    val uni = toksDf
+    val uniRaw = toksDf
       .select(explode(t).as("word"))
       .groupBy("word").agg(count(lit(1)).as("c_word"))
-    // totals aggregate the count tables, not the corpus: no third scan.
+    val (bigrams, uni) =
+      if (persistCounts) (bigramsRaw.persist(), uniRaw.persist())
+      else (bigramsRaw, uniRaw)
+    // totals aggregate the count tables, not the corpus re-scanned.
     // n_bg sums ALL bigrams (the probability denominator), not just the
     // ones surviving minCount.
     val totals = broadcast(

@@ -182,6 +182,30 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDups(boiler, k = 10, minTokens = 20, dfMax = 1000).count() === 435)
   }
 
+  test("substring coverage: distinct duplicated positions, overlaps not double-counted") {
+    import spark.implicits._
+    val shared = (1 to 25).map(i => s"s$i").mkString(" ")
+    val corpus = Seq(
+      // doc 1 shares its tokens 6..30 with docs 2 AND 3: overlapping runs
+      // on doc 1 must still count 25 distinct positions, not 50
+      (1L, ((1 to 5).map(i => s"a$i").mkString(" ")) + " " + shared + " " +
+        ((1 to 10).map(i => s"z$i").mkString(" "))),
+      (2L, ((1 to 10).map(i => s"b$i").mkString(" ")) + " " + shared),
+      (3L, shared + " " + ((1 to 15).map(i => s"y$i").mkString(" "))),
+      (4L, (1 to 40).map(i => s"c$i").mkString(" "))).toDF("doc_id", "text")
+    val runs = Dedup.substringDups(corpus, k = 10, minTokens = 20)
+    val cov = Dedup.substringCoverage(corpus, runs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(cov(1L).getAs[Long]("dup_tokens") === 25L)
+    assert(math.abs(cov(1L).getAs[Double]("dup_frac") - 25.0 / 40.0) < 1e-12)
+    assert(cov(2L).getAs[Long]("dup_tokens") === 25L)
+    assert(cov(3L).getAs[Long]("dup_tokens") === 25L)
+    // untouched doc reports zero, not null, and every doc has a row
+    assert(cov(4L).getAs[Long]("dup_tokens") === 0L)
+    assert(cov(4L).getAs[Double]("dup_frac") === 0.0)
+    assert(cov.size === 4)
+  }
+
   test("lsh eval: confusion matrix reconciles with both dedup paths") {
     val row = Dedup.lshEval(docs).head()
     val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))
