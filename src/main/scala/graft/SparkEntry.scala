@@ -406,6 +406,9 @@ object SparkEntry {
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
     "text_zipf" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
+    // KL + TV distance of observed lang-token shares vs a target mix
+    "mix_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
+      Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -1648,6 +1651,27 @@ object SparkEntry {
         |       round(pow(n * sxy - sx * sy, 2)
         |             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
         |FROM s""".stripMargin,
+
+    // mix conformance: shares divide exact longs; KL/TV sums round to
+    // 6 dp (engine-order double accumulation)
+    "mix_kl" ->
+      """WITH lt AS (
+        |  SELECT lang,
+        |         CAST(sum(len(list_filter(str_split(lower(text), ' '), x -> x <> ''))) AS BIGINT)
+        |           AS lang_tokens
+        |  FROM documents GROUP BY 1
+        |),
+        |o AS (
+        |  SELECT lang, lang_tokens,
+        |         CAST(lang_tokens AS DOUBLE) / sum(lang_tokens) OVER () AS obs,
+        |         CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
+        |                   WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 1e-6 END AS tgt
+        |  FROM lt
+        |)
+        |SELECT count(*) AS n_langs,
+        |       round(sum(obs * ln(obs / tgt)), 6) AS kl_nats,
+        |       round(sum(abs(obs - tgt)) / 2, 6) AS tv_dist
+        |FROM o""".stripMargin,
 
     "text_repetition" ->
       """WITH w AS (

@@ -221,6 +221,33 @@ object TextFunctions {
             * (col("c_b").cast("double") / col("n_uni")))).as("pmi"))
   }
 
+  /** Mix-conformance check: KL divergence (nats) and total-variation
+    * distance between the OBSERVED per-language token shares and a TARGET
+    * mix — the number a data-mixing run gates on ("is the assembled
+    * corpus within tolerance of the spec'd 60/20/... blend") before
+    * training starts, complementing [[corpusMix]]'s descriptive table.
+    *
+    * One groupBy over the bounded lang space; shares divide exact longs.
+    * Languages absent from `target` get `floorProb` (the psi-style guard
+    * — KL is infinite against a zero target). Outputs round to 6 dp:
+    * the KL/TV sums accumulate doubles in engine-specific order. */
+  def mixDivergence(docs: DataFrame, target: Map[String, Double],
+      floorProb: Double = 1e-6): DataFrame = {
+    val targetCol = target.foldLeft(lit(floorProb): Column) {
+      case (acc, (k, p)) => when(col("lang") === k, lit(p)).otherwise(acc)
+    }
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    docs
+      .select(col("lang"), size(filter(toks(col("text")), t => t =!= "")).as("n"))
+      .groupBy("lang").agg(sum(col("n").cast("long")).as("lang_tokens"))
+      .withColumn("obs", col("lang_tokens").cast("double") / sum("lang_tokens").over(w))
+      .withColumn("tgt", targetCol)
+      .agg(
+        count(lit(1)).as("n_langs"),
+        round(sum(col("obs") * log(col("obs") / col("tgt"))), 6).as("kl_nats"),
+        round(sum(abs(col("obs") - col("tgt"))) / 2, 6).as("tv_dist"))
+  }
+
   /** Zipf-law fit over the top-k vocabulary: OLS of ln(freq) on ln(rank).
     * Natural-language corpora sit near slope −1; a slope far from it (or
     * a poor r²) flags machine-generated / templated / tokenizer-broken

@@ -123,6 +123,26 @@ class TextMultimodalSpec extends SparkSpec {
     assert(TextFunctions.pmiCollocations(tiny, minCount = 1).count() === 0)
   }
 
+  test("mix divergence: zero on an exact-match mix, positive and bounded off-target") {
+    import spark.implicits._
+    // 3 en tokens : 1 de token — matches target (0.75, 0.25) exactly
+    val planted = Seq(
+      (1L, "a b c", "en"), (2L, "d", "de")).toDF("doc_id", "text", "lang")
+    val exact = TextFunctions.mixDivergence(planted,
+      Map("en" -> 0.75, "de" -> 0.25)).head()
+    assert(exact.getAs[Long]("n_langs") === 2L)
+    assert(exact.getAs[Double]("kl_nats") === 0.0)
+    assert(exact.getAs[Double]("tv_dist") === 0.0)
+    // against a flipped target both divergences go positive; TV <= 1
+    val off = TextFunctions.mixDivergence(planted,
+      Map("en" -> 0.25, "de" -> 0.75)).head()
+    assert(off.getAs[Double]("kl_nats") > 0.0)
+    assert(off.getAs[Double]("tv_dist") > 0.0 && off.getAs[Double]("tv_dist") <= 1.0)
+    // a language missing from the target hits the 1e-6 floor -> large KL
+    val missing = TextFunctions.mixDivergence(planted, Map("en" -> 1.0)).head()
+    assert(missing.getAs[Double]("kl_nats") > 1.0)
+  }
+
   test("zipf fit: planted power law recovers slope -1, r2 near 1") {
     import spark.implicits._
     // word w_i repeated floor(1000/i) times: freq ∝ 1/rank exactly
