@@ -1284,11 +1284,13 @@ object SparkEntry {
         |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
     // deterministic epoch shuffle: md5 hex order is engine-portable, and
-    // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64
+    // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64;
+    // ':shuffle:' domain-separates the key from the sampling/split hash
+    // (otherwise pos order = split-assignment order)
     "sample_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,
-        |         md5(CAST(doc_id AS VARCHAR) || ':graft') AS shuffle_key
+        |         md5(CAST(doc_id AS VARCHAR) || ':shuffle:graft') AS shuffle_key
         |  FROM documents
         |), s AS (
         |  SELECT doc_id, shuffle_key,
@@ -1653,7 +1655,9 @@ object SparkEntry {
         |FROM s""".stripMargin,
 
     // mix conformance: shares divide exact longs; KL/TV sums round to
-    // 6 dp (engine-order double accumulation)
+    // 6 dp (engine-order double accumulation). The full outer join with
+    // the target langs mirrors the Spark side: a spec'd-but-absent
+    // language still contributes its |0 - tgt| TV mass (and a 0 KL term)
     "mix_kl" ->
       """WITH lt AS (
         |  SELECT lang,
@@ -1661,15 +1665,21 @@ object SparkEntry {
         |           AS lang_tokens
         |  FROM documents GROUP BY 1
         |),
+        |u AS (
+        |  SELECT COALESCE(lt.lang, t.lang) AS lang, COALESCE(lt.lang_tokens, 0) AS lang_tokens
+        |  FROM lt FULL OUTER JOIN
+        |    (VALUES ('en'), ('de'), ('es'), ('fr'), ('zh')) AS t(lang)
+        |    ON lt.lang = t.lang
+        |),
         |o AS (
         |  SELECT lang, lang_tokens,
         |         CAST(lang_tokens AS DOUBLE) / sum(lang_tokens) OVER () AS obs,
         |         CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15 WHEN 'es' THEN 0.15
         |                   WHEN 'fr' THEN 0.15 WHEN 'zh' THEN 0.15 ELSE 1e-6 END AS tgt
-        |  FROM lt
+        |  FROM u
         |)
         |SELECT count(*) AS n_langs,
-        |       round(sum(obs * ln(obs / tgt)), 6) AS kl_nats,
+        |       round(sum(CASE WHEN obs = 0 THEN 0.0 ELSE obs * ln(obs / tgt) END), 6) AS kl_nats,
         |       round(sum(abs(obs - tgt)) / 2, 6) AS tv_dist
         |FROM o""".stripMargin,
 

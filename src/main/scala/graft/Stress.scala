@@ -78,14 +78,18 @@ object Stress {
     // PMI collocations: bigram explode+agg is linear in tokens; the
     // marginal joins are vocab-sized, unaffected by corpus growth
     time("text_pmi_10x")(graft.text.TextFunctions.pmiCollocations(dupHeavy))
-    // persisted count tables: text scans twice instead of ~5x
-    time("text_pmi_10x_mat")(
-      graft.text.TextFunctions.pmiCollocations(dupHeavy, persistCounts = true))
     // substring-dup anchors on the adversarial corpus: every 10-variant
     // group shares nearly its whole token stream, so anchor volume is the
-    // worst case short of boilerplate (which the df cap removes)
+    // worst case short of boilerplate (which the occurrence cap removes)
     time("substring_dups_10x")(Dedup.substringDups(dupHeavy))
+    // persisted count tables: text scans twice instead of ~5x. Timed LAST
+    // in the dupHeavy block: the callee persists frames the caller can't
+    // unpersist by reference, so the clearCache below reclaims them before
+    // the next corpus — and no earlier timing runs with them resident.
+    time("text_pmi_10x_mat")(
+      graft.text.TextFunctions.pmiCollocations(dupHeavy, persistCounts = true))
     dupHeavy.unpersist()
+    spark.catalog.clearCache()
 
     // High-diameter pair graph: a 4096-node chain is the worst case for
     // plain min-label propagation (diameter rounds — would blow maxIter);

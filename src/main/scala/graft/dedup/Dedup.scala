@@ -260,9 +260,14 @@ object Dedup {
     * The suffix-array construction of the paper is a single-machine
     * algorithm; the Spark-native equivalent here is fingerprint anchoring:
     *   1. k-token rolling window fingerprints (md5) at every position;
-    *   2. DF cap (same rationale as [[ngramJaccard]]'s stop shingles): a
-    *      fingerprint in > `dfMax` docs is boilerplate whose anchor join
-    *      would be quadratic in df — dropped before pairing;
+    *   2. occurrence cap (same rationale as [[ngramJaccard]]'s stop
+    *      shingles, but on TOTAL anchor occurrences, not distinct docs:
+    *      anchors are positional, so a window repeated m times inside one
+    *      doc contributes m join rows per partner — a padding run like
+    *      "= = = = …" would be quadratic in m even at df = 2). Any
+    *      fingerprint with > `dfMax` total occurrences is boilerplate /
+    *      filler and is dropped before pairing, bounding every
+    *      fingerprint's join contribution at ~dfMax²/2 rows;
     *   3. anchor equi-join on fingerprint (doc_a < doc_b);
     *   4. diagonal run merge: anchors of one contiguous shared substring
     *      share (doc_a, doc_b, pos_a − pos_b), and along a diagonal the
@@ -288,8 +293,8 @@ object Dedup {
         posexplode(slice(fpRaw, lit(1), greatest(size(t) - (k - 1), lit(0)))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("fp"))
     val stop = anchors
-      .groupBy("fp").agg(countDistinct(col("doc_id")).as("df"))
-      .filter(col("df") > dfMax)
+      .groupBy("fp").agg(count(lit(1)).as("occurrences"))
+      .filter(col("occurrences") > dfMax)
       .select(col("fp").as("stop_fp"))
     val kept = anchors.join(stop, col("fp") === col("stop_fp"), "left_anti")
     val paired = kept.alias("a")

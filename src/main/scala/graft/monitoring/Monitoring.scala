@@ -30,10 +30,14 @@ object Monitoring {
         when(col("event_date") <= lit(splitDate).cast("date"), 1).otherwise(0))
   }
 
-  /** Population-stability index per feature: 10 fixed-width bins over the
-    * baseline [min, max]; current-window values clamp into the edge bins.
-    * Output: one row per feature (feature, base_count, cur_count, psi). */
-  def psi(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
+  /** Shared binning stage for [[psi]] and [[ksStat]]: melt the features,
+    * derive deterministic fixed-width bins over the baseline [min, max]
+    * (current-window values clamp into the edge bins), and return per-
+    * (feature, bin) base/current counts joined with per-feature totals.
+    * ONE implementation on purpose — the two statistics are only
+    * comparable because they histogram at identical bin edges. */
+  private def binnedCounts(df: DataFrame, cols: Seq[String], splitDate: String,
+      bins: Int): DataFrame = {
     val m = melted(df, cols, "double", splitDate).filter(col("x").isNotNull)
     val stats = m.filter(col("is_base") === 1)
       .groupBy("feature").agg(min("x").as("lo"), max("x").as("hi"))
@@ -48,9 +52,16 @@ object Monitoring {
       sum(lit(1) - col("is_base")).as("c_cnt"))
     val tot = counts.groupBy("feature").agg(
       sum("b_cnt").as("b_tot"), sum("c_cnt").as("c_tot"))
+    counts.join(broadcast(tot), Seq("feature"))
+  }
+
+  /** Population-stability index per feature: 10 fixed-width bins over the
+    * baseline [min, max]; current-window values clamp into the edge bins.
+    * Output: one row per feature (feature, base_count, cur_count, psi). */
+  def psi(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
     val bPct = greatest(col("b_cnt") / col("b_tot"), lit(1e-6))
     val cPct = greatest(col("c_cnt") / col("c_tot"), lit(1e-6))
-    counts.join(broadcast(tot), Seq("feature"))
+    binnedCounts(df, cols, splitDate, bins)
       .groupBy(col("feature"), col("b_tot").as("base_count"), col("c_tot").as("cur_count"))
       .agg(sum((cPct - bPct) * log(cPct / bPct)).as("psi"))
   }
@@ -69,24 +80,10 @@ object Monitoring {
     * window over ≤ `bins` rows per feature. Integer-ratio arithmetic
     * throughout → bit-identical on any engine. */
   def ksStat(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
-    val m = melted(df, cols, "double", splitDate).filter(col("x").isNotNull)
-    val stats = m.filter(col("is_base") === 1)
-      .groupBy("feature").agg(min("x").as("lo"), max("x").as("hi"))
-    val width = (col("hi") - col("lo")) / bins
-    val binned = m.join(broadcast(stats), Seq("feature"))
-      .withColumn("bin",
-        when(col("hi") === col("lo"), lit(0))
-          .otherwise(least(greatest(floor((col("x") - col("lo")) / width), lit(0)), lit(bins - 1)))
-          .cast("int"))
-    val counts = binned.groupBy("feature", "bin").agg(
-      sum("is_base").as("b_cnt"),
-      sum(lit(1) - col("is_base")).as("c_cnt"))
-    val tot = counts.groupBy("feature").agg(
-      sum("b_cnt").as("b_tot"), sum("c_cnt").as("c_tot"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("feature").orderBy("bin")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts.join(broadcast(tot), Seq("feature"))
+    binnedCounts(df, cols, splitDate, bins)
       .withColumn("b_cum", sum("b_cnt").over(w))
       .withColumn("c_cum", sum("c_cnt").over(w))
       .groupBy(col("feature"), col("b_tot").cast("long").as("base_count"),

@@ -132,13 +132,22 @@ object Sampling {
     * (window per shard, no global ordering). Shard sizes are md5-uniform,
     * so pick `nShards` ≥ cluster parallelism and no task sees more than
     * ~corpus/nShards rows. Changing `salt` draws an independent epoch
-    * permutation — per-epoch reshuffles without touching the data. */
+    * permutation — per-epoch reshuffles without touching the data.
+    *
+    * The hash input is domain-separated (`":shuffle:"`) from
+    * [[hashFraction]]'s sampling/split keyspace ON PURPOSE: with the raw
+    * salt, `shuffle_key` order would be exactly the split-assignment hash
+    * order — every shard would stream all its train docs before val
+    * before test, and a pos-prefix truncation (token-budget stop, partial
+    * epoch) would systematically select low-hash (train) docs. A shuffle
+    * must be independent of every sampling/split decision drawn from the
+    * same salt. */
   def shuffleShards(df: DataFrame, keyCol: String, nShards: Int = 64,
       salt: String = "graft"): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("shuffle_key"), col(keyCol))
     df.withColumn("shuffle_key",
-        md5(concat(col(keyCol).cast("string"), lit(":" + salt))))
+        md5(concat(col(keyCol).cast("string"), lit(":shuffle:" + salt))))
       .withColumn("shard",
         (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % nShards).cast("int"))
       .withColumn("pos", row_number().over(w))

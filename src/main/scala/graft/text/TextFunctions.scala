@@ -228,23 +228,35 @@ object TextFunctions {
     * training starts, complementing [[corpusMix]]'s descriptive table.
     *
     * One groupBy over the bounded lang space; shares divide exact longs.
-    * Languages absent from `target` get `floorProb` (the psi-style guard
-    * — KL is infinite against a zero target). Outputs round to 6 dp:
-    * the KL/TV sums accumulate doubles in engine-specific order. */
+    * The aggregate runs over the UNION of observed and target languages:
+    * a spec'd language entirely absent from the corpus still contributes
+    * its |0 − tgt| mass to TV (a gate that ignored it would pass a mix
+    * missing a whole language) and a 0·ln(0) = 0 KL term. Languages
+    * absent from `target` get `floorProb` (the psi-style guard — KL is
+    * infinite against a zero target). Outputs round to 6 dp: the KL/TV
+    * sums accumulate doubles in engine-specific order.
+    *
+    * `n_langs` counts the union — observed plus spec'd-but-absent. */
   def mixDivergence(docs: DataFrame, target: Map[String, Double],
       floorProb: Double = 1e-6): DataFrame = {
     val targetCol = target.foldLeft(lit(floorProb): Column) {
       case (acc, (k, p)) => when(col("lang") === k, lit(p)).otherwise(acc)
     }
+    val spark = docs.sparkSession
+    val targetLangs = spark.createDataFrame(target.keys.toSeq.map(Tuple1(_)))
+      .toDF("lang")
     val w = org.apache.spark.sql.expressions.Window.partitionBy()
     docs
       .select(col("lang"), size(filter(toks(col("text")), t => t =!= "")).as("n"))
       .groupBy("lang").agg(sum(col("n").cast("long")).as("lang_tokens"))
+      .join(targetLangs, Seq("lang"), "full_outer")
+      .withColumn("lang_tokens", coalesce(col("lang_tokens"), lit(0L)))
       .withColumn("obs", col("lang_tokens").cast("double") / sum("lang_tokens").over(w))
       .withColumn("tgt", targetCol)
       .agg(
         count(lit(1)).as("n_langs"),
-        round(sum(col("obs") * log(col("obs") / col("tgt"))), 6).as("kl_nats"),
+        round(sum(when(col("obs") === 0, lit(0.0))
+          .otherwise(col("obs") * log(col("obs") / col("tgt")))), 6).as("kl_nats"),
         round(sum(abs(col("obs") - col("tgt"))) / 2, 6).as("tv_dist"))
   }
 

@@ -180,6 +180,14 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.substringDups(boiler, k = 10, minTokens = 20, dfMax = 10).count() === 0)
     // ...while the uncapped run would have reported all ~435 pairs
     assert(Dedup.substringDups(boiler, k = 10, minTokens = 20, dfMax = 1000).count() === 435)
+    // the cap counts OCCURRENCES, not docs: a padding run repeats one
+    // window m times per doc, so even a df=2 pair is m² join rows —
+    // 2 docs of 50 repeated tokens exceed a 50-occurrence cap (82 > 50)
+    val padding = Seq(
+      (1L, Seq.fill(50)("p").mkString(" ")),
+      (2L, Seq.fill(50)("p").mkString(" "))).toDF("doc_id", "text")
+    assert(Dedup.substringDups(padding, k = 10, minTokens = 20, dfMax = 50).count() === 0)
+    assert(Dedup.substringDups(padding, k = 10, minTokens = 20, dfMax = 1000).count() > 0)
   }
 
   test("substring coverage: distinct duplicated positions, overlaps not double-counted") {

@@ -119,6 +119,17 @@ class SamplingSpec extends SparkSpec {
     val moved = s.select("doc_id", "shard", "pos")
       .exceptAll(e2.select("doc_id", "shard", "pos")).count()
     assert(moved > 400, s"only $moved of 500 rows moved between epochs")
+    // the shuffle is domain-separated from the split hash: a pos-prefix
+    // of the epoch order must NOT be all-train (with the raw salt it
+    // would be — shuffle_key order would equal split-assignment order)
+    val firstHalf = s.withColumn("mid", (max("pos").over(
+        org.apache.spark.sql.expressions.Window.partitionBy("shard")) / 2))
+      .filter(col("pos") <= col("mid")).select("doc_id")
+    val splitsInPrefix = Sampling.splitAssign(docs, "doc_id")
+      .join(firstHalf, "doc_id")
+      .select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(splitsInPrefix === Set("train", "val", "test"),
+      s"epoch-order prefix only reached splits $splitsInPrefix — shuffle correlates with split hash")
   }
 
   test("cross-table consistency: same key+salt samples the same entities everywhere") {

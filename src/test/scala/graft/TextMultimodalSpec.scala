@@ -141,6 +141,14 @@ class TextMultimodalSpec extends SparkSpec {
     // a language missing from the target hits the 1e-6 floor -> large KL
     val missing = TextFunctions.mixDivergence(planted, Map("en" -> 1.0)).head()
     assert(missing.getAs[Double]("kl_nats") > 1.0)
+    // a spec'd language entirely ABSENT from the corpus still contributes
+    // its TV mass: 100% en corpus vs 50/50 en/zh target -> TV = 0.5,
+    // n_langs counts the union
+    val absent = TextFunctions.mixDivergence(
+      planted.filter(col("lang") === "en"), Map("en" -> 0.5, "zh" -> 0.5)).head()
+    assert(absent.getAs[Long]("n_langs") === 2L)
+    assert(absent.getAs[Double]("tv_dist") === 0.5)
+    assert(!absent.getAs[Double]("kl_nats").isNaN)
   }
 
   test("zipf fit: planted power law recovers slope -1, r2 near 1") {
