@@ -71,18 +71,28 @@ object AsOfJoin {
     val w =
       if (fwd) base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
       else base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    def pick(c: Column): Column =
-      if (fwd) first(c, ignoreNulls = true).over(w)
-      else last(c, ignoreNulls = true).over(w)
+    // Pick ONE atomic right ROW (a struct of rts + payloads), not each
+    // payload column independently: per-column last(ignoreNulls) would
+    // skip a null payload field and read it from an OLDER row than the
+    // one the tolerance gap is measured against — and different payload
+    // columns could come from different rows. The struct is non-null iff
+    // the unioned row is a right row, so last/first(ignoreNulls) selects
+    // exactly the latest-prior / earliest-following right row, null
+    // payload fields and all — DuckDB ASOF JOIN / merge_asof semantics.
+    val rowStruct = when(col(rts).isNotNull,
+      struct((col(rts).as("__rts") +: renamed.map { case (_, rc) => col(rc).as(rc) }): _*))
+    val picked =
+      if (fwd) first(rowStruct, ignoreNulls = true).over(w)
+      else last(rowStruct, ignoreNulls = true).over(w)
     val filled0 = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
-      df.withColumn(rc, pick(col(rc)))
+      df.withColumn(rc, picked.getField(rc))
     }
     val filled = toleranceSeconds match {
       case None => filled0
       case Some(tol) =>
         val gap =
-          if (fwd) pick(col(rts)).cast("long") - col(ts).cast("long")
-          else col(ts).cast("long") - pick(col(rts)).cast("long")
+          if (fwd) picked.getField("__rts").cast("long") - col(ts).cast("long")
+          else col(ts).cast("long") - picked.getField("__rts").cast("long")
         renamed.foldLeft(filled0) { case (df, (_, rc)) =>
           df.withColumn(rc, when(gap <= tol, col(rc)))
         }
@@ -116,8 +126,14 @@ object AsOfJoin {
     val base = Window.partitionBy(key).orderBy(col(ts), col(tagged))
     val wb = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wf = base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val gapB = col(ts).cast("long") - last(col(rts), ignoreNulls = true).over(wb).cast("long")
-    val gapF = first(col(rts), ignoreNulls = true).over(wf).cast("long") - col(ts).cast("long")
+    // one atomic right-row struct per direction (see asOf: per-column
+    // ignoreNulls would mix payloads from different rows)
+    val rowStruct = when(col(rts).isNotNull,
+      struct((col(rts).as("__rts") +: renamed.map { case (_, rc) => col(rc).as(rc) }): _*))
+    val back = last(rowStruct, ignoreNulls = true).over(wb)
+    val fwd = first(rowStruct, ignoreNulls = true).over(wf)
+    val gapB = col(ts).cast("long") - back.getField("__rts").cast("long")
+    val gapF = fwd.getField("__rts").cast("long") - col(ts).cast("long")
     // backward wins when it exists and is at least as close (ties backward)
     val backWins = gapB.isNotNull && (gapF.isNull || gapB <= gapF)
     val withinTol: Column => Column = toleranceSeconds match {
@@ -125,11 +141,9 @@ object AsOfJoin {
       case Some(tol) => g => g <= tol
     }
     val filled = renamed.foldLeft(unioned) { case (df, (_, rc)) =>
-      val back = last(col(rc), ignoreNulls = true).over(wb)
-      val fwd = first(col(rc), ignoreNulls = true).over(wf)
       df.withColumn(rc,
-        when(backWins && withinTol(gapB), back)
-          .when(!backWins && withinTol(gapF), fwd))
+        when(backWins && withinTol(gapB), back.getField(rc))
+          .when(!backWins && withinTol(gapF), fwd.getField(rc)))
     }
     val out = filled.filter(col(tagged) === 1).drop(tagged, rts)
     renamed.foldLeft(out) { case (df, (c, rc)) =>

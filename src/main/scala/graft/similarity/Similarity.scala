@@ -55,19 +55,22 @@ object Similarity {
     * plane dots, vs one interpreted HOF fold per plane — the cost gap
     * grows with the auto-scaled plane count. The session must have graft
     * functions registered ([[graft.functions.GraftFunctions.register]];
-    * [[lshTopK]] does it for callers). `dim` must equal the array length
-    * (the expression reads the actual length; the LCG stream is indexed
-    * by it). */
-  def bucketCol(emb: Column, dim: Int, nPlanes: Int, planeOffset: Int = 0): Column =
+    * [[lshTopK]] does it for callers). The expression reads the vector
+    * dimension from the array itself — no dim parameter to get wrong. */
+  def bucketCol(emb: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     graft.functions.GraftFunctions.hyperplaneBucket(emb, nPlanes, planeOffset)
 
   /** Planes needed so the EXPECTED bucket occupancy stays ~`targetBucket`
     * as the corpus grows: ⌈log₂(N / targetBucket)⌉, floored at 4. A
     * constant plane count is a scale cliff — per-query candidate cost is
     * |C|/2^planes, linear in corpus size unless the bucket space grows
-    * with it (same lesson as the simhash 8-bit→15-bit band fix). */
+    * with it (same lesson as the simhash 8-bit→15-bit band fix).
+    * Capped at 30: the native expression packs the sign pattern into an
+    * int bucket id (`nPlanes < 31`), and past 2^30 buckets per table the
+    * right lever is more tables, not more planes. */
   def autoPlanes(corpusSize: Long, targetBucket: Int = 64): Int =
-    math.max(4, math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetBucket) / math.log(2)).toInt)
+    math.min(30, math.max(4,
+      math.ceil(math.log(math.max(corpusSize, 1L).toDouble / targetBucket) / math.log(2)).toInt))
 
   /** Deterministic IVF (inverted-file) ANN — the coarse-quantizer
     * counterpart of [[lshTopK]]: partition the corpus into `nlist` cells
@@ -91,11 +94,17 @@ object Similarity {
   private def cosTo(cent: Array[Double]): Column =
     cosine(col("embedding"), typedLit(cent.toSeq))
 
-  /** Codegen'd argmax-by-cosine cell assignment over centroid literals. */
-  private def cellOf(cents: Array[Array[Double]]): Column =
+  /** Winning (cosine, cell) struct over centroid literals — struct
+    * comparison is lexicographic, so `greatest` is argmax by cosine with
+    * the cell index as the deterministic tie-break. */
+  private def bestCentroid(cents: Array[Array[Double]]): Column =
     greatest(cents.zipWithIndex.map { case (c, i) =>
       struct(cosTo(c).as("cos"), lit(i).as("cell"))
-    }: _*).getField("cell")
+    }: _*)
+
+  /** Codegen'd argmax-by-cosine cell assignment over centroid literals. */
+  private def cellOf(cents: Array[Array[Double]]): Column =
+    bestCentroid(cents).getField("cell")
 
   /** Per-label centroid outliers — embedding QA: the k vectors farthest
     * (lowest cosine) from their OWN label's centroid are the mislabeled /
@@ -126,11 +135,14 @@ object Similarity {
     * `nlist` lowest-vec_id vectors, `iters` refinement rounds. Each round
     * is one distributed pass; the only driver traffic is the nlist×dim
     * centroid means (KB-sized at any corpus scale). */
-  def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
-      dim: Int = 64): Array[Array[Double]] = {
+  def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    // accept array<float|double> like every other embedding consumer
+    // (CosineSimilarity/HyperplaneBuckets); the dimension comes from the
+    // vectors themselves, not a parameter that could disagree with them
     var cents: Array[Array[Double]] = corpus.orderBy("vec_id").limit(nlist)
       .select("embedding").collect()
-      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
       val means = corpus.withColumn("cell", cellOf(cents))
         .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
@@ -155,10 +167,13 @@ object Similarity {
     * centroids ride along as literals in a codegen'd projection). */
   def kmeansAssign(corpus: DataFrame, cents: Array[Array[Double]]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
+    // ONE argmax struct supplies both columns — two parallel greatest()
+    // trees would duplicate every centroid-cosine expression
+    val best = bestCentroid(cents)
     corpus.select(
       col("vec_id"),
-      cellOf(cents).as("cell"),
-      greatest(cents.map(c => cosTo(c)): _*).as("centroid_cosine"))
+      best.getField("cell").as("cell"),
+      best.getField("cos").as("centroid_cosine"))
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
@@ -198,11 +213,11 @@ object Similarity {
     * `nPlanes = 0` (auto) triggers one `corpus.count()` — a metadata-only
     * job on a parquet scan; pass an explicit value to avoid it. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      dim: Int = 64, nPlanes: Int = 0, tables: Int = 2, targetBucket: Int = 64): DataFrame = {
+      nPlanes: Int = 0, tables: Int = 2, targetBucket: Int = 64): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val np = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucket)
     val candidates = (0 until tables).map { t =>
-      val bucket = bucketCol(col("embedding"), dim, np, planeOffset = t * np)
+      val bucket = bucketCol(col("embedding"), np, planeOffset = t * np)
       val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         bucket.as("bucket"))
       val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),

@@ -18,16 +18,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object Streams {
 
-  /** Tumbling 1-hour event counts by type. Works on static and streaming
-    * frames alike. */
+  /** Tumbling 1-hour event counts by type — the slide == width special
+    * case of [[slidingCounts]] (one implementation, so the two can't
+    * drift). Works on static and streaming frames alike. */
   def tumblingCounts(events: DataFrame, width: String = "1 hour"): DataFrame =
-    events
-      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
-      .agg(count(lit(1)).as("event_count"))
-      .select(
-        col("w.start").as("window_start"),
-        col("w.end").as("window_end"),
-        col("event_type"), col("event_count"))
+    slidingCounts(events, width, width)
 
   /** Sliding-window event counts: `width`-wide windows advancing every
     * `slide` (each event lands in width/slide overlapping windows). Same
@@ -128,8 +123,11 @@ object Streams {
     * [[dedupedStream]]. Used for exactly-once-ish ingest where upstream
     * retries duplicate events. */
   def firstEventPerKey(events: DataFrame, keyCol: String = "event_id"): DataFrame = {
+    // content-hash tie-break: two retries sharing (key, ts) but differing
+    // in a payload column must pick the SAME survivor on every run —
+    // ts alone would rank ties in partition-arrival order
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("ts"))
+      .partitionBy(keyCol).orderBy(col("ts"), xxhash64(events.columns.map(col): _*))
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -209,7 +207,12 @@ object Streams {
             rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.last <= gapMs =>
-                  open = Some(s.copy(last = t, count = s.count + 1))
+                  // min/max, not overwrite: a late-but-above-watermark
+                  // event from a later micro-batch may precede the open
+                  // session's bounds — overwriting `last` would move the
+                  // timeout backward and could emit end < start
+                  open = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t), count = s.count + 1))
                 case Some(s) =>
                   closed ::= FinalSession(user,
                     new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count)

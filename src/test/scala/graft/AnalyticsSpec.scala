@@ -206,6 +206,34 @@ class AnalyticsSpec extends SparkSpec {
       "as-of must plan as union+window, never a range join")
   }
 
+  test("as-of picks ONE atomic right row: a null payload on the latest row stays null") {
+    import spark.implicits._
+    // the latest prior right row (ts=100) carries a NULL payload; per-
+    // column last(ignoreNulls) would reach past it to the ts=10 row —
+    // merge_asof / DuckDB ASOF semantics say the row at ts=100 wins and
+    // its null payload is the answer
+    val left = Seq((1L, 100L, 105L)).toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (100L, 10L, Some(5.0)),
+      (100L, 100L, Option.empty[Double])).toDF("user_id", "ts", "purchase_value")
+    val out = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value")).head()
+    assert(out.isNullAt(out.fieldIndex("purchase_value_asof")),
+      "payload must come from the matched row, not an older non-null one")
+    // and the tolerance is measured against that same row: the ts=100
+    // row is 5s away (within 10s), so the match gap passes even though
+    // the older non-null row is 95s stale — payload still null
+    val tol = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"),
+        toleranceSeconds = Some(10L)).head()
+    assert(tol.isNullAt(tol.fieldIndex("purchase_value_asof")))
+    // nearest direction: same atomicity through both frames
+    val near = graft.analytics.AsOfJoin
+      .asOf(left, right, "user_id", "ts", Seq("purchase_value"),
+        direction = "nearest").head()
+    assert(near.isNullAt(near.fieldIndex("purchase_value_asof")))
+  }
+
   test("q1 pricing summary: one aggregate pass, bounded group count") {
     val q1 = Analytics.pricingSummary(Tables.lineitem(spark, sfDir)).cache()
     assert(q1.count() > 0 && q1.count() <= 9) // |returnflag| x |linestatus|

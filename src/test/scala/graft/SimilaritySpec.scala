@@ -26,7 +26,7 @@ class SimilaritySpec extends SparkSpec {
 
   test("lsh buckets are balanced enough and every ann pair shares a bucket in some table") {
     val buckets = emb.select(
-      Similarity.bucketCol(col("embedding"), 64, 4).as("bucket"))
+      Similarity.bucketCol(col("embedding"), 4).as("bucket"))
     val n = buckets.select("bucket").distinct().count()
     assert(n > 4, s"expected spread over >4 of 16 buckets, got $n")
     val ann = Similarity.lshTopK(emb, queries, k = 5).cache()
@@ -36,7 +36,7 @@ class SimilaritySpec extends SparkSpec {
     val np = Similarity.autoPlanes(emb.count())
     val withBuckets = (0 until 2).map { t =>
       emb.select(col("vec_id"),
-        Similarity.bucketCol(col("embedding"), 64, np, planeOffset = t * np).as(s"b$t"))
+        Similarity.bucketCol(col("embedding"), np, planeOffset = t * np).as(s"b$t"))
     }.reduce(_.join(_, "vec_id"))
     val joined = ann
       .join(withBuckets.withColumnRenamed("vec_id", "query_id")
@@ -70,6 +70,9 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoPlanes(500) === 4)
     assert(Similarity.autoPlanes(2000) === 5)
     assert(Similarity.autoPlanes(1000000000L) === 24)
+    // capped at 30: the native bucket id is an int (nPlanes < 31); past
+    // 2^30 buckets the lever is more tables, not more planes
+    assert(Similarity.autoPlanes(Long.MaxValue) === 30)
     // table 0 of the 2-table index IS the 1-table index → candidate set
     // only grows → per-query top-1 cosine can only improve
     val np = Similarity.autoPlanes(emb.count())
