@@ -331,6 +331,11 @@ object SparkEntry {
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
     "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
+    // substring-granular dedup (Lee et al. 2022): maximal cross-document
+    // runs of >= 20 shared tokens via md5 anchor fingerprints + the
+    // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
+    // dilutes below threshold
+    "dedup_substr" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
@@ -430,7 +435,7 @@ object SparkEntry {
     }),
     "sim_label_outliers" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir))),
-    "sim_bruteforce_topk" -> ((s, dir) => {
+    "sim_bf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
@@ -483,7 +488,7 @@ object SparkEntry {
       Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     // rows-only: impurity-based importances of the fitted RF (reference
     // demand_forecasting.py:171-173); sums-to-1 is spec-asserted
-    "ml_demand_importances" -> ((s, dir) =>
+    "ml_demand_imp" -> ((s, dir) =>
       Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
@@ -1346,6 +1351,39 @@ object SparkEntry {
          |  FROM cm
          |)""".stripMargin,
 
+    // substring-granular dedup: identical md5 window fingerprints both
+    // sides (DuckDB list slice toks[i:i+9] ≡ Spark slice(t, i, 10) on the
+    // 1-based inclusive k=10 window), the same TOTAL-occurrence cap, and
+    // the same gaps-and-islands merge keyed by (pair, pos_a − pos_b)
+    "dedup_substr" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+         |  FROM documents
+         |), anchors AS (
+         |  SELECT doc_id, CAST(i AS INT) AS pos,
+         |         md5(array_to_string(toks[i:i+9], ' ')) AS fp
+         |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS i) r
+         |), capped AS (
+         |  SELECT doc_id, pos, fp FROM (
+         |    SELECT *, count(*) OVER (PARTITION BY fp) AS occ FROM anchors
+         |  ) WHERE occ <= ${Dedup.DefaultStopShingleDf}
+         |), paired AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |), islands AS (
+         |  SELECT doc_a, doc_b, pos_a, pos_b,
+         |         pos_a - pos_b AS diag,
+         |         pos_a - CAST(row_number() OVER (
+         |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS INT) AS grp
+         |  FROM paired
+         |)
+         |SELECT doc_a, doc_b,
+         |       min(pos_a) AS start_a, min(pos_b) AS start_b,
+         |       max(pos_a) - min(pos_a) + 10 AS match_len
+         |FROM islands
+         |GROUP BY doc_a, doc_b, diag, grp
+         |HAVING max(pos_a) - min(pos_a) + 10 >= 20""".stripMargin,
+
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where
     // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
@@ -1709,7 +1747,7 @@ object SparkEntry {
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
 
-    "sim_bruteforce_topk" ->
+    "sim_bf_topk" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
          |scored AS (

@@ -276,9 +276,16 @@ object Dedup {
     *      anchors, so match_len = max(pos_a) − min(pos_a) + k.
     * Every stage is an equi-join or a bounded window (per pair-diagonal);
     * nothing is all-pairs. Output: (doc_a, doc_b, start_a, start_b,
-    * match_len) per maximal shared run, 1-based token offsets. */
+    * match_len) per maximal shared run, 1-based token offsets.
+    *
+    * Plan note (same shape as [[ngramJaccard]]): the anchor explode feeds
+    * the stop-list count, the anti-join probe, and both self-join sides —
+    * Catalyst evaluates each branch independently, ~4 text scans. At test
+    * SF the explode is sub-second so this is irrelevant; at very large
+    * corpora set `persistAnchors = true` so the tokenize+hash runs once
+    * and every branch reads the cached anchor table. */
   def substringDups(docs: DataFrame, k: Int = 10, minTokens: Int = 20,
-      dfMax: Int = DefaultStopShingleDf): DataFrame = {
+      dfMax: Int = DefaultStopShingleDf, persistAnchors: Boolean = false): DataFrame = {
     require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
     val t = col("t")
     // overshoot-and-slice (see ngram shingles): windows past n-k+1 hash a
@@ -286,12 +293,13 @@ object Dedup {
     val fpRaw = transform(
       sequence(lit(1), greatest(size(t) - (k - 1), lit(1))),
       i => md5(concat_ws(" ", slice(t, i, lit(k)))))
-    val anchors = docs
+    val anchorsRaw = docs
       .select(col("doc_id"),
         filter(split(lower(col("text")), " "), x => x =!= "").as("t"))
       .select(col("doc_id"),
         posexplode(slice(fpRaw, lit(1), greatest(size(t) - (k - 1), lit(0)))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("fp"))
+    val anchors = if (persistAnchors) anchorsRaw.persist() else anchorsRaw
     val stop = anchors
       .groupBy("fp").agg(count(lit(1)).as("occurrences"))
       .filter(col("occurrences") > dfMax)

@@ -188,6 +188,11 @@ class DedupSpec extends SparkSpec {
       (2L, Seq.fill(50)("p").mkString(" "))).toDF("doc_id", "text")
     assert(Dedup.substringDups(padding, k = 10, minTokens = 20, dfMax = 50).count() === 0)
     assert(Dedup.substringDups(padding, k = 10, minTokens = 20, dfMax = 1000).count() > 0)
+    // persistAnchors is a pure plan-shape lever (one tokenize+hash pass
+    // instead of one per branch): identical runs either way
+    val persisted = Dedup.substringDups(corpus, k = 10, minTokens = 20,
+      persistAnchors = true).collect()
+    assert(persisted.map(_.toString).sorted.sameElements(runs.map(_.toString).sorted))
   }
 
   test("substring coverage: distinct duplicated positions, overlaps not double-counted") {

@@ -26,9 +26,12 @@ class HarnessContractSpec extends AnyFunSuite {
     val queries = SparkEntry.queries.keys.toSeq.sorted
       .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
     // no "errors" key: Bench omits it on a clean run, and a run WITH
-    // errors exits 1 and fails the round before archival matters
+    // errors exits 1 and fails the round before archival matters.
+    // total now renders at the same compact precision as the per-query
+    // values ("9999" at worst — every query at 9.9 s sums to ≤ 9999 for
+    // any surface under 1000 queries; BENCH_FULL.json keeps %.2f)
     val line =
-      s"""{"metric":"total","value":9999.99,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":9999,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
     assert(line.getBytes("UTF-8").length <= 2048,
       s"bench line would be ${line.length} bytes — trim precision or key names " +
         "(or teach the archiver to keep full stdout) before adding more queries")
