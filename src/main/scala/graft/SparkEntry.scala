@@ -86,12 +86,13 @@ object SparkEntry {
   }
 
   /** DuckDB mirror of Similarity.lshTopK: plane count derived from corpus
-    * size (GREATEST(4, ceil(log2(N/64)))), 2 independent hash tables with
+    * size (LEAST(30, GREATEST(4, ceil(log2(N/64)))) — the 30 cap mirrors
+    * autoPlanes' int-bucket ceiling), 2 independent hash tables with
     * disjoint global plane indexes, candidates deduped across tables,
     * k=5, queries = vec_id < 10. */
   private val lshAnnOracleSql: String =
     s"""WITH params AS (
-       |  SELECT GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS INT)) AS np FROM embeddings
+       |  SELECT LEAST(30, GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS np FROM embeddings
        |),
        |planes AS (
        |  SELECT tt.t AS t, pp.p AS p, tt.t * params.np + pp.p AS gp
@@ -1829,10 +1830,15 @@ object SparkEntry {
          |       zd.location_id, zd.city, zd.zone_type
          |FROM silver s LEFT JOIN zd ON s.zone_id = zd.zone_id""".stripMargin,
 
+    // tie-break mirrors firstEventPerKey exactly: ts then every other
+    // column in alphabetical order, NULLS FIRST (Spark's ASC default;
+    // DuckDB defaults NULLS LAST so it must be spelled out)
     "stream_dedup" ->
       """SELECT event_id, ts, user_id FROM (
         |  SELECT event_id, ts, user_id,
-        |         row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+        |         row_number() OVER (PARTITION BY event_id ORDER BY
+        |           ts NULLS FIRST, event_type NULLS FIRST, props NULLS FIRST,
+        |           user_id NULLS FIRST, value NULLS FIRST) AS rn
         |  FROM events WHERE event_id IS NOT NULL
         |) WHERE rn = 1""".stripMargin,
 

@@ -82,12 +82,19 @@ object Stress {
     // group shares nearly its whole token stream, so anchor volume is the
     // worst case short of boilerplate (which the occurrence cap removes)
     time("substring_dups_10x")(Dedup.substringDups(dupHeavy))
-    // persisted count tables: text scans twice instead of ~5x. Timed LAST
-    // in the dupHeavy block: the callee persists frames the caller can't
-    // unpersist by reference, so the clearCache below reclaims them before
-    // the next corpus — and no earlier timing runs with them resident.
+    // persisted-intermediate (_mat) timings run LAST in the dupHeavy
+    // block: the callees persist frames the caller can't unpersist by
+    // reference, so the clearCache below reclaims them before the next
+    // corpus — and no NON-mat timing runs with them resident. Between
+    // the two _mat lines the only leak is PMI's count tables, which are
+    // vocab-sized (KBs) — negligible next to the cached 50k-doc corpus.
     time("text_pmi_10x_mat")(
       graft.text.TextFunctions.pmiCollocations(dupHeavy, persistCounts = true))
+    // persisted anchors: tokenize+hash once instead of once per plan
+    // branch (stop count, anti-join probe, both self-join sides); its
+    // token-stream-sized anchor cache is why this line runs last of all
+    time("substring_dups_10x_mat")(
+      Dedup.substringDups(dupHeavy, persistAnchors = true))
     dupHeavy.unpersist()
     spark.catalog.clearCache()
 

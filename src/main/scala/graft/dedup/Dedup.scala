@@ -283,7 +283,10 @@ object Dedup {
     * Catalyst evaluates each branch independently, ~4 text scans. At test
     * SF the explode is sub-second so this is irrelevant; at very large
     * corpora set `persistAnchors = true` so the tokenize+hash runs once
-    * and every branch reads the cached anchor table. */
+    * and every branch reads the cached anchor table (the anchor cache is
+    * token-stream-sized and stays resident for the result's lifetime —
+    * unpersist via the session catalog when done, same contract as
+    * [[ngramJaccard]]'s `persistShingles`). */
   def substringDups(docs: DataFrame, k: Int = 10, minTokens: Int = 20,
       dfMax: Int = DefaultStopShingleDf, persistAnchors: Boolean = false): DataFrame = {
     require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")

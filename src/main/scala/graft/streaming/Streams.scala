@@ -123,11 +123,15 @@ object Streams {
     * [[dedupedStream]]. Used for exactly-once-ish ingest where upstream
     * retries duplicate events. */
   def firstEventPerKey(events: DataFrame, keyCol: String = "event_id"): DataFrame = {
-    // content-hash tie-break: two retries sharing (key, ts) but differing
-    // in a payload column must pick the SAME survivor on every run —
-    // ts alone would rank ties in partition-arrival order
+    // lexicographic full-row tie-break: two retries sharing (key, ts) but
+    // differing in a payload column must pick the SAME survivor on every
+    // run — ts alone would rank ties in partition-arrival order. Column
+    // order (not a content hash) so any SQL engine can mirror the rule
+    // exactly (ORDER BY every column, NULLS FIRST); rows identical on all
+    // columns are interchangeable, so the output is fully deterministic.
+    val tieBreak = events.columns.filter(c => c != keyCol && c != "ts").sorted
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keyCol).orderBy(col("ts"), xxhash64(events.columns.map(col): _*))
+      .partitionBy(keyCol).orderBy((col("ts") +: tieBreak.map(col)): _*)
     events.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
   }
@@ -202,30 +206,35 @@ object Streams {
             Iterator(FinalSession(user,
               new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count))
           } else {
-            var closed = List.empty[FinalSession]
-            var open = state.getOption
-            rows.map(_._2.getTime).toSeq.sorted.foreach { t =>
-              open match {
-                case Some(s) if t - s.last <= gapMs =>
-                  // min/max, not overwrite: a late-but-above-watermark
-                  // event from a later micro-batch may precede the open
-                  // session's bounds — overwriting `last` would move the
-                  // timeout backward and could emit end < start
-                  open = Some(s.copy(start = math.min(s.start, t),
-                    last = math.max(s.last, t), count = s.count + 1))
-                case Some(s) =>
-                  closed ::= FinalSession(user,
-                    new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count)
-                  open = Some(SessionAgg(t, t, 1))
-                case None =>
-                  open = Some(SessionAgg(t, t, 1))
-              }
+            // Standard interval gap-merge over {open session} ∪ {batch
+            // events}, NOT a monotone fold: a late-but-above-watermark
+            // event from a later micro-batch may precede the open
+            // session's bounds. Within the gap of the open session's
+            // start it extends the session BACKWARD (bridging included);
+            // detached by MORE than the gap it becomes its own earlier
+            // session — a fold on arrival order would have glued it to
+            // the open session across a hole wider than the gap,
+            // diverging from batch replay. The one remaining
+            // approximation: sessions emitted here can no longer absorb
+            // even-later events (that would need list-valued state); the
+            // watermark bounds how late those can be.
+            val intervals =
+              state.getOption.toSeq.map(s => (s.start, s.last, s.count)) ++
+                rows.map(_._2.getTime).toSeq.map(t => (t, t, 1L))
+            val merged = intervals.sortBy(x => (x._1, x._2))
+              .foldLeft(List.empty[(Long, Long, Long)]) {
+                case ((s, l, c) :: tail, (s2, l2, c2)) if s2 - l <= gapMs =>
+                  (s, math.max(l, l2), c + c2) :: tail
+                case (acc, x) => x :: acc
+              }.reverse
+            val closed = merged.dropRight(1).map { case (s, l, c) =>
+              FinalSession(user, new java.sql.Timestamp(s), new java.sql.Timestamp(l), c)
             }
-            open.foreach { s =>
-              state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+            merged.lastOption.foreach { case (s, l, c) =>
+              state.update(SessionAgg(s, l, c))
+              state.setTimeoutTimestamp(l + gapMs)
             }
-            closed.reverse.iterator
+            closed.iterator
           }
       }
   }

@@ -239,6 +239,41 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("flatMapGroupsWithState: late events merge by gap distance, not arrival order") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fmgws_late").toString
+    val mem = MemoryStream[(Long, Timestamp)]
+    // 4h watermark so batch-2 events hours behind the open session are
+    // late-but-above-watermark (delivered, not dropped)
+    val sessions = Streams.finalizedSessions(spark, mem.toDS(), watermark = "4 hours")
+    val query = sessions.toDF().writeStream.format("memory").queryName("fin_late")
+      .outputMode(OutputMode.Append()).option("checkpointLocation", ckpt).start()
+    try {
+      // batch 1: user 7's open session [10:00, 10:10]
+      mem.addData((7L, ts("2024-01-01 10:00:00")), (7L, ts("2024-01-01 10:10:00")))
+      query.processAllAvailable()
+      // batch 2, both late: 08:00 is 120 min before the session start
+      // (> 30 min gap — its OWN session, an arrival-order fold would have
+      // glued it on because 08:00 - last < 0 <= gap); 09:45 is 15 min
+      // before the start (<= gap — extends the session BACKWARD)
+      mem.addData((7L, ts("2024-01-01 08:00:00")), (7L, ts("2024-01-01 09:45:00")))
+      query.processAllAvailable()
+      // two batches to advance the watermark past 10:40 and drain timeouts
+      mem.addData((9L, ts("2024-01-01 15:00:00")))
+      query.processAllAvailable()
+      mem.addData((9L, ts("2024-01-01 20:00:00")))
+      query.processAllAvailable()
+      val u7 = spark.sql("SELECT * FROM fin_late WHERE user_id = 7").collect()
+        .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
+          r.getAs[Long]("event_count"))).toSet
+      assert(u7 === Set(
+        (ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1L),
+        (ts("2024-01-01 09:45:00"), ts("2024-01-01 10:10:00"), 3L)),
+        s"detached late event must be its own session, near one extends backward: $u7")
+    } finally query.stop()
+  }
+
   test("mapGroupsWithState accumulates per-user counts across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
