@@ -161,6 +161,9 @@ object Streams {
     * aggs above cover everything expressible declaratively). */
   case class UserCount(user_id: Long, events: Long)
   case class SessionAgg(start: Long, last: Long, count: Long)
+  /** State wrapper: every session of one user still inside the watermark
+    * horizon (encodable product — a bare Seq has no top-level encoder). */
+  case class SessionList(sessions: Seq[SessionAgg])
   case class FinalSession(user_id: Long, session_start: java.sql.Timestamp,
     session_end: java.sql.Timestamp, event_count: Long)
 
@@ -178,17 +181,22 @@ object Streams {
 
   /** Per-user sessions FINALIZED by the event-time watermark — the
     * flatMapGroupsWithState tier of the streaming API: arbitrary state
-    * (one open session per user) plus an event-time TIMEOUT that emits
-    * the closed session once the watermark passes `gap` beyond its last
-    * event. The built-in `session_window` aggregation can only aggregate;
-    * this shape is for when session CLOSURE itself is the event a
-    * downstream consumer needs (billing a completed ride, expiring a
-    * cart) and arbitrary per-key state must ride along.
+    * (ALL of a user's sessions still inside the watermark horizon) plus
+    * an event-time TIMEOUT. The built-in `session_window` aggregation can
+    * only aggregate; this shape is for when session CLOSURE itself is the
+    * event a downstream consumer needs (billing a completed ride,
+    * expiring a cart) and arbitrary per-key state must ride along.
     *
-    * State per user is one SessionAgg; the timeout clock is event time,
-    * so reprocessing old data replays identically. Sessions that close
-    * WITHIN a batch (a gap between two events of the same micro-batch)
-    * emit immediately; the open tail emits on timeout. */
+    * A session emits exactly when the watermark passes `gap` beyond its
+    * last event — never before. That makes emission WATERMARK-FINAL: a
+    * late-but-above-watermark event always finds its session still in
+    * state (extending it backward, bridging two held sessions, or
+    * founding a detached earlier one), so the emitted sessions are
+    * identical to a batch gap-sessionization of the same data, and no
+    * two emitted sessions of one user are ever closer than the gap. The
+    * timeout clock is event time, so reprocessing old data replays
+    * identically. State per user is bounded by watermark-horizon/gap
+    * sessions, not stream history. */
   def finalizedSessions(spark: SparkSession,
       events: Dataset[(Long, java.sql.Timestamp)],
       gapMinutes: Int = 30, watermark: String = "0 seconds"): Dataset[FinalSession] = {
@@ -197,44 +205,38 @@ object Streams {
     events.toDF("user_id", "ts").withWatermark("ts", watermark)
       .as[(Long, java.sql.Timestamp)]
       .groupByKey(_._1)
-      .flatMapGroupsWithState[SessionAgg, FinalSession](
+      .flatMapGroupsWithState[SessionList, FinalSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionAgg]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(FinalSession(user,
-              new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.last), s.count))
-          } else {
-            // Standard interval gap-merge over {open session} ∪ {batch
-            // events}, NOT a monotone fold: a late-but-above-watermark
-            // event from a later micro-batch may precede the open
-            // session's bounds. Within the gap of the open session's
-            // start it extends the session BACKWARD (bridging included);
-            // detached by MORE than the gap it becomes its own earlier
-            // session — a fold on arrival order would have glued it to
-            // the open session across a hole wider than the gap,
-            // diverging from batch replay. The one remaining
-            // approximation: sessions emitted here can no longer absorb
-            // even-later events (that would need list-valued state); the
-            // watermark bounds how late those can be.
-            val intervals =
-              state.getOption.toSeq.map(s => (s.start, s.last, s.count)) ++
-                rows.map(_._2.getTime).toSeq.map(t => (t, t, 1L))
-            val merged = intervals.sortBy(x => (x._1, x._2))
-              .foldLeft(List.empty[(Long, Long, Long)]) {
-                case ((s, l, c) :: tail, (s2, l2, c2)) if s2 - l <= gapMs =>
-                  (s, math.max(l, l2), c + c2) :: tail
-                case (acc, x) => x :: acc
-              }.reverse
-            val closed = merged.dropRight(1).map { case (s, l, c) =>
-              FinalSession(user, new java.sql.Timestamp(s), new java.sql.Timestamp(l), c)
-            }
-            merged.lastOption.foreach { case (s, l, c) =>
-              state.update(SessionAgg(s, l, c))
-              state.setTimeoutTimestamp(l + gapMs)
-            }
-            closed.iterator
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp)], state: GroupState[SessionList]) =>
+          // One code path for both data and timeout invocations: standard
+          // interval gap-merge over {held sessions} ∪ {batch events}
+          // (NOT a monotone fold — late events may precede held bounds;
+          // within the gap they extend a session backward, bridging
+          // included, and detached by more than the gap they found their
+          // own), then split on the watermark: sessions whose gap-timeout
+          // the watermark has passed are final (no event that could still
+          // merge is admissible), the rest stay in state.
+          val wm = state.getCurrentWatermarkMs()
+          val intervals =
+            state.getOption.map(_.sessions).getOrElse(Seq.empty)
+              .map(s => (s.start, s.last, s.count)) ++
+              rows.map(_._2.getTime).toSeq.map(t => (t, t, 1L))
+          val merged = intervals.sortBy(x => (x._1, x._2))
+            .foldLeft(List.empty[(Long, Long, Long)]) {
+              case ((s, l, c) :: tail, (s2, l2, c2)) if s2 - l <= gapMs =>
+                (s, math.max(l, l2), c + c2) :: tail
+              case (acc, x) => x :: acc
+            }.reverse
+          val (expired, live) = merged.partition { case (_, l, _) => l + gapMs <= wm }
+          if (live.nonEmpty) {
+            state.update(SessionList(live.map { case (s, l, c) => SessionAgg(s, l, c) }))
+            // live sessions all have last + gap > wm, satisfying the
+            // timeout-beyond-watermark requirement; the earliest one
+            // schedules the next finalization check
+            state.setTimeoutTimestamp(live.map(_._2).min + gapMs)
+          } else state.remove()
+          expired.iterator.map { case (s, l, c) =>
+            FinalSession(user, new java.sql.Timestamp(s), new java.sql.Timestamp(l), c)
           }
       }
   }

@@ -259,6 +259,13 @@ class StreamingSpec extends SparkSpec {
       // before the start (<= gap — extends the session BACKWARD)
       mem.addData((7L, ts("2024-01-01 08:00:00")), (7L, ts("2024-01-01 09:45:00")))
       query.processAllAvailable()
+      // batch 3, even later arrival: 08:10 must merge into the HELD 08:00
+      // session (emission is watermark-final — nothing has emitted yet,
+      // so no double-billing split), not found a third session
+      mem.addData((7L, ts("2024-01-01 08:10:00")))
+      query.processAllAvailable()
+      assert(spark.sql("SELECT * FROM fin_late").count() === 0,
+        "nothing may emit before the watermark passes a session's gap")
       // two batches to advance the watermark past 10:40 and drain timeouts
       mem.addData((9L, ts("2024-01-01 15:00:00")))
       query.processAllAvailable()
@@ -268,9 +275,9 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getAs[Timestamp]("session_start"), r.getAs[Timestamp]("session_end"),
           r.getAs[Long]("event_count"))).toSet
       assert(u7 === Set(
-        (ts("2024-01-01 08:00:00"), ts("2024-01-01 08:00:00"), 1L),
+        (ts("2024-01-01 08:00:00"), ts("2024-01-01 08:10:00"), 2L),
         (ts("2024-01-01 09:45:00"), ts("2024-01-01 10:10:00"), 3L)),
-        s"detached late event must be its own session, near one extends backward: $u7")
+        s"detached late events form their own watermark-held session: $u7")
     } finally query.stop()
   }
 
