@@ -140,6 +140,41 @@ object SparkEntry {
       |),
       |ex AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh)""".stripMargin
 
+  /** DuckDB CTE chain `t → anchors → capped → paired → islands → runs`
+    * mirroring every stage of Dedup.substringDups (md5 k=10 window
+    * fingerprints via 1-based inclusive list slicing, the total-occurrence
+    * boilerplate cap, the gaps-and-islands diagonal merge, minTokens=20) —
+    * shared by the substring-runs oracle and the coverage oracle. */
+  private val substrRunsCtes: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+       |  FROM documents
+       |), anchors AS (
+       |  SELECT doc_id, CAST(i AS INT) AS pos,
+       |         md5(array_to_string(toks[i:i+9], ' ')) AS fp
+       |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS i) r
+       |), capped AS (
+       |  SELECT doc_id, pos, fp FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY fp) AS occ FROM anchors
+       |  ) WHERE occ <= ${Dedup.DefaultStopShingleDf}
+       |), paired AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+       |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |), islands AS (
+       |  SELECT doc_a, doc_b, pos_a, pos_b,
+       |         pos_a - pos_b AS diag,
+       |         pos_a - CAST(row_number() OVER (
+       |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS INT) AS grp
+       |  FROM paired
+       |), runs AS (
+       |  SELECT doc_a, doc_b,
+       |         min(pos_a) AS start_a, min(pos_b) AS start_b,
+       |         max(pos_a) - min(pos_a) + 10 AS match_len
+       |  FROM islands
+       |  GROUP BY doc_a, doc_b, diag, grp
+       |  HAVING max(pos_a) - min(pos_a) + 10 >= 20
+       |)""".stripMargin
+
   /** DuckDB oracle for banded MinHash-LSH (k=16, 4 salted digests sliced
     * into 4 components each, one salt per band). */
   /** CTE chain `sig → banded → pairs` (appended after [[shingleCte]]) —
@@ -310,7 +345,7 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
-    "q_above_nation_avg" -> ((s, dir) => Analytics.aboveNationAvg(
+    "q_above_avg" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_window_funcs" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -328,7 +363,7 @@ object SparkEntry {
     // §2.7 dedup suite
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
-    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
     "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
@@ -337,6 +372,12 @@ object SparkEntry {
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
     // dilutes below threshold
     "dedup_substr" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
+    // the curation-policy number those runs exist for: per-doc duplicated
+    // token fraction (distinct positions — overlaps never double-count)
+    "dedup_cov" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.substringCoverage(docs, Dedup.substringDups(docs))
+    }),
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
@@ -434,7 +475,7 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
     }),
-    "sim_label_outliers" -> ((s, dir) =>
+    "sim_outliers" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir))),
     "sim_bf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -1143,7 +1184,7 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
-    "q_above_nation_avg" ->
+    "q_above_avg" ->
       """WITH na AS (
         |  SELECT c_nationkey, avg(c_acctbal) AS nation_avg FROM customer GROUP BY 1
         |)
@@ -1357,38 +1398,33 @@ object SparkEntry {
     // 1-based inclusive k=10 window), the same TOTAL-occurrence cap, and
     // the same gaps-and-islands merge keyed by (pair, pos_a − pos_b)
     "dedup_substr" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
-         |  FROM documents
-         |), anchors AS (
-         |  SELECT doc_id, CAST(i AS INT) AS pos,
-         |         md5(array_to_string(toks[i:i+9], ' ')) AS fp
-         |  FROM t, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 9, 0) + 1)) AS i) r
-         |), capped AS (
-         |  SELECT doc_id, pos, fp FROM (
-         |    SELECT *, count(*) OVER (PARTITION BY fp) AS occ FROM anchors
-         |  ) WHERE occ <= ${Dedup.DefaultStopShingleDf}
-         |), paired AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
-         |  FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |), islands AS (
-         |  SELECT doc_a, doc_b, pos_a, pos_b,
-         |         pos_a - pos_b AS diag,
-         |         pos_a - CAST(row_number() OVER (
-         |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS INT) AS grp
-         |  FROM paired
+      s"""$substrRunsCtes
+         |SELECT doc_a, doc_b, start_a, start_b, match_len FROM runs""".stripMargin,
+
+    // per-doc duplicated-token FRACTION from the same runs: DISTINCT
+    // duplicated positions (overlapping runs never double-count), docs
+    // with no runs report 0 — mirrors Dedup.substringCoverage
+    "dedup_cov" ->
+      s"""$substrRunsCtes,
+         |per_side AS (
+         |  SELECT doc_a AS doc_id, start_a AS st, match_len FROM runs
+         |  UNION ALL
+         |  SELECT doc_b, start_b, match_len FROM runs
+         |), covered AS (
+         |  SELECT doc_id, count(DISTINCT st + i) AS dup_tokens
+         |  FROM per_side, LATERAL (SELECT unnest(range(0, match_len)) AS i) r
+         |  GROUP BY doc_id
          |)
-         |SELECT doc_a, doc_b,
-         |       min(pos_a) AS start_a, min(pos_b) AS start_b,
-         |       max(pos_a) - min(pos_a) + 10 AS match_len
-         |FROM islands
-         |GROUP BY doc_a, doc_b, diag, grp
-         |HAVING max(pos_a) - min(pos_a) + 10 >= 20""".stripMargin,
+         |SELECT d.doc_id, d.n_tokens,
+         |       COALESCE(c.dup_tokens, 0) AS dup_tokens,
+         |       CAST(COALESCE(c.dup_tokens, 0) AS DOUBLE) / greatest(d.n_tokens, 1) AS dup_frac
+         |FROM (SELECT doc_id, len(toks) AS n_tokens FROM t) d
+         |LEFT JOIN covered c USING (doc_id)""".stripMargin,
 
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where
     // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
-    "dedup_ngram_jaccard" ->
+    "dedup_jaccard" ->
       s"""$shingleCte,
          |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
          |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
@@ -1763,7 +1799,7 @@ object SparkEntry {
 
     "sim_lsh_ann" -> lshAnnOracleSql,
 
-    "sim_label_outliers" ->
+    "sim_outliers" ->
       s"""WITH cent AS (
          |  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
          |  FROM embeddings, generate_series(1, 64) t(i)
