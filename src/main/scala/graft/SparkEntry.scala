@@ -313,9 +313,19 @@ object SparkEntry {
           Seq("purchase_value"), direction = "forward")
         .select("event_id", "user_id", "ts", "purchase_value_asof")
     }),
+    // nearest direction (merge_asof direction='nearest'): closer of the
+    // latest-prior and earliest-following purchase, ties backward
+    "q_asof_near" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val purchases = sv.filter(col("event_type") === "purchase")
+        .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
+      graft.analytics.AsOfJoin.asOf(sv, purchases, "user_id", "ts",
+          Seq("purchase_value"), direction = "nearest")
+        .select("event_id", "user_id", "ts", "purchase_value_asof")
+    }),
     // as-of with staleness bound: a prior purchase older than 24 h does
     // not match (kdb/merge_asof ASOF TOLERANCE semantics)
-    "q_asof_tolerance" -> ((s, dir) => {
+    "q_asof_tol" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -386,7 +396,7 @@ object SparkEntry {
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
     // whose minhashIndex is the ONLY thing the batch joins against
-    "dedup_minhash_incr" -> ((s, dir) => {
+    "dedup_mh_incr" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.minhashLshIncremental(
         docs.filter(col("doc_id") % 10 === 0),
@@ -524,7 +534,7 @@ object SparkEntry {
       Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_demand_gbt" -> ((s, dir) =>
       Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_surge_classify" -> ((s, dir) =>
+    "ml_surge_cls" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     "ml_surge_rf" -> ((s, dir) =>
       Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
@@ -1095,9 +1105,41 @@ object SparkEntry {
          |FROM silver l ASOF LEFT JOIN purch r
          |  ON l.user_id = r.user_id AND l.ts <= r.ts""".stripMargin,
 
+    // nearest = closer of backward/forward candidates; the gap compare
+    // uses floor(epoch()) (Spark's truncating timestamp→long cast) so
+    // sub-second ts tie-break identically; ties go backward. Right keys
+    // are unique per (user_id, ts) by construction (pre-aggregated), so
+    // the payload re-join is one-to-one.
+    "q_asof_near" ->
+      s"""$silverCte,
+         |purch AS (
+         |  SELECT user_id, ts, max(value) AS purchase_value
+         |  FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2
+         |),
+         |b AS (
+         |  SELECT l.event_id, max(r.ts) AS bts
+         |  FROM silver l JOIN purch r ON l.user_id = r.user_id AND r.ts <= l.ts
+         |  GROUP BY 1
+         |),
+         |f AS (
+         |  SELECT l.event_id, min(r.ts) AS fts
+         |  FROM silver l JOIN purch r ON l.user_id = r.user_id AND r.ts >= l.ts
+         |  GROUP BY 1
+         |)
+         |SELECT l.event_id, l.user_id, l.ts,
+         |       CASE WHEN b.bts IS NOT NULL AND (f.fts IS NULL OR
+         |                 floor(epoch(l.ts)) - floor(epoch(b.bts))
+         |                   <= floor(epoch(f.fts)) - floor(epoch(l.ts)))
+         |            THEN rb.purchase_value ELSE rf.purchase_value END AS purchase_value_asof
+         |FROM silver l
+         |LEFT JOIN b ON l.event_id = b.event_id
+         |LEFT JOIN f ON l.event_id = f.event_id
+         |LEFT JOIN purch rb ON rb.user_id = l.user_id AND rb.ts = b.bts
+         |LEFT JOIN purch rf ON rf.user_id = l.user_id AND rf.ts = f.fts""".stripMargin,
+
     // floor(epoch()) mirrors Spark's truncating timestamp→long cast so
     // the 24 h staleness bound compares identically on sub-second ts
-    "q_asof_tolerance" ->
+    "q_asof_tol" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1242,7 +1284,7 @@ object SparkEntry {
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
     // corpus ∪ batch equals banding each side separately
-    "dedup_minhash_incr" ->
+    "dedup_mh_incr" ->
       s"""$shingleCte,
          |$minhashPairCtes
          |SELECT doc_a, doc_b,
