@@ -429,6 +429,12 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(Tables.documents(s, dir),
         "doc_id", "n_chars", n = 200).select("doc_id", "lang", "n_chars")),
+    // per-stratum weighted sample: the same Efraimidis–Spirakis priority
+    // ranked WITHIN each language — a per-language token budget for a
+    // balanced training mix; executes as a map-side WindowGroupLimit
+    "sample_wps" -> ((s, dir) =>
+      graft.sampling.Sampling.weightedSamplePerStratum(Tables.documents(s, dir),
+        "doc_id", "lang", "n_chars", n = 50).select("doc_id", "lang", "n_chars")),
     // deterministic epoch shuffle: salt-keyed md5 order, sharded for
     // parallel writes — one reproducible corpus permutation on any engine
     "sample_shuffle" -> ((s, dir) =>
@@ -440,7 +446,7 @@ object SparkEntry {
     "text_langid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
-    "text_fingerprint" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
+    "text_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
     // deterministic email/phone/IP tail — the oracle then actually
@@ -451,7 +457,7 @@ object SparkEntry {
           lit("@example.com or 555-867-5309 from 10.0.0."),
           (col("doc_id") % 256).cast("string"))))),
     "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
-    "text_heavy_hitters" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
+    "text_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
     "corpus_report" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // training-mix composition: tokens per (split, lang) + within-split
@@ -1372,6 +1378,18 @@ object SparkEntry {
         |  FROM documents
         |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
+    // same priority expression as sample_weighted, ranked per lang
+    // (row_number over a non-null priority/doc_id — no NULLS clause
+    // needed); ties on priority break by doc_id in both engines
+    "sample_wps" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang ORDER BY
+        |           ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |                / 4294967296.0) / CAST(n_chars AS DOUBLE) DESC, doc_id) AS rn
+        |  FROM documents
+        |) WHERE rn <= 50""".stripMargin,
+
     // deterministic epoch shuffle: md5 hex order is engine-portable, and
     // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64;
     // ':shuffle:' domain-separates the key from the sampling/split hash
@@ -1627,7 +1645,7 @@ object SparkEntry {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
 
-    "text_heavy_hitters" ->
+    "text_hh" ->
       """WITH raw AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
         |),
@@ -1642,7 +1660,7 @@ object SparkEntry {
         |)
         |SELECT token, tf, df, "rank" FROM ranked WHERE "rank" <= 100""".stripMargin,
 
-    "text_fingerprint" ->
+    "text_fp" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS norm,
         |         greatest(length(lower(text)) - 4, 0) AS n_k
