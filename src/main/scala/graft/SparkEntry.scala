@@ -253,10 +253,19 @@ object SparkEntry {
     "dq_kanon" -> ((s, dir) => DataQuality.kAnonymity(
       Tables.events(s, dir).withColumn("hour", hour(col("ts"))),
       Seq("event_type", "hour"), "user_id")),
+    // freshness SLA: hours of lag behind the freshest event type; the
+    // 30-day synthetic window keeps every type current, so the alert
+    // column exercises the FALSE branch (the spec covers TRUE)
+    "dq_fresh" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
     // §2.2 feature engineering
     "feat_demand" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
     "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
     "feat_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
+    // leave-one-out target encoding: event_type → mean(value) over the
+    // OTHER rows of the category (leakage-free categorical feature)
+    "feat_te" -> ((s, dir) =>
+      FeatureEngineering.targetEncodeLoo(silver(s, dir), "event_type", "value")
+        .select("event_id", "event_type", "value", "target_enc")),
     // §2.3 scoring + monitoring
     "score_demand" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
@@ -278,19 +287,23 @@ object SparkEntry {
         "run_2", "2024-02-02 00:00:00")
       Scoring.upsertPredictions(existing, incoming, Seq("trip_date", "hour", "zone_id"))
     }),
-    "monitor_psi" -> ((s, dir) =>
+    "mon_psi" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // binned two-sample KS: max CDF gap at the psi bin edges — the
     // median-shift alarm PSI smooths over
-    "monitor_ks" -> ((s, dir) =>
+    "mon_ks" -> ((s, dir) =>
       Monitoring.ksStat(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
-    "monitor_missing" -> ((s, dir) =>
+    // chi-square homogeneity drift over CATEGORICAL features (PSI/KS
+    // cover numeric bins; this is the discrete-column alarm)
+    "mon_chi2" -> ((s, dir) =>
+      Monitoring.chiSquare(silver(s, dir), Seq("event_type", "zone_id"), monitorSplit)),
+    "mon_miss" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
-    "monitor_volume" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
+    "mon_vol" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
     // serving-latency percentiles over a deterministic synthetic latency
     // column (the container has no API logs; the LCG-ish derivation is
     // portable so the oracle checks the PERCENTILE operator itself)
-    "monitor_latency" -> ((s, dir) => Monitoring.latencyStats(
+    "mon_lat" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
     // as-of join: each event annotated with the user's latest purchase
@@ -355,6 +368,11 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
+    // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
+    // grand total in ONE Expand pass — the 3 views a CUBE would charge
+    // 8 grouping combinations for
+    "q_gsets" -> ((s, dir) => Analytics.customersGroupingSets(
+      Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_above_avg" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_window_funcs" -> ((s, dir) => Analytics.balanceWindows(
@@ -410,7 +428,15 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0)).select("doc_id")
     }),
-    "sample_stratified" -> ((s, dir) =>
+    // Bloom-prefiltered decontamination: same semantics, the benchmark
+    // key set ships as a KB-scale bit array and only bloom survivors pay
+    // the confirm join (a different bench slice than `decontaminate`, so
+    // the two entries are independent results)
+    "dec_bloom" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
+    }),
+    "sample_strat" -> ((s, dir) =>
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
@@ -463,7 +489,10 @@ object SparkEntry {
     // training-mix composition: tokens per (split, lang) + within-split
     // share, over the deterministic split assignment
     "corpus_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
-    "text_unigram_lm" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
+    "text_lm1" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
+    // bigram LM: per-transition NLL — catches word-salad docs whose
+    // unigram mix looks fine but whose transitions are improbable
+    "text_lm2" -> ((s, dir) => TextFunctions.bigramLogProb(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
@@ -508,29 +537,29 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
-    "stream_tumbling" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
-    "stream_sliding" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
-    "stream_session" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
+    "st_tumble" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    "st_slide" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
+    "st_sess" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
     // batch face of the stream-stream interval join (clicks × purchases
     // within 1h per user; streaming spec joins two watermarked streams)
-    "stream_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
+    "st_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
     // outer face: unconverted clicks survive null-padded (in streaming,
     // emitted once the watermark proves no in-horizon purchase remains)
-    "stream_join_outer" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
+    "st_join_o" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
     // event-grain sessionization: each event tagged with its per-user
     // session ordinal (gaps-and-islands)
-    "q_sessionize" -> ((s, dir) => Streams.sessionize(silver(s, dir))
+    "q_sess" -> ((s, dir) => Streams.sessionize(silver(s, dir))
       .select("event_id", "user_id", "ts", "session_seq")),
     // batch face of the stream-static enrichment join (identical call on a
     // readStream frame re-broadcasts the dim per micro-batch, zero state)
-    "stream_enrich" -> ((s, dir) => {
+    "st_enrich" -> ((s, dir) => {
       val sv = silver(s, dir)
       Streams.enrichWithDim(sv.select("event_id", "zone_id", "event_type", "value"),
         Gold.dimZones(sv))
     }),
     // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
     // a stream; first-event-wins per key in batch)
-    "stream_dedup" -> ((s, dir) =>
+    "st_dedup" -> ((s, dir) =>
       Streams.firstEventPerKey(Tables.events(s, dir).filter(col("event_id").isNotNull))
         .select("event_id", "ts", "user_id")),
     // §2.4 spark.ml training (rows-only oracle: no SQL equivalent)
@@ -551,9 +580,9 @@ object SparkEntry {
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
     // byte-identical predictions pre/post reload are spec-asserted
-    "ml_model_persist" -> ((s, dir) =>
+    "ml_persist" -> ((s, dir) =>
       Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
-        "/root/repo/target/ml_model_persist")),
+        "/root/repo/target/ml_persist")),
   )
 
   private val featDemandSql: String =
@@ -893,11 +922,48 @@ object SparkEntry {
         |       count(DISTINCT user_id) < 5 AS at_risk
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    // freshness: epoch_us/1e6 mirrors Spark's cast(timestamp as double)
+    // (seconds with fractional micros), then the identical subtract/divide
+    // chain; stale_alert compares the ROUNDED lag, as the Spark side does
+    "dq_fresh" ->
+      s"""$silverCte,
+         |per AS (
+         |  SELECT event_type, count(*) AS n_rows, max(ts) AS last_ts FROM silver GROUP BY 1
+         |),
+         |lagd AS (
+         |  SELECT event_type, n_rows, last_ts,
+         |         max(last_ts) OVER () AS corpus_last_ts,
+         |         round((epoch_us(max(last_ts) OVER ()) / 1000000.0
+         |                - epoch_us(last_ts) / 1000000.0) / 3600.0, 6) AS lag_hours
+         |  FROM per
+         |)
+         |SELECT event_type, n_rows, last_ts, corpus_last_ts, lag_hours,
+         |       lag_hours > 24.0 AS stale_alert
+         |FROM lagd""".stripMargin,
+
     "feat_demand" -> featDemandSql,
 
     "feat_surge" -> featSurgeSql,
 
     "feat_churn" -> featChurnSql,
+
+    // leave-one-out target encoding: per-category sum/count windows, own
+    // target excluded; null targets get the full mean, singletons null.
+    // Unrounded on purpose: the per-category window sums agree exactly
+    // across engines on this chain, while round() would land exact binary
+    // fractions on .5 boundaries where rounding MODE differs
+    "feat_te" ->
+      s"""$silverCte,
+         |enc AS (
+         |  SELECT event_id, event_type, value,
+         |         sum(value) OVER (PARTITION BY event_type) AS s,
+         |         count(value) OVER (PARTITION BY event_type) AS cnt
+         |  FROM silver
+         |)
+         |SELECT event_id, event_type, value,
+         |       CASE WHEN value IS NULL THEN s / cnt
+         |            WHEN cnt > 1 THEN (s - value) / (cnt - 1) END AS target_enc
+         |FROM enc""".stripMargin,
 
     "score_demand" -> scoreDemandSql,
 
@@ -957,7 +1023,7 @@ object SparkEntry {
          |       avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
          |FROM scored""".stripMargin,
 
-    "monitor_psi" ->
+    "mon_psi" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
@@ -986,7 +1052,7 @@ object SparkEntry {
 
     // binned two-sample KS at the psi bin edges: cumulative integer
     // counts over integer totals → identical doubles in both engines
-    "monitor_ks" ->
+    "mon_ks" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
@@ -1019,7 +1085,36 @@ object SparkEntry {
          |       max(abs(b_cum / b_tot - c_cum / c_tot)) AS ks
          |FROM cum GROUP BY 1, 2, 3""".stripMargin,
 
-    "monitor_missing" ->
+    // categorical chi-square: pooled-margin expected counts
+    // E = row_total × window_total / N; integer counts all the way to the
+    // final double division, so both engines compute identical cell terms;
+    // the cell-term SUM rounds to 6 dp (engine-order accumulation)
+    "mon_chi2" ->
+      s"""$silverCte,
+         |melted AS (
+         |  SELECT 'event_type' AS feature, CAST(event_type AS VARCHAR) AS x, event_date FROM silver
+         |  UNION ALL
+         |  SELECT 'zone_id', CAST(zone_id AS VARCHAR), event_date FROM silver
+         |),
+         |flagged AS (
+         |  SELECT feature, x,
+         |         CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base
+         |  FROM melted WHERE x IS NOT NULL
+         |),
+         |counts AS (SELECT feature, x, sum(is_base) AS b_cnt, sum(1 - is_base) AS c_cnt FROM flagged GROUP BY 1, 2),
+         |tot AS (SELECT feature, sum(b_cnt) AS b_tot, sum(c_cnt) AS c_tot, count(*) AS n_categories FROM counts GROUP BY 1),
+         |cells AS (
+         |  SELECT c.feature, b_tot, c_tot, n_categories, b_cnt, c_cnt,
+         |         (b_cnt + c_cnt) * b_tot / (b_tot + c_tot) AS e_b,
+         |         (b_cnt + c_cnt) * c_tot / (b_tot + c_tot) AS e_c
+         |  FROM counts c JOIN tot USING (feature)
+         |)
+         |SELECT feature, CAST(b_tot AS BIGINT) AS base_count, CAST(c_tot AS BIGINT) AS cur_count,
+         |       n_categories, n_categories - 1 AS dof,
+         |       round(sum(pow(b_cnt - e_b, 2) / e_b + pow(c_cnt - e_c, 2) / e_c), 6) AS chi2
+         |FROM cells GROUP BY 1, 2, 3, 4, 5""".stripMargin,
+
+    "mon_miss" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value IS NULL AS INT) AS is_null, event_date FROM silver
@@ -1042,7 +1137,7 @@ object SparkEntry {
          |         - sum(is_base * is_null) / sum(is_base) AS shift
          |FROM flagged GROUP BY 1""".stripMargin,
 
-    "monitor_volume" ->
+    "mon_vol" ->
       s"""$silverCte,
          |flagged AS (
          |  SELECT CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base,
@@ -1065,7 +1160,7 @@ object SparkEntry {
     // DuckDB quantile_cont ≡ Spark percentile (exact, linear interpolation)
     // on integer inputs — the p50/p95 rule the reference computes from API
     // logs (model_monitoring.py:154-172)
-    "monitor_latency" ->
+    "mon_lat" ->
       s"""$silverCte,
          |lat AS (SELECT (event_id * 37 + 11) % 450 + 50 AS latency_ms FROM silver)
          |SELECT count(latency_ms) AS n,
@@ -1232,6 +1327,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
+    // GROUPING SETS: same (region×segment | nation | total) sets; gid is
+    // the ANSI grouping-bit integer (first grouping column = MSB, the
+    // convention both engines share)
+    "q_gsets" ->
+      """SELECT r_name, n_name, c_mktsegment,
+        |       count(*) AS customer_count,
+        |       sum(c_acctbal) AS total_acctbal,
+        |       CAST(GROUPING(r_name, n_name, c_mktsegment) AS BIGINT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (n_name), ())""".stripMargin,
+
     "q_above_avg" ->
       """WITH na AS (
         |  SELECT c_nationkey, avg(c_acctbal) AS nation_avg FROM customer GROUP BY 1
@@ -1338,9 +1446,30 @@ object SparkEntry {
          |WHERE md5(lower(d.text)) NOT IN (SELECT h FROM bench_hash)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
 
+    // the bloom variant must be indistinguishable from exact decontamination
+    // (the FP-confirm join guarantees it), so the oracle IS the exact form,
+    // over the %17 bench slice
+    "dec_bloom" ->
+      s"""$shingleCte,
+         |bench_hash AS (
+         |  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 17 = 0
+         |),
+         |near AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |    FROM ex c JOIN (SELECT * FROM ex WHERE doc_id % 17 = 0) b
+         |      ON c.shingle = b.shingle
+         |    GROUP BY 1, 2
+         |  ) WHERE shared >= 5
+         |  GROUP BY 1
+         |)
+         |SELECT d.doc_id FROM documents d
+         |WHERE md5(lower(d.text)) NOT IN (SELECT h FROM bench_hash)
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
+
     // deterministic hash sampling: md5-fraction < per-stratum rate —
     // byte-identical selection in any engine
-    "sample_stratified" ->
+    "sample_strat" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
         |        / 4294967296.0
@@ -1707,7 +1836,7 @@ object SparkEntry {
         |         / sum(total_tokens) OVER (PARTITION BY split) AS token_share
         |FROM cells""".stripMargin,
 
-    "text_unigram_lm" ->
+    "text_lm1" ->
       """WITH raw AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
         |),
@@ -1718,6 +1847,29 @@ object SparkEntry {
         |       avg(-ln(tf / n_total)) AS avg_nll,
         |       sum(-ln(tf / n_total)) AS total_nll
         |FROM toks JOIN vocab USING (token) CROSS JOIN tot
+        |GROUP BY 1""".stripMargin,
+
+    // bigram LM: conditional denominator = prefix-marginal of the bigram
+    // COUNT table (sums to 1 per prefix); the ln-chain mirrors the Spark
+    // expression shape-for-shape, NLL aggregates round to 6 dp
+    "text_lm2" ->
+      """WITH tl AS (
+        |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM tl
+        |),
+        |bgc AS (SELECT bigram, count(*) AS pair_count FROM bg GROUP BY 1),
+        |pc AS (
+        |  SELECT str_split(bigram, ' ')[1] AS prefix, CAST(sum(pair_count) AS BIGINT) AS c_prefix
+        |  FROM bgc GROUP BY 1
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       round(avg(-ln(CAST(pair_count AS DOUBLE) / c_prefix)), 6) AS avg_nll,
+        |       round(sum(-ln(CAST(pair_count AS DOUBLE) / c_prefix)), 6) AS total_nll
+        |FROM bg JOIN bgc USING (bigram)
+        |JOIN pc ON str_split(bigram, ' ')[1] = pc.prefix
         |GROUP BY 1""".stripMargin,
 
     "text_bpe_pairs" ->
@@ -1878,7 +2030,7 @@ object SparkEntry {
          |)
          |SELECT label, vec_id, centroid_cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
-    "stream_join" ->
+    "st_join" ->
       s"""$silverCte
          |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
          |       p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -1888,7 +2040,7 @@ object SparkEntry {
          | AND c.event_type = 'click' AND p.event_type = 'purchase'
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
-    "stream_join_outer" ->
+    "st_join_o" ->
       s"""$silverCte
          |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
          |       p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -1899,7 +2051,7 @@ object SparkEntry {
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          |WHERE c.event_type = 'click'""".stripMargin,
 
-    "q_sessionize" ->
+    "q_sess" ->
       s"""$silverCte,
          |lagged AS (
          |  SELECT event_id, user_id, ts,
@@ -1915,7 +2067,7 @@ object SparkEntry {
          |         AS session_seq
          |FROM lagged""".stripMargin,
 
-    "stream_enrich" ->
+    "st_enrich" ->
       s"""$silverCte,
          |zd AS (
          |  SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
@@ -1929,7 +2081,7 @@ object SparkEntry {
     // tie-break mirrors firstEventPerKey exactly: ts then every other
     // column in alphabetical order, NULLS FIRST (Spark's ASC default;
     // DuckDB defaults NULLS LAST so it must be spelled out)
-    "stream_dedup" ->
+    "st_dedup" ->
       """SELECT event_id, ts, user_id FROM (
         |  SELECT event_id, ts, user_id,
         |         row_number() OVER (PARTITION BY event_id ORDER BY
@@ -1938,7 +2090,7 @@ object SparkEntry {
         |  FROM events WHERE event_id IS NOT NULL
         |) WHERE rn = 1""".stripMargin,
 
-    "stream_tumbling" ->
+    "st_tumble" ->
       s"""$silverCte
          |SELECT date_trunc('hour', ts) AS window_start,
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1948,7 +2100,7 @@ object SparkEntry {
     // each event lands in exactly width/slide = 4 windows; Spark aligns
     // window starts to epoch multiples of the slide, which 15-minute
     // hour-truncated arithmetic reproduces exactly
-    "stream_sliding" ->
+    "st_slide" ->
       s"""$silverCte
          |SELECT ws AS window_start,
          |       ws + INTERVAL 1 HOUR AS window_end,
@@ -1961,7 +2113,7 @@ object SparkEntry {
          |)
          |GROUP BY 1, 2, 3""".stripMargin,
 
-    "stream_session" ->
+    "st_sess" ->
       s"""$silverCte,
          |marked AS (
          |  SELECT user_id, ts,

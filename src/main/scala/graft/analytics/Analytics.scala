@@ -166,4 +166,23 @@ object Analytics {
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
       .rollup(col("r_name"), col("n_name"))
       .agg(count(lit(1)).as("customer_count"), sum(col("c_acctbal")).as("total_acctbal"))
+
+  /** ANSI GROUPING SETS — the non-hierarchical generalization ROLLUP/CUBE
+    * can't express: one pass computes the (region × market segment) grid,
+    * the per-nation view, and the grand total, and NOTHING else (a CUBE
+    * over the same three columns would pay for 8 grouping combinations to
+    * get these 3). Spark expands the sets into a single Expand + hash
+    * aggregate — one scan, one shuffle, exactly like rollup/cube. Absent
+    * grouping columns are null-filled per the ANSI convention; `gid`
+    * (grouping_id) disambiguates which set a row belongs to. */
+  def customersGroupingSets(customer: DataFrame, nation: DataFrame,
+      region: DataFrame): DataFrame =
+    customer
+      .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupingSets(
+        Seq(Seq(col("r_name"), col("c_mktsegment")), Seq(col("n_name")), Seq.empty),
+        col("r_name"), col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("customer_count"), sum(col("c_acctbal")).as("total_acctbal"),
+        grouping_id().as("gid"))
 }

@@ -538,6 +538,49 @@ object Dedup {
       .join(nearHits, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter on the exact-hash
+    * stage — same output (the bloom's false positives are removed by an
+    * exact confirm join), cheaper at scale: the benchmark key set
+    * broadcasts as a ~1.2 MB-per-million-keys bit array instead of a
+    * hash-set relation, the probe is Spark's codegen'd
+    * `BloomFilterMightContain` (zero shuffle, zero join on the corpus
+    * side), and only the bloom-surviving sliver of the corpus — true
+    * hits plus an `fpp` fraction — ever reaches the confirm join. The
+    * shingle near-leak stage is byte-identical to [[decontaminate]]'s.
+    *
+    * The sketch build runs one count + one aggregate over the BENCHMARK
+    * (tiny by the same argument that lets it broadcast); the corpus is
+    * still scanned exactly once, never shuffled. */
+  def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minOverlap: Int = 5, fpp: Double = 0.01): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val key = xxhash64(lower(col("text")))
+    val benchKeys = benchmark.select(key.as("h")).distinct()
+    val bf = benchKeys.stat.bloomFilter("h", math.max(benchKeys.count(), 1L), fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    }
+    val exactHits = corpus
+      .filter(graft.functions.GraftFunctions.bloomContains(lit(bytes), key))
+      // FP-proof confirm: only the bloom survivors (≈ |true hits| +
+      // fpp × |corpus|) pay the equi-join against the real key set
+      .join(broadcast(benchKeys), key === col("h"), "left_semi")
+      .select("doc_id")
+    val benchShingles = benchmark
+      .select(col("doc_id").as("bench_id"), explode(shingleCol(n)).as("shingle"))
+    val nearHits = corpus
+      .select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minOverlap)
+      .select("doc_id").distinct()
+    corpus
+      .join(exactHits, Seq("doc_id"), "left_anti")
+      .join(nearHits, Seq("doc_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label. The cosine is
     * graft's native codegen'd one-pass expression
     * ([[graft.functions.CosineSimilarity]]) — index-ordered accumulation,

@@ -159,4 +159,29 @@ object FeatureEngineering {
         "avg_events_30d", "avg_value_30d",
         "events_declining", "value_declining", "days_to_next", "will_churn")
   }
+
+  /** Leave-one-out target encoding of a categorical column: each row gets
+    * the mean of `targetCol` over all OTHER rows in its category — the
+    * leakage-free way to feed a high-cardinality categorical to a model
+    * (per-row own-target exclusion is what separates this from a plain
+    * groupBy-mean join, which leaks the label into its own feature).
+    * Rows whose target is null receive the full category mean (they
+    * contributed nothing to it); singleton categories encode null (no
+    * other rows to borrow a mean from).
+    *
+    * Scale: one window shuffle on the category key — no join, no second
+    * scan; category skew is bounded because the frame is the whole
+    * partition (sum+count state, not a buffer). Encodings stay unrounded:
+    * rounding would land exact binary fractions on .5-at-k-dp boundaries
+    * where engines disagree on rounding MODE (half-up vs half-even),
+    * while the raw double chain is deterministic given the window sum. */
+  def targetEncodeLoo(df: DataFrame, catCol: String, targetCol: String,
+      outCol: String = "target_enc"): DataFrame = {
+    val w = Window.partitionBy(col(catCol))
+    val s = sum(col(targetCol)).over(w)
+    val cnt = count(col(targetCol)).over(w)
+    df.withColumn(outCol,
+      when(col(targetCol).isNull, s / cnt)
+        .when(cnt > 1, (s - col(targetCol)) / (cnt - 1)))
+  }
 }

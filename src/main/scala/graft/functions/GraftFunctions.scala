@@ -19,6 +19,7 @@ object GraftFunctions {
 
   val cosineName = "graft_cosine_sim"
   val bucketName = "graft_hyperplane_bucket"
+  val bloomName  = "graft_bloom_contains"
 
   private def cosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"$cosineName expects 2 arguments, got ${exprs.length}")
@@ -36,6 +37,11 @@ object GraftFunctions {
       intArg(exprs(1), "nPlanes"), intArg(exprs(2), "planeOffset"))
   }
 
+  private def bloomBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$bloomName expects 2 arguments, got ${exprs.length}")
+    org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
+  }
+
   /** Register graft functions into an existing session (idempotent), plus
     * the HOF-cosine auto-acceleration rule (see
     * [[graft.plans.CosineRewriteRule]]) via experimental
@@ -46,6 +52,8 @@ object GraftFunctions {
       cosineName, cosineBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bucketName, bucketBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      bloomName, bloomBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CosineRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CosineRewriteRule
@@ -63,6 +71,16 @@ object GraftFunctions {
     call_function(bucketName, emb,
       org.apache.spark.sql.functions.lit(nPlanes),
       org.apache.spark.sql.functions.lit(planeOffset))
+
+  /** Codegen'd Bloom-filter membership probe over a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` (the format
+    * `DataFrame.stat.bloomFilter` produces) — Spark's own
+    * `BloomFilterMightContain` runtime-filter expression surfaced as a
+    * library function. `value` must be a LONG key (hash the probe column
+    * with `xxhash64(...)` using the SAME expression that keyed the
+    * sketch build). Same registration contract as [[cosineSim]]. */
+  def bloomContains(filterBytes: Column, value: Column): Column =
+    call_function(bloomName, filterBytes, value)
 }
 
 /** `spark.sql.extensions` injector (see [[GraftFunctions]]). */
@@ -78,6 +96,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => HyperplaneBuckets(exprs.head,
         exprs(1).eval().asInstanceOf[Number].intValue(),
         exprs(2).eval().asInstanceOf[Number].intValue())))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.bloomName),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        GraftFunctions.bloomName),
+      exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        exprs.head, exprs(1))))
     // portable HOF cosine → fused native kernel, for every session query
     ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
     ()

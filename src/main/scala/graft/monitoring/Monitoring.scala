@@ -91,6 +91,41 @@ object Monitoring {
       .agg(max(abs(col("b_cum") / col("b_tot") - col("c_cum") / col("c_tot"))).as("ks"))
   }
 
+  /** Two-sample chi-square homogeneity statistic per CATEGORICAL feature —
+    * the drift alarm for discrete columns, where PSI/KS's fixed-width
+    * numeric bins don't apply: each distinct value is its own cell, and
+    * the statistic asks whether baseline and current windows draw from
+    * the same categorical distribution. Expected cell counts come from
+    * the pooled margins (E = row_total × window_total / N), the standard
+    * contingency-table form.
+    *
+    * Scale: one melted scan, one (feature, category)-keyed aggregate, a
+    * broadcast of per-feature totals, and a per-feature roll-up — the
+    * same plan family as [[psi]]. Category cardinality bounds the shuffle
+    * (categorical monitoring columns are low-cardinality by definition;
+    * cap upstream with a heavy-hitters pass if a column isn't).
+    * chi2 rounds to 6 dp: the cell-term sum accumulates doubles in
+    * engine-specific order. */
+  def chiSquare(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {
+    val m = melted(df, cols, "string", splitDate).filter(col("x").isNotNull)
+    val counts = m.groupBy("feature", "x").agg(
+      sum("is_base").as("b_cnt"),
+      sum(lit(1) - col("is_base")).as("c_cnt"))
+    val tot = counts.groupBy("feature").agg(
+      sum("b_cnt").as("b_tot"), sum("c_cnt").as("c_tot"),
+      count(lit(1)).as("n_categories"))
+    val n = col("b_tot") + col("c_tot")
+    val eB = (col("b_cnt") + col("c_cnt")) * col("b_tot") / n
+    val eC = (col("b_cnt") + col("c_cnt")) * col("c_tot") / n
+    counts.join(broadcast(tot), Seq("feature"))
+      .groupBy(col("feature"), col("b_tot").cast("long").as("base_count"),
+        col("c_tot").cast("long").as("cur_count"), col("n_categories"))
+      .agg(round(sum(
+        pow(col("b_cnt") - eB, 2) / eB + pow(col("c_cnt") - eC, 2) / eC), 6).as("chi2"))
+      .select(col("feature"), col("base_count"), col("cur_count"),
+        col("n_categories"), (col("n_categories") - 1).as("dof"), col("chi2"))
+  }
+
   /** Missing-rate per feature in baseline vs current window + shift.
     * One scan for all features. */
   def missingRates(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {

@@ -113,6 +113,31 @@ object DataQuality {
         countDistinct(col(idCol)).as("n_ids"))
       .withColumn("at_risk", col("n_ids") < k)
 
+  /** Data-freshness / staleness SLA audit: one row per partition group
+    * (source, feed, event type, …) with its row count, latest event time,
+    * hours of lag behind the freshest group, and an SLA-breach flag — the
+    * check a pipeline health dashboard runs before trusting "today's"
+    * data (complements [[graft.monitoring.Monitoring.volume]], which
+    * watches row RATE rather than recency).
+    *
+    * Scale: one hash-groupBy over the group key; the corpus-wide max is
+    * then a window over the already-aggregated |groups| rows (single tiny
+    * partition by construction), so the raw data is scanned exactly once.
+    * lag_hours rounds to 6 dp (double epoch arithmetic). */
+  def freshness(df: DataFrame, tsCol: String, groupCol: String,
+      staleHours: Double = 24.0): DataFrame = {
+    val per = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), max(col(tsCol)).as("last_ts"))
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    per
+      .withColumn("corpus_last_ts", max(col("last_ts")).over(all))
+      .withColumn("lag_hours", round(
+        (col("corpus_last_ts").cast("double") - col("last_ts").cast("double")) / 3600.0, 6))
+      .withColumn("stale_alert", col("lag_hours") > staleHours)
+  }
+
   def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
     val rows = summaryDf.collect()
     rows.toSeq.map { r =>

@@ -141,6 +141,46 @@ object TextFunctions {
         sum(col("nll")).as("total_nll"))
   }
 
+  /** Bigram language-model scoring — the sharper sibling of
+    * [[unigramLogProb]]: fit corpus bigram counts, then score every
+    * document by per-transition negative log-likelihood
+    * P(wᵢ | wᵢ₋₁) = count(wᵢ₋₁ wᵢ) / count(wᵢ₋₁ ·). The conditional
+    * denominator is the PREFIX-marginal of the bigram table (so the
+    * distribution sums to 1 per prefix); because the LM is fit on the
+    * corpus itself every observed transition has count ≥ 1 and no
+    * smoothing is needed. Word-salad documents with plausible unigram
+    * mixes but improbable transitions — the ones [[unigramLogProb]]
+    * can't see — score a high avg_nll here.
+    *
+    * Scale: the same two data-growing shuffle keys as the unigram LM
+    * (bigram for the count build + join, doc_id for the roll-up); the
+    * prefix-marginal aggregates the bigram COUNT table, never re-scans
+    * the corpus. NLLs round to 6 dp (engine-order double accumulation). */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val t = col("t")
+    val bgRaw = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
+    val docBigrams = docs
+      .select(col("doc_id"), filter(toks(col("text")), x => x =!= "").as("t"))
+      .select(col("doc_id"),
+        explode(slice(bgRaw, lit(1), greatest(size(t) - 1, lit(0)))).as("bigram"))
+    val bigramCounts = docBigrams
+      .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
+      .withColumn("prefix", split(col("bigram"), " ").getItem(0))
+    val prefixCounts = bigramCounts
+      .groupBy("prefix").agg(sum(col("pair_count")).as("c_prefix"))
+    docBigrams
+      .join(bigramCounts, "bigram")
+      .join(prefixCounts, "prefix")
+      .withColumn("nll", -log(col("pair_count").cast("double") / col("c_prefix")))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 6).as("avg_nll"),
+        round(sum(col("nll")), 6).as("total_nll"))
+  }
+
   /** Adjacent character-pair statistics over in-word positions — the
     * counting step of BPE vocabulary induction (the highest-count pair
     * is the next merge). One explode chain, one pair-keyed aggregate,

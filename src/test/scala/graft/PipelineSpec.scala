@@ -121,6 +121,27 @@ class PipelineSpec extends SparkSpec {
     assert(real.count() <= 5 * 24)
   }
 
+  test("freshness: lag vs freshest group, stale flag past the SLA, one row per group") {
+    import spark.implicits._
+    val rows = Seq(
+      ("feed_a", "2024-01-31 12:00:00"), ("feed_a", "2024-01-31 06:00:00"),
+      ("feed_b", "2024-01-31 06:00:00"),   // 6 h behind → fresh at 24 h SLA
+      ("feed_c", "2024-01-29 12:00:00"))   // 48 h behind → stale
+      .toDF("src", "ts").withColumn("ts", col("ts").cast("timestamp"))
+    val audit = DataQuality.freshness(rows, "ts", "src")
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(audit("feed_a").getAs[Double]("lag_hours") === 0.0)
+    assert(audit("feed_b").getAs[Double]("lag_hours") === 6.0)
+    assert(!audit("feed_b").getAs[Boolean]("stale_alert"))
+    assert(audit("feed_c").getAs[Double]("lag_hours") === 48.0)
+    assert(audit("feed_c").getAs[Boolean]("stale_alert"))
+    assert(audit("feed_a").getAs[Long]("n_rows") === 2L)
+    // real silver: audit is group-sized, freshest group lags exactly 0
+    val real = DataQuality.freshness(silver, "ts", "event_type").cache()
+    assert(real.count() === silver.select("event_type").distinct().count())
+    assert(real.filter(col("lag_hours") === 0.0).count() >= 1)
+  }
+
   test("event-type pivot: per-zone counts sum back to the zone's event total") {
     val pivoted = Aggregates.eventTypePivot(silver).cache()
     val types = Seq("click", "error", "purchase", "signup", "view")

