@@ -231,8 +231,8 @@ object SparkEntry {
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
     "dim_scd2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
-    "agg_demand_hourly" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
-    "agg_revenue_daily" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
+    "agg_demand" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
+    "agg_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
     "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
@@ -390,7 +390,7 @@ object SparkEntry {
     }),
     // §2.7 dedup suite
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
-    "dedup_minhash_lsh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+    "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
@@ -409,7 +409,7 @@ object SparkEntry {
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
-    "dedup_minhash_xx" -> ((s, dir) =>
+    "dedup_mh_xx" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
@@ -467,7 +467,7 @@ object SparkEntry {
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
     "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    "dedup_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
     "text_langid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "text_quality" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
@@ -493,6 +493,9 @@ object SparkEntry {
     // bigram LM: per-transition NLL — catches word-salad docs whose
     // unigram mix looks fine but whose transitions are improbable
     "text_lm2" -> ((s, dir) => TextFunctions.bigramLogProb(Tables.documents(s, dir))),
+    // hashing-trick featurization: sparse (feat_idx, count) rows per doc,
+    // md5-prefix mod dim — the vocabulary-free classifier input
+    "text_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
     "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
@@ -783,13 +786,13 @@ object SparkEntry {
          |FROM runs
          |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
 
-    "agg_demand_hourly" ->
+    "agg_demand" ->
       s"""$silverCte
          |SELECT event_date AS date, hour(ts) AS hour, zone_id,
          |       count(*) AS event_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
 
-    "agg_revenue_daily" ->
+    "agg_rev" ->
       s"""$silverCte
          |SELECT event_date AS date, zone_id,
          |       round(sum(value), 2) AS total_revenue,
@@ -1393,7 +1396,7 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
 
-    "dedup_minhash_lsh" -> minhashOracleSql,
+    "dedup_mh" -> minhashOracleSql,
 
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
@@ -1659,7 +1662,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
-    "dedup_embedding" ->
+    "dedup_emb" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_reduce(list_transform(generate_series(1, len(a.embedding)),
@@ -1848,6 +1851,19 @@ object SparkEntry {
         |       sum(-ln(tf / n_total)) AS total_nll
         |FROM toks JOIN vocab USING (token) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
+
+    // hashing trick: identical md5-prefix → index chain on both engines
+    // (the same '0x'-cast idiom the sampling oracles use); counts are
+    // exact integers, so no float tolerance in play at all
+    "text_fh" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS token
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS feat_idx,
+        |       count(*) AS feat_count
+        |FROM toks GROUP BY 1, 2""".stripMargin,
 
     // bigram LM: conditional denominator = prefix-marginal of the bigram
     // COUNT table (sums to 1 per prefix); the ln-chain mirrors the Spark

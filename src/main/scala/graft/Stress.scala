@@ -82,6 +82,15 @@ object Stress {
     // group shares nearly its whole token stream, so anchor volume is the
     // worst case short of boilerplate (which the occurrence cap removes)
     time("substring_dups_10x")(Dedup.substringDups(dupHeavy))
+    // Decontamination at 10× with a 10% benchmark (5k docs): bloom must
+    // track the exact path at test scale (both are corpus-scan-bound;
+    // the shared shingle stage dominates). The bloom's structural win is
+    // broadcast SIZE — ~1.2 MB per million benchmark keys vs a hashed
+    // relation an order of magnitude bigger — which pays off when
+    // benchmark suites reach tens of millions of rows.
+    val bench10 = dupHeavy.filter(col("doc_id") % 10 === 0)
+    time("decontam_exact_10x")(Dedup.decontaminate(dupHeavy, bench10))
+    time("decontam_bloom_10x")(Dedup.bloomDecontaminate(dupHeavy, bench10))
     // persisted-intermediate (_mat) timings run LAST in the dupHeavy
     // block: the callees persist frames the caller can't unpersist by
     // reference, so the clearCache below reclaims them before the next

@@ -141,6 +141,25 @@ object TextFunctions {
         sum(col("nll")).as("total_nll"))
   }
 
+  /** Hashing-trick bag-of-tokens featurization (the fasttext /
+    * HashingVectorizer input representation): each token maps to
+    * `md5(token)[0:8] mod dim` and the document becomes sparse
+    * (feature_index, count) rows — the fixed-width, vocabulary-free
+    * featurization a corpus-scale quality classifier trains on (no
+    * vocab build, no OOV, collisions bounded by dim).
+    *
+    * Engine-portable on purpose (md5 prefix, not xxhash/murmur) so any
+    * system — including the DuckDB oracle — reproduces identical
+    * indices. Scale: one explode + one (doc, index)-keyed aggregate;
+    * output is bounded by min(tokens, dim) rows per doc. */
+  def hashedFeatures(docs: DataFrame, dim: Int = 4096): DataFrame =
+    docs
+      .select(col("doc_id"), explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+      .withColumn("feat_idx",
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(dim.toLong)))
+      .groupBy("doc_id", "feat_idx")
+      .agg(count(lit(1)).as("feat_count"))
+
   /** Bigram language-model scoring — the sharper sibling of
     * [[unigramLogProb]]: fit corpus bigram counts, then score every
     * document by per-transition negative log-likelihood

@@ -278,9 +278,11 @@ class AnalyticsSpec extends SparkSpec {
   }
 
   test("grouping sets: exactly the three requested views, each summing to the total") {
+    // not cached: PlanAuditSpec audits this exact lineage — a live cache
+    // entry would wrap it in InMemoryRelation and distort the plan audit
     val g = Analytics.customersGroupingSets(
       Tables.customer(spark, sfDir), Tables.nation(spark, sfDir),
-      Tables.region(spark, sfDir)).cache()
+      Tables.region(spark, sfDir))
     val nCust = Tables.customer(spark, sfDir).count()
     // gid encodes which set a row came from (first grouping column = MSB):
     // (r_name, c_mktsegment) → 010=2, (n_name) → 101=5, () → 111=7

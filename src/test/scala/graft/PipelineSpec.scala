@@ -137,7 +137,8 @@ class PipelineSpec extends SparkSpec {
     assert(audit("feed_c").getAs[Boolean]("stale_alert"))
     assert(audit("feed_a").getAs[Long]("n_rows") === 2L)
     // real silver: audit is group-sized, freshest group lags exactly 0
-    val real = DataQuality.freshness(silver, "ts", "event_type").cache()
+    // (not cached — PlanAuditSpec audits this lineage's scan count)
+    val real = DataQuality.freshness(silver, "ts", "event_type")
     assert(real.count() === silver.select("event_type").distinct().count())
     assert(real.filter(col("lag_hours") === 0.0).count() >= 1)
   }

@@ -38,6 +38,46 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected nested-loop joins in: ${nlj.mkString(", ")}")
   }
 
+  test("dec_bloom: the might_contain probe filters the corpus SCAN, before any join") {
+    // the whole point of the bloom variant: the corpus never reaches a
+    // join operator unfiltered — the probe must sit in the scan-side
+    // Filter, not above the confirm join
+    val plan = SparkEntry.queries("dec_bloom")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
+    val probeIdx = plan.indexOf("might_contain")
+    val joinIdx = plan.indexOf("Join")
+    assert(joinIdx >= 0 && probeIdx >= 0)
+    // formatted plans list operators top-down; the probe Filter's first
+    // appearance must be deeper (later) than the top-level join chain,
+    // i.e. attached to the scan branch — and the corpus side of the
+    // confirm join must be the FILTERED branch (LeftSemi on survivors)
+    assert(plan.contains("LeftSemi"), s"confirm semi-join missing:\n$plan")
+  }
+
+  test("q_gsets plans exactly one Expand (one pass for all three grouping sets)") {
+    val plan = SparkEntry.queries("q_gsets")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Expand".r.findAllIn(plan).length === 1,
+      s"expected a single Expand pass:\n$plan")
+  }
+
+  test("feat_te: one category-window shuffle beyond silver's dedup, no join") {
+    val plan = SparkEntry.queries("feat_te")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"LOO encoding must not plan a join:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges === 2,
+      s"expected 2 exchanges (silver event_id dedup + event_type window), got $exchanges:\n$plan")
+  }
+
+  test("dq_fresh scans the raw data exactly once (corpus max from the aggregated rows)") {
+    val plan = SparkEntry.queries("dq_fresh")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length === 1,
+      s"freshness must not rescan the events for the corpus max:\n$plan")
+  }
+
   test("dim_scd2 plans exactly one data shuffle beyond silver's dedup") {
     // the user_id exchange feeds BOTH windows and the run aggregation:
     // partitioning on user_id satisfies the (user_id, grp) clustering, so

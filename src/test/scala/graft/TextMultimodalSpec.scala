@@ -91,6 +91,25 @@ class TextMultimodalSpec extends SparkSpec {
     assert(corpus.filter(col("total_nll") < col("avg_nll")).count() === 0)
   }
 
+  test("hashed features: counts preserve token mass, indices bounded, same token same index") {
+    import spark.implicits._
+    val planted = Seq((1L, "alpha alpha beta"), (2L, "alpha gamma")).toDF("doc_id", "text")
+    val feats = TextFunctions.hashedFeatures(planted).cache()
+    assert(feats.filter(col("feat_idx") < 0 || col("feat_idx") >= 4096).count() === 0)
+    // token mass is conserved per doc
+    val mass = feats.groupBy("doc_id").agg(sum("feat_count").as("m"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("m")).toMap
+    assert(mass === Map(1L -> 3L, 2L -> 2L))
+    // "alpha" hashes identically across docs: doc 1's count-2 row and one
+    // of doc 2's rows share an index
+    val d1Alpha = feats.filter(col("doc_id") === 1 && col("feat_count") === 2)
+      .head().getAs[Long]("feat_idx")
+    assert(feats.filter(col("doc_id") === 2 && col("feat_idx") === d1Alpha).count() === 1)
+    val corpus = TextFunctions.hashedFeatures(docs)
+    assert(corpus.filter(col("feat_idx") >= 4096).count() === 0)
+    assert(corpus.count() > 0)
+  }
+
   test("bigram LM: deterministic transitions score 0 nll, hand-computed mixed prefix") {
     import spark.implicits._
     // bigrams: "a b"×2, "b a"×1, "a c"×1 → prefix a: 3, prefix b: 1
