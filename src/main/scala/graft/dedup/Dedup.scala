@@ -550,7 +550,15 @@ object Dedup {
     *
     * The sketch build runs one count + one aggregate over the BENCHMARK
     * (tiny by the same argument that lets it broadcast); the corpus is
-    * still scanned exactly once, never shuffled. */
+    * still scanned exactly once, never shuffled.
+    *
+    * Measured honestly (Stress, 50k docs / 5k-doc benchmark): ~2.4 s
+    * SLOWER than [[decontaminate]] at test scale — both are dominated by
+    * the shared shingle stage, and the bloom adds sketch-build jobs plus
+    * a second corpus filter branch. Use this variant when the benchmark
+    * key set is large enough (tens of millions of rows) that the exact
+    * path's hash-set broadcast pressures executor memory; below that,
+    * [[decontaminate]] is the faster identical-output path. */
   def bloomDecontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
       minOverlap: Int = 5, fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
