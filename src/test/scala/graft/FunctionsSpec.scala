@@ -101,6 +101,32 @@ class FunctionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[graft_hyperplane_bucket""".r.findFirstIn(plan).isDefined, plan)
   }
 
+  test("bloom contains: zero false negatives, fpp-bounded false positives, SQL-callable") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val keys = spark.range(0, 1000L).select(xxhash64(col("id")).as("h"))
+    val bf = keys.stat.bloomFilter("h", 1000L, 0.03)
+    val bytes = { val b = new java.io.ByteArrayOutputStream(); bf.writeTo(b); b.toByteArray }
+    // every inserted key must probe true (blooms have no false negatives)
+    val misses = keys.filter(!GraftFunctions.bloomContains(lit(bytes), col("h"))).count()
+    assert(misses === 0L)
+    // disjoint probe set: false-positive rate lands in the fpp ballpark
+    val fp = spark.range(1000000L, 1010000L)
+      .filter(GraftFunctions.bloomContains(lit(bytes), xxhash64(col("id")))).count()
+    assert(fp < 10000 * 0.03 * 3, s"fp rate ${fp / 10000.0} far above configured 0.03")
+    // SQL-callable like the other graft functions
+    keys.limit(5).createOrReplaceTempView("bloom_probe_v")
+    val sqlHits = spark.sql(
+      s"SELECT count(*) FROM bloom_probe_v WHERE ${GraftFunctions.bloomName}(${
+        bytes.map(b => f"$b%02X").mkString("X'", "", "'")}, h)").head().getLong(0)
+    assert(sqlHits === 5L)
+    // and the probe stays inside whole-stage codegen
+    val q = keys.filter(GraftFunctions.bloomContains(lit(bytes), col("h")))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Filter""".r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("function is SQL-callable after registration and via extensions injector") {
     GraftFunctions.register(spark)
     import spark.implicits._
