@@ -529,6 +529,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // radius (threshold) search: everything above the similarity bar —
+    // the other canonical ANN query shape; exact baseline, same
+    // broadcast-queries contract as sim_bf_topk
+    "sim_rad" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.radiusSearch(emb, emb.filter(col("vec_id") < 10))
+    }),
     // rows-only: the deterministic k-means quantizer has no tractable SQL
     // equivalent; recall vs brute force is spec-asserted instead
     "sim_ivf_ann" -> ((s, dir) => {
@@ -2024,6 +2031,16 @@ object SparkEntry {
          |  FROM scored
          |)
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
+
+    // radius search: same cosine chain, threshold instead of rank
+    "sim_rad" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+         |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, ${duckCosine("q_emb", "c_emb")} AS cosine
+         |  FROM c CROSS JOIN q WHERE query_id <> neighbor_id
+         |)
+         |SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
 
     "sim_lsh_ann" -> lshAnnOracleSql,
 

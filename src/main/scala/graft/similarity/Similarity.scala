@@ -45,6 +45,25 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** Exact radius search: every corpus vector within cosine ≥ `minCosine`
+    * of each query — the threshold-query counterpart of [[bruteForceTopK]]
+    * (top-k asks "the closest k whatever they score"; radius asks
+    * "everything above a similarity bar", the shape dedup-style audits
+    * and recall studies want). Same quadratic-baseline contract: queries
+    * broadcast, corpus streams, no shuffle; at corpus scale run the
+    * LSH/IVF candidate generators and apply the same threshold. */
+  def radiusSearch(corpus: DataFrame, queries: DataFrame,
+      minCosine: Double = 0.3): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+    c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("q_emb"), col("c_emb")))
+      .filter(col("cosine") >= minCosine)
+      .select("query_id", "neighbor_id", "cosine")
+  }
+
   /** Sign-pattern LSH bucket id from `nPlanes` LCG hyperplanes starting at
     * global plane index `planeOffset` (distinct offsets give independent
     * hash tables — the LCG coefficient stream is indexed by the GLOBAL

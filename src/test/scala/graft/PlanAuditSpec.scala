@@ -29,7 +29,9 @@ class PlanAuditSpec extends SparkSpec {
     // text_tfidf / text_lm1 / text_pmi: scalar corpus stats (ONE
     //   row: N, avgdl / n_total / n_uni+n_bg) crossJoined into the
     //   scoring projection — a 1-row build side, not a pair explosion.
-    val allowed = Set("sim_bf_topk", "text_tfidf", "text_lm1", "text_pmi")
+    // sim_rad: the exact radius-search baseline shares sim_bf_topk's
+    // declared-quadratic broadcast-queries contract
+    val allowed = Set("sim_bf_topk", "sim_rad", "text_tfidf", "text_lm1", "text_pmi")
     val nlj = planOnly.flatMap { case (name, fn) =>
       val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
       if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None

