@@ -34,13 +34,20 @@ object Tables {
     * input partition, which would serialize every downstream explode/join
     * on a single core. Spread them across the cluster at load; on a real
     * multi-file 100 TB layout the scan is already parallel and this
-    * repartition of a tiny table is noise. */
-  private def spread(df: DataFrame): DataFrame = {
+    * repartition of a tiny table is noise.
+    *
+    * Spread by HASH of the table key, not round-robin: Spark preserves a
+    * user repartition as the subtree's output partitioning, so a
+    * round-robin here re-appears as a full-output Exchange ABOVE any
+    * terminal key-join (measured on the decontamination queries, whose
+    * last operator is a doc_id anti-join) — whereas hash-on-key output
+    * partitioning is already satisfied by the join and costs nothing. */
+  private def spread(df: DataFrame, key: String): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(key)) else df
   }
-  def documents(spark: SparkSession, dir: String): DataFrame  = spread(load(spark, dir, "documents"))
-  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(load(spark, dir, "embeddings"))
+  def documents(spark: SparkSession, dir: String): DataFrame  = spread(load(spark, dir, "documents"), "doc_id")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = spread(load(spark, dir, "embeddings"), "vec_id")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame     = load(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame   = load(spark, dir, "customer")
