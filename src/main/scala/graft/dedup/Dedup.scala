@@ -563,7 +563,12 @@ object Dedup {
       minOverlap: Int = 5, fpp: Double = 0.01): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val key = xxhash64(lower(col("text")))
-    val benchKeys = benchmark.select(key.as("h")).distinct()
+    // null-text guard: xxhash64 maps NULL to its seed (a real long) where
+    // decontaminate's md5 yields NULL (anti-join keeps the row) — filter
+    // nulls out of both sides of the exact stage so the two paths agree
+    // that null-text docs are never "exact leaks"
+    val benchKeys = benchmark.filter(col("text").isNotNull)
+      .select(key.as("h")).distinct()
     val bf = benchKeys.stat.bloomFilter("h", math.max(benchKeys.count(), 1L), fpp)
     val bytes = {
       val bos = new java.io.ByteArrayOutputStream()
@@ -571,6 +576,7 @@ object Dedup {
       bos.toByteArray
     }
     val exactHits = corpus
+      .filter(col("text").isNotNull)
       .filter(graft.functions.GraftFunctions.bloomContains(lit(bytes), key))
       // FP-proof confirm: only the bloom survivors (≈ |true hits| +
       // fpp × |corpus|) pay the equi-join against the real key set

@@ -105,7 +105,10 @@ object Monitoring {
     * (categorical monitoring columns are low-cardinality by definition;
     * cap upstream with a heavy-hitters pass if a column isn't).
     * chi2 rounds to 6 dp: the cell-term sum accumulates doubles in
-    * engine-specific order. */
+    * engine-specific order. When either window has ZERO rows for a
+    * feature the statistic is undefined (every expected count is 0);
+    * chi2 is null then, not NaN/Infinity — an empty window must read
+    * as "no evidence", never as a poisoned drift alarm. */
   def chiSquare(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {
     val m = melted(df, cols, "string", splitDate).filter(col("x").isNotNull)
     val counts = m.groupBy("feature", "x").agg(
@@ -120,8 +123,11 @@ object Monitoring {
     counts.join(broadcast(tot), Seq("feature"))
       .groupBy(col("feature"), col("b_tot").cast("long").as("base_count"),
         col("c_tot").cast("long").as("cur_count"), col("n_categories"))
-      .agg(round(sum(
-        pow(col("b_cnt") - eB, 2) / eB + pow(col("c_cnt") - eC, 2) / eC), 6).as("chi2"))
+      // guard: counts only holds observed categories (b_cnt+c_cnt >= 1),
+      // so eB = 0 iff b_tot = 0 (and eC = 0 iff c_tot = 0) — nulling on
+      // the window totals covers every zero-expected cell
+      .agg(round(sum(when(col("b_tot") > 0 && col("c_tot") > 0,
+        pow(col("b_cnt") - eB, 2) / eB + pow(col("c_cnt") - eC, 2) / eC)), 6).as("chi2"))
       .select(col("feature"), col("base_count"), col("cur_count"),
         col("n_categories"), (col("n_categories") - 1).as("dof"), col("chi2"))
   }

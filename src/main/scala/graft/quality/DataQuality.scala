@@ -123,16 +123,27 @@ object DataQuality {
     * Scale: one hash-groupBy over the group key; the corpus-wide max is
     * then a window over the already-aggregated |groups| rows (single tiny
     * partition by construction), so the raw data is scanned exactly once.
-    * lag_hours rounds to 6 dp (double epoch arithmetic). */
+    * lag_hours rounds to 6 dp (double epoch arithmetic).
+    *
+    * `asOf` picks the reference clock. The default (None) lags against
+    * the freshest GROUP — deterministic for a fixed corpus, which is what
+    * the oracle check needs, but blind to ALL feeds being stale at once.
+    * A wall-clock audit (the reference's silver_dag.py
+    * check_data_freshness compares against today) passes
+    * `asOf = Some("2026-08-13 00:00:00")`-style timestamps and alerts
+    * even when every feed stopped days ago. */
   def freshness(df: DataFrame, tsCol: String, groupCol: String,
-      staleHours: Double = 24.0): DataFrame = {
+      staleHours: Double = 24.0, asOf: Option[String] = None): DataFrame = {
     val per = df.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_rows"), max(col(tsCol)).as("last_ts"))
     val all = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     per
-      .withColumn("corpus_last_ts", max(col("last_ts")).over(all))
+      .withColumn("corpus_last_ts", asOf match {
+        case Some(ts) => lit(ts).cast("timestamp")
+        case None     => max(col("last_ts")).over(all)
+      })
       .withColumn("lag_hours", round(
         (col("corpus_last_ts").cast("double") - col("last_ts").cast("double")) / 3600.0, 6))
       .withColumn("stale_alert", col("lag_hours") > staleHours)

@@ -172,6 +172,17 @@ class DedupSpec extends SparkSpec {
     val exact = Dedup.decontaminate(docs, docs.filter(col("doc_id") % 17 === 0))
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(fpHeavy === exact)
+    // null-text rows on BOTH sides: md5(null) is null (anti-join keeps)
+    // while xxhash64(null) is the seed — without the isNotNull guard the
+    // bloom path would drop corpus doc 5 that the exact path keeps
+    val corpusN = corpus.union(Seq((5L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val benchN = bench.union(Seq((101L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val keptBloomN = Dedup.bloomDecontaminate(corpusN, benchN)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val keptExactN = Dedup.decontaminate(corpusN, benchN)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptBloomN === keptExactN)
+    assert(keptBloomN.contains(5L), "null-text docs are never exact leaks")
   }
 
   test("substring dups: planted shared span found at exact offsets, df cap kills boilerplate") {

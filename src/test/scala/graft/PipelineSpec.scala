@@ -141,6 +141,14 @@ class PipelineSpec extends SparkSpec {
     val real = DataQuality.freshness(silver, "ts", "event_type")
     assert(real.count() === silver.select("event_type").distinct().count())
     assert(real.filter(col("lag_hours") === 0.0).count() >= 1)
+    // wall-clock audit: against an asOf clock days after every feed
+    // stopped, EVERY group alerts — the all-feeds-dead case the relative
+    // default cannot see
+    val wallClock = DataQuality.freshness(rows, "ts", "src",
+      asOf = Some("2024-02-10 00:00:00"))
+      .collect().map(r => r.getAs[String]("src") -> r).toMap
+    assert(wallClock.values.forall(_.getAs[Boolean]("stale_alert")))
+    assert(wallClock("feed_a").getAs[Double]("lag_hours") === 228.0)
   }
 
   test("event-type pivot: per-zone counts sum back to the zone's event total") {

@@ -49,11 +49,14 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
     val probeIdx = plan.indexOf("might_contain")
     val joinIdx = plan.indexOf("Join")
-    assert(joinIdx >= 0 && probeIdx >= 0)
-    // formatted plans list operators top-down; the probe Filter's first
-    // appearance must be deeper (later) than the top-level join chain,
-    // i.e. attached to the scan branch — and the corpus side of the
-    // confirm join must be the FILTERED branch (LeftSemi on survivors)
+    // plan strings list operators top-down; the probe Filter's first
+    // appearance must be deeper (later offset) than the first join of the
+    // chain, i.e. attached to the scan branch — a regression that lifts
+    // the probe above the joins flips this ordering
+    assert(joinIdx >= 0 && probeIdx > joinIdx,
+      s"bloom probe (at $probeIdx) must sit under the join chain (first join at $joinIdx):\n$plan")
+    // and the corpus side of the confirm join must be the FILTERED
+    // branch (LeftSemi on survivors)
     assert(plan.contains("LeftSemi"), s"confirm semi-join missing:\n$plan")
   }
 

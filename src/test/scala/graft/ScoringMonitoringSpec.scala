@@ -103,6 +103,17 @@ class ScoringMonitoringSpec extends SparkSpec {
     val real = Monitoring.chiSquare(silver, Seq("event_type", "zone_id"), "2024-01-15")
     assert(real.count() === 2)
     assert(real.filter(col("chi2") < 0.0).count() === 0)
+
+    // an empty window (all rows on one side of the split) makes every
+    // expected count 0 — chi2 must be null, never NaN/Infinity
+    val oneSided = ((1 to 10).map(_ => ("a", "2024-01-10")) ++
+      (1 to 5).map(_ => ("b", "2024-01-10")))
+      .toDF("cat", "event_date")
+      .withColumn("event_date", col("event_date").cast("date"))
+    val empty = Monitoring.chiSquare(oneSided, Seq("cat"), "2024-01-15").head()
+    assert(empty.getAs[Long]("cur_count") === 0L)
+    assert(empty.isNullAt(empty.fieldIndex("chi2")),
+      "chi2 over an empty window must be null, not NaN/Infinity")
   }
 
   test("missing rates: value column reflects nulled error events in both windows") {

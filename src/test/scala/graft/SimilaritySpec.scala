@@ -34,8 +34,18 @@ class SimilaritySpec extends SparkSpec {
       .filter(col("cosine") >= tau)
       .select("query_id", "neighbor_id", "cosine")
     assert(topAbove.exceptAll(rad.select("query_id", "neighbor_id", "cosine")).count() === 0)
-    // and nothing below the bar sneaks in: complement of the radius set
-    // against an unthresholded rescore is entirely < tau
+    // exact set equivalence against an unthresholded rescore: the >= tau
+    // slice of ALL pair scores is the radius result, both directions —
+    // a variant that silently dropped an above-threshold pair outside
+    // the top-k, or let a sub-tau pair through, fails here
+    val full = Similarity.radiusSearch(emb, queries, minCosine = -2.0)
+      .select("query_id", "neighbor_id", "cosine")
+    val expected = full.filter(col("cosine") >= tau)
+    val got = rad.select("query_id", "neighbor_id", "cosine")
+    assert(expected.exceptAll(got).count() === 0,
+      "radius set is missing above-threshold pairs")
+    assert(got.exceptAll(expected).count() === 0,
+      "radius set contains pairs the full rescore doesn't place above tau")
     val n = rad.count()
     assert(n > 0, "tau=0.3 must catch some neighbors in this corpus")
   }
