@@ -215,8 +215,8 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 medallion pipeline
-    "bronze_ingest" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
-    "silver_clean" -> ((s, dir) => silver(s, dir)),
+    "bronze" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
+    "silver_cl" -> ((s, dir) => silver(s, dir)),
     "dim_time" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
     "dim_users" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
     "dim_zones" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
@@ -224,7 +224,7 @@ object SparkEntry {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
     }),
-    "fact_payments" -> ((s, dir) => {
+    "fact_pay" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factPayments(sv, Gold.dimUsers(sv))
     }),
@@ -233,18 +233,18 @@ object SparkEntry {
     "dim_scd2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
     "agg_demand" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
-    "agg_user_daily" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    "agg_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
-    "agg_percentiles" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
-    "agg_cumulative" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
-    "agg_retention" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
+    "agg_pctl" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
+    "agg_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
+    "agg_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
     "agg_funnel" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
-    "dq_profile_sketch" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
+    "dq_prof" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
     // rows-only: per-day HLL sketches merged by union — sketch bytes are
     // implementation-specific; merged-vs-exact tolerance is spec-asserted
-    "dq_sketch_union" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
+    "dq_sku" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
     "dq_summary" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
@@ -267,18 +267,18 @@ object SparkEntry {
       FeatureEngineering.targetEncodeLoo(silver(s, dir), "event_type", "value")
         .select("event_id", "event_type", "value", "target_enc")),
     // §2.3 scoring + monitoring
-    "score_demand" -> ((s, dir) =>
+    "sc_demand" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "score_surge" -> ((s, dir) =>
+    "sc_surge" -> ((s, dir) =>
       Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
-    "score_metrics" -> ((s, dir) =>
+    "sc_metrics" -> ((s, dir) =>
       Scoring.scoringMetrics(
         Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir))),
         "event_count", "predicted_demand")),
     // idempotent MERGE semantics (reference batch_scoring.py:161-186):
     // run_1 scores everything, run_2 re-scores a third of the zones 10%
     // higher at a later scored_at — latest-wins per (date, hour, zone)
-    "score_upsert" -> ((s, dir) => {
+    "sc_upsert" -> ((s, dir) => {
       val scored = Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))
       val existing = Scoring.addRunMetadata(scored, "run_1", "2024-02-01 00:00:00")
       val incoming = Scoring.addRunMetadata(
@@ -318,7 +318,7 @@ object SparkEntry {
     }),
     // forward as-of: each event annotated with the user's NEXT purchase
     // at-or-after the event time (merge_asof direction='forward')
-    "q_asof_forward" -> ((s, dir) => {
+    "q_asof_fwd" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -375,7 +375,7 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_above_avg" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
-    "q_window_funcs" -> ((s, dir) => Analytics.balanceWindows(
+    "q_wfuncs" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_semi_anti" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
@@ -391,15 +391,15 @@ object SparkEntry {
     // §2.7 dedup suite
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
-    "dedup_jaccard" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dedup_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
-    "dedup_lsh_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
+    "dedup_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
     // substring-granular dedup (Lee et al. 2022): maximal cross-document
     // runs of >= 20 shared tokens via md5 anchor fingerprints + the
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
     // dilutes below threshold
-    "dedup_substr" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
+    "dedup_sub" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
     // the curation-policy number those runs exist for: per-doc duplicated
     // token fraction (distinct positions — overlaps never double-count)
     "dedup_cov" -> ((s, dir) => {
@@ -414,17 +414,17 @@ object SparkEntry {
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
     // whose minhashIndex is the ONLY thing the batch joins against
-    "dedup_mh_incr" -> ((s, dir) => {
+    "dedup_mhi" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.minhashLshIncremental(
         docs.filter(col("doc_id") % 10 === 0),
         Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 0)))
     }),
-    "dedup_clusters" -> ((s, dir) => {
+    "dedup_cc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dupClusters(docs, Dedup.minhashLsh(docs))
     }),
-    "decontaminate" -> ((s, dir) => {
+    "decontam" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0)).select("doc_id")
     }),
@@ -436,56 +436,56 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
     }),
-    "sample_strat" -> ((s, dir) =>
+    "smp_strat" -> ((s, dir) =>
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
     // fixed-SIZE per-stratum sample (exact-count corpus balancing):
     // hash-order rank ≤ n per lang, executed as a map-side WindowGroupLimit
-    "sample_reservoir" -> ((s, dir) =>
+    "smp_res" -> ((s, dir) =>
       graft.sampling.Sampling.reservoirPerStratum(Tables.documents(s, dir),
         "doc_id", "lang", n = 20).select("doc_id", "lang")),
     // deterministic train/val/test assignment — stable under
     // repartitioning, consistent across tables sharing key+salt
-    "sample_split" -> ((s, dir) =>
+    "smp_split" -> ((s, dir) =>
       graft.sampling.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "lang", "split")),
     // probability-proportional-to-length sample (token-budgeted mixes):
     // Efraimidis–Spirakis top-n on the deterministic hash uniform
-    "sample_weighted" -> ((s, dir) =>
+    "smp_wt" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(Tables.documents(s, dir),
         "doc_id", "n_chars", n = 200).select("doc_id", "lang", "n_chars")),
     // per-stratum weighted sample: the same Efraimidis–Spirakis priority
     // ranked WITHIN each language — a per-language token budget for a
     // balanced training mix; executes as a map-side WindowGroupLimit
-    "sample_wps" -> ((s, dir) =>
+    "smp_wps" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSamplePerStratum(Tables.documents(s, dir),
         "doc_id", "lang", "n_chars", n = 50).select("doc_id", "lang", "n_chars")),
     // deterministic epoch shuffle: salt-keyed md5 order, sharded for
     // parallel writes — one reproducible corpus permutation on any engine
-    "sample_shuffle" -> ((s, dir) =>
+    "smp_shuf" -> ((s, dir) =>
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
-    "dedup_simhash" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "dedup_simh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
     "text_langid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
-    "text_quality" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
+    "text_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "text_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
     // deterministic email/phone/IP tail — the oracle then actually
     // exercises the redaction regexes on every row, not a passthrough
-    "text_redact_pii" -> ((s, dir) => TextFunctions.redactPii(
+    "text_pii" -> ((s, dir) => TextFunctions.redactPii(
       Tables.documents(s, dir).withColumn("text",
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 555-867-5309 from 10.0.0."),
           (col("doc_id") % 256).cast("string"))))),
     "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
     "text_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
-    "text_repetition" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
-    "corpus_report" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
+    "text_rep" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
+    "corp_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // training-mix composition: tokens per (split, lang) + within-split
     // share, over the deterministic split assignment
     "corpus_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
@@ -496,7 +496,7 @@ object SparkEntry {
     // hashing-trick featurization: sparse (feat_idx, count) rows per doc,
     // md5-prefix mod dim — the vocabulary-free classifier input
     "text_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
-    "text_bpe_pairs" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
+    "text_bpe" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
@@ -519,11 +519,11 @@ object SparkEntry {
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
     // lowest vec_ids) — no tractable SQL equivalent; determinism + full
     // coverage spec-asserted
-    "ml_embed_kmeans" -> ((s, dir) => {
+    "ml_kmeans" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
     }),
-    "sim_outliers" -> ((s, dir) =>
+    "sim_out" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir))),
     "sim_bf_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
@@ -573,19 +573,19 @@ object SparkEntry {
       Streams.firstEventPerKey(Tables.events(s, dir).filter(col("event_id").isNotNull))
         .select("event_id", "ts", "user_id")),
     // §2.4 spark.ml training (rows-only oracle: no SQL equivalent)
-    "ml_demand_rf" -> ((s, dir) =>
+    "ml_rf" -> ((s, dir) =>
       Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_demand_lr" -> ((s, dir) =>
+    "ml_lr" -> ((s, dir) =>
       Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_demand_gbt" -> ((s, dir) =>
+    "ml_gbt" -> ((s, dir) =>
       Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_surge_cls" -> ((s, dir) =>
+    "ml_scls" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
-    "ml_surge_rf" -> ((s, dir) =>
+    "ml_srf" -> ((s, dir) =>
       Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     // rows-only: impurity-based importances of the fitted RF (reference
     // demand_forecasting.py:171-173); sums-to-1 is spec-asserted
-    "ml_demand_imp" -> ((s, dir) =>
+    "ml_imp" -> ((s, dir) =>
       Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
@@ -703,7 +703,7 @@ object SparkEntry {
        |       CASE WHEN next_date IS NULL OR date_diff('day', event_date, next_date) > 7 THEN 1 ELSE 0 END AS will_churn
        |FROM feat WHERE events_lag_7 IS NOT NULL""".stripMargin
 
-  /** Shared by the score_demand oracle and the score_upsert oracle. */
+  /** Shared by the sc_demand oracle and the sc_upsert oracle. */
   private val scoreDemandSql: String =
     s"""WITH df AS ($featDemandSql)
        |SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
@@ -716,12 +716,12 @@ object SparkEntry {
        |FROM df""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "bronze_ingest" ->
+    "bronze" ->
       """SELECT event_id, ts, user_id, event_type, value, props,
         |       CAST(ts AS DATE) AS event_date
         |FROM events""".stripMargin,
 
-    "silver_clean" -> s"$silverCte SELECT * FROM silver",
+    "silver_cl" -> s"$silverCte SELECT * FROM silver",
 
     "dim_time" ->
       s"""$silverCte
@@ -755,7 +755,7 @@ object SparkEntry {
          |       event_type, value, ts, event_date
          |FROM silver""".stripMargin,
 
-    "fact_payments" ->
+    "fact_pay" ->
       s"""$silverCte
          |SELECT event_id AS payment_id, event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -807,7 +807,7 @@ object SparkEntry {
          |       count(*) AS purchase_count
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
-    "agg_user_daily" ->
+    "agg_user" ->
       s"""$silverCte
          |SELECT event_date AS date, user_id,
          |       count(*) AS purchase_count,
@@ -845,7 +845,7 @@ object SparkEntry {
          |       count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_signup_click_purchase
          |FROM u""".stripMargin,
 
-    "agg_retention" ->
+    "agg_ret" ->
       s"""$silverCte,
          |first AS (
          |  SELECT user_id, min(event_date) AS cohort_date
@@ -858,7 +858,7 @@ object SparkEntry {
          |WHERE s.user_id IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
 
-    "agg_cumulative" ->
+    "agg_cum" ->
       s"""$silverCte,
          |daily AS (
          |  SELECT zone_id, event_date AS date, round(sum(value), 2) AS daily_revenue
@@ -881,7 +881,7 @@ object SparkEntry {
          |       count(*) FILTER (WHERE event_type = 'view') AS "view"
          |FROM silver WHERE zone_id IS NOT NULL GROUP BY 1""".stripMargin,
 
-    "agg_percentiles" ->
+    "agg_pctl" ->
       s"""$silverCte
          |SELECT zone_id, count(*) AS n,
          |       round(quantile_cont(value, 0.25), 6) AS p25,
@@ -975,12 +975,12 @@ object SparkEntry {
          |            WHEN cnt > 1 THEN (s - value) / (cnt - 1) END AS target_enc
          |FROM enc""".stripMargin,
 
-    "score_demand" -> scoreDemandSql,
+    "sc_demand" -> scoreDemandSql,
 
     // latest-wins upsert over the scored frame: run_2 re-scores zone_id%3=0
     // at a later scored_at; UNION ALL + row_number mirrors
     // Scoring.upsertPredictions exactly
-    "score_upsert" ->
+    "sc_upsert" ->
       s"""WITH sd AS (SELECT * FROM ($scoreDemandSql)),
          |existing AS (
          |  SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
@@ -1007,7 +1007,7 @@ object SparkEntry {
          |       is_peak_hour, is_weekend, predicted_demand, scoring_run_id, scored_at
          |FROM ranked WHERE rn = 1""".stripMargin,
 
-    "score_surge" ->
+    "sc_surge" ->
       s"""WITH sf AS ($featSurgeSql)
          |SELECT trip_date, hour, zone_id, event_count, user_count, count_avg_7d,
          |       least(CAST(user_count AS DOUBLE) / 20.0, 1.0) AS supply_index,
@@ -1017,7 +1017,7 @@ object SparkEntry {
          |           * (1.0 + least(greatest(0.0, 0.0), 1.0) * 0.25), 1.0), 3.0) AS predicted_surge
          |FROM sf""".stripMargin,
 
-    "score_metrics" ->
+    "sc_metrics" ->
       s"""WITH df AS ($featDemandSql),
          |scored AS (
          |  SELECT CAST(event_count AS DOUBLE) AS y,
@@ -1206,7 +1206,7 @@ object SparkEntry {
 
     // DuckDB ASOF accepts any inequality comparator: <= is the forward
     // (earliest at-or-after) direction
-    "q_asof_forward" ->
+    "q_asof_fwd" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1360,7 +1360,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > nation_avg""".stripMargin,
 
-    "q_window_funcs" ->
+    "q_wfuncs" ->
       """SELECT n_name AS nation, c_custkey, c_acctbal,
         |       rank() OVER w AS bal_rank,
         |       percent_rank() OVER w AS bal_pct,
@@ -1408,7 +1408,7 @@ object SparkEntry {
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
     // corpus ∪ batch equals banding each side separately
-    "dedup_mh_incr" ->
+    "dedup_mhi" ->
       s"""$shingleCte,
          |$minhashPairCtes
          |SELECT doc_a, doc_b,
@@ -1419,7 +1419,7 @@ object SparkEntry {
     // connected components over the minhash candidate pairs: cluster_id =
     // min doc_id reachable in the pair graph (recursive CTE ≡ the Spark
     // side's min-label propagation fixpoint)
-    "dedup_clusters" ->
+    "dedup_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$minhashPairCtes,
          |edges AS (
@@ -1438,7 +1438,7 @@ object SparkEntry {
     // corpus docs surviving benchmark decontamination (benchmark = every
     // 20th doc): no exact normalized-hash match AND < 5 shared 3-gram
     // shingles with every single benchmark doc
-    "decontaminate" ->
+    "decontam" ->
       s"""$shingleCte,
          |bench_hash AS (
          |  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 20 = 0
@@ -1479,7 +1479,7 @@ object SparkEntry {
 
     // deterministic hash sampling: md5-fraction < per-stratum rate —
     // byte-identical selection in any engine
-    "sample_strat" ->
+    "smp_strat" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
         |        / 4294967296.0
@@ -1487,7 +1487,7 @@ object SparkEntry {
 
     // hash-order rank per stratum — ties impossible below the fraction
     // (doc_id breaks them), so both engines rank identically
-    "sample_reservoir" ->
+    "smp_res" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -1496,7 +1496,7 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rn <= 20""".stripMargin,
 
-    "sample_split" ->
+    "smp_split" ->
       """SELECT doc_id, lang,
         |       CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
         |FROM (
@@ -1509,7 +1509,7 @@ object SparkEntry {
     // Efraimidis–Spirakis priorities: ln(u)/w gaps at corpus scale are
     // ~1e-3 relative, ~13 orders above cross-engine libm ulp differences,
     // so both engines select the same top-n (doc_id breaks exact ties)
-    "sample_weighted" ->
+    "smp_wt" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
@@ -1517,10 +1517,10 @@ object SparkEntry {
         |  FROM documents
         |) ORDER BY priority DESC, doc_id LIMIT 200""".stripMargin,
 
-    // same priority expression as sample_weighted, ranked per lang
+    // same priority expression as smp_wt, ranked per lang
     // (row_number over a non-null priority/doc_id — no NULLS clause
     // needed); ties on priority break by doc_id in both engines
-    "sample_wps" ->
+    "smp_wps" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -1533,7 +1533,7 @@ object SparkEntry {
     // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64;
     // ':shuffle:' domain-separates the key from the sampling/split hash
     // (otherwise pos order = split-assignment order)
-    "sample_shuffle" ->
+    "smp_shuf" ->
       """WITH h AS (
         |  SELECT doc_id,
         |         md5(CAST(doc_id AS VARCHAR) || ':shuffle:graft') AS shuffle_key
@@ -1550,7 +1550,7 @@ object SparkEntry {
     // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
     // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
     // ratios divide identical integers in both engines → identical doubles
-    "dedup_lsh_eval" ->
+    "dedup_eval" ->
       s"""$shingleCte,
          |$minhashPairCtes,
          |pred AS (
@@ -1596,7 +1596,7 @@ object SparkEntry {
     // sides (DuckDB list slice toks[i:i+9] ≡ Spark slice(t, i, 10) on the
     // 1-based inclusive k=10 window), the same TOTAL-occurrence cap, and
     // the same gaps-and-islands merge keyed by (pair, pos_a − pos_b)
-    "dedup_substr" ->
+    "dedup_sub" ->
       s"""$substrRunsCtes
          |SELECT doc_a, doc_b, start_a, start_b, match_len FROM runs""".stripMargin,
 
@@ -1623,7 +1623,7 @@ object SparkEntry {
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where
     // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
-    "dedup_jaccard" ->
+    "dedup_jac" ->
       s"""$shingleCte,
          |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
          |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
@@ -1641,7 +1641,7 @@ object SparkEntry {
          |  JOIN sizes sb ON doc_b = sb.doc_id
          |) WHERE jaccard >= 0.5""".stripMargin,
 
-    "dedup_simhash" ->
+    "dedup_simh" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
         |),
@@ -1702,7 +1702,7 @@ object SparkEntry {
          |FROM withbest""".stripMargin
     },
 
-    "text_quality" -> {
+    "text_qual" -> {
       val enSet = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |       length(text) AS n_chars,
@@ -1746,7 +1746,7 @@ object SparkEntry {
 
     // patterns + replacement order mirror TextFunctions.piiPatterns; counts
     // are over the pre-redaction text on both sides
-    "text_redact_pii" ->
+    "text_pii" ->
       """WITH salted AS (
         |  SELECT doc_id,
         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1813,7 +1813,7 @@ object SparkEntry {
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
 
-    "corpus_report" ->
+    "corp_rep" ->
       """SELECT lang, source,
         |       count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1895,7 +1895,7 @@ object SparkEntry {
         |JOIN pc ON str_split(bigram, ' ')[1] = pc.prefix
         |GROUP BY 1""".stripMargin,
 
-    "text_bpe_pairs" ->
+    "text_bpe" ->
       """WITH words AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
         |),
@@ -1993,7 +1993,7 @@ object SparkEntry {
         |       round(sum(abs(obs - tgt)) / 2, 6) AS tv_dist
         |FROM o""".stripMargin,
 
-    "text_repetition" ->
+    "text_rep" ->
       """WITH w AS (
         |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
         |), t AS (
@@ -2044,7 +2044,7 @@ object SparkEntry {
 
     "sim_lsh_ann" -> lshAnnOracleSql,
 
-    "sim_outliers" ->
+    "sim_out" ->
       s"""WITH cent AS (
          |  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
          |  FROM embeddings, generate_series(1, 64) t(i)

@@ -449,15 +449,26 @@ object Dedup {
     * is detected by the label SUM going stationary (labels only ever
     * decrease) — one tiny aggregate per round, no change-join.
     *
-    * Each round is one shuffle on doc_id, linear in |edges|. Near-dup
-    * clusters are dense (diameter 2-3), so plain propagation converges in
-    * a handful of rounds; for HIGH-diameter pair graphs (chained partial
-    * copies: A~B~C~…) set `pointerDoubling = true` — each round then also
-    * shortcuts every label to its label's label (`lbl(x) ← lbl(lbl(x))`),
-    * the classic path-halving step, and convergence needs O(log diameter)
-    * rounds instead of O(diameter) at the cost of one extra self-join per
-    * round. Labels only decrease and every label is itself a doc_id, so
-    * the shortcut preserves the fixpoint (= min reachable doc_id). */
+    * Each round is one shuffle on doc_id, linear in |edges| — and exactly
+    * ONE Spark job: the convergence sum rides the checkpoint
+    * materialization via `Observation` instead of a second aggregate
+    * action (labels only ever decrease, so a stationary exact
+    * decimal(38,0) sum means no label moved). Job count is the
+    * scheduling-latency exposure on a busy cluster: the round-5
+    * two-actions-per-round shape measured 34 s on one contended epoch
+    * purely from per-job hiccups multiplying across rounds.
+    *
+    * Near-dup clusters are dense (diameter 2-3), so plain propagation
+    * converges in a handful of rounds; for HIGH-diameter pair graphs
+    * (chained partial copies: A~B~C~…) set `pointerDoubling = true` —
+    * each round then also shortcuts every label to its label's label
+    * (`lbl(x) ← lbl(lbl(x))`), the classic path-halving step, and
+    * convergence needs O(log diameter) rounds instead of O(diameter) at
+    * the cost of one extra self-join in the round's plan (fused into the
+    * same job — the label table is referenced twice within one round's
+    * lineage, which stays linear because every round checkpoints).
+    * Labels only decrease and every label is itself a doc_id, so the
+    * shortcut preserves the fixpoint (= min reachable doc_id). */
   def dupClusters(docs: DataFrame, pairs: DataFrame, maxIter: Int = 20,
       pointerDoubling: Boolean = false): DataFrame = {
     val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -473,11 +484,11 @@ object Dedup {
     // executor loss).
     var labels = docs.select(col("doc_id"), col("doc_id").as("cluster_id"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // Option so an empty corpus (null sum) converges by Option equality
+    // instead of NPE-ing a BigDecimal compare
+    var prevSum: Option[Any] = None
     var i = 0
-    var converged = edges.isEmpty
+    var converged = false
     while (!converged && i < maxIter) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min("cluster_id").as("nbr_min"))
@@ -490,17 +501,19 @@ object Dedup {
         else {
           // path halving: follow each label one hop through the label
           // table itself (left join: a root label maps to itself)
-          val p = propagated.localCheckpoint()
-          val hop = p.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lbl"))
-          p.alias("l")
+          val hop = propagated.select(col("doc_id").as("p_id"), col("cluster_id").as("p_lbl"))
+          propagated.alias("l")
             .join(hop, col("l.cluster_id") === col("p_id"), "left")
             .select(col("l.doc_id").as("doc_id"),
               coalesce(col("p_lbl"), col("l.cluster_id")).as("cluster_id"))
         }
-      val next = stepped.localCheckpoint()
-      val s = labelSum(next)
+      val obs = org.apache.spark.sql.Observation(s"dup_clusters_r$i")
+      val next = stepped
+        .observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("lbl_sum"))
+        .localCheckpoint() // the observe metric fires on this job
+      val s = Some(obs.get("lbl_sum"))
       labels = next
-      converged = s.compareTo(prevSum) == 0
+      converged = s == prevSum
       prevSum = s
       i += 1
     }

@@ -12,28 +12,31 @@ class HarnessContractSpec extends AnyFunSuite {
   }
 
   test("bench JSON line fits the 2 KB archived stdout tail at worst-case widths") {
-    // the archiver keeps only the last 2048 bytes of bench stdout; if the
-    // line outgrows that, the alphabetically-first per-query timings are
-    // silently truncated out of the round's BENCH file (it happened:
-    // rounds 3-4 lost 16 of 84 timings). Reconstruct the line with every
-    // value at the widest rendering Bench's compact stdout precision
-    // produces below 100 s — "9.9" (%.1f under 10 s) and "99" (%.0f
-    // above) are both ≤ 3 chars; any single query beyond 100 s is >2.5×
-    // the worst standing baseline line, so the round is failed regardless
-    // of archival fidelity. (BENCH_FULL.json keeps 10 ms precision — it
-    // is a repo file with no size cap, so it is not budgeted here.)
+    // the archiver keeps only the last 2000 bytes of bench stdout — and
+    // the measured round-5 file shows sbt's trailing
+    // "[success] Total time: …" line (~80 bytes) lives INSIDE that tail,
+    // so the real budget for the JSON line is ~1920 bytes. Rounds 3-5
+    // overflowed it: the alphabetically-first timings were truncated out
+    // and the driver's JSON parse recorded `parsed: null` (round 2, the
+    // last round whose line fit, is the only round with a parsed dict).
+    // Round 6 shortened the query keys to buy the line back under budget
+    // with headroom. Reconstruct the line with every value at the widest
+    // rendering Bench's compact stdout precision produces below 100 s —
+    // "9.9" (%.1f under 10 s) and "99" (%.0f above) are both ≤ 3 chars;
+    // any single query beyond 100 s is >2.5× the worst standing baseline
+    // line, so the round is failed regardless of archival fidelity.
+    // (BENCH_FULL.json keeps 10 ms precision — a repo file with no size
+    // cap, not budgeted here.)
     val worstVal = "9.9"
     val queries = SparkEntry.queries.keys.toSeq.sorted
       .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
     // no "errors" key: Bench omits it on a clean run, and a run WITH
     // errors exits 1 and fails the round before archival matters.
-    // total now renders at the same compact precision as the per-query
-    // values ("9999" at worst — every query at 9.9 s sums to ≤ 9999 for
-    // any surface under 1000 queries; BENCH_FULL.json keeps %.2f)
     val line =
       s"""{"metric":"total","value":9999,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
-    assert(line.getBytes("UTF-8").length <= 2048,
-      s"bench line would be ${line.length} bytes — trim precision or key names " +
-        "(or teach the archiver to keep full stdout) before adding more queries")
+    val budget = 2000 - 81 /* sbt [success] line + newline */ - 1 /* own newline */
+    assert(line.getBytes("UTF-8").length <= budget,
+      s"bench line would be ${line.getBytes("UTF-8").length} bytes > $budget — trim " +
+        "key names (or teach the archiver to keep full stdout) before adding queries")
   }
 }
