@@ -504,6 +504,12 @@ object SparkEntry {
     // KL + TV distance of observed lang-token shares vs a target mix
     "mix_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
+    // temperature-scaled resampling weights (XLM-R/mC4 sampling rule)
+    "mix_temp" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
+    // winnowing fingerprints (MOSS): window-min k-gram hash selection
+    "text_winnow" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
+    // embedding centroid drift per label (encoder-change alarm)
+    "mon_edrift" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
     "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -1992,6 +1998,73 @@ object SparkEntry {
         |       round(sum(CASE WHEN obs = 0 THEN 0.0 ELSE obs * ln(obs / tgt) END), 6) AS kl_nats,
         |       round(sum(abs(obs - tgt)) / 2, 6) AS tv_dist
         |FROM o""".stripMargin,
+
+    // token counts mirror corpus_mix's (raw whitespace split, no empty
+    // filter); pow/shares round to 6 dp (libm-vs-JVM pow last-ulp)
+    "mix_temp" ->
+      """WITH g AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1
+        |),
+        |s AS (
+        |  SELECT lang, n_docs, tokens,
+        |         CAST(tokens AS DOUBLE) / sum(tokens) OVER () AS p,
+        |         pow(CAST(tokens AS DOUBLE) / sum(tokens) OVER (), 0.7) AS pt
+        |  FROM g
+        |)
+        |SELECT lang, n_docs, tokens,
+        |       round(p, 6) AS token_share,
+        |       round(pt / sum(pt) OVER (), 6) AS target_share,
+        |       round((pt / sum(pt) OVER ()) / p, 6) AS sample_factor
+        |FROM s""".stripMargin,
+
+    // mirrors TextFunctions.winnow exactly: k=4 token grams joined by a
+    // single space, w=4 window mins, per-doc distinct; short docs
+    // (0 < m < w) get one window over all m hashes (list_slice truncates
+    // at the array end on both engines)
+    "text_winnow" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+        |),
+        |g AS (
+        |  SELECT doc_id,
+        |         greatest(len(ws) - 3, 0) AS m,
+        |         list_transform(generate_series(1, greatest(len(ws) - 3, 0)),
+        |           i -> md5(array_to_string(list_slice(ws, i, i + 3), ' '))) AS hs
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       unnest(list_distinct(list_transform(
+        |         generate_series(1, least(m, greatest(m - 3, 1))),
+        |         i -> list_min(list_slice(hs, i, i + 3))))) AS fp_hash
+        |FROM g WHERE m > 0""".stripMargin,
+
+    // centroid split is vec_id parity (sf-independent); means/cosine are
+    // double sums in engine order -> 6 dp rounds
+    "mon_edrift" ->
+      """WITH f AS (
+        |  SELECT label, vec_id, u.pos AS pos, u.v AS v FROM (
+        |    SELECT label, vec_id,
+        |           unnest(list_transform(generate_series(1, len(embedding)),
+        |             i -> struct_pack(pos := i, v := CAST(embedding[i] AS DOUBLE)))) AS u
+        |    FROM embeddings
+        |  )
+        |),
+        |per AS (
+        |  SELECT label, pos,
+        |         sum(CASE WHEN vec_id % 2 = 0 THEN v END)
+        |           / nullif(sum(CASE WHEN vec_id % 2 = 0 THEN 1 END), 0) AS mb,
+        |         sum(CASE WHEN vec_id % 2 <> 0 THEN v END)
+        |           / nullif(sum(CASE WHEN vec_id % 2 <> 0 THEN 1 END), 0) AS mc,
+        |         sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS b_n,
+        |         sum(CASE WHEN vec_id % 2 <> 0 THEN 1 ELSE 0 END) AS c_n
+        |  FROM f GROUP BY 1, 2
+        |)
+        |SELECT label, CAST(max(b_n) AS BIGINT) AS base_n, CAST(max(c_n) AS BIGINT) AS cur_n,
+        |       round(sum(mb * mc) / sqrt(sum(mb * mb) * sum(mc * mc)), 6) AS centroid_cosine,
+        |       round(sqrt(sum(mc * mc) / sum(mb * mb)), 6) AS norm_ratio
+        |FROM per GROUP BY 1""".stripMargin,
 
     "text_rep" ->
       """WITH w AS (

@@ -132,6 +132,46 @@ object Monitoring {
         col("n_categories"), (col("n_categories") - 1).as("dof"), col("chi2"))
   }
 
+  /** Embedding-distribution drift per label: cosine between the baseline
+    * and current CENTROIDS plus the centroid-norm ratio — the cheap
+    * first-line alarm for "did the upstream embedding model change"
+    * (a re-trained or silently re-versioned encoder moves centroids long
+    * before downstream metrics notice). Baseline/current split is
+    * `vec_id % 2` here (deterministic, sf-independent); production
+    * callers split on ingest time the same way.
+    *
+    * Scale: posexplode → one (label, pos)-keyed aggregate (shuffle rows
+    * = labels × dim, NOT corpus size) → one label-keyed roll-up of the
+    * dim-length centroid vectors. The corpus scans once; nothing
+    * corpus-sized shuffles. Cosine/norms round to 6 dp (double-sum
+    * accumulation order). */
+  def embeddingDrift(emb: DataFrame): DataFrame = {
+    val isBase = col("vec_id") % 2 === 0
+    val perPos = emb
+      .select(col("label"), col("vec_id"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(isBase, col("v").cast("double"))).as("b_sum"),
+        sum(when(!isBase, col("v").cast("double"))).as("c_sum"),
+        sum(when(isBase, 1L).otherwise(0L)).as("b_n"),
+        sum(when(!isBase, 1L).otherwise(0L)).as("c_n"))
+    perPos
+      .select(col("label"),
+        (col("b_sum") / nullif(col("b_n"), lit(0L))).as("mb"),
+        (col("c_sum") / nullif(col("c_n"), lit(0L))).as("mc"),
+        col("b_n"), col("c_n"))
+      .groupBy(col("label"))
+      .agg(
+        max(col("b_n")).as("base_n"), max(col("c_n")).as("cur_n"),
+        sum(col("mb") * col("mc")).as("dot"),
+        sum(col("mb") * col("mb")).as("nb2"),
+        sum(col("mc") * col("mc")).as("nc2"))
+      .select(col("label"), col("base_n"), col("cur_n"),
+        round(col("dot") / sqrt(col("nb2") * col("nc2")), 6).as("centroid_cosine"),
+        round(sqrt(col("nc2") / col("nb2")), 6).as("norm_ratio"))
+  }
+
   /** Missing-rate per feature in baseline vs current window + shift.
     * One scan for all features. */
   def missingRates(df: DataFrame, cols: Seq[String], splitDate: String): DataFrame = {

@@ -493,6 +493,75 @@ object TextFunctions {
         (col("dup_trigram_frac") > threshold).as("repetitive"))
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS plagiarism-detector selection rule): hash every k-token gram,
+    * slide a window of `w` consecutive k-gram hashes, keep each window's
+    * MINIMUM hash; a doc's fingerprint is its distinct selected hashes.
+    * The guarantee local minima buy: any shared token run of at least
+    * `w + k - 1` tokens spans a full window on both docs, and that
+    * window's min is the same hash on both — so every sufficiently long
+    * overlap is detectable from the fingerprint sets alone, at a ~1/w
+    * storage fraction of all-grams fingerprinting.
+    *
+    * Output rows (doc_id, fp_hash), distinct per doc. Downstream overlap
+    * detection is then a self-equi-join on fp_hash — the same
+    * bounded-bucket join shape as MinHash banding (and like it, subject
+    * to a df-cap on boilerplate hashes before the join at corpus scale).
+    *
+    * Scale: pure Column HOFs — per doc O(tokens × w) comparisons, no
+    * shuffle, no UDF; the distinct is per-row (`array_distinct`), so the
+    * only wide operation a caller adds is their own join. Ties inside a
+    * window (identical repeated k-grams) collapse to one hash in the
+    * fingerprint SET, so the rightmost-vs-leftmost tiebreak the paper
+    * needs for positional fingerprints doesn't arise. */
+  def winnow(docs: DataFrame, k: Int = 4, w: Int = 4): DataFrame = {
+    val hs = col("hs")
+    docs
+      .withColumn("ws", toks(col("text")))
+      // m = number of complete k-grams; the hash transform overshoots
+      // (concat_ws skips try_element_at's out-of-range nulls) and slices
+      // back to the valid prefix — the `when`-free HOF idiom used across
+      // this file (a CASE around a HOF drops it out of codegen)
+      .withColumn("m", greatest(size(col("ws")) - (k - 1), lit(0)))
+      .withColumn("hs", slice(
+        transform(sequence(lit(1), greatest(size(col("ws")), lit(1))),
+          i => md5(concat_ws(" ",
+            (0 until k).map(d => try_element_at(col("ws"), i + d)): _*))),
+        lit(1), col("m")))
+      // short docs (0 < m < w) get one window over all m hashes; slice
+      // truncates at the array end so the same expression serves both
+      .withColumn("nw", least(col("m"), greatest(col("m") - (w - 1), lit(1))))
+      .select(col("doc_id"),
+        explode(array_distinct(slice(
+          transform(sequence(lit(1), greatest(col("nw"), lit(1))),
+            i => array_min(slice(hs, i, lit(w)))),
+          lit(1), col("nw")))).as("fp_hash"))
+  }
+
+  /** Temperature-scaled source mixing (the multilingual-LM sampling rule
+    * from XLM-R / mC4: q_i ∝ p_i^T with T < 1 upweights low-resource
+    * slices): per language, observed token share p, target share q under
+    * `temperature`, and the resampling factor q/p a sampler applies.
+    * One aggregate over lang keys + a window over the |langs|-row grid —
+    * the corpus scans once. All shares round to 6 dp (double pow +
+    * tiny-sum accumulation order). */
+  def temperatureMix(docs: DataFrame, temperature: Double = 0.7): DataFrame = {
+    val all = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    docs
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("tokens"))
+      .withColumn("p", col("tokens").cast("double") / sum(col("tokens")).over(all))
+      .withColumn("q", pow(col("p"), lit(temperature))
+        / sum(pow(col("p"), lit(temperature))).over(all))
+      .select(col("lang"), col("n_docs"), col("tokens"),
+        round(col("p"), 6).as("token_share"),
+        round(col("q"), 6).as("target_share"),
+        round(col("q") / col("p"), 6).as("sample_factor"))
+  }
+
   /** Document fingerprinting: normalized-text md5 plus a positional
     * min-hash over character 5-grams — the global min and four
     * position-partitioned mins (i mod 4), a deterministic variant of

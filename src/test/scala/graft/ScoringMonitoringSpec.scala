@@ -116,6 +116,37 @@ class ScoringMonitoringSpec extends SparkSpec {
       "chi2 over an empty window must be null, not NaN/Infinity")
   }
 
+  test("embedding drift: identical halves read as no drift, scaled half moves norm not angle") {
+    import spark.implicits._
+    // even/odd vec_ids carry the SAME two vectors -> centroids identical
+    val calm = Seq(
+      (0L, Array(1f, 0f, 2f), 7), (1L, Array(1f, 0f, 2f), 7),
+      (2L, Array(0f, 3f, 1f), 7), (3L, Array(0f, 3f, 1f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val c = Monitoring.embeddingDrift(calm).head()
+    assert(math.abs(c.getAs[Double]("centroid_cosine") - 1.0) < 1e-9)
+    assert(math.abs(c.getAs[Double]("norm_ratio") - 1.0) < 1e-9)
+    assert(c.getAs[Long]("base_n") === 2L && c.getAs[Long]("cur_n") === 2L)
+    // odd half scaled 2x: same direction (cosine 1), doubled norm
+    val scaled = Seq(
+      (0L, Array(1f, 0f, 2f), 7), (1L, Array(2f, 0f, 4f), 7),
+      (2L, Array(0f, 3f, 1f), 7), (3L, Array(0f, 6f, 2f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val s = Monitoring.embeddingDrift(scaled).head()
+    assert(math.abs(s.getAs[Double]("centroid_cosine") - 1.0) < 1e-9)
+    assert(math.abs(s.getAs[Double]("norm_ratio") - 2.0) < 1e-9)
+    // rotated half: angle moves, cosine drops below 1
+    val rotated = Seq(
+      (0L, Array(1f, 0f, 0f), 7), (1L, Array(0f, 1f, 0f), 7)
+    ).toDF("vec_id", "embedding", "label")
+    val r = Monitoring.embeddingDrift(rotated).head()
+    assert(r.getAs[Double]("centroid_cosine") < 0.5)
+    // real embeddings: one row per label, cosine in [-1, 1]
+    val real = Monitoring.embeddingDrift(Tables.embeddings(spark, dir)).cache()
+    assert(real.count() === Tables.embeddings(spark, dir).select("label").distinct().count())
+    assert(real.filter(col("centroid_cosine") < -1.0 || col("centroid_cosine") > 1.0).count() === 0)
+  }
+
   test("missing rates: value column reflects nulled error events in both windows") {
     val rates = Monitoring.missingRates(silver, Seq("value", "user_id"), "2024-01-15")
       .collect().map(r => r.getAs[String]("feature") -> r).toMap

@@ -328,4 +328,49 @@ class TextMultimodalSpec extends SparkSpec {
     // every frame belongs to a real doc and respects maxFrames
     assert(frames.groupBy("doc_id").count().filter(col("count") > 3).count() === 0)
   }
+
+  test("winnow: shared run >= w+k-1 tokens shares a fingerprint; disjoint docs don't") {
+    import spark.implicits._
+    // k=4, w=4: guarantee threshold is 7 shared tokens
+    val shared = "alpha beta gamma delta epsilon zeta eta" // exactly 7 tokens
+    val planted = Seq(
+      (1L, s"unrelated prefix one two $shared"),
+      (2L, s"$shared completely different tail words here"),
+      (3L, "no overlap with anything else at all whatsoever in this document")
+    ).toDF("doc_id", "text")
+    val fp = TextFunctions.winnow(planted).cache()
+    val byDoc = fp.collect().groupBy(_.getAs[Long]("doc_id"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[String]("fp_hash")).toSet }
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "a 7-token shared run spans a full window on both docs -> shared window min")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+    assert((byDoc(2L) intersect byDoc(3L)).isEmpty)
+    // short docs: under k tokens -> no k-grams -> no rows; k..k+w-2 tokens
+    // -> one window over all grams -> exactly one fingerprint
+    val short = Seq((10L, "one two three"), (11L, "one two three four five"))
+      .toDF("doc_id", "text")
+    val sfp = TextFunctions.winnow(short).collect()
+    assert(!sfp.exists(_.getAs[Long]("doc_id") == 10L))
+    assert(sfp.count(_.getAs[Long]("doc_id") == 11L) === 1)
+    // compression: fingerprints per doc ~ m/w, never more than m
+    val real = TextFunctions.winnow(docs).groupBy("doc_id").count()
+      .join(docs.select(col("doc_id"), size(split(lower(col("text")), " ")).as("n")), "doc_id")
+    assert(real.filter(col("count") > col("n")).count() === 0)
+  }
+
+  test("temperature mix: shares sum to 1, T<1 upweights low-resource slices, T=1 is identity") {
+    val mix = TextFunctions.temperatureMix(docs).cache()
+    val sums = mix.agg(sum("token_share"), sum("target_share")).head()
+    assert(math.abs(sums.getDouble(0) - 1.0) < 1e-4)
+    assert(math.abs(sums.getDouble(1) - 1.0) < 1e-4)
+    // T < 1 flattens: the smallest slice's sampling factor > 1, the
+    // largest < 1, and the target ordering preserves the observed one
+    val rows = mix.orderBy(col("token_share")).collect()
+    assert(rows.head.getAs[Double]("sample_factor") > 1.0)
+    assert(rows.last.getAs[Double]("sample_factor") < 1.0)
+    assert(rows.map(_.getAs[Double]("target_share")).toSeq === rows.map(_.getAs[Double]("target_share")).sorted.toSeq)
+    // T = 1: target == observed (pow(p,1) = p)
+    val id = TextFunctions.temperatureMix(docs, temperature = 1.0)
+    assert(id.filter(abs(col("target_share") - col("token_share")) > 1e-6).count() === 0)
+  }
 }
