@@ -80,8 +80,12 @@ object Dedup {
     * XxHash64Family: k independent seeded xxhash64 values per shingle
     * (numeric min), band key = xxhash64 over the band's r components. */
   def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      family: HashFamily = Md5Family): DataFrame = {
-    val banded = minhashIndex(docs, k, bands, shingleN, family)
+      family: HashFamily = Md5Family): DataFrame =
+    bandSelfJoin(minhashIndex(docs, k, bands, shingleN, family), k)
+
+  /** Oriented band-bucket self-join + signature Jaccard over a banded
+    * signature table (shared by [[minhashLsh]] and [[lshEval]]). */
+  private def bandSelfJoin(banded: DataFrame, k: Int): DataFrame =
     estJaccard(
       banded.alias("a")
         .join(banded.alias("b"),
@@ -91,7 +95,6 @@ object Dedup {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           col("a.sig").as("sig_a"), col("b.sig").as("sig_b")),
       k)
-  }
 
   /** The banded signature table `(doc_id, sig[k], band_idx, band_hash)` —
     * the PERSISTABLE corpus index behind [[minhashLsh]]. At 100 TB this is
@@ -100,10 +103,16 @@ object Dedup {
     * stored index, so corpus text is never re-scanned or re-shingled to
     * dedup a new batch. */
   def minhashIndex(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
+      family: HashFamily = Md5Family): DataFrame =
+    minhashIndexFromShingles(shingleTable(docs, shingleN), k, bands, family)
+
+  /** [[minhashIndex]] body over a pre-built [[shingleTable]] — so a caller
+    * that also needs the shingles for something else (e.g. [[lshEval]]'s
+    * exact side) can explode the text ONCE, persist it, and feed both. */
+  def minhashIndexFromShingles(ex: DataFrame, k: Int = 16, bands: Int = 4,
       family: HashFamily = Md5Family): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     val r = k / bands
-    val ex = docs.select(col("doc_id"), explode(shingleCol(shingleN)).as("shingle"))
     val sigAggs = family match {
       case Md5Family =>
         require(r <= 4, "at most 4 components per salted digest")
@@ -363,15 +372,20 @@ object Dedup {
     *
     * Scale: both sides are blocked candidate generators (band buckets /
     * shared shingles), never all-pairs, so the eval costs what the two
-    * dedup passes cost; the confusion-matrix join keys are pair ids and
-    * the final aggregate is a single row. At 100 TB run it on a sampled
-    * stratum ([[graft.sampling.Sampling.hashSample]]) — the ratios are
-    * what matter, not the corpus-wide counts. */
+    * dedup passes cost — minus one text scan: both sides consume ONE
+    * persisted [[shingleTable]] (the LSH signatures and the exact Jaccard
+    * shingle-set math are functions of the same (doc_id, shingle) rows),
+    * so the corpus text is read and shingled exactly once for the whole
+    * eval. The confusion-matrix join keys are pair ids and the final
+    * aggregate is a single row. At 100 TB run it on a sampled stratum
+    * ([[graft.sampling.Sampling.hashSample]]) — the ratios are what
+    * matter, not the corpus-wide counts. */
   def lshEval(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val predicted = minhashLsh(docs)
+    val sh = shingleTable(docs, 3).persist()
+    val predicted = bandSelfJoin(minhashIndexFromShingles(sh), 16)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
-    val truth = ngramJaccard(docs, threshold = threshold)
+    val truth = ngramJaccardFromShingles(sh, threshold = threshold)
       .select(col("doc_a").as("t_a"), col("doc_b").as("t_b"))
     val cm = predicted
       .join(truth, col("p_a") === col("t_a") && col("p_b") === col("t_b"), "full_outer")
