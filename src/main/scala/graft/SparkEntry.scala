@@ -578,6 +578,16 @@ object SparkEntry {
     "st_dedup" -> ((s, dir) =>
       Streams.firstEventPerKey(Tables.events(s, dir).filter(col("event_id").isNotNull))
         .select("event_id", "ts", "user_id")),
+    // batch face of CDC apply (Debezium/Delta APPLY CHANGES): events as a
+    // keyed change feed on user_id, error events read as deletes; latest
+    // op wins and a terminal delete removes the key. Streaming face
+    // (mapGroupsWithState) is asserted equal in CdcStreamSpec.
+    "st_cdc" -> ((s, dir) =>
+      Streams.cdcApply(Tables.events(s, dir)
+        .filter(col("user_id").isNotNull)
+        .withColumn("op",
+          when(col("event_type") === "error", lit("delete"))
+            .otherwise(lit("upsert"))))),
     // §2.4 spark.ml training (rows-only oracle: no SQL equivalent)
     "ml_rf" -> ((s, dir) =>
       Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
@@ -2195,6 +2205,22 @@ object SparkEntry {
         |           user_id NULLS FIRST, value NULLS FIRST) AS rn
         |  FROM events WHERE event_id IS NOT NULL
         |) WHERE rn = 1""".stripMargin,
+
+    // latest-wins per key with (ts, event_id) total order; a key whose
+    // final op is a delete vanishes from the snapshot
+    "st_cdc" ->
+      """WITH ch AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
+        |  FROM events WHERE user_id IS NOT NULL
+        |), r AS (
+        |  SELECT user_id, ts, value, op,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_changes
+        |  FROM ch
+        |)
+        |SELECT user_id, n_changes, ts AS last_ts, value AS last_value
+        |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
     "st_tumble" ->
       s"""$silverCte
