@@ -18,17 +18,22 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries nanosecond timestamps, which Spark 4 rejects
-    * outright. We read them as raw nanos-since-epoch longs and truncate to
-    * microsecond TimestampType — the same truncation DuckDB applies, so
-    * oracles agree. Requires `spark.sql.legacy.parquet.nanosAsLong=true`,
-    * which every graft entry point (Bench/Verify/SparkSpec) sets at session
-    * construction. */
+  /** `events.parquet`'s `ts` flavor has varied across driver generations:
+    * nanos-since-epoch longs (read via `spark.sql.legacy.parquet
+    * .nanosAsLong=true`, truncated to micros like DuckDB), naive
+    * `timestamp[us]` (which Spark 4 infers as TIMESTAMP_NTZ — legal for
+    * batch but rejected by streaming watermarks), or a plain UTC
+    * timestamp. Normalize all three to session-UTC `TimestampType` here so
+    * every operator — batch or streaming — sees one type. The NTZ→TZ cast
+    * is value-preserving because every graft entry point pins
+    * `spark.sql.session.timeZone=UTC`, matching DuckDB's naive reading. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     val raw = load(spark, dir, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType                      => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _                             => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   /** documents/embeddings arrive as one small parquet file per SF → one
     * input partition, which would serialize every downstream explode/join
