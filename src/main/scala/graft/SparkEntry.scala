@@ -266,6 +266,10 @@ object SparkEntry {
     "feat_te" -> ((s, dir) =>
       FeatureEngineering.targetEncodeLoo(silver(s, dir), "event_type", "value")
         .select("event_id", "event_type", "value", "target_enc")),
+    // quantile discretization: decile cutpoints from one aggregate,
+    // broadcast back, bin assigned map-side (no global sort)
+    "feat_bin" -> ((s, dir) =>
+      FeatureEngineering.quantileBins(Tables.orders(s, dir), "o_totalprice")),
     // §2.3 scoring + monitoring
     "sc_demand" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
@@ -368,6 +372,9 @@ object SparkEntry {
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
+    // UNPIVOT/melt: 4 measure columns → (measure, value) rows in one
+    // Expand pass, then a 12-group hash aggregate
+    "q_unpiv" -> ((s, dir) => Analytics.meltedMeasures(Tables.lineitem(s, dir))),
     // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
     // grand total in ONE Expand pass — the 3 views a CUBE would charge
     // 8 grouping combinations for
@@ -390,6 +397,8 @@ object SparkEntry {
     }),
     // §2.7 dedup suite
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
+    "dedup_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
@@ -991,6 +1000,22 @@ object SparkEntry {
          |            WHEN cnt > 1 THEN (s - value) / (cnt - 1) END AS target_enc
          |FROM enc""".stripMargin,
 
+    // bin rule mirrored exactly: 1 + #cutpoints strictly below the value,
+    // cutpoints = exact linear-interpolated deciles (percentile ≡
+    // quantile_cont, parity already proven by agg_pctl)
+    "feat_bin" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM orders
+        |)
+        |SELECT 1 + len(list_filter(cs, c -> c < o_totalprice)) AS bin,
+        |       count(*) AS n,
+        |       min(o_totalprice) AS lo,
+        |       max(o_totalprice) AS hi,
+        |       round(avg(o_totalprice), 6) AS avg_value
+        |FROM orders, cuts
+        |GROUP BY 1""".stripMargin,
+
     "sc_demand" -> scoreDemandSql,
 
     // latest-wins upsert over the scored frame: run_2 re-scores zone_id%3=0
@@ -1353,6 +1378,19 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
 
+    // melt via UNION ALL (the engine-portable spelling of UNPIVOT);
+    // measure labels = source column names, matching Spark's unpivot
+    "q_unpiv" ->
+      """SELECT l_returnflag, measure, count(*) AS n,
+        |       sum(value) AS sum_value, round(avg(value), 6) AS avg_value
+        |FROM (
+        |  SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+        |)
+        |GROUP BY 1, 2""".stripMargin,
+
     // GROUPING SETS: same (region×segment | nation | total) sets; gid is
     // the ANSI grouping-bit integer (first grouping column = MSB, the
     // convention both engines share)
@@ -1418,6 +1456,18 @@ object SparkEntry {
         |       CAST(doc_id <> min(doc_id) OVER w AS INT) AS is_duplicate
         |FROM documents
         |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
+
+    // same window shape as dedup_exact over the normalized-text hash;
+    // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
+    // matches by default) — [^a-z0-9]+ means the same thing to both
+    "dedup_norm" ->
+      """SELECT doc_id,
+        |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
+        |       min(doc_id) OVER w AS winner_id,
+        |       count(*) OVER w AS dup_count,
+        |       CAST(doc_id <> min(doc_id) OVER w AS INT) AS is_duplicate
+        |FROM documents
+        |WINDOW w AS (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin,
 
     "dedup_mh" -> minhashOracleSql,
 

@@ -185,4 +185,23 @@ object Analytics {
         col("r_name"), col("n_name"), col("c_mktsegment"))
       .agg(count(lit(1)).as("customer_count"), sum(col("c_acctbal")).as("total_acctbal"),
         grouping_id().as("gid"))
+
+  /** Wide→long UNPIVOT (melt): the four lineitem measure columns become
+    * (measure, value) rows, then one hash aggregate summarizes each
+    * measure per return flag. Spark plans the unpivot as a single Expand —
+    * the fact is scanned ONCE and each input row fans out to 4 in the
+    * same stage (map-side, codegen'd), so the cost is one scan + one
+    * partial-aggregated shuffle into a 12-group result, not four
+    * self-unions re-reading 100 TB. The inverse of [[Aggregates]]' pivot. */
+  def meltedMeasures(lineitem: DataFrame): DataFrame =
+    lineitem
+      .unpivot(
+        Array(col("l_returnflag")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount"), col("l_tax")),
+        "measure", "value")
+      .groupBy("l_returnflag", "measure")
+      .agg(
+        count(lit(1)).as("n"),
+        sum("value").as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
 }

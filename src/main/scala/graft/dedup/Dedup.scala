@@ -56,6 +56,26 @@ object Dedup {
       .select("doc_id", "text_hash", "winner_id", "dup_count", "is_duplicate")
   }
 
+  /** Fuzzy-exact dedup on NORMALIZED text (the C4/CCNet-style first pass):
+    * lowercase, squash every non-alphanumeric run to one space, trim, then
+    * hash — so docs differing only in case, punctuation, or whitespace
+    * collapse to one group. Strictly coarser than [[exactDedup]]'s raw
+    * hash (its groups are unions of exact groups), and the same physical
+    * shape: the normalization is a codegen'd scan-side projection, then
+    * one shuffle on the (high-cardinality) hash for the window. Regex is
+    * deliberately `[^a-z0-9]+` — identical POSIX-class semantics in Java
+    * and RE2, so any SQL engine replays the normalization byte-for-byte. */
+  def normalizedDedup(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    val w = Window.partitionBy("norm_hash")
+    docs
+      .withColumn("norm_hash", md5(norm))
+      .withColumn("winner_id", min("doc_id").over(w))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("is_duplicate", (col("doc_id") =!= col("winner_id")).cast("int"))
+      .select("doc_id", "norm_hash", "winner_id", "dup_count", "is_duplicate")
+  }
+
   /** Signature hash family for [[minhashLsh]]. */
   sealed trait HashFamily
   /** Salted md5 hex slices — byte-identical in any ANSI engine, so the

@@ -184,4 +184,27 @@ object FeatureEngineering {
       when(col(targetCol).isNull, s / cnt)
         .when(cnt > 1, (s - col(targetCol)) / (cnt - 1)))
   }
+
+  /** Quantile discretization (the GBM-style numeric binning feature):
+    * exact decile cutpoints from ONE small aggregate, broadcast back onto
+    * the scan, bin assigned per row map-side. Deliberately NOT a global
+    * `ntile()` — that would force a single-partition total sort of the
+    * fact (the one window shape that cannot scale); here the only
+    * all-rows structure is the 9-double cutpoint array, so the row pass
+    * stays a codegen'd scan at any data size. Bin rule: 1 + #cutpoints
+    * strictly below the value — ties land in the lower bin on both
+    * engines. Production would swap `percentile` for `percentile_approx`;
+    * the exact form carries the cross-engine oracle. */
+  def quantileBins(df: DataFrame, valueCol: String, buckets: Int = 10): DataFrame = {
+    val qs = array((1 until buckets).map(i => lit(i.toDouble / buckets)): _*)
+    val cuts = df.agg(percentile(col(valueCol), qs).as("cuts"))
+    df.join(broadcast(cuts))
+      .withColumn("bin", size(filter(col("cuts"), c => c < col(valueCol))) + 1)
+      .groupBy("bin")
+      .agg(
+        count(lit(1)).as("n"),
+        min(valueCol).as("lo"),
+        max(valueCol).as("hi"),
+        round(avg(valueCol), 6).as("avg_value"))
+  }
 }

@@ -296,4 +296,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(rSeg.filter(col("r_name").isNull || col("c_mktsegment").isNull
       || col("n_name").isNotNull).count() === 0)
   }
+
+  test("unpivot: one Expand melts 4 measures, masses match the wide table") {
+    val li = Tables.lineitem(spark, sfDir)
+    val melted = Analytics.meltedMeasures(li)
+    val rows = melted.collect()
+    val flags = li.select("l_returnflag").distinct().count()
+    assert(rows.length === flags * 4, "one output group per (flag, measure)")
+    // per-measure mass equals the wide column's direct aggregate
+    val qty = rows.filter(_.getAs[String]("measure") == "l_quantity")
+      .map(_.getAs[Double]("sum_value")).sum
+    assert(math.abs(qty - li.agg(sum("l_quantity")).head().getDouble(0)) < 1e-6)
+    // every group saw exactly the flag's row count
+    val n = rows.filter(_.getAs[String]("measure") == "l_tax")
+      .map(_.getAs[Long]("n")).sum
+    assert(n === li.count())
+    // one scan: the melt is an Expand, not four unions re-reading the fact
+    val plan = melted.queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
+    assert(!plan.contains("Union"), s"unpivot must not plan as self-union:\n$plan")
+  }
 }

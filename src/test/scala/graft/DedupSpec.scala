@@ -281,4 +281,28 @@ class DedupSpec extends SparkSpec {
     assert(joined.filter(col("la") =!= col("lb")).count() === 0)
     assert(pairs.filter(col("cosine") > 1.0 || col("cosine") < -1.0).count() === 0)
   }
+
+  test("normalized dedup collapses punctuation/whitespace variants; coarser than exact") {
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "Alpha, beta—gamma!"), (2L, "alpha   beta gamma"),
+      (3L, "alpha beta gamma"), (4L, "different entirely")).toDF("doc_id", "text")
+    val out = Dedup.normalizedDedup(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // all three variants share one normalized group under winner 1
+    Seq(1L, 2L, 3L).foreach { id =>
+      assert(out(id).getAs[Long]("winner_id") === 1L)
+      assert(out(id).getAs[Long]("dup_count") === 3L)
+    }
+    assert(out(1L).getAs[Int]("is_duplicate") === 0)
+    assert(out(4L).getAs[Long]("dup_count") === 1L)
+    // exact sees the variants as distinct → norm groups are unions of
+    // exact groups (coarser partition, never finer), also on real docs
+    val exact = Dedup.exactDedup(planted)
+    assert(exact.select("text_hash").distinct().count() === 4)
+    val joined = Dedup.normalizedDedup(docs)
+      .select(col("doc_id"), col("dup_count").as("norm_n"))
+      .join(Dedup.exactDedup(docs).select(col("doc_id"), col("dup_count").as("exact_n")), "doc_id")
+    assert(joined.filter(col("norm_n") < col("exact_n")).count() === 0)
+  }
 }

@@ -75,4 +75,23 @@ class FeatureSpec extends SparkSpec {
     val plan = real.queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"))
   }
+
+  test("quantile bins: 10 near-equal bins, disjoint ranges, no global sort") {
+    val orders = Tables.orders(spark, sfDir)
+    val bins = FeatureEngineering.quantileBins(orders, "o_totalprice")
+    val rows = bins.collect().sortBy(_.getAs[Int]("bin"))
+    val total = orders.count()
+    assert(rows.map(_.getAs[Int]("bin")).toSeq === (1 to 10))
+    assert(rows.map(_.getAs[Long]("n")).sum === total, "bins partition the rows")
+    // decile cutpoints → each bin within a couple rows of total/10
+    rows.foreach(r => assert(math.abs(r.getAs[Long]("n") - total / 10) <= 2,
+      s"bin ${r.getAs[Int]("bin")} holds ${r.getAs[Long]("n")} of $total"))
+    // ranges are ordered and disjoint
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+    // the scale contract: binning must NOT plan a global-sort window
+    val plan = bins.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"quantile bins must not use a global window:\n$plan")
+  }
 }
