@@ -245,7 +245,7 @@ object SparkEntry {
     // rows-only: per-day HLL sketches merged by union — sketch bytes are
     // implementation-specific; merged-vs-exact tolerance is spec-asserted
     "dq_sku" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
-    "dq_summary" -> ((s, dir) => DataQuality.summary(
+    "dq_sum" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
     // protected individual is user_id; at_risk marks QI classes shared
@@ -352,7 +352,7 @@ object SparkEntry {
     }),
     // range join: orders matched into OVERLAPPING price bands (each order
     // hits 1-2 bands) through the bucketed equi-join — no nested loop
-    "q_range_join" -> ((s, dir) => {
+    "q_range" -> ((s, dir) => {
       val bands = s.range(0, 700).select(
         col("id").as("band_id"),
         (col("id") * 1000.0 - 500.0).as("lo"),
@@ -364,10 +364,10 @@ object SparkEntry {
     "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
     "q3_join" -> ((s, dir) => Analytics.shippingPriority(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
-    "q5_multijoin" -> ((s, dir) => Analytics.localSupplierVolume(
+    "q5_mjoin" -> ((s, dir) => Analytics.localSupplierVolume(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
-    "q_topn_group" -> ((s, dir) => Analytics.topPartsPerBrand(
+    "q_topn" -> ((s, dir) => Analytics.topPartsPerBrand(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_rollup" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
@@ -375,6 +375,10 @@ object SparkEntry {
     // UNPIVOT/melt: 4 measure columns → (measure, value) rows in one
     // Expand pass, then a 12-group hash aggregate
     "q_unpiv" -> ((s, dir) => Analytics.meltedMeasures(Tables.lineitem(s, dir))),
+    // ANSI INTERSECT/EXCEPT (set semantics → semi/anti hash joins)
+    "q_setop" -> ((s, dir) => Analytics.prioritySetOps(Tables.orders(s, dir))),
+    // max_by/min_by argmax aggregates, engine-portable padded ordering key
+    "q_argmax" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
     // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
     // grand total in ONE Expand pass — the 3 views a CUBE would charge
     // 8 grouping combinations for
@@ -388,7 +392,7 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     // salted join: result must equal the plain join (the oracle IS the
     // plain join); the salt's value shows on skewed corpora (see Stress)
-    "q_skew_join" -> ((s, dir) => {
+    "q_skew" -> ((s, dir) => {
       val sv = silver(s, dir).filter(col("zone_id").isNotNull)
       val zoneDim = sv.groupBy("zone_id").agg(count(lit(1)).as("zone_events"))
       graft.analytics.SkewJoin.salted(
@@ -399,6 +403,10 @@ object SparkEntry {
     "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
     "dedup_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
+    // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
+    // k-means quantizer has no SQL equivalent; subset-of-exact-pairs and
+    // recall floor are spec-asserted instead
+    "dedup_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
@@ -478,9 +486,9 @@ object SparkEntry {
     "dedup_simh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
-    "text_langid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
+    "text_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "text_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
-    "text_tokens" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
+    "text_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "text_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
@@ -520,7 +528,7 @@ object SparkEntry {
     // embedding centroid drift per label (encoder-change alarm)
     "mon_edrift" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
-    "mm_metadata" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
+    "mm_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
     // payloads (per-partition decoder init, typed frames out); the decoder
     // itself is the documented deterministic stub — no codec libs here
@@ -553,11 +561,11 @@ object SparkEntry {
     }),
     // rows-only: the deterministic k-means quantizer has no tractable SQL
     // equivalent; recall vs brute force is spec-asserted instead
-    "sim_ivf_ann" -> ((s, dir) => {
+    "sim_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10))
     }),
-    "sim_lsh_ann" -> ((s, dir) => {
+    "sim_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
@@ -615,7 +623,7 @@ object SparkEntry {
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
     // byte-identical predictions pre/post reload are spec-asserted
-    "ml_persist" -> ((s, dir) =>
+    "ml_save" -> ((s, dir) =>
       Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
         "/root/repo/target/ml_persist")),
   )
@@ -916,7 +924,7 @@ object SparkEntry {
          |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
          |GROUP BY 1""".stripMargin,
 
-    "dq_summary" ->
+    "dq_sum" ->
       s"""$silverCte
          |SELECT col_name,
          |       CAST(null_count AS BIGINT) AS null_count,
@@ -1221,7 +1229,7 @@ object SparkEntry {
          |FROM lat""".stripMargin,
 
     // plain inequality join is the oracle for the bucketed range join
-    "q_range_join" ->
+    "q_range" ->
       """WITH bands AS (
         |  -- CAST keeps the bounds DOUBLE: DuckDB decimal-literal
         |  -- arithmetic yields DECIMAL, Spark emits float64
@@ -1337,7 +1345,7 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q5_multijoin" ->
+    "q5_mjoin" ->
       """SELECT n_name,
         |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |       count(*) AS line_count
@@ -1352,7 +1360,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
 
-    "q_topn_group" ->
+    "q_topn" ->
       """WITH counts AS (
         |  SELECT p_brand, p_partkey, count(*) AS order_count
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1390,6 +1398,27 @@ object SparkEntry {
         |  UNION ALL SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
         |)
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_setop" ->
+      """SELECT o_custkey, 'both_extremes' AS set_op FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""".stripMargin,
+
+    // identical padded ordering string on both sides: fixed-width decimal
+    // makes lexicographic == numeric, the orderkey suffix makes it unique
+    "q_argmax" ->
+      """SELECT o_custkey,
+        |       arg_max(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS top_order,
+        |       arg_min(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS bottom_order,
+        |       max(o_totalprice) AS top_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1""".stripMargin,
 
     // GROUPING SETS: same (region×segment | nation | total) sets; gid is
     // the ANSI grouping-bit integer (first grouping column = MSB, the
@@ -1439,7 +1468,7 @@ object SparkEntry {
 
     // the oracle is the UNSALTED join — salting must be invisible in the
     // result
-    "q_skew_join" ->
+    "q_skew" ->
       s"""$silverCte,
          |zd AS (
          |  SELECT zone_id, count(*) AS zone_events
@@ -1747,7 +1776,7 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosine >= 0.35""".stripMargin,
 
-    "text_langid" -> {
+    "text_lid" -> {
       val scoreDefs = TextFunctions.langs.map { l =>
         val set = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
         s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set))) AS score_$l"
@@ -1802,7 +1831,7 @@ object SparkEntry {
         |         * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS bm25
         |FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (token), stats s""".stripMargin,
 
-    "text_tokens" ->
+    "text_tok" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
@@ -2145,7 +2174,7 @@ object SparkEntry {
     // magic_hex slices the first 4 BYTES (substr over the hex dump), not
     // the first 4 CHARACTERS — Spark's substring on BinaryType is
     // byte-based, and the two diverge on any multi-byte UTF-8 text
-    "mm_metadata" ->
+    "mm_meta" ->
       """SELECT doc_id,
         |       octet_length(encode(text)) AS byte_size,
         |       lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
@@ -2175,7 +2204,7 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
 
-    "sim_lsh_ann" -> lshAnnOracleSql,
+    "sim_lsh" -> lshAnnOracleSql,
 
     "sim_out" ->
       s"""WITH cent AS (

@@ -47,6 +47,14 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // manifest of every query that SHOULD have produced a dump — so the
+    // local gate can flag a query whose write failed (its dir is simply
+    // absent, which a dirs-only scan would silently skip; ml_kmeans
+    // demonstrated exactly that failure mode)
+    val manifest = SparkEntry.queries.keys.toSeq.sorted
+      .filter(k => only.forall(_.contains(k)))
+      .map(q).mkString("[", ",", "]")
+    Files.writeString(Paths.get(s"$outDir/queries.json"), manifest)
     spark.stop()
   }
 }

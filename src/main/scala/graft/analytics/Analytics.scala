@@ -204,4 +204,31 @@ object Analytics {
         count(lit(1)).as("n"),
         sum("value").as("sum_value"),
         round(avg("value"), 6).as("avg_value"))
+
+  /** ANSI set operations: customers ordering at BOTH priority extremes
+    * (INTERSECT) and at urgent only (EXCEPT), tagged and stacked. Spark
+    * plans INTERSECT/EXCEPT as aggregate + left-semi/anti hash joins —
+    * set semantics (distinct) per the standard, no sort, and the two
+    * branches share the scan via exchange reuse. */
+  def prioritySetOps(orders: DataFrame): DataFrame = {
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val low = orders.filter(col("o_orderpriority") === "5-LOW").select("o_custkey")
+    urgent.intersect(low).withColumn("set_op", lit("both_extremes"))
+      .unionByName(urgent.except(low).withColumn("set_op", lit("urgent_only")))
+  }
+
+  /** max_by / min_by (argmax aggregates): each customer's highest- and
+    * lowest-priced order id in ONE hash aggregate — no window, no sort,
+    * no self-join back onto the fact. The ordering key is a zero-padded
+    * `price|orderkey` string: fixed-width decimal so lexicographic ==
+    * numeric, orderkey suffix so ties resolve identically in ANY engine
+    * (SQL mirrors it with arg_max/arg_min over the same string). */
+  def argExtremes(orders: DataFrame): DataFrame = {
+    val ord = format_string("%018.2f|%012d", col("o_totalprice"), col("o_orderkey"))
+    orders.groupBy("o_custkey").agg(
+      max_by(col("o_orderkey"), ord).as("top_order"),
+      min_by(col("o_orderkey"), ord).as("bottom_order"),
+      max("o_totalprice").as("top_price"),
+      count(lit(1)).as("n_orders"))
+  }
 }

@@ -122,8 +122,20 @@ object Similarity {
     }: _*)
 
   /** Codegen'd argmax-by-cosine cell assignment over centroid literals. */
-  private def cellOf(cents: Array[Array[Double]]): Column =
+  private[graft] def cellOf(cents: Array[Array[Double]]): Column =
     bestCentroid(cents).getField("cell")
+
+  /** The `m` nearest cells by cosine (multi-probe assignment, the IVF
+    * trick reused by SemDeDup blocking): all centroid cosines evaluate in
+    * one codegen'd projection, sort_array keeps the top-m cell indices.
+    * Ties resolve toward the higher cell index (struct comparison), which
+    * is deterministic either way. */
+  private[graft] def nearestCells(cents: Array[Array[Double]], m: Int): Column =
+    transform(
+      slice(sort_array(array(cents.zipWithIndex.map { case (c, i) =>
+        struct(cosTo(c).as("cos"), lit(i).as("cell"))
+      }: _*), asc = false), 1, m),
+      p => p.getField("cell"))
 
   /** Per-label centroid outliers — embedding QA: the k vectors farthest
     * (lowest cosine) from their OWN label's centroid are the mislabeled /
@@ -155,6 +167,11 @@ object Similarity {
     * is one distributed pass; the only driver traffic is the nlist×dim
     * centroid means (KB-sized at any corpus scale). */
   def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+    // self-register the native cosine (idempotent): cellOf's assignment
+    // column resolves graft_cosine_sim at analysis time, and relying on a
+    // PREVIOUS query having registered it makes the call order-dependent
+    // (bit us when a key rename shuffled the Verify iteration order)
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
     // accept array<float|double> like every other embedding consumer
     // (CosineSimilarity/HyperplaneBuckets); the dimension comes from the
     // vectors themselves, not a parameter that could disagree with them

@@ -316,4 +316,46 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("Expand"), s"unpivot should plan as Expand:\n$plan")
     assert(!plan.contains("Union"), s"unpivot must not plan as self-union:\n$plan")
   }
+
+  test("set ops: intersect/except partition the urgent customer set") {
+    val orders = Tables.orders(spark, sfDir)
+    val out = Analytics.prioritySetOps(orders).cache()
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey").distinct().count()
+    val both = out.filter(col("set_op") === "both_extremes")
+    val only = out.filter(col("set_op") === "urgent_only")
+    // INTERSECT ∪ EXCEPT = the distinct left side, disjointly
+    assert(both.count() + only.count() === urgent)
+    assert(both.select("o_custkey").intersect(only.select("o_custkey")).count() === 0)
+    // set semantics: no duplicates survive either branch
+    assert(out.count() === out.distinct().count())
+    // INTERSECT members really do have a 5-LOW order; EXCEPT members don't
+    val lows = orders.filter(col("o_orderpriority") === "5-LOW").select("o_custkey").distinct()
+    assert(both.select("o_custkey").except(lows).count() === 0)
+    assert(only.select("o_custkey").intersect(lows).count() === 0)
+    out.unpersist()
+  }
+
+  test("argmax: max_by/min_by pick the priced extremes in one aggregate, no window") {
+    val orders = Tables.orders(spark, sfDir)
+    val ext = Analytics.argExtremes(orders).cache()
+    assert(ext.count() === orders.select("o_custkey").distinct().count())
+    // top_order's price IS the max price (join back to check)
+    val chk = ext.join(orders.select(col("o_custkey"), col("o_orderkey").as("top_order"),
+      col("o_totalprice").as("chk_price")), Seq("o_custkey", "top_order"))
+    assert(chk.filter(col("chk_price") =!= col("top_price")).count() === 0)
+    // single-order customers: both extremes collapse to the same order
+    assert(ext.filter(col("n_orders") === 1 && col("top_order") =!= col("bottom_order"))
+      .count() === 0)
+    // max_by's string ordering key gives the aggregate an immutable
+    // buffer, so Spark plans SortAggregate (local sorts only) — the
+    // contract here is no Window pass and no join back onto the fact,
+    // and partial aggregation still precedes the one key shuffle
+    val plan = ext.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("Join"),
+      s"argmax must be one aggregate, not a window or self-join:\n$plan")
+    assert(plan.contains("partial_max_by"),
+      s"argmax must partial-aggregate before the shuffle:\n$plan")
+    ext.unpersist()
+  }
 }

@@ -305,4 +305,41 @@ class DedupSpec extends SparkSpec {
       .join(Dedup.exactDedup(docs).select(col("doc_id"), col("dup_count").as("exact_n")), "doc_id")
     assert(joined.filter(col("norm_n") < col("exact_n")).count() === 0)
   }
+
+  test("prefix-filtered jaccard ≡ plain jaccard, byte for byte") {
+    // the PPJoin prefix principle is lossless for threshold joins — the
+    // two paths must agree EXACTLY, pairs and scores, not approximately
+    val plain = Dedup.ngramJaccard(docs).cache()
+    val pref = Dedup.ngramJaccardPrefix(docs).cache()
+    assert(plain.count() > 0)
+    assert(pref.exceptAll(plain).count() === 0,
+      "prefix path invented or rescored a pair")
+    assert(plain.exceptAll(pref).count() === 0,
+      "prefix path dropped a qualifying pair — the filter is not lossless")
+    plain.unpersist(); pref.unpersist()
+  }
+
+  test("semantic dedup: cluster-blocked pairs ⊆ exact all-pairs, recall holds") {
+    val emb = Tables.embeddings(spark, dir)
+    val t = 0.35
+    val sem = Dedup.semanticDedup(emb, threshold = t).select("vec_a", "vec_b", "cosine").cache()
+    // exact ground truth: unblocked all-pairs above the same threshold
+    graft.functions.GraftFunctions.register(spark)
+    val exact = emb.alias("a")
+      .join(emb.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        graft.functions.GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+          .as("cosine"))
+      .filter(col("cosine") >= t).cache()
+    // blocking can only DROP pairs, never invent or rescore them
+    assert(sem.exceptAll(exact).count() === 0)
+    val nExact = exact.count()
+    val nSem = sem.count()
+    assert(nSem > 0 && nExact > 0)
+    // cluster blocking keeps the bulk of true near-dups (embeddings
+    // cluster by construction, so near-dups co-locate in cells)
+    assert(nSem.toDouble / nExact >= 0.5,
+      s"semantic dedup recall ${nSem.toDouble / nExact} collapsed vs exact all-pairs")
+    sem.unpersist(); exact.unpersist()
+  }
 }

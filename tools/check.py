@@ -132,6 +132,17 @@ def main():
         else:
             print(f"PASS {name} ({len(spark_rows)} rows)")
 
+    # A query whose dump failed leaves NO dir — a dirs-only scan would
+    # silently skip it (ml_kmeans once passed this gate while crashing in
+    # Verify). The manifest closes that hole.
+    manifest_path = out_dir / "queries.json"
+    if manifest_path.exists():
+        expected = set(json.loads(manifest_path.read_text()))
+        present = {d.name for d in out_dir.iterdir() if d.is_dir()}
+        for name in sorted(expected - present):
+            print(f"FAIL {name}: listed in manifest but produced no output")
+            failures += 1
+
     extra = [d.name for d in out_dir.iterdir()
              if d.is_dir() and d.name not in oracles]
     for name in extra:
