@@ -220,7 +220,7 @@ object SparkEntry {
     "dim_time" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
     "dim_users" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
     "dim_zones" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
-    "fact_events" -> ((s, dir) => {
+    "fact_ev" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
     }),
@@ -236,9 +236,14 @@ object SparkEntry {
     "agg_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
     "agg_pctl" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
+    // RANGE-frame trailing 7d window: frame bounded by day DISTANCE, so
+    // gap days never let the frame reach back too far (rows frames do)
+    "agg_rng" -> ((s, dir) => Aggregates.revenueTrailing7dByZone(silver(s, dir))),
+    // second-moment profile: corr/covar_samp/stddev_samp in one aggregate
+    "agg_corr" -> ((s, dir) => Aggregates.valueHourStatsByZone(silver(s, dir))),
     "agg_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
     "agg_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
-    "agg_funnel" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
+    "agg_fun" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
     "dq_prof" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
@@ -258,7 +263,7 @@ object SparkEntry {
     // column exercises the FALSE branch (the spec covers TRUE)
     "dq_fresh" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
     // §2.2 feature engineering
-    "feat_demand" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
+    "feat_dem" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
     "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
     "feat_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
     // leave-one-out target encoding: event_type → mean(value) over the
@@ -400,7 +405,7 @@ object SparkEntry {
         .select("event_id", "zone_id", "zone_events")
     }),
     // §2.7 dedup suite
-    "dedup_exact" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dedup_ex" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
     "dedup_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
@@ -505,7 +510,7 @@ object SparkEntry {
     "corp_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // training-mix composition: tokens per (split, lang) + within-split
     // share, over the deterministic split assignment
-    "corpus_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
+    "corp_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
     "text_lm1" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
     // bigram LM: per-transition NLL — catches word-salad docs whose
     // unigram mix looks fine but whose transitions are improbable
@@ -524,15 +529,15 @@ object SparkEntry {
     // temperature-scaled resampling weights (XLM-R/mC4 sampling rule)
     "mix_temp" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
-    "text_winnow" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
+    "text_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
-    "mon_edrift" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
+    "mon_edr" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
     "mm_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
     // payloads (per-partition decoder init, typed frames out); the decoder
     // itself is the documented deterministic stub — no codec libs here
-    "mm_decode" -> ((s, dir) =>
+    "mm_dec" -> ((s, dir) =>
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // rows-only: the full frame pipeline — decode → sample → resize —
     // pipelined per partition with no intermediate materialization
@@ -548,7 +553,7 @@ object SparkEntry {
     }),
     "sim_out" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir))),
-    "sim_bf_topk" -> ((s, dir) => {
+    "sim_bf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
@@ -779,7 +784,7 @@ object SparkEntry {
          |       'synthetic_city' AS city, 'zone' AS zone_type
          |FROM (SELECT DISTINCT zone_id FROM silver WHERE zone_id IS NOT NULL)""".stripMargin,
 
-    "fact_events" ->
+    "fact_ev" ->
       s"""$silverCte
          |SELECT event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -848,7 +853,7 @@ object SparkEntry {
          |       round(avg(value), 4) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
-    "agg_funnel" ->
+    "agg_fun" ->
       s"""$silverCte,
          |s1 AS (
          |  SELECT user_id, event_id, ts, event_type,
@@ -984,7 +989,7 @@ object SparkEntry {
          |       lag_hours > 24.0 AS stale_alert
          |FROM lagd""".stripMargin,
 
-    "feat_demand" -> featDemandSql,
+    "feat_dem" -> featDemandSql,
 
     "feat_surge" -> featSurgeSql,
 
@@ -1023,6 +1028,32 @@ object SparkEntry {
         |       round(avg(o_totalprice), 6) AS avg_value
         |FROM orders, cuts
         |GROUP BY 1""".stripMargin,
+
+    // same daily grain, RANGE frame mirrored: integer day ORDER BY with
+    // RANGE BETWEEN 6 PRECEDING — both engines bound the frame by value
+    "agg_rng" ->
+      s"""$silverCte,
+         |daily AS (
+         |  SELECT zone_id, event_date AS date, round(sum(value), 4) AS rev,
+         |         datediff('day', DATE '1970-01-01', event_date) AS day
+         |  FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |)
+         |SELECT zone_id, date, rev,
+         |       round(sum(rev) OVER w, 4) AS rev_7d,
+         |       count(*) OVER w AS days_active_7d
+         |FROM daily
+         |WINDOW w AS (PARTITION BY zone_id ORDER BY day
+         |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "agg_corr" ->
+      s"""$silverCte
+         |SELECT zone_id, count(*) AS n,
+         |       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
+         |       round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 6) AS covar_value_hour,
+         |       round(stddev_samp(value), 6) AS stddev_value
+         |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
+         |GROUP BY 1""".stripMargin,
 
     "sc_demand" -> scoreDemandSql,
 
@@ -1478,7 +1509,7 @@ object SparkEntry {
          |FROM silver s JOIN zd ON s.zone_id = zd.zone_id
          |WHERE s.zone_id IS NOT NULL""".stripMargin,
 
-    "dedup_exact" ->
+    "dedup_ex" ->
       """SELECT doc_id, md5(lower(text)) AS text_hash,
         |       min(doc_id) OVER w AS winner_id,
         |       count(*) OVER w AS dup_count,
@@ -1920,7 +1951,7 @@ object SparkEntry {
 
     // token_share divides identical integers in both engines (exact long
     // sums) -> identical doubles
-    "corpus_mix" ->
+    "corp_mix" ->
       """WITH assigned AS (
         |  SELECT lang, text,
         |         CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -2112,7 +2143,7 @@ object SparkEntry {
     // single space, w=4 window mins, per-doc distinct; short docs
     // (0 < m < w) get one window over all m hashes (list_slice truncates
     // at the array end on both engines)
-    "text_winnow" ->
+    "text_win" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
         |),
@@ -2131,7 +2162,7 @@ object SparkEntry {
 
     // centroid split is vec_id parity (sf-independent); means/cosine are
     // double sums in engine order -> 6 dp rounds
-    "mon_edrift" ->
+    "mon_edr" ->
       """WITH f AS (
         |  SELECT label, vec_id, u.pos AS pos, u.v AS v FROM (
         |    SELECT label, vec_id,
@@ -2181,7 +2212,7 @@ object SparkEntry {
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
 
-    "sim_bf_topk" ->
+    "sim_bf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
          |scored AS (

@@ -88,6 +88,15 @@ object Stress {
     // broadcast SIZE — ~1.2 MB per million benchmark keys vs a hashed
     // relation an order of magnitude bigger — which pays off when
     // benchmark suites reach tens of millions of rows.
+    // the prefix-filter's intended regime: every shingle has df≈10 (ten
+    // near-identical copies), so candidate volume — 45 pairs per distinct
+    // shingle — dominates; compare against the plain capped join on the
+    // SAME corpus (the stop-shingle block below measures the dup-light
+    // regime, where the prefix machinery is pure overhead)
+    time("ngram_dup_10x")(Dedup.ngramJaccard(dupHeavy))
+    time("ngram_dup_prefix_10x")(Dedup.ngramJaccardPrefix(dupHeavy))
+    spark.catalog.clearCache()
+    dupHeavy.cache(); dupHeavy.count()  // re-pin the corpus for the lines below
     val bench10 = dupHeavy.filter(col("doc_id") % 10 === 0)
     time("decontam_exact_10x")(Dedup.decontaminate(dupHeavy, bench10))
     time("decontam_bloom_10x")(Dedup.bloomDecontaminate(dupHeavy, bench10))
@@ -169,7 +178,15 @@ object Stress {
     val sh10 = Dedup.shingleTable(ss10).persist()
     time("ngram_capped_10x_mat")(Dedup.ngramJaccardFromShingles(sh10))
     sh10.unpersist()
+    // prefix-filtered exact path (PPJoin): candidates from rarity-ordered
+    // prefixes only, full-set verify — output byte-identical (spec); the
+    // measurement is whether the smaller candidate join beats the extra
+    // rank window + verify join at this corpus shape. Runs after the
+    // other ngram lines so its internal shingle persist (reclaimed by the
+    // clearCache below) never sits under them.
+    time("ngram_prefix_10x")(Dedup.ngramJaccardPrefix(ss10))
     ss10.unpersist()
+    spark.catalog.clearCache()
 
     val emb = Tables.embeddings(spark, sfDir)
     val emb10x = (0 until 10).map { i =>

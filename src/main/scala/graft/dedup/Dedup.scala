@@ -282,9 +282,20 @@ object Dedup {
     * verified exactly against the full shingle sets (one sorted array
     * per doc, `array_intersect` in a codegen'd projection), so the
     * result is byte-identical to the unfiltered path (spec-asserted).
-    * At t = 0.5 the prefix is ~⅓ of each set → ~9× less join fan-out on
-    * uniform df; composes with the `dfMax` stop-shingle cap, which
-    * bounds the worst single key either way. */
+    * The prefix is ~(1−t)·|A|+1 shingles → join fan-out scales by
+    * (1−t)²: 25% at t = 0.5, 4% at t = 0.8. Composes with the `dfMax`
+    * stop-shingle cap, which bounds the worst single key either way.
+    *
+    * WHEN TO USE (measured, Stress `ngram_*` lines): the prefix machinery
+    * (df join + per-doc rank window + set materialization + verify join)
+    * is fixed overhead proportional to the shingle table, while the
+    * saving is proportional to candidate-join volume. On a dup-LIGHT
+    * corpus (shingles mostly df ≤ 2, join already cheap) it measures
+    * ~2× SLOWER than [[ngramJaccard]]; it pays off on dup-dense corpora
+    * (many mid-df shingles) and at high thresholds where (1−t)² is
+    * small. The plain capped join is the right default; this is the
+    * escape hatch when the candidate join, not the scan, is the
+    * bottleneck. */
   def ngramJaccardPrefix(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
     val ex = dfFiltered(shingleTable(docs, n).persist(), dfMax)

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Gold aggregate tables (reference src/transformation/gold_aggregates.py:37-66).
@@ -141,4 +142,40 @@ object Aggregates {
         count(lit(1)).as("n"),
         pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"), pct(0.95, "p95"))
   }
+
+  /** Trailing-7-day revenue per zone as a RANGE-frame window: the frame is
+    * bounded by the ORDER-BY VALUE (day distance), not a row count — so a
+    * zone with gap days still sums exactly the last 7 calendar days, where
+    * a `rowsBetween(-6, 0)` frame would silently reach back further. The
+    * window partitions by zone (data-growing key, bounded state); input is
+    * the already-aggregated daily grain, so the range pass touches
+    * |zones|×|days| rows, never raw events. Rounding at the daily grain
+    * edge keeps the trailing sums bit-stable across engines. */
+  def revenueTrailing7dByZone(fact: DataFrame): DataFrame = {
+    val daily = fact
+      .filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+      .groupBy(col("zone_id"), col("event_date").as("date"))
+      .agg(round(sum(col("value")), 4).as("rev"))
+      .withColumn("day", datediff(col("date"), lit("1970-01-01")))
+    val w = Window.partitionBy("zone_id").orderBy("day").rangeBetween(-6, 0)
+    daily
+      .withColumn("rev_7d", round(sum(col("rev")).over(w), 4))
+      .withColumn("days_active_7d", count(lit(1)).over(w))
+      .select("zone_id", "date", "rev", "rev_7d", "days_active_7d")
+  }
+
+  /** Per-zone second-moment statistics: Pearson correlation and sample
+    * covariance between purchase value and hour-of-day, plus the sample
+    * stddev of value — the "is price time-of-day dependent" profile. One
+    * hash aggregate (all three are single-pass moment aggregates with
+    * map-side partials); ANSI sample semantics on both engines. */
+  def valueHourStatsByZone(fact: DataFrame): DataFrame =
+    fact
+      .filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(corr(col("value"), hour(col("ts")).cast("double")), 6).as("corr_value_hour"),
+        round(covar_samp(col("value"), hour(col("ts")).cast("double")), 6).as("covar_value_hour"),
+        round(stddev_samp(col("value")), 6).as("stddev_value"))
 }

@@ -218,6 +218,46 @@ class PipelineSpec extends SparkSpec {
       col("p95") > bounds.getAs[Double]("hi") + 1e-6).count() === 0)
   }
 
+  test("trailing 7d range window: frame bounded by day distance, not row count") {
+    val t = Aggregates.revenueTrailing7dByZone(silver).cache()
+    assert(t.count() > 0)
+    // every frame holds 1..7 days and the sum is at least its own day
+    assert(t.filter(col("days_active_7d") < 1 || col("days_active_7d") > 7).count() === 0)
+    assert(t.filter(col("rev_7d") < col("rev") - 1e-6).count() === 0)
+    // cross-check one zone by hand: rev_7d = sum of that zone's daily rev
+    // within [day-6, day] — the RANGE semantics a rows-frame would break
+    import spark.implicits._
+    val z = t.select("zone_id").head().getLong(0)
+    val days = t.filter(col("zone_id") === z)
+      .select(datediff(col("date"), lit("1970-01-01")).as("day"), col("rev"), col("rev_7d"))
+      .collect().map(r => (r.getAs[Int]("day"), r.getAs[Double]("rev"), r.getAs[Double]("rev_7d")))
+    days.foreach { case (d, _, r7) =>
+      val expect = days.filter(x => x._1 >= d - 6 && x._1 <= d).map(_._2).sum
+      assert(math.abs(r7 - expect) < 1e-3, s"zone $z day $d: $r7 vs $expect")
+    }
+    t.unpersist()
+  }
+
+  test("value-hour stats: corr bounded, covar/stddev consistent, single aggregate") {
+    // plan audit FIRST, before the cache below would wrap the lineage in
+    // an InMemoryRelation whose dump double-counts the embedded plan: no
+    // join anywhere, one partial+final hash-aggregate pair (silver's own
+    // chain has a dedup window but no aggregate, so the count isolates
+    // this operator)
+    val audit = Aggregates.valueHourStatsByZone(silver)
+      .queryExecution.executedPlan.toString
+    assert(!audit.contains("Join"), s"moment stats must not join:\n$audit")
+    assert("HashAggregate".r.findAllMatchIn(audit).size === 2,
+      s"moment stats must be one partial+final hash aggregate pass:\n$audit")
+    val s = Aggregates.valueHourStatsByZone(silver).cache()
+    assert(s.count() > 0)
+    assert(s.filter(col("corr_value_hour") > 1.0 || col("corr_value_hour") < -1.0).count() === 0)
+    assert(s.filter(col("stddev_value") < 0).count() === 0)
+    // corr sign == covar sign (they share the numerator)
+    assert(s.filter(col("corr_value_hour") * col("covar_value_hour") < -1e-9).count() === 0)
+    s.unpersist()
+  }
+
   test("sketch union: merged daily HLLs track the exact global distinct") {
     val out = graft.quality.DataQuality.sketchUnionDistinct(silver).head()
     val exact = silver.filter(col("user_id").isNotNull)
