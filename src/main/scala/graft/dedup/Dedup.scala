@@ -286,16 +286,25 @@ object Dedup {
     * (1−t)²: 25% at t = 0.5, 4% at t = 0.8. Composes with the `dfMax`
     * stop-shingle cap, which bounds the worst single key either way.
     *
-    * WHEN TO USE (measured, Stress `ngram_*` lines): the prefix machinery
-    * (df join + per-doc rank window + set materialization + verify join)
-    * is fixed overhead proportional to the shingle table, while the
-    * saving is proportional to candidate-join volume. On a dup-LIGHT
-    * corpus (shingles mostly df ≤ 2, join already cheap) it measures
-    * ~2× SLOWER than [[ngramJaccard]]; it pays off on dup-dense corpora
-    * (many mid-df shingles) and at high thresholds where (1−t)² is
-    * small. The plain capped join is the right default; this is the
-    * escape hatch when the candidate join, not the scan, is the
-    * bottleneck. */
+    * MEASURED VERDICT (Stress `ngram_*` lines, 50k docs): the plain
+    * capped join WINS IN BOTH REGIMES — dup-light stop-shingle corpus
+    * 26.5 s plain vs 51.4 s prefix (~2× slower: candidate join already
+    * cheap, prefix machinery pure overhead; a second, contended epoch
+    * measured 47.9 vs 46.3 s — parity at best, never faster),
+    * dup-DENSE 10-variant corpus 66.5 s plain vs 280 s prefix
+    * (~4× slower, same epoch). The dup-dense loss is
+    * structural, not tuning: verification joins every candidate pair
+    * against the FULL per-doc shingle arrays, so each doc's set is
+    * replicated once per surviving pair — on dup-dense data the pair
+    * count is what exploded, so the verify stage amplifies exactly when
+    * the prefix was supposed to save. The single-machine PPJoin wins
+    * come from memory-resident inverted indexes with positional
+    * early-termination, which a shuffle dataflow cannot express without
+    * this amplification; Spark's shared-shingle equi-join + map-side
+    * combine computes all intersections in one pass and IS the right
+    * distributed algorithm here. Kept as the documented, spec-verified
+    * negative result; use [[ngramJaccard]] (with `dfMax`, and
+    * `persistShingles` at corpus scale). */
   def ngramJaccardPrefix(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
       dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
     val ex = dfFiltered(shingleTable(docs, n).persist(), dfMax)
