@@ -74,4 +74,21 @@ object Sources {
     * scans are unchanged, pruning/pushdown still apply. */
   def readParquetMerged(spark: SparkSession, path: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
+
+  /** Raw binary-asset source (`binaryFile` format): each matching file
+    * becomes one row of (path, modificationTime, length, content) — the
+    * ingestion path for image/audio/video payloads feeding
+    * [[graft.multimodal.Multimodal]]. `pathGlobFilter` prunes at FILE
+    * LISTING time (never opens non-matching files), and
+    * `maxBytesPerFile` is a hard guard against a stray multi-GB asset
+    * OOMing an executor (rows carry whole payloads; Spark caps
+    * `binaryFile` rows at spark.sql.sources.binaryFile.maxLength, 2 GB).
+    * At 100 TB the listing itself is the scale risk — feed partitioned
+    * subdirectories, not one flat million-file dir. */
+  def readBinaryFiles(spark: SparkSession, path: String,
+      glob: String = "*", maxBytes: Long = 64L * 1024 * 1024): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(path)
+      .filter(col("length") <= maxBytes)
 }

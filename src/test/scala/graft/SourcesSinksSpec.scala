@@ -119,4 +119,32 @@ class SourcesSinksSpec extends SparkSpec {
     Sinks.overwritePartitions(day2v2, out, Seq("event_date"))
     assert(spark.read.parquet(out).count() === 3)
   }
+
+  test("binaryFile source: glob prunes at listing, payloads round-trip, size guard holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
+    val payloads = Map(
+      "a.jpg" -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 1, 2, 3),
+      "b.jpg" -> Array[Byte](0xFF.toByte, 0xD8.toByte, 0xFF.toByte, 9),
+      "c.txt" -> "not an image".getBytes("UTF-8"))
+    payloads.foreach { case (name, bytes) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name), bytes)
+    }
+    val jpgs = Sources.readBinaryFiles(spark, dir, glob = "*.jpg")
+    val rows = jpgs.collect().map(r =>
+      r.getAs[String]("path").split('/').last -> r.getAs[Array[Byte]]("content")).toMap
+    // the txt file is pruned by the listing-time glob, never read
+    assert(rows.keySet === Set("a.jpg", "b.jpg"))
+    assert(rows("a.jpg").toSeq === payloads("a.jpg").toSeq, "payload must round-trip byte-exact")
+    assert(jpgs.schema.fieldNames.toSet ===
+      Set("path", "modificationTime", "length", "content"))
+    // size guard: a 1-byte cap drops everything
+    assert(Sources.readBinaryFiles(spark, dir, glob = "*.jpg", maxBytes = 1).count() === 0)
+    // the content column feeds the multimodal pipeline shape-compatibly
+    // (metadata casts its text column to binary; binary→binary is a no-op)
+    val meta = graft.multimodal.Multimodal.metadata(
+      jpgs.select(col("length").cast("long").as("doc_id"), col("content").as("text")))
+    assert(meta.count() === 2)
+    assert(meta.filter(col("magic_hex").startsWith("ffd8ff")).count() === 2,
+      "JPEG magic bytes must surface in magic_hex")
+  }
 }
