@@ -280,7 +280,7 @@ object SparkEntry {
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "sc_surge" -> ((s, dir) =>
       Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
-    "sc_metrics" -> ((s, dir) =>
+    "sc_metr" -> ((s, dir) =>
       Scoring.scoringMetrics(
         Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir))),
         "event_count", "predicted_demand")),
@@ -393,7 +393,7 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_wfuncs" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
-    "q_semi_anti" -> ((s, dir) => Analytics.orderActivityByNation(
+    "q_semi" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     // salted join: result must equal the plain join (the oracle IS the
     // plain join); the salt's value shows on skewed corpora (see Stress)
@@ -488,7 +488,7 @@ object SparkEntry {
     "smp_shuf" -> ((s, dir) =>
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
-    "dedup_simh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "dedup_sh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dedup_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
     "text_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
@@ -541,7 +541,7 @@ object SparkEntry {
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // rows-only: the full frame pipeline — decode → sample → resize —
     // pipelined per partition with no intermediate materialization
-    "mm_resize" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
+    "mm_rsz" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))))).toDF()),
     // §2.8 similarity search
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
@@ -576,6 +576,16 @@ object SparkEntry {
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "st_tumble" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    // batch face of the continuous drift monitor: per-day PSI of value vs
+    // the pre-split baseline histogram (streaming face spec-asserted
+    // equal; baseline fractions fold in as literals — model metadata)
+    "st_psi" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val base = sv.filter(col("event_date") < lit(monitorSplit))
+      val (lo, hi, pcts) = Monitoring.baselineHistogram(base, "value")
+      Streams.psiAlertStream(sv.filter(col("event_date") >= lit(monitorSplit)),
+        lo, hi, pcts, windowLen = "1 day")
+    }),
     "st_slide" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
     "st_sess" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
     // batch face of the stream-stream interval join (clicks × purchases
@@ -590,7 +600,7 @@ object SparkEntry {
       .select("event_id", "user_id", "ts", "session_seq")),
     // batch face of the stream-static enrichment join (identical call on a
     // readStream frame re-broadcasts the dim per micro-batch, zero state)
-    "st_enrich" -> ((s, dir) => {
+    "st_enr" -> ((s, dir) => {
       val sv = silver(s, dir)
       Streams.enrichWithDim(sv.select("event_id", "zone_id", "event_type", "value"),
         Gold.dimZones(sv))
@@ -1097,7 +1107,7 @@ object SparkEntry {
          |           * (1.0 + least(greatest(0.0, 0.0), 1.0) * 0.25), 1.0), 3.0) AS predicted_surge
          |FROM sf""".stripMargin,
 
-    "sc_metrics" ->
+    "sc_metr" ->
       s"""WITH df AS ($featDemandSql),
          |scored AS (
          |  SELECT CAST(event_count AS DOUBLE) AS y,
@@ -1484,7 +1494,7 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
 
-    "q_semi_anti" ->
+    "q_semi" ->
       """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),
         |flags AS (
         |  SELECT c_nationkey,
@@ -1767,7 +1777,7 @@ object SparkEntry {
          |  JOIN sizes sb ON doc_b = sb.doc_id
          |) WHERE jaccard >= 0.5""".stripMargin,
 
-    "dedup_simh" ->
+    "dedup_sh" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
         |),
@@ -2293,7 +2303,7 @@ object SparkEntry {
          |         AS session_seq
          |FROM lagged""".stripMargin,
 
-    "st_enrich" ->
+    "st_enr" ->
       s"""$silverCte,
          |zd AS (
          |  SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
@@ -2338,6 +2348,51 @@ object SparkEntry {
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
          |       event_type, count(*) AS event_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+
+    // full PSI replay: baseline histogram recomputed in SQL (same
+    // fixed-width clamp-to-edge binning, same 1e-6 floors), per-day
+    // current histograms via a window×bin grid so EMPTY bins still
+    // contribute their clamped term — identical floating math to the
+    // Spark projection, rounded at 6 dp
+    "st_psi" ->
+      s"""$silverCte,
+         |base AS (
+         |  SELECT value FROM silver
+         |  WHERE event_date < DATE '$monitorSplit' AND value IS NOT NULL
+         |),
+         |bstats AS (SELECT min(value) AS lo, max(value) AS hi FROM base),
+         |bins AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
+         |bcounts AS (
+         |  SELECT CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9) AS INT) AS bin,
+         |         count(*) AS c
+         |  FROM base, bstats GROUP BY 1
+         |),
+         |bp AS (
+         |  SELECT bins.bin,
+         |         greatest(coalesce(bcounts.c, 0) / (SELECT count(*) FROM base), 1e-6) AS p
+         |  FROM bins LEFT JOIN bcounts ON bins.bin = bcounts.bin
+         |),
+         |cur AS (
+         |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         |         CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9) AS INT) AS bin
+         |  FROM silver, bstats
+         |  WHERE event_date >= DATE '$monitorSplit' AND value IS NOT NULL
+         |),
+         |tot AS (SELECT window_start, count(*) AS n FROM cur GROUP BY 1),
+         |ccounts AS (SELECT window_start, bin, count(*) AS c FROM cur GROUP BY 1, 2),
+         |terms AS (
+         |  SELECT t.window_start, t.n, bp.bin,
+         |         greatest(coalesce(cc.c, 0) / t.n, 1e-6) AS cp, bp.p
+         |  FROM tot t CROSS JOIN bp
+         |  LEFT JOIN ccounts cc ON cc.window_start = t.window_start AND cc.bin = bp.bin
+         |)
+         |SELECT window_start,
+         |       window_start + INTERVAL 1 DAY AS window_end,
+         |       n,
+         |       round(sum((cp - p) * ln(cp / p)), 6) AS psi,
+         |       CAST(round(sum((cp - p) * ln(cp / p)), 6) >= 0.2 AS INT) AS drift_alert
+         |FROM terms
+         |GROUP BY 1, 2, 3""".stripMargin,
 
     // each event lands in exactly width/slide = 4 windows; Spark aligns
     // window starts to epoch multiples of the slide, which 15-minute

@@ -79,6 +79,31 @@ object Monitoring {
     * bin and keeps the plan a (feature, bin)-keyed aggregate plus a
     * window over ≤ `bins` rows per feature. Integer-ratio arithmetic
     * throughout → bit-identical on any engine. */
+  /** Reference-window histogram as driver-side model metadata: fixed-width
+    * bin fractions over [lo, hi], clamped at 1e-6 like [[psi]]'s base
+    * side. KB-sized at any corpus scale (bins doubles + two bounds) — the
+    * ONE legitimate collect in the monitoring stack, because a drift
+    * baseline IS model metadata that ships with the model, not data. Used
+    * by [[graft.streaming.Streams.psiAlertStream]] to fold the baseline
+    * into stream-side literals. */
+  def baselineHistogram(df: DataFrame, valueCol: String,
+      bins: Int = 10): (Double, Double, Array[Double]) = {
+    val vals = df.select(col(valueCol).cast("double").as("x")).filter(col("x").isNotNull)
+    val Array(lo, hi) = vals.agg(min("x"), max("x")).head() match {
+      case r => Array(r.getDouble(0), r.getDouble(1))
+    }
+    val width = (hi - lo) / bins
+    val binCol =
+      if (hi == lo) lit(0)
+      else least(greatest(floor((col("x") - lit(lo)) / lit(width)), lit(0)), lit(bins - 1)).cast("int")
+    val counts = vals.withColumn("bin", binCol)
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[Int]("bin") -> r.getAs[Long]("n")).toMap
+    val total = counts.values.sum.toDouble
+    val pcts = Array.tabulate(bins)(i => math.max(counts.getOrElse(i, 0L) / total, 1e-6))
+    (lo, hi, pcts)
+  }
+
   def ksStat(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("feature").orderBy("bin")

@@ -156,6 +156,54 @@ object Streams {
     tumblingCounts(stream.withWatermark("ts", watermark))
   }
 
+  /** Continuous drift monitoring: per-window PSI of a value column
+    * against a frozen baseline histogram, as ONE streaming aggregation.
+    *
+    * The trick that keeps it append-mode legal: PSI needs per-bin counts
+    * AND a per-window reduction over bins — two aggregations, which
+    * Structured Streaming forbids. But the bin count is fixed and small,
+    * so the histogram becomes `bins` conditional sums inside the single
+    * windowed aggregate, and the PSI reduction Σ(c%−b%)·ln(c%/b%) is then
+    * a plain PROJECTION over those columns with the baseline fractions
+    * folded in as literals (via [[graft.monitoring.Monitoring
+    * .baselineHistogram]] — the baseline is model metadata, computed once
+    * at query build). Watermark-final append output: one row per sealed
+    * window with its event count, PSI, and a threshold alert flag.
+    * Industry alert convention: PSI < 0.1 stable, 0.1–0.2 moderate,
+    * ≥ 0.2 significant (the default threshold).
+    *
+    * Works identically on a batch frame (windowed groupBy is the same
+    * declarative op), which is what the equivalence spec exercises. */
+  def psiAlertStream(events: DataFrame, lo: Double, hi: Double, pcts: Array[Double],
+      valueCol: String = "value", windowLen: String = "1 hour",
+      watermark: String = "2 hours", threshold: Double = 0.2): DataFrame = {
+    val bins = pcts.length
+    val width = (hi - lo) / bins
+    val binCol =
+      if (hi == lo) lit(0)
+      else least(greatest(floor((col(valueCol) - lit(lo)) / lit(width)), lit(0)), lit(bins - 1))
+        .cast("int")
+    val isStreaming = events.isStreaming
+    val base = if (isStreaming) events.withWatermark("ts", watermark) else events
+    val binCounts = (0 until bins).map(i =>
+      sum(when(col("bin") === i, 1L).otherwise(0L)).as(s"c$i"))
+    val counted = base
+      .filter(col(valueCol).isNotNull)
+      .withColumn("bin", binCol)
+      .groupBy(window(col("ts"), windowLen))
+      .agg(count(lit(1)).as("n"), binCounts: _*)
+    val psiExpr = (0 until bins).map { i =>
+      val cPct = greatest(col(s"c$i") / col("n"), lit(1e-6))
+      (cPct - lit(pcts(i))) * log(cPct / lit(pcts(i)))
+    }.reduce(_ + _)
+    counted.select(
+      col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      col("n"),
+      round(psiExpr, 6).as("psi"))
+      .withColumn("drift_alert", (col("psi") >= threshold).cast("int"))
+  }
+
   /** Custom streaming state: running per-user event counts via
     * mapGroupsWithState (the arbitrary-state API; the built-in windowed
     * aggs above cover everything expressible declaratively). */

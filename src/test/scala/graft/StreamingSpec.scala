@@ -100,6 +100,44 @@ class StreamingSpec extends SparkSpec {
     assert(batchCount === raw.select("event_id").distinct().count())
   }
 
+  test("streaming PSI drift monitor: drifted window alerts, stable window doesn't, matches batch face") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // baseline: uniform over [0, 10)
+    val baseline = (0 until 1000).map(i => i % 100 / 10.0).toDF("value")
+    val (lo, hi, pcts) = graft.monitoring.Monitoring.baselineHistogram(baseline, "value")
+    assert(math.abs(pcts.sum - 1.0) < 1e-9 && pcts.forall(p => math.abs(p - 0.1) < 1e-3))
+    // window 1 (10:00): same uniform shape → no alert
+    // window 2 (12:00): everything piled into the top bin → alert
+    val stable = (0 until 200).map(i => (i.toLong, ts("2024-01-01 10:30:00"), i % 100 / 10.0))
+    val drifted = (0 until 200).map(i => (1000L + i, ts("2024-01-01 12:30:00"), 9.9))
+    val mem = MemoryStream[(Long, Timestamp, Double)]
+    mem.addData(stable ++ drifted: _*)
+    // watermark-advancing tail event so both windows seal in append mode
+    mem.addData((9999L, ts("2024-01-02 00:00:00"), 5.0))
+    val events = mem.toDF.toDF("event_id", "ts", "value")
+    val alerts = Streams.psiAlertStream(events, lo, hi, pcts)
+    Streams.toMemorySink(alerts, "psi_stream", OutputMode.Append())
+    val rows = spark.sql("SELECT * FROM psi_stream").collect()
+      .map(r => r.getAs[Timestamp]("window_start") -> r).toMap
+    val w1 = rows(ts("2024-01-01 10:00:00"))
+    val w2 = rows(ts("2024-01-01 12:00:00"))
+    assert(w1.getAs[Long]("n") === 200 && w2.getAs[Long]("n") === 200)
+    assert(w1.getAs[Int]("drift_alert") === 0,
+      s"stable window must not alert (psi=${w1.getAs[Double]("psi")})")
+    assert(w1.getAs[Double]("psi") < 0.05)
+    assert(w2.getAs[Int]("drift_alert") === 1,
+      s"collapsed-distribution window must alert (psi=${w2.getAs[Double]("psi")})")
+    // batch face on the same rows produces the same sealed-window numbers
+    val batchDf = (stable ++ drifted).toDF("event_id", "ts", "value")
+    val batch = Streams.psiAlertStream(batchDf, lo, hi, pcts).collect()
+      .map(r => r.getAs[Timestamp]("window_start") -> r).toMap
+    Seq(ts("2024-01-01 10:00:00"), ts("2024-01-01 12:00:00")).foreach { w =>
+      assert(batch(w).getAs[Double]("psi") === rows(w).getAs[Double]("psi"))
+      assert(batch(w).getAs[Long]("n") === rows(w).getAs[Long]("n"))
+    }
+  }
+
   test("stream-stream attribution join: two watermarked streams, bounded state, matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
