@@ -231,7 +231,7 @@ object SparkEntry {
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
     "dim_scd2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
-    "agg_demand" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
+    "agg_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
@@ -276,7 +276,7 @@ object SparkEntry {
     "feat_bin" -> ((s, dir) =>
       FeatureEngineering.quantileBins(Tables.orders(s, dir), "o_totalprice")),
     // §2.3 scoring + monitoring
-    "sc_demand" -> ((s, dir) =>
+    "sc_dem" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "sc_surge" -> ((s, dir) =>
       Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
@@ -384,12 +384,15 @@ object SparkEntry {
     "q_setop" -> ((s, dir) => Analytics.prioritySetOps(Tables.orders(s, dir))),
     // max_by/min_by argmax aggregates, engine-portable padded ordering key
     "q_argmax" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
+    // edit-distance similarity join over the distinct name dictionary
+    // (lossless length-band blocking as a hash equi-join)
+    "q_fuzzy" -> ((s, dir) => Analytics.fuzzyNameJoin(Tables.part(s, dir))),
     // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
     // grand total in ONE Expand pass — the 3 views a CUBE would charge
     // 8 grouping combinations for
     "q_gsets" -> ((s, dir) => Analytics.customersGroupingSets(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
-    "q_above_avg" -> ((s, dir) => Analytics.aboveNationAvg(
+    "q_above" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_wfuncs" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -469,7 +472,7 @@ object SparkEntry {
         "doc_id", "lang", n = 20).select("doc_id", "lang")),
     // deterministic train/val/test assignment — stable under
     // repartitioning, consistent across tables sharing key+salt
-    "smp_split" -> ((s, dir) =>
+    "smp_spl" -> ((s, dir) =>
       graft.sampling.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "lang", "split")),
     // probability-proportional-to-length sample (token-budgeted mixes):
@@ -841,7 +844,7 @@ object SparkEntry {
          |FROM runs
          |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
 
-    "agg_demand" ->
+    "agg_dem" ->
       s"""$silverCte
          |SELECT event_date AS date, hour(ts) AS hour, zone_id,
          |       count(*) AS event_count
@@ -1065,7 +1068,7 @@ object SparkEntry {
          |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
          |GROUP BY 1""".stripMargin,
 
-    "sc_demand" -> scoreDemandSql,
+    "sc_dem" -> scoreDemandSql,
 
     // latest-wins upsert over the scored frame: run_2 re-scores zone_id%3=0
     // at a later scored_at; UNION ALL + row_number mirrors
@@ -1451,6 +1454,15 @@ object SparkEntry {
         |  EXCEPT
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""".stripMargin,
 
+    // same lossless length-band blocking, same unit-cost edit distance
+    "q_fuzzy" ->
+      """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+        |SELECT a.name AS name_a, b.name AS name_b,
+        |       CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
+        |FROM names a JOIN names b
+        |  ON a.name < b.name AND abs(length(a.name) - length(b.name)) <= 2
+        |WHERE levenshtein(a.name, b.name) <= 2""".stripMargin,
+
     // identical padded ordering string on both sides: fixed-width decimal
     // makes lexicographic == numeric, the orderkey suffix makes it unique
     "q_argmax" ->
@@ -1474,7 +1486,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (n_name), ())""".stripMargin,
 
-    "q_above_avg" ->
+    "q_above" ->
       """WITH na AS (
         |  SELECT c_nationkey, avg(c_acctbal) AS nation_avg FROM customer GROUP BY 1
         |)
@@ -1632,7 +1644,7 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rn <= 20""".stripMargin,
 
-    "smp_split" ->
+    "smp_spl" ->
       """SELECT doc_id, lang,
         |       CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
         |FROM (

@@ -217,6 +217,32 @@ object Analytics {
       .unionByName(urgent.except(low).withColumn("set_op", lit("urgent_only")))
   }
 
+  /** Edit-distance similarity join (entity resolution): all DISTINCT name
+    * pairs within `maxDist` Levenshtein edits — the string face of the
+    * similarity-join family (sets → Jaccard, vectors → cosine, strings →
+    * edit distance). Dictionary-level on purpose: names are deduplicated
+    * BEFORE pairing, so the candidate space is the entity dictionary,
+    * not the fact table. Blocking is a LOSSLESS length band (lev ≤ k ⇒
+    * |len(a)−len(b)| ≤ k) expressed as a hash equi-join: each probe name
+    * explodes to its k±candidate lengths and joins the build side on
+    * exact length — no nested-loop, no quadratic scan. Verification uses
+    * Spark's threshold Levenshtein (early-abandons above k, returns −1)
+    * so the pair cost is bounded by k·min(len), not len². */
+  def fuzzyNameJoin(df: DataFrame, nameCol: String = "p_name",
+      maxDist: Int = 2): DataFrame = {
+    val names = df.select(col(nameCol).as("name")).distinct()
+      .withColumn("len", length(col("name")))
+    val probe = names.select(col("name").as("name_a"),
+      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len"))
+    val build = names.select(col("name").as("name_b"), col("len"))
+    probe.join(build, "len")
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("edit_distance",
+        levenshtein(col("name_a"), col("name_b"), maxDist))
+      .filter(col("edit_distance") >= 0)
+      .select("name_a", "name_b", "edit_distance")
+  }
+
   /** max_by / min_by (argmax aggregates): each customer's highest- and
     * lowest-priced order id in ONE hash aggregate — no window, no sort,
     * no self-join back onto the fact. The ordering key is a zero-padded

@@ -336,6 +336,29 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("fuzzy join: length-band blocking is lossless vs brute force, hash join only") {
+    val part = Tables.part(spark, sfDir)
+    val fuzzy = Analytics.fuzzyNameJoin(part).cache()
+    assert(fuzzy.count() > 0)
+    // brute force ground truth: unblocked distinct-name cross pairs
+    val names = part.select(col("p_name").as("n")).distinct()
+    val brute = names.alias("a").join(names.alias("b"), col("a.n") < col("b.n"))
+      .select(col("a.n").as("name_a"), col("b.n").as("name_b"),
+        levenshtein(col("a.n"), col("b.n")).as("edit_distance"))
+      .filter(col("edit_distance") <= 2)
+    assert(fuzzy.exceptAll(brute).count() === 0, "blocking invented a pair")
+    assert(brute.exceptAll(fuzzy).count() === 0,
+      "length-band blocking dropped a qualifying pair — it must be lossless")
+    // self-pairs excluded, distances within bound, ordered pair key
+    assert(fuzzy.filter(col("name_a") >= col("name_b")).count() === 0)
+    assert(fuzzy.filter(col("edit_distance") < 1 || col("edit_distance") > 2).count() === 0)
+    // the blocked join must plan as a hash equi-join on length, not NLJ
+    val plan = fuzzy.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"fuzzy join must block via equi-join:\n$plan")
+    fuzzy.unpersist()
+  }
+
   test("argmax: max_by/min_by pick the priced extremes in one aggregate, no window") {
     val orders = Tables.orders(spark, sfDir)
     val ext = Analytics.argExtremes(orders).cache()
