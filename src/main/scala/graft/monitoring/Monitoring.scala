@@ -89,9 +89,10 @@ object Monitoring {
   def baselineHistogram(df: DataFrame, valueCol: String,
       bins: Int = 10): (Double, Double, Array[Double]) = {
     val vals = df.select(col(valueCol).cast("double").as("x")).filter(col("x").isNotNull)
-    val Array(lo, hi) = vals.agg(min("x"), max("x")).head() match {
-      case r => Array(r.getDouble(0), r.getDouble(1))
-    }
+    val bounds = vals.agg(min("x"), max("x")).head()
+    require(!bounds.isNullAt(0),
+      s"drift baseline for '$valueCol' has no non-null rows — a histogram over nothing would NPE downstream")
+    val (lo, hi) = (bounds.getDouble(0), bounds.getDouble(1))
     val width = (hi - lo) / bins
     val binCol =
       if (hi == lo) lit(0)
