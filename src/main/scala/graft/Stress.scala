@@ -188,6 +188,47 @@ object Stress {
     ss10.unpersist()
     spark.catalog.clearCache()
 
+    // Fuzzy-join dictionary stress: sf parts carry only ~64 distinct
+    // names, so build a REALISTIC dictionary — 4 words hash-picked from
+    // the p_name vocabulary per id. High segment entropy (the PassJoin
+    // regime), lengths peaked in a ~15-bucket band (the regime where
+    // length-band blocking fans out Σ_ℓ n_ℓ² ≈ N²/3). The length-band
+    // fan-out is COMPUTED from the length histogram (25-row self-join)
+    // instead of materialized — at 10× it is ~10¹⁰ rows, the cliff that
+    // got the round-6 design replaced. PassJoin must grow ~linearly.
+    // sf parts carry only 16 distinct words, so widen to ~416 effective
+    // words with a hash-picked letter suffix — segment entropy matching
+    // a real product/person dictionary, not the boilerplate-prefix
+    // degradation case (that limit is documented in the scaladoc).
+    val vocab = Tables.part(spark, sfDir)
+      .select(explode(split(col("p_name"), " ")).as("w"))
+      .distinct().orderBy("w").collect().map(_.getString(0))
+    val letters = array(('a' to 'z').map(c => lit(c.toString)): _*)
+    def nameDict(n: Long): DataFrame = {
+      val vlit = array(vocab.map(lit).toIndexedSeq: _*)
+      def w(seed: Int) = concat(
+        element_at(vlit,
+          (pmod(xxhash64(col("id"), lit(seed)), lit(vocab.length)) + 1).cast("int")),
+        element_at(letters,
+          (pmod(xxhash64(col("id"), lit(seed + 100)), lit(26)) + 1).cast("int")))
+      spark.range(n)
+        .select(concat_ws(" ", w(1), w(2), w(3), w(4)).as("name"))
+        .repartition(cpus.toInt).cache()
+    }
+    for (mult <- Seq(1, 10)) {
+      val nd = nameDict(20000L * mult)
+      val hist = nd.select(length(col("name")).as("len"))
+        .groupBy("len").count()
+      val lenbandPairs = hist.alias("a").join(hist.alias("b"),
+          abs(col("a.len") - col("b.len")) <= 2)
+        .agg(sum(col("a.count") * col("b.count"))).head().getLong(0) / 2
+      println(s"name dict ${mult}x: ${nd.count()} names, " +
+        s"length-band fan-out would be $lenbandPairs pairs")
+      time(s"fuzzy_passjoin_${mult}x")(
+        graft.analytics.Analytics.fuzzyNameJoin(nd, "name"))
+      nd.unpersist()
+    }
+
     val emb = Tables.embeddings(spark, sfDir)
     val emb10x = (0 until 10).map { i =>
       emb.select((col("vec_id") + lit(i * 1000000L)).as("vec_id"),

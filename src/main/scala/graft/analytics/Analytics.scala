@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -222,21 +222,107 @@ object Analytics {
     * similarity-join family (sets → Jaccard, vectors → cosine, strings →
     * edit distance). Dictionary-level on purpose: names are deduplicated
     * BEFORE pairing, so the candidate space is the entity dictionary,
-    * not the fact table. Blocking is a LOSSLESS length band (lev ≤ k ⇒
-    * |len(a)−len(b)| ≤ k) expressed as a hash equi-join: each probe name
-    * explodes to its k±candidate lengths and joins the build side on
-    * exact length — no nested-loop, no quadratic scan. Verification uses
-    * Spark's threshold Levenshtein (early-abandons above k, returns −1)
-    * so the pair cost is bounded by k·min(len), not len². */
+    * not the fact table.
+    *
+    * Blocking is LOSSLESS segment blocking in the style of PassJoin
+    * (Li, Deng & Feng, PVLDB 2011): each build name of length L splits
+    * into k+1 contiguous segments. If lev(a,b) ≤ k then, over an optimal
+    * alignment, some segment is edit-free (pigeonhole: ≤ k edits, k+1
+    * segments) and every character in it shifts by at most the number of
+    * preceding edits ≤ k — so the probe contains that segment VERBATIM,
+    * starting within ±k of its build-side position. The probe therefore
+    * emits, per candidate build length L ∈ [len−k, len+k] and segment
+    * index, the ≤ 2k+1 aligned substrings — a constant ≤ (2k+1)²(k+1)
+    * keys per name — and candidates come from ONE hash equi-join on
+    * (L, segment_index, segment_text). Candidate volume is linear in
+    * the dictionary + the true near-pair count. Length-band blocking
+    * (the natural first cut) is NOT used: its fan-out is Σ_ℓ n_ℓ² —
+    * quadratic per length bucket, effectively all-pairs on a real name
+    * distribution with ~20 distinct lengths (measured: see BASELINE.md
+    * "fuzzy 10× dictionary" stress lines).
+    *
+    * Names shorter than k+1 chars cannot be segmented, but any two
+    * strings of length ≤ k are trivially within k edits (substitute the
+    * overlap, insert the rest), so the short stratum pairs exhaustively
+    * through a length-key join — its size is alphabet-bounded.
+    * Verification uses Spark's threshold Levenshtein (early-abandons
+    * above k, returns −1) so per-pair cost is k·min(len), not len².
+    *
+    * Honest limit: like every signature-based lossless scheme, exact
+    * segments degrade when their VALUES are low-entropy — a dictionary
+    * of `Customer#000000001`-style keys puts the shared literal prefix
+    * in one segment for every name, and that bucket joins quadratically
+    * (the stop-shingle failure mode of [[graft.dedup.Dedup.ngramJaccard]],
+    * which there is capped at the documented cost of coarseness; capping
+    * here would break the lossless contract instead). Strip known
+    * boilerplate prefixes before calling on such keys. */
   def fuzzyNameJoin(df: DataFrame, nameCol: String = "p_name",
       maxDist: Int = 2): DataFrame = {
+    val k = maxDist
+    val nSeg = k + 1
     val names = df.select(col(nameCol).as("name")).distinct()
       .withColumn("len", length(col("name")))
-    val probe = names.select(col("name").as("name_a"),
-      explode(sequence(col("len") - maxDist, col("len") + maxDist)).as("len"))
-    val build = names.select(col("name").as("name_b"), col("len"))
-    probe.join(build, "len")
+
+    // Even partition of a length-L string into k+1 segments: the first
+    // (k+1 − L mod (k+1)) get ⌊L/(k+1)⌋ chars, the rest one more.
+    def segLen(l: Column, i: Column): Column = {
+      val q = floor(l / nSeg).cast("int")
+      val t = lit(nSeg) - (l % nSeg)
+      when(i < t, q).otherwise(q + 1)
+    }
+    def segPos(l: Column, i: Column): Column = { // 0-based start offset
+      val q = floor(l / nSeg).cast("int")
+      val t = lit(nSeg) - (l % nSeg)
+      i * q + when(i < t, lit(0)).otherwise(i - t)
+    }
+
+    val longNames = names.filter(col("len") >= nSeg)
+    val shortNames = names.filter(col("len") < nSeg)
+
+    // Build side: k+1 (length, index, segment) rows per name.
+    val build = longNames
+      .select(col("name").as("name_b"), col("len").as("lb"),
+        explode(sequence(lit(0), lit(k))).as("i"))
+      .withColumn("seg", col("name_b").substr(
+        segPos(col("lb"), col("i")) + 1, segLen(col("lb"), col("i"))))
+
+    // Probe side: the aligned substrings an edit-free segment could map
+    // to. The j-window is always non-empty: pos+len(seg) ≤ L and
+    // L ≤ len+k give hi ≥ lo, so no sequence() ever runs descending.
+    val probeKeys = flatten(transform(
+      sequence(greatest(col("len") - k, lit(nSeg)), col("len") + k),
+      lb => flatten(transform(sequence(lit(0), lit(k)), i => {
+        val sl = segLen(lb, i)
+        val sp = segPos(lb, i)
+        transform(
+          sequence(greatest(sp - k, lit(0)), least(sp + k, col("len") - sl)),
+          j => struct(lb.as("lb"), i.as("i"),
+            col("name").substr(j + 1, sl).as("seg")))
+      }))))
+    val probe = names.filter(col("len") >= 1)
+      .select(col("name").as("name_a"), explode(probeKeys).as("key"))
+      .select(col("name_a"), col("key.lb"), col("key.i"), col("key.seg"))
+
+    // A qualifying pair is found in at least one direction (the one that
+    // segments a name of length ≥ k+1), so normalize the pair key before
+    // distinct — no reliance on both directions matching.
+    val segPairs = probe.join(build, Seq("lb", "i", "seg"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select(least(col("name_a"), col("name_b")).as("name_a"),
+        greatest(col("name_a"), col("name_b")).as("name_b"))
+      .distinct()
+
+    // Short stratum (len ≤ k): every pair qualifies by construction;
+    // enumerate via the length-key join (bucket sizes alphabet-bounded).
+    val shortPairs = shortNames
+      .select(col("name").as("name_a"),
+        explode(sequence(greatest(col("len") - k, lit(0)), col("len") + k))
+          .as("len"))
+      .join(shortNames.select(col("name").as("name_b"), col("len")), "len")
       .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b")
+
+    segPairs.unionByName(shortPairs)
       .withColumn("edit_distance",
         levenshtein(col("name_a"), col("name_b"), maxDist))
       .filter(col("edit_distance") >= 0)

@@ -336,7 +336,7 @@ class AnalyticsSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("fuzzy join: length-band blocking is lossless vs brute force, hash join only") {
+  test("fuzzy join: segment blocking is lossless vs brute force, hash join only") {
     val part = Tables.part(spark, sfDir)
     val fuzzy = Analytics.fuzzyNameJoin(part).cache()
     assert(fuzzy.count() > 0)
@@ -348,14 +348,41 @@ class AnalyticsSpec extends SparkSpec {
       .filter(col("edit_distance") <= 2)
     assert(fuzzy.exceptAll(brute).count() === 0, "blocking invented a pair")
     assert(brute.exceptAll(fuzzy).count() === 0,
-      "length-band blocking dropped a qualifying pair — it must be lossless")
+      "segment blocking dropped a qualifying pair — it must be lossless")
     // self-pairs excluded, distances within bound, ordered pair key
     assert(fuzzy.filter(col("name_a") >= col("name_b")).count() === 0)
     assert(fuzzy.filter(col("edit_distance") < 1 || col("edit_distance") > 2).count() === 0)
-    // the blocked join must plan as a hash equi-join on length, not NLJ
+    // the blocked join must plan as a hash equi-join on segments, not NLJ
     val plan = fuzzy.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
       s"fuzzy join must block via equi-join:\n$plan")
+    fuzzy.unpersist()
+  }
+
+  test("fuzzy join: adversarial dictionary — short names, shifts, skewed lengths") {
+    import spark.implicits._
+    // One dominant length bucket (the case length-band blocking fans out
+    // quadratically on), prefix/suffix shifts up to k, deletions inside
+    // segments, short names (len ≤ k) that can't be segmented, and far
+    // pairs that must NOT appear.
+    val dict = Seq(
+      "abcdefgh", "xxabcdefgh", "abcdefghyy", "acdefgh", "abcdegh",
+      "abcdffgh", "hgfedcba", "abcdefghij", "cdefgh",
+      "a", "b", "ab", "", "zz",
+      "mmmmmmmm", "nnnnnnnn", "mmmmmmnn").toDF("name")
+    val fuzzy = Analytics.fuzzyNameJoin(dict, "name", maxDist = 2).cache()
+    val brute = dict.select(col("name").as("n")).distinct().alias("a")
+      .join(dict.select(col("name").as("n")).distinct().alias("b"),
+        col("a.n") < col("b.n"))
+      .select(col("a.n").as("name_a"), col("b.n").as("name_b"),
+        levenshtein(col("a.n"), col("b.n")).as("edit_distance"))
+      .filter(col("edit_distance") <= 2)
+    assert(fuzzy.exceptAll(brute).count() === 0, "invented a pair")
+    assert(brute.exceptAll(fuzzy).count() === 0,
+      s"dropped a qualifying pair; got ${fuzzy.collect().mkString(", ")}")
+    // the short stratum really did pair up (ed("a","b")=1, ed("","ab")=2…)
+    assert(fuzzy.filter(col("name_a") === "a" && col("name_b") === "b").count() === 1)
+    assert(fuzzy.filter(col("name_a") === "" && col("name_b") === "ab").count() === 1)
     fuzzy.unpersist()
   }
 
