@@ -175,12 +175,16 @@ object SparkEntry {
        |  HAVING max(pos_a) - min(pos_a) + 10 >= 20
        |)""".stripMargin
 
-  /** DuckDB oracle for banded MinHash-LSH (k=16, 4 salted digests sliced
-    * into 4 components each, one salt per band). */
+  /** DuckDB oracle for banded MinHash-LSH: k=16 with the band count
+    * derived from the default threshold via [[Dedup.autoBands]] — the
+    * SAME derivation the Spark side defaults to, so the faces move in
+    * lockstep if the auto-selection ever changes. */
   /** CTE chain `sig → banded → pairs` (appended after [[shingleCte]]) —
     * shared by the minhash oracle and the cluster oracle. */
   private val minhashPairCtes: String = {
-    val k = 16; val bands = 4; val r = k / bands
+    val k = 16
+    val bands = Dedup.autoBands(k, Dedup.DefaultLshThreshold, Dedup.Md5Family)
+    val r = k / bands
     val sigDefs = (0 until k)
       .map(i => s"min(substr(md5('${i / r}:' || shingle), ${(i % r) * 8 + 1}, 8)) AS sig_$i")
       .mkString(",\n       ")
@@ -728,8 +732,8 @@ object SparkEntry {
        |daily AS (
        |  SELECT user_id, event_date,
        |         count(*) AS daily_events,
-       |         round(sum(value), 2) AS daily_value,
-       |         round(avg(value), 4) AS avg_value
+       |         round(sum(round(value * 100)) / 100, 2) AS daily_value,
+       |         sum(round(value * 100)) / 100 / count(*) AS avg_value
        |  FROM silver WHERE event_type = 'purchase' AND ts IS NOT NULL
        |  GROUP BY 1, 2
        |),
@@ -739,7 +743,7 @@ object SparkEntry {
        |         lag(daily_events, 14) OVER w AS events_lag_14,
        |         lag(daily_events, 30) OVER w AS events_lag_30,
        |         round(avg(daily_events) OVER w30, 4) AS avg_events_30d,
-       |         round(avg(daily_value) OVER w30, 4) AS avg_value_30d,
+       |         avg(round(daily_value * 100)) OVER w30 / 100 AS avg_value_30d,
        |         lead(event_date, 1) OVER w AS next_date
        |  FROM daily
        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_date),
@@ -853,8 +857,8 @@ object SparkEntry {
     "agg_rev" ->
       s"""$silverCte
          |SELECT event_date AS date, zone_id,
-         |       round(sum(value), 2) AS total_revenue,
-         |       round(avg(value), 4) AS avg_value,
+         |       round(sum(round(value * 100)) / 100, 2) AS total_revenue,
+         |       sum(round(value * 100)) / 100 / count(*) AS avg_value,
          |       count(*) AS purchase_count
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
@@ -862,8 +866,8 @@ object SparkEntry {
       s"""$silverCte
          |SELECT event_date AS date, user_id,
          |       count(*) AS purchase_count,
-         |       round(sum(value), 2) AS user_revenue,
-         |       round(avg(value), 4) AS avg_purchase_value
+         |       round(sum(round(value * 100)) / 100, 2) AS user_revenue,
+         |       sum(round(value * 100)) / 100 / count(*) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
     "agg_fun" ->
@@ -2375,7 +2379,9 @@ object SparkEntry {
          |bstats AS (SELECT min(value) AS lo, max(value) AS hi FROM base),
          |bins AS (SELECT CAST(range AS INT) AS bin FROM range(10)),
          |bcounts AS (
-         |  SELECT CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9) AS INT) AS bin,
+         |  SELECT CAST(CASE WHEN hi = lo THEN 0
+         |              ELSE least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+         |              END AS INT) AS bin,
          |         count(*) AS c
          |  FROM base, bstats GROUP BY 1
          |),
@@ -2386,7 +2392,9 @@ object SparkEntry {
          |),
          |cur AS (
          |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
-         |         CAST(least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9) AS INT) AS bin
+         |         CAST(CASE WHEN hi = lo THEN 0
+         |              ELSE least(greatest(floor((value - lo) / ((hi - lo) / 10)), 0), 9)
+         |              END AS INT) AS bin
          |  FROM silver, bstats
          |  WHERE event_date >= DATE '$monitorSplit' AND value IS NOT NULL
          |),

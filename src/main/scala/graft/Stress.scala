@@ -94,7 +94,12 @@ object Stress {
     // SAME corpus (the stop-shingle block below measures the dup-light
     // regime, where the prefix machinery is pure overhead)
     time("ngram_dup_10x")(Dedup.ngramJaccard(dupHeavy))
-    time("ngram_dup_prefix_10x")(Dedup.ngramJaccardPrefix(dupHeavy))
+    // caller-owned persist (timing includes cache build — first action
+    // populates it — matching the earlier internal-persist methodology)
+    val shDup = Dedup.shingleTable(dupHeavy).persist()
+    time("ngram_dup_prefix_10x")(
+      Dedup.ngramJaccardPrefix(dupHeavy, shingles = Some(shDup)))
+    shDup.unpersist()
     spark.catalog.clearCache()
     dupHeavy.cache(); dupHeavy.count()  // re-pin the corpus for the lines below
     val bench10 = dupHeavy.filter(col("doc_id") % 10 === 0)
@@ -184,7 +189,10 @@ object Stress {
     // rank window + verify join at this corpus shape. Runs after the
     // other ngram lines so its internal shingle persist (reclaimed by the
     // clearCache below) never sits under them.
-    time("ngram_prefix_10x")(Dedup.ngramJaccardPrefix(ss10))
+    val shSs = Dedup.shingleTable(ss10).persist()
+    time("ngram_prefix_10x")(
+      Dedup.ngramJaccardPrefix(ss10, shingles = Some(shSs)))
+    shSs.unpersist()
     ss10.unpersist()
     spark.catalog.clearCache()
 

@@ -88,20 +88,80 @@ object Dedup {
     * recall structure (min-hash over a uniform 64-bit family). */
   case object XxHash64Family extends HashFamily
 
+  /** Default target Jaccard threshold for near-dup detection — drives
+    * [[autoBands]] when no explicit band count is given. */
+  val DefaultLshThreshold = 0.5
+
+  /** Sentinel for "derive the band count from the threshold". */
+  val AutoBands = 0
+
+  /** Probability that a pair at Jaccard `s` becomes an LSH candidate
+    * under `b` bands of `r` rows: the S-curve `1 − (1 − s^r)^b`. */
+  def candidateProb(s: Double, b: Int, r: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, r), b)
+
+  /** Integrated error of a (b, r) banding at `threshold`: the false-
+    * positive area under the S-curve below the threshold plus the false-
+    * negative area above it (uniform weight — datasketch's
+    * `optimal_param` with equal FP/FN weights, computed by midpoint
+    * quadrature). */
+  def sCurveArea(k: Int, b: Int, threshold: Double): Double = {
+    val r = k / b
+    val n = 200
+    val fp = (0 until n).map { i =>
+      candidateProb(threshold * (i + 0.5) / n, b, r)
+    }.sum * threshold / n
+    val fn = (0 until n).map { i =>
+      1.0 - candidateProb(threshold + (1.0 - threshold) * (i + 0.5) / n, b, r)
+    }.sum * (1.0 - threshold) / n
+    fp + fn
+  }
+
+  /** Band count minimizing [[sCurveArea]] at `threshold` over the
+    * divisors of `k` the family supports (Md5Family slices at most 4
+    * components per salted digest, so r ≤ 4 there).
+    *
+    * At the 0.5 default this derivation CONFIRMS the standing b=4/r=4
+    * constant (area 0.165 vs 0.215 for b=8/r=2: b=8 catches 90% of
+    * pairs at the threshold vs b=4's 23%, but pays for it in candidate
+    * volume across the whole sub-threshold mass — the integrated
+    * criterion trades recall-at-threshold against the quadratic cost of
+    * false candidates). What the derivation ADDS is correct movement
+    * when the target moves: t=0.3 → 8 bands of 2, t=0.9 → the fewest,
+    * longest bands the family allows. Uniform FP/FN weighting assumes
+    * near-dup mass sits well above threshold; a corpus dense exactly AT
+    * the threshold wants an explicit `bands` override. */
+  def autoBands(k: Int, threshold: Double = DefaultLshThreshold,
+      family: HashFamily = Md5Family): Int = {
+    val candidates = (1 to k).filter(k % _ == 0).filter { b =>
+      family match {
+        case Md5Family => k / b <= 4
+        case XxHash64Family => true
+      }
+    }
+    candidates.minBy(b => sCurveArea(k, b, threshold))
+  }
+
   /** Banded MinHash-LSH near-dup candidate pairs with signature-estimated
     * Jaccard.
     *
-    * Md5Family: the k=16 family comes from FOUR salted md5 digests per
-    * shingle, each sliced into four 8-hex-char components (one-permutation
-    * style — 4x fewer digest computations than k independent md5 calls);
-    * the signature is the per-component lexicographic min over the doc's
-    * shingles, and each salt's 4 slices form one LSH band.
+    * `bands = AutoBands` (the default) derives the band count from
+    * `threshold` via [[autoBands]] — pass an explicit count to pin it.
+    *
+    * Md5Family: the signature comes from salted md5 digests sliced into
+    * 8-hex-char components (one-permutation style — k/r digest
+    * computations per shingle, not k); the signature is the per-component
+    * lexicographic min over the doc's shingles, and each salt's r slices
+    * form one LSH band. More bands = more salted digests: the md5 family
+    * is the oracle-parity path, and pays ~2× hash cost at b=8 vs b=4 —
+    * the xxhash64 production family computes k hashes regardless.
     *
     * XxHash64Family: k independent seeded xxhash64 values per shingle
     * (numeric min), band key = xxhash64 over the band's r components. */
-  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      family: HashFamily = Md5Family): DataFrame =
-    bandSelfJoin(minhashIndex(docs, k, bands, shingleN, family), k)
+  def minhashLsh(docs: DataFrame, k: Int = 16, bands: Int = AutoBands,
+      shingleN: Int = 3, family: HashFamily = Md5Family,
+      threshold: Double = DefaultLshThreshold): DataFrame =
+    bandSelfJoin(minhashIndex(docs, k, bands, shingleN, family, threshold), k)
 
   /** Oriented band-bucket self-join + signature Jaccard over a banded
     * signature table (shared by [[minhashLsh]] and [[lshEval]]). */
@@ -122,17 +182,20 @@ object Dedup {
     * signed once and [[minhashLshIncremental]] band-joins it against the
     * stored index, so corpus text is never re-scanned or re-shingled to
     * dedup a new batch. */
-  def minhashIndex(docs: DataFrame, k: Int = 16, bands: Int = 4, shingleN: Int = 3,
-      family: HashFamily = Md5Family): DataFrame =
-    minhashIndexFromShingles(shingleTable(docs, shingleN), k, bands, family)
+  def minhashIndex(docs: DataFrame, k: Int = 16, bands: Int = AutoBands,
+      shingleN: Int = 3, family: HashFamily = Md5Family,
+      threshold: Double = DefaultLshThreshold): DataFrame =
+    minhashIndexFromShingles(shingleTable(docs, shingleN), k, bands, family, threshold)
 
   /** [[minhashIndex]] body over a pre-built [[shingleTable]] — so a caller
     * that also needs the shingles for something else (e.g. [[lshEval]]'s
     * exact side) can explode the text ONCE, persist it, and feed both. */
-  def minhashIndexFromShingles(ex: DataFrame, k: Int = 16, bands: Int = 4,
-      family: HashFamily = Md5Family): DataFrame = {
-    require(k % bands == 0, "bands must divide k")
-    val r = k / bands
+  def minhashIndexFromShingles(ex: DataFrame, k: Int = 16, bands: Int = AutoBands,
+      family: HashFamily = Md5Family,
+      threshold: Double = DefaultLshThreshold): DataFrame = {
+    val nBands = if (bands == AutoBands) autoBands(k, threshold, family) else bands
+    require(k % nBands == 0, "bands must divide k")
+    val r = k / nBands
     val sigAggs = family match {
       case Md5Family =>
         require(r <= 4, "at most 4 components per salted digest")
@@ -147,7 +210,7 @@ object Dedup {
     }
     val sig = ex.groupBy("doc_id").agg(sigAggs.head, sigAggs.tail: _*)
     val sigArr = array((0 until k).map(i => col(s"sig_$i")): _*)
-    val bandStructs = (0 until bands).map { b =>
+    val bandStructs = (0 until nBands).map { b =>
       val bandCols = (0 until r).map(j => col(s"sig_${b * r + j}"))
       val bandHash: Column = family match {
         case Md5Family => md5(concat_ws("|", bandCols: _*))
@@ -180,8 +243,9 @@ object Dedup {
     * contributes its (tiny) index table, its text is never re-read.
     * Pairs are oriented doc_a < doc_b like the batch path. */
   def minhashLshIncremental(newDocs: DataFrame, index: DataFrame, k: Int = 16,
-      bands: Int = 4, shingleN: Int = 3, family: HashFamily = Md5Family): DataFrame = {
-    val nb = minhashIndex(newDocs, k, bands, shingleN, family)
+      bands: Int = AutoBands, shingleN: Int = 3, family: HashFamily = Md5Family,
+      threshold: Double = DefaultLshThreshold): DataFrame = {
+    val nb = minhashIndex(newDocs, k, bands, shingleN, family, threshold)
     // batch side deduped against itself AND probed into the corpus index
     // in ONE join: the right side is (batch ∪ index); a batch-batch pair
     // arrives twice with both orientations, least/greatest + the estJaccard
@@ -306,8 +370,14 @@ object Dedup {
     * negative result; use [[ngramJaccard]] (with `dfMax`, and
     * `persistShingles` at corpus scale). */
   def ngramJaccardPrefix(docs: DataFrame, n: Int = 3, threshold: Double = 0.5,
-      dfMax: Option[Int] = Some(DefaultStopShingleDf)): DataFrame = {
-    val ex = dfFiltered(shingleTable(docs, n).persist(), dfMax)
+      dfMax: Option[Int] = Some(DefaultStopShingleDf),
+      shingles: Option[DataFrame] = None): DataFrame = {
+    // The caller owns the persist lifecycle (pass a persisted shingle
+    // table via `shingles`, as Stress does): an internal persist() here
+    // could never be unpersisted before the lazy result executes, leaking
+    // cached storage for the session. Without `shingles` the explode is
+    // recomputed per plan branch — fine for specs, wrong for timing.
+    val ex = dfFiltered(shingles.getOrElse(shingleTable(docs, n)), dfMax)
     // global rarity order: df asc, shingle asc (total, deterministic)
     val df = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
     val pos = Window.partitionBy("doc_id").orderBy(col("df"), col("shingle"))
@@ -482,7 +552,7 @@ object Dedup {
     * matter, not the corpus-wide counts. */
   def lshEval(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val sh = shingleTable(docs, 3).persist()
-    val predicted = bandSelfJoin(minhashIndexFromShingles(sh), 16)
+    val predicted = bandSelfJoin(minhashIndexFromShingles(sh, threshold = threshold), 16)
       .filter(col("est_jaccard") >= threshold)
       .select(col("doc_a").as("p_a"), col("doc_b").as("p_b"))
     val truth = ngramJaccardFromShingles(sh, threshold = threshold)

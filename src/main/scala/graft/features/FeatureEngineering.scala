@@ -127,13 +127,16 @@ object FeatureEngineering {
     * (`will_churn` = no next activity, or a gap > 7 days — the reference's
     * 30-day threshold scaled to the 30-day data span). */
   def churnFeatures(silver: DataFrame): DataFrame = {
+    // Exact integer-cents sums (see Aggregates.revenueDailyByZone): the
+    // order-independent sum keeps daily_value/avg_value bit-identical
+    // across engines, and the unrounded quotient has no .5 tie to flip.
     val daily = silver
       .filter(col("event_type") === "purchase" && col("ts").isNotNull)
       .groupBy(col("user_id"), col("event_date"))
       .agg(
         count(lit(1)).as("daily_events"),
-        round(sum(col("value")), 2).as("daily_value"),
-        round(avg(col("value")), 4).as("avg_value"))
+        round(sum(round(col("value") * 100)) / 100, 2).as("daily_value"),
+        (sum(round(col("value") * 100)) / 100 / count(lit(1))).as("avg_value"))
 
     val w = Window.partitionBy("user_id").orderBy("event_date")
     val w30 = w.rowsBetween(-30, -1)
@@ -143,7 +146,10 @@ object FeatureEngineering {
       .withColumn("events_lag_14", lag("daily_events", 14).over(w))
       .withColumn("events_lag_30", lag("daily_events", 30).over(w))
       .withColumn("avg_events_30d", round(avg("daily_events").over(w30), 4))
-      .withColumn("avg_value_30d", round(avg("daily_value").over(w30), 4))
+      // daily_value is 2-decimal: average exact cents, divide once — the
+      // same integer-scaling trick feat_dem's value_avg_7d uses.
+      .withColumn("avg_value_30d",
+        avg(round(col("daily_value") * 100)).over(w30) / 100)
       .withColumn("events_declining",
         when(col("daily_events") < col("avg_events_30d") * 0.5, 1).otherwise(0))
       .withColumn("value_declining",

@@ -25,25 +25,34 @@ object Aggregates {
       .agg(count(lit(1)).as("event_count"))
 
   /** Daily revenue stats by zone on monetary events (reference
-    * revenue_daily_by_pickup_zone keeps completed trips; here purchases). */
+    * revenue_daily_by_pickup_zone keeps completed trips; here purchases).
+    *
+    * Monetary values are 2-decimal, so sums run in exact integer CENTS
+    * (`sum(round(value*100))`): integer-valued doubles add exactly, making
+    * the sum independent of partition/merge order — the engine-order ulp
+    * drift that `round(avg(x), 4)` amplified into last-digit flips at .5
+    * rounding boundaries (66 rows at sf0.1, round 6) cannot arise. The
+    * average is the unrounded exact-cents quotient: identical operands →
+    * bit-identical double on every engine, no tie to round. */
   def revenueDailyByZone(fact: DataFrame): DataFrame =
     fact
       .filter(col("event_type") === "purchase")
       .groupBy(col("event_date").as("date"), col("zone_id"))
       .agg(
-        round(sum(col("value")), 2).as("total_revenue"),
-        round(avg(col("value")), 4).as("avg_value"),
+        round(sum(round(col("value") * 100)) / 100, 2).as("total_revenue"),
+        (sum(round(col("value") * 100)) / 100 / count(lit(1))).as("avg_value"),
         count(lit(1)).as("purchase_count"))
 
-  /** Per-user daily summary (reference driver_daily_summary). */
+  /** Per-user daily summary (reference driver_daily_summary). Exact-cents
+    * arithmetic for the same reason as [[revenueDailyByZone]]. */
   def userDailySummary(fact: DataFrame): DataFrame =
     fact
       .filter(col("event_type") === "purchase")
       .groupBy(col("event_date").as("date"), col("user_id"))
       .agg(
         count(lit(1)).as("purchase_count"),
-        round(sum(col("value")), 2).as("user_revenue"),
-        round(avg(col("value")), 4).as("avg_purchase_value"))
+        round(sum(round(col("value") * 100)) / 100, 2).as("user_revenue"),
+        (sum(round(col("value") * 100)) / 100 / count(lit(1))).as("avg_purchase_value"))
 
   /** Daily revenue per zone with a running cumulative and each day's share
     * of the zone total — the window-function face of [[revenueDailyByZone]].

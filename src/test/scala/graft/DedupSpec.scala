@@ -31,6 +31,32 @@ class DedupSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), "LSH must never cross-join")
   }
 
+  test("minhash auto-banding: S-curve argmin, family constraint, monotone in threshold") {
+    // t=0.5 CONFIRMS the standing 4x4 banding (area 0.165 vs 0.215 for
+    // 8x2); the derivation moves correctly as the target moves
+    assert(Dedup.autoBands(16, 0.5, Dedup.Md5Family) === 4)
+    assert(Dedup.autoBands(16, 0.3, Dedup.Md5Family) === 8)
+    // md5 slices at most 4 components per digest: b >= 4 even at t=0.9,
+    // while the unconstrained xx family drops to one 16-row band
+    assert(Dedup.autoBands(16, 0.9, Dedup.Md5Family) === 4)
+    assert(Dedup.autoBands(16, 0.9, Dedup.XxHash64Family) === 1)
+    // argmin property over every family-legal divisor of k
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val b = Dedup.autoBands(16, t, Dedup.XxHash64Family)
+      val legal = (1 to 16).filter(16 % _ == 0)
+      assert(legal.forall(a => Dedup.sCurveArea(16, b, t) <= Dedup.sCurveArea(16, a, t)),
+        s"autoBands($t) = $b is not the area argmin")
+    }
+    // a higher threshold never wants MORE bands
+    val bs = Seq(0.2, 0.4, 0.6, 0.8, 0.95).map(Dedup.autoBands(16, _, Dedup.XxHash64Family))
+    assert(bs === bs.sorted.reverse, s"band counts not monotone: $bs")
+    // S-curve endpoints and the recall-at-threshold numbers the scaladoc cites
+    assert(Dedup.candidateProb(0.0, 4, 4) === 0.0)
+    assert(math.abs(Dedup.candidateProb(1.0, 4, 4) - 1.0) < 1e-12)
+    assert(math.abs(Dedup.candidateProb(0.5, 4, 4) - 0.2275) < 0.001)
+    assert(math.abs(Dedup.candidateProb(0.5, 8, 2) - 0.8999) < 0.001)
+  }
+
   test("minhash candidates agree with exact jaccard pairs at high threshold") {
     val lsh = Dedup.minhashLsh(docs).select("doc_a", "doc_b")
     val exact = Dedup.ngramJaccard(docs, threshold = 0.8).select("doc_a", "doc_b")

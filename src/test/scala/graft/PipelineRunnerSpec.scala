@@ -25,6 +25,23 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(nd.nonEmpty)
   }
 
+  test("newDates: absent sink means all-new; corrupt sink PROPAGATES, no silent reprocess") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sink")
+    val absent = tmp.resolve("never_written").toString
+    val all = Pipeline.newDates(spark, sfDir, absent)
+    assert(all.nonEmpty, "first run must see every source date as new")
+    // corrupt sink: a .parquet file whose footer cannot be read must NOT
+    // be mistaken for "sink absent" — full reprocessing is idempotent but
+    // expensive, and the sink needs fixing
+    val corrupt = tmp.resolve("corrupt")
+    java.nio.file.Files.createDirectories(corrupt)
+    java.nio.file.Files.write(corrupt.resolve("part-00000.parquet"),
+      "not a parquet file".getBytes("UTF-8"))
+    intercept[Exception] {
+      Pipeline.newDates(spark, sfDir, corrupt.toString)
+    }
+  }
+
   test("runAll composes every stage over one shared silver lineage") {
     val out = Pipeline.runAll(spark, sfDir)
     val expected = Set(

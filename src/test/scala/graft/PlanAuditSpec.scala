@@ -15,10 +15,18 @@ class PlanAuditSpec extends SparkSpec {
   // in ModelsSpec at sf0.01.
   private val planOnly = SparkEntry.queries.filterNot(_._1.startsWith("ml_"))
 
+  // Built ONCE and shared by the two sweep tests: some builder closures
+  // execute bounded driver-side actions (st_psi's baseline histogram,
+  // dedup_sem's k-means fit), so planning the whole inventory twice would
+  // run real Spark jobs twice for no audit value.
+  private lazy val planStrings: Map[String, String] =
+    planOnly.map { case (name, fn) =>
+      name -> fn(spark, sfDir).queryExecution.executedPlan.toString
+    }.toMap
+
   test("no query in the inventory plans a CartesianProduct") {
-    val offenders = planOnly.flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("CartesianProduct")) Some(name) else None
+    val offenders = planStrings.collect {
+      case (name, plan) if plan.contains("CartesianProduct") => name
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
@@ -34,9 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     // feat_bin: the decile-cutpoint array (one 9-double row) crossJoined
     //   onto the scan for map-side bin assignment — 1-row build side
     val allowed = Set("sim_bf", "sim_rad", "text_tfidf", "text_lm1", "text_pmi", "feat_bin")
-    val nlj = planOnly.flatMap { case (name, fn) =>
-      val plan = fn(spark, sfDir).queryExecution.executedPlan.toString
-      if (plan.contains("BroadcastNestedLoopJoin")) Some(name) else None
+    val nlj = planStrings.collect {
+      case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
     assert(nlj.toSet.subsetOf(allowed),
       s"unexpected nested-loop joins in: ${nlj.mkString(", ")}")

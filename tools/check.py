@@ -142,6 +142,12 @@ def main():
         for name in sorted(expected - present):
             print(f"FAIL {name}: listed in manifest but produced no output")
             failures += 1
+    else:
+        # A missing manifest is the silent-skip failure mode this gate
+        # exists to close (stale out_dir from an older Verify) — fail.
+        print(f"FAIL: no queries.json manifest in {out_dir} — "
+              "rerun graft.Verify; refusing to trust a dirs-only scan")
+        failures += 1
 
     extra = [d.name for d in out_dir.iterdir()
              if d.is_dir() and d.name not in oracles]
