@@ -268,8 +268,8 @@ object SparkEntry {
     "dq_fresh" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
     // §2.2 feature engineering
     "feat_dem" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
-    "feat_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
-    "feat_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
+    "f_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
+    "f_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
     // leave-one-out target encoding: event_type → mean(value) over the
     // OTHER rows of the category (leakage-free categorical feature)
     "feat_te" -> ((s, dir) =>
@@ -322,7 +322,7 @@ object SparkEntry {
     // as-of join: each event annotated with the user's latest purchase
     // value at-or-before the event time (union-window formulation — one
     // key shuffle, no range nested-loop)
-    "q_asof_join" -> ((s, dir) => {
+    "q_asof" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -331,7 +331,7 @@ object SparkEntry {
     }),
     // forward as-of: each event annotated with the user's NEXT purchase
     // at-or-after the event time (merge_asof direction='forward')
-    "q_asof_fwd" -> ((s, dir) => {
+    "q_afwd" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -341,7 +341,7 @@ object SparkEntry {
     }),
     // nearest direction (merge_asof direction='nearest'): closer of the
     // latest-prior and earliest-following purchase, ties backward
-    "q_asof_near" -> ((s, dir) => {
+    "q_anear" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -351,7 +351,7 @@ object SparkEntry {
     }),
     // as-of with staleness bound: a prior purchase older than 24 h does
     // not match (kdb/merge_asof ASOF TOLERANCE semantics)
-    "q_asof_tol" -> ((s, dir) => {
+    "q_atol" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -414,36 +414,36 @@ object SparkEntry {
     // §2.7 dedup suite
     "dedup_ex" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
-    "dedup_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
+    "dd_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
     // k-means quantizer has no SQL equivalent; subset-of-exact-pairs and
     // recall floor are spec-asserted instead
-    "dedup_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
+    "dd_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dedup_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
-    "dedup_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
+    "dd_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
     // substring-granular dedup (Lee et al. 2022): maximal cross-document
     // runs of >= 20 shared tokens via md5 anchor fingerprints + the
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
     // dilutes below threshold
-    "dedup_sub" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
+    "dd_sub" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
     // the curation-policy number those runs exist for: per-doc duplicated
     // token fraction (distinct positions — overlaps never double-count)
-    "dedup_cov" -> ((s, dir) => {
+    "dd_cov" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.substringCoverage(docs, Dedup.substringDups(docs))
     }),
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
-    "dedup_mh_xx" -> ((s, dir) =>
+    "dd_mhxx" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
     // whose minhashIndex is the ONLY thing the batch joins against
-    "dedup_mhi" -> ((s, dir) => {
+    "dd_mhi" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.minhashLshIncremental(
         docs.filter(col("doc_id") % 10 === 0),
@@ -502,7 +502,7 @@ object SparkEntry {
     "text_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "text_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "text_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
-    "text_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
+    "t_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
     // deterministic email/phone/IP tail — the oracle then actually
     // exercises the redaction regexes on every row, not a passthrough
@@ -526,6 +526,10 @@ object SparkEntry {
     // md5-prefix mod dim — the vocabulary-free classifier input
     "text_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
     "text_bpe" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
+    // rows-only: bounded-round BPE merge application (top pair → merge →
+    // re-pair) — iterative, one bounded driver scalar per round, no SQL
+    // equivalent; equality to a single-machine reference is spec-asserted
+    "t_bpem" -> ((s, dir) => TextFunctions.bpeLearn(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
@@ -648,6 +652,18 @@ object SparkEntry {
     "ml_save" -> ((s, dir) =>
       Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
         "/root/repo/target/ml_persist")),
+    // rows-only: GBT on a hash-sampled training window (pinned 0.25) —
+    // the bench-protocol line that tracks the GBT path without its full
+    // fit cost, and the executable form of the "sample the training
+    // window at scale" protocol
+    "ml_gbt_s" -> ((s, dir) =>
+      Models.demandGBTSampled(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    // rows-only: fastText-style quality classifier — hashed token features
+    // → LogisticRegression → per-doc quality probability (the learned
+    // stand-in for the heuristic filter in runCuration); AUC > naive on a
+    // planted garbage stratum is spec-asserted
+    "ml_qual" -> ((s, dir) =>
+      Models.qualityClassifier(Tables.documents(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -1008,9 +1024,9 @@ object SparkEntry {
 
     "feat_dem" -> featDemandSql,
 
-    "feat_surge" -> featSurgeSql,
+    "f_surge" -> featSurgeSql,
 
-    "feat_churn" -> featChurnSql,
+    "f_churn" -> featChurnSql,
 
     // leave-one-out target encoding: per-category sum/count windows, own
     // target excluded; null targets get the full mean, singletons null.
@@ -1291,7 +1307,7 @@ object SparkEntry {
 
     // DuckDB's native ASOF JOIN is the oracle for the union-window as-of
     // (>= bound ≡ the right-before-left tie order on the Spark side)
-    "q_asof_join" ->
+    "q_asof" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1303,7 +1319,7 @@ object SparkEntry {
 
     // DuckDB ASOF accepts any inequality comparator: <= is the forward
     // (earliest at-or-after) direction
-    "q_asof_fwd" ->
+    "q_afwd" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1318,7 +1334,7 @@ object SparkEntry {
     // sub-second ts tie-break identically; ties go backward. Right keys
     // are unique per (user_id, ts) by construction (pre-aggregated), so
     // the payload re-join is one-to-one.
-    "q_asof_near" ->
+    "q_anear" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1347,7 +1363,7 @@ object SparkEntry {
 
     // floor(epoch()) mirrors Spark's truncating timestamp→long cast so
     // the 24 h staleness bound compares identically on sub-second ts
-    "q_asof_tol" ->
+    "q_atol" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1546,7 +1562,7 @@ object SparkEntry {
     // same window shape as dedup_exact over the normalized-text hash;
     // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
     // matches by default) — [^a-z0-9]+ means the same thing to both
-    "dedup_norm" ->
+    "dd_norm" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |       min(doc_id) OVER w AS winner_id,
@@ -1560,7 +1576,7 @@ object SparkEntry {
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
     // corpus ∪ batch equals banding each side separately
-    "dedup_mhi" ->
+    "dd_mhi" ->
       s"""$shingleCte,
          |$minhashPairCtes
          |SELECT doc_a, doc_b,
@@ -1702,7 +1718,7 @@ object SparkEntry {
     // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
     // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
     // ratios divide identical integers in both engines → identical doubles
-    "dedup_eval" ->
+    "dd_eval" ->
       s"""$shingleCte,
          |$minhashPairCtes,
          |pred AS (
@@ -1748,14 +1764,14 @@ object SparkEntry {
     // sides (DuckDB list slice toks[i:i+9] ≡ Spark slice(t, i, 10) on the
     // 1-based inclusive k=10 window), the same TOTAL-occurrence cap, and
     // the same gaps-and-islands merge keyed by (pair, pos_a − pos_b)
-    "dedup_sub" ->
+    "dd_sub" ->
       s"""$substrRunsCtes
          |SELECT doc_a, doc_b, start_a, start_b, match_len FROM runs""".stripMargin,
 
     // per-doc duplicated-token FRACTION from the same runs: DISTINCT
     // duplicated positions (overlapping runs never double-count), docs
     // with no runs report 0 — mirrors Dedup.substringCoverage
-    "dedup_cov" ->
+    "dd_cov" ->
       s"""$substrRunsCtes,
          |per_side AS (
          |  SELECT doc_a AS doc_id, start_a AS st, match_len FROM runs
@@ -1872,7 +1888,7 @@ object SparkEntry {
     // expression shapes mirror TextFunctions.tfidfBm25 exactly (operator
     // order matters for double bit-parity; integer '/' is float division
     // in BOTH engines)
-    "text_tfidf" ->
+    "t_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents

@@ -116,6 +116,26 @@ object Models {
       .setLabelCol("label").setFeaturesCol("features")
       .setMaxIter(20).setMaxDepth(6).setSeed(42))
 
+  /** [[demandGBT]] with a deterministically hash-sampled TRAINING window
+    * (pinned fraction; the held-out scoring window stays intact, so the
+    * prediction frame matches `ml_gbt` row-for-row). Two jobs: (a) the
+    * bench-protocol line — GBT's sequential-boosting fit is half the
+    * full bench total and noisy, drowning regression signal on the other
+    * 125 lines; this variant tracks the same code path at a quarter of
+    * the fit cost and variance; (b) the documented 100 TB protocol made
+    * executable — training cost for every spark.ml fit here is bounded
+    * by sampling the training window, not by changing the pipeline. */
+  def demandGBTSampled(feat: DataFrame, fraction: Double = 0.25): DataFrame = {
+    val sampled = feat.filter(
+      col("trip_date") >= splitDate ||
+        graft.sampling.Sampling.hashFraction(
+          concat_ws("|", col("trip_date"), col("hour"), col("zone_id")),
+          "gbt_s") < fraction)
+    fitPredict(sampled, new GBTRegressor()
+      .setLabelCol("label").setFeaturesCol("features")
+      .setMaxIter(20).setMaxDepth(6).setSeed(42))
+  }
+
   /** Linear-regression baseline with identical prep and split. */
   def demandLinear(feat: DataFrame): DataFrame =
     fitPredict(feat, new LinearRegression()
@@ -211,5 +231,85 @@ object Models {
     val ev = new MulticlassClassificationEvaluator()
       .setLabelCol("label").setPredictionCol("prediction")
     Seq("accuracy", "f1").map(m => m -> ev.setMetricName(m).evaluate(predictions)).toMap
+  }
+
+  /** FastText-style corpus quality classifier — the reference's
+    * features → model → batch-score arc (demand_forecasting.py:63-300)
+    * applied to the LLM-data surface: hashed token features →
+    * LogisticRegression → a per-document quality PROBABILITY, the score
+    * [[graft.pipeline.Pipeline.runCuration]] can filter on in place of
+    * the hand-tuned heuristic (`classifierQuality = true`).
+    *
+    * Labels, in fastText's recipe (positive class = a TRUSTED corpus,
+    * negative = the raw crawl — noisy by design, positives hiding in the
+    * negatives are tolerated): pass the trusted exemplars as `trusted`
+    * (matched by doc_id). Without exemplars the label falls back to weak
+    * supervision distilled from the heuristic
+    * ([[graft.text.TextFunctions.quality]] score ≥ `labelThreshold`) —
+    * a smoothing of the heuristic into token space, NOT a new signal:
+    * spam the heuristic scores clean stays clean-looking in this mode.
+    * The trusted-exemplar mode is what separates repeated-token spam
+    * whose length/punct stats look fine (spec-asserted: AUC > naive on
+    * a planted garbage stratum).
+    *
+    * `scoreDocs` scores a different frame with the fitted model (e.g.
+    * today's crawl batch against yesterday's model) — default scores the
+    * training corpus itself.
+    *
+    * Scale: HashingTF is a stateless map-side transform — no vocabulary
+    * fit, no shuffle, constant memory at any corpus size; LR trains
+    * distributed (L-BFGS over partial gradients). SCORING does not go
+    * through `model.transform`: the fitted coefficient vector (KB — one
+    * double per hash slot) is inlined as a literal array and the margin
+    * computed natively — `sigmoid(b + Σ_tokens w[murmur3(token) mod d])`,
+    * the same centroids-as-literals pattern as the IVF quantizer. That
+    * keeps scoring whole-stage-codegen'd (model.transform plans a
+    * ScalaUDF) and sidesteps a spark.ml serialization trap: the binary
+    * LR training summary pins the SparkSession (non-serializable
+    * ObservationManager in Spark 4) inside the prediction UDF's closure.
+    * The native margin is exact parity: HashingTF's slot index IS
+    * `pmod(murmur3_seed42(token), d)` — the same hash `functions.hash`
+    * computes. Deterministic: fixed hash, convex optimum. At 100 TB, fit
+    * on a hash-sampled stratum and batch-score everything. */
+  def qualityClassifier(docs: DataFrame,
+      trusted: Option[DataFrame] = None,
+      scoreDocs: Option[DataFrame] = None,
+      labelThreshold: Double = 0.5,
+      numFeatures: Int = 1024): DataFrame = {
+    def tokenize(df: DataFrame): DataFrame = df
+      .withColumn("tokens", filter(split(lower(col("text")), " "), t => t =!= ""))
+    val weak = trusted match {
+      case Some(t) =>
+        docs.select(col("doc_id"))
+          .join(t.select(col("doc_id"), lit(1.0).as("label")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("label"), lit(0.0)).as("label"))
+      case None =>
+        graft.text.TextFunctions.quality(docs)
+          .select(col("doc_id"),
+            (col("quality_score") >= labelThreshold).cast("double").as("label"))
+    }
+    val labeled = tokenize(docs.select(col("doc_id"), col("text")))
+      .join(weak, "doc_id")
+      .persist()
+    try {
+      val tf = new org.apache.spark.ml.feature.HashingTF()
+        .setInputCol("tokens").setOutputCol("features")
+        .setNumFeatures(numFeatures)
+      val lr = new org.apache.spark.ml.classification.LogisticRegression()
+        .setMaxIter(25).setRegParam(0.01)
+      val model = new Pipeline().setStages(Array(tf, lr)).fit(labeled)
+      val lrm = model.stages(1)
+        .asInstanceOf[org.apache.spark.ml.classification.LogisticRegressionModel]
+      val wLit = array(lrm.coefficients.toArray.map(lit).toIndexedSeq: _*)
+      val margin = aggregate(
+        col("tokens"), lit(lrm.intercept),
+        (acc, t) => acc +
+          element_at(wLit, (pmod(hash(t), lit(numFeatures)) + 1).cast("int")))
+      val target = scoreDocs
+        .map(d => tokenize(d.select(col("doc_id"), col("text"))))
+        .getOrElse(labeled)
+      target.select(col("doc_id"),
+        (lit(1.0) / (lit(1.0) + exp(-margin))).as("quality_prob"))
+    } finally labeled.unpersist()
   }
 }

@@ -137,14 +137,26 @@ object Pipeline {
     * report a curation run ships alongside its outputs. Off by default
     * (it costs an extra exact-Jaccard pass; at 100 TB run it on a
     * sampled stratum). */
+  /** `classifierQuality = true` swaps the hand-tuned heuristic filter for
+    * [[graft.ml.Models.qualityClassifier]]'s learned per-doc probability
+    * (same threshold semantics): the features→model→batch-score arc as a
+    * drop-in curation stage. The classifier run costs one LR fit over
+    * hashed token vectors; at 100 TB fit it on a sampled stratum and
+    * broadcast-score, same protocol as the other spark.ml models. */
   def runCuration(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.2,
       rates: Map[String, Double] = Map.empty, defaultRate: Double = 1.0,
-      withLshEval: Boolean = false):
+      withLshEval: Boolean = false,
+      classifierQuality: Boolean = false):
       Map[String, DataFrame] = {
     import org.apache.spark.sql.functions._
-    val scored = graft.text.TextFunctions.quality(docs)
-      .select(col("doc_id"), col("quality_score"))
+    val scored =
+      if (classifierQuality)
+        graft.ml.Models.qualityClassifier(docs)
+          .select(col("doc_id"), col("quality_prob").as("quality_score"))
+      else
+        graft.text.TextFunctions.quality(docs)
+          .select(col("doc_id"), col("quality_score"))
     val qualityKept = docs.join(
       scored.filter(col("quality_score") >= minQuality).select("doc_id"), "doc_id")
     val exactKept = graft.dedup.Dedup.exactDedup(qualityKept)

@@ -222,6 +222,79 @@ object TextFunctions {
     top.withColumn("rank", row_number().over(rw))
   }
 
+  /** BPE merge LEARNING, bounded rounds — the tokenizer-induction loop
+    * end-to-end, where [[bpePairStats]] stops at the first count table.
+    * Classic Sennrich-style BPE trains on the WORD-FREQUENCY table, not
+    * the corpus: the working set is vocab-sized (one row per distinct
+    * word, weighted by occurrences), so each round costs a vocab-table
+    * pass regardless of corpus size. Per round:
+    *
+    *   1. adjacent symbol-pair weighted counts over the vocab table
+    *      (one explode + one aggregate);
+    *   2. the top pair — deterministic tie-break (weight desc, pair asc)
+    *      — collected to the driver (ONE row/round, same bounded-scalar
+    *      contract as k-means centroids; `rounds` is a job-count
+    *      multiplier at scale, like `iters` there);
+    *   3. merge applied to every word's symbol string via a literal
+    *      lookaround regex (non-consuming boundaries, so "a a a" merges
+    *      left-to-right greedily — reference BPE semantics), then the
+    *      vocab re-persisted and the previous round released.
+    *
+    * Output: one row per learned merge (round, left, right, merged,
+    * weight). Merge weights are non-increasing by construction — a pair
+    * born of round r's merge occurs at most as often as that merged
+    * symbol does, which round r already bounded (spec-asserted along
+    * with equality to a single-machine reference implementation). */
+  def bpeLearn(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var vocab = docs
+      .select(explode(filter(toks(col("text")), t => t =!= "")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("weight"))
+      .withColumn("repr", concat_ws(" ", split(col("word"), "")))
+      .persist()
+    vocab.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= rounds && !exhausted) {
+      val syms = split(col("repr"), " ")
+      val top = vocab
+        .select(col("weight"), syms.as("syms"))
+        .select(col("weight"), explode(transform(
+          // overshoot-and-filter: 1-symbol words generate one struct with
+          // a null r (try_element_at — ANSI-safe), dropped below
+          sequence(lit(1), greatest(size(col("syms")) - 1, lit(1))),
+          i => struct(element_at(col("syms"), i).as("l"),
+            try_element_at(col("syms"), i + 1).as("r"))))
+          .as("p"))
+        .filter(col("p.r").isNotNull)
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("weight").as("w"))
+        .orderBy(col("w").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((round, l, r, w))
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(l + r)
+        val next = vocab.withColumn("repr",
+          trim(regexp_replace(concat(lit(" "), col("repr"), lit(" ")), pat, rep)))
+          .persist()
+        next.count()
+        vocab.unpersist()
+        vocab = next
+        round += 1
+      }
+    }
+    vocab.unpersist()
+    merges.toSeq.toDF("round", "left", "right", "weight")
+      .withColumn("merged", concat(col("left"), col("right")))
+      .select("round", "left", "right", "merged", "weight")
+  }
+
   /** PMI-scored word-bigram collocations — the association statistic
     * behind phrase mining for tokenizer/vocab prep ("new york" is a unit;
     * "of the" is chance): pmi = ln(p(ab) / (p(a)·p(b))), estimated from

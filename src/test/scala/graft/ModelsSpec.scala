@@ -71,6 +71,42 @@ class ModelsSpec extends SparkSpec {
     assert(reloaded.exceptAll(direct).count() === 0)
   }
 
+  test("quality classifier: AUC beats naive on a planted garbage stratum") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, dir).select("doc_id", "text")
+    def spam(baseId: Long, n: Int) = (0 until n).map { i =>
+      (baseId + i, (s"spamtok${i % 3} " * (30 + i % 20)) + s"spamtail${i % 5}")
+    }.toDF("doc_id", "text")
+    // fastText recipe: trusted = a (noisy) positive set — the even half
+    // of the real corpus; negatives = everything else, i.e. the training
+    // spam AND the odd real docs (positives hiding in the negatives, as
+    // in a real crawl). Length/punct stats of the spam look clean — only
+    // the token surface separates it.
+    val trainCorpus = docs.unionByName(spam(800000L, 60))
+    val trusted = docs.filter(col("doc_id") % 2 === 0)
+    // held out: the odd real docs + NEW spam docs (same token family,
+    // different lengths/mixes)
+    val holdout = docs.filter(col("doc_id") % 2 === 1)
+      .unionByName(spam(900000L, 40))
+    val scored = Models.qualityClassifier(
+      trainCorpus, trusted = Some(trusted), scoreDocs = Some(holdout)).cache()
+    assert(scored.count() === holdout.count())
+    val pAvg = scored.filter(col("doc_id") >= 900000L)
+      .agg(avg("quality_prob")).head().getDouble(0)
+    val cAvg = scored.filter(col("doc_id") < 900000L)
+      .agg(avg("quality_prob")).head().getDouble(0)
+    assert(pAvg < cAvg, s"held-out spam $pAvg should score below clean $cAvg")
+    // AUC of quality_prob against is-real ground truth on the HELD-OUT
+    // frame: the learned token surface must beat the naive 0.5 coin
+    val ev = new org.apache.spark.ml.evaluation.BinaryClassificationEvaluator()
+      .setLabelCol("truth").setRawPredictionCol("quality_prob")
+      .setMetricName("areaUnderROC")
+    val auc = ev.evaluate(scored.withColumn("truth",
+      (col("doc_id") < 900000L).cast("double")))
+    assert(auc > 0.8, s"AUC $auc must beat naive 0.5 decisively")
+    scored.unpersist()
+  }
+
   test("surge classifier: deterministic seeded predictions with sane accuracy") {
     val surgeFeat = FeatureEngineering.surgeFeatures(silver).cache()
     val preds = Models.surgeClassifier(surgeFeat).cache()

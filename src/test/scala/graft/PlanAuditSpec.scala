@@ -41,7 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     // declared-quadratic broadcast-queries contract
     // feat_bin: the decile-cutpoint array (one 9-double row) crossJoined
     //   onto the scan for map-side bin assignment — 1-row build side
-    val allowed = Set("sim_bf", "sim_rad", "text_tfidf", "text_lm1", "text_pmi", "feat_bin")
+    val allowed = Set("sim_bf", "sim_rad", "t_tfidf", "text_lm1", "text_pmi", "feat_bin")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }

@@ -137,6 +137,47 @@ class TextMultimodalSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("bpe learn: merges equal a single-machine reference; weights non-increasing") {
+    import spark.implicits._
+    // the classic BPE toy family: shared suffixes ("est", "er") emerge
+    val toy = Seq(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest low lower")).toDF("doc_id", "text")
+    val rounds = 6
+    val got = TextFunctions.bpeLearn(toy, rounds)
+      .orderBy("round").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("left"),
+        r.getAs[String]("right"), r.getAs[String]("merged"), r.getAs[Long]("weight")))
+
+    // single-machine reference: greedy left-to-right merge on the
+    // word-frequency table, ties broken (weight desc, left asc, right asc)
+    var vocab: Map[List[String], Long] = toy.collect()
+      .flatMap(_.getAs[String]("text").split(" ").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, os) => w.split("").toList -> os.length.toLong }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, w) <- vocab; p <- syms.zip(syms.tail))
+        counts(p) = counts.getOrElse(p, 0L) + w
+      if (counts.nonEmpty) {
+        val ((l, r), w) = counts.toSeq.minBy { case ((l, r), w) => (-w, l, r) }
+        expect += ((round, l, r, l + r, w))
+        def apply(syms: List[String]): List[String] = syms match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: apply(rest)
+          case a :: rest => a :: apply(rest)
+          case Nil => Nil
+        }
+        vocab = vocab.groupBy { case (syms, _) => apply(syms) }
+          .map { case (s, m) => s -> m.values.sum }
+      }
+    }
+    assert(got.toSeq === expect.toSeq,
+      s"distributed merges ${got.mkString(",")} != reference ${expect.mkString(",")}")
+    // invariant: merge weights never increase round over round
+    val ws = got.map(_._5)
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, ws.mkString(","))
+  }
+
   test("pmi: planted collocation outscores independent pairs, marginals reconcile") {
     import spark.implicits._
     // "aa bb" always adjacent (a collocation); "cc"/"dd" co-occur with
