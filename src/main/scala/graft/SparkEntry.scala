@@ -220,10 +220,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 medallion pipeline
     "bronze" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
-    "silver_cl" -> ((s, dir) => silver(s, dir)),
-    "dim_time" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
-    "dim_users" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
-    "dim_zones" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
+    "sil_cl" -> ((s, dir) => silver(s, dir)),
+    "dim_t" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
+    "dim_u" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
+    "dim_z" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
     "fact_ev" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
@@ -234,7 +234,7 @@ object SparkEntry {
     }),
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
-    "dim_scd2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
+    "dim_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
     "agg_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "agg_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "agg_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
@@ -266,8 +266,19 @@ object SparkEntry {
     // 30-day synthetic window keeps every type current, so the alert
     // column exercises the FALSE branch (the spec covers TRUE)
     "dq_fresh" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
+    // declarative expectation suite: 6 rules, ONE scan — not-null/unique/
+    // range/set/regex violation counts; value rules intentionally include
+    // failing rules (error events null the value; range tops at ~490)
+    "dq_exp" -> ((s, dir) => DataQuality.expectations(silver(s, dir), Seq(
+      DataQuality.ExpectNotNull("user_id"),
+      DataQuality.ExpectNotNull("value"),
+      DataQuality.ExpectUnique("event_id"),
+      DataQuality.ExpectBetween("value", 0, 200),
+      DataQuality.ExpectInSet("event_type",
+        Seq("view", "click", "purchase", "signup", "error")),
+      DataQuality.ExpectRegex("props", "^\\{.*\\}$")))),
     // §2.2 feature engineering
-    "feat_dem" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
+    "f_dem" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
     "f_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
     "f_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
     // leave-one-out target encoding: event_type → mean(value) over the
@@ -277,8 +288,14 @@ object SparkEntry {
         .select("event_id", "event_type", "value", "target_enc")),
     // quantile discretization: decile cutpoints from one aggregate,
     // broadcast back, bin assigned map-side (no global sort)
-    "feat_bin" -> ((s, dir) =>
+    "f_bin" -> ((s, dir) =>
       FeatureEngineering.quantileBins(Tables.orders(s, dir), "o_totalprice")),
+    // robust per-zone scaling: z-score from exact-cents moments +
+    // winsorization at exact p05/p95 — stats broadcast, projection at
+    // scan speed
+    "f_std" -> ((s, dir) =>
+      FeatureEngineering.robustScale(silver(s, dir), "zone_id", "value")
+        .select("event_id", "zone_id", "value", "z_value", "value_wins")),
     // §2.3 scoring + monitoring
     "sc_dem" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
@@ -300,6 +317,19 @@ object SparkEntry {
         "run_2", "2024-02-02 00:00:00")
       Scoring.upsertPredictions(existing, incoming, Seq("trip_date", "hour", "zone_id"))
     }),
+    // classical forecast baselines per (zone, day): naive / seasonal-
+    // naive / EWMA(α=½, exact dyadic weights) with absolute errors —
+    // the yardstick the learned forecasters must beat
+    "sc_fcst" -> ((s, dir) => Scoring.forecastBaselines(silver(s, dir))),
+    // Morton z-value over (zone, hour): the multi-dim clustering key
+    // behind two-column data skipping; pure codegen'd bit math — the
+    // layout op itself (range partition + local sort) is spec-audited
+    "q_zord" -> ((s, dir) => {
+      val sv = silver(s, dir).filter(col("zone_id").isNotNull)
+        .withColumn("hour", hour(col("ts")))
+      sv.select(col("event_id"), col("zone_id"), col("hour"),
+        graft.analytics.ZOrder.zValue(col("zone_id"), col("hour")).as("zval"))
+    }),
     "mon_psi" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // binned two-sample KS: max CDF gap at the psi bin edges — the
@@ -308,7 +338,7 @@ object SparkEntry {
       Monitoring.ksStat(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // chi-square homogeneity drift over CATEGORICAL features (PSI/KS
     // cover numeric bins; this is the discrete-column alarm)
-    "mon_chi2" -> ((s, dir) =>
+    "mon_chi" -> ((s, dir) =>
       Monitoring.chiSquare(silver(s, dir), Seq("event_type", "zone_id"), monitorSplit)),
     "mon_miss" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
@@ -316,6 +346,10 @@ object SparkEntry {
     // serving-latency percentiles over a deterministic synthetic latency
     // column (the container has no API logs; the LCG-ish derivation is
     // portable so the oracle checks the PERCENTILE operator itself)
+    // single change-point over the daily volume series: CUSUM-style
+    // binary-segmentation split statistic, argmax over candidate days —
+    // the raw data collapses to one row/day in the first aggregate
+    "mon_cpd" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
     "mon_lat" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
@@ -412,15 +446,18 @@ object SparkEntry {
         .select("event_id", "zone_id", "zone_events")
     }),
     // §2.7 dedup suite
-    "dedup_ex" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    "dd_ex" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
+    // per-source dup-rate dashboard: docs, exact/normalized distinct
+    // groups and implied dup rates — ONE scan, multi-distinct Expand
+    "dd_rep" -> ((s, dir) => Dedup.dupRateReport(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
     "dd_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
     // k-means quantizer has no SQL equivalent; subset-of-exact-pairs and
     // recall floor are spec-asserted instead
     "dd_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
-    "dedup_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
-    "dedup_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dd_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
+    "dd_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
     "dd_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
@@ -449,11 +486,11 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 === 0),
         Dedup.minhashIndex(docs.filter(col("doc_id") % 10 =!= 0)))
     }),
-    "dedup_cc" -> ((s, dir) => {
+    "dd_cc" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.dupClusters(docs, Dedup.minhashLsh(docs))
     }),
-    "decontam" -> ((s, dir) => {
+    "dc_ex" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.decontaminate(docs, docs.filter(col("doc_id") % 20 === 0)).select("doc_id")
     }),
@@ -461,11 +498,11 @@ object SparkEntry {
     // key set ships as a KB-scale bit array and only bloom survivors pay
     // the confirm join (a different bench slice than `decontaminate`, so
     // the two entries are independent results)
-    "dec_bloom" -> ((s, dir) => {
+    "dc_bl" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
     }),
-    "smp_strat" -> ((s, dir) =>
+    "smp_st" -> ((s, dir) =>
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
@@ -495,52 +532,63 @@ object SparkEntry {
     "smp_shuf" -> ((s, dir) =>
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
-    "dedup_sh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "dedup_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    // per-language TOKEN budget (what mixture specs are written in):
+    // hash-order prefix until the running total crosses the budget;
+    // bucketed plan — per-(lang, hash-prefix-bucket) windows, never a
+    // per-language global sort
+    "smp_tb" -> ((s, dir) =>
+      graft.sampling.Sampling.tokenBudgetSample(
+        Tables.documents(s, dir)
+          .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+        "doc_id", "lang", "n_tok",
+        budgets = Map("en" -> 6000L), defaultBudget = 2000L)
+        .select("doc_id", "lang", "n_tok")),
+    "dd_sh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
+    "dd_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
-    "text_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
-    "text_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
-    "text_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
-    "text_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
+    "t_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
+    "t_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
+    "t_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
+    "t_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "t_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
     // deterministic email/phone/IP tail — the oracle then actually
     // exercises the redaction regexes on every row, not a passthrough
-    "text_pii" -> ((s, dir) => TextFunctions.redactPii(
+    "t_pii" -> ((s, dir) => TextFunctions.redactPii(
       Tables.documents(s, dir).withColumn("text",
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 555-867-5309 from 10.0.0."),
           (col("doc_id") % 256).cast("string"))))),
-    "text_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
-    "text_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
-    "text_rep" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
-    "corp_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
+    "t_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
+    "t_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
+    "t_rep" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
+    "c_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // training-mix composition: tokens per (split, lang) + within-split
     // share, over the deterministic split assignment
-    "corp_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
-    "text_lm1" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
+    "c_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
+    "t_lm1" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
     // bigram LM: per-transition NLL — catches word-salad docs whose
     // unigram mix looks fine but whose transitions are improbable
-    "text_lm2" -> ((s, dir) => TextFunctions.bigramLogProb(Tables.documents(s, dir))),
+    "t_lm2" -> ((s, dir) => TextFunctions.bigramLogProb(Tables.documents(s, dir))),
     // hashing-trick featurization: sparse (feat_idx, count) rows per doc,
     // md5-prefix mod dim — the vocabulary-free classifier input
-    "text_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
-    "text_bpe" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
+    "t_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
+    "t_bpe" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // rows-only: bounded-round BPE merge application (top pair → merge →
     // re-pair) — iterative, one bounded driver scalar per round, no SQL
     // equivalent; equality to a single-machine reference is spec-asserted
     "t_bpem" -> ((s, dir) => TextFunctions.bpeLearn(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
-    "text_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
+    "t_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
-    "text_zipf" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
+    "t_zipf" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
     // KL + TV distance of observed lang-token shares vs a target mix
     "mix_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
     // temperature-scaled resampling weights (XLM-R/mC4 sampling rule)
-    "mix_temp" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
+    "mix_t" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
-    "text_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
+    "t_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
     "mon_edr" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
@@ -568,6 +616,13 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // rows-only: product-quantization ADC top-k (Jégou 2011) — m=4
+    // subspace codebooks via deterministic per-subspace k-means, corpus
+    // scored as codes; recall vs the exact baseline is spec-asserted
+    "sim_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
     // radius (threshold) search: everything above the similarity bar —
     // the other canonical ANN query shape; exact baseline, same
     // broadcast-queries contract as sim_bf_topk
@@ -586,7 +641,7 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
-    "st_tumble" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    "st_tum" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     // batch face of the continuous drift monitor: per-day PSI of value vs
     // the pre-split baseline histogram (streaming face spec-asserted
     // equal; baseline fractions fold in as literals — model metadata)
@@ -597,14 +652,14 @@ object SparkEntry {
       Streams.psiAlertStream(sv.filter(col("event_date") >= lit(monitorSplit)),
         lo, hi, pcts, windowLen = "1 day")
     }),
-    "st_slide" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
+    "st_sl" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
     "st_sess" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
     // batch face of the stream-stream interval join (clicks × purchases
     // within 1h per user; streaming spec joins two watermarked streams)
     "st_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
     // outer face: unconverted clicks survive null-padded (in streaming,
     // emitted once the watermark proves no in-horizon purchase remains)
-    "st_join_o" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
+    "st_jo" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
     // event-grain sessionization: each event tagged with its per-user
     // session ordinal (gaps-and-islands)
     "q_sess" -> ((s, dir) => Streams.sessionize(silver(s, dir))
@@ -618,7 +673,7 @@ object SparkEntry {
     }),
     // batch face of the streaming dedup (dropDuplicatesWithinWatermark on
     // a stream; first-event-wins per key in batch)
-    "st_dedup" -> ((s, dir) =>
+    "st_dd" -> ((s, dir) =>
       Streams.firstEventPerKey(Tables.events(s, dir).filter(col("event_id").isNotNull))
         .select("event_id", "ts", "user_id")),
     // batch face of CDC apply (Debezium/Delta APPLY CHANGES): events as a
@@ -792,9 +847,9 @@ object SparkEntry {
         |       CAST(ts AS DATE) AS event_date
         |FROM events""".stripMargin,
 
-    "silver_cl" -> s"$silverCte SELECT * FROM silver",
+    "sil_cl" -> s"$silverCte SELECT * FROM silver",
 
-    "dim_time" ->
+    "dim_t" ->
       s"""$silverCte
          |SELECT sha256(concat_ws('||', CAST(date AS VARCHAR), CAST(hour AS VARCHAR), CAST(minute AS VARCHAR))) AS time_id,
          |       date, year, month, day, day_of_week, hour, minute
@@ -806,12 +861,12 @@ object SparkEntry {
          |  FROM silver WHERE ts IS NOT NULL
          |)""".stripMargin,
 
-    "dim_users" ->
+    "dim_u" ->
       s"""$silverCte
          |SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id
          |FROM (SELECT DISTINCT user_id FROM silver WHERE user_id IS NOT NULL)""".stripMargin,
 
-    "dim_zones" ->
+    "dim_z" ->
       s"""$silverCte
          |SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
          |       'synthetic_city' AS city, 'zone' AS zone_type
@@ -837,7 +892,7 @@ object SparkEntry {
     // SCD-2 run construction: change flag → running group id → per-run
     // min/count → interval chain via lead; (ts, event_id) is a unique
     // order after silver dedup, so both engines build identical runs
-    "dim_scd2" ->
+    "dim_s2" ->
       s"""$silverCte,
          |marked AS (
          |  SELECT user_id, ts, event_id, zone_id,
@@ -994,6 +1049,37 @@ object SparkEntry {
          |         sum(CASE WHEN zone_id < 0 THEN 1 ELSE 0 END), count(*) FROM silver
          |)""".stripMargin,
 
+    // expectation suite: same one-wide-row-then-unpivot shape as dq_sum;
+    // regex anchors make Java-regex rlike and RE2 regexp_matches agree
+    "dq_exp" ->
+      s"""$silverCte
+         |SELECT expectation, col_name, CAST(violations AS BIGINT) AS violations,
+         |       CAST(total_rows AS BIGINT) AS total_rows, violations = 0 AS passed
+         |FROM (
+         |  SELECT 'not_null' AS expectation, 'user_id' AS col_name,
+         |         sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS violations,
+         |         count(*) AS total_rows FROM silver
+         |  UNION ALL
+         |  SELECT 'not_null', 'value',
+         |         sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'unique', 'event_id',
+         |         count(event_id) - count(DISTINCT event_id), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'between', 'value',
+         |         sum(CASE WHEN value IS NOT NULL AND (value < 0 OR value > 200)
+         |             THEN 1 ELSE 0 END), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'in_set', 'event_type',
+         |         sum(CASE WHEN event_type IS NOT NULL AND event_type NOT IN
+         |             ('view','click','purchase','signup','error')
+         |             THEN 1 ELSE 0 END), count(*) FROM silver
+         |  UNION ALL
+         |  SELECT 'regex', 'props',
+         |         sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$$')
+         |             THEN 1 ELSE 0 END), count(*) FROM silver
+         |)""".stripMargin,
+
     // k-anonymity: DuckDB hour() is BIGINT, Spark's is INT → cast; both
     // engines truncate the parquet nanos to the same hour
     "dq_kanon" ->
@@ -1022,7 +1108,7 @@ object SparkEntry {
          |       lag_hours > 24.0 AS stale_alert
          |FROM lagd""".stripMargin,
 
-    "feat_dem" -> featDemandSql,
+    "f_dem" -> featDemandSql,
 
     "f_surge" -> featSurgeSql,
 
@@ -1049,7 +1135,7 @@ object SparkEntry {
     // bin rule mirrored exactly: 1 + #cutpoints strictly below the value,
     // cutpoints = exact linear-interpolated deciles (percentile ≡
     // quantile_cont, parity already proven by agg_pctl)
-    "feat_bin" ->
+    "f_bin" ->
       """WITH cuts AS (
         |  SELECT quantile_cont(o_totalprice,
         |           [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cs FROM orders
@@ -1061,6 +1147,29 @@ object SparkEntry {
         |       round(avg(o_totalprice), 6) AS avg_value
         |FROM orders, cuts
         |GROUP BY 1""".stripMargin,
+
+    // exact-cents moments (integer-valued doubles add exactly in any
+    // partition order) + exact percentile interpolation → identical
+    // z/clip values; n > 1 guards the NaN-ordering divergence
+    "f_std" ->
+      s"""$silverCte,
+         |stats AS (
+         |  SELECT zone_id, count(*) AS n,
+         |         SUM(round(value * 100)) AS sc,
+         |         SUM(round(value * 100) * round(value * 100)) AS sc2,
+         |         quantile_cont(value, 0.05) AS p05,
+         |         quantile_cont(value, 0.95) AS p95
+         |  FROM silver WHERE value IS NOT NULL GROUP BY zone_id),
+         |st AS (
+         |  SELECT zone_id, n, sc / n / 100.0 AS mean,
+         |         CASE WHEN n > 1
+         |              THEN sqrt((sc2 - sc * sc / n) / (n - 1)) / 100.0 END AS sd,
+         |         p05, p95
+         |  FROM stats)
+         |SELECT s.event_id, s.zone_id, s.value,
+         |       CASE WHEN n > 1 AND sd > 0 THEN (s.value - mean) / sd END AS z_value,
+         |       least(greatest(s.value, p05), p95) AS value_wins
+         |FROM silver s JOIN st USING (zone_id)""".stripMargin,
 
     // same daily grain, RANGE frame mirrored: integer day ORDER BY with
     // RANGE BETWEEN 6 PRECEDING — both engines bound the frame by value
@@ -1212,7 +1321,7 @@ object SparkEntry {
     // E = row_total × window_total / N; integer counts all the way to the
     // final double division, so both engines compute identical cell terms;
     // the cell-term SUM rounds to 6 dp (engine-order accumulation)
-    "mon_chi2" ->
+    "mon_chi" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'event_type' AS feature, CAST(event_type AS VARCHAR) AS x, event_date FROM silver
@@ -1291,6 +1400,81 @@ object SparkEntry {
          |       quantile_cont(latency_ms, 0.95) AS p95,
          |       avg(latency_ms) AS mean
          |FROM lat""".stripMargin,
+
+    // the same magic-mask bit spread, stage by stage — integer shifts
+    // and masks are exact on both engines, so zval matches bit-for-bit
+    "q_zord" ->
+      s"""$silverCte,
+         |d AS (SELECT event_id, zone_id, CAST(hour(ts) AS INT) AS hour
+         |      FROM silver WHERE zone_id IS NOT NULL),
+         |s0 AS (SELECT event_id, zone_id, hour,
+         |              zone_id & 65535 AS ax,
+         |              CAST(hour AS BIGINT) & 65535 AS bx FROM d),
+         |s1 AS (SELECT *, (ax | (ax << 8)) & 16711935 AS a1,
+         |                 (bx | (bx << 8)) & 16711935 AS b1 FROM s0),
+         |s2 AS (SELECT *, (a1 | (a1 << 4)) & 252645135 AS a2,
+         |                 (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1),
+         |s3 AS (SELECT *, (a2 | (a2 << 2)) & 858993459 AS a3,
+         |                 (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2),
+         |s4 AS (SELECT *, (a3 | (a3 << 1)) & 1431655765 AS a4,
+         |                 (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+         |SELECT event_id, zone_id, hour, a4 | (b4 << 1) AS zval FROM s4""".stripMargin,
+
+    // α=½ EWMA: weights 2⁻¹…2⁻⁷ are exact dyadic doubles over integer
+    // counts — every product/sum is exact, the one division is
+    // correctly rounded → bit-identical forecasts on both engines
+    "sc_fcst" -> {
+      val wsum = (1 to 7).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN CAST(l$j AS DOUBLE) * ${math.pow(0.5, j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val wnorm = (1 to 7).map(j =>
+        s"CASE WHEN l$j IS NOT NULL THEN ${math.pow(0.5, j)} ELSE 0.0 END")
+        .mkString(" + ")
+      val lagCols = (1 to 7).map(j =>
+        s"lag(demand, $j) OVER (PARTITION BY zone_id ORDER BY event_date) AS l$j")
+        .mkString(", ")
+      s"""$silverCte,
+         |daily AS (
+         |  SELECT zone_id, event_date, count(*) AS demand FROM silver
+         |  WHERE zone_id IS NOT NULL GROUP BY 1, 2),
+         |lags AS (SELECT zone_id, event_date, demand, $lagCols FROM daily),
+         |f AS (
+         |  SELECT zone_id, event_date, demand,
+         |         CAST(l1 AS DOUBLE) AS fc_naive,
+         |         CAST(l7 AS DOUBLE) AS fc_seasonal,
+         |         $wsum AS wsum,
+         |         $wnorm AS wnorm
+         |  FROM lags)
+         |SELECT zone_id, event_date, demand, fc_naive, fc_seasonal,
+         |       CASE WHEN wnorm > 0 THEN wsum / wnorm END AS fc_ewma,
+         |       abs(demand - fc_naive) AS ae_naive,
+         |       abs(demand - fc_seasonal) AS ae_seasonal,
+         |       abs(demand - CASE WHEN wnorm > 0 THEN wsum / wnorm END) AS ae_ewma
+         |FROM f""".stripMargin
+    },
+
+    // identical expression order end-to-end (exact long sums → one
+    // division → sqrt → one multiply, each IEEE-correctly-rounded), so
+    // both engines score and rank candidate splits bit-identically
+    "mon_cpd" ->
+      s"""$silverCte,
+         |daily AS (SELECT event_date AS change_date, count(*) AS x FROM silver GROUP BY 1),
+         |pre AS (
+         |  SELECT change_date,
+         |         CAST(row_number() OVER (ORDER BY change_date) AS BIGINT) AS t,
+         |         SUM(x) OVER (ORDER BY change_date
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM daily),
+         |tot AS (SELECT SUM(x) AS tot, COUNT(*) AS n FROM daily)
+         |SELECT change_date, n AS n_days,
+         |       sqrt(CAST(t * (n - t) AS DOUBLE) / n) * abs(mean_before - mean_after) AS g_stat,
+         |       mean_before, mean_after
+         |FROM (
+         |  SELECT p.change_date, p.t, tot.n,
+         |         CAST(p.cum AS DOUBLE) / p.t AS mean_before,
+         |         CAST(tot.tot - p.cum AS DOUBLE) / (tot.n - p.t) AS mean_after
+         |  FROM pre p, tot WHERE p.t < tot.n)
+         |ORDER BY g_stat DESC, change_date LIMIT 1""".stripMargin,
 
     // plain inequality join is the oracle for the bucketed range join
     "q_range" ->
@@ -1551,13 +1735,24 @@ object SparkEntry {
          |FROM silver s JOIN zd ON s.zone_id = zd.zone_id
          |WHERE s.zone_id IS NOT NULL""".stripMargin,
 
-    "dedup_ex" ->
+    "dd_ex" ->
       """SELECT doc_id, md5(lower(text)) AS text_hash,
         |       min(doc_id) OVER w AS winner_id,
         |       count(*) OVER w AS dup_count,
         |       CAST(doc_id <> min(doc_id) OVER w AS INT) AS is_duplicate
         |FROM documents
         |WINDOW w AS (PARTITION BY md5(lower(text)))""".stripMargin,
+
+    // integer counts divide into doubles identically on both engines;
+    // the rates subtract a correctly-rounded quotient from 1.0
+    "dd_rep" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(lower(text))) AS n_exact,
+        |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm,
+        |       1.0 - CAST(count(DISTINCT md5(lower(text))) AS DOUBLE) / count(*) AS exact_dup_rate,
+        |       1.0 - CAST(count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS DOUBLE)
+        |             / count(*) AS norm_dup_rate
+        |FROM documents GROUP BY source""".stripMargin,
 
     // same window shape as dedup_exact over the normalized-text hash;
     // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
@@ -1571,7 +1766,7 @@ object SparkEntry {
         |FROM documents
         |WINDOW w AS (PARTITION BY md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))))""".stripMargin,
 
-    "dedup_mh" -> minhashOracleSql,
+    "dd_mh" -> minhashOracleSql,
 
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
@@ -1587,7 +1782,7 @@ object SparkEntry {
     // connected components over the minhash candidate pairs: cluster_id =
     // min doc_id reachable in the pair graph (recursive CTE ≡ the Spark
     // side's min-label propagation fixpoint)
-    "dedup_cc" ->
+    "dd_cc" ->
       s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |$minhashPairCtes,
          |edges AS (
@@ -1606,7 +1801,7 @@ object SparkEntry {
     // corpus docs surviving benchmark decontamination (benchmark = every
     // 20th doc): no exact normalized-hash match AND < 5 shared 3-gram
     // shingles with every single benchmark doc
-    "decontam" ->
+    "dc_ex" ->
       s"""$shingleCte,
          |bench_hash AS (
          |  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 20 = 0
@@ -1627,7 +1822,7 @@ object SparkEntry {
     // the bloom variant must be indistinguishable from exact decontamination
     // (the FP-confirm join guarantees it), so the oracle IS the exact form,
     // over the %17 bench slice
-    "dec_bloom" ->
+    "dc_bl" ->
       s"""$shingleCte,
          |bench_hash AS (
          |  SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 17 = 0
@@ -1647,7 +1842,7 @@ object SparkEntry {
 
     // deterministic hash sampling: md5-fraction < per-stratum rate —
     // byte-identical selection in any engine
-    "smp_strat" ->
+    "smp_st" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
         |        / 4294967296.0
@@ -1714,6 +1909,23 @@ object SparkEntry {
         |SELECT doc_id, shuffle_key, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS INT) AS pos
         |FROM s""".stripMargin,
+
+    // naive per-stratum window formulation — row-identical to the
+    // bucketed Spark plan because buckets are prefix ranges of the same
+    // (frac, doc_id) order; the md5 fraction is an exact dyadic double on
+    // both engines, so order and cut agree bit-for-bit
+    "smp_tb" ->
+      """SELECT doc_id, lang, n_tok FROM (
+        |  SELECT doc_id, lang, n_tok,
+        |         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY frac, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+        |             / 4294967296.0 AS frac
+        |    FROM documents))
+        |WHERE cum_before < CASE lang WHEN 'en' THEN 6000 ELSE 2000 END""".stripMargin,
 
     // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
     // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
@@ -1791,7 +2003,7 @@ object SparkEntry {
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where
     // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
-    "dedup_jac" ->
+    "dd_jac" ->
       s"""$shingleCte,
          |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
          |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
@@ -1809,7 +2021,7 @@ object SparkEntry {
          |  JOIN sizes sb ON doc_b = sb.doc_id
          |) WHERE jaccard >= 0.5""".stripMargin,
 
-    "dedup_sh" ->
+    "dd_sh" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents
         |),
@@ -1837,7 +2049,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
-    "dedup_emb" ->
+    "dd_emb" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_reduce(list_transform(generate_series(1, len(a.embedding)),
@@ -1849,7 +2061,7 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosine >= 0.35""".stripMargin,
 
-    "text_lid" -> {
+    "t_lid" -> {
       val scoreDefs = TextFunctions.langs.map { l =>
         val set = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
         s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set))) AS score_$l"
@@ -1870,7 +2082,7 @@ object SparkEntry {
          |FROM withbest""".stripMargin
     },
 
-    "text_qual" -> {
+    "t_qual" -> {
       val enSet = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |       length(text) AS n_chars,
@@ -1904,7 +2116,7 @@ object SparkEntry {
         |         * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS bm25
         |FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (token), stats s""".stripMargin,
 
-    "text_tok" ->
+    "t_tok" ->
       """SELECT doc_id,
         |       len(string_split(text, ' ')) AS ws_tokens,
         |       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS re_tokens,
@@ -1914,7 +2126,7 @@ object SparkEntry {
 
     // patterns + replacement order mirror TextFunctions.piiPatterns; counts
     // are over the pre-redaction text on both sides
-    "text_pii" ->
+    "t_pii" ->
       """WITH salted AS (
         |  SELECT doc_id,
         |         text || ' contact user' || CAST(doc_id AS VARCHAR)
@@ -1934,7 +2146,7 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS INTEGER) AS n_id_numbers
         |FROM salted""".stripMargin,
 
-    "text_pack" ->
+    "t_pack" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
@@ -1952,7 +2164,7 @@ object SparkEntry {
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY 1, 2""".stripMargin,
 
-    "text_hh" ->
+    "t_hh" ->
       """WITH raw AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
         |),
@@ -1967,7 +2179,7 @@ object SparkEntry {
         |)
         |SELECT token, tf, df, "rank" FROM ranked WHERE "rank" <= 100""".stripMargin,
 
-    "text_fp" ->
+    "t_fp" ->
       """WITH base AS (
         |  SELECT doc_id, lower(text) AS norm,
         |         greatest(length(lower(text)) - 4, 0) AS n_k
@@ -1981,7 +2193,7 @@ object SparkEntry {
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
 
-    "corp_rep" ->
+    "c_rep" ->
       """SELECT lang, source,
         |       count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -1993,7 +2205,7 @@ object SparkEntry {
 
     // token_share divides identical integers in both engines (exact long
     // sums) -> identical doubles
-    "corp_mix" ->
+    "c_mix" ->
       """WITH assigned AS (
         |  SELECT lang, text,
         |         CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -2014,7 +2226,7 @@ object SparkEntry {
         |         / sum(total_tokens) OVER (PARTITION BY split) AS token_share
         |FROM cells""".stripMargin,
 
-    "text_lm1" ->
+    "t_lm1" ->
       """WITH raw AS (
         |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents
         |),
@@ -2030,7 +2242,7 @@ object SparkEntry {
     // hashing trick: identical md5-prefix → index chain on both engines
     // (the same '0x'-cast idiom the sampling oracles use); counts are
     // exact integers, so no float tolerance in play at all
-    "text_fh" ->
+    "t_fh" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS token
         |  FROM documents
@@ -2043,7 +2255,7 @@ object SparkEntry {
     // bigram LM: conditional denominator = prefix-marginal of the bigram
     // COUNT table (sums to 1 per prefix); the ln-chain mirrors the Spark
     // expression shape-for-shape, NLL aggregates round to 6 dp
-    "text_lm2" ->
+    "t_lm2" ->
       """WITH tl AS (
         |  SELECT doc_id, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t FROM documents
         |),
@@ -2063,7 +2275,7 @@ object SparkEntry {
         |JOIN pc ON str_split(bigram, ' ')[1] = pc.prefix
         |GROUP BY 1""".stripMargin,
 
-    "text_bpe" ->
+    "t_bpe" ->
       """WITH words AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
         |),
@@ -2082,7 +2294,7 @@ object SparkEntry {
     // PMI over corpus bigram/unigram counts: n_bg sums ALL bigrams (the
     // probability denominator), minCount prunes output only; the ln-chain
     // mirrors the Spark expression shape-for-shape so doubles agree
-    "text_pmi" ->
+    "t_pmi" ->
       """WITH tl AS (
         |  SELECT list_filter(str_split(lower(text), ' '), x -> x <> '') AS t FROM documents
         |),
@@ -2108,7 +2320,7 @@ object SparkEntry {
 
     // OLS of ln(freq) on ln(rank) over the top-1000 vocab; outputs round
     // to 6 dp (the sums accumulate doubles in engine-specific order)
-    "text_zipf" ->
+    "t_zipf" ->
       """WITH freqs AS (
         |  SELECT word, count(*) AS tf FROM (
         |    SELECT unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS word
@@ -2163,7 +2375,7 @@ object SparkEntry {
 
     // token counts mirror corpus_mix's (raw whitespace split, no empty
     // filter); pow/shares round to 6 dp (libm-vs-JVM pow last-ulp)
-    "mix_temp" ->
+    "mix_t" ->
       """WITH g AS (
         |  SELECT lang, count(*) AS n_docs,
         |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
@@ -2185,7 +2397,7 @@ object SparkEntry {
     // single space, w=4 window mins, per-doc distinct; short docs
     // (0 < m < w) get one window over all m hashes (list_slice truncates
     // at the array end on both engines)
-    "text_win" ->
+    "t_win" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
         |),
@@ -2228,7 +2440,7 @@ object SparkEntry {
         |       round(sqrt(sum(mc * mc) / sum(mb * mb)), 6) AS norm_ratio
         |FROM per GROUP BY 1""".stripMargin,
 
-    "text_rep" ->
+    "t_rep" ->
       """WITH w AS (
         |  SELECT doc_id, str_split(text, ' ') AS ws FROM documents
         |), t AS (
@@ -2308,7 +2520,7 @@ object SparkEntry {
          | AND c.event_type = 'click' AND p.event_type = 'purchase'
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR""".stripMargin,
 
-    "st_join_o" ->
+    "st_jo" ->
       s"""$silverCte
          |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
          |       p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -2349,7 +2561,7 @@ object SparkEntry {
     // tie-break mirrors firstEventPerKey exactly: ts then every other
     // column in alphabetical order, NULLS FIRST (Spark's ASC default;
     // DuckDB defaults NULLS LAST so it must be spelled out)
-    "st_dedup" ->
+    "st_dd" ->
       """SELECT event_id, ts, user_id FROM (
         |  SELECT event_id, ts, user_id,
         |         row_number() OVER (PARTITION BY event_id ORDER BY
@@ -2374,7 +2586,7 @@ object SparkEntry {
         |SELECT user_id, n_changes, ts AS last_ts, value AS last_value
         |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
-    "st_tumble" ->
+    "st_tum" ->
       s"""$silverCte
          |SELECT date_trunc('hour', ts) AS window_start,
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -2433,7 +2645,7 @@ object SparkEntry {
     // each event lands in exactly width/slide = 4 windows; Spark aligns
     // window starts to epoch multiples of the slide, which 15-minute
     // hour-truncated arithmetic reproduces exactly
-    "st_slide" ->
+    "st_sl" ->
       s"""$silverCte
          |SELECT ws AS window_start,
          |       ws + INTERVAL 1 HOUR AS window_end,

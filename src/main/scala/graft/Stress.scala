@@ -75,6 +75,14 @@ object Stress {
     // local sort — no global ordering stage; must scale like the shuffle
     time("shuffle_shards_10x")(graft.sampling.Sampling.shuffleShards(
       dupHeavy.select("doc_id"), "doc_id"))
+    // token-budget sampler at 50k docs / 5 strata: the bucketed plan's
+    // per-(stratum, bucket) windows must keep this scan-bound — the
+    // naive per-stratum window would sort 10k docs per stratum partition
+    time("token_budget_10x")(graft.sampling.Sampling.tokenBudgetSample(
+      dupHeavy
+        .withColumn("lang", (col("doc_id") % 5).cast("string"))
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
+      "doc_id", "lang", "n_tok", budgets = Map.empty, defaultBudget = 200000L))
     // PMI collocations: bigram explode+agg is linear in tokens; the
     // marginal joins are vocab-sized, unaffected by corpus growth
     time("text_pmi_10x")(graft.text.TextFunctions.pmiCollocations(dupHeavy))

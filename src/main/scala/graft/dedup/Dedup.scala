@@ -76,6 +76,29 @@ object Dedup {
       .select("doc_id", "norm_hash", "winner_id", "dup_count", "is_duplicate")
   }
 
+  /** Per-source dedup-rate report — the curation-dashboard numbers a
+    * data-mix owner reads before setting per-source sampling rates:
+    * document count, distinct exact-text and distinct normalized-text
+    * groups (same hash definitions as [[exactDedup]]/[[normalizedDedup]],
+    * so the rates here equal what those passes would remove), and the
+    * implied duplicate rates. The normalized rate ≥ exact rate by
+    * construction (coarser groups).
+    *
+    * Scale: one scan; the two distinct counts plan as the standard
+    * multi-distinct Expand (2× row fan-out map-side), shuffling hash
+    * partials keyed by source — output is |sources| rows. */
+  def dupRateReport(docs: DataFrame): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    docs.groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(lower(col("text")))).as("n_exact"),
+        countDistinct(md5(norm)).as("n_norm"))
+      .select(col("source"), col("n_docs"), col("n_exact"), col("n_norm"),
+        (lit(1.0) - col("n_exact").cast("double") / col("n_docs")).as("exact_dup_rate"),
+        (lit(1.0) - col("n_norm").cast("double") / col("n_docs")).as("norm_dup_rate"))
+  }
+
   /** Signature hash family for [[minhashLsh]]. */
   sealed trait HashFamily
   /** Salted md5 hex slices — byte-identical in any ANSI engine, so the

@@ -213,4 +213,50 @@ object FeatureEngineering {
         max(valueCol).as("hi"),
         round(avg(valueCol), 6).as("avg_value"))
   }
+
+  /** Robust per-group feature scaling: z-score against the group's
+    * mean/stddev plus winsorization at the group's exact p05/p95 — the
+    * standard pre-training cleanup for heavy-tailed monetary features
+    * (z-scores feed linear models, clipping bounds outlier leverage).
+    *
+    * Determinism (the exact-cents trick, same as the monetary
+    * aggregates): mean and stddev derive from EXACT integer-cent sums —
+    * `Σc` and `Σc²` are integer-valued doubles far under 2⁵³, so they
+    * add exactly in any partition order, and both engines compute
+    * identical moments from identical operands; the percentile bounds
+    * use exact interpolation (cross-engine parity proven by agg_pctl).
+    *
+    * Scale: one hash-aggregate to |groups| stat rows (percentiles make
+    * it a sort-based aggregate per group key — swap `percentile` for
+    * `approx_percentile` at 100 TB), broadcast join back, then the
+    * z/clip projection runs at scan speed. */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = round(col(valueCol) * 100)
+    val stats = df.filter(col(valueCol).isNotNull)
+      .groupBy(groupCol)
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(cents).as("__sc"),
+        sum(cents * cents).as("__sc2"),
+        percentile(col(valueCol), lit(0.05)).as("__p05"),
+        percentile(col(valueCol), lit(0.95)).as("__p95"))
+      .select(col(groupCol), col("__n"),
+        (col("__sc") / col("__n") / 100.0).as("__mean"),
+        when(col("__n") > 1,
+          sqrt((col("__sc2") - col("__sc") * col("__sc") / col("__n")) /
+            (col("__n") - 1)) / 100.0).as("__sd"),
+        col("__p05"), col("__p95"))
+    // n > 1 guards the singleton group twice over: ANSI mode makes its
+    // (n−1)=0 divisor a runtime error (the when() above short-circuits
+    // it), and were it allowed through, the 0/0 = NaN would ORDER
+    // differently across engines (DuckDB sorts NaN above every number,
+    // so `NaN > 0` is true there and false here)
+    df.join(broadcast(stats), Seq(groupCol))
+      .withColumn("z_value",
+        when(col("__n") > 1 && col("__sd") > 0,
+          (col(valueCol) - col("__mean")) / col("__sd")))
+      .withColumn("value_wins",
+        least(greatest(col(valueCol), col("__p05")), col("__p95")))
+      .drop("__n", "__mean", "__sd", "__p05", "__p95")
+  }
 }

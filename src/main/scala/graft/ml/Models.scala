@@ -118,13 +118,16 @@ object Models {
 
   /** [[demandGBT]] with a deterministically hash-sampled TRAINING window
     * (pinned fraction; the held-out scoring window stays intact, so the
-    * prediction frame matches `ml_gbt` row-for-row). Two jobs: (a) the
-    * bench-protocol line — GBT's sequential-boosting fit is half the
-    * full bench total and noisy, drowning regression signal on the other
-    * 125 lines; this variant tracks the same code path at a quarter of
-    * the fit cost and variance; (b) the documented 100 TB protocol made
-    * executable — training cost for every spark.ml fit here is bounded
-    * by sampling the training window, not by changing the pipeline. */
+    * prediction frame matches `ml_gbt` row-for-row). Two jobs: (a) a
+    * bench-protocol line tracking the GBT code path on a quarter of the
+    * training data; (b) the documented 100 TB protocol made executable —
+    * training cost for every spark.ml fit here is bounded by sampling
+    * the training window, not by changing the pipeline. MEASURED honesty
+    * note (round 7, sf0.1): 12 s vs the full fit's 13 s — at this scale
+    * the fit is bounded by the 20 sequential boosting iterations' job-
+    * scheduling overhead, not data volume, so sampling saves little
+    * locally; it bounds the data-dependent term that dominates once the
+    * per-iteration scan is no longer trivial. */
   def demandGBTSampled(feat: DataFrame, fraction: Double = 0.25): DataFrame = {
     val sampled = feat.filter(
       col("trip_date") >= splitDate ||

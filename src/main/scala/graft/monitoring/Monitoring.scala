@@ -248,4 +248,47 @@ object Monitoring {
       when((col("cur_count") / col("cur_days")) / (col("base_count") / col("base_days")) < alertBelow, 1)
         .otherwise(0).as("volume_alert"))
   }
+
+  /** Single change-point detection over the daily volume series —
+    * binary-segmentation's CUSUM-style split statistic: for each
+    * candidate split t of the n daily counts,
+    * G_t = sqrt(t·(n−t)/n) · |mean(x₁..t) − mean(x_{t+1}..n)|,
+    * and the detected change point is the argmax. [[volume]] compares a
+    * FIXED split's two windows; this finds WHERE the level shifted —
+    * the alarm you run when you don't know the deploy date.
+    *
+    * Scale: the raw data collapses to one row per day in the first
+    * hash-aggregate (the only pass over the corpus); everything after —
+    * prefix sums, candidate scores, argmax — runs on the |days| series,
+    * which grows with the calendar, never the data (same argument as
+    * `agg_ret`'s days² space). The unpartitioned window and 1-row total
+    * join are over that bounded series. All arithmetic is exact-integer
+    * sums and IEEE-correctly-rounded ops in a fixed expression order →
+    * identical doubles on any engine.
+    *
+    * Output: one row — (change_date, n_days, g_stat, mean_before,
+    * mean_after) where change_date is the LAST day of the left segment. */
+  def changePoint(df: DataFrame, dateCol: String = "event_date"): DataFrame = {
+    val daily = df.groupBy(col(dateCol).as("change_date"))
+      .agg(count(lit(1)).as("x"))
+    val ord = org.apache.spark.sql.expressions.Window.orderBy("change_date")
+    val cum = org.apache.spark.sql.expressions.Window.orderBy("change_date")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = daily.agg(sum("x").as("tot"), count(lit(1)).as("n"))
+    daily
+      .withColumn("t", row_number().over(ord).cast("long"))
+      .withColumn("cum", sum("x").over(cum))
+      .crossJoin(broadcast(tot))
+      .filter(col("t") < col("n"))
+      .withColumn("mean_before", col("cum").cast("double") / col("t"))
+      .withColumn("mean_after",
+        (col("tot") - col("cum")).cast("double") / (col("n") - col("t")))
+      .withColumn("g_stat",
+        sqrt((col("t") * (col("n") - col("t"))).cast("double") / col("n")) *
+          abs(col("mean_before") - col("mean_after")))
+      .orderBy(col("g_stat").desc, col("change_date"))
+      .limit(1)
+      .select("change_date", "n", "g_stat", "mean_before", "mean_after")
+      .withColumnRenamed("n", "n_days")
+  }
 }

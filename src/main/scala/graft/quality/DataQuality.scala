@@ -149,6 +149,59 @@ object DataQuality {
       .withColumn("stale_alert", col("lag_hours") > staleHours)
   }
 
+  /** Declarative row-level expectations (Great-Expectations flavor; the
+    * reference's ad-hoc `check_non_null`/`check_positive` generalized to
+    * a typed rule set). */
+  sealed trait Expectation { def column: String; def kind: String }
+  final case class ExpectNotNull(column: String) extends Expectation { val kind = "not_null" }
+  final case class ExpectUnique(column: String) extends Expectation { val kind = "unique" }
+  final case class ExpectBetween(column: String, lo: Double, hi: Double)
+    extends Expectation { val kind = "between" }
+  final case class ExpectInSet(column: String, values: Seq[String])
+    extends Expectation { val kind = "in_set" }
+  final case class ExpectRegex(column: String, pattern: String)
+    extends Expectation { val kind = "regex" }
+
+  /** Expectation-suite audit: every rule's violation count in ONE
+    * distributed pass — one row per rule with (kind, col_name,
+    * violations, total_rows, passed).
+    *
+    * Range/set/regex rules skip nulls (that's [[ExpectNotNull]]'s job —
+    * composing rules must not double-count a failure mode); uniqueness
+    * counts surplus non-null occurrences (count − count distinct).
+    *
+    * Scale: the row-level rules are plain conditional sums — partial
+    * aggregation map-side, one exchange carrying one row per partition.
+    * A [[ExpectUnique]] rule adds the standard two-phase distinct
+    * (Expand): still one scan, but the exchange then carries the
+    * distinct keys of that column — leave uniqueness rules off append-
+    * only audits where the key is the partition key and let the
+    * dedup operators own that check instead. */
+  def expectations(df: DataFrame, exps: Seq[Expectation]): DataFrame = {
+    require(exps.nonEmpty, "expectation suite is empty")
+    val aggs: Seq[Column] = exps.zipWithIndex.map { case (e, i) =>
+      val v = e match {
+        case ExpectNotNull(c) => sum(when(col(c).isNull, 1L).otherwise(0L))
+        case ExpectUnique(c)  => count(col(c)) - countDistinct(col(c))
+        case ExpectBetween(c, lo, hi) =>
+          sum(when(col(c).isNotNull && (col(c) < lo || col(c) > hi), 1L).otherwise(0L))
+        case ExpectInSet(c, vs) =>
+          sum(when(col(c).isNotNull && !col(c).isin(vs: _*), 1L).otherwise(0L))
+        case ExpectRegex(c, p) =>
+          sum(when(col(c).isNotNull && !col(c).rlike(p), 1L).otherwise(0L))
+      }
+      coalesce(v, lit(0L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__total")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = exps.zipWithIndex
+      .map { case (e, i) => s"'${e.kind}', '${e.column}', `__v$i`" }
+      .mkString(", ")
+    wide.select(
+        expr(s"stack(${exps.size}, $stackArgs) AS (expectation, col_name, violations)"),
+        col("__total").as("total_rows"))
+      .withColumn("passed", col("violations") === 0L)
+  }
+
   def evaluate(summaryDf: DataFrame, maxNullRate: Double = 0.001): Seq[QualityResult] = {
     val rows = summaryDf.collect()
     rows.toSeq.map { r =>

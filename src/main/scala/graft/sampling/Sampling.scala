@@ -120,6 +120,57 @@ object Sampling {
     df.withColumn("rn", row_number().over(w)).filter(col("rn") <= n).drop("rn")
   }
 
+  /** Token-budget sampler — the mixing primitive a training-data run
+    * actually stops on: per stratum (language/source), take documents in
+    * the deterministic hash order until the stratum's TOKEN budget is
+    * reached. A doc is kept iff the running token total BEFORE it is
+    * under the budget, so the crossing doc is included and every stratum
+    * with enough supply reaches ≥ budget tokens; rate- and count-based
+    * sampling (`stratifiedHashSample` / `reservoirPerStratum`) can't
+    * promise that, and token budgets are what mixture specs are written
+    * in. The kept set is a prefix of the same stable per-stratum hash
+    * permutation the other samplers draw from → nested under budget
+    * changes, stable under repartitioning, engine-portable (SQL oracle).
+    *
+    * Scale: the naive plan is a window over each FULL stratum — one sort
+    * task per language at corpus scale. Instead the hash fraction is
+    * pre-bucketed into `buckets` prefix ranges: per-(stratum, bucket)
+    * token totals aggregate map-side (tiny result — strata × buckets
+    * rows), a window over that aggregate yields each bucket's preceding
+    * total, and the broadcast join hands every row its bucket's offset,
+    * so the per-row window only ranks WITHIN its (stratum, bucket) —
+    * partitions are 1/`buckets` of a stratum, restoring full parallelism.
+    * Because buckets are prefix ranges of the same (fraction, key) order,
+    * the result is row-identical to the naive per-stratum window. */
+  def tokenBudgetSample(df: DataFrame, keyCol: String, stratumCol: String,
+      tokensCol: String, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      salt: String = "graft", buckets: Int = 256): DataFrame = {
+    val budgetCol = budgets.foldLeft(lit(defaultBudget): Column) {
+      case (acc, (k, b)) => when(col(stratumCol) === k, lit(b)).otherwise(acc)
+    }
+    val frac = hashFraction(col(keyCol), salt)
+    val base = df
+      .withColumn("__tb_frac", frac)
+      .withColumn("__tb_bkt", floor(col("__tb_frac") * buckets).cast("int"))
+    val wBkt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(col("__tb_bkt"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col(stratumCol), col("__tb_bkt"))
+      .agg(sum(col(tokensCol).cast("long")).as("__tb_n"))
+      .withColumn("__tb_off", coalesce(sum(col("__tb_n")).over(wBkt), lit(0L)))
+      .select(col(stratumCol), col("__tb_bkt"), col("__tb_off"))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol), col("__tb_bkt"))
+      .orderBy(col("__tb_frac"), col(keyCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    base
+      .join(broadcast(offsets), Seq(stratumCol, "__tb_bkt"))
+      .withColumn("__tb_before",
+        col("__tb_off") + coalesce(sum(col(tokensCol).cast("long")).over(wIn), lit(0L)))
+      .filter(col("__tb_before") < budgetCol)
+      .drop("__tb_frac", "__tb_bkt", "__tb_off", "__tb_before")
+  }
+
   /** Deterministic global shuffle for reproducible training-data order:
     * every row gets a salt-keyed md5 `shuffle_key`, a `shard` (key mod
     * `nShards` — the output file a writer would send it to) and `pos`

@@ -91,4 +91,55 @@ object Scoring {
       sqrt(avg(pow(y - yhat, 2))).as("rmse"),
       avg(when(y =!= 0, abs((y - yhat) / y))).as("mape"))
   }
+
+  /** Classical forecast BASELINES for the per-zone daily demand series —
+    * the yardsticks any learned forecaster (ml_rf/ml_gbt) must beat
+    * before it ships:
+    *   - naive: yesterday's observed count (lag 1);
+    *   - seasonal naive: same weekday last week (lag 7);
+    *   - EWMA(α=½) over the trailing 7 observations, renormalized over
+    *     however many of the 7 lags exist at the head of a series.
+    * Each forecast comes with its absolute error against the realized
+    * count, so one aggregate downstream yields per-method MAE.
+    *
+    * α = ½ ON PURPOSE: the weights 2⁻¹…2⁻⁷ are exact dyadic doubles and
+    * the counts are integers, so every product and the weighted sum are
+    * EXACT (no rounding anywhere until the final division of two exact
+    * doubles) — bit-identical on any engine, same trick as the
+    * exact-cents monetary sums. Lags are fixed-offset `lag()` columns,
+    * not a pow() window: a weighted window sum can't reference the
+    * current row's index, and seven explicit lags stay codegen'd.
+    *
+    * Scale: one hash-aggregate collapses the corpus to (zone, day) rows;
+    * the lag windows partition by zone — key cardinality grows with the
+    * data, state per partition is the zone's |days| series. Lags skip
+    * over ABSENT days (a zone with no rows yesterday lags to its
+    * previous active day) — document-level imputation is a policy choice
+    * left upstream, and both faces of the oracle agree on the
+    * present-rows-only semantics. */
+  def forecastBaselines(silver: DataFrame): DataFrame = {
+    val byZone = Window.partitionBy("zone_id").orderBy("event_date")
+    val daily = silver.filter(col("zone_id").isNotNull)
+      .groupBy("zone_id", "event_date")
+      .agg(count(lit(1)).as("demand"))
+    val lags = (1 to 7).foldLeft(daily) { (df, j) =>
+      df.withColumn(s"l$j", lag(col("demand"), j).over(byZone))
+    }
+    // exact dyadic weights: wsum = Σ 2^-j·x_j, wnorm = Σ 2^-j over present lags
+    val wsum = (1 to 7).map(j => when(col(s"l$j").isNotNull,
+      col(s"l$j").cast("double") * math.pow(0.5, j)).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    val wnorm = (1 to 7).map(j => when(col(s"l$j").isNotNull,
+      lit(math.pow(0.5, j))).otherwise(lit(0.0)))
+      .reduce(_ + _)
+    lags
+      .withColumn("fc_naive", col("l1").cast("double"))
+      .withColumn("fc_seasonal", col("l7").cast("double"))
+      .withColumn("fc_ewma", when(wnorm > 0, wsum / wnorm))
+      .select(col("zone_id"), col("event_date"), col("demand"),
+        col("fc_naive"), col("fc_seasonal"), col("fc_ewma"),
+        abs(col("demand") - col("fc_naive")).as("ae_naive"),
+        abs(col("demand") - col("fc_seasonal")).as("ae_seasonal"),
+        abs(col("demand") - col("fc_ewma")).as("ae_ewma"))
+  }
 }

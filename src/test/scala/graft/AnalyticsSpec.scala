@@ -411,4 +411,41 @@ class AnalyticsSpec extends SparkSpec {
       s"argmax must partial-aggregate before the shuffle:\n$plan")
     ext.unpersist()
   }
+
+  test("z-order: interleave exact on known values, bijective, layout clusters both dims") {
+    import spark.implicits._
+    import graft.analytics.ZOrder
+    // driver-side reference interleave
+    def zRef(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1).toLong << (2 * i) | ((b >> i) & 1).toLong << (2 * i + 1)
+      }
+    val pts = for (a <- 0 until 32; b <- 0 until 32) yield (a, b)
+    val df = pts.toDF("a", "b")
+      .withColumn("zval", ZOrder.zValue(col("a"), col("b")))
+    val got = df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(got((0, 0)) === 0L && got((1, 0)) === 1L && got((0, 1)) === 2L)
+    assert(got((5, 3)) === 27L)
+    assert(pts.forall { case (a, b) => got((a, b)) === zRef(a, b) })
+    // bijective on the grid
+    assert(df.select("zval").distinct().count() === pts.size)
+    // layout: 16 partitions over a 32×32 grid — every partition's
+    // bounding box must be a small rectangle in BOTH dimensions (the
+    // whole point vs a single-column sort, whose trailing dim spans the
+    // full range in every partition)
+    val laid = ZOrder.zOrderLayout(pts.toDF("a", "b"), "a", "b", numPartitions = 16)
+    val boxes = laid
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a") + 1).as("wa"), (max("b") - min("b") + 1).as("wb"))
+      .collect()
+    val avgArea = boxes.map(r => r.getInt(1).toLong * r.getInt(2)).sum.toDouble / boxes.length
+    // perfect quadrants would be 64 (8×8); allow slack for sampled range
+    // bounds, but demand far below the 1024 a full-span dim would give
+    assert(avgArea < 300.0, s"z-layout boxes too loose: avg area $avgArea")
+    // the plan is ONE range exchange + local sort, no global sort
+    val plan = laid.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
+      s"expected range partitioning in:\n$plan")
+  }
 }

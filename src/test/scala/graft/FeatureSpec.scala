@@ -94,4 +94,41 @@ class FeatureSpec extends SparkSpec {
     val plan = bins.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"quantile bins must not use a global window:\n$plan")
   }
+
+  test("robust scale: z moments correct per group, winsor bounds exact, singleton guarded") {
+    val scaled = FeatureEngineering.robustScale(silver, "zone_id", "value").cache()
+    // per-group z mean ~0 and sample sd ~1 over non-null values
+    val moments = scaled.filter(col("z_value").isNotNull)
+      .groupBy("zone_id")
+      .agg(avg("z_value").as("zm"), stddev_samp("z_value").as("zs"), count(lit(1)).as("n"))
+      .collect()
+    moments.foreach { r =>
+      assert(math.abs(r.getAs[Double]("zm")) < 1e-9, s"zone ${r.get(0)}: z mean ${r.get(1)}")
+      assert(math.abs(r.getAs[Double]("zs") - 1.0) < 1e-6, s"zone ${r.get(0)}: z sd ${r.get(2)}")
+    }
+    // winsorized values live inside the group's [p05, p95], and values
+    // already inside are untouched
+    val withPct = silver.filter(col("value").isNotNull)
+      .groupBy("zone_id")
+      .agg(percentile(col("value"), lit(0.05)).as("p05"),
+        percentile(col("value"), lit(0.95)).as("p95"))
+    val chk = scaled.filter(col("value").isNotNull).join(withPct, "zone_id")
+    assert(chk.filter(col("value_wins") < col("p05") || col("value_wins") > col("p95"))
+      .count() === 0)
+    assert(chk.filter(col("value") >= col("p05") && col("value") <= col("p95") &&
+      col("value_wins") =!= col("value")).count() === 0)
+    // null value (error events) → null z, null winsor
+    assert(scaled.filter(col("value").isNull && col("z_value").isNotNull).count() === 0)
+    // singleton group: variance is 0/0 — z must be NULL, not NaN/inf
+    import spark.implicits._
+    val single = Seq((1L, 10.0), (1L, 20.0), (2L, 5.0))
+      .toDF("g", "v")
+    val s1 = FeatureEngineering.robustScale(single, "g", "v")
+    assert(s1.filter(col("g") === 2 && col("z_value").isNotNull).count() === 0)
+    assert(s1.filter(col("g") === 1 && col("z_value").isNull).count() === 0)
+    // stats broadcast back: no shuffle join on the fact side
+    val plan = scaled.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast:\n$plan")
+    scaled.unpersist()
+  }
 }

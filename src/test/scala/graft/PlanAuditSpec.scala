@@ -41,7 +41,13 @@ class PlanAuditSpec extends SparkSpec {
     // declared-quadratic broadcast-queries contract
     // feat_bin: the decile-cutpoint array (one 9-double row) crossJoined
     //   onto the scan for map-side bin assignment — 1-row build side
-    val allowed = Set("sim_bf", "sim_rad", "t_tfidf", "text_lm1", "text_pmi", "feat_bin")
+    // mon_cpd: the (tot, n) scalar totals crossJoined onto the |days|-row
+    //   daily series — a 1-row build side over a calendar-bounded stream
+    // sim_pq: ADC shares sim_bf's declared-quadratic broadcast-queries
+    //   contract, but the streamed corpus side carries m CODES, not
+    //   embeddings — scan width is the point, spec-asserted
+    val allowed = Set("sim_bf", "sim_rad", "t_tfidf", "t_lm1", "t_pmi",
+      "f_bin", "mon_cpd", "sim_pq")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
@@ -53,7 +59,7 @@ class PlanAuditSpec extends SparkSpec {
     // the whole point of the bloom variant: the corpus never reaches a
     // join operator unfiltered — the probe must sit in the scan-side
     // Filter, not above the confirm join
-    val plan = SparkEntry.queries("dec_bloom")(spark, sfDir)
+    val plan = SparkEntry.queries("dc_bl")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(plan.contains("might_contain"), s"bloom probe missing from plan:\n$plan")
     val probeIdx = plan.indexOf("might_contain")
@@ -96,7 +102,7 @@ class PlanAuditSpec extends SparkSpec {
     // the user_id exchange feeds BOTH windows and the run aggregation:
     // partitioning on user_id satisfies the (user_id, grp) clustering, so
     // Catalyst must not insert a second data exchange for the groupBy
-    val plan = SparkEntry.queries("dim_scd2")(spark, sfDir)
+    val plan = SparkEntry.queries("dim_s2")(spark, sfDir)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 2,

@@ -168,4 +168,41 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("WindowGroupLimit"), s"expected WindowGroupLimit in:\n$plan")
   }
+
+  test("token budget: bucketed plan ≡ naive per-stratum window, budget reached, prefix nested") {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+    val budgets = Map("en" -> 6000L)
+    val got = Sampling.tokenBudgetSample(toks, "doc_id", "lang", "n_tok",
+      budgets, defaultBudget = 2000L)
+    // naive formulation: full per-stratum window (the oracle's plan)
+    val wNaive = Window.partitionBy("lang")
+      .orderBy(Sampling.hashFraction(col("doc_id"), "graft"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = toks
+      .withColumn("cb", coalesce(sum("n_tok").over(wNaive), lit(0L)))
+      .filter(col("cb") < when(col("lang") === "en", 6000L).otherwise(2000L))
+    assert(got.select("doc_id").exceptAll(naive.select("doc_id")).count() === 0)
+    assert(naive.select("doc_id").exceptAll(got.select("doc_id")).count() === 0)
+    // crossing-doc rule: every stratum's kept tokens reach the budget,
+    // and removing the last (highest-hash) kept doc drops back under it
+    val kept = got.groupBy("lang").agg(sum("n_tok").as("tot"),
+      max(Sampling.hashFraction(col("doc_id"), "graft")).as("maxfrac")).collect()
+    kept.foreach { r =>
+      val budget = if (r.getString(0) == "en") 6000L else 2000L
+      assert(r.getLong(1) >= budget, s"${r.getString(0)}: ${r.getLong(1)} < $budget")
+    }
+    // nested: a smaller budget selects a subset of the larger budget's docs
+    val small = Sampling.tokenBudgetSample(toks, "doc_id", "lang", "n_tok",
+      Map("en" -> 3000L), defaultBudget = 1000L)
+    assert(small.select("doc_id").exceptAll(got.select("doc_id")).count() === 0)
+    // deterministic under repartitioning
+    val again = Sampling.tokenBudgetSample(
+      toks.repartition(7), "doc_id", "lang", "n_tok", budgets, defaultBudget = 2000L)
+    assert(got.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+    // scale shape: the per-row window partitions by (stratum, bucket) —
+    // never a per-stratum global sort over the corpus
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("__tb_bkt"), s"expected bucketed window in:\n$plan")
+  }
 }

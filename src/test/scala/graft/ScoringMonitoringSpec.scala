@@ -188,4 +188,83 @@ class ScoringMonitoringSpec extends SparkSpec {
       (v.getAs[Long]("base_count").toDouble / v.getAs[Long]("base_days"))
     assert(math.abs(v.getAs[Double]("volume_ratio") - expected) < 1e-12)
   }
+
+  test("change point: finds a planted level shift at the right day") {
+    import spark.implicits._
+    // 20 quiet days (10 rows/day) then 10 loud days (50 rows/day):
+    // the split statistic must peak at day 20
+    val rows = (1 to 30).flatMap { d =>
+      val n = if (d <= 20) 10 else 50
+      Seq.fill(n)(f"2024-03-$d%02d")
+    }
+    val df = rows.toDF("ds").withColumn("event_date", to_date(col("ds")))
+    val cp = Monitoring.changePoint(df).head()
+    assert(cp.getAs[java.sql.Date]("change_date").toString === "2024-03-20")
+    assert(cp.getAs[Long]("n_days") === 30)
+    assert(math.abs(cp.getAs[Double]("mean_before") - 10.0) < 1e-12)
+    assert(math.abs(cp.getAs[Double]("mean_after") - 50.0) < 1e-12)
+    // G at the true split: sqrt(20*10/30) * 40
+    assert(math.abs(cp.getAs[Double]("g_stat") - math.sqrt(200.0 / 30.0) * 40.0) < 1e-9)
+    // one row out, and the corpus collapses to the daily series in pass one
+    assert(Monitoring.changePoint(silver).count() === 1)
+  }
+
+  test("forecast baselines: naive/seasonal lags exact, EWMA exact-dyadic, head renormalized") {
+    val fc = Scoring.forecastBaselines(silver).cache()
+    assert(fc.count() > 0)
+    // fc_naive is the previous PRESENT day's demand: self-join check
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("zone_id").orderBy("event_date")
+    val expect = fc.withColumn("prev", lag(col("demand"), 1).over(w))
+    assert(expect.filter(col("fc_naive") =!= col("prev").cast("double")).count() === 0)
+    // first observation of every zone has no forecasts
+    val firsts = fc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+    assert(firsts.filter(col("fc_naive").isNotNull || col("fc_ewma").isNotNull).count() === 0)
+    // with all 7 lags present, EWMA is the renormalized dyadic blend:
+    // check one fully-warmed row against a driver-side recomputation
+    val warmed = fc.withColumn("rn", row_number().over(w)).filter(col("rn") > 7)
+    val zid = warmed.select("zone_id").head().getLong(0)
+    val series = fc.filter(col("zone_id") === zid).orderBy("event_date")
+      .select("demand", "fc_ewma").collect()
+    val demands = series.map(_.getLong(0))
+    val idx = 8 // 9th row: all 7 lags exist
+    val ws = (1 to 7).map(j => demands(idx - j) * math.pow(0.5, j)).sum
+    val wn = (1 to 7).map(j => math.pow(0.5, j)).sum
+    assert(series(idx).getDouble(1) === ws / wn)
+    // errors are |demand - forecast|
+    val bad = fc.filter(col("fc_ewma").isNotNull &&
+      abs(col("demand") - col("fc_ewma")) =!= col("ae_ewma")).count()
+    assert(bad === 0)
+  }
+
+  test("expectation suite: one scan, violations counted per rule, pass flags correct") {
+    import graft.quality.DataQuality
+    val out = DataQuality.expectations(silver, Seq(
+      DataQuality.ExpectNotNull("user_id"),
+      DataQuality.ExpectNotNull("value"),
+      DataQuality.ExpectUnique("event_id"),
+      DataQuality.ExpectBetween("value", 0, 200),
+      DataQuality.ExpectInSet("event_type",
+        Seq("view", "click", "purchase", "signup", "error")),
+      DataQuality.ExpectRegex("props", "^\\{.*\\}$"))).cache()
+    val rows = out.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getBoolean(4))).toMap
+    // silver filters null user_ids and dedups event_id → both pass
+    assert(rows(("not_null", "user_id"))._2)
+    assert(rows(("unique", "event_id"))._2)
+    // error events null out value → not_null('value') must FAIL with the
+    // exact error count; range rule must also fail (values reach ~490)
+    val errs = silver.filter(col("value").isNull).count()
+    assert(rows(("not_null", "value")) === ((errs, false)))
+    assert(rows(("between", "value"))._1 > 0 && !rows(("between", "value"))._2)
+    assert(rows(("in_set", "event_type"))._2)
+    assert(rows(("regex", "props"))._2)
+    // between/in_set/regex skip nulls: violation counts never exceed non-null rows
+    val nonNullValue = silver.filter(col("value").isNotNull).count()
+    assert(rows(("between", "value"))._1 <= nonNullValue)
+    // ONE scan: a single aggregate feeds every rule (+1 distinct expand);
+    // no join anywhere in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"expectation suite must not join:\n$plan")
+  }
 }

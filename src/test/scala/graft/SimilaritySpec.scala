@@ -152,4 +152,32 @@ class SimilaritySpec extends SparkSpec {
         .select(col("query_id"), col("cosine").as("ann_cos")), "query_id")
     assert(j.filter(col("ann_cos") > col("bf_cos") + 1e-12).count() === 0)
   }
+
+  test("pq: codes in range, deterministic, recall floor vs exact top-5") {
+    val books = Similarity.pqFit(emb, m = 4, k = 16)
+    assert(books.length === 4 && books.forall(_.length === 16) &&
+      books.forall(_.forall(_.length === 16)))
+    val codes = Similarity.pqEncode(emb, books).cache()
+    assert(codes.count() === emb.count())
+    (0 until 4).foreach { s =>
+      assert(codes.filter(col(s"c$s") < 0 || col(s"c$s") > 15).count() === 0)
+      // every subspace uses a spread of centroids (not a degenerate fit)
+      assert(codes.select(s"c$s").distinct().count() >= 4, s"subspace $s degenerate")
+    }
+    val pq = Similarity.pqTopK(emb, queries, k = 5).cache()
+    assert(pq.exceptAll(Similarity.pqTopK(emb, queries, k = 5)).count() === 0)
+    assert(pq.groupBy("query_id").count().filter(col("count") =!= 5).count() === 0)
+    // recall@5 vs the exact top-5: 16 centroids × 4 subspaces on a
+    // label-clustered 64-dim corpus must recover most true neighbors
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = pq.select("query_id", "neighbor_id").intersect(bf).count()
+    val total = bf.count()
+    assert(hits.toDouble / total >= 0.5, s"pq recall@5 too low: $hits/$total")
+    // same declared-quadratic broadcast contract as sim_bf: a
+    // BroadcastNestedLoopJoin streams the coded corpus
+    val plan = pq.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast join in:\n$plan")
+    codes.unpersist(); pq.unpersist()
+  }
 }
