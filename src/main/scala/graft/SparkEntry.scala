@@ -7,6 +7,7 @@ import graft.analytics.{Analytics, RangeJoin}
 import graft.dedup.Dedup
 import graft.features.FeatureEngineering
 import graft.ml.Models
+import graft.mobility.Mobility
 import graft.monitoring.Monitoring
 import graft.multimodal.Multimodal
 import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
@@ -76,6 +77,50 @@ object SparkEntry {
 
   /** Monitoring windows split the 30-day dataset at its midpoint. */
   private val monitorSplit = "2024-01-15"
+
+  /** DuckDB mirror of Mobility.transitions: consecutive different-zone
+    * pairs per user in (ts, event_id) order, NULL zones dropped first. */
+  private val mobTransCte: String =
+    """trans AS (
+      |  SELECT user_id, ts, origin, zone_id AS dest FROM (
+      |    SELECT user_id, ts, zone_id,
+      |           lag(zone_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS origin
+      |    FROM silver WHERE zone_id IS NOT NULL
+      |  ) WHERE origin IS NOT NULL AND origin <> zone_id
+      |)""".stripMargin
+
+  /** Unrolled power-iteration CTE chain mirroring Mobility.zonePageRank:
+    * ten rounds of contrib → residual-spread, identical float shapes. */
+  private val pageRankCtes: String = {
+    // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
+    // round references the previous one through two paths (contrib + the
+    // carried-mass scalar), so inlining would expand the chain 2^10-fold
+    val rounds = (1 to 10).map { k =>
+      s"""c$k AS MATERIALIZED (
+         |  SELECT od.dest AS zone_id, sum(od.p_dest * r${k - 1}.pr * 0.85) AS contrib
+         |  FROM od JOIN r${k - 1} ON od.origin = r${k - 1}.zone_id GROUP BY 1
+         |),
+         |s$k AS MATERIALIZED (SELECT sum(contrib) AS s FROM c$k),
+         |r$k AS MATERIALIZED (
+         |  SELECT zs.zone_id, coalesce(c$k.contrib, 0.0) + (1.0 - s$k.s) / nz.n AS pr
+         |  FROM zs LEFT JOIN c$k USING (zone_id) CROSS JOIN s$k CROSS JOIN nz
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""od AS MATERIALIZED (
+       |  SELECT origin, dest,
+       |         CAST(count(*) AS DOUBLE)
+       |           / CAST(sum(count(*)) OVER (PARTITION BY origin) AS BIGINT) AS p_dest
+       |  FROM trans GROUP BY 1, 2
+       |),
+       |zs AS MATERIALIZED (
+       |  SELECT DISTINCT zone_id FROM (
+       |    SELECT origin AS zone_id FROM od UNION ALL SELECT dest FROM od
+       |  )
+       |),
+       |nz AS MATERIALIZED (SELECT count(*) AS n FROM zs),
+       |r0 AS MATERIALIZED (SELECT zone_id, 1.0 / nz.n AS pr FROM zs CROSS JOIN nz),
+       |$rounds""".stripMargin
+  }
 
   /** DuckDB index-ordered cosine mirroring Similarity.cosine. */
   private def duckCosine(a: String, b: String): String = {
@@ -220,37 +265,37 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 medallion pipeline
     "bronze" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
-    "sil_cl" -> ((s, dir) => silver(s, dir)),
+    "sil" -> ((s, dir) => silver(s, dir)),
     "dim_t" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
     "dim_u" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
     "dim_z" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
-    "fact_ev" -> ((s, dir) => {
+    "fc_ev" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
     }),
-    "fact_pay" -> ((s, dir) => {
+    "fc_pay" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factPayments(sv, Gold.dimUsers(sv))
     }),
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
     "dim_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
-    "agg_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
-    "agg_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
-    "agg_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
-    "agg_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
-    "agg_pctl" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
+    "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
+    "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
+    "a_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    "a_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
+    "a_pctl" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     // RANGE-frame trailing 7d window: frame bounded by day DISTANCE, so
     // gap days never let the frame reach back too far (rows frames do)
-    "agg_rng" -> ((s, dir) => Aggregates.revenueTrailing7dByZone(silver(s, dir))),
+    "a_rng" -> ((s, dir) => Aggregates.revenueTrailing7dByZone(silver(s, dir))),
     // second-moment profile: corr/covar_samp/stddev_samp in one aggregate
-    "agg_corr" -> ((s, dir) => Aggregates.valueHourStatsByZone(silver(s, dir))),
-    "agg_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
-    "agg_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
-    "agg_fun" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
+    "a_corr" -> ((s, dir) => Aggregates.valueHourStatsByZone(silver(s, dir))),
+    "a_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
+    "a_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
+    "a_fun" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
     // rows-only: HLL++/quantile sketches are implementation-specific —
     // the spec asserts approx-vs-exact tolerance instead of an oracle
-    "dq_prof" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
+    "dq_pf" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
     // rows-only: per-day HLL sketches merged by union — sketch bytes are
     // implementation-specific; merged-vs-exact tolerance is spec-asserted
     "dq_sku" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
@@ -259,13 +304,13 @@ object SparkEntry {
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
     // protected individual is user_id; at_risk marks QI classes shared
     // by fewer than 5 distinct users
-    "dq_kanon" -> ((s, dir) => DataQuality.kAnonymity(
+    "dq_ka" -> ((s, dir) => DataQuality.kAnonymity(
       Tables.events(s, dir).withColumn("hour", hour(col("ts"))),
       Seq("event_type", "hour"), "user_id")),
     // freshness SLA: hours of lag behind the freshest event type; the
     // 30-day synthetic window keeps every type current, so the alert
     // column exercises the FALSE branch (the spec covers TRUE)
-    "dq_fresh" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
+    "dq_fr" -> ((s, dir) => DataQuality.freshness(silver(s, dir), "ts", "event_type")),
     // declarative expectation suite: 6 rules, ONE scan — not-null/unique/
     // range/set/regex violation counts; value rules intentionally include
     // failing rules (error events null the value; range tops at ~490)
@@ -283,7 +328,7 @@ object SparkEntry {
     "f_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
     // leave-one-out target encoding: event_type → mean(value) over the
     // OTHER rows of the category (leakage-free categorical feature)
-    "feat_te" -> ((s, dir) =>
+    "f_te" -> ((s, dir) =>
       FeatureEngineering.targetEncodeLoo(silver(s, dir), "event_type", "value")
         .select("event_id", "event_type", "value", "target_enc")),
     // quantile discretization: decile cutpoints from one aggregate,
@@ -299,7 +344,7 @@ object SparkEntry {
     // §2.3 scoring + monitoring
     "sc_dem" -> ((s, dir) =>
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "sc_surge" -> ((s, dir) =>
+    "sc_sg" -> ((s, dir) =>
       Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     "sc_metr" -> ((s, dir) =>
       Scoring.scoringMetrics(
@@ -308,7 +353,7 @@ object SparkEntry {
     // idempotent MERGE semantics (reference batch_scoring.py:161-186):
     // run_1 scores everything, run_2 re-scores a third of the zones 10%
     // higher at a later scored_at — latest-wins per (date, hour, zone)
-    "sc_upsert" -> ((s, dir) => {
+    "sc_ups" -> ((s, dir) => {
       val scored = Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))
       val existing = Scoring.addRunMetadata(scored, "run_1", "2024-02-01 00:00:00")
       val incoming = Scoring.addRunMetadata(
@@ -330,27 +375,27 @@ object SparkEntry {
       sv.select(col("event_id"), col("zone_id"), col("hour"),
         graft.analytics.ZOrder.zValue(col("zone_id"), col("hour")).as("zval"))
     }),
-    "mon_psi" -> ((s, dir) =>
+    "mn_psi" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // binned two-sample KS: max CDF gap at the psi bin edges — the
     // median-shift alarm PSI smooths over
-    "mon_ks" -> ((s, dir) =>
+    "mn_ks" -> ((s, dir) =>
       Monitoring.ksStat(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // chi-square homogeneity drift over CATEGORICAL features (PSI/KS
     // cover numeric bins; this is the discrete-column alarm)
-    "mon_chi" -> ((s, dir) =>
+    "mn_chi" -> ((s, dir) =>
       Monitoring.chiSquare(silver(s, dir), Seq("event_type", "zone_id"), monitorSplit)),
-    "mon_miss" -> ((s, dir) =>
+    "mn_miss" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
-    "mon_vol" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
+    "mn_vol" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
     // serving-latency percentiles over a deterministic synthetic latency
     // column (the container has no API logs; the LCG-ish derivation is
     // portable so the oracle checks the PERCENTILE operator itself)
     // single change-point over the daily volume series: CUSUM-style
     // binary-segmentation split statistic, argmax over candidate days —
     // the raw data collapses to one row/day in the first aggregate
-    "mon_cpd" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
-    "mon_lat" -> ((s, dir) => Monitoring.latencyStats(
+    "mn_cpd" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
+    "mn_lat" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
     // as-of join: each event annotated with the user's latest purchase
@@ -395,7 +440,7 @@ object SparkEntry {
     }),
     // range join: orders matched into OVERLAPPING price bands (each order
     // hits 1-2 bands) through the bucketed equi-join — no nested loop
-    "q_range" -> ((s, dir) => {
+    "q_rng" -> ((s, dir) => {
       val bands = s.range(0, 700).select(
         col("id").as("band_id"),
         (col("id") * 1000.0 - 500.0).as("lo"),
@@ -405,34 +450,34 @@ object SparkEntry {
     }),
     // §2.5 analytics core
     "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
-    "q3_join" -> ((s, dir) => Analytics.shippingPriority(
+    "q3_jn" -> ((s, dir) => Analytics.shippingPriority(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
-    "q5_mjoin" -> ((s, dir) => Analytics.localSupplierVolume(
+    "q5_mj" -> ((s, dir) => Analytics.localSupplierVolume(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_topn" -> ((s, dir) => Analytics.topPartsPerBrand(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
-    "q_rollup" -> ((s, dir) => Analytics.customersRollup(
+    "q_roll" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
     // UNPIVOT/melt: 4 measure columns → (measure, value) rows in one
     // Expand pass, then a 12-group hash aggregate
-    "q_unpiv" -> ((s, dir) => Analytics.meltedMeasures(Tables.lineitem(s, dir))),
+    "q_unp" -> ((s, dir) => Analytics.meltedMeasures(Tables.lineitem(s, dir))),
     // ANSI INTERSECT/EXCEPT (set semantics → semi/anti hash joins)
-    "q_setop" -> ((s, dir) => Analytics.prioritySetOps(Tables.orders(s, dir))),
+    "q_sop" -> ((s, dir) => Analytics.prioritySetOps(Tables.orders(s, dir))),
     // max_by/min_by argmax aggregates, engine-portable padded ordering key
-    "q_argmax" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
+    "q_amax" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
     // edit-distance similarity join over the distinct name dictionary
     // (lossless length-band blocking as a hash equi-join)
-    "q_fuzzy" -> ((s, dir) => Analytics.fuzzyNameJoin(Tables.part(s, dir))),
+    "q_fz" -> ((s, dir) => Analytics.fuzzyNameJoin(Tables.part(s, dir))),
     // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
     // grand total in ONE Expand pass — the 3 views a CUBE would charge
     // 8 grouping combinations for
     "q_gsets" -> ((s, dir) => Analytics.customersGroupingSets(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
-    "q_above" -> ((s, dir) => Analytics.aboveNationAvg(
+    "q_abv" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
-    "q_wfuncs" -> ((s, dir) => Analytics.balanceWindows(
+    "q_wf" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_semi" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
@@ -460,7 +505,7 @@ object SparkEntry {
     "dd_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
-    "dd_eval" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
+    "dd_ev" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
     // substring-granular dedup (Lee et al. 2022): maximal cross-document
     // runs of >= 20 shared tokens via md5 anchor fingerprints + the
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
@@ -475,7 +520,7 @@ object SparkEntry {
     // production-path minhash (xxhash64 family): rows-only — DuckDB has no
     // xxhash64, so the md5 family above carries the oracle; this entry
     // keeps the fast path benched and row-checked
-    "dd_mhxx" -> ((s, dir) =>
+    "dd_mx" -> ((s, dir) =>
       Dedup.minhashLsh(Tables.documents(s, dir), family = Dedup.XxHash64Family)),
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
@@ -502,41 +547,41 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
     }),
-    "smp_st" -> ((s, dir) =>
+    "s_st" -> ((s, dir) =>
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
         .select("doc_id", "lang")),
     // fixed-SIZE per-stratum sample (exact-count corpus balancing):
     // hash-order rank ≤ n per lang, executed as a map-side WindowGroupLimit
-    "smp_res" -> ((s, dir) =>
+    "s_res" -> ((s, dir) =>
       graft.sampling.Sampling.reservoirPerStratum(Tables.documents(s, dir),
         "doc_id", "lang", n = 20).select("doc_id", "lang")),
     // deterministic train/val/test assignment — stable under
     // repartitioning, consistent across tables sharing key+salt
-    "smp_spl" -> ((s, dir) =>
+    "s_spl" -> ((s, dir) =>
       graft.sampling.Sampling.splitAssign(Tables.documents(s, dir), "doc_id")
         .select("doc_id", "lang", "split")),
     // probability-proportional-to-length sample (token-budgeted mixes):
     // Efraimidis–Spirakis top-n on the deterministic hash uniform
-    "smp_wt" -> ((s, dir) =>
+    "s_wt" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSample(Tables.documents(s, dir),
         "doc_id", "n_chars", n = 200).select("doc_id", "lang", "n_chars")),
     // per-stratum weighted sample: the same Efraimidis–Spirakis priority
     // ranked WITHIN each language — a per-language token budget for a
     // balanced training mix; executes as a map-side WindowGroupLimit
-    "smp_wps" -> ((s, dir) =>
+    "s_wps" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSamplePerStratum(Tables.documents(s, dir),
         "doc_id", "lang", "n_chars", n = 50).select("doc_id", "lang", "n_chars")),
     // deterministic epoch shuffle: salt-keyed md5 order, sharded for
     // parallel writes — one reproducible corpus permutation on any engine
-    "smp_shuf" -> ((s, dir) =>
+    "s_shuf" -> ((s, dir) =>
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
     // per-language TOKEN budget (what mixture specs are written in):
     // hash-order prefix until the running total crosses the budget;
     // bucketed plan — per-(lang, hash-prefix-bucket) windows, never a
     // per-language global sort
-    "smp_tb" -> ((s, dir) =>
+    "s_tb" -> ((s, dir) =>
       graft.sampling.Sampling.tokenBudgetSample(
         Tables.documents(s, dir)
           .withColumn("n_tok", size(split(col("text"), " ")).cast("long")),
@@ -550,7 +595,7 @@ object SparkEntry {
     "t_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "t_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "t_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
-    "t_tfidf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
+    "t_tf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
     // deterministic email/phone/IP tail — the oracle then actually
     // exercises the redaction regexes on every row, not a passthrough
@@ -590,9 +635,9 @@ object SparkEntry {
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
     "t_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
-    "mon_edr" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
+    "mn_edr" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
-    "mm_meta" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
+    "mm_mt" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
     // payloads (per-partition decoder init, typed frames out); the decoder
     // itself is the documented deterministic stub — no codec libs here
@@ -606,37 +651,37 @@ object SparkEntry {
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
     // lowest vec_ids) — no tractable SQL equivalent; determinism + full
     // coverage spec-asserted
-    "ml_kmeans" -> ((s, dir) => {
+    "ml_km" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.kmeansAssign(emb, Similarity.kmeansFit(emb))
     }),
-    "sim_out" -> ((s, dir) =>
+    "v_out" -> ((s, dir) =>
       Similarity.labelOutliers(Tables.embeddings(s, dir))),
-    "sim_bf" -> ((s, dir) => {
+    "v_bf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10))
     }),
     // rows-only: product-quantization ADC top-k (Jégou 2011) — m=4
     // subspace codebooks via deterministic per-subspace k-means, corpus
     // scored as codes; recall vs the exact baseline is spec-asserted
-    "sim_pq" -> ((s, dir) => {
+    "v_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10))
     }),
     // radius (threshold) search: everything above the similarity bar —
     // the other canonical ANN query shape; exact baseline, same
     // broadcast-queries contract as sim_bf_topk
-    "sim_rad" -> ((s, dir) => {
+    "v_rad" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.radiusSearch(emb, emb.filter(col("vec_id") < 10))
     }),
     // rows-only: the deterministic k-means quantizer has no tractable SQL
     // equivalent; recall vs brute force is spec-asserted instead
-    "sim_ivf" -> ((s, dir) => {
+    "v_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10))
     }),
-    "sim_lsh" -> ((s, dir) => {
+    "v_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
@@ -653,10 +698,10 @@ object SparkEntry {
         lo, hi, pcts, windowLen = "1 day")
     }),
     "st_sl" -> ((s, dir) => Streams.slidingCounts(silver(s, dir))),
-    "st_sess" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
+    "st_ss" -> ((s, dir) => Streams.sessionCounts(silver(s, dir))),
     // batch face of the stream-stream interval join (clicks × purchases
     // within 1h per user; streaming spec joins two watermarked streams)
-    "st_join" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
+    "st_jn" -> ((s, dir) => Streams.attributionJoin(silver(s, dir))),
     // outer face: unconverted clicks survive null-padded (in streaming,
     // emitted once the watermark proves no in-horizon purchase remains)
     "st_jo" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
@@ -711,7 +756,7 @@ object SparkEntry {
     // the bench-protocol line that tracks the GBT path without its full
     // fit cost, and the executable form of the "sample the training
     // window at scale" protocol
-    "ml_gbt_s" -> ((s, dir) =>
+    "ml_gs" -> ((s, dir) =>
       Models.demandGBTSampled(FeatureEngineering.demandFeatures(silver(s, dir)))),
     // rows-only: fastText-style quality classifier — hashed token features
     // → LogisticRegression → per-doc quality probability (the learned
@@ -719,6 +764,28 @@ object SparkEntry {
     // planted garbage stratum is spec-asserted
     "ml_qual" -> ((s, dir) =>
       Models.qualityClassifier(Tables.documents(s, dir))),
+    // §2.11 mobility analytics (trajectory view of the reference domain)
+    "m_od" -> ((s, dir) => Mobility.odMatrix(silver(s, dir))),
+    "m_next" -> ((s, dir) => Mobility.nextZoneTopK(silver(s, dir))),
+    "m_stay" -> ((s, dir) => Mobility.stayEpisodes(silver(s, dir))),
+    "m_flow" -> ((s, dir) => Mobility.zoneNetFlow(silver(s, dir))),
+    "m_rog" -> ((s, dir) => Mobility.radiusOfGyration(silver(s, dir))),
+    "m_ent" -> ((s, dir) => Mobility.locationEntropy(silver(s, dir))),
+    "m_home" -> ((s, dir) => Mobility.homeZone(silver(s, dir))),
+    // zone PageRank on the OD graph: data-scale work is the one OD-matrix
+    // shuffle; iterations are dimension-sized tiny-table joins
+    "m_pr" -> ((s, dir) => Mobility.zonePageRank(silver(s, dir))),
+    // DSIR data selection (Xie 2023): hashed-unigram importance weights,
+    // target stratum = lang 'en', corpus-mean-threshold selection
+    "dsir" -> ((s, dir) => TextFunctions.dsirWeights(Tables.documents(s, dir))),
+    // seasonal (hour-of-week) Tukey-fence anomaly detection on hourly
+    // zone demand: raw data collapses in the first aggregate; the profile
+    // is |zones|×168, broadcast back
+    "mn_anom" -> ((s, dir) => Monitoring.seasonalAnomaly(silver(s, dir))),
+    // rows-only: BPE encode under the merges t_bpem learns (iterative
+    // argmax training is not SQL-expressible); equality to a single-
+    // machine reference encoder is spec-asserted
+    "t_bpea" -> ((s, dir) => TextFunctions.bpeEncode(Tables.documents(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -847,7 +914,7 @@ object SparkEntry {
         |       CAST(ts AS DATE) AS event_date
         |FROM events""".stripMargin,
 
-    "sil_cl" -> s"$silverCte SELECT * FROM silver",
+    "sil" -> s"$silverCte SELECT * FROM silver",
 
     "dim_t" ->
       s"""$silverCte
@@ -872,7 +939,7 @@ object SparkEntry {
          |       'synthetic_city' AS city, 'zone' AS zone_type
          |FROM (SELECT DISTINCT zone_id FROM silver WHERE zone_id IS NOT NULL)""".stripMargin,
 
-    "fact_ev" ->
+    "fc_ev" ->
       s"""$silverCte
          |SELECT event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -881,7 +948,7 @@ object SparkEntry {
          |       event_type, value, ts, event_date
          |FROM silver""".stripMargin,
 
-    "fact_pay" ->
+    "fc_pay" ->
       s"""$silverCte
          |SELECT event_id AS payment_id, event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -919,13 +986,13 @@ object SparkEntry {
          |FROM runs
          |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
 
-    "agg_dem" ->
+    "a_dem" ->
       s"""$silverCte
          |SELECT event_date AS date, hour(ts) AS hour, zone_id,
          |       count(*) AS event_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
 
-    "agg_rev" ->
+    "a_rev" ->
       s"""$silverCte
          |SELECT event_date AS date, zone_id,
          |       round(sum(round(value * 100)) / 100, 2) AS total_revenue,
@@ -933,7 +1000,7 @@ object SparkEntry {
          |       count(*) AS purchase_count
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
-    "agg_user" ->
+    "a_user" ->
       s"""$silverCte
          |SELECT event_date AS date, user_id,
          |       count(*) AS purchase_count,
@@ -941,7 +1008,7 @@ object SparkEntry {
          |       sum(round(value * 100)) / 100 / count(*) AS avg_purchase_value
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
-    "agg_fun" ->
+    "a_fun" ->
       s"""$silverCte,
          |s1 AS (
          |  SELECT user_id, event_id, ts, event_type,
@@ -971,7 +1038,7 @@ object SparkEntry {
          |       count(CASE WHEN t_purchase IS NOT NULL THEN 1 END) AS n_signup_click_purchase
          |FROM u""".stripMargin,
 
-    "agg_ret" ->
+    "a_ret" ->
       s"""$silverCte,
          |first AS (
          |  SELECT user_id, min(event_date) AS cohort_date
@@ -984,7 +1051,7 @@ object SparkEntry {
          |WHERE s.user_id IS NOT NULL
          |GROUP BY 1, 2""".stripMargin,
 
-    "agg_cum" ->
+    "a_cum" ->
       s"""$silverCte,
          |daily AS (
          |  SELECT zone_id, event_date AS date, round(sum(value), 2) AS daily_revenue
@@ -997,7 +1064,7 @@ object SparkEntry {
          |       round(daily_revenue / sum(daily_revenue) OVER (PARTITION BY zone_id), 6) AS revenue_share
          |FROM daily""".stripMargin,
 
-    "agg_pivot" ->
+    "a_pivot" ->
       s"""$silverCte
          |SELECT zone_id,
          |       count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1007,7 +1074,7 @@ object SparkEntry {
          |       count(*) FILTER (WHERE event_type = 'view') AS "view"
          |FROM silver WHERE zone_id IS NOT NULL GROUP BY 1""".stripMargin,
 
-    "agg_pctl" ->
+    "a_pctl" ->
       s"""$silverCte
          |SELECT zone_id, count(*) AS n,
          |       round(quantile_cont(value, 0.25), 6) AS p25,
@@ -1082,7 +1149,7 @@ object SparkEntry {
 
     // k-anonymity: DuckDB hour() is BIGINT, Spark's is INT → cast; both
     // engines truncate the parquet nanos to the same hour
-    "dq_kanon" ->
+    "dq_ka" ->
       """SELECT event_type, CAST(hour(ts) AS INT) AS hour,
         |       count(*) AS n_rows,
         |       count(DISTINCT user_id) AS n_ids,
@@ -1092,7 +1159,7 @@ object SparkEntry {
     // freshness: epoch_us/1e6 mirrors Spark's cast(timestamp as double)
     // (seconds with fractional micros), then the identical subtract/divide
     // chain; stale_alert compares the ROUNDED lag, as the Spark side does
-    "dq_fresh" ->
+    "dq_fr" ->
       s"""$silverCte,
          |per AS (
          |  SELECT event_type, count(*) AS n_rows, max(ts) AS last_ts FROM silver GROUP BY 1
@@ -1119,7 +1186,7 @@ object SparkEntry {
     // Unrounded on purpose: the per-category window sums agree exactly
     // across engines on this chain, while round() would land exact binary
     // fractions on .5 boundaries where rounding MODE differs
-    "feat_te" ->
+    "f_te" ->
       s"""$silverCte,
          |enc AS (
          |  SELECT event_id, event_type, value,
@@ -1173,7 +1240,7 @@ object SparkEntry {
 
     // same daily grain, RANGE frame mirrored: integer day ORDER BY with
     // RANGE BETWEEN 6 PRECEDING — both engines bound the frame by value
-    "agg_rng" ->
+    "a_rng" ->
       s"""$silverCte,
          |daily AS (
          |  SELECT zone_id, event_date AS date, round(sum(value), 4) AS rev,
@@ -1188,7 +1255,7 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY zone_id ORDER BY day
          |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    "agg_corr" ->
+    "a_corr" ->
       s"""$silverCte
          |SELECT zone_id, count(*) AS n,
          |       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
@@ -1202,7 +1269,7 @@ object SparkEntry {
     // latest-wins upsert over the scored frame: run_2 re-scores zone_id%3=0
     // at a later scored_at; UNION ALL + row_number mirrors
     // Scoring.upsertPredictions exactly
-    "sc_upsert" ->
+    "sc_ups" ->
       s"""WITH sd AS (SELECT * FROM ($scoreDemandSql)),
          |existing AS (
          |  SELECT trip_date, hour, zone_id, event_count, demand_avg_7d, avg_value,
@@ -1229,7 +1296,7 @@ object SparkEntry {
          |       is_peak_hour, is_weekend, predicted_demand, scoring_run_id, scored_at
          |FROM ranked WHERE rn = 1""".stripMargin,
 
-    "sc_surge" ->
+    "sc_sg" ->
       s"""WITH sf AS ($featSurgeSql)
          |SELECT trip_date, hour, zone_id, event_count, user_count, count_avg_7d,
          |       least(CAST(user_count AS DOUBLE) / 20.0, 1.0) AS supply_index,
@@ -1255,7 +1322,7 @@ object SparkEntry {
          |       avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
          |FROM scored""".stripMargin,
 
-    "mon_psi" ->
+    "mn_psi" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
@@ -1284,7 +1351,7 @@ object SparkEntry {
 
     // binned two-sample KS at the psi bin edges: cumulative integer
     // counts over integer totals → identical doubles in both engines
-    "mon_ks" ->
+    "mn_ks" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
@@ -1321,7 +1388,7 @@ object SparkEntry {
     // E = row_total × window_total / N; integer counts all the way to the
     // final double division, so both engines compute identical cell terms;
     // the cell-term SUM rounds to 6 dp (engine-order accumulation)
-    "mon_chi" ->
+    "mn_chi" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'event_type' AS feature, CAST(event_type AS VARCHAR) AS x, event_date FROM silver
@@ -1346,7 +1413,7 @@ object SparkEntry {
          |       round(sum(pow(b_cnt - e_b, 2) / e_b + pow(c_cnt - e_c, 2) / e_c), 6) AS chi2
          |FROM cells GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
-    "mon_miss" ->
+    "mn_miss" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value IS NULL AS INT) AS is_null, event_date FROM silver
@@ -1369,7 +1436,7 @@ object SparkEntry {
          |         - sum(is_base * is_null) / sum(is_base) AS shift
          |FROM flagged GROUP BY 1""".stripMargin,
 
-    "mon_vol" ->
+    "mn_vol" ->
       s"""$silverCte,
          |flagged AS (
          |  SELECT CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base,
@@ -1392,7 +1459,7 @@ object SparkEntry {
     // DuckDB quantile_cont ≡ Spark percentile (exact, linear interpolation)
     // on integer inputs — the p50/p95 rule the reference computes from API
     // logs (model_monitoring.py:154-172)
-    "mon_lat" ->
+    "mn_lat" ->
       s"""$silverCte,
          |lat AS (SELECT (event_id * 37 + 11) % 450 + 50 AS latency_ms FROM silver)
          |SELECT count(latency_ms) AS n,
@@ -1456,7 +1523,7 @@ object SparkEntry {
     // identical expression order end-to-end (exact long sums → one
     // division → sqrt → one multiply, each IEEE-correctly-rounded), so
     // both engines score and rank candidate splits bit-identically
-    "mon_cpd" ->
+    "mn_cpd" ->
       s"""$silverCte,
          |daily AS (SELECT event_date AS change_date, count(*) AS x FROM silver GROUP BY 1),
          |pre AS (
@@ -1477,7 +1544,7 @@ object SparkEntry {
          |ORDER BY g_stat DESC, change_date LIMIT 1""".stripMargin,
 
     // plain inequality join is the oracle for the bucketed range join
-    "q_range" ->
+    "q_rng" ->
       """WITH bands AS (
         |  -- CAST keeps the bounds DOUBLE: DuckDB decimal-literal
         |  -- arithmetic yields DECIMAL, Spark emits float64
@@ -1581,7 +1648,7 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
 
-    "q3_join" ->
+    "q3_jn" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |       count(*) AS line_count
@@ -1593,7 +1660,7 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q5_mjoin" ->
+    "q5_mj" ->
       """SELECT n_name,
         |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |       count(*) AS line_count
@@ -1619,7 +1686,7 @@ object SparkEntry {
         |  FROM counts
         |) WHERE "rank" <= 3""".stripMargin,
 
-    "q_rollup" ->
+    "q_roll" ->
       """SELECT r_name, n_name, count(*) AS customer_count, sum(c_acctbal) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1636,7 +1703,7 @@ object SparkEntry {
 
     // melt via UNION ALL (the engine-portable spelling of UNPIVOT);
     // measure labels = source column names, matching Spark's unpivot
-    "q_unpiv" ->
+    "q_unp" ->
       """SELECT l_returnflag, measure, count(*) AS n,
         |       sum(value) AS sum_value, round(avg(value), 6) AS avg_value
         |FROM (
@@ -1647,7 +1714,7 @@ object SparkEntry {
         |)
         |GROUP BY 1, 2""".stripMargin,
 
-    "q_setop" ->
+    "q_sop" ->
       """SELECT o_custkey, 'both_extremes' AS set_op FROM (
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
         |  INTERSECT
@@ -1659,7 +1726,7 @@ object SparkEntry {
         |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')""".stripMargin,
 
     // same lossless length-band blocking, same unit-cost edit distance
-    "q_fuzzy" ->
+    "q_fz" ->
       """WITH names AS (SELECT DISTINCT p_name AS name FROM part)
         |SELECT a.name AS name_a, b.name AS name_b,
         |       CAST(levenshtein(a.name, b.name) AS INT) AS edit_distance
@@ -1669,7 +1736,7 @@ object SparkEntry {
 
     // identical padded ordering string on both sides: fixed-width decimal
     // makes lexicographic == numeric, the orderkey suffix makes it unique
-    "q_argmax" ->
+    "q_amax" ->
       """SELECT o_custkey,
         |       arg_max(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS top_order,
         |       arg_min(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS bottom_order,
@@ -1690,7 +1757,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY GROUPING SETS ((r_name, c_mktsegment), (n_name), ())""".stripMargin,
 
-    "q_above" ->
+    "q_abv" ->
       """WITH na AS (
         |  SELECT c_nationkey, avg(c_acctbal) AS nation_avg FROM customer GROUP BY 1
         |)
@@ -1700,7 +1767,7 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |WHERE c_acctbal > nation_avg""".stripMargin,
 
-    "q_wfuncs" ->
+    "q_wf" ->
       """SELECT n_name AS nation, c_custkey, c_acctbal,
         |       rank() OVER w AS bal_rank,
         |       percent_rank() OVER w AS bal_pct,
@@ -1842,7 +1909,7 @@ object SparkEntry {
 
     // deterministic hash sampling: md5-fraction < per-stratum rate —
     // byte-identical selection in any engine
-    "smp_st" ->
+    "s_st" ->
       """SELECT doc_id, lang FROM documents
         |WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
         |        / 4294967296.0
@@ -1850,7 +1917,7 @@ object SparkEntry {
 
     // hash-order rank per stratum — ties impossible below the fraction
     // (doc_id breaks them), so both engines rank identically
-    "smp_res" ->
+    "s_res" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -1859,7 +1926,7 @@ object SparkEntry {
         |  FROM documents
         |) WHERE rn <= 20""".stripMargin,
 
-    "smp_spl" ->
+    "s_spl" ->
       """SELECT doc_id, lang,
         |       CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
         |FROM (
@@ -1872,7 +1939,7 @@ object SparkEntry {
     // Efraimidis–Spirakis priorities: ln(u)/w gaps at corpus scale are
     // ~1e-3 relative, ~13 orders above cross-engine libm ulp differences,
     // so both engines select the same top-n (doc_id breaks exact ties)
-    "smp_wt" ->
+    "s_wt" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         ln(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
@@ -1883,7 +1950,7 @@ object SparkEntry {
     // same priority expression as smp_wt, ranked per lang
     // (row_number over a non-null priority/doc_id — no NULLS clause
     // needed); ties on priority break by doc_id in both engines
-    "smp_wps" ->
+    "s_wps" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -1896,7 +1963,7 @@ object SparkEntry {
     // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64;
     // ':shuffle:' domain-separates the key from the sampling/split hash
     // (otherwise pos order = split-assignment order)
-    "smp_shuf" ->
+    "s_shuf" ->
       """WITH h AS (
         |  SELECT doc_id,
         |         md5(CAST(doc_id AS VARCHAR) || ':shuffle:graft') AS shuffle_key
@@ -1914,7 +1981,7 @@ object SparkEntry {
     // bucketed Spark plan because buckets are prefix ranges of the same
     // (frac, doc_id) order; the md5 fraction is an exact dyadic double on
     // both engines, so order and cut agree bit-for-bit
-    "smp_tb" ->
+    "s_tb" ->
       """SELECT doc_id, lang, n_tok FROM (
         |  SELECT doc_id, lang, n_tok,
         |         COALESCE(SUM(n_tok) OVER (PARTITION BY lang ORDER BY frac, doc_id
@@ -1930,7 +1997,7 @@ object SparkEntry {
     // confusion matrix of LSH-predicted pairs vs exact-Jaccard pairs:
     // count FILTER keeps tp/fp/fn BIGINT (sum() would widen to HUGEINT);
     // ratios divide identical integers in both engines → identical doubles
-    "dd_eval" ->
+    "dd_ev" ->
       s"""$shingleCte,
          |$minhashPairCtes,
          |pred AS (
@@ -2100,7 +2167,7 @@ object SparkEntry {
     // expression shapes mirror TextFunctions.tfidfBm25 exactly (operator
     // order matters for double bit-parity; integer '/' is float division
     // in BOTH engines)
-    "t_tfidf" ->
+    "t_tf" ->
       """WITH toks AS (
         |  SELECT doc_id, t AS token FROM (
         |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS t FROM documents
@@ -2416,7 +2483,7 @@ object SparkEntry {
 
     // centroid split is vec_id parity (sf-independent); means/cosine are
     // double sums in engine order -> 6 dp rounds
-    "mon_edr" ->
+    "mn_edr" ->
       """WITH f AS (
         |  SELECT label, vec_id, u.pos AS pos, u.v AS v FROM (
         |    SELECT label, vec_id,
@@ -2459,14 +2526,14 @@ object SparkEntry {
     // magic_hex slices the first 4 BYTES (substr over the hex dump), not
     // the first 4 CHARACTERS — Spark's substring on BinaryType is
     // byte-based, and the two diverge on any multi-byte UTF-8 text
-    "mm_meta" ->
+    "mm_mt" ->
       """SELECT doc_id,
         |       octet_length(encode(text)) AS byte_size,
         |       lower(substr(hex(encode(text)), 1, 8)) AS magic_hex,
         |       md5(text) AS checksum
         |FROM documents""".stripMargin,
 
-    "sim_bf" ->
+    "v_bf" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
          |scored AS (
@@ -2480,7 +2547,7 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
     // radius search: same cosine chain, threshold instead of rank
-    "sim_rad" ->
+    "v_rad" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
          |c AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
          |scored AS (
@@ -2489,9 +2556,9 @@ object SparkEntry {
          |)
          |SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
 
-    "sim_lsh" -> lshAnnOracleSql,
+    "v_lsh" -> lshAnnOracleSql,
 
-    "sim_out" ->
+    "v_out" ->
       s"""WITH cent AS (
          |  SELECT label, t.i AS dim, avg(CAST(embedding[t.i] AS DOUBLE)) AS m
          |  FROM embeddings, generate_series(1, 64) t(i)
@@ -2510,7 +2577,7 @@ object SparkEntry {
          |)
          |SELECT label, vec_id, centroid_cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin,
 
-    "st_join" ->
+    "st_jn" ->
       s"""$silverCte
          |SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
          |       p.event_id AS purchase_id, p.ts AS purchase_ts,
@@ -2658,7 +2725,7 @@ object SparkEntry {
          |)
          |GROUP BY 1, 2, 3""".stripMargin,
 
-    "st_sess" ->
+    "st_ss" ->
       s"""$silverCte,
          |marked AS (
          |  SELECT user_id, ts,
@@ -2677,5 +2744,191 @@ object SparkEntry {
          |       max(ts) + INTERVAL 30 MINUTE AS session_end,
          |       count(*) AS event_count
          |FROM grouped GROUP BY user_id, sid""".stripMargin,
+
+    // ---- §2.11 mobility analytics --------------------------------------
+    // shared transitions stage: lag over (ts, event_id) — the same total
+    // order the Spark window uses; NULL zones dropped BEFORE the lag
+
+    "m_od" ->
+      s"""$silverCte,
+         |$mobTransCte
+         |SELECT origin, dest, count(*) AS n_trans,
+         |       CAST(count(*) AS DOUBLE)
+         |         / CAST(sum(count(*)) OVER (PARTITION BY origin) AS BIGINT) AS p_dest
+         |FROM trans GROUP BY 1, 2""".stripMargin,
+
+    "m_next" ->
+      s"""$silverCte,
+         |$mobTransCte,
+         |od AS (
+         |  SELECT origin, dest, count(*) AS n_trans,
+         |         CAST(count(*) AS DOUBLE)
+         |           / CAST(sum(count(*)) OVER (PARTITION BY origin) AS BIGINT) AS p_dest
+         |  FROM trans GROUP BY 1, 2
+         |)
+         |SELECT origin, rank, dest, n_trans, p_dest FROM (
+         |  SELECT origin, dest, n_trans, p_dest,
+         |         CAST(row_number() OVER (PARTITION BY origin
+         |           ORDER BY n_trans DESC, dest ASC) AS INT) AS rank
+         |  FROM od
+         |) WHERE rank <= 3""".stripMargin,
+
+    "m_stay" ->
+      s"""$silverCte,
+         |runs AS (
+         |  SELECT user_id, zone_id, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           - row_number() OVER (PARTITION BY user_id, zone_id ORDER BY ts, event_id) AS run_id
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |)
+         |SELECT user_id, zone_id,
+         |       min(ts) AS enter_ts, max(ts) AS exit_ts,
+         |       count(*) AS n_events,
+         |       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+         |FROM runs GROUP BY user_id, zone_id, run_id
+         |HAVING count(*) >= 2""".stripMargin,
+
+    "m_flow" ->
+      s"""$silverCte,
+         |$mobTransCte,
+         |flows AS (
+         |  SELECT date_trunc('hour', ts) AS hour, dest AS zone_id, 1 AS n_in, 0 AS n_out FROM trans
+         |  UNION ALL
+         |  SELECT date_trunc('hour', ts) AS hour, origin AS zone_id, 0 AS n_in, 1 AS n_out FROM trans
+         |)
+         |SELECT hour, zone_id,
+         |       CAST(sum(n_in) AS BIGINT) AS n_in,
+         |       CAST(sum(n_out) AS BIGINT) AS n_out,
+         |       CAST(sum(n_in) - sum(n_out) AS BIGINT) AS net_flow
+         |FROM flows GROUP BY 1, 2""".stripMargin,
+
+    // moment identity rog² = E[x²+y²] − E[x]² − E[y]²: integer sums are
+    // exact on both engines, the float combine mirrors the Spark
+    // projection shape-for-shape, rounded at 6 dp
+    "m_rog" ->
+      s"""$silverCte,
+         |pts AS (
+         |  SELECT user_id, zone_id % 10 AS x, zone_id // 10 AS y
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |),
+         |moments AS (
+         |  SELECT user_id, count(*) AS n_visits,
+         |         CAST(sum(x) AS DOUBLE) / count(*) AS cx,
+         |         CAST(sum(y) AS DOUBLE) / count(*) AS cy,
+         |         CAST(sum(x * x + y * y) AS DOUBLE) / count(*) AS m2
+         |  FROM pts GROUP BY 1
+         |)
+         |SELECT user_id, n_visits, cx, cy,
+         |       round(sqrt(greatest(m2 - cx * cx - cy * cy, 0.0)), 6) AS rog
+         |FROM moments""".stripMargin,
+
+    "m_ent" ->
+      s"""$silverCte,
+         |per_zone AS (
+         |  SELECT user_id, zone_id, count(*) AS n_z
+         |  FROM silver WHERE zone_id IS NOT NULL GROUP BY 1, 2
+         |),
+         |probs AS (
+         |  SELECT user_id,
+         |         CAST(n_z AS DOUBLE)
+         |           / CAST(sum(n_z) OVER (PARTITION BY user_id) AS BIGINT) AS p
+         |  FROM per_zone
+         |)
+         |SELECT user_id, count(*) AS n_zones,
+         |       round(-sum(p * ln(p)), 6) AS entropy,
+         |       max(p) AS max_p
+         |FROM probs GROUP BY 1""".stripMargin,
+
+    "m_home" ->
+      s"""$silverCte,
+         |night AS (
+         |  SELECT user_id, zone_id, count(*) AS n_night
+         |  FROM silver
+         |  WHERE zone_id IS NOT NULL AND (hour(ts) >= 22 OR hour(ts) <= 5)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT user_id, zone_id AS home_zone, n_night FROM (
+         |  SELECT user_id, zone_id, n_night,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY n_night DESC, zone_id ASC) AS rn
+         |  FROM night
+         |) WHERE rn = 1""".stripMargin,
+
+    // zone PageRank: ten unrolled power-iteration rounds, float shapes
+    // mirrored term-for-term; ranks rounded at 6 dp, pos ordered by the
+    // ROUNDED value (zone-asc tiebreak) so ordering is engine-independent
+    "m_pr" ->
+      s"""$silverCte,
+         |$mobTransCte,
+         |$pageRankCtes
+         |SELECT zone_id, round(pr, 6) AS pr,
+         |       CAST(row_number() OVER (ORDER BY round(pr, 6) DESC, zone_id ASC) AS INT) AS pos
+         |FROM r10""".stripMargin,
+
+    // DSIR: hashed-unigram Laplace-smoothed log-ratios (target = lang 'en'
+    // vs raw = all); per-feature terms are exact-integer ratios, per-doc
+    // sums rounded at 6 dp; selection thresholds the UNROUNDED per-token
+    // mean against the UNROUNDED corpus mean on both faces
+    "dsir" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |         CAST('0x' || substr(md5(token), 1, 8) AS BIGINT) % 4096 AS feat_idx
+        |  FROM (
+        |    SELECT doc_id, lang,
+        |           unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS token
+        |    FROM documents
+        |  )
+        |),
+        |fs AS (
+        |  SELECT feat_idx, count(*) AS n_raw,
+        |         CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+        |  FROM toks GROUP BY 1
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(n_raw) AS BIGINT) AS tot_raw,
+        |         CAST(sum(n_tgt) AS BIGINT) AS tot_tgt
+        |  FROM fs
+        |),
+        |ratios AS (
+        |  SELECT feat_idx,
+        |         ln((n_tgt + 1.0) / (tot_tgt + 4096.0))
+        |           - ln((n_raw + 1.0) / (tot_raw + 4096.0)) AS log_ratio
+        |  FROM fs CROSS JOIN tot
+        |),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |         sum(log_ratio) AS logw_raw, avg(log_ratio) AS lpt_raw
+        |  FROM toks JOIN ratios USING (feat_idx)
+        |  GROUP BY 1
+        |),
+        |mu AS (SELECT avg(lpt_raw) AS mu FROM scored)
+        |SELECT doc_id, n_tokens,
+        |       round(logw_raw, 6) AS logw,
+        |       round(lpt_raw, 6) AS logw_per_tok,
+        |       CASE WHEN lpt_raw > mu.mu THEN 1 ELSE 0 END AS selected
+        |FROM scored CROSS JOIN mu""".stripMargin,
+
+    // seasonal anomalies: DuckDB dayofweek is 0-based (Sunday=0) where
+    // Spark's is 1-based, so the hour-of-week index drops Spark's "-1"
+    "mn_anom" ->
+      s"""$silverCte,
+         |hourly AS (
+         |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id, count(*) AS n_events
+         |  FROM silver WHERE zone_id IS NOT NULL GROUP BY 1, 2
+         |),
+         |prof AS (
+         |  SELECT zone_id, dayofweek(hour_ts) * 24 + hour(hour_ts) AS how,
+         |         quantile_cont(n_events, 0.25) AS q1,
+         |         quantile_cont(n_events, 0.75) AS q3
+         |  FROM hourly GROUP BY 1, 2
+         |)
+         |SELECT hour_ts, h.zone_id, n_events, q1, q3,
+         |       q1 - 3.0 * (q3 - q1) AS lo,
+         |       q3 + 3.0 * (q3 - q1) AS hi,
+         |       CASE WHEN n_events < q1 - 3.0 * (q3 - q1)
+         |              OR n_events > q3 + 3.0 * (q3 - q1) THEN 1 ELSE 0 END AS is_anom
+         |FROM hourly h JOIN prof p
+         |  ON h.zone_id = p.zone_id
+         | AND dayofweek(h.hour_ts) * 24 + hour(h.hour_ts) = p.how""".stripMargin,
   )
 }

@@ -291,4 +291,43 @@ object Monitoring {
       .select("change_date", "n", "g_stat", "mean_before", "mean_after")
       .withColumnRenamed("n", "n_days")
   }
+
+  /** Seasonal anomaly detection on hourly zone demand: each (zone,
+    * hour-of-week) cell gets a robust profile (exact q1/q3 over the
+    * cell's history) and every hour is flagged against its cell's Tukey
+    * fences q1 − k·IQR / q3 + k·IQR — the classic "traffic is weird for
+    * a Tuesday 8am in zone 12" monitor, robust to the weekly cycle that
+    * makes plain z-scores useless on demand data.
+    *
+    * Scale: the corpus collapses to (zone × hour) counts in the first
+    * aggregate — the only pass over raw data. The profile groups that
+    * series by (zone, hour-of-week): per-group state is the cell's
+    * HISTORY (one value per week on the calendar), growing with time
+    * span, never data volume; the profile table itself is
+    * |zones| × 168 — broadcast back onto the hourly series. Counts are
+    * exact integers; the interpolated quantiles and fences are
+    * fixed-order float ops on them → engine-identical. */
+  def seasonalAnomaly(silver: DataFrame, fence: Double = 3.0): DataFrame = {
+    val hourly = silver
+      .filter(col("zone_id").isNotNull)
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"), col("zone_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val how = ((dayofweek(col("hour_ts")) - 1) * 24 + hour(col("hour_ts")))
+      .as("how")
+    val profile = hourly
+      .select(col("zone_id"), how, col("n_events"))
+      .groupBy("zone_id", "how")
+      .agg(
+        expr("percentile(n_events, 0.25)").as("q1"),
+        expr("percentile(n_events, 0.75)").as("q3"))
+    hourly
+      .withColumn("how", how)
+      .join(broadcast(profile), Seq("zone_id", "how"))
+      .withColumn("lo", col("q1") - lit(fence) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(fence) * (col("q3") - col("q1")))
+      .withColumn("is_anom",
+        when(col("n_events") < col("lo") || col("n_events") > col("hi"), lit(1))
+          .otherwise(lit(0)))
+      .select("hour_ts", "zone_id", "n_events", "q1", "q3", "lo", "hi", "is_anom")
+  }
 }

@@ -160,6 +160,68 @@ object TextFunctions {
       .groupBy("doc_id", "feat_idx")
       .agg(count(lit(1)).as("feat_count"))
 
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * arXiv:2302.03169): score every raw document by how much more likely
+    * its hashed-n-gram features are under a TARGET distribution than under
+    * the raw corpus, then select the docs whose per-token log-ratio is
+    * positive (more target-like than raw-like). The target here is the
+    * `lang == targetLang` stratum — the same "small clean target vs big
+    * raw pile" shape the paper uses with Wikipedia-vs-CommonCrawl.
+    *
+    * Both feature LMs are hashed-unigram bag models with Laplace
+    * smoothing: p(f) = (n_f + α) / (n_tot + α·dim) — exact integer counts,
+    * so the per-feature log-ratio is bit-identical across engines; only
+    * the per-doc Σ is order-sensitive, hence the 6 dp round. Selection
+    * thresholds at the CORPUS MEAN per-token log-ratio (a 1-row scalar
+    * broadcast — no global sort, no quantile): because the target is a
+    * subset of raw, Laplace smoothing tilts every absolute weight
+    * slightly negative, so a fixed threshold at 0 would select nothing —
+    * it's the relative weight that carries signal (the paper resamples
+    * proportionally for the same reason). Resample by weight with
+    * [[graft.sampling.Sampling]] if a fixed token budget is needed.
+    *
+    * Scale: one explode of the corpus, one dim-bounded feature aggregate
+    * (≤ `dim` rows — broadcast back), one broadcast join on `feat_idx`,
+    * one doc-keyed aggregate. The corpus text is scanned once; nothing
+    * driver-side. */
+  def dsirWeights(docs: DataFrame, targetLang: String = "en",
+      dim: Int = 4096, alpha: Double = 1.0): DataFrame = {
+    val toksDf = docs
+      .select(col("doc_id"), col("lang"),
+        explode(filter(toks(col("text")), t => t =!= "")).as("token"))
+      .withColumn("feat_idx",
+        pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(dim.toLong)))
+      .select("doc_id", "lang", "feat_idx")
+    val featStats = toksDf
+      .groupBy("feat_idx")
+      .agg(
+        count(lit(1)).as("n_raw"),
+        sum(when(col("lang") === targetLang, lit(1L)).otherwise(lit(0L))).as("n_tgt"))
+    val totals = featStats.agg(
+      sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
+    val ratios = featStats
+      .crossJoin(broadcast(totals))
+      .withColumn("log_ratio",
+        log((col("n_tgt") + alpha) / (col("tot_tgt") + alpha * dim))
+          - log((col("n_raw") + alpha) / (col("tot_raw") + alpha * dim)))
+      .select("feat_idx", "log_ratio")
+    val scored = toksDf
+      .join(broadcast(ratios), "feat_idx")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum("log_ratio").as("logw_raw"),
+        avg("log_ratio").as("lpt_raw"))
+    val mu = scored.agg(avg("lpt_raw").as("mu"))
+    scored
+      .crossJoin(broadcast(mu))
+      .select(
+        col("doc_id"), col("n_tokens"),
+        round(col("logw_raw"), 6).as("logw"),
+        round(col("lpt_raw"), 6).as("logw_per_tok"),
+        when(col("lpt_raw") > col("mu"), lit(1)).otherwise(lit(0)).as("selected"))
+  }
+
   /** Bigram language-model scoring — the sharper sibling of
     * [[unigramLogProb]]: fit corpus bigram counts, then score every
     * document by per-transition negative log-likelihood
@@ -293,6 +355,58 @@ object TextFunctions {
     merges.toSeq.toDF("round", "left", "right", "weight")
       .withColumn("merged", concat(col("left"), col("right")))
       .select("round", "left", "right", "merged", "weight")
+  }
+
+  /** BPE ENCODING with the merges [[bpeLearn]] induced — the apply side
+    * of the tokenizer loop: per-document token counts under the learned
+    * subword vocabulary, the statistic a token-budgeted pretraining mix
+    * is actually written in ([[graft.sampling.Sampling]]'s budgets can
+    * then count BPE tokens, not whitespace ones).
+    *
+    * The merge TABLE is driver-side (≤ `rounds` rows — bpeLearn already
+    * collects one row per round), but the merge APPLICATION is a single
+    * vocab-table projection: the ordered merges fold into one nested
+    * chain of literal lookaround regexes — same left-to-right greedy
+    * semantics as training — compiled once into the plan, codegen'd, no
+    * per-round jobs. Word → subword-count mapping is then joined back to
+    * the token stream (vocab-sized build side; AQE broadcasts it when
+    * small) and summed per doc.
+    *
+    * Scale: corpus text is scanned once for the token stream; the merge
+    * chain runs over the DISTINCT vocab only (the Sennrich trick again);
+    * the mapping join shuffles at most the token stream once. Output per
+    * doc: whitespace tokens, BPE tokens, chars, and the BPE-per-word
+    * expansion — n_bpe/n_ws ∈ [1, max word length] by construction. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 8): DataFrame = {
+    val merges = bpeLearn(docs, rounds)
+      .orderBy("round").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    bpeEncodeWith(docs, merges)
+  }
+
+  /** [[bpeEncode]] with an externally-supplied ordered merge list (e.g. a
+    * tokenizer trained on a reference corpus, applied to a new batch). */
+  def bpeEncodeWith(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val toksDf = docs
+      .select(col("doc_id"), explode(filter(toks(col("text")), t => t =!= "")).as("word"))
+    val vocab = toksDf.groupBy("word").agg(count(lit(1)).as("n_uses"))
+    val base = concat(lit(" "), concat_ws(" ", split(col("word"), "")), lit(" "))
+    val applied = merges.foldLeft(base) { case (c, (l, r)) =>
+      regexp_replace(c,
+        "(?<= )" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?= )",
+        java.util.regex.Matcher.quoteReplacement(l + r))
+    }
+    val mapping = vocab
+      .withColumn("n_bpe", size(split(trim(applied), " ")))
+      .select("word", "n_bpe")
+    toksDf
+      .join(mapping, "word")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_ws_tokens"),
+        sum("n_bpe").as("n_bpe_tokens"),
+        sum(length(col("word"))).as("n_chars"))
   }
 
   /** PMI-scored word-bigram collocations — the association statistic

@@ -1,0 +1,167 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.mobility.Mobility
+
+/** Semantics + plan shape for the mobility trajectory operators.
+  *
+  * Semantic tests run on a hand-built trajectory whose transitions, stays,
+  * flows, rog and entropy are computed by hand; plan tests assert the
+  * one-user_id-shuffle design (no join anywhere in the module, no
+  * cartesian, window exchanges keyed on user_id).
+  */
+class MobilitySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  /** user 1: zones 0 → 0 → 5 → 5 → 5 → 12 (one stay in 0, one in 5;
+    * transitions 0→5, 5→12); user 2: zone 7 only (no transitions, one
+    * stay); user 3: zones 3 → NULL → 4 (the NULL is skipped, so 3→4 IS a
+    * transition). Night events (23:00) pin user 1's home to zone 0. */
+  private lazy val silverToy: DataFrame = Seq(
+    // (event_id, ts, user_id, zone_id)
+    (1L, "2024-01-01 23:00:00", 1L, Some(0L)),
+    (2L, "2024-01-01 23:10:00", 1L, Some(0L)),
+    (3L, "2024-01-02 08:00:00", 1L, Some(5L)),
+    (4L, "2024-01-02 08:30:00", 1L, Some(5L)),
+    (5L, "2024-01-02 09:00:00", 1L, Some(5L)),
+    (6L, "2024-01-02 10:00:00", 1L, Some(12L)),
+    (7L, "2024-01-01 12:00:00", 2L, Some(7L)),
+    (8L, "2024-01-01 12:30:00", 2L, Some(7L)),
+    (9L, "2024-01-03 10:00:00", 3L, Some(3L)),
+    (10L, "2024-01-03 11:00:00", 3L, None),
+    (11L, "2024-01-03 12:00:00", 3L, Some(4L)),
+  ).map { case (id, t, u, z) => (id, ts(t), u, z) }
+    .toDF("event_id", "ts", "user_id", "zone_id")
+
+  test("odMatrix counts different-zone consecutive pairs, skipping NULL zones") {
+    val od = Mobility.odMatrix(silverToy)
+      .select("origin", "dest", "n_trans")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(od === Set((0L, 5L, 1L), (5L, 12L, 1L), (3L, 4L, 1L)))
+  }
+
+  test("odMatrix p_dest is conditional on origin and sums to 1 per origin") {
+    val byOrigin = Mobility.odMatrix(silverToy)
+      .groupBy("origin").agg(sum("p_dest").as("p"))
+      .as[(Long, Double)].collect()
+    byOrigin.foreach { case (o, p) =>
+      assert(math.abs(p - 1.0) < 1e-12, s"origin $o sums to $p")
+    }
+  }
+
+  test("nextZoneTopK ranks by count desc with dest-asc tiebreak") {
+    // user 1 visits 5→12 and 0→5; add a second 0→9 user so origin 0 has a
+    // tie between dests 5 and 9 → rank 1 must be dest 5 (asc tiebreak)
+    val extra = Seq(
+      (20L, ts("2024-01-05 10:00:00"), 9L, Some(0L)),
+      (21L, ts("2024-01-05 11:00:00"), 9L, Some(9L)),
+    ).toDF("event_id", "ts", "user_id", "zone_id")
+    val top = Mobility.nextZoneTopK(silverToy.unionByName(extra), k = 1)
+      .filter($"origin" === 0L)
+      .select("rank", "dest").as[(Int, Long)].collect()
+    assert(top.toSeq === Seq((1, 5L)))
+  }
+
+  test("stayEpisodes finds maximal same-zone runs with exact dwell") {
+    val stays = Mobility.stayEpisodes(silverToy, minEvents = 2)
+      .select("user_id", "zone_id", "n_events", "dwell_us")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(stays === Set(
+      (1L, 0L, 2L, 600000000L),   // 10 min in zone 0
+      (1L, 5L, 3L, 3600000000L),  // 60 min in zone 5
+      (2L, 7L, 2L, 1800000000L),  // 30 min in zone 7
+    ))
+  }
+
+  test("stayEpisodes separates two visits to the same zone into two runs") {
+    val back = Seq(
+      (30L, ts("2024-01-04 08:00:00"), 1L, Some(0L)),
+      (31L, ts("2024-01-04 08:10:00"), 1L, Some(0L)),
+    ).toDF("event_id", "ts", "user_id", "zone_id")
+    val zone0 = Mobility.stayEpisodes(silverToy.unionByName(back), minEvents = 2)
+      .filter($"user_id" === 1L && $"zone_id" === 0L)
+    assert(zone0.count() === 2L)
+  }
+
+  test("zoneNetFlow conserves: global sum of net_flow is zero") {
+    val total = Mobility.zoneNetFlow(silverToy)
+      .agg(sum("net_flow")).as[Long].collect().head
+    assert(total === 0L)
+    // zone 5 in user 1's trajectory: one arrival (08:00) and one
+    // departure (10:00) in different hours
+    val z5 = Mobility.zoneNetFlow(silverToy).filter($"zone_id" === 5L)
+      .select("n_in", "n_out").as[(Long, Long)].collect().toSet
+    assert(z5 === Set((1L, 0L), (0L, 1L)))
+  }
+
+  test("radiusOfGyration: single-zone user has rog 0; moments match hand calc") {
+    val rog = Mobility.radiusOfGyration(silverToy)
+      .select("user_id", "rog").as[(Long, Double)].collect().toMap
+    assert(rog(2L) === 0.0)
+    // user 3: zones 3 (x=3,y=0) and 4 (x=4,y=0) → centroid (3.5, 0),
+    // rog = sqrt(((0.5)^2 + (0.5)^2)/2) = 0.5
+    assert(math.abs(rog(3L) - 0.5) < 1e-9)
+  }
+
+  test("locationEntropy: uniform two-zone user has ln(2); single-zone has 0") {
+    val ent = Mobility.locationEntropy(silverToy)
+      .select("user_id", "entropy", "max_p").as[(Long, Double, Double)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(ent(2L)._1 === 0.0 && ent(2L)._2 === 1.0)
+    assert(math.abs(ent(3L)._1 - math.log(2)) < 1e-6 && ent(3L)._2 === 0.5)
+  }
+
+  test("homeZone picks the modal night zone; day-only users are absent") {
+    val home = Mobility.homeZone(silverToy)
+      .select("user_id", "home_zone").as[(Long, Long)].collect().toMap
+    assert(home === Map(1L -> 0L)) // users 2 and 3 have no night events
+  }
+
+  test("zonePageRank: ranks sum to 1, favor the sink zone, and are deterministic") {
+    // star-into-sink graph: 1→2, 3→2, 4→2 and nothing leaves zone 2 (a
+    // dangling sink whose mass the residual spread redistributes) — zone 2
+    // receives from three zones and must out-rank them all
+    val star = Seq(
+      (41L, ts("2024-01-01 08:00:00"), 11L, Some(1L)),
+      (42L, ts("2024-01-01 09:00:00"), 11L, Some(2L)),
+      (44L, ts("2024-01-01 08:00:00"), 12L, Some(3L)),
+      (45L, ts("2024-01-01 09:00:00"), 12L, Some(2L)),
+      (46L, ts("2024-01-01 08:00:00"), 13L, Some(4L)),
+      (47L, ts("2024-01-01 09:00:00"), 13L, Some(2L)),
+    ).toDF("event_id", "ts", "user_id", "zone_id")
+    val pr = Mobility.zonePageRank(star, iters = 10)
+      .select("zone_id", "pr", "pos").as[(Long, Double, Int)].collect()
+    val total = pr.map(_._2).sum
+    assert(math.abs(total - 1.0) < 1e-4, s"ranks sum to $total")
+    val byPos = pr.sortBy(_._3)
+    assert(byPos.head._1 === 2L, s"sink zone should rank first: ${byPos.toSeq}")
+    // determinism: a second run returns bit-identical rounded ranks
+    val again = Mobility.zonePageRank(star, iters = 10)
+      .select("zone_id", "pr", "pos").as[(Long, Double, Int)].collect()
+    assert(pr.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+
+  test("plan shape: no joins anywhere in the module — one user_id shuffle feeds each") {
+    val plans = Map(
+      "od" -> Mobility.odMatrix(silverToy),
+      "stay" -> Mobility.stayEpisodes(silverToy),
+      "flow" -> Mobility.zoneNetFlow(silverToy),
+      "rog" -> Mobility.radiusOfGyration(silverToy),
+      "ent" -> Mobility.locationEntropy(silverToy),
+      "home" -> Mobility.homeZone(silverToy),
+    ).map { case (k, df) => k -> df.queryExecution.executedPlan.toString }
+    plans.foreach { case (k, p) =>
+      assert(!p.contains("Join"), s"$k plans a join:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$k plans a cartesian")
+    }
+    // the aggregate-only operators (rog) need no window at all
+    assert(!plans("rog").contains("Window"), "rog should be a single aggregate pass")
+  }
+}

@@ -46,8 +46,12 @@ class PlanAuditSpec extends SparkSpec {
     // sim_pq: ADC shares sim_bf's declared-quadratic broadcast-queries
     //   contract, but the streamed corpus side carries m CODES, not
     //   embeddings — scan width is the point, spec-asserted
-    val allowed = Set("sim_bf", "sim_rad", "t_tfidf", "t_lm1", "t_pmi",
-      "f_bin", "mon_cpd", "sim_pq")
+    // dsir: the (tot_raw, tot_tgt) scalar totals crossJoined onto the
+    //   dim-bounded (≤4096-row) feature table — a 1-row build side
+    // m_pr: the per-iteration carried-mass scalar crossJoined onto the
+    //   dimension-sized zone table — ten 1-row build sides
+    val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
+      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
@@ -82,8 +86,8 @@ class PlanAuditSpec extends SparkSpec {
       s"expected a single Expand pass:\n$plan")
   }
 
-  test("feat_te: one category-window shuffle beyond silver's dedup, no join") {
-    val plan = SparkEntry.queries("feat_te")(spark, sfDir)
+  test("f_te (was feat_te): one category-window shuffle beyond silver's dedup, no join") {
+    val plan = SparkEntry.queries("f_te")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"LOO encoding must not plan a join:\n$plan")
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
@@ -91,8 +95,8 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 2 exchanges (silver event_id dedup + event_type window), got $exchanges:\n$plan")
   }
 
-  test("dq_fresh scans the raw data exactly once (corpus max from the aggregated rows)") {
-    val plan = SparkEntry.queries("dq_fresh")(spark, sfDir)
+  test("dq_fr (was dq_fresh) scans the raw data exactly once (corpus max from the aggregated rows)") {
+    val plan = SparkEntry.queries("dq_fr")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert("Scan parquet".r.findAllIn(plan).length === 1,
       s"freshness must not rescan the events for the corpus max:\n$plan")

@@ -267,4 +267,29 @@ class ScoringMonitoringSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Join"), s"expectation suite must not join:\n$plan")
   }
+
+  test("seasonal anomaly: planted burst flags against its own (zone, hour-of-week) cell only") {
+    import spark.implicits._
+    // zone 1, Mondays 08:00: steady 10 events for four weeks, then a 100-
+    // event burst on week five; zone 2 sees 100 every week (its normal)
+    val weeks = Seq("2024-01-01", "2024-01-08", "2024-01-15", "2024-01-22")
+    def burstRows(zone: Long, perHour: Int, dates: Seq[String]) =
+      for { (d, wi) <- dates.zipWithIndex; i <- 1 to perHour }
+        yield (zone * 100000L + wi * 1000L + i,
+          java.sql.Timestamp.valueOf(s"$d 08:00:${i % 60}"), zone, Some(zone))
+    val rows = burstRows(1L, 10, weeks) ++ burstRows(1L, 100, Seq("2024-01-29")) ++
+      burstRows(2L, 100, weeks :+ "2024-01-29")
+    val sv = rows.toDF("event_id", "ts", "user_id", "zone_id")
+    val out = Monitoring.seasonalAnomaly(sv).cache()
+    val anoms = out.filter(col("is_anom") === 1)
+      .select("zone_id", "n_events").as[(Long, Long)].collect()
+    // exactly the planted burst: zone 1's 100-event hour; zone 2's steady
+    // 100s are that cell's normal and must NOT flag
+    assert(anoms.toSeq === Seq((1L, 100L)), s"got ${anoms.toSeq}")
+    // the profile is cell-scoped: zone 1's fences come from its own 10s
+    val z1 = out.filter(col("zone_id") === 1L && col("n_events") === 100L).head()
+    assert(z1.getAs[Double]("q1") === 10.0 && z1.getAs[Double]("q3") === 10.0)
+    out.unpersist()
+    ()
+  }
 }

@@ -178,6 +178,46 @@ class TextMultimodalSpec extends SparkSpec {
     assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, ws.mkString(","))
   }
 
+  test("bpe encode: per-doc counts equal a single-machine reference encoder") {
+    import spark.implicits._
+    val toy = Seq(
+      (1L, "low low low low low lower lower newest newest newest"),
+      (2L, "newest newest newest widest widest low lower")).toDF("doc_id", "text")
+    val rounds = 6
+    val merges = TextFunctions.bpeLearn(toy, rounds)
+      .orderBy("round").select("left", "right")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
+    // reference: apply each merge left-to-right greedily, in order
+    def encode(word: String): List[String] = {
+      var syms = word.split("").toList
+      for ((l, r) <- merges) {
+        def apply(s: List[String]): List[String] = s match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: apply(rest)
+          case a :: rest => a :: apply(rest)
+          case Nil => Nil
+        }
+        syms = apply(syms)
+      }
+      syms
+    }
+    val expect = toy.collect().map { row =>
+      val words = row.getAs[String]("text").split(" ").filter(_.nonEmpty)
+      (row.getAs[Long]("doc_id"), words.length.toLong,
+        words.map(encode(_).length.toLong).sum, words.map(_.length.toLong).sum)
+    }.sortBy(_._1).toSeq
+
+    val got = TextFunctions.bpeEncodeWith(toy, merges)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got === expect, s"encode $got != reference $expect")
+    // merged tokens compress: strictly fewer BPE tokens than chars, and
+    // at least one per word
+    got.foreach { case (_, nWs, nBpe, nChars) =>
+      assert(nBpe >= nWs && nBpe < nChars)
+    }
+  }
+
   test("pmi: planted collocation outscores independent pairs, marginals reconcile") {
     import spark.implicits._
     // "aa bb" always adjacent (a collocation); "cc"/"dd" co-occur with
@@ -413,5 +453,30 @@ class TextMultimodalSpec extends SparkSpec {
     // T = 1: target == observed (pow(p,1) = p)
     val id = TextFunctions.temperatureMix(docs, temperature = 1.0)
     assert(id.filter(abs(col("target_share") - col("token_share")) > 1e-6).count() === 0)
+  }
+
+  test("dsir: target-language docs score higher than off-target, selection = sign of mean") {
+    val w = TextFunctions.dsirWeights(docs, targetLang = "en").cache()
+    // every doc scored exactly once
+    assert(w.count() === docs.count())
+    // the target stratum's mean per-token log-ratio must exceed the
+    // off-target strata's: the weights recover the planted distinction
+    val means = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg("logw_per_tok").as("m"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} should exceed non-en mean ${means(false)}")
+    // selection = above-corpus-mean rule: selects a strict, non-empty
+    // subset, and en docs at a higher rate than non-en
+    val nSel = w.filter(col("selected") === 1).count()
+    assert(nSel > 0 && nSel < w.count(), s"degenerate selection: $nSel")
+    val selRate = w.join(docs.select("doc_id", "lang"), "doc_id")
+      .groupBy(col("lang") === "en")
+      .agg(avg(col("selected").cast("double")).as("r"))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(selRate(true) > selRate(false))
+    w.unpersist()
+    ()
   }
 }
