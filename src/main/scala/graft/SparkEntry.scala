@@ -283,8 +283,8 @@ object SparkEntry {
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "a_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
-    "a_pivot" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
-    "a_pctl" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
+    "a_pv" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
+    "a_pc" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     // RANGE-frame trailing 7d window: frame bounded by day DISTANCE, so
     // gap days never let the frame reach back too far (rows frames do)
     "a_rng" -> ((s, dir) => Aggregates.revenueTrailing7dByZone(silver(s, dir))),
@@ -324,8 +324,8 @@ object SparkEntry {
       DataQuality.ExpectRegex("props", "^\\{.*\\}$")))),
     // §2.2 feature engineering
     "f_dem" -> ((s, dir) => FeatureEngineering.demandFeatures(silver(s, dir))),
-    "f_surge" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
-    "f_churn" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
+    "f_sg" -> ((s, dir) => FeatureEngineering.surgeFeatures(silver(s, dir))),
+    "f_ch" -> ((s, dir) => FeatureEngineering.churnFeatures(silver(s, dir))),
     // leave-one-out target encoding: event_type → mean(value) over the
     // OTHER rows of the category (leakage-free categorical feature)
     "f_te" -> ((s, dir) =>
@@ -346,7 +346,7 @@ object SparkEntry {
       Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "sc_sg" -> ((s, dir) =>
       Scoring.scoreSurge(FeatureEngineering.surgeFeatures(silver(s, dir)))),
-    "sc_metr" -> ((s, dir) =>
+    "sc_mt" -> ((s, dir) =>
       Scoring.scoringMetrics(
         Scoring.scoreDemand(FeatureEngineering.demandFeatures(silver(s, dir))),
         "event_count", "predicted_demand")),
@@ -365,7 +365,7 @@ object SparkEntry {
     // classical forecast baselines per (zone, day): naive / seasonal-
     // naive / EWMA(α=½, exact dyadic weights) with absolute errors —
     // the yardstick the learned forecasters must beat
-    "sc_fcst" -> ((s, dir) => Scoring.forecastBaselines(silver(s, dir))),
+    "sc_fc" -> ((s, dir) => Scoring.forecastBaselines(silver(s, dir))),
     // Morton z-value over (zone, hour): the multi-dim clustering key
     // behind two-column data skipping; pure codegen'd bit math — the
     // layout op itself (range partition + local sort) is spec-audited
@@ -385,7 +385,7 @@ object SparkEntry {
     // cover numeric bins; this is the discrete-column alarm)
     "mn_chi" -> ((s, dir) =>
       Monitoring.chiSquare(silver(s, dir), Seq("event_type", "zone_id"), monitorSplit)),
-    "mn_miss" -> ((s, dir) =>
+    "mn_ms" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
     "mn_vol" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
     // serving-latency percentiles over a deterministic synthetic latency
@@ -420,7 +420,7 @@ object SparkEntry {
     }),
     // nearest direction (merge_asof direction='nearest'): closer of the
     // latest-prior and earliest-following purchase, ties backward
-    "q_anear" -> ((s, dir) => {
+    "q_anr" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -459,7 +459,7 @@ object SparkEntry {
       Tables.lineitem(s, dir), Tables.part(s, dir))),
     "q_roll" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
-    "q_cube" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
+    "q_cb" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
     // UNPIVOT/melt: 4 measure columns → (measure, value) rows in one
     // Expand pass, then a 12-group hash aggregate
     "q_unp" -> ((s, dir) => Analytics.meltedMeasures(Tables.lineitem(s, dir))),
@@ -473,7 +473,7 @@ object SparkEntry {
     // non-hierarchical GROUPING SETS: (region × segment) + per-nation +
     // grand total in ONE Expand pass — the 3 views a CUBE would charge
     // 8 grouping combinations for
-    "q_gsets" -> ((s, dir) => Analytics.customersGroupingSets(
+    "q_gs" -> ((s, dir) => Analytics.customersGroupingSets(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_abv" -> ((s, dir) => Analytics.aboveNationAvg(
       Tables.customer(s, dir), Tables.nation(s, dir))),
@@ -496,7 +496,7 @@ object SparkEntry {
     // groups and implied dup rates — ONE scan, multi-distinct Expand
     "dd_rep" -> ((s, dir) => Dedup.dupRateReport(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
-    "dd_norm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
+    "dd_nm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
     // k-means quantizer has no SQL equivalent; subset-of-exact-pairs and
     // recall floor are spec-asserted instead
@@ -513,7 +513,7 @@ object SparkEntry {
     "dd_sub" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
     // the curation-policy number those runs exist for: per-doc duplicated
     // token fraction (distinct positions — overlaps never double-count)
-    "dd_cov" -> ((s, dir) => {
+    "dd_cv" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.substringCoverage(docs, Dedup.substringDups(docs))
     }),
@@ -574,7 +574,7 @@ object SparkEntry {
         "doc_id", "lang", "n_chars", n = 50).select("doc_id", "lang", "n_chars")),
     // deterministic epoch shuffle: salt-keyed md5 order, sharded for
     // parallel writes — one reproducible corpus permutation on any engine
-    "s_shuf" -> ((s, dir) =>
+    "s_sh" -> ((s, dir) =>
       graft.sampling.Sampling.shuffleShards(
         Tables.documents(s, dir).select("doc_id"), "doc_id")),
     // per-language TOKEN budget (what mixture specs are written in):
@@ -592,7 +592,7 @@ object SparkEntry {
     "dd_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
     "t_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
-    "t_qual" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
+    "t_ql" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "t_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "t_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "t_tf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
@@ -604,7 +604,7 @@ object SparkEntry {
         concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
           lit("@example.com or 555-867-5309 from 10.0.0."),
           (col("doc_id") % 256).cast("string"))))),
-    "t_pack" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
+    "t_pk" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
     "t_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "t_rep" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
     "c_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
@@ -626,7 +626,7 @@ object SparkEntry {
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "t_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
-    "t_zipf" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
+    "t_zp" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
     // KL + TV distance of observed lang-token shares vs a target mix
     "mix_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
@@ -641,7 +641,7 @@ object SparkEntry {
     // rows-only: the decode pipeline runs end-to-end over the binary
     // payloads (per-partition decoder init, typed frames out); the decoder
     // itself is the documented deterministic stub — no codec libs here
-    "mm_dec" -> ((s, dir) =>
+    "mm_dc" -> ((s, dir) =>
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // rows-only: the full frame pipeline — decode → sample → resize —
     // pipelined per partition with no intermediate materialization
@@ -686,7 +686,7 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
-    "st_tum" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
+    "st_tm" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     // batch face of the continuous drift monitor: per-day PSI of value vs
     // the pre-split baseline histogram (streaming face spec-asserted
     // equal; baseline fractions fold in as literals — model metadata)
@@ -738,7 +738,7 @@ object SparkEntry {
       Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_gbt" -> ((s, dir) =>
       Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_scls" -> ((s, dir) =>
+    "ml_sc" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
     "ml_srf" -> ((s, dir) =>
       Models.surgeRegressor(FeatureEngineering.surgeFeatures(silver(s, dir)))),
@@ -749,7 +749,7 @@ object SparkEntry {
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
     // byte-identical predictions pre/post reload are spec-asserted
-    "ml_save" -> ((s, dir) =>
+    "ml_sv" -> ((s, dir) =>
       Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
         "/root/repo/target/ml_persist")),
     // rows-only: GBT on a hash-sampled training window (pinned 0.25) —
@@ -762,16 +762,16 @@ object SparkEntry {
     // → LogisticRegression → per-doc quality probability (the learned
     // stand-in for the heuristic filter in runCuration); AUC > naive on a
     // planted garbage stratum is spec-asserted
-    "ml_qual" -> ((s, dir) =>
+    "ml_q" -> ((s, dir) =>
       Models.qualityClassifier(Tables.documents(s, dir))),
     // §2.11 mobility analytics (trajectory view of the reference domain)
     "m_od" -> ((s, dir) => Mobility.odMatrix(silver(s, dir))),
     "m_next" -> ((s, dir) => Mobility.nextZoneTopK(silver(s, dir))),
-    "m_stay" -> ((s, dir) => Mobility.stayEpisodes(silver(s, dir))),
-    "m_flow" -> ((s, dir) => Mobility.zoneNetFlow(silver(s, dir))),
+    "m_st" -> ((s, dir) => Mobility.stayEpisodes(silver(s, dir))),
+    "m_fl" -> ((s, dir) => Mobility.zoneNetFlow(silver(s, dir))),
     "m_rog" -> ((s, dir) => Mobility.radiusOfGyration(silver(s, dir))),
     "m_ent" -> ((s, dir) => Mobility.locationEntropy(silver(s, dir))),
-    "m_home" -> ((s, dir) => Mobility.homeZone(silver(s, dir))),
+    "m_hm" -> ((s, dir) => Mobility.homeZone(silver(s, dir))),
     // zone PageRank on the OD graph: data-scale work is the one OD-matrix
     // shuffle; iterations are dimension-sized tiny-table joins
     "m_pr" -> ((s, dir) => Mobility.zonePageRank(silver(s, dir))),
@@ -781,11 +781,28 @@ object SparkEntry {
     // seasonal (hour-of-week) Tukey-fence anomaly detection on hourly
     // zone demand: raw data collapses in the first aggregate; the profile
     // is |zones|×168, broadcast back
-    "mn_anom" -> ((s, dir) => Monitoring.seasonalAnomaly(silver(s, dir))),
+    "mn_an" -> ((s, dir) => Monitoring.seasonalAnomaly(silver(s, dir))),
     // rows-only: BPE encode under the merges t_bpem learns (iterative
     // argmax training is not SQL-expressible); equality to a single-
     // machine reference encoder is spec-asserted
     "t_bpea" -> ((s, dir) => TextFunctions.bpeEncode(Tables.documents(s, dir))),
+    // co-location contact pairs: hour-bucketed lossless interval self-join
+    // over stay episodes (never per-zone all-pairs)
+    "m_co" -> ((s, dir) => Mobility.coLocation(silver(s, dir))),
+    // next-zone Markov backtest: argmax model trained before the monitor
+    // split, hit@1 scored on/after it
+    "m_mk" -> ((s, dir) => Mobility.markovNextZoneEval(silver(s, dir))),
+    // held-out perplexity vs an en-slice bigram LM with Stupid Backoff —
+    // the CCNet-style corpus quality filter
+    "t_ppl" -> ((s, dir) => TextFunctions.heldOutPerplexity(Tables.documents(s, dir))),
+    // probability-calibration audit of the heuristic churn scorer
+    "sc_cb" -> ((s, dir) => Scoring.calibrationBins(
+      Scoring.scoreChurn(FeatureEngineering.churnFeatures(silver(s, dir))),
+      "will_churn", "churn_p")),
+    // l-diversity: homogeneity-attack audit over (zone, hour) QI classes
+    "dq_ld" -> ((s, dir) => DataQuality.lDiversity(
+      silver(s, dir).withColumn("hour", hour(col("ts"))),
+      Seq("zone_id", "hour"), "event_type")),
   )
 
   private val featDemandSql: String =
@@ -1064,7 +1081,7 @@ object SparkEntry {
          |       round(daily_revenue / sum(daily_revenue) OVER (PARTITION BY zone_id), 6) AS revenue_share
          |FROM daily""".stripMargin,
 
-    "a_pivot" ->
+    "a_pv" ->
       s"""$silverCte
          |SELECT zone_id,
          |       count(*) FILTER (WHERE event_type = 'click') AS click,
@@ -1074,7 +1091,7 @@ object SparkEntry {
          |       count(*) FILTER (WHERE event_type = 'view') AS "view"
          |FROM silver WHERE zone_id IS NOT NULL GROUP BY 1""".stripMargin,
 
-    "a_pctl" ->
+    "a_pc" ->
       s"""$silverCte
          |SELECT zone_id, count(*) AS n,
          |       round(quantile_cont(value, 0.25), 6) AS p25,
@@ -1177,9 +1194,9 @@ object SparkEntry {
 
     "f_dem" -> featDemandSql,
 
-    "f_surge" -> featSurgeSql,
+    "f_sg" -> featSurgeSql,
 
-    "f_churn" -> featChurnSql,
+    "f_ch" -> featChurnSql,
 
     // leave-one-out target encoding: per-category sum/count windows, own
     // target excluded; null targets get the full mean, singletons null.
@@ -1306,7 +1323,7 @@ object SparkEntry {
          |           * (1.0 + least(greatest(0.0, 0.0), 1.0) * 0.25), 1.0), 3.0) AS predicted_surge
          |FROM sf""".stripMargin,
 
-    "sc_metr" ->
+    "sc_mt" ->
       s"""WITH df AS ($featDemandSql),
          |scored AS (
          |  SELECT CAST(event_count AS DOUBLE) AS y,
@@ -1413,7 +1430,7 @@ object SparkEntry {
          |       round(sum(pow(b_cnt - e_b, 2) / e_b + pow(c_cnt - e_c, 2) / e_c), 6) AS chi2
          |FROM cells GROUP BY 1, 2, 3, 4, 5""".stripMargin,
 
-    "mn_miss" ->
+    "mn_ms" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value IS NULL AS INT) AS is_null, event_date FROM silver
@@ -1490,7 +1507,7 @@ object SparkEntry {
     // α=½ EWMA: weights 2⁻¹…2⁻⁷ are exact dyadic doubles over integer
     // counts — every product/sum is exact, the one division is
     // correctly rounded → bit-identical forecasts on both engines
-    "sc_fcst" -> {
+    "sc_fc" -> {
       val wsum = (1 to 7).map(j =>
         s"CASE WHEN l$j IS NOT NULL THEN CAST(l$j AS DOUBLE) * ${math.pow(0.5, j)} ELSE 0.0 END")
         .mkString(" + ")
@@ -1585,7 +1602,7 @@ object SparkEntry {
     // sub-second ts tie-break identically; ties go backward. Right keys
     // are unique per (user_id, ts) by construction (pre-aggregated), so
     // the payload re-join is one-to-one.
-    "q_anear" ->
+    "q_anr" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1693,7 +1710,7 @@ object SparkEntry {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
 
-    "q_cube" ->
+    "q_cb" ->
       """SELECT l_returnflag, l_linestatus,
         |       count(*) AS n_items,
         |       sum(l_quantity) AS sum_qty,
@@ -1747,7 +1764,7 @@ object SparkEntry {
     // GROUPING SETS: same (region×segment | nation | total) sets; gid is
     // the ANSI grouping-bit integer (first grouping column = MSB, the
     // convention both engines share)
-    "q_gsets" ->
+    "q_gs" ->
       """SELECT r_name, n_name, c_mktsegment,
         |       count(*) AS customer_count,
         |       sum(c_acctbal) AS total_acctbal,
@@ -1824,7 +1841,7 @@ object SparkEntry {
     // same window shape as dedup_exact over the normalized-text hash;
     // regexp_replace needs the 'g' flag in DuckDB (Spark replaces all
     // matches by default) — [^a-z0-9]+ means the same thing to both
-    "dd_norm" ->
+    "dd_nm" ->
       """SELECT doc_id,
         |       md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash,
         |       min(doc_id) OVER w AS winner_id,
@@ -1963,7 +1980,7 @@ object SparkEntry {
     // shard = first-8-hex mod 64 matches Spark's conv(...,16,10) % 64;
     // ':shuffle:' domain-separates the key from the sampling/split hash
     // (otherwise pos order = split-assignment order)
-    "s_shuf" ->
+    "s_sh" ->
       """WITH h AS (
         |  SELECT doc_id,
         |         md5(CAST(doc_id AS VARCHAR) || ':shuffle:graft') AS shuffle_key
@@ -2050,7 +2067,7 @@ object SparkEntry {
     // per-doc duplicated-token FRACTION from the same runs: DISTINCT
     // duplicated positions (overlapping runs never double-count), docs
     // with no runs report 0 — mirrors Dedup.substringCoverage
-    "dd_cov" ->
+    "dd_cv" ->
       s"""$substrRunsCtes,
          |per_side AS (
          |  SELECT doc_a AS doc_id, start_a AS st, match_len FROM runs
@@ -2149,7 +2166,7 @@ object SparkEntry {
          |FROM withbest""".stripMargin
     },
 
-    "t_qual" -> {
+    "t_ql" -> {
       val enSet = TextFunctions.stopwords("en").map(w => s"'$w'").mkString(", ")
       s"""SELECT doc_id,
          |       length(text) AS n_chars,
@@ -2213,7 +2230,7 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(text, '\b\d{9,}\b')) AS INTEGER) AS n_id_numbers
         |FROM salted""".stripMargin,
 
-    "t_pack" ->
+    "t_pk" ->
       """WITH t AS (
         |  SELECT doc_id, lang,
         |         len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS n_tokens
@@ -2387,7 +2404,7 @@ object SparkEntry {
 
     // OLS of ln(freq) on ln(rank) over the top-1000 vocab; outputs round
     // to 6 dp (the sums accumulate doubles in engine-specific order)
-    "t_zipf" ->
+    "t_zp" ->
       """WITH freqs AS (
         |  SELECT word, count(*) AS tf FROM (
         |    SELECT unnest(list_filter(str_split(lower(text), ' '), x -> x <> '')) AS word
@@ -2653,7 +2670,7 @@ object SparkEntry {
         |SELECT user_id, n_changes, ts AS last_ts, value AS last_value
         |FROM r WHERE rn = 1 AND op <> 'delete'""".stripMargin,
 
-    "st_tum" ->
+    "st_tm" ->
       s"""$silverCte
          |SELECT date_trunc('hour', ts) AS window_start,
          |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -2773,7 +2790,7 @@ object SparkEntry {
          |  FROM od
          |) WHERE rank <= 3""".stripMargin,
 
-    "m_stay" ->
+    "m_st" ->
       s"""$silverCte,
          |runs AS (
          |  SELECT user_id, zone_id, ts,
@@ -2788,7 +2805,7 @@ object SparkEntry {
          |FROM runs GROUP BY user_id, zone_id, run_id
          |HAVING count(*) >= 2""".stripMargin,
 
-    "m_flow" ->
+    "m_fl" ->
       s"""$silverCte,
          |$mobTransCte,
          |flows AS (
@@ -2839,7 +2856,7 @@ object SparkEntry {
          |       max(p) AS max_p
          |FROM probs GROUP BY 1""".stripMargin,
 
-    "m_home" ->
+    "m_hm" ->
       s"""$silverCte,
          |night AS (
          |  SELECT user_id, zone_id, count(*) AS n_night
@@ -2910,7 +2927,7 @@ object SparkEntry {
 
     // seasonal anomalies: DuckDB dayofweek is 0-based (Sunday=0) where
     // Spark's is 1-based, so the hour-of-week index drops Spark's "-1"
-    "mn_anom" ->
+    "mn_an" ->
       s"""$silverCte,
          |hourly AS (
          |  SELECT date_trunc('hour', ts) AS hour_ts, zone_id, count(*) AS n_events
@@ -2930,5 +2947,142 @@ object SparkEntry {
          |FROM hourly h JOIN prof p
          |  ON h.zone_id = p.zone_id
          | AND dayofweek(h.hour_ts) * 24 + hour(h.hour_ts) = p.how""".stripMargin,
+
+    // co-location: the oracle is the NAIVE per-zone interval self-join —
+    // the hour-bucketed Spark plan must reproduce it exactly (closed
+    // intervals, user_a < user_b, per-episode-pair rows)
+    "m_co" ->
+      s"""$silverCte,
+         |runs AS (
+         |  SELECT user_id, zone_id, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           - row_number() OVER (PARTITION BY user_id, zone_id ORDER BY ts, event_id) AS run_id
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |),
+         |stays AS (
+         |  SELECT user_id, zone_id, min(ts) AS enter_ts, max(ts) AS exit_ts
+         |  FROM runs GROUP BY user_id, zone_id, run_id HAVING count(*) >= 2
+         |),
+         |pairs AS (
+         |  SELECT a.zone_id, a.user_id AS user_a, b.user_id AS user_b,
+         |         greatest(a.enter_ts, b.enter_ts) AS s,
+         |         least(a.exit_ts, b.exit_ts) AS e
+         |  FROM stays a JOIN stays b
+         |    ON a.zone_id = b.zone_id AND a.user_id < b.user_id
+         |  WHERE greatest(a.enter_ts, b.enter_ts) <= least(a.exit_ts, b.exit_ts)
+         |)
+         |SELECT user_a, user_b, count(*) AS n_meetings,
+         |       CAST(sum(epoch_us(e) - epoch_us(s)) AS BIGINT) AS overlap_us,
+         |       count(DISTINCT zone_id) AS n_zones
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
+
+    "m_mk" ->
+      s"""$silverCte,
+         |$mobTransCte,
+         |trained AS (
+         |  SELECT origin, dest, count(*) AS n_trans
+         |  FROM trans WHERE ts < TIMESTAMP '$monitorSplit' GROUP BY 1, 2
+         |),
+         |model AS (
+         |  SELECT origin, dest AS pred_dest FROM (
+         |    SELECT origin, dest,
+         |           row_number() OVER (PARTITION BY origin
+         |             ORDER BY n_trans DESC, dest ASC) AS rn
+         |    FROM trained
+         |  ) WHERE rn = 1
+         |),
+         |test AS (
+         |  SELECT origin, dest, count(*) AS n
+         |  FROM trans WHERE ts >= TIMESTAMP '$monitorSplit' GROUP BY 1, 2
+         |)
+         |SELECT test.origin, min(pred_dest) AS pred_dest,
+         |       CAST(sum(n) AS BIGINT) AS n_test,
+         |       CAST(sum(CASE WHEN dest = pred_dest THEN n ELSE 0 END) AS BIGINT) AS n_hits,
+         |       round(CAST(sum(CASE WHEN dest = pred_dest THEN n ELSE 0 END) AS DOUBLE)
+         |             / CAST(sum(n) AS BIGINT), 6) AS acc
+         |FROM test LEFT JOIN model ON test.origin = model.origin
+         |GROUP BY 1""".stripMargin,
+
+    // held-out perplexity: en-slice bigram LM, Stupid Backoff
+    // (0.4 · add-one ref unigram) for unseen bigrams; float shapes mirror
+    // the Spark projection term for term, ppl = exp of the ROUNDED avg
+    "t_ppl" ->
+      """WITH tl AS (
+        |  SELECT doc_id, lang, list_filter(str_split(lower(text), ' '), x -> x <> '') AS t
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id, lang,
+        |         unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+        |  FROM tl
+        |),
+        |uni AS (
+        |  SELECT tok, count(*) AS c_tok FROM (
+        |    SELECT unnest(t) AS tok FROM tl WHERE lang = 'en'
+        |  ) GROUP BY 1
+        |),
+        |scal AS (
+        |  SELECT CAST(sum(c_tok) AS BIGINT) AS t_total, count(*) AS v_size FROM uni
+        |),
+        |rbg AS (
+        |  SELECT bigram, count(*) AS pair_count FROM bg WHERE lang = 'en' GROUP BY 1
+        |),
+        |pc AS (
+        |  SELECT str_split(bigram, ' ')[1] AS prefix, CAST(sum(pair_count) AS BIGINT) AS c_prefix
+        |  FROM rbg GROUP BY 1
+        |),
+        |lm AS (
+        |  SELECT bigram, CAST(pair_count AS DOUBLE) / c_prefix AS p_bg
+        |  FROM rbg JOIN pc ON str_split(rbg.bigram, ' ')[1] = pc.prefix
+        |),
+        |probs AS (
+        |  SELECT bg.doc_id,
+        |         coalesce(lm.p_bg,
+        |           0.4 * CAST(coalesce(uni.c_tok, 0) + 1 AS DOUBLE)
+        |             / (scal.t_total + scal.v_size)) AS p
+        |  FROM bg
+        |  LEFT JOIN lm ON bg.bigram = lm.bigram
+        |  LEFT JOIN uni ON str_split(bg.bigram, ' ')[2] = uni.tok
+        |  CROSS JOIN scal
+        |),
+        |per AS (
+        |  SELECT doc_id, count(*) AS n_bigrams, round(avg(-ln(p)), 6) AS avg_nll
+        |  FROM probs GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, avg_nll, round(exp(avg_nll), 4) AS ppl
+        |FROM per""".stripMargin,
+
+    // calibration audit of the deterministic churn scorer: the logistic
+    // z mirrors Scoring.scoreChurn weight for weight; binning floors the
+    // 6-dp-ROUNDED score so both engines land identical bins
+    "sc_cb" ->
+      s"""WITH cf AS ($featChurnSql),
+         |scored AS (
+         |  SELECT will_churn,
+         |         round(1.0 / (1.0 + exp(-(-1.2 + events_declining * 1.1
+         |           + value_declining * 0.9 - daily_events * 0.08))), 6) AS churn_p
+         |  FROM cf
+         |)
+         |SELECT bin, n, mean_p, pos_rate, round(pos_rate - mean_p, 6) AS gap FROM (
+         |  SELECT CAST(least(floor(churn_p * 10), 9) AS INT) AS bin,
+         |         count(*) AS n,
+         |         round(avg(churn_p), 6) AS mean_p,
+         |         round(CAST(sum(will_churn) AS DOUBLE) / count(*), 6) AS pos_rate
+         |  FROM scored GROUP BY 1
+         |)""".stripMargin,
+
+    "dq_ld" ->
+      s"""$silverCte,
+         |sv AS (
+         |  SELECT zone_id, CAST(hour(ts) AS INT) AS hour, event_type,
+         |         count(*) AS n_sv
+         |  FROM silver GROUP BY 1, 2, 3
+         |)
+         |SELECT zone_id, hour,
+         |       CAST(sum(n_sv) AS BIGINT) AS n_rows,
+         |       count(*) AS n_sens,
+         |       round(CAST(max(n_sv) AS DOUBLE) / CAST(sum(n_sv) AS BIGINT), 6) AS max_share,
+         |       count(*) < 2 AS at_risk
+         |FROM sv GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   * bottleneck partition), then reduces by low-cardinality keys
   * (zone/hour) that broadcast-sized results aggregate into. No operator
   * holds more than one user's ordered events in window state, and none
-  * collects to the driver. Transition math is integer counts divided at
+  * collects to the driver. The two join-bearing operators
+  * ([[coLocation]], [[markovNextZoneEval]]) join on blocked/bounded keys
+  * — (zone, hour-bucket) equi-join and a broadcast-sized model table —
+  * never per-zone all-pairs. Transition math is integer counts divided at
   * the end — bit-identical across engines — and the only float folds
   * (entropy, radius of gyration) are rounded at 6 dp.
   */
@@ -217,6 +220,103 @@ object Mobility {
       .withColumn("pr", round(col("rank"), 6))
       .withColumn("pos", row_number().over(byRank))
       .select(col("zone_id"), col("pr"), col("pos"))
+  }
+
+  /** Co-location pairs: distinct user pairs whose [[stayEpisodes]] in the
+    * SAME zone overlap in time (closed intervals — a shared instant
+    * counts), with meeting count, total overlap time and distinct shared
+    * zones. The contact-graph primitive (epidemiology, social-tie
+    * inference from mobility — Crandall et al. PNAS 2010).
+    *
+    * Scale: the naive form self-joins on `zone_id` alone — quadratic per
+    * zone, and zones are a BOUNDED key space, so per-zone stay counts grow
+    * linearly with data and the join explodes (the q_fuzzy length-blocking
+    * lesson). Instead each stay emits its spanned hour buckets and the
+    * self-join keys on `(zone_id, bucket_hour)` — a time-blocked equi-join
+    * whose candidate count tracks same-zone-same-HOUR density, which is
+    * how real co-location scales. The blocking is LOSSLESS: two
+    * overlapping intervals both contain max(enter), hence both span that
+    * hour's bucket, so every true pair shares ≥ 1 bucket. Pairs sharing
+    * several buckets are counted EXACTLY once — at the bucket holding
+    * max(enter) — by a filter, not a distinct: no dedup shuffle, and each
+    * surviving row IS one overlapping episode pair. Bucket fan-out per
+    * stay is dwell-bounded; `maxSpanHours` caps the fan-out of
+    * pathological never-moving stays (a stuck sensor parked in one zone
+    * for months) — longer episodes are truncated, a documented
+    * approximation knob. The default exceeds any test-corpus span, so sf
+    * outputs are exact; at 100 TB, tune the cap (or coarsen the bucket)
+    * to the contact window the analysis needs. */
+  def coLocation(silver: DataFrame, minEvents: Int = 2,
+      maxSpanHours: Int = 1440): DataFrame = {
+    val stays = stayEpisodes(silver, minEvents)
+      .withColumn("b_start", date_trunc("hour", col("enter_ts")))
+      .withColumn("b_end",
+        least(date_trunc("hour", col("exit_ts")),
+          col("b_start") + expr(s"INTERVAL $maxSpanHours HOURS")))
+    val buckets = stays.select(
+      col("user_id"), col("zone_id"), col("enter_ts"), col("exit_ts"),
+      explode(sequence(col("b_start"), col("b_end"),
+        expr("INTERVAL 1 HOUR"))).as("bucket"))
+    val a = buckets.select(
+      col("zone_id"), col("bucket"), col("user_id").as("user_a"),
+      col("enter_ts").as("enter_a"), col("exit_ts").as("exit_a"))
+    val b = buckets.select(
+      col("zone_id"), col("bucket"), col("user_id").as("user_b"),
+      col("enter_ts").as("enter_b"), col("exit_ts").as("exit_b"))
+    a.join(b, Seq("zone_id", "bucket"))
+      .filter(col("user_a") < col("user_b"))
+      .filter(greatest(col("enter_a"), col("enter_b"))
+        <= least(col("exit_a"), col("exit_b")))
+      // exactly ONE of the shared buckets holds max(enter): keep the pair
+      // there — dedup by construction, no distinct shuffle
+      .filter(col("bucket") ===
+        date_trunc("hour", greatest(col("enter_a"), col("enter_b"))))
+      .withColumn("overlap_us",
+        unix_micros(least(col("exit_a"), col("exit_b")))
+          - unix_micros(greatest(col("enter_a"), col("enter_b"))))
+      .groupBy(col("user_a"), col("user_b"))
+      .agg(
+        count(lit(1)).as("n_meetings"),
+        sum(col("overlap_us")).as("overlap_us"),
+        countDistinct(col("zone_id")).as("n_zones"))
+  }
+
+  /** Next-zone Markov evaluation: fit the first-order transition argmax on
+    * transitions BEFORE `split`, score hit@1 on transitions on/after it —
+    * the standard backtest of the [[nextZoneTopK]] serving table (does
+    * yesterday's modal destination predict tomorrow's moves?). Output is
+    * per-origin: the trained prediction, test volume, hits, and accuracy
+    * as an exact integer ratio. Origins that appear only in the test
+    * window keep a NULL prediction and zero hits — unseen-state coverage
+    * is part of what the backtest measures.
+    *
+    * Scale: train and test are two filters of the shared one-shuffle
+    * transition stage; the model is the |zones|-row argmax of a
+    * |zones|²-bounded aggregate (broadcast-sized however big the data),
+    * left-joined onto origin-grouped test counts. */
+  def markovNextZoneEval(silver: DataFrame,
+      split: String = "2024-01-15"): DataFrame = {
+    val t = transitions(silver)
+    val w = Window.partitionBy("origin")
+      .orderBy(col("n_trans").desc, col("dest").asc)
+    val model = t.filter(col("ts") < lit(split).cast("timestamp"))
+      .groupBy(col("origin"), col("dest"))
+      .agg(count(lit(1)).as("n_trans"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("origin"), col("dest").as("pred_dest"))
+    t.filter(col("ts") >= lit(split).cast("timestamp"))
+      .groupBy(col("origin"), col("dest"))
+      .agg(count(lit(1)).as("n"))
+      .join(model, Seq("origin"), "left")
+      .groupBy(col("origin"))
+      .agg(
+        min(col("pred_dest")).as("pred_dest"), // constant per origin; min is order-safe
+        sum(col("n")).as("n_test"),
+        sum(when(col("dest") === col("pred_dest"), col("n"))
+          .otherwise(lit(0L))).as("n_hits"))
+      .withColumn("acc",
+        round(col("n_hits").cast("double") / col("n_test"), 6))
   }
 
   /** Home zone per user: the modal zone over night-hour events (22:00–05:59,

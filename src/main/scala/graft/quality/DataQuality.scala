@@ -113,6 +113,29 @@ object DataQuality {
         countDistinct(col(idCol)).as("n_ids"))
       .withColumn("at_risk", col("n_ids") < k)
 
+  /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
+    * al., ICDE 2006): a QI class can be k-anonymous yet still leak if all
+    * its members share one SENSITIVE value (the homogeneity attack). One
+    * row per QI equivalence class with its row count, distinct sensitive
+    * values, the modal sensitive value's share (the attacker's best-guess
+    * confidence), and an `at_risk` flag (fewer than `l` distinct values).
+    *
+    * Two map-side-combinable aggregates — (QI, sensitive) counts, then a
+    * QI roll-up — so the sensitive-value distribution never materializes
+    * per row; output is audit-table-sized at any corpus scale. The modal
+    * share is an exact integer ratio rounded at 6 dp. */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensCol: String,
+      l: Int = 2): DataFrame =
+    df.groupBy((qiCols.map(col) :+ col(sensCol)): _*)
+      .agg(count(lit(1)).as("n_sv"))
+      .groupBy(qiCols.map(col): _*)
+      .agg(
+        sum(col("n_sv")).as("n_rows"),
+        count(lit(1)).as("n_sens"),
+        round(max(col("n_sv")).cast("double") / sum(col("n_sv")), 6)
+          .as("max_share"))
+      .withColumn("at_risk", col("n_sens") < l)
+
   /** Data-freshness / staleness SLA audit: one row per partition group
     * (source, feed, event type, …) with its row count, latest event time,
     * hours of lag behind the freshest group, and an SLA-breach flag — the

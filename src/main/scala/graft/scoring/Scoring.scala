@@ -92,6 +92,46 @@ object Scoring {
       avg(when(y =!= 0, abs((y - yhat) / y))).as("mape"))
   }
 
+  /** Heuristic churn probability over
+    * [[graft.features.FeatureEngineering.churnFeatures]] output — the
+    * logistic form of the declining-activity rules (the reference's
+    * churn-risk scorer family, batch_scoring.py:127-147): fixed documented
+    * weights on the two declining flags minus an activity-volume term,
+    * squashed to (0, 1). Weights are POLICY constants, not fitted — the
+    * fitted counterpart is `ml_qual`'s LogisticRegression; this scorer is
+    * the deterministic face the calibration audit can oracle-check.
+    * Rounded at 6 dp (exp is the one libm call; both engines then bin and
+    * average the same rounded value). */
+  def scoreChurn(feat: DataFrame): DataFrame = {
+    val z = lit(-1.2) + col("events_declining") * 1.1 +
+      col("value_declining") * 0.9 - col("daily_events") * 0.08
+    feat.withColumn("churn_p", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+  }
+
+  /** Probability-calibration audit (reliability diagram data): bin a
+    * [0, 1] score into `bins` equal-width bins and compare each bin's mean
+    * predicted probability against its observed positive rate — the table
+    * behind every calibration plot, and the monitoring artifact that
+    * catches a scorer whose discrimination survived drift but whose
+    * probabilities no longer mean what they say.
+    *
+    * One map-side-combinable aggregate over a bounded bin key; output is
+    * `bins` rows at any data scale. The bin edge uses the ROUNDED score
+    * (both engines floor the same 6-dp value); `pos_rate` is an exact
+    * integer ratio; `gap` subtracts two already-rounded terms. */
+  def calibrationBins(scored: DataFrame, labelCol: String,
+      scoreCol: String, bins: Int = 10): DataFrame =
+    scored
+      .withColumn("bin",
+        least(floor(col(scoreCol) * bins), lit(bins - 1)).cast("int"))
+      .groupBy(col("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(avg(col(scoreCol)), 6).as("mean_p"),
+        round(sum(col(labelCol)).cast("double") / count(lit(1)), 6)
+          .as("pos_rate"))
+      .withColumn("gap", round(col("pos_rate") - col("mean_p"), 6))
+
   /** Classical forecast BASELINES for the per-zone daily demand series —
     * the yardsticks any learned forecaster (ml_rf/ml_gbt) must beat
     * before it ships:

@@ -262,6 +262,61 @@ object TextFunctions {
         round(sum(col("nll")), 6).as("total_nll"))
   }
 
+  /** Held-out perplexity under a reference-slice bigram LM with Stupid
+    * Backoff (Brants et al., EMNLP 2007) — the CCNet-style quality filter:
+    * score EVERY document against a language model trained on a trusted
+    * slice (`lang = refLang`), so junk that [[bigramLogProb]]'s in-corpus
+    * MLE would normalize itself against stands out instead. Seen bigrams
+    * score their ref prefix-conditional MLE; unseen ones back off to
+    * `alpha ·(c_v + 1)/(T + V)` (add-one ref unigram — OOV tokens get the
+    * uniform floor, so no zero probabilities and no −∞ NLLs).
+    *
+    * Scale: the LM is two ref-corpus aggregates on data-growing keys
+    * (bigram, token); scoring is two left equi-joins of doc bigrams
+    * against them (AQE broadcasts when the LM is small, shuffles when it
+    * isn't) plus one 1-row `(T, V)` scalar broadcast — the text_tfidf
+    * corpus-stat pattern. avg NLL rounds at 6 dp (order-sensitive double
+    * Σ); perplexity is exp of the ROUNDED avg, so both engines
+    * exponentiate the same input. */
+  def heldOutPerplexity(docs: DataFrame, refLang: String = "en",
+      alpha: Double = 0.4): DataFrame = {
+    val t = col("t")
+    val bgRaw = transform(
+      sequence(lit(1), greatest(size(t) - 1, lit(1))),
+      i => concat_ws(" ", try_element_at(t, i), try_element_at(t, i + 1)))
+    def docBigrams(d: DataFrame): DataFrame = d
+      .select(col("doc_id"), filter(toks(col("text")), x => x =!= "").as("t"))
+      .select(col("doc_id"),
+        explode(slice(bgRaw, lit(1), greatest(size(t) - 1, lit(0)))).as("bigram"))
+    val ref = docs.filter(col("lang") === refLang)
+    val refUni = ref
+      .select(explode(filter(toks(col("text")), x => x =!= "")).as("v_tok"))
+      .groupBy("v_tok").agg(count(lit(1)).as("c_tok"))
+    val scalars = refUni.agg(
+      sum(col("c_tok")).as("t_total"), count(lit(1)).as("v_size"))
+    val refBg = docBigrams(ref)
+      .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
+      .withColumn("prefix", split(col("bigram"), " ").getItem(0))
+    val prefixCounts = refBg
+      .groupBy("prefix").agg(sum(col("pair_count")).as("c_prefix"))
+    val lm = refBg.join(prefixCounts, "prefix")
+      .select(col("bigram"),
+        (col("pair_count").cast("double") / col("c_prefix")).as("p_bg"))
+    docBigrams(docs)
+      .join(lm, Seq("bigram"), "left")
+      .withColumn("v_tok", split(col("bigram"), " ").getItem(1))
+      .join(refUni, Seq("v_tok"), "left")
+      .crossJoin(broadcast(scalars))
+      .withColumn("p", coalesce(col("p_bg"),
+        lit(alpha) * (coalesce(col("c_tok"), lit(0L)) + lit(1)).cast("double")
+          / (col("t_total") + col("v_size"))))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        round(avg(-log(col("p"))), 6).as("avg_nll"))
+      .withColumn("ppl", round(exp(col("avg_nll")), 4))
+  }
+
   /** Adjacent character-pair statistics over in-word positions — the
     * counting step of BPE vocabulary induction (the highest-count pair
     * is the next merge). One explode chain, one pair-keyed aggregate,

@@ -11,8 +11,9 @@ import graft.mobility.Mobility
   *
   * Semantic tests run on a hand-built trajectory whose transitions, stays,
   * flows, rog and entropy are computed by hand; plan tests assert the
-  * one-user_id-shuffle design (no join anywhere in the module, no
-  * cartesian, window exchanges keyed on user_id).
+  * one-user_id-shuffle design (no join in the window/aggregate operators,
+  * no cartesian anywhere — the two join-bearing operators coLocation and
+  * markovNextZoneEval must join on blocked/bounded keys).
   */
 class MobilitySpec extends SparkSpec {
 
@@ -163,5 +164,80 @@ class MobilitySpec extends SparkSpec {
     }
     // the aggregate-only operators (rog) need no window at all
     assert(!plans("rog").contains("Window"), "rog should be a single aggregate pass")
+  }
+
+  /** zone 5: user 1 stays 08:00–09:00, user 2 stays 08:45–09:30 (15 min
+    * overlap), user 3 stays 09:30–10:00 (touches user 2 at the shared
+    * instant — closed intervals, so it counts with 0 overlap; disjoint
+    * from user 1). zone 9: users 1 and 2 again, 12:00–12:30 vs
+    * 12:10–12:40 (20 min) — pair (1,2) meets in TWO zones. */
+  private lazy val colocToy: DataFrame = Seq(
+    (1L, "2024-01-01 08:00:00", 1L, 5L), (2L, "2024-01-01 08:30:00", 1L, 5L),
+    (3L, "2024-01-01 09:00:00", 1L, 5L),
+    (4L, "2024-01-01 08:45:00", 2L, 5L), (5L, "2024-01-01 09:30:00", 2L, 5L),
+    (6L, "2024-01-01 09:30:00", 3L, 5L), (7L, "2024-01-01 10:00:00", 3L, 5L),
+    (8L, "2024-01-01 12:00:00", 1L, 9L), (9L, "2024-01-01 12:30:00", 1L, 9L),
+    (10L, "2024-01-01 12:10:00", 2L, 9L), (11L, "2024-01-01 12:40:00", 2L, 9L),
+  ).map { case (id, t, u, z) => (id, ts(t), u, Some(z)) }
+    .toDF("event_id", "ts", "user_id", "zone_id")
+
+  test("coLocation: overlapping stays pair up once each, closed intervals, exact overlap") {
+    val pairs = Mobility.coLocation(colocToy)
+      .collect().map(r => (r.getAs[Long]("user_a"), r.getAs[Long]("user_b")) -> r).toMap
+    assert(pairs.keySet === Set((1L, 2L), (2L, 3L)))
+    val u12 = pairs((1L, 2L))
+    assert(u12.getAs[Long]("n_meetings") === 2L)       // zone 5 + zone 9
+    assert(u12.getAs[Long]("overlap_us") === (15L + 20L) * 60 * 1000000)
+    assert(u12.getAs[Long]("n_zones") === 2L)
+    val u23 = pairs((2L, 3L))
+    assert(u23.getAs[Long]("n_meetings") === 1L)       // the shared instant
+    assert(u23.getAs[Long]("overlap_us") === 0L)
+  }
+
+  test("coLocation: a pair spanning many shared hour buckets still counts ONCE") {
+    // both users camp in zone 4 for six hours with overlapping intervals:
+    // 6-7 shared buckets, exactly one surviving pair row
+    val camp = Seq(
+      (21L, "2024-01-01 00:00:00", 7L, 4L), (22L, "2024-01-01 06:00:00", 7L, 4L),
+      (23L, "2024-01-01 01:00:00", 8L, 4L), (24L, "2024-01-01 07:00:00", 8L, 4L),
+    ).map { case (id, t, u, z) => (id, ts(t), u, Some(z)) }
+      .toDF("event_id", "ts", "user_id", "zone_id")
+    val out = Mobility.coLocation(camp).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("n_meetings") === 1L)
+    assert(out.head.getAs[Long]("overlap_us") === 5L * 3600 * 1000000)
+    // and the plan is the blocked equi-join, never a cartesian
+    val plan = Mobility.coLocation(camp).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in coLocation:\n$plan")
+  }
+
+  test("markovNextZoneEval: argmax model from the train window, hit@1 on the test window") {
+    // train (before Jan 3): user 10 does 0→5, 0→5 (model: 0 predicts 5)
+    // test (Jan 3+): user 10 does 0→5 (hit), user 11 does 0→7 (miss) and
+    // 7→0 (origin 7 unseen in training → NULL prediction, zero hits)
+    val rows = Seq(
+      (31L, "2024-01-01 08:00:00", 10L, 0L), (32L, "2024-01-01 09:00:00", 10L, 5L),
+      (33L, "2024-01-02 08:00:00", 10L, 0L), (34L, "2024-01-02 09:00:00", 10L, 5L),
+      (35L, "2024-01-03 08:00:00", 10L, 0L), (36L, "2024-01-03 09:00:00", 10L, 5L),
+      (37L, "2024-01-03 10:00:00", 11L, 0L), (38L, "2024-01-03 11:00:00", 11L, 7L),
+      (39L, "2024-01-03 12:00:00", 11L, 0L),
+    ).map { case (id, t, u, z) => (id, ts(t), u, Some(z)) }
+      .toDF("event_id", "ts", "user_id", "zone_id")
+    val eval = Mobility.markovNextZoneEval(rows, split = "2024-01-03")
+      .collect().map(r => r.getAs[Long]("origin") -> r).toMap
+    val o0 = eval(0L)
+    assert(o0.getAs[Long]("pred_dest") === 5L)
+    assert(o0.getAs[Long]("n_test") === 2L)   // 0→5 (hit) + 0→7 (miss)
+    assert(o0.getAs[Long]("n_hits") === 1L)
+    assert(o0.getAs[Double]("acc") === 0.5)
+    val o7 = eval(7L)
+    assert(o7.isNullAt(o7.fieldIndex("pred_dest")))
+    assert(o7.getAs[Long]("n_hits") === 0L && o7.getAs[Double]("acc") === 0.0)
+    // user 10's overnight returns (5→0 each morning) train origin 5 too:
+    // its Jan-3 08:00 return is a scored hit
+    val o5 = eval(5L)
+    assert(o5.getAs[Long]("pred_dest") === 0L && o5.getAs[Double]("acc") === 1.0)
+    // test volume = the four on/after-split transitions, nothing from train
+    assert(eval.values.map(_.getAs[Long]("n_test")).sum === 4L)
   }
 }

@@ -121,6 +121,29 @@ class PipelineSpec extends SparkSpec {
     assert(real.count() <= 5 * 24)
   }
 
+  test("l-diversity: sensitive-value spread per QI class, homogeneous classes flagged") {
+    import spark.implicits._
+    val rows = Seq(
+      // QI (0,8): everyone did the same thing → l=1, homogeneous, at risk
+      (0L, 8, "purchase"), (0L, 8, "purchase"), (0L, 8, "purchase"),
+      // QI (1,9): three sensitive values over 4 rows → diverse, safe
+      (1L, 9, "view"), (1L, 9, "view"), (1L, 9, "click"), (1L, 9, "purchase"))
+      .toDF("zone_id", "hour", "event_type")
+    val audit = DataQuality.lDiversity(rows, Seq("zone_id", "hour"), "event_type")
+      .collect().map(r => r.getAs[Long]("zone_id") -> r).toMap
+    val z0 = audit(0L); val z1 = audit(1L)
+    assert(z0.getAs[Long]("n_rows") === 3L && z0.getAs[Long]("n_sens") === 1L)
+    assert(z0.getAs[Double]("max_share") === 1.0 && z0.getAs[Boolean]("at_risk"))
+    assert(z1.getAs[Long]("n_sens") === 3L && !z1.getAs[Boolean]("at_risk"))
+    assert(z1.getAs[Double]("max_share") === 0.5)   // 2 of 4 rows are views
+    // the audit output is QI-grid-sized, never row-sized
+    val real = DataQuality.lDiversity(
+      Silver.cleanEvents(Bronze.ingestEvents(Tables.events(spark, sfDir)))
+        .withColumn("hour", hour(col("ts"))),
+      Seq("zone_id", "hour"), "event_type")
+    assert(real.count() <= 101 * 24)   // 100 zones + the NULL-zone class
+  }
+
   test("freshness: lag vs freshest group, stale flag past the SLA, one row per group") {
     import spark.implicits._
     val rows = Seq(

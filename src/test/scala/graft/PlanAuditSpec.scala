@@ -50,8 +50,10 @@ class PlanAuditSpec extends SparkSpec {
     //   dim-bounded (≤4096-row) feature table — a 1-row build side
     // m_pr: the per-iteration carried-mass scalar crossJoined onto the
     //   dimension-sized zone table — ten 1-row build sides
+    // t_ppl: the (T, V) LM-total scalar crossJoined onto the doc-bigram
+    //   stream — a 1-row build side (the text_tfidf corpus-stat pattern)
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
-      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr")
+      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr", "t_ppl")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
@@ -80,7 +82,7 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q_gsets plans exactly one Expand (one pass for all three grouping sets)") {
-    val plan = SparkEntry.queries("q_gsets")(spark, sfDir)
+    val plan = SparkEntry.queries("q_gs")(spark, sfDir)
       .queryExecution.executedPlan.toString
     assert("Expand".r.findAllIn(plan).length === 1,
       s"expected a single Expand pass:\n$plan")

@@ -292,4 +292,42 @@ class ScoringMonitoringSpec extends SparkSpec {
     out.unpersist()
     ()
   }
+
+  test("calibration bins: exact bin math, edge scores clamp into the top bin") {
+    import spark.implicits._
+    val scored = Seq(
+      (0.05, 0), (0.05, 1),          // bin 0: mean_p 0.05, pos_rate 0.5
+      (0.95, 1), (0.95, 1),          // bin 9
+      (1.0, 1),                      // floor(10) clamps into bin 9
+      (0.25, 0),                     // exact-binary edge → bin 2
+    ).toDF("p", "label")
+    val bins = Scoring.calibrationBins(scored, "label", "p")
+      .collect().map(r => r.getAs[Int]("bin") -> r).toMap
+    assert(bins.keySet === Set(0, 2, 9))
+    val b0 = bins(0)
+    assert(b0.getAs[Long]("n") === 2L)
+    assert(b0.getAs[Double]("mean_p") === 0.05)
+    assert(b0.getAs[Double]("pos_rate") === 0.5)
+    assert(b0.getAs[Double]("gap") === 0.45)
+    val b9 = bins(9)
+    assert(b9.getAs[Long]("n") === 3L)     // the 1.0 score joined bin 9
+    assert(b9.getAs[Double]("pos_rate") === 1.0)
+    assert(bins(2).getAs[Long]("n") === 1L)
+    // output is bin-bounded however big the input
+    assert(Scoring.calibrationBins(scored, "label", "p", 4).count() <= 4)
+  }
+
+  test("churn scorer: probabilities in (0,1), declining flags raise risk, deterministic") {
+    import spark.implicits._
+    val feat = Seq(
+      (1L, 0, 0, 5L), (2L, 1, 0, 5L), (3L, 1, 1, 5L), (4L, 1, 1, 1L),
+    ).toDF("user_id", "events_declining", "value_declining", "daily_events")
+    val p = Scoring.scoreChurn(feat)
+      .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("churn_p")).toMap
+    assert(p.values.forall(v => v > 0.0 && v < 1.0))
+    assert(p(2L) > p(1L) && p(3L) > p(2L))   // each flag raises risk
+    assert(p(4L) > p(3L))                    // lower activity raises risk
+    // hand value: z = −1.2 + 1.1 + 0.9 − 0.08 = 0.72
+    assert(p(4L) === math.rint(1.0 / (1.0 + math.exp(-0.72)) * 1e6) / 1e6)
+  }
 }

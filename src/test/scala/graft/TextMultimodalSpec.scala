@@ -479,4 +479,43 @@ class TextMultimodalSpec extends SparkSpec {
     w.unpersist()
     ()
   }
+
+  test("held-out perplexity: hand-computed LM probs, backoff for unseen, OOV floor") {
+    import spark.implicits._
+    // ref (en): "the cat sat" + "the cat ran"
+    //   bigrams: "the cat"×2, "cat sat"×1, "cat ran"×1
+    //   prefix marginals: the→2, cat→2 ⇒ p(cat|the)=1, p(sat|cat)=1/2
+    //   unigrams: the 2, cat 2, sat 1, ran 1 ⇒ T=6, V=4
+    val toy = Seq(
+      (1L, "the cat sat", "en"), (2L, "the cat ran", "en"),
+      (3L, "le chat", "fr"),        // both tokens OOV
+    ).toDF("doc_id", "text", "lang")
+    val out = TextFunctions.heldOutPerplexity(toy)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1: nll = (−ln 1 − ln 0.5)/2 = 0.34657359… → 0.346574
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_bigrams") === 2L)
+    assert(d1.getAs[Double]("avg_nll") === 0.346574)
+    assert(d1.getAs[Double]("ppl") === math.rint(math.exp(0.346574) * 1e4) / 1e4)
+    // doc 3: "le chat" unseen bigram, chat OOV → p = 0.4·(0+1)/(6+4) = 0.04
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_bigrams") === 1L)
+    assert(d3.getAs[Double]("avg_nll") === math.rint(-math.log(0.04) * 1e6) / 1e6)
+    // junk scores WORSE than in-distribution text — the filter's point
+    assert(d3.getAs[Double]("ppl") > d1.getAs[Double]("ppl"))
+  }
+
+  test("held-out perplexity: seen-unigram backoff beats the OOV floor") {
+    import spark.implicits._
+    // "sat the": bigram unseen, but both tokens are ref unigrams —
+    // p = 0.4·(c(the)+1)/(T+V) = 0.4·3/10 = 0.12 > the 0.04 OOV floor
+    val toy = Seq(
+      (1L, "the cat sat", "en"), (2L, "the cat ran", "en"),
+      (5L, "sat the", "de"), (6L, "zz qq", "de")).toDF("doc_id", "text", "lang")
+    val out = TextFunctions.heldOutPerplexity(toy)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(5L).getAs[Double]("avg_nll") === math.rint(-math.log(0.12) * 1e6) / 1e6)
+    assert(out(6L).getAs[Double]("avg_nll") === math.rint(-math.log(0.04) * 1e6) / 1e6)
+    assert(out(5L).getAs[Double]("ppl") < out(6L).getAs[Double]("ppl"))
+  }
 }
