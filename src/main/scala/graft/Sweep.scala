@@ -114,9 +114,15 @@ object Sweep {
         || sys.env.get("SPARK_GRAFT_SWEEP_REBUILD").contains("1"))
       materialize(spark, src, out)
 
+    // Optional third arg: comma-separated query keys — sweep only those
+    // (pricing newly added lines against an already-materialized corpus
+    // without re-timing the whole surface).
+    val keep: String => Boolean =
+      if (args.length > 2) args(2).split(",").toSet else (_: String) => true
+
     // Warm every code path at the 1× source (JIT + codegen caches) so the
     // timed 10× pass measures scaling, not cold-start.
-    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1).filter(q => keep(q._1))
     SparkEntry.warmCache(spark, src)
     ordered.foreach { case (name, fn) =>
       try fn(spark, src).count()
