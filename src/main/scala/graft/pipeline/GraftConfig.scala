@@ -41,8 +41,10 @@ object GraftConfig {
 
   /** Stage names [[Runner]] knows how to execute. `medallion` writes the
     * bronze→silver→gold tables; `scoring` the feature/score frames;
-    * `monitoring` the drift/quality reports (threshold-classified). */
-  val KnownStages: Set[String] = Set("medallion", "scoring", "monitoring")
+    * `monitoring` the drift/quality reports (threshold-classified);
+    * `mobility` the trajectory marts (OD matrix, stays, flows, entropy,
+    * home zones, zone PageRank). */
+  val KnownStages: Set[String] = Set("medallion", "scoring", "monitoring", "mobility")
 
   val Defaults: GraftConfig = GraftConfig(
     appName = "graft",

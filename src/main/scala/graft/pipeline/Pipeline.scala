@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.Tables
 import graft.features.FeatureEngineering
+import graft.mobility.Mobility
 import graft.monitoring.Monitoring
 import graft.quality.DataQuality
 import graft.scoring.Scoring
@@ -55,6 +56,16 @@ object Pipeline {
       "score_surge" -> Scoring.scoreSurge(surgeFeat),
       "score_metrics" -> Scoring.scoringMetrics(scoredDemand, "event_count", "predicted_demand"))
   }
+
+  /** Mobility analytics stage over a silver frame: the trajectory marts
+    * (§2.11) a mobility platform serves next to the zone aggregates. */
+  def runMobility(silver: DataFrame): Map[String, DataFrame] = Map(
+    "od_matrix" -> Mobility.odMatrix(silver),
+    "stay_episodes" -> Mobility.stayEpisodes(silver),
+    "zone_net_flow" -> Mobility.zoneNetFlow(silver),
+    "location_entropy" -> Mobility.locationEntropy(silver),
+    "home_zones" -> Mobility.homeZone(silver),
+    "zone_pagerank" -> Mobility.zonePageRank(silver))
 
   /** Quality + monitoring stage (reference monitoring dag). */
   def runMonitoring(silver: DataFrame, splitDate: String): Map[String, DataFrame] = Map(

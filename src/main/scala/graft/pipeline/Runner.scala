@@ -54,6 +54,9 @@ object Runner {
       case "scoring" =>
         Pipeline.runScoring(silver).toSeq.sortBy(_._1)
           .map { case (n, df) => s"scoring/$n" -> df }
+      case "mobility" =>
+        Pipeline.runMobility(silver).toSeq.sortBy(_._1)
+          .map { case (n, df) => s"mobility/$n" -> df }
       case "monitoring" =>
         val mon = Pipeline.runMonitoring(silver, cfg.splitDate)
         val classified = mon.map {

@@ -50,6 +50,50 @@ object Sinks {
       .partitionBy(partitionCols: _*)
       .orc(path)
 
+  /** Small-file compaction for a date-partitioned parquet table — the
+    * maintenance job every incremental pipeline needs at scale: a year of
+    * hourly micro-batches leaves thousands of KB-sized files per
+    * partition, and at 100 TB the NameNode/listing and per-file task
+    * overheads dominate scans long before the data does (the problem
+    * Delta's OPTIMIZE solves; re-expressed storage-agnostically).
+    *
+    * Only partitions whose file count exceeds `maxFilesPerPartition` are
+    * rewritten — listing is driver-side metadata (one filesystem walk,
+    * no data read), and the rewrite reads ONLY the affected partitions,
+    * coalescing each to ⌈bytes / targetFileBytes⌉ files via a
+    * per-partition repartition. Untouched partitions keep their files
+    * byte-identical; the rewrite goes through [[overwritePartitions]]
+    * so it is idempotent and replaces only what it read.
+    *
+    * Returns (partition value → files before) for the rewritten
+    * partitions — the audit line the maintenance job logs. */
+  def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
+      partitionCol: String, targetFileBytes: Long = 128L * 1024 * 1024,
+      maxFilesPerPartition: Int = 8): Map[String, Int] = {
+    // Hadoop FS, not java.io: the same walk works on HDFS/S3A/local
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = fs.listStatus(hPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$partitionCol="))
+    val oversplit = parts.flatMap { dir =>
+      val files = fs.listStatus(dir.getPath)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      if (files.length <= maxFilesPerPartition) None
+      else {
+        val bytes = files.map(_.getLen).sum
+        val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+        Some((dir.getPath.getName.stripPrefix(s"$partitionCol="), files.length, target))
+      }
+    }
+    oversplit.foreach { case (value, _, target) =>
+      val part = spark.read.parquet(path)
+        .filter(org.apache.spark.sql.functions.col(partitionCol) === value)
+        .repartition(target)
+      overwritePartitions(part, path, Seq(partitionCol))
+    }
+    oversplit.map { case (value, before, _) => value -> before }.toMap
+  }
+
   /** Incremental write: replaces ONLY the partitions present in `df`,
     * leaving the rest of the table untouched (idempotent re-run of one
     * day's batch). */

@@ -95,4 +95,19 @@ class ConfigRunnerSpec extends SparkSpec {
     assert(silverDir.listFiles().exists(_.getName.startsWith("event_date=")),
       "silver must be written date-partitioned")
   }
+
+  test("runner: mobility stage writes the six trajectory marts off the shared silver") {
+    val out = Files.createTempDirectory("graft_run_mob").toString
+    val cfg = GraftConfig.load(writeProps(
+      s"paths.input = $sfDir\npaths.output = $out\nstages = mobility\n"))
+    val written = Runner.run(spark, cfg).toMap
+    val expected = Seq("od_matrix", "stay_episodes", "zone_net_flow",
+      "location_entropy", "home_zones", "zone_pagerank").map(n => s"mobility/$n")
+    assert(expected.forall(written.contains), s"missing marts: ${expected.filterNot(written.contains)}")
+    assert(expected.forall(written(_) > 0L), "every mobility mart must be non-empty")
+    // PageRank mass conservation survives the write/read round-trip
+    val pr = spark.read.parquet(s"$out/mobility/zone_pagerank")
+    val mass = pr.agg(org.apache.spark.sql.functions.sum("pr")).head().getDouble(0)
+    assert(math.abs(mass - 1.0) < 1e-3, s"rank mass $mass")
+  }
 }

@@ -120,6 +120,37 @@ class SourcesSinksSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === 3)
   }
 
+  test("compaction: oversplit partitions coalesce, healthy partitions untouched, rows identical") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact").toString
+    // day1 oversplit into 16 files; day2 healthy (1 file)
+    val day1 = (1 to 64).map(i => (i.toLong, "2024-01-01", i * 1.0)).toDF("id", "event_date", "v")
+    val day2 = Seq((100L, "2024-01-02", 5.0)).toDF("id", "event_date", "v")
+    day1.repartition(16).write.mode("overwrite").partitionBy("event_date").parquet(out)
+    Sinks.overwritePartitions(day2, out, Seq("event_date"))
+    def files(p: String) = new java.io.File(s"$out/event_date=$p")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files("2024-01-01") === 16)
+    val day2Before = new java.io.File(s"$out/event_date=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+    val before = spark.read.parquet(out).orderBy("id").collect().toSeq
+    val rewritten = Sinks.compactPartitions(spark, out, "event_date",
+      targetFileBytes = 1L << 30, maxFilesPerPartition = 8)
+    // audit: only day1 reported, with its pre-compaction file count
+    assert(rewritten === Map("2024-01-01" -> 16))
+    // day1 coalesced to one file (everything fits the 1 GB target)
+    assert(files("2024-01-01") === 1)
+    // day2 untouched: same file names on disk
+    assert(new java.io.File(s"$out/event_date=2024-01-02")
+      .listFiles().filter(_.getName.endsWith(".parquet")).map(_.getName).toSet === day2Before)
+    // table contents byte-identical
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq === before)
+    // idempotent: a second pass finds nothing oversplit
+    assert(Sinks.compactPartitions(spark, out, "event_date",
+      targetFileBytes = 1L << 30, maxFilesPerPartition = 8).isEmpty)
+  }
+
   test("binaryFile source: glob prunes at listing, payloads round-trip, size guard holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     val payloads = Map(
