@@ -122,6 +122,48 @@ object SparkEntry {
        |$rounds""".stripMargin
   }
 
+  /** DuckDB mirror of Mobility.zoneCommunities: 5 unrolled LPA rounds
+    * over the symmetrized integer-weight edge table, each round voting
+    * neighbors + the self-anchor (MATERIALIZED for the same inlining
+    * reason as the PageRank rounds). */
+  private val lpaCtes: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT dst, label, CAST(sum(w) AS BIGINT) AS w_sum FROM (
+         |    SELECT e.dst, l.label, e.w
+         |    FROM edges e JOIN l${k - 1} l ON e.src = l.zone_id
+         |    UNION ALL
+         |    SELECT sw.zone_id AS dst, l.label, sw.w_self AS w
+         |    FROM l${k - 1} l JOIN sw ON l.zone_id = sw.zone_id
+         |  ) GROUP BY 1, 2
+         |),
+         |l$k AS MATERIALIZED (
+         |  SELECT dst AS zone_id, label FROM (
+         |    SELECT dst, label,
+         |           row_number() OVER (PARTITION BY dst
+         |             ORDER BY w_sum DESC, label ASC) AS rn
+         |    FROM w$k
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""dir_e AS MATERIALIZED (
+       |  SELECT origin, dest, count(*) AS w FROM trans GROUP BY 1, 2
+       |),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst, CAST(sum(w) AS BIGINT) AS w FROM (
+       |    SELECT origin AS src, dest AS dst, w FROM dir_e
+       |    UNION ALL
+       |    SELECT dest AS src, origin AS dst, w FROM dir_e
+       |  ) GROUP BY 1, 2
+       |),
+       |sw AS MATERIALIZED (
+       |  SELECT dst AS zone_id, CAST(max(w) AS BIGINT) AS w_self
+       |  FROM edges GROUP BY 1
+       |),
+       |l0 AS MATERIALIZED (SELECT zone_id, zone_id AS label FROM sw),
+       |$rounds""".stripMargin
+  }
+
   /** DuckDB index-ordered cosine mirroring Similarity.cosine. */
   private def duckCosine(a: String, b: String): String = {
     def sq(v: String) =
@@ -273,7 +315,7 @@ object SparkEntry {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
     }),
-    "fc_pay" -> ((s, dir) => {
+    "fc_p" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factPayments(sv, Gold.dimUsers(sv))
     }),
@@ -282,14 +324,14 @@ object SparkEntry {
     "dim_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
-    "a_user" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
+    "a_ur" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "a_pv" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
     "a_pc" -> ((s, dir) => Aggregates.valuePercentilesByZone(silver(s, dir))),
     // RANGE-frame trailing 7d window: frame bounded by day DISTANCE, so
     // gap days never let the frame reach back too far (rows frames do)
     "a_rng" -> ((s, dir) => Aggregates.revenueTrailing7dByZone(silver(s, dir))),
     // second-moment profile: corr/covar_samp/stddev_samp in one aggregate
-    "a_corr" -> ((s, dir) => Aggregates.valueHourStatsByZone(silver(s, dir))),
+    "a_cr" -> ((s, dir) => Aggregates.valueHourStatsByZone(silver(s, dir))),
     "a_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
     "a_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
     "a_fun" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
@@ -298,7 +340,7 @@ object SparkEntry {
     "dq_pf" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
     // rows-only: per-day HLL sketches merged by union — sketch bytes are
     // implementation-specific; merged-vs-exact tolerance is spec-asserted
-    "dq_sku" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
+    "dq_s" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
     "dq_sum" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
@@ -387,7 +429,7 @@ object SparkEntry {
       Monitoring.chiSquare(silver(s, dir), Seq("event_type", "zone_id"), monitorSplit)),
     "mn_ms" -> ((s, dir) =>
       Monitoring.missingRates(silver(s, dir), Seq("value", "zone_id", "user_id"), monitorSplit)),
-    "mn_vol" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
+    "mn_vl" -> ((s, dir) => Monitoring.volume(silver(s, dir), monitorSplit)),
     // serving-latency percentiles over a deterministic synthetic latency
     // column (the container has no API logs; the LCG-ish derivation is
     // portable so the oracle checks the PERCENTILE operator itself)
@@ -395,13 +437,13 @@ object SparkEntry {
     // binary-segmentation split statistic, argmax over candidate days —
     // the raw data collapses to one row/day in the first aggregate
     "mn_cpd" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
-    "mn_lat" -> ((s, dir) => Monitoring.latencyStats(
+    "mn_lt" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
     // as-of join: each event annotated with the user's latest purchase
     // value at-or-before the event time (union-window formulation — one
     // key shuffle, no range nested-loop)
-    "q_asof" -> ((s, dir) => {
+    "q_as" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -449,15 +491,15 @@ object SparkEntry {
         .select("o_orderkey", "o_totalprice", "band_id", "lo", "hi")
     }),
     // §2.5 analytics core
-    "q1_agg" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
-    "q3_jn" -> ((s, dir) => Analytics.shippingPriority(
+    "q1_a" -> ((s, dir) => Analytics.pricingSummary(Tables.lineitem(s, dir))),
+    "q3_j" -> ((s, dir) => Analytics.shippingPriority(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
-    "q5_mj" -> ((s, dir) => Analytics.localSupplierVolume(
+    "q5_m" -> ((s, dir) => Analytics.localSupplierVolume(
       Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
       Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
-    "q_topn" -> ((s, dir) => Analytics.topPartsPerBrand(
+    "q_tn" -> ((s, dir) => Analytics.topPartsPerBrand(
       Tables.lineitem(s, dir), Tables.part(s, dir))),
-    "q_roll" -> ((s, dir) => Analytics.customersRollup(
+    "q_rl" -> ((s, dir) => Analytics.customersRollup(
       Tables.customer(s, dir), Tables.nation(s, dir), Tables.region(s, dir))),
     "q_cb" -> ((s, dir) => Analytics.pricingCube(Tables.lineitem(s, dir))),
     // UNPIVOT/melt: 4 measure columns → (measure, value) rows in one
@@ -479,11 +521,11 @@ object SparkEntry {
       Tables.customer(s, dir), Tables.nation(s, dir))),
     "q_wf" -> ((s, dir) => Analytics.balanceWindows(
       Tables.customer(s, dir), Tables.nation(s, dir))),
-    "q_semi" -> ((s, dir) => Analytics.orderActivityByNation(
+    "q_se" -> ((s, dir) => Analytics.orderActivityByNation(
       Tables.customer(s, dir), Tables.orders(s, dir), Tables.nation(s, dir))),
     // salted join: result must equal the plain join (the oracle IS the
     // plain join); the salt's value shows on skewed corpora (see Stress)
-    "q_skew" -> ((s, dir) => {
+    "q_sk" -> ((s, dir) => {
       val sv = silver(s, dir).filter(col("zone_id").isNotNull)
       val zoneDim = sv.groupBy("zone_id").agg(count(lit(1)).as("zone_events"))
       graft.analytics.SkewJoin.salted(
@@ -494,7 +536,7 @@ object SparkEntry {
     "dd_ex" -> ((s, dir) => Dedup.exactDedup(Tables.documents(s, dir))),
     // per-source dup-rate dashboard: docs, exact/normalized distinct
     // groups and implied dup rates — ONE scan, multi-distinct Expand
-    "dd_rep" -> ((s, dir) => Dedup.dupRateReport(Tables.documents(s, dir))),
+    "dd_rp" -> ((s, dir) => Dedup.dupRateReport(Tables.documents(s, dir))),
     // C4-style fuzzy-exact pass: hash of case/punct/whitespace-normalized text
     "dd_nm" -> ((s, dir) => Dedup.normalizedDedup(Tables.documents(s, dir))),
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
@@ -502,7 +544,7 @@ object SparkEntry {
     // recall floor are spec-asserted instead
     "dd_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dd_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
-    "dd_jac" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
+    "dd_jc" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
     "dd_ev" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
@@ -525,7 +567,7 @@ object SparkEntry {
     // incremental dedup: the daily-batch reality at corpus scale — docs
     // ending in 0 arrive as the new batch, the rest are the stored corpus
     // whose minhashIndex is the ONLY thing the batch joins against
-    "dd_mhi" -> ((s, dir) => {
+    "dd_mi" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       Dedup.minhashLshIncremental(
         docs.filter(col("doc_id") % 10 === 0),
@@ -553,7 +595,7 @@ object SparkEntry {
         .select("doc_id", "lang")),
     // fixed-SIZE per-stratum sample (exact-count corpus balancing):
     // hash-order rank ≤ n per lang, executed as a map-side WindowGroupLimit
-    "s_res" -> ((s, dir) =>
+    "s_rs" -> ((s, dir) =>
       graft.sampling.Sampling.reservoirPerStratum(Tables.documents(s, dir),
         "doc_id", "lang", n = 20).select("doc_id", "lang")),
     // deterministic train/val/test assignment — stable under
@@ -589,7 +631,7 @@ object SparkEntry {
         budgets = Map("en" -> 6000L), defaultBudget = 2000L)
         .select("doc_id", "lang", "n_tok")),
     "dd_sh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
-    "dd_emb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
+    "dd_eb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
     "t_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "t_ql" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
@@ -635,7 +677,7 @@ object SparkEntry {
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
     "t_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
-    "mn_edr" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
+    "mn_er" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
     "mm_mt" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
     // rows-only: the decode pipeline runs end-to-end over the binary
@@ -645,7 +687,7 @@ object SparkEntry {
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
     // rows-only: the full frame pipeline — decode → sample → resize —
     // pipelined per partition with no intermediate materialization
-    "mm_rsz" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
+    "mm_rz" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))))).toDF()),
     // §2.8 similarity search
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
@@ -690,7 +732,7 @@ object SparkEntry {
     // batch face of the continuous drift monitor: per-day PSI of value vs
     // the pre-split baseline histogram (streaming face spec-asserted
     // equal; baseline fractions fold in as literals — model metadata)
-    "st_psi" -> ((s, dir) => {
+    "st_ps" -> ((s, dir) => {
       val sv = silver(s, dir)
       val base = sv.filter(col("event_date") < lit(monitorSplit))
       val (lo, hi, pcts) = Monitoring.baselineHistogram(base, "value")
@@ -711,7 +753,7 @@ object SparkEntry {
       .select("event_id", "user_id", "ts", "session_seq")),
     // batch face of the stream-static enrichment join (identical call on a
     // readStream frame re-broadcasts the dim per micro-batch, zero state)
-    "st_enr" -> ((s, dir) => {
+    "st_en" -> ((s, dir) => {
       val sv = silver(s, dir)
       Streams.enrichWithDim(sv.select("event_id", "zone_id", "event_type", "value"),
         Gold.dimZones(sv))
@@ -725,7 +767,7 @@ object SparkEntry {
     // keyed change feed on user_id, error events read as deletes; latest
     // op wins and a terminal delete removes the key. Streaming face
     // (mapGroupsWithState) is asserted equal in CdcStreamSpec.
-    "st_cdc" -> ((s, dir) =>
+    "st_cd" -> ((s, dir) =>
       Streams.cdcApply(Tables.events(s, dir)
         .filter(col("user_id").isNotNull)
         .withColumn("op",
@@ -803,6 +845,14 @@ object SparkEntry {
     "dq_ld" -> ((s, dir) => DataQuality.lDiversity(
       silver(s, dir).withColumn("hour", hour(col("ts"))),
       Seq("zone_id", "hour"), "event_type")),
+    // label-propagation zone communities on the symmetrized OD graph:
+    // data-scale work is the one edge-build shuffle; 5 fixed rounds of
+    // dimension-sized integer argmax joins (oracle unrolls the same)
+    "m_lp" -> ((s, dir) => Mobility.zoneCommunities(silver(s, dir))),
+    // RFM lifecycle segmentation: rank-based quintiles over the user dim
+    "f_rm" -> ((s, dir) => FeatureEngineering.rfmSegments(silver(s, dir))),
+    // per-zone A/B readout: md5-hash arms, two-proportion z
+    "sc_ab" -> ((s, dir) => Scoring.abTest(silver(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -965,7 +1015,7 @@ object SparkEntry {
          |       event_type, value, ts, event_date
          |FROM silver""".stripMargin,
 
-    "fc_pay" ->
+    "fc_p" ->
       s"""$silverCte
          |SELECT event_id AS payment_id, event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -1017,7 +1067,7 @@ object SparkEntry {
          |       count(*) AS purchase_count
          |FROM silver WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin,
 
-    "a_user" ->
+    "a_ur" ->
       s"""$silverCte
          |SELECT event_date AS date, user_id,
          |       count(*) AS purchase_count,
@@ -1272,7 +1322,7 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY zone_id ORDER BY day
          |             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
-    "a_corr" ->
+    "a_cr" ->
       s"""$silverCte
          |SELECT zone_id, count(*) AS n,
          |       round(corr(value, CAST(hour(ts) AS DOUBLE)), 6) AS corr_value_hour,
@@ -1453,7 +1503,7 @@ object SparkEntry {
          |         - sum(is_base * is_null) / sum(is_base) AS shift
          |FROM flagged GROUP BY 1""".stripMargin,
 
-    "mn_vol" ->
+    "mn_vl" ->
       s"""$silverCte,
          |flagged AS (
          |  SELECT CASE WHEN event_date <= DATE '$monitorSplit' THEN 1 ELSE 0 END AS is_base,
@@ -1476,7 +1526,7 @@ object SparkEntry {
     // DuckDB quantile_cont ≡ Spark percentile (exact, linear interpolation)
     // on integer inputs — the p50/p95 rule the reference computes from API
     // logs (model_monitoring.py:154-172)
-    "mn_lat" ->
+    "mn_lt" ->
       s"""$silverCte,
          |lat AS (SELECT (event_id * 37 + 11) % 450 + 50 AS latency_ms FROM silver)
          |SELECT count(latency_ms) AS n,
@@ -1575,7 +1625,7 @@ object SparkEntry {
 
     // DuckDB's native ASOF JOIN is the oracle for the union-window as-of
     // (>= bound ≡ the right-before-left tie order on the Spark side)
-    "q_asof" ->
+    "q_as" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1651,7 +1701,7 @@ object SparkEntry {
          |LEFT JOIN (SELECT event_id, purchase_value, rts FROM best WHERE rn = 1) m
          |  USING (event_id)""".stripMargin,
 
-    "q1_agg" ->
+    "q1_a" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(l_quantity) AS sum_qty,
         |       sum(l_extendedprice) AS sum_base_price,
@@ -1665,7 +1715,7 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
 
-    "q3_jn" ->
+    "q3_j" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |       count(*) AS line_count
@@ -1677,7 +1727,7 @@ object SparkEntry {
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY 1, 2, 3""".stripMargin,
 
-    "q5_mj" ->
+    "q5_m" ->
       """SELECT n_name,
         |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
         |       count(*) AS line_count
@@ -1692,7 +1742,7 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY 1""".stripMargin,
 
-    "q_topn" ->
+    "q_tn" ->
       """WITH counts AS (
         |  SELECT p_brand, p_partkey, count(*) AS order_count
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -1703,7 +1753,7 @@ object SparkEntry {
         |  FROM counts
         |) WHERE "rank" <= 3""".stripMargin,
 
-    "q_roll" ->
+    "q_rl" ->
       """SELECT r_name, n_name, count(*) AS customer_count, sum(c_acctbal) AS total_acctbal
         |FROM customer
         |JOIN nation ON c_nationkey = n_nationkey
@@ -1794,7 +1844,7 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)""".stripMargin,
 
-    "q_semi" ->
+    "q_se" ->
       """WITH ord AS (SELECT DISTINCT o_custkey FROM orders),
         |flags AS (
         |  SELECT c_nationkey,
@@ -1809,7 +1859,7 @@ object SparkEntry {
 
     // the oracle is the UNSALTED join — salting must be invisible in the
     // result
-    "q_skew" ->
+    "q_sk" ->
       s"""$silverCte,
          |zd AS (
          |  SELECT zone_id, count(*) AS zone_events
@@ -1829,7 +1879,7 @@ object SparkEntry {
 
     // integer counts divide into doubles identically on both engines;
     // the rates subtract a correctly-rounded quotient from 1.0
-    "dd_rep" ->
+    "dd_rp" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(lower(text))) AS n_exact,
         |       count(DISTINCT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g')))) AS n_norm,
@@ -1855,7 +1905,7 @@ object SparkEntry {
     // incremental ≡ the full pair set restricted to pairs touching the
     // batch (doc_id % 10 = 0) — signatures are per-doc, so banding over
     // corpus ∪ batch equals banding each side separately
-    "dd_mhi" ->
+    "dd_mi" ->
       s"""$shingleCte,
          |$minhashPairCtes
          |SELECT doc_a, doc_b,
@@ -1934,7 +1984,7 @@ object SparkEntry {
 
     // hash-order rank per stratum — ties impossible below the fraction
     // (doc_id breaks them), so both engines rank identically
-    "s_res" ->
+    "s_rs" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -2087,7 +2137,7 @@ object SparkEntry {
     // mirrors Dedup.ngramJaccard's default stop-shingle cap (df > 1000
     // dropped before the candidate join; drops nothing at test SF where
     // max DF is 25, but the oracle pins the DEPLOYED capped semantics)
-    "dd_jac" ->
+    "dd_jc" ->
       s"""$shingleCte,
          |stop AS (SELECT shingle FROM ex GROUP BY shingle HAVING count(*) > ${Dedup.DefaultStopShingleDf}),
          |exf AS (SELECT doc_id, shingle FROM ex WHERE shingle NOT IN (SELECT shingle FROM stop)),
@@ -2133,7 +2183,7 @@ object SparkEntry {
         |SELECT doc_a, doc_b, bit_count(xor(ha, hb)) AS hamming
         |FROM pairs WHERE bit_count(xor(ha, hb)) <= 3""".stripMargin,
 
-    "dd_emb" ->
+    "dd_eb" ->
       """SELECT vec_a, vec_b, cosine FROM (
         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |         list_reduce(list_transform(generate_series(1, len(a.embedding)),
@@ -2500,7 +2550,7 @@ object SparkEntry {
 
     // centroid split is vec_id parity (sf-independent); means/cosine are
     // double sums in engine order -> 6 dp rounds
-    "mn_edr" ->
+    "mn_er" ->
       """WITH f AS (
         |  SELECT label, vec_id, u.pos AS pos, u.v AS v FROM (
         |    SELECT label, vec_id,
@@ -2631,7 +2681,7 @@ object SparkEntry {
          |         AS session_seq
          |FROM lagged""".stripMargin,
 
-    "st_enr" ->
+    "st_en" ->
       s"""$silverCte,
          |zd AS (
          |  SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
@@ -2656,7 +2706,7 @@ object SparkEntry {
 
     // latest-wins per key with (ts, event_id) total order; a key whose
     // final op is a delete vanishes from the snapshot
-    "st_cdc" ->
+    "st_cd" ->
       """WITH ch AS (
         |  SELECT user_id, ts, event_id, value,
         |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op
@@ -2682,7 +2732,7 @@ object SparkEntry {
     // current histograms via a window×bin grid so EMPTY bins still
     // contribute their clamped term — identical floating math to the
     // Spark projection, rounded at 6 dp
-    "st_psi" ->
+    "st_ps" ->
       s"""$silverCte,
          |base AS (
          |  SELECT value FROM silver
@@ -3084,5 +3134,74 @@ object SparkEntry {
          |       round(CAST(max(n_sv) AS DOUBLE) / CAST(sum(n_sv) AS BIGINT), 6) AS max_share,
          |       count(*) < 2 AS at_risk
          |FROM sv GROUP BY 1, 2""".stripMargin,
+
+    // LPA communities: integer-weight argmax rounds, engine-exact
+    "m_lp" ->
+      s"""$silverCte,
+         |$mobTransCte,
+         |$lpaCtes
+         |SELECT zone_id, label AS community,
+         |       CAST(count(*) OVER (PARTITION BY label) AS BIGINT) AS community_size
+         |FROM l5""".stripMargin,
+
+    // RFM: rank-based quintiles (no percentile interpolation — exact
+    // integer ordering with a user_id tiebreak on both engines)
+    "f_rm" ->
+      s"""$silverCte,
+         |per AS (
+         |  SELECT user_id,
+         |         CAST(date_diff('day', max(event_date), DATE '2024-01-31') AS INT) AS recency,
+         |         count(*) AS frequency,
+         |         sum(round(value * 100)) / 100 AS monetary
+         |  FROM silver WHERE event_type = 'purchase' AND ts IS NOT NULL
+         |  GROUP BY 1
+         |),
+         |q AS (
+         |  SELECT *,
+         |         CAST(ntile(5) OVER (ORDER BY recency ASC, user_id ASC) AS INT) AS r_q,
+         |         CAST(ntile(5) OVER (ORDER BY frequency DESC, user_id ASC) AS INT) AS f_q,
+         |         CAST(ntile(5) OVER (ORDER BY monetary DESC, user_id ASC) AS INT) AS m_q
+         |  FROM per
+         |)
+         |SELECT user_id, recency, frequency, monetary, r_q, f_q, m_q,
+         |       CASE WHEN r_q <= 2 AND f_q <= 2 AND m_q <= 2 THEN 'champion'
+         |            WHEN f_q <= 2 THEN 'loyal'
+         |            WHEN r_q >= 4 AND f_q >= 4 THEN 'lost'
+         |            WHEN r_q >= 4 THEN 'at_risk'
+         |            ELSE 'regular' END AS segment
+         |FROM q""".stripMargin,
+
+    // A/B readout: md5 arms (the samplers' hash family), exact integer
+    // counts, float shapes mirrored term for term, degenerate z → NULL
+    "sc_ab" ->
+      s"""$silverCte,
+         |pu AS (
+         |  SELECT zone_id, user_id,
+         |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         |         CASE WHEN CAST('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':ab'), 1, 8) AS BIGINT)
+         |                     / 4294967296.0 < 0.5
+         |              THEN 'control' ELSE 'treatment' END AS arm
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |  GROUP BY 1, 2
+         |),
+         |wide AS (
+         |  SELECT zone_id,
+         |         CAST(sum(CASE WHEN arm = 'control' THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         |         CAST(sum(CASE WHEN arm = 'control' THEN conv ELSE 0 END) AS BIGINT) AS x_c,
+         |         CAST(sum(CASE WHEN arm = 'treatment' THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         |         CAST(sum(CASE WHEN arm = 'treatment' THEN conv ELSE 0 END) AS BIGINT) AS x_t
+         |  FROM pu GROUP BY 1
+         |)
+         |SELECT zone_id, n_c, x_c, n_t, x_t,
+         |       CASE WHEN n_c > 0 THEN round(CAST(x_c AS DOUBLE) / n_c, 6) END AS p_c,
+         |       CASE WHEN n_t > 0 THEN round(CAST(x_t AS DOUBLE) / n_t, 6) END AS p_t,
+         |       CASE WHEN n_c > 0 AND n_t > 0
+         |            THEN round(CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c, 6) END AS uplift,
+         |       CASE WHEN n_c > 0 AND n_t > 0 AND (x_c + x_t) > 0 AND (x_c + x_t) < (n_c + n_t)
+         |            THEN round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c)
+         |                   / sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+         |                          * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
+         |                          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t)), 6) END AS z
+         |FROM wide""".stripMargin,
   )
 }

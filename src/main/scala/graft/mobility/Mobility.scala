@@ -319,6 +319,65 @@ object Mobility {
         round(col("n_hits").cast("double") / col("n_test"), 6))
   }
 
+  /** Zone communities via label propagation (Raghavan et al., Phys. Rev.
+    * E 2007) on the undirected transition graph — which zones form
+    * organically connected districts (the zoning a rebalancing policy
+    * should operate over, discovered from flows instead of drawn on a
+    * map). Synchronous LPA made deterministic AND oscillation-free: every
+    * round, each zone tallies its neighbors' labels by symmetrized
+    * transition weight PLUS a self-vote for its own current label
+    * weighted by its strongest incident edge, then adopts the heaviest
+    * label (ties → smallest label). The self-anchor kills the classic
+    * synchronous-LPA 2-cycle (two zones swapping labels forever) while
+    * still letting any genuinely heavier neighborhood win; smallest-label
+    * tiebreak makes rounds engine-exact (integer weights, no floats). A
+    * FIXED `iters` rounds (no convergence test) keeps the operator a pure
+    * function of its input — the oracle unrolls the same rounds as CTEs.
+    *
+    * Scale: the [[odMatrix]]-shaped edge build is the only data-scale
+    * stage (one user_id shuffle); the label table and the per-round
+    * argmax joins are dimension-sized, `localCheckpoint` every second
+    * round keeps lineage flat (the [[zonePageRank]] pattern — `iters`
+    * is a job-count multiplier only). Integer weights make every argmax
+    * engine-exact; no floats anywhere. */
+  def zoneCommunities(silver: DataFrame, iters: Int = 5): DataFrame = {
+    val dir = transitions(silver)
+      .groupBy(col("origin"), col("dest"))
+      .agg(count(lit(1)).as("w"))
+    val edges = dir.select(col("origin").as("src"), col("dest").as("dst"), col("w"))
+      .unionByName(dir.select(col("dest").as("src"), col("origin").as("dst"), col("w")))
+      .groupBy(col("src"), col("dst"))
+      .agg(sum(col("w")).as("w"))
+      .persist()
+    val selfW = edges.groupBy(col("dst").as("zone_id"))
+      .agg(max(col("w")).as("w_self"))
+      .persist()
+    selfW.count()
+    var labels = selfW.select(col("zone_id"), col("zone_id").as("label"))
+    val byWeight = Window.partitionBy(col("dst"))
+      .orderBy(col("w_sum").desc, col("label").asc)
+    for (i <- 1 to iters) {
+      val neighborVotes = edges
+        .join(labels, edges("src") === labels("zone_id"))
+        .select(col("dst"), col("label"), col("w"))
+      val selfVotes = labels.join(selfW, "zone_id")
+        .select(col("zone_id").as("dst"), col("label"), col("w_self").as("w"))
+      labels = neighborVotes.unionByName(selfVotes)
+        .groupBy(col("dst"), col("label"))
+        .agg(sum(col("w")).as("w_sum"))
+        .withColumn("rn", row_number().over(byWeight))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("zone_id"), col("label"))
+      if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint()
+    }
+    edges.unpersist()
+    selfW.unpersist()
+    val bySize = Window.partitionBy(col("label"))
+    labels
+      .withColumn("community_size", count(lit(1)).over(bySize))
+      .select(col("zone_id"), col("label").as("community"), col("community_size"))
+  }
+
   /** Home zone per user: the modal zone over night-hour events (22:00–05:59,
     * when people are usually home — the standard home-detection heuristic
     * in mobility literature), ties broken by zone asc. Users with no night

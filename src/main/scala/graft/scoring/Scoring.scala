@@ -132,6 +132,55 @@ object Scoring {
           .as("pos_rate"))
       .withColumn("gap", round(col("pos_rate") - col("mean_p"), 6))
 
+  /** Per-zone A/B experiment readout: users are deterministically split
+    * into control/treatment by the md5 hash family
+    * ([[graft.sampling.Sampling.hashFraction]] — the same engine-portable
+    * assignment the samplers use, so an experiment's arms are
+    * reproducible from the user id alone, no assignment table to join),
+    * the per-(zone, user) outcome is "converted" (any purchase in that
+    * zone), and each zone reports arm sizes, conversion rates, uplift
+    * and the two-proportion z statistic (pooled variance). Zones where
+    * the pooled variance degenerates (either arm empty, or conversion
+    * universal/absent) report a NULL z rather than ±∞.
+    *
+    * Scale: one (zone, user) aggregate over the event stream — the key
+    * grows with data, no hotspots — then a zone-keyed roll-up;
+    * audit-table-sized output. Counts are exact integers; the two float
+    * steps (rates, z) are integer ratios rounded at 6 dp. */
+  def abTest(silver: DataFrame, salt: String = "ab"): DataFrame = {
+    val perUser = silver
+      .filter(col("zone_id").isNotNull)
+      .groupBy(col("zone_id"), col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      .withColumn("arm",
+        when(graft.sampling.Sampling.hashFraction(col("user_id"), salt) < 0.5,
+          lit("control")).otherwise(lit("treatment")))
+    val wide = perUser
+      .groupBy(col("zone_id"))
+      .agg(
+        sum(when(col("arm") === "control", 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === "control", col("conv").cast("long"))
+          .otherwise(0L)).as("x_c"),
+        sum(when(col("arm") === "treatment", 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === "treatment", col("conv").cast("long"))
+          .otherwise(0L)).as("x_t"))
+    val pC = col("x_c").cast("double") / col("n_c")
+    val pT = col("x_t").cast("double") / col("n_t")
+    val pPool = (col("x_c") + col("x_t")).cast("double") / (col("n_c") + col("n_t"))
+    val se = sqrt(pPool * (lit(1.0) - pPool)
+      * (lit(1.0) / col("n_c") + lit(1.0) / col("n_t")))
+    wide
+      .withColumn("p_c", when(col("n_c") > 0, round(pC, 6)))
+      .withColumn("p_t", when(col("n_t") > 0, round(pT, 6)))
+      .withColumn("uplift",
+        when(col("n_c") > 0 && col("n_t") > 0, round(pT - pC, 6)))
+      .withColumn("z",
+        when(col("n_c") > 0 && col("n_t") > 0
+          && (col("x_c") + col("x_t")) > 0
+          && (col("x_c") + col("x_t")) < (col("n_c") + col("n_t")),
+          round((pT - pC) / se, 6)))
+  }
+
   /** Classical forecast BASELINES for the per-zone daily demand series —
     * the yardsticks any learned forecaster (ml_rf/ml_gbt) must beat
     * before it ships:

@@ -131,4 +131,33 @@ class FeatureSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"stats must broadcast:\n$plan")
     scaled.unpersist()
   }
+
+  test("rfm: hand-built quintiles, exact-cents monetary, lifecycle segments") {
+    import spark.implicits._
+    // five users, strictly ordered on every axis: user i has frequency
+    // 6−i, monetary (6−i)·10.10, last purchase Jan (31−i) → each lands
+    // alone in quintile i on all three scores
+    val rows = (1 to 5).flatMap { i =>
+      (1 to (6 - i)).map { j =>
+        (i * 100L + j, s"2024-01-${"%02d".format(31 - i)} 10:0$j:00", i.toLong, "purchase", 10.10)
+      }
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_date", col("ts").cast("date"))
+    val rfm = FeatureEngineering.rfmSegments(rows)
+      .collect().map(r => r.getAs[Long]("user_id") -> r).toMap
+    (1 to 5).foreach { i =>
+      val r = rfm(i.toLong)
+      assert(r.getAs[Int]("recency") === i)
+      assert(r.getAs[Long]("frequency") === (6 - i).toLong)
+      assert(math.abs(r.getAs[Double]("monetary") - (6 - i) * 10.10) < 1e-9)
+      assert(r.getAs[Int]("r_q") === i && r.getAs[Int]("f_q") === i && r.getAs[Int]("m_q") === i)
+    }
+    assert(rfm(1L).getAs[String]("segment") === "champion")
+    assert(rfm(2L).getAs[String]("segment") === "champion")
+    assert(rfm(3L).getAs[String]("segment") === "regular")
+    // r_q ≥ 4 AND f_q ≥ 4 on the aligned toy → lost for both tail users
+    assert(rfm(4L).getAs[String]("segment") === "lost")
+    assert(rfm(5L).getAs[String]("segment") === "lost")
+  }
 }

@@ -240,4 +240,27 @@ class MobilitySpec extends SparkSpec {
     // test volume = the four on/after-split transitions, nothing from train
     assert(eval.values.map(_.getAs[Long]("n_test")).sum === 4L)
   }
+
+  test("zoneCommunities: disconnected districts get distinct min-labels, no oscillation") {
+    // triangle 1-2-3 (user 20 cycles it) and pair 8-9 (user 21 ping-pongs):
+    // equal integer weights everywhere, so the self-anchored argmax must
+    // collapse each component onto its smallest zone id — and the pair
+    // must NOT oscillate (the classic synchronous-LPA failure)
+    val zones = Seq(1L, 2L, 3L, 1L, 2L, 3L, 1L).zipWithIndex.map {
+      case (z, i) => (i.toLong, ts(f"2024-01-01 ${8 + i}%02d:00:00"), 20L, Some(z))
+    } ++ Seq(8L, 9L, 8L).zipWithIndex.map {
+      case (z, i) => (100L + i, ts(f"2024-01-01 ${8 + i}%02d:00:00"), 21L, Some(z))
+    }
+    val rows = zones.toDF("event_id", "ts", "user_id", "zone_id")
+    val out = Mobility.zoneCommunities(rows)
+      .collect().map(r => r.getAs[Long]("zone_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(out(1L) === ((1L, 3L)) && out(2L) === ((1L, 3L)) && out(3L) === ((1L, 3L)))
+    assert(out(8L) === ((8L, 2L)) && out(9L) === ((8L, 2L)))
+    // determinism: a second run is byte-identical
+    val again = Mobility.zoneCommunities(rows)
+      .collect().map(r => r.getAs[Long]("zone_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(again === out)
+  }
 }

@@ -330,4 +330,40 @@ class ScoringMonitoringSpec extends SparkSpec {
     // hand value: z = −1.2 + 1.1 + 0.9 − 0.08 = 0.72
     assert(p(4L) === math.rint(1.0 / (1.0 + math.exp(-0.72)) * 1e6) / 1e6)
   }
+
+  test("ab test: md5 arms reproduce, counts exact, degenerate zones give NULL z") {
+    import spark.implicits._
+    // 40 users; compute each user's arm with the SAME public hash the
+    // operator uses, then plant conversions so expected counts are known
+    val users = (1L to 40L)
+    val armOf = users.toDF("user_id")
+      .withColumn("t",
+        graft.sampling.Sampling.hashFraction(col("user_id"), "ab") >= 0.5)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    // zone 5: treatment users convert, control users don't → uplift 1
+    //   (degenerate pooled variance is NOT hit: both arms non-empty, mixed)
+    // zone 6: EVERYONE converts → pooled p = 1 → z must be NULL
+    // zone 7: nobody converts → pooled p = 0 → z NULL, rates 0
+    val events = users.flatMap { u =>
+      val conv5 = if (armOf(u)) "purchase" else "view"
+      Seq((u * 10 + 1, s"2024-01-01 10:00:00", u, conv5, 5L),
+        (u * 10 + 2, s"2024-01-02 10:00:00", u, "purchase", 6L),
+        (u * 10 + 3, s"2024-01-03 10:00:00", u, "view", 7L))
+    }.toDF("event_id", "ts", "user_id", "event_type", "zone_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val out = Scoring.abTest(events)
+      .collect().map(r => r.getAs[Long]("zone_id") -> r).toMap
+    val nT = armOf.values.count(identity).toLong
+    val nC = 40L - nT
+    assert(nT > 0 && nC > 0, s"hash split degenerate: $nT/$nC")
+    val z5 = out(5L)
+    assert(z5.getAs[Long]("n_c") === nC && z5.getAs[Long]("n_t") === nT)
+    assert(z5.getAs[Long]("x_c") === 0L && z5.getAs[Long]("x_t") === nT)
+    assert(z5.getAs[Double]("p_c") === 0.0 && z5.getAs[Double]("p_t") === 1.0)
+    assert(z5.getAs[Double]("uplift") === 1.0)
+    assert(z5.getAs[Double]("z") > 5.0, "all-or-nothing split must be wildly significant")
+    assert(out(6L).isNullAt(out(6L).fieldIndex("z")), "universal conversion → NULL z")
+    assert(out(7L).isNullAt(out(7L).fieldIndex("z")), "zero conversion → NULL z")
+    assert(out(7L).getAs[Double]("p_t") === 0.0 && out(7L).getAs[Double]("uplift") === 0.0)
+  }
 }
