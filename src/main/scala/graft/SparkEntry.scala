@@ -306,12 +306,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // §2.1 medallion pipeline
-    "bronze" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
+    "brz" -> ((s, dir) => Bronze.ingestEvents(Tables.events(s, dir))),
     "sil" -> ((s, dir) => silver(s, dir)),
-    "dim_t" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
-    "dim_u" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
-    "dim_z" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
-    "fc_ev" -> ((s, dir) => {
+    "d_t" -> ((s, dir) => Gold.dimTime(silver(s, dir))),
+    "d_u" -> ((s, dir) => Gold.dimUsers(silver(s, dir))),
+    "d_z" -> ((s, dir) => Gold.dimZones(silver(s, dir))),
+    "fc_e" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factEvents(sv, Gold.dimUsers(sv), Gold.dimZones(sv))
     }),
@@ -321,7 +321,7 @@ object SparkEntry {
     }),
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
-    "dim_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
+    "d_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "a_ur" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
@@ -341,7 +341,7 @@ object SparkEntry {
     // rows-only: per-day HLL sketches merged by union — sketch bytes are
     // implementation-specific; merged-vs-exact tolerance is spec-asserted
     "dq_s" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
-    "dq_sum" -> ((s, dir) => DataQuality.summary(
+    "dq_sm" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
     // protected individual is user_id; at_risk marks QI classes shared
@@ -356,7 +356,7 @@ object SparkEntry {
     // declarative expectation suite: 6 rules, ONE scan — not-null/unique/
     // range/set/regex violation counts; value rules intentionally include
     // failing rules (error events null the value; range tops at ~490)
-    "dq_exp" -> ((s, dir) => DataQuality.expectations(silver(s, dir), Seq(
+    "dq_e" -> ((s, dir) => DataQuality.expectations(silver(s, dir), Seq(
       DataQuality.ExpectNotNull("user_id"),
       DataQuality.ExpectNotNull("value"),
       DataQuality.ExpectUnique("event_id"),
@@ -411,7 +411,7 @@ object SparkEntry {
     // Morton z-value over (zone, hour): the multi-dim clustering key
     // behind two-column data skipping; pure codegen'd bit math — the
     // layout op itself (range partition + local sort) is spec-audited
-    "q_zord" -> ((s, dir) => {
+    "q_z" -> ((s, dir) => {
       val sv = silver(s, dir).filter(col("zone_id").isNotNull)
         .withColumn("hour", hour(col("ts")))
       sv.select(col("event_id"), col("zone_id"), col("hour"),
@@ -452,7 +452,7 @@ object SparkEntry {
     }),
     // forward as-of: each event annotated with the user's NEXT purchase
     // at-or-after the event time (merge_asof direction='forward')
-    "q_afwd" -> ((s, dir) => {
+    "q_af" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -472,7 +472,7 @@ object SparkEntry {
     }),
     // as-of with staleness bound: a prior purchase older than 24 h does
     // not match (kdb/merge_asof ASOF TOLERANCE semantics)
-    "q_atol" -> ((s, dir) => {
+    "q_at" -> ((s, dir) => {
       val sv = silver(s, dir)
       val purchases = sv.filter(col("event_type") === "purchase")
         .groupBy("user_id", "ts").agg(max("value").as("purchase_value"))
@@ -649,10 +649,10 @@ object SparkEntry {
     "t_pk" -> ((s, dir) => TextFunctions.packSequences(Tables.documents(s, dir))),
     "t_hh" -> ((s, dir) => TextFunctions.heavyHitters(Tables.documents(s, dir))),
     "t_rep" -> ((s, dir) => TextFunctions.repetition(Tables.documents(s, dir))),
-    "c_rep" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
+    "c_rp" -> ((s, dir) => TextFunctions.corpusReport(Tables.documents(s, dir))),
     // training-mix composition: tokens per (split, lang) + within-split
     // share, over the deterministic split assignment
-    "c_mix" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
+    "c_mx" -> ((s, dir) => TextFunctions.corpusMix(Tables.documents(s, dir))),
     "t_lm1" -> ((s, dir) => TextFunctions.unigramLogProb(Tables.documents(s, dir))),
     // bigram LM: per-transition NLL — catches word-salad docs whose
     // unigram mix looks fine but whose transitions are improbable
@@ -660,20 +660,20 @@ object SparkEntry {
     // hashing-trick featurization: sparse (feat_idx, count) rows per doc,
     // md5-prefix mod dim — the vocabulary-free classifier input
     "t_fh" -> ((s, dir) => TextFunctions.hashedFeatures(Tables.documents(s, dir))),
-    "t_bpe" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
+    "t_bp" -> ((s, dir) => TextFunctions.bpePairStats(Tables.documents(s, dir))),
     // rows-only: bounded-round BPE merge application (top pair → merge →
     // re-pair) — iterative, one bounded driver scalar per round, no SQL
     // equivalent; equality to a single-machine reference is spec-asserted
-    "t_bpem" -> ((s, dir) => TextFunctions.bpeLearn(Tables.documents(s, dir))),
+    "t_bm" -> ((s, dir) => TextFunctions.bpeLearn(Tables.documents(s, dir))),
     // PMI-scored bigram collocations (phrase mining for vocab prep)
     "t_pmi" -> ((s, dir) => TextFunctions.pmiCollocations(Tables.documents(s, dir))),
     // Zipf rank-frequency OLS fit — corpus-level naturalness check
     "t_zp" -> ((s, dir) => TextFunctions.zipfFit(Tables.documents(s, dir))),
     // KL + TV distance of observed lang-token shares vs a target mix
-    "mix_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
+    "mx_kl" -> ((s, dir) => TextFunctions.mixDivergence(Tables.documents(s, dir),
       Map("en" -> 0.4, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.15, "zh" -> 0.15))),
     // temperature-scaled resampling weights (XLM-R/mC4 sampling rule)
-    "mix_t" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
+    "mx_t" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
     "t_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
@@ -749,7 +749,7 @@ object SparkEntry {
     "st_jo" -> ((s, dir) => Streams.attributionJoinOuter(silver(s, dir))),
     // event-grain sessionization: each event tagged with its per-user
     // session ordinal (gaps-and-islands)
-    "q_sess" -> ((s, dir) => Streams.sessionize(silver(s, dir))
+    "q_ss" -> ((s, dir) => Streams.sessionize(silver(s, dir))
       .select("event_id", "user_id", "ts", "session_seq")),
     // batch face of the stream-static enrichment join (identical call on a
     // readStream frame re-broadcasts the dim per micro-batch, zero state)
@@ -778,7 +778,7 @@ object SparkEntry {
       Models.demandRandomForest(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_lr" -> ((s, dir) =>
       Models.demandLinear(FeatureEngineering.demandFeatures(silver(s, dir)))),
-    "ml_gbt" -> ((s, dir) =>
+    "ml_g" -> ((s, dir) =>
       Models.demandGBT(FeatureEngineering.demandFeatures(silver(s, dir)))),
     "ml_sc" -> ((s, dir) =>
       Models.surgeClassifier(FeatureEngineering.surgeFeatures(silver(s, dir)))),
@@ -827,7 +827,7 @@ object SparkEntry {
     // rows-only: BPE encode under the merges t_bpem learns (iterative
     // argmax training is not SQL-expressible); equality to a single-
     // machine reference encoder is spec-asserted
-    "t_bpea" -> ((s, dir) => TextFunctions.bpeEncode(Tables.documents(s, dir))),
+    "t_ba" -> ((s, dir) => TextFunctions.bpeEncode(Tables.documents(s, dir))),
     // co-location contact pairs: hour-bucketed lossless interval self-join
     // over stay episodes (never per-zone all-pairs)
     "m_co" -> ((s, dir) => Mobility.coLocation(silver(s, dir))),
@@ -853,6 +853,14 @@ object SparkEntry {
     "f_rm" -> ((s, dir) => FeatureEngineering.rfmSegments(silver(s, dir))),
     // per-zone A/B readout: md5-hash arms, two-proportion z
     "sc_ab" -> ((s, dir) => Scoring.abTest(silver(s, dir))),
+    // trip reconstruction: stay → next-stay journeys (the reference's
+    // core entity rebuilt from trajectories)
+    "m_tr" -> ((s, dir) => Mobility.trips(silver(s, dir))),
+    // Kaplan–Meier retention: censoring-aware survival curve
+    "sc_km" -> ((s, dir) => Scoring.kaplanMeier(silver(s, dir))),
+    // Laplace-mechanism count release (seeded demo — see scaladoc caveat)
+    "dq_dp" -> ((s, dir) => DataQuality.dpNoisedCounts(
+      silver(s, dir).filter(col("zone_id").isNotNull), "zone_id")),
   )
 
   private val featDemandSql: String =
@@ -976,14 +984,14 @@ object SparkEntry {
        |FROM df""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
-    "bronze" ->
+    "brz" ->
       """SELECT event_id, ts, user_id, event_type, value, props,
         |       CAST(ts AS DATE) AS event_date
         |FROM events""".stripMargin,
 
     "sil" -> s"$silverCte SELECT * FROM silver",
 
-    "dim_t" ->
+    "d_t" ->
       s"""$silverCte
          |SELECT sha256(concat_ws('||', CAST(date AS VARCHAR), CAST(hour AS VARCHAR), CAST(minute AS VARCHAR))) AS time_id,
          |       date, year, month, day, day_of_week, hour, minute
@@ -995,18 +1003,18 @@ object SparkEntry {
          |  FROM silver WHERE ts IS NOT NULL
          |)""".stripMargin,
 
-    "dim_u" ->
+    "d_u" ->
       s"""$silverCte
          |SELECT sha256(CAST(user_id AS VARCHAR)) AS user_key, user_id
          |FROM (SELECT DISTINCT user_id FROM silver WHERE user_id IS NOT NULL)""".stripMargin,
 
-    "dim_z" ->
+    "d_z" ->
       s"""$silverCte
          |SELECT sha256(CAST(zone_id AS VARCHAR)) AS location_id, zone_id,
          |       'synthetic_city' AS city, 'zone' AS zone_type
          |FROM (SELECT DISTINCT zone_id FROM silver WHERE zone_id IS NOT NULL)""".stripMargin,
 
-    "fc_ev" ->
+    "fc_e" ->
       s"""$silverCte
          |SELECT event_id,
          |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
@@ -1026,7 +1034,7 @@ object SparkEntry {
     // SCD-2 run construction: change flag → running group id → per-run
     // min/count → interval chain via lead; (ts, event_id) is a unique
     // order after silver dedup, so both engines build identical runs
-    "dim_s2" ->
+    "d_s2" ->
       s"""$silverCte,
          |marked AS (
          |  SELECT user_id, ts, event_id, zone_id,
@@ -1151,7 +1159,7 @@ object SparkEntry {
          |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
          |GROUP BY 1""".stripMargin,
 
-    "dq_sum" ->
+    "dq_sm" ->
       s"""$silverCte
          |SELECT col_name,
          |       CAST(null_count AS BIGINT) AS null_count,
@@ -1185,7 +1193,7 @@ object SparkEntry {
 
     // expectation suite: same one-wide-row-then-unpivot shape as dq_sum;
     // regex anchors make Java-regex rlike and RE2 regexp_matches agree
-    "dq_exp" ->
+    "dq_e" ->
       s"""$silverCte
          |SELECT expectation, col_name, CAST(violations AS BIGINT) AS violations,
          |       CAST(total_rows AS BIGINT) AS total_rows, violations = 0 AS passed
@@ -1537,7 +1545,7 @@ object SparkEntry {
 
     // the same magic-mask bit spread, stage by stage — integer shifts
     // and masks are exact on both engines, so zval matches bit-for-bit
-    "q_zord" ->
+    "q_z" ->
       s"""$silverCte,
          |d AS (SELECT event_id, zone_id, CAST(hour(ts) AS INT) AS hour
          |      FROM silver WHERE zone_id IS NOT NULL),
@@ -1637,7 +1645,7 @@ object SparkEntry {
 
     // DuckDB ASOF accepts any inequality comparator: <= is the forward
     // (earliest at-or-after) direction
-    "q_afwd" ->
+    "q_af" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -1681,7 +1689,7 @@ object SparkEntry {
 
     // floor(epoch()) mirrors Spark's truncating timestamp→long cast so
     // the 24 h staleness bound compares identically on sub-second ts
-    "q_atol" ->
+    "q_at" ->
       s"""$silverCte,
          |purch AS (
          |  SELECT user_id, ts, max(value) AS purchase_value
@@ -2327,7 +2335,7 @@ object SparkEntry {
         |       CASE WHEN n_k >= 4 THEN list_aggregate(list_transform(generate_series(4, n_k, 4), i -> md5(substr(norm, i, 5))), 'min') END AS kgram_min_3
         |FROM base""".stripMargin,
 
-    "c_rep" ->
+    "c_rp" ->
       """SELECT lang, source,
         |       count(*) AS n_docs,
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
@@ -2339,7 +2347,7 @@ object SparkEntry {
 
     // token_share divides identical integers in both engines (exact long
     // sums) -> identical doubles
-    "c_mix" ->
+    "c_mx" ->
       """WITH assigned AS (
         |  SELECT lang, text,
         |         CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
@@ -2409,7 +2417,7 @@ object SparkEntry {
         |JOIN pc ON str_split(bigram, ' ')[1] = pc.prefix
         |GROUP BY 1""".stripMargin,
 
-    "t_bpe" ->
+    "t_bp" ->
       """WITH words AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
         |),
@@ -2482,7 +2490,7 @@ object SparkEntry {
     // 6 dp (engine-order double accumulation). The full outer join with
     // the target langs mirrors the Spark side: a spec'd-but-absent
     // language still contributes its |0 - tgt| TV mass (and a 0 KL term)
-    "mix_kl" ->
+    "mx_kl" ->
       """WITH lt AS (
         |  SELECT lang,
         |         CAST(sum(len(list_filter(str_split(lower(text), ' '), x -> x <> ''))) AS BIGINT)
@@ -2509,7 +2517,7 @@ object SparkEntry {
 
     // token counts mirror corpus_mix's (raw whitespace split, no empty
     // filter); pow/shares round to 6 dp (libm-vs-JVM pow last-ulp)
-    "mix_t" ->
+    "mx_t" ->
       """WITH g AS (
         |  SELECT lang, count(*) AS n_docs,
         |         CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS tokens
@@ -2665,7 +2673,7 @@ object SparkEntry {
          | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
          |WHERE c.event_type = 'click'""".stripMargin,
 
-    "q_sess" ->
+    "q_ss" ->
       s"""$silverCte,
          |lagged AS (
          |  SELECT event_id, user_id, ts,
@@ -3203,5 +3211,79 @@ object SparkEntry {
          |                          * (1.0 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t))
          |                          * (CAST(1 AS DOUBLE) / n_c + CAST(1 AS DOUBLE) / n_t)), 6) END AS z
          |FROM wide""".stripMargin,
+
+    // trips: stays (the m_st CTE) + a lead window per user
+    "m_tr" ->
+      s"""$silverCte,
+         |runs AS (
+         |  SELECT user_id, zone_id, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           - row_number() OVER (PARTITION BY user_id, zone_id ORDER BY ts, event_id) AS run_id
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |),
+         |stays AS (
+         |  SELECT user_id, zone_id, min(ts) AS enter_ts, max(ts) AS exit_ts
+         |  FROM runs GROUP BY user_id, zone_id, run_id HAVING count(*) >= 2
+         |),
+         |hops AS (
+         |  SELECT user_id, zone_id AS origin, exit_ts AS depart_ts,
+         |         lead(zone_id) OVER w AS dest,
+         |         lead(enter_ts) OVER w AS arrive_ts
+         |  FROM stays
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY enter_ts, zone_id)
+         |)
+         |SELECT user_id, origin, dest, depart_ts, arrive_ts,
+         |       epoch_us(arrive_ts) - epoch_us(depart_ts) AS travel_us
+         |FROM hops WHERE dest IS NOT NULL""".stripMargin,
+
+    // Kaplan–Meier: product-limit as exp(Σ ln f), zero factor pinned to
+    // S = 0 by a flag on both faces (ln skips via CASE/null, not ln(0))
+    "sc_km" ->
+      s"""$silverCte,
+         |pu AS (
+         |  SELECT user_id, min(event_date) AS first_d, max(event_date) AS last_d
+         |  FROM silver WHERE ts IS NOT NULL GROUP BY 1
+         |),
+         |oe AS (SELECT max(last_d) AS obs_end FROM pu),
+         |dur AS (
+         |  SELECT date_diff('day', first_d, last_d) AS t,
+         |         CASE WHEN date_diff('day', last_d, obs_end) > 7 THEN 1 ELSE 0 END AS event
+         |  FROM pu CROSS JOIN oe
+         |),
+         |grp AS (
+         |  SELECT t, count(*) AS n_at_t,
+         |         CAST(sum(event) AS BIGINT) AS d,
+         |         CAST(count(*) - sum(event) AS BIGINT) AS censored
+         |  FROM dur GROUP BY 1
+         |),
+         |km AS (
+         |  SELECT t, d, censored,
+         |         CAST(sum(n_at_t) OVER (ORDER BY t DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_risk
+         |  FROM grp
+         |),
+         |fs AS (
+         |  SELECT *, CAST(n_risk - d AS DOUBLE) / n_risk AS f FROM km
+         |)
+         |SELECT t, n_risk, d, censored,
+         |       CASE WHEN max(CASE WHEN f = 0.0 THEN 1 ELSE 0 END)
+         |                    OVER (ORDER BY t ASC) = 1 THEN 0.0
+         |            ELSE round(exp(sum(CASE WHEN f > 0 THEN ln(f) END)
+         |                   OVER (ORDER BY t ASC)), 6) END AS survival
+         |FROM fs""".stripMargin,
+
+    // Laplace release: md5-uniform inverse-CDF mirrored term for term
+    "dq_dp" ->
+      s"""$silverCte,
+         |g AS (
+         |  SELECT zone_id, count(*) AS true_count,
+         |         CAST('0x' || substr(md5(CAST(zone_id AS VARCHAR) || ':dp'), 1, 8) AS BIGINT)
+         |           / 4294967296.0 - 0.5 AS u
+         |  FROM silver WHERE zone_id IS NOT NULL GROUP BY 1
+         |)
+         |SELECT zone_id, true_count,
+         |       round(-1.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-12)), 6) AS noise,
+         |       round(true_count + round(-1.0 * sign(u) * ln(greatest(1.0 - 2.0 * abs(u), 1e-12)), 6), 6) AS released
+         |FROM g""".stripMargin,
   )
 }

@@ -298,6 +298,30 @@ object Stress {
     time("scd2_10x")(graft.pipeline.Gold.scd2UserZones(sv10))
     sv10.unpersist()
 
+    // Co-location at 10× CLEAN growth ("corpus grows, density doesn't"):
+    // each copy shifts user_id AND ts by a month, so copies never share a
+    // (zone, hour-bucket) — true pairs and candidates both grow exactly
+    // 10×. The failure mode this gates: same-window user replication
+    // would grow per-(zone, hour) concurrency 10× and candidate pairs
+    // ~100× — quadratic SEMANTICS (more people actually co-located), not
+    // a plan flaw; the clean model isolates the plan's own scaling. The
+    // 100× block below upgrades the gate to a million-event trajectory
+    // corpus.
+    def svShift(copies: Int): DataFrame = (0 until copies).map { i =>
+      sv.withColumn("event_id", col("event_id") + lit(i * 1000000000L))
+        .withColumn("user_id", col("user_id") + lit(i * 100000000L))
+        .withColumn("ts", col("ts") + expr(s"INTERVAL '${i * 31}' DAY"))
+    }.reduce(_ unionByName _)
+    val svc10 = svShift(10).repartition(cpus.toInt).cache()
+    println(s"coloc corpus: ${svc10.count()} silver events")
+    time("m_co_1x")(graft.mobility.Mobility.coLocation(sv))
+    time("m_co_10x")(graft.mobility.Mobility.coLocation(svc10))
+    svc10.unpersist()
+    if (sys.env.get("SPARK_GRAFT_STRESS_100X").contains("1")) {
+      val svc100 = svShift(100)
+      time("m_co_100x")(graft.mobility.Mobility.coLocation(svc100))
+    }
+
     val li = Tables.lineitem(spark, sfDir)
     val li10 = (0 until 10).map { i =>
       li.withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))

@@ -378,6 +378,30 @@ object Mobility {
       .select(col("zone_id"), col("label").as("community"), col("community_size"))
   }
 
+  /** Trip reconstruction — the reference domain's core entity (its raw
+    * table IS trips), rebuilt from event trajectories: a trip connects
+    * each [[stayEpisodes]] departure to the user's next stay — origin and
+    * destination zones, departure/arrival timestamps, and exact travel
+    * time. Consecutive surviving stays CAN share a zone (a round trip via
+    * a stop too brief for `minEvents`); such trips are kept — dropping
+    * them would hide real movement.
+    *
+    * One extra `user_id` window (lead over enter-ordered stays) on top of
+    * the stay aggregate — same single-shuffle scale shape as the rest of
+    * the module. Travel time is exact integer microseconds. */
+  def trips(silver: DataFrame, minEvents: Int = 2): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("enter_ts", "zone_id")
+    stayEpisodes(silver, minEvents)
+      .withColumn("dest", lead("zone_id", 1).over(w))
+      .withColumn("arrive_ts", lead("enter_ts", 1).over(w))
+      .filter(col("dest").isNotNull)
+      .select(
+        col("user_id"), col("zone_id").as("origin"), col("dest"),
+        col("exit_ts").as("depart_ts"), col("arrive_ts"),
+        (unix_micros(col("arrive_ts")) - unix_micros(col("exit_ts")))
+          .as("travel_us"))
+  }
+
   /** Home zone per user: the modal zone over night-hour events (22:00–05:59,
     * when people are usually home — the standard home-detection heuristic
     * in mobility literature), ties broken by zone asc. Users with no night

@@ -31,7 +31,7 @@ object Pipeline {
     val users = Gold.dimUsers(silver)
     val zones = Gold.dimZones(silver)
     Map(
-      "bronze" -> bronze,
+      "brz" -> bronze,
       "silver" -> silver,
       "dim_time" -> Gold.dimTime(silver),
       "dim_users" -> users,

@@ -136,6 +136,38 @@ object DataQuality {
           .as("max_share"))
       .withColumn("at_risk", col("n_sens") < l)
 
+  /** Differentially-private count release — the Laplace mechanism
+    * (Dwork et al., TCC 2006) over a group-by: each group's count gets
+    * Laplace(sensitivity/ε) noise via inverse-CDF transform
+    * sampling, completing the privacy-audit trio ([[kAnonymity]],
+    * [[lDiversity]]) with the release mechanism itself.
+    *
+    * DETERMINISM CAVEAT, stated loudly: the uniform draw here is the
+    * repo's md5 hash family seeded by the group key — which makes the
+    * release reproducible (and hence ORACLE-checkable), and makes it NOT
+    * actually differentially private (a fixed per-key seed lets an
+    * attacker subtract the noise). This operator is the mechanism's
+    * dataflow shape — noise generation at the aggregate boundary, never
+    * row level — with the scaladoc contract that production swaps
+    * `hashFraction` for a real CSPRNG draw per release. The inverse-CDF
+    * argument is floored at 1e-12 so the u = −0.5 hash corner can't
+    * produce ln(0) (sign(0) at the u = 0 corner already yields noise 0).
+    *
+    * One map-side-combinable aggregate; noise math is per-group scalar
+    * arithmetic rounded at 6 dp. */
+  def dpNoisedCounts(df: DataFrame, groupCol: String, epsilon: Double = 1.0,
+      sensitivity: Double = 1.0, salt: String = "dp"): DataFrame = {
+    val u = graft.sampling.Sampling.hashFraction(col(groupCol), salt) - 0.5
+    val b = sensitivity / epsilon
+    df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("true_count"))
+      .withColumn("noise",
+        round(lit(-b) * signum(u)
+          * log(greatest(lit(1.0) - lit(2.0) * abs(u), lit(1e-12))), 6))
+      .withColumn("released",
+        round(col("true_count") + col("noise"), 6))
+  }
+
   /** Data-freshness / staleness SLA audit: one row per partition group
     * (source, feed, event type, …) with its row count, latest event time,
     * hours of lag behind the freshest group, and an SLA-breach flag — the

@@ -132,6 +132,54 @@ object Scoring {
           .as("pos_rate"))
       .withColumn("gap", round(col("pos_rate") - col("mean_p"), 6))
 
+  /** Kaplan–Meier retention curve (Kaplan & Meier 1958) over user
+    * lifetimes: duration = days between a user's first and last activity;
+    * a user whose last activity is > `churnGapDays` before the corpus'
+    * observation end has churned (event), anyone active near the end is
+    * right-CENSORED — the distinction a naive "average lifetime" gets
+    * wrong and the whole reason KM exists. Output is one row per distinct
+    * duration with the at-risk count, events, censored count and the
+    * product-limit survival estimate.
+    *
+    * S(t) = Π_{t_i ≤ t} (1 − d_i/n_i), computed as exp(Σ ln f_i) — a
+    * cumulative-product-free form both engines evaluate identically; a
+    * zero factor (everyone at risk dies at t_i) forces S = 0 from there
+    * on via an explicit flag rather than ln(0). Math is exact integer
+    * ratios until the final ln/exp, rounded at 6 dp.
+    *
+    * Scale: the corpus collapses to the user dim in one aggregate, then
+    * to |distinct durations| rows in a second; the KM windows run over
+    * that duration-indexed table (calendar-bounded, never data-sized). */
+  def kaplanMeier(silver: DataFrame, churnGapDays: Int = 7): DataFrame = {
+    val perUser = silver
+      .filter(col("ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_d"), max(col("event_date")).as("last_d"))
+    val obsEnd = perUser.agg(max(col("last_d")).as("obs_end"))
+    val durations = perUser
+      .crossJoin(broadcast(obsEnd))
+      .select(
+        datediff(col("last_d"), col("first_d")).as("t"),
+        when(datediff(col("obs_end"), col("last_d")) > churnGapDays, 1L)
+          .otherwise(0L).as("event"))
+      .groupBy(col("t"))
+      .agg(count(lit(1)).as("n_at_t"), sum(col("event")).as("d"),
+        (count(lit(1)) - sum(col("event"))).as("censored"))
+    val byT = Window.orderBy(col("t").asc)
+    val fromT = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    durations
+      // at risk at t = everyone whose duration is ≥ t
+      .withColumn("n_risk", sum(col("n_at_t")).over(fromT))
+      .withColumn("f",
+        (col("n_risk") - col("d")).cast("double") / col("n_risk"))
+      .withColumn("dead", max((col("f") === 0.0).cast("int")).over(byT))
+      .withColumn("survival",
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(sum(log(col("f"))).over(byT)), 6)))
+      .select("t", "n_risk", "d", "censored", "survival")
+  }
+
   /** Per-zone A/B experiment readout: users are deterministically split
     * into control/treatment by the md5 hash family
     * ([[graft.sampling.Sampling.hashFraction]] — the same engine-portable

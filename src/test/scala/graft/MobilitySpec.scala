@@ -241,6 +241,21 @@ class MobilitySpec extends SparkSpec {
     assert(eval.values.map(_.getAs[Long]("n_test")).sum === 4L)
   }
 
+  test("trips: stay-to-stay journeys with exact travel time; stayless users absent") {
+    val out = Mobility.trips(silverToy).collect()
+    // user 1 is the only one with TWO stays (zone 0 then zone 5): one trip
+    // departing at the zone-0 exit (23:10) and arriving at the zone-5
+    // enter (08:00 next day) = 8 h 50 m travel. user 2 has one stay (no
+    // trip); user 3's single-event visits never form stays.
+    assert(out.length === 1)
+    val t = out.head
+    assert(t.getAs[Long]("user_id") === 1L)
+    assert(t.getAs[Long]("origin") === 0L && t.getAs[Long]("dest") === 5L)
+    assert(t.getAs[java.sql.Timestamp]("depart_ts") === ts("2024-01-01 23:10:00"))
+    assert(t.getAs[java.sql.Timestamp]("arrive_ts") === ts("2024-01-02 08:00:00"))
+    assert(t.getAs[Long]("travel_us") === (8L * 3600 + 50 * 60) * 1000000)
+  }
+
   test("zoneCommunities: disconnected districts get distinct min-labels, no oscillation") {
     // triangle 1-2-3 (user 20 cycles it) and pair 8-9 (user 21 ping-pongs):
     // equal integer weights everywhere, so the self-anchored argmax must

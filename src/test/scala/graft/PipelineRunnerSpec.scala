@@ -45,7 +45,7 @@ class PipelineRunnerSpec extends SparkSpec {
   test("runAll composes every stage over one shared silver lineage") {
     val out = Pipeline.runAll(spark, sfDir)
     val expected = Set(
-      "bronze", "silver", "dim_time", "dim_users", "dim_zones",
+      "brz", "silver", "dim_time", "dim_users", "dim_zones",
       "fact_events", "fact_payments", "agg_demand_hourly",
       "agg_revenue_daily", "agg_user_daily",
       "feat_demand", "feat_surge", "feat_churn",

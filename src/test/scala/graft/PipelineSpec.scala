@@ -144,6 +144,32 @@ class PipelineSpec extends SparkSpec {
     assert(real.count() <= 101 * 24)   // 100 zones + the NULL-zone class
   }
 
+  test("dp release: noise matches the inverse-CDF hand formula, reproducible, group-sized") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (i, i % 5)).toDF("id", "g")
+    val out = DataQuality.dpNoisedCounts(rows, "g")
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("true_count"),
+        r.getAs[Double]("noise"), r.getAs[Double]("released"))).sortBy(_._1)
+    assert(out.length === 5)
+    assert(out.forall(_._2 === 100L))
+    // noise replicates the exact Laplace inverse-CDF over the same hash
+    val us = (0L to 4L).toDF("g")
+      .withColumn("u", graft.sampling.Sampling.hashFraction(col("g"), "dp") - 0.5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { case (g, _, noise, released) =>
+      val u = us(g)
+      val expected = math.rint(-1.0 * math.signum(u)
+        * math.log(math.max(1.0 - 2.0 * math.abs(u), 1e-12)) * 1e6) / 1e6
+      assert(noise === expected, s"group $g")
+      assert(released === math.rint((100L + noise) * 1e6) / 1e6)
+    }
+    // a second run is byte-identical (the seeded-release contract)
+    val again = DataQuality.dpNoisedCounts(rows, "g")
+      .collect().map(r => (r.getAs[Long]("g"), r.getAs[Long]("true_count"),
+        r.getAs[Double]("noise"), r.getAs[Double]("released"))).sortBy(_._1)
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("freshness: lag vs freshest group, stale flag past the SLA, one row per group") {
     import spark.implicits._
     val rows = Seq(

@@ -52,8 +52,10 @@ class PlanAuditSpec extends SparkSpec {
     //   dimension-sized zone table — ten 1-row build sides
     // t_ppl: the (T, V) LM-total scalar crossJoined onto the doc-bigram
     //   stream — a 1-row build side (the text_tfidf corpus-stat pattern)
+    // sc_km: the 1-row observation-end scalar crossJoined onto the
+    //   user-dim lifetime table — same corpus-stat pattern
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
-      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr", "t_ppl")
+      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
@@ -108,7 +110,7 @@ class PlanAuditSpec extends SparkSpec {
     // the user_id exchange feeds BOTH windows and the run aggregation:
     // partitioning on user_id satisfies the (user_id, grp) clustering, so
     // Catalyst must not insert a second data exchange for the groupBy
-    val plan = SparkEntry.queries("dim_s2")(spark, sfDir)
+    val plan = SparkEntry.queries("d_s2")(spark, sfDir)
       .queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges === 2,

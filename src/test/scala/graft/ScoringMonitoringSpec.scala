@@ -366,4 +366,43 @@ class ScoringMonitoringSpec extends SparkSpec {
     assert(out(7L).isNullAt(out(7L).fieldIndex("z")), "zero conversion → NULL z")
     assert(out(7L).getAs[Double]("p_t") === 0.0 && out(7L).getAs[Double]("uplift") === 0.0)
   }
+
+  test("kaplan-meier: hand-computed product-limit, censoring respected, zero factor pins S=0") {
+    import spark.implicits._
+    def ev(id: Long, day: Int, u: Long) =
+      (id, s"2024-01-${"%02d".format(day)} 10:00:00", u)
+    // A: Jan1..Jan2 (t=1, gap 18 → event);  B: Jan1..Jan20 (t=19, gap 0 →
+    // censored); C: Jan5..Jan6 (t=1, event); D: Jan1 only (t=0, event)
+    val rows = Seq(
+      ev(1, 1, 1L), ev(2, 2, 1L),
+      ev(3, 1, 2L), ev(4, 20, 2L),
+      ev(5, 5, 3L), ev(6, 6, 3L),
+      ev(7, 1, 4L),
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_date", col("ts").cast("date"))
+    val km = Scoring.kaplanMeier(rows)
+      .collect().map(r => r.getAs[Int]("t") -> r).toMap
+    // t=0: 4 at risk, 1 event → S = 3/4; t=1: 3 at risk, 2 events →
+    // S = 0.75 · 1/3 = 0.25; t=19: censored only → S unchanged
+    assert(km(0).getAs[Long]("n_risk") === 4L && km(0).getAs[Long]("d") === 1L)
+    assert(km(0).getAs[Double]("survival") === 0.75)
+    assert(km(1).getAs[Long]("n_risk") === 3L && km(1).getAs[Long]("d") === 2L)
+    assert(km(1).getAs[Double]("survival") === 0.25)
+    assert(km(19).getAs[Long]("d") === 0L && km(19).getAs[Long]("censored") === 1L)
+    assert(km(19).getAs[Double]("survival") === 0.25)
+
+    // zero factor: the longest-lived user churns → everyone at risk at
+    // t_max dies there, S must be EXACTLY 0, not exp(ln 0) debris
+    val zrows = Seq(
+      ev(11, 1, 7L), ev(12, 10, 7L),    // t=9, gap 10 → event
+      ev(13, 15, 8L), ev(14, 20, 8L),   // t=5, gap 0 → censored
+    ).toDF("event_id", "ts", "user_id")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("event_date", col("ts").cast("date"))
+    val zkm = Scoring.kaplanMeier(zrows)
+      .collect().map(r => r.getAs[Int]("t") -> r.getAs[Double]("survival")).toMap
+    assert(zkm(5) === 1.0)
+    assert(zkm(9) === 0.0)
+  }
 }
