@@ -165,7 +165,10 @@ object Similarity {
   /** Deterministic Lloyd k-means over an embedding column: seeds = the
     * `nlist` lowest-vec_id vectors, `iters` refinement rounds. Each round
     * is one distributed pass; the only driver traffic is the nlist×dim
-    * centroid means (KB-sized at any corpus scale). */
+    * centroid means (KB-sized at any corpus scale). `iters` is therefore
+    * a sequential JOB-COUNT multiplier — the driver coordinates one Spark
+    * job per round, so at cluster scale the knob trades centroid quality
+    * against scheduler round-trips, never against shuffle volume. */
   def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
     // self-register the native cosine (idempotent): cellOf's assignment
     // column resolves graft_cosine_sim at analysis time, and relying on a
