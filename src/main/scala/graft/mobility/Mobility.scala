@@ -185,7 +185,7 @@ object Mobility {
     * `pos` ranks by the ROUNDED value with a zone-asc tiebreak so the
     * ordering is engine-independent too. */
   def zonePageRank(silver: DataFrame, iters: Int = 10,
-      damping: Double = 0.85): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
     val edges = odMatrix(silver).select("origin", "dest", "p_dest")
       .persist()
     val zones = edges.select(col("origin").as("zone_id"))
@@ -206,12 +206,13 @@ object Mobility {
         .select(col("zone_id"),
           (coalesce(col("contrib"), lit(0.0)) + (lit(1.0) - col("s")) / n)
             .as("rank"))
-      // eager checkpoint every SECOND round: per-round job overhead
-      // dominates these dimension-sized joins, and the carried-mass
-      // scalar's double reference to contrib only squares per
-      // checkpoint interval (4× tiny work), so two rounds per job
-      // halves the job count at flat lineage
-      if (i % 2 == 0 || i == iters) ranks = ranks.localCheckpoint()
+      // eager checkpoint every `checkpointEvery` rounds. MEASURED, not
+      // assumed (graft.Probe, round 7): the carried-mass scalar's double
+      // reference to contrib grows the uncheckpointed plan 2^interval-
+      // fold, and that analyzer+tiny-work growth costs MORE than the job
+      // launch it saves — cadence 1 beat 2 beat 3 (best-of-2: 6.1 / 8.1 /
+      // 10.6 s at sf0.1), so every round checkpoints by default.
+      if (i % checkpointEvery == 0 || i == iters) ranks = ranks.localCheckpoint()
     }
     edges.unpersist()
     zones.unpersist()
@@ -336,11 +337,12 @@ object Mobility {
     *
     * Scale: the [[odMatrix]]-shaped edge build is the only data-scale
     * stage (one user_id shuffle); the label table and the per-round
-    * argmax joins are dimension-sized, `localCheckpoint` every second
-    * round keeps lineage flat (the [[zonePageRank]] pattern — `iters`
-    * is a job-count multiplier only). Integer weights make every argmax
-    * engine-exact; no floats anywhere. */
-  def zoneCommunities(silver: DataFrame, iters: Int = 5): DataFrame = {
+    * argmax joins are dimension-sized, `localCheckpoint` per round keeps
+    * lineage flat (the [[zonePageRank]] pattern and its MEASURED cadence
+    * — `iters` is a job-count multiplier only). Integer weights make
+    * every argmax engine-exact; no floats anywhere. */
+  def zoneCommunities(silver: DataFrame, iters: Int = 5,
+      checkpointEvery: Int = 1): DataFrame = {
     val dir = transitions(silver)
       .groupBy(col("origin"), col("dest"))
       .agg(count(lit(1)).as("w"))
@@ -368,7 +370,7 @@ object Mobility {
         .withColumn("rn", row_number().over(byWeight))
         .filter(col("rn") === 1)
         .select(col("dst").as("zone_id"), col("label"))
-      if (i % 2 == 0 || i == iters) labels = labels.localCheckpoint()
+      if (i % checkpointEvery == 0 || i == iters) labels = labels.localCheckpoint()
     }
     edges.unpersist()
     selfW.unpersist()
