@@ -417,7 +417,7 @@ object SparkEntry {
       sv.select(col("event_id"), col("zone_id"), col("hour"),
         graft.analytics.ZOrder.zValue(col("zone_id"), col("hour")).as("zval"))
     }),
-    "mn_psi" -> ((s, dir) =>
+    "mn_ps" -> ((s, dir) =>
       Monitoring.psi(silver(s, dir), Seq("value", "zone_id"), monitorSplit)),
     // binned two-sample KS: max CDF gap at the psi bin edges — the
     // median-shift alarm PSI smooths over
@@ -436,7 +436,7 @@ object SparkEntry {
     // single change-point over the daily volume series: CUSUM-style
     // binary-segmentation split statistic, argmax over candidate days —
     // the raw data collapses to one row/day in the first aggregate
-    "mn_cpd" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
+    "mn_cp" -> ((s, dir) => Monitoring.changePoint(silver(s, dir))),
     "mn_lt" -> ((s, dir) => Monitoring.latencyStats(
       silver(s, dir).withColumn("latency_ms", (col("event_id") * 37 + 11) % 450 + 50),
       "latency_ms")),
@@ -508,7 +508,7 @@ object SparkEntry {
     // ANSI INTERSECT/EXCEPT (set semantics → semi/anti hash joins)
     "q_sop" -> ((s, dir) => Analytics.prioritySetOps(Tables.orders(s, dir))),
     // max_by/min_by argmax aggregates, engine-portable padded ordering key
-    "q_amax" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
+    "q_am" -> ((s, dir) => Analytics.argExtremes(Tables.orders(s, dir))),
     // edit-distance similarity join over the distinct name dictionary
     // (lossless length-band blocking as a hash equi-join)
     "q_fz" -> ((s, dir) => Analytics.fuzzyNameJoin(Tables.part(s, dir))),
@@ -542,7 +542,7 @@ object SparkEntry {
     // rows-only: SemDeDup cluster-scoped semantic dedup — the iterative
     // k-means quantizer has no SQL equivalent; subset-of-exact-pairs and
     // recall floor are spec-asserted instead
-    "dd_sem" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
+    "dd_se" -> ((s, dir) => Dedup.semanticDedup(Tables.embeddings(s, dir))),
     "dd_mh" -> ((s, dir) => Dedup.minhashLsh(Tables.documents(s, dir))),
     "dd_jc" -> ((s, dir) => Dedup.ngramJaccard(Tables.documents(s, dir))),
     // precision/recall/F1 of the approximate (LSH) dedup path against the
@@ -552,7 +552,7 @@ object SparkEntry {
     // runs of >= 20 shared tokens via md5 anchor fingerprints + the
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
     // dilutes below threshold
-    "dd_sub" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
+    "dd_su" -> ((s, dir) => Dedup.substringDups(Tables.documents(s, dir))),
     // the curation-policy number those runs exist for: per-doc duplicated
     // token fraction (distinct positions — overlaps never double-count)
     "dd_cv" -> ((s, dir) => {
@@ -611,7 +611,7 @@ object SparkEntry {
     // per-stratum weighted sample: the same Efraimidis–Spirakis priority
     // ranked WITHIN each language — a per-language token budget for a
     // balanced training mix; executes as a map-side WindowGroupLimit
-    "s_wps" -> ((s, dir) =>
+    "s_wp" -> ((s, dir) =>
       graft.sampling.Sampling.weightedSamplePerStratum(Tables.documents(s, dir),
         "doc_id", "lang", "n_chars", n = 50).select("doc_id", "lang", "n_chars")),
     // deterministic epoch shuffle: salt-keyed md5 order, sharded for
@@ -633,7 +633,7 @@ object SparkEntry {
     "dd_sh" -> ((s, dir) => Dedup.simhashPairs(Tables.documents(s, dir))),
     "dd_eb" -> ((s, dir) => Dedup.embeddingNearDups(Tables.embeddings(s, dir))),
     // §2.9 text analysis
-    "t_lid" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
+    "t_ld" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "t_ql" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "t_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
     "t_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
@@ -675,7 +675,7 @@ object SparkEntry {
     // temperature-scaled resampling weights (XLM-R/mC4 sampling rule)
     "mx_t" -> ((s, dir) => TextFunctions.temperatureMix(Tables.documents(s, dir))),
     // winnowing fingerprints (MOSS): window-min k-gram hash selection
-    "t_win" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
+    "t_wn" -> ((s, dir) => TextFunctions.winnow(Tables.documents(s, dir))),
     // embedding centroid drift per label (encoder-change alarm)
     "mn_er" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
@@ -808,7 +808,7 @@ object SparkEntry {
       Models.qualityClassifier(Tables.documents(s, dir))),
     // §2.11 mobility analytics (trajectory view of the reference domain)
     "m_od" -> ((s, dir) => Mobility.odMatrix(silver(s, dir))),
-    "m_next" -> ((s, dir) => Mobility.nextZoneTopK(silver(s, dir))),
+    "m_nx" -> ((s, dir) => Mobility.nextZoneTopK(silver(s, dir))),
     "m_st" -> ((s, dir) => Mobility.stayEpisodes(silver(s, dir))),
     "m_fl" -> ((s, dir) => Mobility.zoneNetFlow(silver(s, dir))),
     "m_rog" -> ((s, dir) => Mobility.radiusOfGyration(silver(s, dir))),
@@ -861,6 +861,8 @@ object SparkEntry {
     // Laplace-mechanism count release (seeded demo — see scaladoc caveat)
     "dq_dp" -> ((s, dir) => DataQuality.dpNoisedCounts(
       silver(s, dir).filter(col("zone_id").isNotNull), "zone_id")),
+    // per-zone dwell distribution: capacity-planning companion to demand
+    "m_dw" -> ((s, dir) => Mobility.dwellStats(silver(s, dir))),
   )
 
   private val featDemandSql: String =
@@ -1397,7 +1399,7 @@ object SparkEntry {
          |       avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
          |FROM scored""".stripMargin,
 
-    "mn_psi" ->
+    "mn_ps" ->
       s"""$silverCte,
          |melted AS (
          |  SELECT 'value' AS feature, CAST(value AS DOUBLE) AS x, event_date FROM silver
@@ -1598,7 +1600,7 @@ object SparkEntry {
     // identical expression order end-to-end (exact long sums → one
     // division → sqrt → one multiply, each IEEE-correctly-rounded), so
     // both engines score and rank candidate splits bit-identically
-    "mn_cpd" ->
+    "mn_cp" ->
       s"""$silverCte,
          |daily AS (SELECT event_date AS change_date, count(*) AS x FROM silver GROUP BY 1),
          |pre AS (
@@ -1811,7 +1813,7 @@ object SparkEntry {
 
     // identical padded ordering string on both sides: fixed-width decimal
     // makes lexicographic == numeric, the orderkey suffix makes it unique
-    "q_amax" ->
+    "q_am" ->
       """SELECT o_custkey,
         |       arg_max(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS top_order,
         |       arg_min(o_orderkey, printf('%018.2f|%012d', o_totalprice, o_orderkey)) AS bottom_order,
@@ -2025,7 +2027,7 @@ object SparkEntry {
     // same priority expression as smp_wt, ranked per lang
     // (row_number over a non-null priority/doc_id — no NULLS clause
     // needed); ties on priority break by doc_id in both engines
-    "s_wps" ->
+    "s_wp" ->
       """SELECT doc_id, lang, n_chars FROM (
         |  SELECT doc_id, lang, n_chars,
         |         row_number() OVER (PARTITION BY lang ORDER BY
@@ -2118,7 +2120,7 @@ object SparkEntry {
     // sides (DuckDB list slice toks[i:i+9] ≡ Spark slice(t, i, 10) on the
     // 1-based inclusive k=10 window), the same TOTAL-occurrence cap, and
     // the same gaps-and-islands merge keyed by (pair, pos_a − pos_b)
-    "dd_sub" ->
+    "dd_su" ->
       s"""$substrRunsCtes
          |SELECT doc_a, doc_b, start_a, start_b, match_len FROM runs""".stripMargin,
 
@@ -2203,7 +2205,7 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |) WHERE cosine >= 0.35""".stripMargin,
 
-    "t_lid" -> {
+    "t_ld" -> {
       val scoreDefs = TextFunctions.langs.map { l =>
         val set = TextFunctions.stopwords(l).map(w => s"'$w'").mkString(", ")
         s"len(list_filter(string_split(lower(text), ' '), t -> t IN ($set))) AS score_$l"
@@ -2539,7 +2541,7 @@ object SparkEntry {
     // single space, w=4 window mins, per-doc distinct; short docs
     // (0 < m < w) get one window over all m hashes (list_slice truncates
     // at the array end on both engines)
-    "t_win" ->
+    "t_wn" ->
       """WITH t AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
         |),
@@ -2832,7 +2834,7 @@ object SparkEntry {
          |         / CAST(sum(count(*)) OVER (PARTITION BY origin) AS BIGINT) AS p_dest
          |FROM trans GROUP BY 1, 2""".stripMargin,
 
-    "m_next" ->
+    "m_nx" ->
       s"""$silverCte,
          |$mobTransCte,
          |od AS (
@@ -3271,6 +3273,25 @@ object SparkEntry {
          |            ELSE round(exp(sum(CASE WHEN f > 0 THEN ln(f) END)
          |                   OVER (ORDER BY t ASC)), 6) END AS survival
          |FROM fs""".stripMargin,
+
+    "m_dw" ->
+      s"""$silverCte,
+         |runs AS (
+         |  SELECT user_id, zone_id, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           - row_number() OVER (PARTITION BY user_id, zone_id ORDER BY ts, event_id) AS run_id
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |),
+         |stays AS (
+         |  SELECT user_id, zone_id,
+         |         epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell_us
+         |  FROM runs GROUP BY user_id, zone_id, run_id HAVING count(*) >= 2
+         |)
+         |SELECT zone_id, count(*) AS n_stays,
+         |       round(quantile_cont(dwell_us, 0.5), 6) AS p50_us,
+         |       round(quantile_cont(dwell_us, 0.9), 6) AS p90_us,
+         |       round(CAST(sum(dwell_us) AS DOUBLE) / count(*), 6) AS mean_us
+         |FROM stays GROUP BY 1""".stripMargin,
 
     // Laplace release: md5-uniform inverse-CDF mirrored term for term
     "dq_dp" ->

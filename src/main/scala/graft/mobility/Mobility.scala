@@ -404,6 +404,22 @@ object Mobility {
           .as("travel_us"))
   }
 
+  /** Per-zone dwell-time distribution over [[stayEpisodes]]: stay count,
+    * exact interpolated median and p90 dwell, and the exact-integer mean
+    * — how long people actually stay once they arrive, the companion to
+    * demand counts for zone capacity planning. One bounded-key aggregate
+    * over the stay table; percentile parity with the oracle is the
+    * `a_pc` precedent (exact interpolation, 6 dp round). */
+  def dwellStats(silver: DataFrame, minEvents: Int = 2): DataFrame =
+    stayEpisodes(silver, minEvents)
+      .groupBy(col("zone_id"))
+      .agg(
+        count(lit(1)).as("n_stays"),
+        round(percentile(col("dwell_us"), lit(0.5)), 6).as("p50_us"),
+        round(percentile(col("dwell_us"), lit(0.9)), 6).as("p90_us"),
+        round(sum(col("dwell_us")).cast("double") / count(lit(1)), 6)
+          .as("mean_us"))
+
   /** Home zone per user: the modal zone over night-hour events (22:00–05:59,
     * when people are usually home — the standard home-detection heuristic
     * in mobility literature), ties broken by zone asc. Users with no night

@@ -241,6 +241,18 @@ class MobilitySpec extends SparkSpec {
     assert(eval.values.map(_.getAs[Long]("n_test")).sum === 4L)
   }
 
+  test("dwellStats: exact per-zone dwell distribution from the hand-built stays") {
+    // silverToy stays: zone 0 (user 1, 10 min), zone 5 (user 1, 60 min),
+    // zone 7 (user 2, 30 min) — one stay each
+    val dw = Mobility.dwellStats(silverToy)
+      .collect().map(r => r.getAs[Long]("zone_id") -> r).toMap
+    assert(dw.keySet === Set(0L, 5L, 7L))
+    assert(dw(0L).getAs[Long]("n_stays") === 1L)
+    assert(dw(0L).getAs[Double]("p50_us") === 10.0 * 60 * 1000000)
+    assert(dw(5L).getAs[Double]("p90_us") === 60.0 * 60 * 1000000)
+    assert(dw(7L).getAs[Double]("mean_us") === 30.0 * 60 * 1000000)
+  }
+
   test("trips: stay-to-stay journeys with exact travel time; stayless users absent") {
     val out = Mobility.trips(silverToy).collect()
     // user 1 is the only one with TWO stays (zone 0 then zone 5): one trip

@@ -55,7 +55,7 @@ class PlanAuditSpec extends SparkSpec {
     // sc_km: the 1-row observation-end scalar crossJoined onto the
     //   user-dim lifetime table — same corpus-stat pattern
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
-      "f_bin", "mn_cpd", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km")
+      "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
