@@ -19,10 +19,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   /** Materialize EVERY output column: a bare count() lets Catalyst prune
     * unused columns, so map-only queries would be timed as row-count scans
-    * instead of real work. Hashing the full row defeats pruning. */
+    * instead of real work. Hashing the full row defeats pruning. MAP
+    * columns are not hashable (undefined entry order) — serialize those
+    * through to_json first; everything else hashes natively. */
   private def force(df: org.apache.spark.sql.DataFrame): Unit = {
-    import org.apache.spark.sql.functions.{col, count, xxhash64}
-    df.agg(count(xxhash64(df.columns.map(col): _*))).head()
+    import org.apache.spark.sql.functions.{col, count, to_json, xxhash64}
+    val cols = df.schema.fields.map { f =>
+      f.dataType match {
+        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
+        case _ => col(f.name)
+      }
+    }
+    df.agg(count(xxhash64(cols.toIndexedSeq: _*))).head()
     ()
   }
 
@@ -87,16 +95,17 @@ object Bench {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    // Two renderings of the same results, at different precisions:
+    // Two renderings of the same results:
+    //   - BENCH_FULL.json (repo file, no size limit): the per-query dict
+    //     at 10 ms precision — THE archive contract, the copy every
+    //     regression comparison reads.
     //   - STDOUT line (what the round archiver keeps — last 2 KB only):
-    //     values width-capped at 3 chars. The regression gate is
-    //     max(2x standing, 3.0 s), so 0.1 s precision below 10 s and 1 s
-    //     precision above lose nothing the gate can see, and the 3-char
-    //     cap buys ~1 byte/query of archive budget over the old 4-char
-    //     cap — room the query surface can actually grow into.
-    //     HarnessContractSpec pins the worst-case line under 2048 bytes.
-    //   - BENCH_FULL.json (repo file, no size limit): 10 ms precision,
-    //     the copy to read when ratios near 1.0x matter.
+    //     summary ONLY ({total, n_queries, sf} + errors when any). The
+    //     per-query dict lived here through round 7 and funded fourteen
+    //     key-rename batches squeezing under the 2 KB tail; a CONSTANT
+    //     size summary ends that treadmill — the surface can grow without
+    //     ever touching the stdout budget. HarnessContractSpec pins the
+    //     shape.
     def r3(d: Double): String =
       String.format(java.util.Locale.ROOT, "%.2f", Double.box(d))
     def rq(d: Double): String = {
@@ -104,9 +113,6 @@ object Bench {
       if (s2.length <= 4) s2
       else String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     }
-    def rc(d: Double): String =
-      if (d < 9.95) String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
-      else String.format(java.util.Locale.ROOT, "%.0f", Double.box(d))
     def qsLine(render: Double => String): String =
       results.map { case (k, v) => s"${jstr(k)}:${v.fold("null")(render)}" }.mkString("{", ",", "}")
     // errors key only when something failed: a clean run spends zero of
@@ -119,18 +125,15 @@ object Bench {
     // sf as the directory BASENAME: the full path spends 15 bytes of the
     // 2 KB archive budget saying "/root/testdata/" every time
     val sfName = new java.io.File(sfDir).getName
-    // total rendered at the line's own precision: the stdout copy spends
-    // 3 fewer worst-case bytes ("9999" vs "9999.99") of the 2 KB archive
-    // budget; BENCH_FULL.json keeps the %.2f total
-    def mkLine(render: Double => String, renderTotal: Double => String): String =
-      s"""{"metric":"total","value":${renderTotal(total)},"unit":"sec","queries":${qsLine(render)},$errJson"sf":"$sfName"}"""
-    // belt-and-braces: the full-precision line lands in a repo file,
-    // immune to any stdout truncation
+    val fullLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsLine(rq)},$errJson"sf":"$sfName"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      (mkLine(rq, r3) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(mkLine(rc, rc))
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+        s""""timed":${results.count(_._2.nonEmpty)},$errJson"sf":"$sfName","full":"BENCH_FULL.json"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.analytics.{Analytics, RangeJoin}
 import graft.dedup.Dedup
 import graft.features.FeatureEngineering
-import graft.ml.Models
+import graft.ml.{Experiments, Models}
 import graft.mobility.Mobility
 import graft.monitoring.Monitoring
 import graft.multimodal.Multimodal
@@ -589,6 +589,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
     }),
+    // end-to-end curation report: per-stage doc/token survival through
+    // quality → exact dedup → LSH near-dup → decontam → stratified sample
+    // → splits, each stage an oracle-green operator, composed as ONE
+    // lineage — the DuckDB oracle rebuilds the same chain as CTEs
+    "cur" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.pipeline.Pipeline.curationReport(
+        docs, docs.filter(col("doc_id") % 20 === 0),
+        minQuality = 0.2,
+        rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
+    }),
     "s_st" -> ((s, dir) =>
       graft.sampling.Sampling.stratifiedHashSample(Tables.documents(s, dir),
         "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1)
@@ -788,16 +799,24 @@ object SparkEntry {
     // demand_forecasting.py:171-173); sums-to-1 is spec-asserted
     "ml_imp" -> ((s, dir) =>
       Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
+    // rows-only: experiment-tracking runs table (reference MLflow usage,
+    // demand_forecasting.py:6-33) — one run row per tracked fit, metrics
+    // parity with regressionMetrics is spec-asserted
+    "ml_tr" -> ((s, dir) =>
+      Experiments.trackedDemandRuns(
+        FeatureEngineering.demandFeatures(silver(s, dir)),
+        "/root/repo/target/ml_runs")),
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
     // byte-identical predictions pre/post reload are spec-asserted
     "ml_sv" -> ((s, dir) =>
       Models.persistRoundTrip(FeatureEngineering.demandFeatures(silver(s, dir)),
         "/root/repo/target/ml_persist")),
-    // rows-only: GBT on a hash-sampled training window (pinned 0.25) —
-    // the bench-protocol line that tracks the GBT path without its full
-    // fit cost, and the executable form of the "sample the training
-    // window at scale" protocol
+    // rows-only: GBT on a hash-sampled training window (pinned 0.25,
+    // maxIter 6 / depth 4) — the bench-protocol line that tracks the GBT
+    // path at a fraction of the full fit's cost (measured: iteration
+    // count, not data volume, bounds the local fit), and the executable
+    // form of the "sample the training window at scale" protocol
     "ml_gs" -> ((s, dir) =>
       Models.demandGBTSampled(FeatureEngineering.demandFeatures(silver(s, dir)))),
     // rows-only: fastText-style quality classifier — hashed token features
@@ -1260,20 +1279,24 @@ object SparkEntry {
 
     // leave-one-out target encoding: per-category sum/count windows, own
     // target excluded; null targets get the full mean, singletons null.
-    // Unrounded on purpose: the per-category window sums agree exactly
-    // across engines on this chain, while round() would land exact binary
-    // fractions on .5 boundaries where rounding MODE differs
+    // Exact-cents sums (the robustScale trick): round(value*100) is an
+    // integer-valued double, so the window sum is accumulation-order-
+    // independent — a raw sum(value) drifted a last ulp between engines
+    // and failed the round-7 hash gate. LOO algebra stays in cents,
+    // divided once at the end; identical operand/operation order on both
+    // engines makes the quotient bit-identical with no rounding.
     "f_te" ->
       s"""$silverCte,
          |enc AS (
          |  SELECT event_id, event_type, value,
-         |         sum(value) OVER (PARTITION BY event_type) AS s,
+         |         sum(round(value * 100)) OVER (PARTITION BY event_type) AS s,
          |         count(value) OVER (PARTITION BY event_type) AS cnt
          |  FROM silver
          |)
          |SELECT event_id, event_type, value,
-         |       CASE WHEN value IS NULL THEN s / cnt
-         |            WHEN cnt > 1 THEN (s - value) / (cnt - 1) END AS target_enc
+         |       CASE WHEN value IS NULL THEN s / cnt / 100.0
+         |            WHEN cnt > 1 THEN (s - round(value * 100)) / (cnt - 1) / 100.0
+         |       END AS target_enc
          |FROM enc""".stripMargin,
 
     // bin rule mirrored exactly: 1 + #cutpoints strictly below the value,
@@ -1394,9 +1417,10 @@ object SparkEntry {
          |  FROM df
          |)
          |SELECT count(*) AS n,
-         |       avg(abs(y - yhat)) AS mae,
-         |       sqrt(avg(pow(y - yhat, 2))) AS rmse,
-         |       avg(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
+         |       sum(round(abs(y - yhat) * 1e6)) / 1e6 / count(*) AS mae,
+         |       sqrt(sum(round((y - yhat) * (y - yhat) * 1e6)) / 1e6 / count(*)) AS rmse,
+         |       sum(round(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END * 1e6)) / 1e6
+         |         / count(CASE WHEN y <> 0 THEN abs((y - yhat) / y) END) AS mape
          |FROM scored""".stripMargin,
 
     "mn_ps" ->
@@ -1421,8 +1445,9 @@ object SparkEntry {
          |counts AS (SELECT feature, bin, sum(is_base) AS b_cnt, sum(1 - is_base) AS c_cnt FROM binned GROUP BY 1, 2),
          |tot AS (SELECT feature, sum(b_cnt) AS b_tot, sum(c_cnt) AS c_tot FROM counts GROUP BY 1)
          |SELECT c.feature, CAST(t.b_tot AS BIGINT) AS base_count, CAST(t.c_tot AS BIGINT) AS cur_count,
-         |       sum((greatest(c_cnt / t.c_tot, 1e-6) - greatest(b_cnt / t.b_tot, 1e-6))
-         |           * ln(greatest(c_cnt / t.c_tot, 1e-6) / greatest(b_cnt / t.b_tot, 1e-6))) AS psi
+         |       sum(round((greatest(c_cnt / t.c_tot, 1e-6) - greatest(b_cnt / t.b_tot, 1e-6))
+         |           * ln(greatest(c_cnt / t.c_tot, 1e-6) / greatest(b_cnt / t.b_tot, 1e-6))
+         |           * 1e6)) / 1e6 AS psi
          |FROM counts c JOIN tot t USING (feature)
          |GROUP BY 1, 2, 3""".stripMargin,
 
@@ -1725,9 +1750,11 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1999-01-01 00:00:00'
         |GROUP BY 1, 2""".stripMargin,
 
+    // exact 4-dp revenue: sum the ×10⁴ integer image (order-independent),
+    // divide once — mirrors Analytics.revenueExact
     "q3_j" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       sum(round(l_extendedprice * (1.0 - l_discount) * 10000)) / 10000 AS revenue,
         |       count(*) AS line_count
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
@@ -1739,7 +1766,7 @@ object SparkEntry {
 
     "q5_m" ->
       """SELECT n_name,
-        |       sum(l_extendedprice * (1.0 - l_discount)) AS revenue,
+        |       sum(round(l_extendedprice * (1.0 - l_discount) * 10000)) / 10000 AS revenue,
         |       count(*) AS line_count
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -1983,6 +2010,102 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |WHERE md5(lower(d.text)) NOT IN (SELECT h FROM bench_hash)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
+
+    // end-to-end curation report: the same stage chain the Spark side
+    // composes, rebuilt as CTEs — quality filter (t_ql formula), exact
+    // dedup (dd_ex window), LSH near-dup candidates + recursive-CTE
+    // connected components (dd_mh + dd_cc shapes, restricted to the
+    // exact-dedup survivors), decontamination (dc_ex shape), stratified
+    // md5 sampling (s_st shape), split assignment (s_spl shape, its own
+    // ':graft:split' salt). Stage rows come from a VALUES spine so an
+    // empty stage still reports 0s, exactly like the Spark agg
+    "cur" ->
+      s"""${shingleCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |$minhashPairCtes,
+         |tokc AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS BIGINT) AS n_toks
+         |  FROM documents
+         |),
+         |ql AS (
+         |  SELECT doc_id FROM documents
+         |  WHERE least(CAST(len(string_split(lower(text), ' ')) AS DOUBLE) / 50.0, 1.0)
+         |        * (1.0 - CAST(length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+         |                 / length(text)) >= 0.2
+         |),
+         |qk AS (SELECT d.* FROM documents d JOIN ql USING (doc_id)),
+         |ek AS (
+         |  SELECT * FROM qk
+         |  QUALIFY doc_id = min(doc_id) OVER (PARTITION BY md5(lower(text)))
+         |),
+         |ep AS (
+         |  SELECT doc_a, doc_b FROM pairs
+         |  WHERE doc_a IN (SELECT doc_id FROM ek) AND doc_b IN (SELECT doc_id FROM ek)
+         |),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM ep UNION ALL SELECT doc_b, doc_a FROM ep),
+         |reach(node, lbl) AS (
+         |  SELECT doc_id, doc_id FROM ek
+         |  UNION
+         |  SELECT e.src, r.lbl FROM edges e JOIN reach r ON e.dst = r.node
+         |),
+         |canon AS (SELECT node AS doc_id FROM reach GROUP BY node HAVING min(lbl) = node),
+         |nk AS (SELECT ek.* FROM ek JOIN canon USING (doc_id)),
+         |bench_hash AS (SELECT DISTINCT md5(lower(text)) AS h FROM documents WHERE doc_id % 20 = 0),
+         |nearhit AS (
+         |  SELECT doc_id FROM (
+         |    SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |    FROM (SELECT ex.* FROM ex JOIN nk USING (doc_id)) c
+         |    JOIN (SELECT * FROM ex WHERE doc_id % 20 = 0) b ON c.shingle = b.shingle
+         |    GROUP BY 1, 2
+         |  ) WHERE shared >= 5 GROUP BY 1
+         |),
+         |dk AS (
+         |  SELECT * FROM nk
+         |  WHERE md5(lower(text)) NOT IN (SELECT h FROM bench_hash)
+         |    AND doc_id NOT IN (SELECT doc_id FROM nearhit)
+         |),
+         |ck AS (
+         |  SELECT * FROM dk
+         |  WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft'), 1, 8) AS BIGINT)
+         |          / 4294967296.0
+         |        < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 0.25 ELSE 0.1 END
+         |),
+         |sp AS (
+         |  SELECT doc_id,
+         |         CASE WHEN f < 0.8 THEN 'train' WHEN f < 0.9 THEN 'val' ELSE 'test' END AS split
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':graft:split'), 1, 8) AS BIGINT)
+         |             / 4294967296.0 AS f
+         |    FROM ck
+         |  )
+         |),
+         |stage_ids AS (
+         |  SELECT 0 AS stage_idx, 'input' AS stage, doc_id FROM documents
+         |  UNION ALL SELECT 1, 'quality_kept', doc_id FROM qk
+         |  UNION ALL SELECT 2, 'exact_kept', doc_id FROM ek
+         |  UNION ALL SELECT 3, 'near_kept', doc_id FROM nk
+         |  UNION ALL SELECT 4, 'decontaminated', doc_id FROM dk
+         |  UNION ALL SELECT 5, 'curated', doc_id FROM ck
+         |  UNION ALL SELECT 6, 'split_train', doc_id FROM sp WHERE split = 'train'
+         |  UNION ALL SELECT 7, 'split_val', doc_id FROM sp WHERE split = 'val'
+         |  UNION ALL SELECT 8, 'split_test', doc_id FROM sp WHERE split = 'test'
+         |),
+         |spine(stage_idx, stage) AS (
+         |  VALUES (0, 'input'), (1, 'quality_kept'), (2, 'exact_kept'),
+         |         (3, 'near_kept'), (4, 'decontaminated'), (5, 'curated'),
+         |         (6, 'split_train'), (7, 'split_val'), (8, 'split_test')
+         |),
+         |counts AS (
+         |  SELECT stage_idx, stage, count(*) AS n_docs,
+         |         CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS n_tokens
+         |  FROM stage_ids LEFT JOIN tokc USING (doc_id)
+         |  GROUP BY 1, 2
+         |)
+         |SELECT s.stage_idx, s.stage,
+         |       coalesce(c.n_docs, 0) AS n_docs,
+         |       coalesce(c.n_tokens, 0) AS n_tokens
+         |FROM spine s LEFT JOIN counts c USING (stage_idx, stage)""".stripMargin,
 
     // deterministic hash sampling: md5-fraction < per-stratum rate —
     // byte-identical selection in any engine
@@ -2255,9 +2378,10 @@ object SparkEntry {
         |dft AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
         |stats AS (SELECT count(*) AS n_docs, avg(doc_len) AS avgdl FROM dl)
         |SELECT t.doc_id, t.token, t.tf, d.doc_len, f.df,
-        |       t.tf * ln(s.n_docs / f.df) AS tfidf,
-        |       ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
-        |         * (t.tf * (1.2 + 1)) / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)) AS bm25
+        |       round(t.tf * ln(s.n_docs / f.df), 6) AS tfidf,
+        |       round(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+        |         * (t.tf * (CAST(1.2 AS DOUBLE) + 1))
+        |         / (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * d.doc_len / s.avgdl)), 6) AS bm25
         |FROM tf t JOIN dl d USING (doc_id) JOIN dft f USING (token), stats s""".stripMargin,
 
     "t_tok" ->
@@ -2378,8 +2502,8 @@ object SparkEntry {
         |vocab AS (SELECT token, count(*) AS tf FROM toks GROUP BY 1),
         |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS n_total FROM vocab)
         |SELECT doc_id, count(*) AS n_tokens,
-        |       avg(-ln(tf / n_total)) AS avg_nll,
-        |       sum(-ln(tf / n_total)) AS total_nll
+        |       sum(round(-ln(tf / n_total) * 1e6)) / 1e6 / count(*) AS avg_nll,
+        |       sum(round(-ln(tf / n_total) * 1e6)) / 1e6 AS total_nll
         |FROM toks JOIN vocab USING (token) CROSS JOIN tot
         |GROUP BY 1""".stripMargin,
 
@@ -2454,8 +2578,8 @@ object SparkEntry {
         |SELECT str_split(bigram, ' ')[1] AS word_a,
         |       str_split(bigram, ' ')[2] AS word_b,
         |       pair_count, c_a, c_b,
-        |       ln((CAST(pair_count AS DOUBLE) / n_bg)
-        |          / ((CAST(c_a AS DOUBLE) / n_uni) * (CAST(c_b AS DOUBLE) / n_uni))) AS pmi
+        |       round(ln((CAST(pair_count AS DOUBLE) / n_bg)
+        |          / ((CAST(c_a AS DOUBLE) / n_uni) * (CAST(c_b AS DOUBLE) / n_uni))), 6) AS pmi
         |FROM bgc
         |JOIN (SELECT word AS word_a, c_word AS c_a FROM uc) a ON str_split(bigram, ' ')[1] = a.word_a
         |JOIN (SELECT word AS word_b, c_word AS c_b FROM uc) b ON str_split(bigram, ' ')[2] = b.word_b

@@ -34,6 +34,19 @@ object Analytics {
         avg("l_discount").as("avg_disc"),
         count(lit(1)).as("count_order"))
 
+  /** Exact revenue sum: `extendedprice` and `discount` are 2-dp values,
+    * so each line's `ep·(1−disc)` is EXACTLY a 4-dp number — summing its
+    * ×10⁴ integer image (an integer-valued double, exact in any
+    * accumulation order) then dividing once recovers the true revenue
+    * bit-identically on every engine. A raw double sum drifts a last ulp
+    * with partial-aggregation order (caught by the round-8 exact local
+    * gate). Magnitude bound: the scaled per-group sum must stay below
+    * 2⁵³ — per-order revenue (≤ 7 lines × 1e5 × 1e4 = 7e9) and per-nation
+    * revenue at any tested SF are far under it. */
+  private val revenueExact =
+    (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 10000)) / 10000)
+      .as("revenue")
+
   /** TPC-H Q3-shape: segment-filtered customer × orders × lineitem,
     * revenue per order. Filters apply before every join so the join inputs
     * are pruned at the scan. */
@@ -45,8 +58,7 @@ object Analytics {
       .join(orders.filter(col("o_orderdate") < cut), col("c_custkey") === col("o_custkey"))
       .join(lineitem.filter(col("l_shipdate") > cut), col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("line_count"))
+      .agg(revenueExact, count(lit(1)).as("line_count"))
   }
 
   /** TPC-H Q5-shape snowflake: lineitem × orders × customer × supplier ×
@@ -68,8 +80,7 @@ object Analytics {
       .join(broadcast(region.filter(col("r_name") === regionName)),
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
-        count(lit(1)).as("line_count"))
+      .agg(revenueExact, count(lit(1)).as("line_count"))
 
   /** Per-group top-N via a rank window: top 3 parts per brand by lineitem
     * popularity. Integer sort keys + partkey tie-break keep the ranking

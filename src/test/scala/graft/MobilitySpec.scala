@@ -147,6 +147,13 @@ class MobilitySpec extends SparkSpec {
     val again = Mobility.zonePageRank(star, iters = 10)
       .select("zone_id", "pr", "pos").as[(Long, Double, Int)].collect()
     assert(pr.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    // path parity: the bounded-collect path (default at this size) and
+    // the distributed loop (forced via driverCutover = 0) agree exactly
+    // on the 6-dp-rounded ranks and positions
+    val dist = Mobility.zonePageRank(star, iters = 10, driverCutover = 0)
+      .select("zone_id", "pr", "pos").as[(Long, Double, Int)].collect()
+    assert(pr.sortBy(_._1).toSeq === dist.sortBy(_._1).toSeq,
+      "driver-side and distributed pagerank must emit identical results")
   }
 
   test("plan shape: no joins anywhere in the module — one user_id shuffle feeds each") {
@@ -289,5 +296,12 @@ class MobilitySpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("zone_id") ->
         (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
     assert(again === out)
+    // path parity: bounded-collect (default here) vs distributed loop
+    // (forced) — all-integer LPA makes these exactly equal by construction
+    val dist = Mobility.zoneCommunities(rows, driverCutover = 0)
+      .collect().map(r => r.getAs[Long]("zone_id") ->
+        (r.getAs[Long]("community"), r.getAs[Long]("community_size"))).toMap
+    assert(dist === out,
+      "driver-side and distributed LPA must emit identical results")
   }
 }

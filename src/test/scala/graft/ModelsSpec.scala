@@ -117,4 +117,30 @@ class ModelsSpec extends SparkSpec {
     val again = Models.surgeClassifier(surgeFeat)
     assert(preds.exceptAll(again).count() === 0)
   }
+
+  test("experiment tracking: one run row per fit, metrics match the evaluations") {
+    val path = "/root/repo/target/test_ml_runs"
+    val runs = graft.ml.Experiments.trackedDemandRuns(demandFeat, path).cache()
+    assert(runs.count() === 2)
+    assert(runs.select("model").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet === Set("random_forest", "linear"))
+    // metrics in the table equal a fresh evaluation of the same fit
+    // (the RF is cache-shared, the split is a pure date filter)
+    val logged = runs.filter(col("model") === "random_forest")
+      .select(element_at(col("metrics"), "rmse")).head().getDouble(0)
+    val fresh = Models.regressionMetrics(Models.demandRandomForest(demandFeat))("rmse")
+    assert(logged === fresh, s"logged rmse $logged != fresh $fresh")
+    // params survive the round-trip
+    assert(runs.filter(col("model") === "random_forest")
+      .select(element_at(col("params"), "numTrees")).head().getString(0) === "20")
+    // append-only: logging again without freshStart grows the table
+    graft.ml.Experiments.logRun(spark, path, "manual",
+      Map("k" -> "v"), Map("rmse" -> 1.0),
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    assert(graft.ml.Experiments.runsTable(spark, path).count() === 3)
+    // history + champion views
+    assert(graft.ml.Experiments.history(spark, path, "manual").count() === 1)
+    val best = graft.ml.Experiments.bestByMetric(spark, path, "rmse")
+    assert(best.count() === 3) // one champion per model
+  }
 }

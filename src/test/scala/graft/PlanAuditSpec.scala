@@ -99,6 +99,20 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 2 exchanges (silver event_id dedup + event_type window), got $exchanges:\n$plan")
   }
 
+  test("f_rm: quintiles plan no single-partition window sort") {
+    // the round-7 scale-killer: three bare Window.orderBy ntile windows
+    // each moved the whole user dim through ONE task (Exchange
+    // SinglePartition). globalNtile replaces them with range-shuffle +
+    // partitioned row_number + broadcast offsets — same exact buckets,
+    // no single-partition exchange anywhere in the plan.
+    val plan = SparkEntry.queries("f_rm")(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"rfm quintiles must not plan a single-partition exchange:\n$plan")
+    assert(!plan.contains("ntile("),
+      s"rfm quintiles must not plan a global ntile window:\n$plan")
+  }
+
   test("dq_fr (was dq_fresh) scans the raw data exactly once (corpus max from the aggregated rows)") {
     val plan = SparkEntry.queries("dq_fr")(spark, sfDir)
       .queryExecution.executedPlan.toString
