@@ -850,6 +850,11 @@ object SparkEntry {
     // co-location contact pairs: hour-bucketed lossless interval self-join
     // over stay episodes (never per-zone all-pairs)
     "m_co" -> ((s, dir) => Mobility.coLocation(silver(s, dir))),
+    // co-location cap diagnostic: how many stays the maxSpanHours fan-out
+    // guard truncates (cap 24h here so the signal is non-trivially
+    // exercised; the m_co default cap truncates nothing at any test SF)
+    "m_ct" -> ((s, dir) =>
+      Mobility.coLocationTruncation(silver(s, dir), maxSpanHours = 24)),
     // next-zone Markov backtest: argmax model trained before the monitor
     // split, hit@1 scored on/after it
     "m_mk" -> ((s, dir) => Mobility.markovNextZoneEval(silver(s, dir))),
@@ -3131,6 +3136,28 @@ object SparkEntry {
          |FROM hourly h JOIN prof p
          |  ON h.zone_id = p.zone_id
          | AND dayofweek(h.hour_ts) * 24 + hour(h.hour_ts) = p.how""".stripMargin,
+
+    // cap diagnostic: hour-bucket span per stay episode (exact integer
+    // micros arithmetic), counted against the 24h cap
+    "m_ct" ->
+      s"""$silverCte,
+         |runs AS (
+         |  SELECT user_id, zone_id, ts,
+         |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+         |           - row_number() OVER (PARTITION BY user_id, zone_id ORDER BY ts, event_id) AS run_id
+         |  FROM silver WHERE zone_id IS NOT NULL
+         |),
+         |stays AS (
+         |  SELECT CAST((epoch_us(date_trunc('hour', max(ts)))
+         |               - epoch_us(date_trunc('hour', min(ts)))) / 3600000000 AS BIGINT) AS span_hours
+         |  FROM runs GROUP BY user_id, zone_id, run_id
+         |  HAVING count(*) >= 2
+         |)
+         |SELECT count(*) AS n_stays,
+         |       CAST(sum(CASE WHEN span_hours > 24 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated,
+         |       CAST(coalesce(max(CASE WHEN span_hours > 24 THEN span_hours - 24 END), 0) AS BIGINT)
+         |         AS max_excess_hours
+         |FROM stays""".stripMargin,
 
     // co-location: the oracle is the NAIVE per-zone interval self-join —
     // the hour-bucketed Spark plan must reproduce it exactly (closed

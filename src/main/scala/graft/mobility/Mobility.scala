@@ -278,9 +278,14 @@ object Mobility {
     * stay is dwell-bounded; `maxSpanHours` caps the fan-out of
     * pathological never-moving stays (a stuck sensor parked in one zone
     * for months) — longer episodes are truncated, a documented
-    * approximation knob. The default exceeds any test-corpus span, so sf
-    * outputs are exact; at 100 TB, tune the cap (or coarsen the bucket)
-    * to the contact window the analysis needs. */
+    * approximation knob. The cap is LOSSY when it fires: a pair whose
+    * later arrival begins after the earlier stay's capped bucket range
+    * is silently missed. [[coLocationTruncation]] is the companion
+    * diagnostic — run it alongside to see how many episodes the cap
+    * touched (0 = the co-location output is exact). The default exceeds
+    * any test-corpus span, so sf outputs are exact; at 100 TB, tune the
+    * cap (or coarsen the bucket) to the contact window the analysis
+    * needs, and alert on a nonzero truncation count. */
   def coLocation(silver: DataFrame, minEvents: Int = 2,
       maxSpanHours: Int = 1440): DataFrame = {
     val stays = stayEpisodes(silver, minEvents)
@@ -315,6 +320,26 @@ object Mobility {
         sum(col("overlap_us")).as("overlap_us"),
         countDistinct(col("zone_id")).as("n_zones"))
   }
+
+  /** Diagnostic for [[coLocation]]'s `maxSpanHours` cap: how many stay
+    * episodes exceeded the cap (their bucket fan-out was truncated, so
+    * co-location pairs whose partner arrived after the capped range are
+    * MISSED), plus the worst exceedance in hours. One row; 0 truncated
+    * means the co-location output at this cap is exact. The monitoring
+    * job runs this next to the co-location build and alerts on nonzero —
+    * the cap is a fan-out guard, not a silent semantics change. */
+  def coLocationTruncation(silver: DataFrame, minEvents: Int = 2,
+      maxSpanHours: Int = 1440): DataFrame =
+    stayEpisodes(silver, minEvents)
+      .select(((unix_micros(date_trunc("hour", col("exit_ts")))
+        - unix_micros(date_trunc("hour", col("enter_ts")))) / 3600000000L)
+        .cast("long").as("span_hours"))
+      .agg(
+        count(lit(1)).as("n_stays"),
+        sum(when(col("span_hours") > maxSpanHours, 1L).otherwise(0L))
+          .as("n_truncated"),
+        coalesce(max(when(col("span_hours") > maxSpanHours,
+          col("span_hours") - maxSpanHours)), lit(0L)).as("max_excess_hours"))
 
   /** Next-zone Markov evaluation: fit the first-order transition argmax on
     * transitions BEFORE `split`, score hit@1 on transitions on/after it —

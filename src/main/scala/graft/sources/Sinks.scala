@@ -65,6 +65,19 @@ object Sinks {
     * byte-identical; the rewrite goes through [[overwritePartitions]]
     * so it is idempotent and replaces only what it read.
     *
+    * CONCURRENCY CONTRACT (this is a plain-parquet table, no transaction
+    * log): the caller must hold exclusive write access to the table for
+    * the duration of the compaction. Each partition's rewrite is a
+    * read-then-dynamic-overwrite — a writer appending to a partition
+    * between the read and the commit has its rows replaced by the
+    * earlier-read snapshot, and a crash DURING a partition's job commit
+    * can leave that one partition incomplete (re-running the compaction
+    * or the day's idempotent batch repairs it, which is why the rewrite
+    * goes through [[overwritePartitions]]). Maintenance windows or a
+    * table lock are how the reference's OPTIMIZE is scheduled too; a
+    * table format (Delta/Iceberg) is the upgrade when concurrent
+    * writers must stay live.
+    *
     * Returns (partition value → files before) for the rewritten
     * partitions — the audit line the maintenance job logs. */
   def compactPartitions(spark: org.apache.spark.sql.SparkSession, path: String,
@@ -78,11 +91,20 @@ object Sinks {
     val oversplit = parts.flatMap { dir =>
       val files = fs.listStatus(dir.getPath)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      if (files.length <= maxFilesPerPartition) None
+      // directory names carry Hive path-escaping (space → %20 etc.); the
+      // equality filter below compares COLUMN values, so unescape first —
+      // an escaped value would silently match nothing and skip the
+      // partition. The null partition (__HIVE_DEFAULT_PARTITION__) is
+      // skipped outright: `col === value` can never select it.
+      val raw = dir.getPath.getName.stripPrefix(s"$partitionCol=")
+      val value = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .unescapePathName(raw)
+      if (files.length <= maxFilesPerPartition ||
+          raw == "__HIVE_DEFAULT_PARTITION__") None
       else {
         val bytes = files.map(_.getLen).sum
         val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-        Some((dir.getPath.getName.stripPrefix(s"$partitionCol="), files.length, target))
+        Some((value, files.length, target))
       }
     }
     oversplit.foreach { case (value, _, target) =>

@@ -151,6 +151,24 @@ class SourcesSinksSpec extends SparkSpec {
       targetFileBytes = 1L << 30, maxFilesPerPartition = 8).isEmpty)
   }
 
+  test("compaction: hive-escaped partition values are unescaped before the rewrite filter") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("graft_compact_esc").toString
+    // a partition value with a colon: written as dept=a%3Ab on disk —
+    // a filter on the RAW directory name would match nothing and
+    // silently skip the partition (round-8 advice finding)
+    val df = (1 to 64).map(i => (i.toLong, "a:b")).toDF("id", "dept")
+    df.repartition(16).write.mode("overwrite").partitionBy("dept").parquet(out)
+    assert(new java.io.File(s"$out/dept=a%3Ab").exists(), "precondition: hive escaping")
+    val before = spark.read.parquet(out).orderBy("id").collect().toSeq
+    val rewritten = Sinks.compactPartitions(spark, out, "dept",
+      targetFileBytes = 1L << 30, maxFilesPerPartition = 8)
+    assert(rewritten === Map("a:b" -> 16), s"got $rewritten")
+    assert(new java.io.File(s"$out/dept=a%3Ab")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq === before)
+  }
+
   test("binaryFile source: glob prunes at listing, payloads round-trip, size guard holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bin").toString
     val payloads = Map(
