@@ -589,6 +589,17 @@ object SparkEntry {
       val docs = Tables.documents(s, dir)
       Dedup.bloomDecontaminate(docs, docs.filter(col("doc_id") % 17 === 0)).select("doc_id")
     }),
+    // embedding-space decontamination: corpus vectors surviving a cosine
+    // test against the broadcast benchmark set (threshold 0.4 — the
+    // synthetic embeddings are near-orthogonal, max cross-cosine 0.49;
+    // production near-dup decontam runs ~0.95)
+    "dc_em" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Dedup.embeddingDecontaminate(
+        emb.filter(col("vec_id") % 20 =!= 0),
+        emb.filter(col("vec_id") % 20 === 0),
+        minCosine = 0.4).select("vec_id", "label")
+    }),
     // end-to-end curation report: per-stage doc/token survival through
     // quality → exact dedup → LSH near-dup → decontam → stratified sample
     // → splits, each stage an oracle-green operator, composed as ONE
@@ -2015,6 +2026,21 @@ object SparkEntry {
          |SELECT d.doc_id FROM documents d
          |WHERE md5(lower(d.text)) NOT IN (SELECT h FROM bench_hash)
          |  AND d.doc_id NOT IN (SELECT doc_id FROM near)""".stripMargin,
+
+    // embedding decontamination: brute-force cosine vs the benchmark
+    // slice (the v_bf oracle's list_reduce cosine chain — bit-identical
+    // to the native kernel's index-ordered accumulation)
+    "dc_em" ->
+      s"""WITH c AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 20 <> 0),
+         |b AS (SELECT vec_id AS bench_id, embedding AS b_emb FROM embeddings WHERE vec_id % 20 = 0),
+         |hits AS (
+         |  SELECT DISTINCT c.vec_id
+         |  FROM c CROSS JOIN b
+         |  WHERE c.vec_id <> b.bench_id
+         |    AND ${duckCosine("c.embedding", "b.b_emb")} >= 0.4
+         |)
+         |SELECT vec_id, label FROM c
+         |WHERE vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin,
 
     // end-to-end curation report: the same stage chain the Spark side
     // composes, rebuilt as CTEs — quality filter (t_ql formula), exact

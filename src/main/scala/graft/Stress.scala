@@ -357,6 +357,26 @@ object Stress {
       time("q3_join_100x")(graft.analytics.Analytics.shippingPriority(cust, ord100, li100))
     }
 
+    // RFM quintiles at 1× vs 10× USER DIM — the axis globalNtile
+    // range-partitions (round 8 replaced three single-partition ntile
+    // window sorts; growth must stay ~linear now that no task sees the
+    // whole user table). Offset user_ids so |users| itself grows 10×.
+    val events = Tables.events(spark, sfDir)
+    def silverOf(ev: DataFrame) =
+      graft.pipeline.Silver.cleanEvents(graft.pipeline.Bronze.ingestEvents(ev))
+    time("rfm_quintiles_1x")(
+      graft.features.FeatureEngineering.rfmSegments(silverOf(events)))
+    val ev10 = (0 until 10).map { i =>
+      events.select(
+        (col("event_id") + lit(i * 1000000000L)).as("event_id"), col("ts"),
+        (col("user_id") + lit(i * 100000000L)).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"events 10x: ${ev10.count()} rows")
+    time("rfm_quintiles_10x")(
+      graft.features.FeatureEngineering.rfmSegments(silverOf(ev10)))
+    ev10.unpersist()
+
     spark.stop()
   }
 }

@@ -815,6 +815,39 @@ object Dedup {
       .join(nearHits, Seq("doc_id"), "left_anti")
   }
 
+  /** EMBEDDING-space decontamination — the semantic-leak counterpart of
+    * [[decontaminate]]'s lexical shingle overlap: drop corpus vectors
+    * whose cosine against ANY benchmark vector clears `minCosine`. A
+    * paraphrased benchmark item shares no 3-gram shingles with its
+    * source yet sits next to it in embedding space — lexical decontam
+    * alone ships it into the training mix (the contamination mode the
+    * GPT-4/phi technical-report decontamination sections call out).
+    *
+    * Exact by design, NOT an LSH shortcut: a missed candidate here is
+    * benchmark leakage into training data, so the default path pays the
+    * full scan. Benchmark suites are small by definition (10³-10⁵
+    * items), so the benchmark side BROADCASTS and the corpus streams
+    * through one fused-loop native-cosine scan (the v_bf/v_rad
+    * declared-quadratic broadcast contract — no shuffle, scan-bound,
+    * |bench| codegen'd cosines per corpus row). When the benchmark
+    * outgrows one broadcast, shard it and union the hit sets (linear in
+    * shards); if the scan cost itself is the constraint, run the
+    * [[graft.similarity.Similarity.lshTopK]] candidate generator with a
+    * measured-recall QA line (the `dd_ev` pattern) and accept the
+    * QUANTIFIED leak probability — never an unmeasured one. */
+  def embeddingDecontaminate(corpus: DataFrame, benchmark: DataFrame,
+      minCosine: Double = 0.95): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val b = benchmark.select(col("vec_id").as("bench_id"), col("embedding").as("b_emb"))
+    val hits = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(b))
+      .filter(col("vec_id") =!= col("bench_id"))
+      .filter(graft.functions.GraftFunctions.cosineSim(col("embedding"), col("b_emb"))
+        >= minCosine)
+      .select("vec_id").distinct()
+    corpus.join(hits, Seq("vec_id"), "left_anti")
+  }
+
   /** Embedding-cosine near-dup pairs, blocked by label. The cosine is
     * graft's native codegen'd one-pass expression
     * ([[graft.functions.CosineSimilarity]]) — index-ordered accumulation,

@@ -368,4 +368,26 @@ class DedupSpec extends SparkSpec {
       s"semantic dedup recall ${nSem.toDouble / nExact} collapsed vs exact all-pairs")
     sem.unpersist(); exact.unpersist()
   }
+
+  test("embedding decontamination: exactly the cosine-hit vectors drop, benchmark side intact") {
+    val emb = Tables.embeddings(spark, dir)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val bench = emb.filter(col("vec_id") % 20 === 0)
+    val t = 0.4
+    val kept = Dedup.embeddingDecontaminate(corpus, bench, minCosine = t).cache()
+    // ground truth: brute-force cosine hits
+    graft.functions.GraftFunctions.register(spark)
+    val hits = corpus.alias("c").join(bench.alias("b"),
+        graft.functions.GraftFunctions.cosineSim(col("c.embedding"), col("b.embedding")) >= t)
+      .select(col("c.vec_id")).distinct().cache()
+    assert(hits.count() > 0, "threshold must be exercised at this SF")
+    assert(kept.count() === corpus.count() - hits.count())
+    // no hit survives, every non-hit survives
+    assert(kept.join(hits, "vec_id").count() === 0)
+    assert(corpus.select("vec_id").exceptAll(kept.select("vec_id"))
+      .exceptAll(hits).count() === 0)
+    // schema passthrough: the survivors keep their corpus columns
+    assert(kept.columns.toSet === corpus.columns.toSet)
+    kept.unpersist(); hits.unpersist()
+  }
 }

@@ -54,8 +54,12 @@ class PlanAuditSpec extends SparkSpec {
     //   stream — a 1-row build side (the text_tfidf corpus-stat pattern)
     // sc_km: the 1-row observation-end scalar crossJoined onto the
     //   user-dim lifetime table — same corpus-stat pattern
+    // dc_em: embedding decontamination shares v_bf/v_rad's declared
+    //   broadcast-bounded contract (benchmark suites are small by
+    //   definition; a missed candidate is benchmark leakage, so the
+    //   default path is exact — Dedup.embeddingDecontaminate scaladoc)
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
-      "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km")
+      "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
