@@ -20,15 +20,25 @@ object Bench {
   /** Materialize EVERY output column: a bare count() lets Catalyst prune
     * unused columns, so map-only queries would be timed as row-count scans
     * instead of real work. Hashing the full row defeats pruning. MAP
-    * columns are not hashable (undefined entry order) — serialize those
-    * through to_json first; everything else hashes natively. */
+    * columns are not hashable (undefined entry order) — serialize through
+    * to_json any column whose type TRANSITIVELY contains a map (a bare
+    * `array<map<…>>` or `struct<…, map, …>` fails xxhash64 analysis just
+    * like a top-level map would); everything else hashes natively. */
+  private[graft] def containsMap(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: MapType => true
+      case a: ArrayType => containsMap(a.elementType)
+      case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+      case _ => false
+    }
+  }
+
   private def force(df: org.apache.spark.sql.DataFrame): Unit = {
     import org.apache.spark.sql.functions.{col, count, to_json, xxhash64}
     val cols = df.schema.fields.map { f =>
-      f.dataType match {
-        case _: org.apache.spark.sql.types.MapType => to_json(col(f.name))
-        case _ => col(f.name)
-      }
+      if (containsMap(f.dataType)) to_json(col(f.name))
+      else col(f.name)
     }
     df.agg(count(xxhash64(cols.toIndexedSeq: _*))).head()
     ()

@@ -17,6 +17,43 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     SparkEntry.warmCache(spark, dir)
+    // one-off curation-stage decomposition probe
+    if (args.length > 1 && args(1) == "curstages") {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      def t(name: String)(f: => Long): Unit = {
+        val t0 = System.nanoTime()
+        val n = f
+        println(f"CURSTAGE $name%-22s ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      }
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val st = graft.pipeline.Pipeline.runCuration(docs, bench, 0.2,
+          Map("en" -> 0.5, "de" -> 0.25), 0.1)
+        println(f"CURSTAGE runCuration($pass)      ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        t(s"decontam_lazy($pass)")(st("decontaminated").count())
+        val d = st("decontaminated")
+        val t1 = System.nanoTime()
+        d.persist(); d.count()
+        println(f"CURSTAGE decontam_fill($pass)    ${(System.nanoTime() - t1) / 1e9}%6.2f s")
+        d.unpersist()
+      }
+      spark.stop()
+      return
+    }
+    // generic mode: `runMain graft.Probe <dir> q1,q2` times the named
+    // SparkEntry queries (2 passes each) instead of the cadence sweep
+    if (args.length > 1) {
+      val names = args(1).split(',').toSeq
+      for (name <- names; pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val n = SparkEntry.queries(name)(spark, dir).count()
+        println(f"PROBE $name%-10s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s ($n rows)")
+      }
+      spark.stop()
+      return
+    }
     val silver = graft.pipeline.Silver.cleanEvents(
       graft.pipeline.Bronze.ingestEvents(Tables.events(spark, dir))).cache()
     silver.count()

@@ -95,14 +95,20 @@ object SparkEntry {
     // MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and each
     // round references the previous one through two paths (contrib + the
     // carried-mass scalar), so inlining would expand the chain 2^10-fold
+    // scaled-integer contribution sums (the repo float policy): each edge
+    // term rounds to an integer at 10^15 scale, so the per-dest and
+    // carried sums are exact in any accumulation order and the rank
+    // vector is bit-identical to Spark's by induction
     val rounds = (1 to 10).map { k =>
       s"""c$k AS MATERIALIZED (
-         |  SELECT od.dest AS zone_id, sum(od.p_dest * r${k - 1}.pr * 0.85) AS contrib
+         |  SELECT od.dest AS zone_id,
+         |         sum(round(od.p_dest * r${k - 1}.pr * 0.85 * 1e15, 0)) AS contrib
          |  FROM od JOIN r${k - 1} ON od.origin = r${k - 1}.zone_id GROUP BY 1
          |),
          |s$k AS MATERIALIZED (SELECT sum(contrib) AS s FROM c$k),
          |r$k AS MATERIALIZED (
-         |  SELECT zs.zone_id, coalesce(c$k.contrib, 0.0) + (1.0 - s$k.s) / nz.n AS pr
+         |  SELECT zs.zone_id,
+         |         coalesce(c$k.contrib, 0.0) / 1e15 + (1.0 - s$k.s / 1e15) / nz.n AS pr
          |  FROM zs LEFT JOIN c$k USING (zone_id) CROSS JOIN s$k CROSS JOIN nz
          |)""".stripMargin
     }.mkString(",\n")
@@ -318,6 +324,16 @@ object SparkEntry {
     "fc_p" -> ((s, dir) => {
       val sv = silver(s, dir)
       Gold.factPayments(sv, Gold.dimUsers(sv))
+    }),
+    // the reference's two-extra-dim fact join shape (dim_drivers +
+    // dim_vehicle, silver_to_gold.py:69-82,:112-113) exercised through
+    // the dims the events schema carries: event-type dim + the zone dim
+    // in a second (origin) role
+    "d_et" -> ((s, dir) => Gold.dimEventTypes(silver(s, dir))),
+    "fc_w" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      Gold.factEventsWide(sv, Gold.dimUsers(sv), Gold.dimZones(sv),
+        Gold.dimEventTypes(sv))
     }),
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
@@ -812,11 +828,15 @@ object SparkEntry {
       Models.demandFeatureImportances(FeatureEngineering.demandFeatures(silver(s, dir)))),
     // rows-only: experiment-tracking runs table (reference MLflow usage,
     // demand_forecasting.py:6-33) — one run row per tracked fit, metrics
-    // parity with regressionMetrics is spec-asserted
+    // parity with regressionMetrics is spec-asserted. Gate-facing scalar
+    // view: the map-typed params/metrics columns are projected to
+    // key-sorted JSON strings (runsScalarView) because the driver's pandas
+    // compare sorts every column and map values are unhashable there; the
+    // library API keeps the map schema.
     "ml_tr" -> ((s, dir) =>
-      Experiments.trackedDemandRuns(
+      Experiments.runsScalarView(Experiments.trackedDemandRuns(
         FeatureEngineering.demandFeatures(silver(s, dir)),
-        "/root/repo/target/ml_runs")),
+        "/root/repo/target/ml_runs"))),
     // rows-only: save → load → predict with the RELOADED model (reference
     // trains+saves, the API loads — demand_forecasting.py:280, app.py:112);
     // byte-identical predictions pre/post reload are spec-asserted
@@ -1067,6 +1087,26 @@ object SparkEntry {
          |       sha256(CAST(user_id AS VARCHAR)) AS user_key,
          |       value AS amount, event_date
          |FROM silver WHERE event_type = 'purchase'""".stripMargin,
+
+    "d_et" ->
+      s"""$silverCte
+         |SELECT sha256(event_type) AS event_type_key, event_type
+         |FROM (SELECT DISTINCT event_type FROM silver WHERE event_type IS NOT NULL)""".stripMargin,
+
+    // surrogate keys computed directly (key-preserving left joins, the
+    // fc_e oracle pattern); sha256(NULL) is NULL in DuckDB, matching the
+    // unmatched-left-join NULL on the Spark side (first event per user
+    // has no origin zone; null-zone events resolve no location)
+    "fc_w" ->
+      s"""$silverCte
+         |SELECT event_id,
+         |       sha256(concat_ws('||', CAST(event_date AS VARCHAR), CAST(hour(ts) AS VARCHAR), CAST(minute(ts) AS VARCHAR))) AS time_id,
+         |       sha256(CAST(user_id AS VARCHAR)) AS user_key,
+         |       sha256(CAST(zone_id AS VARCHAR)) AS location_id,
+         |       sha256(CAST(lag(zone_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS VARCHAR)) AS origin_location_id,
+         |       sha256(event_type) AS event_type_key,
+         |       value, ts, event_date
+         |FROM silver""".stripMargin,
 
     // SCD-2 run construction: change flag → running group id → per-run
     // min/count → interval chain via lead; (ts, event_id) is a unique

@@ -267,8 +267,18 @@ object Dedup {
     * Pairs are oriented doc_a < doc_b like the batch path. */
   def minhashLshIncremental(newDocs: DataFrame, index: DataFrame, k: Int = 16,
       bands: Int = AutoBands, shingleN: Int = 3, family: HashFamily = Md5Family,
-      threshold: Double = DefaultLshThreshold): DataFrame = {
-    val nb = minhashIndex(newDocs, k, bands, shingleN, family, threshold)
+      threshold: Double = DefaultLshThreshold): DataFrame =
+    minhashLshIncrementalFromIndex(
+      minhashIndex(newDocs, k, bands, shingleN, family, threshold), index, k)
+
+  /** [[minhashLshIncremental]] body over a PRE-BUILT batch signature table
+    * — so a caller that also stores the batch's signatures (the streaming
+    * face, [[graft.streaming.Streams.incrementalDedupBatch]]) signs the
+    * batch text exactly once and feeds both the pair join and the index
+    * append from the same frame. */
+  def minhashLshIncrementalFromIndex(newIndex: DataFrame, index: DataFrame,
+      k: Int = 16): DataFrame = {
+    val nb = newIndex
     // batch side deduped against itself AND probed into the corpus index
     // in ONE join: the right side is (batch ∪ index); a batch-batch pair
     // arrives twice with both orientations, least/greatest + the estJaccard

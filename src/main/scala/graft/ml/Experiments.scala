@@ -21,10 +21,13 @@ import org.apache.spark.sql.functions._
   * Scale: a run row is KB of driver-side metadata — the append is a
   * one-row, one-file parquet write, and a decade of hourly retrains is
   * still a dimension-sized table. Readers push filters into the scan as
-  * with any parquet dim. Concurrent writers: parquet append creates a
-  * new file per write, so concurrent run logging never conflicts (unlike
-  * overwrite sinks — see Sinks.compactPartitions' exclusive-access
-  * contract).
+  * with any parquet dim. Concurrent writers: appends from SEPARATE Spark
+  * jobs share the `_temporary` staging directory under
+  * FileOutputCommitter, so simultaneous appends to one path can clobber
+  * each other's staged files — treat the table as single-writer-at-a-time
+  * (a scheduler serializes retrains anyway), or give each writer its own
+  * partition subdirectory; within one application, appends are sequential
+  * driver calls and safe.
   */
 object Experiments {
 
@@ -59,16 +62,34 @@ object Experiments {
       .orderBy(col("trained_at").desc, col("run_id"))
 
   /** Best run per model by a metric (lower is better, e.g. rmse):
-    * the model-registry "champion" view, derived instead of stored. */
+    * the model-registry "champion" view, derived instead of stored.
+    * Runs whose metrics map lacks `metric` (e.g. a classifier run when
+    * asking for rmse) sort LAST — Spark's default ascending order puts
+    * NULLs first, which would crown the metric-less run champion. */
   def bestByMetric(spark: SparkSession, path: String, metric: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("model")
-      .orderBy(element_at(col("metrics"), metric).asc, col("run_id"))
+      .orderBy(element_at(col("metrics"), metric).asc_nulls_last, col("run_id"))
     runsTable(spark, path)
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
   }
+
+  /** Gate-facing scalar projection of a runs frame: the library schema
+    * keeps `params`/`metrics` as maps, but a map column is unhashable in
+    * pandas, so the driver's correctness dump (which sorts every column)
+    * crashes on it. This view serializes each map to a DETERMINISTIC
+    * key-sorted JSON array string (`map_entries` → `array_sort` — struct
+    * order is field order, key first — → `to_json`), leaving every column
+    * scalar-typed. Used only by the query-inventory registration; library
+    * callers read the map-typed table. */
+  def runsScalarView(runs: DataFrame): DataFrame =
+    runs.select(
+      col("run_id"), col("model"),
+      to_json(array_sort(map_entries(col("params")))).as("params_json"),
+      to_json(array_sort(map_entries(col("metrics")))).as("metrics_json"),
+      col("trained_at"))
 
   /** Fit-and-track for the demand models: trains the shared-cache RF and
     * the linear baseline on the standard date split, evaluates each on

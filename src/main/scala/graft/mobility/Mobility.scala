@@ -187,9 +187,17 @@ object Mobility {
     * the cutover (unbounded zone vocabularies: H3 cells, geohashes) the
     * distributed loop runs: iterations are tiny-table joins, the residual
     * a 1-row broadcast, `localCheckpoint` per round keeps lineage flat.
-    * Both paths emit identical results (spec-asserted): same iteration
-    * algebra, ranks rounded at 6 dp (the Σ is the only order-sensitive
-    * float), `pos` ranked by the ROUNDED value with a zone-asc tiebreak. */
+    * Both paths emit identical results (spec-asserted), and the parity is
+    * EXACT, not rounding-masked: the per-dest contribution sum — the only
+    * order-sensitive float — follows the repo's scaled-integer policy
+    * (`sum(round(term·10¹⁵))/10¹⁵`; each edge term ≤ 1, so per-dest and
+    * carried sums stay < 2⁵³ and integer-valued doubles add exactly in
+    * ANY partition/fold order). Every other op (÷, +) is a single
+    * correctly-rounded IEEE step, so rank vectors are bit-identical by
+    * induction across the two paths and across parallelism levels; ranks
+    * round at 6 dp for output, `pos` ranks the ROUNDED value with a
+    * zone-asc tiebreak. The driver fold replicates Spark's `round` via
+    * BigDecimal.valueOf + HALF_UP — the same decimal-string semantics. */
   def zonePageRank(silver: DataFrame, iters: Int = 10,
       damping: Double = 0.85, checkpointEvery: Int = 1,
       driverCutover: Int = 512): DataFrame = {
@@ -212,12 +220,15 @@ object Mobility {
       val idx = zs.zipWithIndex.toMap
       var rank = Array.fill(zs.length)(1.0 / n)
       for (_ <- 1 to iters) {
-        val contrib = new Array[Double](zs.length)
-        es.foreach { case (o, d, p) => contrib(idx(d)) += p * rank(idx(o)) * damping }
+        val contrib = new Array[Double](zs.length) // scaled-integer sums
+        es.foreach { case (o, d, p) =>
+          contrib(idx(d)) += BigDecimal.valueOf(p * rank(idx(o)) * damping * 1e15)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble
+        }
         var carried = 0.0
         contrib.foreach(carried += _)
-        val resid = (1.0 - carried) / n
-        rank = contrib.map(_ + resid)
+        val resid = (1.0 - carried / 1e15) / n
+        rank = contrib.map(_ / 1e15 + resid)
       }
       val rounded = zs.zip(rank).map { case (z, r) =>
         (z, BigDecimal.valueOf(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
@@ -232,13 +243,14 @@ object Mobility {
       val contrib = edges
         .join(ranks, edges("origin") === ranks("zone_id"))
         .groupBy(col("dest").as("zone_id"))
-        .agg(sum(col("p_dest") * col("rank") * damping).as("contrib"))
+        .agg(sum(round(col("p_dest") * col("rank") * damping * 1e15, 0)).as("contrib"))
       val carried = contrib.agg(sum("contrib").as("s"))
       ranks = zones
         .join(contrib, Seq("zone_id"), "left")
         .crossJoin(broadcast(carried))
         .select(col("zone_id"),
-          (coalesce(col("contrib"), lit(0.0)) + (lit(1.0) - col("s")) / n)
+          (coalesce(col("contrib"), lit(0.0)) / 1e15
+            + (lit(1.0) - col("s") / 1e15) / n)
             .as("rank"))
       // eager checkpoint every `checkpointEvery` rounds. MEASURED, not
       // assumed (graft.Probe, round 7): the carried-mass scalar's double

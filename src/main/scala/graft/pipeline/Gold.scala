@@ -79,6 +79,49 @@ object Gold {
         col("location_id"), col("event_type"), col("value"),
         col("ts"), col("event_date"))
 
+  /** Event-type dimension — the driver's events schema has no
+    * driver/vehicle column (SURVEY §3 maps `driver_id → —`), so the
+    * reference's extra-dimension builds (dim_drivers/dim_vehicle,
+    * silver_to_gold.py:69-82: distinct natural key + surrogate) are
+    * exercised through the two dimension roles the events DO carry:
+    * this bounded categorical dim plus the zone dim in a second (origin)
+    * role — see [[factEventsWide]]. */
+  def dimEventTypes(silver: DataFrame): DataFrame =
+    silver.select("event_type").where(col("event_type").isNotNull).dropDuplicates()
+      .withColumn("event_type_key", sha2(col("event_type"), 256))
+      .select("event_type_key", "event_type")
+
+  /** Wide event fact: FOUR dimension roles per row — user, current zone,
+    * ORIGIN zone (the previous event's zone per user, the mobility analog
+    * of the reference's pickup vs dropoff double-role location join,
+    * silver_to_gold.py:112-113 joins trips_fact to two extra dims the
+    * same way), and event type.
+    *
+    * Scale: the origin-zone lag windows on `user_id` — the same
+    * data-growing key the silver dedup already shuffles on, so AQE can
+    * reuse sizing; the three bounded dims (zones twice, event types once)
+    * are explicit broadcasts — the fact is never shuffled for a dim join;
+    * the user dim is left to Catalyst/AQE size estimation exactly as in
+    * [[factEvents]]. */
+  def factEventsWide(silver: DataFrame, users: DataFrame, zones: DataFrame,
+      eventTypes: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    silver
+      .withColumn("time_id", timeIdCol)
+      .withColumn("origin_zone_id", lag(col("zone_id"), 1).over(byUser))
+      .join(users, Seq("user_id"), "left")
+      .join(broadcast(zones.select(col("location_id"), col("zone_id"))),
+        Seq("zone_id"), "left")
+      .join(broadcast(zones.select(col("location_id").as("origin_location_id"),
+        col("zone_id").as("origin_zone_id"))), Seq("origin_zone_id"), "left")
+      .join(broadcast(eventTypes), Seq("event_type"), "left")
+      .select(
+        col("event_id"), col("time_id"), col("user_key"),
+        col("location_id"), col("origin_location_id"), col("event_type_key"),
+        col("value"), col("ts"), col("event_date"))
+  }
+
   /** Payments fact: monetary events only (reference payments_fact keeps
     * fares — silver_to_gold.py:146-165; here `purchase` events carry the
     * amount). Filter FIRST so the join input is already pruned. */

@@ -209,33 +209,66 @@ object Pipeline {
     * spec-tested but had no oracle-checked output).
     *
     * Token counts are non-empty whitespace tokens (the `t_pk` packing
-    * definition). Each stage row is one aggregate over the composed
-    * lineage — Catalyst shares the upstream scan/stages across the union
-    * branches; the report's cost is the curation run itself. */
+    * definition).
+    *
+    * Cost model (honest — Spark performs NO cross-branch common-
+    * subexpression reuse across union branches; ReuseExchange only dedups
+    * identical exchanges within one physical plan): each of the nine
+    * aggregates re-evaluates the curation tail DOWNSTREAM of
+    * `dupClusters`' internal localCheckpoint — the expensive middle
+    * (LSH + cluster loop) is pinned by construction and never re-runs.
+    * MEASURED at sf0.1 (5k docs): the whole nine-branch union job costs
+    * ~1.1 s on top of runCuration's ~4.1 s eager cluster loop, because the
+    * branches evaluate concurrently across cores; a persist-every-stage
+    * variant was measured SLOWER (7.5 s of serialized cache-fill latency,
+    * and the InMemoryRelation chain slowed the decontaminate tail 4× by
+    * breaking the codegen'd scan pipeline — round 9). The trade flips at
+    * scale: when the post-checkpoint tails are expensive (100 TB corpora,
+    * not benchmark-sized ones), set `pinStages = true` to persist each
+    * stage, fill the caches sequentially in dependency order (concurrent
+    * tasks racing an unfilled cache each recompute it), and unpersist
+    * after the report materializes — each stage then executes exactly
+    * once at the price of one job of latency per stage. */
   def curationReport(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.2,
       rates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0,
+      pinStages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val stages = runCuration(docs, benchmark, minQuality, rates, defaultRate)
     val splits = stages("split")
-    val named = Seq(
-      ("input", docs),
-      ("quality_kept", stages("quality_kept")),
-      ("exact_kept", stages("exact_kept")),
-      ("near_kept", stages("near_kept")),
-      ("decontaminated", stages("decontaminated")),
-      ("curated", stages("curated")),
-      ("split_train", splits.filter(col("split") === "train")),
-      ("split_val", splits.filter(col("split") === "val")),
-      ("split_test", splits.filter(col("split") === "test")))
-    named.zipWithIndex.map { case ((name, df), i) =>
-      df.agg(
-        count(lit(1)).as("n_docs"),
-        coalesce(sum(size(filter(split(lower(col("text")), " "), t => t =!= ""))),
-          lit(0L)).as("n_tokens"))
-        .select(lit(i).as("stage_idx"), lit(name).as("stage"),
-          col("n_docs"), col("n_tokens"))
-    }.reduce(_.unionByName(_))
+    // CacheManager substitutes by logical-plan fragment at planning time,
+    // so persisting here also serves the frames derived from these inside
+    // runCuration (e.g. splits was built from `curated` before this call).
+    val pinned =
+      if (!pinStages) Seq.empty
+      else Seq("quality_kept", "exact_kept", "near_kept",
+        "decontaminated", "curated").map(stages) :+ splits
+    pinned.foreach { df => df.persist(); df.count(); () }
+    try {
+      val named = Seq(
+        ("input", docs),
+        ("quality_kept", stages("quality_kept")),
+        ("exact_kept", stages("exact_kept")),
+        ("near_kept", stages("near_kept")),
+        ("decontaminated", stages("decontaminated")),
+        ("curated", stages("curated")),
+        ("split_train", splits.filter(col("split") === "train")),
+        ("split_val", splits.filter(col("split") === "val")),
+        ("split_test", splits.filter(col("split") === "test")))
+      val report = named.zipWithIndex.map { case ((name, df), i) =>
+        df.agg(
+          count(lit(1)).as("n_docs"),
+          coalesce(sum(size(filter(split(lower(col("text")), " "), t => t =!= ""))),
+            lit(0L)).as("n_tokens"))
+          .select(lit(i).as("stage_idx"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }.reduce(_.unionByName(_))
+      // when pinned, materialize BEFORE the caches drop in finally
+      if (pinStages) report.localCheckpoint(true) else report
+    } finally {
+      pinned.foreach(_.unpersist())
+      ()
+    }
   }
 }

@@ -142,5 +142,42 @@ class ModelsSpec extends SparkSpec {
     assert(graft.ml.Experiments.history(spark, path, "manual").count() === 1)
     val best = graft.ml.Experiments.bestByMetric(spark, path, "rmse")
     assert(best.count() === 3) // one champion per model
+    // a run MISSING the requested metric must never be crowned champion:
+    // ascending order defaults to NULLs-first, so without nulls_last this
+    // classifier-style run (no rmse in its metrics map) would win
+    graft.ml.Experiments.logRun(spark, path, "manual",
+      Map("kind" -> "classifier"), Map("accuracy" -> 0.9),
+      java.sql.Timestamp.valueOf("2024-02-02 00:00:00"))
+    val manualBest = graft.ml.Experiments.bestByMetric(spark, path, "rmse")
+      .filter(col("model") === "manual")
+      .select(element_at(col("metrics"), "rmse")).head()
+    assert(!manualBest.isNullAt(0) && manualBest.getDouble(0) === 1.0,
+      "champion must be the run that HAS the metric, not the NULL one")
+  }
+
+  test("experiment tracking: deterministic run_ids and a scalar-typed gate view") {
+    val path = "/root/repo/target/test_ml_runs_ids"
+    val runs = graft.ml.Experiments.trackedDemandRuns(demandFeat, path)
+    // run_id is md5(model|key-sorted params|pinned trained_at) — fully
+    // reproducible, so the exact ids are pinned here (the driver's
+    // rows-only check sees a byte-stable table across replays)
+    val ids = runs.select("run_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(ids === Set(
+      "03cb2fecd0ae4ddd266f9748f8f3150d", // random_forest
+      "1d2159ec4b2be48c75aa2320bb0c8cc9"), // linear
+      s"unexpected run_ids: $ids")
+    // gate view: every column scalar (no MapType anywhere — the driver's
+    // pandas sort crashes on unhashable map cells), maps rendered as
+    // key-sorted JSON so the string is deterministic
+    val view = graft.ml.Experiments.runsScalarView(runs)
+    assert(view.count() === 2)
+    assert(view.schema.fields.forall(f => !Bench.containsMap(f.dataType)),
+      "gate view must contain no map types")
+    val pj = view.filter(col("model") === "random_forest")
+      .select("params_json").head().getString(0)
+    assert(pj ===
+      """[{"key":"maxDepth","value":"8"},{"key":"numTrees","value":"20"},{"key":"seed","value":"42"}]""",
+      s"params_json not key-sorted deterministic: $pj")
   }
 }

@@ -96,6 +96,19 @@ class PipelineRunnerSpec extends SparkSpec {
     assert(qa.getAs[Long]("tp") + qa.getAs[Long]("fn") > 0, "eval saw the planted near-dups")
   }
 
+  test("curationReport: pinStages produces the identical 9-row report") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.01")
+    val bench = docs.filter(col("doc_id") % 20 === 0)
+    val lazyRep = Pipeline.curationReport(docs, bench,
+      minQuality = 0.2, rates = Map("en" -> 0.5), defaultRate = 1.0)
+    val pinnedRep = Pipeline.curationReport(docs, bench,
+      minQuality = 0.2, rates = Map("en" -> 0.5), defaultRate = 1.0,
+      pinStages = true)
+    assert(lazyRep.count() === 9)
+    assert(lazyRep.exceptAll(pinnedRep).count() === 0)
+    assert(pinnedRep.exceptAll(lazyRep).count() === 0)
+  }
+
   test("cross-stage optimization: fact build reuses the silver lineage plan") {
     val out = Pipeline.runMedallion(spark, sfDir)
     // the fact's analyzed plan embeds the silver dedup window — one

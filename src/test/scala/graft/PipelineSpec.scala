@@ -84,6 +84,35 @@ class PipelineSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), "fact-dim join must not sort-merge")
   }
 
+  test("wide fact: four dim roles resolved, silver grain kept, dims broadcast") {
+    val wide = Gold.factEventsWide(silver, Gold.dimUsers(silver),
+      Gold.dimZones(silver), Gold.dimEventTypes(silver))
+    assert(wide.count() === silver.count())
+    assert(wide.filter(col("user_key").isNull).count() === 0)
+    assert(wide.filter(col("event_type_key").isNull).count() === 0)
+    // origin role: each user's FIRST event (by ts, event_id) has no
+    // origin; every later event's origin is the previous event's zone —
+    // so null-origin rows == number of users with >= 1 event
+    val users = silver.select("user_id").distinct().count()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val expected = silver
+      .withColumn("oz", lag(col("zone_id"), 1).over(w))
+      .filter(col("oz").isNull).count()
+    assert(wide.filter(col("origin_location_id").isNull).count() === expected)
+    assert(expected >= users) // first-event rows plus null-zone predecessors
+    // both zone roles resolve through the SAME dim: a row whose origin
+    // zone equals its current zone carries identical surrogate keys
+    val zs = Gold.dimZones(silver).select(col("location_id"), col("zone_id"))
+    val oneZone = wide.join(zs, Seq("location_id"))
+      .filter(col("origin_location_id") === col("location_id"))
+    assert(oneZone.count() > 0)
+    // plan: the three bounded dims broadcast; no sort-merge join anywhere
+    val plan = wide.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins, got:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), "wide fact dim joins must not sort-merge")
+  }
+
   test("aggregates reconcile with silver totals") {
     val purchases = silver.filter(col("event_type") === "purchase")
     val rev = Aggregates.revenueDailyByZone(silver)

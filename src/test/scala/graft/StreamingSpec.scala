@@ -186,6 +186,53 @@ class StreamingSpec extends SparkSpec {
     assert(after.select("event_date").distinct().count() === 2)
   }
 
+  test("incremental dedup stream: two micro-batches equal the full batch LSH; replay is idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_mi").toString
+    val src = s"$root/src"
+    val indexPath = s"$root/index"
+    val pairsPath = s"$root/pairs"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text")
+    // two source files → two micro-batches (maxFilesPerTrigger = 1)
+    docs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    docs.filter(col("doc_id") % 2 =!= 0).coalesce(1)
+      .write.mode("append").parquet(src)
+    Streams.incrementalDedupStream(spark, src, indexPath, pairsPath,
+      checkpoint = s"$root/ckpt")
+    val streamedPairs = spark.read.parquet(pairsPath)
+    assert(streamedPairs.select("batch_id").distinct().count() === 2,
+      "AvailableNow + maxFilesPerTrigger=1 must process two micro-batches")
+    // the union of per-batch pair partitions equals the one-shot batch
+    // minhashLsh over the whole corpus — for ANY split into batches
+    // (batch-1 pairs: internal; batch-2 pairs: internal + cross via index)
+    val batchPairs = graft.dedup.Dedup.minhashLsh(docs)
+    val streamed = streamedPairs.select("doc_a", "doc_b", "est_jaccard")
+    assert(streamed.count() === batchPairs.count())
+    assert(streamed.exceptAll(batchPairs).count() === 0)
+    assert(batchPairs.exceptAll(streamed).count() === 0)
+    // index accumulated both batches' signatures, exactly once per doc/band
+    val index = spark.read.parquet(indexPath)
+    assert(index.select("doc_id").distinct().count() === docs.count())
+    // idempotent replay: re-running the LAST micro-batch (at-least-once
+    // recovery) leaves both tables byte-identical — the stored index
+    // excludes the batch's own partition when it joins, and the dynamic
+    // overwrite rewrites rather than appends
+    val indexBefore = index.collect().toSet
+    // partition columns read back as int: cast before extracting
+    val lastBatch = streamedPairs.agg(max(col("batch_id").cast("long")))
+      .head().getLong(0)
+    val lastDocs = index.filter(col("batch_id") === lastBatch)
+      .select("doc_id").distinct()
+      .join(docs, "doc_id")
+    Streams.incrementalDedupBatch(lastDocs, lastBatch, indexPath, pairsPath)
+    assert(spark.read.parquet(pairsPath)
+      .select("doc_a", "doc_b", "est_jaccard")
+      .exceptAll(batchPairs).count() === 0)
+    assert(spark.read.parquet(pairsPath).count() === batchPairs.count())
+    assert(spark.read.parquet(indexPath).collect().toSet === indexBefore)
+  }
+
   test("stream-static enrich: dim joined per micro-batch, no state store, gaps kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
