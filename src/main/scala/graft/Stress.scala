@@ -136,7 +136,8 @@ object Stress {
     val chainPairs = spark.range(4095L)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     time("clusters_chain4k_dbl")(
-      Dedup.dupClusters(chainDocs, chainPairs, maxIter = 30, pointerDoubling = true))
+      Dedup.dupClusters(chainDocs, chainPairs, maxIter = 30, pointerDoubling = true,
+        driverCutover = 0L)) // pin the distributed loop: this line gates pointer doubling
 
     // 100× CLEAN corpus (opt-in: SPARK_GRAFT_STRESS_100X=1): 500k docs,
     // every word suffixed per copy so copies share no shingles — the
@@ -376,6 +377,59 @@ object Stress {
     time("rfm_quintiles_10x")(
       graft.features.FeatureEngineering.rfmSegments(silverOf(ev10)))
     ev10.unpersist()
+
+    // End-to-end curation at 1× vs 10× CLEAN growth: every word suffixed
+    // per copy so copies share no shingles — stage volumes (quality
+    // scores, dedup windows, LSH buckets, decontam joins, sample/split
+    // hashes) all grow 10× with no candidate blow-up, so the report's
+    // composed five shuffle families must track ~linearly. The adversarial
+    // candidate-volume axis is already gated by minhash_*_10x above; this
+    // line gates the COMPOSITION (the `cur` entry is the second-most
+    // expensive bench line, dominated by the cluster loop's fixed
+    // round-latency at test SF — which a 10× corpus amortizes).
+    val docsL = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
+    def curCorpus(copies: Int): DataFrame = (0 until copies).map { i =>
+      docsL.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("lang"),
+        regexp_replace(col("text"), "(\\S+)", s"$$1_$i").as("text"))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    val cur1 = curCorpus(1)
+    println(s"curation corpus 1x: ${cur1.count()} docs")
+    time("curation_1x")(graft.pipeline.Pipeline.curationReport(
+      cur1, cur1.filter(col("doc_id") % 20 === 0),
+      minQuality = 0.2, rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1))
+    cur1.unpersist()
+    val cur10 = curCorpus(10)
+    println(s"curation corpus 10x: ${cur10.count()} docs")
+    time("curation_10x")(graft.pipeline.Pipeline.curationReport(
+      cur10, cur10.filter(col("doc_id") % 20 === 0),
+      minQuality = 0.2, rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1))
+    time("curation_10x_pin")(graft.pipeline.Pipeline.curationReport(
+      cur10, cur10.filter(col("doc_id") % 20 === 0),
+      minQuality = 0.2, rates = Map("en" -> 0.5, "de" -> 0.25), defaultRate = 0.1,
+      pinStages = true))
+    cur10.unpersist()
+    spark.catalog.clearCache()
+
+    // Embedding decontamination growth curve: the operator is
+    // DECLARED-QUADRATIC — cost ∝ |corpus| × |benchmark| through the
+    // broadcast cross join — so with the corpus fixed at 10× (20k
+    // vectors), time must grow ~linearly in |benchmark| (1×/4×/16×
+    // benchmark slices). The measured curve is the scaladoc's contract:
+    // it stays affordable exactly while benchmarks are benchmark-sized,
+    // and the 16× line quantifies the slope a caller extrapolates before
+    // reaching for the sharded-broadcast/LSH fallback.
+    val embT = Tables.embeddings(spark, sfDir)
+    val emb10 = (0 until 10).map { i =>
+      embT.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+    }.reduce(_ unionByName _).repartition(cpus.toInt).cache()
+    println(s"embedding corpus 10x: ${emb10.count()} vectors")
+    val embBase = embT.orderBy("vec_id")
+    for (mult <- Seq(1, 4, 16)) {
+      val benchN = 100 * mult
+      time(f"emb_decontam_b${mult}%dx")(Dedup.embeddingDecontaminate(
+        emb10, embBase.limit(benchN), minCosine = 0.95))
+    }
+    emb10.unpersist()
 
     spark.stop()
   }

@@ -215,8 +215,9 @@ object Pipeline {
     * subexpression reuse across union branches; ReuseExchange only dedups
     * identical exchanges within one physical plan): each of the nine
     * aggregates re-evaluates the curation tail DOWNSTREAM of
-    * `dupClusters`' internal localCheckpoint — the expensive middle
-    * (LSH + cluster loop) is pinned by construction and never re-runs.
+    * `dupClusters`' pinned result (the driver union-find's broadcast map
+    * below its edge cutover, the per-round localCheckpoint above it) —
+    * the expensive middle (LSH + clustering) runs once by construction.
     * MEASURED at sf0.1 (5k docs): the whole nine-branch union job costs
     * ~1.1 s on top of runCuration's ~4.1 s eager cluster loop, because the
     * branches evaluate concurrently across cores; a persist-every-stage

@@ -117,16 +117,26 @@ class DedupSpec extends SparkSpec {
     val planted = Seq(1L, 2L, 3L, 4L, 10L).toDF("doc_id")
     // chain 1-2-3-4 (diameter 3 — takes >1 propagation round), 10 isolated
     val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("doc_a", "doc_b")
-    val out = Dedup.dupClusters(planted, pairs).collect()
-      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Int]("is_canonical"))).toMap
-    assert(out(1L) === (1L, 1) && out(2L) === (1L, 0) && out(3L) === (1L, 0) && out(4L) === (1L, 0))
-    assert(out(10L) === (10L, 1))
+    // both execution paths must produce the identical map: the default
+    // hits the driver union-find (3 pairs ≤ cutover), cutover=0 forces
+    // the distributed propagation loop
+    for (cutover <- Seq(200000L, 0L)) {
+      val out = Dedup.dupClusters(planted, pairs, driverCutover = cutover).collect()
+        .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Long]("cluster_id"), r.getAs[Int]("is_canonical"))).toMap
+      assert(out(1L) === (1L, 1) && out(2L) === (1L, 0) && out(3L) === (1L, 0) && out(4L) === (1L, 0))
+      assert(out(10L) === (10L, 1))
+    }
     // real corpus: every minhash pair lands in one cluster, exactly one
     // canonical doc per cluster, all docs labeled
     val clusters = Dedup.dupClusters(docs, Dedup.minhashLsh(docs)).cache()
     assert(clusters.count() === docs.count())
     assert(clusters.groupBy("cluster_id")
       .agg(sum("is_canonical").as("n_canon")).filter(col("n_canon") =!= 1).count() === 0)
+    // driver/distributed parity on the real corpus's pair graph
+    val dist = Dedup.dupClusters(docs, Dedup.minhashLsh(docs), driverCutover = 0L)
+    assert(clusters.exceptAll(dist).count() === 0)
+    assert(dist.exceptAll(clusters).count() === 0)
+    clusters.unpersist()
   }
 
   test("incremental minhash equals the full batch restricted to batch-touching pairs") {
@@ -150,14 +160,18 @@ class DedupSpec extends SparkSpec {
     val chainDocs = spark.range(n).select(col("id").as("doc_id"))
     val chainPairs = spark.range(n - 1)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val out = Dedup.dupClusters(chainDocs, chainPairs, pointerDoubling = true)
+    // cutover pinned to 0: this test gates the DISTRIBUTED doubling loop
+    // (63 pairs would otherwise take the driver union-find)
+    val out = Dedup.dupClusters(chainDocs, chainPairs, pointerDoubling = true,
+      driverCutover = 0L)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(out.size === n.toInt)
     assert(out.values.forall(_ == 0L), "every chain node must label to doc 0")
-    // and on the real corpus both paths must agree exactly
+    // and on the real corpus all three paths must agree exactly
     val pairs = Dedup.minhashLsh(docs)
-    val plain = Dedup.dupClusters(docs, pairs)
-    val doubled = Dedup.dupClusters(docs, pairs, pointerDoubling = true)
+    val plain = Dedup.dupClusters(docs, pairs, driverCutover = 0L)
+    val doubled = Dedup.dupClusters(docs, pairs, pointerDoubling = true,
+      driverCutover = 0L)
     assert(plain.exceptAll(doubled).count() === 0)
     assert(doubled.exceptAll(plain).count() === 0)
   }
