@@ -14,6 +14,7 @@ import graft.pipeline.{Aggregates, Bronze, Gold, Silver}
 import graft.quality.DataQuality
 import graft.scoring.Scoring
 import graft.similarity.Similarity
+import graft.sources.VersionedTable
 import graft.streaming.Streams
 import graft.text.TextFunctions
 
@@ -77,6 +78,24 @@ object SparkEntry {
 
   /** Monitoring windows split the 30-day dataset at its midpoint. */
   private val monitorSplit = "2024-01-15"
+
+  /** Versioned-table fixture for `vt_tt`/`vt_h`: three commits in a fresh
+    * temp dir (v0 overwrite signups, v1 append clicks, v2 rollback→v0).
+    * `repartition(1)` pins one data file per commit so the history's
+    * n_files is protocol-determined (1, then 1 carried + 1 new, then 1
+    * re-pointed), independent of session parallelism. The dir is NOT
+    * deleted here — the returned reads stay lazy until the driver dumps
+    * them; fresh-JVM runs (fork=true) keep /tmp accumulation bounded. */
+  private def buildVersionedTable(s: SparkSession, dir: String): String = {
+    val tbl = java.nio.file.Files.createTempDirectory("graft_vt").toString
+    val sv = silver(s, dir).select("event_id", "event_type", "value").repartition(1)
+    VersionedTable.commit(sv.filter(col("event_type") === "signup"), tbl,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(sv.filter(col("event_type") === "click"), tbl,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.rollback(s, tbl, 0L, ts = "2026-01-03T00:00:00Z")
+    tbl
+  }
 
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
@@ -338,6 +357,31 @@ object SparkEntry {
     // SCD type-2 versioned dimension: zone-assignment validity intervals
     // per user (the reference's static dim_users cannot express history)
     "d_s2" -> ((s, dir) => Gold.scd2UserZones(silver(s, dir))),
+    // Snapshot-versioned table (sources/VersionedTable.scala — the Delta
+    // history/time-travel/rollback surface over plain parquet + a
+    // manifest log): v0 = overwrite(signups), v1 = append(clicks),
+    // v2 = rollback to v0. Each snapshot read is re-aggregated and the
+    // oracle mirrors the slice CONTENT from silver — so the manifest
+    // protocol (file carry-over on append, re-pointing on rollback,
+    // ts-based asof resolution) is what's actually under test.
+    "vt_tt" -> ((s, dir) => {
+      val tbl = buildVersionedTable(s, dir)
+      def snap(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
+          .withColumn("snap", lit(name))
+      snap("v0", VersionedTable.readVersion(s, tbl, 0L))
+        .unionByName(snap("v1", VersionedTable.readVersion(s, tbl, 1L)))
+        .unionByName(snap("v2_rollback", VersionedTable.readVersion(s, tbl)))
+        .unionByName(snap("asof_d1",
+          VersionedTable.readAsOf(s, tbl, "2026-01-01T12:00:00Z")))
+        .select("snap", "n_rows", "sum_value")
+    }),
+    // the commit log itself (Delta DESCRIBE HISTORY shape): version/ts/op
+    // plus the snapshot's file count — single-file commits by
+    // construction (repartition(1) in the builder), so n_files counts
+    // carried manifests entries, not write parallelism
+    "vt_h" -> ((s, dir) => VersionedTable.history(s, buildVersionedTable(s, dir))),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "a_ur" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
@@ -1137,6 +1181,36 @@ object SparkEntry {
          |       n_events
          |FROM runs
          |WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from, grp)""".stripMargin,
+
+    // each snapshot read must equal the slice it was committed from:
+    // v0/asof = signups, v1 = signups ∪ clicks (append carried v0's
+    // file), v2_rollback = signups again (re-pointed manifest)
+    "vt_tt" ->
+      s"""$silverCte,
+         |slice AS (
+         |  SELECT 'v0' AS snap, count(*) AS n_rows,
+         |         round(sum(round(value * 100)) / 100, 2) AS sum_value
+         |  FROM silver WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT 'v1', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM silver WHERE event_type IN ('signup', 'click')
+         |  UNION ALL
+         |  SELECT 'v2_rollback', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM silver WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT 'asof_d1', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM silver WHERE event_type = 'signup'
+         |)
+         |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
+
+    // the log is protocol-determined: fixed ts (caller-supplied), ops,
+    // and single-file commits → literal oracle
+    "vt_h" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(0 AS BIGINT), '2026-01-01T00:00:00Z', 'overwrite', 1),
+        |  (CAST(1 AS BIGINT), '2026-01-02T00:00:00Z', 'append', 2),
+        |  (CAST(2 AS BIGINT), '2026-01-03T00:00:00Z', 'rollback(0)', 1)
+        |) AS t(version, ts, op, n_files)""".stripMargin,
 
     "a_dem" ->
       s"""$silverCte

@@ -14,17 +14,16 @@ import org.apache.spark.sql.DataFrame
   * a transaction log. `maxRecordsPerFile` bounds file sizes so a skewed
   * partition cannot produce a single multi-GB file.
   *
-  * What a table format (Delta/Iceberg) would ADD over these sinks, and
-  * deliberately out of scope here (the reference's delta_utils.py:14-50
-  * itself uses only read + overwrite, none of the below): version
-  * pinning / time travel (plain parquet has no history — a bad batch is
-  * repaired by replaying the idempotent writer, not by rollback),
-  * snapshot-isolated concurrent writers (see `compactPartitions`'
-  * exclusive-access contract), and ACID MERGE (re-expressed here as the
-  * oracle-checked key-window upsert, `Scoring.upsertPredictions`).
-  * Every operator in this library reads/writes through DataFrames, so
-  * swapping `parquet(path)` for `format("delta")` is a sink-level
-  * change — no operator would notice.
+  * What a table format (Delta/Iceberg) would ADD over these sinks:
+  * version pinning / time travel / rollback / vacuum — provided by
+  * [[VersionedTable]] (manifest log + optimistic rename commit) since
+  * round 9 — snapshot-isolated concurrent writers (VersionedTable's
+  * rename guard serializes commits; `compactPartitions` keeps its
+  * exclusive-access contract for the in-place path), and ACID MERGE
+  * (re-expressed here as the oracle-checked key-window upsert,
+  * `Scoring.upsertPredictions`). Every operator in this library
+  * reads/writes through DataFrames, so swapping `parquet(path)` for
+  * `format("delta")` is a sink-level change — no operator would notice.
   */
 object Sinks {
 

@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-versioned parquet table: the Delta-lake surface the reference
+  * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
+  * PLUS the history / time-travel / rollback / vacuum operations its
+  * Delta storage would offer — re-expressed storage-agnostically over
+  * plain parquet with a manifest log, so [[Sinks]]' "out of scope" gap is
+  * closed instead of documented away.
+  *
+  * Layout:
+  * {{{
+  *   table/
+  *     _manifests/v00000000.manifest   # one per committed snapshot
+  *     files/c00000000/part-*.parquet  # data files, NEVER rewritten
+  * }}}
+  *
+  * A manifest is a plain text file — `key=value` header lines then one
+  * relative data-file path per line (no JSON library needed, greppable
+  * on the cluster):
+  * {{{
+  *   version=3
+  *   ts=2026-08-14T00:00:00Z
+  *   op=append
+  *   files/c00000001/part-0000.parquet
+  *   files/c00000003/part-0000.parquet
+  * }}}
+  *
+  * COMMIT PROTOCOL (optimistic concurrency, the Delta log trick on a
+  * filesystem with atomic rename): data files land first under a
+  * version-owned directory, then the manifest is written to a temp name
+  * and RENAMED to `v<next>.manifest`. Hadoop `rename` onto an existing
+  * destination returns false, so of two racing writers targeting the
+  * same version exactly one commits; the loser's exception tells it to
+  * re-read the log and retry on top of the winner (its orphaned data
+  * directory is reclaimed by [[vacuum]]). This holds on HDFS and local
+  * filesystems; on S3 (no atomic rename) it needs a coordination layer,
+  * exactly as Delta-on-S3 needs LogStore — documented, not hidden.
+  *
+  * Scale notes: every operation here is DRIVER-SIDE METADATA except the
+  * data write itself — `history` reads manifest headers (never data),
+  * `readVersion` hands Spark an explicit file list (footer-pruned,
+  * pushdown intact — the scan plans exactly like a plain parquet read),
+  * `rollback` writes one manifest re-pointing at old files (zero data
+  * copied, Delta RESTORE semantics), `vacuum` diffs the referenced set
+  * against a directory listing. A snapshot's file count grows only with
+  * appends since its last overwrite, and [[Sinks.compactPartitions]]'
+  * small-file pressure is the same here: compact by committing an
+  * `overwrite` of the coalesced read.
+  *
+  * Timestamps are caller-supplied (`ts`), not wall-clock: replaying a
+  * pipeline reproduces the log byte-for-byte, and `readAsOf` is
+  * deterministic in tests. Pass ingestion batch time in production.
+  */
+object VersionedTable {
+
+  private val ManifestDir = "_manifests"
+
+  private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
+    val p = new Path(path)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private def manifestPath(root: Path, v: Long): Path =
+    new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
+
+  /** Manifest content: (version, ts, op, relative data-file paths). */
+  private case class Manifest(version: Long, ts: String, op: String, files: Seq[String])
+
+  private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest = {
+    val in = hfs.open(manifestPath(root, v))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
+    val hdr = lines.takeWhile(_.contains("=")).map { l =>
+      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
+      lines.dropWhile(_.contains("=")))
+  }
+
+  /** All committed versions, ascending (driver-side listing, no data read). */
+  private def versions(hfs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, ManifestDir)
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
+        n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  /** Latest committed version, or -1 for an empty/new table. */
+  def latestVersion(spark: SparkSession, path: String): Long = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption.getOrElse(-1L)
+  }
+
+  /** Commit `df` as the next snapshot. `mode` is `"overwrite"` (snapshot =
+    * this batch only) or `"append"` (snapshot = previous file list + this
+    * batch's files). Returns the committed version. Thread-safe across
+    * writers per the rename protocol above: a lost race throws
+    * `ConcurrentCommitException`; re-read and retry. */
+  def commit(df: DataFrame, path: String, mode: String = "append",
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    require(mode == "append" || mode == "overwrite", s"bad mode: $mode")
+    val spark = df.sparkSession
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption
+    val next = prev.map(_ + 1).getOrElse(0L)
+    // Data first: a crash after this leaves an orphaned directory that
+    // vacuum reclaims; the table is unchanged until the manifest renames.
+    val dataDir = f"files/c$next%08d"
+    df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDir/${s.getPath.getName}")
+    val carried =
+      if (mode == "append") prev.map(readManifest(hfs, root, _).files).getOrElse(Seq.empty)
+      else Seq.empty
+    commitManifest(hfs, root, Manifest(next, ts, mode, carried ++ newFiles))
+    next
+  }
+
+  /** Signals a lost optimistic-concurrency race: another writer committed
+    * the same version first. Re-read the log and retry on top. */
+  final class ConcurrentCommitException(v: Long) extends RuntimeException(
+    s"version $v was committed by a concurrent writer; re-read and retry")
+
+  /** Exposed for the race-guard spec: publish a manifest for an exact
+    * version, failing if that version already exists. */
+  private[graft] def commitManifestAt(spark: SparkSession, path: String,
+      version: Long, ts: String, op: String, files: Seq[String]): Unit = {
+    val (hfs, root) = fs(spark, path)
+    commitManifest(hfs, root, Manifest(version, ts, op, files))
+  }
+
+  private def commitManifest(hfs: FileSystem, root: Path, m: Manifest): Unit = {
+    val dir = new Path(root, ManifestDir)
+    hfs.mkdirs(dir)
+    val target = manifestPath(root, m.version)
+    if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
+    val tmp = new Path(dir, s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, false)
+    try out.write((Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++ m.files)
+      .mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    // Atomic publish: rename-if-absent — exactly one of N racers wins.
+    if (!hfs.rename(tmp, target)) {
+      hfs.delete(tmp, false)
+      throw new ConcurrentCommitException(m.version)
+    }
+  }
+
+  /** Read a snapshot: latest when `version` < 0, else that exact version.
+    * The explicit file list goes straight to the parquet source — column
+    * pruning and predicate pushdown apply as on any parquet scan. */
+  def readVersion(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    val (hfs, root) = fs(spark, path)
+    val v = if (version >= 0) version
+      else versions(hfs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = readManifest(hfs, root, v)
+    require(m.files.nonEmpty, s"version $v is an empty snapshot")
+    spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+  }
+
+  /** Time travel by timestamp: the latest snapshot with `ts` ≤ the given
+    * ISO-8601 instant (string comparison — ISO-8601 sorts lexically). */
+  def readAsOf(spark: SparkSession, path: String, asOf: String): DataFrame = {
+    val (hfs, root) = fs(spark, path)
+    val v = versions(hfs, root).map(readManifest(hfs, root, _))
+      .filter(_.ts <= asOf).map(_.version).lastOption
+      .getOrElse(throw new IllegalArgumentException(s"no snapshot at or before $asOf"))
+    readVersion(spark, path, v)
+  }
+
+  /** The table's commit log as a DataFrame — one row per version with the
+    * snapshot's file count (Delta DESCRIBE HISTORY's shape). Driver-side
+    * manifest headers only; no data files are opened. */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    val (hfs, root) = fs(spark, path)
+    import spark.implicits._
+    versions(hfs, root).map { v =>
+      val m = readManifest(hfs, root, v)
+      (m.version, m.ts, m.op, m.files.size)
+    }.toDF("version", "ts", "op", "n_files")
+  }
+
+  /** Roll the table back to `toVersion` by committing a NEW version whose
+    * file list is the old snapshot's — Delta RESTORE semantics: history
+    * is preserved (the bad versions stay queryable until vacuumed), no
+    * data is copied, and the operation is itself just another commit. */
+  def rollback(spark: SparkSession, path: String, toVersion: Long,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val target = readManifest(hfs, root, toVersion)
+    val next = versions(hfs, root).last + 1
+    commitManifest(hfs, root, Manifest(next, ts, s"rollback($toVersion)", target.files))
+    next
+  }
+
+  /** Delete data files referenced ONLY by versions older than the last
+    * `retainVersions` snapshots (plus any orphaned commit directories from
+    * crashed/lost-race writers). Old manifests are kept — history stays
+    * listable; reading a vacuumed version fails at scan time, as in Delta.
+    * Driver-side metadata diff; returns the deleted file count. */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val (hfs, root) = fs(spark, path)
+    val vs = versions(hfs, root)
+    if (vs.isEmpty) return 0
+    val referenced = vs.takeRight(retainVersions)
+      .flatMap(readManifest(hfs, root, _).files).toSet
+    val filesDir = new Path(root, "files")
+    if (!hfs.exists(filesDir)) return 0
+    var deleted = 0
+    hfs.listStatus(filesDir).foreach { cdir =>
+      val rel = s"files/${cdir.getPath.getName}"
+      val keep = hfs.listStatus(cdir.getPath).toSeq.filter { f =>
+        referenced.contains(s"$rel/${f.getPath.getName}")
+      }
+      if (keep.isEmpty) {
+        // whole commit dir unreferenced (vacuumed version or orphaned
+        // write) — count its parquet files, drop the directory
+        deleted += hfs.listStatus(cdir.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        hfs.delete(cdir.getPath, true)
+      } else {
+        hfs.listStatus(cdir.getPath).foreach { f =>
+          if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
+              !referenced.contains(s"$rel/${f.getPath.getName}")) {
+            hfs.delete(f.getPath, false); deleted += 1
+          }
+        }
+      }
+    }
+    deleted
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("vt_spec").toString
+
+  private def df(ids: Long*): DataFrame =
+    ids.toDF("id").withColumn("v", col("id") * 10)
+
+  private def idSet(d: DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("commit/read roundtrip: overwrite replaces, append accumulates") {
+    val t = freshTable()
+    assert(VersionedTable.latestVersion(spark, t) === -1L)
+    val v0 = VersionedTable.commit(df(1, 2, 3), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val v1 = VersionedTable.commit(df(4, 5), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    val v2 = VersionedTable.commit(df(9), t, mode = "overwrite", ts = "2026-01-03T00:00:00Z")
+    assert((v0, v1, v2) === (0L, 1L, 2L))
+    assert(idSet(VersionedTable.readVersion(spark, t, 0L)) === Set(1L, 2L, 3L))
+    assert(idSet(VersionedTable.readVersion(spark, t, 1L)) === Set(1L, 2L, 3L, 4L, 5L))
+    // latest (= v2): overwrite dropped the carried files
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(9L))
+    assert(VersionedTable.latestVersion(spark, t) === 2L)
+  }
+
+  test("rollback re-points without copying; history records the whole log") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(3), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    val rv = VersionedTable.rollback(spark, t, 0L, ts = "2026-01-03T00:00:00Z")
+    assert(rv === 2L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L, 2L))
+    // the bad version stays queryable until vacuumed (Delta RESTORE)
+    assert(idSet(VersionedTable.readVersion(spark, t, 1L)) === Set(1L, 2L, 3L))
+    val h = VersionedTable.history(spark, t)
+      .orderBy("version")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(h.toSeq === Seq(
+      (0L, "2026-01-01T00:00:00Z", "overwrite"),
+      (1L, "2026-01-02T00:00:00Z", "append"),
+      (2L, "2026-01-03T00:00:00Z", "rollback(0)")))
+    // rollback copied no data: v2's manifest points at v0's files
+    val files = VersionedTable.history(spark, t)
+      .filter(col("version").isin(0L, 2L))
+      .select("n_files").collect().map(_.getInt(0))
+    assert(files.toSeq === Seq(files.head, files.head))
+  }
+
+  test("readAsOf resolves the latest snapshot at or before the timestamp") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(2), t, mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readAsOf(spark, t, "2026-01-02T00:00:00Z")) === Set(1L))
+    assert(idSet(VersionedTable.readAsOf(spark, t, "2026-01-03T00:00:00Z")) === Set(1L, 2L))
+    assert(idSet(VersionedTable.readAsOf(spark, t, "2027-01-01T00:00:00Z")) === Set(1L, 2L))
+    intercept[IllegalArgumentException] {
+      VersionedTable.readAsOf(spark, t, "2025-12-31T00:00:00Z")
+    }
+  }
+
+  test("vacuum deletes only unreferenced files; retained snapshots still read") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(3), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.rollback(spark, t, 0L, ts = "2026-01-03T00:00:00Z")
+    // retain v1+v2: v1 references every file → nothing deletable
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 2) === 0)
+    assert(idSet(VersionedTable.readVersion(spark, t, 1L)) === Set(1L, 2L, 3L))
+    // retain only v2 (= v0's files): v1's append-only file goes
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1)
+    assert(deleted >= 1)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L, 2L))
+    // history stays listable, but the vacuumed snapshot no longer scans
+    assert(VersionedTable.history(spark, t).count() === 3L)
+    intercept[Exception] {
+      VersionedTable.readVersion(spark, t, 1L).collect()
+    }
+  }
+
+  test("vacuum reclaims orphaned data dirs from crashed/lost-race writers") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // simulate a crash between data write and manifest publish: a data
+    // dir with no manifest pointing at it
+    df(99).write.parquet(s"$t/files/c99999999")
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1)
+    assert(deleted >= 1)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L))
+    assert(!new java.io.File(s"$t/files/c99999999").exists())
+  }
+
+  test("rename-if-absent race guard: second publish of a version fails") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // both writers computed next=1; the second publish must lose
+    VersionedTable.commitManifestAt(spark, t, 1L, "2026-01-02T00:00:00Z", "append", Seq.empty)
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commitManifestAt(spark, t, 1L, "2026-01-02T00:00:00Z", "append", Seq.empty)
+    }
+    // the table is exactly what the winner committed
+    assert(VersionedTable.latestVersion(spark, t) === 1L)
+  }
+
+  test("snapshot reads keep parquet pushdown: filter reaches the scan") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val plan = VersionedTable.readVersion(spark, t)
+      .filter(col("id") > 90)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
+      s"expected pushed filter in:\n$plan")
+  }
+}
