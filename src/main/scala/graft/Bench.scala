@@ -56,7 +56,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // Local-iteration filter (comma-separated keys): time just the queries
+    // under work instead of the whole surface. The driver never sets it —
+    // archived BENCH lines are always the full surface.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
 
     // Warmup at the smallest SF: exercises every code path (JIT, codegen
     // caches, parquet footer reads) without touching the timed dataset.
@@ -137,10 +143,15 @@ object Bench {
     val sfName = new java.io.File(sfDir).getName
     val fullLine =
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsLine(rq)},$errJson"sf":"$sfName"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    catch { case _: Throwable => () }
+    // a filtered run must never clobber the full-surface archive; its
+    // per-query detail goes to stderr instead (stdout keeps the pinned
+    // one-line shape either way)
+    if (only.isEmpty)
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+        (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case _: Throwable => () }
+    else System.err.println(fullLine)
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""timed":${results.count(_._2.nonEmpty)},$errJson"sf":"$sfName","full":"BENCH_FULL.json"}""")

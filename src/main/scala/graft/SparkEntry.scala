@@ -382,6 +382,33 @@ object SparkEntry {
     // construction (repartition(1) in the builder), so n_files counts
     // carried manifests entries, not write parallelism
     "vt_h" -> ((s, dir) => VersionedTable.history(s, buildVersionedTable(s, dir))),
+    // copy-on-write MERGE + DELETE on a separate fixture (v0 = signups;
+    // v1 = merge doubling every 3rd signup's value + inserting clicks;
+    // v2 = delete cheap clicks): each snapshot re-aggregated, the oracle
+    // rebuilds the same states from silver with CASE/filters — upsert
+    // matching, insert fall-through and predicate delete are all pinned
+    // by CONTENT (file-level carry-by-reference is spec-asserted)
+    "vt_m" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtm").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
+        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val updates = sv.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .unionByName(sv.filter(col("event_type") === "click"))
+      VersionedTable.merge(updates, tbl, keyCols = Seq("event_id"),
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 50",
+        ts = "2026-01-03T00:00:00Z")
+      def snap(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
+          .withColumn("snap", lit(name))
+      snap("v0", VersionedTable.readVersion(s, tbl, 0L))
+        .unionByName(snap("merged", VersionedTable.readVersion(s, tbl, 1L)))
+        .unionByName(snap("deleted", VersionedTable.readVersion(s, tbl, 2L)))
+        .select("snap", "n_rows", "sum_value")
+    }),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "a_ur" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
@@ -1211,6 +1238,28 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), '2026-01-02T00:00:00Z', 'append', 2),
         |  (CAST(2 AS BIGINT), '2026-01-03T00:00:00Z', 'rollback(0)', 1)
         |) AS t(version, ts, op, n_files)""".stripMargin,
+
+    // v0 = signups; merged = every 3rd signup's value doubled + clicks
+    // inserted; deleted = minus cheap clicks
+    "vt_m" ->
+      s"""$silverCte,
+         |merged AS (
+         |  SELECT event_id, event_type,
+         |         CASE WHEN event_type = 'signup' AND event_id % 3 = 0
+         |              THEN value * 2 ELSE value END AS value
+         |  FROM silver WHERE event_type IN ('signup', 'click')
+         |),
+         |slice AS (
+         |  SELECT 'v0' AS snap, count(*) AS n_rows,
+         |         round(sum(round(value * 100)) / 100, 2) AS sum_value
+         |  FROM silver WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT 'merged', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM merged
+         |  UNION ALL
+         |  SELECT 'deleted', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM merged WHERE NOT (event_type = 'click' AND value < 50)
+         |) SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
 
     "a_dem" ->
       s"""$silverCte

@@ -746,12 +746,20 @@ object Dedup {
         .toDF("doc_id", "mapped")
         .select(col("doc_id").cast(docIdType).as("doc_id"),
           col("mapped").cast(docIdType).as("mapped"))
+      // Eager localCheckpoint: the distributed loop below returns a
+      // checkpointed frame by construction, and callers rely on that
+      // pinned-result contract — curationReport's nine branches each
+      // re-evaluate their clusters reference, and an unpinned broadcast
+      // join here would re-run the docs LINEAGE (quality filter + dedup
+      // window) per branch (measured: cur 5.3 → 6.5 s when this path
+      // first shipped lazy). One docs-sized 3-column materialization.
       return docs.select("doc_id")
         .join(broadcast(mapped), Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("mapped"), col("doc_id")).as("cluster_id"))
         .withColumn("is_canonical",
           (col("doc_id") === col("cluster_id")).cast("int"))
+        .localCheckpoint(true)
     }
     val edges = base.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionByName(base.select(col("doc_b").as("src"), col("doc_a").as("dst")))

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -166,6 +167,18 @@ object VersionedTable {
     spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
   }
 
+  /** A snapshot's manifest-relative data-file list (latest when
+    * `version` < 0) — Delta DESCRIBE DETAIL's file inventory. Lets specs
+    * and maintenance jobs verify carry-by-reference (merge/rollback must
+    * NOT rewrite untouched files). */
+  def snapshotFiles(spark: SparkSession, path: String, version: Long = -1L): Seq[String] = {
+    val (hfs, root) = fs(spark, path)
+    val v = if (version >= 0) version
+      else versions(hfs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    readManifest(hfs, root, v).files
+  }
+
   /** Time travel by timestamp: the latest snapshot with `ts` ≤ the given
     * ISO-8601 instant (string comparison — ISO-8601 sorts lexically). */
   def readAsOf(spark: SparkSession, path: String, asOf: String): DataFrame = {
@@ -198,6 +211,106 @@ object VersionedTable {
     val target = readManifest(hfs, root, toVersion)
     val next = versions(hfs, root).last + 1
     commitManifest(hfs, root, Manifest(next, ts, s"rollback($toVersion)", target.files))
+    next
+  }
+
+  /** Extracts the manifest-relative data-file path from an
+    * `input_file_name()` URI — keyed on the table's own
+    * `files/c<8 digits>/<name>` layout rather than URI relativization,
+    * which is sensitive to `file:/` vs `file:///` qualification
+    * differences between Hadoop and Spark. Non-matching inputs extract
+    * to "" (guarded at the collect sites). */
+  private val DataFileRe = ".*/(files/c\\d{8}/[^/]+)$"
+
+  /** Copy-on-write MERGE (Delta `MERGE INTO` / upsert): rows of `updates`
+    * replace snapshot rows sharing their `keyCols` values; non-matching
+    * update rows insert. Only files CONTAINING a matched key are
+    * rewritten — untouched files carry into the new snapshot by
+    * reference (their manifest paths are byte-identical, spec-asserted),
+    * so a merge touching one key rewrites one file, not the table.
+    *
+    * Phases, exactly Delta's: (1) find touched files — one scan of the
+    * snapshot semi-joined against the broadcast key set (Delta prunes
+    * this scan with per-file min/max stats; here parquet row-group stats
+    * prune within files, and a key-range-partitioned layout — commit
+    * after `repartitionByRange(keyCols)` — keeps the touched set small);
+    * (2) rewrite = touched-file survivors (anti-join) ∪ all updates;
+    * (3) commit manifest = carried untouched files + rewrite's files.
+    * The touched-file list is a driver collect bounded by |files| —
+    * metadata-sized. Readers of older versions are unaffected
+    * (snapshot isolation); concurrent merges serialize on the rename
+    * guard. */
+  def merge(updates: DataFrame, path: String, keyCols: Seq[String],
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val spark = updates.sparkSession
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"merge into empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    // __file is relativized IN the scan (regexp over input_file_name) so
+    // every comparison below is manifest-relative — immune to file:/ vs
+    // file:/// qualification drift between Hadoop and Spark
+    val cur = spark.read
+      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+      .withColumn("__file",
+        regexp_extract(input_file_name(), DataFileRe, 1))
+    val keys = updates.select(keyCols.map(col): _*).distinct()
+    val touched = cur.join(broadcast(keys), keyCols, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val next = prev + 1
+    val dataDir = f"files/c$next%08d"
+    val survivors = cur
+      .filter(col("__file").isInCollection(touched + "__none__"))
+      .join(broadcast(keys), keyCols, "left_anti")
+      .drop("__file")
+    survivors.unionByName(updates)
+      .write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDir/${s.getPath.getName}")
+    val carried = m.files.filterNot(touched)
+    commitManifest(hfs, root, Manifest(next, ts, "merge", carried ++ newFiles))
+    next
+  }
+
+  /** Copy-on-write DELETE: rows matching `condition` leave the snapshot;
+    * only files containing a match are rewritten, the rest carry by
+    * reference (same machinery as [[merge]], with the predicate as the
+    * match). `condition` is a SQL boolean expression over the table's
+    * columns. */
+  def delete(spark: SparkSession, path: String, condition: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"delete from empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val cur = spark.read
+      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+      .withColumn("__file",
+        regexp_extract(input_file_name(), DataFileRe, 1))
+    val touched = cur.filter(expr(condition))
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val next = prev + 1
+    val dataDir = f"files/c$next%08d"
+    // keep rows where the predicate is false OR NULL (three-valued
+    // logic: only cond-IS-TRUE rows are deleted, Delta's semantics —
+    // a bare !cond would silently drop NULL-evaluating rows)
+    val survivors = cur
+      .filter(col("__file").isInCollection(touched + "__none__"))
+      .filter(!coalesce(expr(condition), lit(false)))
+      .drop("__file")
+    val newFiles = if (touched.nonEmpty) {
+      survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+      hfs.listStatus(new Path(root, dataDir)).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(s => s"$dataDir/${s.getPath.getName}")
+    } else Seq.empty
+    commitManifest(hfs, root,
+      Manifest(next, ts, s"delete", m.files.filterNot(touched) ++ newFiles))
     next
   }
 

@@ -110,6 +110,62 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, t) === 1L)
   }
 
+  test("merge upserts matched keys, inserts the rest, rewrites only touched files") {
+    val t = freshTable()
+    // two range-partitioned files: ids 1-50 in one, 51-100 in the other
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val v0Files = VersionedTable.snapshotFiles(spark, t)
+    assert(v0Files.size === 2)
+    // updates touch only low ids (+ one insert beyond the range)
+    val upd = Seq((5L, -1L), (7L, -2L), (200L, -3L)).toDF("id", "v")
+    VersionedTable.merge(upd, t, keyCols = Seq("id"), ts = "2026-01-02T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size === 101)
+    assert(out(5L) === -1L && out(7L) === -2L && out(200L) === -3L)
+    assert(out(4L) === 40L && out(99L) === 990L)
+    // the high-id file carried by reference: its exact path is in both manifests
+    val v1Files = VersionedTable.snapshotFiles(spark, t)
+    val carried = v0Files.toSet.intersect(v1Files.toSet)
+    assert(carried.size === 1, s"expected exactly the untouched file carried; v0=$v0Files v1=$v1Files")
+    // and a pure-insert merge (no matched keys) carries EVERY file
+    VersionedTable.merge(Seq((300L, -4L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-03T00:00:00Z")
+    val v2Files = VersionedTable.snapshotFiles(spark, t)
+    assert(v1Files.toSet.subsetOf(v2Files.toSet))
+    assert(VersionedTable.readVersion(spark, t).count() === 102)
+  }
+
+  test("delete rewrites only files containing matches; no-op delete carries all") {
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val v0Files = VersionedTable.snapshotFiles(spark, t)
+    VersionedTable.delete(spark, t, "id <= 10", ts = "2026-01-02T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (11L to 100L).toSet)
+    val v1Files = VersionedTable.snapshotFiles(spark, t)
+    assert(v0Files.toSet.intersect(v1Files.toSet).size === 1)
+    // old snapshot still has the deleted rows (snapshot isolation)
+    assert(VersionedTable.readVersion(spark, t, 0L).count() === 100)
+    // no-op delete: nothing matches, every file carries, version advances
+    VersionedTable.delete(spark, t, "id > 1000000", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t).toSet === v1Files.toSet)
+    assert(VersionedTable.latestVersion(spark, t) === 2L)
+  }
+
+  test("delete keeps rows whose predicate evaluates to NULL (three-valued logic)") {
+    val t = freshTable()
+    val base = Seq((1L, Some(5L)), (2L, None), (3L, Some(50L)))
+      .toDF("id", "v")
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.delete(spark, t, "v < 10", ts = "2026-01-02T00:00:00Z")
+    // id=1 (v=5) deleted; id=2 (v NULL → predicate NULL) must survive
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(2L, 3L))
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
