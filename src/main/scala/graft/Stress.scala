@@ -385,8 +385,9 @@ object Stress {
     // composed five shuffle families must track ~linearly. The adversarial
     // candidate-volume axis is already gated by minhash_*_10x above; this
     // line gates the COMPOSITION (the `cur` entry is the second-most
-    // expensive bench line, dominated by the cluster loop's fixed
-    // round-latency at test SF — which a 10× corpus amortizes).
+    // expensive bench line — per-stage job latency across the nine
+    // aggregate branches at test SF, which a 10× corpus amortizes; the
+    // pin variant below measures where persist-every-stage overtakes).
     val docsL = Tables.documents(spark, sfDir).select("doc_id", "lang", "text")
     def curCorpus(copies: Int): DataFrame = (0 until copies).map { i =>
       docsL.select((col("doc_id") + lit(i * 10000000L)).as("doc_id"), col("lang"),
@@ -412,12 +413,13 @@ object Stress {
 
     // Embedding decontamination growth curve: the operator is
     // DECLARED-QUADRATIC — cost ∝ |corpus| × |benchmark| through the
-    // broadcast cross join — so with the corpus fixed at 10× (20k
-    // vectors), time must grow ~linearly in |benchmark| (1×/4×/16×
-    // benchmark slices). The measured curve is the scaladoc's contract:
-    // it stays affordable exactly while benchmarks are benchmark-sized,
-    // and the 16× line quantifies the slope a caller extrapolates before
-    // reaching for the sharded-broadcast/LSH fallback.
+    // broadcast cross join — measured here with the corpus fixed at 10×
+    // (20k vectors) across 1×/4×/16× benchmark slices. MEASURED (round
+    // 9, BASELINE Corpus 9): flat in |benchmark| at these sizes — the
+    // one corpus scan dominates and the per-row dot-product loop stays
+    // under scan cost even at 16× — confirming the operator's contract
+    // that the quadratic term only bites once benchmarks leave the
+    // thousands (then: sharded broadcast / LSH fallback per scaladoc).
     val embT = Tables.embeddings(spark, sfDir)
     val emb10 = (0 until 10).map { i =>
       embT.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))

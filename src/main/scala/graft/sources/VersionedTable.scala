@@ -67,8 +67,10 @@ object VersionedTable {
   private def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
 
-  /** Manifest content: (version, ts, op, relative data-file paths). */
-  private case class Manifest(version: Long, ts: String, op: String, files: Seq[String])
+  /** Manifest content: (version, ts, op, relative data-file paths, and an
+    * optional streaming transaction marker `appId -> batchId`). */
+  private case class Manifest(version: Long, ts: String, op: String,
+      files: Seq[String], txn: Option[(String, Long)] = None)
 
   private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest = {
     val in = hfs.open(manifestPath(root, v))
@@ -77,8 +79,12 @@ object VersionedTable {
     val hdr = lines.takeWhile(_.contains("=")).map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
     }.toMap
+    val txn = hdr.get("txn").map { t =>
+      val i = t.lastIndexOf(':')
+      (t.substring(0, i), t.substring(i + 1).toLong)
+    }
     Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-      lines.dropWhile(_.contains("=")))
+      lines.dropWhile(_.contains("=")), txn)
   }
 
   /** All committed versions, ascending (driver-side listing, no data read). */
@@ -104,11 +110,41 @@ object VersionedTable {
     * writers per the rename protocol above: a lost race throws
     * `ConcurrentCommitException`; re-read and retry. */
   def commit(df: DataFrame, path: String, mode: String = "append",
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false): Long =
+    commitInternal(df, path, mode, ts, None, mergeSchema)
+
+  /** Appending a frame whose columns don't match the current snapshot is
+    * schema drift: rejected (Delta's schema-on-write) unless the caller
+    * opts into evolution with `mergeSchema = true`. */
+  final class SchemaMismatchException(msg: String) extends RuntimeException(msg)
+
+  private def commitInternal(df: DataFrame, path: String, mode: String,
+      ts: String, txn: Option[(String, Long)],
+      mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode: $mode")
     val spark = df.sparkSession
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption
+    // Schema-on-write (append only — an overwrite REPLACES the snapshot,
+    // new schema and all): the batch's column names must equal the
+    // current snapshot's, or the table would silently fork — a plain
+    // (non-merged) read takes ONE file's footer, so rows written under
+    // the other schema would drop columns or vanish. With
+    // `mergeSchema = true` the append is allowed and readers see the
+    // union schema (readVersion passes mergeSchema through to parquet;
+    // old files read the new columns as null) — Delta's
+    // autoMerge evolution.
+    if (mode == "append" && !mergeSchema) prev.foreach { p =>
+      val existing = readManifest(hfs, root, p).files.headOption.map { f =>
+        spark.read.parquet(new Path(root, f).toString).schema.fieldNames.toSeq
+      }
+      existing.filter(_.toSet != df.schema.fieldNames.toSet).foreach { cols =>
+        throw new SchemaMismatchException(
+          s"append schema ${df.schema.fieldNames.mkString("[", ",", "]")} does not " +
+            s"match table schema ${cols.mkString("[", ",", "]")} at $path; " +
+            "pass mergeSchema = true to evolve")
+      }
+    }
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest renames.
@@ -120,8 +156,72 @@ object VersionedTable {
     val carried =
       if (mode == "append") prev.map(readManifest(hfs, root, _).files).getOrElse(Seq.empty)
       else Seq.empty
-    commitManifest(hfs, root, Manifest(next, ts, mode, carried ++ newFiles))
+    commitManifest(hfs, root, Manifest(next, ts, mode, carried ++ newFiles, txn))
     next
+  }
+
+  /** Delta OPTIMIZE for a snapshot: rewrite the latest version's content
+    * as ⌈bytes / targetFileBytes⌉ files — optionally Z-ORDERed on two
+    * columns for 2-D row-group skipping ([[graft.analytics.ZOrder]]) —
+    * and commit it as a new `optimize` version with identical logical
+    * content (spec-asserted). Bytes come from the manifest's file list
+    * (driver metadata); older versions keep the small files until
+    * [[vacuum]] reclaims them. The maintenance companion to
+    * [[Sinks.compactPartitions]], but transactional: readers of the
+    * current version are never disturbed, and a crashed optimize leaves
+    * only an orphaned data dir. */
+  def optimize(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      zorderBy: Option[(String, String)] = None,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"optimize of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val bytes = m.files.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cur = spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    val laid = zorderBy match {
+      // drop the helper zval column: optimize must be content-identical
+      case Some((a, b)) =>
+        graft.analytics.ZOrder.zOrderLayout(cur, a, b, target).drop("zval")
+      case None => cur.repartition(target)
+    }
+    val next = prev + 1
+    val dataDir = f"files/c$next%08d"
+    laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => s"$dataDir/${s.getPath.getName}")
+    commitManifest(hfs, root, Manifest(next, ts, "optimize", newFiles))
+    next
+  }
+
+  /** The highest micro-batch id committed for a streaming `appId`, or
+    * None if that stream never wrote here — Delta's `txn` action for
+    * exactly-once foreachBatch sinks. Driver-side manifest-header scan
+    * (O(#versions); at Delta scale the log is checkpointed — here a
+    * periodic [[vacuum]]-then-rebuild keeps version counts bounded). */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
+    val (hfs, root) = fs(spark, path)
+    val ids = versions(hfs, root).flatMap { v =>
+      readManifest(hfs, root, v).txn.collect { case (a, b) if a == appId => b }
+    }
+    ids.maxOption
+  }
+
+  /** Idempotent streaming commit: appends `df` as a new snapshot UNLESS a
+    * snapshot for (`appId`, a batch id ≥ `batchId`) is already in the log,
+    * in which case the replay is skipped BEFORE any data is written.
+    * Returns the committed version, or None for a skipped replay. With
+    * foreachBatch's at-least-once delivery this yields exactly-once table
+    * contents — the Delta `txn`/`FOREACHBATCH` idempotent-sink pattern. */
+  def commitIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
+      ts: String = "1970-01-01T00:00:00Z"): Option[Long] = {
+    require(!appId.contains(":") && !appId.contains("\n"), s"bad appId: $appId")
+    val spark = df.sparkSession
+    if (lastTxn(spark, path, appId).exists(_ >= batchId)) None
+    else Some(commitInternal(df, path, "append", ts, Some((appId, batchId))))
   }
 
   /** Signals a lost optimistic-concurrency race: another writer committed
@@ -144,7 +244,9 @@ object VersionedTable {
     if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
     val tmp = new Path(dir, s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, false)
-    try out.write((Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++ m.files)
+    val hdr = Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++
+      m.txn.map { case (a, b) => s"txn=$a:$b" }
+    try out.write((hdr ++ m.files)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
     // Atomic publish: rename-if-absent — exactly one of N racers wins.
@@ -156,15 +258,21 @@ object VersionedTable {
 
   /** Read a snapshot: latest when `version` < 0, else that exact version.
     * The explicit file list goes straight to the parquet source — column
-    * pruning and predicate pushdown apply as on any parquet scan. */
-  def readVersion(spark: SparkSession, path: String, version: Long = -1L): DataFrame = {
+    * pruning and predicate pushdown apply as on any parquet scan.
+    * `mergeSchema` (on by default) unions every file's footer schema so a
+    * snapshot whose appends evolved the schema reads the union, with the
+    * missing columns null on older files — a metadata-only pass, data
+    * scans unchanged. */
+  def readVersion(spark: SparkSession, path: String, version: Long = -1L,
+      mergeSchema: Boolean = true): DataFrame = {
     val (hfs, root) = fs(spark, path)
     val v = if (version >= 0) version
       else versions(hfs, root).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed versions at $path"))
     val m = readManifest(hfs, root, v)
     require(m.files.nonEmpty, s"version $v is an empty snapshot")
-    spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(m.files.map(f => new Path(root, f).toString): _*)
   }
 
   /** A snapshot's manifest-relative data-file list (latest when

@@ -438,6 +438,30 @@ object Streams {
     ()
   }
 
+  /** Exactly-once streaming sink into a [[graft.sources.VersionedTable]]:
+    * each micro-batch commits as one table snapshot carrying a
+    * (`appId`, batchId) transaction marker, and a REPLAYED batch
+    * (at-least-once delivery, failure recovery) is skipped before any
+    * data is written — `commitIfNew` sees its batch id already in the
+    * log. This is Delta's foreachBatch `txn` idempotent-sink pattern;
+    * unlike [[toPartitionedSink]] it needs no partition-alignment
+    * contract (any row mix per batch is safe) and every batch boundary
+    * is a time-travelable snapshot. `tsOf` maps batch id → commit
+    * timestamp (default: deterministic epoch+id, so specs replay
+    * byte-identically; production passes the ingest batch time). */
+  def toVersionedSink(df: DataFrame, path: String,
+      appId: String = "graft-stream",
+      tsOf: Long => String = id => java.time.Instant.EPOCH.plusSeconds(id).toString): Unit = {
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        graft.sources.VersionedTable.commitIfNew(batch, path, appId, id, tsOf(id))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      .awaitTermination()
+    ()
+  }
+
   /** Convenience writer used by specs and examples: stream → memory sink. */
   def toMemorySink(df: DataFrame, name: String, mode: OutputMode): Unit = {
     df.writeStream.format("memory").queryName(name).outputMode(mode)

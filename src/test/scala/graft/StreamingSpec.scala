@@ -233,6 +233,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexPath).collect().toSet === indexBefore)
   }
 
+  test("versioned sink: one snapshot per micro-batch, replay skipped before any write") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vs").toString
+    val src = s"$root/src"
+    val tbl = s"$root/table"
+    // two source files → two micro-batches (maxFilesPerTrigger=1 via the
+    // readStream below)
+    (1L to 5L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    (6L to 9L).toDF("id").coalesce(1).write.mode("append").parquet(src)
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    Streams.toVersionedSink(stream(), tbl, appId = "spec-app")
+    assert(VersionedTable.latestVersion(spark, tbl) === 1L,
+      "two micro-batches must commit versions 0 and 1")
+    assert(VersionedTable.readVersion(spark, tbl).collect()
+      .map(_.getLong(0)).toSet === (1L to 9L).toSet)
+    assert(VersionedTable.lastTxn(spark, tbl, "spec-app") === Some(1L))
+    // each batch boundary is time-travelable: version 0 holds exactly one
+    // of the two source files (batch order follows file listing)
+    assert(Set(4L, 5L).contains(VersionedTable.readVersion(spark, tbl, 0L).count()))
+    // uncheckpointed re-run re-delivers both batches (at-least-once);
+    // both replays are skipped — same version count, same content, and
+    // no orphaned data dirs (skip happens before any write)
+    Streams.toVersionedSink(stream(), tbl, appId = "spec-app")
+    assert(VersionedTable.latestVersion(spark, tbl) === 1L, "replay must not commit")
+    assert(VersionedTable.readVersion(spark, tbl).count() === 9L)
+    assert(VersionedTable.vacuum(spark, tbl, retainVersions = 2) === 0,
+      "skipped replays must leave no orphaned data dirs")
+    // a DIFFERENT app's stream appends independently
+    Streams.toVersionedSink(stream(), tbl, appId = "other-app")
+    assert(VersionedTable.latestVersion(spark, tbl) === 3L)
+    assert(VersionedTable.readVersion(spark, tbl).count() === 18L)
+  }
+
   test("stream-static enrich: dim joined per micro-batch, no state store, gaps kept") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

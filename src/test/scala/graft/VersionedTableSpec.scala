@@ -166,6 +166,56 @@ class VersionedTableSpec extends SparkSpec {
     assert(idSet(VersionedTable.readVersion(spark, t)) === Set(2L, 3L))
   }
 
+  test("optimize compacts to the target file count with identical content") {
+    val t = freshTable()
+    // ten single-row appends → ten-file snapshot (the small-file state)
+    (1L to 10L).foreach { i =>
+      VersionedTable.commit(Seq((i, i * 10)).toDF("id", "v").coalesce(1), t,
+        mode = "append", ts = f"2026-01-${i}%02dT00:00:00Z")
+    }
+    assert(VersionedTable.snapshotFiles(spark, t).size === 10)
+    val before = VersionedTable.readVersion(spark, t).collect().toSet
+    VersionedTable.optimize(spark, t, targetFileBytes = Long.MaxValue,
+      ts = "2026-02-01T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t).size === 1,
+      "all rows fit one target file")
+    assert(VersionedTable.readVersion(spark, t).collect().toSet === before)
+    // pre-optimize snapshot still time-travels
+    assert(VersionedTable.readVersion(spark, t, 9L).collect().toSet === before)
+    // z-ordered variant: same content, no helper column
+    VersionedTable.optimize(spark, t, targetFileBytes = Long.MaxValue,
+      zorderBy = Some(("id", "v")), ts = "2026-02-02T00:00:00Z")
+    val after = VersionedTable.readVersion(spark, t)
+    assert(after.columns.toSeq === Seq("id", "v"))
+    assert(after.collect().toSet === before)
+  }
+
+  test("schema-on-write: drifted append rejected; mergeSchema evolves, old files read null") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 10L)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // same columns, any order: fine
+    VersionedTable.commit(Seq((20L, 2L)).toDF("v", "id"), t,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    // drifted columns: rejected before any manifest lands
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commit(Seq((3L, 30L, "en")).toDF("id", "v", "lang"), t,
+        mode = "append", ts = "2026-01-03T00:00:00Z")
+    }
+    assert(VersionedTable.latestVersion(spark, t) === 1L)
+    // opt-in evolution: union schema, old files read the new column null
+    VersionedTable.commit(Seq((3L, 30L, "en")).toDF("id", "v", "lang"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z", mergeSchema = true)
+    val out = VersionedTable.readVersion(spark, t)
+    assert(out.columns.toSet === Set("id", "v", "lang"))
+    assert(out.filter(col("lang").isNull).count() === 2)
+    assert(out.filter(col("lang") === "en").count() === 1)
+    // an overwrite replaces the snapshot, schema and all — no check
+    VersionedTable.commit(Seq(("x", 1L)).toDF("name", "n"), t,
+      mode = "overwrite", ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("name", "n"))
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
