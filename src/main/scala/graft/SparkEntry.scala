@@ -687,6 +687,15 @@ object SparkEntry {
         emb.filter(col("vec_id") % 20 === 0),
         minCosine = 0.4).select("vec_id", "label")
     }),
+    // benchmark-side contamination audit (disjoint corpus/benchmark
+    // slices so the exact/near counts measure cross-duplication, not
+    // self-matches): one row per benchmark item, zeros kept
+    "dc_rp" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.contaminationReport(
+        docs.filter(col("doc_id") % 20 =!= 0),
+        docs.filter(col("doc_id") % 20 === 0))
+    }),
     // end-to-end curation report: per-stage doc/token survival through
     // quality → exact dedup → LSH near-dup → decontam → stratified sample
     // → splits, each stage an oracle-green operator, composed as ONE
@@ -2204,6 +2213,37 @@ object SparkEntry {
          |)
          |SELECT vec_id, label FROM c
          |WHERE vec_id NOT IN (SELECT vec_id FROM hits)""".stripMargin,
+
+    // benchmark-side contamination audit over disjoint slices: exact =
+    // normalized-hash matches, near = >= 5 shared distinct 3-gram
+    // shingles (the dc_ex shapes, re-aggregated per benchmark item)
+    "dc_rp" ->
+      s"""$shingleCte,
+         |bench AS (SELECT doc_id AS bench_id, text FROM documents WHERE doc_id % 20 = 0),
+         |corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 20 <> 0),
+         |exact AS (
+         |  SELECT b.bench_id, count(*) AS n_exact
+         |  FROM bench b JOIN corpus c ON md5(lower(c.text)) = md5(lower(b.text))
+         |  GROUP BY 1
+         |),
+         |pairs AS (
+         |  SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |  FROM (SELECT * FROM ex WHERE doc_id % 20 <> 0) c
+         |  JOIN (SELECT * FROM ex WHERE doc_id % 20 = 0) b ON c.shingle = b.shingle
+         |  GROUP BY 1, 2
+         |),
+         |near AS (
+         |  SELECT bench_id, count(*) AS n_near, max(shared) AS max_shared
+         |  FROM pairs WHERE shared >= 5 GROUP BY 1
+         |)
+         |SELECT s.doc_id AS bench_id, len(s.shingles) AS n_shingles,
+         |       coalesce(e.n_exact, 0) AS n_exact,
+         |       coalesce(nr.n_near, 0) AS n_near,
+         |       coalesce(nr.max_shared, 0) AS max_shared
+         |FROM sh s
+         |LEFT JOIN exact e ON s.doc_id = e.bench_id
+         |LEFT JOIN near nr ON s.doc_id = nr.bench_id
+         |WHERE s.doc_id % 20 = 0""".stripMargin,
 
     // end-to-end curation report: the same stage chain the Spark side
     // composes, rebuilt as CTEs — quality filter (t_ql formula), exact

@@ -842,6 +842,43 @@ object Dedup {
       .join(nearHits, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-benchmark-item contamination AUDIT — the benchmark-side view of
+    * [[decontaminate]] (which drops corpus docs and says nothing about
+    * which benchmark items were at risk): one row per benchmark doc with
+    * its shingle count, the number of corpus docs matching it exactly
+    * (normalized-text hash) and nearly (≥ `minOverlap` shared n-gram
+    * shingles), and the worst offender's shared-shingle count. This is
+    * the artifact a training run publishes alongside its decontaminated
+    * corpus — eval results are only defensible with the leak table next
+    * to them (GPT-3 §4 / PaLM-style contamination analysis).
+    *
+    * Same plan shape as [[decontaminate]]: benchmark shingles broadcast,
+    * corpus scanned once, the pair aggregate keyed on (doc, bench) —
+    * bounded by true overlap, never all-pairs. Clean benchmark items
+    * keep a row (zeros) so the report is always benchmark-sized. */
+  def contaminationReport(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minOverlap: Int = 5): DataFrame = {
+    val corpusHashes = corpus.select(md5(lower(col("text"))).as("h"))
+    val exact = corpusHashes
+      .join(broadcast(benchmark.select(col("doc_id").as("bench_id"),
+        md5(lower(col("text"))).as("h"))), "h")
+      .groupBy("bench_id").agg(count(lit(1)).as("n_exact"))
+    val benchShingles = benchmark
+      .select(col("doc_id").as("bench_id"), explode(shingleCol(n)).as("shingle"))
+    val hits = corpus
+      .select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
+      .join(broadcast(benchShingles), "shingle")
+      .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minOverlap)
+    val near = hits.groupBy("bench_id")
+      .agg(count(lit(1)).as("n_near"), max("shared").as("max_shared"))
+    benchmark
+      .select(col("doc_id").as("bench_id"), size(shingleCol(n)).as("n_shingles"))
+      .join(exact, Seq("bench_id"), "left")
+      .join(near, Seq("bench_id"), "left")
+      .na.fill(0L, Seq("n_exact", "n_near", "max_shared"))
+  }
+
   /** [[decontaminate]] with a Bloom-filter prefilter on the exact-hash
     * stage — same output (the bloom's false positives are removed by an
     * exact confirm join), cheaper at scale: the benchmark key set

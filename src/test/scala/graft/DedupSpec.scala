@@ -192,6 +192,31 @@ class DedupSpec extends SparkSpec {
     assert(keptLoose === Set(3L, 4L))
   }
 
+  test("contamination report: per-benchmark exact/near counts, clean items keep zero rows") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "THE QUICK brown fox jumps over the lazy dog today"), // exact after normalize
+      (3L, "the quick brown fox jumps over the lazy cat today"), // near only
+      (4L, "completely unrelated content about spark query planning")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // leaked
+      (200L, "pristine benchmark question nobody has ever copied anywhere")
+    ).toDF("doc_id", "text")
+    val rep = Dedup.contaminationReport(corpus, bench).collect()
+      .map(r => r.getAs[Long]("bench_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_near"), r.getAs[Long]("max_shared"))))
+      .toMap
+    // 100: docs 1+2 exact; near hits = docs 1,2 (all 8 shingles) and 3
+    // (shares >= 5); worst offender shares all 8 shingles
+    assert(rep(100L) === ((2L, 3L, 8L)))
+    // clean item present with zeros — the report is benchmark-sized
+    assert(rep(200L) === ((0L, 0L, 0L)))
+    // report agrees with decontaminate: corpus docs surviving
+    // decontamination are exactly those never counted as near/exact hits
+    assert(Dedup.decontaminate(corpus, bench).count() === 1)
+  }
+
   test("bloom decontaminate: byte-for-byte the exact path's survivors, planted FPs die in confirm") {
     import spark.implicits._
     val corpus = Seq(
