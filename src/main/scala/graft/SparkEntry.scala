@@ -409,7 +409,51 @@ object SparkEntry {
         .unionByName(snap("deleted", VersionedTable.readVersion(s, tbl, 2L)))
         .select("snap", "n_rows", "sum_value")
     }),
+    // change data feed over the SAME merge+delete fixture: row-level
+    // insert/update-pair/delete classification from the manifest diff —
+    // only files added/removed between versions are read; unchanged rows
+    // inside rewritten files cancel in the keyed compare, so the oracle
+    // (which rebuilds the expected feed from silver with CASE logic) pins
+    // exactly the copy-on-write rewrite semantics. Identity updates
+    // (value 0 or NULL: doubling is a no-op) must NOT surface — the
+    // oracle's value <> 0 guard checks that cancellation too.
+    "vt_c" -> ((s, dir) => {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtc").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
+        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val updates = sv.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .unionByName(sv.filter(col("event_type") === "click"))
+      VersionedTable.merge(updates, tbl, keyCols = Seq("event_id"),
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 50",
+        ts = "2026-01-03T00:00:00Z")
+      VersionedTable.changes(s, tbl, Seq("event_id"), 0L, 1L)
+        .withColumn("step", lit("v0_v1"))
+        .unionByName(VersionedTable.changes(s, tbl, Seq("event_id"), 1L, 2L)
+          .withColumn("step", lit("v1_v2")))
+    }),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
+    // incremental materialized-view maintenance: the standing zone×hour
+    // revenue view updated by MERGING the last day's batch into the
+    // partial-aggregate state built from prior days — the 100 TB pattern
+    // where history is never rescanned. The oracle recomputes the view
+    // from scratch over all days; bit-exact equality (associative
+    // partials: count / exact-cents sum / min / max) is what licenses
+    // running the view incrementally forever.
+    "iv_ag" -> ((s, dir) => {
+      val sv = silver(s, dir)
+      val maxD = sv.agg(max(col("event_date")).as("__max_date"))
+      val hist = sv.crossJoin(broadcast(maxD))
+        .filter(col("event_date") < col("__max_date")).drop("__max_date")
+      val delta = sv.crossJoin(broadcast(maxD))
+        .filter(col("event_date") === col("__max_date")).drop("__max_date")
+      Aggregates.revenueViewFromState(
+        Aggregates.mergeRevenueState(
+          Aggregates.revenueStateByZoneHour(hist),
+          Aggregates.revenueStateByZoneHour(delta)))
+    }),
     "a_rev" -> ((s, dir) => Aggregates.revenueDailyByZone(silver(s, dir))),
     "a_ur" -> ((s, dir) => Aggregates.userDailySummary(silver(s, dir))),
     "a_pv" -> ((s, dir) => Aggregates.eventTypePivot(silver(s, dir))),
@@ -433,6 +477,10 @@ object SparkEntry {
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
     // protected individual is user_id; at_risk marks QI classes shared
     // by fewer than 5 distinct users
+    // join-key skew pre-flight on the user key: top-10 hottest users with
+    // row share, straggler multiple and the integer salt factor an
+    // unsalted shuffle on that key would need
+    "dq_kh" -> ((s, dir) => DataQuality.keySkewReport(silver(s, dir), "user_id")),
     "dq_ka" -> ((s, dir) => DataQuality.kAnonymity(
       Tables.events(s, dir).withColumn("hour", hour(col("ts"))),
       Seq("event_type", "hour"), "user_id")),
@@ -754,6 +802,9 @@ object SparkEntry {
     "t_ld" -> ((s, dir) => TextFunctions.langId(Tables.documents(s, dir))),
     "t_ql" -> ((s, dir) => TextFunctions.quality(Tables.documents(s, dir))),
     "t_tok" -> ((s, dir) => TextFunctions.tokenCounts(Tables.documents(s, dir))),
+    // RAG chunking: 64-token windows every 48 tokens (25% overlap);
+    // narrow per-row fan-out, no shuffle — pipelines inside the scan
+    "t_ch" -> ((s, dir) => TextFunctions.chunkDocs(Tables.documents(s, dir))),
     "t_fp" -> ((s, dir) => TextFunctions.fingerprint(Tables.documents(s, dir))),
     "t_tf" -> ((s, dir) => TextFunctions.tfidfBm25(Tables.documents(s, dir))),
     // the corpus carries no real PII, so the query salts every doc with a
@@ -1270,11 +1321,47 @@ object SparkEntry {
          |  FROM merged WHERE NOT (event_type = 'click' AND value < 50)
          |) SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
 
+    // change data feed rebuilt from silver: v0→v1 = clicks insert +
+    // doubled-signup update pairs (identity updates where value = 0 or
+    // NULL cancel — the <> 0 guard), v1→v2 = cheap-click deletes; value
+    // arithmetic is *2 and <50 comparisons only (exact in binary FP,
+    // no accumulation → bit-exact across engines)
+    "vt_c" ->
+      s"""$silverCte,
+         |base AS (SELECT event_id, event_type, value FROM silver),
+         |feed AS (
+         |  SELECT event_id, event_type, value, 'insert' AS _change_type,
+         |         'v0_v1' AS step
+         |  FROM base WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT event_id, event_type, value, 'update_preimage', 'v0_v1'
+         |  FROM base WHERE event_type = 'signup' AND event_id % 3 = 0
+         |    AND value IS NOT NULL AND value <> 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value * 2, 'update_postimage', 'v0_v1'
+         |  FROM base WHERE event_type = 'signup' AND event_id % 3 = 0
+         |    AND value IS NOT NULL AND value <> 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value, 'delete', 'v1_v2'
+         |  FROM base WHERE event_type = 'click' AND value < 50
+         |) SELECT * FROM feed""".stripMargin,
+
     "a_dem" ->
       s"""$silverCte
          |SELECT event_date AS date, hour(ts) AS hour, zone_id,
          |       count(*) AS event_count
          |FROM silver GROUP BY 1, 2, 3""".stripMargin,
+
+    // full recompute of the zone×hour revenue view — the incremental
+    // merge must equal this bit-exactly (associative partials)
+    "iv_ag" ->
+      s"""$silverCte
+         |SELECT zone_id, hour(ts) AS hour, count(*) AS event_count,
+         |       round(sum(round(value * 100)) / 100, 2) AS total_revenue,
+         |       sum(round(value * 100)) / 100 / count(*) AS avg_value,
+         |       min(value) AS min_value, max(value) AS max_value
+         |FROM silver WHERE event_type = 'purchase' AND zone_id IS NOT NULL
+         |GROUP BY 1, 2""".stripMargin,
 
     "a_rev" ->
       s"""$silverCte
@@ -1430,6 +1517,27 @@ object SparkEntry {
          |         sum(CASE WHEN props IS NOT NULL AND NOT regexp_matches(props, '^\\{.*\\}$$')
          |             THEN 1 ELSE 0 END), count(*) FROM silver
          |)""".stripMargin,
+
+    // key-skew report: integer count/key arithmetic, one double division
+    // per derived column (bit-exact: same exact-integer operands), top-10
+    // cut tie-broken on the key so LIMIT is deterministic in both engines
+    "dq_kh" ->
+      s"""$silverCte,
+         |pk AS (
+         |  SELECT user_id, count(*) AS cnt FROM silver
+         |  WHERE user_id IS NOT NULL GROUP BY 1
+         |),
+         |st AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_keys,
+         |         CAST(sum(cnt) AS BIGINT) AS n_rows
+         |  FROM pk
+         |)
+         |SELECT user_id, cnt, n_keys, n_rows,
+         |       CAST(cnt AS DOUBLE) / n_rows AS row_share,
+         |       CAST(cnt AS DOUBLE) * n_keys / n_rows AS skew_x,
+         |       (cnt * n_keys + n_rows - 1) // n_rows AS salt_factor
+         |FROM pk, st
+         |ORDER BY cnt DESC, user_id ASC LIMIT 10""".stripMargin,
 
     // k-anonymity: DuckDB hour() is BIGINT, Spark's is INT → cast; both
     // engines truncate the parquet nanos to the same hour
@@ -2625,6 +2733,22 @@ object SparkEntry {
         |       len(list_distinct(string_split(lower(text), ' '))) AS distinct_tokens,
         |       CAST(length(text) AS DOUBLE) / len(string_split(text, ' ')) AS chars_per_ws_token
         |FROM documents""".stripMargin,
+
+    // chunking mirrored with generate_series + list_slice (both engines:
+    // starts 0, 48, 96, … ≤ n_toks-1; windows clamp at the tail)
+    "t_ch" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |s AS (
+        |  SELECT doc_id, toks,
+        |         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 48)) AS start_tok
+        |  FROM t
+        |)
+        |SELECT doc_id,
+        |       CAST(start_tok / 48 AS INT) AS chunk_id,
+        |       CAST(start_tok AS INT) AS start_tok,
+        |       len(list_slice(toks, start_tok + 1, start_tok + 64)) AS n_tokens,
+        |       array_to_string(list_slice(toks, start_tok + 1, start_tok + 64), ' ') AS chunk_text
+        |FROM s""".stripMargin,
 
     // patterns + replacement order mirror TextFunctions.piiPatterns; counts
     // are over the pre-redaction text on both sides

@@ -187,4 +187,59 @@ object Aggregates {
         round(corr(col("value"), hour(col("ts")).cast("double")), 6).as("corr_value_hour"),
         round(covar_samp(col("value"), hour(col("ts")).cast("double")), 6).as("covar_value_hour"),
         round(stddev_samp(col("value")), 6).as("stddev_value"))
+
+  /** MERGEABLE partial-aggregate state for the zone×hour revenue view:
+    * count, exact-cents sum (integer-valued doubles — order-independent,
+    * the repo float policy), min, max. These are the partials a standing
+    * 100 TB materialized view STORES: the nightly job aggregates only the
+    * new batch and [[mergeRevenueState]]s it into the table, so history
+    * is never rescanned — maintenance cost is ∝ |batch| + |state keys|,
+    * not ∝ |history|. Derived columns (total, average) come from
+    * [[revenueViewFromState]] at read time; storing them instead of the
+    * partials is the classic mistake that makes a view non-mergeable. */
+  def revenueStateByZoneHour(fact: DataFrame): DataFrame =
+    fact
+      // null zones excluded: the view key must equi-join across merges,
+      // and SQL null keys never match themselves
+      .filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+      .groupBy(col("zone_id"), hour(col("ts")).as("hour"))
+      .agg(
+        count(lit(1)).as("event_count"),
+        sum(round(col("value") * 100)).as("value_cents"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+
+  /** Merge two partial states: full-outer join on the view key +
+    * elementwise combine (count/sum add with sum's null algebra — null
+    * only when BOTH sides are null; min/max via least/greatest, which
+    * skip nulls). Associativity of every partial makes the fold
+    * order-free: state ⊕ day1 ⊕ day2 ≡ recompute over the union,
+    * bit-exactly (spec-asserted), which is what licenses running it
+    * incrementally forever. One shuffle on the view key; at scale the
+    * state table is bucketed on the key so only the batch side moves. */
+  def mergeRevenueState(state: DataFrame, delta: DataFrame): DataFrame = {
+    val keys = Seq("zone_id", "hour")
+    val d = delta.columns.filterNot(keys.contains)
+      .foldLeft(delta)((df, c) => df.withColumnRenamed(c, s"${c}_d"))
+    def addNullAsZero(a: String, b: String) =
+      when(col(a).isNull && col(b).isNull, lit(null))
+        .otherwise(coalesce(col(a), lit(0)) + coalesce(col(b), lit(0)))
+    state.join(d, keys, "full_outer")
+      .select(
+        keys.map(col) ++ Seq(
+          addNullAsZero("event_count", "event_count_d").cast("long").as("event_count"),
+          addNullAsZero("value_cents", "value_cents_d").cast("double").as("value_cents"),
+          least(col("min_value"), col("min_value_d")).as("min_value"),
+          greatest(col("max_value"), col("max_value_d")).as("max_value")): _*)
+  }
+
+  /** Read-time face of the revenue state: exact-cents total (2-dp) and
+    * the unrounded exact quotient average, the [[revenueDailyByZone]]
+    * float policy. */
+  def revenueViewFromState(state: DataFrame): DataFrame =
+    state.select(
+      col("zone_id"), col("hour"), col("event_count"),
+      round(col("value_cents") / 100, 2).as("total_revenue"),
+      (col("value_cents") / 100 / col("event_count")).as("avg_value"),
+      col("min_value"), col("max_value"))
 }

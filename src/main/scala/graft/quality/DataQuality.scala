@@ -113,6 +113,31 @@ object DataQuality {
         countDistinct(col(idCol)).as("n_ids"))
       .withColumn("at_risk", col("n_ids") < k)
 
+  /** Join-key skew diagnostic — the pre-flight a 100 TB join or groupBy
+    * runs BEFORE shuffling on a key: the `topN` hottest key values with
+    * their row share, skew multiple vs the mean key (`skew_x`, the
+    * straggler factor an unsalted shuffle pays on that key's partition)
+    * and the integer `salt_factor` (⌈cnt / avg⌉, exact long arithmetic)
+    * that [[graft.analytics.SkewJoin]]-style salting would need to level
+    * it. One hash-groupBy on the key (map-side combined), a scalar
+    * second aggregate broadcast back, and a TakeOrdered top-N — no
+    * single-partition sort, nothing driver-side grows with the data.
+    * Ties break on the key value so the top-N cut is deterministic. */
+  def keySkewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val perKey = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val totals = perKey.agg(
+      count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+    perKey.crossJoin(broadcast(totals))
+      .select(
+        col(keyCol), col("cnt"), col("n_keys"), col("n_rows"),
+        (col("cnt").cast("double") / col("n_rows")).as("row_share"),
+        (col("cnt").cast("double") * col("n_keys") / col("n_rows")).as("skew_x"),
+        expr("(cnt * n_keys + n_rows - 1) div n_rows").as("salt_factor"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topN)
+  }
+
   /** l-diversity audit — [[kAnonymity]]'s companion (Machanavajjhala et
     * al., ICDE 2006): a QI class can be k-anonymous yet still leak if all
     * its members share one SENSITIVE value (the homogeneity attack). One

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract, struct}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -420,6 +420,79 @@ object VersionedTable {
     commitManifest(hfs, root,
       Manifest(next, ts, s"delete", m.files.filterNot(touched) ++ newFiles))
     next
+  }
+
+  /** Change data feed between two snapshots (Delta CDF / `table_changes`):
+    * row-level `insert` / `delete` / `update_preimage` / `update_postimage`
+    * classification keyed on `keyCols`, computed from the MANIFEST DIFF —
+    * only files added or removed between the versions are opened; files
+    * carried by reference (the untouched bulk of a copy-on-write table)
+    * contribute nothing and are never read. That is the property that
+    * makes CDF viable at 100 TB: a merge touching one key reads two
+    * files here, not two snapshots. Unchanged rows inside a rewritten
+    * file cancel in the keyed full-outer compare (null-safe struct
+    * equality), so copy-on-write rewrite artifacts never surface as
+    * changes.
+    *
+    * Output: the table's columns plus `_change_type`; updates emit both
+    * images (Delta's CDF shape). Precondition, same as [[merge]]:
+    * `keyCols` unique per snapshot. Reads both sides with mergeSchema
+    * and aligns columns by name (union schema) so the feed spans
+    * schema-evolution commits; pre-evolution rows read the new columns
+    * as null. */
+  def changes(spark: SparkSession, path: String, keyCols: Seq[String],
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val (hfs, root) = fs(spark, path)
+    val from = readManifest(hfs, root, fromVersion).files
+    val to = readManifest(hfs, root, toVersion).files
+    val removed = from.filterNot(to.toSet)
+    val added = to.filterNot(from.toSet)
+    def readFiles(files: Seq[String]): Option[DataFrame] =
+      if (files.isEmpty) None
+      else Some(spark.read.option("mergeSchema", "true")
+        .parquet(files.map(f => new Path(root, f).toString): _*))
+    (readFiles(removed), readFiles(added)) match {
+      case (None, None) =>
+        // metadata-only commit (rollback to self, optimize no-op): no
+        // data files differ, the feed is empty by construction
+        readVersion(spark, path, toVersion).limit(0)
+          .withColumn("_change_type", lit(""))
+      case (None, Some(post)) =>
+        post.withColumn("_change_type", lit("insert"))
+      case (Some(pre), None) =>
+        pre.withColumn("_change_type", lit("delete"))
+      case (Some(pre0), Some(post0)) =>
+        // align by name across schema evolution: each side selects the
+        // union column set, missing names as typed nulls from the other
+        val preCols = pre0.schema.fieldNames.toSeq
+        val postCols = post0.schema.fieldNames.toSeq
+        val all = preCols ++ postCols.filterNot(preCols.contains)
+        def aligned(df: DataFrame, own: Seq[String], other: DataFrame) =
+          df.select(all.map { c =>
+            if (own.contains(c)) col(c)
+            else lit(null).cast(other.schema(c).dataType).as(c)
+          }: _*)
+        val pre = aligned(pre0, preCols, post0)
+        val post = aligned(post0, postCols, pre0)
+        val dataCols = all.filterNot(keyCols.contains)
+        val lhs = pre.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__pre"): _*)
+        val rhs = post.select(keyCols.map(col) :+ struct(dataCols.map(col): _*).as("__post"): _*)
+        val j = lhs.join(rhs, keyCols, "full_outer")
+        def emit(img: String, tpe: String) = j
+          .filter(tpe match {
+            case "insert" => col("__pre").isNull
+            case "delete" => col("__post").isNull
+            case _ => col("__pre").isNotNull && col("__post").isNotNull &&
+              !(col("__pre") <=> col("__post"))
+          })
+          .select(all.map { c =>
+            if (keyCols.contains(c)) col(c) else col(s"$img.$c").as(c)
+          } :+ lit(tpe).as("_change_type"): _*)
+        emit("__post", "insert")
+          .unionByName(emit("__pre", "delete"))
+          .unionByName(emit("__pre", "update_preimage"))
+          .unionByName(emit("__post", "update_postimage"))
+    }
   }
 
   /** Delete data files referenced ONLY by versions older than the last

@@ -847,4 +847,36 @@ object TextFunctions {
       minOver(1, 4).as("kgram_min_0"), minOver(2, 4).as("kgram_min_1"),
       minOver(3, 4).as("kgram_min_2"), minOver(4, 4).as("kgram_min_3"))
   }
+
+  /** Overlapping token-window chunking — the RAG / context-window prep
+    * step that turns documents into retrieval units: chunks of
+    * `chunkTokens` whitespace tokens starting every `stride` tokens
+    * (stride < chunkTokens ⇒ the overlap that keeps sentences split
+    * across a boundary recoverable from the neighbor chunk). The last
+    * chunk is the natural short tail; a doc shorter than one stride
+    * yields exactly one chunk. `chunk_id = start / stride` is stable
+    * under re-partitioning, so chunk keys are reproducible join keys to
+    * an embedding table.
+    *
+    * Scale shape: pure per-row narrow work (split → sequence-of-starts →
+    * posexplode → slice), no shuffle, whole-stage codegen — it pipelines
+    * inside the scan stage, and output size is the only cost:
+    * ~`|tokens| / stride` rows per doc, the fan-out any chunker pays. */
+  def chunkDocs(docs: DataFrame, chunkTokens: Int = 64, stride: Int = 48): DataFrame = {
+    require(stride > 0 && stride <= chunkTokens,
+      s"stride $stride must be in 1..$chunkTokens")
+    docs
+      .withColumn("__toks", split(col("text"), " "))
+      .select(col("doc_id"), col("__toks"),
+        explode(sequence(lit(0), greatest(size(col("__toks")) - 1, lit(0)),
+          lit(stride))).as("start_tok"))
+      .withColumn("__chunk",
+        slice(col("__toks"), col("start_tok") + 1, lit(chunkTokens)))
+      .select(
+        col("doc_id"),
+        (col("start_tok") / stride).cast("int").as("chunk_id"),
+        col("start_tok"),
+        size(col("__chunk")).as("n_tokens"),
+        concat_ws(" ", col("__chunk")).as("chunk_text"))
+  }
 }

@@ -365,4 +365,54 @@ class PipelineSpec extends SparkSpec {
     assert(p.getAs[Int]("chars_p50") <= p.getAs[Int]("chars_p95"))
     assert(p.getAs[Double]("avg_chars") > 0)
   }
+
+  test("key-skew report: hot key's share/straggler multiple/salt factor, deterministic top-N cut") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c") :+ null)
+      .toDF("k")
+    val rep = DataQuality.keySkewReport(df, "k", topN = 3).collect()
+    val byKey = rep.map(r => r.getAs[String]("k") ->
+      ((r.getAs[Long]("cnt"), r.getAs[Double]("row_share"),
+        r.getAs[Double]("skew_x"), r.getAs[Long]("salt_factor")))).toMap
+    // nulls excluded: 4 keys / 10 rows, mean 2.5
+    assert(rep.head.getAs[Long]("n_keys") === 4L)
+    assert(rep.head.getAs[Long]("n_rows") === 10L)
+    assert(byKey("hot") === ((6L, 0.6, 2.4, 3L))) // ⌈6/2.5⌉ = 3
+    assert(byKey("a") === ((2L, 0.2, 0.8, 1L)))
+    // top-3 cut: the b/c tie breaks on the key value ascending
+    assert(rep.map(_.getAs[String]("k")).toSeq === Seq("hot", "a", "b"))
+  }
+
+  test("incremental view maintenance: state ⊕ day1 ⊕ day2 equals full recompute bit-exactly") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    def ev(id: Long, day: Int, hour: Int, zone: java.lang.Long, v: java.lang.Double) =
+      (id, s"u$id", Timestamp.valueOf(f"2026-03-$day%02d $hour%02d:15:00"),
+        "purchase", v, zone, Date.valueOf(f"2026-03-$day%02d"))
+    val rows = Seq(
+      ev(1, 1, 9, 10L, 19.99), ev(2, 1, 9, 10L, 0.01), ev(3, 1, 17, 11L, 5.50),
+      ev(4, 2, 9, 10L, 100.00), ev(5, 2, 23, 12L, 7.77),
+      ev(6, 3, 9, 10L, 0.02), ev(7, 3, 17, 11L, 42.42),
+      ev(8, 3, 5, null, 1.0) // null zone: excluded from the view key
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "zone_id", "event_date")
+    def day(d: Int) = rows.filter(col("event_date") === s"2026-03-0$d")
+    // fold: day-1 state, then merge day 2, then merge day 3
+    val folded = Aggregates.mergeRevenueState(
+      Aggregates.mergeRevenueState(
+        Aggregates.revenueStateByZoneHour(day(1)),
+        Aggregates.revenueStateByZoneHour(day(2))),
+      Aggregates.revenueStateByZoneHour(day(3)))
+    val full = Aggregates.revenueStateByZoneHour(rows)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      Aggregates.revenueViewFromState(df)
+        .orderBy("zone_id", "hour").collect().map(_.toSeq).toSeq
+    assert(dump(folded) === dump(full)) // bit-exact: no tolerance
+    // the merged key set is the union; a key only in one day survives
+    val view = Aggregates.revenueViewFromState(folded)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getAs[Double]("total_revenue")).toMap
+    assert(view((12L, 23)) === 7.77)   // day-2-only key
+    assert(view((10L, 9)) === 120.02)  // combined across all three days
+    assert(view((11L, 17)) === 47.92)  // key present on days 1 and 3 only
+    assert(view.size === 3)            // null-zone row contributed no key
+  }
 }

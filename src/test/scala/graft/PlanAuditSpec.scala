@@ -58,8 +58,14 @@ class PlanAuditSpec extends SparkSpec {
     //   broadcast-bounded contract (benchmark suites are small by
     //   definition; a missed candidate is benchmark leakage, so the
     //   default path is exact — Dedup.embeddingDecontaminate scaladoc)
+    // iv_ag: the 1-row max-date scalar crossJoined onto silver to split
+    //   history/batch — the corpus-stat pattern (in production the batch
+    //   boundary is a parameter, not a computed scalar)
+    // dq_kh: the 1-row (n_keys, n_rows) totals scalar crossJoined onto
+    //   the per-key count table — a 1-row build side
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
-      "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em")
+      "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em",
+      "iv_ag", "dq_kh")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }

@@ -518,4 +518,31 @@ class TextMultimodalSpec extends SparkSpec {
     assert(out(6L).getAs[Double]("avg_nll") === math.rint(-math.log(0.04) * 1e6) / 1e6)
     assert(out(5L).getAs[Double]("ppl") < out(6L).getAs[Double]("ppl"))
   }
+
+  test("chunking: stride-spaced windows cover every token, tail short, singleton for short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                    // shorter than one stride
+      (3L, "")                                        // degenerate: split('') = ['']
+    ).toDF("doc_id", "text")
+    val ch = TextFunctions.chunkDocs(docs, chunkTokens = 4, stride = 3)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        ((r.getAs[Int]("start_tok"), r.getAs[Int]("n_tokens"), r.getAs[String]("chunk_text"))))
+      .toMap
+    // doc 1: starts 0,3,6,9; 4-token windows clamp at the tail
+    assert(ch((1L, 0)) === ((0, 4, "w1 w2 w3 w4")))
+    assert(ch((1L, 1)) === ((3, 4, "w4 w5 w6 w7")))
+    assert(ch((1L, 2)) === ((6, 4, "w7 w8 w9 w10")))
+    assert(ch((1L, 3)) === ((9, 1, "w10")))
+    // overlap: consecutive windows share chunkTokens - stride = 1 token
+    // (asserted above by content); short docs yield exactly one chunk
+    assert(ch((2L, 0)) === ((0, 2, "a b")))
+    assert(ch((3L, 0)) === ((0, 1, "")))
+    assert(ch.size === 6)
+    // every token index is covered by some window
+    val covered = ch.collect { case ((1L, _), (s, n, _)) => s until (s + n) }.flatten.toSet
+    assert(covered === (0 until 10).toSet)
+  }
 }

@@ -216,6 +216,56 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("name", "n"))
   }
 
+  test("changes: keyed CDF classifies insert/update-pair/delete; rewrite artifacts and identity updates cancel") {
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // merge: real update (5), IDENTITY update (7 → its current value),
+    // insert (200); the high-id file is untouched and carries by reference
+    val upd = Seq((5L, -1L), (7L, 70L), (200L, -3L)).toDF("id", "v")
+    VersionedTable.merge(upd, t, keyCols = Seq("id"), ts = "2026-01-02T00:00:00Z")
+    val cdf = VersionedTable.changes(spark, t, Seq("id"), 0L, 1L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("v"), r.getAs[String]("_change_type")))
+      .toSet
+    // exactly three rows: the update pair and the insert — row 7's
+    // identity update cancels, the rewritten file's unchanged rows
+    // (1-50 minus 5,7) cancel, the carried file (51-100) was never read
+    assert(cdf === Set((5L, 10L * 5, "update_preimage"), (5L, -1L, "update_postimage"),
+      (200L, -3L, "insert")))
+    // delete commit → pure delete feed
+    VersionedTable.delete(spark, t, "id >= 99 AND id <= 100", ts = "2026-01-03T00:00:00Z")
+    val del = VersionedTable.changes(spark, t, Seq("id"), 1L, 2L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type"))).toSet
+    assert(del === Set((99L, "delete"), (100L, "delete")))
+    // pure append → pure insert feed (removed side empty)
+    VersionedTable.commit(Seq((300L, 1L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-04T00:00:00Z")
+    val ins = VersionedTable.changes(spark, t, Seq("id"), 2L, 3L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+    assert(ins.toSeq === Seq((300L, "insert")))
+    // rollback is re-pointing: its feed is the appended rows, as deletes
+    VersionedTable.rollback(spark, t, 2L, ts = "2026-01-05T00:00:00Z")
+    val rb = VersionedTable.changes(spark, t, Seq("id"), 3L, 4L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("_change_type")))
+    assert(rb.toSeq === Seq((300L, "delete")))
+    // identical manifests (v2 vs the rollback-to-v2) → empty feed
+    assert(VersionedTable.changes(spark, t, Seq("id"), 2L, 4L).count() === 0L)
+  }
+
+  test("changes spans schema evolution: union schema, old columns null on the new side") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 10L)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(Seq((2L, 20L, "en")).toDF("id", "v", "lang"), t,
+      mode = "append", ts = "2026-01-02T00:00:00Z", mergeSchema = true)
+    val out = VersionedTable.changes(spark, t, Seq("id"), 0L, 1L).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("id") === 2L && r.getAs[String]("lang") === "en"
+      && r.getAs[String]("_change_type") === "insert")
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
