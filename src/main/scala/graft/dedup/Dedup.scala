@@ -704,7 +704,17 @@ object Dedup {
     // scan the LSH twice on fill.
     val base = pairs.select(col("doc_a"), col("doc_b")).persist()
     val nPairs = base.count()
-    if (nPairs <= driverCutover) {
+    // The driver path collects edges as Long, so it's only taken for
+    // integral doc_ids (string/decimal corpora — which the distributed
+    // loop handles natively — would NPE in getLong or alias distinct
+    // ids under a lossy cast); doc_id's declared type decides, since
+    // both the edge casts and the broadcast map-back key on it.
+    val integralIds = docs.schema("doc_id").dataType match {
+      case _: org.apache.spark.sql.types.ByteType | _: org.apache.spark.sql.types.ShortType |
+           _: org.apache.spark.sql.types.IntegerType | _: org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    if (nPairs <= driverCutover && integralIds) {
       // Bounded-collect cutover (the zonePageRank precedent, m_pr round
       // 8): near-dup pair graphs are SPARSE — |pairs| is dup-volume-
       // sized, not corpus-sized — and at ≤ `driverCutover` edges
@@ -798,8 +808,16 @@ object Dedup {
               coalesce(col("p_lbl"), col("l.cluster_id")).as("cluster_id"))
         }
       val obs = org.apache.spark.sql.Observation(s"dup_clusters_r$i")
+      // Convergence metric: for integral ids the exact label sum (labels
+      // only decrease, so the sum strictly decreases until fixpoint); for
+      // string/other ids, the sum of 64-bit label hashes — not monotone,
+      // but a changed round colliding to the same sum is a 2^-64 event
+      // and maxIter backstops it
+      val lblMetric =
+        if (integralIds) sum(col("cluster_id").cast("decimal(38,0)"))
+        else sum(xxhash64(col("cluster_id")).cast("decimal(38,0)"))
       val next = stepped
-        .observe(obs, sum(col("cluster_id").cast("decimal(38,0)")).as("lbl_sum"))
+        .observe(obs, lblMetric.as("lbl_sum"))
         .localCheckpoint() // the observe metric fires on this job
       val s = Some(obs.get("lbl_sum"))
       labels = next

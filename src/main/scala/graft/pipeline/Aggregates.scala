@@ -233,6 +233,52 @@ object Aggregates {
           greatest(col("max_value"), col("max_value_d")).as("max_value")): _*)
   }
 
+  /** Fold one change-data-feed batch ([[graft.sources.VersionedTable.changes]]
+    * shape: the fact columns + `_change_type`) into the revenue state —
+    * the Delta `readChangeFeed` → MERGE maintenance step, structured so
+    * EVERY partial stays exact without signed min/max arithmetic:
+    *
+    *  - ADDITIVE FAST PATH: `insert` / `update_postimage` rows aggregate
+    *    to a delta and [[mergeRevenueState]] in. For append-only feeds
+    *    (the overwhelmingly common fact-stream case) this is the whole
+    *    fold — the snapshot is NEVER read.
+    *  - DELETE SIDE: min/max are not subtractable, so view keys touched
+    *    by `delete` / `update_preimage` rows are recomputed WHOLESALE
+    *    from `snapshot` (the table as of this batch's version) restricted
+    *    to those keys — the textbook incremental-view-maintenance
+    *    treatment. Cost ∝ affected keys' snapshot slice (broadcast
+    *    semi-join; a zone-partitioned layout file-prunes it), paid only
+    *    on batches that actually delete.
+    *
+    * A key whose rows all vanish drops out of the state (the recompute
+    * finds no rows); update rows that move across view keys recompute
+    * the pre-key and additively land on the post-key. Result is
+    * bit-exact vs a from-scratch recompute (spec-asserted) — the `iv_ag`
+    * standard, now reachable from a stream. */
+  def applyRevenueChanges(state: DataFrame, cdf: DataFrame,
+      snapshot: DataFrame): DataFrame = {
+    val keys = Seq("zone_id", "hour")
+    val rel = cdf.filter(col("event_type") === "purchase" && col("zone_id").isNotNull)
+    val adds = rel.filter(col("_change_type").isin("insert", "update_postimage"))
+    val affected = rel.filter(col("_change_type").isin("delete", "update_preimage"))
+      .select(col("zone_id"), hour(col("ts")).as("hour")).distinct().persist()
+    val out =
+      if (affected.isEmpty) mergeRevenueState(state, revenueStateByZoneHour(adds))
+      else {
+        val keep = state.join(broadcast(affected), keys, "left_anti")
+        val addDelta = revenueStateByZoneHour(adds)
+          .join(broadcast(affected), keys, "left_anti")
+        val recomputed = revenueStateByZoneHour(
+          snapshot.withColumn("hour", hour(col("ts")))
+            .join(broadcast(affected), keys, "left_semi").drop("hour"))
+        mergeRevenueState(keep, addDelta).unionByName(recomputed)
+      }
+    // pin the fold before unpersisting the affected-key set it references
+    val pinned = out.localCheckpoint(true)
+    affected.unpersist()
+    pinned
+  }
+
   /** Read-time face of the revenue state: exact-cents total (2-dp) and
     * the unrounded exact quotient average, the [[revenueDailyByZone]]
     * float policy. */

@@ -1,8 +1,9 @@
 package graft.sources
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract, struct}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -29,16 +30,20 @@ import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_fil
   *   files/c00000003/part-0000.parquet
   * }}}
   *
-  * COMMIT PROTOCOL (optimistic concurrency, the Delta log trick on a
-  * filesystem with atomic rename): data files land first under a
-  * version-owned directory, then the manifest is written to a temp name
-  * and RENAMED to `v<next>.manifest`. Hadoop `rename` onto an existing
-  * destination returns false, so of two racing writers targeting the
-  * same version exactly one commits; the loser's exception tells it to
-  * re-read the log and retry on top of the winner (its orphaned data
-  * directory is reclaimed by [[vacuum]]). This holds on HDFS and local
-  * filesystems; on S3 (no atomic rename) it needs a coordination layer,
-  * exactly as Delta-on-S3 needs LogStore — documented, not hidden.
+  * COMMIT PROTOCOL (optimistic concurrency, the Delta log trick): data
+  * files land first under a version-owned directory, then the manifest
+  * is written to a temp name and atomically CLAIMED as
+  * `v<next>.manifest`. The claim primitive is per-filesystem: on HDFS,
+  * `rename` onto an existing destination fails, so rename-if-absent is
+  * the guard; on LOCAL filesystems Hadoop's rename delegates to POSIX
+  * rename(2), which OVERWRITES an existing destination — there the
+  * claim is a hard link (`link(2)` fails with EEXIST atomically), so
+  * the guarantee holds on both. Either way, of two racing writers
+  * targeting the same version exactly one commits; the loser's
+  * exception tells it to re-read the log and retry on top of the winner
+  * (its orphaned data directory is reclaimed by [[vacuum]]). On S3
+  * (no atomic rename OR link) this needs a coordination layer, exactly
+  * as Delta-on-S3 needs LogStore — documented, not hidden.
   *
   * Scale notes: every operation here is DRIVER-SIDE METADATA except the
   * data write itself — `history` reads manifest headers (never data),
@@ -59,6 +64,15 @@ object VersionedTable {
 
   private val ManifestDir = "_manifests"
 
+  /** The table's manifest-log directory — the CDF streaming source
+    * ([[graft.streaming.Streams.changesStream]]) points Spark's file
+    * stream at it: each committed version is exactly one new immutable
+    * file there (atomic publish), so the file source's discovery
+    * sequence IS the commit sequence and its checkpoint tracks which
+    * versions a consumer has processed. */
+  private[graft] def manifestLogDir(path: String): String =
+    s"$path/$ManifestDir"
+
   private def fs(spark: SparkSession, path: String): (FileSystem, Path) = {
     val p = new Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
@@ -67,10 +81,14 @@ object VersionedTable {
   private def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
 
-  /** Manifest content: (version, ts, op, relative data-file paths, and an
-    * optional streaming transaction marker `appId -> batchId`). */
+  /** Manifest content: (version, ts, op, relative data-file paths, an
+    * optional streaming transaction marker `appId -> batchId`, and the
+    * snapshot's logical schema as Spark DataType JSON — recorded so an
+    * EMPTY snapshot (delete-all, empty-batch commit) stays readable and
+    * the append schema check never depends on one file's footer). */
   private case class Manifest(version: Long, ts: String, op: String,
-      files: Seq[String], txn: Option[(String, Long)] = None)
+      files: Seq[String], txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None)
 
   private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest = {
     val in = hfs.open(manifestPath(root, v))
@@ -84,8 +102,25 @@ object VersionedTable {
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
     Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-      lines.dropWhile(_.contains("=")), txn)
+      lines.dropWhile(_.contains("=")), txn, hdr.get("schema"))
   }
+
+  /** A snapshot's logical schema: the manifest-recorded one when present
+    * (all manifests this code writes record it), else derived by a
+    * mergeSchema footer pass over the file list — NEVER a single file's
+    * footer, which after schema evolution under-reports the columns. */
+  private def snapshotSchema(spark: SparkSession, root: Path, m: Manifest): StructType =
+    m.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType]).getOrElse {
+      require(m.files.nonEmpty,
+        s"version ${m.version} is an empty snapshot with no recorded schema")
+      spark.read.option("mergeSchema", "true")
+        .parquet(m.files.map(f => new Path(root, f).toString): _*).schema
+    }
+
+  /** Name-based union: `prev`'s fields (types authoritative) plus the
+    * fields `next` adds — the schema an evolved append's readers see. */
+  private def unionSchema(prev: StructType, next: StructType): StructType =
+    StructType(prev.fields ++ next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
 
   /** All committed versions, ascending (driver-side listing, no data read). */
   private def versions(hfs: FileSystem, root: Path): Seq[Long] = {
@@ -125,26 +160,28 @@ object VersionedTable {
     val spark = df.sparkSession
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption
+    val prevSchema =
+      if (mode == "append")
+        prev.map(p => snapshotSchema(spark, root, readManifest(hfs, root, p)))
+      else None
     // Schema-on-write (append only — an overwrite REPLACES the snapshot,
     // new schema and all): the batch's column names must equal the
-    // current snapshot's, or the table would silently fork — a plain
-    // (non-merged) read takes ONE file's footer, so rows written under
-    // the other schema would drop columns or vanish. With
+    // current SNAPSHOT schema — the recorded/union schema, not one
+    // file's footer, which after an earlier evolution under-reports the
+    // table — or the table would silently fork. With
     // `mergeSchema = true` the append is allowed and readers see the
     // union schema (readVersion passes mergeSchema through to parquet;
     // old files read the new columns as null) — Delta's
     // autoMerge evolution.
-    if (mode == "append" && !mergeSchema) prev.foreach { p =>
-      val existing = readManifest(hfs, root, p).files.headOption.map { f =>
-        spark.read.parquet(new Path(root, f).toString).schema.fieldNames.toSeq
-      }
-      existing.filter(_.toSet != df.schema.fieldNames.toSet).foreach { cols =>
+    if (mode == "append" && !mergeSchema) prevSchema
+      .filter(_.fieldNames.toSet != df.schema.fieldNames.toSet)
+      .foreach { ps =>
         throw new SchemaMismatchException(
           s"append schema ${df.schema.fieldNames.mkString("[", ",", "]")} does not " +
-            s"match table schema ${cols.mkString("[", ",", "]")} at $path; " +
+            s"match table schema ${ps.fieldNames.mkString("[", ",", "]")} at $path; " +
             "pass mergeSchema = true to evolve")
       }
-    }
+    val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest renames.
@@ -156,7 +193,8 @@ object VersionedTable {
     val carried =
       if (mode == "append") prev.map(readManifest(hfs, root, _).files).getOrElse(Seq.empty)
       else Seq.empty
-    commitManifest(hfs, root, Manifest(next, ts, mode, carried ++ newFiles, txn))
+    commitManifest(hfs, root,
+      Manifest(next, ts, mode, carried ++ newFiles, txn, Some(snapSchema.json)))
     next
   }
 
@@ -180,7 +218,11 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val bytes = m.files.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
-    val cur = spark.read.parquet(m.files.map(f => new Path(root, f).toString): _*)
+    // mergeSchema, like readVersion: a plain read takes ONE footer, so a
+    // post-evolution optimize would silently ERASE the evolved column
+    // from the whole table — breaking the identical-content contract
+    val cur = spark.read.option("mergeSchema", "true")
+      .parquet(m.files.map(f => new Path(root, f).toString): _*)
     val laid = zorderBy match {
       // drop the helper zval column: optimize must be content-identical
       case Some((a, b)) =>
@@ -193,7 +235,8 @@ object VersionedTable {
     val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}")
-    commitManifest(hfs, root, Manifest(next, ts, "optimize", newFiles))
+    commitManifest(hfs, root,
+      Manifest(next, ts, "optimize", newFiles, None, Some(cur.schema.json)))
     next
   }
 
@@ -210,18 +253,21 @@ object VersionedTable {
     ids.maxOption
   }
 
-  /** Idempotent streaming commit: appends `df` as a new snapshot UNLESS a
+  /** Idempotent streaming commit: commits `df` as a new snapshot UNLESS a
     * snapshot for (`appId`, a batch id ≥ `batchId`) is already in the log,
     * in which case the replay is skipped BEFORE any data is written.
     * Returns the committed version, or None for a skipped replay. With
     * foreachBatch's at-least-once delivery this yields exactly-once table
-    * contents — the Delta `txn`/`FOREACHBATCH` idempotent-sink pattern. */
+    * contents — the Delta `txn`/`FOREACHBATCH` idempotent-sink pattern.
+    * `mode = "append"` is the event-sink shape; `"overwrite"` the
+    * maintained-state shape (each batch replaces the whole state table,
+    * as [[graft.streaming.Streams.maintainView]] does). */
   def commitIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
-      ts: String = "1970-01-01T00:00:00Z"): Option[Long] = {
+      ts: String = "1970-01-01T00:00:00Z", mode: String = "append"): Option[Long] = {
     require(!appId.contains(":") && !appId.contains("\n"), s"bad appId: $appId")
     val spark = df.sparkSession
     if (lastTxn(spark, path, appId).exists(_ >= batchId)) None
-    else Some(commitInternal(df, path, "append", ts, Some((appId, batchId))))
+    else Some(commitInternal(df, path, mode, ts, Some((appId, batchId))))
   }
 
   /** Signals a lost optimistic-concurrency race: another writer committed
@@ -245,12 +291,27 @@ object VersionedTable {
     val tmp = new Path(dir, s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
     val out = hfs.create(tmp, false)
     val hdr = Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++
-      m.txn.map { case (a, b) => s"txn=$a:$b" }
+      m.txn.map { case (a, b) => s"txn=$a:$b" } ++
+      m.schemaJson.map(j => s"schema=$j")
     try out.write((hdr ++ m.files)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    // Atomic publish: rename-if-absent — exactly one of N racers wins.
-    if (!hfs.rename(tmp, target)) {
+    // Atomic claim of the final name — exactly one of N racers wins.
+    // HDFS: rename fails on an existing destination. Local FS: POSIX
+    // rename(2) OVERWRITES, so the claim is a hard link instead —
+    // link(2) fails with EEXIST atomically (the exists() precheck above
+    // is only a fast path; this is the real guard on both filesystems).
+    val local = Option(target.toUri.getScheme).forall(_ == "file")
+    if (local) {
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(target.toUri.getPath),
+        java.nio.file.Paths.get(tmp.toUri.getPath))
+      catch { case _: java.nio.file.FileAlreadyExistsException =>
+        hfs.delete(tmp, false)
+        throw new ConcurrentCommitException(m.version)
+      }
+      hfs.delete(tmp, false)
+    } else if (!hfs.rename(tmp, target)) {
       hfs.delete(tmp, false)
       throw new ConcurrentCommitException(m.version)
     }
@@ -270,8 +331,13 @@ object VersionedTable {
       else versions(hfs, root).lastOption.getOrElse(
         throw new IllegalArgumentException(s"no committed versions at $path"))
     val m = readManifest(hfs, root, v)
-    require(m.files.nonEmpty, s"version $v is an empty snapshot")
-    spark.read.option("mergeSchema", mergeSchema.toString)
+    if (m.files.isEmpty)
+      // legal empty state (delete-all, empty-batch commit): the manifest
+      // records the schema, so the head stays readable — Delta supports
+      // empty table states and so does this
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+        snapshotSchema(spark, root, m))
+    else spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(m.files.map(f => new Path(root, f).toString): _*)
   }
 
@@ -318,7 +384,8 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     val target = readManifest(hfs, root, toVersion)
     val next = versions(hfs, root).last + 1
-    commitManifest(hfs, root, Manifest(next, ts, s"rollback($toVersion)", target.files))
+    commitManifest(hfs, root,
+      Manifest(next, ts, s"rollback($toVersion)", target.files, None, target.schemaJson))
     next
   }
 
@@ -330,24 +397,49 @@ object VersionedTable {
     * to "" (guarded at the collect sites). */
   private val DataFileRe = ".*/(files/c\\d{8}/[^/]+)$"
 
+  /** Rewrite-phase read for [[merge]]/[[delete]]: ONLY the given
+    * manifest-relative files, as their own parquet scan. The touched set
+    * is a driver-side list after discovery, so handing it to the source
+    * directly makes the rewrite scan touched-set-sized BY PLAN — the
+    * FileSourceScan's location lists exactly these files (spec-asserted)
+    * — where a full-snapshot read filtered on `input_file_name()` opens
+    * every untouched file (Spark cannot file-prune on that expression).
+    * mergeSchema, like readVersion: post-evolution rewrites must not
+    * drop evolved columns present in the touched files. */
+  private[graft] def readTouched(spark: SparkSession, path: String,
+      touched: Seq[String]): DataFrame = {
+    val (_, root) = fs(spark, path)
+    spark.read.option("mergeSchema", "true")
+      .parquet(touched.map(f => new Path(root, f).toString): _*)
+  }
+
   /** Copy-on-write MERGE (Delta `MERGE INTO` / upsert): rows of `updates`
     * replace snapshot rows sharing their `keyCols` values; non-matching
     * update rows insert. Only files CONTAINING a matched key are
     * rewritten — untouched files carry into the new snapshot by
     * reference (their manifest paths are byte-identical, spec-asserted),
     * so a merge touching one key rewrites one file, not the table.
+    * Whole-row replacement semantics: a snapshot column the updates
+    * frame doesn't carry (post-evolution merge with an old-schema batch)
+    * reads null on replaced/inserted rows; survivors keep their values.
+    * `updates` may not introduce NEW columns — that's schema drift,
+    * rejected like a drifted append.
     *
     * Phases, exactly Delta's: (1) find touched files — one scan of the
     * snapshot semi-joined against the broadcast key set (Delta prunes
     * this scan with per-file min/max stats; here parquet row-group stats
     * prune within files, and a key-range-partitioned layout — commit
     * after `repartitionByRange(keyCols)` — keeps the touched set small);
-    * (2) rewrite = touched-file survivors (anti-join) ∪ all updates;
-    * (3) commit manifest = carried untouched files + rewrite's files.
-    * The touched-file list is a driver collect bounded by |files| —
-    * metadata-sized. Readers of older versions are unaffected
-    * (snapshot isolation); concurrent merges serialize on the rename
-    * guard. */
+    * (2) rewrite = touched-file survivors (anti-join over a scan of ONLY
+    * the touched files — the untouched bulk of the table is opened by
+    * neither phase's writer) ∪ all updates; (3) commit manifest =
+    * carried untouched files + rewrite's files. The touched-file list is
+    * a driver collect bounded by |files| — metadata-sized. Readers of
+    * older versions are unaffected (snapshot isolation); concurrent
+    * merges serialize on the commit claim. Remaining gap vs Delta, by
+    * design: the DISCOVERY scan reads all files (parquet row-group
+    * stats prune within them); file-level min/max stats in the manifest
+    * are the eventual fix. */
   def merge(updates: DataFrame, path: String, keyCols: Seq[String],
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val spark = updates.sparkSession
@@ -355,10 +447,15 @@ object VersionedTable {
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"merge into empty table at $path"))
     val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    val drift = updates.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
+    if (drift.nonEmpty) throw new SchemaMismatchException(
+      s"merge updates carry columns ${drift.mkString("[", ",", "]")} not in the " +
+        s"table schema at $path")
     // __file is relativized IN the scan (regexp over input_file_name) so
     // every comparison below is manifest-relative — immune to file:/ vs
     // file:/// qualification drift between Hadoop and Spark
-    val cur = spark.read
+    val cur = spark.read.option("mergeSchema", "true")
       .parquet(m.files.map(f => new Path(root, f).toString): _*)
       .withColumn("__file",
         regexp_extract(input_file_name(), DataFileRe, 1))
@@ -369,17 +466,18 @@ object VersionedTable {
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val next = prev + 1
     val dataDir = f"files/c$next%08d"
-    val survivors = cur
-      .filter(col("__file").isInCollection(touched + "__none__"))
-      .join(broadcast(keys), keyCols, "left_anti")
-      .drop("__file")
-    survivors.unionByName(updates)
-      .write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val rewrite =
+      if (touched.isEmpty) updates
+      else readTouched(spark, path, touched.toSeq.sorted)
+        .join(broadcast(keys), keyCols, "left_anti")
+        .unionByName(updates, allowMissingColumns = true)
+    rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}")
     val carried = m.files.filterNot(touched)
-    commitManifest(hfs, root, Manifest(next, ts, "merge", carried ++ newFiles))
+    commitManifest(hfs, root,
+      Manifest(next, ts, "merge", carried ++ newFiles, None, Some(snapSchema.json)))
     next
   }
 
@@ -394,7 +492,8 @@ object VersionedTable {
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"delete from empty table at $path"))
     val m = readManifest(hfs, root, prev)
-    val cur = spark.read
+    val snapSchema = snapshotSchema(spark, root, m)
+    val cur = spark.read.option("mergeSchema", "true")
       .parquet(m.files.map(f => new Path(root, f).toString): _*)
       .withColumn("__file",
         regexp_extract(input_file_name(), DataFileRe, 1))
@@ -404,21 +503,22 @@ object VersionedTable {
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val next = prev + 1
     val dataDir = f"files/c$next%08d"
-    // keep rows where the predicate is false OR NULL (three-valued
-    // logic: only cond-IS-TRUE rows are deleted, Delta's semantics —
-    // a bare !cond would silently drop NULL-evaluating rows)
-    val survivors = cur
-      .filter(col("__file").isInCollection(touched + "__none__"))
-      .filter(!coalesce(expr(condition), lit(false)))
-      .drop("__file")
     val newFiles = if (touched.nonEmpty) {
+      // rewrite reads ONLY the touched files (readTouched — the plan's
+      // scan is touched-set-sized); keep rows where the predicate is
+      // false OR NULL (three-valued logic: only cond-IS-TRUE rows are
+      // deleted, Delta's semantics — a bare !cond would silently drop
+      // NULL-evaluating rows)
+      val survivors = readTouched(spark, path, touched.toSeq.sorted)
+        .filter(!coalesce(expr(condition), lit(false)))
       survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
       hfs.listStatus(new Path(root, dataDir)).toSeq
         .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(s => s"$dataDir/${s.getPath.getName}")
     } else Seq.empty
     commitManifest(hfs, root,
-      Manifest(next, ts, s"delete", m.files.filterNot(touched) ++ newFiles))
+      Manifest(next, ts, s"delete", m.files.filterNot(touched) ++ newFiles,
+        None, Some(snapSchema.json)))
     next
   }
 

@@ -126,6 +126,14 @@ class DedupSpec extends SparkSpec {
       assert(out(1L) === (1L, 1) && out(2L) === (1L, 0) && out(3L) === (1L, 0) && out(4L) === (1L, 0))
       assert(out(10L) === (10L, 1))
     }
+    // string doc_ids under the cutover must NOT take the driver path
+    // (its Long casts would NPE): the distributed loop handles them and
+    // the min-reachable-id fixpoint is lexicographic
+    val sDocs = Seq("a", "b", "c", "z").toDF("doc_id")
+    val sPairs = Seq(("a", "b"), ("b", "c")).toDF("doc_a", "doc_b")
+    val sOut = Dedup.dupClusters(sDocs, sPairs).collect()
+      .map(r => r.getAs[String]("doc_id") -> r.getAs[String]("cluster_id")).toMap
+    assert(sOut === Map("a" -> "a", "b" -> "a", "c" -> "a", "z" -> "z"))
     // real corpus: every minhash pair lands in one cluster, exactly one
     // canonical doc per cluster, all docs labeled
     val clusters = Dedup.dupClusters(docs, Dedup.minhashLsh(docs)).cache()

@@ -233,6 +233,64 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(indexPath).collect().toSet === indexBefore)
   }
 
+  test("CDF stream + maintained view: folds equal the from-scratch recompute; replays are no-ops") {
+    import graft.sources.VersionedTable
+    import graft.pipeline.Aggregates
+    import spark.implicits._
+    import java.sql.Timestamp
+    val root = java.nio.file.Files.createTempDirectory("graft_cdf").toString
+    val tbl = s"$root/fact"
+    val viewP = s"$root/view"
+    def ev(id: Long, hour: Int, tpe: String, zone: java.lang.Long, v: Double) =
+      (id, Timestamp.valueOf(f"2026-03-01 $hour%02d:15:00"), tpe, zone, v)
+    val cols = Seq("event_id", "ts", "event_type", "zone_id", "value")
+    val day1 = Seq(ev(1, 9, "purchase", 10L, 19.99), ev(2, 9, "purchase", 10L, 0.01),
+      ev(3, 17, "purchase", 11L, 5.50), ev(4, 9, "click", 10L, 0.0))
+      .toDF(cols: _*)
+    val day2 = Seq(ev(5, 9, "purchase", 10L, 100.00), ev(6, 23, "purchase", 12L, 7.77))
+      .toDF(cols: _*)
+    VersionedTable.commit(day1, tbl, mode = "overwrite", ts = "2026-03-01T00:00:00Z")
+    VersionedTable.commit(day2, tbl, mode = "append", ts = "2026-03-02T00:00:00Z")
+    // v2 = merge: update id 3's value (update pre+post in one view key)
+    // and insert id 7 into the same key
+    VersionedTable.merge(
+      Seq(ev(3, 17, "purchase", 11L, 6.00), ev(7, 17, "purchase", 11L, 1.00)).toDF(cols: _*),
+      tbl, keyCols = Seq("event_id"), ts = "2026-03-03T00:00:00Z")
+    // v3 = delete id 5 — the CURRENT max of view key (10,9): only the
+    // affected-key recompute path can restore max correctly (min/max are
+    // not subtractable)
+    VersionedTable.delete(spark, tbl, "event_id = 5", ts = "2026-03-04T00:00:00Z")
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt")
+    def dump(state: org.apache.spark.sql.DataFrame) =
+      Aggregates.revenueViewFromState(state)
+        .orderBy("zone_id", "hour").collect().map(_.toSeq).toSeq
+    val maintained = VersionedTable.readVersion(spark, viewP)
+    val recomputed = Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))
+    assert(dump(maintained) === dump(recomputed)) // bit-exact, the iv_ag standard
+    assert(Aggregates.revenueViewFromState(maintained)
+      .filter(col("zone_id") === 10 && col("hour") === 9)
+      .select("max_value").head.getDouble(0) === 19.99)
+    // one time-travelable view snapshot per source version
+    val folds = VersionedTable.latestVersion(spark, viewP)
+    assert(folds === 3L)
+    // same checkpoint, nothing new committed → the stream finds no work
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt")
+    assert(VersionedTable.latestVersion(spark, viewP) === folds)
+    // FRESH checkpoint re-delivers every version (at-least-once): each
+    // fold is skipped by its (appId, version) txn marker before any
+    // write — the view is byte-identical, not re-folded
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt2")
+    assert(VersionedTable.latestVersion(spark, viewP) === folds)
+    assert(dump(VersionedTable.readVersion(spark, viewP)) === dump(recomputed))
+    // a new commit + the original checkpoint: exactly the new version folds
+    VersionedTable.commit(Seq(ev(8, 9, "purchase", 10L, 3.00)).toDF(cols: _*),
+      tbl, mode = "append", ts = "2026-03-05T00:00:00Z")
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt")
+    assert(VersionedTable.latestVersion(spark, viewP) === folds + 1)
+    assert(dump(VersionedTable.readVersion(spark, viewP)) ===
+      dump(Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))))
+  }
+
   test("versioned sink: one snapshot per micro-batch, replay skipped before any write") {
     import graft.sources.VersionedTable
     import spark.implicits._

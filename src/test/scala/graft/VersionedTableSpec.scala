@@ -266,6 +266,86 @@ class VersionedTableSpec extends SparkSpec {
       && r.getAs[String]("_change_type") === "insert")
   }
 
+  test("rewrite phase scans exactly the touched files, not the snapshot") {
+    val t = freshTable()
+    // four range-partitioned files; a merge touching ids 1-25 must plan
+    // its rewrite over ONE file — the other three are opened by neither
+    // the rewrite scan nor the writer (the 100 TB property: a merge
+    // touching 2 of 10,000 files must not pay a second full-table scan)
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val files = VersionedTable.snapshotFiles(spark, t)
+    assert(files.size === 4)
+    val touched = files.sorted.take(1)
+    val scanned = VersionedTable.readTouched(spark, t, touched)
+      .queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.relation.location.inputFiles.toSeq
+      }.flatten
+    assert(scanned.size === 1)
+    assert(scanned.forall(p => touched.exists(p.endsWith)),
+      s"rewrite scan read $scanned, expected only $touched")
+    // end-to-end: the merge's rewrite goes through readTouched, so the
+    // carried three files are byte-identical manifest entries
+    VersionedTable.merge(Seq((5L, -1L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-02T00:00:00Z")
+    val v1Files = VersionedTable.snapshotFiles(spark, t)
+    assert(files.toSet.intersect(v1Files.toSet).size === 3)
+  }
+
+  test("rewrite ops after schema evolution keep the evolved column") {
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(Seq((200L, 1L, "en")).toDF("id", "v", "lang"), t,
+      mode = "append", ts = "2026-01-02T00:00:00Z", mergeSchema = true)
+    // optimize rewrites everything: the evolved column must survive with
+    // its values (the mergeSchema=false read would have erased it)
+    VersionedTable.optimize(spark, t, targetFileBytes = Long.MaxValue,
+      ts = "2026-01-03T00:00:00Z")
+    val opt = VersionedTable.readVersion(spark, t)
+    assert(opt.columns.toSet === Set("id", "v", "lang"))
+    assert(opt.filter(col("lang") === "en").count() === 1)
+    // delete across the evolved snapshot keeps lang on survivors
+    VersionedTable.delete(spark, t, "id = 1", ts = "2026-01-04T00:00:00Z")
+    val d = VersionedTable.readVersion(spark, t)
+    assert(d.columns.toSet === Set("id", "v", "lang"))
+    assert(d.filter(col("lang") === "en").count() === 1)
+    // merge with an old-schema batch: survivors keep lang, replaced /
+    // inserted rows read it null (whole-row replacement), and a batch
+    // carrying a NEW column is rejected as drift
+    VersionedTable.merge(Seq((200L, -1L), (300L, -2L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-05T00:00:00Z")
+    val m = VersionedTable.readVersion(spark, t)
+    assert(m.columns.toSet === Set("id", "v", "lang"))
+    assert(m.filter(col("id") === 200L).select("lang").collect().head.isNullAt(0))
+    assert(m.filter(col("id") === 2L).count() === 1)
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.merge(Seq((1L, 1L, 9L)).toDF("id", "v", "extra"), t,
+        keyCols = Seq("id"), ts = "2026-01-06T00:00:00Z")
+    }
+  }
+
+  test("empty snapshots are legal and readable: delete-all and empty commits") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.delete(spark, t, "id IS NOT NULL", ts = "2026-01-02T00:00:00Z")
+    val head = VersionedTable.readVersion(spark, t)
+    assert(head.columns.toSeq === Seq("id", "v"))
+    assert(head.count() === 0L)
+    // appends on top of the empty state work; history stays listable
+    VersionedTable.commit(df(9), t, mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(9L))
+    assert(VersionedTable.history(spark, t).count() === 3L)
+    // a 0-row overwrite (empty daily batch) is also a readable state
+    VersionedTable.commit(df(1).filter(col("id") < 0), t,
+      mode = "overwrite", ts = "2026-01-04T00:00:00Z")
+    val empty = VersionedTable.readVersion(spark, t)
+    assert(empty.columns.toSeq === Seq("id", "v") && empty.count() === 0L)
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
