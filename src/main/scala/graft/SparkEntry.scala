@@ -232,8 +232,10 @@ object SparkEntry {
     * autoPlanes' int-bucket ceiling), 2 independent hash tables with
     * disjoint global plane indexes, candidates deduped across tables,
     * k=5, queries = vec_id < 10. */
-  private val lshAnnOracleSql: String =
-    s"""WITH params AS (
+  /** CTE chain (params → … → ranked) shared by the `v_lsh` oracle and the
+    * `v_ev` recall-QA oracle. */
+  private val lshAnnCtes: String =
+    s"""params AS (
        |  SELECT LEAST(30, GREATEST(4, CAST(ceil(log2(count(*) / 64.0)) AS INT))) AS np FROM embeddings
        |),
        |planes AS (
@@ -267,8 +269,86 @@ object SparkEntry {
        |ranked AS (
        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
        |  FROM scored
-       |)
+       |)""".stripMargin
+
+  private val lshAnnOracleSql: String =
+    s"""WITH $lshAnnCtes
        |SELECT query_id, neighbor_id, cosine, "rank" FROM ranked WHERE "rank" <= 5""".stripMargin
+
+  /** DuckDB mirror of Similarity.annEval: LSH top-5 (the `v_lsh` chain)
+    * vs brute-force top-5 (the `v_bf` chain), one confusion row. */
+  private val annEvalOracleSql: String =
+    s"""WITH $lshAnnCtes,
+       |pred AS (SELECT query_id, neighbor_id FROM ranked WHERE "rank" <= 5),
+       |eq AS (SELECT vec_id AS query_id, embedding AS q_emb FROM embeddings WHERE vec_id < 10),
+       |ec AS (SELECT vec_id AS neighbor_id, embedding AS c_emb FROM embeddings),
+       |escored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("q_emb", "c_emb")} AS cosine
+       |  FROM ec CROSS JOIN eq WHERE query_id <> neighbor_id
+       |),
+       |eranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS "rank"
+       |  FROM escored
+       |),
+       |truth AS (SELECT query_id, neighbor_id FROM eranked WHERE "rank" <= 5),
+       |cm AS (
+       |  SELECT count(*) FILTER (WHERE p.query_id IS NOT NULL AND t.query_id IS NOT NULL) AS tp,
+       |         count(*) FILTER (WHERE p.query_id IS NOT NULL AND t.query_id IS NULL) AS fp,
+       |         count(*) FILTER (WHERE p.query_id IS NULL AND t.query_id IS NOT NULL) AS fn
+       |  FROM pred p FULL OUTER JOIN truth t
+       |    ON p.query_id = t.query_id AND p.neighbor_id = t.neighbor_id
+       |)
+       |SELECT tp, fp, fn, CAST(tp AS DOUBLE) / greatest(tp + fn, 1) AS recall_at_k
+       |FROM cm""".stripMargin
+
+  /** DuckDB mirror of Dedup.semanticBlockingEval on the vec_id < 1000
+    * eval slice: hyperplane buckets (np = 4 planes, 2 tables — the fixed
+    * eval parameters, not the corpus-scaled auto count) vs the exact
+    * cosine-threshold pair set. */
+  private val semanticBlockingOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1000),
+       |planes AS (
+       |  SELECT tt.t AS t, pp.p AS p, tt.t * 4 + pp.p AS gp
+       |  FROM generate_series(0, 1) tt(t), generate_series(0, 3) pp(p)
+       |),
+       |dots AS (
+       |  SELECT e.vec_id, pl.t, pl.p,
+       |         list_reduce(list_transform(generate_series(1, 64), i ->
+       |           CAST(embedding[i] AS DOUBLE)
+       |             * CAST(((CAST(1103515245 AS BIGINT) * (pl.gp * 64 + i - 1) + 12345) % 2048) - 1024 AS DOUBLE)),
+       |           (x, y) -> x + y) AS dot
+       |  FROM e CROSS JOIN planes pl
+       |),
+       |bkt AS (
+       |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
+       |  FROM dots GROUP BY 1, 2
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bkt a JOIN bkt b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |),
+       |nc AS (SELECT count(*) AS n_cand FROM cand),
+       |pred AS (
+       |  SELECT vec_a, vec_b FROM cand
+       |  JOIN e ea ON vec_a = ea.vec_id
+       |  JOIN e eb ON vec_b = eb.vec_id
+       |  WHERE ${duckCosine("ea.embedding", "eb.embedding")} >= 0.35
+       |),
+       |truth AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+       |  WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.35
+       |),
+       |cm AS (
+       |  SELECT count(*) FILTER (WHERE p.vec_a IS NOT NULL AND t.vec_a IS NOT NULL) AS tp,
+       |         count(*) FILTER (WHERE p.vec_a IS NULL AND t.vec_a IS NOT NULL) AS fn
+       |  FROM pred p FULL OUTER JOIN truth t
+       |    ON p.vec_a = t.vec_a AND p.vec_b = t.vec_b
+       |)
+       |SELECT n_cand, tp, fn,
+       |       CAST(tp AS DOUBLE) / greatest(tp + fn, 1) AS recall,
+       |       CAST(tp AS DOUBLE) / greatest(n_cand, 1) AS cand_precision
+       |FROM cm, nc""".stripMargin
 
   /** DuckDB CTE: distinct word-3-gram shingles per document (mirrors
     * Dedup.shingleCol). */
@@ -693,6 +773,14 @@ object SparkEntry {
     // precision/recall/F1 of the approximate (LSH) dedup path against the
     // deployed exact path — the measurement that justifies LSH at scale
     "dd_ev" -> ((s, dir) => Dedup.lshEval(Tables.documents(s, dir))),
+    // embedding near-dup blocking QA: recall + candidate volume of the
+    // SQL-expressible hyperplane blocking vs exact cosine-threshold
+    // pairs on a bounded eval slice (semanticDedup's k-means cells keep
+    // their spec-asserted recall floor; this row makes the same QA
+    // oracle-checkable)
+    "dd_sev" -> ((s, dir) =>
+      Dedup.semanticBlockingEval(
+        Tables.embeddings(s, dir).filter(col("vec_id") < 1000))),
     // substring-granular dedup (Lee et al. 2022): maximal cross-document
     // runs of >= 20 shared tokens via md5 anchor fingerprints + the
     // gaps-and-islands diagonal merge — partial copies whole-doc Jaccard
@@ -905,6 +993,14 @@ object SparkEntry {
     "v_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
+    // ANN recall QA (the dd_ev pattern on the vector side): one
+    // oracle-checkable confusion row of LSH top-k vs brute-force top-k —
+    // the measurement that justifies the approximate path, as a
+    // driver-visible output rather than a spec-only floor
+    "v_ev" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.annEval(emb, emb.filter(col("vec_id") < 10))
     }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "st_tm" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
@@ -3126,6 +3222,8 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cosine FROM scored WHERE cosine >= 0.3""".stripMargin,
 
     "v_lsh" -> lshAnnOracleSql,
+    "v_ev" -> annEvalOracleSql,
+    "dd_sev" -> semanticBlockingOracleSql,
 
     "v_out" ->
       s"""WITH cent AS (

@@ -433,6 +433,104 @@ object Stress {
     }
     emb10.unpersist()
 
+    // Bucketed-state incremental view: fold TEN daily batches into the
+    // zone×hour revenue state through the A/B bucketed-table step. The
+    // scale property under test: each fold's join shuffles ONLY the
+    // day's delta (state side reads its bucket layout, no Exchange —
+    // plan-asserted in PipelineSpec); ten folds must cost ~10× one fold
+    // plus the state rewrite, with history never rescanned.
+    {
+      import graft.pipeline.Aggregates
+      val sv = silverOf(events).cache()
+      val days = sv.select("event_date").distinct()
+        .orderBy("event_date").limit(10).collect().map(_.getDate(0))
+      val broot = java.nio.file.Files.createTempDirectory("graft_bstate").toString
+      Seq("stress_state_a", "stress_state_b")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      val t0 = System.nanoTime()
+      graft.sources.Sinks.writeBucketed(
+        Aggregates.revenueStateByZoneHour(sv.filter(col("event_date") === days.head)),
+        "stress_state_a", s"$broot/s0", Seq("zone_id", "hour"), nBuckets = cpus.toInt)
+      var cur = "stress_state_a"
+      days.zipWithIndex.drop(1).foreach { case (d, i) =>
+        val next = if (cur == "stress_state_a") "stress_state_b" else "stress_state_a"
+        Aggregates.mergeRevenueStateBucketedStep(spark, cur,
+          sv.filter(col("event_date") === d), next, s"$broot/s$i", nBuckets = cpus.toInt)
+        cur = next
+      }
+      val foldS = (System.nanoTime() - t0) / 1e9
+      val nKeys = spark.table(cur).count()
+      println(f"STRESS bucketed_fold_10d      $foldS%8.2f s  ($nKeys rows)")
+      // exactness holds through ten bucketed folds, not just the spec's 3
+      val full = Aggregates.revenueStateByZoneHour(
+        sv.filter(col("event_date").isin(days.map(_.toString): _*)))
+      val diff = Aggregates.revenueViewFromState(spark.table(cur))
+        .exceptAll(Aggregates.revenueViewFromState(full)).count()
+      println(s"STRESS bucketed_fold_check    diff=$diff (must be 0)")
+      Seq("stress_state_a", "stress_state_b")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+      sv.unpersist()
+    }
+
+    // OPTIMIZE ZORDER data skipping: the measurement that justifies
+    // Z-ordering. Same snapshot compacted to the same file count twice —
+    // v1 round-robin (repartition), v2 Z-ORDERed on (zone_id, user_id) —
+    // then an identical 2-D range filter scans both. Parquet row-group
+    // min/max pruning is the mechanism; the SCAN's numOutputRows (rows
+    // surviving footer-level pruning, before Spark's row filter) is the
+    // honest skip metric: Z-order keeps each file/row-group to a small
+    // (zone × user) rectangle, so most row groups miss the query box and
+    // are never decoded.
+    {
+      import graft.sources.VersionedTable
+      val sv = silverOf(events)
+        .select(col("event_id"), col("user_id").cast("long").as("user_id"),
+          col("zone_id").cast("long").as("zone_id"), col("value"))
+        .filter(col("zone_id").isNotNull && col("user_id").isNotNull)
+      val zroot = java.nio.file.Files.createTempDirectory("graft_zord").toString
+      VersionedTable.commit(sv, zroot, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val bytes = VersionedTable.readVersion(spark, zroot).inputFiles.map { f =>
+        new java.io.File(new java.net.URI(f)).length
+      }.sum
+      val target = math.max(1L, bytes / 16) // ~16 files both layouts
+      VersionedTable.optimize(spark, zroot, targetFileBytes = target,
+        ts = "2026-01-02T00:00:00Z") // v1: round-robin layout
+      VersionedTable.optimize(spark, zroot, targetFileBytes = target,
+        zorderBy = Some(("zone_id", "user_id")), ts = "2026-01-03T00:00:00Z") // v2
+      val zb = sv.agg(min("zone_id"), max("zone_id"), min("user_id"), max("user_id")).head()
+      val (zLo, zHi) = (zb.getLong(0), zb.getLong(1))
+      val (uLo, uHi) = (zb.getLong(2), zb.getLong(3))
+      // ~10% band on each axis → ~1% of the 2-D space
+      def band(lo: Long, hi: Long) = (lo, lo + math.max(1L, (hi - lo) / 10))
+      val (z1, z2) = band(zLo, zHi)
+      val (u1, u2) = band(uLo, uHi)
+      def scanned(version: Long): (Long, Long, Double) = {
+        val q = VersionedTable.readVersion(spark, zroot, version)
+          .filter(col("zone_id").between(z1, z2) && col("user_id").between(u1, u2))
+        val t0 = System.nanoTime()
+        // collect() executes THIS Dataset's plan, so its scan metrics
+        // are the ones populated (a count() would build a separate QE)
+        val hits = q.collect().length.toLong
+        val s = (System.nanoTime() - t0) / 1e9
+        val finalPlan = q.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            a.executedPlan
+          case p => p
+        }
+        val scan = finalPlan.collectFirst {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numOutputRows").value
+        }.getOrElse(-1L)
+        (hits, scan, s)
+      }
+      val (hits1, scan1, s1) = scanned(1L)
+      val (hits2, scan2, s2) = scanned(2L)
+      require(hits1 == hits2, s"layouts must agree on results: $hits1 vs $hits2")
+      val ratio = scan1.toDouble / math.max(1L, scan2)
+      println(f"STRESS zorder_scan_rr         $s1%8.2f s  ($scan1 rows decoded, $hits1 hits)")
+      println(f"STRESS zorder_scan_z          $s2%8.2f s  ($scan2 rows decoded, skip ratio $ratio%.1fx)")
+    }
+
     spark.stop()
   }
 }

@@ -1025,6 +1025,60 @@ object Dedup {
       .agg(min("cell").as("cell"), max("cosine").as("cosine"))
   }
 
+  /** QA row for embedding-level near-dup BLOCKING — [[lshEval]]'s pattern
+    * on the vector side: of the TRUE near-dup pairs (exact cosine ≥
+    * `threshold`, the declared-quadratic baseline over the eval slice),
+    * how many does a bucketed blocking recover, and at what candidate
+    * volume? The blocking measured is the hyperplane-LSH family
+    * ([[graft.similarity.Similarity.bucketCol]], `tables` independent
+    * tables) — SQL-expressible, so the whole row is oracle-checkable
+    * end to end; [[semanticDedup]]'s k-means cells are the production
+    * alternative whose recall floor is spec-asserted — this operator
+    * makes the same QA a driver-visible output.
+    *
+    * One row: `n_cand` (distinct bucket-cohabiting pairs — the blocking
+    * cost), `tp` / `fn` vs truth, `recall`, and `cand_precision`
+    * (tp / n_cand — how much of the candidate volume is real). The
+    * predicted set post-filters candidates by exact cosine, so fp = 0
+    * by construction and recall is the whole story.
+    *
+    * Scale: candidates come from per-table bucket equi-joins (never
+    * all-pairs); ONLY the truth side is quadratic — run the eval on a
+    * sampled slice, exactly as [[lshEval]] prescribes. */
+  def semanticBlockingEval(emb: DataFrame, threshold: Double = 0.35,
+      nPlanes: Int = 4, tables: Int = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(emb.sparkSession)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val cand = (0 until tables).map { t =>
+      val b = e.select(col("vec_id"), col("embedding"),
+        graft.similarity.Similarity.bucketCol(col("embedding"), nPlanes, t * nPlanes)
+          .as("bucket"))
+      b.alias("a").join(b.alias("b"),
+          col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.embedding").as("emb_a"), col("b.embedding").as("emb_b"))
+    }.reduce(_ unionByName _).dropDuplicates("vec_a", "vec_b")
+    val nCand = cand.agg(count(lit(1)).as("n_cand"))
+    val pred = cand
+      .filter(graft.functions.GraftFunctions.cosineSim(col("emb_a"), col("emb_b"))
+        >= threshold)
+      .select(col("vec_a").as("p_a"), col("vec_b").as("p_b"))
+    val truth = e.alias("a").crossJoin(broadcast(e.alias("b")))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding"))
+        >= threshold)
+      .select(col("a.vec_id").as("t_a"), col("b.vec_id").as("t_b"))
+    pred
+      .join(truth, col("p_a") === col("t_a") && col("p_b") === col("t_b"), "full_outer")
+      .agg(
+        sum(when(col("p_a").isNotNull && col("t_a").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p_a").isNull && col("t_a").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .crossJoin(broadcast(nCand))
+      .select(col("n_cand"), col("tp"), col("fn"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L))).as("recall"),
+        (col("tp").cast("double") / greatest(col("n_cand"), lit(1L))).as("cand_precision"))
+  }
+
   def embeddingNearDups(emb: DataFrame, threshold: Double = 0.35): DataFrame = {
     graft.functions.GraftFunctions.register(emb.sparkSession)
     emb.alias("a")

@@ -233,6 +233,31 @@ object Aggregates {
           greatest(col("max_value"), col("max_value_d")).as("max_value")): _*)
   }
 
+  /** One maintenance step against a BUCKETED state table — the face that
+    * makes the scale claim on [[mergeRevenueState]] true in code rather
+    * than prose: the state lives as a parquet table bucketed + sorted on
+    * the view key ([[graft.sources.Sinks.writeBucketed]] with
+    * (zone_id, hour)), so the merge's full-outer join plans with NO
+    * Exchange on the state side — only the (day-sized) batch delta
+    * shuffles, into the state's bucket layout — and the result is
+    * written back under the SAME bucketing, ready to be next step's
+    * state. Spec-asserted on the physical plan. Maintenance cost is
+    * ∝ shuffle(|batch|) + streamed-read(|state|); history is never
+    * rescanned and the corpus-sized side never moves.
+    *
+    * `outTable` must differ from `stateTable` (A/B flip): a
+    * plain-parquet table cannot be overwritten while it is being read —
+    * the transactional alternative is the versioned-table state of
+    * [[graft.streaming.Streams.maintainView]]. */
+  def mergeRevenueStateBucketedStep(spark: org.apache.spark.sql.SparkSession,
+      stateTable: String, batch: DataFrame,
+      outTable: String, outPath: String, nBuckets: Int = 32): Unit = {
+    require(outTable != stateTable, "A/B flip required: outTable must differ")
+    val merged = mergeRevenueState(spark.table(stateTable), revenueStateByZoneHour(batch))
+    graft.sources.Sinks.writeBucketed(merged, outTable, outPath,
+      Seq("zone_id", "hour"), nBuckets)
+  }
+
   /** Fold one change-data-feed batch ([[graft.sources.VersionedTable.changes]]
     * shape: the fact columns + `_change_type`) into the revenue state —
     * the Delta `readChangeFeed` → MERGE maintenance step, structured so

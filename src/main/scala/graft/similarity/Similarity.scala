@@ -273,6 +273,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
 
+  /** ANN QA row — recall@k of [[lshTopK]] against [[bruteForceTopK]] on
+    * the same queries: the `dd_ev` pattern for the vector side, making
+    * the measurement that justifies approximate search a driver-visible,
+    * oracle-checkable output instead of a spec-only assertion. Both
+    * rankers break cosine ties on neighbor_id, so the comparison is
+    * deterministic. One confusion row out: tp = neighbors both paths
+    * rank top-k, fn = true top-k neighbors LSH missed (its recall
+    * denominator), fp = LSH picks outside the true top-k (= fn when both
+    * sides emit full k lists).
+    *
+    * Scale: cost = the two searches (bucketed candidates + the
+    * brute-force baseline over the QUERY slice — queries broadcast,
+    * corpus streams once); the join keys are (query, neighbor) pairs,
+    * k·|queries| rows. At 100 TB run it on a sampled query stratum —
+    * the ratio is the product, not the corpus-wide counts. */
+  def annEval(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nPlanes: Int = 0, tables: Int = 2): DataFrame = {
+    val exact = bruteForceTopK(corpus, queries, k)
+      .select(col("query_id").as("e_q"), col("neighbor_id").as("e_n"))
+    val approx = lshTopK(corpus, queries, k, nPlanes, tables)
+      .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
+    approx
+      .join(exact, col("p_q") === col("e_q") && col("p_n") === col("e_n"), "full_outer")
+      .agg(
+        sum(when(col("p_q").isNotNull && col("e_q").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("p_q").isNotNull && col("e_q").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("p_q").isNull && col("e_q").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / greatest(col("tp") + col("fn"), lit(1L)))
+          .as("recall_at_k"))
+  }
+
   // ---------------------------------------------------------------- PQ
 
   /** element-wise dot of an embedding column with a literal vector. */

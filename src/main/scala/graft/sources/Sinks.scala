@@ -44,11 +44,18 @@ object Sinks {
     * spec; `path` keeps the data external to the warehouse dir. */
   def writeBucketed(df: DataFrame, tableName: String, path: String,
       bucketCol: String, nBuckets: Int = 32): Unit =
+    writeBucketed(df, tableName, path, Seq(bucketCol), nBuckets)
+
+  /** Multi-column variant: bucket + sort on a composite key, so an
+    * equi-join on EXACTLY these columns (e.g. the (zone_id, hour) view
+    * key of the revenue state) plans with no Exchange on this side. */
+  def writeBucketed(df: DataFrame, tableName: String, path: String,
+      bucketCols: Seq[String], nBuckets: Int): Unit =
     df.write
       .mode("overwrite")
       .option("path", path)
-      .bucketBy(nBuckets, bucketCol)
-      .sortBy(bucketCol)
+      .bucketBy(nBuckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
       .saveAsTable(tableName)
 
   /** ORC sink, partitioned like [[writePartitioned]] — one call swaps the

@@ -416,6 +416,33 @@ class DedupSpec extends SparkSpec {
     sem.unpersist(); exact.unpersist()
   }
 
+  test("semantic blocking eval: confusion row reconciles with exact all-pairs truth") {
+    val emb = Tables.embeddings(spark, dir)
+    val row = Dedup.semanticBlockingEval(emb).head()
+    val (nCand, tp, fn) = (row.getAs[Long]("n_cand"), row.getAs[Long]("tp"), row.getAs[Long]("fn"))
+    // tp + fn is EXACTLY the true pair count (fp = 0 by construction:
+    // predicted pairs are cosine-post-filtered candidates)
+    graft.functions.GraftFunctions.register(spark)
+    val nTrue = emb.alias("a")
+      .join(emb.alias("b"), col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.GraftFunctions.cosineSim(col("a.embedding"), col("b.embedding")) >= 0.35)
+      .count()
+    assert(tp + fn === nTrue)
+    assert(tp <= nCand, "every true positive was a candidate first")
+    assert(row.getAs[Double]("recall") === tp.toDouble / math.max(1L, tp + fn))
+    assert(row.getAs[Double]("cand_precision") === tp.toDouble / math.max(1L, nCand))
+    // the row MEASURES the 4-plane/2-table blocking at a low (0.35)
+    // similarity bar on a diffuse corpus — ≈0.35 recall is the honest
+    // answer, and is exactly why such a report must sit next to any
+    // approximate dedup run; the floor only guards collapse, and the
+    // widening lever (more tables) must move the measurement up
+    assert(row.getAs[Double]("recall") >= 0.2,
+      s"blocking recall collapsed: ${row.getAs[Double]("recall")}")
+    val wide = Dedup.semanticBlockingEval(emb, tables = 4).head()
+    assert(wide.getAs[Double]("recall") >= row.getAs[Double]("recall"),
+      "4-table blocking recall fell below 2-table")
+  }
+
   test("embedding decontamination: exactly the cosine-hit vectors drop, benchmark side intact") {
     val emb = Tables.embeddings(spark, dir)
     val corpus = emb.filter(col("vec_id") % 20 =!= 0)

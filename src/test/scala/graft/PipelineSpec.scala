@@ -415,4 +415,49 @@ class PipelineSpec extends SparkSpec {
     assert(view((11L, 17)) === 47.92)  // key present on days 1 and 3 only
     assert(view.size === 3)            // null-zone row contributed no key
   }
+
+  test("bucketed state: maintenance join shuffles only the batch side; A/B fold equals recompute") {
+    import spark.implicits._
+    import java.sql.{Date, Timestamp}
+    def ev(id: Long, day: Int, hour: Int, zone: java.lang.Long, v: java.lang.Double) =
+      (id, s"u$id", Timestamp.valueOf(f"2026-03-$day%02d $hour%02d:15:00"),
+        "purchase", v, zone, Date.valueOf(f"2026-03-$day%02d"))
+    val rows = Seq(
+      ev(1, 1, 9, 10L, 19.99), ev(2, 1, 9, 10L, 0.01), ev(3, 1, 17, 11L, 5.50),
+      ev(4, 2, 9, 10L, 100.00), ev(5, 2, 23, 12L, 7.77),
+      ev(6, 3, 9, 10L, 0.02), ev(7, 3, 17, 11L, 42.42)
+    ).toDF("event_id", "user_id", "ts", "event_type", "value", "zone_id", "event_date")
+    def day(d: Int) = rows.filter(col("event_date") === s"2026-03-0$d")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bst").toString
+    val names = Seq("rev_state_a", "rev_state_b")
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    // seed: day-1 state, bucketed on the view key
+    graft.sources.Sinks.writeBucketed(
+      Aggregates.revenueStateByZoneHour(day(1)), names(0), s"$tmp/s0",
+      Seq("zone_id", "hour"), nBuckets = 4)
+    // plan property: the merge's join has exactly ONE shuffle — the
+    // batch delta moving into the state's bucket layout; the bucketed
+    // state scan feeds the join with no Exchange above it
+    val planCheck = Aggregates.mergeRevenueState(
+      spark.table(names(0)), Aggregates.revenueStateByZoneHour(day(2)))
+    val plan = planCheck.queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length === 1,
+      s"expected one Exchange (batch side only):\n$plan")
+    // the state side reads its bucket layout directly into the join —
+    // the single Exchange is the delta's, printed BELOW the bucketed
+    // state scan in the join's tree
+    assert(plan.contains("Bucketed: true"), s"state scan must be bucketed:\n$plan")
+    assert(plan.indexOf("Exchange hashpartitioning") > plan.indexOf("Bucketed: true"),
+      s"the Exchange must sit on the delta branch, not above the state scan:\n$plan")
+    // fold days 2 and 3 through A/B steps; final content = recompute
+    Aggregates.mergeRevenueStateBucketedStep(spark, names(0), day(2),
+      names(1), s"$tmp/s1", nBuckets = 4)
+    Aggregates.mergeRevenueStateBucketedStep(spark, names(1), day(3),
+      names(0), s"$tmp/s2", nBuckets = 4)
+    def dump(df: org.apache.spark.sql.DataFrame) =
+      Aggregates.revenueViewFromState(df)
+        .orderBy("zone_id", "hour").collect().map(_.toSeq).toSeq
+    assert(dump(spark.table(names(0))) === dump(Aggregates.revenueStateByZoneHour(rows)))
+    names.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
 }

@@ -63,9 +63,14 @@ class PlanAuditSpec extends SparkSpec {
     //   boundary is a parameter, not a computed scalar)
     // dq_kh: the 1-row (n_keys, n_rows) totals scalar crossJoined onto
     //   the per-key count table — a 1-row build side
+    // v_ev: the ANN recall QA row embeds the v_bf brute-force baseline as
+    //   its truth side (same declared-quadratic broadcast-queries contract)
+    // dd_sev: the blocking-recall QA row's truth side is the exact
+    //   cosine-threshold pair set over the BOUNDED eval slice (plus the
+    //   1-row n_cand scalar crossJoined onto the confusion row)
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
       "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em",
-      "iv_ag", "dq_kh")
+      "iv_ag", "dq_kh", "v_ev", "dd_sev")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }

@@ -109,6 +109,26 @@ class SimilaritySpec extends SparkSpec {
     assert(one.join(two, "query_id").filter(col("c2") < col("c1") - 1e-12).count() === 0)
   }
 
+  test("annEval: confusion row is consistent with the two searches it compares") {
+    val row = Similarity.annEval(emb, queries).head()
+    val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))
+    val recall = row.getAs[Double]("recall_at_k")
+    // the exact side always emits k=5 per query on this corpus
+    assert(tp + fn === 5L * queries.count())
+    // both sides emit ranked lists: extra LSH picks == missed exact picks
+    assert(tp + fp <= 5L * queries.count())
+    assert(recall === tp.toDouble / (tp + fn))
+    // the row's job is to MEASURE the deployed config (≈0.32 on this
+    // deliberately diffuse corpus — exactly the number a user needs
+    // before trusting the approximate path); the floor only guards
+    // collapse, and widening tables must move the measurement up
+    // (superset candidates + exact rescoring ⇒ monotone recall)
+    assert(recall >= 0.2, s"ann recall@5 collapsed: $recall")
+    val wide = Similarity.annEval(emb, queries, tables = 4)
+      .head().getAs[Double]("recall_at_k")
+    assert(wide >= recall, s"4-table recall $wide fell below 2-table $recall")
+  }
+
   test("label outliers: a planted far vector ranks first in its label") {
     import spark.implicits._
     // label 1: 20 near-identical vectors + one pointing the other way
