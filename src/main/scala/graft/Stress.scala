@@ -529,6 +529,16 @@ object Stress {
       val ratio = scan1.toDouble / math.max(1L, scan2)
       println(f"STRESS zorder_scan_rr         $s1%8.2f s  ($scan1 rows decoded, $hits1 hits)")
       println(f"STRESS zorder_scan_z          $s2%8.2f s  ($scan2 rows decoded, skip ratio $ratio%.1fx)")
+      // FILE-level skipping via manifest stats (readWhere): round-robin
+      // files all span the full key space (nothing prunable); Z-ordered
+      // files are (zone × user) rectangles, so most never open at all
+      val cond = s"zone_id BETWEEN $z1 AND $z2 AND user_id BETWEEN $u1 AND $u2"
+      val kept1 = VersionedTable.prunedFiles(spark, zroot, cond, 1L).size
+      val kept2 = VersionedTable.prunedFiles(spark, zroot, cond, 2L).size
+      val tot1 = VersionedTable.snapshotFiles(spark, zroot, 1L).size
+      val hitsW = VersionedTable.readWhere(spark, zroot, cond, 2L).count()
+      require(hitsW == hits1, s"readWhere must agree: $hitsW vs $hits1")
+      println(s"STRESS zorder_file_prune      rr $kept1/$tot1 files vs z $kept2/$tot1 files opened (identical $hitsW hits)")
     }
 
     spark.stop()

@@ -82,27 +82,89 @@ object VersionedTable {
     new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
 
   /** Manifest content: (version, ts, op, relative data-file paths, an
-    * optional streaming transaction marker `appId -> batchId`, and the
+    * optional streaming transaction marker `appId -> batchId`, the
     * snapshot's logical schema as Spark DataType JSON — recorded so an
     * EMPTY snapshot (delete-all, empty-batch commit) stays readable and
-    * the append schema check never depends on one file's footer). */
+    * the append schema check never depends on one file's footer — and
+    * per-file column min/max STATS (Delta's add-file stats): for each
+    * data file, numeric column → (min, max) as decimal strings, read
+    * from the parquet FOOTER at commit time (no data scan) and carried
+    * forward with carried files. [[merge]]'s discovery scan prunes on
+    * them. */
   private case class Manifest(version: Long, ts: String, op: String,
       files: Seq[String], txn: Option[(String, Long)] = None,
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
   private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest = {
     val in = hfs.open(manifestPath(root, v))
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    val hdr = lines.takeWhile(_.contains("=")).map { l =>
+    val headerLines = lines.takeWhile(_.contains("="))
+    val hdr = headerLines.filterNot(_.startsWith("fstat=")).map { l =>
       val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+    }.toMap
+    // one `fstat=<path>|col:min:max|col2:min:max` line per stats-bearing
+    // file — line-oriented and greppable, like the rest of the format
+    val stats = headerLines.filter(_.startsWith("fstat=")).map { l =>
+      val parts = l.stripPrefix("fstat=").split('|')
+      parts.head -> parts.tail.flatMap { t =>
+        t.split(':') match {
+          case Array(c, mn, mx) => Some(c -> (mn, mx))
+          case _ => None
+        }
+      }.toMap
     }.toMap
     val txn = hdr.get("txn").map { t =>
       val i = t.lastIndexOf(':')
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
     Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-      lines.dropWhile(_.contains("=")), txn, hdr.get("schema"))
+      lines.dropWhile(_.contains("=")), txn, hdr.get("schema"), stats)
+  }
+
+  /** Per-file numeric column min/max from the parquet FOOTER — a
+    * driver-side metadata read (O(row groups), no data pages touched),
+    * the same source Delta's stats collection uses. Only integral and
+    * floating primitive columns are kept (their decimal-string encoding
+    * is delimiter-safe in the manifest line format); columns whose
+    * footer lacks usable stats, or whose name would break the line
+    * format, are simply absent — pruning treats absence as
+    * "cannot prune", so stats are always safe to drop. */
+  private def footerStats(hfs: FileSystem, root: Path,
+      relFile: String): Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(root, relFile), hfs.getConf))
+    try {
+      val acc = scala.collection.mutable.HashMap.empty[String, (BigDecimal, BigDecimal)]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          val st = cc.getStatistics
+          val numeric = cc.getPrimitiveType.getPrimitiveTypeName match {
+            case INT32 | INT64 | FLOAT | DOUBLE => true
+            case _ => false
+          }
+          if (numeric && st != null && st.hasNonNullValue && !name.contains(":")
+              && !name.contains("|") && !name.contains("=")) {
+            // Try: NaN/Infinity float stats don't parse as decimals — a
+            // column whose stats we can't encode simply goes statless
+            scala.util.Try((BigDecimal(st.genericGetMin.toString),
+                BigDecimal(st.genericGetMax.toString))).foreach { case (mn, mx) =>
+              acc.get(name) match {
+                case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                case None => acc(name) = (mn, mx)
+              }
+            }
+          }
+        }
+      }
+      acc.map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
+    } finally reader.close()
   }
 
   /** A snapshot's logical schema: the manifest-recorded one when present
@@ -185,17 +247,39 @@ object VersionedTable {
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest renames.
-    val dataDir = f"files/c$next%08d"
+    val dataDir = newDataDir(next)
     df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    val prevM = prev.map(readManifest(hfs, root, _))
+    val carried =
+      if (mode == "append") prevM.map(_.files).getOrElse(Seq.empty)
+      else Seq.empty
+    val carriedStats =
+      if (mode == "append") prevM.map(_.stats).getOrElse(Map.empty)
+      else Map.empty[String, Map[String, (String, String)]]
+    commitManifest(hfs, root,
+      Manifest(next, ts, mode, carried ++ newFiles, txn, Some(snapSchema.json),
+        carriedStats ++ newStats))
+    next
+  }
+
+  /** Version-prefixed but ATTEMPT-unique data directory: two writers
+    * racing for the same version land their data in DISJOINT dirs (the
+    * loser's is vacuum-reclaimed or re-pointed by [[commitWithRetry]]) —
+    * a shared version-named dir would let the loser's overwrite corrupt
+    * the winner's committed files. */
+  private def newDataDir(next: Long): String =
+    f"files/c$next%08d-${java.util.UUID.randomUUID.toString.take(8)}"
+
+  /** List a freshly written data dir's parquet files plus their footer
+    * stats (driver-side metadata; one footer read per new file). */
+  private def listWithStats(hfs: FileSystem, root: Path, dataDir: String)
+      : (Seq[String], Map[String, Map[String, (String, String)]]) = {
+    val files = hfs.listStatus(new Path(root, dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}")
-    val carried =
-      if (mode == "append") prev.map(readManifest(hfs, root, _).files).getOrElse(Seq.empty)
-      else Seq.empty
-    commitManifest(hfs, root,
-      Manifest(next, ts, mode, carried ++ newFiles, txn, Some(snapSchema.json)))
-    next
+    (files, files.map(f => f -> footerStats(hfs, root, f)).toMap
+      .filter(_._2.nonEmpty))
   }
 
   /** Delta OPTIMIZE for a snapshot: rewrite the latest version's content
@@ -230,13 +314,11 @@ object VersionedTable {
       case None => cur.repartition(target)
     }
     val next = prev + 1
-    val dataDir = f"files/c$next%08d"
+    val dataDir = newDataDir(next)
     laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDir/${s.getPath.getName}")
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     commitManifest(hfs, root,
-      Manifest(next, ts, "optimize", newFiles, None, Some(cur.schema.json)))
+      Manifest(next, ts, "optimize", newFiles, None, Some(cur.schema.json), newStats))
     next
   }
 
@@ -275,6 +357,66 @@ object VersionedTable {
   final class ConcurrentCommitException(v: Long) extends RuntimeException(
     s"version $v was committed by a concurrent writer; re-read and retry")
 
+  /** APPEND with automatic conflict resolution — Delta's commit-retry
+    * loop for the one operation that never logically conflicts: the data
+    * is written ONCE to its attempt-unique directory, and on a lost race
+    * only the manifest is recomputed on top of the new head (carried
+    * files re-read, version re-assigned) and re-claimed. Schema checks
+    * re-run per attempt against the then-current head. Gives multi-writer
+    * ingest without external coordination; MERGE/DELETE retries would
+    * need read-set conflict detection (their touched files may have been
+    * rewritten underneath), so those surface the exception to the caller
+    * instead. */
+  def commitWithRetry(df: DataFrame, path: String,
+      ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false,
+      maxRetries: Int = 5): Long =
+    commitWithRetryImpl(df, path, ts, mergeSchema, maxRetries, _ => ())
+
+  /** Test seam: `beforeClaim(next)` runs after the version is computed
+    * and before the manifest claim — the window a concurrent winner
+    * lands in. */
+  private[graft] def commitWithRetryImpl(df: DataFrame, path: String,
+      ts: String, mergeSchema: Boolean, maxRetries: Int,
+      beforeClaim: Long => Unit): Long = {
+    val spark = df.sparkSession
+    val (hfs, root) = fs(spark, path)
+    // write once, into a dir named for the FIRST attempted version — the
+    // name is a label; retries re-point the manifest at the same files
+    val firstNext = versions(hfs, root).lastOption.map(_ + 1).getOrElse(0L)
+    val dataDir = newDataDir(firstNext)
+    df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    var attempt = 0
+    while (true) {
+      val prev = versions(hfs, root).lastOption
+      val prevM = prev.map(readManifest(hfs, root, _))
+      val prevSchema = prevM.map(snapshotSchema(spark, root, _))
+      if (!mergeSchema) prevSchema
+        .filter(_.fieldNames.toSet != df.schema.fieldNames.toSet)
+        .foreach { ps =>
+          throw new SchemaMismatchException(
+            s"append schema ${df.schema.fieldNames.mkString("[", ",", "]")} does not " +
+              s"match table schema ${ps.fieldNames.mkString("[", ",", "]")} at $path; " +
+              "pass mergeSchema = true to evolve")
+        }
+      val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+      val next = prev.map(_ + 1).getOrElse(0L)
+      try {
+        beforeClaim(next)
+        commitManifest(hfs, root, Manifest(next, ts, "append",
+          prevM.map(_.files).getOrElse(Seq.empty) ++ newFiles, None,
+          Some(snapSchema.json),
+          prevM.map(_.stats).getOrElse(Map.empty) ++ newStats))
+        return next
+      } catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Exposed for the race-guard spec: publish a manifest for an exact
     * version, failing if that version already exists. */
   private[graft] def commitManifestAt(spark: SparkSession, path: String,
@@ -292,7 +434,13 @@ object VersionedTable {
     val out = hfs.create(tmp, false)
     val hdr = Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++
       m.txn.map { case (a, b) => s"txn=$a:$b" } ++
-      m.schemaJson.map(j => s"schema=$j")
+      m.schemaJson.map(j => s"schema=$j") ++
+      m.files.flatMap { f =>
+        m.stats.get(f).filter(_.nonEmpty).map { cs =>
+          s"fstat=$f|" + cs.toSeq.sortBy(_._1)
+            .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString("|")
+        }
+      }
     try out.write((hdr ++ m.files)
       .mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
@@ -385,17 +533,18 @@ object VersionedTable {
     val target = readManifest(hfs, root, toVersion)
     val next = versions(hfs, root).last + 1
     commitManifest(hfs, root,
-      Manifest(next, ts, s"rollback($toVersion)", target.files, None, target.schemaJson))
+      Manifest(next, ts, s"rollback($toVersion)", target.files, None,
+        target.schemaJson, target.stats))
     next
   }
 
   /** Extracts the manifest-relative data-file path from an
     * `input_file_name()` URI — keyed on the table's own
-    * `files/c<8 digits>/<name>` layout rather than URI relativization,
-    * which is sensitive to `file:/` vs `file:///` qualification
-    * differences between Hadoop and Spark. Non-matching inputs extract
-    * to "" (guarded at the collect sites). */
-  private val DataFileRe = ".*/(files/c\\d{8}/[^/]+)$"
+    * `files/c<8 digits>[-attempt]/<name>` layout rather than URI
+    * relativization, which is sensitive to `file:/` vs `file:///`
+    * qualification differences between Hadoop and Spark. Non-matching
+    * inputs extract to "" (guarded at the collect sites). */
+  private val DataFileRe = ".*/(files/c\\d{8}[^/]*/[^/]+)$"
 
   /** Rewrite-phase read for [[merge]]/[[delete]]: ONLY the given
     * manifest-relative files, as their own parquet scan. The touched set
@@ -452,33 +601,180 @@ object VersionedTable {
     if (drift.nonEmpty) throw new SchemaMismatchException(
       s"merge updates carry columns ${drift.mkString("[", ",", "]")} not in the " +
         s"table schema at $path")
+    // Stats pruning BEFORE the discovery scan: a file whose recorded
+    // [min, max] on the first key column misses the updates' key range
+    // provably contains no matched key and is never opened — Delta's
+    // file-skipping, from the manifest's footer stats. Files without
+    // stats stay candidates (pruning is only ever an optimization).
+    val keyBounds: Option[(BigDecimal, BigDecimal)] =
+      if (isNumericType(updates.schema(keyCols.head).dataType)) {
+        val r = updates.agg(org.apache.spark.sql.functions.min(col(keyCols.head)).cast("string"),
+          org.apache.spark.sql.functions.max(col(keyCols.head)).cast("string")).head()
+        if (r.isNullAt(0)) None
+        else Some((BigDecimal(r.getString(0)), BigDecimal(r.getString(1))))
+      } else None
+    val candidates = keyBounds match {
+      case Some((lo, hi)) => m.files.filter { f =>
+        m.stats.get(f).flatMap(_.get(keyCols.head)) match {
+          case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+          case None => true
+        }
+      }
+      case None => m.files
+    }
     // __file is relativized IN the scan (regexp over input_file_name) so
     // every comparison below is manifest-relative — immune to file:/ vs
     // file:/// qualification drift between Hadoop and Spark
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
-      .withColumn("__file",
-        regexp_extract(input_file_name(), DataFileRe, 1))
-    val keys = updates.select(keyCols.map(col): _*).distinct()
-    val touched = cur.join(broadcast(keys), keyCols, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(f => new Path(root, f).toString): _*)
+        .withColumn("__file",
+          regexp_extract(input_file_name(), DataFileRe, 1))
+        .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
+    val keys = updates.select(keyCols.map(col): _*).distinct()
     val next = prev + 1
-    val dataDir = f"files/c$next%08d"
+    val dataDir = newDataDir(next)
     val rewrite =
       if (touched.isEmpty) updates
       else readTouched(spark, path, touched.toSeq.sorted)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-    val newFiles = hfs.listStatus(new Path(root, dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDir/${s.getPath.getName}")
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     val carried = m.files.filterNot(touched)
     commitManifest(hfs, root,
-      Manifest(next, ts, "merge", carried ++ newFiles, None, Some(snapSchema.json)))
+      Manifest(next, ts, "merge", carried ++ newFiles, None, Some(snapSchema.json),
+        m.stats.view.filterKeys(carried.contains).toMap ++ newStats))
     next
+  }
+
+  private def isNumericType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
+
+  /** File-level data skipping from manifest stats: keep a file only if
+    * `cond` MAY match some row of it — i.e. drop it only when the
+    * predicate is provably false over the file's recorded [min, max]
+    * ranges. Handles conjunctions/disjunctions of numeric comparisons
+    * (=, <, <=, >, >=, BETWEEN after parsing) with a column on one side
+    * and a literal on the other; every unrecognized shape, non-numeric
+    * literal, or statless column conservatively keeps the file. NULL
+    * semantics are safe by construction: stats ranges cover non-null
+    * values and a NULL-evaluating predicate is never TRUE, so a pruned
+    * file can't contain a qualifying row. */
+  private def mayMatch(stats: Map[String, (String, String)],
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def num(v: Any): Option[BigDecimal] =
+      if (v == null) None else scala.util.Try(BigDecimal(v.toString)).toOption
+    def range(name: String): Option[(BigDecimal, BigDecimal)] =
+      stats.get(name).map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }
+    def colName(ex: Expression): Option[String] = ex match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def cmp(a: Expression, b: Expression,
+        f: ((BigDecimal, BigDecimal), BigDecimal) => Boolean,
+        flipped: ((BigDecimal, BigDecimal), BigDecimal) => Boolean): Boolean =
+      (colName(a), b) match {
+        case (Some(c), Literal(v, _)) =>
+          (range(c), num(v)) match {
+            case (Some(r), Some(lit)) => f(r, lit)
+            case _ => true
+          }
+        case _ => (colName(b), a) match {
+          case (Some(c), Literal(v, _)) =>
+            (range(c), num(v)) match {
+              case (Some(r), Some(lit)) => flipped(r, lit)
+              case _ => true
+            }
+          case _ => true
+        }
+      }
+    e match {
+      case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
+      case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
+      case EqualTo(a, b) =>
+        cmp(a, b, { case ((mn, mx), v) => v >= mn && v <= mx },
+          { case ((mn, mx), v) => v >= mn && v <= mx })
+      case GreaterThan(a, b) =>
+        cmp(a, b, { case ((_, mx), v) => mx > v }, { case ((mn, _), v) => mn < v })
+      case GreaterThanOrEqual(a, b) =>
+        cmp(a, b, { case ((_, mx), v) => mx >= v }, { case ((mn, _), v) => mn <= v })
+      case LessThan(a, b) =>
+        cmp(a, b, { case ((mn, _), v) => mn < v }, { case ((_, mx), v) => mx > v })
+      case LessThanOrEqual(a, b) =>
+        cmp(a, b, { case ((mn, _), v) => mn <= v }, { case ((_, mx), v) => mx >= v })
+      case _ => true
+    }
+  }
+
+  /** Data-skipping snapshot read (Delta's stats-based file pruning as a
+    * READ face): `readWhere(path, cond)` ≡ `readVersion(path).filter(cond)`
+    * — same rows, spec-asserted — but files whose manifest stats prove
+    * the predicate false are dropped from the scan BEFORE Spark opens a
+    * footer. On a Z-ORDERed table ([[optimize]] with `zorderBy`) a 2-D
+    * range predicate prunes to the files whose rectangle intersects the
+    * query box — file-level skipping on top of the row-group skipping
+    * parquet already does (both measured in the Stress harness). The
+    * predicate is additionally applied as a normal filter, so pruning is
+    * pure optimization — unsupported predicate shapes just read the full
+    * list. Returns the pruned DataFrame; [[prunedFiles]] exposes the
+    * file list for specs and EXPLAIN-style reporting. */
+  def readWhere(spark: SparkSession, path: String, condition: String,
+      version: Long = -1L): DataFrame =
+    readFiltered(spark, path, condition, version)._1
+
+  /** The manifest-relative files [[readWhere]] would scan. */
+  def prunedFiles(spark: SparkSession, path: String, condition: String,
+      version: Long = -1L): Seq[String] =
+    readFiltered(spark, path, condition, version)._2
+
+  private def readFiltered(spark: SparkSession, path: String, condition: String,
+      version: Long): (DataFrame, Seq[String]) = {
+    val (hfs, root) = fs(spark, path)
+    val v = if (version >= 0) version
+      else versions(hfs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = readManifest(hfs, root, v)
+    val cond = spark.sessionState.sqlParser.parseExpression(condition)
+    val kept = m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), cond))
+    val snapSchema = snapshotSchema(spark, root, m)
+    val df =
+      if (kept.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snapSchema)
+      else {
+        // align to the SNAPSHOT schema: pruning must not narrow the
+        // result's columns when an evolved column lives only in pruned
+        // files (their rows are excluded, the column is not)
+        val base = spark.read.option("mergeSchema", "true")
+          .parquet(kept.map(f => new Path(root, f).toString): _*)
+        base.select(snapSchema.fields.map { f =>
+          if (base.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }.toSeq: _*)
+      }
+    (df.filter(expr(condition)), kept)
+  }
+
+  /** The discovery-scan candidate list [[merge]] would read for updates
+    * whose first key column spans [lo, hi] — exposed so specs can assert
+    * the stats pruning (a range-partitioned table's untouched files must
+    * not even be candidates). */
+  private[graft] def discoveryCandidates(spark: SparkSession, path: String,
+      keyCol: String, lo: BigDecimal, hi: BigDecimal): Seq[String] = {
+    val (hfs, root) = fs(spark, path)
+    val m = readManifest(hfs, root, versions(hfs, root).last)
+    m.files.filter { f =>
+      m.stats.get(f).flatMap(_.get(keyCol)) match {
+        case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+        case None => true
+      }
+    }
   }
 
   /** Copy-on-write DELETE: rows matching `condition` leave the snapshot;
@@ -493,17 +789,24 @@ object VersionedTable {
       throw new IllegalArgumentException(s"delete from empty table at $path"))
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
-      .withColumn("__file",
-        regexp_extract(input_file_name(), DataFileRe, 1))
-    val touched = cur.filter(expr(condition))
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+    // stats-pruned discovery: files whose manifest [min,max] ranges prove
+    // the predicate false contain no deletable row and are never opened
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    val candidates =
+      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(f => new Path(root, f).toString): _*)
+        .withColumn("__file",
+          regexp_extract(input_file_name(), DataFileRe, 1))
+        .filter(expr(condition))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val next = prev + 1
-    val dataDir = f"files/c$next%08d"
-    val newFiles = if (touched.nonEmpty) {
+    val dataDir = newDataDir(next)
+    val (newFiles, newStats) = if (touched.nonEmpty) {
       // rewrite reads ONLY the touched files (readTouched — the plan's
       // scan is touched-set-sized); keep rows where the predicate is
       // false OR NULL (three-valued logic: only cond-IS-TRUE rows are
@@ -512,13 +815,13 @@ object VersionedTable {
       val survivors = readTouched(spark, path, touched.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
       survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-      hfs.listStatus(new Path(root, dataDir)).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(s => s"$dataDir/${s.getPath.getName}")
-    } else Seq.empty
+      listWithStats(hfs, root, dataDir)
+    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
+    val carried = m.files.filterNot(touched)
     commitManifest(hfs, root,
-      Manifest(next, ts, s"delete", m.files.filterNot(touched) ++ newFiles,
-        None, Some(snapSchema.json)))
+      Manifest(next, ts, s"delete", carried ++ newFiles,
+        None, Some(snapSchema.json),
+        m.stats.view.filterKeys(carried.contains).toMap ++ newStats))
     next
   }
 

@@ -346,6 +346,107 @@ class VersionedTableSpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("id", "v") && empty.count() === 0L)
   }
 
+  test("footer stats prune the merge discovery scan; statless files stay candidates") {
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val files = VersionedTable.snapshotFiles(spark, t)
+    assert(files.size === 4)
+    // updates keyed in the lowest quartile: only ONE file's [min,max]
+    // intersects — the other three are pruned before any file opens
+    val cands = VersionedTable.discoveryCandidates(spark, t, "id",
+      BigDecimal(1), BigDecimal(20))
+    assert(cands.size === 1, s"expected 1 candidate, got $cands")
+    // a fully out-of-range key prunes EVERYTHING — the merge becomes a
+    // pure insert that scans zero snapshot files and carries all four
+    assert(VersionedTable.discoveryCandidates(spark, t, "id",
+      BigDecimal(5000), BigDecimal(5000)).isEmpty)
+    VersionedTable.merge(Seq((5000L, -1L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-02T00:00:00Z")
+    assert(files.toSet.subsetOf(VersionedTable.snapshotFiles(spark, t).toSet))
+    assert(VersionedTable.readVersion(spark, t).count() === 101)
+    // pruned merge is still CORRECT: low-range upsert touches one file
+    VersionedTable.merge(Seq((5L, -5L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-03T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(5L) === -5L && out(99L) === 990L && out.size === 101)
+    // stats carried forward through the merge: pruning still works on
+    // the new head (files rewritten by the merge get fresh footer stats)
+    val cands2 = VersionedTable.discoveryCandidates(spark, t, "id",
+      BigDecimal(90), BigDecimal(99))
+    assert(cands2.size === 1, s"post-merge pruning lost stats: $cands2")
+  }
+
+  test("readWhere: stats-pruned read ≡ filtered readVersion, unsupported shapes stay correct") {
+    val t = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    def expected(cond: String) =
+      idSet(VersionedTable.readVersion(spark, t).filter(expr(cond)))
+    // a range predicate prunes to one file, identical rows
+    val c1 = "id >= 10 AND id <= 20"
+    assert(VersionedTable.prunedFiles(spark, t, c1).size === 1)
+    assert(idSet(VersionedTable.readWhere(spark, t, c1)) === expected(c1))
+    // disjunction across two quartiles keeps exactly those two files
+    val c2 = "id <= 5 OR id > 90"
+    assert(VersionedTable.prunedFiles(spark, t, c2).size === 2)
+    assert(idSet(VersionedTable.readWhere(spark, t, c2)) === expected(c2))
+    // literal-on-left flips; equality on a absent value prunes everything
+    assert(idSet(VersionedTable.readWhere(spark, t, "50 >= id")) === expected("id <= 50"))
+    assert(VersionedTable.prunedFiles(spark, t, "id = 5000").isEmpty)
+    assert(VersionedTable.readWhere(spark, t, "id = 5000").count() === 0L)
+    // unsupported predicate shape: no pruning, still correct
+    val c3 = "id % 7 = 0"
+    assert(VersionedTable.prunedFiles(spark, t, c3).size === 4)
+    assert(idSet(VersionedTable.readWhere(spark, t, c3)) === expected(c3))
+    // delete's discovery rides the same pruning and stays correct
+    VersionedTable.delete(spark, t, "id <= 10", ts = "2026-01-02T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (11L to 100L).toSet)
+    // schema alignment: evolved column present even when its only file
+    // is pruned by the predicate
+    VersionedTable.commit(Seq((200L, 1L, "en")).toDF("id", "v", "lang"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z", mergeSchema = true)
+    val out = VersionedTable.readWhere(spark, t, "id >= 90 AND id <= 95")
+    assert(out.columns.toSet === Set("id", "v", "lang"))
+    assert(out.count() === 6L)
+  }
+
+  test("commitWithRetry: a lost append race re-points the same data on the new head") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val v0Files = VersionedTable.snapshotFiles(spark, t)
+    // a concurrent winner claims every version the loser tries, twice
+    var squats = 0
+    val got = VersionedTable.commitWithRetryImpl(df(9), t,
+      "2026-01-02T00:00:00Z", mergeSchema = false, maxRetries = 5,
+      beforeClaim = { next =>
+        if (squats < 2) {
+          squats += 1
+          VersionedTable.commitManifestAt(spark, t, next,
+            "2026-01-02T00:00:00Z", "append", v0Files)
+        }
+      })
+    // lost twice (v1, v2), landed on v3; data written exactly once
+    assert(squats === 2 && got === 3L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L, 2L, 9L))
+    // the winner's snapshots are intact (their file lists were never
+    // touched by the loser — attempt-unique data dirs)
+    assert(idSet(VersionedTable.readVersion(spark, t, 2L)) === Set(1L, 2L))
+    // retries exhausted → the exception surfaces
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.commitWithRetryImpl(df(10), t,
+        "2026-01-03T00:00:00Z", mergeSchema = false, maxRetries = 1,
+        beforeClaim = { next =>
+          if (!new java.io.File(s"$t/_manifests/v${"%08d".format(next)}.manifest").exists())
+            VersionedTable.commitManifestAt(spark, t, next,
+              "2026-01-03T00:00:00Z", "append", v0Files)
+        })
+    }
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
