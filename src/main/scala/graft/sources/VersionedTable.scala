@@ -1,9 +1,11 @@
 package graft.sources
 
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract, struct}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -15,25 +17,52 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Layout:
   * {{{
   *   table/
-  *     _manifests/v00000000.manifest   # one per committed snapshot
-  *     files/c00000000/part-*.parquet  # data files, NEVER rewritten
+  *     _manifests/v00000000.manifest     # one per committed snapshot
+  *     _checkpoints/v00000010.checkpoint # full state every K commits
+  *     files/c00000000-xxxx/part-*.parquet  # data files, NEVER rewritten
   * }}}
   *
   * A manifest is a plain text file — `key=value` header lines then one
   * relative data-file path per line (no JSON library needed, greppable
-  * on the cluster):
+  * on the cluster). Manifests come in two shapes:
+  *
+  *   - FULL (overwrite/optimize): the body lists the whole snapshot.
+  *   - DELTA (`base=<version>` header — append/merge/delete/rollback):
+  *     the body lists only ADDED files, `rm=<path>` header lines list
+  *     removals, and the snapshot is base's state with those applied.
+  *     An append manifest is therefore O(batch files) no matter how
+  *     large the table — per-commit log cost is flat in commit count
+  *     (Delta's incremental add/remove actions).
+  *
   * {{{
   *   version=3
   *   ts=2026-08-14T00:00:00Z
-  *   op=append
-  *   files/c00000001/part-0000.parquet
-  *   files/c00000003/part-0000.parquet
+  *   op=merge
+  *   base=2
+  *   rm=files/c00000001-ab12cd34/part-0000.parquet
+  *   fstat=files/c00000003-9f00aa11/part-0000.parquet|id:1:50
+  *   files/c00000003-9f00aa11/part-0000.parquet
   * }}}
+  *
+  * CHECKPOINTS (Delta's `_last_checkpoint` design): resolving a delta
+  * manifest walks its `base` chain, so after every `checkpointInterval`
+  * commits the committer also writes `_checkpoints/vNNNNNNNN.checkpoint`
+  * — the fully resolved state (file list + stats + schema) plus the
+  * aggregated per-appId max streaming batch id (`txnmax=` lines). Chain
+  * walks stop at the nearest checkpoint, so [[readVersion]] and
+  * [[lastTxn]] open at most 1 + K metadata files regardless of how many
+  * commits the table has seen (spec-asserted via [[metadataOpens]]) —
+  * without this, a long-lived [[graft.streaming.Streams.toVersionedSink]]
+  * stream would pay O(#versions) manifest reads per micro-batch.
+  * Checkpoints are derived data: a missing one (crash between commit and
+  * checkpoint) only lengthens the walk to the previous checkpoint.
   *
   * COMMIT PROTOCOL (optimistic concurrency, the Delta log trick): data
   * files land first under a version-owned directory, then the manifest
   * is written to a temp name and atomically CLAIMED as
-  * `v<next>.manifest`. The claim primitive is per-filesystem: on HDFS,
+  * `v<next>.manifest`. The claim primitive is per-filesystem, chosen
+  * from the RESOLVED FileSystem class (not the raw path scheme, which
+  * is empty for scheme-less paths whatever fs.defaultFS says): on HDFS,
   * `rename` onto an existing destination fails, so rename-if-absent is
   * the guard; on LOCAL filesystems Hadoop's rename delegates to POSIX
   * rename(2), which OVERWRITES an existing destination — there the
@@ -46,15 +75,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * as Delta-on-S3 needs LogStore — documented, not hidden.
   *
   * Scale notes: every operation here is DRIVER-SIDE METADATA except the
-  * data write itself — `history` reads manifest headers (never data),
+  * data write itself — `history` folds manifest headers (never data),
   * `readVersion` hands Spark an explicit file list (footer-pruned,
   * pushdown intact — the scan plans exactly like a plain parquet read),
-  * `rollback` writes one manifest re-pointing at old files (zero data
-  * copied, Delta RESTORE semantics), `vacuum` diffs the referenced set
-  * against a directory listing. A snapshot's file count grows only with
-  * appends since its last overwrite, and [[Sinks.compactPartitions]]'
-  * small-file pressure is the same here: compact by committing an
-  * `overwrite` of the coalesced read.
+  * `rollback` writes one delta manifest re-pointing at the old snapshot
+  * (zero data copied, Delta RESTORE semantics), `vacuum` diffs the
+  * referenced set against a directory listing. Commit-time stats come
+  * from parquet FOOTERS read on a local thread pool (bounded
+  * parallelism, no data pages), so a wide commit's stats cost is
+  * ~files/threads, not files, round-trips.
   *
   * Timestamps are caller-supplied (`ts`), not wall-clock: replaying a
   * pipeline reproduces the log byte-for-byte, and `readAsOf` is
@@ -63,11 +92,21 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object VersionedTable {
 
   private val ManifestDir = "_manifests"
+  private val CheckpointDir = "_checkpoints"
+
+  /** Checkpoint cadence: a full-state checkpoint lands every K commits,
+    * bounding every chain walk (and [[lastTxn]]'s tail scan) at K. */
+  private[graft] val checkpointInterval = 10
+
+  /** Count of manifest/checkpoint files opened — the spec-visible meter
+    * for the O(1 + K) metadata-read guarantee. */
+  private[graft] val metadataOpens = new AtomicLong(0L)
 
   /** The table's manifest-log directory — the CDF streaming source
     * ([[graft.streaming.Streams.changesStream]]) points Spark's file
     * stream at it: each committed version is exactly one new immutable
-    * file there (atomic publish), so the file source's discovery
+    * file there (atomic publish; checkpoints live in a SEPARATE
+    * directory so the invariant holds), so the file source's discovery
     * sequence IS the commit sequence and its checkpoint tracks which
     * versions a consumer has processed. */
   private[graft] def manifestLogDir(path: String): String =
@@ -81,32 +120,33 @@ object VersionedTable {
   private def manifestPath(root: Path, v: Long): Path =
     new Path(new Path(root, ManifestDir), f"v$v%08d.manifest")
 
-  /** Manifest content: (version, ts, op, relative data-file paths, an
-    * optional streaming transaction marker `appId -> batchId`, the
-    * snapshot's logical schema as Spark DataType JSON — recorded so an
-    * EMPTY snapshot (delete-all, empty-batch commit) stays readable and
-    * the append schema check never depends on one file's footer — and
-    * per-file column min/max STATS (Delta's add-file stats): for each
-    * data file, numeric column → (min, max) as decimal strings, read
-    * from the parquet FOOTER at commit time (no data scan) and carried
-    * forward with carried files. [[merge]]'s discovery scan prunes on
-    * them. */
+  private def checkpointPath(root: Path, v: Long): Path =
+    new Path(new Path(root, CheckpointDir), f"v$v%08d.checkpoint")
+
+  /** Resolved snapshot state: (version, ts, op, the FULL relative
+    * data-file list, an optional streaming transaction marker
+    * `appId -> batchId`, the snapshot's logical schema as Spark DataType
+    * JSON — recorded so an EMPTY snapshot (delete-all, empty-batch
+    * commit) stays readable and the append schema check never depends on
+    * one file's footer — and per-file column min/max STATS (Delta's
+    * add-file stats) in the manifest encoding (see [[footerStats]]). */
   private case class Manifest(version: Long, ts: String, op: String,
       files: Seq[String], txn: Option[(String, Long)] = None,
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty)
 
-  private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest = {
-    val in = hfs.open(manifestPath(root, v))
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val lines = text.split("\n").toSeq.filter(_.nonEmpty)
-    val headerLines = lines.takeWhile(_.contains("="))
-    val hdr = headerLines.filterNot(_.startsWith("fstat=")).map { l =>
-      val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
-    }.toMap
+  /** One manifest FILE as written: full (base = None, adds = the whole
+    * snapshot) or delta (adds/removes applied to base's state). */
+  private case class RawManifest(version: Long, ts: String, op: String,
+      base: Option[Long], adds: Seq[String], removes: Seq[String],
+      txn: Option[(String, Long)], schemaJson: Option[String],
+      addStats: Map[String, Map[String, (String, String)]])
+
+  private def parseStatsLines(headerLines: Seq[String])
+      : Map[String, Map[String, (String, String)]] =
     // one `fstat=<path>|col:min:max|col2:min:max` line per stats-bearing
     // file — line-oriented and greppable, like the rest of the format
-    val stats = headerLines.filter(_.startsWith("fstat=")).map { l =>
+    headerLines.filter(_.startsWith("fstat=")).map { l =>
       val parts = l.stripPrefix("fstat=").split('|')
       parts.head -> parts.tail.flatMap { t =>
         t.split(':') match {
@@ -115,56 +155,175 @@ object VersionedTable {
         }
       }.toMap
     }.toMap
+
+  private def readLines(hfs: FileSystem, p: Path): Seq[String] = {
+    metadataOpens.incrementAndGet()
+    val in = hfs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").toSeq.filter(_.nonEmpty)
+  }
+
+  private def readRaw(hfs: FileSystem, root: Path, v: Long): RawManifest = {
+    val lines = readLines(hfs, manifestPath(root, v))
+    val headerLines = lines.takeWhile(_.contains("="))
+    val hdr = headerLines
+      .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm="))
+      .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+      .toMap
     val txn = hdr.get("txn").map { t =>
       val i = t.lastIndexOf(':')
       (t.substring(0, i), t.substring(i + 1).toLong)
     }
-    Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-      lines.dropWhile(_.contains("=")), txn, hdr.get("schema"), stats)
+    RawManifest(hdr("version").toLong, hdr("ts"), hdr("op"),
+      hdr.get("base").map(_.toLong),
+      lines.dropWhile(_.contains("=")),
+      headerLines.filter(_.startsWith("rm=")).map(_.stripPrefix("rm=")),
+      txn, hdr.get("schema"), parseStatsLines(headerLines))
   }
 
-  /** Per-file numeric column min/max from the parquet FOOTER — a
-    * driver-side metadata read (O(row groups), no data pages touched),
-    * the same source Delta's stats collection uses. Only integral and
-    * floating primitive columns are kept (their decimal-string encoding
-    * is delimiter-safe in the manifest line format); columns whose
-    * footer lacks usable stats, or whose name would break the line
-    * format, are simply absent — pruning treats absence as
-    * "cannot prune", so stats are always safe to drop. */
+  /** A checkpoint file, if one exists for exactly `v`: the resolved
+    * snapshot plus the per-appId max batch id over versions ≤ v. */
+  private def readCheckpoint(hfs: FileSystem, root: Path, v: Long)
+      : Option[(Manifest, Map[String, Long])] = {
+    val p = checkpointPath(root, v)
+    if (!hfs.exists(p)) None
+    else {
+      val lines = readLines(hfs, p)
+      val headerLines = lines.takeWhile(_.contains("="))
+      val hdr = headerLines
+        .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
+        val t = l.stripPrefix("txnmax=")
+        val i = t.lastIndexOf(':')
+        t.substring(0, i) -> t.substring(i + 1).toLong
+      }.toMap
+      Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
+        lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
+        parseStatsLines(headerLines)), txnmax))
+    }
+  }
+
+  /** Resolve version `v`'s full snapshot state: checkpoint fast path,
+    * else apply the raw manifest to its recursively resolved base. The
+    * walk is ≤ [[checkpointInterval]] reads — every append chain crosses
+    * a checkpointed version within K steps. */
+  private def readManifest(hfs: FileSystem, root: Path, v: Long): Manifest =
+    readCheckpoint(hfs, root, v).map(_._1).getOrElse {
+      val raw = readRaw(hfs, root, v)
+      raw.base match {
+        case None =>
+          Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
+            raw.schemaJson, raw.addStats)
+        case Some(b) =>
+          require(b < v, s"manifest v$v has a non-ancestor base $b")
+          val base = readManifest(hfs, root, b)
+          val removed = raw.removes.toSet
+          Manifest(raw.version, raw.ts, raw.op,
+            base.files.filterNot(removed) ++ raw.adds, raw.txn,
+            raw.schemaJson.orElse(base.schemaJson),
+            (base.stats -- removed) ++ raw.addStats)
+      }
+    }
+
+  /** Per-file numeric/temporal column min/max from the parquet FOOTER —
+    * a driver-side metadata read (O(row groups), no data pages touched),
+    * the same source Delta's stats collection uses. Values are encoded
+    * in the LOGICAL domain so [[mayMatch]] can compare them against
+    * Catalyst literal internals directly:
+    *
+    *   - plain ints/floats/doubles: as-is;
+    *   - DATE (INT32 date annotation): epoch days (= DateType literals);
+    *   - TIMESTAMP (INT64, millis/micros/nanos): epoch MICROS (= Catalyst
+    *     timestamp literals; nanos divide exactly to fractional micros);
+    *   - DECIMAL over INT32/INT64: DESCALED by the annotation's scale —
+    *     the raw footer value is unscaled (10.50 stored as 1050), and
+    *     recording it raw would make every decimal comparison prune
+    *     wrongly (silent merge/delete/readWhere corruption);
+    *   - any other logical annotation (time, enum, INT96, strings): the
+    *     column is simply never recorded — absence means "cannot prune".
+    *
+    * SOUNDNESS: a row group holding rows but lacking usable stats for a
+    * recorded column (parquet-mr omits min/max when a double row group
+    * contains NaN) POISONS that column for the whole file — unioning the
+    * remaining row groups would narrow the recorded range below the
+    * file's true one and prune files that DO contain matches. All-null
+    * row groups contribute nothing and are safe (a NULL-evaluating
+    * predicate is never TRUE). */
   private def footerStats(hfs: FileSystem, root: Path,
       relFile: String): Map[String, (String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(root, relFile), hfs.getConf))
     try {
       val acc = scala.collection.mutable.HashMap.empty[String, (BigDecimal, BigDecimal)]
-      reader.getFooter.getBlocks.asScala.foreach { block =>
+      val poisoned = scala.collection.mutable.HashSet.empty[String]
+      reader.getFooter.getBlocks.asScala.filter(_.getRowCount > 0).foreach { block =>
         block.getColumns.asScala.foreach { cc =>
           val name = cc.getPath.toDotString
-          val st = cc.getStatistics
-          val numeric = cc.getPrimitiveType.getPrimitiveTypeName match {
-            case INT32 | INT64 | FLOAT | DOUBLE => true
-            case _ => false
-          }
-          if (numeric && st != null && st.hasNonNullValue && !name.contains(":")
-              && !name.contains("|") && !name.contains("=")) {
-            // Try: NaN/Infinity float stats don't parse as decimals — a
-            // column whose stats we can't encode simply goes statless
-            scala.util.Try((BigDecimal(st.genericGetMin.toString),
-                BigDecimal(st.genericGetMax.toString))).foreach { case (mn, mx) =>
-              acc.get(name) match {
-                case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
-                case None => acc(name) = (mn, mx)
-              }
+          val lineSafe = !name.contains(":") && !name.contains("|") &&
+            !name.contains("=") && !name.contains("\n")
+          statEncoder(cc.getPrimitiveType).foreach { enc =>
+            if (!lineSafe) () // name would break the line format: never record
+            else {
+              val st = cc.getStatistics
+              val allNull = st != null && st.isNumNullsSet &&
+                st.getNumNulls == block.getRowCount
+              if (st != null && st.hasNonNullValue) {
+                (enc(st.genericGetMin), enc(st.genericGetMax)) match {
+                  case (Some(mn), Some(mx)) =>
+                    acc.get(name) match {
+                      case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                      case None => acc(name) = (mn, mx)
+                    }
+                  case _ => poisoned += name // unparseable (NaN/Inf): unsound to union
+                }
+              } else if (!allNull) poisoned += name // stats omitted, rows present
             }
           }
         }
       }
-      acc.map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
+      (acc -- poisoned).map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
     } finally reader.close()
+  }
+
+  /** The logical-domain decoder for a parquet primitive column, or None
+    * when the column's type can't be soundly encoded as a decimal range
+    * (see [[footerStats]]). */
+  private def statEncoder(pt: org.apache.parquet.schema.PrimitiveType)
+      : Option[Any => Option[BigDecimal]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    def raw(v: Any): Option[BigDecimal] =
+      if (v == null) None else scala.util.Try(BigDecimal(v.toString)).toOption
+    pt.getPrimitiveTypeName match {
+      case INT32 | INT64 | FLOAT | DOUBLE =>
+        pt.getLogicalTypeAnnotation match {
+          case null => Some(raw)
+          case _: IntLogicalTypeAnnotation => Some(raw)
+          case _: DateLogicalTypeAnnotation => Some(raw) // epoch days
+          case t: TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(v => raw(v).map(_ * 1000))
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+              case LogicalTypeAnnotation.TimeUnit.NANOS =>
+                // exact rational micros — comparisons against integral
+                // micro literals stay sound without rounding direction
+                Some(v => raw(v).map(_ / 1000))
+              case _ => None
+            }
+          case d: DecimalLogicalTypeAnnotation =>
+            val scale = BigDecimal(10).pow(d.getScale)
+            Some(v => raw(v).map(_ / scale))
+          case _ => None
+        }
+      case _ => None
+    }
   }
 
   /** A snapshot's logical schema: the manifest-recorded one when present
@@ -179,6 +338,14 @@ object VersionedTable {
         .parquet(m.files.map(f => new Path(root, f).toString): _*).schema
     }
 
+  /** The current table schema before a commit, from the previous HEAD:
+    * the raw manifest's recorded schema when present (one header read),
+    * else the resolved snapshot's derived one. */
+  private def headSchema(spark: SparkSession, hfs: FileSystem, root: Path,
+      prev: Long, raw: RawManifest): StructType =
+    raw.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(snapshotSchema(spark, root, readManifest(hfs, root, prev)))
+
   /** Name-based union: `prev`'s fields (types authoritative) plus the
     * fields `next` adds — the schema an evolved append's readers see. */
   private def unionSchema(prev: StructType, next: StructType): StructType =
@@ -192,6 +359,17 @@ object VersionedTable {
       .map(_.getPath.getName)
       .collect { case n if n.startsWith("v") && n.endsWith(".manifest") =>
         n.stripPrefix("v").stripSuffix(".manifest").toLong }
+      .sorted
+  }
+
+  /** All checkpointed versions, ascending. */
+  private def checkpoints(hfs: FileSystem, root: Path): Seq[Long] = {
+    val dir = new Path(root, CheckpointDir)
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".checkpoint") =>
+        n.stripPrefix("v").stripSuffix(".checkpoint").toLong }
       .sorted
   }
 
@@ -224,7 +402,7 @@ object VersionedTable {
     val prev = versions(hfs, root).lastOption
     val prevSchema =
       if (mode == "append")
-        prev.map(p => snapshotSchema(spark, root, readManifest(hfs, root, p)))
+        prev.map(p => headSchema(spark, hfs, root, p, readRaw(hfs, root, p)))
       else None
     // Schema-on-write (append only — an overwrite REPLACES the snapshot,
     // new schema and all): the batch's column names must equal the
@@ -246,20 +424,15 @@ object VersionedTable {
     val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
-    // vacuum reclaims; the table is unchanged until the manifest renames.
+    // vacuum reclaims; the table is unchanged until the manifest claims.
     val dataDir = newDataDir(next)
     df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    val prevM = prev.map(readManifest(hfs, root, _))
-    val carried =
-      if (mode == "append") prevM.map(_.files).getOrElse(Seq.empty)
-      else Seq.empty
-    val carriedStats =
-      if (mode == "append") prevM.map(_.stats).getOrElse(Map.empty)
-      else Map.empty[String, Map[String, (String, String)]]
-    commitManifest(hfs, root,
-      Manifest(next, ts, mode, carried ++ newFiles, txn, Some(snapSchema.json),
-        carriedStats ++ newStats))
+    // append = DELTA manifest against prev (O(batch) log write — the
+    // previous file list is never re-serialized); overwrite/first = full
+    val base = if (mode == "append") prev else None
+    publish(hfs, root, RawManifest(next, ts, mode, base, newFiles,
+      Seq.empty, txn, Some(snapSchema.json), newStats))
     next
   }
 
@@ -272,14 +445,28 @@ object VersionedTable {
     f"files/c$next%08d-${java.util.UUID.randomUUID.toString.take(8)}"
 
   /** List a freshly written data dir's parquet files plus their footer
-    * stats (driver-side metadata; one footer read per new file). */
+    * stats. The footers are opened on a LOCAL THREAD POOL (bounded at
+    * 16): a wide commit landing hundreds of files pays ~files/threads
+    * metadata round-trips instead of a serial driver loop — the stats
+    * themselves are byte-identical to the serial path (same footer
+    * source, spec-covered by every pruning test). */
   private def listWithStats(hfs: FileSystem, root: Path, dataDir: String)
       : (Seq[String], Map[String, Map[String, (String, String)]]) = {
     val files = hfs.listStatus(new Path(root, dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}")
-    (files, files.map(f => f -> footerStats(hfs, root, f)).toMap
-      .filter(_._2.nonEmpty))
+    if (files.isEmpty) return (files, Map.empty)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val stats = Await.result(
+        Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
+        Duration.Inf).toMap.filter(_._2.nonEmpty)
+      (files, stats)
+    } finally pool.shutdown()
   }
 
   /** Delta OPTIMIZE for a snapshot: rewrite the latest version's content
@@ -317,22 +504,29 @@ object VersionedTable {
     val dataDir = newDataDir(next)
     laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    commitManifest(hfs, root,
-      Manifest(next, ts, "optimize", newFiles, None, Some(cur.schema.json), newStats))
+    publish(hfs, root, RawManifest(next, ts, "optimize", None, newFiles,
+      Seq.empty, None, Some(cur.schema.json), newStats))
     next
   }
 
   /** The highest micro-batch id committed for a streaming `appId`, or
     * None if that stream never wrote here — Delta's `txn` action for
-    * exactly-once foreachBatch sinks. Driver-side manifest-header scan
-    * (O(#versions); at Delta scale the log is checkpointed — here a
-    * periodic [[vacuum]]-then-rebuild keeps version counts bounded). */
+    * exactly-once foreachBatch sinks. Resolves from the latest
+    * CHECKPOINT's aggregated `txnmax` map plus the ≤ K manifest headers
+    * after it — O(1 + K) metadata reads per call, so a long-lived
+    * [[graft.streaming.Streams.toVersionedSink]] stream pays a flat
+    * per-batch cost no matter how many thousands of batches it has
+    * committed (spec-asserted via [[metadataOpens]]). */
   def lastTxn(spark: SparkSession, path: String, appId: String): Option[Long] = {
     val (hfs, root) = fs(spark, path)
-    val ids = versions(hfs, root).flatMap { v =>
-      readManifest(hfs, root, v).txn.collect { case (a, b) if a == appId => b }
+    val head = versions(hfs, root).lastOption.getOrElse(return None)
+    val ck = checkpoints(hfs, root).filter(_ <= head).lastOption
+    val fromCk: Option[Long] =
+      ck.flatMap(v => readCheckpoint(hfs, root, v)).flatMap(_._2.get(appId))
+    val tailIds = ((ck.getOrElse(-1L) + 1) to head).flatMap { v =>
+      readRaw(hfs, root, v).txn.collect { case (a, b) if a == appId => b }
     }
-    ids.maxOption
+    (fromCk.toSeq ++ tailIds).maxOption
   }
 
   /** Idempotent streaming commit: commits `df` as a new snapshot UNLESS a
@@ -360,13 +554,12 @@ object VersionedTable {
   /** APPEND with automatic conflict resolution — Delta's commit-retry
     * loop for the one operation that never logically conflicts: the data
     * is written ONCE to its attempt-unique directory, and on a lost race
-    * only the manifest is recomputed on top of the new head (carried
-    * files re-read, version re-assigned) and re-claimed. Schema checks
-    * re-run per attempt against the then-current head. Gives multi-writer
-    * ingest without external coordination; MERGE/DELETE retries would
-    * need read-set conflict detection (their touched files may have been
-    * rewritten underneath), so those surface the exception to the caller
-    * instead. */
+    * only the delta manifest is recomputed on top of the new head
+    * (version re-assigned, schema re-checked) and re-claimed. Gives
+    * multi-writer ingest without external coordination; MERGE/DELETE
+    * retries would need read-set conflict detection (their touched files
+    * may have been rewritten underneath), so those surface the exception
+    * to the caller instead. */
   def commitWithRetry(df: DataFrame, path: String,
       ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false,
       maxRetries: Int = 5): Long =
@@ -389,8 +582,8 @@ object VersionedTable {
     var attempt = 0
     while (true) {
       val prev = versions(hfs, root).lastOption
-      val prevM = prev.map(readManifest(hfs, root, _))
-      val prevSchema = prevM.map(snapshotSchema(spark, root, _))
+      val prevSchema =
+        prev.map(p => headSchema(spark, hfs, root, p, readRaw(hfs, root, p)))
       if (!mergeSchema) prevSchema
         .filter(_.fieldNames.toSet != df.schema.fieldNames.toSet)
         .foreach { ps =>
@@ -403,10 +596,8 @@ object VersionedTable {
       val next = prev.map(_ + 1).getOrElse(0L)
       try {
         beforeClaim(next)
-        commitManifest(hfs, root, Manifest(next, ts, "append",
-          prevM.map(_.files).getOrElse(Seq.empty) ++ newFiles, None,
-          Some(snapSchema.json),
-          prevM.map(_.stats).getOrElse(Map.empty) ++ newStats))
+        publish(hfs, root, RawManifest(next, ts, "append", prev, newFiles,
+          Seq.empty, None, Some(snapSchema.json), newStats))
         return next
       } catch {
         case e: ConcurrentCommitException =>
@@ -417,51 +608,101 @@ object VersionedTable {
     -1L // unreachable
   }
 
-  /** Exposed for the race-guard spec: publish a manifest for an exact
-    * version, failing if that version already exists. */
+  /** Exposed for the race-guard spec: publish a FULL manifest for an
+    * exact version, failing if that version already exists. */
   private[graft] def commitManifestAt(spark: SparkSession, path: String,
       version: Long, ts: String, op: String, files: Seq[String]): Unit = {
     val (hfs, root) = fs(spark, path)
-    commitManifest(hfs, root, Manifest(version, ts, op, files))
+    commitManifest(hfs, root,
+      RawManifest(version, ts, op, None, files, Seq.empty, None, None, Map.empty))
   }
 
-  private def commitManifest(hfs: FileSystem, root: Path, m: Manifest): Unit = {
-    val dir = new Path(root, ManifestDir)
-    hfs.mkdirs(dir)
+  /** Commit + best-effort checkpoint: every successful commit path goes
+    * through here so checkpoints land on cadence no matter which
+    * operation crossed the K boundary. */
+  private def publish(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
+    commitManifest(hfs, root, m)
+    maybeCheckpoint(hfs, root, m.version)
+  }
+
+  /** Write `_checkpoints/v<version>.checkpoint` when `version` is on the
+    * cadence: the resolved snapshot (≤ K-read chain walk) plus the
+    * per-appId max batch id — previous checkpoint's map folded with the
+    * ≤ K manifest headers since it. Idempotent: an already-claimed
+    * checkpoint (concurrent writer, replay) is silently kept. */
+  private def maybeCheckpoint(hfs: FileSystem, root: Path, version: Long): Unit = {
+    if (version <= 0 || version % checkpointInterval != 0) return
+    val target = checkpointPath(root, version)
+    if (hfs.exists(target)) return
+    val snap = readManifest(hfs, root, version)
+    val prevCk = checkpoints(hfs, root).filter(_ < version).lastOption
+    val baseTxn = prevCk.flatMap(v => readCheckpoint(hfs, root, v))
+      .map(_._2).getOrElse(Map.empty[String, Long])
+    val txnmax = ((prevCk.getOrElse(-1L) + 1) to version)
+      .flatMap(v => readRaw(hfs, root, v).txn)
+      .foldLeft(baseTxn) { case (acc, (a, b)) =>
+        acc.updated(a, math.max(acc.getOrElse(a, Long.MinValue), b))
+      }
+    val hdr = Seq(s"version=${snap.version}", s"ts=${snap.ts}", s"op=${snap.op}") ++
+      snap.schemaJson.map(j => s"schema=$j") ++
+      txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
+      statLines(snap.files, snap.stats)
+    writeClaimed(hfs, new Path(root, CheckpointDir), target,
+      (hdr ++ snap.files).mkString("", "\n", "\n"),
+      onLost = () => ()) // lost checkpoint race: the other copy is identical
+  }
+
+  private def statLines(files: Seq[String],
+      stats: Map[String, Map[String, (String, String)]]): Seq[String] =
+    files.flatMap { f =>
+      stats.get(f).filter(_.nonEmpty).map { cs =>
+        s"fstat=$f|" + cs.toSeq.sortBy(_._1)
+          .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString("|")
+      }
+    }
+
+  private def commitManifest(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
     val target = manifestPath(root, m.version)
     if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
-    val tmp = new Path(dir, s".v${m.version}.tmp-${java.util.UUID.randomUUID}")
-    val out = hfs.create(tmp, false)
     val hdr = Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++
+      m.base.map(b => s"base=$b") ++
       m.txn.map { case (a, b) => s"txn=$a:$b" } ++
       m.schemaJson.map(j => s"schema=$j") ++
-      m.files.flatMap { f =>
-        m.stats.get(f).filter(_.nonEmpty).map { cs =>
-          s"fstat=$f|" + cs.toSeq.sortBy(_._1)
-            .map { case (c, (mn, mx)) => s"$c:$mn:$mx" }.mkString("|")
-        }
-      }
-    try out.write((hdr ++ m.files)
-      .mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    // Atomic claim of the final name — exactly one of N racers wins.
-    // HDFS: rename fails on an existing destination. Local FS: POSIX
-    // rename(2) OVERWRITES, so the claim is a hard link instead —
-    // link(2) fails with EEXIST atomically (the exists() precheck above
-    // is only a fast path; this is the real guard on both filesystems).
-    val local = Option(target.toUri.getScheme).forall(_ == "file")
+      m.removes.map(r => s"rm=$r") ++
+      statLines(m.adds, m.addStats)
+    writeClaimed(hfs, new Path(root, ManifestDir), target,
+      (hdr ++ m.adds).mkString("", "\n", "\n"),
+      onLost = () => throw new ConcurrentCommitException(m.version))
+  }
+
+  /** Write `content` to a temp name in `dir`, then atomically claim
+    * `target` — exactly one of N racers wins; losers run `onLost`.
+    * The claim primitive is chosen from the RESOLVED FileSystem class
+    * (a scheme-less path on a cluster whose fs.defaultFS is HDFS must
+    * take the rename branch — the raw URI scheme is empty there): HDFS
+    * rename fails on an existing destination; local POSIX rename(2)
+    * OVERWRITES, so the claim is a hard link — link(2) fails with
+    * EEXIST atomically. */
+  private def writeClaimed(hfs: FileSystem, dir: Path, target: Path,
+      content: String, onLost: () => Unit): Unit = {
+    hfs.mkdirs(dir)
+    val tmp = new Path(dir, s".${target.getName}.tmp-${java.util.UUID.randomUUID}")
+    val out = hfs.create(tmp, false)
+    try out.write(content.getBytes("UTF-8")) finally out.close()
+    val local = hfs.isInstanceOf[LocalFileSystem] || hfs.isInstanceOf[RawLocalFileSystem]
     if (local) {
       try java.nio.file.Files.createLink(
-        java.nio.file.Paths.get(target.toUri.getPath),
-        java.nio.file.Paths.get(tmp.toUri.getPath))
+        java.nio.file.Paths.get(hfs.makeQualified(target).toUri.getPath),
+        java.nio.file.Paths.get(hfs.makeQualified(tmp).toUri.getPath))
       catch { case _: java.nio.file.FileAlreadyExistsException =>
         hfs.delete(tmp, false)
-        throw new ConcurrentCommitException(m.version)
+        onLost()
+        return
       }
       hfs.delete(tmp, false)
     } else if (!hfs.rename(tmp, target)) {
       hfs.delete(tmp, false)
-      throw new ConcurrentCommitException(m.version)
+      onLost()
     }
   }
 
@@ -502,39 +743,53 @@ object VersionedTable {
   }
 
   /** Time travel by timestamp: the latest snapshot with `ts` ≤ the given
-    * ISO-8601 instant (string comparison — ISO-8601 sorts lexically). */
+    * ISO-8601 instant (string comparison — ISO-8601 sorts lexically).
+    * Header-only reads to pick the version; one resolve to read it. */
   def readAsOf(spark: SparkSession, path: String, asOf: String): DataFrame = {
     val (hfs, root) = fs(spark, path)
-    val v = versions(hfs, root).map(readManifest(hfs, root, _))
+    val v = versions(hfs, root).map(readRaw(hfs, root, _))
       .filter(_.ts <= asOf).map(_.version).lastOption
       .getOrElse(throw new IllegalArgumentException(s"no snapshot at or before $asOf"))
     readVersion(spark, path, v)
   }
 
   /** The table's commit log as a DataFrame — one row per version with the
-    * snapshot's file count (Delta DESCRIBE HISTORY's shape). Driver-side
-    * manifest headers only; no data files are opened. */
+    * snapshot's file count (Delta DESCRIBE HISTORY's shape). One
+    * ASCENDING fold over raw manifests (each read once, deltas applied
+    * incrementally against a version→files memo) — never a per-version
+    * chain walk. No data files are opened. */
   def history(spark: SparkSession, path: String): DataFrame = {
     val (hfs, root) = fs(spark, path)
     import spark.implicits._
+    val memo = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
     versions(hfs, root).map { v =>
-      val m = readManifest(hfs, root, v)
-      (m.version, m.ts, m.op, m.files.size)
+      val raw = readRaw(hfs, root, v)
+      val files = raw.base match {
+        case None => raw.adds
+        case Some(b) =>
+          val removed = raw.removes.toSet
+          // base is always an earlier listed version; fall back to a
+          // chain resolve for logs with gaps (externally pruned)
+          memo.getOrElse(b, readManifest(hfs, root, b).files)
+            .filterNot(removed) ++ raw.adds
+      }
+      memo(v) = files
+      (raw.version, raw.ts, raw.op, files.size)
     }.toDF("version", "ts", "op", "n_files")
   }
 
   /** Roll the table back to `toVersion` by committing a NEW version whose
-    * file list is the old snapshot's — Delta RESTORE semantics: history
-    * is preserved (the bad versions stay queryable until vacuumed), no
-    * data is copied, and the operation is itself just another commit. */
+    * snapshot is the old one's — Delta RESTORE semantics: history is
+    * preserved (the bad versions stay queryable until vacuumed), no data
+    * is copied, and the operation is one DELTA manifest whose base IS
+    * the restore target (no adds, no removes — O(1) log write). */
   def rollback(spark: SparkSession, path: String, toVersion: Long,
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (hfs, root) = fs(spark, path)
-    val target = readManifest(hfs, root, toVersion)
+    val target = readRaw(hfs, root, toVersion) // existence check + schema
     val next = versions(hfs, root).last + 1
-    commitManifest(hfs, root,
-      Manifest(next, ts, s"rollback($toVersion)", target.files, None,
-        target.schemaJson, target.stats))
+    publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
+      Some(toVersion), Seq.empty, Seq.empty, None, target.schemaJson, Map.empty))
     next
   }
 
@@ -562,6 +817,63 @@ object VersionedTable {
       .parquet(touched.map(f => new Path(root, f).toString): _*)
   }
 
+  /** Per-key-column [lo, hi] bounds of the updates frame, in the STATS
+    * ENCODING ([[footerStats]]'s logical domain: plain numerics as-is,
+    * timestamps as epoch micros, dates as epoch days, decimals scaled).
+    * One aggregate pass computes every supported column; a column whose
+    * bounds don't parse (float NaN/Infinity keys — Spark's max treats
+    * NaN as largest, and "NaN" is not a decimal) simply contributes no
+    * pruning instead of crashing the merge. */
+  private def updateKeyBounds(updates: DataFrame, keyCols: Seq[String])
+      : Map[String, (BigDecimal, BigDecimal)] = {
+    import org.apache.spark.sql.functions.{max => fmax, min => fmin, unix_date, unix_micros}
+    val encoded: Seq[(String, Column)] = keyCols.flatMap { k =>
+      updates.schema(k).dataType match {
+        case _: NumericType => Some(k -> col(k))
+        case TimestampType => Some(k -> unix_micros(col(k)))
+        case DateType => Some(k -> unix_date(col(k)))
+        case _ => None
+      }
+    }
+    if (encoded.isEmpty) return Map.empty
+    val aggs = encoded.flatMap { case (_, c) =>
+      Seq(fmin(c).cast("string"), fmax(c).cast("string"))
+    }
+    val r = updates.agg(aggs.head, aggs.tail: _*).head()
+    encoded.zipWithIndex.flatMap { case ((k, _), i) =>
+      if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
+      else scala.util.Try(
+        (BigDecimal(r.getString(2 * i)), BigDecimal(r.getString(2 * i + 1)))
+      ).toOption.map(k -> _)
+    }.toMap
+  }
+
+  /** The files a merge keyed on `keyCols` must consider: stats pruning
+    * intersects EVERY bounded key column's range — a composite key whose
+    * head column is low-selectivity (constant tenant id) still prunes on
+    * the later columns. Files lacking stats for a column stay candidates
+    * on that column (pruning is only ever an optimization). Exposed for
+    * the composite-key pruning spec. */
+  private[graft] def mergeCandidates(updates: DataFrame, path: String,
+      keyCols: Seq[String]): Seq[String] = {
+    val spark = updates.sparkSession
+    val (hfs, root) = fs(spark, path)
+    val m = readManifest(hfs, root, versions(hfs, root).last)
+    candidateFiles(m, updateKeyBounds(updates, keyCols))
+  }
+
+  private def candidateFiles(m: Manifest,
+      bounds: Map[String, (BigDecimal, BigDecimal)]): Seq[String] =
+    if (bounds.isEmpty) m.files
+    else m.files.filter { f =>
+      bounds.forall { case (k, (lo, hi)) =>
+        m.stats.get(f).flatMap(_.get(k)) match {
+          case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
+          case None => true
+        }
+      }
+    }
+
   /** Copy-on-write MERGE (Delta `MERGE INTO` / upsert): rows of `updates`
     * replace snapshot rows sharing their `keyCols` values; non-matching
     * update rows insert. Only files CONTAINING a matched key are
@@ -574,21 +886,19 @@ object VersionedTable {
     * `updates` may not introduce NEW columns — that's schema drift,
     * rejected like a drifted append.
     *
-    * Phases, exactly Delta's: (1) find touched files — one scan of the
-    * snapshot semi-joined against the broadcast key set (Delta prunes
-    * this scan with per-file min/max stats; here parquet row-group stats
-    * prune within files, and a key-range-partitioned layout — commit
-    * after `repartitionByRange(keyCols)` — keeps the touched set small);
+    * Phases, exactly Delta's: (1) find touched files — manifest stats
+    * prune the candidate list on EVERY numeric/temporal key column's
+    * range first ([[mergeCandidates]]), then one scan of the candidates
+    * semi-joined against the broadcast key set (parquet row-group stats
+    * prune within files; a key-range-partitioned layout — commit after
+    * `repartitionByRange(keyCols)` — keeps the touched set small);
     * (2) rewrite = touched-file survivors (anti-join over a scan of ONLY
     * the touched files — the untouched bulk of the table is opened by
-    * neither phase's writer) ∪ all updates; (3) commit manifest =
-    * carried untouched files + rewrite's files. The touched-file list is
-    * a driver collect bounded by |files| — metadata-sized. Readers of
+    * neither phase's writer) ∪ all updates; (3) commit a DELTA manifest:
+    * rm = touched, adds = rewrite's files. The touched-file list is a
+    * driver collect bounded by |files| — metadata-sized. Readers of
     * older versions are unaffected (snapshot isolation); concurrent
-    * merges serialize on the commit claim. Remaining gap vs Delta, by
-    * design: the DISCOVERY scan reads all files (parquet row-group
-    * stats prune within them); file-level min/max stats in the manifest
-    * are the eventual fix. */
+    * merges serialize on the commit claim. */
   def merge(updates: DataFrame, path: String, keyCols: Seq[String],
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val spark = updates.sparkSession
@@ -602,26 +912,11 @@ object VersionedTable {
       s"merge updates carry columns ${drift.mkString("[", ",", "]")} not in the " +
         s"table schema at $path")
     // Stats pruning BEFORE the discovery scan: a file whose recorded
-    // [min, max] on the first key column misses the updates' key range
+    // [min, max] ranges miss the updates' key ranges on ANY key column
     // provably contains no matched key and is never opened — Delta's
     // file-skipping, from the manifest's footer stats. Files without
     // stats stay candidates (pruning is only ever an optimization).
-    val keyBounds: Option[(BigDecimal, BigDecimal)] =
-      if (isNumericType(updates.schema(keyCols.head).dataType)) {
-        val r = updates.agg(org.apache.spark.sql.functions.min(col(keyCols.head)).cast("string"),
-          org.apache.spark.sql.functions.max(col(keyCols.head)).cast("string")).head()
-        if (r.isNullAt(0)) None
-        else Some((BigDecimal(r.getString(0)), BigDecimal(r.getString(1))))
-      } else None
-    val candidates = keyBounds match {
-      case Some((lo, hi)) => m.files.filter { f =>
-        m.stats.get(f).flatMap(_.get(keyCols.head)) match {
-          case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-          case None => true
-        }
-      }
-      case None => m.files
-    }
+    val candidates = candidateFiles(m, updateKeyBounds(updates, keyCols))
     // __file is relativized IN the scan (regexp over input_file_name) so
     // every comparison below is manifest-relative — immune to file:/ vs
     // file:/// qualification drift between Hadoop and Spark
@@ -645,26 +940,26 @@ object VersionedTable {
         .unionByName(updates, allowMissingColumns = true)
     rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    val carried = m.files.filterNot(touched)
-    commitManifest(hfs, root,
-      Manifest(next, ts, "merge", carried ++ newFiles, None, Some(snapSchema.json),
-        m.stats.view.filterKeys(carried.contains).toMap ++ newStats))
+    publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
+      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
   }
-
-  private def isNumericType(dt: org.apache.spark.sql.types.DataType): Boolean =
-    dt.isInstanceOf[org.apache.spark.sql.types.NumericType]
 
   /** File-level data skipping from manifest stats: keep a file only if
     * `cond` MAY match some row of it — i.e. drop it only when the
     * predicate is provably false over the file's recorded [min, max]
-    * ranges. Handles conjunctions/disjunctions of numeric comparisons
-    * (=, <, <=, >, >=, BETWEEN after parsing) with a column on one side
-    * and a literal on the other; every unrecognized shape, non-numeric
-    * literal, or statless column conservatively keeps the file. NULL
-    * semantics are safe by construction: stats ranges cover non-null
-    * values and a NULL-evaluating predicate is never TRUE, so a pruned
-    * file can't contain a qualifying row. */
+    * ranges. Handles conjunctions/disjunctions of comparisons
+    * (=, <=>, <, <=, >, >=, IN) with a column on one side and a literal
+    * on the other. Literals compare in Catalyst's INTERNAL domain, which
+    * is exactly the stats encoding: numerics as-is, `TIMESTAMP '...'`
+    * literals as epoch micros, `DATE '...'` as epoch days, decimals
+    * scaled — so typed temporal predicates prune files. Every
+    * unrecognized shape, unparseable literal, or statless column
+    * conservatively keeps the file. NULL semantics are safe by
+    * construction: stats ranges cover non-null values and a
+    * NULL-evaluating predicate is never TRUE, so a pruned file can't
+    * contain a qualifying row (`<=> NULL` has no literal range and
+    * keeps the file). */
   private def mayMatch(stats: Map[String, (String, String)],
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -695,12 +990,25 @@ object VersionedTable {
           case _ => true
         }
       }
+    def eqWithin(a: Expression, b: Expression): Boolean =
+      cmp(a, b, { case ((mn, mx), v) => v >= mn && v <= mx },
+        { case ((mn, mx), v) => v >= mn && v <= mx })
     e match {
       case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
       case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
-      case EqualTo(a, b) =>
-        cmp(a, b, { case ((mn, mx), v) => v >= mn && v <= mx },
-          { case ((mn, mx), v) => v >= mn && v <= mx })
+      case EqualTo(a, b) => eqWithin(a, b)
+      case EqualNullSafe(a, b) => eqWithin(a, b) // null literal → no range → kept
+      case In(a, vals) if vals.forall(_.isInstanceOf[Literal]) =>
+        colName(a).flatMap(range) match {
+          case Some((mn, mx)) =>
+            vals.exists { case Literal(v, _) =>
+              num(v) match {
+                case Some(lit) => lit >= mn && lit <= mx
+                case None => true // unparseable member: cannot rule the file out
+              }
+            }
+          case None => true
+        }
       case GreaterThan(a, b) =>
         cmp(a, b, { case ((_, mx), v) => mx > v }, { case ((mn, _), v) => mn < v })
       case GreaterThanOrEqual(a, b) =>
@@ -717,12 +1025,15 @@ object VersionedTable {
     * READ face): `readWhere(path, cond)` ≡ `readVersion(path).filter(cond)`
     * — same rows, spec-asserted — but files whose manifest stats prove
     * the predicate false are dropped from the scan BEFORE Spark opens a
-    * footer. On a Z-ORDERed table ([[optimize]] with `zorderBy`) a 2-D
-    * range predicate prunes to the files whose rectangle intersects the
-    * query box — file-level skipping on top of the row-group skipping
-    * parquet already does (both measured in the Stress harness). The
-    * predicate is additionally applied as a normal filter, so pruning is
-    * pure optimization — unsupported predicate shapes just read the full
+    * footer. Prunes on numeric, DATE and TIMESTAMP columns (use typed
+    * literals: `ts >= TIMESTAMP '2026-01-01 00:00:00'` — the #1 pruning
+    * predicate on a date-organized fact). On a Z-ORDERed table
+    * ([[optimize]] with `zorderBy`) a 2-D range predicate prunes to the
+    * files whose rectangle intersects the query box — file-level
+    * skipping on top of the row-group skipping parquet already does
+    * (both measured in the Stress harness). The predicate is
+    * additionally applied as a normal filter, so pruning is pure
+    * optimization — unsupported predicate shapes just read the full
     * list. Returns the pruned DataFrame; [[prunedFiles]] exposes the
     * file list for specs and EXPLAIN-style reporting. */
   def readWhere(spark: SparkSession, path: String, condition: String,
@@ -762,26 +1073,22 @@ object VersionedTable {
   }
 
   /** The discovery-scan candidate list [[merge]] would read for updates
-    * whose first key column spans [lo, hi] — exposed so specs can assert
+    * whose key column spans [lo, hi] — exposed so specs can assert
     * the stats pruning (a range-partitioned table's untouched files must
     * not even be candidates). */
   private[graft] def discoveryCandidates(spark: SparkSession, path: String,
       keyCol: String, lo: BigDecimal, hi: BigDecimal): Seq[String] = {
     val (hfs, root) = fs(spark, path)
     val m = readManifest(hfs, root, versions(hfs, root).last)
-    m.files.filter { f =>
-      m.stats.get(f).flatMap(_.get(keyCol)) match {
-        case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-        case None => true
-      }
-    }
+    candidateFiles(m, Map(keyCol -> (lo, hi)))
   }
 
   /** Copy-on-write DELETE: rows matching `condition` leave the snapshot;
     * only files containing a match are rewritten, the rest carry by
     * reference (same machinery as [[merge]], with the predicate as the
-    * match). `condition` is a SQL boolean expression over the table's
-    * columns. */
+    * match — manifest stats prune the discovery candidates via
+    * [[mayMatch]], including typed DATE/TIMESTAMP ranges). `condition`
+    * is a SQL boolean expression over the table's columns. */
   def delete(spark: SparkSession, path: String, condition: String,
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (hfs, root) = fs(spark, path)
@@ -817,11 +1124,8 @@ object VersionedTable {
       survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
       listWithStats(hfs, root, dataDir)
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
-    val carried = m.files.filterNot(touched)
-    commitManifest(hfs, root,
-      Manifest(next, ts, s"delete", carried ++ newFiles,
-        None, Some(snapSchema.json),
-        m.stats.view.filterKeys(carried.contains).toMap ++ newStats))
+    publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
+      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
   }
 
@@ -900,10 +1204,22 @@ object VersionedTable {
 
   /** Delete data files referenced ONLY by versions older than the last
     * `retainVersions` snapshots (plus any orphaned commit directories from
-    * crashed/lost-race writers). Old manifests are kept — history stays
-    * listable; reading a vacuumed version fails at scan time, as in Delta.
+    * crashed/lost-race writers). Old manifests and checkpoints are kept —
+    * history stays listable; reading a vacuumed version fails at scan
+    * time, as in Delta.
+    *
+    * `graceMs` is Delta's retention check: a data directory younger than
+    * the grace window is NEVER reclaimed even when unreferenced, because
+    * "unreferenced" might mean "claim pending" — a [[commitWithRetry]]
+    * writer's attempt-unique dir sits unreferenced while its loop
+    * re-claims, and an ungated concurrent vacuum would delete the files
+    * its eventual manifest points at (silent data loss at read). Pass
+    * `graceMs = 0` only when no writer can be in flight (tests,
+    * single-writer maintenance windows).
+    *
     * Driver-side metadata diff; returns the deleted file count. */
-  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2): Int = {
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
+      graceMs: Long = 7L * 24 * 3600 * 1000): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
@@ -912,22 +1228,26 @@ object VersionedTable {
       .flatMap(readManifest(hfs, root, _).files).toSet
     val filesDir = new Path(root, "files")
     if (!hfs.exists(filesDir)) return 0
+    val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     hfs.listStatus(filesDir).foreach { cdir =>
       val rel = s"files/${cdir.getPath.getName}"
-      val keep = hfs.listStatus(cdir.getPath).toSeq.filter { f =>
-        referenced.contains(s"$rel/${f.getPath.getName}")
-      }
+      val entries = hfs.listStatus(cdir.getPath).toSeq
+      val keep = entries.filter(f => referenced.contains(s"$rel/${f.getPath.getName}"))
       if (keep.isEmpty) {
-        // whole commit dir unreferenced (vacuumed version or orphaned
-        // write) — count its parquet files, drop the directory
-        deleted += hfs.listStatus(cdir.getPath)
-          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-        hfs.delete(cdir.getPath, true)
+        // whole commit dir unreferenced (vacuumed version, orphaned or
+        // in-flight write) — reclaim only past the retention window
+        if (cdir.getModificationTime < cutoff &&
+            entries.forall(_.getModificationTime < cutoff)) {
+          deleted += entries
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          hfs.delete(cdir.getPath, true)
+        }
       } else {
-        hfs.listStatus(cdir.getPath).foreach { f =>
+        entries.foreach { f =>
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !referenced.contains(s"$rel/${f.getPath.getName}")) {
+              !referenced.contains(s"$rel/${f.getPath.getName}") &&
+              f.getModificationTime < cutoff) {
             hfs.delete(f.getPath, false); deleted += 1
           }
         }

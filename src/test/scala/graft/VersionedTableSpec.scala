@@ -75,8 +75,10 @@ class VersionedTableSpec extends SparkSpec {
     // retain v1+v2: v1 references every file → nothing deletable
     assert(VersionedTable.vacuum(spark, t, retainVersions = 2) === 0)
     assert(idSet(VersionedTable.readVersion(spark, t, 1L)) === Set(1L, 2L, 3L))
-    // retain only v2 (= v0's files): v1's append-only file goes
-    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1)
+    // retain only v2 (= v0's files): v1's append-only file goes.
+    // graceMs = 0: tests have no in-flight writers (the default window
+    // protects commitWithRetry's unclaimed data dirs — covered below)
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
     assert(deleted >= 1)
     assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L, 2L))
     // history stays listable, but the vacuumed snapshot no longer scans
@@ -92,7 +94,11 @@ class VersionedTableSpec extends SparkSpec {
     // simulate a crash between data write and manifest publish: a data
     // dir with no manifest pointing at it
     df(99).write.parquet(s"$t/files/c99999999")
-    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1)
+    // the DEFAULT retention window refuses to reclaim a fresh dir: it
+    // may belong to an in-flight commitWithRetry whose claim is pending
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 1) === 0)
+    assert(new java.io.File(s"$t/files/c99999999").exists())
+    val deleted = VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
     assert(deleted >= 1)
     assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L))
     assert(!new java.io.File(s"$t/files/c99999999").exists())
@@ -445,6 +451,170 @@ class VersionedTableSpec extends SparkSpec {
               "2026-01-03T00:00:00Z", "append", v0Files)
         })
     }
+  }
+
+  test("manifest checkpoints: lastTxn/readVersion open O(1+K) metadata files on a 50-commit log") {
+    val t = freshTable()
+    // a long-lived streaming sink's life: 50 idempotent single-batch commits
+    (0L until 50L).foreach { i =>
+      VersionedTable.commitIfNew(df(i), t, "app", i,
+        ts = java.time.Instant.EPOCH.plusSeconds(i).toString)
+    }
+    assert(VersionedTable.readVersion(spark, t).count() === 50L)
+    val ckDir = new java.io.File(s"$t/_checkpoints")
+    assert(ckDir.isDirectory && ckDir.list().nonEmpty, "checkpoints must land on cadence")
+    // the O(1 + K) guarantee, measured: resolving the head and the txn
+    // watermark must NOT read the whole 50-manifest log
+    val cap = 1 + VersionedTable.checkpointInterval
+    val b1 = VersionedTable.metadataOpens.get()
+    assert(VersionedTable.lastTxn(spark, t, "app") === Some(49L))
+    val txnOpens = VersionedTable.metadataOpens.get() - b1
+    assert(txnOpens <= cap, s"lastTxn opened $txnOpens metadata files (cap $cap)")
+    val nf = VersionedTable.snapshotFiles(spark, t, 49L).size
+    val b2 = VersionedTable.metadataOpens.get()
+    assert(VersionedTable.snapshotFiles(spark, t).size === nf)
+    val resolveOpens = VersionedTable.metadataOpens.get() - b2
+    assert(resolveOpens <= cap, s"head resolve opened $resolveOpens metadata files (cap $cap)")
+    // a replayed batch is still skipped through the checkpointed watermark
+    assert(VersionedTable.commitIfNew(df(7), t, "app", 12L) === None)
+    // checkpoints are DERIVED data: delete them all and every read still
+    // resolves through the raw delta chain (just more opens)
+    ckDir.listFiles().foreach(f => assert(f.delete()))
+    assert(VersionedTable.snapshotFiles(spark, t).size === nf)
+    assert(VersionedTable.lastTxn(spark, t, "app") === Some(49L))
+    assert(VersionedTable.readVersion(spark, t).count() === 50L)
+  }
+
+  test("timestamp/date stats prune readWhere, merge discovery and delete") {
+    val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try {
+      val t = freshTable()
+      // 96 hourly events over 4 days (2026-01-01..04 UTC), time-range layout
+      val base = spark.range(96).select(
+        col("id"),
+        timestamp_seconds(lit(1767225600L) + col("id") * 3600).as("ts"))
+        .withColumn("d", to_date(col("ts")))
+        .repartitionByRange(4, col("ts"))
+      VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      assert(VersionedTable.snapshotFiles(spark, t).size === 4)
+      def expected(cond: String): Set[Long] =
+        VersionedTable.readVersion(spark, t).filter(expr(cond))
+          .select("id").collect().map(_.getLong(0)).toSet
+      def got(cond: String): Set[Long] =
+        VersionedTable.readWhere(spark, t, cond)
+          .select("id").collect().map(_.getLong(0)).toSet
+      // one-day timestamp window: ≤ 2 of 4 time-sliced files open
+      val c1 = "ts >= TIMESTAMP '2026-01-02 00:00:00' AND ts < TIMESTAMP '2026-01-03 00:00:00'"
+      assert(VersionedTable.prunedFiles(spark, t, c1).size <= 2)
+      assert(got(c1) === expected(c1) && expected(c1).nonEmpty)
+      // date equality prunes through the derived DATE column's stats
+      val c2 = "d = DATE '2026-01-04'"
+      assert(VersionedTable.prunedFiles(spark, t, c2).size <= 2)
+      assert(got(c2) === expected(c2) && expected(c2).nonEmpty)
+      // out-of-range prunes the whole snapshot
+      assert(VersionedTable.prunedFiles(spark, t,
+        "ts > TIMESTAMP '2027-01-01 00:00:00'").isEmpty)
+      // merge keyed ON the timestamp column: candidates prune, result right
+      val updTs = timestamp_seconds(lit(1767225600L + 30L * 3600))
+      val upd = spark.range(1).select(lit(999L).as("id"), updTs.as("ts"),
+        to_date(updTs).as("d"))
+      assert(VersionedTable.mergeCandidates(upd, t, Seq("ts")).size <= 2)
+      VersionedTable.merge(upd, t, keyCols = Seq("ts"), ts = "2026-01-02T00:00:00Z")
+      val ids = VersionedTable.readVersion(spark, t)
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(ids.size === 96 && ids.contains(999L) && !ids.contains(30L))
+      // delete on a timestamp range carries the out-of-range files
+      val before = VersionedTable.snapshotFiles(spark, t)
+      VersionedTable.delete(spark, t, "ts < TIMESTAMP '2026-01-02 00:00:00'",
+        ts = "2026-01-03T00:00:00Z")
+      val after = VersionedTable.snapshotFiles(spark, t)
+      assert(before.toSet.intersect(after.toSet).size >= 2,
+        s"late-day files must carry by reference: before=$before after=$after")
+      assert(VersionedTable.readVersion(spark, t)
+        .filter(col("ts") < expr("TIMESTAMP '2026-01-02 00:00:00'")).count() === 0L)
+    } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
+  }
+
+  test("decimal stats are DESCALED: merge/delete/readWhere on decimal columns stay correct and prune") {
+    val t = freshTable()
+    // amt = id * 1.05 as DECIMAL(9,2): parquet stores it as unscaled INT32
+    // (10.50 -> 1050) — raw footer stats would prune files that DO match
+    val base = spark.range(1, 101).select(col("id"),
+      expr("CAST(id * 1.05 AS DECIMAL(9,2))").as("amt"))
+      .repartitionByRange(4, col("amt"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    def expected(cond: String): Set[Long] =
+      VersionedTable.readVersion(spark, t).filter(expr(cond))
+        .select("id").collect().map(_.getLong(0)).toSet
+    val c1 = "amt >= 10.50 AND amt <= 21.00"
+    // descaled stats PRUNE (scaled vs unscaled confusion would drop all 4
+    // or keep wrong files) AND the rows are exactly the filter's
+    assert(VersionedTable.prunedFiles(spark, t, c1).size < 4)
+    assert(VersionedTable.readWhere(spark, t, c1)
+      .select("id").collect().map(_.getLong(0)).toSet === expected(c1))
+    assert(expected(c1) === (10L to 20L).toSet)
+    // merge keyed on the decimal column: the matched row must be REPLACED
+    // (unscaled-stats pruning silently skipped the file → duplicate keys)
+    val upd = Seq((-1L, BigDecimal("10.50"))).toDF("id", "amt")
+      .select(col("id"), col("amt").cast("decimal(9,2)").as("amt"))
+    VersionedTable.merge(upd, t, keyCols = Seq("amt"), ts = "2026-01-02T00:00:00Z")
+    val at1050 = VersionedTable.readVersion(spark, t)
+      .filter(col("amt") === expr("CAST(10.50 AS DECIMAL(9,2))"))
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(at1050 === Seq(-1L), s"matched decimal key must replace, got $at1050")
+    assert(VersionedTable.readVersion(spark, t).count() === 100L)
+    // delete below a decimal threshold: ids 1..9 (amt 1.05..9.45) go
+    VersionedTable.delete(spark, t, "amt < 10.00", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).count() === 91L)
+  }
+
+  test("NaN doubles poison the file's column stats; NaN-able merge keys don't crash") {
+    val t = freshTable()
+    // one file holds a NaN: parquet omits that row group's min/max, so the
+    // file must carry NO x stats at all — unioning the other row groups
+    // would record a range that wrongly excludes the NaN row
+    val base = spark.range(1, 41).select(col("id"),
+      when(col("id") === 35, lit(Double.NaN))
+        .otherwise(col("id").cast("double")).as("x"))
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // Spark orders NaN above every double: x > 100 matches ONLY the NaN
+    // row. The clean files prune on their x ranges; the NaN file is kept
+    // because its x column is statless — pruning it would lose the row.
+    val kept = VersionedTable.prunedFiles(spark, t, "x > 100.0")
+    assert(kept.size === 1, s"expected only the statless NaN file kept, got $kept")
+    assert(VersionedTable.readWhere(spark, t, "x > 100.0")
+      .select("id").collect().map(_.getLong(0)).toSet === Set(35L))
+    // merge keyed on the double column: Spark's max() returns NaN on this
+    // table's updates if they carry one — bounds must skip, not crash
+    val upd = Seq((99L, 7.0), (100L, Double.NaN)).toDF("id", "x")
+    VersionedTable.merge(upd, t, keyCols = Seq("x"), ts = "2026-01-02T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, t)
+    assert(out.filter(col("x") === 7.0).select("id")
+      .collect().map(_.getLong(0)).toSeq === Seq(99L))
+    // NaN = NaN in Spark semantics: the NaN update REPLACES the NaN row
+    assert(out.filter(col("x").isNaN).select("id")
+      .collect().map(_.getLong(0)).toSet === Set(100L))
+    assert(out.count() === 40L)
+  }
+
+  test("composite-key merge prunes on every key column, not just the head") {
+    val t = freshTable()
+    // head key is a constant tenant id — worthless for pruning; the
+    // second key's range must still shrink candidates to one file
+    val base = spark.range(1, 101).select(lit(42L).as("tenant"), col("id"),
+      (col("id") * 10).as("v")).repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val upd = Seq((42L, 3L, -3L)).toDF("tenant", "id", "v")
+    val headOnly = VersionedTable.mergeCandidates(upd, t, Seq("tenant"))
+    val composite = VersionedTable.mergeCandidates(upd, t, Seq("tenant", "id"))
+    assert(headOnly.size === 4, "constant head key cannot prune")
+    assert(composite.size === 1, s"second key column must prune: $composite")
+    VersionedTable.merge(upd, t, keyCols = Seq("tenant", "id"), ts = "2026-01-02T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(out(3L) === -3L && out(99L) === 990L && out.size === 100)
   }
 
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
