@@ -229,9 +229,11 @@ object SparkEntry {
 
   /** DuckDB mirror of Similarity.lshTopK: plane count derived from corpus
     * size (LEAST(30, GREATEST(4, ceil(log2(N/64)))) — the 30 cap mirrors
-    * autoPlanes' int-bucket ceiling), 2 independent hash tables with
-    * disjoint global plane indexes, candidates deduped across tables,
-    * k=5, queries = vec_id < 10. */
+    * autoPlanes' int-bucket ceiling), 4 independent hash tables with
+    * disjoint global plane indexes, 1-bit MULTIPROBE on the query side
+    * (each query probes its exact bucket plus the np one-plane-flipped
+    * buckets per table — the deployed default), candidates deduped
+    * across tables/probes, k=5, queries = vec_id < 10. */
   /** CTE chain (params → … → ranked) shared by the `v_lsh` oracle and the
     * `v_ev` recall-QA oracle. */
   private val lshAnnCtes: String =
@@ -240,7 +242,7 @@ object SparkEntry {
        |),
        |planes AS (
        |  SELECT tt.t AS t, pp.p AS p, tt.t * params.np + pp.p AS gp
-       |  FROM params, generate_series(0, 1) tt(t), generate_series(0, 63) pp(p)
+       |  FROM params, generate_series(0, 3) tt(t), generate_series(0, 63) pp(p)
        |  WHERE pp.p < params.np
        |),
        |dots AS (
@@ -255,10 +257,17 @@ object SparkEntry {
        |  SELECT vec_id, t, sum(CASE WHEN dot >= 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS bucket
        |  FROM dots GROUP BY 1, 2
        |),
+       |qprobe AS (
+       |  SELECT b.vec_id, b.t,
+       |         CASE WHEN pp.p < 0 THEN b.bucket
+       |              ELSE xor(b.bucket, CAST(power(2, pp.p) AS BIGINT)) END AS bucket
+       |  FROM bkt b, params, generate_series(-1, 63) pp(p)
+       |  WHERE b.vec_id < 10 AND pp.p < params.np
+       |),
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM bkt c JOIN bkt q ON c.t = q.t AND c.bucket = q.bucket
-       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+       |  FROM bkt c JOIN qprobe q ON c.t = q.t AND c.bucket = q.bucket
+       |  WHERE c.vec_id <> q.vec_id
        |),
        |scored AS (
        |  SELECT query_id, neighbor_id, ${duckCosine("qe.embedding", "ce.embedding")} AS cosine

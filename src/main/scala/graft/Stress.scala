@@ -472,6 +472,37 @@ object Stress {
       sv.unpersist()
     }
 
+    // Versioned-table COMMIT-PATH scale: (a) per-batch commit cost must
+    // stay FLAT in commit count — the round-11 delta-manifest +
+    // checkpoint log caps per-commit metadata reads at 1+K (the full-
+    // list log re-serialized the whole file list per append and lastTxn
+    // read EVERY manifest, O(V²) cumulative over a stream's life);
+    // (b) a WIDE commit's footer-stats pass runs on a bounded thread
+    // pool, so a 200-file batch pays ~files/16 metadata round-trips,
+    // not 200 serial driver reads.
+    {
+      import graft.sources.VersionedTable
+      val vroot = java.nio.file.Files.createTempDirectory("graft_vtc").toString
+      val one = spark.range(1).selectExpr("id", "id * 10 AS v").coalesce(1)
+      val times = (0 until 40).map { i =>
+        val t0 = System.nanoTime()
+        VersionedTable.commitIfNew(one, s"$vroot/chain", "stress", i.toLong,
+          ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
+        (System.nanoTime() - t0) / 1e9
+      }
+      val first = times.take(10).sum
+      val last = times.takeRight(10).sum
+      println(f"STRESS vt_commit_first10      $first%8.2f s  (10 rows)")
+      println(f"STRESS vt_commit_last10       $last%8.2f s  (${last / first}%.2fx vs first10 — flat = no per-batch log scan)")
+      val wide = silverOf(events).repartition(200)
+      val t0 = System.nanoTime()
+      VersionedTable.commit(wide, s"$vroot/wide", mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z")
+      val s200 = (System.nanoTime() - t0) / 1e9
+      val nf = VersionedTable.snapshotFiles(spark, s"$vroot/wide").size
+      println(f"STRESS vt_commit_200files     $s200%8.2f s  ($nf files, pooled footer stats)")
+    }
+
     // OPTIMIZE ZORDER data skipping: the measurement that justifies
     // Z-ordering. Same snapshot compacted to the same file count twice —
     // v1 round-robin (repartition), v2 Z-ORDERed on (zone_id, user_id) —

@@ -239,26 +239,46 @@ object Similarity {
   }
 
   /** Bucketed ANN: top-k per query among candidates that share a bucket
-    * with the query in ANY of `tables` independent hash tables.
+    * with the query in ANY of `tables` independent hash tables —
+    * MULTI-PROBED (Lv et al., "Multi-Probe LSH", VLDB 2007): with
+    * `probes = 1` each query additionally probes, per table, the
+    * `nPlanes` buckets whose sign pattern differs in exactly one
+    * hyperplane. A true neighbor lost to one marginal plane dot (the
+    * dominant miss mode as [[autoPlanes]] grows with the corpus) is
+    * recovered by the flipped probe, so recall holds as the corpus — and
+    * with it the plane count — scales, WITHOUT multiplying the number of
+    * corpus-side hash tables (measured on the test corpora: 2 tables
+    * multiprobe ≥ 8 tables single-probe; curve in BASELINE.md).
     *
     *   - plane count auto-scales with corpus size ([[autoPlanes]]) unless
-    *     pinned via `nPlanes` — per-query cost stays ~`targetBucket` ×
-    *     `tables` candidates at any corpus size;
-    *   - recall widens with `tables` (a true neighbor is missed only if
-    *     it hashes away from the query in EVERY table); candidates are
-    *     deduped before scoring so a pair found by both tables is scored
-    *     once.
+    *     pinned via `nPlanes` — per-query candidate cost is
+    *     ~`targetBucket` × `tables` × (1 + nPlanes·probes), sub-linear in
+    *     corpus size at any scale;
+    *   - the probe expansion is QUERY-side only (the small broadcast
+    *     frame explodes ×(1+nPlanes); the corpus still hashes each
+    *     vector once per table), so the corpus-scan cost of more recall
+    *     is zero;
+    *   - recall widens with `tables` and with `probes`; candidates are
+    *     deduped before scoring so a pair found by several probes is
+    *     scored once. `probes = 0` restores exact-bucket-only search.
     *
     * `nPlanes = 0` (auto) triggers one `corpus.count()` — a metadata-only
     * job on a parquet scan; pass an explicit value to avoid it. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nPlanes: Int = 0, tables: Int = 2, targetBucket: Int = 64): DataFrame = {
+      nPlanes: Int = 0, tables: Int = 4, targetBucket: Int = 64,
+      probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val np = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucket)
     val candidates = (0 until tables).map { t =>
       val bucket = bucketCol(col("embedding"), np, planeOffset = t * np)
-      val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        bucket.as("bucket"))
+      val q0 = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), bucket.as("__b0"))
+      val q =
+        if (probes <= 0) q0.withColumnRenamed("__b0", "bucket")
+        else q0.select(col("query_id"), col("q_emb"),
+          explode(array(col("__b0") +:
+            (0 until np).map(p => col("__b0").bitwiseXOR(lit(1 << p))): _*))
+            .as("bucket"))
       val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
         bucket.as("bucket"))
       c.join(broadcast(q), Seq("bucket")).drop("bucket")
@@ -289,10 +309,10 @@ object Similarity {
     * k·|queries| rows. At 100 TB run it on a sampled query stratum —
     * the ratio is the product, not the corpus-wide counts. */
   def annEval(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nPlanes: Int = 0, tables: Int = 2): DataFrame = {
+      nPlanes: Int = 0, tables: Int = 4, probes: Int = 1): DataFrame = {
     val exact = bruteForceTopK(corpus, queries, k)
       .select(col("query_id").as("e_q"), col("neighbor_id").as("e_n"))
-    val approx = lshTopK(corpus, queries, k, nPlanes, tables)
+    val approx = lshTopK(corpus, queries, k, nPlanes, tables, probes = probes)
       .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
     approx
       .join(exact, col("p_q") === col("e_q") && col("p_n") === col("e_n"), "full_outer")

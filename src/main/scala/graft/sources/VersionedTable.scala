@@ -269,7 +269,8 @@ object VersionedTable {
           statEncoder(cc.getPrimitiveType).foreach { enc =>
             if (!lineSafe) () // name would break the line format: never record
             else {
-              val st = cc.getStatistics
+              val st: org.apache.parquet.column.statistics.Statistics[_] =
+                cc.getStatistics
               val allNull = st != null && st.isNumNullsSet &&
                 st.getNumNulls == block.getRowCount
               if (st != null && st.hasNonNullValue) {
@@ -286,7 +287,8 @@ object VersionedTable {
           }
         }
       }
-      (acc -- poisoned).map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
+      acc.filterNot { case (c, _) => poisoned(c) }
+        .map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
     } finally reader.close()
   }
 

@@ -473,9 +473,12 @@ object Streams {
     * batch (`changes(v-1, v)` — manifest-diff files only; v0 arrives as
     * a pure insert feed of the initial snapshot). Versions ≤
     * `fromVersion` are skipped (the consumer's state already reflects
-    * them). AvailableNow trigger: drains all committed versions then
-    * stops — the scheduled-run shape; swap the trigger for a continuous
-    * tail in a long-lived job.
+    * them). `trigger` picks the lifecycle: the default AvailableNow
+    * drains all committed versions then stops (the scheduled-run shape);
+    * pass `Trigger.ProcessingTime(...)` for a long-lived continuous tail
+    * that picks up commits as they land (spec-covered via
+    * [[changesStreamQuery]], the non-blocking face that returns the
+    * query handle for stop/monitoring).
     *
     * Scale: the streamed FILES are manifests (KBs of metadata); all data
     * movement happens inside `process`'s plan, which reads only each
@@ -484,8 +487,24 @@ object Streams {
     * output with [[graft.sources.VersionedTable.commitIfNew]] keyed by
     * version, as [[maintainView]] does). */
   def changesStream(spark: SparkSession, tablePath: String, keyCols: Seq[String],
-      checkpoint: String, fromVersion: Long = -1L)
+      checkpoint: String, fromVersion: Long = -1L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
       (process: (DataFrame, Long) => Unit): Unit = {
+    changesStreamQuery(spark, tablePath, keyCols, checkpoint, fromVersion,
+      trigger)(process).awaitTermination()
+    ()
+  }
+
+  /** [[changesStream]] without the blocking wait: returns the running
+    * [[org.apache.spark.sql.streaming.StreamingQuery]] so a long-lived
+    * ProcessingTime tail can be monitored and stopped by the caller. */
+  def changesStreamQuery(spark: SparkSession, tablePath: String, keyCols: Seq[String],
+      checkpoint: String, fromVersion: Long = -1L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      (process: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.VersionedTable
     spark.readStream
       .text(VersionedTable.manifestLogDir(tablePath))
@@ -506,9 +525,7 @@ object Streams {
         }
       }
       .option("checkpointLocation", checkpoint)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      .awaitTermination()
-    ()
+      .trigger(trigger).start()
   }
 
   /** Continuously maintained materialized view: streams the fact table's
@@ -525,10 +542,12 @@ object Streams {
     * recompute of the view at the head version (spec-asserted). */
   def maintainView(spark: SparkSession, tablePath: String, viewPath: String,
       checkpoint: String, keyCols: Seq[String] = Seq("event_id"),
-      appId: String = "graft-view"): Unit = {
+      appId: String = "graft-view",
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
     import graft.sources.VersionedTable
     import graft.pipeline.Aggregates
-    changesStream(spark, tablePath, keyCols, checkpoint) { (feed, v) =>
+    changesStream(spark, tablePath, keyCols, checkpoint, trigger = trigger) { (feed, v) =>
       val snapshot = VersionedTable.readVersion(spark, tablePath, v)
       val state =
         if (VersionedTable.latestVersion(spark, viewPath) >= 0)

@@ -477,4 +477,39 @@ class StreamingSpec extends SparkSpec {
     // second batch sees state from the first: 2 then 3
     assert(states.contains((1L, 2L)) && states.contains((1L, 3L)))
   }
+
+  test("changesStream tails a LIVE table under a ProcessingTime trigger: commits land mid-stream") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_tail").toString
+    val tbl = s"$root/fact"
+    VersionedTable.commit(Seq((1L, 10L)).toDF("id", "v"), tbl,
+      mode = "overwrite", ts = "2026-03-01T00:00:00Z")
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val q = Streams.changesStreamQuery(spark, tbl, Seq("id"), s"$root/ckpt",
+      trigger = org.apache.spark.sql.streaming.Trigger.ProcessingTime("100 milliseconds")) {
+      (feed, v) => feed.count(); seen.add(v); ()
+    }
+    def await(cond: => Boolean, what: String): Unit = {
+      val deadline = System.nanoTime() + 60L * 1000000000L
+      while (!cond) {
+        assert(System.nanoTime() < deadline, s"timed out waiting for $what; seen=$seen")
+        Thread.sleep(100)
+      }
+    }
+    try {
+      await(seen.contains(0L), "initial version")
+      // two commits arriving WHILE the tail runs — the parameterized
+      // trigger's point: the long-lived shape needs no restart or copy
+      // of the function to pick up new versions
+      VersionedTable.commit(Seq((2L, 20L)).toDF("id", "v"), tbl,
+        mode = "append", ts = "2026-03-02T00:00:00Z")
+      await(seen.contains(1L), "first live commit")
+      VersionedTable.commit(Seq((3L, 30L)).toDF("id", "v"), tbl,
+        mode = "append", ts = "2026-03-03T00:00:00Z")
+      await(seen.contains(2L), "second live commit")
+    } finally q.stop()
+    assert(seen.asScala.toSet === Set(0L, 1L, 2L))
+  }
 }
