@@ -567,9 +567,10 @@ object Stress {
       val kept1 = VersionedTable.prunedFiles(spark, zroot, cond, 1L).size
       val kept2 = VersionedTable.prunedFiles(spark, zroot, cond, 2L).size
       val tot1 = VersionedTable.snapshotFiles(spark, zroot, 1L).size
+      val tot2 = VersionedTable.snapshotFiles(spark, zroot, 2L).size
       val hitsW = VersionedTable.readWhere(spark, zroot, cond, 2L).count()
       require(hitsW == hits1, s"readWhere must agree: $hitsW vs $hits1")
-      println(s"STRESS zorder_file_prune      rr $kept1/$tot1 files vs z $kept2/$tot1 files opened (identical $hitsW hits)")
+      println(s"STRESS zorder_file_prune      rr $kept1/$tot1 files vs z $kept2/$tot2 files opened (identical $hitsW hits)")
     }
 
     spark.stop()

@@ -227,11 +227,61 @@ object VersionedTable {
       }
     }
 
-  /** Per-file numeric/temporal column min/max from the parquet FOOTER —
-    * a driver-side metadata read (O(row groups), no data pages touched),
-    * the same source Delta's stats collection uses. Values are encoded
-    * in the LOGICAL domain so [[mayMatch]] can compare them against
-    * Catalyst literal internals directly:
+  // ------------------------------------------------------ stat encoding
+  //
+  // Manifest stats are ENCODED strings comparable without the file's
+  // schema in hand: numeric/temporal values as plain decimal strings
+  // (never starting with a letter), strings as `s<hex of UTF-8 bytes>`
+  // — the tag disambiguates, hex is safe in the `fstat=` line format,
+  // and unsigned byte order (what [[statCompare]] uses) is exactly both
+  // parquet's UTF8 stats ordering AND Spark's UTF8String / default
+  // binary-collation comparison, so string pruning decisions agree with
+  // the engine's own filter semantics.
+
+  private val StringStatCap = 64
+
+  private def hexEncode(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02x").mkString
+
+  private def hexDecode(s: String): Array[Byte] =
+    s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  private def unsignedCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** Ordering of two encoded stats of the SAME column (same encoding by
+    * construction — a column's parquet type is fixed per file). */
+  private def statCompare(a: String, b: String): Int =
+    if (a.startsWith("s")) unsignedCompare(hexDecode(a.tail), hexDecode(b.tail))
+    else BigDecimal(a).compare(BigDecimal(b))
+
+  /** Compare an encoded stat against a Catalyst literal's internal
+    * value; None when the pair isn't comparably typed (conservative —
+    * the caller must keep the file). */
+  private def statVsLiteral(stat: String, v: Any): Option[Int] =
+    if (v == null) None
+    else if (stat.startsWith("s")) v match {
+      case u: org.apache.spark.unsafe.types.UTF8String =>
+        Some(unsignedCompare(hexDecode(stat.tail), u.getBytes))
+      case s: String =>
+        Some(unsignedCompare(hexDecode(stat.tail), s.getBytes("UTF-8")))
+      case _ => None
+    }
+    else scala.util.Try(BigDecimal(stat).compare(BigDecimal(v.toString))).toOption
+
+  /** Per-file column min/max from the parquet FOOTER — a driver-side
+    * metadata read (O(row groups), no data pages touched), the same
+    * source Delta's stats collection uses. Values are encoded in the
+    * LOGICAL domain so [[mayMatch]] can compare them against Catalyst
+    * literal internals directly:
     *
     *   - plain ints/floats/doubles: as-is;
     *   - DATE (INT32 date annotation): epoch days (= DateType literals);
@@ -241,8 +291,18 @@ object VersionedTable {
     *     the raw footer value is unscaled (10.50 stored as 1050), and
     *     recording it raw would make every decimal comparison prune
     *     wrongly (silent merge/delete/readWhere corruption);
-    *   - any other logical annotation (time, enum, INT96, strings): the
-    *     column is simply never recorded — absence means "cannot prune".
+    *   - STRING (BINARY + UTF8 annotation): `s<hex>` of the UTF-8 bytes,
+    *     capped at [[StringStatCap]] bytes by parquet's own truncation
+    *     rule — min truncates to a prefix (a valid lower bound), max
+    *     truncates then increments the last non-0xFF byte (a valid upper
+    *     bound; an all-0xFF prefix drops the column instead). A footer
+    *     already holding truncated binary stats stays sound for the same
+    *     reason: parquet's BinaryTruncator preserves the bound direction.
+    *     Long text columns therefore cost ≤ ~130 manifest bytes, while
+    *     short keys (country codes, event types, id prefixes) — the
+    *     realistic string pruning predicates — keep exact ranges;
+    *   - any other logical annotation (time, enum, INT96): the column is
+    *     simply never recorded — absence means "cannot prune".
     *
     * SOUNDNESS: a row group holding rows but lacking usable stats for a
     * recorded column (parquet-mr omits min/max when a double row group
@@ -259,7 +319,7 @@ object VersionedTable {
     val reader = ParquetFileReader.open(
       HadoopInputFile.fromPath(new Path(root, relFile), hfs.getConf))
     try {
-      val acc = scala.collection.mutable.HashMap.empty[String, (BigDecimal, BigDecimal)]
+      val acc = scala.collection.mutable.HashMap.empty[String, (String, String)]
       val poisoned = scala.collection.mutable.HashSet.empty[String]
       reader.getFooter.getBlocks.asScala.filter(_.getRowCount > 0).foreach { block =>
         block.getColumns.asScala.foreach { cc =>
@@ -274,56 +334,91 @@ object VersionedTable {
               val allNull = st != null && st.isNumNullsSet &&
                 st.getNumNulls == block.getRowCount
               if (st != null && st.hasNonNullValue) {
-                (enc(st.genericGetMin), enc(st.genericGetMax)) match {
+                (enc.encodeMin(st.genericGetMin), enc.encodeMax(st.genericGetMax)) match {
                   case (Some(mn), Some(mx)) =>
                     acc.get(name) match {
-                      case Some((a, b)) => acc(name) = (a.min(mn), b.max(mx))
+                      case Some((a, b)) => acc(name) = (
+                        if (statCompare(mn, a) < 0) mn else a,
+                        if (statCompare(mx, b) > 0) mx else b)
                       case None => acc(name) = (mn, mx)
                     }
-                  case _ => poisoned += name // unparseable (NaN/Inf): unsound to union
+                  case _ => poisoned += name // unencodable (NaN/Inf, 0xFF cap)
                 }
               } else if (!allNull) poisoned += name // stats omitted, rows present
             }
           }
         }
       }
-      acc.filterNot { case (c, _) => poisoned(c) }
-        .map { case (c, (mn, mx)) => c -> (mn.toString, mx.toString) }.toMap
+      acc.filterNot { case (c, _) => poisoned(c) }.toMap
     } finally reader.close()
   }
 
-  /** The logical-domain decoder for a parquet primitive column, or None
-    * when the column's type can't be soundly encoded as a decimal range
-    * (see [[footerStats]]). */
+  /** Min/max encoders for one parquet column. Min and max differ only
+    * for capped strings (prefix vs incremented prefix). */
+  private case class StatEnc(encodeMin: Any => Option[String],
+      encodeMax: Any => Option[String])
+
+  private def numericEnc(f: BigDecimal => BigDecimal): StatEnc = {
+    val enc = (v: Any) =>
+      if (v == null) None
+      else scala.util.Try(f(BigDecimal(v.toString)).toString).toOption
+    StatEnc(enc, enc)
+  }
+
+  /** The logical-domain encoder for a parquet primitive column, or None
+    * when the column's type can't be soundly encoded as an ordered
+    * range (see [[footerStats]]). */
   private def statEncoder(pt: org.apache.parquet.schema.PrimitiveType)
-      : Option[Any => Option[BigDecimal]] = {
+      : Option[StatEnc] = {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     import org.apache.parquet.schema.LogicalTypeAnnotation._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-    def raw(v: Any): Option[BigDecimal] =
-      if (v == null) None else scala.util.Try(BigDecimal(v.toString)).toOption
+    def bytesOf(v: Any): Option[Array[Byte]] = v match {
+      case b: org.apache.parquet.io.api.Binary => Some(b.getBytes)
+      case _ => None
+    }
     pt.getPrimitiveTypeName match {
       case INT32 | INT64 | FLOAT | DOUBLE =>
         pt.getLogicalTypeAnnotation match {
-          case null => Some(raw)
-          case _: IntLogicalTypeAnnotation => Some(raw)
-          case _: DateLogicalTypeAnnotation => Some(raw) // epoch days
+          case null => Some(numericEnc(identity))
+          case _: IntLogicalTypeAnnotation => Some(numericEnc(identity))
+          case _: DateLogicalTypeAnnotation => Some(numericEnc(identity)) // days
           case t: TimestampLogicalTypeAnnotation =>
             t.getUnit match {
-              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
-                Some(v => raw(v).map(_ * 1000))
-              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(raw)
+              case LogicalTypeAnnotation.TimeUnit.MILLIS => Some(numericEnc(_ * 1000))
+              case LogicalTypeAnnotation.TimeUnit.MICROS => Some(numericEnc(identity))
               case LogicalTypeAnnotation.TimeUnit.NANOS =>
                 // exact rational micros — comparisons against integral
                 // micro literals stay sound without rounding direction
-                Some(v => raw(v).map(_ / 1000))
+                Some(numericEnc(_ / 1000))
               case _ => None
             }
           case d: DecimalLogicalTypeAnnotation =>
             val scale = BigDecimal(10).pow(d.getScale)
-            Some(v => raw(v).map(_ / scale))
+            Some(numericEnc(_ / scale))
           case _ => None
         }
+      case BINARY if pt.getLogicalTypeAnnotation
+          .isInstanceOf[StringLogicalTypeAnnotation] =>
+        Some(StatEnc(
+          encodeMin = v => bytesOf(v)
+            .map(b => "s" + hexEncode(b.take(StringStatCap))),
+          encodeMax = v => bytesOf(v).flatMap { b =>
+            if (b.length <= StringStatCap) Some("s" + hexEncode(b))
+            else {
+              // parquet's BinaryTruncator rule: truncate then increment
+              // the last non-0xFF byte so the prefix stays ≥ the value
+              val t = b.take(StringStatCap)
+              var i = t.length - 1
+              while (i >= 0 && t(i) == 0xFF.toByte) i -= 1
+              if (i < 0) None
+              else {
+                val r = java.util.Arrays.copyOf(t, i + 1)
+                r(i) = (r(i) + 1).toByte
+                Some("s" + hexEncode(r))
+              }
+            }
+          }))
       case _ => None
     }
   }
@@ -821,39 +916,47 @@ object VersionedTable {
 
   /** Per-key-column [lo, hi] bounds of the updates frame, in the STATS
     * ENCODING ([[footerStats]]'s logical domain: plain numerics as-is,
-    * timestamps as epoch micros, dates as epoch days, decimals scaled).
-    * One aggregate pass computes every supported column; a column whose
-    * bounds don't parse (float NaN/Infinity keys — Spark's max treats
-    * NaN as largest, and "NaN" is not a decimal) simply contributes no
-    * pruning instead of crashing the merge. */
+    * timestamps as epoch micros, dates as epoch days, decimals scaled,
+    * strings hex-tagged). One aggregate pass computes every supported
+    * column; a column whose bounds don't encode (float NaN/Infinity
+    * keys — Spark's max treats NaN as largest, and "NaN" is not a
+    * decimal) simply contributes no pruning instead of crashing the
+    * merge. */
   private def updateKeyBounds(updates: DataFrame, keyCols: Seq[String])
-      : Map[String, (BigDecimal, BigDecimal)] = {
+      : Map[String, (String, String)] = {
     import org.apache.spark.sql.functions.{max => fmax, min => fmin, unix_date, unix_micros}
-    val encoded: Seq[(String, Column)] = keyCols.flatMap { k =>
+    import org.apache.spark.sql.types.StringType
+    val encoded: Seq[(String, Column, String => Option[String])] = keyCols.flatMap { k =>
+      val numeric = (s: String) =>
+        scala.util.Try(BigDecimal(s).toString).toOption
+      val hexed = (s: String) =>
+        Some("s" + hexEncode(s.getBytes("UTF-8")))
       updates.schema(k).dataType match {
-        case _: NumericType => Some(k -> col(k))
-        case TimestampType => Some(k -> unix_micros(col(k)))
-        case DateType => Some(k -> unix_date(col(k)))
+        case _: NumericType => Some((k, col(k), numeric))
+        case TimestampType => Some((k, unix_micros(col(k)), numeric))
+        case DateType => Some((k, unix_date(col(k)), numeric))
+        case StringType => Some((k, col(k), hexed))
         case _ => None
       }
     }
     if (encoded.isEmpty) return Map.empty
-    val aggs = encoded.flatMap { case (_, c) =>
+    val aggs = encoded.flatMap { case (_, c, _) =>
       Seq(fmin(c).cast("string"), fmax(c).cast("string"))
     }
     val r = updates.agg(aggs.head, aggs.tail: _*).head()
-    encoded.zipWithIndex.flatMap { case ((k, _), i) =>
+    encoded.zipWithIndex.flatMap { case ((k, _, enc), i) =>
       if (r.isNullAt(2 * i) || r.isNullAt(2 * i + 1)) None
-      else scala.util.Try(
-        (BigDecimal(r.getString(2 * i)), BigDecimal(r.getString(2 * i + 1)))
-      ).toOption.map(k -> _)
+      else for {
+        lo <- enc(r.getString(2 * i))
+        hi <- enc(r.getString(2 * i + 1))
+      } yield k -> (lo, hi)
     }.toMap
   }
 
   /** The files a merge keyed on `keyCols` must consider: stats pruning
-    * intersects EVERY bounded key column's range — a composite key whose
-    * head column is low-selectivity (constant tenant id) still prunes on
-    * the later columns. Files lacking stats for a column stay candidates
+    * intersects EVERY bounded key column's range (numeric, temporal and
+    * string keys) — a composite key whose head column is low-selectivity
+    * (constant tenant id) still prunes on the later columns. Files lacking stats for a column stay candidates
     * on that column (pruning is only ever an optimization). Exposed for
     * the composite-key pruning spec. */
   private[graft] def mergeCandidates(updates: DataFrame, path: String,
@@ -864,14 +967,18 @@ object VersionedTable {
     candidateFiles(m, updateKeyBounds(updates, keyCols))
   }
 
+  /** Keep files whose recorded range intersects EVERY bound (both sides
+    * in the stats encoding; a differently-encoded pair — string bound vs
+    * numeric stats — conservatively keeps the file). */
   private def candidateFiles(m: Manifest,
-      bounds: Map[String, (BigDecimal, BigDecimal)]): Seq[String] =
+      bounds: Map[String, (String, String)]): Seq[String] =
     if (bounds.isEmpty) m.files
     else m.files.filter { f =>
       bounds.forall { case (k, (lo, hi)) =>
         m.stats.get(f).flatMap(_.get(k)) match {
-          case Some((mn, mx)) => BigDecimal(mx) >= lo && BigDecimal(mn) <= hi
-          case None => true
+          case Some((mn, mx)) if mn.startsWith("s") == lo.startsWith("s") =>
+            statCompare(mx, lo) >= 0 && statCompare(mn, hi) <= 0
+          case _ => true
         }
       }
     }
@@ -966,59 +1073,68 @@ object VersionedTable {
       e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-    def num(v: Any): Option[BigDecimal] =
-      if (v == null) None else scala.util.Try(BigDecimal(v.toString)).toOption
-    def range(name: String): Option[(BigDecimal, BigDecimal)] =
-      stats.get(name).map { case (mn, mx) => (BigDecimal(mn), BigDecimal(mx)) }
     def colName(ex: Expression): Option[String] = ex match {
       case u: UnresolvedAttribute => Some(u.name)
       case _ => None
     }
+    // (compare(min, v), compare(max, v)) of the column's recorded range
+    // against a literal — every comparison predicate derives from this
+    // pair; None (statless column, incomparable types) must keep the file
+    def rangeVs(c: String, v: Any): Option[(Int, Int)] =
+      stats.get(c).flatMap { case (mn, mx) =>
+        for {
+          cMin <- statVsLiteral(mn, v)
+          cMax <- statVsLiteral(mx, v)
+        } yield (cMin, cMax)
+      }
     def cmp(a: Expression, b: Expression,
-        f: ((BigDecimal, BigDecimal), BigDecimal) => Boolean,
-        flipped: ((BigDecimal, BigDecimal), BigDecimal) => Boolean): Boolean =
+        keep: (Int, Int) => Boolean,
+        flippedKeep: (Int, Int) => Boolean): Boolean =
       (colName(a), b) match {
         case (Some(c), Literal(v, _)) =>
-          (range(c), num(v)) match {
-            case (Some(r), Some(lit)) => f(r, lit)
-            case _ => true
-          }
+          rangeVs(c, v).forall { case (cMin, cMax) => keep(cMin, cMax) }
         case _ => (colName(b), a) match {
           case (Some(c), Literal(v, _)) =>
-            (range(c), num(v)) match {
-              case (Some(r), Some(lit)) => flipped(r, lit)
-              case _ => true
-            }
+            rangeVs(c, v).forall { case (cMin, cMax) => flippedKeep(cMin, cMax) }
           case _ => true
         }
       }
-    def eqWithin(a: Expression, b: Expression): Boolean =
-      cmp(a, b, { case ((mn, mx), v) => v >= mn && v <= mx },
-        { case ((mn, mx), v) => v >= mn && v <= mx })
+    // v ∈ [min, max] ⇔ min ≤ v ∧ max ≥ v
+    val within = (cMin: Int, cMax: Int) => cMin <= 0 && cMax >= 0
     e match {
       case And(l, r) => mayMatch(stats, l) && mayMatch(stats, r)
       case Or(l, r) => mayMatch(stats, l) || mayMatch(stats, r)
-      case EqualTo(a, b) => eqWithin(a, b)
-      case EqualNullSafe(a, b) => eqWithin(a, b) // null literal → no range → kept
+      // the parser keeps `x BETWEEN a AND b` as 'between(x, a, b) — an
+      // UnresolvedFunction only rewritten at analysis — so unfold it
+      // here or the #1 range-predicate spelling never prunes (the
+      // resolved Between node is matched too, for pre-analyzed trees)
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFunction
+          if f.nameParts.map(_.toLowerCase(java.util.Locale.ROOT)) == Seq("between") &&
+            f.arguments.length == 3 =>
+        mayMatch(stats, GreaterThanOrEqual(f.arguments(0), f.arguments(1))) &&
+          mayMatch(stats, LessThanOrEqual(f.arguments(0), f.arguments(2)))
+      case b: Between =>
+        mayMatch(stats, GreaterThanOrEqual(b.input, b.lower)) &&
+          mayMatch(stats, LessThanOrEqual(b.input, b.upper))
+      case EqualTo(a, b) => cmp(a, b, within, within)
+      case EqualNullSafe(a, b) => cmp(a, b, within, within) // null lit → kept
       case In(a, vals) if vals.forall(_.isInstanceOf[Literal]) =>
-        colName(a).flatMap(range) match {
-          case Some((mn, mx)) =>
+        colName(a) match {
+          case Some(c) if stats.contains(c) =>
             vals.exists { case Literal(v, _) =>
-              num(v) match {
-                case Some(lit) => lit >= mn && lit <= mx
-                case None => true // unparseable member: cannot rule the file out
-              }
+              rangeVs(c, v).forall { case (cMin, cMax) => within(cMin, cMax) }
             }
-          case None => true
+          case _ => true
         }
+      // col > v keeps iff max > v; flipped (v > col ⇔ col < v) iff min < v
       case GreaterThan(a, b) =>
-        cmp(a, b, { case ((_, mx), v) => mx > v }, { case ((mn, _), v) => mn < v })
+        cmp(a, b, (_, cMax) => cMax > 0, (cMin, _) => cMin < 0)
       case GreaterThanOrEqual(a, b) =>
-        cmp(a, b, { case ((_, mx), v) => mx >= v }, { case ((mn, _), v) => mn <= v })
+        cmp(a, b, (_, cMax) => cMax >= 0, (cMin, _) => cMin <= 0)
       case LessThan(a, b) =>
-        cmp(a, b, { case ((mn, _), v) => mn < v }, { case ((_, mx), v) => mx > v })
+        cmp(a, b, (cMin, _) => cMin < 0, (_, cMax) => cMax > 0)
       case LessThanOrEqual(a, b) =>
-        cmp(a, b, { case ((mn, _), v) => mn <= v }, { case ((_, mx), v) => mx >= v })
+        cmp(a, b, (cMin, _) => cMin <= 0, (_, cMax) => cMax >= 0)
       case _ => true
     }
   }
@@ -1027,9 +1143,10 @@ object VersionedTable {
     * READ face): `readWhere(path, cond)` ≡ `readVersion(path).filter(cond)`
     * — same rows, spec-asserted — but files whose manifest stats prove
     * the predicate false are dropped from the scan BEFORE Spark opens a
-    * footer. Prunes on numeric, DATE and TIMESTAMP columns (use typed
-    * literals: `ts >= TIMESTAMP '2026-01-01 00:00:00'` — the #1 pruning
-    * predicate on a date-organized fact). On a Z-ORDERed table
+    * footer. Prunes on numeric, DATE, TIMESTAMP and STRING columns (use
+    * typed literals: `ts >= TIMESTAMP '2026-01-01 00:00:00'` — the #1
+    * pruning predicate on a date-organized fact; string comparisons are
+    * unsigned-byte, Spark's own default-collation order). On a Z-ORDERed table
     * ([[optimize]] with `zorderBy`) a 2-D range predicate prunes to the
     * files whose rectangle intersects the query box — file-level
     * skipping on top of the row-group skipping parquet already does
@@ -1082,7 +1199,7 @@ object VersionedTable {
       keyCol: String, lo: BigDecimal, hi: BigDecimal): Seq[String] = {
     val (hfs, root) = fs(spark, path)
     val m = readManifest(hfs, root, versions(hfs, root).last)
-    candidateFiles(m, Map(keyCol -> (lo, hi)))
+    candidateFiles(m, Map(keyCol -> (lo.toString, hi.toString)))
   }
 
   /** Copy-on-write DELETE: rows matching `condition` leave the snapshot;

@@ -396,6 +396,12 @@ class VersionedTableSpec extends SparkSpec {
     val c1 = "id >= 10 AND id <= 20"
     assert(VersionedTable.prunedFiles(spark, t, c1).size === 1)
     assert(idSet(VersionedTable.readWhere(spark, t, c1)) === expected(c1))
+    // the BETWEEN spelling must prune identically — the parser keeps it
+    // as a Between node (caught pruning nothing in the round-11 zorder
+    // Stress line), not the And the rewrite produces at analysis
+    val cb = "id BETWEEN 10 AND 20"
+    assert(VersionedTable.prunedFiles(spark, t, cb).size === 1)
+    assert(idSet(VersionedTable.readWhere(spark, t, cb)) === expected(c1))
     // disjunction across two quartiles keeps exactly those two files
     val c2 = "id <= 5 OR id > 90"
     assert(VersionedTable.prunedFiles(spark, t, c2).size === 2)
@@ -597,6 +603,49 @@ class VersionedTableSpec extends SparkSpec {
     assert(out.filter(col("x").isNaN).select("id")
       .collect().map(_.getLong(0)).toSet === Set(100L))
     assert(out.count() === 40L)
+  }
+
+  test("string stats prune readWhere and merge discovery; long values truncate soundly") {
+    val t = freshTable()
+    // cc: short sortable code (the realistic string pruning key); txt:
+    // long values sharing a >64-byte prefix — stats must truncate by the
+    // parquet rule (prefix min, incremented max) and stay sound
+    val base = spark.range(1, 101).select(col("id"),
+      concat(lit("c"), lpad(col("id").cast("string"), 3, "0")).as("cc"),
+      concat(lpad(col("id").cast("string"), 80, "x"), lit("é-tail")).as("txt"))
+      .repartitionByRange(4, col("cc"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t).size === 4)
+    def expected(cond: String): Set[Long] =
+      VersionedTable.readVersion(spark, t).filter(expr(cond))
+        .select("id").collect().map(_.getLong(0)).toSet
+    def got(cond: String): Set[Long] =
+      VersionedTable.readWhere(spark, t, cond)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val c1 = "cc >= 'c010' AND cc <= 'c020'"
+    assert(VersionedTable.prunedFiles(spark, t, c1).size === 1)
+    assert(got(c1) === expected(c1) && expected(c1) === (10L to 20L).toSet)
+    assert(VersionedTable.prunedFiles(spark, t, "cc = 'zzz'").isEmpty)
+    val c3 = "cc IN ('c005', 'c099')"
+    assert(VersionedTable.prunedFiles(spark, t, c3).size === 2)
+    assert(got(c3) === Set(5L, 99L))
+    // multi-byte literal: 'é' (0xC3A9) sorts above every ASCII code in
+    // unsigned byte order — agreement with Spark's filter is the assert
+    assert(got("cc < 'é'") === expected("cc < 'é'"))
+    // equality on a long value whose first 64 bytes are the shared
+    // prefix: a non-incremented truncated max would prune the file and
+    // LOSE the row — kept files must still return it
+    val v100 = "x" * 77 + "100" + "é-tail"
+    val c4 = s"txt = '$v100'"
+    assert(got(c4) === expected(c4) && expected(c4) === Set(100L))
+    // merge keyed on the string column: candidates prune, result right
+    val upd = Seq((-1L, "c007")).toDF("id", "cc")
+    assert(VersionedTable.mergeCandidates(upd, t, Seq("cc")).size === 1)
+    VersionedTable.merge(upd, t, keyCols = Seq("cc"), ts = "2026-01-02T00:00:00Z")
+    val at007 = VersionedTable.readVersion(spark, t)
+      .filter(col("cc") === "c007").select("id").collect().map(_.getLong(0)).toSeq
+    assert(at007 === Seq(-1L))
+    assert(VersionedTable.readVersion(spark, t).count() === 100L)
   }
 
   test("composite-key merge prunes on every key column, not just the head") {
