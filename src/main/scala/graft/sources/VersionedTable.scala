@@ -858,17 +858,23 @@ object VersionedTable {
   def history(spark: SparkSession, path: String): DataFrame = {
     val (hfs, root) = fs(spark, path)
     import spark.implicits._
+    val listed = versions(hfs, root)
+    val present = listed.toSet
     val memo = scala.collection.mutable.HashMap.empty[Long, Seq[String]]
-    versions(hfs, root).map { v =>
+    listed.map { v =>
       val raw = readRaw(hfs, root, v)
       val files = raw.base match {
+        case Some(b) if memo.contains(b) =>
+          raw.removes.toSet match {
+            case removed => memo(b).filterNot(removed) ++ raw.adds
+          }
+        case Some(b) if present.contains(b) =>
+          readManifest(hfs, root, b).files.filterNot(raw.removes.toSet) ++ raw.adds
+        case Some(_) =>
+          // base expired ([[expireLog]]): this version is the anchor —
+          // its checkpoint carries the resolved state
+          readManifest(hfs, root, v).files
         case None => raw.adds
-        case Some(b) =>
-          val removed = raw.removes.toSet
-          // base is always an earlier listed version; fall back to a
-          // chain resolve for logs with gaps (externally pruned)
-          memo.getOrElse(b, readManifest(hfs, root, b).files)
-            .filterNot(removed) ++ raw.adds
       }
       memo(v) = files
       (raw.version, raw.ts, raw.op, files.size)
@@ -877,16 +883,21 @@ object VersionedTable {
 
   /** Roll the table back to `toVersion` by committing a NEW version whose
     * snapshot is the old one's — Delta RESTORE semantics: history is
-    * preserved (the bad versions stay queryable until vacuumed), no data
-    * is copied, and the operation is one DELTA manifest whose base IS
-    * the restore target (no adds, no removes — O(1) log write). */
+    * preserved (the bad versions stay queryable until vacuumed) and no
+    * data is copied. The manifest is written FULL (resolved file list +
+    * stats), not as a base pointer at `toVersion`: rollback is the one
+    * op whose base could jump arbitrarily far back, and a self-contained
+    * manifest keeps every delta chain CONTIGUOUS (base = version − 1),
+    * which is what licenses [[expireLog]] deleting everything below an
+    * anchor checkpoint. Rollback is rare; the O(files) manifest write is
+    * the right trade for an expirable log. */
   def rollback(spark: SparkSession, path: String, toVersion: Long,
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (hfs, root) = fs(spark, path)
-    val target = readRaw(hfs, root, toVersion) // existence check + schema
+    val target = readManifest(hfs, root, toVersion)
     val next = versions(hfs, root).last + 1
     publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
-      Some(toVersion), Seq.empty, Seq.empty, None, target.schemaJson, Map.empty))
+      None, target.files, Seq.empty, None, target.schemaJson, target.stats))
     next
   }
 
@@ -1321,11 +1332,43 @@ object VersionedTable {
     }
   }
 
+  /** Bound the MANIFEST LOG itself (Delta's log retention): delete
+    * manifests and checkpoints below the newest checkpoint at or under
+    * `head − retainVersions + 1` (the ANCHOR). Everything at or above
+    * the anchor stays; the anchor's checkpoint carries the resolved
+    * state plus the aggregated per-appId txn map, so the retained tail
+    * resolves, `lastTxn` stays exact across the cut, and history simply
+    * starts at the anchor. Sound because every delta chain is CONTIGUOUS
+    * (append/merge/delete base = version − 1; [[rollback]] writes full
+    * manifests precisely so no base pointer can jump below the anchor).
+    * No checkpoint at or under the cut → no-op (returns 0): the log is
+    * never cut where the tail couldn't re-resolve. Complements [[vacuum]]
+    * (which bounds DATA files but keeps the log); together they bound a
+    * long-lived streaming table's storage AND metadata. Reading an
+    * expired version throws (file-not-found), as in Delta after log
+    * cleanup. Returns the number of metadata files deleted. */
+  def expireLog(spark: SparkSession, path: String, retainVersions: Int = 30): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val (hfs, root) = fs(spark, path)
+    val vs = versions(hfs, root)
+    if (vs.isEmpty) return 0
+    val cut = vs.last - retainVersions + 1
+    val anchor = checkpoints(hfs, root).filter(_ <= cut).lastOption.getOrElse(return 0)
+    var deleted = 0
+    vs.filter(_ < anchor).foreach { v =>
+      if (hfs.delete(manifestPath(root, v), false)) deleted += 1
+    }
+    checkpoints(hfs, root).filter(_ < anchor).foreach { v =>
+      if (hfs.delete(checkpointPath(root, v), false)) deleted += 1
+    }
+    deleted
+  }
+
   /** Delete data files referenced ONLY by versions older than the last
     * `retainVersions` snapshots (plus any orphaned commit directories from
-    * crashed/lost-race writers). Old manifests and checkpoints are kept —
-    * history stays listable; reading a vacuumed version fails at scan
-    * time, as in Delta.
+    * crashed/lost-race writers). Manifests are bounded separately by
+    * [[expireLog]]; a vacuumed-but-unexpired version stays listable in
+    * history, and reading it fails at scan time, as in Delta.
     *
     * `graceMs` is Delta's retention check: a data directory younger than
     * the grace window is NEVER reclaimed even when unreferenced, because

@@ -491,6 +491,44 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t).count() === 50L)
   }
 
+  test("expireLog bounds the manifest log at an anchor checkpoint; the tail stays fully functional") {
+    val t = freshTable()
+    (0L until 50L).foreach { i =>
+      VersionedTable.commitIfNew(df(i), t, "app", i,
+        ts = java.time.Instant.EPOCH.plusSeconds(i).toString)
+    }
+    // cut = 49-15+1 = 35 → anchor = newest checkpoint ≤ 35 = v30
+    val removed = VersionedTable.expireLog(spark, t, retainVersions = 15)
+    assert(removed === 32, s"expected manifests 0..29 + checkpoints 10,20 gone, removed=$removed")
+    // the head and any tail version still resolve (chain stops at a
+    // kept checkpoint); the anchor itself resolves via its checkpoint
+    // even though its raw manifest's base (v29) is expired
+    assert(VersionedTable.readVersion(spark, t).count() === 50L)
+    assert(VersionedTable.readVersion(spark, t, 45L).count() === 46L)
+    assert(VersionedTable.readVersion(spark, t, 30L).count() === 31L)
+    // history starts at the anchor, file counts correct across the cut
+    val hist = VersionedTable.history(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(hist.keySet.min === 30L && hist.keySet.max === 49L)
+    assert(hist(30L) === 31 && hist(49L) === 50)
+    // an expired version is gone, like Delta after log cleanup
+    intercept[Exception] { VersionedTable.readVersion(spark, t, 5L).collect() }
+    // the txn watermark survives the cut via the anchor's txnmax map —
+    // a replayed pre-cut batch is still skipped
+    assert(VersionedTable.lastTxn(spark, t, "app") === Some(49L))
+    assert(VersionedTable.commitIfNew(df(7), t, "app", 12L) === None)
+    // no checkpoint at or under the cut → refuse to cut (no-op)
+    val t2 = freshTable()
+    (0L until 5L).foreach(i => VersionedTable.commit(df(i), t2, ts = s"2026-01-0${i + 1}T00:00:00Z"))
+    assert(VersionedTable.expireLog(spark, t2, retainVersions = 2) === 0)
+    assert(VersionedTable.history(spark, t2).count() === 5L)
+    // life goes on after expiry: rollback (full manifest) + more commits
+    VersionedTable.rollback(spark, t, 45L, ts = "2026-02-01T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).count() === 46L)
+    VersionedTable.commit(df(99L), t, ts = "2026-02-02T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).count() === 47L)
+  }
+
   test("timestamp/date stats prune readWhere, merge discovery and delete") {
     val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
