@@ -269,20 +269,34 @@ object Similarity {
       probes: Int = 1): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
     val np = if (nPlanes > 0) nPlanes else autoPlanes(corpus.count(), targetBucket)
-    val candidates = (0 until tables).map { t =>
-      val bucket = bucketCol(col("embedding"), np, planeOffset = t * np)
-      val q0 = queries.select(col("vec_id").as("query_id"),
-        col("embedding").as("q_emb"), bucket.as("__b0"))
-      val q =
-        if (probes <= 0) q0.withColumnRenamed("__b0", "bucket")
-        else q0.select(col("query_id"), col("q_emb"),
-          explode(array(col("__b0") +:
-            (0 until np).map(p => col("__b0").bitwiseXOR(lit(1 << p))): _*))
-            .as("bucket"))
-      val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-        bucket.as("bucket"))
-      c.join(broadcast(q), Seq("bucket")).drop("bucket")
-    }.reduce(_ unionByName _)
+    // ONE corpus scan for ALL tables: every table's (t, bucket) pair is
+    // computed in a single projection and exploded, instead of a
+    // per-table union that re-reads the corpus `tables` times — at
+    // 100 TB the union shape pays `tables`× the scan IO for identical
+    // join input (the spec asserts the plan's corpus-side scan count)
+    def tableBucket(t: Int): Column =
+      struct(lit(t).as("t"),
+        bucketCol(col("embedding"), np, planeOffset = t * np).as("bucket"))
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
+        explode(array((0 until tables).map(tableBucket): _*)).as("tb"))
+      .select(col("neighbor_id"), col("c_emb"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    // query side (broadcast-small): exact bucket per table, plus — with
+    // probes = 1 — the np one-plane-flipped buckets per table
+    val qtb = (0 until tables).flatMap { t =>
+      val b0 = bucketCol(col("embedding"), np, planeOffset = t * np)
+      val bs = if (probes <= 0) Seq(b0)
+        else b0 +: (0 until np).map(p => b0.bitwiseXOR(lit(1 << p)))
+      bs.map(b => struct(lit(t).as("t"), b.as("bucket")))
+    }
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        explode(array(qtb: _*)).as("tb"))
+      .select(col("query_id"), col("q_emb"),
+        col("tb.t").as("t"), col("tb.bucket").as("bucket"))
+    val candidates = c.join(broadcast(q), Seq("t", "bucket"))
+      .drop("t", "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))

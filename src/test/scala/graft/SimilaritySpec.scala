@@ -116,6 +116,18 @@ class SimilaritySpec extends SparkSpec {
     assert(one.join(two, "query_id").filter(col("c2") < col("c1") - 1e-12).count() === 0)
   }
 
+  test("lshTopK plans ONE corpus-side scan regardless of table count") {
+    // the per-table union shape re-read the corpus `tables` times (4
+    // scans at the default — 4× the IO at 100 TB for identical join
+    // input); the exploded (t, bucket) shape reads it once. Two scans
+    // total: corpus + the query slice (itself a scan of the same file).
+    val scans = Similarity.lshTopK(emb, queries, k = 5)
+      .queryExecution.sparkPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+    assert(scans.size <= 2, s"expected one corpus + one query scan, got ${scans.size}")
+  }
+
   test("annEval: confusion row is consistent with the two searches it compares") {
     val row = Similarity.annEval(emb, queries).head()
     val (tp, fp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fp"), row.getAs[Long]("fn"))
