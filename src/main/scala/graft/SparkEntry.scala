@@ -127,6 +127,21 @@ object SparkEntry {
       tbl
     })
 
+  /** Data-skipping fixture for `vt_w`: one snapshot of silver's
+    * (event_id, event_type, value) laid out by RANGE on `value`, so each
+    * data file owns a value band and the manifest's footer stats give
+    * `readWhere` real files to skip (numeric range + string IN pruning
+    * both fire; the driver compare pins CONTENT — `readWhere ≡ filter` —
+    * while the skipping itself is spec/Stress-measured). */
+  private def buildSkipTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("skip", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtw").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("value"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      tbl
+    })
+
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
   private val mobTransCte: String =
@@ -517,6 +532,20 @@ object SparkEntry {
         .unionByName(snap("merged", VersionedTable.readVersion(s, tbl, 1L)))
         .unionByName(snap("deleted", VersionedTable.readVersion(s, tbl, 2L)))
         .select("snap", "n_rows", "sum_value")
+    }),
+    // stats-based data-skipping READ (Delta file skipping as a read
+    // face): readWhere evaluates the predicate against each file's
+    // manifest-recorded min/max and opens only intersecting files — on
+    // the range-laid fixture the value band prunes most of the snapshot
+    // before any footer is touched. The oracle applies the SAME
+    // predicate to silver: readWhere ≡ filter is the contract; pruned
+    // plans returning identical rows is exactly what licenses skipping
+    // at 100 TB
+    "vt_w" -> ((s, dir) => {
+      val tbl = buildSkipTable(s, dir)
+      VersionedTable.readWhere(s, tbl,
+        "value >= 30.0 AND value < 60.0 AND event_type IN ('purchase', 'signup')")
+        .select("event_id", "event_type", "value")
     }),
     // change data feed over the SAME merge+delete fixture: row-level
     // insert/update-pair/delete classification from the manifest diff —
@@ -1413,6 +1442,14 @@ object SparkEntry {
         |  (CAST(1 AS BIGINT), '2026-01-02T00:00:00Z', 'append', 2),
         |  (CAST(2 AS BIGINT), '2026-01-03T00:00:00Z', 'rollback(0)', 1)
         |) AS t(version, ts, op, n_files)""".stripMargin,
+
+    // readWhere ≡ the same predicate over silver (data skipping is a
+    // pure optimization; content equality is the whole contract)
+    "vt_w" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE value >= 30.0 AND value < 60.0
+         |  AND event_type IN ('purchase', 'signup')""".stripMargin,
 
     // v0 = signups; merged = every 3rd signup's value doubled + clicks
     // inserted; deleted = minus cheap clicks

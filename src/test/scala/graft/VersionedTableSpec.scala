@@ -704,6 +704,29 @@ class VersionedTableSpec extends SparkSpec {
     assert(out(3L) === -3L && out(99L) === 990L && out.size === 100)
   }
 
+  test("two REAL concurrent commitWithRetry writers both land with coherent snapshots") {
+    // the deterministic seam test pins the race LOGIC; this one runs two
+    // actual threads through the full claim path (link(2) on local FS,
+    // checkpoint write included) — whichever interleaving the scheduler
+    // picks, both appends must land and every snapshot stay coherent
+    val t = freshTable()
+    VersionedTable.commit(df(0), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val got = try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val fs = (1 to 2).map { i =>
+        Future(VersionedTable.commitWithRetry(df(i.toLong), t,
+          ts = s"2026-01-0${i + 1}T00:00:00Z"))
+      }
+      fs.map(Await.result(_, Duration.Inf)).toSet
+    } finally pool.shutdown()
+    assert(got === Set(1L, 2L))
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(0L, 1L, 2L))
+    assert(VersionedTable.history(spark, t).count() === 3L)
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
