@@ -142,6 +142,26 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_rw`: the range-laid silver snapshot (same layout as
+    * `vt_w`'s, separate table — replaceWhere MUTATES it) followed by one
+    * predicate-scoped overwrite: the [30, 60) value band's rows are
+    * replaced by recomputed rows (`event_type` re-tagged `_r`). The
+    * idempotent-re-ingest shape: only band-intersecting files rewrite,
+    * out-of-band files carry by reference, NULL-value rows survive
+    * (three-valued scope). */
+  private def buildReplaceTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("rw", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtrw").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("value"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val repl = sv.filter(col("value") >= 30.0 && col("value") < 60.0)
+        .withColumn("event_type", concat(col("event_type"), lit("_r")))
+      VersionedTable.replaceWhere(repl, tbl,
+        "value >= 30.0 AND value < 60.0", ts = "2026-01-02T00:00:00Z")
+      tbl
+    })
+
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
   private val mobTransCte: String =
@@ -545,6 +565,17 @@ object SparkEntry {
       val tbl = buildSkipTable(s, dir)
       VersionedTable.readWhere(s, tbl,
         "value >= 30.0 AND value < 60.0 AND event_type IN ('purchase', 'signup')")
+        .select("event_id", "event_type", "value")
+    }),
+    // predicate-scoped overwrite (Delta replaceWhere): the [30,60) value
+    // band's rows atomically replaced with a recomputed batch, one
+    // copy-on-write version — only band-intersecting files rewrote. The
+    // oracle recomputes the SAME end state row-wise from silver: band
+    // rows re-tagged, out-of-band and NULL-value rows untouched (NULL
+    // scope evaluates to not-replaced, three-valued logic)
+    "vt_rw" -> ((s, dir) => {
+      val tbl = buildReplaceTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
     // change data feed over the SAME merge+delete fixture: row-level
@@ -1450,6 +1481,16 @@ object SparkEntry {
          |SELECT event_id, event_type, value FROM silver
          |WHERE value >= 30.0 AND value < 60.0
          |  AND event_type IN ('purchase', 'signup')""".stripMargin,
+
+    // end state of the scoped replace, recomputed row-wise: band rows
+    // re-tagged '_r', everything else (incl. NULL value) untouched
+    "vt_rw" ->
+      s"""$silverCte
+         |SELECT event_id,
+         |       CASE WHEN value >= 30.0 AND value < 60.0
+         |            THEN event_type || '_r' ELSE event_type END AS event_type,
+         |       value
+         |FROM silver""".stripMargin,
 
     // v0 = signups; merged = every 3rd signup's value doubled + clicks
     // inserted; deleted = minus cheap clicks

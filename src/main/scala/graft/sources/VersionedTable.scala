@@ -1259,6 +1259,71 @@ object VersionedTable {
     next
   }
 
+  /** Predicate-scoped overwrite (Delta's `replaceWhere` write option):
+    * ONE atomic commit in which `df`'s rows replace exactly the snapshot
+    * rows where `condition` IS TRUE. The idempotent daily re-ingest
+    * primitive at 100 TB: re-running a day's load with
+    * `condition = "ts >= day AND ts < day+1"` replaces that day's rows
+    * and nothing else, however many times it retries — a plain
+    * overwrite would drop the other 36 499 days, and delete-then-append
+    * would expose a rows-missing intermediate version.
+    *
+    * Scope constraint (Delta's): every row of `df` must itself satisfy
+    * `condition` — a batch that leaks rows outside its declared scope
+    * would silently corrupt the non-replaced region, so it is rejected
+    * before any data lands. Only files that CONTAIN a matching row are
+    * rewritten (their cond-false-or-NULL rows survive — three-valued
+    * logic, same as [[delete]]); files whose manifest stats disprove
+    * the predicate carry by reference without being opened, so a
+    * date-ordered table pays one day's rewrite, not a snapshot scan.
+    * `df`'s columns must match the snapshot schema (no evolution here:
+    * a scoped replace that also changed the schema would fork the
+    * table's unreplaced region). */
+  def replaceWhere(df: DataFrame, path: String, condition: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val spark = df.sparkSession
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"replaceWhere on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    if (snapSchema.fieldNames.toSet != df.schema.fieldNames.toSet)
+      throw new SchemaMismatchException(
+        s"replaceWhere batch schema ${df.schema.fieldNames.mkString("[", ",", "]")} " +
+          s"does not match table schema ${snapSchema.fieldNames.mkString("[", ",", "]")} at $path")
+    // scope check BEFORE any write: one pass over the batch, stops at
+    // the first violating row
+    if (!df.filter(!coalesce(expr(condition), lit(false))).isEmpty)
+      throw new IllegalArgumentException(
+        s"replaceWhere batch contains rows outside its scope [$condition] at $path")
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    val candidates =
+      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else spark.read.option("mergeSchema", "true")
+        .parquet(candidates.map(f => new Path(root, f).toString): _*)
+        .withColumn("__file",
+          regexp_extract(input_file_name(), DataFileRe, 1))
+        .filter(expr(condition))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    val aligned = df.select(snapSchema.fieldNames.map(col).toSeq: _*)
+    val out =
+      if (touched.isEmpty) aligned
+      else readTouched(spark, path, touched.toSeq.sorted)
+        .filter(!coalesce(expr(condition), lit(false)))
+        .unionByName(aligned)
+    out.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
+      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
+    next
+  }
+
   /** Change data feed between two snapshots (Delta CDF / `table_changes`):
     * row-level `insert` / `delete` / `update_preimage` / `update_postimage`
     * classification keyed on `keyCols`, computed from the MANIFEST DIFF —

@@ -727,6 +727,62 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.history(spark, t).count() === 3L)
   }
 
+  test("replaceWhere swaps exactly the in-scope rows, one atomic version") {
+    val t = freshTable()
+    // range-laid so each file owns an id band and stats pruning is real
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(5, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val v0Files = VersionedTable.snapshotFiles(spark, t)
+    // replace the [41, 60] band with recomputed rows (still in scope)
+    val repl = (41L to 60L).toDF("id").withColumn("v", col("id") * 1000)
+    val v1 = VersionedTable.replaceWhere(repl, t, "id >= 41 AND id <= 60",
+      ts = "2026-01-02T00:00:00Z")
+    assert(v1 === 1L)
+    val out = VersionedTable.readVersion(spark, t)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out.size === 100)
+    assert(out(40L) === 400L && out(41L) === 41000L && out(60L) === 60000L && out(61L) === 610L)
+    // v0 unchanged (time travel across the replace)
+    assert(VersionedTable.readVersion(spark, t, 0L).count() === 100L)
+    // copy-on-write: out-of-scope files carried BY REFERENCE — the
+    // stats-disproven bands were never rewritten
+    val v1Files = VersionedTable.snapshotFiles(spark, t).toSet
+    val carried = v0Files.toSet.intersect(v1Files)
+    assert(carried.nonEmpty, "expected untouched band files to carry by reference")
+    assert(carried.size >= 3, s"expected >=3 of 5 band files carried, got ${carried.size}")
+  }
+
+  test("replaceWhere rejects a batch with rows outside its declared scope") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 10L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val leak = Seq(5L, 99L).toDF("id").withColumn("v", col("id"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.replaceWhere(leak, t, "id >= 1 AND id <= 10")
+    }
+    assert(e.getMessage.contains("outside its scope"))
+    // rejected before anything landed: table still at v0, content intact
+    assert(VersionedTable.latestVersion(spark, t) === 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (1L to 10L).toSet)
+  }
+
+  test("replaceWhere keeps NULL-predicate rows (three-valued logic) and rejects schema drift") {
+    val t = freshTable()
+    val base = Seq((1L, Some(10L)), (2L, None), (3L, Some(30L)))
+      .toDF("id", "v").withColumn("v", col("v").cast("bigint"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // scope = v >= 10 AND v <= 19: row 2's NULL v evaluates NULL, must survive
+    val repl = Seq((1L, 11L)).toDF("id", "v")
+    VersionedTable.replaceWhere(repl, t, "v >= 10 AND v <= 19", ts = "2026-01-02T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, t).select("id", "v")
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(out === Map(1L -> Some(11L), 2L -> None, 3L -> Some(30L)))
+    val drift = Seq((1L, 11L, "x")).toDF("id", "v", "extra")
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.replaceWhere(drift, t, "v >= 10 AND v <= 19")
+    }
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
