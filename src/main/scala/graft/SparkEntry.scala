@@ -162,6 +162,21 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
+    * clone's v0 is pure metadata referencing the source's files), then a
+    * COW delete on the clone — touched source-referenced files rewrite
+    * locally, untouched ones stay absolute references, and the SOURCE
+    * table (shared with `vt_w`) is never mutated. */
+  private def buildCloneTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("cl", dir), {
+      val src = buildSkipTable(s, dir)
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtcl").toString
+      VersionedTable.cloneTable(s, src, tbl, ts = "2026-01-02T00:00:00Z")
+      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 20",
+        ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
   private val mobTransCte: String =
@@ -565,6 +580,16 @@ object SparkEntry {
       val tbl = buildSkipTable(s, dir)
       VersionedTable.readWhere(s, tbl,
         "value >= 30.0 AND value < 60.0 AND event_type IN ('purchase', 'signup')")
+        .select("event_id", "event_type", "value")
+    }),
+    // shallow clone + independent evolution (Delta CLONE SHALLOW): the
+    // clone's v0 references the source's files by absolute path (zero
+    // data copied), then a COW delete rewrites only touched files
+    // locally — the oracle applies clone-then-delete semantics row-wise
+    // to silver; the shared vt_w source table is never mutated
+    "vt_cl" -> ((s, dir) => {
+      val tbl = buildCloneTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
     // predicate-scoped overwrite (Delta replaceWhere): the [30,60) value
@@ -1481,6 +1506,13 @@ object SparkEntry {
          |SELECT event_id, event_type, value FROM silver
          |WHERE value >= 30.0 AND value < 60.0
          |  AND event_type IN ('purchase', 'signup')""".stripMargin,
+
+    // clone ≡ source snapshot, then the delete's three-valued semantics:
+    // rows where the predicate IS TRUE leave; NULL-value rows survive
+    "vt_cl" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE NOT coalesce(event_type = 'click' AND value < 20, FALSE)""".stripMargin,
 
     // end state of the scoped replace, recomputed row-wise: band rows
     // re-tagged '_r', everything else (incl. NULL value) untouched

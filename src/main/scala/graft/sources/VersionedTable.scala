@@ -909,6 +909,25 @@ object VersionedTable {
     * inputs extract to "" (guarded at the collect sites). */
   private val DataFileRe = ".*/(files/c\\d{8}[^/]*/[^/]+)$"
 
+  /** Map scan-extracted layout-relative names back to their manifest
+    * entries: identity on a normal table; suffix match on a shallow
+    * CLONE ([[cloneTable]]) whose manifest records absolute source
+    * paths — `input_file_name()` extraction is layout-relative either
+    * way, and a COW rewrite whose removes don't string-match the
+    * manifest would ADD rewritten rows without REMOVING the originals.
+    * Ambiguity (two entries sharing a relative suffix) fails loudly
+    * rather than risk that corruption. */
+  private def resolveTouched(files: Seq[String], touched: Set[String]): Set[String] =
+    touched.map { e =>
+      if (files.contains(e)) e
+      else {
+        val ms = files.filter(_.endsWith("/" + e))
+        require(ms.size == 1,
+          s"cannot resolve scanned file $e to a unique manifest entry (${ms.size} matches)")
+        ms.head
+      }
+    }
+
   /** Rewrite-phase read for [[merge]]/[[delete]]: ONLY the given
     * manifest-relative files, as their own parquet scan. The touched set
     * is a driver-side list after discovery, so handing it to the source
@@ -1050,18 +1069,19 @@ object VersionedTable {
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
     val keys = updates.select(keyCols.map(col): _*).distinct()
     val next = prev + 1
     val dataDir = newDataDir(next)
     val rewrite =
-      if (touched.isEmpty) updates
-      else readTouched(spark, path, touched.toSeq.sorted)
+      if (touchedFiles.isEmpty) updates
+      else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
     rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
-      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
   }
 
@@ -1241,21 +1261,22 @@ object VersionedTable {
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
     val dataDir = newDataDir(next)
-    val (newFiles, newStats) = if (touched.nonEmpty) {
+    val (newFiles, newStats) = if (touchedFiles.nonEmpty) {
       // rewrite reads ONLY the touched files (readTouched — the plan's
       // scan is touched-set-sized); keep rows where the predicate is
       // false OR NULL (three-valued logic: only cond-IS-TRUE rows are
       // deleted, Delta's semantics — a bare !cond would silently drop
       // NULL-evaluating rows)
-      val survivors = readTouched(spark, path, touched.toSeq.sorted)
+      val survivors = readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
       survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
       listWithStats(hfs, root, dataDir)
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
-      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
   }
 
@@ -1309,19 +1330,55 @@ object VersionedTable {
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
     val dataDir = newDataDir(next)
     val aligned = df.select(snapSchema.fieldNames.map(col).toSeq: _*)
     val out =
-      if (touched.isEmpty) aligned
-      else readTouched(spark, path, touched.toSeq.sorted)
+      if (touchedFiles.isEmpty) aligned
+      else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
         .unionByName(aligned)
     out.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
-      touched.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
+  }
+
+  /** Shallow clone (Delta `CLONE ... SHALLOW`): create a NEW table at
+    * `target` whose v0 manifest references the source snapshot's data
+    * files BY ABSOLUTE PATH — zero data copied, O(metadata) however
+    * large the source. The clone then evolves independently: appends,
+    * merges, deletes, replaceWhere and optimize on it write their own
+    * local files and never touch the source (copy-on-write rewrites of
+    * source-referenced files land locally; the source file is merely
+    * dropped from the CLONE's manifest). The 100 TB use cases are
+    * Delta's own: a writable dev/test fork of a production table, or a
+    * frozen experiment snapshot, at metadata cost.
+    *
+    * Stats and schema carry with the references, so data skipping and
+    * schema-on-write work on the clone from v0. Caveat, same as Delta's:
+    * [[vacuum]] on the SOURCE does not know about clones — vacuuming
+    * source versions a clone still references breaks the clone. Clone
+    * from a snapshot you retain, or [[optimize]] the clone (which
+    * rewrites it self-contained) before vacuuming the source. */
+  def cloneTable(spark: SparkSession, source: String, target: String,
+      version: Long = -1L, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (shfs, sroot) = fs(spark, source)
+    val v = if (version >= 0) version
+      else versions(shfs, sroot).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"clone of empty table at $source"))
+    val m = readManifest(shfs, sroot, v)
+    val (thfs, troot) = fs(spark, target)
+    require(versions(thfs, troot).isEmpty, s"clone target $target is not empty")
+    val abs = m.files.map(f => shfs.makeQualified(new Path(sroot, f)).toString)
+    val absStats = m.files.zip(abs)
+      .flatMap { case (f, a) => m.stats.get(f).map(a -> _) }.toMap
+    val schema = m.schemaJson.getOrElse(snapshotSchema(spark, sroot, m).json)
+    publish(thfs, troot, RawManifest(0L, ts, s"clone(v$v)", None, abs,
+      Seq.empty, None, Some(schema), absStats))
+    0L
   }
 
   /** Change data feed between two snapshots (Delta CDF / `table_changes`):

@@ -783,6 +783,59 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("shallow clone: zero data copied, reads equal the cloned snapshot") {
+    val src = freshTable()
+    VersionedTable.commit(df(1, 2, 3), src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(4), src, mode = "append", ts = "2026-01-02T00:00:00Z")
+    val tgt = freshTable()
+    assert(VersionedTable.cloneTable(spark, src, tgt, ts = "2026-01-03T00:00:00Z") === 0L)
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === Set(1L, 2L, 3L, 4L))
+    // shallow: the clone owns NO data files, only a manifest
+    assert(!new java.io.File(tgt, "files").exists())
+    val h = VersionedTable.history(spark, tgt).collect()
+    assert(h.length === 1 && h.head.getString(2) === "clone(v1)")
+    // time-travel clone: fork from an older source version
+    val tgt0 = freshTable()
+    VersionedTable.cloneTable(spark, src, tgt0, version = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, tgt0)) === Set(1L, 2L, 3L))
+    // a second clone into a non-empty table is rejected
+    intercept[IllegalArgumentException] {
+      VersionedTable.cloneTable(spark, src, tgt)
+    }
+  }
+
+  test("clone evolves independently: appends and COW rewrites never touch the source") {
+    val src = freshTable()
+    val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartitionByRange(5, col("id"))
+    VersionedTable.commit(base, src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val srcFiles = VersionedTable.snapshotFiles(spark, src).toSet
+    val tgt = freshTable()
+    VersionedTable.cloneTable(spark, src, tgt, ts = "2026-01-01T01:00:00Z")
+    VersionedTable.commit(df(101), tgt, mode = "append", ts = "2026-01-02T00:00:00Z")
+    // COW delete on the clone: touched SOURCE-referenced files resolve by
+    // suffix back to their absolute manifest entries and rewrite LOCALLY
+    VersionedTable.delete(spark, tgt, "id >= 41 AND id <= 60", ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) ===
+      ((1L to 40L) ++ (61L to 101L)).toSet)
+    // merge on the clone exercises the same resolution path
+    VersionedTable.merge(Seq((1L, 999L)).toDF("id", "v"), tgt,
+      keyCols = Seq("id"), ts = "2026-01-04T00:00:00Z")
+    val out = VersionedTable.readVersion(spark, tgt)
+      .select("id", "v").as[(Long, Long)].collect().toMap
+    assert(out(1L) === 999L && out.size === 81)
+    // the source never moved: same content, same physical files
+    assert(idSet(VersionedTable.readVersion(spark, src)) === (1L to 100L).toSet)
+    assert(VersionedTable.snapshotFiles(spark, src).toSet === srcFiles)
+    // the clone's head still carries untouched SOURCE files by absolute
+    // reference alongside its own local rewrite output
+    val headFiles = VersionedTable.snapshotFiles(spark, tgt)
+    assert(headFiles.exists(_.contains(src.stripPrefix("/"))),
+      "expected carried absolute source references")
+    assert(headFiles.exists(f => !f.contains(src.stripPrefix("/"))),
+      "expected clone-local rewrite files")
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
