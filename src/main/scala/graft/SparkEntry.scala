@@ -177,6 +177,21 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_pt`: silver hash-laid on `event_id` (every file's
+    * [min, max] spans the whole id domain — the layout where min/max
+    * stats can never prune an equality probe) committed with a bloom
+    * file index on `event_id`, so the point lookup's file skipping comes
+    * entirely from the sidecar filters. */
+  private def buildPointTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("pt", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtpt").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", bloomIndex = Seq("event_id"))
+      tbl
+    })
+
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
   private val mobTransCte: String =
@@ -580,6 +595,17 @@ object SparkEntry {
       val tbl = buildSkipTable(s, dir)
       VersionedTable.readWhere(s, tbl,
         "value >= 30.0 AND value < 60.0 AND event_type IN ('purchase', 'signup')")
+        .select("event_id", "event_type", "value")
+    }),
+    // bloom-indexed point lookup (Delta bloom filter index): equality
+    // probe on a hash-laid high-cardinality id, where min/max stats keep
+    // every file — the per-file bloom sidecars drop all but the owning
+    // file (+ rare FPs) before any footer is opened. The oracle is the
+    // same equality over silver: bloom skipping is sound (no false
+    // negatives), so readWhere ≡ filter exactly
+    "vt_pt" -> ((s, dir) => {
+      val tbl = buildPointTable(s, dir)
+      VersionedTable.readWhere(s, tbl, "event_id = 777")
         .select("event_id", "event_type", "value")
     }),
     // shallow clone + independent evolution (Delta CLONE SHALLOW): the
@@ -1506,6 +1532,13 @@ object SparkEntry {
          |SELECT event_id, event_type, value FROM silver
          |WHERE value >= 30.0 AND value < 60.0
          |  AND event_type IN ('purchase', 'signup')""".stripMargin,
+
+    // point lookup ≡ the same equality over silver (bloom skipping has
+    // no false negatives; FPs only open extra files, never change rows)
+    "vt_pt" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE event_id = 777""".stripMargin,
 
     // clone ≡ source snapshot, then the delete's three-valued semantics:
     // rows where the predicate IS TRUE leave; NULL-value rows survive

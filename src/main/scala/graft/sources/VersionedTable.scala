@@ -4,8 +4,8 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{broadcast, coalesce, col, expr, input_file_name, lit, regexp_extract, struct}
-import org.apache.spark.sql.types.{DataType, DateType, NumericType, StructType, TimestampType}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, pmod, regexp_extract, struct, xxhash64}
+import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -482,8 +482,9 @@ object VersionedTable {
     * writers per the rename protocol above: a lost race throws
     * `ConcurrentCommitException`; re-read and retry. */
   def commit(df: DataFrame, path: String, mode: String = "append",
-      ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false): Long =
-    commitInternal(df, path, mode, ts, None, mergeSchema)
+      ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false,
+      bloomIndex: Seq[String] = Seq.empty, bloomBits: Int = 1 << 17): Long =
+    commitInternal(df, path, mode, ts, None, mergeSchema, bloomIndex, bloomBits)
 
   /** Appending a frame whose columns don't match the current snapshot is
     * schema drift: rejected (Delta's schema-on-write) unless the caller
@@ -492,7 +493,8 @@ object VersionedTable {
 
   private def commitInternal(df: DataFrame, path: String, mode: String,
       ts: String, txn: Option[(String, Long)],
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false, bloomIndex: Seq[String] = Seq.empty,
+      bloomBits: Int = 1 << 17): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode: $mode")
     val spark = df.sparkSession
     val (hfs, root) = fs(spark, path)
@@ -525,6 +527,7 @@ object VersionedTable {
     val dataDir = newDataDir(next)
     df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeBlooms(spark, hfs, root, dataDir, bloomIndex, bloomBits)
     // append = DELTA manifest against prev (O(batch) log write — the
     // previous file list is never re-serialized); overwrite/first = full
     val base = if (mode == "append") prev else None
@@ -563,6 +566,185 @@ object VersionedTable {
         Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
         Duration.Inf).toMap.filter(_._2.nonEmpty)
       (files, stats)
+    } finally pool.shutdown()
+  }
+
+  // ------------------------------------------------- bloom file index
+  //
+  // Point-lookup file skipping (Delta's bloom filter index, re-derived):
+  // min/max stats cannot prune equality probes on a UNIFORMLY
+  // DISTRIBUTED high-cardinality column — every file's [min, max] spans
+  // the whole domain, so `id = x` reads the entire 100 TB table. A
+  // per-file Bloom filter answers "might this file contain x?" in one
+  // tiny sidecar read. Design: each indexed data file gets a
+  // `<file>.bloom` SIDECAR in its own immutable data directory (Delta
+  // keeps its index beside the data for the same reason) — sidecars
+  // ride along with carried and CLONED files for free because the path
+  // is derived from the data path, and absence simply degrades to
+  // stats-only pruning, so COW rewrites and un-indexed commits stay
+  // correct. The filter is built in ONE extra Spark pass over the
+  // freshly written batch (k=7 xxhash64 probes per row, map-side
+  // collect_set of set bit positions per file), never over the table.
+  // Size `bloomBits` ≈ 10× the expected rows per file (the default 128K
+  // bits ≈ 1% FPP at 100k rows/file); an overfull filter saturates
+  // toward "maybe" — useless but never wrong.
+
+  private val BloomK = 7
+
+  /** Hash i of a canonical value string: xxhash64 (seed 42, the engine's
+    * own [[org.apache.spark.sql.functions.xxhash64]]) over
+    * `value ++ NUL ++ i`, reduced mod m. The WRITE side computes the
+    * identical expression per row in the indexing job, so driver-side
+    * probes and executor-side builds agree bit-for-bit. */
+  private def bloomPos(value: String, i: Int, mBits: Int): Int = {
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = XxHash64Function.hash(
+      UTF8String.fromString(value + " " + i), StringType, 42L)
+    (((h % mBits) + mBits) % mBits).toInt
+  }
+
+  /** The canonical string a column value hashes as: integral columns via
+    * `cast(col as string)`, strings as-is. Only these types are
+    * indexable — fractional/temporal renderings are not canonical across
+    * engines, and equality probes on them are rare. */
+  private def bloomCanon(v: Any, dt: DataType): Option[String] = (v, dt) match {
+    case (null, _) => None
+    case (x, ByteType | ShortType | IntegerType | LongType) => Some(x.toString)
+    case (s: org.apache.spark.unsafe.types.UTF8String, StringType) => Some(s.toString)
+    case _ => None
+  }
+
+  /** Build + write `<file>.bloom` sidecars for every data file of a
+    * freshly written batch dir: one Spark pass computes each row's k bit
+    * positions per indexed column (map-side combined to ≤ m distinct
+    * ints per file), the driver packs bitsets and writes one small
+    * sidecar per file. */
+  private def writeBlooms(spark: SparkSession, hfs: FileSystem, root: Path,
+      dataDir: String, cols: Seq[String], mBits: Int): Unit = {
+    if (cols.isEmpty) return
+    require(Integer.bitCount(mBits) == 1 && mBits >= 1024,
+      s"bloomBits must be a power of two >= 1024, got $mBits")
+    val batch = spark.read.parquet(new Path(root, dataDir).toString)
+    cols.foreach { c =>
+      val ok = batch.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType => true
+        case _ => false
+      }
+      require(ok, s"bloom index supports integral and string columns; " +
+        s"$c is ${batch.schema(c).dataType.simpleString}")
+    }
+    val sections: Seq[(String, String, Array[Int])] = cols.flatMap { c =>
+      val posCols = (0 until BloomK).map { i =>
+        pmod(xxhash64(concat(col(c).cast("string"), lit(" " + i))),
+          lit(mBits.toLong)).cast("int")
+      }
+      batch.filter(col(c).isNotNull)
+        .select(regexp_extract(input_file_name(), DataFileRe, 1).as("__file"),
+          explode(array(posCols: _*)).as("pos"))
+        .groupBy("__file").agg(collect_set(col("pos")).as("ps"))
+        .collect()
+        .map(r => (r.getString(0), c,
+          r.getSeq[Int](1).toArray))
+    }
+    sections.groupBy(_._1).foreach { case (file, secs) =>
+      val body = secs.sortBy(_._2).flatMap { case (_, c, ps) =>
+        val bits = new Array[Byte](mBits / 8)
+        ps.foreach(p => bits(p >>> 3) = (bits(p >>> 3) | (1 << (p & 7))).toByte)
+        Seq(s"col=$c|k=$BloomK|m=$mBits", hexEncode(bits))
+      }
+      val out = hfs.create(new Path(root, file + ".bloom"), true)
+      try out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  /** Per-column bloom sections of a data file's sidecar, or empty when
+    * none exists. NOT counted in [[metadataOpens]] — sidecars are
+    * data-adjacent index reads, not log reads. */
+  private def readBloom(hfs: FileSystem, root: Path, file: String)
+      : Map[String, (Int, Int, Array[Byte])] = {
+    val p = new Path(root, file + ".bloom")
+    if (!hfs.exists(p)) return Map.empty
+    val in = hfs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").filter(_.nonEmpty).grouped(2).flatMap {
+      case Array(hdr, hex) if hdr.startsWith("col=") =>
+        val kv = hdr.split('|').map { t =>
+          val i = t.indexOf('='); t.substring(0, i) -> t.substring(i + 1)
+        }.toMap
+        Some(kv("col") -> (kv("k").toInt, kv("m").toInt, hexDecode(hex)))
+      case _ => None
+    }.toMap
+  }
+
+  /** Equality probes usable for bloom skipping: (column, candidate
+    * canonical values) pairs from the predicate's AND-conjuncts —
+    * `c = v` and `c IN (...)` (either operand order). A file may be
+    * dropped only when EVERY candidate value of some conjunct misses its
+    * bloom; anything under an OR, or a non-canonical literal, never
+    * prunes. */
+  private def eqProbes(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[(String, Seq[String])] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def colName(ex: Expression): Option[String] = ex match {
+      case u: UnresolvedAttribute => Some(u.name)
+      case _ => None
+    }
+    def eq(a: Expression, b: Expression): Option[(String, Seq[String])] =
+      (colName(a), b) match {
+        case (Some(c), Literal(v, dt)) => bloomCanon(v, dt).map(s => c -> Seq(s))
+        case _ => (colName(b), a) match {
+          case (Some(c), Literal(v, dt)) => bloomCanon(v, dt).map(s => c -> Seq(s))
+          case _ => None
+        }
+      }
+    e match {
+      case And(l, r) => eqProbes(l) ++ eqProbes(r)
+      case EqualTo(a, b) => eq(a, b).toSeq
+      case In(a, vals) if vals.forall(_.isInstanceOf[Literal]) =>
+        colName(a).flatMap { c =>
+          val canons = vals.map { case Literal(v, dt) => bloomCanon(v, dt) }
+          // one non-canonical value makes the whole IN un-prunable
+          if (canons.forall(_.isDefined)) Some(c -> canons.flatten)
+          else None
+        }.toSeq
+      case _ => Seq.empty
+    }
+  }
+
+  /** Drop files whose bloom sidecar PROVES every candidate value of some
+    * equality conjunct absent. Sidecars are opened on a bounded local
+    * thread pool (the [[listWithStats]] pattern); files without a
+    * sidecar, or without the probed column's section, are kept. */
+  private def bloomPrune(hfs: FileSystem, root: Path, files: Seq[String],
+      probes: Seq[(String, Seq[String])]): Seq[String] = {
+    if (probes.isEmpty || files.isEmpty) return files
+    def mayContain(file: String): Boolean = {
+      val secs = readBloom(hfs, root, file)
+      if (secs.isEmpty) true
+      else probes.forall { case (c, values) =>
+        secs.get(c).forall { case (k, m, bits) =>
+          values.exists { v =>
+            (0 until k).forall { i =>
+              val p = bloomPos(v, i, m)
+              (bits(p >>> 3) & (1 << (p & 7))) != 0
+            }
+          }
+        }
+      }
+    }
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(16, files.size))
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val flags = Await.result(
+        Future.sequence(files.map(f => Future(mayContain(f)))), Duration.Inf)
+      files.zip(flags).collect { case (f, true) => f }
     } finally pool.shutdown()
   }
 
@@ -1203,7 +1385,11 @@ object VersionedTable {
         throw new IllegalArgumentException(s"no committed versions at $path"))
     val m = readManifest(hfs, root, v)
     val cond = spark.sessionState.sqlParser.parseExpression(condition)
-    val kept = m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), cond))
+    val statKept = m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), cond))
+    // bloom sidecar pass AFTER stats: equality/IN conjuncts drop files
+    // whose filter proves every candidate value absent — the pruning
+    // min/max can never do on a uniformly distributed id column
+    val kept = bloomPrune(hfs, root, statKept, eqProbes(cond))
     val snapSchema = snapshotSchema(spark, root, m)
     val df =
       if (kept.isEmpty)
@@ -1533,6 +1719,8 @@ object VersionedTable {
               !referenced.contains(s"$rel/${f.getPath.getName}") &&
               f.getModificationTime < cutoff) {
             hfs.delete(f.getPath, false); deleted += 1
+            // its bloom sidecar, if any, dies with it
+            hfs.delete(new Path(f.getPath.toString + ".bloom"), false)
           }
         }
       }

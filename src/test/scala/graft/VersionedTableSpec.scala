@@ -836,6 +836,51 @@ class VersionedTableSpec extends SparkSpec {
       "expected clone-local rewrite files")
   }
 
+  test("bloom file index prunes point lookups that min/max never can") {
+    val t = freshTable()
+    // HASH layout: every file's [min, max] spans the whole id domain, so
+    // stats pruning is structurally useless for equality probes
+    val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id"), bloomBits = 1 << 14)
+    // stats alone keep everything; the bloom pass drops the files whose
+    // sidecar proves 2042 absent — all but the owning file (+ rare FP)
+    val pt = VersionedTable.prunedFiles(spark, t, "id = 2042")
+    assert(pt.size <= 2, s"expected <=2 of 8 files after bloom pruning, got ${pt.size}")
+    val row = VersionedTable.readWhere(spark, t, "id = 2042")
+      .select("id", "v").as[(Long, Long)].collect()
+    assert(row.toSeq === Seq((2042L, 20420L)))
+    // IN probe: a file survives if ANY candidate value may be present
+    val in = VersionedTable.prunedFiles(spark, t, "id IN (10, 2042)")
+    assert(in.size <= 3)
+    assert(idSet(VersionedTable.readWhere(spark, t, "id IN (10, 2042)")) === Set(10L, 2042L))
+    // un-indexed column: no sidecar section -> no pruning, still correct
+    assert(VersionedTable.prunedFiles(spark, t, "v = 20420").size === 8)
+    // OR disables equality pruning (either branch could match anywhere)
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042 OR v = 10").size === 8)
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042 OR v = 10")) === Set(1L, 2042L))
+    // an un-indexed append's files carry no sidecar and are always kept
+    VersionedTable.commit(df(9999), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    val after = VersionedTable.prunedFiles(spark, t, "id = 2042")
+    assert(after.size <= 3 && after.size >= pt.size)
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042")) === Set(2042L))
+  }
+
+  test("bloom sidecars ride along with shallow clones") {
+    val src = freshTable()
+    val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, src, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id"), bloomBits = 1 << 14)
+    val tgt = freshTable()
+    VersionedTable.cloneTable(spark, src, tgt, ts = "2026-01-02T00:00:00Z")
+    // the clone's absolute references resolve `<file>.bloom` at the
+    // source location — point-lookup skipping works from clone v0
+    assert(VersionedTable.prunedFiles(spark, tgt, "id = 2042").size <= 2)
+    assert(idSet(VersionedTable.readWhere(spark, tgt, "id = 2042")) === Set(2042L))
+  }
+
   test("snapshot reads keep parquet pushdown: filter reaches the scan") {
     val t = freshTable()
     VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
