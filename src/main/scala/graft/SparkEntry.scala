@@ -192,6 +192,47 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_dv`: silver hash-laid on `event_id` (8 files, every
+    * file holding a spread of ids — the scattered-delete shape) followed
+    * by TWO merge-on-read deletes: a sparse id-keyed erasure (the GDPR
+    * shape — a few rows in EVERY file; copy-on-write would rewrite the
+    * whole table) and a predicate delete that REPLACES the first
+    * vector's entries with superset vectors. No data file is ever
+    * rewritten — both deletes are parquet deletion-vector datasets the
+    * read side anti-joins away. */
+  private def buildDvTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("dv", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtdv").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.deleteMergeOnRead(s, tbl, "event_id % 97 = 0",
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.deleteMergeOnRead(s, tbl,
+        "event_type = 'signup' AND value > 90", ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
+  /** Fixture for `vt_u`: silver hash-laid on `event_id`, then BOTH
+    * update flavors — a copy-on-write UPDATE (cheap clicks doubled,
+    * touched files rewritten) and a merge-on-read UPDATE (expensive
+    * purchases halved: matched rows vectored out + post-images appended,
+    * zero touched files rewritten). Disjoint predicates, so the end
+    * state is order-independent and the oracle is one nested CASE. */
+  private def buildUpdateTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("u", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtu").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.update(s, tbl, "event_type = 'click' AND value < 20",
+        Map("value" -> "value * 2"), ts = "2026-01-02T00:00:00Z")
+      VersionedTable.updateMergeOnRead(s, tbl,
+        "event_type = 'purchase' AND value > 80",
+        Map("value" -> "value * 0.5"), ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
   /** DuckDB mirror of Mobility.transitions: consecutive different-zone
     * pairs per user in (ts, event_id) order, NULL zones dropped first. */
   private val mobTransCte: String =
@@ -606,6 +647,29 @@ object SparkEntry {
     "vt_pt" -> ((s, dir) => {
       val tbl = buildPointTable(s, dir)
       VersionedTable.readWhere(s, tbl, "event_id = 777")
+        .select("event_id", "event_type", "value")
+    }),
+    // UPDATE, both execution flavors on one table (Delta UPDATE +
+    // DV-backed update): COW rewrites touched files with SET applied to
+    // cond-IS-TRUE rows (three-valued — NULL rows untouched); MoR
+    // vectors the matched rows out and appends post-images, rewriting
+    // nothing. The oracle recomputes the end state with one nested
+    // CASE, so the driver compare pins BOTH flavors' row-level
+    // semantics (multiplications are exact in binary FP — bit-stable)
+    "vt_u" -> ((s, dir) => {
+      val tbl = buildUpdateTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
+        .select("event_id", "event_type", "value")
+    }),
+    // merge-on-read delete (Delta deletion vectors): two scattered
+    // deletes recorded as per-file row-position vectors — zero data
+    // files rewritten (spec-asserted); the read anti-joins the broadcast
+    // vectors on (file, row position). The oracle applies both delete
+    // predicates row-wise with three-valued semantics, so the driver
+    // compare pins the END STATE of the vectored table exactly
+    "vt_dv" -> ((s, dir) => {
+      val tbl = buildDvTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
     // shallow clone + independent evolution (Delta CLONE SHALLOW): the
@@ -1539,6 +1603,27 @@ object SparkEntry {
       s"""$silverCte
          |SELECT event_id, event_type, value FROM silver
          |WHERE event_id = 777""".stripMargin,
+
+    // both update flavors' end state in one nested CASE (disjoint
+    // predicates, order-free); *2 and *0.5 are exact FP scalings
+    "vt_u" ->
+      s"""$silverCte
+         |SELECT event_id, event_type,
+         |       CASE WHEN coalesce(event_type = 'click' AND value < 20, FALSE)
+         |            THEN value * 2
+         |            WHEN coalesce(event_type = 'purchase' AND value > 80, FALSE)
+         |            THEN value * 0.5
+         |            ELSE value END AS value
+         |FROM silver""".stripMargin,
+
+    // deletion-vector end state recomputed row-wise: both MoR delete
+    // predicates applied with three-valued semantics (NULL-evaluating
+    // rows survive, exactly like the COW delete's contract)
+    "vt_dv" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE NOT coalesce(event_id % 97 = 0, FALSE)
+         |  AND NOT coalesce(event_type = 'signup' AND value > 90, FALSE)""".stripMargin,
 
     // clone ≡ source snapshot, then the delete's three-valued semantics:
     // rows where the predicate IS TRUE leave; NULL-value rows survive

@@ -573,6 +573,78 @@ object Stress {
       println(s"STRESS zorder_file_prune      rr $kept1/$tot1 files vs z $kept2/$tot2 files opened (identical $hitsW hits)")
     }
 
+    // BLOOM point-lookup skipping: the measurement that justifies the
+    // bloom file index. Same hash-laid frame (every file's [min, max]
+    // spans the whole id domain — stats pruning structurally blind)
+    // committed twice, with and without a bloom index on event_id; an
+    // identical point probe runs against both. Honest metric: files the
+    // probe opens, plus agreement of the row sets.
+    {
+      import graft.sources.VersionedTable
+      val sv = silverOf(events).select("event_id", "event_type", "value")
+        .repartition(16, col("event_id"))
+      val plain = java.nio.file.Files.createTempDirectory("graft_bfp").toString
+      val bloomed = java.nio.file.Files.createTempDirectory("graft_bfb").toString
+      VersionedTable.commit(sv, plain, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val t0 = System.nanoTime()
+      VersionedTable.commit(sv, bloomed, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", bloomIndex = Seq("event_id"))
+      val buildS = (System.nanoTime() - t0) / 1e9
+      val probe = "event_id = 777"
+      def run(tbl: String): (Long, Int, Double) = {
+        val s0 = System.nanoTime()
+        val hits = VersionedTable.readWhere(spark, tbl, probe).count()
+        ((hits, VersionedTable.prunedFiles(spark, tbl, probe).size,
+          (System.nanoTime() - s0) / 1e9))
+      }
+      val (h1, k1, s1) = run(plain)
+      val (h2, k2, s2) = run(bloomed)
+      require(h1 == h2, s"bloom must not change results: $h1 vs $h2")
+      println(f"STRESS bloom_point_prune      none $k1%d/16 files $s1%.2f s vs bloom $k2%d/16 files $s2%.2f s (identical $h1 hits; indexed commit $buildS%.2f s)")
+    }
+
+    // DELETION VECTORS vs COPY-ON-WRITE: the scattered-delete shape
+    // (a few rows in EVERY file — GDPR erasure). COW rewrites all 16
+    // files to drop them; merge-on-read writes a KB-sized position
+    // vector and leaves the data alone. Honest metrics: wall time,
+    // BYTES WRITTEN under files/ by the delete, and read-back equality.
+    {
+      import graft.sources.VersionedTable
+      def bytesUnder(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isFile) f.length()
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0L)
+        walk(new java.io.File(dir, "files"))
+      }
+      val sv = silverOf(events).select("event_id", "event_type", "value")
+        .repartition(16, col("event_id"))
+      val cond = "event_id % 199 = 0"
+      def build(): String = {
+        val t = java.nio.file.Files.createTempDirectory("graft_dvc").toString
+        VersionedTable.commit(sv, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+        t
+      }
+      val (cow, mor) = (build(), build())
+      val b0c = bytesUnder(cow)
+      val t0 = System.nanoTime()
+      VersionedTable.delete(spark, cow, cond, ts = "2026-01-02T00:00:00Z")
+      val cowS = (System.nanoTime() - t0) / 1e9
+      val cowMb = (bytesUnder(cow) - b0c) / 1e6
+      val b0m = bytesUnder(mor)
+      val t1 = System.nanoTime()
+      VersionedTable.deleteMergeOnRead(spark, mor, cond, ts = "2026-01-02T00:00:00Z")
+      val morS = (System.nanoTime() - t1) / 1e9
+      val morKb = (bytesUnder(mor) - b0m) / 1e3
+      val t2 = System.nanoTime()
+      val nM = VersionedTable.readVersion(spark, mor).count()
+      val morRead = (System.nanoTime() - t2) / 1e9
+      val t3 = System.nanoTime()
+      val nC = VersionedTable.readVersion(spark, cow).count()
+      val cowRead = (System.nanoTime() - t3) / 1e9
+      require(nC == nM, s"dv and cow deletes must agree: $nC vs $nM")
+      println(f"STRESS dv_vs_cow_delete       cow $cowS%.2f s/$cowMb%.1f MB written vs dv $morS%.2f s/$morKb%.1f KB written (identical $nC rows; read-back cow $cowRead%.2f s vs dv $morRead%.2f s)")
+    }
+
     spark.stop()
   }
 }

@@ -133,14 +133,20 @@ object VersionedTable {
   private case class Manifest(version: Long, ts: String, op: String,
       files: Seq[String], txn: Option[(String, Long)] = None,
       schemaJson: Option[String] = None,
-      stats: Map[String, Map[String, (String, String)]] = Map.empty)
+      stats: Map[String, Map[String, (String, String)]] = Map.empty,
+      dvs: Map[String, String] = Map.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
-    * snapshot) or delta (adds/removes applied to base's state). */
+    * snapshot) or delta (adds/removes applied to base's state).
+    * `addDvs` — deletion-vector entries SET at this version (data file →
+    * DV dataset dir, `dv=` lines): an entry REPLACES the file's previous
+    * one (the new DV is a superset by construction — Delta's DV
+    * semantics), and a removed file's entry drops with the file. */
   private case class RawManifest(version: Long, ts: String, op: String,
       base: Option[Long], adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)], schemaJson: Option[String],
-      addStats: Map[String, Map[String, (String, String)]])
+      addStats: Map[String, Map[String, (String, String)]],
+      addDvs: Map[String, String] = Map.empty)
 
   private def parseStatsLines(headerLines: Seq[String])
       : Map[String, Map[String, (String, String)]] =
@@ -156,6 +162,15 @@ object VersionedTable {
       }.toMap
     }.toMap
 
+  private def parseDvLines(headerLines: Seq[String]): Map[String, String] =
+    // one `dv=<datafile>|<dvdir>` line per deletion-vectored file
+    headerLines.filter(_.startsWith("dv=")).flatMap { l =>
+      l.stripPrefix("dv=").split('|') match {
+        case Array(f, d) => Some(f -> d)
+        case _ => None
+      }
+    }.toMap
+
   private def readLines(hfs: FileSystem, p: Path): Seq[String] = {
     metadataOpens.incrementAndGet()
     val in = hfs.open(p)
@@ -167,7 +182,8 @@ object VersionedTable {
     val lines = readLines(hfs, manifestPath(root, v))
     val headerLines = lines.takeWhile(_.contains("="))
     val hdr = headerLines
-      .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm="))
+      .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
+        l.startsWith("dv="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -178,7 +194,8 @@ object VersionedTable {
       hdr.get("base").map(_.toLong),
       lines.dropWhile(_.contains("=")),
       headerLines.filter(_.startsWith("rm=")).map(_.stripPrefix("rm=")),
-      txn, hdr.get("schema"), parseStatsLines(headerLines))
+      txn, hdr.get("schema"), parseStatsLines(headerLines),
+      parseDvLines(headerLines))
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -191,7 +208,8 @@ object VersionedTable {
       val lines = readLines(hfs, p)
       val headerLines = lines.takeWhile(_.contains("="))
       val hdr = headerLines
-        .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax="))
+        .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
+          l.startsWith("dv="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -201,7 +219,7 @@ object VersionedTable {
       }.toMap
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
         lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
-        parseStatsLines(headerLines)), txnmax))
+        parseStatsLines(headerLines), parseDvLines(headerLines)), txnmax))
     }
   }
 
@@ -215,7 +233,7 @@ object VersionedTable {
       raw.base match {
         case None =>
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
-            raw.schemaJson, raw.addStats)
+            raw.schemaJson, raw.addStats, raw.addDvs)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -223,7 +241,8 @@ object VersionedTable {
           Manifest(raw.version, raw.ts, raw.op,
             base.files.filterNot(removed) ++ raw.adds, raw.txn,
             raw.schemaJson.orElse(base.schemaJson),
-            (base.stats -- removed) ++ raw.addStats)
+            (base.stats -- removed) ++ raw.addStats,
+            (base.dvs -- removed) ++ raw.addDvs)
       }
     }
 
@@ -770,9 +789,10 @@ object VersionedTable {
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     // mergeSchema, like readVersion: a plain read takes ONE footer, so a
     // post-evolution optimize would silently ERASE the evolved column
-    // from the whole table — breaking the identical-content contract
-    val cur = spark.read.option("mergeSchema", "true")
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+    // from the whole table — breaking the identical-content contract.
+    // Deletion vectors apply here too, which makes optimize the DV
+    // MATERIALIZATION path: the rewritten snapshot carries no entries.
+    val cur = scanFiles(spark, root, m.files, m.dvs)
     val laid = zorderBy match {
       // drop the helper zval column: optimize must be content-identical
       case Some((a, b)) =>
@@ -925,7 +945,8 @@ object VersionedTable {
     val hdr = Seq(s"version=${snap.version}", s"ts=${snap.ts}", s"op=${snap.op}") ++
       snap.schemaJson.map(j => s"schema=$j") ++
       txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
-      statLines(snap.files, snap.stats)
+      statLines(snap.files, snap.stats) ++
+      dvLines(snap.dvs)
     writeClaimed(hfs, new Path(root, CheckpointDir), target,
       (hdr ++ snap.files).mkString("", "\n", "\n"),
       onLost = () => ()) // lost checkpoint race: the other copy is identical
@@ -940,6 +961,9 @@ object VersionedTable {
       }
     }
 
+  private def dvLines(dvs: Map[String, String]): Seq[String] =
+    dvs.toSeq.sortBy(_._1).map { case (f, d) => s"dv=$f|$d" }
+
   private def commitManifest(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
     val target = manifestPath(root, m.version)
     if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
@@ -948,7 +972,8 @@ object VersionedTable {
       m.txn.map { case (a, b) => s"txn=$a:$b" } ++
       m.schemaJson.map(j => s"schema=$j") ++
       m.removes.map(r => s"rm=$r") ++
-      statLines(m.adds, m.addStats)
+      statLines(m.adds, m.addStats) ++
+      dvLines(m.addDvs)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
       onLost = () => throw new ConcurrentCommitException(m.version))
@@ -985,6 +1010,145 @@ object VersionedTable {
     }
   }
 
+  // --------------------------------------------- deletion-vector scans
+  //
+  // Merge-on-read DELETE (Delta's deletion vectors, re-derived): a COW
+  // delete rewrites every touched file, so erasing one user's 10⁶ rows
+  // scattered across a 100 TB table rewrites ~the whole table. A
+  // deletion vector instead records the deleted ROW POSITIONS per file
+  // in a tiny side dataset and leaves the data files untouched; readers
+  // anti-join (file, row position) against the broadcast vector. Write
+  // cost becomes O(deleted rows) — KBs — and the read-side tax is one
+  // broadcast hash anti-join (codegen'd) keyed on the parquet source's
+  // own `_metadata.row_index`. The DV dataset is PARQUET WRITTEN BY A
+  // SPARK JOB — positions are never collected to the driver, so a
+  // delete matching 10⁹ rows still works; only touched FILE NAMES hit
+  // the driver (the same |files| bound as COW discovery). [[optimize]]
+  // reads through vectors like every other reader, so compaction IS the
+  // materialization path (the rewritten snapshot carries no `dv=`
+  // entries); [[delete]]/[[merge]] rewrites of a vectored file apply
+  // its vector first and drop the entry with the file.
+
+  /** The layout-relative form of a manifest file entry: identity on a
+    * normal table, suffix extraction on a clone's absolute path — the
+    * form `input_file_name()` extraction and DV `file` columns use. */
+  private def relLayoutName(f: String): String = {
+    val m = java.util.regex.Pattern.compile(DataFileRe).matcher(f)
+    if (m.matches()) m.group(1) else f
+  }
+
+  /** A scan of `files` carrying `__file` (layout-relative name) and
+    * `__pos` (row position in its file) alongside the data columns. */
+  private def scanWithPos(spark: SparkSession, root: Path, files: Seq[String],
+      mergeSchema: Boolean = true): DataFrame =
+    spark.read.option("mergeSchema", mergeSchema.toString)
+      .parquet(files.map(f => new Path(root, f).toString): _*)
+      .withColumn("__file", regexp_extract(input_file_name(), DataFileRe, 1))
+      .withColumn("__pos", col("_metadata.row_index"))
+
+  /** The deleted (file, pos) rows applying to `files` under `dvs`, or
+    * None when no listed file carries a vector. Entries for OTHER files
+    * are filtered out: a superseded vector dir may survive in older
+    * versions (rollback re-points at it), so a file's positions must
+    * come only from the dir its OWN entry names. */
+  private def dvFrame(spark: SparkSession, root: Path, files: Seq[String],
+      dvs: Map[String, String]): Option[DataFrame] = {
+    val fset = files.toSet
+    val relevant = dvs.filter { case (f, _) => fset(f) }
+    if (relevant.isEmpty) None
+    else {
+      val names = relevant.keys.map(relLayoutName).toSeq
+      Some(spark.read
+        .parquet(relevant.values.toSeq.distinct
+          .map(d => new Path(root, d).toString): _*)
+        .filter(col("file").isin(names: _*)))
+    }
+  }
+
+  /** The LIVE rows of `files` (vectors under `dvs` applied), carrying
+    * `__file`/`__pos` for callers that need row identity (discovery
+    * scans, the DV writer itself). */
+  private def scanLive(spark: SparkSession, root: Path, files: Seq[String],
+      dvs: Map[String, String]): DataFrame = {
+    val s = scanWithPos(spark, root, files)
+    dvFrame(spark, root, files, dvs).fold(s)(dv =>
+      s.join(broadcast(dv.select(col("file").as("__file"),
+        col("pos").as("__pos"))), Seq("__file", "__pos"), "left_anti"))
+  }
+
+  /** DV-aware snapshot scan: plain parquet read when none of `files`
+    * carries a vector (the common case — zero overhead), else the scan
+    * minus the broadcast anti-join on (file, row position). EVERY
+    * reader of current-version data routes through here — readVersion,
+    * readWhere, merge/delete discovery, COW rewrites, optimize, CDF —
+    * so a vectored row is invisible everywhere at once. */
+  private def scanFiles(spark: SparkSession, root: Path, files: Seq[String],
+      dvs: Map[String, String], mergeSchema: Boolean = true): DataFrame =
+    dvFrame(spark, root, files, dvs) match {
+      case None =>
+        spark.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(files.map(f => new Path(root, f).toString): _*)
+      case Some(_) =>
+        scanLive(spark, root, files, dvs).drop("__file", "__pos")
+    }
+
+  /** Merge-on-read DELETE: rows where `condition` IS TRUE leave the
+    * snapshot WITHOUT rewriting any data file — one Spark job writes
+    * their (file, row position) set as a parquet deletion vector and the
+    * manifest points each touched file at it. The 100 TB shape this
+    * exists for: small scattered deletes (GDPR user erasure) where COW
+    * would rewrite nearly every file to drop a few rows each. Trade,
+    * exactly Delta's: reads of a vectored file pay a broadcast anti-join
+    * until [[optimize]] materializes the vector away, so batch-delete
+    * heavy tables should compact on a cadence. A re-delete of a file
+    * replaces its entry with a SUPERSET vector (old positions fold into
+    * the new dataset); already-deleted rows never re-match (the
+    * discovery scan reads through existing vectors). Time travel, CDF,
+    * rollback and clones all see vectors versioned like files. */
+  def deleteMergeOnRead(spark: SparkSession, path: String, condition: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"delete from empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    val candidates =
+      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+    val next = prev + 1
+    if (candidates.isEmpty) {
+      publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
+      return next
+    }
+    // live rows (existing vectors applied) where cond IS TRUE, plus the
+    // candidates' EXISTING positions: a replacing entry must be a
+    // superset, and re-pointing an untouched-but-vectored candidate at
+    // the new dataset is sound (its position set is carried verbatim)
+    val oldDv = dvFrame(spark, root, candidates, m.dvs)
+    val newDel = scanLive(spark, root, candidates, m.dvs)
+      .filter(coalesce(expr(condition), lit(false)))
+      .select(col("__file").as("file"), col("__pos").as("pos"))
+    val out = oldDv.fold(newDel)(newDel.unionByName(_))
+    val dvDir = newDataDir(next)
+    out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
+    // touched file names: |files|-bounded driver read of the tiny vector
+    val touched = spark.read.parquet(new Path(root, dvDir).toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) {
+      hfs.delete(new Path(root, dvDir), true) // nothing matched: no-op commit
+      publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
+      return next
+    }
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
+    publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+      Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty,
+      touchedFiles.map(_ -> dvDir).toMap))
+    next
+  }
+
   /** Read a snapshot: latest when `version` < 0, else that exact version.
     * The explicit file list goes straight to the parquet source — column
     * pruning and predicate pushdown apply as on any parquet scan.
@@ -1005,8 +1169,7 @@ object VersionedTable {
       // empty table states and so does this
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         snapshotSchema(spark, root, m))
-    else spark.read.option("mergeSchema", mergeSchema.toString)
-      .parquet(m.files.map(f => new Path(root, f).toString): _*)
+    else scanFiles(spark, root, m.files, m.dvs, mergeSchema)
   }
 
   /** A snapshot's manifest-relative data-file list (latest when
@@ -1079,7 +1242,8 @@ object VersionedTable {
     val target = readManifest(hfs, root, toVersion)
     val next = versions(hfs, root).last + 1
     publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
-      None, target.files, Seq.empty, None, target.schemaJson, target.stats))
+      None, target.files, Seq.empty, None, target.schemaJson, target.stats,
+      target.dvs))
     next
   }
 
@@ -1121,9 +1285,12 @@ object VersionedTable {
     * drop evolved columns present in the touched files. */
   private[graft] def readTouched(spark: SparkSession, path: String,
       touched: Seq[String]): DataFrame = {
-    val (_, root) = fs(spark, path)
-    spark.read.option("mergeSchema", "true")
-      .parquet(touched.map(f => new Path(root, f).toString): _*)
+    val (hfs, root) = fs(spark, path)
+    // head-version DV entries apply: a COW rewrite of a vectored file
+    // must not resurrect its deleted rows (the rewrite drops the file
+    // AND its entry, so the survivors must already exclude them)
+    val m = readManifest(hfs, root, versions(hfs, root).last)
+    scanFiles(spark, root, touched, m.dvs)
   }
 
   /** Per-key-column [lo, hi] bounds of the updates frame, in the STATS
@@ -1241,12 +1408,12 @@ object VersionedTable {
     // __file is relativized IN the scan (regexp over input_file_name) so
     // every comparison below is manifest-relative — immune to file:/ vs
     // file:/// qualification drift between Hadoop and Spark
+    // DV-aware discovery: a vector-deleted row must NOT count as an
+    // existing match — treating it as one would rewrite its file and
+    // "update" (resurrect) a deleted row instead of inserting fresh
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(f => new Path(root, f).toString): _*)
-        .withColumn("__file",
-          regexp_extract(input_file_name(), DataFileRe, 1))
+      else scanLive(spark, root, candidates, m.dvs)
         .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1398,8 +1565,7 @@ object VersionedTable {
         // align to the SNAPSHOT schema: pruning must not narrow the
         // result's columns when an evolved column lives only in pruned
         // files (their rows are excluded, the column is not)
-        val base = spark.read.option("mergeSchema", "true")
-          .parquet(kept.map(f => new Path(root, f).toString): _*)
+        val base = scanFiles(spark, root, kept, m.dvs)
         base.select(snapSchema.fields.map { f =>
           if (base.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
@@ -1439,10 +1605,7 @@ object VersionedTable {
       m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(f => new Path(root, f).toString): _*)
-        .withColumn("__file",
-          regexp_extract(input_file_name(), DataFileRe, 1))
+      else scanLive(spark, root, candidates, m.dvs)
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1463,6 +1626,143 @@ object VersionedTable {
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+    next
+  }
+
+  /** Validate an UPDATE's SET clause against the snapshot schema and
+    * return (touched files, the resolved assignment exprs cast to the
+    * column's existing type — Delta casts rather than evolves). */
+  private def updatePlan(spark: SparkSession, root: Path, m: Manifest,
+      snapSchema: StructType, condition: String, set: Map[String, String],
+      path: String): Set[String] = {
+    val unknown = set.keys.filterNot(snapSchema.fieldNames.contains)
+    if (unknown.nonEmpty) throw new SchemaMismatchException(
+      s"update SET targets columns ${unknown.mkString("[", ",", "]")} not in the " +
+        s"table schema at $path")
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    val candidates =
+      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else scanLive(spark, root, candidates, m.dvs)
+        .filter(expr(condition))
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    touched
+  }
+
+  /** The SET clause applied to every cond-IS-TRUE row of `df`; other
+    * rows (including NULL-evaluating — three-valued logic, Delta's
+    * semantics) pass through unchanged. Assignments see the PRE-update
+    * row (standard UPDATE: `SET a = b, b = a` swaps). */
+  private def applySet(df: DataFrame, snapSchema: StructType,
+      condition: String, set: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.when
+    val hit = coalesce(expr(condition), lit(false))
+    df.select(df.columns.map { c =>
+      set.get(c) match {
+        case Some(e) =>
+          when(hit, expr(e).cast(snapSchema(c).dataType)).otherwise(col(c)).as(c)
+        case None => col(c)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Copy-on-write UPDATE (Delta `UPDATE table SET ... WHERE ...`):
+    * rows where `condition` IS TRUE get each SET column replaced by its
+    * expression (evaluated against the pre-update row, cast to the
+    * column's existing type); everything else carries unchanged. Only
+    * files CONTAINING a matched row are rewritten — stats-pruned
+    * discovery then a touched-files-only rewrite, the same two-phase
+    * machinery as [[delete]]/[[merge]], so an update touching one day
+    * of a date-laid 100 TB table rewrites that day's files, not the
+    * table. `set` maps column name → SQL expression string. */
+  def update(spark: SparkSession, path: String, condition: String,
+      set: Map[String, String], ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"update of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    val touched = updatePlan(spark, root, m, snapSchema, condition, set, path)
+    val touchedFiles = resolveTouched(m.files, touched)
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    val (newFiles, newStats) = if (touchedFiles.nonEmpty) {
+      val rewritten = applySet(readTouched(spark, path, touchedFiles.toSeq.sorted),
+        snapSchema, condition, set)
+      rewritten.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+      listWithStats(hfs, root, dataDir)
+    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
+    publish(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+    next
+  }
+
+  /** Merge-on-read UPDATE (Delta's DV-backed UPDATE): ONE commit that
+    * (a) vectors the matched rows out of their files and (b) appends
+    * their post-images as new files — the touched files' UNMATCHED rows
+    * are never read or rewritten. Where COW update rewrites every
+    * touched file in full, this writes O(matched rows): the sparse
+    * scattered update (repricing one SKU across a year of date-laid
+    * files) costs the matched slice, not the year. Trade, same as
+    * [[deleteMergeOnRead]]: reads of vectored files pay the broadcast
+    * anti-join until [[optimize]] materializes. CDF reports the change
+    * as row-level delete (pre-image) + insert (post-image) rather than
+    * an update pair — the file diff and the vector diff are what the
+    * manifest knows; documented, not hidden. */
+  def updateMergeOnRead(spark: SparkSession, path: String, condition: String,
+      set: Map[String, String], ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"update of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    val unknown = set.keys.filterNot(snapSchema.fieldNames.contains)
+    if (unknown.nonEmpty) throw new SchemaMismatchException(
+      s"update SET targets columns ${unknown.mkString("[", ",", "]")} not in the " +
+        s"table schema at $path")
+    val candidates =
+      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+    val next = prev + 1
+    if (candidates.isEmpty) {
+      publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
+      return next
+    }
+    val hit = coalesce(expr(condition), lit(false))
+    // one pass stages BOTH sides: matched live rows keep their identity
+    // columns for the vector and their data columns for the post-image
+    val matched = scanLive(spark, root, candidates, m.dvs).filter(hit)
+    val dvDir = newDataDir(next)
+    val oldDv = dvFrame(spark, root, candidates, m.dvs)
+    val newDel = matched.select(col("__file").as("file"), col("__pos").as("pos"))
+    val out = oldDv.fold(newDel)(newDel.unionByName(_))
+    out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
+    val touched = spark.read.parquet(new Path(root, dvDir).toString)
+      .select("file").distinct().collect().map(_.getString(0)).toSet
+    if (touched.isEmpty) {
+      hfs.delete(new Path(root, dvDir), true)
+      publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
+      return next
+    }
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
+    // post-images: the matched rows with SET applied, appended as fresh
+    // files (cond is TRUE on every row here, but applySet re-evaluates
+    // it so assignments see the pre-update row exactly as COW does)
+    val dataDir = newDataDir(next)
+    val post = applySet(matched.drop("__file", "__pos")
+      .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*),
+      snapSchema, condition, set)
+    post.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+      newFiles, Seq.empty, None, Some(snapSchema.json), newStats,
+      touchedFiles.map(_ -> dvDir).toMap))
     next
   }
 
@@ -1508,10 +1808,7 @@ object VersionedTable {
       m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else spark.read.option("mergeSchema", "true")
-        .parquet(candidates.map(f => new Path(root, f).toString): _*)
-        .withColumn("__file",
-          regexp_extract(input_file_name(), DataFileRe, 1))
+      else scanLive(spark, root, candidates, m.dvs)
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1561,9 +1858,16 @@ object VersionedTable {
     val abs = m.files.map(f => shfs.makeQualified(new Path(sroot, f)).toString)
     val absStats = m.files.zip(abs)
       .flatMap { case (f, a) => m.stats.get(f).map(a -> _) }.toMap
+    // DV entries absolutize on BOTH sides: the data-file key (matching
+    // the cloned file list) and the DV dataset dir (it stays in the
+    // source layout — shallow semantics, like the data files)
+    val absDvs = m.files.zip(abs).flatMap { case (f, a) =>
+      m.dvs.get(f).map(d =>
+        a -> shfs.makeQualified(new Path(sroot, d)).toString)
+    }.toMap
     val schema = m.schemaJson.getOrElse(snapshotSchema(spark, sroot, m).json)
     publish(thfs, troot, RawManifest(0L, ts, s"clone(v$v)", None, abs,
-      Seq.empty, None, Some(schema), absStats))
+      Seq.empty, None, Some(schema), absStats, absDvs))
     0L
   }
 
@@ -1588,15 +1892,20 @@ object VersionedTable {
   def changes(spark: SparkSession, path: String, keyCols: Seq[String],
       fromVersion: Long, toVersion: Long): DataFrame = {
     val (hfs, root) = fs(spark, path)
-    val from = readManifest(hfs, root, fromVersion).files
-    val to = readManifest(hfs, root, toVersion).files
+    val fromM = readManifest(hfs, root, fromVersion)
+    val toM = readManifest(hfs, root, toVersion)
+    val from = fromM.files
+    val to = toM.files
     val removed = from.filterNot(to.toSet)
     val added = to.filterNot(from.toSet)
-    def readFiles(files: Seq[String]): Option[DataFrame] =
+    // each side reads through ITS version's deletion vectors: rows
+    // vectored out before `from` are not re-reported when their file is
+    // finally rewritten, and rows vectored out in `to` never appear as
+    // inserts of an added file
+    def readFiles(files: Seq[String], dvs: Map[String, String]): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(spark.read.option("mergeSchema", "true")
-        .parquet(files.map(f => new Path(root, f).toString): _*))
-    (readFiles(removed), readFiles(added)) match {
+      else Some(scanFiles(spark, root, files, dvs))
+    val main = (readFiles(removed, fromM.dvs), readFiles(added, toM.dvs)) match {
       case (None, None) =>
         // metadata-only commit (rollback to self, optimize no-op): no
         // data files differ, the feed is empty by construction
@@ -1637,6 +1946,34 @@ object VersionedTable {
           .unionByName(emit("__pre", "delete"))
           .unionByName(emit("__pre", "update_preimage"))
           .unionByName(emit("__post", "update_postimage"))
+    }
+    // DV-only diffs: files present in BOTH versions whose vector entry
+    // changed carry row-level deletes (positions added to the vector)
+    // or inserts (positions dropped — a rollback across a MoR delete)
+    // with no file-list diff at all. The rows are fetched by a semi-join
+    // of the files' RAW scan against the tiny position diff.
+    val dvChanged = to.filter(f =>
+      from.contains(f) && fromM.dvs.get(f) != toM.dvs.get(f))
+    if (dvChanged.isEmpty) main
+    else {
+      import spark.implicits._
+      def posOf(m: Manifest): DataFrame =
+        dvFrame(spark, root, dvChanged, m.dvs)
+          .map(_.select("file", "pos"))
+          .getOrElse(Seq.empty[(String, Long)].toDF("file", "pos"))
+      val fromPos = posOf(fromM)
+      val toPos = posOf(toM)
+      val raw = scanWithPos(spark, root, dvChanged)
+      def rows(p: DataFrame, tpe: String): DataFrame = raw
+        .join(broadcast(p.select(col("file").as("__file"),
+          col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")
+        .drop("__file", "__pos")
+        .withColumn("_change_type", lit(tpe))
+      main
+        .unionByName(rows(toPos.exceptAll(fromPos), "delete"),
+          allowMissingColumns = true)
+        .unionByName(rows(fromPos.exceptAll(toPos), "insert"),
+          allowMissingColumns = true)
     }
   }
 
@@ -1694,13 +2031,18 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
     if (vs.isEmpty) return 0
-    val referenced = vs.takeRight(retainVersions)
-      .flatMap(readManifest(hfs, root, _).files).toSet
+    val retained = vs.takeRight(retainVersions).map(readManifest(hfs, root, _))
+    val referenced = retained.flatMap(_.files).toSet
+    // deletion-vector datasets referenced by retained versions survive
+    // whole (their parquet files are position data, not table data)
+    val refDvDirs = retained.flatMap(_.dvs.values).toSet
     val filesDir = new Path(root, "files")
     if (!hfs.exists(filesDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
-    hfs.listStatus(filesDir).foreach { cdir =>
+    hfs.listStatus(filesDir).filter { cdir =>
+      !refDvDirs.contains(s"files/${cdir.getPath.getName}")
+    }.foreach { cdir =>
       val rel = s"files/${cdir.getPath.getName}"
       val entries = hfs.listStatus(cdir.getPath).toSeq
       val keep = entries.filter(f => referenced.contains(s"$rel/${f.getPath.getName}"))

@@ -890,4 +890,219 @@ class VersionedTableSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)"),
       s"expected pushed filter in:\n$plan")
   }
+
+  // ------------------------------------------------ deletion vectors
+
+  /** A 4-file table of ids 1..40 (id pre-hashed across files so every
+    * file holds a spread of keys — the scattered-delete shape DVs
+    * exist for). */
+  private def dvTable(): String = {
+    val t = freshTable()
+    val base = df(1L to 40L: _*).repartition(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    t
+  }
+
+  test("deleteMergeOnRead removes rows without rewriting any data file") {
+    val t = dvTable()
+    val before = VersionedTable.snapshotFiles(spark, t)
+    val v = VersionedTable.deleteMergeOnRead(spark, t, "id % 10 = 0", ts = "2026-01-02T00:00:00Z")
+    // file list UNCHANGED: the delete is a vector, not a rewrite
+    assert(VersionedTable.snapshotFiles(spark, t, v) === before)
+    assert(idSet(VersionedTable.readVersion(spark, t)) ===
+      (1L to 40L).filterNot(_ % 10 == 0).toSet)
+    // time travel: the pre-delete snapshot still sees every row
+    assert(idSet(VersionedTable.readVersion(spark, t, v - 1)) === (1L to 40L).toSet)
+    val op = VersionedTable.history(spark, t)
+      .filter(col("version") === v).select("op").head().getString(0)
+    assert(op === "delete_mor")
+  }
+
+  test("deleteMergeOnRead result is identical to copy-on-write delete") {
+    val cow = dvTable(); val mor = dvTable()
+    VersionedTable.delete(spark, cow, "id > 35 OR id % 7 = 0", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, mor, "id > 35 OR id % 7 = 0", ts = "2026-01-02T00:00:00Z")
+    val a = VersionedTable.readVersion(spark, cow).orderBy("id").collect().toSeq
+    val b = VersionedTable.readVersion(spark, mor).orderBy("id").collect().toSeq
+    assert(a === b)
+  }
+
+  test("a second MoR delete replaces entries with a superset vector") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id <= 5", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, t, "id >= 36", ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 35L).toSet)
+    // the intermediate version still reads its own vector state
+    assert(idSet(VersionedTable.readVersion(spark, t, 1L)) === (6L to 40L).toSet)
+  }
+
+  test("merge after a MoR delete inserts fresh rows, never resurrects") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 7", ts = "2026-01-02T00:00:00Z")
+    val up = Seq(7L, 99L).toDF("id").withColumn("v", lit(-1L))
+    VersionedTable.merge(up, t, Seq("id"), ts = "2026-01-03T00:00:00Z")
+    val rows = VersionedTable.readVersion(spark, t)
+      .filter(col("id").isin(7L, 99L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exactly one id=7 row, the MERGED one — the vectored original is gone
+    assert(rows === Set((7L, -1L), (99L, -1L)))
+    assert(VersionedTable.readVersion(spark, t).count() === 41L)
+  }
+
+  test("COW rewrite of a vectored file applies its vector and drops the entry") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 3", ts = "2026-01-02T00:00:00Z")
+    // COW delete touches every file holding an even id — including
+    // id=3's file; the rewrite must not resurrect 3
+    VersionedTable.delete(spark, t, "id % 2 = 0", ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) ===
+      (1L to 40L).filter(i => i % 2 == 1 && i != 3).toSet)
+  }
+
+  test("optimize materializes vectors; vacuum then reclaims the DV dataset") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id BETWEEN 10 AND 19", ts = "2026-01-02T00:00:00Z")
+    val expect = (1L to 40L).filterNot(i => i >= 10 && i <= 19).toSet
+    // vacuum with the vector LIVE: the DV dataset must survive grace=0
+    VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === expect)
+    val vo = VersionedTable.optimize(spark, t, ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t, vo)) === expect)
+    // post-optimize the vector is unreferenced: vacuum reclaims it
+    VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === expect)
+    // a fresh MoR delete on the compacted table still works
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 1", ts = "2026-01-04T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (expect - 1L))
+  }
+
+  test("CDF reports MoR-deleted rows as deletes and rollback as inserts") {
+    val t = dvTable()
+    val v = VersionedTable.deleteMergeOnRead(spark, t, "id IN (2, 22)", ts = "2026-01-02T00:00:00Z")
+    val feed = VersionedTable.changes(spark, t, Seq("id"), v - 1, v)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(feed === Set((2L, "delete"), (22L, "delete")))
+    val rb = VersionedTable.rollback(spark, t, v - 1, ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (1L to 40L).toSet)
+    val back = VersionedTable.changes(spark, t, Seq("id"), v, rb)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(back === Set((2L, "insert"), (22L, "insert")))
+  }
+
+  test("shallow clone carries deletion vectors; clone-side MoR delete stays local") {
+    val src = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, src, "id <= 4", ts = "2026-01-02T00:00:00Z")
+    val tgt = freshTable()
+    VersionedTable.cloneTable(spark, src, tgt, ts = "2026-01-03T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === (5L to 40L).toSet)
+    VersionedTable.deleteMergeOnRead(spark, tgt, "id >= 38", ts = "2026-01-04T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === (5L to 37L).toSet)
+    // the source never sees the clone's vector
+    assert(idSet(VersionedTable.readVersion(spark, src)) === (5L to 40L).toSet)
+  }
+
+  test("readWhere on a vectored table matches readVersion.filter") {
+    val t = freshTable()
+    val base = df(1L to 400L: _*)
+      .repartitionByRange(4, col("id")).sortWithinPartitions("id")
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, t, "id % 3 = 0", ts = "2026-01-02T00:00:00Z")
+    val skip = VersionedTable.readWhere(spark, t, "id BETWEEN 150 AND 250")
+    val full = VersionedTable.readVersion(spark, t).filter("id BETWEEN 150 AND 250")
+    assert(skip.orderBy("id").collect().toSeq === full.orderBy("id").collect().toSeq)
+    // stats pruning still engages on the range-laid files
+    assert(VersionedTable.prunedFiles(spark, t, "id BETWEEN 150 AND 250").size <= 3)
+  }
+
+  test("deletion vectors survive checkpoint-resolved reads") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 11", ts = "2026-01-02T00:00:00Z")
+    // push the log past the checkpoint cadence so the head resolves
+    // from a checkpoint that must carry the dv entries
+    (1 to VersionedTable.checkpointInterval).foreach { i =>
+      VersionedTable.commit(df(1000L + i), t, mode = "append", ts = f"2026-01-03T$i%02d:00:00Z")
+    }
+    val ids = idSet(VersionedTable.readVersion(spark, t))
+    assert(!ids.contains(11L) && ids.contains(12L) && ids.contains(1001L))
+  }
+
+  test("MoR delete matching nothing commits a no-op version") {
+    val t = dvTable()
+    val before = VersionedTable.snapshotFiles(spark, t)
+    val v = VersionedTable.deleteMergeOnRead(spark, t, "id > 10000", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t, v) === before)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (1L to 40L).toSet)
+  }
+
+  // ------------------------------------------------------------ update
+
+  test("COW update rewrites only touched files; SET sees the pre-update row") {
+    val t = dvTable()
+    val before = VersionedTable.snapshotFiles(spark, t).toSet
+    // swap semantics: both assignments read the ORIGINAL row
+    VersionedTable.update(spark, t, "id <= 3",
+      Map("id" -> "v", "v" -> "id"), ts = "2026-01-02T00:00:00Z")
+    val rows = VersionedTable.readVersion(spark, t)
+      .filter(col("v").isin(1L, 2L, 3L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows === Set((10L, 1L), (20L, 2L), (30L, 3L)))
+    assert(VersionedTable.readVersion(spark, t).count() === 40L)
+    // untouched files carry by reference
+    val after = VersionedTable.snapshotFiles(spark, t).toSet
+    assert((before & after).nonEmpty)
+    val op = VersionedTable.history(spark, t).orderBy(col("version").desc)
+      .select("op").head().getString(0)
+    assert(op === "update")
+  }
+
+  test("update rejects SET on a column outside the schema") {
+    val t = dvTable()
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.update(spark, t, "id = 1", Map("nope" -> "1"))
+    }
+  }
+
+  test("MoR update equals COW update and rewrites no touched file") {
+    val cow = dvTable(); val mor = dvTable()
+    val cond = "id % 9 = 0"
+    val set = Map("v" -> "v + id")
+    VersionedTable.update(spark, cow, cond, set, ts = "2026-01-02T00:00:00Z")
+    val beforeFiles = VersionedTable.snapshotFiles(spark, mor).toSet
+    val v = VersionedTable.updateMergeOnRead(spark, mor, cond, set, ts = "2026-01-02T00:00:00Z")
+    val a = VersionedTable.readVersion(spark, cow).orderBy("id", "v").collect().toSeq
+    val b = VersionedTable.readVersion(spark, mor).orderBy("id", "v").collect().toSeq
+    assert(a === b)
+    // every pre-existing file carried; post-images are NEW files only
+    val afterFiles = VersionedTable.snapshotFiles(spark, mor).toSet
+    assert(beforeFiles.subsetOf(afterFiles))
+    assert((afterFiles -- beforeFiles).nonEmpty)
+    // time travel: the pre-update snapshot is intact
+    assert(idSet(VersionedTable.readVersion(spark, mor, v - 1)) === (1L to 40L).toSet)
+  }
+
+  test("CDF reports a MoR update as row-level delete + insert") {
+    val t = dvTable()
+    val v = VersionedTable.updateMergeOnRead(spark, t, "id = 8",
+      Map("v" -> "v * 3"), ts = "2026-01-02T00:00:00Z")
+    val feed = VersionedTable.changes(spark, t, Seq("id"), v - 1, v)
+      .select("id", "v", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(feed === Set((8L, 80L, "delete"), (8L, 240L, "insert")))
+  }
+
+  test("MoR update composes with vectors: optimize materializes the pair") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 5", ts = "2026-01-02T00:00:00Z")
+    // the vectored row must NOT be matched (it is deleted)
+    VersionedTable.updateMergeOnRead(spark, t, "id IN (5, 6)",
+      Map("v" -> "0"), ts = "2026-01-03T00:00:00Z")
+    val expect = (1L to 40L).filterNot(_ == 5L).map(i => (i, if (i == 6L) 0L else i * 10)).toSet
+    def state() = VersionedTable.readVersion(spark, t).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(state() === expect)
+    VersionedTable.optimize(spark, t, ts = "2026-01-04T00:00:00Z")
+    assert(state() === expect)
+  }
 }
