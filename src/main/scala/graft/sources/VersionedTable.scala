@@ -134,7 +134,8 @@ object VersionedTable {
       files: Seq[String], txn: Option[(String, Long)] = None,
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -146,7 +147,9 @@ object VersionedTable {
       base: Option[Long], adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)], schemaJson: Option[String],
       addStats: Map[String, Map[String, (String, String)]],
-      addDvs: Map[String, String] = Map.empty)
+      addDvs: Map[String, String] = Map.empty,
+      addConstraints: Map[String, String] = Map.empty,
+      dropConstraints: Set[String] = Set.empty)
 
   private def parseStatsLines(headerLines: Seq[String])
       : Map[String, Map[String, (String, String)]] =
@@ -171,6 +174,16 @@ object VersionedTable {
       }
     }.toMap
 
+  private def parseConstraintLines(headerLines: Seq[String]): Map[String, String] =
+    // one `ck=<name>|<hex of the SQL expression>` line per constraint —
+    // hex keeps arbitrary SQL text safe in the line format
+    headerLines.filter(_.startsWith("ck=")).flatMap { l =>
+      l.stripPrefix("ck=").split('|') match {
+        case Array(n, e) => Some(n -> new String(hexDecode(e), "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
   private def readLines(hfs: FileSystem, p: Path): Seq[String] = {
     metadataOpens.incrementAndGet()
     val in = hfs.open(p)
@@ -183,7 +196,7 @@ object VersionedTable {
     val headerLines = lines.takeWhile(_.contains("="))
     val hdr = headerLines
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
-        l.startsWith("dv="))
+        l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -195,7 +208,9 @@ object VersionedTable {
       lines.dropWhile(_.contains("=")),
       headerLines.filter(_.startsWith("rm=")).map(_.stripPrefix("rm=")),
       txn, hdr.get("schema"), parseStatsLines(headerLines),
-      parseDvLines(headerLines))
+      parseDvLines(headerLines), parseConstraintLines(headerLines),
+      headerLines.filter(_.startsWith("ckrm="))
+        .map(_.stripPrefix("ckrm=")).toSet)
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -209,7 +224,7 @@ object VersionedTable {
       val headerLines = lines.takeWhile(_.contains("="))
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
-          l.startsWith("dv="))
+          l.startsWith("dv=") || l.startsWith("ck="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -219,7 +234,8 @@ object VersionedTable {
       }.toMap
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
         lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
-        parseStatsLines(headerLines), parseDvLines(headerLines)), txnmax))
+        parseStatsLines(headerLines), parseDvLines(headerLines),
+        parseConstraintLines(headerLines)), txnmax))
     }
   }
 
@@ -233,7 +249,7 @@ object VersionedTable {
       raw.base match {
         case None =>
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
-            raw.schemaJson, raw.addStats, raw.addDvs)
+            raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -242,7 +258,8 @@ object VersionedTable {
             base.files.filterNot(removed) ++ raw.adds, raw.txn,
             raw.schemaJson.orElse(base.schemaJson),
             (base.stats -- removed) ++ raw.addStats,
-            (base.dvs -- removed) ++ raw.addDvs)
+            (base.dvs -- removed) ++ raw.addDvs,
+            (base.constraints -- raw.dropConstraints) ++ raw.addConstraints)
       }
     }
 
@@ -510,6 +527,82 @@ object VersionedTable {
     * opts into evolution with `mergeSchema = true`. */
   final class SchemaMismatchException(msg: String) extends RuntimeException(msg)
 
+  final class ConstraintViolationException(name: String, expression: String,
+      path: String) extends RuntimeException(
+    s"CHECK constraint $name ($expression) violated by incoming rows at $path")
+
+  /** SQL CHECK semantics: a row violates only when the expression IS
+    * FALSE — NULL passes (the standard, and Delta's). One short-circuit
+    * pass per constraint (`isEmpty` plans a limit-1 scan). `df` must
+    * already be aligned to the snapshot schema so constraints on
+    * columns the batch omits see NULL, not an analysis error. */
+  private def enforceConstraints(df: DataFrame, cks: Map[String, String],
+      path: String): Unit =
+    cks.toSeq.sortBy(_._1).foreach { case (n, e) =>
+      if (!df.filter(coalesce(expr(e), lit(true)) === false).isEmpty)
+        throw new ConstraintViolationException(n, e, path)
+    }
+
+  private def alignTo(df: DataFrame, schema: StructType): DataFrame =
+    df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*)
+
+  /** The table's CHECK constraints (name → SQL expression) at head. */
+  def constraintsOf(spark: SparkSession, path: String): Map[String, String] = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption
+      .map(readManifest(hfs, root, _).constraints).getOrElse(Map.empty)
+  }
+
+  /** Add a CHECK constraint (Delta `ALTER TABLE ADD CONSTRAINT`): a
+    * metadata-only commit after which EVERY write path — commit (append
+    * and overwrite), merge, update (both flavors), replaceWhere, the
+    * streaming sink — rejects a batch containing a row where
+    * `expression` IS FALSE, before any data lands. NULL evaluations
+    * pass (SQL CHECK semantics), so `NOT NULL` is spelled explicitly:
+    * `addConstraint(t, "v_nn", "v IS NOT NULL")`. Existing data is
+    * validated first (one short-circuit scan), exactly Delta's
+    * behavior — a constraint the current snapshot already violates is
+    * rejected rather than recorded as a lie; pass `validate = false`
+    * only when the snapshot is known clean (e.g. restoring metadata). */
+  def addConstraint(spark: SparkSession, path: String, name: String,
+      expression: String, ts: String = "1970-01-01T00:00:00Z",
+      validate: Boolean = true): Long = {
+    require(name.nonEmpty && !name.contains('|') && !name.contains('='),
+      s"bad constraint name: $name")
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"addConstraint on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    if (validate && m.files.nonEmpty)
+      enforceConstraints(
+        alignTo(readVersion(spark, path, prev), snapshotSchema(spark, root, m)),
+        Map(name -> expression), path)
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"add_constraint($name)",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      Map.empty, Map(name -> expression)))
+    next
+  }
+
+  /** Drop a CHECK constraint — metadata-only commit; time travel before
+    * it still sees (and CDF replay re-derives) the constrained epochs. */
+  def dropConstraint(spark: SparkSession, path: String, name: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"dropConstraint on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    require(m.constraints.contains(name), s"no constraint $name at $path")
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"drop_constraint($name)",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      Map.empty, Map.empty, Set(name)))
+    next
+  }
+
   private def commitInternal(df: DataFrame, path: String, mode: String,
       ts: String, txn: Option[(String, Long)],
       mergeSchema: Boolean = false, bloomIndex: Seq[String] = Seq.empty,
@@ -540,6 +633,13 @@ object VersionedTable {
             "pass mergeSchema = true to evolve")
       }
     val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+    // CHECK constraints gate the batch BEFORE any data lands — table
+    // metadata, so they apply to appends AND overwrites (an overwrite
+    // replaces the data, not the table's contract)
+    val prevCks = prev.map(p => readManifest(hfs, root, p).constraints)
+      .getOrElse(Map.empty)
+    if (prevCks.nonEmpty)
+      enforceConstraints(alignTo(df, snapSchema), prevCks, path)
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
@@ -549,9 +649,12 @@ object VersionedTable {
     writeBlooms(spark, hfs, root, dataDir, bloomIndex, bloomBits)
     // append = DELTA manifest against prev (O(batch) log write — the
     // previous file list is never re-serialized); overwrite/first = full
+    // manifest, which must CARRY the constraints (delta manifests
+    // inherit them through base)
     val base = if (mode == "append") prev else None
     publish(hfs, root, RawManifest(next, ts, mode, base, newFiles,
-      Seq.empty, txn, Some(snapSchema.json), newStats))
+      Seq.empty, txn, Some(snapSchema.json), newStats,
+      Map.empty, if (base.isEmpty) prevCks else Map.empty))
     next
   }
 
@@ -804,7 +907,8 @@ object VersionedTable {
     laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     publish(hfs, root, RawManifest(next, ts, "optimize", None, newFiles,
-      Seq.empty, None, Some(cur.schema.json), newStats))
+      Seq.empty, None, Some(cur.schema.json), newStats,
+      Map.empty, m.constraints))
     next
   }
 
@@ -864,6 +968,34 @@ object VersionedTable {
       maxRetries: Int = 5): Long =
     commitWithRetryImpl(df, path, ts, mergeSchema, maxRetries, _ => ())
 
+  /** Optimistic concurrency for DML (Delta's retry-on-conflict loop,
+    * the sound-and-simple variant): run `op` — a [[merge]], [[delete]],
+    * [[update]], [[replaceWhere]] or MoR call — and when it loses the
+    * commit claim to a concurrent writer, RE-RUN IT FROM SCRATCH against
+    * the new head, up to `maxRetries` times. Re-running is what makes
+    * this unconditionally correct: every DML here reads its snapshot,
+    * discovers touched files and rewrites INSIDE the call, so a retry
+    * sees the winner's commit and recomputes against it — there is no
+    * stale-read window to reconcile, which is exactly the hazard Delta's
+    * file-level conflict analysis exists to detect. The price is
+    * recomputing the loser's work (Delta avoids it for provably disjoint
+    * commits); at this layer's commit rates the recompute is the right
+    * trade for zero conflict-analysis code to trust. The lost attempt's
+    * data directory is orphaned (attempt-unique names — two racers never
+    * share one) and vacuum-reclaimed past the grace window. */
+  def dmlWithRetry(maxRetries: Int = 5)(op: => Long): Long = {
+    var attempt = 0
+    while (true) {
+      try return op
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+      }
+    }
+    -1L // unreachable
+  }
+
   /** Test seam: `beforeClaim(next)` runs after the version is computed
     * and before the manifest claim — the window a concurrent winner
     * lands in. */
@@ -892,6 +1024,12 @@ object VersionedTable {
               "pass mergeSchema = true to evolve")
         }
       val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+      // constraint gate per attempt — the winning writer may have ADDED
+      // a constraint between our attempts, and the claim must never
+      // land a batch the head's contract rejects
+      val cks = prev.map(p => readManifest(hfs, root, p).constraints)
+        .getOrElse(Map.empty)
+      if (cks.nonEmpty) enforceConstraints(alignTo(df, snapSchema), cks, path)
       val next = prev.map(_ + 1).getOrElse(0L)
       try {
         beforeClaim(next)
@@ -946,7 +1084,8 @@ object VersionedTable {
       snap.schemaJson.map(j => s"schema=$j") ++
       txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
       statLines(snap.files, snap.stats) ++
-      dvLines(snap.dvs)
+      dvLines(snap.dvs) ++
+      constraintLines(snap.constraints)
     writeClaimed(hfs, new Path(root, CheckpointDir), target,
       (hdr ++ snap.files).mkString("", "\n", "\n"),
       onLost = () => ()) // lost checkpoint race: the other copy is identical
@@ -964,6 +1103,10 @@ object VersionedTable {
   private def dvLines(dvs: Map[String, String]): Seq[String] =
     dvs.toSeq.sortBy(_._1).map { case (f, d) => s"dv=$f|$d" }
 
+  private def constraintLines(cks: Map[String, String]): Seq[String] =
+    cks.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"ck=$n|${hexEncode(e.getBytes("UTF-8"))}" }
+
   private def commitManifest(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
     val target = manifestPath(root, m.version)
     if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
@@ -973,7 +1116,9 @@ object VersionedTable {
       m.schemaJson.map(j => s"schema=$j") ++
       m.removes.map(r => s"rm=$r") ++
       statLines(m.adds, m.addStats) ++
-      dvLines(m.addDvs)
+      dvLines(m.addDvs) ++
+      constraintLines(m.addConstraints) ++
+      m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n")
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
       onLost = () => throw new ConcurrentCommitException(m.version))
@@ -1243,7 +1388,7 @@ object VersionedTable {
     val next = versions(hfs, root).last + 1
     publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
       None, target.files, Seq.empty, None, target.schemaJson, target.stats,
-      target.dvs))
+      target.dvs, target.constraints))
     next
   }
 
@@ -1399,6 +1544,11 @@ object VersionedTable {
     if (drift.nonEmpty) throw new SchemaMismatchException(
       s"merge updates carry columns ${drift.mkString("[", ",", "]")} not in the " +
         s"table schema at $path")
+    // incoming rows gate on the table's CHECK constraints before any
+    // data lands (aligned: columns the batch omits read NULL, and NULL
+    // passes — SQL CHECK semantics)
+    if (m.constraints.nonEmpty)
+      enforceConstraints(alignTo(updates, snapSchema), m.constraints, path)
     // Stats pruning BEFORE the discovery scan: a file whose recorded
     // [min, max] ranges miss the updates' key ranges on ANY key column
     // provably contains no matched key and is never opened — Delta's
@@ -1690,8 +1840,14 @@ object VersionedTable {
     val next = prev + 1
     val dataDir = newDataDir(next)
     val (newFiles, newStats) = if (touchedFiles.nonEmpty) {
-      val rewritten = applySet(readTouched(spark, path, touchedFiles.toSeq.sorted),
-        snapSchema, condition, set)
+      val pre = readTouched(spark, path, touchedFiles.toSeq.sorted)
+      // constraints gate the POST-IMAGES (cond evaluated on pre-values:
+      // applySet over the matched slice) before the rewrite lands
+      if (m.constraints.nonEmpty)
+        enforceConstraints(
+          applySet(pre.filter(coalesce(expr(condition), lit(false))),
+            snapSchema, condition, set), m.constraints, path)
+      val rewritten = applySet(pre, snapSchema, condition, set)
       rewritten.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
       listWithStats(hfs, root, dataDir)
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
@@ -1758,6 +1914,7 @@ object VersionedTable {
     val post = applySet(matched.drop("__file", "__pos")
       .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*),
       snapSchema, condition, set)
+    if (m.constraints.nonEmpty) enforceConstraints(post, m.constraints, path)
     post.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
@@ -1817,6 +1974,8 @@ object VersionedTable {
     val next = prev + 1
     val dataDir = newDataDir(next)
     val aligned = df.select(snapSchema.fieldNames.map(col).toSeq: _*)
+    if (m.constraints.nonEmpty)
+      enforceConstraints(aligned, m.constraints, path)
     val out =
       if (touchedFiles.isEmpty) aligned
       else readTouched(spark, path, touchedFiles.toSeq.sorted)
@@ -1866,8 +2025,10 @@ object VersionedTable {
         a -> shfs.makeQualified(new Path(sroot, d)).toString)
     }.toMap
     val schema = m.schemaJson.getOrElse(snapshotSchema(spark, sroot, m).json)
+    // constraints are TABLE metadata — they carry verbatim (Delta clones
+    // carry table properties) and bind the clone's own future writes
     publish(thfs, troot, RawManifest(0L, ts, s"clone(v$v)", None, abs,
-      Seq.empty, None, Some(schema), absStats, absDvs))
+      Seq.empty, None, Some(schema), absStats, absDvs, m.constraints))
     0L
   }
 

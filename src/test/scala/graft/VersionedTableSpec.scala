@@ -1105,4 +1105,124 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.optimize(spark, t, ts = "2026-01-04T00:00:00Z")
     assert(state() === expect)
   }
+
+  // ------------------------------------------------- CHECK constraints
+
+  test("CHECK constraint gates every write path; NULL passes") {
+    val t = freshTable()
+    val withNull = Seq((1L, Some(10L)), (2L, None)).toDF("id", "v")
+    VersionedTable.commit(withNull, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.addConstraint(spark, t, "v_pos", "v > 0", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.constraintsOf(spark, t) === Map("v_pos" -> "v > 0"))
+    // append of a violating batch rejected BEFORE any data lands
+    val files = VersionedTable.snapshotFiles(spark, t)
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(Seq((3L, Some(-5L))).toDF("id", "v"), t,
+        mode = "append", ts = "2026-01-03T00:00:00Z")
+    }
+    assert(VersionedTable.snapshotFiles(spark, t) === files)
+    // NULL evaluations pass (SQL CHECK), clean batches commit
+    VersionedTable.commit(Seq((3L, None: Option[Long])).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    // merge, update and replaceWhere gate too
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.merge(Seq((1L, Some(-1L))).toDF("id", "v"), t, Seq("id"))
+    }
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.update(spark, t, "id = 1", Map("v" -> "-9"))
+    }
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.updateMergeOnRead(spark, t, "id = 1", Map("v" -> "-9"))
+    }
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.replaceWhere(Seq((1L, Some(-1L))).toDF("id", "v"), t, "id = 1")
+    }
+    // a conforming update passes
+    VersionedTable.update(spark, t, "id = 1", Map("v" -> "v + 1"), ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).filter(col("id") === 1)
+      .select("v").head().getLong(0) === 11L)
+  }
+
+  test("addConstraint validates existing data and is rejected when dirty") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.addConstraint(spark, t, "small", "id < 3")
+    }
+    assert(VersionedTable.constraintsOf(spark, t).isEmpty)
+  }
+
+  test("constraints survive overwrite, optimize, checkpoints and clones; drop lifts them") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.addConstraint(spark, t, "id_pos", "id > 0", ts = "2026-01-02T00:00:00Z")
+    // overwrite replaces DATA, not the table contract
+    VersionedTable.commit(df(5, 6), t, mode = "overwrite", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.constraintsOf(spark, t) === Map("id_pos" -> "id > 0"))
+    VersionedTable.optimize(spark, t, ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.constraintsOf(spark, t) === Map("id_pos" -> "id > 0"))
+    // cross the checkpoint cadence: the resolved entry must persist
+    (1 to VersionedTable.checkpointInterval).foreach { i =>
+      VersionedTable.commit(df(100L + i), t, mode = "append", ts = f"2026-01-05T$i%02d:00:00Z")
+    }
+    assert(VersionedTable.constraintsOf(spark, t) === Map("id_pos" -> "id > 0"))
+    // clones inherit the contract
+    val c = freshTable()
+    VersionedTable.cloneTable(spark, t, c, ts = "2026-01-06T00:00:00Z")
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(df(-1), c, mode = "append", ts = "2026-01-07T00:00:00Z")
+    }
+    // drop lifts enforcement on the dropped table only
+    VersionedTable.dropConstraint(spark, c, "id_pos", ts = "2026-01-08T00:00:00Z")
+    VersionedTable.commit(df(-1), c, mode = "append", ts = "2026-01-09T00:00:00Z")
+    assert(VersionedTable.constraintsOf(spark, t) === Map("id_pos" -> "id > 0"))
+  }
+
+  // ----------------------------------------------- DML retry (OCC)
+
+  test("dmlWithRetry re-runs a claim-losing op and gives up past maxRetries") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // simulate losing the claim once: first invocation commits a rival
+    // version mid-op and throws; the retry runs clean against the head
+    var calls = 0
+    val v = VersionedTable.dmlWithRetry() {
+      calls += 1
+      if (calls == 1) throw new VersionedTable.ConcurrentCommitException(1L)
+      VersionedTable.delete(spark, t, "id = 2", ts = "2026-01-02T00:00:00Z")
+    }
+    assert(calls === 2 && v === 1L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === Set(1L))
+    intercept[VersionedTable.ConcurrentCommitException] {
+      VersionedTable.dmlWithRetry(maxRetries = 2) {
+        throw new VersionedTable.ConcurrentCommitException(9L)
+      }
+    }
+  }
+
+  test("two REAL concurrent DML writers (merge vs delete) both land via dmlWithRetry") {
+    // whichever interleaving the scheduler picks, both effects must be
+    // in the final state: the loser's retry RE-DISCOVERS against the
+    // winner's commit, so there is no stale-read window
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 40L: _*).repartition(4, col("id")), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val up = Seq((7L, -7L), (99L, -99L)).toDF("id", "v")
+      val fa = Future(VersionedTable.dmlWithRetry() {
+        VersionedTable.merge(up, t, Seq("id"), ts = "2026-01-02T00:00:00Z") })
+      val fb = Future(VersionedTable.dmlWithRetry() {
+        VersionedTable.delete(spark, t, "id >= 30 AND id <= 40", ts = "2026-01-02T00:00:00Z") })
+      Set(Await.result(fa, Duration.Inf), Await.result(fb, Duration.Inf))
+    } finally pool.shutdown()
+    val out = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(7L) === -7L && out(99L) === -99L, s"merge effect lost: $out")
+    assert((30L to 40L).forall(i => !out.contains(i)), "delete effect lost")
+    assert(out.size === 40 - 11 + 1) // 40 - deleted 11 + inserted 99
+  }
 }
