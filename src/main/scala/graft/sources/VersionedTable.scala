@@ -1183,12 +1183,18 @@ object VersionedTable {
   }
 
   /** A scan of `files` carrying `__file` (layout-relative name) and
-    * `__pos` (row position in its file) alongside the data columns. */
+    * `__pos` (row position in its file) alongside the data columns.
+    * Row identity comes from the `_metadata` columns, NOT
+    * `input_file_name()`: the metadata struct is a deterministic
+    * attribute, so user predicates still PUSH DOWN through this
+    * projection to the parquet scan — `input_file_name()` is
+    * non-deterministic in Catalyst and would fence every filter above
+    * it out of the scan (plan-audit-asserted). */
   private def scanWithPos(spark: SparkSession, root: Path, files: Seq[String],
       mergeSchema: Boolean = true): DataFrame =
     spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(files.map(f => new Path(root, f).toString): _*)
-      .withColumn("__file", regexp_extract(input_file_name(), DataFileRe, 1))
+      .withColumn("__file", regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
       .withColumn("__pos", col("_metadata.row_index"))
 
   /** The deleted (file, pos) rows applying to `files` under `dvs`, or
@@ -1555,9 +1561,9 @@ object VersionedTable {
     // file-skipping, from the manifest's footer stats. Files without
     // stats stay candidates (pruning is only ever an optimization).
     val candidates = candidateFiles(m, updateKeyBounds(updates, keyCols))
-    // __file is relativized IN the scan (regexp over input_file_name) so
-    // every comparison below is manifest-relative — immune to file:/ vs
-    // file:/// qualification drift between Hadoop and Spark
+    // __file is relativized IN the scan (regexp over _metadata.file_path)
+    // so every comparison below is manifest-relative — immune to file:/
+    // vs file:/// qualification drift between Hadoop and Spark.
     // DV-aware discovery: a vector-deleted row must NOT count as an
     // existing match — treating it as one would rewrite its file and
     // "update" (resurrect) a deleted row instead of inserting fresh

@@ -146,4 +146,27 @@ class PlanAuditSpec extends SparkSpec {
       s"expected 2 exchanges (silver event_id dedup + one user_id shuffle), got $exchanges:\n$plan")
     assert(plan.contains("hashpartitioning(user_id"), s"missing user_id shuffle:\n$plan")
   }
+
+  test("deletion-vector reads keep parquet pushdown under the anti-join") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.sources.VersionedTable
+    val t = java.nio.file.Files.createTempDirectory("plan_dv").toString
+    import spark.implicits._
+    val base = (1L to 2000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, t, "id % 100 = 0", ts = "2026-01-02T00:00:00Z")
+    val plan = VersionedTable.readVersion(spark, t)
+      .filter(col("id") > 1900).queryExecution.executedPlan.toString
+    // the user filter reaches the parquet scan BELOW the DV anti-join —
+    // data skipping and row-group pruning still engage on vectored files
+    assert(plan.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,1900)"),
+      s"expected pushed filter under the DV join in:\n$plan")
+    // and the vector applies as a BROADCAST hash anti-join (no shuffle
+    // of the data side), never a sort-merge
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      s"expected broadcast anti-join in:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"DV application must not shuffle the scan:\n$plan")
+  }
 }

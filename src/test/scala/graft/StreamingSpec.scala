@@ -289,6 +289,15 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, viewP) === folds + 1)
     assert(dump(VersionedTable.readVersion(spark, viewP)) ===
       dump(Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))))
+    // MERGE-ON-READ delete: no file-list diff at all — the change feed's
+    // vector-diff branch must deliver the deleted rows so the maintained
+    // view stays bit-exact with the recompute (the CDF×DV composition)
+    VersionedTable.deleteMergeOnRead(spark, tbl, "event_id IN (2, 6)",
+      ts = "2026-03-06T00:00:00Z")
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt")
+    assert(VersionedTable.latestVersion(spark, viewP) === folds + 2)
+    assert(dump(VersionedTable.readVersion(spark, viewP)) ===
+      dump(Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))))
   }
 
   test("versioned sink: one snapshot per micro-batch, replay skipped before any write") {
