@@ -643,6 +643,44 @@ object Stress {
       val cowRead = (System.nanoTime() - t3) / 1e9
       require(nC == nM, s"dv and cow deletes must agree: $nC vs $nM")
       println(f"STRESS dv_vs_cow_delete       cow $cowS%.2f s/$cowMb%.1f MB written vs dv $morS%.2f s/$morKb%.1f KB written (identical $nC rows; read-back cow $cowRead%.2f s vs dv $morRead%.2f s)")
+
+      // VECTORED-READ TAX vs vector size — the measurement behind the
+      // "compact on a cadence" guidance: the anti-join's broadcast grows
+      // with DELETED ROWS, so reads stay cheap for the sparse-delete
+      // shape DVs exist for and optimize materializes the rest away.
+      val taxed = build()
+      def readS(): Double = {
+        val s0 = System.nanoTime()
+        VersionedTable.readVersion(spark, taxed).count()
+        (System.nanoTime() - s0) / 1e9
+      }
+      val base0 = readS()
+      val t10 = { VersionedTable.deleteMergeOnRead(spark, taxed,
+        "event_id % 100 = 0", ts = "2026-01-02T00:00:00Z"); readS() } // ~1%
+      val t25 = { VersionedTable.deleteMergeOnRead(spark, taxed,
+        "event_id % 4 = 0", ts = "2026-01-03T00:00:00Z"); readS() }   // ~25%
+      VersionedTable.optimize(spark, taxed, ts = "2026-01-04T00:00:00Z")
+      val tOpt = readS()
+      println(f"STRESS dv_read_tax            plain $base0%.2f s, 1%%-vector $t10%.2f s, 25%%-vector $t25%.2f s, post-optimize $tOpt%.2f s (vector materialized)")
+
+      // CONSTRAINT overhead per commit: each CHECK is one short-circuit
+      // limit-1 pass over the batch before the write.
+      val free = java.nio.file.Files.createTempDirectory("graft_ck0").toString
+      val gated = java.nio.file.Files.createTempDirectory("graft_ck3").toString
+      VersionedTable.commit(sv.limit(1), free, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.commit(sv.limit(1), gated, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.addConstraint(spark, gated, "id_nn", "event_id IS NOT NULL")
+      VersionedTable.addConstraint(spark, gated, "t_dom",
+        "event_type IN ('click','view','purchase','signup','error')")
+      VersionedTable.addConstraint(spark, gated, "v_rng",
+        "value >= 0 AND value < 1e9") // NULL passes, SQL CHECK
+      val f0 = System.nanoTime()
+      VersionedTable.commit(sv, free, mode = "append", ts = "2026-01-02T00:00:00Z")
+      val freeS = (System.nanoTime() - f0) / 1e9
+      val g0 = System.nanoTime()
+      VersionedTable.commit(sv, gated, mode = "append", ts = "2026-01-02T00:00:00Z")
+      val gatedS = (System.nanoTime() - g0) / 1e9
+      println(f"STRESS constraint_commit      unconstrained $freeS%.2f s vs 3-CHECK gated $gatedS%.2f s per append (same batch)")
     }
 
     spark.stop()

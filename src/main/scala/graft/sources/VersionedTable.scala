@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, pmod, regexp_extract, struct, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, pmod, regexp_extract, struct, when, xxhash64}
 import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
@@ -532,16 +532,27 @@ object VersionedTable {
     s"CHECK constraint $name ($expression) violated by incoming rows at $path")
 
   /** SQL CHECK semantics: a row violates only when the expression IS
-    * FALSE — NULL passes (the standard, and Delta's). One short-circuit
-    * pass per constraint (`isEmpty` plans a limit-1 scan). `df` must
-    * already be aligned to the snapshot schema so constraints on
+    * FALSE — NULL passes (the standard, and Delta's). ONE pass
+    * evaluates EVERY constraint (each becomes a when(violated, name)
+    * branch coalesced left-to-right in name order, so the reported
+    * violation is deterministic), short-circuited by a limit-1 plan —
+    * N constraints cost one batch scan, not N (Stress-measured). `df`
+    * must already be aligned to the snapshot schema so constraints on
     * columns the batch omits see NULL, not an analysis error. */
   private def enforceConstraints(df: DataFrame, cks: Map[String, String],
-      path: String): Unit =
-    cks.toSeq.sortBy(_._1).foreach { case (n, e) =>
-      if (!df.filter(coalesce(expr(e), lit(true)) === false).isEmpty)
-        throw new ConstraintViolationException(n, e, path)
-    }
+      path: String): Unit = {
+    if (cks.isEmpty) return
+    val ordered = cks.toSeq.sortBy(_._1)
+    val firstViolated = ordered.map { case (n, e) =>
+      when(coalesce(expr(e), lit(true)) === false, lit(n))
+    }.reduce(coalesce(_, _))
+    df.select(firstViolated.as("__violated"))
+      .filter(col("__violated").isNotNull)
+      .limit(1).collect().headOption.foreach { r =>
+        val n = r.getString(0)
+        throw new ConstraintViolationException(n, cks(n), path)
+      }
+  }
 
   private def alignTo(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.map { f =>
@@ -909,6 +920,45 @@ object VersionedTable {
     publish(hfs, root, RawManifest(next, ts, "optimize", None, newFiles,
       Seq.empty, None, Some(cur.schema.json), newStats,
       Map.empty, m.constraints))
+    next
+  }
+
+  /** Incremental compaction (Delta auto-compaction / the real shape of
+    * `OPTIMIZE`): rewrite ONLY the files smaller than `smallBytes` into
+    * ~`targetFileBytes` files, carrying everything else by reference —
+    * a delta manifest (rm = the small files, adds = their compaction),
+    * so the cost is O(small bytes) however large the table. This is the
+    * maintenance step a streaming sink needs: each micro-batch lands a
+    * file, and WITHOUT bounded compaction a long-lived stream's snapshot
+    * degenerates into thousands of KB-files whose per-file open cost
+    * dominates every scan ([[optimize]] would fix that too, but at
+    * O(table) per call — quadratic over the stream's life; this stays
+    * O(new files) per cadence). Deletion vectors on compacted files are
+    * applied and dropped (content-identical, like optimize); returns the
+    * new version, or the CURRENT version untouched when fewer than two
+    * small files exist (no commit — nothing to gain). */
+  def compactSmall(spark: SparkSession, path: String,
+      smallBytes: Long = 8L * 1024 * 1024,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"compact of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val sized = m.files.map(f =>
+      f -> hfs.getFileStatus(new Path(root, f)).getLen)
+    val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
+    if (small.size < 2) return prev
+    val bytes = sized.collect { case (f, n) if small.contains(f) => n }.sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cur = readTouched(spark, path, small) // DV-aware, mergeSchema
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    cur.repartition(target).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
+    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    publish(hfs, root, RawManifest(next, ts, "compact", Some(prev), newFiles,
+      small, None, m.schemaJson, newStats))
     next
   }
 

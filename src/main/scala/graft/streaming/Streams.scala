@@ -451,10 +451,23 @@ object Streams {
     * byte-identically; production passes the ingest batch time). */
   def toVersionedSink(df: DataFrame, path: String,
       appId: String = "graft-stream",
-      tsOf: Long => String = id => java.time.Instant.EPOCH.plusSeconds(id).toString): Unit = {
+      tsOf: Long => String = id => java.time.Instant.EPOCH.plusSeconds(id).toString,
+      autoCompactEvery: Int = 0,
+      smallBytes: Long = 8L * 1024 * 1024): Unit = {
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        graft.sources.VersionedTable.commitIfNew(batch, path, appId, id, tsOf(id))
+        val committed = graft.sources.VersionedTable
+          .commitIfNew(batch, path, appId, id, tsOf(id))
+        // auto-compaction (Delta autoCompact): every Nth COMMITTED batch
+        // folds the accumulated small files into target-sized ones — a
+        // delta manifest rewriting O(small bytes), never the table.
+        // Replayed (skipped) batches never trigger it, and the compaction
+        // version carries no txn marker, so exactly-once replay
+        // accounting is untouched.
+        if (autoCompactEvery > 0 && committed.isDefined &&
+            id % autoCompactEvery == (autoCompactEvery - 1))
+          graft.sources.VersionedTable.compactSmall(
+            batch.sparkSession, path, smallBytes, ts = tsOf(id))
         ()
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()

@@ -521,4 +521,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     assert(seen.asScala.toSet === Set(0L, 1L, 2L))
   }
+
+  test("versioned sink auto-compaction bounds the small-file count; replay accounting intact") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_vac").toString
+    val src = s"$root/src"
+    val tbl = s"$root/table"
+    (1 to 4).foreach { i =>
+      ((i * 10L) to (i * 10L + 3L)).toDF("id").coalesce(1)
+        .write.mode("append").parquet(src)
+    }
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    // four micro-batches, compaction after every second COMMITTED batch
+    Streams.toVersionedSink(stream(), tbl, appId = "vac-app", autoCompactEvery = 2)
+    val expect = (1 to 4).flatMap(i => (i * 10L) to (i * 10L + 3L)).toSet
+    assert(VersionedTable.readVersion(spark, tbl).collect()
+      .map(_.getLong(0)).toSet === expect)
+    // 4 data commits + 2 compactions = 6 versions; head file count is
+    // BOUNDED (the last compaction folded everything before it)
+    assert(VersionedTable.latestVersion(spark, tbl) === 5L)
+    assert(VersionedTable.snapshotFiles(spark, tbl).size <= 2)
+    val ops = VersionedTable.history(spark, tbl).orderBy("version")
+      .select("op").collect().map(_.getString(0)).toSeq
+    assert(ops.count(_ == "compact") === 2, s"ops: $ops")
+    // replay: all four batches re-delivered, all skipped, NO fresh
+    // compactions (compaction only follows a COMMITTED batch)
+    Streams.toVersionedSink(stream(), tbl, appId = "vac-app", autoCompactEvery = 2)
+    assert(VersionedTable.latestVersion(spark, tbl) === 5L)
+    assert(VersionedTable.readVersion(spark, tbl).collect()
+      .map(_.getLong(0)).toSet === expect)
+  }
 }

@@ -1225,4 +1225,45 @@ class VersionedTableSpec extends SparkSpec {
     assert((30L to 40L).forall(i => !out.contains(i)), "delete effect lost")
     assert(out.size === 40 - 11 + 1) // 40 - deleted 11 + inserted 99
   }
+
+  // --------------------------------------------- incremental compaction
+
+  test("compactSmall folds only sub-threshold files; big files carry by reference") {
+    val t = freshTable()
+    // one "big" file (500 rows) + 6 single-commit small files
+    VersionedTable.commit(df(1L to 500L: _*).repartition(1), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    (1 to 6).foreach { i =>
+      VersionedTable.commit(df(1000L + i).repartition(1), t,
+        mode = "append", ts = f"2026-01-02T$i%02d:00:00Z")
+    }
+    val before = VersionedTable.snapshotFiles(spark, t)
+    assert(before.size === 7)
+    val bigFile = before.head // c00000000 dir — the 500-row commit
+    // smallBytes above the small files' size but below the big one's
+    val bigLen = new java.io.File(t, bigFile).length()
+    val v = VersionedTable.compactSmall(spark, t, smallBytes = bigLen,
+      ts = "2026-01-03T00:00:00Z")
+    val after = VersionedTable.snapshotFiles(spark, t, v)
+    assert(after.contains(bigFile), "big file must carry by reference")
+    assert(after.size < before.size, s"${after.size} vs ${before.size}")
+    assert(idSet(VersionedTable.readVersion(spark, t)) ===
+      ((1L to 500L) ++ (1001L to 1006L)).toSet)
+    // nothing left to compact: second call is a NO-OP (no new version)
+    assert(VersionedTable.compactSmall(spark, t, smallBytes = bigLen) === v)
+  }
+
+  test("compactSmall applies deletion vectors on compacted files and drops them") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 20L: _*).repartition(4, col("id")), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, t, "id <= 3", ts = "2026-01-02T00:00:00Z")
+    val v = VersionedTable.compactSmall(spark, t, smallBytes = Long.MaxValue,
+      ts = "2026-01-03T00:00:00Z")
+    assert(v > 1L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (4L to 20L).toSet)
+    // the orphaned vector dataset is vacuum-reclaimable; reads unchanged
+    VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (4L to 20L).toSet)
+  }
 }
