@@ -22,8 +22,9 @@ import org.apache.spark.sql.functions._
   * the z-distribution to pick balanced bounds) and a per-partition sort
   * — exactly the cost of a normal sorted write, with the multi-dim
   * pruning benefit on every later read. 16 bits per dimension = 4G
-  * distinct cells, far past file-level pruning resolution; widen to
-  * 3×21-bit dimensions with the same masks if ever needed. */
+  * distinct cells (two dims), 21 bits per dimension (three dims,
+  * [[zValue3]]/[[zOrderLayoutN]]) — both far past file-level pruning
+  * resolution. */
 object ZOrder {
 
   /** Spread the low 16 bits of `c` to even bit positions (0,2,4,…,30). */
@@ -48,4 +49,43 @@ object ZOrder {
     df.withColumn("zval", zValue(col(a), col(b)))
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** Spread the low 21 bits of `c` to every THIRD bit position (0,3,…,60)
+    * — the 3-D Morton masks (same magic-mask family as [[spread16]];
+    * 3 × 21 = 63 bits fits a long with the sign bit clear). */
+  def spread21(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(0x1FFFFFL))
+    val x1 = x0.bitwiseOR(shiftleft(x0, 32)).bitwiseAND(lit(0x1F00000000FFFFL))
+    val x2 = x1.bitwiseOR(shiftleft(x1, 16)).bitwiseAND(lit(0x1F0000FF0000FFL))
+    val x3 = x2.bitwiseOR(shiftleft(x2, 8)).bitwiseAND(lit(0x100F00F00F00F00FL))
+    val x4 = x3.bitwiseOR(shiftleft(x3, 4)).bitwiseAND(lit(0x10C30C30C30C30C3L))
+    x4.bitwiseOR(shiftleft(x4, 2)).bitwiseAND(lit(0x1249249249249249L))
+  }
+
+  /** Morton interleave of THREE non-negative dimension keys (low 21 bits
+    * each): a's bits at positions ≡ 0 (mod 3), b's ≡ 1, c's ≡ 2. */
+  def zValue3(a: Column, b: Column, c: Column): Column =
+    spread21(a)
+      .bitwiseOR(shiftleft(spread21(b), 1))
+      .bitwiseOR(shiftleft(spread21(c), 2))
+
+  /** [[zOrderLayout]] for two OR three dimension columns: the layout
+    * behind `OPTIMIZE ZORDER BY (a, b[, c])`. Two dims use the 16-bit
+    * interleave (4G cells), three the 21-bit one (2⁶³ cells) — both far
+    * past file-level pruning resolution. More than three dims dilute
+    * per-dimension locality faster than they help (each extra dimension
+    * costs every other one interleave resolution); Delta's guidance caps
+    * ZORDER columns for the same reason, and so does this. */
+  def zOrderLayoutN(df: DataFrame, cols: Seq[String],
+      numPartitions: Int = 32): DataFrame = {
+    val z = cols match {
+      case Seq(a, b) => zValue(col(a), col(b))
+      case Seq(a, b, c) => zValue3(col(a), col(b), col(c))
+      case _ => throw new IllegalArgumentException(
+        s"zOrderLayoutN takes 2 or 3 columns, got ${cols.size}")
+    }
+    df.withColumn("zval", z)
+      .repartitionByRange(numPartitions, col("zval"))
+      .sortWithinPartitions("zval")
+  }
 }

@@ -894,7 +894,8 @@ object VersionedTable {
   def optimize(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024,
       zorderBy: Option[(String, String)] = None,
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z",
+      zorderCols: Seq[String] = Seq.empty): Long = {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"optimize of empty table at $path"))
@@ -907,12 +908,16 @@ object VersionedTable {
     // Deletion vectors apply here too, which makes optimize the DV
     // MATERIALIZATION path: the rewritten snapshot carries no entries.
     val cur = scanFiles(spark, root, m.files, m.dvs)
-    val laid = zorderBy match {
-      // drop the helper zval column: optimize must be content-identical
-      case Some((a, b)) =>
-        graft.analytics.ZOrder.zOrderLayout(cur, a, b, target).drop("zval")
-      case None => cur.repartition(target)
-    }
+    // zorderCols (2 or 3 dims) takes precedence over the legacy pair;
+    // drop the helper zval column: optimize must be content-identical
+    val laid =
+      if (zorderCols.nonEmpty)
+        graft.analytics.ZOrder.zOrderLayoutN(cur, zorderCols, target).drop("zval")
+      else zorderBy match {
+        case Some((a, b)) =>
+          graft.analytics.ZOrder.zOrderLayout(cur, a, b, target).drop("zval")
+        case None => cur.repartition(target)
+      }
     val next = prev + 1
     val dataDir = newDataDir(next)
     laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)

@@ -448,4 +448,67 @@ class AnalyticsSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning"),
       s"expected range partitioning in:\n$plan")
   }
+
+  test("3-D z-order: interleave exact vs reference, bijective, boxes tight in all three dims") {
+    import spark.implicits._
+    import graft.analytics.ZOrder
+    def zRef3(a: Int, b: Int, c: Int): Long =
+      (0 until 21).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i) & 1).toLong << (3 * i) |
+          ((b >> i) & 1).toLong << (3 * i + 1) |
+          ((c >> i) & 1).toLong << (3 * i + 2)
+      }
+    val pts = for (a <- 0 until 16; b <- 0 until 16; c <- 0 until 16) yield (a, b, c)
+    val df = pts.toDF("a", "b", "c")
+      .withColumn("zval", ZOrder.zValue3(col("a"), col("b"), col("c")))
+    val got = df.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(got((1, 0, 0)) === 1L && got((0, 1, 0)) === 2L && got((0, 0, 1)) === 4L)
+    // big-coordinate sanity against the reference (the 21-bit masks)
+    val bigDf = Seq((1234567, 2021161, 99)).toDF("a", "b", "c")
+      .withColumn("zval", ZOrder.zValue3(col("a"), col("b"), col("c")))
+    assert(bigDf.head().getLong(3) === zRef3(1234567, 2021161, 99))
+    assert(pts.forall { case (a, b, c) => got((a, b, c)) === zRef3(a, b, c) })
+    assert(df.select("zval").distinct().count() === pts.size)
+    // 16 partitions over a 16^3 grid: every partition's bounding BOX must
+    // be tight in ALL THREE dims — a 2-D interleave or lexicographic sort
+    // leaves the extra dim spanning the full range
+    val laid = ZOrder.zOrderLayoutN(pts.toDF("a", "b", "c"), Seq("a", "b", "c"),
+      numPartitions = 16)
+    val boxes = laid
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("pid")
+      .agg((max("a") - min("a") + 1).as("wa"), (max("b") - min("b") + 1).as("wb"),
+        (max("c") - min("c") + 1).as("wc"))
+      .collect()
+    val avgVol = boxes.map(r => r.getInt(1).toLong * r.getInt(2) * r.getInt(3))
+      .sum.toDouble / boxes.length
+    // perfect octants at 16 partitions would be 256 (8x8x4-ish); a
+    // full-span third dim would give >= 1024 — demand well below
+    assert(avgVol < 700.0, s"3-D z-layout boxes too loose: avg volume $avgVol")
+    intercept[IllegalArgumentException] {
+      ZOrder.zOrderLayoutN(pts.toDF("a", "b", "c"), Seq("a"))
+    }
+  }
+
+  test("OPTIMIZE ZORDER BY three columns: versioned table prunes on the third dimension") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val t = java.nio.file.Files.createTempDirectory("vt_z3").toString
+    val pts = (for (a <- 0 until 32; b <- 0 until 32; c <- 0 until 32)
+      yield (a.toLong, b.toLong, c.toLong)).toDF("a", "b", "c")
+    VersionedTable.commit(pts.repartition(16), t, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    VersionedTable.optimize(spark, t, targetFileBytes = 8L * 1024,
+      zorderCols = Seq("a", "b", "c"), ts = "2026-01-02T00:00:00Z")
+    val total = VersionedTable.snapshotFiles(spark, t).size
+    assert(total >= 8, s"need a multi-file layout to measure pruning, got $total")
+    // a narrow slice on the THIRD column alone: file-level stats pruning
+    // must engage (every file's c-range is a tight box side) — on the
+    // hash layout every file spans the full c-domain and nothing prunes
+    val kept = VersionedTable.prunedFiles(spark, t, "c >= 2 AND c <= 3").size
+    assert(kept * 2 <= total, s"z3 layout must prune on c: kept $kept of $total")
+    assert(VersionedTable.readWhere(spark, t, "c >= 2 AND c <= 3").count() ===
+      32L * 32 * 2)
+  }
 }

@@ -464,4 +464,40 @@ class DedupSpec extends SparkSpec {
     assert(kept.columns.toSet === corpus.columns.toSet)
     kept.unpersist(); hits.unpersist()
   }
+
+  test("right-to-be-forgotten: MoR erasure removes a doc from corpus AND minhash index") {
+    import spark.implicits._
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_rtbf").toString
+    val corpusT = s"$root/corpus"
+    val indexT = s"$root/index"
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank"),
+      (2L, "completely unrelated text about distributed query engines and shuffles"),
+      (3L, "partition pruning and column statistics make parquet scans cheap"))
+      .toDF("doc_id", "text")
+    // corpus and its DERIVED minhash index both live as versioned tables
+    VersionedTable.commit(corpus, corpusT, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(Dedup.minhashIndex(corpus), indexT,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // a near-duplicate of doc 1 arrives: the index MUST flag it
+    val batch = Seq((9L, "the quick brown fox jumps over the lazy dog near the river"))
+      .toDF("doc_id", "text")
+    def probe(): Set[(Long, Long)] = Dedup.minhashLshIncrementalFromIndex(
+      Dedup.minhashIndex(batch), VersionedTable.readVersion(spark, indexT))
+      .filter(col("est_jaccard") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probe() === Set((1L, 9L)), "pre-erasure the near-dup must match doc 1")
+    // GDPR erasure: one MoR delete per table — no data file rewritten in
+    // either, the derived index forgets the doc the same way the corpus
+    // does, and both erasures are time-travel-auditable versions
+    VersionedTable.deleteMergeOnRead(spark, corpusT, "doc_id = 1", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, indexT, "doc_id = 1", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, corpusT).count() === 2L)
+    assert(probe() === Set.empty, "post-erasure the index must not match doc 1")
+    // the erased doc's signatures never contaminate a rebuilt index either
+    val rebuilt = Dedup.minhashIndex(
+      VersionedTable.readVersion(spark, corpusT))
+    assert(rebuilt.filter(col("doc_id") === 1L).isEmpty)
+  }
 }
