@@ -967,6 +967,27 @@ object VersionedTable {
     next
   }
 
+  /** The nightly maintenance window in one call — what a production
+    * table schedules after ingest quiesces: (1) [[compactSmall]] folds
+    * the day's micro-batch files (O(small bytes)); (2) [[expireLog]]
+    * bounds the manifest/checkpoint log at the newest anchor checkpoint
+    * under the retention horizon; (3) [[vacuum]] reclaims data files
+    * (and orphaned deletion-vector datasets) referenced only by expired
+    * versions, past the grace window. Order matters: compaction FIRST so
+    * the pre-compaction small files age out of the retained window and
+    * the next night's vacuum reclaims them. Returns
+    * (compacted to version, log files expired, data files vacuumed). */
+  def maintain(spark: SparkSession, path: String,
+      smallBytes: Long = 8L * 1024 * 1024,
+      retainVersions: Int = 30,
+      graceMs: Long = 7L * 24 * 3600 * 1000,
+      ts: String = "1970-01-01T00:00:00Z"): (Long, Int, Int) = {
+    val v = compactSmall(spark, path, smallBytes, ts = ts)
+    val expired = expireLog(spark, path, retainVersions)
+    val vacuumed = vacuum(spark, path, retainVersions, graceMs)
+    (v, expired, vacuumed)
+  }
+
   /** The highest micro-batch id committed for a streaming `appId`, or
     * None if that stream never wrote here — Delta's `txn` action for
     * exactly-once foreachBatch sinks. Resolves from the latest
@@ -1950,9 +1971,10 @@ object VersionedTable {
       return next
     }
     val hit = coalesce(expr(condition), lit(false))
-    // one pass stages BOTH sides: matched live rows keep their identity
-    // columns for the vector and their data columns for the post-image
-    val matched = scanLive(spark, root, candidates, m.dvs).filter(hit)
+    // the matched slice feeds TWO writes (the vector and the
+    // post-images) — persist it so the candidate files are scanned
+    // once, not once per write
+    val matched = scanLive(spark, root, candidates, m.dvs).filter(hit).persist()
     val dvDir = newDataDir(next)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
     val newDel = matched.select(col("__file").as("file"), col("__pos").as("pos"))
@@ -1961,6 +1983,7 @@ object VersionedTable {
     val touched = spark.read.parquet(new Path(root, dvDir).toString)
       .select("file").distinct().collect().map(_.getString(0)).toSet
     if (touched.isEmpty) {
+      matched.unpersist()
       hfs.delete(new Path(root, dvDir), true)
       publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
         Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
@@ -1977,6 +2000,7 @@ object VersionedTable {
       snapSchema, condition, set)
     if (m.constraints.nonEmpty) enforceConstraints(post, m.constraints, path)
     post.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    matched.unpersist()
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
       newFiles, Seq.empty, None, Some(snapSchema.json), newStats,

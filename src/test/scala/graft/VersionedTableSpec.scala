@@ -1266,4 +1266,25 @@ class VersionedTableSpec extends SparkSpec {
     VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
     assert(idSet(VersionedTable.readVersion(spark, t)) === (4L to 20L).toSet)
   }
+
+  test("maintain: compaction + log retention + vacuum bound a sink table's storage") {
+    val t = freshTable()
+    // a streaming-sink-shaped table: 26 single-file commits
+    VersionedTable.commit(df(0), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    (1 to 25).foreach { i =>
+      VersionedTable.commit(df(i.toLong).repartition(1), t,
+        mode = "append", ts = f"2026-01-01T$i%02d:00:00Z")
+    }
+    val (v, expired, _) = VersionedTable.maintain(spark, t,
+      retainVersions = 3, graceMs = 0L, ts = "2026-01-02T00:00:00Z")
+    assert(v === 26L, "maintenance compaction is one new version")
+    assert(expired > 0, "log must be bounded at the anchor checkpoint")
+    assert(VersionedTable.snapshotFiles(spark, t).size <= 2)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (0L to 25L).toSet)
+    // next night: the pre-compaction files have aged out of retention
+    val (_, _, vacuumed2) = VersionedTable.maintain(spark, t,
+      retainVersions = 1, graceMs = 0L, ts = "2026-01-03T00:00:00Z")
+    assert(vacuumed2 > 0, "aged-out pre-compaction files must reclaim")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (0L to 25L).toSet)
+  }
 }
