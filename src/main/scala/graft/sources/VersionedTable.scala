@@ -1356,7 +1356,10 @@ object VersionedTable {
     val newDel = scanLive(spark, root, candidates, m.dvs)
       .filter(coalesce(expr(condition), lit(false)))
       .select(col("__file").as("file"), col("__pos").as("pos"))
-    val out = oldDv.fold(newDel)(newDel.unionByName(_))
+    // distinct: the folded old positions may carry duplicates (a file's
+    // stale rows survive in dirs other files still point at) — the new
+    // dataset is a SET so downstream folds and CDF diffs stay exact
+    val out = oldDv.fold(newDel)(newDel.unionByName(_)).distinct()
     val dvDir = newDataDir(next)
     out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
     // touched file names: |files|-bounded driver read of the tiny vector
@@ -1978,7 +1981,8 @@ object VersionedTable {
     val dvDir = newDataDir(next)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
     val newDel = matched.select(col("__file").as("file"), col("__pos").as("pos"))
-    val out = oldDv.fold(newDel)(newDel.unionByName(_))
+    // distinct, as in deleteMergeOnRead: the new vector is a SET
+    val out = oldDv.fold(newDel)(newDel.unionByName(_)).distinct()
     out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
     val touched = spark.read.parquet(new Path(root, dvDir).toString)
       .select("file").distinct().collect().map(_.getString(0)).toSet
@@ -2203,9 +2207,14 @@ object VersionedTable {
     if (dvChanged.isEmpty) main
     else {
       import spark.implicits._
+      // distinct: a file's positions can appear in SEVERAL read dirs (a
+      // later fold re-pointed ANOTHER file at a dir that still carries
+      // this file's stale subset), and exceptAll is multiset — a
+      // duplicated old position would survive the subtraction and emit
+      // a PHANTOM delete for a row vectored out versions earlier
       def posOf(m: Manifest): DataFrame =
         dvFrame(spark, root, dvChanged, m.dvs)
-          .map(_.select("file", "pos"))
+          .map(_.select("file", "pos").distinct())
           .getOrElse(Seq.empty[(String, Long)].toDF("file", "pos"))
       val fromPos = posOf(fromM)
       val toPos = posOf(toM)

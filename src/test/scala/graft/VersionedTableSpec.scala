@@ -1287,4 +1287,36 @@ class VersionedTableSpec extends SparkSpec {
     assert(vacuumed2 > 0, "aged-out pre-compaction files must reclaim")
     assert(idSet(VersionedTable.readVersion(spark, t)) === (0L to 25L).toSet)
   }
+
+  test("CDF across overlapping vector generations emits no phantom deletes") {
+    // the multiset hazard: after d1 {F2,F3} -> dirA, d2 {F2,F3} -> dirB
+    // (folds dirA), d3 {F3 only} -> dirC (folds dirB's F3 rows), the head
+    // reads F2 from dirB and F3 from dirC — dirB still carries F3's
+    // STALE subset. changes(v_d1, v_d3) reads both dirs for its position
+    // diff; without set semantics a d1-deleted row appears twice on the
+    // `to` side, survives exceptAll, and emits a PHANTOM delete
+    val t = freshTable()
+    val base = df(1L to 30L: _*)
+      .repartitionByRange(3, col("id")).sortWithinPartitions("id")
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val d1 = VersionedTable.deleteMergeOnRead(spark, t, "id IN (15, 25)",
+      ts = "2026-01-02T00:00:00Z") // touches F2, F3
+    val d2 = VersionedTable.deleteMergeOnRead(spark, t, "id IN (16, 26)",
+      ts = "2026-01-03T00:00:00Z") // touches F2, F3 again (folds d1)
+    val d3 = VersionedTable.deleteMergeOnRead(spark, t, "id = 27",
+      ts = "2026-01-04T00:00:00Z") // stats-pruned to F3 only
+    assert(idSet(VersionedTable.readVersion(spark, t)) ===
+      (1L to 30L).toSet -- Set(15L, 25L, 16L, 26L, 27L))
+    // spanning d2+d3: exactly their rows, NOTHING from d1
+    val feed = VersionedTable.changes(spark, t, Seq("id"), d1, d3)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(feed.toSet === Set((16L, "delete"), (26L, "delete"), (27L, "delete")),
+      s"phantom or missing CDF rows: ${feed.toSeq.sorted}")
+    assert(feed.length === 3, s"duplicate CDF rows: ${feed.toSeq.sorted}")
+    // and the single-step feeds stay exact too
+    val step3 = VersionedTable.changes(spark, t, Seq("id"), d2, d3)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(step3 === Seq(27L))
+  }
 }
