@@ -1178,6 +1178,14 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // rows-only: IVF cells × PQ-ADC codes × exact re-rank (FAISS IVF-PQ,
+    // the composed 100 TB ANN architecture); candidate volume ≈
+    // nprobe/nlist of the corpus and recall floor vs brute force are
+    // spec-asserted
+    "v_iq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10))
+    }),
     // ANN recall QA (the dd_ev pattern on the vector side): one
     // oracle-checkable confusion row of LSH top-k vs brute-force top-k —
     // the measurement that justifies the approximate path, as a

@@ -493,4 +493,68 @@ object Similarity {
   /** zip_with dot of two array columns (non-literal sides). */
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF-PQ (Jégou 2011 §IV / the FAISS `IVFx,PQy` index — the actual
+    * 100 TB ANN architecture), composed from this file's two halves,
+    * which prune ORTHOGONAL costs:
+    *
+    *   - IVF prunes CANDIDATE COUNT: each query scores only the rows
+    *     quantized into its `nprobe` nearest of `nlist` cells —
+    *     ~nprobe/nlist of the corpus (spec-measured), instead of
+    *     [[pqTopK]]'s full cross product;
+    *   - PQ-ADC prunes CANDIDATE WIDTH: each candidate is scored from
+    *     its m small codes against the broadcast codebooks, so the
+    *     probe join and ranking window move m ints per row, not D
+    *     floats — at 10⁹ vectors the searchable index is GBs, not TBs;
+    *   - the exact re-rank of each query's k×`refine` ADC shortlist
+    *     restores true-cosine ordering, touching queries×k×refine
+    *     embeddings (the standard coarse-prune / exact-decide pipeline).
+    *
+    * The per-vector index row (cell + m codes) is built in ONE corpus
+    * projection — persist it as the standing index in production and
+    * the query path never touches an embedding except the re-rank. A
+    * (query, neighbor) pair is scored at most once by construction:
+    * cell assignment is an argmax (each corpus row lives in exactly one
+    * cell), so multi-probe needs no dedup, unlike LSH's bucket union.
+    * Recall levers, independent: `nprobe` (coarse misses) and `refine`
+    * (ADC ranking error); both are query-side knobs on a fixed index. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, kCent: Int = 16,
+      iters: Int = 2, refine: Int = 4): DataFrame = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val cents = kmeansFit(corpus, nlist, iters)
+    val books = pqFit(corpus, m, kCent, iters)
+    val dsub = books.head.head.length
+    // the standing index: ONE projection → (id, cell, m codes)
+    val unit = unitCol(col("embedding"))
+    val codes = (0 until m).map(s =>
+      l2Best(books(s), slice(unit, s * dsub + 1, dsub)).as(s"c$s"))
+    val index = corpus.select(Seq(col("vec_id").as("neighbor_id"),
+      cellOf(cents).as("cell")) ++ codes: _*)
+    // query side: unit slices + the nprobe nearest cells, broadcast
+    val q = queries.select(col("vec_id").as("query_id"),
+      unitCol(col("embedding")).as("q_unit"),
+      explode(nearestCells(cents, nprobe)).as("cell"))
+    val bookCols: Array[Column] =
+      books.map(b => array(b.map(c => array(c.map(lit): _*)): _*))
+    val score = (0 until m).map { s =>
+      dotCol(slice(col("q_unit"), s * dsub + 1, dsub),
+        element_at(bookCols(s), col(s"c$s") + 1))
+    }.reduce(_ + _)
+    val wAdc = Window.partitionBy("query_id")
+      .orderBy(col("approx_cosine").desc, col("neighbor_id"))
+    val shortlist = index.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cosine", score)
+      .withColumn("adc_rank", row_number().over(wAdc))
+      .filter(col("adc_rank") <= k * refine)
+      .select("query_id", "neighbor_id", "q_unit")
+    val wX = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id"))
+    corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .join(broadcast(shortlist), "neighbor_id")
+      .withColumn("cosine", cosine(col("q_unit"), col("c_emb")))
+      .withColumn("rank", row_number().over(wX))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
 }

@@ -135,7 +135,8 @@ object VersionedTable {
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      bloomCfg: Option[(Seq[String], Int)] = None)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -149,7 +150,27 @@ object VersionedTable {
       addStats: Map[String, Map[String, (String, String)]],
       addDvs: Map[String, String] = Map.empty,
       addConstraints: Map[String, String] = Map.empty,
-      dropConstraints: Set[String] = Set.empty)
+      dropConstraints: Set[String] = Set.empty,
+      bloomCfg: Option[(Seq[String], Int)] = None)
+
+  /** Parse the `bloomcfg=<cols csv>|<mBits>` table-metadata line — the
+    * persisted bloom index config ([[setBloomIndex]]). Like `ck=`
+    * constraints, the config is TABLE metadata: delta manifests inherit
+    * it through `base`, so every write path knows which columns to
+    * sidecar-index without the caller restating them. */
+  private def parseBloomCfgLine(headerLines: Seq[String])
+      : Option[(Seq[String], Int)] =
+    headerLines.find(_.startsWith("bloomcfg=")).flatMap { l =>
+      l.stripPrefix("bloomcfg=").split('|') match {
+        case Array(cols, m) =>
+          val cs = cols.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          if (cs.isEmpty) None else scala.util.Try(cs -> m.toInt).toOption
+        case _ => None
+      }
+    }
+
+  private def bloomCfgLine(cfg: Option[(Seq[String], Int)]): Seq[String] =
+    cfg.map { case (cols, m) => s"bloomcfg=${cols.mkString(",")}|$m" }.toSeq
 
   private def parseStatsLines(headerLines: Seq[String])
       : Map[String, Map[String, (String, String)]] =
@@ -196,7 +217,8 @@ object VersionedTable {
     val headerLines = lines.takeWhile(_.contains("="))
     val hdr = headerLines
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
-        l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm="))
+        l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm=") ||
+        l.startsWith("bloomcfg="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -210,7 +232,8 @@ object VersionedTable {
       txn, hdr.get("schema"), parseStatsLines(headerLines),
       parseDvLines(headerLines), parseConstraintLines(headerLines),
       headerLines.filter(_.startsWith("ckrm="))
-        .map(_.stripPrefix("ckrm=")).toSet)
+        .map(_.stripPrefix("ckrm=")).toSet,
+      parseBloomCfgLine(headerLines))
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -224,7 +247,8 @@ object VersionedTable {
       val headerLines = lines.takeWhile(_.contains("="))
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
-          l.startsWith("dv=") || l.startsWith("ck="))
+          l.startsWith("dv=") || l.startsWith("ck=") ||
+          l.startsWith("bloomcfg="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -235,7 +259,8 @@ object VersionedTable {
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
         lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
-        parseConstraintLines(headerLines)), txnmax))
+        parseConstraintLines(headerLines),
+        parseBloomCfgLine(headerLines)), txnmax))
     }
   }
 
@@ -249,7 +274,8 @@ object VersionedTable {
       raw.base match {
         case None =>
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
-            raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints)
+            raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints,
+            raw.bloomCfg)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -259,7 +285,8 @@ object VersionedTable {
             raw.schemaJson.orElse(base.schemaJson),
             (base.stats -- removed) ++ raw.addStats,
             (base.dvs -- removed) ++ raw.addDvs,
-            (base.constraints -- raw.dropConstraints) ++ raw.addConstraints)
+            (base.constraints -- raw.dropConstraints) ++ raw.addConstraints,
+            raw.bloomCfg.orElse(base.bloomCfg))
       }
     }
 
@@ -512,6 +539,18 @@ object VersionedTable {
     versions(hfs, root).lastOption.getOrElse(-1L)
   }
 
+  /** Whether version `v` still RESOLVES from the log — its manifest (or
+    * full-state checkpoint) hasn't been removed by [[expireLog]].
+    * Sound because expireLog only ever cuts BELOW an anchor checkpoint
+    * and delta chains are contiguous: a surviving metadata file for `v`
+    * implies its whole resolution chain survives. Lets a CDF consumer
+    * distinguish "diff against v" from "v is gone — bootstrap". */
+  def hasVersion(spark: SparkSession, path: String, v: Long): Boolean = {
+    val (hfs, root) = fs(spark, path)
+    v >= 0 && (hfs.exists(manifestPath(root, v)) ||
+      hfs.exists(checkpointPath(root, v)))
+  }
+
   /** Commit `df` as the next snapshot. `mode` is `"overwrite"` (snapshot =
     * this batch only) or `"append"` (snapshot = previous file list + this
     * batch's files). Returns the committed version. Thread-safe across
@@ -644,28 +683,94 @@ object VersionedTable {
             "pass mergeSchema = true to evolve")
       }
     val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+    val prevM = prev.map(p => readManifest(hfs, root, p))
     // CHECK constraints gate the batch BEFORE any data lands — table
     // metadata, so they apply to appends AND overwrites (an overwrite
     // replaces the data, not the table's contract)
-    val prevCks = prev.map(p => readManifest(hfs, root, p).constraints)
-      .getOrElse(Map.empty)
-    if (prevCks.nonEmpty)
-      enforceConstraints(alignTo(df, snapSchema), prevCks, path)
+    val prevCks = prevM.map(_.constraints).getOrElse(Map.empty)
+    if (prevCks.nonEmpty) {
+      // constraint EVALUATION always sees union(prev schema, batch): an
+      // overwrite batch omitting a constrained column must read NULL
+      // there (NULL passes — SQL CHECK), not fail with an
+      // unresolved-attribute error; the RECORDED snapshot schema for an
+      // overwrite stays df.schema (overwrite replaces schema and all)
+      val ckSchema =
+        if (mode == "append") snapSchema
+        else prev.map(p =>
+          unionSchema(headSchema(spark, hfs, root, p, readRaw(hfs, root, p)),
+            df.schema)).getOrElse(df.schema)
+      enforceConstraints(alignTo(df, ckSchema), prevCks, path)
+    }
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
     val dataDir = newDataDir(next)
     df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    writeBlooms(spark, hfs, root, dataDir, bloomIndex, bloomBits)
+    // bloom index config is TABLE metadata: an explicit `bloomIndex` arg
+    // sets/updates it; otherwise the persisted config applies, so a
+    // plain append to an indexed table keeps its sidecars without the
+    // caller restating the columns (Delta persists the config as a
+    // table property for exactly this reason)
+    val cfg =
+      if (bloomIndex.nonEmpty) Some((bloomIndex, bloomBits))
+      else if (mode == "append") prevM.flatMap(_.bloomCfg)
+      else None // overwrite without an explicit index drops the config
+                // with the data it described — re-state to keep it
+    cfg.foreach { case (cs, m) => writeBlooms(spark, hfs, root, dataDir, cs, m) }
     // append = DELTA manifest against prev (O(batch) log write — the
     // previous file list is never re-serialized); overwrite/first = full
-    // manifest, which must CARRY the constraints (delta manifests
-    // inherit them through base)
+    // manifest, which must CARRY the constraints and bloom config (delta
+    // manifests inherit them through base — the cfg line is only
+    // written when this commit CHANGES it)
     val base = if (mode == "append") prev else None
+    val cfgLine = if (base.isEmpty) cfg
+      else if (bloomIndex.nonEmpty && cfg != prevM.flatMap(_.bloomCfg)) cfg
+      else None
     publish(hfs, root, RawManifest(next, ts, mode, base, newFiles,
       Seq.empty, txn, Some(snapSchema.json), newStats,
-      Map.empty, if (base.isEmpty) prevCks else Map.empty))
+      Map.empty, if (base.isEmpty) prevCks else Map.empty, Set.empty,
+      cfgLine))
+    next
+  }
+
+  /** The table's persisted bloom index config (columns, bits) at head. */
+  def bloomConfigOf(spark: SparkSession, path: String): Option[(Seq[String], Int)] = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption
+      .flatMap(readManifest(hfs, root, _).bloomCfg)
+  }
+
+  /** Record (or change) the bloom index config on an existing table — a
+    * metadata-only commit, after which EVERY path that writes data files
+    * (append, COW rewrites, MoR post-images, optimize, compactSmall)
+    * rebuilds sidecars for the files it writes. With `backfill` (the
+    * default) the current head's layout-local files are indexed in one
+    * pass too, so point lookups accelerate immediately; clone-referenced
+    * absolute entries are skipped (their sidecars ride with the source)
+    * and gain sidecars when first rewritten locally. */
+  def setBloomIndex(spark: SparkSession, path: String, cols: Seq[String],
+      bloomBits: Int = 1 << 17, ts: String = "1970-01-01T00:00:00Z",
+      backfill: Boolean = true): Long = {
+    require(cols.nonEmpty && cols.forall(c =>
+      !c.contains(",") && !c.contains("|") && !c.contains("=") && !c.contains("\n")),
+      s"bad bloom index columns: $cols")
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"setBloomIndex on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    if (backfill) {
+      val local = m.files.filter(f => relLayoutName(f) == f)
+      if (local.nonEmpty)
+        writeBloomSidecars(hfs, root,
+          spark.read.option("mergeSchema", "true")
+            .parquet(local.map(f => new Path(root, f).toString): _*),
+          cols, bloomBits)
+    }
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, "set_bloom_index", Some(prev),
+      Seq.empty, Seq.empty, None, m.schemaJson, Map.empty, Map.empty,
+      Map.empty, Set.empty, Some((cols, bloomBits))))
     next
   }
 
@@ -677,29 +782,47 @@ object VersionedTable {
   private def newDataDir(next: Long): String =
     f"files/c$next%08d-${java.util.UUID.randomUUID.toString.take(8)}"
 
+  /** Shared pool for driver-side footer/sidecar I/O ([[listWithStats]],
+    * [[bloomPrune]]): 16 DAEMON threads created once — a per-call pool
+    * would pay creation/teardown on every commit, and non-daemon threads
+    * would pin a crashing driver JVM alive. Every wait on it is bounded
+    * by [[ioWait]]: one hung metadata read (flaky HDFS datanode) fails
+    * the operation cleanly instead of wedging the commit forever — a
+    * failed commit's data dir is orphan-safe and vacuum-reclaimable. */
+  private lazy val ioPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(16,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-vt-io")
+          t.setDaemon(true)
+          t
+        }))
+
+  /** Finite metadata-I/O wait (test seam; the default is generous — this
+    * bounds a HUNG filesystem call, not a slow one). */
+  private[graft] var ioWaitSeconds: Long = 600L
+
+  private def ioWait: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(ioWaitSeconds, "s")
+
   /** List a freshly written data dir's parquet files plus their footer
-    * stats. The footers are opened on a LOCAL THREAD POOL (bounded at
-    * 16): a wide commit landing hundreds of files pays ~files/threads
-    * metadata round-trips instead of a serial driver loop — the stats
-    * themselves are byte-identical to the serial path (same footer
-    * source, spec-covered by every pruning test). */
+    * stats. The footers are opened on the shared bounded [[ioPool]]: a
+    * wide commit landing hundreds of files pays ~files/threads metadata
+    * round-trips instead of a serial driver loop — the stats themselves
+    * are byte-identical to the serial path (same footer source,
+    * spec-covered by every pruning test). */
   private def listWithStats(hfs: FileSystem, root: Path, dataDir: String)
       : (Seq[String], Map[String, Map[String, (String, String)]]) = {
     val files = hfs.listStatus(new Path(root, dataDir)).toSeq
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(s => s"$dataDir/${s.getPath.getName}")
     if (files.isEmpty) return (files, Map.empty)
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.size))
-    try {
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val stats = Await.result(
-        Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
-        Duration.Inf).toMap.filter(_._2.nonEmpty)
-      (files, stats)
-    } finally pool.shutdown()
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val stats = Await.result(
+      Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
+      ioWait).toMap.filter(_._2.nonEmpty)
+    (files, stats)
   }
 
   // ------------------------------------------------- bloom file index
@@ -756,9 +879,22 @@ object VersionedTable {
   private def writeBlooms(spark: SparkSession, hfs: FileSystem, root: Path,
       dataDir: String, cols: Seq[String], mBits: Int): Unit = {
     if (cols.isEmpty) return
+    writeBloomSidecars(hfs, root,
+      spark.read.parquet(new Path(root, dataDir).toString), cols, mBits)
+  }
+
+  /** The sidecar builder over an explicit batch frame. An INHERITED
+    * config column absent from this batch's schema is skipped (schema
+    * evolution: pre-evolution rewrites have nothing to index; a missing
+    * section degrades that file to stats-only pruning, never wrong) —
+    * a PRESENT column of an unsupported type still fails loudly. */
+  private def writeBloomSidecars(hfs: FileSystem, root: Path,
+      batch0: DataFrame, cols0: Seq[String], mBits: Int): Unit = {
     require(Integer.bitCount(mBits) == 1 && mBits >= 1024,
       s"bloomBits must be a power of two >= 1024, got $mBits")
-    val batch = spark.read.parquet(new Path(root, dataDir).toString)
+    val batch = batch0
+    val cols = cols0.filter(batch.schema.fieldNames.contains)
+    if (cols.isEmpty) return
     cols.foreach { c =>
       val ok = batch.schema(c).dataType match {
         case ByteType | ShortType | IntegerType | LongType | StringType => true
@@ -816,31 +952,59 @@ object VersionedTable {
     * `c = v` and `c IN (...)` (either operand order). A file may be
     * dropped only when EVERY candidate value of some conjunct misses its
     * bloom; anything under an OR, or a non-canonical literal, never
-    * prunes. */
+    * prunes.
+    *
+    * TYPE GUARD: a probe is generated only when the literal's type
+    * FAMILY matches the table-schema column's (integral↔integral,
+    * string↔string). Without it a CROSS-TYPED equality silently drops
+    * matching files: `intCol = '05'` would probe the canonical '05'
+    * while files store '5' — Spark's actual filter CASTS and matches
+    * those rows, so the bloom pass would prune a file that contains
+    * hits, violating the readWhere ≡ filter contract. (The stats path
+    * is conservative by construction — statVsLiteral returns None on
+    * incomparable encodings; this is the bloom path's equivalent.)
+    * Same-family different widths stay probe-able: the canonical
+    * decimal rendering of an integral value is width-invariant. */
   private def eqProbes(
-      e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[(String, Seq[String])] = {
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      schema: StructType): Seq[(String, Seq[String])] = {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
     def colName(ex: Expression): Option[String] = ex match {
       case u: UnresolvedAttribute => Some(u.name)
       case _ => None
     }
+    def integral(d: DataType): Boolean = d match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    def typeOk(c: String, litDt: DataType): Boolean =
+      schema.fields.find(_.name == c)
+        .orElse(schema.fields.find(_.name.equalsIgnoreCase(c)))
+        .exists { f =>
+          (integral(f.dataType) && integral(litDt)) ||
+            (f.dataType == StringType && litDt == StringType)
+        }
     def eq(a: Expression, b: Expression): Option[(String, Seq[String])] =
       (colName(a), b) match {
-        case (Some(c), Literal(v, dt)) => bloomCanon(v, dt).map(s => c -> Seq(s))
+        case (Some(c), Literal(v, dt)) if typeOk(c, dt) =>
+          bloomCanon(v, dt).map(s => c -> Seq(s))
         case _ => (colName(b), a) match {
-          case (Some(c), Literal(v, dt)) => bloomCanon(v, dt).map(s => c -> Seq(s))
+          case (Some(c), Literal(v, dt)) if typeOk(c, dt) =>
+            bloomCanon(v, dt).map(s => c -> Seq(s))
           case _ => None
         }
       }
     e match {
-      case And(l, r) => eqProbes(l) ++ eqProbes(r)
+      case And(l, r) => eqProbes(l, schema) ++ eqProbes(r, schema)
       case EqualTo(a, b) => eq(a, b).toSeq
       case In(a, vals) if vals.forall(_.isInstanceOf[Literal]) =>
         colName(a).flatMap { c =>
-          val canons = vals.map { case Literal(v, dt) => bloomCanon(v, dt) }
-          // one non-canonical value makes the whole IN un-prunable
+          val canons = vals.map {
+            case Literal(v, dt) if typeOk(c, dt) => bloomCanon(v, dt)
+            case _ => None
+          }
+          // one non-canonical or cross-typed value makes the IN un-prunable
           if (canons.forall(_.isDefined)) Some(c -> canons.flatten)
           else None
         }.toSeq
@@ -869,16 +1033,11 @@ object VersionedTable {
         }
       }
     }
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.min(16, files.size))
-    try {
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val flags = Await.result(
-        Future.sequence(files.map(f => Future(mayContain(f)))), Duration.Inf)
-      files.zip(flags).collect { case (f, true) => f }
-    } finally pool.shutdown()
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val flags = Await.result(
+      Future.sequence(files.map(f => Future(mayContain(f)))), ioWait)
+    files.zip(flags).collect { case (f, true) => f }
   }
 
   /** Delta OPTIMIZE for a snapshot: rewrite the latest version's content
@@ -922,9 +1081,13 @@ object VersionedTable {
     val dataDir = newDataDir(next)
     laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    // the persisted index config survives maintenance: the compacted
+    // head is re-indexed, so optimize never silently degrades the point
+    // lookups the user paid an indexing pass for
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     publish(hfs, root, RawManifest(next, ts, "optimize", None, newFiles,
       Seq.empty, None, Some(cur.schema.json), newStats,
-      Map.empty, m.constraints))
+      Map.empty, m.constraints, Set.empty, m.bloomCfg))
     next
   }
 
@@ -954,7 +1117,10 @@ object VersionedTable {
       f -> hfs.getFileStatus(new Path(root, f)).getLen)
     val small = sized.filter(_._2 < smallBytes).map(_._1).sorted
     if (small.size < 2) return prev
-    val bytes = sized.collect { case (f, n) if small.contains(f) => n }.sum
+    // set lookup: the small-file backlog this operator exists for is 10⁴+
+    // files, where a Seq.contains inside the fold is O(n²) driver work
+    val smallSet = small.toSet
+    val bytes = sized.collect { case (f, n) if smallSet(f) => n }.sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cur = readTouched(spark, path, small) // DV-aware, mergeSchema
     val next = prev + 1
@@ -962,6 +1128,7 @@ object VersionedTable {
     cur.repartition(target).write.mode("overwrite")
       .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     publish(hfs, root, RawManifest(next, ts, "compact", Some(prev), newFiles,
       small, None, m.schemaJson, newStats))
     next
@@ -1082,10 +1249,16 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     // write once, into a dir named for the FIRST attempted version — the
     // name is a label; retries re-point the manifest at the same files
-    val firstNext = versions(hfs, root).lastOption.map(_ + 1).getOrElse(0L)
+    val first = versions(hfs, root).lastOption
+    val firstNext = first.map(_ + 1).getOrElse(0L)
     val dataDir = newDataDir(firstNext)
     df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    // persisted index config as of the first head read — sidecars are
+    // written once with the data (a racing config change lands on the
+    // NEXT batch; a missing section only degrades to stats pruning)
+    first.flatMap(readManifest(hfs, root, _).bloomCfg)
+      .foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     var attempt = 0
     while (true) {
       val prev = versions(hfs, root).lastOption
@@ -1161,7 +1334,8 @@ object VersionedTable {
       txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
       statLines(snap.files, snap.stats) ++
       dvLines(snap.dvs) ++
-      constraintLines(snap.constraints)
+      constraintLines(snap.constraints) ++
+      bloomCfgLine(snap.bloomCfg)
     writeClaimed(hfs, new Path(root, CheckpointDir), target,
       (hdr ++ snap.files).mkString("", "\n", "\n"),
       onLost = () => ()) // lost checkpoint race: the other copy is identical
@@ -1194,7 +1368,8 @@ object VersionedTable {
       statLines(m.adds, m.addStats) ++
       dvLines(m.addDvs) ++
       constraintLines(m.addConstraints) ++
-      m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n")
+      m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n") ++
+      bloomCfgLine(m.bloomCfg)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
       onLost = () => throw new ConcurrentCommitException(m.version))
@@ -1319,6 +1494,59 @@ object VersionedTable {
         scanLive(spark, root, files, dvs).drop("__file", "__pos")
     }
 
+  /** Total row count of one data file, from its parquet footer (no data
+    * pages) — the denominator of the vectored-fraction threshold. */
+  private def fileRowCount(hfs: FileSystem, root: Path, relFile: String): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(root, relFile), hfs.getConf))
+    try reader.getFooter.getBlocks.asScala.map(_.getRowCount.longValue).sum
+    finally reader.close()
+  }
+
+  /** DV AUTO-MATERIALIZATION (Delta's DV rewrite policy, re-derived): a
+    * user who keeps calling [[deleteMergeOnRead]]/[[updateMergeOnRead]]
+    * and never compacts accumulates an unbounded vector that every read
+    * re-broadcasts — the read tax grows without a bound anything
+    * enforces. So at MoR-DML commit time, any touched file whose
+    * vectored fraction (positions / footer row count) reaches
+    * `threshold` is COW-FOLDED IN THE SAME COMMIT: its survivors are
+    * rewritten through the new vector, the file is removed, and it
+    * carries no `dv=` entry — the vector stays small by construction.
+    * Folding at ≥ half-deleted also bounds WASTED READ: a file more
+    * than half vectored ships more dead rows through the scan than
+    * live ones. Returns (folded files, added files, their stats); the
+    * footer counts are read on the shared [[ioPool]]. */
+  private def foldHeavyVectored(spark: SparkSession, hfs: FileSystem,
+      root: Path, m: Manifest, next: Long, touchedFiles: Set[String],
+      dvDir: String, posCounts: Map[String, Long], threshold: Double)
+      : (Set[String], Seq[String], Map[String, Map[String, (String, String)]]) = {
+    if (threshold >= 1.0 || touchedFiles.isEmpty)
+      return (Set.empty, Seq.empty, Map.empty)
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val heavy = Await.result(
+      Future.sequence(touchedFiles.toSeq.sorted.map { f =>
+        Future {
+          val pos = posCounts.getOrElse(relLayoutName(f), 0L)
+          val rows = if (pos == 0) 1L else fileRowCount(hfs, root, f)
+          (f, rows > 0 && pos.toDouble / rows >= threshold)
+        }
+      }), ioWait).collect { case (f, true) => f }
+    if (heavy.isEmpty) return (Set.empty, Seq.empty, Map.empty)
+    val dataDir = newDataDir(next)
+    // survivors = the heavy files read through the NEW (superset)
+    // vector — content-identical materialization, optimize's semantics,
+    // scoped to exactly the files past threshold
+    scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap)
+      .write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    val (adds, stats) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    (heavy.toSet, adds, stats)
+  }
+
   /** Merge-on-read DELETE: rows where `condition` IS TRUE leave the
     * snapshot WITHOUT rewriting any data file — one Spark job writes
     * their (file, row position) set as a parquet deletion vector and the
@@ -1326,14 +1554,18 @@ object VersionedTable {
     * exists for: small scattered deletes (GDPR user erasure) where COW
     * would rewrite nearly every file to drop a few rows each. Trade,
     * exactly Delta's: reads of a vectored file pay a broadcast anti-join
-    * until [[optimize]] materializes the vector away, so batch-delete
-    * heavy tables should compact on a cadence. A re-delete of a file
+    * until the vector materializes away — by [[optimize]], or
+    * AUTOMATICALLY at DML time once a file's vectored fraction reaches
+    * `maxVectoredFraction` ([[foldHeavyVectored]]; pass 1.0 to disable),
+    * so repeated deletes can never grow an unbounded broadcast. A
+    * re-delete of a file
     * replaces its entry with a SUPERSET vector (old positions fold into
     * the new dataset); already-deleted rows never re-match (the
     * discovery scan reads through existing vectors). Time travel, CDF,
     * rollback and clones all see vectors versioned like files. */
   def deleteMergeOnRead(spark: SparkSession, path: String, condition: String,
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z",
+      maxVectoredFraction: Double = 0.5): Long = {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"delete from empty table at $path"))
@@ -1362,9 +1594,13 @@ object VersionedTable {
     val out = oldDv.fold(newDel)(newDel.unionByName(_)).distinct()
     val dvDir = newDataDir(next)
     out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
-    // touched file names: |files|-bounded driver read of the tiny vector
-    val touched = spark.read.parquet(new Path(root, dvDir).toString)
-      .select("file").distinct().collect().map(_.getString(0)).toSet
+    // touched file names + per-file position counts: one |files|-bounded
+    // driver read of the tiny vector feeds both the manifest entries and
+    // the materialization threshold below
+    val posCounts = spark.read.parquet(new Path(root, dvDir).toString)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = posCounts.keySet
     if (touched.isEmpty) {
       hfs.delete(new Path(root, dvDir), true) // nothing matched: no-op commit
       publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
@@ -1373,9 +1609,16 @@ object VersionedTable {
     }
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val touchedFiles = resolveTouched(m.files, touched)
+    // auto-materialization: files vectored past the threshold are
+    // COW-folded in THIS commit (removed + rewritten through the new
+    // vector) and carry no dv= entry — see [[foldHeavyVectored]]
+    val (folded, foldAdds, foldStats) = foldHeavyVectored(spark, hfs, root,
+      m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
+    val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
+    if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
     publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
-      Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty,
-      touchedFiles.map(_ -> dvDir).toMap))
+      foldAdds, folded.toSeq.sorted, None, Some(snapSchema.json), foldStats,
+      dvEntries))
     next
   }
 
@@ -1473,7 +1716,7 @@ object VersionedTable {
     val next = versions(hfs, root).last + 1
     publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
       None, target.files, Seq.empty, None, target.schemaJson, target.stats,
-      target.dvs, target.constraints))
+      target.dvs, target.constraints, Set.empty, target.bloomCfg))
     next
   }
 
@@ -1664,6 +1907,7 @@ object VersionedTable {
         .unionByName(updates, allowMissingColumns = true)
     rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
@@ -1788,11 +2032,11 @@ object VersionedTable {
     val m = readManifest(hfs, root, v)
     val cond = spark.sessionState.sqlParser.parseExpression(condition)
     val statKept = m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), cond))
+    val snapSchema = snapshotSchema(spark, root, m)
     // bloom sidecar pass AFTER stats: equality/IN conjuncts drop files
     // whose filter proves every candidate value absent — the pruning
     // min/max can never do on a uniformly distributed id column
-    val kept = bloomPrune(hfs, root, statKept, eqProbes(cond))
-    val snapSchema = snapshotSchema(spark, root, m)
+    val kept = bloomPrune(hfs, root, statKept, eqProbes(cond, snapSchema))
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snapSchema)
@@ -1857,7 +2101,9 @@ object VersionedTable {
       val survivors = readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
       survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-      listWithStats(hfs, root, dataDir)
+      val listed = listWithStats(hfs, root, dataDir)
+      m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+      listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
@@ -1934,7 +2180,9 @@ object VersionedTable {
             snapSchema, condition, set), m.constraints, path)
       val rewritten = applySet(pre, snapSchema, condition, set)
       rewritten.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-      listWithStats(hfs, root, dataDir)
+      val listed = listWithStats(hfs, root, dataDir)
+      m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+      listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
@@ -1954,7 +2202,8 @@ object VersionedTable {
     * an update pair — the file diff and the vector diff are what the
     * manifest knows; documented, not hidden. */
   def updateMergeOnRead(spark: SparkSession, path: String, condition: String,
-      set: Map[String, String], ts: String = "1970-01-01T00:00:00Z"): Long = {
+      set: Map[String, String], ts: String = "1970-01-01T00:00:00Z",
+      maxVectoredFraction: Double = 0.5): Long = {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"update of empty table at $path"))
@@ -1984,8 +2233,10 @@ object VersionedTable {
     // distinct, as in deleteMergeOnRead: the new vector is a SET
     val out = oldDv.fold(newDel)(newDel.unionByName(_)).distinct()
     out.write.mode("overwrite").parquet(new Path(root, dvDir).toString)
-    val touched = spark.read.parquet(new Path(root, dvDir).toString)
-      .select("file").distinct().collect().map(_.getString(0)).toSet
+    val posCounts = spark.read.parquet(new Path(root, dvDir).toString)
+      .groupBy("file").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val touched = posCounts.keySet
     if (touched.isEmpty) {
       matched.unpersist()
       hfs.delete(new Path(root, dvDir), true)
@@ -2006,9 +2257,16 @@ object VersionedTable {
     post.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     matched.unpersist()
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    // auto-materialization, as in deleteMergeOnRead: files vectored past
+    // the threshold fold COW-style in this same commit
+    val (folded, foldAdds, foldStats) = foldHeavyVectored(spark, hfs, root,
+      m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
+    val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
+    if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
     publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
-      newFiles, Seq.empty, None, Some(snapSchema.json), newStats,
-      touchedFiles.map(_ -> dvDir).toMap))
+      newFiles ++ foldAdds, folded.toSeq.sorted, None,
+      Some(snapSchema.json), newStats ++ foldStats, dvEntries))
     next
   }
 
@@ -2072,6 +2330,7 @@ object VersionedTable {
         .unionByName(aligned)
     out.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
@@ -2089,11 +2348,13 @@ object VersionedTable {
     * frozen experiment snapshot, at metadata cost.
     *
     * Stats and schema carry with the references, so data skipping and
-    * schema-on-write work on the clone from v0. Caveat, same as Delta's:
-    * [[vacuum]] on the SOURCE does not know about clones — vacuuming
-    * source versions a clone still references breaks the clone. Clone
-    * from a snapshot you retain, or [[optimize]] the clone (which
-    * rewrites it self-contained) before vacuuming the source. */
+    * schema-on-write work on the clone from v0. Where Delta merely
+    * DOCUMENTS that vacuuming the source can break clones, cloning here
+    * also records the referenced files in the source's `_clones/`
+    * registry ([[recordCloneRef]]), and [[vacuum]] on the source keeps
+    * them (warning when the guard pinned something) until
+    * [[releaseCloneRef]] drops the record — e.g. after [[optimize]] on
+    * the clone rewrites it self-contained. */
   def cloneTable(spark: SparkSession, source: String, target: String,
       version: Long = -1L, ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (shfs, sroot) = fs(spark, source)
@@ -2117,8 +2378,67 @@ object VersionedTable {
     // constraints are TABLE metadata — they carry verbatim (Delta clones
     // carry table properties) and bind the clone's own future writes
     publish(thfs, troot, RawManifest(0L, ts, s"clone(v$v)", None, abs,
-      Seq.empty, None, Some(schema), absStats, absDvs, m.constraints))
+      Seq.empty, None, Some(schema), absStats, absDvs, m.constraints,
+      Set.empty, m.bloomCfg))
+    recordCloneRef(spark, shfs, sroot, target, v, m)
     0L
+  }
+
+  private val ClonesDir = "_clones"
+
+  /** Record in the SOURCE's `_clones/` registry that `target` shallow-
+    * cloned version `v`: one immutable file listing the source-relative
+    * data files and DV dirs the clone references. [[vacuum]] on the
+    * source treats these as referenced — closing the documented
+    * Delta caveat where vacuuming the source breaks clones silently.
+    * The record is metadata-sized (O(files) paths, same as the clone's
+    * own manifest); [[releaseCloneRef]] drops it when the clone is
+    * deleted or made self-contained ([[optimize]] on the clone). */
+  private def recordCloneRef(spark: SparkSession, shfs: FileSystem,
+      sroot: Path, target: String, v: Long, m: Manifest): Unit = {
+    val dir = new Path(sroot, ClonesDir)
+    val p = new Path(dir,
+      f"v$v%08d-${java.util.UUID.randomUUID.toString.take(8)}.clone")
+    val body = Seq(s"target=$target", s"version=$v") ++
+      m.dvs.values.toSeq.distinct.sorted.map(d => s"dvref=$d") ++ m.files
+    shfs.mkdirs(dir)
+    val out = shfs.create(p, false)
+    try out.write(body.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def cloneRecordPaths(hfs: FileSystem, root: Path): Seq[Path] = {
+    val dir = new Path(root, ClonesDir)
+    if (!hfs.exists(dir)) Seq.empty
+    else hfs.listStatus(dir).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".clone"))
+      .map(_.getPath)
+  }
+
+  /** Shallow clones recorded against this source: (target, version). */
+  def cloneRefs(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val (hfs, root) = fs(spark, path)
+    cloneRecordPaths(hfs, root).map { p =>
+      val hdr = readLines(hfs, p).takeWhile(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      (hdr.getOrElse("target", ""), hdr.get("version").map(_.toLong).getOrElse(-1L))
+    }
+  }
+
+  /** Drop the clone-registry records naming `target` (the clone was
+    * deleted, or optimized self-contained), releasing the files it
+    * pinned to the next [[vacuum]]. Returns records removed. */
+  def releaseCloneRef(spark: SparkSession, path: String, target: String): Int = {
+    val (hfs, root) = fs(spark, path)
+    var n = 0
+    cloneRecordPaths(hfs, root).foreach { p =>
+      val hdr = readLines(hfs, p).takeWhile(_.contains("="))
+        .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
+        .toMap
+      if (hdr.get("target").contains(target) && hfs.delete(p, false)) n += 1
+    }
+    n
   }
 
   /** Change data feed between two snapshots (Delta CDF / `table_changes`):
@@ -2279,18 +2599,41 @@ object VersionedTable {
     * `graceMs = 0` only when no writer can be in flight (tests,
     * single-writer maintenance windows).
     *
+    * CLONE GUARD: files and DV dirs named by the `_clones/` registry
+    * ([[cloneTable]] records them) are treated as referenced and never
+    * reclaimed, with one stderr warning when the guard actually pinned
+    * something — Delta merely DOCUMENTS "vacuuming the source breaks
+    * clones"; this matches the documentation with a mechanism. Pass
+    * `ignoreClones = true` (or [[releaseCloneRef]] first) to reclaim
+    * anyway when the clones are known dead.
+    *
     * Driver-side metadata diff; returns the deleted file count. */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
-      graceMs: Long = 7L * 24 * 3600 * 1000): Int = {
+      graceMs: Long = 7L * 24 * 3600 * 1000,
+      ignoreClones: Boolean = false): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
     if (vs.isEmpty) return 0
     val retained = vs.takeRight(retainVersions).map(readManifest(hfs, root, _))
-    val referenced = retained.flatMap(_.files).toSet
+    val (cloneFiles, cloneDvDirs) =
+      if (ignoreClones) (Set.empty[String], Set.empty[String])
+      else {
+        val bodies = cloneRecordPaths(hfs, root).map(readLines(hfs, _))
+        (bodies.flatMap(_.filterNot(_.contains("="))).toSet,
+          bodies.flatMap(_.collect {
+            case l if l.startsWith("dvref=") => l.stripPrefix("dvref=") }).toSet)
+      }
+    val mReferenced = retained.flatMap(_.files).toSet
+    val cloneOnly = cloneFiles -- mReferenced
+    if (cloneOnly.nonEmpty)
+      System.err.println(s"[vacuum] $path: keeping ${cloneOnly.size} file(s) " +
+        "referenced only by recorded shallow clones (releaseCloneRef or " +
+        "ignoreClones = true to reclaim)")
+    val referenced = mReferenced ++ cloneFiles
     // deletion-vector datasets referenced by retained versions survive
     // whole (their parquet files are position data, not table data)
-    val refDvDirs = retained.flatMap(_.dvs.values).toSet
+    val refDvDirs = retained.flatMap(_.dvs.values).toSet ++ cloneDvDirs
     val filesDir = new Path(root, "files")
     if (!hfs.exists(filesDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs

@@ -498,7 +498,23 @@ object Streams {
     * version's manifest-diff files. At-least-once delivery at the
     * foreachBatch boundary — make `process` idempotent (e.g. commit its
     * output with [[graft.sources.VersionedTable.commitIfNew]] keyed by
-    * version, as [[maintainView]] does). */
+    * version, as [[maintainView]] does).
+    *
+    * CAVEAT, same as the batch [[graft.sources.VersionedTable.changes]]
+    * face: a [[graft.sources.VersionedTable.updateMergeOnRead]] commit
+    * reaches the feed as a row-level DELETE (pre-image) + INSERT
+    * (post-image) pair, never `update_preimage`/`update_postimage` —
+    * the manifest records the file/vector diff, not update intent.
+    * Consumers must fold delete+insert compositionally (as
+    * [[graft.pipeline.Aggregates.applyRevenueChanges]] does,
+    * spec-asserted); a consumer that special-cases only the update pair
+    * types would silently misfold MoR updates.
+    *
+    * A fresh consumer (default `fromVersion = -1`) of a table whose log
+    * was bounded by expireLog/maintain() bootstraps at the anchor: the
+    * first retained version arrives as a pure insert feed of its
+    * resolved snapshot (its predecessor no longer resolves), and
+    * everything after flows as normal diffs. */
   def changesStream(spark: SparkSession, tablePath: String, keyCols: Seq[String],
       checkpoint: String, fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
@@ -530,8 +546,13 @@ object Streams {
           .filter(_ > fromVersion).sorted
         vs.foreach { v =>
           val feed =
-            if (v == 0L)
-              VersionedTable.readVersion(spark, tablePath, 0L)
+            if (v == 0L || !VersionedTable.hasVersion(spark, tablePath, v - 1))
+              // v0 bootstrap — OR v-1 expired by expireLog/maintain():
+              // a FRESH consumer of a log-bounded table starts at the
+              // anchor, whose predecessor no longer resolves, so its
+              // snapshot arrives as a pure insert feed (the same shape
+              // as v0) instead of the stream dying on FileNotFound
+              VersionedTable.readVersion(spark, tablePath, v)
                 .withColumn("_change_type", lit("insert"))
             else VersionedTable.changes(spark, tablePath, keyCols, v - 1, v)
           process(feed, v)

@@ -77,4 +77,38 @@ class PruningPropertySpec extends SparkSpec {
       assert(pruned >= 20, s"only $pruned/60 predicates pruned any file")
     } finally spark.conf.set("spark.sql.parquet.outputTimestampType", prevTs)
   }
+
+  test("readWhere ≡ filter over 40 random CROSS-TYPED equality predicates on an INDEXED table") {
+    // the ADVICE hazard class: bloom probes canonicalized from the
+    // literal's type alone prune files Spark's cast-based equality would
+    // match. Random same- and cross-typed literals over a bloom-indexed
+    // long + zero-padded-string pair; every query must equal the filter.
+    val t = java.nio.file.Files.createTempDirectory("vt_prop_bloom").toString
+    val base = spark.range(1, 201).select(
+      col("id"),
+      lpad(col("id").cast("string"), 4, "0").as("code"))
+      .repartition(4, col("id")) // hash layout: only blooms can prune
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id", "code"), bloomBits = 1 << 12)
+    val rnd = new scala.util.Random(23L)
+    var pruned = 0
+    (0 until 40).foreach { _ =>
+      val v = rnd.nextInt(230) - 15
+      val c = rnd.nextInt(6) match {
+        case 0 => s"id = $v"                        // same-typed: prunes
+        case 1 => s"id = '$v'"                      // string on long
+        case 2 => f"id = '$v%04d'"                  // PADDED string on long
+        case 3 => f"code = '$v%04d'"                // same-typed: prunes
+        case 4 => s"code = $v"                      // int on string
+        case _ => f"id IN ($v, '${rnd.nextInt(200) + 1}%04d')" // mixed IN
+      }
+      val got = VersionedTable.readWhere(spark, t, c)
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = VersionedTable.readVersion(spark, t).filter(expr(c))
+        .select("id").collect().map(_.getLong(0)).toSet
+      assert(got === want, s"readWhere diverged on: $c")
+      if (VersionedTable.prunedFiles(spark, t, c).size < 4) pruned += 1
+    }
+    assert(pruned >= 8, s"only $pruned/40 indexed probes pruned any file")
+  }
 }

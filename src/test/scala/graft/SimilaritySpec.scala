@@ -229,4 +229,40 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"), s"expected broadcast join in:\n$plan")
     codes.unpersist(); pq.unpersist()
   }
+
+  test("ivf-pq: candidate volume bounded by the cell filter, recall floor vs exact top-5") {
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, k = 5).cache()
+    // deterministic + shape contracts
+    assert(ivfpq.exceptAll(Similarity.ivfPqTopK(emb, queries, k = 5)).count() === 0)
+    assert(ivfpq.groupBy("query_id").count().filter(col("count") > 5).count() === 0)
+    assert(ivfpq.filter(col("query_id") === col("neighbor_id")).count() === 0)
+    // the IVF half actually prunes: candidates scored = rows of the
+    // cell-filtered probe join, independently recomputed — must stay in
+    // family with nprobe/nlist (×2 slack for cell-size skew) of the
+    // pqTopK cross product this operator exists to avoid
+    val cents = Similarity.kmeansFit(emb, nlist = 16, iters = 2)
+    val cand = emb.select(col("vec_id").as("neighbor_id"),
+      Similarity.cellOf(cents).as("cell"))
+      .join(queries.select(col("vec_id").as("query_id"),
+        explode(Similarity.nearestCells(cents, 4)).as("cell")), Seq("cell"))
+      .count()
+    val crossProduct = emb.count() * queries.count()
+    assert(cand.toDouble / crossProduct <= 2.0 * 4 / 16,
+      s"ivf cell filter failed to prune: $cand of $crossProduct pairs scored")
+    // recall@5 vs exact: the composed index must not lose the recall the
+    // PQ half alone achieves on this corpus (coarse quantizer misses are
+    // bounded by nprobe=4 of 16 on label-clustered embeddings)
+    val bf = Similarity.bruteForceTopK(emb, queries, k = 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = ivfpq.select("query_id", "neighbor_id").intersect(bf).count()
+    val total = bf.count()
+    assert(hits.toDouble / total >= 0.5, s"ivf-pq recall@5 too low: $hits/$total")
+    // ANN cosine never beats brute force (exact re-rank returns true cosines)
+    val j = Similarity.bruteForceTopK(emb, queries, k = 1)
+      .select(col("query_id"), col("cosine").as("bf_cos"))
+      .join(ivfpq.filter(col("rank") === 1)
+        .select(col("query_id"), col("cosine").as("ann_cos")), "query_id")
+    assert(j.filter(col("ann_cos") > col("bf_cos") + 1e-12).count() === 0)
+    ivfpq.unpersist()
+  }
 }

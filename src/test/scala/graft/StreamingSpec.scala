@@ -298,6 +298,61 @@ class StreamingSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, viewP) === folds + 2)
     assert(dump(VersionedTable.readVersion(spark, viewP)) ===
       dump(Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))))
+    // MERGE-ON-READ update: reaches the feed as a row-level DELETE
+    // (pre-image) + INSERT (post-image) pair — the documented CDF shape,
+    // never update_pre/postimage — and the fold must treat the pair
+    // compositionally, staying bit-exact with the recompute
+    val mu = VersionedTable.updateMergeOnRead(spark, tbl, "event_id = 3",
+      Map("value" -> "9.00"), ts = "2026-03-07T00:00:00Z",
+      maxVectoredFraction = 1.0)
+    val pairTypes = VersionedTable.changes(spark, tbl, Seq("event_id"), mu - 1, mu)
+      .select("_change_type").distinct().collect().map(_.getString(0)).toSet
+    assert(pairTypes === Set("delete", "insert"),
+      s"MoR update must surface as a delete+insert pair, got $pairTypes")
+    Streams.maintainView(spark, tbl, viewP, checkpoint = s"$root/ckpt")
+    assert(VersionedTable.latestVersion(spark, viewP) === folds + 3)
+    assert(dump(VersionedTable.readVersion(spark, viewP)) ===
+      dump(Aggregates.revenueStateByZoneHour(VersionedTable.readVersion(spark, tbl))))
+  }
+
+  test("fresh CDF consumer on an expireLog'd table bootstraps at the anchor as an insert feed") {
+    import graft.sources.VersionedTable
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_cdfexp").toString
+    val tbl = s"$root/t"
+    VersionedTable.commit(Seq(0L).toDF("id"), tbl, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    (1 to 12).foreach { i =>
+      VersionedTable.commit(Seq(i.toLong).toDF("id"), tbl, mode = "append",
+        ts = f"2026-01-01T$i%02d:00:00Z")
+    }
+    // a delete AFTER the anchor so the retained tail isn't append-only
+    VersionedTable.delete(spark, tbl, "id = 4", ts = "2026-01-01T23:00:00Z") // v13
+    assert(VersionedTable.expireLog(spark, tbl, retainVersions = 3) > 0)
+    assert(!VersionedTable.hasVersion(spark, tbl, 9L),
+      "fixture must actually expire the anchor's predecessor")
+    var first = -1L
+    var firstTypes = Set.empty[String]
+    var state = Set.empty[Long]
+    // without the bootstrap branch this stream DIES on FileNotFound:
+    // the first retained version v10 triggers changes(9, 10) and v9's
+    // manifest is gone
+    Streams.changesStream(spark, tbl, Seq("id"), s"$root/ckpt") { (feed, v) =>
+      val rows = feed.select("id", "_change_type").collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      if (first < 0) { first = v; firstTypes = rows.map(_._2).toSet }
+      rows.foreach {
+        case (id, "insert") => state += id
+        case (id, "delete") => state -= id
+        case _ => ()
+      }
+    }
+    assert(first === 10L, s"bootstrap must start at the anchor version, got $first")
+    assert(firstTypes === Set("insert"),
+      s"the anchor must arrive as a pure insert feed, got $firstTypes")
+    assert(state ===
+      VersionedTable.readVersion(spark, tbl).collect().map(_.getLong(0)).toSet,
+      "folding the bootstrapped feed must reproduce the head snapshot")
   }
 
   test("versioned sink: one snapshot per micro-batch, replay skipped before any write") {

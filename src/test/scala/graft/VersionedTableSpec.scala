@@ -860,7 +860,9 @@ class VersionedTableSpec extends SparkSpec {
     // OR disables equality pruning (either branch could match anywhere)
     assert(VersionedTable.prunedFiles(spark, t, "id = 2042 OR v = 10").size === 8)
     assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042 OR v = 10")) === Set(1L, 2042L))
-    // an un-indexed append's files carry no sidecar and are always kept
+    // an append WITHOUT restating the index inherits the persisted
+    // config (r12) — its files are sidecar'd too, so the probe keeps
+    // pruning; correctness is unchanged either way
     VersionedTable.commit(df(9999), t, mode = "append", ts = "2026-01-02T00:00:00Z")
     val after = VersionedTable.prunedFiles(spark, t, "id = 2042")
     assert(after.size <= 3 && after.size >= pt.size)
@@ -1318,5 +1320,185 @@ class VersionedTableSpec extends SparkSpec {
     val step3 = VersionedTable.changes(spark, t, Seq("id"), d2, d3)
       .select("id").collect().map(_.getLong(0)).toSeq
     assert(step3 === Seq(27L))
+  }
+
+  private def manifestText(t: String, v: Long): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(t, "_manifests", f"v$v%08d.manifest")), "UTF-8")
+
+  test("DV auto-materialization: a file vectored past threshold folds COW in the same commit") {
+    val t = freshTable()
+    // range layout: file A = ids 1..20, file B = ids 21..40
+    val base = df(1L to 40L: _*).repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val before = VersionedTable.snapshotFiles(spark, t).toSet
+    // 60% of file A (stats prune B out of the candidates): past 0.5
+    val v = VersionedTable.deleteMergeOnRead(spark, t, "id <= 12", ts = "2026-01-02T00:00:00Z")
+    val after = VersionedTable.snapshotFiles(spark, t, v).toSet
+    assert((before -- after).size === 1, "the heavy file must be REMOVED, not vectored")
+    assert((after -- before).size >= 1, "its survivors must land as fresh files")
+    assert((before & after).size === 1, "the untouched file carries by reference")
+    assert(!manifestText(t, v).contains("dv="),
+      "a folded commit must carry no deletion-vector entry")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (13L to 40L).toSet)
+    // time travel still sees the pre-delete snapshot
+    assert(idSet(VersionedTable.readVersion(spark, t, v - 1)) === (1L to 40L).toSet)
+    // threshold respected in the other direction: a light delete stays a vector
+    val v2 = VersionedTable.deleteMergeOnRead(spark, t, "id = 39", ts = "2026-01-03T00:00:00Z")
+    assert(manifestText(t, v2).contains("dv="), "a 5% delete must stay merge-on-read")
+    // and repeated light deletes CROSS the threshold: once file B's
+    // accumulated vector passes 50%, the next DML folds it — the read
+    // tax is bounded by construction, not by operator discipline
+    val v3 = VersionedTable.deleteMergeOnRead(spark, t, "id >= 28 AND id <= 38",
+      ts = "2026-01-04T00:00:00Z") // 11 + 1 prior of 20 rows = 60%
+    assert(!manifestText(t, v3).contains("dv="),
+      "accumulated vector past threshold must fold")
+    assert(idSet(VersionedTable.readVersion(spark, t)) ===
+      ((13L to 27L) ++ Seq(40L)).toSet)
+    // disable switch: threshold 1.0 never folds
+    val t2 = freshTable()
+    VersionedTable.commit(df(1L to 10L: _*).repartition(1), t2,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val f2 = VersionedTable.snapshotFiles(spark, t2)
+    val u = VersionedTable.deleteMergeOnRead(spark, t2, "id <= 9",
+      ts = "2026-01-02T00:00:00Z", maxVectoredFraction = 1.0)
+    assert(VersionedTable.snapshotFiles(spark, t2, u) === f2)
+    assert(idSet(VersionedTable.readVersion(spark, t2)) === Set(10L))
+  }
+
+  test("MoR update past the threshold folds the touched file; result equals COW update") {
+    val mor = freshTable(); val cow = freshTable()
+    val base = df(1L to 40L: _*).repartitionByRange(2, col("id"))
+    Seq(mor, cow).foreach(p =>
+      VersionedTable.commit(base, p, mode = "overwrite", ts = "2026-01-01T00:00:00Z"))
+    val set = Map("v" -> "v + 1")
+    val v = VersionedTable.updateMergeOnRead(spark, mor, "id <= 15", set, ts = "2026-01-02T00:00:00Z")
+    VersionedTable.update(spark, cow, "id <= 15", set, ts = "2026-01-02T00:00:00Z")
+    // 75% of file A matched: folded (no dv entry), post-images appended
+    assert(!manifestText(mor, v).contains("dv="),
+      "update vectoring 75% of a file must fold it in the same commit")
+    val a = VersionedTable.readVersion(spark, mor).orderBy("id").collect().toSeq
+    val b = VersionedTable.readVersion(spark, cow).orderBy("id").collect().toSeq
+    assert(a === b)
+    // below threshold the MoR shape is preserved (file list unchanged)
+    val before = VersionedTable.snapshotFiles(spark, mor).toSet
+    val v2 = VersionedTable.updateMergeOnRead(spark, mor, "id = 39",
+      Map("v" -> "0"), ts = "2026-01-03T00:00:00Z")
+    assert(manifestText(mor, v2).contains("dv="))
+    assert(VersionedTable.snapshotFiles(spark, mor, v2).toSet.intersect(before) === before)
+  }
+
+  test("bloom index config persists through append/compact/optimize/COW — maintain() keeps the index") {
+    val t = freshTable()
+    val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id"), bloomBits = 1 << 14)
+    assert(VersionedTable.bloomConfigOf(spark, t) === Some((Seq("id"), 1 << 14)))
+    // plain append WITHOUT restating the config: its file is indexed
+    VersionedTable.commit((4001L to 4500L).toDF("id")
+      .withColumn("v", col("id") * 10).repartition(1), t,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "id = 4321").size <= 2,
+      "an inherited-config append must carry sidecars")
+    // incremental compaction folds the 9 files and RE-INDEXES its output
+    val cv = VersionedTable.compactSmall(spark, t, smallBytes = 8L * 1024 * 1024,
+      targetFileBytes = 12L * 1024, ts = "2026-01-03T00:00:00Z")
+    val nFiles = VersionedTable.snapshotFiles(spark, t, cv).size
+    assert(nFiles >= 3, s"compaction fixture needs multiple output files, got $nFiles")
+    val pt = VersionedTable.prunedFiles(spark, t, "id = 2042")
+    assert(pt.size <= 2,
+      s"point lookup must open <=2 of $nFiles files AFTER compaction, got ${pt.size}")
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042")) === Set(2042L))
+    // optimize (full rewrite) keeps config AND sidecars
+    VersionedTable.optimize(spark, t, targetFileBytes = 12L * 1024, ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.bloomConfigOf(spark, t) === Some((Seq("id"), 1 << 14)))
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042").size <= 2)
+    // a COW rewrite path (delete) re-indexes the files it writes
+    VersionedTable.delete(spark, t, "id = 7", ts = "2026-01-05T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042").size <= 2)
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042")) === Set(2042L))
+  }
+
+  test("setBloomIndex backfills an existing table and binds future writes") {
+    val t = freshTable()
+    val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042").size === 8,
+      "un-indexed table: equality probes cannot prune a hash layout")
+    VersionedTable.setBloomIndex(spark, t, Seq("id"), 1 << 14, ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042").size <= 2,
+      "backfill must index the existing head files")
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 2042")) === Set(2042L))
+    // future writes inherit the recorded config
+    VersionedTable.commit(df(9999), t, mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "id = 9999").size <= 2)
+    assert(idSet(VersionedTable.readWhere(spark, t, "id = 9999")) === Set(9999L))
+  }
+
+  test("bloom probes skip cross-typed equality literals: readWhere ≡ filter") {
+    val t = freshTable()
+    // long id + zero-padded string code, BOTH indexed: the padded form
+    // is the ADVICE hazard — canonical forms differ ('02042' vs '2042')
+    // while Spark's cast-based equality still matches the rows
+    val base = (1L to 4000L).toDF("id")
+      .withColumn("code", lpad(col("id").cast("string"), 5, "0"))
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id", "code"), bloomBits = 1 << 14)
+    // string literal on the LONG column: probe must be skipped — Spark's
+    // filter casts '0002042' to 2042 and matches; a '0002042' probe
+    // would prune the owning file (its sidecar stores '2042')
+    val a = VersionedTable.readWhere(spark, t, "id = '0002042'")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(a === Seq(2042L), "cross-typed string-on-long equality lost rows")
+    // numeric literal on the STRING column: same hazard mirrored —
+    // code = 2042 casts the column and matches id 2042's row ('02042')
+    val b = VersionedTable.readWhere(spark, t, "code = 2042")
+      .select("id").collect().map(_.getLong(0)).toSeq
+    assert(b === Seq(2042L), "cross-typed int-on-string equality lost rows")
+    // same-typed probes still prune (the guard must not disable the index)
+    assert(VersionedTable.prunedFiles(spark, t, "id = 2042").size <= 2)
+    assert(VersionedTable.prunedFiles(spark, t, "code = '02042'").size <= 2)
+    // IN with one cross-typed member: whole conjunct un-prunable, correct
+    assert(idSet(VersionedTable.readWhere(spark, t, "id IN ('0002042', 10)"))
+      === Set(2042L, 10L))
+  }
+
+  test("overwrite with a constraint on an omitted column sees NULL, not an analysis error") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.addConstraint(spark, t, "v_pos", "v >= 0", ts = "2026-01-02T00:00:00Z")
+    // schema-narrowing overwrite: v omitted → the constraint evaluates
+    // over NULL and passes (SQL CHECK), exactly like the append path
+    val v = VersionedTable.commit(Seq(7L).toDF("id"), t,
+      mode = "overwrite", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t, v).columns.toSeq === Seq("id"))
+    // a VIOLATING overwrite is still rejected before any data lands
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(Seq((8L, -5L)).toDF("id", "v"), t,
+        mode = "overwrite", ts = "2026-01-04T00:00:00Z")
+    }
+  }
+
+  test("vacuum keeps clone-referenced files until the clone ref is released") {
+    val src = freshTable()
+    VersionedTable.commit(df(1, 2), src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val tgt = freshTable()
+    VersionedTable.cloneTable(spark, src, tgt, ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.cloneRefs(spark, src).map(_._1) === Seq(tgt))
+    // source moves on: the cloned files become unreferenced by retention
+    VersionedTable.commit(df(9), src, mode = "overwrite", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.vacuum(spark, src, retainVersions = 1, graceMs = 0L) === 0,
+      "clone-referenced files must be pinned")
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === Set(1L, 2L),
+      "the clone must survive a default vacuum of its source")
+    // releasing the ref (clone deleted / made self-contained) frees them
+    assert(VersionedTable.releaseCloneRef(spark, src, tgt) === 1)
+    assert(VersionedTable.vacuum(spark, src, retainVersions = 1, graceMs = 0L) >= 1)
+    intercept[Exception] {
+      VersionedTable.readVersion(spark, tgt).collect()
+    }
   }
 }
