@@ -162,6 +162,26 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_rn`: ZERO-REWRITE schema surgery (column mapping,
+    * Delta name mode) — the range-laid silver snapshot, then
+    * `renameColumn(value → amount)` and `dropColumn(event_type)` (both
+    * metadata-only: the parquet files keep their physical columns
+    * untouched), then a COW delete THROUGH the mapped name (stats
+    * pruning consults the map). The end state is plain SQL over
+    * silver, so the driver oracle pins the whole rename/drop/read/DML
+    * composition row-for-row. */
+  private def buildRenameTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("rn", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtrn").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("value"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.renameColumn(s, tbl, "value", "amount", ts = "2026-01-02T00:00:00Z")
+      VersionedTable.dropColumn(s, tbl, "event_type", ts = "2026-01-03T00:00:00Z")
+      VersionedTable.delete(s, tbl, "amount < 10.0", ts = "2026-01-04T00:00:00Z")
+      tbl
+    })
+
   /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
     * clone's v0 is pure metadata referencing the source's files), then a
     * COW delete on the clone — touched source-referenced files rewrite
@@ -692,6 +712,14 @@ object SparkEntry {
       val tbl = buildReplaceTable(s, dir)
       VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
+    }),
+    // zero-rewrite rename + drop (column mapping): the head reads the
+    // renamed column and not the dropped one, with a COW delete running
+    // through the mapped name — all metadata commits, zero files
+    // rewritten by the schema surgery (spec-asserted)
+    "vt_rn" -> ((s, dir) => {
+      val tbl = buildRenameTable(s, dir)
+      VersionedTable.readVersion(s, tbl).select("event_id", "amount")
     }),
     // change data feed over the SAME merge+delete fixture: row-level
     // insert/update-pair/delete classification from the manifest diff —
@@ -1649,6 +1677,13 @@ object SparkEntry {
          |            THEN event_type || '_r' ELSE event_type END AS event_type,
          |       value
          |FROM silver""".stripMargin,
+
+    // rename(value->amount) + drop(event_type) are metadata-only; the
+    // delete keeps rows where `amount < 10` is FALSE or NULL (3VL)
+    "vt_rn" ->
+      s"""$silverCte
+         |SELECT event_id, value AS amount FROM silver
+         |WHERE NOT COALESCE(value < 10.0, FALSE)""".stripMargin,
 
     // v0 = signups; merged = every 3rd signup's value doubled + clicks
     // inserted; deleted = minus cheap clicks

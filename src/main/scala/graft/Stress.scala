@@ -663,6 +663,23 @@ object Stress {
       val tOpt = readS()
       println(f"STRESS dv_read_tax            plain $base0%.2f s, 1%%-vector $t10%.2f s, 25%%-vector $t25%.2f s, post-optimize $tOpt%.2f s (vector materialized)")
 
+      // AUTO-MATERIALIZATION bound (r12): a delete vectoring half of
+      // every file crosses the default 0.5 threshold, so the SAME DML
+      // folds the files COW-style — the head carries NO vector and the
+      // read tax resets without anyone scheduling an optimize. This is
+      // the cadence the round-11 dv_read_tax note said "exists" but
+      // nothing enforced.
+      // remaining ids are ≡ 1,2,3 (mod 4) after the %4 delete, so odd
+      // ids are ~2/3 of every file — safely past the 0.5 threshold
+      val vAuto = VersionedTable.deleteMergeOnRead(spark, taxed,
+        "event_id % 2 = 1", ts = "2026-01-05T00:00:00Z")
+      val tAuto = readS()
+      val headManifest = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(taxed, "_manifests", f"v$vAuto%08d.manifest")), "UTF-8")
+      require(!headManifest.contains("dv="),
+        "a 50%-vectored delete must auto-fold, carrying no dv= entry")
+      println(f"STRESS dv_auto_fold           50%%-delete auto-folded in-commit; post-fold read $tAuto%.2f s (no vector left)")
+
       // CONSTRAINT overhead per commit: each CHECK is one short-circuit
       // limit-1 pass over the batch before the write.
       val free = java.nio.file.Files.createTempDirectory("graft_ck0").toString
@@ -681,6 +698,53 @@ object Stress {
       VersionedTable.commit(sv, gated, mode = "append", ts = "2026-01-02T00:00:00Z")
       val gatedS = (System.nanoTime() - g0) / 1e9
       println(f"STRESS constraint_commit      unconstrained $freeS%.2f s vs 3-CHECK gated $gatedS%.2f s per append (same batch)")
+    }
+
+    // LOG LIFECYCLE at the 1,000-commit regime — the gap between
+    // "protocol correct" (checkpoint math spec-measured at 50 commits)
+    // and "protocol lived-in": a thousand commitIfNew micro-batches
+    // (~3 years of nightly loads, or a week of 10-minute triggers) with
+    // maintain() every 100 as the nightly window. ASSERTED, not just
+    // timed: (a) per-batch metadata opens at batch 900-1000 never
+    // exceed the batch 0-100 maximum plus checkpoint slack — the
+    // O(1+K) guarantee holds lived-in, not just at 50 commits;
+    // (b) the metadata log itself stays BOUNDED (manifests ≈ retained
+    // window + tail, checkpoints likewise) because each maintain()'s
+    // expireLog cuts below the anchor; (c) content stays exact.
+    {
+      import graft.sources.VersionedTable
+      val path = s"${java.nio.file.Files.createTempDirectory("graft_vtl")}/life"
+      val one = spark.range(1).selectExpr("id", "id * 10 AS v").coalesce(1)
+      var firstWin = 0.0; var lastWin = 0.0
+      var opensEarly = 0L; var opensLate = 0L
+      (0 until 1000).foreach { i =>
+        val o0 = VersionedTable.metadataOpens.get()
+        val t0 = System.nanoTime()
+        VersionedTable.commitIfNew(one, path, "life", i.toLong,
+          ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
+        val dt = (System.nanoTime() - t0) / 1e9
+        val dOpens = VersionedTable.metadataOpens.get() - o0
+        if (i < 100) { firstWin += dt; opensEarly = math.max(opensEarly, dOpens) }
+        if (i >= 900) { lastWin += dt; opensLate = math.max(opensLate, dOpens) }
+        if (i % 100 == 99)
+          VersionedTable.maintain(spark, path, retainVersions = 30, graceMs = 0L,
+            ts = java.time.Instant.EPOCH.plusSeconds(100000L + i).toString)
+      }
+      val nManifests = new java.io.File(s"$path/_manifests").list().length
+      val nCheckpoints = new java.io.File(s"$path/_checkpoints").list().length
+      require(opensLate <= opensEarly + VersionedTable.checkpointInterval,
+        s"per-batch metadata opens crept over 1000 commits: early max " +
+          s"$opensEarly, late max $opensLate")
+      require(nManifests <= 60 && nCheckpoints <= 20,
+        s"log unbounded after 1000 commits: $nManifests manifests, " +
+          s"$nCheckpoints checkpoints")
+      val rows = VersionedTable.readVersion(spark, path).count()
+      require(rows == 1000L, s"lifecycle lost rows: $rows of 1000")
+      require(VersionedTable.lastTxn(spark, path, "life").contains(999L),
+        "txn marker must survive checkpoint aggregation across expired logs")
+      println(f"STRESS vt_log_lifecycle       first100 $firstWin%.1f s vs last100 $lastWin%.1f s " +
+        f"(${lastWin / firstWin}%.2fx); opens/batch max early $opensEarly late $opensLate; " +
+        f"log bounded at $nManifests manifests + $nCheckpoints checkpoints; 1000 rows exact")
     }
 
     spark.stop()

@@ -130,13 +130,22 @@ object VersionedTable {
     * commit) stays readable and the append schema check never depends on
     * one file's footer — and per-file column min/max STATS (Delta's
     * add-file stats) in the manifest encoding (see [[footerStats]]). */
+  /** `colMap` (logical → PHYSICAL column name) and `retired` (physical
+    * names permanently blocked for reuse) are the COLUMN MAPPING state
+    * (Delta's column mapping in name mode, re-derived): physical names
+    * are what parquet files store and never change once assigned, so
+    * [[renameColumn]]/[[dropColumn]] are metadata-only commits — zero
+    * files rewritten. Empty maps = unmapped table (every name is its
+    * own physical; the fast path all pre-mapping tables stay on). */
   private case class Manifest(version: Long, ts: String, op: String,
       files: Seq[String], txn: Option[(String, Long)] = None,
       schemaJson: Option[String] = None,
       stats: Map[String, Map[String, (String, String)]] = Map.empty,
       dvs: Map[String, String] = Map.empty,
       constraints: Map[String, String] = Map.empty,
-      bloomCfg: Option[(Seq[String], Int)] = None)
+      bloomCfg: Option[(Seq[String], Int)] = None,
+      colMap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -151,7 +160,36 @@ object VersionedTable {
       addDvs: Map[String, String] = Map.empty,
       addConstraints: Map[String, String] = Map.empty,
       dropConstraints: Set[String] = Set.empty,
-      bloomCfg: Option[(Seq[String], Int)] = None)
+      bloomCfg: Option[(Seq[String], Int)] = None,
+      mapState: Option[(Map[String, String], Set[String])] = None)
+
+  /** Column-mapping lines: a `cmv=1` marker makes this manifest's
+    * `cm=<logical>|<physical>` and `cmrt=<physical>` lines the FULL
+    * authoritative state (rename/drop commits and full manifests write
+    * it); absence means a delta manifest inherits its base's state. The
+    * marker disambiguates "no lines = inherit" from "no lines = the map
+    * became empty again" (a rename back to the original name). */
+  private def parseMapState(headerLines: Seq[String])
+      : Option[(Map[String, String], Set[String])] =
+    if (!headerLines.contains("cmv=1")) None
+    else Some((
+      headerLines.filter(_.startsWith("cm=")).flatMap { l =>
+        l.stripPrefix("cm=").split('|') match {
+          case Array(lg, ph) => Some(lg -> ph)
+          case _ => None
+        }
+      }.toMap,
+      headerLines.filter(_.startsWith("cmrt="))
+        .map(_.stripPrefix("cmrt=")).toSet))
+
+  private def mapStateLines(st: Option[(Map[String, String], Set[String])])
+      : Seq[String] = st match {
+    case Some((cm, rt)) =>
+      Seq("cmv=1") ++
+        cm.toSeq.sortBy(_._1).map { case (l, p) => s"cm=$l|$p" } ++
+        rt.toSeq.sorted.map(p => s"cmrt=$p")
+    case None => Seq.empty
+  }
 
   /** Parse the `bloomcfg=<cols csv>|<mBits>` table-metadata line — the
     * persisted bloom index config ([[setBloomIndex]]). Like `ck=`
@@ -218,7 +256,7 @@ object VersionedTable {
     val hdr = headerLines
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
         l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm=") ||
-        l.startsWith("bloomcfg="))
+        l.startsWith("bloomcfg=") || l.startsWith("cm") /* cm=/cmrt=/cmv= */)
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -233,7 +271,8 @@ object VersionedTable {
       parseDvLines(headerLines), parseConstraintLines(headerLines),
       headerLines.filter(_.startsWith("ckrm="))
         .map(_.stripPrefix("ckrm=")).toSet,
-      parseBloomCfgLine(headerLines))
+      parseBloomCfgLine(headerLines),
+      parseMapState(headerLines))
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -248,7 +287,7 @@ object VersionedTable {
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
           l.startsWith("dv=") || l.startsWith("ck=") ||
-          l.startsWith("bloomcfg="))
+          l.startsWith("bloomcfg=") || l.startsWith("cm"))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -256,11 +295,13 @@ object VersionedTable {
         val i = t.lastIndexOf(':')
         t.substring(0, i) -> t.substring(i + 1).toLong
       }.toMap
+      val (ckCm, ckRt) = parseMapState(headerLines)
+        .getOrElse((Map.empty[String, String], Set.empty[String]))
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
         lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
         parseConstraintLines(headerLines),
-        parseBloomCfgLine(headerLines)), txnmax))
+        parseBloomCfgLine(headerLines), ckCm, ckRt), txnmax))
     }
   }
 
@@ -273,20 +314,23 @@ object VersionedTable {
       val raw = readRaw(hfs, root, v)
       raw.base match {
         case None =>
+          val (cm, rt) = raw.mapState
+            .getOrElse((Map.empty[String, String], Set.empty[String]))
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
             raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints,
-            raw.bloomCfg)
+            raw.bloomCfg, cm, rt)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
           val removed = raw.removes.toSet
+          val (cm, rt) = raw.mapState.getOrElse((base.colMap, base.retired))
           Manifest(raw.version, raw.ts, raw.op,
             base.files.filterNot(removed) ++ raw.adds, raw.txn,
             raw.schemaJson.orElse(base.schemaJson),
             (base.stats -- removed) ++ raw.addStats,
             (base.dvs -- removed) ++ raw.addDvs,
             (base.constraints -- raw.dropConstraints) ++ raw.addConstraints,
-            raw.bloomCfg.orElse(base.bloomCfg))
+            raw.bloomCfg.orElse(base.bloomCfg), cm, rt)
       }
     }
 
@@ -701,11 +745,33 @@ object VersionedTable {
             df.schema)).getOrElse(df.schema)
       enforceConstraints(alignTo(df, ckSchema), prevCks, path)
     }
+    // column-mapping state: appends inherit it (batches arrive in
+    // LOGICAL names, land in physical); an overwrite replaces schema,
+    // data and mapping together — a fresh identity world
+    val (cmap, retired) =
+      if (mode == "append")
+        prevM.map(pm => (pm.colMap, pm.retired))
+          .getOrElse((Map.empty[String, String], Set.empty[String]))
+      else (Map.empty[String, String], Set.empty[String])
+    // retirement guard: an evolved append may not introduce a logical
+    // column whose name collides with a physical name already in use
+    // (another column's storage name) or retired (a dropped column's —
+    // its data still lives in old files); allowing it would make two
+    // unrelated columns share one physical name across file generations
+    if (mode == "append" && (cmap.nonEmpty || retired.nonEmpty)) {
+      val prior = prevSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+      val blocked = df.schema.fieldNames.filterNot(prior).filter(c =>
+        retired.contains(c) || cmap.exists { case (l, p) => p == c && l != c })
+      if (blocked.nonEmpty) throw new SchemaMismatchException(
+        s"new columns ${blocked.mkString("[", ",", "]")} collide with " +
+          s"physical names in use or retired by rename/drop at $path")
+    }
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
     val dataDir = newDataDir(next)
-    df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(df, cmap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     // bloom index config is TABLE metadata: an explicit `bloomIndex` arg
     // sets/updates it; otherwise the persisted config applies, so a
@@ -717,7 +783,8 @@ object VersionedTable {
       else if (mode == "append") prevM.flatMap(_.bloomCfg)
       else None // overwrite without an explicit index drops the config
                 // with the data it described — re-state to keep it
-    cfg.foreach { case (cs, m) => writeBlooms(spark, hfs, root, dataDir, cs, m) }
+    cfg.foreach { case (cs, m) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(cmap, _)), m) }
     // append = DELTA manifest against prev (O(batch) log write — the
     // previous file list is never re-serialized); overwrite/first = full
     // manifest, which must CARRY the constraints and bloom config (delta
@@ -761,11 +828,13 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     if (backfill) {
       val local = m.files.filter(f => relLayoutName(f) == f)
+      // the backfill batch is a RAW (physical-name) read — map the
+      // logical config columns to their physical storage names
       if (local.nonEmpty)
         writeBloomSidecars(hfs, root,
           spark.read.option("mergeSchema", "true")
             .parquet(local.map(f => new Path(root, f).toString): _*),
-          cols, bloomBits)
+          cols.map(physOf(m.colMap, _)), bloomBits)
     }
     val next = prev + 1
     publish(hfs, root, RawManifest(next, ts, "set_bloom_index", Some(prev),
@@ -1066,7 +1135,8 @@ object VersionedTable {
     // from the whole table — breaking the identical-content contract.
     // Deletion vectors apply here too, which makes optimize the DV
     // MATERIALIZATION path: the rewritten snapshot carries no entries.
-    val cur = scanFiles(spark, root, m.files, m.dvs)
+    val cur = scanFiles(spark, root, m.files, m.dvs, mergeSchema = true,
+      m.colMap, m.retired)
     // zorderCols (2 or 3 dims) takes precedence over the legacy pair;
     // drop the helper zval column: optimize must be content-identical
     val laid =
@@ -1079,15 +1149,19 @@ object VersionedTable {
       }
     val next = prev + 1
     val dataDir = newDataDir(next)
-    laid.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(laid, m.colMap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     // the persisted index config survives maintenance: the compacted
     // head is re-indexed, so optimize never silently degrades the point
     // lookups the user paid an indexing pass for
-    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "optimize", None, newFiles,
       Seq.empty, None, Some(cur.schema.json), newStats,
-      Map.empty, m.constraints, Set.empty, m.bloomCfg))
+      Map.empty, m.constraints, Set.empty, m.bloomCfg,
+      if (m.colMap.isEmpty && m.retired.isEmpty) None
+      else Some((m.colMap, m.retired))))
     next
   }
 
@@ -1125,10 +1199,11 @@ object VersionedTable {
     val cur = readTouched(spark, path, small) // DV-aware, mergeSchema
     val next = prev + 1
     val dataDir = newDataDir(next)
-    cur.repartition(target).write.mode("overwrite")
+    toPhysical(cur.repartition(target), m.colMap).write.mode("overwrite")
       .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "compact", Some(prev), newFiles,
       small, None, m.schemaJson, newStats))
     next
@@ -1250,15 +1325,19 @@ object VersionedTable {
     // write once, into a dir named for the FIRST attempted version — the
     // name is a label; retries re-point the manifest at the same files
     val first = versions(hfs, root).lastOption
+    val firstM = first.map(readManifest(hfs, root, _))
+    val firstCmap = firstM.map(_.colMap).getOrElse(Map.empty[String, String])
     val firstNext = first.map(_ + 1).getOrElse(0L)
     val dataDir = newDataDir(firstNext)
-    df.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(df, firstCmap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     // persisted index config as of the first head read — sidecars are
     // written once with the data (a racing config change lands on the
     // NEXT batch; a missing section only degrades to stats pruning)
-    first.flatMap(readManifest(hfs, root, _).bloomCfg)
-      .foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    firstM.flatMap(_.bloomCfg)
+      .foreach { case (cs, b) =>
+        writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(firstCmap, _)), b) }
     var attempt = 0
     while (true) {
       val prev = versions(hfs, root).lastOption
@@ -1276,8 +1355,14 @@ object VersionedTable {
       // constraint gate per attempt — the winning writer may have ADDED
       // a constraint between our attempts, and the claim must never
       // land a batch the head's contract rejects
-      val cks = prev.map(p => readManifest(hfs, root, p).constraints)
-        .getOrElse(Map.empty)
+      val headM = prev.map(p => readManifest(hfs, root, p))
+      // a concurrent RENAME/DROP between our write and this claim would
+      // publish files whose physical names no longer match the head's
+      // mapping — abort loudly; the caller re-runs the whole commit
+      if (headM.map(_.colMap).getOrElse(Map.empty[String, String]) != firstCmap)
+        throw new SchemaMismatchException(
+          s"column mapping changed concurrently during commitWithRetry at $path; re-run")
+      val cks = headM.map(_.constraints).getOrElse(Map.empty)
       if (cks.nonEmpty) enforceConstraints(alignTo(df, snapSchema), cks, path)
       val next = prev.map(_ + 1).getOrElse(0L)
       try {
@@ -1335,7 +1420,10 @@ object VersionedTable {
       statLines(snap.files, snap.stats) ++
       dvLines(snap.dvs) ++
       constraintLines(snap.constraints) ++
-      bloomCfgLine(snap.bloomCfg)
+      bloomCfgLine(snap.bloomCfg) ++
+      mapStateLines(
+        if (snap.colMap.isEmpty && snap.retired.isEmpty) None
+        else Some((snap.colMap, snap.retired)))
     writeClaimed(hfs, new Path(root, CheckpointDir), target,
       (hdr ++ snap.files).mkString("", "\n", "\n"),
       onLost = () => ()) // lost checkpoint race: the other copy is identical
@@ -1369,7 +1457,8 @@ object VersionedTable {
       dvLines(m.addDvs) ++
       constraintLines(m.addConstraints) ++
       m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n") ++
-      bloomCfgLine(m.bloomCfg)
+      bloomCfgLine(m.bloomCfg) ++
+      mapStateLines(m.mapState)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
       onLost = () => throw new ConcurrentCommitException(m.version))
@@ -1433,6 +1522,53 @@ object VersionedTable {
     if (m.matches()) m.group(1) else f
   }
 
+  // ---------------------------------------------------- column mapping
+  //
+  // Physical names live in parquet files and NEVER change; logical
+  // names live in the manifest schema and rename freely. The whole
+  // feature is two renames at the engine's boundaries: scans alias
+  // physical → logical immediately after the parquet read (so every
+  // predicate, join and constraint in this file sees logical names),
+  // and writers alias logical → physical immediately before the
+  // parquet write. An unmapped table (colMap empty) takes neither
+  // branch — byte-identical to pre-mapping behavior.
+
+  /** Physical name of a logical column (identity when unmapped). */
+  private def physOf(colMap: Map[String, String], c: String): String =
+    colMap.getOrElse(c, c)
+
+  /** Alias a freshly read PHYSICAL frame to logical names, dropping
+    * retired physicals (columns a [[dropColumn]] removed — still in old
+    * files, invisible to every reader). */
+  private def toLogical(df: DataFrame, colMap: Map[String, String],
+      retired: Set[String]): DataFrame =
+    if (colMap.isEmpty && retired.isEmpty) df
+    else {
+      val phys2log = colMap.collect { case (l, p) if l != p => p -> l }
+      df.select(df.columns.collect {
+        case c if !retired.contains(c) => col(c).as(phys2log.getOrElse(c, c))
+      }.toIndexedSeq: _*)
+    }
+
+  /** Alias a LOGICAL frame to physical names for a data-file write. */
+  private def toPhysical(df: DataFrame, colMap: Map[String, String]): DataFrame =
+    if (colMap.forall { case (l, p) => l == p }) df
+    else df.select(df.columns.map { c =>
+      col(c).as(colMap.getOrElse(c, c))
+    }.toIndexedSeq: _*)
+
+  /** A file's manifest stats re-keyed to LOGICAL names — what every
+    * predicate-driven pruning decision must consult on a mapped table
+    * (stats are recorded under the parquet footer's physical names). */
+  private def logicalStatsOf(m: Manifest, f: String): Map[String, (String, String)] = {
+    val raw = m.stats.getOrElse(f, Map.empty)
+    if (m.colMap.isEmpty) raw
+    else {
+      val phys2log = m.colMap.collect { case (l, p) if l != p => p -> l }
+      raw.map { case (c, v) => phys2log.getOrElse(c, c) -> v }
+    }
+  }
+
   /** A scan of `files` carrying `__file` (layout-relative name) and
     * `__pos` (row position in its file) alongside the data columns.
     * Row identity comes from the `_metadata` columns, NOT
@@ -1442,11 +1578,16 @@ object VersionedTable {
     * non-deterministic in Catalyst and would fence every filter above
     * it out of the scan (plan-audit-asserted). */
   private def scanWithPos(spark: SparkSession, root: Path, files: Seq[String],
-      mergeSchema: Boolean = true): DataFrame =
-    spark.read.option("mergeSchema", mergeSchema.toString)
+      mergeSchema: Boolean = true,
+      colMap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty): DataFrame =
+    // row identity FIRST (the `_metadata` struct does not survive an
+    // explicit projection), then the physical → logical alias pass;
+    // `__file`/`__pos` ride through toLogical untouched (never mapped)
+    toLogical(spark.read.option("mergeSchema", mergeSchema.toString)
       .parquet(files.map(f => new Path(root, f).toString): _*)
       .withColumn("__file", regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
-      .withColumn("__pos", col("_metadata.row_index"))
+      .withColumn("__pos", col("_metadata.row_index")), colMap, retired)
 
   /** The deleted (file, pos) rows applying to `files` under `dvs`, or
     * None when no listed file carries a vector. Entries for OTHER files
@@ -1471,8 +1612,10 @@ object VersionedTable {
     * `__file`/`__pos` for callers that need row identity (discovery
     * scans, the DV writer itself). */
   private def scanLive(spark: SparkSession, root: Path, files: Seq[String],
-      dvs: Map[String, String]): DataFrame = {
-    val s = scanWithPos(spark, root, files)
+      dvs: Map[String, String],
+      colMap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty): DataFrame = {
+    val s = scanWithPos(spark, root, files, mergeSchema = true, colMap, retired)
     dvFrame(spark, root, files, dvs).fold(s)(dv =>
       s.join(broadcast(dv.select(col("file").as("__file"),
         col("pos").as("__pos"))), Seq("__file", "__pos"), "left_anti"))
@@ -1485,13 +1628,17 @@ object VersionedTable {
     * readWhere, merge/delete discovery, COW rewrites, optimize, CDF —
     * so a vectored row is invisible everywhere at once. */
   private def scanFiles(spark: SparkSession, root: Path, files: Seq[String],
-      dvs: Map[String, String], mergeSchema: Boolean = true): DataFrame =
+      dvs: Map[String, String], mergeSchema: Boolean = true,
+      colMap: Map[String, String] = Map.empty,
+      retired: Set[String] = Set.empty): DataFrame =
     dvFrame(spark, root, files, dvs) match {
       case None =>
-        spark.read.option("mergeSchema", mergeSchema.toString)
-          .parquet(files.map(f => new Path(root, f).toString): _*)
+        toLogical(spark.read.option("mergeSchema", mergeSchema.toString)
+          .parquet(files.map(f => new Path(root, f).toString): _*),
+          colMap, retired)
       case Some(_) =>
-        scanLive(spark, root, files, dvs).drop("__file", "__pos")
+        scanLive(spark, root, files, dvs, colMap, retired)
+          .drop("__file", "__pos")
     }
 
   /** Total row count of one data file, from its parquet footer (no data
@@ -1540,7 +1687,8 @@ object VersionedTable {
     // survivors = the heavy files read through the NEW (superset)
     // vector — content-identical materialization, optimize's semantics,
     // scoped to exactly the files past threshold
-    scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap)
+    toPhysical(scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap,
+      mergeSchema = true, m.colMap, m.retired), m.colMap)
       .write.mode("overwrite").parquet(new Path(root, dataDir).toString)
     val (adds, stats) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
@@ -1573,7 +1721,7 @@ object VersionedTable {
     val snapSchema = snapshotSchema(spark, root, m)
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val candidates =
-      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val next = prev + 1
     if (candidates.isEmpty) {
       publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
@@ -1585,7 +1733,7 @@ object VersionedTable {
     // superset, and re-pointing an untouched-but-vectored candidate at
     // the new dataset is sound (its position set is carried verbatim)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
-    val newDel = scanLive(spark, root, candidates, m.dvs)
+    val newDel = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
       .filter(coalesce(expr(condition), lit(false)))
       .select(col("__file").as("file"), col("__pos").as("pos"))
     // distinct: the folded old positions may carry duplicates (a file's
@@ -1642,7 +1790,7 @@ object VersionedTable {
       // empty table states and so does this
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         snapshotSchema(spark, root, m))
-    else scanFiles(spark, root, m.files, m.dvs, mergeSchema)
+    else scanFiles(spark, root, m.files, m.dvs, mergeSchema, m.colMap, m.retired)
   }
 
   /** A snapshot's manifest-relative data-file list (latest when
@@ -1716,7 +1864,9 @@ object VersionedTable {
     val next = versions(hfs, root).last + 1
     publish(hfs, root, RawManifest(next, ts, s"rollback($toVersion)",
       None, target.files, Seq.empty, None, target.schemaJson, target.stats,
-      target.dvs, target.constraints, Set.empty, target.bloomCfg))
+      target.dvs, target.constraints, Set.empty, target.bloomCfg,
+      if (target.colMap.isEmpty && target.retired.isEmpty) None
+      else Some((target.colMap, target.retired))))
     next
   }
 
@@ -1763,7 +1913,8 @@ object VersionedTable {
     // must not resurrect its deleted rows (the rewrite drops the file
     // AND its entry, so the survivors must already exclude them)
     val m = readManifest(hfs, root, versions(hfs, root).last)
-    scanFiles(spark, root, touched, m.dvs)
+    scanFiles(spark, root, touched, m.dvs, mergeSchema = true,
+      m.colMap, m.retired)
   }
 
   /** Per-key-column [lo, hi] bounds of the updates frame, in the STATS
@@ -1826,8 +1977,9 @@ object VersionedTable {
       bounds: Map[String, (String, String)]): Seq[String] =
     if (bounds.isEmpty) m.files
     else m.files.filter { f =>
+      val stats = logicalStatsOf(m, f)
       bounds.forall { case (k, (lo, hi)) =>
-        m.stats.get(f).flatMap(_.get(k)) match {
+        stats.get(k) match {
           case Some((mn, mx)) if mn.startsWith("s") == lo.startsWith("s") =>
             statCompare(mx, lo) >= 0 && statCompare(mn, hi) <= 0
           case _ => true
@@ -1891,7 +2043,7 @@ object VersionedTable {
     // "update" (resurrect) a deleted row instead of inserting fresh
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
         .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -1905,9 +2057,11 @@ object VersionedTable {
       else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    rewrite.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(rewrite, m.colMap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
@@ -2031,12 +2185,15 @@ object VersionedTable {
         throw new IllegalArgumentException(s"no committed versions at $path"))
     val m = readManifest(hfs, root, v)
     val cond = spark.sessionState.sqlParser.parseExpression(condition)
-    val statKept = m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), cond))
+    val statKept = m.files.filter(f => mayMatch(logicalStatsOf(m, f), cond))
     val snapSchema = snapshotSchema(spark, root, m)
     // bloom sidecar pass AFTER stats: equality/IN conjuncts drop files
     // whose filter proves every candidate value absent — the pruning
-    // min/max can never do on a uniformly distributed id column
-    val kept = bloomPrune(hfs, root, statKept, eqProbes(cond, snapSchema))
+    // min/max can never do on a uniformly distributed id column.
+    // Probes derive from LOGICAL predicate names (typed against the
+    // logical schema) and look up sidecar sections by PHYSICAL name.
+    val kept = bloomPrune(hfs, root, statKept,
+      eqProbes(cond, snapSchema).map { case (c, vs) => physOf(m.colMap, c) -> vs })
     val df =
       if (kept.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], snapSchema)
@@ -2044,7 +2201,8 @@ object VersionedTable {
         // align to the SNAPSHOT schema: pruning must not narrow the
         // result's columns when an evolved column lives only in pruned
         // files (their rows are excluded, the column is not)
-        val base = scanFiles(spark, root, kept, m.dvs)
+        val base = scanFiles(spark, root, kept, m.dvs, mergeSchema = true,
+          m.colMap, m.retired)
         base.select(snapSchema.fields.map { f =>
           if (base.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
@@ -2081,10 +2239,10 @@ object VersionedTable {
     // the predicate false contain no deletable row and are never opened
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val candidates =
-      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2100,9 +2258,11 @@ object VersionedTable {
       // NULL-evaluating rows)
       val survivors = readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
-      survivors.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+      toPhysical(survivors, m.colMap).write.mode("overwrite")
+        .parquet(new Path(root, dataDir).toString)
       val listed = listWithStats(hfs, root, dataDir)
-      m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+      m.bloomCfg.foreach { case (cs, b) =>
+        writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
       listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
@@ -2122,10 +2282,10 @@ object VersionedTable {
         s"table schema at $path")
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val candidates =
-      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2179,9 +2339,11 @@ object VersionedTable {
           applySet(pre.filter(coalesce(expr(condition), lit(false))),
             snapSchema, condition, set), m.constraints, path)
       val rewritten = applySet(pre, snapSchema, condition, set)
-      rewritten.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+      toPhysical(rewritten, m.colMap).write.mode("overwrite")
+        .parquet(new Path(root, dataDir).toString)
       val listed = listWithStats(hfs, root, dataDir)
-      m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+      m.bloomCfg.foreach { case (cs, b) =>
+        writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
       listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
     publish(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
@@ -2215,7 +2377,7 @@ object VersionedTable {
       s"update SET targets columns ${unknown.mkString("[", ",", "]")} not in the " +
         s"table schema at $path")
     val candidates =
-      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val next = prev + 1
     if (candidates.isEmpty) {
       publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
@@ -2226,7 +2388,8 @@ object VersionedTable {
     // the matched slice feeds TWO writes (the vector and the
     // post-images) — persist it so the candidate files are scanned
     // once, not once per write
-    val matched = scanLive(spark, root, candidates, m.dvs).filter(hit).persist()
+    val matched = scanLive(spark, root, candidates, m.dvs,
+      m.colMap, m.retired).filter(hit).persist()
     val dvDir = newDataDir(next)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
     val newDel = matched.select(col("__file").as("file"), col("__pos").as("pos"))
@@ -2254,10 +2417,12 @@ object VersionedTable {
       .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*),
       snapSchema, condition, set)
     if (m.constraints.nonEmpty) enforceConstraints(post, m.constraints, path)
-    post.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(post, m.colMap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     matched.unpersist()
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     // auto-materialization, as in deleteMergeOnRead: files vectored past
     // the threshold fold COW-style in this same commit
     val (folded, foldAdds, foldStats) = foldHeavyVectored(spark, hfs, root,
@@ -2309,10 +2474,10 @@ object VersionedTable {
         s"replaceWhere batch contains rows outside its scope [$condition] at $path")
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val candidates =
-      m.files.filter(f => mayMatch(m.stats.getOrElse(f, Map.empty), condExpr))
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2328,9 +2493,11 @@ object VersionedTable {
       else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
         .unionByName(aligned)
-    out.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    toPhysical(out, m.colMap).write.mode("overwrite")
+      .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
-    m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
     next
@@ -2379,9 +2546,119 @@ object VersionedTable {
     // carry table properties) and bind the clone's own future writes
     publish(thfs, troot, RawManifest(0L, ts, s"clone(v$v)", None, abs,
       Seq.empty, None, Some(schema), absStats, absDvs, m.constraints,
-      Set.empty, m.bloomCfg))
+      Set.empty, m.bloomCfg,
+      if (m.colMap.isEmpty && m.retired.isEmpty) None
+      else Some((m.colMap, m.retired))))
     recordCloneRef(spark, shfs, sroot, target, v, m)
     0L
+  }
+
+  /** Whether any CHECK constraint's SQL references column `c` — rename
+    * and drop refuse when one does (Delta's dependency rule): the
+    * constraint would throw unresolved-attribute on every later write
+    * instead of enforcing anything. Drop or rewrite the constraint
+    * first. */
+  private def constraintReferences(spark: SparkSession,
+      cks: Map[String, String], c: String): Seq[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    cks.collect {
+      case (n, e) if spark.sessionState.sqlParser.parseExpression(e)
+        .collect { case u: UnresolvedAttribute => u.name }
+        .exists(_.equalsIgnoreCase(c)) => n
+    }.toSeq.sorted
+  }
+
+  /** The table's column-mapping state at head: (logical → physical map,
+    * retired physical names). Empty maps = unmapped. */
+  def columnMappingOf(spark: SparkSession, path: String)
+      : (Map[String, String], Set[String]) = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption
+      .map { v => val m = readManifest(hfs, root, v); (m.colMap, m.retired) }
+      .getOrElse((Map.empty, Set.empty))
+  }
+
+  /** ZERO-REWRITE column rename (Delta column mapping, name mode): a
+    * metadata-only commit — the parquet files keep the column under its
+    * PHYSICAL name forever; only the manifest's logical schema and the
+    * logical→physical map change. Readers alias at scan time, writers
+    * alias at write time, stats/bloom pruning consult the map — every
+    * face of the table (readWhere, merge/delete/update, CDF, clones)
+    * sees the new name immediately, at zero data cost on a 100 TB
+    * table. Time travel to pre-rename versions sees the OLD name (the
+    * schema is versioned with everything else). Refused while a CHECK
+    * constraint references the column (Delta's rule — drop it first).
+    * CDF across the rename commit treats the column as drop+add (the
+    * keyed compare aligns by logical name); don't rename a CDF key
+    * column mid-stream. */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    require(newName.nonEmpty && !Seq("|", ",", "=", "\n").exists(newName.contains),
+      s"bad column name: $newName")
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"renameColumn on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val schema = snapshotSchema(spark, root, m)
+    require(schema.fieldNames.contains(oldName), s"no column $oldName at $path")
+    if (schema.fieldNames.contains(newName)) throw new SchemaMismatchException(
+      s"column $newName already exists at $path")
+    if (m.retired.contains(newName) ||
+        m.colMap.exists { case (l, p) => p == newName && l != oldName })
+      throw new SchemaMismatchException(
+        s"$newName collides with a physical name in use or retired at $path")
+    val dependent = constraintReferences(spark, m.constraints, oldName)
+    require(dependent.isEmpty,
+      s"constraints ${dependent.mkString(",")} reference $oldName; drop them first")
+    val phys = physOf(m.colMap, oldName)
+    val newMap = (m.colMap - oldName) + (newName -> phys)
+    val newSchema = StructType(schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    // a bloom index on the renamed column follows the logical name —
+    // its sidecars are keyed physical and stay valid as-is
+    val newCfg = m.bloomCfg.collect {
+      case (cs, b) if cs.contains(oldName) =>
+        (cs.map(c => if (c == oldName) newName else c), b)
+    }
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"rename_column($oldName->$newName)",
+      Some(prev), Seq.empty, Seq.empty, None, Some(newSchema.json), Map.empty,
+      Map.empty, Map.empty, Set.empty, newCfg, Some((newMap, m.retired))))
+    next
+  }
+
+  /** ZERO-REWRITE column drop: metadata-only — the column's data stays
+    * in the files under its physical name, invisible to every reader of
+    * this and later versions (scans drop retired physicals); time
+    * travel before the drop still sees it. The physical name is RETIRED
+    * forever: a later evolved append may not introduce a column with
+    * that name (it would alias unrelated data across file generations —
+    * the guard rejects it loudly). Refused while a CHECK constraint
+    * references the column. */
+  def dropColumn(spark: SparkSession, path: String, colName: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"dropColumn on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val schema = snapshotSchema(spark, root, m)
+    require(schema.fieldNames.contains(colName), s"no column $colName at $path")
+    require(schema.fields.length >= 2, s"cannot drop the only column at $path")
+    val dependent = constraintReferences(spark, m.constraints, colName)
+    require(dependent.isEmpty,
+      s"constraints ${dependent.mkString(",")} reference $colName; drop them first")
+    val newSchema = StructType(schema.fields.filterNot(_.name == colName))
+    val newMap = m.colMap - colName
+    val newRetired = m.retired + physOf(m.colMap, colName)
+    val newCfg = m.bloomCfg.collect {
+      case (cs, b) if cs.contains(colName) && cs.exists(_ != colName) =>
+        (cs.filterNot(_ == colName), b)
+    }
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"drop_column($colName)",
+      Some(prev), Seq.empty, Seq.empty, None, Some(newSchema.json), Map.empty,
+      Map.empty, Map.empty, Set.empty, newCfg, Some((newMap, newRetired))))
+    next
   }
 
   private val ClonesDir = "_clones"
@@ -2472,10 +2749,11 @@ object VersionedTable {
     // vectored out before `from` are not re-reported when their file is
     // finally rewritten, and rows vectored out in `to` never appear as
     // inserts of an added file
-    def readFiles(files: Seq[String], dvs: Map[String, String]): Option[DataFrame] =
+    def readFiles(files: Seq[String], m: Manifest): Option[DataFrame] =
       if (files.isEmpty) None
-      else Some(scanFiles(spark, root, files, dvs))
-    val main = (readFiles(removed, fromM.dvs), readFiles(added, toM.dvs)) match {
+      else Some(scanFiles(spark, root, files, m.dvs, mergeSchema = true,
+        m.colMap, m.retired))
+    val main = (readFiles(removed, fromM), readFiles(added, toM)) match {
       case (None, None) =>
         // metadata-only commit (rollback to self, optimize no-op): no
         // data files differ, the feed is empty by construction
@@ -2538,7 +2816,8 @@ object VersionedTable {
           .getOrElse(Seq.empty[(String, Long)].toDF("file", "pos"))
       val fromPos = posOf(fromM)
       val toPos = posOf(toM)
-      val raw = scanWithPos(spark, root, dvChanged)
+      val raw = scanWithPos(spark, root, dvChanged, mergeSchema = true,
+        toM.colMap, toM.retired)
       def rows(p: DataFrame, tpe: String): DataFrame = raw
         .join(broadcast(p.select(col("file").as("__file"),
           col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")

@@ -1482,6 +1482,139 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("renameColumn is metadata-only: zero files rewritten, every face sees the new name") {
+    val t = freshTable()
+    val base = df(1L to 40L: _*).repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val files0 = VersionedTable.snapshotFiles(spark, t)
+    val rv = VersionedTable.renameColumn(spark, t, "v", "amount", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t, rv) === files0,
+      "rename must rewrite ZERO data files")
+    val head = VersionedTable.readVersion(spark, t)
+    assert(head.columns.toSeq === Seq("id", "amount"))
+    assert(head.filter(col("amount") === 100).select("id").head().getLong(0) === 10L)
+    // time travel sees the pre-rename schema (versioned metadata)
+    assert(VersionedTable.readVersion(spark, t, rv - 1).columns.toSeq === Seq("id", "v"))
+    // stats pruning consults the map: the predicate is on the NEW name,
+    // the footer stats are recorded under the physical one
+    val kept = VersionedTable.prunedFiles(spark, t, "amount >= 310 AND amount <= 320")
+    assert(kept.size < 4, s"mapped stats must still prune, kept ${kept.size}/4")
+    assert(idSet(VersionedTable.readWhere(spark, t, "amount >= 310 AND amount <= 320"))
+      === Set(31L, 32L))
+    // appends arrive in logical names and land physical
+    VersionedTable.commit(Seq((41L, 410L)).toDF("id", "amount"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("amount") === 410).select("id").head().getLong(0) === 41L)
+    // the full DML surface runs on the logical name
+    VersionedTable.update(spark, t, "amount = 410",
+      Map("amount" -> "amount + 1"), ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 41).select("amount").head().getLong(0) === 411L)
+    VersionedTable.merge(Seq((1L, 999L)).toDF("id", "amount"), t,
+      keyCols = Seq("id"), ts = "2026-01-05T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 1).select("amount").head().getLong(0) === 999L)
+    VersionedTable.deleteMergeOnRead(spark, t, "amount = 999",
+      ts = "2026-01-06T00:00:00Z", maxVectoredFraction = 1.0)
+    assert(!idSet(VersionedTable.readVersion(spark, t)).contains(1L))
+    // optimize rewrites physically and carries the mapping
+    VersionedTable.optimize(spark, t, ts = "2026-01-07T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("id", "amount"))
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (2L to 41L).toSet)
+    // renaming BACK to the physical name is legal (it's this column's own)
+    VersionedTable.renameColumn(spark, t, "amount", "v", ts = "2026-01-08T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("id", "v"))
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 41).select("v").head().getLong(0) === 411L)
+  }
+
+  test("dropColumn retires the physical name; reuse is rejected; clones and checkpoints carry the map") {
+    val t = freshTable()
+    val base = df(1L to 20L: _*).withColumn("w", col("id") % 7)
+      .repartitionByRange(2, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.renameColumn(spark, t, "v", "amount", ts = "2026-01-02T00:00:00Z")
+    val dv = VersionedTable.dropColumn(spark, t, "w", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("id", "amount"))
+    // time travel before the drop still sees w
+    assert(VersionedTable.readVersion(spark, t, dv - 1).columns.contains("w"))
+    assert(VersionedTable.columnMappingOf(spark, t) ===
+      (Map("amount" -> "v"), Set("w")))
+    // a new column named like the RETIRED physical is rejected — its
+    // data would alias the dropped column's in old files
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commit(
+        Seq((21L, 210L, 9L)).toDF("id", "amount", "w"), t,
+        mode = "append", ts = "2026-01-04T00:00:00Z", mergeSchema = true)
+    }
+    // ...and so is one named like another column's ACTIVE physical
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commit(
+        Seq((21L, 210L, 9L)).toDF("id", "amount", "v"), t,
+        mode = "append", ts = "2026-01-04T00:00:00Z", mergeSchema = true)
+    }
+    // a genuinely fresh column evolves fine on a mapped table
+    VersionedTable.commit(Seq((21L, 210L, "x")).toDF("id", "amount", "tag"), t,
+      mode = "append", ts = "2026-01-05T00:00:00Z", mergeSchema = true)
+    val head = VersionedTable.readVersion(spark, t)
+    assert(head.columns.sorted.toSeq === Seq("amount", "id", "tag"))
+    assert(head.filter(col("id") === 21).select("tag").head().getString(0) === "x")
+    // clone carries the mapping: logical names from v0, evolves locally
+    val tgt = freshTable()
+    VersionedTable.cloneTable(spark, t, tgt, ts = "2026-01-06T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, tgt).columns.sorted.toSeq ===
+      Seq("amount", "id", "tag"))
+    VersionedTable.delete(spark, tgt, "amount >= 200", ts = "2026-01-07T00:00:00Z")
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === (1L to 19L).toSet)
+    // checkpoint resolution preserves the map: push past the cadence so
+    // the head resolves from a checkpoint, not the manifest chain
+    (0 until 11).foreach { i =>
+      VersionedTable.commit(Seq((100L + i, 1L, "y")).toDF("id", "amount", "tag"), t,
+        mode = "append", ts = f"2026-01-08T$i%02d:00:00Z")
+    }
+    val resolved = VersionedTable.readVersion(spark, t)
+    assert(resolved.columns.sorted.toSeq === Seq("amount", "id", "tag"))
+    assert(resolved.filter(col("id") === 10).select("amount").head().getLong(0) === 100L)
+    // CDF on the mapped table emits logical names
+    val last = VersionedTable.latestVersion(spark, t)
+    val feed = VersionedTable.changes(spark, t, Seq("id"), last - 1, last)
+    assert(feed.columns.contains("amount") && !feed.columns.contains("v"))
+    assert(feed.filter(col("_change_type") === "insert").count() === 1)
+  }
+
+  test("bloom index follows a rename; constraints block rename/drop of referenced columns") {
+    val t = freshTable()
+    val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(8, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+      bloomIndex = Seq("id"), bloomBits = 1 << 14)
+    VersionedTable.renameColumn(spark, t, "id", "key", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.bloomConfigOf(spark, t) === Some((Seq("key"), 1 << 14)))
+    // probes on the NEW name hit the sidecars keyed by the physical one
+    assert(VersionedTable.prunedFiles(spark, t, "key = 2042").size <= 2)
+    assert(VersionedTable.readWhere(spark, t, "key = 2042")
+      .select("key").head().getLong(0) === 2042L)
+    // an inherited-config append indexes under the physical name too
+    VersionedTable.commit(Seq((9999L, 0L)).toDF("key", "v"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.prunedFiles(spark, t, "key = 9999").size <= 2)
+    assert(VersionedTable.readWhere(spark, t, "key = 9999")
+      .select("key").head().getLong(0) === 9999L)
+    // a constraint referencing the column blocks rename AND drop
+    VersionedTable.addConstraint(spark, t, "key_nn", "key IS NOT NULL",
+      ts = "2026-01-04T00:00:00Z")
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "key", "k2", ts = "2026-01-05T00:00:00Z")
+    }
+    intercept[IllegalArgumentException] {
+      VersionedTable.dropColumn(spark, t, "key", ts = "2026-01-05T00:00:00Z")
+    }
+    VersionedTable.dropConstraint(spark, t, "key_nn", ts = "2026-01-06T00:00:00Z")
+    VersionedTable.renameColumn(spark, t, "key", "k2", ts = "2026-01-07T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("k2", "v"))
+  }
+
   test("vacuum keeps clone-referenced files until the clone ref is released") {
     val src = freshTable()
     VersionedTable.commit(df(1, 2), src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
