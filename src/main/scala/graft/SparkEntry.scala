@@ -1214,6 +1214,20 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10))
     }),
+    // rows-only: the PERSISTED IVF-PQ index (build once, query forever —
+    // the production split of v_iq's cost): cell-partitioned index
+    // parquet + model sidecar; the query-path scan dynamic-partition-
+    // prunes to the probed cells (spec-asserted), answers exactly like
+    // the inline operator (deterministic fits)
+    "v_ix" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = vtFixtures.getOrElseUpdate(("annix", dir), {
+        val p = java.nio.file.Files.createTempDirectory("graft_annix").toString
+        Similarity.buildAnnIndex(emb, p)
+        p
+      })
+      Similarity.queryAnnIndex(s, path, emb, emb.filter(col("vec_id") < 10))
+    }),
     // ANN recall QA (the dd_ev pattern on the vector side): one
     // oracle-checkable confusion row of LSH top-k vs brute-force top-k —
     // the measurement that justifies the approximate path, as a

@@ -265,4 +265,25 @@ class SimilaritySpec extends SparkSpec {
     assert(j.filter(col("ann_cos") > col("bf_cos") + 1e-12).count() === 0)
     ivfpq.unpersist()
   }
+
+  test("persisted ANN index: query refits nothing, equals inline IVF-PQ, partition-prunes to probed cells") {
+    val path = java.nio.file.Files.createTempDirectory("graft_annix").toString
+    Similarity.buildAnnIndex(emb, path)
+    // the model sidecar landed and the index is cell-partitioned on disk
+    assert(new java.io.File(s"$path/_model/model.txt").exists())
+    assert(new java.io.File(s"$path/index").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+    val viaIndex = Similarity.queryAnnIndex(spark, path, emb, queries)
+    val got = viaIndex.collect().toSet
+    // deterministic fits ⇒ the persisted index answers EXACTLY like the
+    // inline fit-and-query operator with the same parameters
+    val inline = Similarity.ivfPqTopK(emb, queries).collect().toSet
+    assert(got === inline, "index query diverged from inline ivfPqTopK")
+    // the scale point of partitioning by cell: the broadcast probe join
+    // on the PARTITION column triggers dynamic partition pruning — the
+    // ADC scan reads the probed cell directories, not the index
+    val plan = viaIndex.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell in:\n${plan.take(3000)}")
+  }
 }
