@@ -1327,6 +1327,23 @@ object VersionedTable {
     val first = versions(hfs, root).lastOption
     val firstM = first.map(readManifest(hfs, root, _))
     val firstCmap = firstM.map(_.colMap).getOrElse(Map.empty[String, String])
+    // retirement guard BEFORE any data lands (the physical write below
+    // would otherwise fail on a duplicate storage name with an opaque
+    // AnalysisException): an evolved batch may not introduce a logical
+    // column colliding with an in-use or retired physical
+    firstM.foreach { hm =>
+      if (hm.colMap.nonEmpty || hm.retired.nonEmpty) {
+        val prior = hm.schemaJson
+          .map(j => DataType.fromJson(j).asInstanceOf[StructType].fieldNames.toSet)
+          .getOrElse(Set.empty[String])
+        val blocked = df.schema.fieldNames.filterNot(prior).filter(c =>
+          hm.retired.contains(c) ||
+            hm.colMap.exists { case (l, p) => p == c && l != c })
+        if (blocked.nonEmpty) throw new SchemaMismatchException(
+          s"new columns ${blocked.mkString("[", ",", "]")} collide with " +
+            s"physical names in use or retired by rename/drop at $path")
+      }
+    }
     val firstNext = first.map(_ + 1).getOrElse(0L)
     val dataDir = newDataDir(firstNext)
     toPhysical(df, firstCmap).write.mode("overwrite")
@@ -1362,6 +1379,20 @@ object VersionedTable {
       if (headM.map(_.colMap).getOrElse(Map.empty[String, String]) != firstCmap)
         throw new SchemaMismatchException(
           s"column mapping changed concurrently during commitWithRetry at $path; re-run")
+      // same retirement guard as commitInternal: an evolved batch may
+      // not introduce a logical column colliding with an in-use or
+      // retired physical name
+      headM.foreach { hm =>
+        if (hm.colMap.nonEmpty || hm.retired.nonEmpty) {
+          val prior = prevSchema.map(_.fieldNames.toSet).getOrElse(Set.empty)
+          val blocked = df.schema.fieldNames.filterNot(prior).filter(c =>
+            hm.retired.contains(c) ||
+              hm.colMap.exists { case (l, p) => p == c && l != c })
+          if (blocked.nonEmpty) throw new SchemaMismatchException(
+            s"new columns ${blocked.mkString("[", ",", "]")} collide with " +
+              s"physical names in use or retired by rename/drop at $path")
+        }
+      }
       val cks = headM.map(_.constraints).getOrElse(Map.empty)
       if (cks.nonEmpty) enforceConstraints(alignTo(df, snapSchema), cks, path)
       val next = prev.map(_ + 1).getOrElse(0L)

@@ -1583,6 +1583,37 @@ class VersionedTableSpec extends SparkSpec {
     assert(feed.filter(col("_change_type") === "insert").count() === 1)
   }
 
+  test("replaceWhere, commitWithRetry and MoR update run through the column map") {
+    val t = freshTable()
+    val base = df(1L to 40L: _*).repartitionByRange(4, col("id"))
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.renameColumn(spark, t, "v", "amount", ts = "2026-01-02T00:00:00Z")
+    // predicate-scoped overwrite on the mapped name: the scope check,
+    // discovery, survivor rewrite and batch write all cross the map
+    val repl = Seq((5L, 5000L), (6L, 6000L)).toDF("id", "amount")
+    VersionedTable.replaceWhere(repl, t, "id >= 5 AND id <= 6",
+      ts = "2026-01-03T00:00:00Z")
+    val head = VersionedTable.readVersion(spark, t)
+    assert(head.filter(col("id") === 5).select("amount").head().getLong(0) === 5000L)
+    assert(head.filter(col("id") === 7).select("amount").head().getLong(0) === 70L)
+    // multi-writer append lands physical under the map
+    VersionedTable.commitWithRetry(Seq((42L, 420L)).toDF("id", "amount"), t,
+      ts = "2026-01-04T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 42).select("amount").head().getLong(0) === 420L)
+    // ...and its evolution path honors the retirement guard too
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitWithRetry(Seq((43L, 1L, 2L)).toDF("id", "amount", "v"),
+        t, ts = "2026-01-05T00:00:00Z", mergeSchema = true)
+    }
+    // MoR update through the map: vector + post-images, logical read-back
+    VersionedTable.updateMergeOnRead(spark, t, "id = 42",
+      Map("amount" -> "amount + 1"), ts = "2026-01-06T00:00:00Z",
+      maxVectoredFraction = 1.0)
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 42).select("amount").head().getLong(0) === 421L)
+  }
+
   test("bloom index follows a rename; constraints block rename/drop of referenced columns") {
     val t = freshTable()
     val base = (1L to 4000L).toDF("id").withColumn("v", col("id") * 10)
