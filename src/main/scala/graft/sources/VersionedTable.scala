@@ -145,7 +145,8 @@ object VersionedTable {
       constraints: Map[String, String] = Map.empty,
       bloomCfg: Option[(Seq[String], Int)] = None,
       colMap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty)
+      retired: Set[String] = Set.empty,
+      gens: Map[String, String] = Map.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -161,7 +162,23 @@ object VersionedTable {
       addConstraints: Map[String, String] = Map.empty,
       dropConstraints: Set[String] = Set.empty,
       bloomCfg: Option[(Seq[String], Int)] = None,
-      mapState: Option[(Map[String, String], Set[String])] = None)
+      mapState: Option[(Map[String, String], Set[String])] = None,
+      addGens: Map[String, String] = Map.empty,
+      dropGens: Set[String] = Set.empty)
+
+  private def parseGenLines(headerLines: Seq[String]): Map[String, String] =
+    // one `gen=<col>|<hex of the SQL expression>` line per generated
+    // column — the ck= encoding applied to Delta's GENERATED ALWAYS AS
+    headerLines.filter(_.startsWith("gen=")).flatMap { l =>
+      l.stripPrefix("gen=").split('|') match {
+        case Array(n, e) => Some(n -> new String(hexDecode(e), "UTF-8"))
+        case _ => None
+      }
+    }.toMap
+
+  private def genLines(gens: Map[String, String]): Seq[String] =
+    gens.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"gen=$n|${hexEncode(e.getBytes("UTF-8"))}" }
 
   /** Column-mapping lines: a `cmv=1` marker makes this manifest's
     * `cm=<logical>|<physical>` and `cmrt=<physical>` lines the FULL
@@ -256,7 +273,8 @@ object VersionedTable {
     val hdr = headerLines
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
         l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm=") ||
-        l.startsWith("bloomcfg=") || l.startsWith("cm") /* cm=/cmrt=/cmv= */)
+        l.startsWith("bloomcfg=") || l.startsWith("cm") /* cm=/cmrt=/cmv= */ ||
+        l.startsWith("gen=") || l.startsWith("genrm="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -272,7 +290,10 @@ object VersionedTable {
       headerLines.filter(_.startsWith("ckrm="))
         .map(_.stripPrefix("ckrm=")).toSet,
       parseBloomCfgLine(headerLines),
-      parseMapState(headerLines))
+      parseMapState(headerLines),
+      parseGenLines(headerLines),
+      headerLines.filter(_.startsWith("genrm="))
+        .map(_.stripPrefix("genrm=")).toSet)
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -287,7 +308,8 @@ object VersionedTable {
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
           l.startsWith("dv=") || l.startsWith("ck=") ||
-          l.startsWith("bloomcfg=") || l.startsWith("cm"))
+          l.startsWith("bloomcfg=") || l.startsWith("cm") ||
+          l.startsWith("gen="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -301,7 +323,8 @@ object VersionedTable {
         lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
         parseConstraintLines(headerLines),
-        parseBloomCfgLine(headerLines), ckCm, ckRt), txnmax))
+        parseBloomCfgLine(headerLines), ckCm, ckRt,
+        parseGenLines(headerLines)), txnmax))
     }
   }
 
@@ -318,7 +341,7 @@ object VersionedTable {
             .getOrElse((Map.empty[String, String], Set.empty[String]))
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
             raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints,
-            raw.bloomCfg, cm, rt)
+            raw.bloomCfg, cm, rt, raw.addGens)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -330,7 +353,8 @@ object VersionedTable {
             (base.stats -- removed) ++ raw.addStats,
             (base.dvs -- removed) ++ raw.addDvs,
             (base.constraints -- raw.dropConstraints) ++ raw.addConstraints,
-            raw.bloomCfg.orElse(base.bloomCfg), cm, rt)
+            raw.bloomCfg.orElse(base.bloomCfg), cm, rt,
+            (base.gens -- raw.dropGens) ++ raw.addGens)
       }
     }
 
@@ -637,6 +661,15 @@ object VersionedTable {
       }
   }
 
+  /** Compute every GENERATED column the batch omits (name order, so a
+    * generated column may reference an earlier one). Batches that carry
+    * a generated column explicitly pass through untouched — the paired
+    * `gen_<name>` CHECK constraint validates them instead. */
+  private def applyGens(df: DataFrame, gens: Map[String, String]): DataFrame =
+    gens.toSeq.sortBy(_._1).foldLeft(df) { case (d, (n, e)) =>
+      if (d.columns.contains(n)) d else d.withColumn(n, expr(e))
+    }
+
   private def alignTo(df: DataFrame, schema: StructType): DataFrame =
     df.select(schema.fields.map { f =>
       if (df.columns.contains(f.name)) col(f.name)
@@ -681,6 +714,77 @@ object VersionedTable {
     next
   }
 
+  /** The table's generated columns (name → SQL expression) at head. */
+  def generatedColumnsOf(spark: SparkSession, path: String): Map[String, String] = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption
+      .map(readManifest(hfs, root, _).gens).getOrElse(Map.empty)
+  }
+
+  /** Declare an EXISTING column GENERATED (Delta `GENERATED ALWAYS AS`,
+    * re-derived): a metadata-only commit after which every commit face
+    * (append, overwrite, commitWithRetry, the streaming sink, merge,
+    * replaceWhere) COMPUTES the column when the batch omits it — the
+    * intended write shape: ingest the raw columns, let the table derive
+    * `event_date` from `ts` — and VALIDATES it when the batch carries
+    * it, via an automatically managed CHECK constraint
+    * `gen_<name>: name <=> (expression)` (null-safe equality: a batch
+    * lying about the derivation is rejected before any data lands, on
+    * every write path the constraint machinery already gates, including
+    * UPDATE post-images — an update that changes a source column
+    * without fixing the generated one fails loudly rather than
+    * corrupting the derivation, Delta's behavior). Existing data is
+    * validated first unless `validate = false`. The derived column's
+    * file stats then make `readWhere` prune on it — the generated-
+    * partition-column pattern (date from timestamp) at 100 TB.
+    * Rename/drop of the generated OR any referenced column is blocked
+    * while declared (the constraint-dependency guard); drop the
+    * declaration first ([[dropGeneratedColumn]]). */
+  def addGeneratedColumn(spark: SparkSession, path: String, name: String,
+      expression: String, ts: String = "1970-01-01T00:00:00Z",
+      validate: Boolean = true): Long = {
+    require(name.nonEmpty && !name.contains('|') && !name.contains('=') &&
+      !name.contains('\n'), s"bad generated column name: $name")
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"addGeneratedColumn on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val schema = snapshotSchema(spark, root, m)
+    require(schema.fieldNames.contains(name),
+      s"no column $name at $path — generated columns are declared over existing columns")
+    require(!m.gens.contains(name), s"$name is already generated at $path")
+    val ckName = s"gen_$name"
+    require(!m.constraints.contains(ckName), s"constraint $ckName already exists at $path")
+    val ckExpr = s"$name <=> ($expression)"
+    if (validate && m.files.nonEmpty)
+      enforceConstraints(
+        alignTo(readVersion(spark, path, prev), schema),
+        Map(ckName -> ckExpr), path)
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"add_generated($name)",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      Map.empty, Map(ckName -> ckExpr), Set.empty, None, None,
+      Map(name -> expression)))
+    next
+  }
+
+  /** Un-declare a generated column (metadata-only): the column stays in
+    * the schema and the data; batches must carry it explicitly again. */
+  def dropGeneratedColumn(spark: SparkSession, path: String, name: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"dropGeneratedColumn on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    require(m.gens.contains(name), s"no generated column $name at $path")
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"drop_generated($name)",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      Map.empty, Map.empty, Set(s"gen_$name"), None, None,
+      Map.empty, Set(name)))
+    next
+  }
+
   /** Drop a CHECK constraint — metadata-only commit; time travel before
     * it still sees (and CDF replay re-derives) the constrained epochs. */
   def dropConstraint(spark: SparkSession, path: String, name: String,
@@ -697,14 +801,20 @@ object VersionedTable {
     next
   }
 
-  private def commitInternal(df: DataFrame, path: String, mode: String,
+  private def commitInternal(df0: DataFrame, path: String, mode: String,
       ts: String, txn: Option[(String, Long)],
       mergeSchema: Boolean = false, bloomIndex: Seq[String] = Seq.empty,
       bloomBits: Int = 1 << 17): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode: $mode")
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption
+    val prevM = prev.map(p => readManifest(hfs, root, p))
+    // GENERATED columns compute-if-absent BEFORE the schema check: a
+    // batch omitting a generated column is the intended write shape
+    // (the paired gen_<name> CHECK constraint validates batches that
+    // carry it explicitly)
+    val df = applyGens(df0, prevM.map(_.gens).getOrElse(Map.empty))
     val prevSchema =
       if (mode == "append")
         prev.map(p => headSchema(spark, hfs, root, p, readRaw(hfs, root, p)))
@@ -727,7 +837,6 @@ object VersionedTable {
             "pass mergeSchema = true to evolve")
       }
     val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
-    val prevM = prev.map(p => readManifest(hfs, root, p))
     // CHECK constraints gate the batch BEFORE any data lands — table
     // metadata, so they apply to appends AND overwrites (an overwrite
     // replaces the data, not the table's contract)
@@ -797,7 +906,8 @@ object VersionedTable {
     publish(hfs, root, RawManifest(next, ts, mode, base, newFiles,
       Seq.empty, txn, Some(snapSchema.json), newStats,
       Map.empty, if (base.isEmpty) prevCks else Map.empty, Set.empty,
-      cfgLine))
+      cfgLine, None,
+      if (base.isEmpty) prevM.map(_.gens).getOrElse(Map.empty) else Map.empty))
     next
   }
 
@@ -1161,7 +1271,7 @@ object VersionedTable {
       Seq.empty, None, Some(cur.schema.json), newStats,
       Map.empty, m.constraints, Set.empty, m.bloomCfg,
       if (m.colMap.isEmpty && m.retired.isEmpty) None
-      else Some((m.colMap, m.retired))))
+      else Some((m.colMap, m.retired)), m.gens))
     next
   }
 
@@ -1182,7 +1292,8 @@ object VersionedTable {
   def compactSmall(spark: SparkSession, path: String,
       smallBytes: Long = 8L * 1024 * 1024,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z",
+      zorderCols: Seq[String] = Seq.empty): Long = {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"compact of empty table at $path"))
@@ -1199,7 +1310,17 @@ object VersionedTable {
     val cur = readTouched(spark, path, small) // DV-aware, mergeSchema
     val next = prev + 1
     val dataDir = newDataDir(next)
-    toPhysical(cur.repartition(target), m.colMap).write.mode("overwrite")
+    // optional Z-ORDER layout on the folded output (liquid-clustering
+    // flavored maintenance): a streaming sink's micro-batches arrive in
+    // time order, so without this the nightly fold preserves no key
+    // locality and range queries on the folded head prune nothing —
+    // clustering the SMALL-FILE fold costs O(small bytes), same as the
+    // fold itself, and each night's output lands query-prunable
+    val laid =
+      if (zorderCols.nonEmpty)
+        graft.analytics.ZOrder.zOrderLayoutN(cur, zorderCols, target).drop("zval")
+      else cur.repartition(target)
+    toPhysical(laid, m.colMap).write.mode("overwrite")
       .parquet(new Path(root, dataDir).toString)
     val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
@@ -1223,8 +1344,9 @@ object VersionedTable {
       smallBytes: Long = 8L * 1024 * 1024,
       retainVersions: Int = 30,
       graceMs: Long = 7L * 24 * 3600 * 1000,
-      ts: String = "1970-01-01T00:00:00Z"): (Long, Int, Int) = {
-    val v = compactSmall(spark, path, smallBytes, ts = ts)
+      ts: String = "1970-01-01T00:00:00Z",
+      zorderCols: Seq[String] = Seq.empty): (Long, Int, Int) = {
+    val v = compactSmall(spark, path, smallBytes, ts = ts, zorderCols = zorderCols)
     val expired = expireLog(spark, path, retainVersions)
     val vacuumed = vacuum(spark, path, retainVersions, graceMs)
     (v, expired, vacuumed)
@@ -1317,15 +1439,16 @@ object VersionedTable {
   /** Test seam: `beforeClaim(next)` runs after the version is computed
     * and before the manifest claim — the window a concurrent winner
     * lands in. */
-  private[graft] def commitWithRetryImpl(df: DataFrame, path: String,
+  private[graft] def commitWithRetryImpl(df0: DataFrame, path: String,
       ts: String, mergeSchema: Boolean, maxRetries: Int,
       beforeClaim: Long => Unit): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val (hfs, root) = fs(spark, path)
     // write once, into a dir named for the FIRST attempted version — the
     // name is a label; retries re-point the manifest at the same files
     val first = versions(hfs, root).lastOption
     val firstM = first.map(readManifest(hfs, root, _))
+    val df = applyGens(df0, firstM.map(_.gens).getOrElse(Map.empty))
     val firstCmap = firstM.map(_.colMap).getOrElse(Map.empty[String, String])
     // retirement guard BEFORE any data lands (the physical write below
     // would otherwise fail on a duplicate storage name with an opaque
@@ -1451,6 +1574,7 @@ object VersionedTable {
       statLines(snap.files, snap.stats) ++
       dvLines(snap.dvs) ++
       constraintLines(snap.constraints) ++
+      genLines(snap.gens) ++
       bloomCfgLine(snap.bloomCfg) ++
       mapStateLines(
         if (snap.colMap.isEmpty && snap.retired.isEmpty) None
@@ -1488,6 +1612,8 @@ object VersionedTable {
       dvLines(m.addDvs) ++
       constraintLines(m.addConstraints) ++
       m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n") ++
+      genLines(m.addGens) ++
+      m.dropGens.toSeq.sorted.map(n => s"genrm=$n") ++
       bloomCfgLine(m.bloomCfg) ++
       mapStateLines(m.mapState)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
@@ -1897,7 +2023,7 @@ object VersionedTable {
       None, target.files, Seq.empty, None, target.schemaJson, target.stats,
       target.dvs, target.constraints, Set.empty, target.bloomCfg,
       if (target.colMap.isEmpty && target.retired.isEmpty) None
-      else Some((target.colMap, target.retired))))
+      else Some((target.colMap, target.retired)), target.gens))
     next
   }
 
@@ -2043,13 +2169,14 @@ object VersionedTable {
     * driver collect bounded by |files| — metadata-sized. Readers of
     * older versions are unaffected (snapshot isolation); concurrent
     * merges serialize on the commit claim. */
-  def merge(updates: DataFrame, path: String, keyCols: Seq[String],
+  def merge(updates0: DataFrame, path: String, keyCols: Seq[String],
       ts: String = "1970-01-01T00:00:00Z"): Long = {
-    val spark = updates.sparkSession
+    val spark = updates0.sparkSession
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"merge into empty table at $path"))
     val m = readManifest(hfs, root, prev)
+    val updates = applyGens(updates0, m.gens)
     val snapSchema = snapshotSchema(spark, root, m)
     val drift = updates.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
     if (drift.nonEmpty) throw new SchemaMismatchException(
@@ -2486,13 +2613,14 @@ object VersionedTable {
     * `df`'s columns must match the snapshot schema (no evolution here:
     * a scoped replace that also changed the schema would fork the
     * table's unreplaced region). */
-  def replaceWhere(df: DataFrame, path: String, condition: String,
+  def replaceWhere(df0: DataFrame, path: String, condition: String,
       ts: String = "1970-01-01T00:00:00Z"): Long = {
-    val spark = df.sparkSession
+    val spark = df0.sparkSession
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"replaceWhere on empty table at $path"))
     val m = readManifest(hfs, root, prev)
+    val df = applyGens(df0, m.gens)
     val snapSchema = snapshotSchema(spark, root, m)
     if (snapSchema.fieldNames.toSet != df.schema.fieldNames.toSet)
       throw new SchemaMismatchException(
@@ -2579,7 +2707,7 @@ object VersionedTable {
       Seq.empty, None, Some(schema), absStats, absDvs, m.constraints,
       Set.empty, m.bloomCfg,
       if (m.colMap.isEmpty && m.retired.isEmpty) None
-      else Some((m.colMap, m.retired))))
+      else Some((m.colMap, m.retired)), m.gens))
     recordCloneRef(spark, shfs, sroot, target, v, m)
     0L
   }

@@ -1646,6 +1646,89 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t).columns.toSeq === Seq("k2", "v"))
   }
 
+  test("generated columns: computed when omitted, validated when present, on every write face") {
+    val t = freshTable()
+    val base = df(1L to 20L: _*).withColumn("d", col("v") / 10)
+    VersionedTable.commit(base, t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.addGeneratedColumn(spark, t, "d", "v / 10", ts = "2026-01-02T00:00:00Z")
+    assert(VersionedTable.generatedColumnsOf(spark, t) === Map("d" -> "v / 10"))
+    // the intended write shape: the batch OMITS the generated column
+    VersionedTable.commit(Seq((21L, 210L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 21).select("d").head().getDouble(0) === 21.0)
+    // a batch LYING about the derivation is rejected before any data lands
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.commit(Seq((22L, 220L, 99.0)).toDF("id", "v", "d"), t,
+        mode = "append", ts = "2026-01-04T00:00:00Z")
+    }
+    // an explicit-but-correct batch passes
+    VersionedTable.commit(Seq((22L, 220L, 22.0)).toDF("id", "v", "d"), t,
+      mode = "append", ts = "2026-01-04T00:00:00Z")
+    // merge computes the generated column on its updates frame
+    VersionedTable.merge(Seq((5L, 500L)).toDF("id", "v"), t,
+      keyCols = Seq("id"), ts = "2026-01-05T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 5).select("d").head().getDouble(0) === 50.0)
+    // an UPDATE that changes the source without fixing the derivation
+    // fails loudly (post-image gate) — Delta's behavior
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.update(spark, t, "id = 3", Map("v" -> "999"),
+        ts = "2026-01-06T00:00:00Z")
+    }
+    VersionedTable.update(spark, t, "id = 3",
+      Map("v" -> "999", "d" -> "99.9"), ts = "2026-01-06T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 3).select("v").head().getLong(0) === 999L)
+    // declaring over data that violates the derivation is refused
+    val t2 = freshTable()
+    VersionedTable.commit(df(1L to 5L: _*).withColumn("d", lit(0.0)), t2,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    intercept[VersionedTable.ConstraintViolationException] {
+      VersionedTable.addGeneratedColumn(spark, t2, "d", "v / 10",
+        ts = "2026-01-02T00:00:00Z")
+    }
+    // rename of a referenced column is blocked while declared; dropping
+    // the declaration releases it
+    intercept[IllegalArgumentException] {
+      VersionedTable.renameColumn(spark, t, "v", "val2", ts = "2026-01-07T00:00:00Z")
+    }
+    VersionedTable.dropGeneratedColumn(spark, t, "d", ts = "2026-01-08T00:00:00Z")
+    assert(VersionedTable.generatedColumnsOf(spark, t) === Map.empty)
+    VersionedTable.renameColumn(spark, t, "v", "val2", ts = "2026-01-09T00:00:00Z")
+    assert(VersionedTable.readVersion(spark, t).columns.toSet === Set("id", "val2", "d"))
+  }
+
+  test("compactSmall with zorderCols lays the folded output for 2-D pruning") {
+    val t = freshTable()
+    // sink-shaped arrival: 8 time-ordered batches, each spanning the
+    // WHOLE (a, b) key space — zero locality in the input files
+    (0 until 8).foreach { i =>
+      val batch = spark.range(i * 500, (i + 1) * 500)
+        .select(col("id"), pmod(col("id") * 37, lit(64)).as("a"),
+          pmod(col("id") * 53, lit(64)).as("b"))
+        .repartition(1)
+      VersionedTable.commit(batch, t, mode = "append",
+        ts = f"2026-01-01T$i%02d:00:00Z")
+    }
+    val before = idSet(VersionedTable.readVersion(spark, t))
+    val cond = "a >= 0 AND a <= 15 AND b >= 0 AND b <= 15"
+    assert(VersionedTable.prunedFiles(spark, t, cond).size === 8,
+      "time-ordered input files must be unprunable (each spans the space)")
+    val cv = VersionedTable.compactSmall(spark, t,
+      smallBytes = 8L * 1024 * 1024, targetFileBytes = 4L * 1024,
+      ts = "2026-01-02T00:00:00Z", zorderCols = Seq("a", "b"))
+    val total = VersionedTable.snapshotFiles(spark, t, cv).size
+    assert(total >= 4, s"fixture needs several output files, got $total")
+    val kept = VersionedTable.prunedFiles(spark, t, cond).size
+    assert(kept < total,
+      s"z-laid compaction output must prune the 2-D box: kept $kept/$total")
+    // content identical through the re-layout
+    assert(idSet(VersionedTable.readVersion(spark, t)) === before)
+    assert(idSet(VersionedTable.readWhere(spark, t, cond)) ===
+      idSet(VersionedTable.readVersion(spark, t).filter(expr(cond))))
+  }
+
   test("vacuum keeps clone-referenced files until the clone ref is released") {
     val src = freshTable()
     VersionedTable.commit(df(1, 2), src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
