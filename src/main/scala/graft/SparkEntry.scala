@@ -182,6 +182,31 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_pb`: silver committed HIVE-PARTITIONED by
+    * `event_type` (the reference's standing write shape —
+    * bronze_loader.py:56 partitions bronze by requested_date,
+    * batch_scoring.py:173 by (event_date, city)), then DML THROUGH the
+    * layout: a partition-scoped COW delete of cheap clicks, and an
+    * UPDATE that re-tags high-value purchases `vip` — rows MOVING to a
+    * partition directory that did not exist at v0 (partition values
+    * ride in the data, so the rewrite lands them correctly with no
+    * special casing). The read is partition-pruned (`event_type IN`
+    * opens only the two matching value directories — exact, because
+    * files are value-homogeneous); the driver oracle pins the full
+    * delete+move+prune composition row-for-row. */
+  private def buildPartitionedTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("pb", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtpb").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv, tbl, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", partitionBy = Seq("event_type"))
+      VersionedTable.delete(s, tbl, "event_type = 'click' AND value < 10.0",
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.update(s, tbl, "event_type = 'purchase' AND value >= 90.0",
+        Map("event_type" -> "'vip'"), ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
   /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
     * clone's v0 is pure metadata referencing the source's files), then a
     * COW delete on the clone — touched source-referenced files rewrite
@@ -720,6 +745,29 @@ object SparkEntry {
     "vt_rn" -> ((s, dir) => {
       val tbl = buildRenameTable(s, dir)
       VersionedTable.readVersion(s, tbl).select("event_id", "amount")
+    }),
+    // hive-partitioned table: partition-pruned read (IN over the value
+    // dirs) after a partition-scoped delete and a cross-partition UPDATE
+    "vt_pb" -> ((s, dir) => {
+      val tbl = buildPartitionedTable(s, dir)
+      VersionedTable.readWhere(s, tbl, "event_type IN ('click', 'vip')")
+        .select("event_id", "event_type", "value")
+    }),
+    // metadata-only aggregates over the same partitioned table: per-
+    // partition COUNT(*) from manifest row counts (partition-aligned
+    // countWhere opens ZERO data files — spec-proven on corrupted
+    // files) plus the total; mixed-predicate scopes take the exact
+    // boundary-scan path
+    "vt_cn" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = buildPartitionedTable(s, dir)
+      val scopes = Seq("click", "purchase", "signup", "error", "vip")
+        .map(t => t -> s"event_type = '$t'") :+
+        ("vip_hi" -> "event_type = 'vip' AND value >= 95.0")
+      (scopes.map { case (name, cond) =>
+        (name, VersionedTable.countWhere(s, tbl, cond))
+      } :+ (("total", VersionedTable.rowCount(s, tbl))))
+        .toDF("scope", "n")
     }),
     // change data feed over the SAME merge+delete fixture: row-level
     // insert/update-pair/delete classification from the manifest diff —
@@ -1698,6 +1746,42 @@ object SparkEntry {
       s"""$silverCte
          |SELECT event_id, value AS amount FROM silver
          |WHERE NOT COALESCE(value < 10.0, FALSE)""".stripMargin,
+
+    // partitioned table ≡ delete (NULL-safe scope), then the vip re-tag
+    // move, then the partition-scoped selection
+    "vt_pb" ->
+      s"""$silverCte,
+         |upd AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_type = 'purchase' AND value >= 90.0
+         |              THEN 'vip' ELSE event_type END AS event_type,
+         |         value
+         |  FROM silver
+         |  WHERE NOT COALESCE(event_type = 'click' AND value < 10.0, FALSE)
+         |)
+         |SELECT event_id, event_type, value FROM upd
+         |WHERE event_type IN ('click', 'vip')""".stripMargin,
+
+    // metadata counts ≡ row counts over the same delete+move end state
+    "vt_cn" ->
+      s"""$silverCte,
+         |upd AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_type = 'purchase' AND value >= 90.0
+         |              THEN 'vip' ELSE event_type END AS event_type,
+         |         value
+         |  FROM silver
+         |  WHERE NOT COALESCE(event_type = 'click' AND value < 10.0, FALSE)
+         |)
+         |SELECT scope, n FROM (
+         |  SELECT 'click' AS scope, COUNT(*) FILTER (WHERE event_type = 'click') AS n FROM upd
+         |  UNION ALL SELECT 'purchase', COUNT(*) FILTER (WHERE event_type = 'purchase') FROM upd
+         |  UNION ALL SELECT 'signup', COUNT(*) FILTER (WHERE event_type = 'signup') FROM upd
+         |  UNION ALL SELECT 'error', COUNT(*) FILTER (WHERE event_type = 'error') FROM upd
+         |  UNION ALL SELECT 'vip', COUNT(*) FILTER (WHERE event_type = 'vip') FROM upd
+         |  UNION ALL SELECT 'vip_hi', COUNT(*) FILTER (WHERE event_type = 'vip' AND value >= 95.0) FROM upd
+         |  UNION ALL SELECT 'total', COUNT(*) FROM upd
+         |)""".stripMargin,
 
     // v0 = signups; merged = every 3rd signup's value doubled + clicks
     // inserted; deleted = minus cheap clicks

@@ -503,6 +503,49 @@ object Stress {
       println(f"STRESS vt_commit_200files     $s200%8.2f s  ($nf files, pooled footer stats)")
     }
 
+    // PARTITIONED TABLE at scale: the reference's standing write shape
+    // (date-partitioned medallion tables). Measures (a) the hive-layout
+    // write tax vs a flat commit of the same frame, (b) partition
+    // pruning exactness — a one-day predicate must open only that day's
+    // value directory, and (c) metadata-only COUNT: partition-aligned
+    // countWhere/rowCount answer from `fr=` manifest lines with ZERO
+    // data files opened, vs the same count as a pruned scan.
+    {
+      import graft.sources.VersionedTable
+      val proot = java.nio.file.Files.createTempDirectory("graft_vtp").toString
+      val sv = silverOf(events)
+        .select("event_id", "event_type", "value", "event_date")
+        .repartition(8)
+      val tFlat0 = System.nanoTime()
+      VersionedTable.commit(sv, s"$proot/flat", mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z")
+      val flatS = (System.nanoTime() - tFlat0) / 1e9
+      val t0 = System.nanoTime()
+      VersionedTable.commit(sv, s"$proot/t", mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", partitionBy = Seq("event_date"))
+      val wS = (System.nanoTime() - t0) / 1e9
+      val all = VersionedTable.snapshotFiles(spark, s"$proot/t")
+      val day = "2024-01-07"
+      val kept = VersionedTable.prunedFiles(spark, s"$proot/t",
+        s"event_date = DATE'$day'")
+      val exact = kept.forall(_.contains(s"event_date=$day"))
+      println(f"STRESS vt_partition_write     flat $flatS%.2f s vs partitioned $wS%.2f s " +
+        f"(${all.size} files, ${all.map(_.split('/')(2)).distinct.size} value dirs)")
+      println(s"STRESS vt_partition_prune     ${kept.size}/${all.size} files for one day " +
+        s"(exact=$exact — every kept file in the day's directory)")
+      val t1 = System.nanoTime()
+      val metaN = VersionedTable.countWhere(spark, s"$proot/t",
+        s"event_date = DATE'$day'")
+      val metaS = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val scanN = VersionedTable.readVersion(spark, s"$proot/t")
+        .filter(col("event_date") === lit(day).cast("date")).count()
+      val scanS = (System.nanoTime() - t2) / 1e9
+      require(metaN == scanN, s"metadata count $metaN != scan count $scanN")
+      println(f"STRESS vt_partition_count     metadata $metaS%.3f s vs scan $scanS%.3f s " +
+        f"($metaN rows, zero data files opened on the metadata path)")
+    }
+
     // OPTIMIZE ZORDER data skipping: the measurement that justifies
     // Z-ordering. Same snapshot compacted to the same file count twice —
     // v1 round-robin (repartition), v2 Z-ORDERed on (zone_id, user_id) —

@@ -5,7 +5,7 @@ import java.util.concurrent.atomic.AtomicLong
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, pmod, regexp_extract, struct, when, xxhash64}
-import org.apache.spark.sql.types.{ByteType, DataType, DateType, IntegerType, LongType, NumericType, ShortType, StringType, StructType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, IntegerType, LongType, MapType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
   * actually relies on (delta_utils.py:14-50 uses read + overwrite only)
@@ -146,7 +146,10 @@ object VersionedTable {
       bloomCfg: Option[(Seq[String], Int)] = None,
       colMap: Map[String, String] = Map.empty,
       retired: Set[String] = Set.empty,
-      gens: Map[String, String] = Map.empty)
+      gens: Map[String, String] = Map.empty,
+      pcols: Seq[String] = Seq.empty,
+      rowCounts: Map[String, Long] = Map.empty,
+      dvCounts: Map[String, Long] = Map.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -164,7 +167,10 @@ object VersionedTable {
       bloomCfg: Option[(Seq[String], Int)] = None,
       mapState: Option[(Map[String, String], Set[String])] = None,
       addGens: Map[String, String] = Map.empty,
-      dropGens: Set[String] = Set.empty)
+      dropGens: Set[String] = Set.empty,
+      pcolsLine: Option[Seq[String]] = None,
+      addRows: Map[String, Long] = Map.empty,
+      addDvCounts: Map[String, Long] = Map.empty)
 
   private def parseGenLines(headerLines: Seq[String]): Map[String, String] =
     // one `gen=<col>|<hex of the SQL expression>` line per generated
@@ -227,6 +233,18 @@ object VersionedTable {
   private def bloomCfgLine(cfg: Option[(Seq[String], Int)]): Seq[String] =
     cfg.map { case (cols, m) => s"bloomcfg=${cols.mkString(",")}|$m" }.toSeq
 
+  /** `pcols=<csv>` — the table's partition columns (hive-style value
+    * directories under each commit's data dir), in PHYSICAL names:
+    * directory names are as immutable as the files under them, so
+    * column mapping renames a partition column freely while the layout
+    * stands. Table metadata like `ck=`/`bloomcfg=`: full manifests
+    * carry the line, delta manifests inherit it through `base`. */
+  private def splitPcols(s: String): Seq[String] =
+    s.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+
+  private def pcolsLines(p: Seq[String]): Seq[String] =
+    if (p.isEmpty) Seq.empty else Seq(s"pcols=${p.mkString(",")}")
+
   private def parseStatsLines(headerLines: Seq[String])
       : Map[String, Map[String, (String, String)]] =
     // one `fstat=<path>|col:min:max|col2:min:max` line per stats-bearing
@@ -242,13 +260,39 @@ object VersionedTable {
     }.toMap
 
   private def parseDvLines(headerLines: Seq[String]): Map[String, String] =
-    // one `dv=<datafile>|<dvdir>` line per deletion-vectored file
+    // one `dv=<datafile>|<dvdir>[|<positions>]` line per
+    // deletion-vectored file; the optional third field is the vector's
+    // position count, recorded so [[rowCount]] subtracts it without
+    // opening the vector dataset
     headerLines.filter(_.startsWith("dv=")).flatMap { l =>
       l.stripPrefix("dv=").split('|') match {
         case Array(f, d) => Some(f -> d)
+        case Array(f, d, _) => Some(f -> d)
         case _ => None
       }
     }.toMap
+
+  private def parseDvCountLines(headerLines: Seq[String]): Map[String, Long] =
+    headerLines.filter(_.startsWith("dv=")).flatMap { l =>
+      l.stripPrefix("dv=").split('|') match {
+        case Array(f, _, n) => scala.util.Try(f -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  /** `fr=<file>|<rows>` — per-file footer row count, recorded at write
+    * time so COUNT(*)-class reads ([[rowCount]], [[countWhere]]) are
+    * manifest-only at any table size. */
+  private def parseRowLines(headerLines: Seq[String]): Map[String, Long] =
+    headerLines.filter(_.startsWith("fr=")).flatMap { l =>
+      l.stripPrefix("fr=").split('|') match {
+        case Array(f, n) => scala.util.Try(f -> n.toLong).toOption
+        case _ => None
+      }
+    }.toMap
+
+  private def rowLines(files: Seq[String], rows: Map[String, Long]): Seq[String] =
+    files.flatMap(f => rows.get(f).map(n => s"fr=$f|$n"))
 
   private def parseConstraintLines(headerLines: Seq[String]): Map[String, String] =
     // one `ck=<name>|<hex of the SQL expression>` line per constraint —
@@ -260,6 +304,16 @@ object VersionedTable {
       }
     }.toMap
 
+  /** A manifest/checkpoint/clone-record HEADER line: `key=value` over
+    * the format's CLOSED key set. Body lines are file paths, which on a
+    * partitioned table contain `=` themselves (`p__col=value` directory
+    * segments), so "contains '='" is NOT a valid header/body split. */
+  private val HeaderLineRe = java.util.regex.Pattern.compile(
+    "^(?:version|ts|op|base|txn|txnmax|schema|rm|fstat|dv|ck|ckrm|" +
+      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr)=")
+  private def isHeaderLine(l: String): Boolean =
+    HeaderLineRe.matcher(l).find()
+
   private def readLines(hfs: FileSystem, p: Path): Seq[String] = {
     metadataOpens.incrementAndGet()
     val in = hfs.open(p)
@@ -269,12 +323,12 @@ object VersionedTable {
 
   private def readRaw(hfs: FileSystem, root: Path, v: Long): RawManifest = {
     val lines = readLines(hfs, manifestPath(root, v))
-    val headerLines = lines.takeWhile(_.contains("="))
+    val headerLines = lines.takeWhile(isHeaderLine)
     val hdr = headerLines
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
         l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm=") ||
         l.startsWith("bloomcfg=") || l.startsWith("cm") /* cm=/cmrt=/cmv= */ ||
-        l.startsWith("gen=") || l.startsWith("genrm="))
+        l.startsWith("gen=") || l.startsWith("genrm=") || l.startsWith("fr="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
     val txn = hdr.get("txn").map { t =>
@@ -283,7 +337,7 @@ object VersionedTable {
     }
     RawManifest(hdr("version").toLong, hdr("ts"), hdr("op"),
       hdr.get("base").map(_.toLong),
-      lines.dropWhile(_.contains("=")),
+      lines.dropWhile(isHeaderLine),
       headerLines.filter(_.startsWith("rm=")).map(_.stripPrefix("rm=")),
       txn, hdr.get("schema"), parseStatsLines(headerLines),
       parseDvLines(headerLines), parseConstraintLines(headerLines),
@@ -293,7 +347,9 @@ object VersionedTable {
       parseMapState(headerLines),
       parseGenLines(headerLines),
       headerLines.filter(_.startsWith("genrm="))
-        .map(_.stripPrefix("genrm=")).toSet)
+        .map(_.stripPrefix("genrm=")).toSet,
+      hdr.get("pcols").map(splitPcols),
+      parseRowLines(headerLines), parseDvCountLines(headerLines))
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -304,12 +360,12 @@ object VersionedTable {
     if (!hfs.exists(p)) None
     else {
       val lines = readLines(hfs, p)
-      val headerLines = lines.takeWhile(_.contains("="))
+      val headerLines = lines.takeWhile(isHeaderLine)
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
           l.startsWith("dv=") || l.startsWith("ck=") ||
           l.startsWith("bloomcfg=") || l.startsWith("cm") ||
-          l.startsWith("gen="))
+          l.startsWith("gen=") || l.startsWith("fr="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -320,11 +376,13 @@ object VersionedTable {
       val (ckCm, ckRt) = parseMapState(headerLines)
         .getOrElse((Map.empty[String, String], Set.empty[String]))
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-        lines.dropWhile(_.contains("=")), None, hdr.get("schema"),
+        lines.dropWhile(isHeaderLine), None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
         parseConstraintLines(headerLines),
         parseBloomCfgLine(headerLines), ckCm, ckRt,
-        parseGenLines(headerLines)), txnmax))
+        parseGenLines(headerLines),
+        hdr.get("pcols").map(splitPcols).getOrElse(Seq.empty),
+        parseRowLines(headerLines), parseDvCountLines(headerLines)), txnmax))
     }
   }
 
@@ -341,7 +399,8 @@ object VersionedTable {
             .getOrElse((Map.empty[String, String], Set.empty[String]))
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
             raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints,
-            raw.bloomCfg, cm, rt, raw.addGens)
+            raw.bloomCfg, cm, rt, raw.addGens,
+            raw.pcolsLine.getOrElse(Seq.empty), raw.addRows, raw.addDvCounts)
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -354,7 +413,10 @@ object VersionedTable {
             (base.dvs -- removed) ++ raw.addDvs,
             (base.constraints -- raw.dropConstraints) ++ raw.addConstraints,
             raw.bloomCfg.orElse(base.bloomCfg), cm, rt,
-            (base.gens -- raw.dropGens) ++ raw.addGens)
+            (base.gens -- raw.dropGens) ++ raw.addGens,
+            raw.pcolsLine.getOrElse(base.pcols),
+            (base.rowCounts -- removed) ++ raw.addRows,
+            (base.dvCounts -- removed) ++ raw.addDvCounts)
       }
     }
 
@@ -443,7 +505,7 @@ object VersionedTable {
     * row groups contribute nothing and are safe (a NULL-evaluating
     * predicate is never TRUE). */
   private def footerStats(hfs: FileSystem, root: Path,
-      relFile: String): Map[String, (String, String)] = {
+      relFile: String): (Map[String, (String, String)], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -480,7 +542,11 @@ object VersionedTable {
           }
         }
       }
-      acc.filterNot { case (c, _) => poisoned(c) }.toMap
+      // the row count rides along from the SAME footer open — the
+      // manifest records it (`fr=` lines) so COUNT(*) at any scale is a
+      // metadata read, never a data scan ([[rowCount]])
+      val rows = reader.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      (acc.filterNot { case (c, _) => poisoned(c) }.toMap, rows)
     } finally reader.close()
   }
 
@@ -624,10 +690,17 @@ object VersionedTable {
     * batch's files). Returns the committed version. Thread-safe across
     * writers per the rename protocol above: a lost race throws
     * `ConcurrentCommitException`; re-read and retry. */
+  /** `partitionBy`: hive-style partition columns (LOGICAL names). Set
+    * on the first commit (or an overwrite, which replaces the layout
+    * with the data); appends inherit the table's partitioning and may
+    * only restate it — partition columns are immutable table metadata,
+    * like Delta's. */
   def commit(df: DataFrame, path: String, mode: String = "append",
       ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false,
-      bloomIndex: Seq[String] = Seq.empty, bloomBits: Int = 1 << 17): Long =
-    commitInternal(df, path, mode, ts, None, mergeSchema, bloomIndex, bloomBits)
+      bloomIndex: Seq[String] = Seq.empty, bloomBits: Int = 1 << 17,
+      partitionBy: Seq[String] = Seq.empty): Long =
+    commitInternal(df, path, mode, ts, None, mergeSchema, bloomIndex,
+      bloomBits, partitionBy)
 
   /** Appending a frame whose columns don't match the current snapshot is
     * schema drift: rejected (Delta's schema-on-write) unless the caller
@@ -804,7 +877,7 @@ object VersionedTable {
   private def commitInternal(df0: DataFrame, path: String, mode: String,
       ts: String, txn: Option[(String, Long)],
       mergeSchema: Boolean = false, bloomIndex: Seq[String] = Seq.empty,
-      bloomBits: Int = 1 << 17): Long = {
+      bloomBits: Int = 1 << 17, partitionBy: Seq[String] = Seq.empty): Long = {
     require(mode == "append" || mode == "overwrite", s"bad mode: $mode")
     val spark = df0.sparkSession
     val (hfs, root) = fs(spark, path)
@@ -875,13 +948,28 @@ object VersionedTable {
         s"new columns ${blocked.mkString("[", ",", "]")} collide with " +
           s"physical names in use or retired by rename/drop at $path")
     }
+    // partitioning is immutable table metadata (PHYSICAL names in the
+    // manifest, so renameColumn never touches it): appends inherit —
+    // an explicit partitionBy on an append may only RESTATE the
+    // table's; an overwrite replaces layout, data and schema together
+    val declaredP = partitionBy.map(physOf(cmap, _))
+    val pcols =
+      if (mode == "append" && prevM.nonEmpty) {
+        val cur = prevM.get.pcols
+        if (partitionBy.nonEmpty && declaredP != cur)
+          throw new IllegalArgumentException(
+            s"append partitionBy ${declaredP.mkString("[", ",", "]")} does not " +
+              s"match table partitioning ${cur.mkString("[", ",", "]")} at $path; " +
+              "partition columns are fixed at table creation (overwrite to relayout)")
+        cur
+      } else declaredP
+    validatePcols(pcols, toPhysical(df, cmap).schema, path)
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
     val dataDir = newDataDir(next)
-    toPhysical(df, cmap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(df, cmap, pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     // bloom index config is TABLE metadata: an explicit `bloomIndex` arg
     // sets/updates it; otherwise the persisted config applies, so a
     // plain append to an indexed table keeps its sidecars without the
@@ -907,8 +995,39 @@ object VersionedTable {
       Seq.empty, txn, Some(snapSchema.json), newStats,
       Map.empty, if (base.isEmpty) prevCks else Map.empty, Set.empty,
       cfgLine, None,
-      if (base.isEmpty) prevM.map(_.gens).getOrElse(Map.empty) else Map.empty))
+      if (base.isEmpty) prevM.map(_.gens).getOrElse(Map.empty) else Map.empty,
+      Set.empty,
+      if (base.isEmpty && pcols.nonEmpty) Some(pcols) else None,
+      addRows = newRows))
     next
+  }
+
+  /** Partition columns must exist in the batch (physical names — the
+    * frame at the write boundary) with directory-encodable atomic
+    * types; a complex or binary partition value has no dir rendering. */
+  private def validatePcols(pcols: Seq[String], physSchema: StructType,
+      path: String): Unit = pcols.foreach { c =>
+    val f = physSchema.fields.find(_.name == c).getOrElse(
+      throw new SchemaMismatchException(
+        s"partition column $c absent from the batch at $path"))
+    f.dataType match {
+      case _: ArrayType | _: MapType | _: StructType | BinaryType =>
+        throw new IllegalArgumentException(
+          s"partition column $c has non-partitionable type " +
+            s"${f.dataType.simpleString} at $path")
+      case _ => ()
+    }
+  }
+
+  /** The table's partition columns at head, in LOGICAL names (the
+    * manifest stores physical — rename-proof; this maps them back). */
+  def partitionColumnsOf(spark: SparkSession, path: String): Seq[String] = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption.map { v =>
+      val m = readManifest(hfs, root, v)
+      val rev = m.colMap.map(_.swap)
+      m.pcols.map(p => rev.getOrElse(p, p))
+    }.getOrElse(Seq.empty)
   }
 
   /** The table's persisted bloom index config (columns, bits) at head. */
@@ -961,6 +1080,56 @@ object VersionedTable {
   private def newDataDir(next: Long): String =
     f"files/c$next%08d-${java.util.UUID.randomUUID.toString.take(8)}"
 
+  // -------------------------------------------------- partitioned layout
+  //
+  // Hive-style partitioning (Delta's `partitionBy`, re-derived — the
+  // reference writes every medallion table partitioned, e.g.
+  // bronze_loader.py:56 `partition_by=["requested_date"]` and
+  // batch_scoring.py:173 `.partitionBy("event_date", "city")`). The
+  // design collapses partition pruning into the stats machinery this
+  // table already has: the partition DIRECTORY column is a
+  // `p__`-prefixed DUPLICATE of the data column (partitionBy drops the
+  // dir column from file content; duplicating keeps the real column IN
+  // the files), so every footer carries exact min = max stats for the
+  // partition columns and [[mayMatch]] pruning is EXACT on partition
+  // predicates — partition pruning is file pruning over
+  // value-homogeneous files (Iceberg's hidden-partitioning
+  // observation), with zero data I/O (manifest-only). Everything
+  // downstream — DV row identity, merge/delete discovery, CDF, column
+  // mapping, bloom sidecars — works on partitioned tables UNCHANGED,
+  // because partition columns are ordinary data columns everywhere
+  // except the directory layout. The dir prefix avoids `_`/`.` (Spark
+  // treats those paths as hidden).
+
+  private[graft] val PartDirPrefix = "p__"
+
+  /** Every data-file write in this object routes through here. On a
+    * partitioned table the frame is split into hive-style value
+    * directories; rewrite paths (COW delete/update/merge, optimize,
+    * compactSmall, MoR post-images, DV folds) preserve per-file value
+    * homogeneity automatically because the partition values ride in the
+    * data — an UPDATE that moves a row across partitions lands it in
+    * the right directory with no special casing. `pcols` are PHYSICAL
+    * names ([[Manifest.pcols]]); `df` arrives in logical names. */
+  private def writeDataFiles(df: DataFrame, cmap: Map[String, String],
+      pcols: Seq[String], root: Path, dataDir: String): Unit = {
+    val phys = toPhysical(df, cmap)
+    if (pcols.isEmpty)
+      phys.write.mode("overwrite").parquet(new Path(root, dataDir).toString)
+    else {
+      val dirCols = pcols.map(PartDirPrefix + _)
+      dirCols.filter(phys.columns.contains).foreach { c =>
+        throw new SchemaMismatchException(
+          s"column $c collides with the partition-directory name space " +
+            s"($PartDirPrefix<partition column>) at $root")
+      }
+      val dup = pcols.zip(dirCols).foldLeft(phys) { case (d, (c, dc)) =>
+        d.withColumn(dc, col(c)) }
+      dup.write.mode("overwrite").partitionBy(dirCols: _*)
+        .parquet(new Path(root, dataDir).toString)
+    }
+  }
+
   /** Shared pool for driver-side footer/sidecar I/O ([[listWithStats]],
     * [[bloomPrune]]): 16 DAEMON threads created once — a per-call pool
     * would pay creation/teardown on every commit, and non-daemon threads
@@ -990,18 +1159,35 @@ object VersionedTable {
     * round-trips instead of a serial driver loop — the stats themselves
     * are byte-identical to the serial path (same footer source,
     * spec-covered by every pruning test). */
+  /** The data files under a commit dir, as manifest-relative names —
+    * recursive, because a partitioned write ([[writeDataFiles]]) lands
+    * them under hive-style `name=value` subdirectories. Dot-dirs and
+    * Spark's `_temporary`/`_SUCCESS` markers are skipped; partition
+    * dirs (prefix [[PartDirPrefix]], never `_`/`.`) are walked. */
+  private def listDataFiles(hfs: FileSystem, root: Path,
+      dataDir: String): Seq[String] = {
+    def walk(dir: Path, rel: String): Seq[String] =
+      hfs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          walk(s.getPath, s"$rel/$n")
+        else if (s.isFile && n.endsWith(".parquet")) Seq(s"$rel/$n")
+        else Seq.empty
+      }
+    walk(new Path(root, dataDir), dataDir).sorted
+  }
+
   private def listWithStats(hfs: FileSystem, root: Path, dataDir: String)
-      : (Seq[String], Map[String, Map[String, (String, String)]]) = {
-    val files = hfs.listStatus(new Path(root, dataDir)).toSeq
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => s"$dataDir/${s.getPath.getName}")
-    if (files.isEmpty) return (files, Map.empty)
+      : (Seq[String], Map[String, Map[String, (String, String)]], Map[String, Long]) = {
+    val files = listDataFiles(hfs, root, dataDir)
+    if (files.isEmpty) return (files, Map.empty, Map.empty)
     import scala.concurrent.{Await, Future}
     implicit val ec: scala.concurrent.ExecutionContext = ioPool
-    val stats = Await.result(
+    val opened = Await.result(
       Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
-      ioWait).toMap.filter(_._2.nonEmpty)
-    (files, stats)
+      ioWait).toMap
+    (files, opened.map { case (f, (st, _)) => f -> st }.filter(_._2.nonEmpty),
+      opened.map { case (f, (_, n)) => f -> n })
   }
 
   // ------------------------------------------------- bloom file index
@@ -1259,9 +1445,8 @@ object VersionedTable {
       }
     val next = prev + 1
     val dataDir = newDataDir(next)
-    toPhysical(laid, m.colMap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(laid, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     // the persisted index config survives maintenance: the compacted
     // head is re-indexed, so optimize never silently degrades the point
     // lookups the user paid an indexing pass for
@@ -1271,7 +1456,9 @@ object VersionedTable {
       Seq.empty, None, Some(cur.schema.json), newStats,
       Map.empty, m.constraints, Set.empty, m.bloomCfg,
       if (m.colMap.isEmpty && m.retired.isEmpty) None
-      else Some((m.colMap, m.retired)), m.gens))
+      else Some((m.colMap, m.retired)), m.gens,
+      pcolsLine = if (m.pcols.nonEmpty) Some(m.pcols) else None,
+      addRows = newRows))
     next
   }
 
@@ -1320,13 +1507,12 @@ object VersionedTable {
       if (zorderCols.nonEmpty)
         graft.analytics.ZOrder.zOrderLayoutN(cur, zorderCols, target).drop("zval")
       else cur.repartition(target)
-    toPhysical(laid, m.colMap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(laid, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "compact", Some(prev), newFiles,
-      small, None, m.schemaJson, newStats))
+      small, None, m.schemaJson, newStats, addRows = newRows))
     next
   }
 
@@ -1382,11 +1568,13 @@ object VersionedTable {
     * maintained-state shape (each batch replaces the whole state table,
     * as [[graft.streaming.Streams.maintainView]] does). */
   def commitIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
-      ts: String = "1970-01-01T00:00:00Z", mode: String = "append"): Option[Long] = {
+      ts: String = "1970-01-01T00:00:00Z", mode: String = "append",
+      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
     require(!appId.contains(":") && !appId.contains("\n"), s"bad appId: $appId")
     val spark = df.sparkSession
     if (lastTxn(spark, path, appId).exists(_ >= batchId)) None
-    else Some(commitInternal(df, path, mode, ts, Some((appId, batchId))))
+    else Some(commitInternal(df, path, mode, ts, Some((appId, batchId)),
+      partitionBy = partitionBy))
   }
 
   /** Signals a lost optimistic-concurrency race: another writer committed
@@ -1405,8 +1593,9 @@ object VersionedTable {
     * to the caller instead. */
   def commitWithRetry(df: DataFrame, path: String,
       ts: String = "1970-01-01T00:00:00Z", mergeSchema: Boolean = false,
-      maxRetries: Int = 5): Long =
-    commitWithRetryImpl(df, path, ts, mergeSchema, maxRetries, _ => ())
+      maxRetries: Int = 5, partitionBy: Seq[String] = Seq.empty): Long =
+    commitWithRetryImpl(df, path, ts, mergeSchema, maxRetries, _ => (),
+      partitionBy)
 
   /** Optimistic concurrency for DML (Delta's retry-on-conflict loop,
     * the sound-and-simple variant): run `op` — a [[merge]], [[delete]],
@@ -1441,7 +1630,8 @@ object VersionedTable {
     * lands in. */
   private[graft] def commitWithRetryImpl(df0: DataFrame, path: String,
       ts: String, mergeSchema: Boolean, maxRetries: Int,
-      beforeClaim: Long => Unit): Long = {
+      beforeClaim: Long => Unit,
+      partitionBy: Seq[String] = Seq.empty): Long = {
     val spark = df0.sparkSession
     val (hfs, root) = fs(spark, path)
     // write once, into a dir named for the FIRST attempted version — the
@@ -1467,11 +1657,19 @@ object VersionedTable {
             s"physical names in use or retired by rename/drop at $path")
       }
     }
+    // partitioning resolves like commitInternal's append arm: inherit,
+    // or set on the first commit; an explicit arg may only restate it
+    val declaredP = partitionBy.map(physOf(firstCmap, _))
+    val firstP = firstM.map(_.pcols).getOrElse(declaredP)
+    if (partitionBy.nonEmpty && firstM.nonEmpty && declaredP != firstP)
+      throw new IllegalArgumentException(
+        s"append partitionBy ${declaredP.mkString("[", ",", "]")} does not " +
+          s"match table partitioning ${firstP.mkString("[", ",", "]")} at $path")
+    validatePcols(firstP, toPhysical(df, firstCmap).schema, path)
     val firstNext = first.map(_ + 1).getOrElse(0L)
     val dataDir = newDataDir(firstNext)
-    toPhysical(df, firstCmap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(df, firstCmap, firstP, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     // persisted index config as of the first head read — sidecars are
     // written once with the data (a racing config change lands on the
     // NEXT batch; a missing section only degrades to stats pruning)
@@ -1502,6 +1700,11 @@ object VersionedTable {
       if (headM.map(_.colMap).getOrElse(Map.empty[String, String]) != firstCmap)
         throw new SchemaMismatchException(
           s"column mapping changed concurrently during commitWithRetry at $path; re-run")
+      // a first-commit race where the winner declared DIFFERENT
+      // partitioning would enqueue files laid out wrong for the table
+      if (headM.exists(_.pcols != firstP))
+        throw new SchemaMismatchException(
+          s"table partitioning changed concurrently during commitWithRetry at $path; re-run")
       // same retirement guard as commitInternal: an evolved batch may
       // not introduce a logical column colliding with an in-use or
       // retired physical name
@@ -1522,7 +1725,9 @@ object VersionedTable {
       try {
         beforeClaim(next)
         publish(hfs, root, RawManifest(next, ts, "append", prev, newFiles,
-          Seq.empty, None, Some(snapSchema.json), newStats))
+          Seq.empty, None, Some(snapSchema.json), newStats,
+          pcolsLine = if (prev.isEmpty && firstP.nonEmpty) Some(firstP) else None,
+          addRows = newRows))
         return next
       } catch {
         case e: ConcurrentCommitException =>
@@ -1572,10 +1777,12 @@ object VersionedTable {
       snap.schemaJson.map(j => s"schema=$j") ++
       txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
       statLines(snap.files, snap.stats) ++
-      dvLines(snap.dvs) ++
+      rowLines(snap.files, snap.rowCounts) ++
+      dvLines(snap.dvs, snap.dvCounts) ++
       constraintLines(snap.constraints) ++
       genLines(snap.gens) ++
       bloomCfgLine(snap.bloomCfg) ++
+      pcolsLines(snap.pcols) ++
       mapStateLines(
         if (snap.colMap.isEmpty && snap.retired.isEmpty) None
         else Some((snap.colMap, snap.retired)))
@@ -1593,8 +1800,10 @@ object VersionedTable {
       }
     }
 
-  private def dvLines(dvs: Map[String, String]): Seq[String] =
-    dvs.toSeq.sortBy(_._1).map { case (f, d) => s"dv=$f|$d" }
+  private def dvLines(dvs: Map[String, String],
+      counts: Map[String, Long] = Map.empty): Seq[String] =
+    dvs.toSeq.sortBy(_._1).map { case (f, d) =>
+      counts.get(f).fold(s"dv=$f|$d")(n => s"dv=$f|$d|$n") }
 
   private def constraintLines(cks: Map[String, String]): Seq[String] =
     cks.toSeq.sortBy(_._1).map { case (n, e) =>
@@ -1609,12 +1818,14 @@ object VersionedTable {
       m.schemaJson.map(j => s"schema=$j") ++
       m.removes.map(r => s"rm=$r") ++
       statLines(m.adds, m.addStats) ++
-      dvLines(m.addDvs) ++
+      rowLines(m.adds, m.addRows) ++
+      dvLines(m.addDvs, m.addDvCounts) ++
       constraintLines(m.addConstraints) ++
       m.dropConstraints.toSeq.sorted.map(n => s"ckrm=$n") ++
       genLines(m.addGens) ++
       m.dropGens.toSeq.sorted.map(n => s"genrm=$n") ++
       bloomCfgLine(m.bloomCfg) ++
+      m.pcolsLine.map(p => pcolsLines(p)).getOrElse(Seq.empty) ++
       mapStateLines(m.mapState)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
@@ -1826,9 +2037,10 @@ object VersionedTable {
   private def foldHeavyVectored(spark: SparkSession, hfs: FileSystem,
       root: Path, m: Manifest, next: Long, touchedFiles: Set[String],
       dvDir: String, posCounts: Map[String, Long], threshold: Double)
-      : (Set[String], Seq[String], Map[String, Map[String, (String, String)]]) = {
+      : (Set[String], Seq[String], Map[String, Map[String, (String, String)]],
+         Map[String, Long]) = {
     if (threshold >= 1.0 || touchedFiles.isEmpty)
-      return (Set.empty, Seq.empty, Map.empty)
+      return (Set.empty, Seq.empty, Map.empty, Map.empty)
     import scala.concurrent.{Await, Future}
     implicit val ec: scala.concurrent.ExecutionContext = ioPool
     val heavy = Await.result(
@@ -1839,17 +2051,16 @@ object VersionedTable {
           (f, rows > 0 && pos.toDouble / rows >= threshold)
         }
       }), ioWait).collect { case (f, true) => f }
-    if (heavy.isEmpty) return (Set.empty, Seq.empty, Map.empty)
+    if (heavy.isEmpty) return (Set.empty, Seq.empty, Map.empty, Map.empty)
     val dataDir = newDataDir(next)
     // survivors = the heavy files read through the NEW (superset)
     // vector — content-identical materialization, optimize's semantics,
     // scoped to exactly the files past threshold
-    toPhysical(scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap,
-      mergeSchema = true, m.colMap, m.retired), m.colMap)
-      .write.mode("overwrite").parquet(new Path(root, dataDir).toString)
-    val (adds, stats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap,
+      mergeSchema = true, m.colMap, m.retired), m.colMap, m.pcols, root, dataDir)
+    val (adds, stats, addRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
-    (heavy.toSet, adds, stats)
+    (heavy.toSet, adds, stats, addRows)
   }
 
   /** Merge-on-read DELETE: rows where `condition` IS TRUE leave the
@@ -1917,14 +2128,184 @@ object VersionedTable {
     // auto-materialization: files vectored past the threshold are
     // COW-folded in THIS commit (removed + rewritten through the new
     // vector) and carry no dv= entry — see [[foldHeavyVectored]]
-    val (folded, foldAdds, foldStats) = foldHeavyVectored(spark, hfs, root,
+    val (folded, foldAdds, foldStats, foldRows) = foldHeavyVectored(spark, hfs, root,
       m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
     val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
     if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
     publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
       foldAdds, folded.toSeq.sorted, None, Some(snapSchema.json), foldStats,
-      dvEntries))
+      dvEntries,
+      addRows = foldRows,
+      addDvCounts = dvEntries.keys.flatMap(f =>
+        posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
     next
+  }
+
+  /** Exact COUNT(*) of a snapshot from METADATA ALONE: per-file footer
+    * row counts recorded at write time (`fr=` manifest lines) minus the
+    * recorded deletion-vector position counts — zero data files opened.
+    * At 100 TB this is the difference between an O(files) driver-side
+    * log read and a full-table scan for the single most common query in
+    * any pipeline's orchestration layer (row-count assertions, DQ
+    * volume checks, progress monitoring). Files predating the count
+    * record fall back to one footer read each (on the bounded
+    * [[ioPool]]); DV entries lacking a recorded count fall back to
+    * counting the tiny vector dataset. Delta answers SELECT COUNT(*)
+    * from add-file stats the same way. */
+  def rowCount(spark: SparkSession, path: String, version: Long = -1L): Long = {
+    val (hfs, root) = fs(spark, path)
+    val v = if (version >= 0) version
+      else versions(hfs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = readManifest(hfs, root, v)
+    rowCountOf(spark, hfs, root, m, m.files)
+  }
+
+  private def rowCountOf(spark: SparkSession, hfs: FileSystem, root: Path,
+      m: Manifest, files: Seq[String]): Long = {
+    val missing = files.filterNot(m.rowCounts.contains)
+    val fallback: Map[String, Long] =
+      if (missing.isEmpty) Map.empty
+      else {
+        import scala.concurrent.{Await, Future}
+        implicit val ec: scala.concurrent.ExecutionContext = ioPool
+        Await.result(Future.sequence(missing.map(f =>
+          Future(f -> fileRowCount(hfs, root, f)))), ioWait).toMap
+      }
+    val gross = files.iterator
+      .map(f => m.rowCounts.getOrElse(f, fallback(f))).sum
+    val fset = files.toSet
+    val vectored = m.dvs.keysIterator.filter(fset).toSeq
+    val recorded = vectored.flatMap(m.dvCounts.get).sum
+    val unrecorded = vectored.filterNot(m.dvCounts.contains)
+    val dvFallback =
+      if (unrecorded.isEmpty) 0L
+      else dvFrame(spark, root, unrecorded, m.dvs).map(_.count()).getOrElse(0L)
+    gross - recorded - dvFallback
+  }
+
+  /** Exact COUNT(*) under `condition`, metadata-first. Three file
+    * classes from the manifest:
+    *   1. stats/bloom-pruned OUT (no row can match) → 0;
+    *   2. proven fully IN — the file's PARTITION-PATH values decide the
+    *      whole predicate: on a [[writeDataFiles]] layout each value
+    *      directory's files are value-homogeneous and null-free in the
+    *      partition columns, so a predicate referencing ONLY partition
+    *      columns evaluates once per directory, not once per row →
+    *      counted from the manifest ([[rowCountOf]], DV-adjusted);
+    *   3. everything else (boundary) → scanned with the row-level
+    *      filter.
+    * A partition-aligned predicate therefore costs ZERO data I/O at any
+    * table size; any other predicate degrades gracefully to exactly
+    * `readWhere(condition).count()`. The per-directory evaluation uses
+    * Spark itself (one local 1-row-per-directory plan), so predicate
+    * semantics — casts, 3VL, collation — are the engine's own, and it
+    * is only trusted for types whose directory rendering round-trips
+    * exactly (string/integral/date/boolean); other partition types fall
+    * to the boundary scan, trading speed, never correctness. */
+  def countWhere(spark: SparkSession, path: String, condition: String,
+      version: Long = -1L): Long = {
+    val (hfs, root) = fs(spark, path)
+    val v = if (version >= 0) version
+      else versions(hfs, root).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = readManifest(hfs, root, v)
+    val cond = spark.sessionState.sqlParser.parseExpression(condition)
+    val statKept = m.files.filter(f => mayMatch(logicalStatsOf(m, f), cond))
+    val snapSchema = snapshotSchema(spark, root, m)
+    val kept = bloomPrune(hfs, root, statKept,
+      eqProbes(cond, snapSchema).map { case (c, vs) => physOf(m.colMap, c) -> vs })
+    if (kept.isEmpty) return 0L
+    val proven = provenFullMatch(spark, m, snapSchema, kept, cond, condition)
+    val boundary = kept.filterNot(proven)
+    val head = rowCountOf(spark, hfs, root, m, kept.filter(proven))
+    val tail =
+      if (boundary.isEmpty) 0L
+      else scanFiles(spark, root, boundary, m.dvs, mergeSchema = true,
+        m.colMap, m.retired).filter(expr(condition)).count()
+    head + tail
+  }
+
+  /** The subset of `files` whose partition-directory values PROVE every
+    * live row satisfies `cond` (class 2 above), or an empty set when
+    * the predicate references any non-partition column, any partition
+    * value is the null directory, or a partition type's rendering
+    * doesn't round-trip exactly. */
+  private def provenFullMatch(spark: SparkSession, m: Manifest,
+      snapSchema: StructType, files: Seq[String],
+      cond: org.apache.spark.sql.catalyst.expressions.Expression,
+      condition: String): Set[String] = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    if (m.pcols.isEmpty) return Set.empty
+    val rev = m.colMap.map(_.swap)
+    val logicalP = m.pcols.map(p => rev.getOrElse(p, p))
+    // every referenced attribute must BE a partition column (resolved
+    // case-insensitively, like the engine's own analysis)
+    val refs = cond.collect { case u: UnresolvedAttribute => u.name }
+    val canon = refs.map(r => logicalP.find(_.equalsIgnoreCase(r)))
+    if (refs.isEmpty || canon.exists(_.isEmpty)) return Set.empty
+    val roundTrips = logicalP.forall { c =>
+      snapSchema.fields.find(_.name == c).map(_.dataType).exists {
+        case StringType | ByteType | ShortType | IntegerType | LongType |
+             DateType | org.apache.spark.sql.types.BooleanType => true
+        case _ => false
+      }
+    }
+    if (!roundTrips) return Set.empty
+    val tuples: Map[String, Seq[String]] = files.flatMap { f =>
+      partitionTupleOf(f, m.pcols).map(f -> _)
+    }.toMap
+    val distinctTuples = tuples.values.toSeq.distinct
+    if (distinctTuples.isEmpty) return Set.empty
+    // ONE local plan evaluates the predicate per directory tuple —
+    // engine-native semantics, |directories|-bounded driver work
+    val strSchema = StructType(StructField("__i", LongType, nullable = false) +:
+      logicalP.map(c => StructField(c, StringType, nullable = true)))
+    val rows = distinctTuples.zipWithIndex.map { case (t, i) =>
+      Row.fromSeq(i.toLong +: t.map(v => v: Any)) }
+    val typed = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), strSchema)
+      .select(col("__i") +: logicalP.map(c =>
+        col(c).cast(snapSchema(c).dataType).as(c)): _*)
+    val matched = typed.filter(expr(condition))
+      .select("__i").collect().map(_.getLong(0)).toSet
+    val ok = distinctTuples.zipWithIndex
+      .collect { case (t, i) if matched(i) => t }.toSet
+    tuples.collect { case (f, t) if ok(t) => f }.toSet
+  }
+
+  /** The `p__col=value` segments of a partitioned data-file path as the
+    * table's partition tuple (physical column order), unescaped; None
+    * when any partition column is missing from the path or holds the
+    * null directory (those files are never proven, only scanned). */
+  private def partitionTupleOf(f: String,
+      pcols: Seq[String]): Option[Seq[String]] = {
+    val segs = f.split('/').flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i > PartDirPrefix.length && seg.startsWith(PartDirPrefix))
+        Some(seg.substring(PartDirPrefix.length, i) -> seg.substring(i + 1))
+      else None
+    }.toMap
+    val vals = pcols.map(segs.get)
+    if (vals.exists(v => v.isEmpty || v.contains("__HIVE_DEFAULT_PARTITION__")))
+      None
+    else Some(vals.map(v => unescapePathName(v.get)))
+  }
+
+  /** Hive's %XX path escaping, decoded (the escaping Spark's partition
+    * writer applies to special characters in directory values). */
+  private def unescapePathName(s: String): String = {
+    if (!s.contains('%')) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        val h = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        sb.append(h.toChar); i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
   }
 
   /** Read a snapshot: latest when `version` < 0, else that exact version.
@@ -2023,7 +2404,9 @@ object VersionedTable {
       None, target.files, Seq.empty, None, target.schemaJson, target.stats,
       target.dvs, target.constraints, Set.empty, target.bloomCfg,
       if (target.colMap.isEmpty && target.retired.isEmpty) None
-      else Some((target.colMap, target.retired)), target.gens))
+      else Some((target.colMap, target.retired)), target.gens,
+      pcolsLine = if (target.pcols.nonEmpty) Some(target.pcols) else None,
+      addRows = target.rowCounts, addDvCounts = target.dvCounts))
     next
   }
 
@@ -2033,7 +2416,9 @@ object VersionedTable {
     * relativization, which is sensitive to `file:/` vs `file:///`
     * qualification differences between Hadoop and Spark. Non-matching
     * inputs extract to "" (guarded at the collect sites). */
-  private val DataFileRe = ".*/(files/c\\d{8}[^/]*/[^/]+)$"
+  // optional `name=value` segments between the commit dir and the file
+  // are hive-style partition-value directories ([[writeDataFiles]])
+  private val DataFileRe = ".*/(files/c\\d{8}[^/]*(?:/[^/]+=[^/]+)*/[^/]+)$"
 
   /** Map scan-extracted layout-relative names back to their manifest
     * entries: identity on a normal table; suffix match on a shallow
@@ -2215,13 +2600,13 @@ object VersionedTable {
       else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .join(broadcast(keys), keyCols, "left_anti")
         .unionByName(updates, allowMissingColumns = true)
-    toPhysical(rewrite, m.colMap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(rewrite, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
-      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
+      addRows = newRows))
     next
   }
 
@@ -2408,7 +2793,7 @@ object VersionedTable {
     val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
     val dataDir = newDataDir(next)
-    val (newFiles, newStats) = if (touchedFiles.nonEmpty) {
+    val (newFiles, newStats, newRows) = if (touchedFiles.nonEmpty) {
       // rewrite reads ONLY the touched files (readTouched — the plan's
       // scan is touched-set-sized); keep rows where the predicate is
       // false OR NULL (three-valued logic: only cond-IS-TRUE rows are
@@ -2416,15 +2801,16 @@ object VersionedTable {
       // NULL-evaluating rows)
       val survivors = readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
-      toPhysical(survivors, m.colMap).write.mode("overwrite")
-        .parquet(new Path(root, dataDir).toString)
+      writeDataFiles(survivors, m.colMap, m.pcols, root, dataDir)
       val listed = listWithStats(hfs, root, dataDir)
       m.bloomCfg.foreach { case (cs, b) =>
         writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
       listed
-    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
+    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]],
+      Map.empty[String, Long])
     publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
-      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
+      addRows = newRows))
     next
   }
 
@@ -2488,7 +2874,7 @@ object VersionedTable {
     val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
     val dataDir = newDataDir(next)
-    val (newFiles, newStats) = if (touchedFiles.nonEmpty) {
+    val (newFiles, newStats, newRows) = if (touchedFiles.nonEmpty) {
       val pre = readTouched(spark, path, touchedFiles.toSeq.sorted)
       // constraints gate the POST-IMAGES (cond evaluated on pre-values:
       // applySet over the matched slice) before the rewrite lands
@@ -2497,15 +2883,16 @@ object VersionedTable {
           applySet(pre.filter(coalesce(expr(condition), lit(false))),
             snapSchema, condition, set), m.constraints, path)
       val rewritten = applySet(pre, snapSchema, condition, set)
-      toPhysical(rewritten, m.colMap).write.mode("overwrite")
-        .parquet(new Path(root, dataDir).toString)
+      writeDataFiles(rewritten, m.colMap, m.pcols, root, dataDir)
       val listed = listWithStats(hfs, root, dataDir)
       m.bloomCfg.foreach { case (cs, b) =>
         writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
       listed
-    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]])
+    } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]],
+      Map.empty[String, Long])
     publish(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
-      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
+      addRows = newRows))
     next
   }
 
@@ -2575,21 +2962,23 @@ object VersionedTable {
       .select(snapSchema.fieldNames.map(col).toIndexedSeq: _*),
       snapSchema, condition, set)
     if (m.constraints.nonEmpty) enforceConstraints(post, m.constraints, path)
-    toPhysical(post, m.colMap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
+    writeDataFiles(post, m.colMap, m.pcols, root, dataDir)
     matched.unpersist()
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     // auto-materialization, as in deleteMergeOnRead: files vectored past
     // the threshold fold COW-style in this same commit
-    val (folded, foldAdds, foldStats) = foldHeavyVectored(spark, hfs, root,
+    val (folded, foldAdds, foldStats, foldRows) = foldHeavyVectored(spark, hfs, root,
       m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
     val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
     if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
     publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
       newFiles ++ foldAdds, folded.toSeq.sorted, None,
-      Some(snapSchema.json), newStats ++ foldStats, dvEntries))
+      Some(snapSchema.json), newStats ++ foldStats, dvEntries,
+      addRows = newRows ++ foldRows,
+      addDvCounts = dvEntries.keys.flatMap(f =>
+        posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
     next
   }
 
@@ -2652,13 +3041,13 @@ object VersionedTable {
       else readTouched(spark, path, touchedFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
         .unionByName(aligned)
-    toPhysical(out, m.colMap).write.mode("overwrite")
-      .parquet(new Path(root, dataDir).toString)
-    val (newFiles, newStats) = listWithStats(hfs, root, dataDir)
+    writeDataFiles(out, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
-      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats))
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
+      addRows = newRows))
     next
   }
 
@@ -2700,6 +3089,10 @@ object VersionedTable {
       m.dvs.get(f).map(d =>
         a -> shfs.makeQualified(new Path(sroot, d)).toString)
     }.toMap
+    val absRows = m.files.zip(abs)
+      .flatMap { case (f, a) => m.rowCounts.get(f).map(a -> _) }.toMap
+    val absDvCounts = m.files.zip(abs)
+      .flatMap { case (f, a) => m.dvCounts.get(f).map(a -> _) }.toMap
     val schema = m.schemaJson.getOrElse(snapshotSchema(spark, sroot, m).json)
     // constraints are TABLE metadata — they carry verbatim (Delta clones
     // carry table properties) and bind the clone's own future writes
@@ -2707,7 +3100,9 @@ object VersionedTable {
       Seq.empty, None, Some(schema), absStats, absDvs, m.constraints,
       Set.empty, m.bloomCfg,
       if (m.colMap.isEmpty && m.retired.isEmpty) None
-      else Some((m.colMap, m.retired)), m.gens))
+      else Some((m.colMap, m.retired)), m.gens,
+      pcolsLine = if (m.pcols.nonEmpty) Some(m.pcols) else None,
+      addRows = absRows, addDvCounts = absDvCounts))
     recordCloneRef(spark, shfs, sroot, target, v, m)
     0L
   }
@@ -2806,6 +3201,11 @@ object VersionedTable {
     val dependent = constraintReferences(spark, m.constraints, colName)
     require(dependent.isEmpty,
       s"constraints ${dependent.mkString(",")} reference $colName; drop them first")
+    // a partition column's values ARE the table's directory layout;
+    // dropping it would leave every rewrite path unable to place rows
+    // (renameColumn stays free — the layout keys on PHYSICAL names)
+    require(!m.pcols.contains(physOf(m.colMap, colName)),
+      s"$colName is a partition column at $path; overwrite to relayout first")
     val newSchema = StructType(schema.fields.filterNot(_.name == colName))
     val newMap = m.colMap - colName
     val newRetired = m.retired + physOf(m.colMap, colName)
@@ -2855,7 +3255,7 @@ object VersionedTable {
   def cloneRefs(spark: SparkSession, path: String): Seq[(String, Long)] = {
     val (hfs, root) = fs(spark, path)
     cloneRecordPaths(hfs, root).map { p =>
-      val hdr = readLines(hfs, p).takeWhile(_.contains("="))
+      val hdr = readLines(hfs, p).takeWhile(isHeaderLine)
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       (hdr.getOrElse("target", ""), hdr.get("version").map(_.toLong).getOrElse(-1L))
@@ -2869,7 +3269,7 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     var n = 0
     cloneRecordPaths(hfs, root).foreach { p =>
-      val hdr = readLines(hfs, p).takeWhile(_.contains("="))
+      val hdr = readLines(hfs, p).takeWhile(isHeaderLine)
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       if (hdr.get("target").contains(target) && hfs.delete(p, false)) n += 1
@@ -3058,7 +3458,7 @@ object VersionedTable {
       if (ignoreClones) (Set.empty[String], Set.empty[String])
       else {
         val bodies = cloneRecordPaths(hfs, root).map(readLines(hfs, _))
-        (bodies.flatMap(_.filterNot(_.contains("="))).toSet,
+        (bodies.flatMap(_.filterNot(isHeaderLine)).toSet,
           bodies.flatMap(_.collect {
             case l if l.startsWith("dvref=") => l.stripPrefix("dvref=") }).toSet)
       }
@@ -3076,25 +3476,35 @@ object VersionedTable {
     if (!hfs.exists(filesDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
+    // entries are walked RECURSIVELY: a partitioned commit dir nests its
+    // parquet files under `p__col=value` subdirectories, and a flat
+    // one-level listing would see only unreferenced directory names —
+    // misreading a live commit dir as reclaimable
+    def walkFiles(dir: Path, rel: String): Seq[(org.apache.hadoop.fs.FileStatus, String)] =
+      hfs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) walkFiles(s.getPath, s"$rel/$n")
+        else Seq((s, s"$rel/$n"))
+      }
     hfs.listStatus(filesDir).filter { cdir =>
       !refDvDirs.contains(s"files/${cdir.getPath.getName}")
     }.foreach { cdir =>
       val rel = s"files/${cdir.getPath.getName}"
-      val entries = hfs.listStatus(cdir.getPath).toSeq
-      val keep = entries.filter(f => referenced.contains(s"$rel/${f.getPath.getName}"))
+      val entries = walkFiles(cdir.getPath, rel)
+      val keep = entries.filter { case (_, r) => referenced.contains(r) }
       if (keep.isEmpty) {
         // whole commit dir unreferenced (vacuumed version, orphaned or
         // in-flight write) — reclaim only past the retention window
         if (cdir.getModificationTime < cutoff &&
-            entries.forall(_.getModificationTime < cutoff)) {
+            entries.forall(_._1.getModificationTime < cutoff)) {
           deleted += entries
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .count { case (f, _) => f.isFile && f.getPath.getName.endsWith(".parquet") }
           hfs.delete(cdir.getPath, true)
         }
       } else {
-        entries.foreach { f =>
+        entries.foreach { case (f, r) =>
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
-              !referenced.contains(s"$rel/${f.getPath.getName}") &&
+              !referenced.contains(r) &&
               f.getModificationTime < cutoff) {
             hfs.delete(f.getPath, false); deleted += 1
             // its bloom sidecar, if any, dies with it
