@@ -207,6 +207,41 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_mc`: FULL-CLAUSE MERGE (the CDC-apply shape) over
+    * silver — one commit folds a change feed carrying conditional
+    * deletes (`op = 'd'`), updates (value re-priced from the source),
+    * inserts (new ids, `op = 'i'`), and a NOT MATCHED BY SOURCE
+    * stale-flag update of cheap rows the feed no longer mentions. The
+    * oracle rebuilds the same end state as three joins (inner /
+    * anti-by-source / anti-by-target) so every clause's first-true-wins
+    * semantics is pinned row-for-row. */
+  private def buildClauseMergeTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("mc", dir), {
+      import VersionedTable.MergeAction.{Delete, Insert, Update}
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtmc").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.repartitionByRange(4, col("event_id")), tbl,
+        mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val src = sv.filter(col("event_id") % 2 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 10 === 0, "d").otherwise("u").as("op"),
+          (col("value") + 1000.0).as("new_value"))
+        .unionByName(sv.filter(col("event_id") % 5 === 1)
+          .select((col("event_id") + 1000000000L).as("event_id"),
+            lit("i").as("op"), (col("value") + 1000.0).as("new_value")))
+      VersionedTable.mergeClauses(src, tbl, Seq("event_id"),
+        matched = Seq(
+          Delete(Some("s.op = 'd'")),
+          Update(set = Map("value" -> "s.new_value"))),
+        notMatched = Seq(
+          Insert(Some("s.op <> 'd'"), Map("event_id" -> "s.event_id",
+            "event_type" -> "'inserted'", "value" -> "s.new_value"))),
+        notMatchedBySource = Seq(
+          Update(Some("t.value < 5.0"), Map("event_type" -> "'stale'"))),
+        ts = "2026-01-02T00:00:00Z")
+      tbl
+    })
+
   /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
     * clone's v0 is pure metadata referencing the source's files), then a
     * COW delete on the clone — touched source-referenced files rewrite
@@ -752,6 +787,12 @@ object SparkEntry {
       val tbl = buildPartitionedTable(s, dir)
       VersionedTable.readWhere(s, tbl, "event_type IN ('click', 'vip')")
         .select("event_id", "event_type", "value")
+    }),
+    // full-clause MERGE (CDC apply): conditional delete/update/insert +
+    // not-matched-by-source, one atomic commit, scoped COW rewrite
+    "vt_mc" -> ((s, dir) => {
+      val tbl = buildClauseMergeTable(s, dir)
+      VersionedTable.readVersion(s, tbl).select("event_id", "event_type", "value")
     }),
     // metadata-only aggregates over the same partitioned table: per-
     // partition COUNT(*) from manifest row counts (partition-aligned
@@ -1761,6 +1802,34 @@ object SparkEntry {
          |)
          |SELECT event_id, event_type, value FROM upd
          |WHERE event_type IN ('click', 'vip')""".stripMargin,
+
+    // full-clause merge ≡ inner join (update/delete by op), anti join
+    // by source (stale flag), anti join by target (inserts)
+    "vt_mc" ->
+      s"""$silverCte,
+         |src AS (
+         |  SELECT event_id,
+         |         CASE WHEN event_id % 10 = 0 THEN 'd' ELSE 'u' END AS op,
+         |         value + 1000.0 AS new_value
+         |  FROM silver WHERE event_id % 2 = 0
+         |  UNION ALL
+         |  SELECT event_id + 1000000000, 'i', value + 1000.0
+         |  FROM silver WHERE event_id % 5 = 1
+         |)
+         |SELECT event_id, event_type, value FROM (
+         |  SELECT t.event_id, t.event_type, s.new_value AS value
+         |  FROM silver t JOIN src s ON t.event_id = s.event_id
+         |  WHERE s.op <> 'd'
+         |  UNION ALL
+         |  SELECT t.event_id,
+         |         CASE WHEN t.value < 5.0 THEN 'stale' ELSE t.event_type END,
+         |         t.value
+         |  FROM silver t ANTI JOIN src s ON t.event_id = s.event_id
+         |  UNION ALL
+         |  SELECT s.event_id, 'inserted', s.new_value
+         |  FROM src s ANTI JOIN silver t ON s.event_id = t.event_id
+         |  WHERE s.op <> 'd'
+         |)""".stripMargin,
 
     // metadata counts ≡ row counts over the same delete+move end state
     "vt_cn" ->

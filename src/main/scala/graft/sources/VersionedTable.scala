@@ -642,8 +642,77 @@ object VersionedTable {
 
   /** Name-based union: `prev`'s fields (types authoritative) plus the
     * fields `next` adds — the schema an evolved append's readers see. */
+  /** Widened common type for a column across an evolution, or None when
+    * the two can't co-exist in one table. Only the SAFE upcasts the
+    * parquet vectorized reader performs per file (Spark 4's widening
+    * type promotions; Delta's type-widening feature): the integral
+    * chain byte→short→int→long and float→double. */
+  private def widen(a: DataType, b: DataType): Option[DataType] = {
+    if (a == b) return Some(a)
+    def rank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(0)
+      case ShortType => Some(1)
+      case IntegerType => Some(2)
+      case LongType => Some(3)
+      case _ => None
+    }
+    (rank(a), rank(b)) match {
+      case (Some(x), Some(y)) => Some(if (x >= y) a else b)
+      case _ => (a, b) match {
+        case (org.apache.spark.sql.types.FloatType,
+              org.apache.spark.sql.types.DoubleType) => Some(b)
+        case (org.apache.spark.sql.types.DoubleType,
+              org.apache.spark.sql.types.FloatType) => Some(a)
+        case _ => None
+      }
+    }
+  }
+
+  /** Union of a snapshot schema with an incoming batch's: new columns
+    * append; columns in BOTH take the WIDENED type ([[widen]]) — a
+    * co-existence-impossible pair (string vs long) throws rather than
+    * committing files a later scan cannot reconcile. */
   private def unionSchema(prev: StructType, next: StructType): StructType =
-    StructType(prev.fields ++ next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+    StructType(prev.fields.map { f =>
+      next.fields.find(_.name == f.name).fold(f) { nf =>
+        widen(f.dataType, nf.dataType).map(t => f.copy(dataType = t)).getOrElse(
+          throw new SchemaMismatchException(
+            s"column ${f.name}: batch type ${nf.dataType.simpleString} is " +
+              s"incompatible with table type ${f.dataType.simpleString} " +
+              "(only integral-chain and float->double widening supported)"))
+      }
+    } ++ next.fields.filterNot(f => prev.fieldNames.contains(f.name)))
+
+  /** Cast batch columns UP to the snapshot schema's types (a narrow
+    * batch into a widened table; identity when types already agree) so
+    * every NEW file carries the snapshot types. */
+  private def alignTypes(df: DataFrame, snap: StructType): DataFrame = {
+    val needs = df.schema.fields.exists(f =>
+      snap.fields.exists(sf => sf.name == f.name && sf.dataType != f.dataType))
+    if (!needs) df
+    else df.select(df.columns.map { c =>
+      snap.fields.find(_.name == c)
+        .filter(_.dataType != df.schema(c).dataType)
+        .fold(col(c))(sf => col(c).cast(sf.dataType).as(c))
+    }.toIndexedSeq: _*)
+  }
+
+  /** The scan-time schema of a snapshot: the manifest-recorded logical
+    * schema renamed to PHYSICAL storage names, nullable (file-source
+    * semantics). Passing it to the parquet reader replaces the
+    * mergeSchema footer-union — O(1) planning metadata instead of one
+    * footer read per FILE per QUERY, the hidden mergeSchema cost at
+    * 100 TB — and is what makes a WIDENED column readable: the
+    * vectorized reader up-promotes each file's stored type to the
+    * requested one. Retired physicals simply aren't requested. None
+    * only for manifests predating schema recording (footer-merge
+    * fallback). */
+  private def physReadSchema(m: Manifest): Option[StructType] =
+    m.schemaJson.map { j =>
+      val logical = DataType.fromJson(j).asInstanceOf[StructType]
+      StructType(logical.fields.map(f =>
+        f.copy(name = physOf(m.colMap, f.name), nullable = true)))
+    }
 
   /** All committed versions, ascending (driver-side listing, no data read). */
   private def versions(hfs: FileSystem, root: Path): Seq[Long] = {
@@ -910,6 +979,19 @@ object VersionedTable {
             "pass mergeSchema = true to evolve")
       }
     val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+    // TYPE evolution is gated like column evolution: a batch that
+    // WIDENS an existing column (int table, long batch) is schema
+    // drift unless mergeSchema = true; incompatible pairs threw in
+    // unionSchema above. A batch NARROWER than the table always
+    // upcasts silently (no drift — the table's contract absorbs it).
+    if (mode == "append" && !mergeSchema) prevSchema.foreach { ps =>
+      val widenedCols = ps.fields.filter(f =>
+        snapSchema.fields.exists(sf => sf.name == f.name && sf.dataType != f.dataType))
+        .map(_.name)
+      if (widenedCols.nonEmpty) throw new SchemaMismatchException(
+        s"append widens columns ${widenedCols.mkString("[", ",", "]")} at $path; " +
+          "pass mergeSchema = true to evolve the type")
+    }
     // CHECK constraints gate the batch BEFORE any data lands — table
     // metadata, so they apply to appends AND overwrites (an overwrite
     // replaces the data, not the table's contract)
@@ -968,7 +1050,9 @@ object VersionedTable {
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
     val dataDir = newDataDir(next)
-    writeDataFiles(df, cmap, pcols, root, dataDir)
+    // narrow batch columns upcast to the snapshot types so every NEW
+    // file carries the table's current (possibly widened) types
+    writeDataFiles(alignTypes(df, snapSchema), cmap, pcols, root, dataDir)
     val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     // bloom index config is TABLE metadata: an explicit `bloomIndex` arg
     // sets/updates it; otherwise the persisted config applies, so a
@@ -1432,7 +1516,7 @@ object VersionedTable {
     // Deletion vectors apply here too, which makes optimize the DV
     // MATERIALIZATION path: the rewritten snapshot carries no entries.
     val cur = scanFiles(spark, root, m.files, m.dvs, mergeSchema = true,
-      m.colMap, m.retired)
+      m.colMap, m.retired, physReadSchema(m))
     // zorderCols (2 or 3 dims) takes precedence over the legacy pair;
     // drop the helper zval column: optimize must be content-identical
     val laid =
@@ -1666,9 +1750,13 @@ object VersionedTable {
         s"append partitionBy ${declaredP.mkString("[", ",", "]")} does not " +
           s"match table partitioning ${firstP.mkString("[", ",", "]")} at $path")
     validatePcols(firstP, toPhysical(df, firstCmap).schema, path)
+    val firstSnap = firstM.flatMap(_.schemaJson)
+      .map(j => unionSchema(
+        DataType.fromJson(j).asInstanceOf[StructType], df.schema))
+      .getOrElse(df.schema)
     val firstNext = first.map(_ + 1).getOrElse(0L)
     val dataDir = newDataDir(firstNext)
-    writeDataFiles(df, firstCmap, firstP, root, dataDir)
+    writeDataFiles(alignTypes(df, firstSnap), firstCmap, firstP, root, dataDir)
     val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     // persisted index config as of the first head read — sidecars are
     // written once with the data (a racing config change lands on the
@@ -1690,6 +1778,14 @@ object VersionedTable {
               "pass mergeSchema = true to evolve")
         }
       val snapSchema = prevSchema.fold(df.schema)(unionSchema(_, df.schema))
+      if (!mergeSchema) prevSchema.foreach { ps =>
+        val widenedCols = ps.fields.filter(f =>
+          snapSchema.fields.exists(sf => sf.name == f.name && sf.dataType != f.dataType))
+          .map(_.name)
+        if (widenedCols.nonEmpty) throw new SchemaMismatchException(
+          s"append widens columns ${widenedCols.mkString("[", ",", "]")} at $path; " +
+            "pass mergeSchema = true to evolve the type")
+      }
       // constraint gate per attempt — the winning writer may have ADDED
       // a constraint between our attempts, and the claim must never
       // land a batch the head's contract rejects
@@ -1948,14 +2044,18 @@ object VersionedTable {
   private def scanWithPos(spark: SparkSession, root: Path, files: Seq[String],
       mergeSchema: Boolean = true,
       colMap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty): DataFrame =
+      retired: Set[String] = Set.empty,
+      readSchema: Option[StructType] = None): DataFrame = {
     // row identity FIRST (the `_metadata` struct does not survive an
     // explicit projection), then the physical → logical alias pass;
     // `__file`/`__pos` ride through toLogical untouched (never mapped)
-    toLogical(spark.read.option("mergeSchema", mergeSchema.toString)
+    val rdr = readSchema.fold(
+      spark.read.option("mergeSchema", mergeSchema.toString))(spark.read.schema)
+    toLogical(rdr
       .parquet(files.map(f => new Path(root, f).toString): _*)
       .withColumn("__file", regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
       .withColumn("__pos", col("_metadata.row_index")), colMap, retired)
+  }
 
   /** The deleted (file, pos) rows applying to `files` under `dvs`, or
     * None when no listed file carries a vector. Entries for OTHER files
@@ -1982,8 +2082,10 @@ object VersionedTable {
   private def scanLive(spark: SparkSession, root: Path, files: Seq[String],
       dvs: Map[String, String],
       colMap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty): DataFrame = {
-    val s = scanWithPos(spark, root, files, mergeSchema = true, colMap, retired)
+      retired: Set[String] = Set.empty,
+      readSchema: Option[StructType] = None): DataFrame = {
+    val s = scanWithPos(spark, root, files, mergeSchema = true, colMap, retired,
+      readSchema)
     dvFrame(spark, root, files, dvs).fold(s)(dv =>
       s.join(broadcast(dv.select(col("file").as("__file"),
         col("pos").as("__pos"))), Seq("__file", "__pos"), "left_anti"))
@@ -1998,14 +2100,17 @@ object VersionedTable {
   private def scanFiles(spark: SparkSession, root: Path, files: Seq[String],
       dvs: Map[String, String], mergeSchema: Boolean = true,
       colMap: Map[String, String] = Map.empty,
-      retired: Set[String] = Set.empty): DataFrame =
+      retired: Set[String] = Set.empty,
+      readSchema: Option[StructType] = None): DataFrame =
     dvFrame(spark, root, files, dvs) match {
       case None =>
-        toLogical(spark.read.option("mergeSchema", mergeSchema.toString)
+        val rdr = readSchema.fold(
+          spark.read.option("mergeSchema", mergeSchema.toString))(spark.read.schema)
+        toLogical(rdr
           .parquet(files.map(f => new Path(root, f).toString): _*),
           colMap, retired)
       case Some(_) =>
-        scanLive(spark, root, files, dvs, colMap, retired)
+        scanLive(spark, root, files, dvs, colMap, retired, readSchema)
           .drop("__file", "__pos")
     }
 
@@ -2057,7 +2162,8 @@ object VersionedTable {
     // vector — content-identical materialization, optimize's semantics,
     // scoped to exactly the files past threshold
     writeDataFiles(scanFiles(spark, root, heavy, heavy.map(_ -> dvDir).toMap,
-      mergeSchema = true, m.colMap, m.retired), m.colMap, m.pcols, root, dataDir)
+      mergeSchema = true, m.colMap, m.retired, physReadSchema(m)),
+      m.colMap, m.pcols, root, dataDir)
     val (adds, stats, addRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) => writeBlooms(spark, hfs, root, dataDir, cs, b) }
     (heavy.toSet, adds, stats, addRows)
@@ -2101,7 +2207,8 @@ object VersionedTable {
     // superset, and re-pointing an untouched-but-vectored candidate at
     // the new dataset is sound (its position set is carried verbatim)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
-    val newDel = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
+    val newDel = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+        physReadSchema(m))
       .filter(coalesce(expr(condition), lit(false)))
       .select(col("__file").as("file"), col("__pos").as("pos"))
     // distinct: the folded old positions may carry duplicates (a file's
@@ -2139,6 +2246,65 @@ object VersionedTable {
       addDvCounts = dvEntries.keys.flatMap(f =>
         posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
     next
+  }
+
+  /** One-row table summary (Delta's DESCRIBE DETAIL, re-derived):
+    * everything comes from the head manifest + a file-status pass —
+    * no data read. Partition/bloom/constraint/generated metadata in
+    * LOGICAL names. */
+  def describeDetail(spark: SparkSession, path: String): DataFrame = {
+    val (hfs, root) = fs(spark, path)
+    val v = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"no committed versions at $path"))
+    val m = readManifest(hfs, root, v)
+    val bytes = m.files.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
+    val rev = m.colMap.map(_.swap)
+    import spark.implicits._
+    Seq((v, m.ts, m.op, m.files.size.toLong, bytes,
+      rowCountOf(spark, hfs, root, m, m.files),
+      m.pcols.map(p => rev.getOrElse(p, p)),
+      m.constraints.keys.toSeq.sorted,
+      m.gens.keys.toSeq.sorted,
+      m.bloomCfg.map(_._1).getOrElse(Seq.empty),
+      m.dvs.size.toLong))
+      .toDF("version", "ts", "operation", "num_files", "size_bytes",
+        "num_rows", "partition_columns", "constraints", "generated_columns",
+        "bloom_index_columns", "num_vectored_files")
+  }
+
+  /** Count of data files [[vacuum]] WOULD reclaim (Delta's
+    * `VACUUM ... DRY RUN`): unreferenced by the retained versions and
+    * by recorded clones. The grace window is deliberately ignored —
+    * the dry run answers "what is dead", not "what is old enough
+    * today". */
+  def vacuumReclaimable(spark: SparkSession, path: String,
+      retainVersions: Int = 2): Int = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val (hfs, root) = fs(spark, path)
+    val vs = versions(hfs, root)
+    if (vs.isEmpty) return 0
+    val retained = vs.takeRight(retainVersions).map(readManifest(hfs, root, _))
+    val bodies = cloneRecordPaths(hfs, root).map(readLines(hfs, _))
+    val referenced = retained.flatMap(_.files).toSet ++
+      bodies.flatMap(_.filterNot(isHeaderLine))
+    val refDvDirs = retained.flatMap(_.dvs.values).toSet ++
+      bodies.flatMap(_.collect {
+        case l if l.startsWith("dvref=") => l.stripPrefix("dvref=") })
+    val filesDir = new Path(root, "files")
+    if (!hfs.exists(filesDir)) return 0
+    def walk(dir: Path, rel: String): Seq[String] =
+      hfs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory) walk(s.getPath, s"$rel/$n")
+        else if (s.isFile && n.endsWith(".parquet")) Seq(s"$rel/$n")
+        else Seq.empty
+      }
+    hfs.listStatus(filesDir)
+      .filterNot(c => refDvDirs.contains(s"files/${c.getPath.getName}"))
+      .map { c =>
+        walk(c.getPath, s"files/${c.getPath.getName}")
+          .count(f => !referenced.contains(f))
+      }.sum
   }
 
   /** Exact COUNT(*) of a snapshot from METADATA ALONE: per-file footer
@@ -2222,7 +2388,8 @@ object VersionedTable {
     val tail =
       if (boundary.isEmpty) 0L
       else scanFiles(spark, root, boundary, m.dvs, mergeSchema = true,
-        m.colMap, m.retired).filter(expr(condition)).count()
+        m.colMap, m.retired, physReadSchema(m))
+        .filter(expr(condition)).count()
     head + tail
   }
 
@@ -2328,7 +2495,8 @@ object VersionedTable {
       // empty table states and so does this
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         snapshotSchema(spark, root, m))
-    else scanFiles(spark, root, m.files, m.dvs, mergeSchema, m.colMap, m.retired)
+    else scanFiles(spark, root, m.files, m.dvs, mergeSchema, m.colMap, m.retired,
+      if (mergeSchema) physReadSchema(m) else None)
   }
 
   /** A snapshot's manifest-relative data-file list (latest when
@@ -2456,7 +2624,7 @@ object VersionedTable {
     // AND its entry, so the survivors must already exclude them)
     val m = readManifest(hfs, root, versions(hfs, root).last)
     scanFiles(spark, root, touched, m.dvs, mergeSchema = true,
-      m.colMap, m.retired)
+      m.colMap, m.retired, physReadSchema(m))
   }
 
   /** Per-key-column [lo, hi] bounds of the updates frame, in the STATS
@@ -2563,10 +2731,22 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val updates = applyGens(updates0, m.gens)
     val snapSchema = snapshotSchema(spark, root, m)
-    val drift = updates.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
+    val drift = updates0.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
     if (drift.nonEmpty) throw new SchemaMismatchException(
       s"merge updates carry columns ${drift.mkString("[", ",", "]")} not in the " +
         s"table schema at $path")
+    // a WIDER-typed update would smuggle widened files behind the
+    // recorded schema (the explicit-schema read would then narrow-cast
+    // and fail) — widen the table first with a mergeSchema append;
+    // narrower updates upcast to the table's types here
+    snapSchema.fields.foreach { f =>
+      updates.schema.fields.find(_.name == f.name).foreach { uf =>
+        if (!widen(f.dataType, uf.dataType).contains(f.dataType))
+          throw new SchemaMismatchException(
+            s"merge updates column ${f.name} has type ${uf.dataType.simpleString}, " +
+              s"wider than or incompatible with table type ${f.dataType.simpleString} at $path")
+      }
+    }
     // incoming rows gate on the table's CHECK constraints before any
     // data lands (aligned: columns the batch omits read NULL, and NULL
     // passes — SQL CHECK semantics)
@@ -2586,7 +2766,8 @@ object VersionedTable {
     // "update" (resurrect) a deleted row instead of inserting fresh
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+          physReadSchema(m))
         .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2605,6 +2786,256 @@ object VersionedTable {
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
     publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
+      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
+      addRows = newRows))
+    next
+  }
+
+  /** One WHEN clause of a full MERGE ([[mergeClauses]]). Conditions and
+    * assignment expressions are SQL over two struct aliases: `t` (the
+    * current target row) and `s` (the matching source row) — e.g.
+    * `"s.ts > t.ts"`, `set = Map("value" -> "t.value + s.delta")`. */
+  sealed trait MergeAction
+  object MergeAction {
+    /** WHEN [NOT] MATCHED [AND cond] THEN UPDATE SET ...; an empty
+      * `set` is UPDATE ALL — every target column the source carries
+      * takes `s.<col>`, the rest keep `t.<col>`. */
+    final case class Update(condition: Option[String] = None,
+        set: Map[String, String] = Map.empty) extends MergeAction
+    /** WHEN [NOT] MATCHED [AND cond] THEN DELETE. */
+    final case class Delete(condition: Option[String] = None) extends MergeAction
+    /** WHEN NOT MATCHED [AND cond] THEN INSERT (...); empty `values` is
+      * INSERT ALL — schema columns the source carries take `s.<col>`,
+      * generated columns compute, the rest read NULL. */
+    final case class Insert(condition: Option[String] = None,
+        values: Map[String, String] = Map.empty) extends MergeAction
+
+    private[VersionedTable] def condOf(a: MergeAction): Option[String] = a match {
+      case Update(c, _) => c
+      case Delete(c) => c
+      case Insert(c, _) => c
+    }
+  }
+
+  /** Full MERGE (Delta's `whenMatched`/`whenNotMatched`/
+    * `whenNotMatchedBySource` builder, re-derived) — the CDC-APPLY
+    * primitive: one atomic commit folds a change batch carrying
+    * updates, deletes and inserts (e.g. a `changes`/`changesStream`
+    * feed, or an upstream CDC topic) into the table. Clauses within a
+    * group evaluate in order, first-true wins, rows matching no clause
+    * keep Delta's defaults (matched/bySource rows survive unchanged,
+    * unmatched source rows drop).
+    *
+    * Execution is the scoped COW shape [[merge]] uses: stats-pruned
+    * candidates → DV-aware discovery of the files that actually hold
+    * key matches (plus, when `notMatchedBySource` clauses exist, files
+    * whose stats may match those clauses' conditions — a t-only
+    * condition prunes there; an s-referencing or absent condition
+    * keeps every file, which is inherent: NOT MATCHED BY SOURCE is a
+    * full-table predicate) → only those files rewrite; everything else
+    * carries by reference. Matched rows process through ONE broadcast
+    * inner join + a chained CASE over the clause conditions — no
+    * per-clause scans. A source with duplicate keys that actually
+    * match a target row is rejected (Delta's multi-match ambiguity
+    * error). Inserted rows compute generated columns and every output
+    * row gates on the table's CHECK constraints. */
+  def mergeClauses(source: DataFrame, path: String, keyCols: Seq[String],
+      matched: Seq[MergeAction] = Seq(MergeAction.Update()),
+      notMatched: Seq[MergeAction] = Seq(MergeAction.Insert()),
+      notMatchedBySource: Seq[MergeAction] = Seq.empty,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    import MergeAction._
+    val spark = source.sparkSession
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"merge into empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val snapSchema = snapshotSchema(spark, root, m)
+    require(keyCols.nonEmpty && keyCols.forall(snapSchema.fieldNames.contains) &&
+      keyCols.forall(source.columns.contains),
+      s"merge keys ${keyCols.mkString(",")} must exist in table and source at $path")
+    matched.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "INSERT is not a MATCHED action")
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case _: Insert => throw new IllegalArgumentException(
+        "INSERT is not a NOT MATCHED BY SOURCE action")
+      case _ => ()
+    }
+    notMatched.foreach {
+      case _: Insert => ()
+      case _ => throw new IllegalArgumentException(
+        "only INSERT is a NOT MATCHED action")
+    }
+    // Delta's clause rule: within a group only the LAST clause may omit
+    // its condition (an earlier unconditional clause would shadow the
+    // rest — always a user error)
+    Seq(matched, notMatched, notMatchedBySource).foreach { g =>
+      g.dropRight(1).zipWithIndex.foreach { case (c, i) =>
+        require(condOf(c).nonEmpty,
+          s"clause $i of a ${g.size}-clause group has no condition; " +
+            "only the last clause of a group may be unconditional")
+      }
+    }
+    val tType = snapSchema
+    val sType = source.schema
+    val tStruct = struct(snapSchema.fieldNames.map(c => col(s"t.$c")).toIndexedSeq: _*)
+    def updateAllSet: Map[String, String] = snapSchema.fieldNames
+      .filter(source.columns.contains).map(c => c -> s"s.$c").toMap
+    def newRow(set: Map[String, String]): Column =
+      struct(snapSchema.fields.map(f =>
+        expr(set.getOrElse(f.name, s"t.${f.name}"))
+          .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+    // chained CASE: {__del, row}; default = keep the target row
+    def foldTarget(clauses: Seq[MergeAction]): Column =
+      clauses.foldRight(struct(lit(false).as("__del"), tStruct.as("row"))) {
+        (c, els) =>
+          val res = c match {
+            case Update(_, set) => struct(lit(false).as("__del"),
+              newRow(if (set.isEmpty) updateAllSet else set).as("row"))
+            case Delete(_) => struct(lit(true).as("__del"), tStruct.as("row"))
+            case _: Insert => els // unreachable (validated above)
+          }
+          condOf(c).fold(res)(cond =>
+            when(coalesce(expr(cond), lit(false)), res).otherwise(els))
+      }
+    // ---- discovery: which files must rewrite
+    val keyCand = candidateFiles(m, updateKeyBounds(source, keyCols))
+    val bySrcCand =
+      if (notMatchedBySource.isEmpty) Seq.empty[String]
+      else {
+        // prune on a clause condition only when it references nothing
+        // but the target (for a bySource row s IS null, so an
+        // s-referencing condition can't prune soundly from t-stats)
+        val conds = notMatchedBySource.map(condOf)
+        val prunable = conds.forall(_.exists(c => !c.contains("s.")))
+        if (!prunable) m.files
+        else scala.util.Try {
+          // best-effort: strip the alias and prune on raw column names;
+          // any parse failure keeps every file (pruning is only ever an
+          // optimization)
+          val parsed = conds.flatten.map(c =>
+            spark.sessionState.sqlParser.parseExpression(c.replace("t.", "")))
+          m.files.filter(f =>
+            parsed.exists(e => mayMatch(logicalStatsOf(m, f), e)))
+        }.getOrElse(m.files)
+      }
+    val candidates = (keyCand ++ bySrcCand).distinct
+    val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    val touched =
+      if (candidates.isEmpty) Set.empty[String]
+      else {
+        val live = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+          physReadSchema(m))
+        val matchFiles = live
+          .join(broadcast(srcKeys), keyCols, "left_semi")
+          .select("__file").distinct()
+        val bySrcFiles =
+          if (notMatchedBySource.isEmpty) matchFiles.limit(0)
+          else {
+            // rows NO source key matches, where some bySource clause
+            // fires (its condition sees s as NULL)
+            val nullS = lit(null).cast(sType).as("s")
+            val fire = notMatchedBySource.map(c =>
+              condOf(c).fold(lit(true))(x => coalesce(expr(x), lit(false))))
+              .reduce(_ || _)
+            live.join(broadcast(srcKeys), keyCols, "left_anti")
+              .select(col("__file"),
+                struct(snapSchema.fieldNames
+                  .map(col).toIndexedSeq: _*).as("t"))
+              .withColumn("s", nullS)
+              .filter(fire)
+              .select("__file").distinct()
+          }
+        matchFiles.unionByName(bySrcFiles).distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    require(!touched.contains(""), "scan returned a file outside the table layout")
+    val touchedFiles = resolveTouched(m.files, touched)
+    // ---- multi-match ambiguity (Delta's error): duplicate source keys
+    // are fatal only when they MATCH a target row
+    if (matched.nonEmpty && touchedFiles.nonEmpty) {
+      val dupKeys = source.groupBy(keyCols.map(col): _*).count()
+        .filter(col("count") > 1).drop("count")
+      val ambiguous = readTouched(spark, path, touchedFiles.toSeq.sorted)
+        .join(broadcast(dupKeys), keyCols, "left_semi").limit(1).count()
+      require(ambiguous == 0L,
+        s"merge source has duplicate keys matching target rows at $path " +
+          "(ambiguous MATCHED action; de-duplicate the source)")
+    }
+    // ---- the three row classes
+    val tgt =
+      if (touchedFiles.isEmpty) None
+      else Some(readTouched(spark, path, touchedFiles.toSeq.sorted))
+    val sStructAll = struct(source.columns.map(col).toIndexedSeq: _*)
+    val srcS = source
+      .select((keyCols.map(col) :+ sStructAll.as("s")).toIndexedSeq: _*)
+    val matchedOut = tgt.map { t =>
+      val tS = t.select((keyCols.map(col) :+
+        struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
+      val res = foldTarget(matched)
+      tS.join(broadcast(srcS), keyCols, "inner")
+        .select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
+    }
+    val bySourceOut = tgt.map { t =>
+      val tS = t.select((keyCols.map(col) :+
+        struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
+        .join(broadcast(srcKeys), keyCols, "left_anti")
+        .withColumn("s", lit(null).cast(sType))
+      val res = foldTarget(notMatchedBySource)
+      tS.select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
+    }
+    val insertsOut: Option[DataFrame] =
+      if (notMatched.isEmpty) None
+      else {
+        val tgtKeys = tgt.map(_.select(keyCols.map(col): _*).distinct())
+        val unmatchedSrc = tgtKeys
+          .fold(srcS)(k => srcS.join(k, keyCols, "left_anti"))
+          .withColumn("t", lit(null).cast(tType))
+        // first-true insert clause; rows matching none drop. Generated
+        // columns compute on inserted rows whose values omit them —
+        // Delta computes generated columns on merge inserts too.
+        val genCols = m.gens.keySet
+        def insertRow(values: Map[String, String]): Column = {
+          val vals =
+            if (values.nonEmpty) values
+            else snapSchema.fieldNames.filter(source.columns.contains)
+              .map(c => c -> s"s.$c").toMap
+          struct(snapSchema.fields
+            .filterNot(f => genCols.contains(f.name) && !vals.contains(f.name))
+            .map(f => expr(vals.getOrElse(f.name, "NULL"))
+              .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+        }
+        val folded = notMatched.foldRight(
+          struct(lit(true).as("__del"), insertRow(Map.empty).as("row"))) {
+          (c, els) =>
+            val res = c match {
+              case Insert(_, values) =>
+                struct(lit(false).as("__del"), insertRow(values).as("row"))
+              case _ => els
+            }
+            condOf(c).fold(res)(cond =>
+              when(coalesce(expr(cond), lit(false)), res).otherwise(els))
+        }
+        Some(applyGens(
+          unmatchedSrc.select(folded.as("r"))
+            .filter(!col("r.__del")).select("r.row.*"), m.gens))
+      }
+    val pieces = (matchedOut.toSeq ++ bySourceOut.toSeq ++ insertsOut.toSeq)
+      .map(d => alignTo(d, snapSchema))
+    if (pieces.isEmpty)
+      throw new IllegalArgumentException("mergeClauses with no actions")
+    val rewrite = pieces.reduce(_ unionByName _)
+    if (m.constraints.nonEmpty) enforceConstraints(rewrite, m.constraints, path)
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    writeDataFiles(rewrite, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
+    publish(hfs, root, RawManifest(next, ts, "merge_clauses", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
       addRows = newRows))
     next
@@ -2745,7 +3176,7 @@ object VersionedTable {
         // result's columns when an evolved column lives only in pruned
         // files (their rows are excluded, the column is not)
         val base = scanFiles(spark, root, kept, m.dvs, mergeSchema = true,
-          m.colMap, m.retired)
+          m.colMap, m.retired, physReadSchema(m))
         base.select(snapSchema.fields.map { f =>
           if (base.columns.contains(f.name)) col(f.name)
           else lit(null).cast(f.dataType).as(f.name)
@@ -2785,7 +3216,8 @@ object VersionedTable {
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+          physReadSchema(m))
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2829,7 +3261,8 @@ object VersionedTable {
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+          physReadSchema(m))
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -2934,7 +3367,7 @@ object VersionedTable {
     // post-images) — persist it so the candidate files are scanned
     // once, not once per write
     val matched = scanLive(spark, root, candidates, m.dvs,
-      m.colMap, m.retired).filter(hit).persist()
+      m.colMap, m.retired, physReadSchema(m)).filter(hit).persist()
     val dvDir = newDataDir(next)
     val oldDv = dvFrame(spark, root, candidates, m.dvs)
     val newDel = matched.select(col("__file").as("file"), col("__pos").as("pos"))
@@ -3025,7 +3458,8 @@ object VersionedTable {
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val touched =
       if (candidates.isEmpty) Set.empty[String]
-      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired)
+      else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
+          physReadSchema(m))
         .filter(expr(condition))
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
@@ -3311,7 +3745,7 @@ object VersionedTable {
     def readFiles(files: Seq[String], m: Manifest): Option[DataFrame] =
       if (files.isEmpty) None
       else Some(scanFiles(spark, root, files, m.dvs, mergeSchema = true,
-        m.colMap, m.retired))
+        m.colMap, m.retired, physReadSchema(m)))
     val main = (readFiles(removed, fromM), readFiles(added, toM)) match {
       case (None, None) =>
         // metadata-only commit (rollback to self, optimize no-op): no
@@ -3376,7 +3810,7 @@ object VersionedTable {
       val fromPos = posOf(fromM)
       val toPos = posOf(toM)
       val raw = scanWithPos(spark, root, dvChanged, mergeSchema = true,
-        toM.colMap, toM.retired)
+        toM.colMap, toM.retired, physReadSchema(toM))
       def rows(p: DataFrame, tpe: String): DataFrame = raw
         .join(broadcast(p.select(col("file").as("__file"),
           col("pos").as("__pos"))), Seq("__file", "__pos"), "left_semi")

@@ -453,11 +453,13 @@ object Streams {
       appId: String = "graft-stream",
       tsOf: Long => String = id => java.time.Instant.EPOCH.plusSeconds(id).toString,
       autoCompactEvery: Int = 0,
-      smallBytes: Long = 8L * 1024 * 1024): Unit = {
+      smallBytes: Long = 8L * 1024 * 1024,
+      partitionBy: Seq[String] = Seq.empty): Unit = {
     df.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val committed = graft.sources.VersionedTable
-          .commitIfNew(batch, path, appId, id, tsOf(id))
+          .commitIfNew(batch, path, appId, id, tsOf(id),
+            partitionBy = partitionBy)
         // auto-compaction (Delta autoCompact): every Nth COMMITTED batch
         // folds the accumulated small files into target-sized ones — a
         // delta manifest rewriting O(small bytes), never the table.

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, VersionedTable}
+
+/** The DeltaTable-shaped fluent facade: the reference's exact call
+  * chain (batch_scoring.py:169-185 — isDeltaTable / forPath / merge /
+  * whenMatchedUpdateAll / whenNotMatchedInsertAll / execute) ports
+  * verbatim, plus DESCRIBE DETAIL and VACUUM DRY RUN. */
+class GraftTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("vt_gt").toString
+
+  test("the reference's create-or-merge branch ports verbatim") {
+    val t = freshTable()
+    val batch = Seq((1L, "a", 10L), (2L, "a", 20L)).toDF("id", "state", "amount")
+    // batch_scoring.py:169: if not isDeltaTable -> overwrite write
+    assert(!GraftTable.isGraftTable(spark, t))
+    VersionedTable.commit(batch, t, mode = "overwrite")
+    assert(GraftTable.isGraftTable(spark, t))
+    // batch_scoring.py:180-185: forPath -> merge -> updateAll/insertAll
+    val changes = Seq((2L, "b", 99L), (3L, "c", 30L)).toDF("id", "state", "amount")
+    GraftTable.forPath(spark, t)
+      .merge(changes, Seq("id"))
+      .whenMatchedUpdateAll()
+      .whenNotMatchedInsertAll()
+      .execute()
+    val got = GraftTable.forPath(spark, t).toDF
+      .select("id", "state", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got === Set((1L, "a", 10L), (2L, "b", 99L), (3L, "c", 30L)))
+  }
+
+  test("fluent clause order maps to evaluation order") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 5L), (2L, 50L)).toDF("id", "v"), t,
+      mode = "overwrite")
+    GraftTable.forPath(spark, t)
+      .merge(Seq((1L, 0L), (2L, 0L)).toDF("id", "x"), Seq("id"))
+      .whenMatchedDelete(Some("t.v < 10"))
+      .whenMatchedUpdate(Map("v" -> "t.v + 1"))
+      .execute()
+    assert(GraftTable.forPath(spark, t).toDF.select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((2L, 51L)))
+  }
+
+  test("detail() is the head manifest, no data read") {
+    val t = freshTable()
+    VersionedTable.commit(
+      Seq((1L, "ams", 10L), (2L, "nyc", 20L)).toDF("id", "city", "amount"),
+      t, mode = "overwrite", partitionBy = Seq("city"),
+      bloomIndex = Seq("id"), ts = "2026-01-01T00:00:00Z")
+    VersionedTable.addConstraint(spark, t, "pos", "amount >= 0")
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 2",
+      maxVectoredFraction = 1.0)
+    val d = GraftTable.forPath(spark, t).detail().collect().head
+    assert(d.getAs[Long]("version") === 2L)
+    assert(d.getAs[Long]("num_rows") === 1L)
+    assert(d.getAs[Seq[String]]("partition_columns") === Seq("city"))
+    assert(d.getAs[Seq[String]]("constraints") === Seq("pos"))
+    assert(d.getAs[Seq[String]]("bloom_index_columns") === Seq("id"))
+    assert(d.getAs[Long]("num_vectored_files") >= 1L)
+    assert(d.getAs[Long]("num_files") >= 2L)
+  }
+
+  test("vacuumDryRun counts dead files without touching them; time travel survives") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), t, mode = "overwrite")
+    VersionedTable.commit(Seq((2L, 2L)).toDF("id", "v"), t, mode = "overwrite")
+    VersionedTable.commit(Seq((3L, 3L)).toDF("id", "v"), t, mode = "overwrite")
+    val h = GraftTable.forPath(spark, t)
+    val dead = h.vacuumDryRun(retainVersions = 1)
+    assert(dead >= 2) // v0 + v1 files are unreferenced at the head
+    // nothing deleted: every historical version still reads
+    (0L to 2L).foreach { v =>
+      assert(h.asOf(v).select("id").head().getLong(0) === v + 1)
+    }
+    // the real vacuum with zero grace reclaims exactly that count
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L) === dead)
+  }
+
+  test("restore, history and time travel through the handle") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(Seq((2L, 2L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    val h = GraftTable.forPath(spark, t)
+    assert(h.version === 1L)
+    assert(h.asOfTimestamp("2026-01-01T12:00:00Z").count() === 1L)
+    h.restoreToVersion(0L)
+    assert(GraftTable.forPath(spark, t).toDF.count() === 1L)
+    assert(h.history().count() === 3L)
+  }
+}

@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.MergeAction.{Delete, Insert, Update}
+
+/** Full MERGE clause semantics (Delta's builder re-derived —
+  * reference: batch_scoring.py:182-185 uses the two-clause
+  * whenMatchedUpdateAll/whenNotMatchedInsertAll shape; this spec pins
+  * the general CDC-apply surface beyond it). */
+class MergeClausesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("vt_mc").toString
+
+  private def base(rows: (Long, String, Long)*): DataFrame =
+    rows.toDF("id", "state", "amount")
+
+  private def contents(t: String): Set[(Long, String, Long)] =
+    VersionedTable.readVersion(spark, t)
+      .select("id", "state", "amount").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+
+  test("CDC apply: one commit folds updates, deletes and inserts") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "a", 20), (3, "a", 30)),
+      t, mode = "overwrite")
+    val changes = Seq(
+      (1L, "u", 11L),   // update id 1
+      (2L, "d", 0L),    // delete id 2
+      (9L, "i", 90L),   // insert id 9
+      (8L, "d", 0L)     // delete of an absent key: no-op (matches no clause group's row)
+    ).toDF("id", "op", "amount")
+    VersionedTable.mergeClauses(changes, t, Seq("id"),
+      matched = Seq(
+        Delete(Some("s.op = 'd'")),
+        Update(set = Map("amount" -> "s.amount"))),
+      notMatched = Seq(
+        Insert(Some("s.op <> 'd'"),
+          Map("id" -> "s.id", "state" -> "'new'", "amount" -> "s.amount"))))
+    assert(contents(t) === Set(
+      (1L, "a", 11L), (3L, "a", 30L), (9L, "new", 90L)))
+  }
+
+  test("UPDATE ALL / INSERT ALL defaults reproduce the plain upsert merge") {
+    val tc = freshTable()
+    val tu = freshTable()
+    val b = base((1, "a", 10), (2, "b", 20))
+    VersionedTable.commit(b, tc, mode = "overwrite")
+    VersionedTable.commit(b, tu, mode = "overwrite")
+    val ups = base((2, "B", 99), (5, "c", 50))
+    VersionedTable.mergeClauses(ups, tc, Seq("id")) // defaults
+    VersionedTable.merge(ups, tu, Seq("id"))
+    assert(contents(tc) === contents(tu))
+    assert(contents(tc) === Set((1L, "a", 10L), (2L, "B", 99L), (5L, "c", 50L)))
+  }
+
+  test("clause order: first true condition wins; unmatched-clause rows keep defaults") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 5), (2, "a", 50), (3, "a", 500)),
+      t, mode = "overwrite")
+    val src = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("id", "x")
+    VersionedTable.mergeClauses(src, t, Seq("id"),
+      matched = Seq(
+        Update(Some("t.amount < 10"), Map("state" -> "'small'")),
+        Update(Some("t.amount < 100"), Map("state" -> "'mid'"))),
+      notMatched = Seq.empty)
+    // id 3 matched the source but no clause condition: survives unchanged
+    assert(contents(t) === Set(
+      (1L, "small", 5L), (2L, "mid", 50L), (3L, "a", 500L)))
+  }
+
+  test("NOT MATCHED BY SOURCE: sync-to-source delete and stale-flag update") {
+    val td = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "a", 20), (3, "a", 30)),
+      td, mode = "overwrite")
+    val src = Seq((1L, 0L)).toDF("id", "x")
+    // full sync: rows absent from the source leave the table
+    VersionedTable.mergeClauses(src, td, Seq("id"),
+      matched = Seq.empty, notMatched = Seq.empty,
+      notMatchedBySource = Seq(Delete()))
+    assert(contents(td).map(_._1) === Set(1L))
+    // conditional stale-flag: only cheap absent rows re-tag
+    val tf = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "a", 20), (3, "a", 30)),
+      tf, mode = "overwrite")
+    VersionedTable.mergeClauses(src, tf, Seq("id"),
+      matched = Seq.empty, notMatched = Seq.empty,
+      notMatchedBySource = Seq(
+        Update(Some("t.amount < 25"), Map("state" -> "'stale'"))))
+    assert(contents(tf) === Set(
+      (1L, "a", 10L), (2L, "stale", 20L), (3L, "a", 30L)))
+  }
+
+  test("duplicate source keys error only when they match a target row") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")
+    val dupNoMatch = Seq((7L, "x", 1L), (7L, "y", 2L)).toDF("id", "state", "amount")
+    // both insert — Delta inserts unmatched duplicates too
+    VersionedTable.mergeClauses(dupNoMatch, t, Seq("id"))
+    assert(contents(t).count(_._1 == 7L) === 2)
+    val dupMatch = Seq((1L, "x", 1L), (1L, "y", 2L)).toDF("id", "state", "amount")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.mergeClauses(dupMatch, t, Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+  }
+
+  test("scoped rewrite: files without matches carry by reference") {
+    val t = freshTable()
+    // range layout so key pruning has distinct files to keep
+    val wide = spark.range(100).select(col("id"),
+      lit("a").as("state"), (col("id") * 10).as("amount"))
+      .repartitionByRange(4, col("id"))
+    VersionedTable.commit(wide, t, mode = "overwrite")
+    val before = VersionedTable.snapshotFiles(spark, t)
+    VersionedTable.mergeClauses(
+      Seq((5L, 999L)).toDF("id", "amount"), t, Seq("id"),
+      matched = Seq(Update(set = Map("amount" -> "s.amount"))),
+      notMatched = Seq.empty)
+    val after = VersionedTable.snapshotFiles(spark, t)
+    assert(before.intersect(after).nonEmpty,
+      "merge rewrote every file despite key pruning")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 5).select("amount").head().getLong(0) === 999L)
+    assert(VersionedTable.rowCount(spark, t) === 100L)
+  }
+
+  test("partitioned table: clause merge moves rows across partitions, layout holds") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "b", 20)), t,
+      mode = "overwrite", partitionBy = Seq("state"))
+    VersionedTable.mergeClauses(
+      Seq((2L, 0L), (3L, 0L)).toDF("id", "x"), t, Seq("id"),
+      matched = Seq(Update(set = Map("state" -> "'c'"))),
+      notMatched = Seq(Insert(values =
+        Map("id" -> "s.id", "state" -> "'c'", "amount" -> "0"))))
+    assert(contents(t) === Set((1L, "a", 10L), (2L, "c", 20L), (3L, "c", 0L)))
+    val cFiles = VersionedTable.prunedFiles(spark, t, "state = 'c'")
+    assert(cFiles.nonEmpty && cFiles.forall(_.contains("p__state=c")))
+  }
+
+  test("constraints gate clause outputs; generated columns compute on inserts") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")
+    VersionedTable.addConstraint(spark, t, "pos", "amount >= 0")
+    intercept[graft.sources.VersionedTable.ConstraintViolationException] {
+      VersionedTable.mergeClauses(Seq((1L, 0L)).toDF("id", "x"), t, Seq("id"),
+        matched = Seq(Update(set = Map("amount" -> "-5"))),
+        notMatched = Seq.empty)
+    }
+    // generated column computes on INSERT ALL rows that omit it
+    val tg = freshTable()
+    VersionedTable.commit(
+      Seq((1L, 10L, 20L)).toDF("id", "amount", "double_amt"),
+      tg, mode = "overwrite")
+    VersionedTable.addGeneratedColumn(spark, tg, "double_amt", "amount * 2")
+    VersionedTable.mergeClauses(
+      Seq((2L, 30L)).toDF("id", "amount"), tg, Seq("id"))
+    val got = VersionedTable.readVersion(spark, tg)
+      .filter(col("id") === 2).select("double_amt").head().getLong(0)
+    assert(got === 60L)
+  }
+
+  test("a vector-deleted row is NOT a match: re-merge inserts instead of resurrecting") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "a", 20)), t, mode = "overwrite")
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 2", maxVectoredFraction = 1.0)
+    VersionedTable.mergeClauses(
+      Seq((2L, "r", 99L)).toDF("id", "state", "amount"), t, Seq("id"))
+    assert(contents(t) === Set((1L, "a", 10L), (2L, "r", 99L)))
+  }
+
+  test("clause validation: shapes and ordering are rejected up front") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")
+    val src = Seq((1L, 0L)).toDF("id", "x")
+    intercept[IllegalArgumentException] { // INSERT as a MATCHED action
+      VersionedTable.mergeClauses(src, t, Seq("id"),
+        matched = Seq(Insert()), notMatched = Seq.empty)
+    }
+    intercept[IllegalArgumentException] { // UPDATE as a NOT MATCHED action
+      VersionedTable.mergeClauses(src, t, Seq("id"),
+        matched = Seq.empty, notMatched = Seq(Update()))
+    }
+    intercept[IllegalArgumentException] { // unconditional clause shadowing
+      VersionedTable.mergeClauses(src, t, Seq("id"),
+        matched = Seq(Update(), Delete(Some("s.x = 1"))),
+        notMatched = Seq.empty)
+    }
+  }
+}
