@@ -242,6 +242,23 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_cv`: CONVERT TO TABLE over a plain parquet dump of
+    * silver (range-laid on value) — the in-place migration path: the
+    * v0 manifest references the foreign-named files with zero bytes
+    * rewritten, then a COW delete THROUGH the converted layout proves
+    * DML discovery resolves foreign names (the root-relative `__file`
+    * fallback) and migrates touched files natively. */
+  private def buildConvertTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("cv", dir), {
+      val d = java.nio.file.Files.createTempDirectory("graft_vtcv").toString
+      silver(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("value"))
+        .write.mode("overwrite").parquet(d)
+      VersionedTable.convert(s, d, ts = "2026-01-01T00:00:00Z")
+      VersionedTable.delete(s, d, "value < 10.0", ts = "2026-01-02T00:00:00Z")
+      d
+    })
+
   /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
     * clone's v0 is pure metadata referencing the source's files), then a
     * COW delete on the clone — touched source-referenced files rewrite
@@ -786,6 +803,13 @@ object SparkEntry {
     "vt_pb" -> ((s, dir) => {
       val tbl = buildPartitionedTable(s, dir)
       VersionedTable.readWhere(s, tbl, "event_type IN ('click', 'vip')")
+        .select("event_id", "event_type", "value")
+    }),
+    // CONVERT TO TABLE: in-place migration of a plain parquet dir,
+    // then a COW delete through the converted (foreign-named) layout
+    "vt_cv" -> ((s, dir) => {
+      val tbl = buildConvertTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
     // full-clause MERGE (CDC apply): conditional delete/update/insert +
@@ -1802,6 +1826,12 @@ object SparkEntry {
          |)
          |SELECT event_id, event_type, value FROM upd
          |WHERE event_type IN ('click', 'vip')""".stripMargin,
+
+    // converted table ≡ silver minus the 3VL delete
+    "vt_cv" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE NOT COALESCE(value < 10.0, FALSE)""".stripMargin,
 
     // full-clause merge ≡ inner join (update/delete by op), anti join
     // by source (stale flag), anti join by target (inserts)

@@ -27,6 +27,10 @@ final class GraftTable private (spark: SparkSession, path: String) {
   def optimize(zorderBy: Seq[String] = Seq.empty,
       ts: String = "1970-01-01T00:00:00Z"): Long =
     VersionedTable.optimize(spark, path, zorderCols = zorderBy, ts = ts)
+  def optimizeWhere(condition: String, zorderBy: Seq[String] = Seq.empty,
+      ts: String = "1970-01-01T00:00:00Z"): Long =
+    VersionedTable.optimizeWhere(spark, path, condition,
+      zorderCols = zorderBy, ts = ts)
   def vacuum(retainVersions: Int = 2): Int =
     VersionedTable.vacuum(spark, path, retainVersions)
   def restoreToVersion(v: Long, ts: String = "1970-01-01T00:00:00Z"): Long =

@@ -1546,6 +1546,49 @@ object VersionedTable {
     next
   }
 
+  /** Predicate-scoped OPTIMIZE (Delta's `OPTIMIZE ... WHERE`): rewrite
+    * ONLY the files whose manifest stats may hold rows matching
+    * `condition` — everything else carries by reference in a delta
+    * manifest. At 100 TB this is the only affordable compaction shape:
+    * the nightly job optimizes yesterday's partition, never the table
+    * (on a partitioned table a partition-aligned predicate scopes to
+    * exactly that value directory's files — value-homogeneous, so the
+    * scope is exact). Content-identical like [[optimize]], including
+    * DV materialization: a scoped file's vector applies during the
+    * rewrite and its entry drops with the file. `zorderCols` lays the
+    * SCOPE out Z-ordered (cluster-one-partition, Delta's
+    * `OPTIMIZE ... WHERE ... ZORDER BY`). No commit when the scope
+    * holds < 2 files (nothing to fold). */
+  def optimizeWhere(spark: SparkSession, path: String, condition: String,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      ts: String = "1970-01-01T00:00:00Z",
+      zorderCols: Seq[String] = Seq.empty): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"optimize of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val cond = spark.sessionState.sqlParser.parseExpression(condition)
+    val scoped = m.files.filter(f => mayMatch(logicalStatsOf(m, f), cond))
+    if (scoped.size < 2) return prev
+    val bytes = scoped.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cur = scanFiles(spark, root, scoped, m.dvs, mergeSchema = true,
+      m.colMap, m.retired, physReadSchema(m))
+    val laid =
+      if (zorderCols.nonEmpty)
+        graft.analytics.ZOrder.zOrderLayoutN(cur, zorderCols, target).drop("zval")
+      else cur.repartition(target)
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    writeDataFiles(laid, m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
+    publish(hfs, root, RawManifest(next, ts, "optimize_where", Some(prev),
+      newFiles, scoped, None, m.schemaJson, newStats, addRows = newRows))
+    next
+  }
+
   /** Incremental compaction (Delta auto-compaction / the real shape of
     * `OPTIMIZE`): rewrite ONLY the files smaller than `smallBytes` into
     * ~`targetFileBytes` files, carrying everything else by reference —
@@ -2051,9 +2094,18 @@ object VersionedTable {
     // `__file`/`__pos` ride through toLogical untouched (never mapped)
     val rdr = readSchema.fold(
       spark.read.option("mergeSchema", mergeSchema.toString))(spark.read.schema)
+    // row identity: the native-layout extraction first (also resolves a
+    // CLONE's source-absolute files); a CONVERTED table's foreign file
+    // names fall back to root-relative extraction — immune to file:/ vs
+    // file:/// qualification drift because only the PATH part anchors
+    val rootRe = ".*" + java.util.regex.Pattern.quote(root.toUri.getPath) + "/(.+)$"
     toLogical(rdr
       .parquet(files.map(f => new Path(root, f).toString): _*)
-      .withColumn("__file", regexp_extract(col("_metadata.file_path"), DataFileRe, 1))
+      .withColumn("__file", {
+        val native = regexp_extract(col("_metadata.file_path"), DataFileRe, 1)
+        when(native =!= "", native)
+          .otherwise(regexp_extract(col("_metadata.file_path"), rootRe, 1))
+      })
       .withColumn("__pos", col("_metadata.row_index")), colMap, retired)
   }
 
@@ -2246,6 +2298,52 @@ object VersionedTable {
       addDvCounts = dvEntries.keys.flatMap(f =>
         posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
     next
+  }
+
+  /** CONVERT a plain parquet directory into a versioned table IN PLACE
+    * (Delta's `CONVERT TO DELTA`, re-derived): a v0 manifest is written
+    * referencing the existing files BY NAME — zero bytes rewritten at
+    * any size, which is the whole point of converting a 100 TB
+    * directory. Stats and row counts come from one pooled footer pass,
+    * so pruning, `readWhere`, `rowCount` and time travel work from the
+    * first read. Every subsequent write lands in the native
+    * `files/cNNN` layout; DML discovery resolves foreign names through
+    * the root-relative `__file` fallback, so COW/MoR rewrites migrate
+    * touched foreign files natively as a side effect, and [[optimize]]
+    * migrates everything at once. The ORIGINAL files are never
+    * vacuumed (they live outside `files/`; reclaiming them after an
+    * optimize is the caller's call — Delta leaves converted originals
+    * in place too). Hive-partitioned source directories (bare
+    * `col=value` subdirs, values not in the files) are rejected: their
+    * partition columns exist only in dir names, which this table
+    * stores IN data — rewrite through a partitioned [[commit]]
+    * instead. */
+  def convert(spark: SparkSession, path: String,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    require(versions(hfs, root).isEmpty, s"already a versioned table at $path")
+    val entries = hfs.listStatus(root).toSeq
+    val kvDirs = entries.filter(e => e.isDirectory && e.getPath.getName.contains("="))
+    require(kvDirs.isEmpty,
+      s"hive-partitioned source at $path (${kvDirs.head.getPath.getName}); " +
+        "partition values live only in directory names there — re-ingest " +
+        "through commit(partitionBy) instead")
+    val files = entries
+      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.getName).sorted
+    require(files.nonEmpty, s"no parquet files to convert at $path")
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => new Path(root, f).toString): _*).schema
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val opened = Await.result(
+      Future.sequence(files.map(f => Future(f -> footerStats(hfs, root, f)))),
+      ioWait).toMap
+    publish(hfs, root, RawManifest(0L, ts, "convert", None, files,
+      Seq.empty, None, Some(schema.json),
+      opened.map { case (f, (st, _)) => f -> st }.filter(_._2.nonEmpty),
+      addRows = opened.map { case (f, (_, n)) => f -> n }))
+    0L
   }
 
   /** One-row table summary (Delta's DESCRIBE DETAIL, re-derived):

@@ -344,6 +344,52 @@ class PartitionedTableSpec extends SparkSpec {
     assert(VersionedTable.countWhere(spark, tn, "city IS NULL") === 1L)
   }
 
+  test("optimizeWhere compacts one partition; the rest carries by reference") {
+    val t = freshTable()
+    (0 until 4).foreach { i =>
+      VersionedTable.commit(
+        sales((i * 10 + 1, "ams", i), (i * 10 + 2, "nyc", i)),
+        t, mode = if (i == 0) "overwrite" else "append",
+        partitionBy = if (i == 0) Seq("city") else Seq.empty)
+    }
+    // a vector on an nyc file must materialize away in the scoped fold
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 2",
+      maxVectoredFraction = 1.0)
+    val want = contents(t)
+    val before = VersionedTable.snapshotFiles(spark, t)
+    val amsBefore = before.filter(_.contains(s"${VersionedTable.PartDirPrefix}city=ams"))
+    val v = VersionedTable.optimizeWhere(spark, t, "city = 'nyc'")
+    assert(v > 0)
+    val after = VersionedTable.snapshotFiles(spark, t)
+    // untouched partition carried by reference, scoped partition folded
+    assert(amsBefore.forall(after.contains),
+      "optimizeWhere rewrote files outside its scope")
+    val nycAfter = after.filter(_.contains(s"${VersionedTable.PartDirPrefix}city=nyc"))
+    assert(nycAfter.size === 1, s"nyc should fold to one file, got $nycAfter")
+    assert(contents(t) === want)
+    assertHomogeneous(t)
+    // the scoped fold IS the vector's materialization
+    assert(VersionedTable.rowCount(spark, t) === want.size.toLong)
+    // sub-threshold scope: no commit
+    assert(VersionedTable.optimizeWhere(spark, t, "city = 'nyc'") === v)
+  }
+
+  test("change data feed classifies partitioned DML, including cross-partition moves") {
+    val t = freshTable()
+    VersionedTable.commit(
+      sales((1, "ams", 10), (2, "nyc", 20), (3, "sfo", 30)),
+      t, mode = "overwrite", partitionBy = Seq("city"))
+    VersionedTable.delete(spark, t, "id = 2")
+    VersionedTable.update(spark, t, "id = 3", Map("city" -> "'ams'"))
+    val feed = VersionedTable.changes(spark, t, Seq("id"), 0L, 2L)
+      .select("id", "city", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(feed === Set(
+      (2L, "nyc", "delete"),
+      (3L, "sfo", "update_preimage"),
+      (3L, "ams", "update_postimage")))
+  }
+
   test("partitioned streaming sink shape: commitIfNew + time travel") {
     val t = freshTable()
     assert(VersionedTable.commitIfNew(sales((1, "ams", 1)), t, "app", 0L,
