@@ -259,6 +259,26 @@ object SparkEntry {
       d
     })
 
+  /** Fixture for `vt_ow`: partition-scoped OPTIMIZE — silver landed
+    * hive-partitioned by event_type in two commits (so each value dir
+    * holds several small files), then `optimizeWhere` folds ONLY the
+    * click partition, Z-ordered on value. Content-identical by
+    * contract; the oracle pins it (plain silver), while the spec
+    * battery asserts the file-level scoping. */
+  private def buildOptimizeWhereTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("ow", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtow").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.filter(col("event_id") % 2 === 0).repartition(3),
+        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z",
+        partitionBy = Seq("event_type"))
+      VersionedTable.commit(sv.filter(col("event_id") % 2 =!= 0).repartition(3),
+        tbl, mode = "append", ts = "2026-01-02T00:00:00Z")
+      VersionedTable.optimizeWhere(s, tbl, "event_type = 'click'",
+        ts = "2026-01-03T00:00:00Z", zorderCols = Seq("value", "event_id"))
+      tbl
+    })
+
   /** Fixture for `vt_cl`: a SHALLOW clone of the `vt_w` skip table (the
     * clone's v0 is pure metadata referencing the source's files), then a
     * COW delete on the clone — touched source-referenced files rewrite
@@ -803,6 +823,13 @@ object SparkEntry {
     "vt_pb" -> ((s, dir) => {
       val tbl = buildPartitionedTable(s, dir)
       VersionedTable.readWhere(s, tbl, "event_type IN ('click', 'vip')")
+        .select("event_id", "event_type", "value")
+    }),
+    // partition-scoped OPTIMIZE: the click partition folded + z-laid,
+    // everything else carried by reference; content-identical end state
+    "vt_ow" -> ((s, dir) => {
+      val tbl = buildOptimizeWhereTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
     // CONVERT TO TABLE: in-place migration of a plain parquet dir,
@@ -1826,6 +1853,11 @@ object SparkEntry {
          |)
          |SELECT event_id, event_type, value FROM upd
          |WHERE event_type IN ('click', 'vip')""".stripMargin,
+
+    // scoped optimize is content-identical: the table IS silver
+    "vt_ow" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver""".stripMargin,
 
     // converted table ≡ silver minus the 3VL delete
     "vt_cv" ->

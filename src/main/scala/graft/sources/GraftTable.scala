@@ -36,6 +36,17 @@ final class GraftTable private (spark: SparkSession, path: String) {
   def restoreToVersion(v: Long, ts: String = "1970-01-01T00:00:00Z"): Long =
     VersionedTable.rollback(spark, path, v, ts)
 
+  /** RESTORE to the latest version at or before `asOf` (Delta's
+    * `RESTORE ... TO TIMESTAMP AS OF`): resolved from the history's
+    * commit timestamps, then a zero-copy [[restoreToVersion]]. */
+  def restoreToTimestamp(asOf: String, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    import org.apache.spark.sql.functions.col
+    val v = history().filter(col("ts") <= asOf)
+      .agg(org.apache.spark.sql.functions.max("version"))
+      .head().getLong(0)
+    VersionedTable.rollback(spark, path, v, ts)
+  }
+
   /** Reclaimable-file count WITHOUT deleting anything (Delta's
     * `VACUUM ... DRY RUN`): live files of the retained versions and
     * clone-pinned files are excluded, exactly as the real vacuum

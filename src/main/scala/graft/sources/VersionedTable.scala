@@ -3027,8 +3027,12 @@ object VersionedTable {
       else {
         val live = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
           physReadSchema(m))
+        // no broadcast hints anywhere in this operator: a CDC batch is
+        // tiny (AQE converts these joins to broadcast at runtime from
+        // ACTUAL sizes), but a source that is half the table — the
+        // backfill-merge shape — must not be forced through the driver
         val matchFiles = live
-          .join(broadcast(srcKeys), keyCols, "left_semi")
+          .join(srcKeys, keyCols, "left_semi")
           .select("__file").distinct()
         val bySrcFiles =
           if (notMatchedBySource.isEmpty) matchFiles.limit(0)
@@ -3039,7 +3043,7 @@ object VersionedTable {
             val fire = notMatchedBySource.map(c =>
               condOf(c).fold(lit(true))(x => coalesce(expr(x), lit(false))))
               .reduce(_ || _)
-            live.join(broadcast(srcKeys), keyCols, "left_anti")
+            live.join(srcKeys, keyCols, "left_anti")
               .select(col("__file"),
                 struct(snapSchema.fieldNames
                   .map(col).toIndexedSeq: _*).as("t"))
@@ -3058,7 +3062,7 @@ object VersionedTable {
       val dupKeys = source.groupBy(keyCols.map(col): _*).count()
         .filter(col("count") > 1).drop("count")
       val ambiguous = readTouched(spark, path, touchedFiles.toSeq.sorted)
-        .join(broadcast(dupKeys), keyCols, "left_semi").limit(1).count()
+        .join(dupKeys, keyCols, "left_semi").limit(1).count()
       require(ambiguous == 0L,
         s"merge source has duplicate keys matching target rows at $path " +
           "(ambiguous MATCHED action; de-duplicate the source)")
@@ -3074,13 +3078,13 @@ object VersionedTable {
       val tS = t.select((keyCols.map(col) :+
         struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
       val res = foldTarget(matched)
-      tS.join(broadcast(srcS), keyCols, "inner")
+      tS.join(srcS, keyCols, "inner")
         .select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
     }
     val bySourceOut = tgt.map { t =>
       val tS = t.select((keyCols.map(col) :+
         struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
-        .join(broadcast(srcKeys), keyCols, "left_anti")
+        .join(srcKeys, keyCols, "left_anti")
         .withColumn("s", lit(null).cast(sType))
       val res = foldTarget(notMatchedBySource)
       tS.select(res.as("r")).filter(!col("r.__del")).select("r.row.*")

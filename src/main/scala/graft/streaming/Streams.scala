@@ -527,6 +527,64 @@ object Streams {
     ()
   }
 
+  /** Continuous CROSS-TABLE REPLICATION — the CDC-replication pattern
+    * (Delta's readChangeFeed → MERGE apply), composed from this
+    * module's [[changesStream]] source and the versioned table's
+    * full-clause merge: each source commit arrives as its row-level
+    * change batch and folds into the target as ONE atomic
+    * `mergeClauses` commit (delete rows whose net change is a delete,
+    * upsert the rest). Exactly the machinery a 100 TB platform uses to
+    * maintain a reporting replica or a region copy — only each
+    * version's DIFF moves, never the table.
+    *
+    * Semantics notes, both spec-pinned:
+    *   - a version's feed can carry one key TWICE (a MoR update is a
+    *     delete+insert pair; a COW update is a pre/post pair) — the
+    *     per-version net effect is collapsed BEFORE the merge (post
+    *     state wins over delete, pre-images drop), so the ambiguity
+    *     guard never trips and the fold is order-free;
+    *   - replay is idempotent: deletes re-delete nothing, upserts
+    *     re-apply the same values, inserts of existing keys become
+    *     updates — so the at-least-once foreachBatch boundary is safe;
+    *   - a fresh replica bootstraps from the source's v0 (or anchor)
+    *     insert feed into an overwrite commit. */
+  def replicateStream(spark: SparkSession, sourceTable: String,
+      targetTable: String, keyCols: Seq[String], checkpoint: String,
+      fromVersion: Long = -1L,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.MergeAction.{Delete, Insert, Update}
+    changesStream(spark, sourceTable, keyCols, checkpoint, fromVersion,
+      trigger) { (feed, v) =>
+      // net per-key effect within the version: any post-state row
+      // ('u') beats a delete; update pre-images are not state
+      val ops = feed
+        .filter(col("_change_type") =!= "update_preimage")
+        .withColumn("__op",
+          when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+        .drop("_change_type")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCols.map(col): _*).orderBy(col("__op").desc)
+      val net = ops.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      if (VersionedTable.latestVersion(spark, targetTable) < 0)
+        // bootstrap: the v0/anchor insert feed IS the initial state
+        VersionedTable.commit(
+          net.filter(col("__op") =!= "d").drop("__op"), targetTable,
+          mode = "overwrite",
+          ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
+      else
+        VersionedTable.mergeClauses(net, targetTable, keyCols,
+          matched = Seq(
+            Delete(Some("s.__op = 'd'")),
+            Update()),
+          notMatched = Seq(Insert(Some("s.__op <> 'd'"))),
+          ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
+      ()
+    }
+  }
+
   /** [[changesStream]] without the blocking wait: returns the running
     * [[org.apache.spark.sql.streaming.StreamingQuery]] so a long-lived
     * ProcessingTime tail can be monitored and stopped by the caller. */

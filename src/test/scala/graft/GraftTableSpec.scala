@@ -91,8 +91,11 @@ class GraftTableSpec extends SparkSpec {
     val h = GraftTable.forPath(spark, t)
     assert(h.version === 1L)
     assert(h.asOfTimestamp("2026-01-01T12:00:00Z").count() === 1L)
-    h.restoreToVersion(0L)
+    h.restoreToVersion(0L, ts = "2026-01-03T00:00:00Z")
     assert(GraftTable.forPath(spark, t).toDF.count() === 1L)
     assert(h.history().count() === 3L)
+    // RESTORE TO TIMESTAMP: back to the v1 (two-row) state by time
+    h.restoreToTimestamp("2026-01-02T12:00:00Z", ts = "2026-01-04T00:00:00Z")
+    assert(GraftTable.forPath(spark, t).toDF.count() === 2L)
   }
 }
