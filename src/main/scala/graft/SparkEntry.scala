@@ -1772,12 +1772,22 @@ object SparkEntry {
 
     // the log is protocol-determined: fixed ts (caller-supplied), ops,
     // and single-file commits → literal oracle
+    // the operation-metrics columns are data-dependent (rows per commit),
+    // so the oracle computes them from silver instead of hard-coding
     "vt_h" ->
-      """SELECT * FROM (VALUES
-        |  (CAST(0 AS BIGINT), '2026-01-01T00:00:00Z', 'overwrite', 1),
-        |  (CAST(1 AS BIGINT), '2026-01-02T00:00:00Z', 'append', 2),
-        |  (CAST(2 AS BIGINT), '2026-01-03T00:00:00Z', 'rollback(0)', 1)
-        |) AS t(version, ts, op, n_files)""".stripMargin,
+      s"""$silverCte,
+         |c AS (
+         |  SELECT COUNT(*) FILTER (WHERE event_type = 'signup') AS su,
+         |         COUNT(*) FILTER (WHERE event_type = 'click') AS cl
+         |  FROM silver
+         |)
+         |SELECT version, ts, op, n_files, n_rows_added, n_dv_rows_deleted FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, '2026-01-01T00:00:00Z' AS ts,
+         |         'overwrite' AS op, 1 AS n_files, su AS n_rows_added,
+         |         CAST(0 AS BIGINT) AS n_dv_rows_deleted FROM c
+         |  UNION ALL SELECT 1, '2026-01-02T00:00:00Z', 'append', 2, cl, 0 FROM c
+         |  UNION ALL SELECT 2, '2026-01-03T00:00:00Z', 'rollback(0)', 1, su, 0 FROM c
+         |)""".stripMargin,
 
     // readWhere ≡ the same predicate over silver (data skipping is a
     // pure optimization; content equality is the whole contract)

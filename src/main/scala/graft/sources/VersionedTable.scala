@@ -2647,8 +2647,13 @@ object VersionedTable {
         case None => raw.adds
       }
       memo(v) = files
-      (raw.version, raw.ts, raw.op, files.size)
-    }.toDF("version", "ts", "op", "n_files")
+      // operation metrics (Delta's operationMetrics flavor), free from
+      // the manifest's own counts: rows in this commit's new files and
+      // row positions its deletion vectors removed
+      (raw.version, raw.ts, raw.op, files.size,
+        raw.addRows.values.sum, raw.addDvCounts.values.sum)
+    }.toDF("version", "ts", "op", "n_files",
+      "n_rows_added", "n_dv_rows_deleted")
   }
 
   /** Roll the table back to `toVersion` by committing a NEW version whose

@@ -97,5 +97,9 @@ class GraftTableSpec extends SparkSpec {
     // RESTORE TO TIMESTAMP: back to the v1 (two-row) state by time
     h.restoreToTimestamp("2026-01-02T12:00:00Z", ts = "2026-01-04T00:00:00Z")
     assert(GraftTable.forPath(spark, t).toDF.count() === 2L)
+    // operation metrics ride the history rows (manifest-recorded counts)
+    val hm = h.history().orderBy("version").collect()
+    assert(hm.map(_.getAs[Long]("n_rows_added")).take(2).toSeq === Seq(1L, 1L))
+    assert(hm.forall(_.getAs[Long]("n_dv_rows_deleted") === 0L))
   }
 }

@@ -390,6 +390,26 @@ class PartitionedTableSpec extends SparkSpec {
       (3L, "ams", "update_postimage")))
   }
 
+  test("shallow clone of a partitioned table inherits the layout") {
+    val src = freshTable()
+    VersionedTable.commit(sales((1, "ams", 10), (2, "nyc", 20)), src,
+      mode = "overwrite", partitionBy = Seq("city"))
+    val dst = freshTable() + "/clone"
+    VersionedTable.cloneTable(spark, src, dst)
+    assert(VersionedTable.partitionColumnsOf(spark, dst) === Seq("city"))
+    // appends to the clone land hive-partitioned in the clone's own layout
+    VersionedTable.commit(sales((3, "sfo", 30)), dst)
+    val own = VersionedTable.snapshotFiles(spark, dst)
+      .filter(_.startsWith("files/c"))
+    assert(own.nonEmpty && own.forall(_.contains(s"${VersionedTable.PartDirPrefix}city=")))
+    assert(contents(dst) === Set((1L, "ams", 10L), (2L, "nyc", 20L), (3L, "sfo", 30L)))
+    // pruning is exact across source-referenced AND own files
+    val pruned = VersionedTable.prunedFiles(spark, dst, "city = 'sfo'")
+    assert(pruned.nonEmpty &&
+      pruned.forall(_.contains(s"${VersionedTable.PartDirPrefix}city=sfo")))
+    assert(VersionedTable.rowCount(spark, dst) === 3L)
+  }
+
   test("partitioned streaming sink shape: commitIfNew + time travel") {
     val t = freshTable()
     assert(VersionedTable.commitIfNew(sales((1, "ams", 1)), t, "app", 0L,
