@@ -3004,7 +3004,13 @@ object VersionedTable {
           condOf(c).fold(res)(cond =>
             when(coalesce(expr(cond), lit(false)), res).otherwise(els))
       }
-    // ---- discovery: which files must rewrite
+    // ---- discovery: which files must rewrite. An INSERT-ONLY merge
+    // (no matched / bySource clauses — insert-if-absent, the dedup
+    // ingest shape) rewrites NOTHING: matched rows change nothing, so
+    // the commit is append-shaped (Delta's insert-only merge
+    // optimization); existing keys are still excluded via the
+    // candidate scan below.
+    val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
     val keyCand = candidateFiles(m, updateKeyBounds(source, keyCols))
     val bySrcCand =
       if (notMatchedBySource.isEmpty) Seq.empty[String]
@@ -3028,7 +3034,7 @@ object VersionedTable {
     val candidates = (keyCand ++ bySrcCand).distinct
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val touched =
-      if (candidates.isEmpty) Set.empty[String]
+      if (candidates.isEmpty || insertOnly) Set.empty[String]
       else {
         val live = scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
           physReadSchema(m))
@@ -3097,7 +3103,17 @@ object VersionedTable {
     val insertsOut: Option[DataFrame] =
       if (notMatched.isEmpty) None
       else {
-        val tgtKeys = tgt.map(_.select(keyCols.map(col): _*).distinct())
+        // the existing-key set to exclude: the touched files' rows —
+        // or, for the no-rewrite insert-only path, the candidate scan
+        // (stats-pruned; a file that can't hold a source key is never
+        // opened)
+        val tgtKeys =
+          if (insertOnly)
+            (if (candidates.isEmpty) None
+             else Some(scanLive(spark, root, candidates, m.dvs, m.colMap,
+               m.retired, physReadSchema(m))
+               .select(keyCols.map(col): _*).distinct()))
+          else tgt.map(_.select(keyCols.map(col): _*).distinct())
         val unmatchedSrc = tgtKeys
           .fold(srcS)(k => srcS.join(k, keyCols, "left_anti"))
           .withColumn("t", lit(null).cast(tType))

@@ -174,6 +174,24 @@ class MergeClausesSpec extends SparkSpec {
     assert(contents(t) === Set((1L, "a", 10L), (2L, "r", 99L)))
   }
 
+  test("insert-only merge is append-shaped: zero files rewritten, existing keys excluded") {
+    val t = freshTable()
+    VersionedTable.commit(
+      base((1, "a", 10), (2, "a", 20)).repartition(2), t, mode = "overwrite")
+    val before = VersionedTable.snapshotFiles(spark, t).toSet
+    // insert-if-absent over a mix of existing and new keys
+    VersionedTable.mergeClauses(
+      base((1, "x", 99), (3, "c", 30), (4, "d", 40)), t, Seq("id"),
+      matched = Seq.empty, notMatched = Seq(Insert()))
+    val after = VersionedTable.snapshotFiles(spark, t).toSet
+    assert(before.subsetOf(after),
+      "insert-only merge rewrote existing files (must be append-shaped)")
+    // existing key 1 untouched, absent keys inserted
+    assert(contents(t) === Set(
+      (1L, "a", 10L), (2L, "a", 20L), (3L, "c", 30L), (4L, "d", 40L)))
+    assert(VersionedTable.rowCount(spark, t) === 4L)
+  }
+
   test("clause validation: shapes and ordering are rejected up front") {
     val t = freshTable()
     VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")
