@@ -1,0 +1,163 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+/** `spark.read.format("graft")` — the data-source face of
+  * [[VersionedTable]] (the reference's primary read idiom:
+  * delta_utils.py:22 / batch_scoring.py:48 are
+  * `spark.read.format("delta").load(path)`; with this class that call
+  * ports verbatim with `"graft"` for `"delta"`). Registered under the
+  * short name `graft` via the `DataSourceRegister` service file, so the
+  * same tables also open from pure SQL — `CREATE TABLE t USING graft
+  * LOCATION '...'` — with no Scala imports anywhere: the face every
+  * non-Scala consumer (notebook, BI tool, the reference's own PySpark
+  * style) needs.
+  *
+  * Read options:
+  *   - `versionAsOf`   — exact snapshot version (Delta's option)
+  *   - `timestampAsOf` — latest snapshot committed at or before this
+  *     timestamp (Delta's option)
+  *
+  * Design: DataSource V1 `RelationProvider`, deliberately. The v1
+  * interface is the one public seam where a format can hand Spark an
+  * ALREADY-PLANNED Catalyst scan: [[GraftRelation.buildScan]] builds
+  * the library's own [[VersionedTable.readVersion]] DataFrame — the
+  * DV-aware, column-mapped, manifest-schema, partition-recovering scan
+  * EVERY other reader routes through — pushes the scan-level filters
+  * and column pruning into it, and returns its `InternalRow` RDD with
+  * `needConversion = false`, so the inner parquet scan keeps
+  * whole-stage codegen, pushed filters and pruned read schema (the
+  * `.explain` shows the same `PushedFilters`/`ReadSchema` as a direct
+  * `readVersion(...).filter(...)`). A DataSourceV2 `TableProvider`
+  * would force re-implementing that scan row-by-row in a
+  * `PartitionReader` — duplicating the DV/column-mapping logic in a
+  * slower, non-codegen'd form. Delta's own batch-read face made the
+  * same v1 choice for the same reason.
+  *
+  * Write face (`df.write.format("graft")`): `SaveMode.Append` →
+  * [[VersionedTable.commit]] append, `Overwrite` → snapshot overwrite,
+  * `ErrorIfExists`/`Ignore` honor existing-table semantics. Options
+  * `partitionBy` (comma-separated logical columns, first commit only),
+  * `mergeSchema`, and `ts` (commit timestamp) pass through.
+  */
+final class GraftDataSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      """path is required: spark.read.format("graft").load(<table path>)"""))
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val path = pathOf(parameters)
+    val vOpt = parameters.get("versionAsOf").map(_.trim.toLong)
+    val tsOpt = parameters.get("timestampAsOf")
+    require(vOpt.isEmpty || tsOpt.isEmpty,
+      "specify at most one of versionAsOf / timestampAsOf")
+    new GraftRelation(sqlContext.sparkSession, path, vOpt, tsOpt)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val path = pathOf(parameters)
+    val spark = sqlContext.sparkSession
+    val exists = VersionedTable.latestVersion(spark, path) >= 0
+    val ts = parameters.getOrElse("ts", "1970-01-01T00:00:00Z")
+    val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    val pcols = parameters.get("partitionBy")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def write(m: String): Unit = {
+      VersionedTable.commit(data, path, m, ts, mergeSchema = mergeSchema,
+        partitionBy = pcols)
+      ()
+    }
+    mode match {
+      case SaveMode.Append => write("append")
+      case SaveMode.Overwrite => write("overwrite")
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"versioned table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.ErrorIfExists => write("overwrite")
+      case SaveMode.Ignore if exists => ()
+      case SaveMode.Ignore => write("overwrite")
+    }
+    new GraftRelation(spark, path, None, None)
+  }
+}
+
+/** One snapshot of a versioned table as a Spark relation. Scan-level
+  * filters and column pruning are REPLAYED into the inner
+  * [[VersionedTable.readVersion]] plan before execution, so parquet
+  * pushdown/pruning happen exactly as on a direct library read;
+  * `unhandledFilters` keeps the default (report all unhandled), so
+  * Spark re-evaluates every predicate above the scan — pushing is
+  * purely an optimization and can never change results. */
+final class GraftRelation(spark: SparkSession, path: String,
+    versionAsOf: Option[Long], timestampAsOf: Option[String])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private def snapshot: DataFrame = timestampAsOf match {
+    case Some(ts) => VersionedTable.readAsOf(spark, path, ts)
+    case None => VersionedTable.readVersion(spark, path, versionAsOf.getOrElse(-1L))
+  }
+
+  override val sqlContext: SQLContext = spark.sqlContext
+  override val schema: StructType = snapshot.schema
+
+  /** The rows handed back are the inner plan's `InternalRow`s already —
+    * no Row round-trip at the source boundary. */
+  override def needConversion: Boolean = false
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val base = snapshot
+    val filtered = filters.flatMap(GraftRelation.toColumn)
+      .foldLeft(base)(_ filter _)
+    // empty requiredColumns is the COUNT(*) shape: a zero-column
+    // projection still carries the right row count
+    val pruned = filtered.select(requiredColumns.map(n => filtered(n)).toIndexedSeq: _*)
+    pruned.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+object GraftRelation {
+  /** Attribute names pass through [[org.apache.spark.sql.functions.col]]
+    * only when unambiguous (a dotted name would parse as nested access);
+    * anything else skips the push — Spark re-applies all filters above
+    * the scan, so skipping costs pushdown, never correctness. */
+  private def simple(name: String): Boolean =
+    name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_')
+
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) if simple(a) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) if simple(a) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) if simple(a) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) if simple(a) => Some(col(a) >= lit(v))
+    case LessThan(a, v) if simple(a) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) if simple(a) => Some(col(a) <= lit(v))
+    case In(a, vs) if simple(a) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) if simple(a) => Some(col(a).isNull)
+    case IsNotNull(a) if simple(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) if simple(a) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) if simple(a) => Some(col(a).endsWith(v))
+    case StringContains(a, v) if simple(a) => Some(col(a).contains(v))
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      // a one-sided AND push is still sound (it only widens)
+      case (Some(lc), Some(rc)) => Some(lc && rc)
+      case (one, other) => one.orElse(other)
+    }
+    // OR/NOT push only when BOTH/the child translate fully — a partial
+    // OR would be narrower than the original predicate
+    case Or(l, r) =>
+      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}

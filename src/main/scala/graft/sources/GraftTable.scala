@@ -38,13 +38,28 @@ final class GraftTable private (spark: SparkSession, path: String) {
 
   /** RESTORE to the latest version at or before `asOf` (Delta's
     * `RESTORE ... TO TIMESTAMP AS OF`): resolved from the history's
-    * commit timestamps, then a zero-copy [[restoreToVersion]]. */
+    * commit timestamps, then a zero-copy [[restoreToVersion]].
+    * Timestamps compare as parsed instants (lexicographic ordering
+    * mis-orders mixed formats, e.g. the '1970-01-01T00:00:00Z' default
+    * vs sub-second ISO strings); an entry that doesn't parse falls
+    * back to string comparison for that entry only. An `asOf` earlier
+    * than every commit is a descriptive error, not an NPE. */
   def restoreToTimestamp(asOf: String, ts: String = "1970-01-01T00:00:00Z"): Long = {
-    import org.apache.spark.sql.functions.col
-    val v = history().filter(col("ts") <= asOf)
-      .agg(org.apache.spark.sql.functions.max("version"))
-      .head().getLong(0)
-    VersionedTable.rollback(spark, path, v, ts)
+    // history is O(versions) rows — driver-side resolve is the shape
+    // Delta itself uses for timestamp → version
+    val hist = history().select("version", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val asOfI = GraftTable.parseTs(asOf)
+    val atOrBefore = hist.filter { case (_, cts) =>
+      (asOfI, GraftTable.parseTs(cts)) match {
+        case (Some(a), Some(c)) => !c.isAfter(a)
+        case _ => cts <= asOf
+      }
+    }
+    if (atOrBefore.isEmpty) throw new IllegalArgumentException(
+      s"no version at or before '$asOf' at $path (earliest commit ts: " +
+        s"${hist.map(_._2).minOption.getOrElse("none")})")
+    VersionedTable.rollback(spark, path, atOrBefore.maxBy(_._1)._1, ts)
   }
 
   /** Reclaimable-file count WITHOUT deleting anything (Delta's
@@ -117,4 +132,18 @@ object GraftTable {
     * create-or-merge branch (batch_scoring.py:169) ports directly. */
   def isGraftTable(spark: SparkSession, path: String): Boolean =
     VersionedTable.latestVersion(spark, path) >= 0
+
+  /** Tolerant instant parse for caller-supplied commit timestamps:
+    * ISO instant, offset datetime, or local datetime (space- or
+    * T-separated, read as UTC). None for anything else — callers fall
+    * back to string comparison for that entry. */
+  private[sources] def parseTs(s: String): Option[java.time.Instant] = {
+    import java.time._
+    scala.util.Try(Instant.parse(s)).toOption
+      .orElse(scala.util.Try(OffsetDateTime.parse(s).toInstant).toOption)
+      .orElse(scala.util.Try(LocalDateTime.parse(s.replace(' ', 'T'))
+        .toInstant(ZoneOffset.UTC)).toOption)
+      .orElse(scala.util.Try(LocalDate.parse(s).atStartOfDay
+        .toInstant(ZoneOffset.UTC)).toOption)
+  }
 }

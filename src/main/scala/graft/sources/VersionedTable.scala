@@ -2322,15 +2322,31 @@ object VersionedTable {
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (hfs, root) = fs(spark, path)
     require(versions(hfs, root).isEmpty, s"already a versioned table at $path")
-    val entries = hfs.listStatus(root).toSeq
-    val kvDirs = entries.filter(e => e.isDirectory && e.getPath.getName.contains("="))
-    require(kvDirs.isEmpty,
-      s"hive-partitioned source at $path (${kvDirs.head.getPath.getName}); " +
-        "partition values live only in directory names there — re-ingest " +
-        "through commit(partitionBy) instead")
-    val files = entries
-      .filter(e => e.isFile && e.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.getName).sorted
+    require(!hfs.exists(new Path(root, "files")),
+      s"source at $path has a 'files/' subdirectory — the native data " +
+        "layout's reserved name; convert refuses rather than mix foreign " +
+        "files into it")
+    // recursive: parquet in non-hive subdirectories converts too (its
+    // manifest name keeps the relative path — every reader resolves
+    // names against the root, so nested originals read/prune/rewrite
+    // exactly like top-level ones). Hive `col=value` dirs at ANY depth
+    // still reject loudly — their partition values exist only in dir
+    // names, which this table stores IN data — instead of silently
+    // converting a subset of the directory.
+    def walk(dir: Path, rel: String): Seq[String] =
+      hfs.listStatus(dir).toSeq.flatMap { s =>
+        val n = s.getPath.getName
+        if (s.isDirectory && n.contains("=")) throw new IllegalArgumentException(
+          s"hive-partitioned source at $path (${if (rel.isEmpty) n else s"$rel/$n"}); " +
+            "partition values live only in directory names there — re-ingest " +
+            "through commit(partitionBy) instead")
+        else if (s.isDirectory && !n.startsWith(".") && !n.startsWith("_"))
+          walk(s.getPath, if (rel.isEmpty) n else s"$rel/$n")
+        else if (s.isFile && n.endsWith(".parquet"))
+          Seq(if (rel.isEmpty) n else s"$rel/$n")
+        else Seq.empty
+      }
+    val files = walk(root, "").sorted
     require(files.nonEmpty, s"no parquet files to convert at $path")
     val schema = spark.read.option("mergeSchema", "true")
       .parquet(files.map(f => new Path(root, f).toString): _*).schema
@@ -2982,6 +2998,22 @@ object VersionedTable {
             "only the last clause of a group may be unconditional")
       }
     }
+    // unknown assignment targets are analysis errors (Delta raises
+    // one), never silent: newRow/insertRow look keys up per SCHEMA
+    // field, so a typo'd SET/INSERT key would otherwise make the
+    // clause a partial no-op
+    (matched ++ notMatchedBySource ++ notMatched).foreach { a =>
+      val (kind, keys) = a match {
+        case Update(_, set) => ("UPDATE SET", set.keys)
+        case Insert(_, values) => ("INSERT values", values.keys)
+        case _ => ("", Iterable.empty[String])
+      }
+      val bad = keys.filterNot(snapSchema.fieldNames.contains).toSeq.sorted
+      if (bad.nonEmpty) throw new SchemaMismatchException(
+        s"$kind assignment targets name no table column at $path: " +
+          s"${bad.mkString(", ")} (table columns: " +
+          s"${snapSchema.fieldNames.mkString(", ")})")
+    }
     val tType = snapSchema
     val sType = source.schema
     val tStruct = struct(snapSchema.fieldNames.map(c => col(s"t.$c")).toIndexedSeq: _*)
@@ -3014,23 +3046,38 @@ object VersionedTable {
     val keyCand = candidateFiles(m, updateKeyBounds(source, keyCols))
     val bySrcCand =
       if (notMatchedBySource.isEmpty) Seq.empty[String]
-      else {
-        // prune on a clause condition only when it references nothing
-        // but the target (for a bySource row s IS null, so an
-        // s-referencing condition can't prune soundly from t-stats)
-        val conds = notMatchedBySource.map(condOf)
-        val prunable = conds.forall(_.exists(c => !c.contains("s.")))
-        if (!prunable) m.files
-        else scala.util.Try {
-          // best-effort: strip the alias and prune on raw column names;
-          // any parse failure keeps every file (pruning is only ever an
-          // optimization)
-          val parsed = conds.flatten.map(c =>
-            spark.sessionState.sqlParser.parseExpression(c.replace("t.", "")))
+      else scala.util.Try {
+        import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+        // prune on clause conditions only when EVERY clause has one and
+        // each references nothing but t-qualified columns (for a
+        // bySource row s IS NULL, so an s-referencing or unqualified
+        // attribute can't prune soundly from t-stats; an unconditional
+        // clause fires on every not-matched row). Decided structurally
+        // over the PARSED expression — a substring test would both
+        // misread literals containing "s." and, worse, alias-stripping
+        // by string replace would mangle literals containing "t."
+        // ('st. petersburg' → 's petersburg'), silently dropping files
+        // whose rows should receive bySource actions.
+        val parsed = notMatchedBySource.map(condOf(_)
+          .map(spark.sessionState.sqlParser.parseExpression))
+        def targetOnly(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Boolean =
+          e.collect { case u: UnresolvedAttribute => u }.forall(u =>
+            u.nameParts.length == 2 && u.nameParts.head.equalsIgnoreCase("t"))
+        if (parsed.exists(c => c.isEmpty || !targetOnly(c.get))) m.files
+        else {
+          val stripped = parsed.flatten.map(_.transform {
+            case u: UnresolvedAttribute if u.nameParts.length == 2 &&
+                u.nameParts.head.equalsIgnoreCase("t") =>
+              UnresolvedAttribute(Seq(u.nameParts(1)))
+          })
+          // keep a file if ANY clause may fire on some of its rows;
+          // any parse/transform failure keeps every file (pruning is
+          // only ever an optimization)
           m.files.filter(f =>
-            parsed.exists(e => mayMatch(logicalStatsOf(m, f), e)))
-        }.getOrElse(m.files)
-      }
+            stripped.exists(e => mayMatch(logicalStatsOf(m, f), e)))
+        }
+      }.getOrElse(m.files)
     val candidates = (keyCand ++ bySrcCand).distinct
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
     val touched =

@@ -93,4 +93,31 @@ class ConvertSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("partitionBy"))
   }
+
+  test("parquet in nested non-hive subdirectories converts too — never a partial table") {
+    val d = java.nio.file.Files.createTempDirectory("vt_convn").toString
+    spark.range(0, 10).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    spark.range(10, 25).select(col("id"), (col("id") * 10).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$d/year_2025/jan")
+    VersionedTable.convert(spark, d)
+    assert(VersionedTable.readVersion(spark, d).count() === 25L)
+    assert(VersionedTable.rowCount(spark, d) === 25L)
+    // nested foreign files carry stats: pruning reaches them
+    assert(VersionedTable.readWhere(spark, d, "v >= 150").count() === 10L)
+
+    // hive dirs reject even when nested below a plain subdirectory
+    val dh = java.nio.file.Files.createTempDirectory("vt_convnh").toString
+    spark.range(0, 4).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dh/sub/p=1")
+    val e = intercept[IllegalArgumentException](VersionedTable.convert(spark, dh))
+    assert(e.getMessage.contains("partitionBy"))
+
+    // a pre-existing files/ dir is the native layout's reserved name
+    val df2 = java.nio.file.Files.createTempDirectory("vt_convf").toString
+    spark.range(0, 4).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$df2/files")
+    val e2 = intercept[IllegalArgumentException](VersionedTable.convert(spark, df2))
+    assert(e2.getMessage.contains("files"))
+  }
 }

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+import graft.sources.VersionedTable
+
+/** `spark.read.format("graft")` ≡ `VersionedTable.readVersion` — the
+  * battery the format face must pass: plain read, deletion vectors,
+  * column mapping, partitioned tables, time travel by version and by
+  * timestamp, SQL DDL (`USING graft`), write modes, and the
+  * pushdown-preservation property (the inner plan keeps parquet
+  * `PushedFilters`). */
+class DataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("ds_spec").toString
+
+  private def df(ids: Long*): DataFrame =
+    ids.toDF("id").withColumn("v", col("id") * 10)
+
+  private def rows(d: DataFrame): Set[(Long, Long)] =
+    d.select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def sameAsLibrary(path: String): Unit = {
+    val lib = VersionedTable.readVersion(spark, path)
+    val fmt = spark.read.format("graft").load(path)
+    assert(fmt.schema === lib.schema)
+    assert(fmt.collect().map(_.toSeq).toSet === lib.collect().map(_.toSeq).toSet)
+  }
+
+  test("format read ≡ readVersion on a plain table; load() requires a path") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3), t, mode = "overwrite")
+    sameAsLibrary(t)
+    val e = intercept[Exception](spark.read.format("graft").load().collect())
+    assert(e.getMessage.toLowerCase.contains("path"))
+  }
+
+  test("versionAsOf / timestampAsOf time travel through the format") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(3), t, mode = "append", ts = "2026-01-05T00:00:00Z")
+    assert(rows(spark.read.format("graft").option("versionAsOf", "0").load(t))
+      === Set((1L, 10L), (2L, 20L)))
+    assert(rows(spark.read.format("graft").option("versionAsOf", "1").load(t))
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    assert(rows(spark.read.format("graft")
+      .option("timestampAsOf", "2026-01-03T00:00:00Z").load(t))
+      === Set((1L, 10L), (2L, 20L)))
+    val both = intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("versionAsOf", "0").option("timestampAsOf", "2026-01-03T00:00:00Z")
+      .load(t))
+    assert(both.getMessage.contains("at most one"))
+  }
+
+  test("format read sees through deletion vectors (MoR)") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3, 4), t, mode = "overwrite")
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 2")
+    assert(rows(spark.read.format("graft").load(t))
+      === Set((1L, 10L), (3L, 30L), (4L, 40L)))
+    sameAsLibrary(t)
+  }
+
+  test("format read resolves column mapping (rename) and partitioned layout") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite")
+    VersionedTable.renameColumn(spark, t, "v", "val")
+    val fmt = spark.read.format("graft").load(t)
+    assert(fmt.columns.toSeq === Seq("id", "val"))
+    assert(fmt.select("val").collect().map(_.getLong(0)).toSet === Set(10L, 20L))
+    sameAsLibrary(t)
+
+    val p = freshTable()
+    val pdf = Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "part")
+    VersionedTable.commit(pdf, p, mode = "overwrite", partitionBy = Seq("part"))
+    val pf = spark.read.format("graft").load(p)
+    assert(pf.filter(col("part") === "a").select("id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L))
+    sameAsLibrary(p)
+  }
+
+  test("filters and pruning reach the inner parquet scan (PushedFilters)") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 100L: _*), t, mode = "overwrite")
+    val q = spark.read.format("graft").load(t).filter(col("id") > 90).select("id")
+    assert(q.collect().map(_.getLong(0)).toSet === (91L to 100L).toSet)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan(id,90)"),
+      s"inner parquet scan lost the pushed filter:\n$plan")
+    assert(!plan.contains("v#"), s"column pruning lost (v still read):\n$plan")
+  }
+
+  test("SQL face: CREATE TABLE ... USING graft LOCATION, then SELECT") {
+    val t = freshTable()
+    VersionedTable.commit(df(7, 8), t, mode = "overwrite")
+    spark.sql(s"CREATE TABLE ds_spec_sql USING graft LOCATION '$t'")
+    try {
+      val got = spark.sql("SELECT id, v FROM ds_spec_sql WHERE id = 8")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === Set((8L, 80L)))
+    } finally spark.sql("DROP TABLE IF EXISTS ds_spec_sql")
+  }
+
+  test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
+    val t = freshTable()
+    df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)
+    assert(VersionedTable.latestVersion(spark, t) === 0L)
+    df(3).write.format("graft").mode(SaveMode.Append).save(t)
+    assert(rows(spark.read.format("graft").load(t))
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    val e = intercept[IllegalArgumentException](
+      df(9).write.format("graft").mode(SaveMode.ErrorIfExists).save(t))
+    assert(e.getMessage.contains("already exists"))
+    df(9).write.format("graft").mode(SaveMode.Ignore).save(t)
+    assert(VersionedTable.latestVersion(spark, t) === 1L) // ignore was a no-op
+
+    val p = freshTable()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part").write.format("graft")
+      .option("partitionBy", "part").mode(SaveMode.Overwrite).save(p)
+    // partition landed as table metadata: detail() reports it
+    val pcols = graft.sources.GraftTable.forPath(spark, p).detail()
+      .select("partition_columns").head().getSeq[String](0)
+    assert(pcols === Seq("part"))
+    sameAsLibrary(p)
+  }
+}

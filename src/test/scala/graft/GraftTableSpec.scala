@@ -102,4 +102,22 @@ class GraftTableSpec extends SparkSpec {
     assert(hm.map(_.getAs[Long]("n_rows_added")).take(2).toSeq === Seq(1L, 1L))
     assert(hm.forall(_.getAs[Long]("n_dv_rows_deleted") === 0L))
   }
+
+  test("restoreToTimestamp compares instants, not strings; pre-history asOf is descriptive") {
+    val t = freshTable()
+    VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    // sub-second commit AFTER the asOf below — lexicographically it
+    // sorts BEFORE ('.' < 'Z'), so a string compare would restore to it
+    VersionedTable.commit(Seq((2L, 2L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-02T00:00:00.500Z")
+    val h = GraftTable.forPath(spark, t)
+    h.restoreToTimestamp("2026-01-02T00:00:00Z", ts = "2026-01-03T00:00:00Z")
+    assert(GraftTable.forPath(spark, t).toDF.count() === 1L,
+      "instant-ordered resolve must pick v0, not the later sub-second commit")
+    // asOf before every commit: a descriptive error, not an NPE
+    val e = intercept[IllegalArgumentException](
+      h.restoreToTimestamp("2020-01-01T00:00:00Z"))
+    assert(e.getMessage.contains("no version at or before"))
+  }
 }

@@ -210,4 +210,43 @@ class MergeClausesSpec extends SparkSpec {
         notMatched = Seq.empty)
     }
   }
+
+  test("bySource pruning survives string literals containing \"t.\" (structural alias strip)") {
+    val t = freshTable()
+    // two commits → two range-disjoint files, so stats pruning actually
+    // decides which files rewrite
+    VersionedTable.commit(base((1, "st. petersburg", 10)), t, mode = "overwrite")
+    VersionedTable.commit(base((2, "zzz", 20)), t, mode = "append")
+    val src = Seq((2L, 0L)).toDF("id", "x")
+    // a string-replace alias strip would mangle the literal to
+    // 's petersburg', prune file 1 as provably-false, and silently skip
+    // the update on the row that must receive it
+    VersionedTable.mergeClauses(src, t, Seq("id"),
+      matched = Seq.empty, notMatched = Seq.empty,
+      notMatchedBySource = Seq(
+        Update(Some("t.state = 'st. petersburg'"),
+          Map("amount" -> "t.amount + 1"))))
+    assert(contents(t) === Set((1L, "st. petersburg", 11L), (2L, "zzz", 20L)))
+  }
+
+  test("unknown SET / INSERT assignment targets are analysis errors, not silent no-ops") {
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")
+    val src = Seq((1L, 5L), (9L, 9L)).toDF("id", "amount")
+    val e1 = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.mergeClauses(src, t, Seq("id"),
+        matched = Seq(Update(set = Map("amonut" -> "s.amount"))), // typo
+        notMatched = Seq.empty)
+    }
+    assert(e1.getMessage.contains("amonut"))
+    val e2 = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.mergeClauses(src, t, Seq("id"),
+        matched = Seq.empty,
+        notMatched = Seq(Insert(values =
+          Map("id" -> "s.id", "valeu" -> "s.amount")))) // typo
+    }
+    assert(e2.getMessage.contains("valeu"))
+    // nothing committed by either rejected call
+    assert(contents(t) === Set((1L, "a", 10L)))
+  }
 }
