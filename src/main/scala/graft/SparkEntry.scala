@@ -127,6 +127,27 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_ds` (the `spark.read.format("graft")` face): four
+    * commits exercising everything the format must see through — v0
+    * overwrite signups, v1 append clicks, v2 MoR delete (deletion
+    * vector), v3 rename value→amount (column mapping). Reads go through
+    * the registered data source, never the Scala API — the point IS the
+    * format boundary. */
+  private def buildDsTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("ds", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtds").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value").repartition(1)
+      VersionedTable.commit(sv.filter(col("event_type") === "signup"), tbl,
+        mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.commit(sv.filter(col("event_type") === "click"), tbl,
+        mode = "append", ts = "2026-01-02T00:00:00Z")
+      VersionedTable.deleteMergeOnRead(s, tbl, "value < 20",
+        ts = "2026-01-03T00:00:00Z")
+      VersionedTable.renameColumn(s, tbl, "value", "amount",
+        ts = "2026-01-04T00:00:00Z")
+      tbl
+    })
+
   /** Data-skipping fixture for `vt_w`: one snapshot of silver's
     * (event_id, event_type, value) laid out by RANGE on `value`, so each
     * data file owns a value band and the manifest's footer stats give
@@ -724,6 +745,29 @@ object SparkEntry {
     // construction (repartition(1) in the builder), so n_files counts
     // carried manifests entries, not write parallelism
     "vt_h" -> ((s, dir) => VersionedTable.history(s, buildVersionedTable(s, dir))),
+    // the data-source face (sources/GraftDataSource.scala — the
+    // reference's PRIMARY read idiom, delta_utils.py:22
+    // spark.read.format("delta").load(path), ported verbatim with
+    // "graft"): every read below goes through format("graft"), never
+    // the Scala API — versionAsOf, timestampAsOf, the head read seeing
+    // through a deletion vector AND a column rename, and a filtered
+    // read whose predicate must reach the inner parquet scan. Content
+    // is pinned against silver slices.
+    "vt_ds" -> ((s, dir) => {
+      val tbl = buildDsTable(s, dir)
+      def snap(name: String, df: DataFrame, v: String): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(round(col(v) * 100)) / 100, 2).as("sum_value"))
+          .withColumn("snap", lit(name))
+      snap("v1", s.read.format("graft").option("versionAsOf", "1").load(tbl),
+          "value")
+        .unionByName(snap("latest", s.read.format("graft").load(tbl), "amount"))
+        .unionByName(snap("asof_d1", s.read.format("graft")
+          .option("timestampAsOf", "2026-01-01T12:00:00Z").load(tbl), "value"))
+        .unionByName(snap("pushed", s.read.format("graft").load(tbl)
+          .filter(col("amount") >= 100), "amount"))
+        .select("snap", "n_rows", "sum_value")
+    }),
     // copy-on-write MERGE + DELETE on a separate fixture (v0 = signups;
     // v1 = merge doubling every 3rd signup's value + inserting clicks;
     // v2 = delete cheap clicks): each snapshot re-aggregated, the oracle
@@ -1767,6 +1811,33 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'asof_d1', count(*), round(sum(round(value * 100)) / 100, 2)
          |  FROM silver WHERE event_type = 'signup'
+         |)
+         |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
+
+    // every snapshot read through format("graft") must equal the slice
+    // it was committed from: v1 = signups ∪ clicks; latest = that minus
+    // the MoR-deleted value<20 rows (NULL survives a NULL-evaluating
+    // delete predicate — three-valued logic), summed under the renamed
+    // column; asof_d1 = v0 = signups; pushed = latest where amount>=100
+    "vt_ds" ->
+      s"""$silverCte,
+         |ds AS (SELECT value FROM silver
+         |       WHERE event_type IN ('signup', 'click')),
+         |live AS (SELECT value FROM ds
+         |         WHERE NOT coalesce(value < 20, FALSE)),
+         |slice AS (
+         |  SELECT 'v1' AS snap, count(*) AS n_rows,
+         |         round(sum(round(value * 100)) / 100, 2) AS sum_value
+         |  FROM ds
+         |  UNION ALL
+         |  SELECT 'latest', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM live
+         |  UNION ALL
+         |  SELECT 'asof_d1', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM silver WHERE event_type = 'signup'
+         |  UNION ALL
+         |  SELECT 'pushed', count(*), round(sum(round(value * 100)) / 100, 2)
+         |  FROM live WHERE value >= 100
          |)
          |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
 
