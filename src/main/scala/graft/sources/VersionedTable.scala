@@ -2883,11 +2883,20 @@ object VersionedTable {
     // DV-aware discovery: a vector-deleted row must NOT count as an
     // existing match — treating it as one would rewrite its file and
     // "update" (resurrect) a deleted row instead of inserting fresh
+    // INNER join against the DISTINCT key set, not left_semi — same
+    // semantics (a distinct build side matches each row at most once)
+    // and the same broadcast hash join, but semi/anti joins trip a
+    // Catalyst fixpoint loop over this scan's `__file` projection
+    // (PushDownLeftSemiAntiJoin pushes the join below the _metadata
+    // extraction project, ColumnPruning re-adds an alias shim,
+    // CollapseProject merges it back — "Max iterations (100) reached").
+    // Inner joins have no push-through-project rule, so the plan
+    // fixpoints immediately.
     val touched =
       if (candidates.isEmpty) Set.empty[String]
       else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
           physReadSchema(m))
-        .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "left_semi")
+        .join(broadcast(updates.select(keyCols.map(col): _*).distinct()), keyCols, "inner")
         .select("__file").distinct()
         .collect().map(_.getString(0)).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
@@ -3089,8 +3098,12 @@ object VersionedTable {
         // tiny (AQE converts these joins to broadcast at runtime from
         // ACTUAL sizes), but a source that is half the table — the
         // backfill-merge shape — must not be forced through the driver
+        // inner-vs-distinct, not left_semi: srcKeys is distinct, so the
+        // semantics are identical, and semi joins over this scan's
+        // __file projection trip the PushDownLeftSemiAntiJoin /
+        // ColumnPruning / CollapseProject fixpoint loop (see [[merge]])
         val matchFiles = live
-          .join(srcKeys, keyCols, "left_semi")
+          .join(srcKeys, keyCols, "inner")
           .select("__file").distinct()
         val bySrcFiles =
           if (notMatchedBySource.isEmpty) matchFiles.limit(0)
