@@ -1733,12 +1733,17 @@ object VersionedTable {
     * discovers touched files and rewrites INSIDE the call, so a retry
     * sees the winner's commit and recomputes against it — there is no
     * stale-read window to reconcile, which is exactly the hazard Delta's
-    * file-level conflict analysis exists to detect. The price is
-    * recomputing the loser's work (Delta avoids it for provably disjoint
-    * commits); at this layer's commit rates the recompute is the right
-    * trade for zero conflict-analysis code to trust. The lost attempt's
-    * data directory is orphaned (attempt-unique names — two racers never
-    * share one) and vacuum-reclaimed past the grace window. */
+    * file-level conflict analysis exists to detect. The common case
+    * never reaches this loop: every COW DML publishes through
+    * [[publishDml]], whose disjoint-conflict fast path (Delta's
+    * conflict matrix) re-points the finished commit onto the new head
+    * when the winners provably didn't interact — two partition-disjoint
+    * merges both land first-try with zero re-execution. Only a REAL
+    * conflict (winner removed/re-vectored a file this DML read, added a
+    * file its predicate/keys may reach, or changed table metadata)
+    * surfaces here and re-runs. The lost attempt's data directory is
+    * orphaned (attempt-unique names — two racers never share one) and
+    * vacuum-reclaimed past the grace window. */
   def dmlWithRetry(maxRetries: Int = 5)(op: => Long): Long = {
     var attempt = 0
     while (true) {
@@ -1892,6 +1897,83 @@ object VersionedTable {
   private def publish(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
     commitManifest(hfs, root, m)
     maybeCheckpoint(hfs, root, m.version)
+  }
+
+  /** Test seam for the disjoint-conflict fast path: a hook registered
+    * under a table's root path is removed and fired ONCE by
+    * [[publishDml]], after the DML computed its manifest and before its
+    * first claim — the window a concurrent winner lands in. Keyed by
+    * path so parallel suites never see each other's hooks. */
+  private[graft] val dmlBeforeClaim =
+    scala.collection.concurrent.TrieMap.empty[String, () => Unit]
+
+  /** Publish a DML's delta manifest with Delta's DISJOINT-CONFLICT
+    * fast path (the conflict matrix, re-derived): on a lost claim,
+    * inspect every intervening winner; when each one is a plain delta
+    * commit that (a) changed no table metadata (schema, column mapping,
+    * partitioning, constraints, generated columns, bloom config),
+    * (b) removed or re-vectored no file this DML read or removes, and
+    * (c) added no file whose recorded stats could interact with this
+    * DML's predicate or key bounds (`addConflict`), the already-written
+    * commit is RE-POINTED onto the new head and claimed again — the
+    * DML's scan/rewrite work is never re-executed, so two
+    * partition-disjoint merges racing both land first-try (zero write
+    * amplification per collision). Anything else rethrows
+    * [[ConcurrentCommitException]], and [[dmlWithRetry]]'s
+    * re-run-from-scratch remains the unconditionally sound fallback.
+    *
+    * `readSet` is the stats-pruned candidate set the discovery scan
+    * consulted: files outside it were PROVEN free of interacting rows
+    * by the same stats machinery, so a winner touching only those
+    * cannot invalidate the computed rewrite. Winner file stats reach
+    * `addConflict` re-keyed to LOGICAL names (they are recorded under
+    * physical ones); a winner file without stats conservatively
+    * conflicts through the callers' `addConflict` defaults. */
+  private def publishDml(hfs: FileSystem, root: Path, first: RawManifest,
+      readSet: Set[String],
+      addConflict: Map[String, (String, String)] => Boolean,
+      colMap: Map[String, String],
+      maxRetries: Int = 5): Long = {
+    dmlBeforeClaim.remove(root.toUri.getPath).foreach(_())
+    val phys2log = colMap.collect { case (l, p) if l != p => p -> l }
+    var raw = first
+    var attempt = 0
+    while (true) {
+      try { publish(hfs, root, raw); return raw.version }
+      catch {
+        case e: ConcurrentCommitException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val head = versions(hfs, root).lastOption.getOrElse(throw e)
+          if (head < raw.version) throw e
+          // an expired/unreadable intervening manifest → sound fallback
+          val intervening = scala.util.Try(
+            (raw.version to head).map(readRaw(hfs, root, _))).getOrElse(throw e)
+          val benign = intervening.forall { w =>
+            w.base.contains(w.version - 1) &&
+              w.schemaJson == raw.schemaJson &&
+              w.mapState.isEmpty && w.pcolsLine.isEmpty &&
+              w.addConstraints.isEmpty && w.dropConstraints.isEmpty &&
+              w.addGens.isEmpty && w.dropGens.isEmpty && w.bloomCfg.isEmpty &&
+              w.removes.forall(f =>
+                !readSet.contains(f) && !raw.removes.contains(f)) &&
+              w.addDvs.keysIterator.forall(f =>
+                !readSet.contains(f) && !raw.removes.contains(f)) &&
+              // a recorded-0-row add (empty part file) can't conflict;
+              // otherwise its stats (logical names) must clear the
+              // caller's predicate/key-bounds test — absent stats with
+              // rows conservatively conflict through the callers'
+              // defaults
+              w.adds.forall(f => w.addRows.get(f).contains(0L) ||
+                !addConflict(
+                  w.addStats.getOrElse(f, Map.empty).map { case (c, v) =>
+                    phys2log.getOrElse(c, c) -> v }))
+          }
+          if (!benign) throw e
+          raw = raw.copy(version = head + 1, base = Some(head))
+      }
+    }
+    -1L // unreachable
   }
 
   /** Write `_checkpoints/v<version>.checkpoint` when `version` is on the
@@ -2799,22 +2881,26 @@ object VersionedTable {
     candidateFiles(m, updateKeyBounds(updates, keyCols))
   }
 
-  /** Keep files whose recorded range intersects EVERY bound (both sides
-    * in the stats encoding; a differently-encoded pair — string bound vs
-    * numeric stats — conservatively keeps the file). */
+  /** True when a file with `stats` may hold a row inside EVERY bound
+    * (both sides in the stats encoding; a missing stat or a
+    * differently-encoded pair — string bound vs numeric stats — is
+    * conservatively `true`). Empty bounds (unencodable key types) are
+    * `true`: nothing was proven about any file. */
+  private def boundsMayOverlap(stats: Map[String, (String, String)],
+      bounds: Map[String, (String, String)]): Boolean =
+    bounds.isEmpty || bounds.forall { case (k, (lo, hi)) =>
+      stats.get(k) match {
+        case Some((mn, mx)) if mn.startsWith("s") == lo.startsWith("s") =>
+          statCompare(mx, lo) >= 0 && statCompare(mn, hi) <= 0
+        case _ => true
+      }
+    }
+
+  /** Keep files whose recorded range intersects EVERY bound. */
   private def candidateFiles(m: Manifest,
       bounds: Map[String, (String, String)]): Seq[String] =
     if (bounds.isEmpty) m.files
-    else m.files.filter { f =>
-      val stats = logicalStatsOf(m, f)
-      bounds.forall { case (k, (lo, hi)) =>
-        stats.get(k) match {
-          case Some((mn, mx)) if mn.startsWith("s") == lo.startsWith("s") =>
-            statCompare(mx, lo) >= 0 && statCompare(mn, hi) <= 0
-          case _ => true
-        }
-      }
-    }
+    else m.files.filter(f => boundsMayOverlap(logicalStatsOf(m, f), bounds))
 
   /** Copy-on-write MERGE (Delta `MERGE INTO` / upsert): rows of `updates`
     * replace snapshot rows sharing their `keyCols` values; non-matching
@@ -2876,7 +2962,8 @@ object VersionedTable {
     // provably contains no matched key and is never opened — Delta's
     // file-skipping, from the manifest's footer stats. Files without
     // stats stay candidates (pruning is only ever an optimization).
-    val candidates = candidateFiles(m, updateKeyBounds(updates, keyCols))
+    val keyBounds = updateKeyBounds(updates, keyCols)
+    val candidates = candidateFiles(m, keyBounds)
     // __file is relativized IN the scan (regexp over _metadata.file_path)
     // so every comparison below is manifest-relative — immune to file:/
     // vs file:/// qualification drift between Hadoop and Spark.
@@ -2913,10 +3000,10 @@ object VersionedTable {
     val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
-    publish(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
+    publishDml(hfs, root, RawManifest(next, ts, "merge", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
-      addRows = newRows))
-    next
+      addRows = newRows), candidates.toSet,
+      st => boundsMayOverlap(st, keyBounds), m.colMap)
   }
 
   /** One WHEN clause of a full MERGE ([[mergeClauses]]). Conditions and
@@ -3052,7 +3139,8 @@ object VersionedTable {
     // optimization); existing keys are still excluded via the
     // candidate scan below.
     val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
-    val keyCand = candidateFiles(m, updateKeyBounds(source, keyCols))
+    val keyBounds = updateKeyBounds(source, keyCols)
+    val keyCand = candidateFiles(m, keyBounds)
     val bySrcCand =
       if (notMatchedBySource.isEmpty) Seq.empty[String]
       else scala.util.Try {
@@ -3218,10 +3306,15 @@ object VersionedTable {
     val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
-    publish(hfs, root, RawManifest(next, ts, "merge_clauses", Some(prev), newFiles,
-      touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
-      addRows = newRows))
-    next
+    // a winner-added file conflicts when its stats may hold a source
+    // key — or unconditionally when bySource clauses exist (its rows
+    // could be owed NOT MATCHED BY SOURCE actions this commit computed
+    // without them)
+    publishDml(hfs, root, RawManifest(next, ts, "merge_clauses", Some(prev),
+      newFiles, touchedFiles.toSeq.sorted, None, Some(snapSchema.json),
+      newStats, addRows = newRows), candidates.toSet,
+      st => notMatchedBySource.nonEmpty || boundsMayOverlap(st, keyBounds),
+      m.colMap)
   }
 
   /** File-level data skipping from manifest stats: keep a file only if
@@ -3423,10 +3516,10 @@ object VersionedTable {
       listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]],
       Map.empty[String, Long])
-    publish(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
+    publishDml(hfs, root, RawManifest(next, ts, "delete", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
-      addRows = newRows))
-    next
+      addRows = newRows), candidates.toSet,
+      st => mayMatch(st, condExpr), m.colMap)
   }
 
   /** Validate an UPDATE's SET clause against the snapshot schema and
@@ -3506,10 +3599,12 @@ object VersionedTable {
       listed
     } else (Seq.empty[String], Map.empty[String, Map[String, (String, String)]],
       Map.empty[String, Long])
-    publish(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
+    val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    publishDml(hfs, root, RawManifest(next, ts, "update", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
-      addRows = newRows))
-    next
+      addRows = newRows),
+      m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr)).toSet,
+      st => mayMatch(st, condExpr), m.colMap)
   }
 
   /** Merge-on-read UPDATE (Delta's DV-backed UPDATE): ONE commit that
@@ -3662,10 +3757,10 @@ object VersionedTable {
     val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
     m.bloomCfg.foreach { case (cs, b) =>
       writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
-    publish(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
+    publishDml(hfs, root, RawManifest(next, ts, "replace", Some(prev), newFiles,
       touchedFiles.toSeq.sorted, None, Some(snapSchema.json), newStats,
-      addRows = newRows))
-    next
+      addRows = newRows), candidates.toSet,
+      st => mayMatch(st, condExpr), m.colMap)
   }
 
   /** Shallow clone (Delta `CLONE ... SHALLOW`): create a NEW table at

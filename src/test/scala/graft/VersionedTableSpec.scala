@@ -529,6 +529,74 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t).count() === 47L)
   }
 
+  test("disjoint concurrent DMLs commit without re-execution; overlapping conflicts re-run") {
+    val t = freshTable()
+    // two range-disjoint files, so stats make the disjointness PROVABLE
+    VersionedTable.commit(df(1, 2, 3), t, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(100, 101), t, mode = "append",
+      ts = "2026-01-02T00:00:00Z")
+    import spark.implicits._
+    var runsA = 0
+    var runsB = 0
+    // writer B lands its merge (file-B key range) inside writer A's
+    // claim window (file-A key range): disjoint on every axis
+    VersionedTable.dmlBeforeClaim.put(t, () => {
+      runsB += 1
+      VersionedTable.merge(Seq((100L, 111L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-03T00:00:00Z")
+    })
+    VersionedTable.dmlWithRetry() {
+      runsA += 1
+      VersionedTable.merge(Seq((2L, 222L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-03T00:00:01Z")
+    }
+    assert(runsA === 1, "disjoint loser must re-point, never re-execute")
+    assert(runsB === 1)
+    // both effects landed, as two commits
+    assert(VersionedTable.latestVersion(spark, t) === 3L)
+    val got = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 10L, 2L -> 222L, 3L -> 30L,
+      100L -> 111L, 101L -> 1010L))
+
+    // OVERLAPPING writers: the winner rewrites the very file the loser
+    // read — the loser must re-run from scratch (sound path), and its
+    // re-run wins the key
+    var runsC = 0
+    var runsD = 0
+    VersionedTable.dmlBeforeClaim.put(t, () => {
+      runsC += 1
+      VersionedTable.merge(Seq((3L, 333L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-04T00:00:00Z")
+    })
+    VersionedTable.dmlWithRetry() {
+      runsD += 1
+      VersionedTable.merge(Seq((3L, 444L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-04T00:00:01Z")
+    }
+    assert(runsC === 1)
+    assert(runsD === 2, "overlapping loser must re-execute against the new head")
+    assert(VersionedTable.readVersion(spark, t)
+      .filter(col("id") === 3L).head().getLong(1) === 444L)
+
+    // disjoint DELETE racing a disjoint merge: same fast path, predicate
+    // flavor (added file's stats can't satisfy the delete condition)
+    var runsE = 0
+    VersionedTable.dmlBeforeClaim.put(t, () => {
+      VersionedTable.merge(Seq((101L, 1111L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-05T00:00:00Z")
+    })
+    VersionedTable.dmlWithRetry() {
+      runsE += 1
+      VersionedTable.delete(spark, t, "id = 1", ts = "2026-01-05T00:00:01Z")
+    }
+    assert(runsE === 1)
+    val fin = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin === Map(2L -> 222L, 3L -> 444L, 100L -> 111L, 101L -> 1111L))
+  }
+
   test("timestamp/date stats prune readWhere, merge discovery and delete") {
     val prevTs = spark.conf.get("spark.sql.parquet.outputTimestampType")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
