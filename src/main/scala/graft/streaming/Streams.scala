@@ -520,10 +520,11 @@ object Streams {
   def changesStream(spark: SparkSession, tablePath: String, keyCols: Seq[String],
       checkpoint: String, fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 0)
       (process: (DataFrame, Long) => Unit): Unit = {
     changesStreamQuery(spark, tablePath, keyCols, checkpoint, fromVersion,
-      trigger)(process).awaitTermination()
+      trigger, maxFilesPerTrigger)(process).awaitTermination()
     ()
   }
 
@@ -552,37 +553,43 @@ object Streams {
       targetTable: String, keyCols: Seq[String], checkpoint: String,
       fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow()): Unit = {
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 0): Unit =
+    changesStream(spark, sourceTable, keyCols, checkpoint, fromVersion,
+      trigger, maxFilesPerTrigger)(replicateBatch(spark, targetTable, keyCols))
+
+  /** One version's fold of [[replicateStream]] — named so specs (and
+    * custom pipelines) can drive the identical apply logic through
+    * [[changesStreamQuery]]'s query handle. */
+  private[graft] def replicateBatch(spark: SparkSession, targetTable: String,
+      keyCols: Seq[String]): (DataFrame, Long) => Unit = { (feed, v) =>
     import graft.sources.VersionedTable
     import graft.sources.VersionedTable.MergeAction.{Delete, Insert, Update}
-    changesStream(spark, sourceTable, keyCols, checkpoint, fromVersion,
-      trigger) { (feed, v) =>
-      // net per-key effect within the version: any post-state row
-      // ('u') beats a delete; update pre-images are not state
-      val ops = feed
-        .filter(col("_change_type") =!= "update_preimage")
-        .withColumn("__op",
-          when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
-        .drop("_change_type")
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(keyCols.map(col): _*).orderBy(col("__op").desc)
-      val net = ops.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      if (VersionedTable.latestVersion(spark, targetTable) < 0)
-        // bootstrap: the v0/anchor insert feed IS the initial state
-        VersionedTable.commit(
-          net.filter(col("__op") =!= "d").drop("__op"), targetTable,
-          mode = "overwrite",
-          ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
-      else
-        VersionedTable.mergeClauses(net, targetTable, keyCols,
-          matched = Seq(
-            Delete(Some("s.__op = 'd'")),
-            Update()),
-          notMatched = Seq(Insert(Some("s.__op <> 'd'"))),
-          ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
-      ()
-    }
+    // net per-key effect within the version: any post-state row
+    // ('u') beats a delete; update pre-images are not state
+    val ops = feed
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("__op",
+        when(col("_change_type") === "delete", lit("d")).otherwise(lit("u")))
+      .drop("_change_type")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*).orderBy(col("__op").desc)
+    val net = ops.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    if (VersionedTable.latestVersion(spark, targetTable) < 0)
+      // bootstrap: the v0/anchor insert feed IS the initial state
+      VersionedTable.commit(
+        net.filter(col("__op") =!= "d").drop("__op"), targetTable,
+        mode = "overwrite",
+        ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
+    else
+      VersionedTable.mergeClauses(net, targetTable, keyCols,
+        matched = Seq(
+          Delete(Some("s.__op = 'd'")),
+          Update()),
+        notMatched = Seq(Insert(Some("s.__op <> 'd'"))),
+        ts = java.time.Instant.EPOCH.plusSeconds(v).toString)
+    ()
   }
 
   /** [[changesStream]] without the blocking wait: returns the running
@@ -591,12 +598,25 @@ object Streams {
   def changesStreamQuery(spark: SparkSession, tablePath: String, keyCols: Seq[String],
       checkpoint: String, fromVersion: Long = -1L,
       trigger: org.apache.spark.sql.streaming.Trigger =
-        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        org.apache.spark.sql.streaming.Trigger.AvailableNow(),
+      maxFilesPerTrigger: Int = 0)
       (process: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.sources.VersionedTable
-    spark.readStream
-      .text(VersionedTable.manifestLogDir(tablePath))
+    // BOUNDED CATCH-UP (Delta's maxFilesPerTrigger-style backpressure
+    // on its CDF reader): a replica resuming after long downtime would
+    // otherwise fold EVERY missed version in one unbounded micro-batch.
+    // The streamed files are manifests — one per commit — so a cap of N
+    // files is a cap of N versions per micro-batch; AvailableNow honors
+    // it and drains the backlog as a sequence of bounded batches, each
+    // checkpointed, so a crash mid-catch-up loses at most one batch of
+    // progress instead of the whole drain. 0 = unbounded (the default,
+    // the pre-existing behavior).
+    val rdr =
+      if (maxFilesPerTrigger > 0)
+        spark.readStream.option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      else spark.readStream
+    rdr.text(VersionedTable.manifestLogDir(tablePath))
       .writeStream
       .foreachBatch { (b: DataFrame, _: Long) =>
         // one `version=N` header line per manifest in the batch —

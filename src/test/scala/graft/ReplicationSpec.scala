@@ -55,4 +55,33 @@ class ReplicationSpec extends SparkSpec {
     assert(VersionedTable.latestVersion(spark, dst) === v)
     assert(snap(dst) === snap(src))
   }
+
+  test("bounded catch-up: a long-down replica drains in >1 rate-limited micro-batch") {
+    val src = fresh("repl_src2")
+    val dst = fresh("repl_dst2")
+    val ckp = fresh("repl_ckp2")
+    def df(rows: (Long, String, Long)*): DataFrame =
+      rows.toDF("id", "state", "amount")
+
+    VersionedTable.commit(df((1, "a", 10)), src, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    Streams.replicateStream(spark, src, dst, Seq("id"), ckp)
+    assert(snap(dst) === snap(src))
+
+    // replica is down while the source takes 20 commits
+    (1L to 20L).foreach { i =>
+      VersionedTable.commit(df((100L + i, "w", i)), src,
+        ts = java.time.Instant.parse("2026-01-02T00:00:00Z").plusSeconds(i).toString)
+    }
+    // resume with a 5-manifest cap: AvailableNow must drain the backlog
+    // as MULTIPLE bounded micro-batches, each checkpointed
+    val q = Streams.changesStreamQuery(spark, src, Seq("id"), ckp,
+      maxFilesPerTrigger = 5)(Streams.replicateBatch(spark, dst, Seq("id")))
+    q.awaitTermination()
+    val applied = q.recentProgress.count(_.numInputRows > 0)
+    assert(applied > 1,
+      s"20-version backlog with maxFilesPerTrigger=5 drained in $applied batch(es)")
+    assert(snap(dst) === snap(src))
+    assert(snap(dst).size === 21)
+  }
 }
