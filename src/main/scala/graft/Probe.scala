@@ -18,6 +18,23 @@ object Probe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     SparkEntry.warmCache(spark, dir)
     // one-off curation-stage decomposition probe
+    // IVF-PQ recall curve over its two query-side levers (nprobe ×
+    // refine) — the measurement behind the deployed v_iq/v_ix defaults;
+    // results recorded in BASELINE.md
+    if (args.length > 1 && args(1) == "iqcurve") {
+      import org.apache.spark.sql.functions.col
+      val emb = Tables.embeddings(spark, dir).cache()
+      val q = emb.filter(col("vec_id") < 10)
+      for (nprobe <- Seq(1, 2, 4, 8, 16); refine <- Seq(1, 2, 4, 8)) {
+        val t0 = System.nanoTime()
+        val r = graft.similarity.Similarity
+          .ivfPqEval(emb, q, nprobe = nprobe, refine = refine)
+          .head().getAs[Double]("recall_at_k")
+        println(f"IQCURVE nprobe=$nprobe%2d refine=$refine%2d recall@5=$r%.3f " +
+          f"(${(System.nanoTime() - t0) / 1e9}%5.2f s)")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "curstages") {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)

@@ -1420,6 +1420,16 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.annEval(emb, emb.filter(col("vec_id") < 10))
     }),
+    // rows-only: the SAME recall QA for the composed IVF-PQ path at its
+    // deployed defaults (nprobe=4/16 cells, refine=4) — v_iq/v_ix's
+    // config measured the way v_ev measures the LSH default; the
+    // exhaustive point (nprobe=nlist, corpus-sized refine) is
+    // spec-pinned to recall 1.0, and the nprobe×refine curve is in
+    // BASELINE. Iterative k-means/PQ fits have no SQL equivalent.
+    "v_iqe" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfPqEval(emb, emb.filter(col("vec_id") < 10))
+    }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "st_tm" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     // batch face of the continuous drift monitor: per-day PSI of value vs

@@ -323,10 +323,34 @@ object Similarity {
     * k·|queries| rows. At 100 TB run it on a sampled query stratum —
     * the ratio is the product, not the corpus-wide counts. */
   def annEval(corpus: DataFrame, queries: DataFrame, k: Int = 5,
-      nPlanes: Int = 0, tables: Int = 4, probes: Int = 1): DataFrame = {
-    val exact = bruteForceTopK(corpus, queries, k)
+      nPlanes: Int = 0, tables: Int = 4, probes: Int = 1): DataFrame =
+    confusionVsExact(
+      lshTopK(corpus, queries, k, nPlanes, tables, probes = probes),
+      bruteForceTopK(corpus, queries, k))
+
+  /** IVF-PQ recall QA — the [[annEval]] confusion row for the COMPOSED
+    * index ([[ivfPqTopK]]) against brute-force cosine ground truth, at
+    * the deployed defaults or any (nprobe, refine) point — the two
+    * independent query-side recall levers on a fixed index. The
+    * measurement that justifies `v_iq`/`v_ix`'s deployed config as a
+    * driver-visible output, the way [[annEval]] justified the LSH
+    * defaults. Probing every cell with a corpus-sized refine shortlist
+    * makes the pipeline exhaustive, so recall_at_k = 1.0 exactly — the
+    * identity the spec pins. */
+  def ivfPqEval(corpus: DataFrame, queries: DataFrame, k: Int = 5,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 4, kCent: Int = 16,
+      iters: Int = 2, refine: Int = 4): DataFrame =
+    confusionVsExact(
+      ivfPqTopK(corpus, queries, k, nlist, nprobe, m, kCent, iters, refine),
+      bruteForceTopK(corpus, queries, k))
+
+  /** One confusion row (tp/fp/fn/recall@k) of an approximate top-k
+    * result against the exact one, matched on (query, neighbor). */
+  private def confusionVsExact(approxTopK: DataFrame,
+      exactTopK: DataFrame): DataFrame = {
+    val exact = exactTopK
       .select(col("query_id").as("e_q"), col("neighbor_id").as("e_n"))
-    val approx = lshTopK(corpus, queries, k, nPlanes, tables, probes = probes)
+    val approx = approxTopK
       .select(col("query_id").as("p_q"), col("neighbor_id").as("p_n"))
     approx
       .join(exact, col("p_q") === col("e_q") && col("p_n") === col("e_n"), "full_outer")

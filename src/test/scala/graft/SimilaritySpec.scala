@@ -158,6 +158,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= narrow, s"deployed default $recall below old default $narrow")
   }
 
+  test("ivfPqEval: deployed-config recall floor; exhaustive point is exactly 1.0") {
+    val row = Similarity.ivfPqEval(emb, queries).head()
+    val (tp, fn) = (row.getAs[Long]("tp"), row.getAs[Long]("fn"))
+    val recall = row.getAs[Double]("recall_at_k")
+    assert(tp + fn === 5L * queries.count())
+    assert(recall === tp.toDouble / (tp + fn))
+    // the deployed v_iq/v_ix config (nprobe=4/16, refine=4) must clear
+    // the same floor its rows-only spec pins
+    assert(recall >= 0.5, s"ivf-pq recall@5 collapsed at deployed config: $recall")
+    // probing EVERY cell with a corpus-sized ADC shortlist makes the
+    // pipeline exhaustive — recall is 1.0 exactly, not approximately
+    // (the identity that proves the QA measures what it claims)
+    val exhaustive = Similarity.ivfPqEval(emb, queries,
+      nprobe = 16, refine = (emb.count() / 5L + 1L).toInt)
+      .head().getAs[Double]("recall_at_k")
+    assert(exhaustive === 1.0, s"exhaustive IVF-PQ must equal brute force: $exhaustive")
+    // refine IS a monotone lever at fixed nprobe: a larger ADC
+    // shortlist is a superset, and the exact re-rank of a superset can
+    // only cover more of the true top-k. (nprobe alone is NOT monotone
+    // at fixed refine — more probed cells means more ADC-scored
+    // competitors for the same k×refine slots, and ADC ranking error
+    // can evict true neighbors; measured on this corpus: nprobe=16
+    // refine=4 scores BELOW nprobe=4 refine=4. The BASELINE curve
+    // records it — the levers must move together.)
+    val narrow = Similarity.ivfPqEval(emb, queries, refine = 1)
+      .head().getAs[Double]("recall_at_k")
+    val wide = Similarity.ivfPqEval(emb, queries, refine = 8)
+      .head().getAs[Double]("recall_at_k")
+    assert(narrow <= wide,
+      s"refine must be monotone at fixed nprobe: $narrow > $wide")
+  }
+
   test("label outliers: a planted far vector ranks first in its label") {
     import spark.implicits._
     // label 1: 20 near-identical vectors + one pointing the other way
