@@ -40,6 +40,39 @@ object Stress {
     println(f"STRESS $name%-26s $s%8.2f s  ($n rows)")
   }
 
+  /** CHECKPOINT COST CURVE vs file count — the full-state checkpoint
+    * carries the whole file list + stats every K commits; at 10⁶-file
+    * tables that single write is Delta's multi-part-checkpoint
+    * motivation. Write + cold-read cost at three real file counts;
+    * BASELINE records the slope and the split-or-document decision.
+    * Fixture: one commit of N 1-row files (repartition pins the file
+    * count; the fixture write itself is not measured). */
+  private def checkpointCostLine(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import graft.sources.VersionedTable
+    val pts = Seq(1000, 4000, 16000).map { n =>
+      val p = s"${java.nio.file.Files.createTempDirectory("graft_ckc")}/t$n"
+      VersionedTable.commit(
+        spark.range(n.toLong).selectExpr("id", "id * 10 AS v")
+          .repartition(n), p, mode = "overwrite")
+      // hash emptiness leaves ~1-1/e of the n partitions non-empty; the
+      // ACTUAL file count is the curve's x-coordinate
+      val actual = VersionedTable.snapshotFiles(spark, p).size
+      val (w, r, files) = VersionedTable.checkpointCost(spark, p)
+      require(files == actual, s"checkpoint lost files: $files of $actual")
+      (actual, w, r)
+    }
+    val slope = {
+      val (n1, w1, _) = pts.head; val (n2, w2, _) = pts.last
+      (w2 - w1) / (n2 - n1) * 1000.0
+    }
+    val rSlope = {
+      val (n1, _, r1) = pts.head; val (n2, _, r2) = pts.last
+      (r2 - r1) / (n2 - n1) * 1000.0
+    }
+    val line = pts.map { case (n, w, r) => f"$n%d:w$w%.2f/r$r%.2f" }.mkString(" ")
+    println(f"STRESS vt_checkpoint_cost     $line s; slope w$slope%.3f r$rSlope%.3f s per 1k files")
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -51,6 +84,14 @@ object Stress {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+
+    // standalone re-measure of one expensive line without the full run:
+    // SPARK_GRAFT_STRESS_ONLY=checkpoint
+    if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("checkpoint")) {
+      checkpointCostLine(spark)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -742,6 +783,8 @@ object Stress {
       val gatedS = (System.nanoTime() - g0) / 1e9
       println(f"STRESS constraint_commit      unconstrained $freeS%.2f s vs 3-CHECK gated $gatedS%.2f s per append (same batch)")
     }
+
+    checkpointCostLine(spark)
 
     // LOG LIFECYCLE at the 1,000-commit regime — the gap between
     // "protocol correct" (checkpoint math spec-measured at 50 commits)

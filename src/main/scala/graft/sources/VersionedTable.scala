@@ -1983,6 +1983,30 @@ object VersionedTable {
     * checkpoint (concurrent writer, replay) is silently kept. */
   private def maybeCheckpoint(hfs: FileSystem, root: Path, version: Long): Unit = {
     if (version <= 0 || version % checkpointInterval != 0) return
+    writeCheckpointAt(hfs, root, version)
+  }
+
+  /** Stress seam: checkpoint the HEAD version unconditionally (cadence
+    * ignored, an existing checkpoint file deleted first) and time the
+    * write and a cold read — the checkpoint cost-curve measurement
+    * behind BASELINE's file-count scaling entry. Returns
+    * (writeSec, readSec, fileCount). */
+  private[graft] def checkpointCost(spark: SparkSession, path: String)
+      : (Double, Double, Int) = {
+    val (hfs, root) = fs(spark, path)
+    val v = versions(hfs, root).last
+    val target = checkpointPath(root, v)
+    if (hfs.exists(target)) hfs.delete(target, false)
+    val w0 = System.nanoTime()
+    writeCheckpointAt(hfs, root, v)
+    val wSec = (System.nanoTime() - w0) / 1e9
+    val r0 = System.nanoTime()
+    val files = readCheckpoint(hfs, root, v).map(_._1.files.size).getOrElse(0)
+    val rSec = (System.nanoTime() - r0) / 1e9
+    (wSec, rSec, files)
+  }
+
+  private def writeCheckpointAt(hfs: FileSystem, root: Path, version: Long): Unit = {
     val target = checkpointPath(root, version)
     if (hfs.exists(target)) return
     val snap = readManifest(hfs, root, version)
