@@ -56,11 +56,33 @@ final class GraftDataSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val path = pathOf(parameters)
-    val vOpt = parameters.get("versionAsOf").map(_.trim.toLong)
-    val tsOpt = parameters.get("timestampAsOf")
-    require(vOpt.isEmpty || tsOpt.isEmpty,
-      "specify at most one of versionAsOf / timestampAsOf")
-    new GraftRelation(sqlContext.sparkSession, path, vOpt, tsOpt)
+    val spark = sqlContext.sparkSession
+    if (parameters.get("readChangeFeed").exists(_.trim.toBoolean)) {
+      // Delta's CDF read idiom: spark.read.format("delta")
+      //   .option("readChangeFeed", "true").option("startingVersion", X)
+      // ports with one extra option — keyColumns — because this CDF
+      // classifies update pre/post pairs by merge key (the manifest
+      // records file diffs, not row intent)
+      val keys = parameters.get("keyColumns")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        .filter(_.nonEmpty)
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires keyColumns (comma-separated merge keys: " +
+            "update pre/post pairs classify by key)"))
+      val start = parameters.getOrElse("startingVersion",
+        throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion")).trim.toLong
+      val endOpt = parameters.get("endingVersion").map(_.trim.toLong)
+      new GraftRelation(spark,
+        () => GraftDataSource.changeFeed(spark, path, keys, start, endOpt))
+    } else {
+      val vOpt = parameters.get("versionAsOf").map(_.trim.toLong)
+      val tsOpt = parameters.get("timestampAsOf")
+      require(vOpt.isEmpty || tsOpt.isEmpty,
+        "specify at most one of versionAsOf / timestampAsOf")
+      new GraftRelation(spark,
+        () => GraftDataSource.snapshotDf(spark, path, vOpt, tsOpt))
+    }
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,
@@ -88,7 +110,46 @@ final class GraftDataSource extends RelationProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Ignore => write("overwrite")
     }
-    new GraftRelation(spark, path, None, None)
+    new GraftRelation(spark,
+      () => GraftDataSource.snapshotDf(spark, path, None, None))
+  }
+}
+
+object GraftDataSource {
+  import graft.sources.{VersionedTable => VT}
+
+  private[sources] def snapshotDf(spark: SparkSession, path: String,
+      versionAsOf: Option[Long], timestampAsOf: Option[String]): DataFrame =
+    timestampAsOf match {
+      case Some(ts) => VT.readAsOf(spark, path, ts)
+      case None => VT.readVersion(spark, path, versionAsOf.getOrElse(-1L))
+    }
+
+  /** Per-commit change feed `startingVersion..endingVersion` INCLUSIVE
+    * (Delta's CDF read semantics): each version contributes its
+    * row-level diff vs its predecessor, stamped with `_commit_version`
+    * and `_commit_timestamp` (the manifest's caller-supplied commit ts,
+    * as a string — this log stores timestamps verbatim). Version 0 —
+    * or an anchor whose predecessor was expireLog'd away — contributes
+    * its resolved snapshot as a pure insert feed, exactly like the
+    * streaming face's bootstrap. Cost: one manifest-diff scan per
+    * version in the range, never a table scan. */
+  private[sources] def changeFeed(spark: SparkSession, path: String,
+      keys: Seq[String], start: Long, endOpt: Option[Long]): DataFrame = {
+    val end = endOpt.getOrElse(VT.latestVersion(spark, path))
+    require(start >= 0 && end >= start,
+      s"readChangeFeed range invalid: startingVersion=$start endingVersion=$end")
+    val tsOf = VT.history(spark, path).select("version", "ts").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    (start to end).map { v =>
+      val f =
+        if (v == 0L || !VT.hasVersion(spark, path, v - 1))
+          VT.readVersion(spark, path, v)
+            .withColumn("_change_type", lit("insert"))
+        else VT.changes(spark, path, keys, v - 1, v)
+      f.withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", lit(tsOf.getOrElse(v, null)))
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
   }
 }
 
@@ -99,14 +160,10 @@ final class GraftDataSource extends RelationProvider
   * `unhandledFilters` keeps the default (report all unhandled), so
   * Spark re-evaluates every predicate above the scan — pushing is
   * purely an optimization and can never change results. */
-final class GraftRelation(spark: SparkSession, path: String,
-    versionAsOf: Option[Long], timestampAsOf: Option[String])
+final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame)
     extends BaseRelation with PrunedFilteredScan {
 
-  private def snapshot: DataFrame = timestampAsOf match {
-    case Some(ts) => VersionedTable.readAsOf(spark, path, ts)
-    case None => VersionedTable.readVersion(spark, path, versionAsOf.getOrElse(-1L))
-  }
+  private def snapshot: DataFrame = mkDf()
 
   override val sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = snapshot.schema

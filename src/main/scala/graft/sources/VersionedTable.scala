@@ -2356,9 +2356,9 @@ object VersionedTable {
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val next = prev + 1
     if (candidates.isEmpty) {
-      publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
-        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
-      return next
+      return publishDml(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty),
+        Set.empty, st => mayMatch(st, condExpr), m.colMap)
     }
     // live rows (existing vectors applied) where cond IS TRUE, plus the
     // candidates' EXISTING positions: a replacing entry must be a
@@ -2384,9 +2384,9 @@ object VersionedTable {
     val touched = posCounts.keySet
     if (touched.isEmpty) {
       hfs.delete(new Path(root, dvDir), true) // nothing matched: no-op commit
-      publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
-        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
-      return next
+      return publishDml(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty),
+        candidates.toSet, st => mayMatch(st, condExpr), m.colMap)
     }
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val touchedFiles = resolveTouched(m.files, touched)
@@ -2397,13 +2397,18 @@ object VersionedTable {
       m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
     val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
     if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
-    publish(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
+    // disjoint-conflict fast path holds for MoR too: this commit's
+    // vectored and folded files are all inside `candidates` = readSet,
+    // so a winner that removed or re-vectored any of them (which would
+    // make this dv entry clobber theirs or dangle) fails the readSet
+    // checks and re-runs
+    publishDml(hfs, root, RawManifest(next, ts, "delete_mor", Some(prev),
       foldAdds, folded.toSeq.sorted, None, Some(snapSchema.json), foldStats,
       dvEntries,
       addRows = foldRows,
       addDvCounts = dvEntries.keys.flatMap(f =>
-        posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
-    next
+        posCounts.get(relLayoutName(f)).map(f -> _)).toMap),
+      candidates.toSet, st => mayMatch(st, condExpr), m.colMap)
   }
 
   /** CONVERT a plain parquet directory into a versioned table IN PLACE
@@ -3660,9 +3665,9 @@ object VersionedTable {
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val next = prev + 1
     if (candidates.isEmpty) {
-      publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
-        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
-      return next
+      return publishDml(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty),
+        Set.empty, st => mayMatch(st, condExpr), m.colMap)
     }
     val hit = coalesce(expr(condition), lit(false))
     // the matched slice feeds TWO writes (the vector and the
@@ -3683,9 +3688,9 @@ object VersionedTable {
     if (touched.isEmpty) {
       matched.unpersist()
       hfs.delete(new Path(root, dvDir), true)
-      publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
-        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty))
-      return next
+      return publishDml(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+        Seq.empty, Seq.empty, None, Some(snapSchema.json), Map.empty),
+        candidates.toSet, st => mayMatch(st, condExpr), m.colMap)
     }
     require(!touched.contains(""), "scan returned a file outside the table layout")
     val touchedFiles = resolveTouched(m.files, touched)
@@ -3708,13 +3713,14 @@ object VersionedTable {
       m, next, touchedFiles, dvDir, posCounts, maxVectoredFraction)
     val dvEntries = (touchedFiles -- folded).map(_ -> dvDir).toMap
     if (dvEntries.isEmpty) hfs.delete(new Path(root, dvDir), true)
-    publish(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
+    // same MoR fast-path soundness argument as deleteMergeOnRead
+    publishDml(hfs, root, RawManifest(next, ts, "update_mor", Some(prev),
       newFiles ++ foldAdds, folded.toSeq.sorted, None,
       Some(snapSchema.json), newStats ++ foldStats, dvEntries,
       addRows = newRows ++ foldRows,
       addDvCounts = dvEntries.keys.flatMap(f =>
-        posCounts.get(relLayoutName(f)).map(f -> _)).toMap))
-    next
+        posCounts.get(relLayoutName(f)).map(f -> _)).toMap),
+      candidates.toSet, st => mayMatch(st, condExpr), m.colMap)
   }
 
   /** Predicate-scoped overwrite (Delta's `replaceWhere` write option):

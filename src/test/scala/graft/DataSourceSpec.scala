@@ -104,6 +104,43 @@ class DataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ds_spec_sql")
   }
 
+  test("readChangeFeed options: per-commit CDF through the format, bounded by endingVersion") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(3), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.delete(spark, t, "id = 1", ts = "2026-01-03T00:00:00Z")
+    def cf(opts: (String, String)*) = {
+      val r = spark.read.format("graft").option("readChangeFeed", "true")
+        .option("keyColumns", "id")
+      opts.foldLeft(r) { case (acc, (k, v)) => acc.option(k, v) }.load(t)
+    }
+    val full = cf("startingVersion" -> "0")
+    // v0: both rows as the bootstrap insert feed; v1: one insert;
+    // v2: one delete — per-commit granularity, Delta's CDF shape
+    val byCommit = full.groupBy("_commit_version", "_change_type").count()
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(byCommit === Map((0L, "insert") -> 2L, (1L, "insert") -> 1L,
+      (2L, "delete") -> 1L))
+    // commit timestamps ride along verbatim
+    assert(full.filter(col("_commit_version") === 2L)
+      .select("_commit_timestamp").head().getString(0) === "2026-01-03T00:00:00Z")
+    // endingVersion bounds the range; startingVersion>0 skips the bootstrap
+    assert(cf("startingVersion" -> "1", "endingVersion" -> "1").count() === 1L)
+    // the per-pair feed matches the library's changes() for the same pair
+    val lib = VersionedTable.changes(spark, t, Seq("id"), 1L, 2L)
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val fmt = cf("startingVersion" -> "2", "endingVersion" -> "2")
+      .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(fmt === lib)
+    // missing keyColumns / startingVersion are loud analysis errors
+    assert(intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("startingVersion", "0").load(t))
+      .getMessage.contains("keyColumns"))
+    assert(intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keyColumns", "id").load(t))
+      .getMessage.contains("startingVersion"))
+  }
+
   test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)

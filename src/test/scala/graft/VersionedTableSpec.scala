@@ -595,6 +595,24 @@ class VersionedTableSpec extends SparkSpec {
     val fin = VersionedTable.readVersion(spark, t)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fin === Map(2L -> 222L, 3L -> 444L, 100L -> 111L, 101L -> 1111L))
+
+    // disjoint MoR delete racing a disjoint merge: the vectored file is
+    // inside the loser's read set but untouched by the winner — fast
+    // path holds for the dv-writing ops too
+    var runsF = 0
+    VersionedTable.dmlBeforeClaim.put(t, () => {
+      VersionedTable.merge(Seq((100L, 112L)).toDF("id", "v"), t,
+        keyCols = Seq("id"), ts = "2026-01-06T00:00:00Z")
+    })
+    VersionedTable.dmlWithRetry() {
+      runsF += 1
+      VersionedTable.deleteMergeOnRead(spark, t, "id = 2",
+        ts = "2026-01-06T00:00:01Z", maxVectoredFraction = 1.0)
+    }
+    assert(runsF === 1, "disjoint MoR delete must re-point, never re-execute")
+    val fin2 = VersionedTable.readVersion(spark, t)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fin2 === Map(3L -> 444L, 100L -> 112L, 101L -> 1111L))
   }
 
   test("timestamp/date stats prune readWhere, merge discovery and delete") {
