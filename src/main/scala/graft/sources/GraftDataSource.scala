@@ -72,16 +72,31 @@ final class GraftDataSource extends RelationProvider
       val start = parameters.getOrElse("startingVersion",
         throw new IllegalArgumentException(
           "readChangeFeed requires startingVersion")).trim.toLong
-      val endOpt = parameters.get("endingVersion").map(_.trim.toLong)
+      // pin the range NOW: a relation is a consistent snapshot — a
+      // commit landing between analysis and execution must not widen it
+      val end = parameters.get("endingVersion").map(_.trim.toLong)
+        .getOrElse(VersionedTable.latestVersion(spark, path))
       new GraftRelation(spark,
-        () => GraftDataSource.changeFeed(spark, path, keys, start, endOpt))
+        () => GraftDataSource.changeFeed(spark, path, keys, start, Some(end)))
     } else {
       val vOpt = parameters.get("versionAsOf").map(_.trim.toLong)
       val tsOpt = parameters.get("timestampAsOf")
       require(vOpt.isEmpty || tsOpt.isEmpty,
         "specify at most one of versionAsOf / timestampAsOf")
+      // same pinning for the head read: resolve "latest" once at
+      // relation construction (Delta pins its snapshot at analysis),
+      // so schema and scan always come from the SAME version even if a
+      // writer commits between them
+      val pinned = tsOpt match {
+        case Some(_) => vOpt // readAsOf resolves its own pin
+        case None => Some(vOpt.getOrElse {
+          val v = VersionedTable.latestVersion(spark, path)
+          require(v >= 0, s"no committed versions at $path")
+          v
+        })
+      }
       new GraftRelation(spark,
-        () => GraftDataSource.snapshotDf(spark, path, vOpt, tsOpt))
+        () => GraftDataSource.snapshotDf(spark, path, pinned, tsOpt))
     }
   }
 
@@ -110,8 +125,9 @@ final class GraftDataSource extends RelationProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Ignore => write("overwrite")
     }
+    val committed = VersionedTable.latestVersion(spark, path)
     new GraftRelation(spark,
-      () => GraftDataSource.snapshotDf(spark, path, None, None))
+      () => GraftDataSource.snapshotDf(spark, path, Some(committed), None))
   }
 }
 

@@ -104,6 +104,17 @@ class DataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ds_spec_sql")
   }
 
+  test("a loaded relation is a PINNED snapshot: commits after load() are invisible to it") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite")
+    val pinned = spark.read.format("graft").load(t)
+    VersionedTable.commit(df(3), t, mode = "append")
+    // Delta pins its snapshot at analysis; a commit between load() and
+    // the action must not leak in (schema and data stay one version)
+    assert(pinned.count() === 2L)
+    assert(spark.read.format("graft").load(t).count() === 3L)
+  }
+
   test("readChangeFeed options: per-commit CDF through the format, bounded by endingVersion") {
     val t = freshTable()
     VersionedTable.commit(df(1, 2), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")

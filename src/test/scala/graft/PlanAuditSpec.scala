@@ -65,12 +65,14 @@ class PlanAuditSpec extends SparkSpec {
     //   the per-key count table — a 1-row build side
     // v_ev: the ANN recall QA row embeds the v_bf brute-force baseline as
     //   its truth side (same declared-quadratic broadcast-queries contract)
+    // v_iqe: the IVF-PQ recall QA row — same shape as v_ev (brute-force
+    //   truth side over the bounded query slice)
     // dd_sev: the blocking-recall QA row's truth side is the exact
     //   cosine-threshold pair set over the BOUNDED eval slice (plus the
     //   1-row n_cand scalar crossJoined onto the confusion row)
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
       "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em",
-      "iv_ag", "dq_kh", "v_ev", "dd_sev")
+      "iv_ag", "dq_kh", "v_ev", "v_iqe", "dd_sev")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
