@@ -45,13 +45,31 @@ import org.apache.spark.sql.types.StructType
   * `mergeSchema`, and `ts` (commit timestamp) pass through.
   */
 final class GraftDataSource extends RelationProvider
-    with CreatableRelationProvider with DataSourceRegister {
+    with CreatableRelationProvider with StreamSourceProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
       """path is required: spark.read.format("graft").load(<table path>)"""))
+
+  // ---- streaming face: spark.readStream.format("graft").load(path)
+  // (Delta's readStream idiom; semantics in [[GraftStreamSource]])
+
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) =
+    (shortName(), schema.getOrElse(
+      VersionedTable.readVersion(sqlContext.sparkSession,
+        pathOf(parameters)).schema))
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source =
+    new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
+      parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -1,0 +1,147 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.graftbridge.GraftBridge
+import org.apache.spark.sql.types.StructType
+
+/** `spark.readStream.format("graft").load(path)` — the versioned table
+  * as a STREAMING SOURCE (Delta's `readStream` idiom, re-derived on the
+  * DataSource-V1 `Source` API, the same seam DeltaSource uses): offsets
+  * ARE table versions, each micro-batch is the rows the covered
+  * commits ADDED, and the source's first batch is the anchor snapshot
+  * (the table's state when the stream started) unless `startingVersion`
+  * says otherwise — so a consumer gets "full table, then the live
+  * tail", exactly Delta's default.
+  *
+  * Change semantics, Delta's contract re-expressed over the manifest
+  * headers (this log records file diffs, not row intent):
+  *   - APPEND-SHAPED commits (adds only) stream their added rows;
+  *   - MAINTENANCE commits (optimize / compact / bloom / constraint /
+  *     generated-column / rename / drop / vacuum bookkeeping) move no
+  *     data and stream NOTHING — the op header is this log's
+  *     `dataChange=false`;
+  *   - anything that REMOVES or RE-VECTORS rows (COW delete/update/
+  *     merge rewrites, MoR deletion vectors, overwrite, rollback)
+  *     fails the stream with guidance, unless
+  *     `ignoreDeletes` (delete-only commits: removes/vectors but no
+  *     adds) or `ignoreChanges` (any commit: its ADDED files stream,
+  *     which re-emits the rewritten survivors — Delta's exact caveat)
+  *     opts in.
+  *
+  * `maxVersionsPerTrigger` bounds catch-up the way the CDF stream's
+  * `maxFilesPerTrigger` does: a long-down consumer drains the backlog
+  * in bounded, individually-checkpointed micro-batches.
+  *
+  * Scale: offsets and classification are header-only reads; each
+  * batch's plan scans ONLY the covered commits' added files. */
+final class GraftStreamSource(spark: SparkSession, path: String,
+    options: Map[String, String]) extends Source {
+
+  private val ignoreChanges =
+    options.get("ignorechanges").exists(_.trim.toBoolean)
+  private val ignoreDeletes =
+    options.get("ignoredeletes").exists(_.trim.toBoolean)
+  private val maxVersions = options.get("maxversionspertrigger")
+    .map(_.trim.toLong).filter(_ > 0)
+
+  // the anchor: versions ≤ anchor arrive as ONE snapshot batch (the
+  // stream's initial state); startingVersion=N instead tails from N
+  // (inclusive) with no snapshot, Delta's option semantics
+  private val startingVersion = options.get("startingversion").map(_.trim.toLong)
+  private val anchor: Long = {
+    val latest = VersionedTable.latestVersion(spark, path)
+    require(latest >= 0, s"no committed versions at $path")
+    startingVersion.map(_ - 1).getOrElse(latest)
+  }
+
+  private val schema0: StructType =
+    VersionedTable.readVersion(spark, path).schema
+
+  override def schema: StructType = schema0
+
+  /** Highest offset already OFFERED to the engine — the rate limit's
+    * pacing base. Pacing off offered (not committed) offsets is sound:
+    * the engine plans batches strictly sequentially within a run, and a
+    * restart builds a fresh source whose start comes from the
+    * checkpoint, so an advanced-but-unprocessed window dies with the
+    * run. */
+  @volatile private var pacedV: Long = anchor
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = VersionedTable.latestVersion(spark, path)
+    val capped = maxVersions
+      .map(mx => math.min(latest, pacedV + mx))
+      .getOrElse(latest)
+    if (capped < anchor) None
+    else {
+      pacedV = math.max(pacedV, capped)
+      Some(LongOffset(capped))
+    }
+  }
+
+  private def ver(o: OffsetV1): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong
+  }
+
+  /** Batch-align to the source's declared schema: an old version may
+    * predate an evolved column (reads null), and attribute order must
+    * match the relation's. */
+  private def align(df: DataFrame): DataFrame =
+    df.select(schema0.fields.map(f =>
+      (if (df.columns.contains(f.name)) col(f.name) else lit(null))
+        .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
+
+  private val NoDataChangeOps =
+    Set("optimize", "optimize_where", "compact", "set_bloom_index")
+  private def isMaintenance(op: String): Boolean =
+    NoDataChangeOps.contains(op) ||
+      op.startsWith("add_constraint") || op.startsWith("drop_constraint") ||
+      op.startsWith("add_generated") || op.startsWith("drop_generated") ||
+      op.startsWith("rename_column") || op.startsWith("drop_column")
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    // exclusive lower bound: the snapshot batch covers ≤ anchor, a
+    // startingVersion tail begins at anchor+1 = startingVersion — both
+    // reduce to "no checkpoint means from = anchor"
+    val from = start.map(ver).getOrElse(anchor)
+    val to = ver(end)
+    val snapshotPart: Option[DataFrame] =
+      if (start.isEmpty && startingVersion.isEmpty && to >= anchor)
+        Some(VersionedTable.readVersion(spark, path, anchor))
+      else None
+    val tailParts = ((from + 1) to to).flatMap { v =>
+      val (op, adds, removes, dvFiles, _) =
+        VersionedTable.commitSummary(spark, path, v)
+      if (isMaintenance(op)) None
+      else {
+        val deletesRows = removes.nonEmpty || dvFiles.nonEmpty
+        val fullRewrite = op == "overwrite" || op.startsWith("rollback")
+        if ((deletesRows || fullRewrite) && !ignoreChanges) {
+          val deleteOnly = adds.isEmpty && !fullRewrite
+          if (!(deleteOnly && ignoreDeletes))
+            throw new UnsupportedOperationException(
+              s"version $v ($op) at $path changes or removes existing rows; " +
+                "a streaming read tails appends only. Set ignoreDeletes=true " +
+                "to skip delete-only commits, or ignoreChanges=true to stream " +
+                "every commit's added files (rewritten survivors re-emit)")
+          None
+        }
+        else VersionedTable.addedRows(spark, path, v).map(align)
+      }
+    }
+    val batch = (snapshotPart.map(align).toSeq ++ tailParts)
+      .reduceOption(_ unionByName _)
+      .getOrElse(align(VersionedTable.readVersion(spark, path, anchor)).limit(0))
+    // the v1 contract: getBatch's frame must be streaming-tagged; the
+    // already-planned batch plan is wrapped via its InternalRow RDD
+    GraftBridge.streamingDf(spark, batch.queryExecution.toRdd, schema0)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$path]"
+}

@@ -4037,6 +4037,34 @@ object VersionedTable {
     * and aligns columns by name (union schema) so the feed spans
     * schema-evolution commits; pre-evolution rows read the new columns
     * as null. */
+  /** One commit's shape, for the streaming source's change
+    * classification: (op, added files, removed files, files gaining a
+    * deletion vector, is-delta-manifest). Header-only read. */
+  private[sources] def commitSummary(spark: SparkSession, path: String,
+      v: Long): (String, Seq[String], Seq[String], Set[String], Boolean) = {
+    val (hfs, root) = fs(spark, path)
+    val raw = readRaw(hfs, root, v)
+    (raw.op, raw.adds, raw.removes, raw.addDvs.keySet,
+      raw.base.contains(v - 1))
+  }
+
+  /** The rows a commit ADDED — its manifest's added data files, read
+    * under that snapshot's column mapping and recorded schema. The
+    * streaming source's per-version feed: added files carry no deletion
+    * vector in the commit that adds them, so the read is a plain
+    * mapped scan. */
+  private[sources] def addedRows(spark: SparkSession, path: String,
+      v: Long): Option[DataFrame] = {
+    val (hfs, root) = fs(spark, path)
+    val raw = readRaw(hfs, root, v)
+    if (raw.adds.isEmpty) None
+    else {
+      val m = readManifest(hfs, root, v)
+      Some(scanFiles(spark, root, raw.adds, Map.empty, mergeSchema = true,
+        m.colMap, m.retired, physReadSchema(m)))
+    }
+  }
+
   def changes(spark: SparkSession, path: String, keyCols: Seq[String],
       fromVersion: Long, toVersion: Long): DataFrame = {
     val (hfs, root) = fs(spark, path)

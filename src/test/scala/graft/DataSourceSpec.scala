@@ -152,6 +152,94 @@ class DataSourceSpec extends SparkSpec {
       .getMessage.contains("startingVersion"))
   }
 
+  test("readStream face: snapshot batch, append tail, maintenance silence, change options") {
+    val t = freshTable()
+    val ckp = java.nio.file.Files.createTempDirectory("ds_sckp").toString
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite")
+
+    var runIdx = 0
+    def run(expectRows: Option[Set[(Long, Long)]], opts: (String, String)*): Unit = {
+      runIdx += 1
+      val got = scala.collection.mutable.Set[(Long, Long)]()
+      val rdr = opts.foldLeft(spark.readStream.format("graft")) {
+        case (a, (k, v)) => a.option(k, v)
+      }
+      val q = rdr.load(t).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.synchronized {
+            got ++= b.select("id", "v").collect()
+              .map(r => (r.getLong(0), r.getLong(1)))
+          }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      expectRows.foreach(want => assert(got.toSet === want, s"run $runIdx"))
+    }
+
+    // first run: the anchor snapshot arrives as one batch
+    run(Some(Set((1L, 10L), (2L, 20L))))
+    // append + optimize: only the appended rows stream (maintenance is
+    // this log's dataChange=false)
+    VersionedTable.commit(df(3), t, mode = "append")
+    VersionedTable.optimize(spark, t)
+    run(Some(Set((3L, 30L))))
+    // a delete-only MoR commit fails the tail without opt-in, then
+    // streams NOTHING under ignoreDeletes
+    VersionedTable.deleteMergeOnRead(spark, t, "id = 1",
+      maxVectoredFraction = 1.0)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(None)
+    }
+    run(Some(Set.empty), "ignoreDeletes" -> "true")
+    // a COW merge rewrite is NOT delete-only; under ignoreChanges its
+    // added files stream (rewritten survivors re-emit — Delta's caveat)
+    VersionedTable.merge(Seq((2L, 222L)).toDF("id", "v"), t, keyCols = Seq("id"))
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(None, "ignoreDeletes" -> "true")
+    }
+    run(Some(Set((2L, 222L), (3L, 30L))), "ignoreChanges" -> "true")
+
+    // startingVersion tails from N inclusive, no snapshot batch
+    val ckp2 = java.nio.file.Files.createTempDirectory("ds_sckp2").toString
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "1").option("ignoreChanges", "true")
+      .load(t).writeStream.format("memory").queryName("gs_sv")
+      .option("checkpointLocation", ckp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    // v1 append (3) + v4 merge adds (2→222, 3 carried); v2 optimize and
+    // v3 dv-delete contribute nothing
+    assert(spark.table("gs_sv").select("id", "v").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      === Set((3L, 30L), (2L, 222L)))
+
+    // bounded catch-up: one version per trigger → the backlog drains in
+    // multiple micro-batches (a continuous trigger — AvailableNow pins
+    // its target offset once, so a v1 rate limit yields one bounded
+    // batch per RUN there, the resume-in-slices shape)
+    val ckp3 = java.nio.file.Files.createTempDirectory("ds_sckp3").toString
+    val drained = new java.util.concurrent.atomic.AtomicLong(0)
+    val q3 = spark.readStream.format("graft")
+      .option("startingVersion", "0").option("ignoreChanges", "true")
+      .option("maxVersionsPerTrigger", "1")
+      .load(t).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        drained.addAndGet(b.count()); ()
+      }
+      .option("checkpointLocation", ckp3)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    // v0 2 rows + v1 1 row + v4's 2 added rows = 5 (v2/v3 contribute 0)
+    val deadline = System.currentTimeMillis() + 60000
+    while (drained.get() < 5 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q3.stop()
+    assert(drained.get() === 5L, s"rate-limited drain lost rows: ${drained.get()}")
+    assert(q3.recentProgress.count(_.numInputRows > 0) > 1,
+      "rate-limited drain must take multiple micro-batches")
+  }
+
   test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)
