@@ -46,7 +46,7 @@ import org.apache.spark.sql.types.StructType
   */
 final class GraftDataSource extends RelationProvider
     with CreatableRelationProvider with StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
@@ -70,6 +70,18 @@ final class GraftDataSource extends RelationProvider
       : org.apache.spark.sql.execution.streaming.Source =
     new GraftStreamSource(sqlContext.sparkSession, pathOf(parameters),
       parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v })
+
+  // ---- streaming sink: df.writeStream.format("graft").start(path)
+  // (exactly-once via the manifest log's txn watermark; semantics in
+  // [[GraftStreamSink]])
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftStreamSink(sqlContext.sparkSession, pathOf(parameters),
+      parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v },
+      partitionColumns, outputMode)
 
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {

@@ -18,4 +18,13 @@ object GraftBridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = true)
+
+  /** The inverse, for a streaming SINK: `addBatch` receives an
+    * incrementally-planned frame that batch writers refuse; re-wrapping
+    * its InternalRow RDD as a plain batch frame (isStreaming = false)
+    * is the v1-sink counterpart of the trick above. */
+  def batchDf(spark: SparkSession, rdd: RDD[InternalRow],
+      schema: StructType): DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming = false)
 }

@@ -240,6 +240,56 @@ class DataSourceSpec extends SparkSpec {
       "rate-limited drain must take multiple micro-batches")
   }
 
+  test("writeStream face: exactly-once append sink; complete mode overwrites") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable()
+    val ckp = java.nio.file.Files.createTempDirectory("ds_wckp").toString
+    val mem = MemoryStream[(Long, Long)]
+    def drain(): Unit = {
+      val q = mem.toDF().toDF("id", "v").writeStream.format("graft")
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(t)
+      q.awaitTermination()
+    }
+    mem.addData((1L, 10L), (2L, 20L))
+    drain()
+    assert(rows(spark.read.format("graft").load(t)) === Set((1L, 10L), (2L, 20L)))
+    mem.addData((3L, 30L))
+    drain()
+    assert(rows(spark.read.format("graft").load(t))
+      === Set((1L, 10L), (2L, 20L), (3L, 30L)))
+    // replay: re-running against the SAME checkpoint commits nothing new
+    // (the txn watermark rides the manifest log — Delta's appId:batchId)
+    val vBefore = VersionedTable.latestVersion(spark, t)
+    drain()
+    assert(VersionedTable.latestVersion(spark, t) === vBefore)
+
+    // complete mode: each batch REPLACES the snapshot (maintained state)
+    val t2 = freshTable()
+    val ckp2 = java.nio.file.Files.createTempDirectory("ds_wckp2").toString
+    val mem2 = MemoryStream[(Long, Long)]
+    mem2.addData((1L, 1L), (1L, 2L), (2L, 5L))
+    val agg = mem2.toDF().toDF("id", "v").groupBy("id")
+      .agg(org.apache.spark.sql.functions.sum("v").as("v"))
+    val q2 = agg.writeStream.format("graft")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t2)
+    q2.awaitTermination()
+    assert(rows(spark.read.format("graft").load(t2)) === Set((1L, 3L), (2L, 5L)))
+    mem2.addData((2L, 5L))
+    val q3 = agg.writeStream.format("graft")
+      .outputMode("complete")
+      .option("checkpointLocation", ckp2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start(t2)
+    q3.awaitTermination()
+    assert(rows(spark.read.format("graft").load(t2)) === Set((1L, 3L), (2L, 10L)))
+  }
+
   test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)
