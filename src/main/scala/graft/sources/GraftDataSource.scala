@@ -117,16 +117,18 @@ final class GraftDataSource extends RelationProvider
       // relation construction (Delta pins its snapshot at analysis),
       // so schema and scan always come from the SAME version even if a
       // writer commits between them
-      val pinned = tsOpt match {
-        case Some(_) => vOpt // readAsOf resolves its own pin
-        case None => Some(vOpt.getOrElse {
-          val v = VersionedTable.latestVersion(spark, path)
-          require(v >= 0, s"no committed versions at $path")
-          v
-        })
-      }
+      // the PLAIN head read resolves "latest" AT SCAN TIME (the v1
+      // norm — the catalog caches relation instances across statements,
+      // so a construction-time pin would serve stale data to a SQL
+      // SELECT after INSERT INTO; a scan itself reads ONE manifest, so
+      // each query execution is still a consistent snapshot). Pinned
+      // reads are exactly the versionAsOf/timestampAsOf options. Only
+      // the plain head read is insertable — time travel is a read-only
+      // view of history.
+      val insertable = vOpt.isEmpty && tsOpt.isEmpty
       new GraftRelation(spark,
-        () => GraftDataSource.snapshotDf(spark, path, pinned, tsOpt))
+        () => GraftDataSource.snapshotDf(spark, path, vOpt, tsOpt),
+        insertPath = if (insertable) Some(path) else None)
     }
   }
 
@@ -155,9 +157,9 @@ final class GraftDataSource extends RelationProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Ignore => write("overwrite")
     }
-    val committed = VersionedTable.latestVersion(spark, path)
     new GraftRelation(spark,
-      () => GraftDataSource.snapshotDf(spark, path, Some(committed), None))
+      () => GraftDataSource.snapshotDf(spark, path, None, None),
+      insertPath = Some(path))
   }
 }
 
@@ -206,10 +208,23 @@ object GraftDataSource {
   * `unhandledFilters` keeps the default (report all unhandled), so
   * Spark re-evaluates every predicate above the scan — pushing is
   * purely an optimization and can never change results. */
-final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame)
-    extends BaseRelation with PrunedFilteredScan {
+final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame,
+    insertPath: Option[String] = None)
+    extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def snapshot: DataFrame = mkDf()
+
+  /** SQL `INSERT INTO` / `INSERT OVERWRITE` on a `USING graft` table —
+    * a plain commit (append or snapshot overwrite). Time-travel and
+    * CDF relations are read-only views of history and refuse. */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val path = insertPath.getOrElse(throw new UnsupportedOperationException(
+      "INSERT into a time-travel/CDF read is not supported — these are " +
+        "read-only views of table history; insert into the plain table"))
+    VersionedTable.commit(data, path,
+      if (overwrite) "overwrite" else "append")
+    ()
+  }
 
   override val sqlContext: SQLContext = spark.sqlContext
   override val schema: StructType = snapshot.schema

@@ -104,15 +104,18 @@ class DataSourceSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS ds_spec_sql")
   }
 
-  test("a loaded relation is a PINNED snapshot: commits after load() are invisible to it") {
+  test("a plain head read resolves at scan time; versionAsOf is the pin") {
     val t = freshTable()
     VersionedTable.commit(df(1, 2), t, mode = "overwrite")
-    val pinned = spark.read.format("graft").load(t)
+    val head = spark.read.format("graft").load(t)
+    val pinned = spark.read.format("graft").option("versionAsOf", "0").load(t)
     VersionedTable.commit(df(3), t, mode = "append")
-    // Delta pins its snapshot at analysis; a commit between load() and
-    // the action must not leak in (schema and data stay one version)
+    // v1-relation norm (and what SQL INSERT-then-SELECT correctness
+    // requires, since the catalog caches relation instances): the plain
+    // head handle sees the new commit — each scan is still ONE
+    // manifest's consistent snapshot — while versionAsOf stays pinned
+    assert(head.count() === 3L)
     assert(pinned.count() === 2L)
-    assert(spark.read.format("graft").load(t).count() === 3L)
   }
 
   test("readChangeFeed options: per-commit CDF through the format, bounded by endingVersion") {
@@ -238,6 +241,27 @@ class DataSourceSpec extends SparkSpec {
     assert(drained.get() === 5L, s"rate-limited drain lost rows: ${drained.get()}")
     assert(q3.recentProgress.count(_.numInputRows > 0) > 1,
       "rate-limited drain must take multiple micro-batches")
+  }
+
+  test("SQL INSERT INTO / INSERT OVERWRITE on a USING graft table") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite")
+    spark.sql(s"CREATE TABLE ds_spec_ins USING graft LOCATION '$t'")
+    try {
+      spark.sql("INSERT INTO ds_spec_ins VALUES (2, 20)")
+      assert(spark.sql("SELECT id, v FROM ds_spec_ins").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 10L), (2L, 20L)))
+      assert(VersionedTable.latestVersion(spark, t) === 1L)
+      spark.sql("INSERT OVERWRITE ds_spec_ins VALUES (9, 90)")
+      assert(spark.sql("SELECT id, v FROM ds_spec_ins").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet === Set((9L, 90L)))
+      // the commits went through the normal log: history + time travel
+      val ops = VersionedTable.history(spark, t).orderBy("version")
+        .select("op").collect().map(_.getString(0)).toSeq
+      assert(ops === Seq("overwrite", "append", "overwrite"))
+      assert(rows(spark.read.format("graft").option("versionAsOf", "1").load(t))
+        === Set((1L, 10L), (2L, 20L)))
+    } finally spark.sql("DROP TABLE IF EXISTS ds_spec_ins")
   }
 
   test("writeStream face: exactly-once append sink; complete mode overwrites") {
