@@ -1430,6 +1430,31 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.ivfPqEval(emb, emb.filter(col("vec_id") < 10))
     }),
+    // the STREAMING format faces end-to-end: readStream.format("graft")
+    // over the vt_tt fixture (its head is the rollback snapshot =
+    // signups) feeding writeStream.format("graft") into a fresh table —
+    // one AvailableNow drain moves the anchor snapshot through the
+    // source's version offsets and the sink's exactly-once txn commit;
+    // the target's content is pinned against the silver slice. The
+    // checkpoint rides the fixture cache, so a re-run drains nothing
+    // and the target is unchanged (idempotence is part of the shape).
+    "vt_sk" -> ((s, dir) => {
+      val tgt = vtFixtures.getOrElseUpdate(("sk", dir), {
+        val src = buildVersionedTable(s, dir)
+        val out = java.nio.file.Files.createTempDirectory("graft_vtsk").toString
+        val ckp = java.nio.file.Files.createTempDirectory("graft_vtsk_ckp").toString
+        val q = s.readStream.format("graft").load(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckp)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+        out
+      })
+      s.read.format("graft").load(tgt)
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
+    }),
     // §2.6 streaming (batch-equivalent transforms; streaming spec in tests)
     "st_tm" -> ((s, dir) => Streams.tumblingCounts(silver(s, dir))),
     // batch face of the continuous drift monitor: per-day PSI of value vs
@@ -1850,6 +1875,14 @@ object SparkEntry {
          |  FROM live WHERE value >= 100
          |)
          |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
+
+    // the streamed-roundtrip target must hold exactly the source's head
+    // snapshot = the signups slice (vt_tt's rollback state)
+    "vt_sk" ->
+      s"""$silverCte
+         |SELECT count(*) AS n_rows,
+         |       round(sum(round(value * 100)) / 100, 2) AS sum_value
+         |FROM silver WHERE event_type = 'signup'""".stripMargin,
 
     // the log is protocol-determined: fixed ts (caller-supplied), ops,
     // and single-file commits → literal oracle
