@@ -54,6 +54,13 @@ final class GraftStreamSource(spark: SparkSession, path: String,
   private val anchor: Long = {
     val latest = VersionedTable.latestVersion(spark, path)
     require(latest >= 0, s"no committed versions at $path")
+    // a startingVersion below an expireLog cut would otherwise surface
+    // as a raw missing-manifest error mid-stream — fail at construction
+    // with guidance instead (Delta's versions-no-longer-available error)
+    startingVersion.foreach(sv => require(
+      sv >= 0 && (sv > latest || VersionedTable.hasVersion(spark, path, sv)),
+      s"startingVersion $sv is no longer available at $path (log expired " +
+        "below it); omit startingVersion to start from the current snapshot"))
     startingVersion.map(_ - 1).getOrElse(latest)
   }
 

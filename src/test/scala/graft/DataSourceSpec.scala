@@ -243,6 +243,38 @@ class DataSourceSpec extends SparkSpec {
       "rate-limited drain must take multiple micro-batches")
   }
 
+  test("readStream startingVersion below an expired log fails loudly; anchor mode survives") {
+    val t = freshTable()
+    (0 until 25).foreach { i =>
+      VersionedTable.commit(df(i.toLong), t,
+        mode = if (i == 0) "overwrite" else "append",
+        ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
+    }
+    VersionedTable.expireLog(spark, t, retainVersions = 5)
+    // a pre-cut startingVersion is a clear construction error, not a
+    // missing-manifest crash mid-stream
+    val e = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "1").load(t)
+        .writeStream.format("memory").queryName("gs_exp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("no longer available") ||
+      Option(e.getCause).exists(_.getMessage.contains("no longer available")))
+    // a fresh anchor-mode consumer of the bounded log still works: the
+    // snapshot batch resolves through the kept checkpoint
+    val got = scala.collection.mutable.Set[Long]()
+    val q2 = spark.readStream.format("graft").load(t)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(got.toSet === (0L until 25L).toSet)
+  }
+
   test("SQL INSERT INTO / INSERT OVERWRITE on a USING graft table") {
     val t = freshTable()
     VersionedTable.commit(df(1), t, mode = "overwrite")
