@@ -34,6 +34,7 @@ object Run {
       .master(cfg.master)
       .config("spark.sql.shuffle.partitions", cfg.shufflePartitions.toString)
       .config("spark.sql.session.timeZone", cfg.timezone)
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -163,6 +163,36 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_sq` (the SQL DML face, graft.plans.GraftSqlDml):
+    * v0 = signups committed through the library, then every mutation
+    * through PURE SQL on the catalog-registered `USING graft` table —
+    * v1 `UPDATE ... SET value = value * 2 WHERE event_id % 3 = 0`,
+    * v2 `DELETE FROM ... WHERE value < 20`, v3 full-clause `MERGE INTO`
+    * (matched update from the source, conditional not-matched insert).
+    * The point IS the SQL boundary: no Scala DML call anywhere. */
+  private def buildSqlDmlTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("sq", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtsq").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv.filter(col("event_type") === "signup").repartition(1),
+        tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      val name = s"vt_sq_tbl_${math.abs(dir.hashCode)}"
+      s.sql(s"CREATE TABLE IF NOT EXISTS $name USING graft LOCATION '$tbl'")
+      s.sql(s"UPDATE $name SET value = value * 2 WHERE event_id % 3 = 0")
+      s.sql(s"DELETE FROM $name WHERE value < 20")
+      val srcView = s"vt_sq_src_${math.abs(dir.hashCode)}"
+      sv.filter(col("event_type") === "signup" && col("event_id") % 5 === 0)
+        .withColumn("value", col("value") + 100)
+        .unionByName(sv.filter(col("event_type") === "click"))
+        .createOrReplaceTempView(srcView)
+      s.sql(
+        s"""MERGE INTO $name t USING $srcView s ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET value = s.value
+           |WHEN NOT MATCHED AND s.value >= 50 THEN INSERT *
+           |""".stripMargin)
+      tbl
+    })
+
   /** Fixture for `vt_rw`: the range-laid silver snapshot (same layout as
     * `vt_w`'s, separate table — replaceWhere MUTATES it) followed by one
     * predicate-scoped overwrite: the [30, 60) value band's rows are
@@ -766,6 +796,23 @@ object SparkEntry {
           .option("timestampAsOf", "2026-01-01T12:00:00Z").load(tbl), "value"))
         .unionByName(snap("pushed", s.read.format("graft").load(tbl)
           .filter(col("amount") >= 100), "amount"))
+        .select("snap", "n_rows", "sum_value")
+    }),
+    // SQL DML face: UPDATE / DELETE / MERGE INTO issued as spark.sql
+    // statements on the catalog-registered USING graft table (the
+    // analyzer-rule route, graft.plans.GraftSqlDml); each resulting
+    // version re-aggregated, oracle rebuilds the same three states from
+    // silver with CASE/anti-join SQL — the SQL statements and the
+    // library DML they route to are pinned to agree by CONTENT
+    "vt_sq" -> ((s, dir) => {
+      val tbl = buildSqlDmlTable(s, dir)
+      def snap(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"),
+            round(sum(round(col("value") * 100)) / 100, 2).as("sum_value"))
+          .withColumn("snap", lit(name))
+      snap("updated", VersionedTable.readVersion(s, tbl, 1L))
+        .unionByName(snap("deleted", VersionedTable.readVersion(s, tbl, 2L)))
+        .unionByName(snap("merged", VersionedTable.readVersion(s, tbl, 3L)))
         .select("snap", "n_rows", "sum_value")
     }),
     // copy-on-write MERGE + DELETE on a separate fixture (v0 = signups;
@@ -1873,6 +1920,46 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT 'pushed', count(*), round(sum(round(value * 100)) / 100, 2)
          |  FROM live WHERE value >= 100
+         |)
+         |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
+
+    // the three SQL-DML states rebuilt in plain SQL: v1 = conditional
+    // doubling, v2 = three-valued-logic delete (NULL survives), v3 =
+    // key merge (matched rows take the source value, unmatched source
+    // rows insert under the clause condition). Signup and click
+    // event_ids are disjoint by construction (one event_id per event),
+    // so the click half of the source can only INSERT
+    "vt_sq" ->
+      s"""$silverCte,
+         |sg AS (SELECT event_id, event_type, value FROM silver
+         |       WHERE event_type = 'signup'),
+         |v1 AS (SELECT event_id, event_type,
+         |              CASE WHEN event_id % 3 = 0 THEN value * 2 ELSE value END AS value
+         |       FROM sg),
+         |v2 AS (SELECT * FROM v1 WHERE NOT coalesce(value < 20, FALSE)),
+         |src AS (
+         |  SELECT event_id, event_type, value + 100 AS value FROM sg
+         |  WHERE event_id % 5 = 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value FROM silver
+         |  WHERE event_type = 'click'
+         |),
+         |v3 AS (
+         |  SELECT t.event_id, t.event_type,
+         |         CASE WHEN s.event_id IS NOT NULL THEN s.value ELSE t.value END AS value
+         |  FROM v2 t LEFT JOIN src s ON t.event_id = s.event_id
+         |  UNION ALL
+         |  SELECT s.event_id, s.event_type, s.value
+         |  FROM src s LEFT JOIN v2 t ON s.event_id = t.event_id
+         |  WHERE t.event_id IS NULL AND coalesce(s.value >= 50, FALSE)
+         |),
+         |slice AS (
+         |  SELECT 'updated' AS snap, count(*) AS n_rows,
+         |         round(sum(round(value * 100)) / 100, 2) AS sum_value FROM v1
+         |  UNION ALL
+         |  SELECT 'deleted', count(*), round(sum(round(value * 100)) / 100, 2) FROM v2
+         |  UNION ALL
+         |  SELECT 'merged', count(*), round(sum(round(value * 100)) / 100, 2) FROM v3
          |)
          |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
 

@@ -123,6 +123,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       exprs => NativeLog(exprs.head)))
     // portable HOF cosine → fused native kernel, for every session query
     ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
+    // SQL DELETE/UPDATE/MERGE on USING graft tables (see GraftSqlDml)
+    ext.injectResolutionRule(session => new graft.plans.GraftSqlDml(session))
     ()
   }
 }

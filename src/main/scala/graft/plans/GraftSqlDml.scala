@@ -1,0 +1,334 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRelation}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+import org.apache.spark.sql.graft.Shims
+
+import graft.sources.{GraftRelation, VersionedTable}
+import graft.sources.VersionedTable.{MergeAction => VTAction}
+
+/** Analyzer rule: SQL row-level DML on `USING graft` tables —
+  * `DELETE FROM`, `UPDATE ... SET`, and full-clause `MERGE INTO` route
+  * to the versioned table's native COW machinery
+  * ([[VersionedTable.delete]]/[[VersionedTable.update]]/
+  * [[VersionedTable.mergeClauses]]), exactly the seam Delta's own
+  * `DeltaSparkSessionExtension` uses: an injected analyzer rule catches
+  * the parsed DML plan before Spark's v2-only check rejects it (v1
+  * relations otherwise die in checkAnalysis with "DELETE is only
+  * supported with v2 tables") and rewrites it to a runnable command.
+  * The reference's SQL surface (spark.sql MERGE over Delta tables) ports
+  * verbatim with `USING graft` for `USING delta`. Injected by
+  * [[graft.functions.GraftExtensions]]
+  * (`spark.sql.extensions=graft.functions.GraftExtensions`).
+  *
+  * Statements whose target resolves to a graft table
+  * become [[GraftDeleteCommand]]/[[GraftUpdateCommand]]/
+  * [[GraftMergeCommand]]. Conditions and assignments are captured
+  * STRUCTURALLY — qualifier attributes are rewritten node-by-node
+  * (never string-replaced; a literal containing "t." stays intact) and
+  * re-rendered to SQL over the library's condition dialect: bare table
+  * columns for DELETE/UPDATE, the `t`/`s` aliases for MERGE clauses.
+  * Statements on non-graft targets pass through untouched. */
+final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
+  import GraftSqlDml._
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case d @ DeleteFromTable(target, cond) =>
+      resolveTarget(spark, target).fold(d: LogicalPlan) { t =>
+        GraftDeleteCommand(t.path, bareSql(cond, t, "DELETE"))
+      }
+    case u @ UpdateTable(target, assignments, cond) =>
+      resolveTarget(spark, target).fold(u: LogicalPlan) { t =>
+        val set = assignments.map { a =>
+          bareKey(a.key, t, "UPDATE SET") -> bareSql(a.value, t, "UPDATE")
+        }.toMap
+        GraftUpdateCommand(t.path,
+          cond.map(bareSql(_, t, "UPDATE")).getOrElse("true"), set)
+      }
+    case m: MergeIntoTable =>
+      resolveTarget(spark, m.targetTable).fold(m: LogicalPlan) { t =>
+        rewriteMerge(spark, m, t)
+      }
+  }
+}
+
+object GraftSqlDml {
+
+  /** A DML target identified as a graft table: its storage path, the
+    * qualifier spellings that may prefix its columns in the statement
+    * (alias, table name, db.table, catalog.db.table — all lowercase),
+    * and its snapshot schema for name canonicalization. */
+  private final case class Target(path: String, quals: Set[Seq[String]],
+      cols: Seq[String], outIds: Set[ExprId])
+
+  private def unsupported(msg: String): Nothing =
+    throw new UnsupportedOperationException(s"graft SQL DML: $msg")
+
+  /** Unwraps alias/view layers; Some(Target) iff the leaf is a graft
+    * relation (path-based `LogicalRelation[GraftRelation]`, a catalog
+    * `UnresolvedCatalogRelation` with provider graft, or the v2-resolved
+    * `V1Table` envelope of one). Time-travel/CDF relations carry no
+    * insert path and correctly do NOT match: history is read-only. */
+  private def resolveTarget(spark: SparkSession, plan: LogicalPlan): Option[Target] = {
+    def idQuals(meta: CatalogTable): Set[Seq[String]] = {
+      val id = meta.identifier
+      val tbl = id.table.toLowerCase
+      Set(Seq(tbl)) ++
+        id.database.map(db => Seq(db.toLowerCase, tbl)) ++
+        (for { c <- id.catalog; db <- id.database }
+          yield Seq(c.toLowerCase, db.toLowerCase, tbl))
+    }
+    def walk(p: LogicalPlan, quals: Set[Seq[String]]): Option[Target] = p match {
+      case SubqueryAlias(id, child) =>
+        val q = Set(Seq(id.name.toLowerCase)) ++
+          (if (id.qualifier.nonEmpty)
+            Set((id.qualifier :+ id.name).map(_.toLowerCase)) else Set.empty)
+        walk(child, quals ++ q)
+      case v: View => walk(v.child, quals)
+      case l: LogicalRelation => l.relation match {
+        case g: GraftRelation => g.insertPath.map(path =>
+          Target(path, quals, Seq.empty, outIds(p)))
+        case _ => None
+      }
+      case u: UnresolvedCatalogRelation if isGraft(u.tableMeta) =>
+        Some(Target(loc(u.tableMeta), quals ++ idQuals(u.tableMeta), Seq.empty, outIds(p)))
+      case d: DataSourceV2Relation =>
+        Shims.v1Table(d.table).filter(isGraft(_)).map(meta =>
+          Target(loc(meta), quals ++ idQuals(meta), Seq.empty, outIds(p)))
+      case _ => None
+    }
+    walk(plan, Set.empty).map { t =>
+      t.copy(cols = VersionedTable.readVersion(spark, t.path).schema.fieldNames.toSeq)
+    }
+  }
+
+  private def outIds(p: LogicalPlan): Set[ExprId] =
+    if (p.resolved) p.output.map(_.exprId).toSet else Set.empty
+
+  private def isGraft(t: CatalogTable): Boolean =
+    t.provider.exists(_.equalsIgnoreCase("graft"))
+
+  private def loc(t: CatalogTable): String = t.location.toString
+
+  /** Longest qualifier prefix stripped from an attribute's name parts;
+    * None when no prefix matches (the name is already bare, or it is a
+    * nested-field access rooted at a column). */
+  private def stripQual(parts: Seq[String], quals: Set[Seq[String]]): Option[Seq[String]] = {
+    val lower = parts.map(_.toLowerCase)
+    quals.toSeq.sortBy(-_.length).collectFirst {
+      case q if lower.length > q.length && lower.take(q.length) == q =>
+        parts.drop(q.length)
+    }
+  }
+
+  private def guard(e: Expression, what: String): Unit =
+    if (e.exists(_.isInstanceOf[PlanExpression[_]]))
+      unsupported(s"subqueries are not supported in $what conditions on graft tables")
+
+  /** DELETE/UPDATE expressions: qualifiers naming the (single) target
+    * drop away; resolved references re-render by bare name. */
+  private def bareSql(e: Expression, t: Target, what: String): String = {
+    guard(e, what)
+    e.transformUp {
+      case a: UnresolvedAttribute =>
+        stripQual(a.nameParts, t.quals).map(UnresolvedAttribute(_)).getOrElse(a)
+      case ar: AttributeReference => UnresolvedAttribute(Seq(ar.name))
+    }.sql
+  }
+
+  /** Assignment key → canonical bare column name. Nested-field targets
+    * (`SET a.b = ...`) are refused, matching the library's column-level
+    * DML surface. */
+  private def bareKey(key: Expression, t: Target, what: String): String = {
+    val parts = key match {
+      case a: UnresolvedAttribute =>
+        stripQual(a.nameParts, t.quals).getOrElse(a.nameParts)
+      case ar: AttributeReference => Seq(ar.name)
+      case other => unsupported(s"$what target must be a column, got: ${other.sql}")
+    }
+    if (parts.length > 1)
+      unsupported(s"$what on nested field ${parts.mkString(".")} is not supported; " +
+        "assign the whole top-level column")
+    canonical(parts.head, t.cols).getOrElse(unsupported(
+      s"$what target names no table column: ${parts.head} " +
+        s"(table columns: ${t.cols.mkString(", ")})"))
+  }
+
+  private def canonical(name: String, cols: Seq[String]): Option[String] =
+    cols.find(_ == name).orElse(cols.find(_.equalsIgnoreCase(name)))
+
+  private def conjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => conjuncts(l) ++ conjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** MERGE expression rewrite: target-side attributes become `t.col`,
+    * source-side become `s.col` (the dialect of
+    * [[VersionedTable.mergeClauses]] clause strings). Unqualified names
+    * classify by schema membership — present in both sides is an
+    * ambiguity error, in neither an unknown-column error. */
+  private final class MergeCtx(val target: Target, val sQuals: Set[Seq[String]],
+      val sCols: Seq[String], val sIds: Set[ExprId]) {
+    private val tLower = target.cols.map(_.toLowerCase).toSet
+    private val sLower = sCols.map(_.toLowerCase).toSet
+
+    def rewrite(e: Expression, what: String): Expression = {
+      guard(e, what)
+      e.transformUp {
+        case a: UnresolvedAttribute =>
+          stripQual(a.nameParts, target.quals) match {
+            case Some(rest) => UnresolvedAttribute("t" +: rest)
+            case None => stripQual(a.nameParts, sQuals) match {
+              case Some(rest) => UnresolvedAttribute("s" +: rest)
+              case None => classify(a.nameParts, what)
+            }
+          }
+        case ar: AttributeReference =>
+          if (target.outIds(ar.exprId)) UnresolvedAttribute(Seq("t", ar.name))
+          else if (sIds(ar.exprId)) UnresolvedAttribute(Seq("s", ar.name))
+          else classify(Seq(ar.name), what)
+      }
+    }
+
+    private def classify(parts: Seq[String], what: String): UnresolvedAttribute = {
+      val head = parts.head.toLowerCase
+      (tLower(head), sLower(head)) match {
+        case (true, true) => unsupported(
+          s"ambiguous column ${parts.mkString(".")} in $what — " +
+            "it exists on both merge sides; qualify with the target or source alias")
+        case (true, false) => UnresolvedAttribute("t" +: parts)
+        case (false, true) => UnresolvedAttribute("s" +: parts)
+        case _ => unsupported(
+          s"unknown column ${parts.mkString(".")} in $what (target: " +
+            s"${target.cols.mkString(", ")}; source: ${sCols.mkString(", ")})")
+      }
+    }
+
+    def sql(e: Expression, what: String): String = rewrite(e, what).sql
+
+    /** ON-clause conjunct → shared key column name; the library merges
+      * on key EQUALITY (Delta's dominant shape — the reference merges on
+      * pk+run equality, batch_scoring.py:190), so anything else refuses
+      * loudly rather than silently reclassifying matched rows. */
+    def keyOf(e: Expression): String = e match {
+      case EqualTo(l, r) =>
+        (side(l), side(r)) match {
+          case (Some(("t", lc)), Some(("s", rc))) if lc.equalsIgnoreCase(rc) =>
+            canonical(lc, target.cols).get
+          case (Some(("s", lc)), Some(("t", rc))) if lc.equalsIgnoreCase(rc) =>
+            canonical(rc, target.cols).get
+          case (Some((a, lc)), Some((b, rc))) if a == b => unsupported(
+            s"ON condition ${e.sql} compares two $a-side columns ($lc, $rc); " +
+              "each conjunct must equate a target column with a source column")
+          case _ => unsupported(
+            s"ON condition ${e.sql} is not a target-column = source-column " +
+              "equality of same-named columns; graft MERGE keys on shared column names")
+        }
+      case other => unsupported(
+        s"ON condition conjunct ${other.sql} is not an equality; " +
+          "graft MERGE supports key-equality ON conditions only")
+    }
+
+    private def side(e: Expression): Option[(String, String)] =
+      rewrite(e, "ON") match {
+        case a: UnresolvedAttribute if a.nameParts.length == 2 =>
+          Some((a.nameParts.head, a.nameParts(1)))
+        case _ => None
+      }
+  }
+
+  private def rewriteMerge(spark: SparkSession, m: MergeIntoTable, t: Target): LogicalPlan = {
+    if (m.withSchemaEvolution)
+      unsupported("MERGE ... WITH SCHEMA EVOLUTION is not supported; " +
+        "evolve the schema with a mergeSchema commit first")
+    // source alias spellings, then the ANALYZED source for schema +
+    // reference ids (analyzing a subtree inside a rule is the standard
+    // pattern — Delta's PreprocessTableMerge does the same)
+    val sQuals: Set[Seq[String]] = {
+      def aliases(p: LogicalPlan, acc: Set[Seq[String]]): Set[Seq[String]] = p match {
+        case SubqueryAlias(id, child) =>
+          val q = Set(Seq(id.name.toLowerCase)) ++
+            (if (id.qualifier.nonEmpty)
+              Set((id.qualifier :+ id.name).map(_.toLowerCase)) else Set.empty)
+          aliases(child, acc ++ q)
+        case u: UnresolvedCatalogRelation =>
+          acc + Seq(u.tableMeta.identifier.table.toLowerCase)
+        case d: DataSourceV2Relation =>
+          acc ++ Shims.v1Table(d.table).map(meta => Seq(meta.identifier.table.toLowerCase))
+        case _ => acc
+      }
+      aliases(m.sourceTable, Set.empty)
+    }
+    val analyzedSource = Shims.ofRows(spark, m.sourceTable).queryExecution.analyzed
+    val ctx = new MergeCtx(t, sQuals, analyzedSource.schema.fieldNames.toSeq,
+      analyzedSource.output.map(_.exprId).toSet)
+
+    val keys = conjuncts(m.mergeCondition).map(ctx.keyOf).distinct
+    def cond(c: Option[Expression], what: String): Option[String] =
+      c.map(ctx.sql(_, what))
+    def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] =
+      assigns.map(a => bareKey(a.key, t, what) -> ctx.sql(a.value, what)).toMap
+
+    val matched: Seq[VTAction] = m.matchedActions.map {
+      case UpdateStarAction(c) => VTAction.Update(cond(c, "WHEN MATCHED"))
+      case UpdateAction(c, assigns, _) =>
+        VTAction.Update(cond(c, "WHEN MATCHED"), assignMap(assigns, "WHEN MATCHED UPDATE"))
+      case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN MATCHED"))
+      case other => unsupported(s"unsupported WHEN MATCHED action: $other")
+    }
+    val notMatched: Seq[VTAction] = m.notMatchedActions.map {
+      case InsertStarAction(c) => VTAction.Insert(cond(c, "WHEN NOT MATCHED"))
+      case InsertAction(c, assigns) =>
+        VTAction.Insert(cond(c, "WHEN NOT MATCHED"),
+          assignMap(assigns, "WHEN NOT MATCHED INSERT"))
+      case other => unsupported(s"unsupported WHEN NOT MATCHED action: $other")
+    }
+    val bySource: Seq[VTAction] = m.notMatchedBySourceActions.map {
+      case UpdateAction(c, assigns, _) =>
+        VTAction.Update(cond(c, "WHEN NOT MATCHED BY SOURCE"),
+          assignMap(assigns, "WHEN NOT MATCHED BY SOURCE UPDATE"))
+      case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN NOT MATCHED BY SOURCE"))
+      case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+    }
+    GraftMergeCommand(t.path, analyzedSource, keys, matched, notMatched, bySource)
+  }
+}
+
+/** SQL `DELETE FROM <graft table> WHERE ...` — the library's
+  * stats-pruned, touched-files-only COW delete. */
+final case class GraftDeleteCommand(path: String, condition: String)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.delete(sparkSession, path, condition)
+    Seq.empty
+  }
+}
+
+/** SQL `UPDATE <graft table> SET ... [WHERE ...]`. */
+final case class GraftUpdateCommand(path: String, condition: String,
+    set: Map[String, String]) extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.update(sparkSession, path, condition, set)
+    Seq.empty
+  }
+}
+
+/** SQL `MERGE INTO <graft table> USING <source> ON ... WHEN ...` over
+  * the captured (already analyzed) source plan. */
+final case class GraftMergeCommand(path: String, source: LogicalPlan,
+    keys: Seq[String], matched: Seq[VTAction],
+    notMatched: Seq[VTAction], bySource: Seq[VTAction])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.mergeClauses(Shims.ofRows(sparkSession, source), path,
+      keys, matched, notMatched, bySource)
+    Seq.empty
+  }
+}

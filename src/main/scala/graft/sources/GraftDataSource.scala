@@ -209,7 +209,7 @@ object GraftDataSource {
   * Spark re-evaluates every predicate above the scan — pushing is
   * purely an optimization and can never change results. */
 final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame,
-    insertPath: Option[String] = None)
+    private[graft] val insertPath: Option[String] = None)
     extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   private def snapshot: DataFrame = mkDf()

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, VersionedTable}
+
+/** SQL row-level DML on `USING graft` tables (graft.plans.GraftSqlDml):
+  * DELETE FROM / UPDATE / MERGE INTO must behave exactly like the
+  * library calls they route to, qualifier handling must be structural
+  * (string literals containing "t." survive), and non-graft targets
+  * must pass through to Spark untouched. */
+class SqlDmlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private var n = 0
+  /** Fresh (path, tableName) with the table registered in the session
+    * catalog over an initial snapshot. */
+  private def fixture(df: DataFrame, name: String): (String, String) = {
+    n += 1
+    val t = java.nio.file.Files.createTempDirectory("sqldml").toString
+    VersionedTable.commit(df, t, mode = "overwrite")
+    val tbl = s"sqldml_${name}_$n"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(s"CREATE TABLE $tbl USING graft LOCATION '$t'")
+    (t, tbl)
+  }
+
+  private def base: DataFrame =
+    Seq((1L, 10L, "alpha"), (2L, 20L, "beta"), (3L, 30L, "t. literal"),
+      (4L, 40L, "delta")).toDF("id", "v", "tag")
+
+  private def rows(path: String): Set[(Long, Long, String)] =
+    VersionedTable.readVersion(spark, path)
+      .select("id", "v", "tag").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+
+  test("SQL DELETE FROM ... WHERE routes to the versioned COW delete") {
+    val (path, tbl) = fixture(base, "del")
+    spark.sql(s"DELETE FROM $tbl WHERE v >= 30")
+    assert(rows(path) === Set((1L, 10L, "alpha"), (2L, 20L, "beta")))
+    // the delete is a real commit: history grew and time travel sees v0
+    assert(VersionedTable.latestVersion(spark, path) === 1L)
+    assert(VersionedTable.readVersion(spark, path, 0L).count() === 4L)
+  }
+
+  test("DELETE with table alias and qualified columns; literals with dots survive") {
+    val (path, tbl) = fixture(base, "delq")
+    // alias-qualified attribute + a string literal containing "t." — a
+    // string-replace dealias would mangle it; the structural rewrite must not
+    spark.sql(s"DELETE FROM $tbl AS t WHERE t.tag = 't. literal'")
+    assert(rows(path).map(_._1) === Set(1L, 2L, 4L))
+    // table-name-qualified spelling works too
+    spark.sql(s"DELETE FROM $tbl WHERE $tbl.id = 4")
+    assert(rows(path).map(_._1) === Set(1L, 2L))
+  }
+
+  test("SQL UPDATE SET ... WHERE routes to the versioned COW update") {
+    val (path, tbl) = fixture(base, "upd")
+    spark.sql(s"UPDATE $tbl SET v = v * 2, tag = concat(tag, '!') WHERE id <= 2")
+    assert(rows(path) === Set((1L, 20L, "alpha!"), (2L, 40L, "beta!"),
+      (3L, 30L, "t. literal"), (4L, 40L, "delta")))
+    // no WHERE → all rows
+    spark.sql(s"UPDATE $tbl SET v = 0")
+    assert(rows(path).map(_._2) === Set(0L))
+  }
+
+  test("SQL MERGE INTO: update/delete/insert clauses match the merge builder") {
+    val src = Seq((2L, 200L, "BETA"), (3L, 300L, "GAMMA"), (9L, 900L, "IOTA"))
+      .toDF("id", "v", "tag")
+    // SQL on one fixture
+    val (pSql, tbl) = fixture(base, "mrg")
+    src.createOrReplaceTempView("sqldml_mrg_src")
+    spark.sql(
+      s"""MERGE INTO $tbl AS t USING sqldml_mrg_src AS s ON t.id = s.id
+         |WHEN MATCHED AND s.v >= 300 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.v, tag = lower(s.tag)
+         |WHEN NOT MATCHED AND s.v < 1000 THEN INSERT (id, v, tag) VALUES (s.id, s.v, s.tag)
+         |WHEN NOT MATCHED BY SOURCE AND t.id = 1 THEN UPDATE SET tag = 'kept'
+         |""".stripMargin)
+    // same clauses through the library builder on a second fixture
+    val pLib = java.nio.file.Files.createTempDirectory("sqldml_lib").toString
+    VersionedTable.commit(base, pLib, mode = "overwrite")
+    GraftTable.forPath(spark, pLib).merge(src, Seq("id"))
+      .whenMatchedDelete(Some("s.v >= 300"))
+      .whenMatchedUpdate(Map("v" -> "s.v", "tag" -> "lower(s.tag)"))
+      .whenNotMatchedInsert(
+        Map("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"), Some("s.v < 1000"))
+      .whenNotMatchedBySourceUpdate(Map("tag" -> "'kept'"), Some("t.id = 1"))
+      .execute()
+    assert(rows(pSql) === rows(pLib))
+    assert(rows(pSql) === Set((1L, 10L, "kept"), (2L, 200L, "beta"),
+      (4L, 40L, "delta"), (9L, 900L, "IOTA")))
+  }
+
+  test("MERGE star clauses: UPDATE SET * / INSERT *") {
+    val (path, tbl) = fixture(base, "star")
+    Seq((1L, 111L, "one"), (7L, 777L, "seven")).toDF("id", "v", "tag")
+      .createOrReplaceTempView("sqldml_star_src")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_star_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    assert(rows(path) === Set((1L, 111L, "one"), (2L, 20L, "beta"),
+      (3L, 30L, "t. literal"), (4L, 40L, "delta"), (7L, 777L, "seven")))
+  }
+
+  test("MERGE with unqualified columns classifies by side; ambiguity errors") {
+    val (path, tbl) = fixture(base, "unq")
+    Seq((2L, "x")).toDF("sid", "stag").createOrReplaceTempView("sqldml_unq_src")
+    // sid/stag exist only on the source, id/v/tag only partially — the ON
+    // equality must still be t-col = s-col of the same name, so use a
+    // renamed view that shares the key name
+    Seq((2L, 222L)).toDF("id", "nv").createOrReplaceTempView("sqldml_unq_src2")
+    spark.sql(
+      s"""MERGE INTO $tbl USING sqldml_unq_src2 ON $tbl.id = sqldml_unq_src2.id
+         |WHEN MATCHED THEN UPDATE SET v = nv
+         |""".stripMargin)
+    assert(rows(path).contains((2L, 222L, "beta")))
+    // a column present on BOTH sides unqualified is ambiguous
+    val amb = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $tbl USING sqldml_unq_src2 ON id = id
+           |WHEN MATCHED THEN UPDATE SET v = nv
+           |""".stripMargin)
+    }
+    assert(amb.getMessage.toLowerCase.contains("ambiguous"))
+  }
+
+  test("unsupported shapes refuse loudly; non-graft targets pass through") {
+    val (_, tbl) = fixture(base, "err")
+    Seq((1L, 1L)).toDF("id", "w").createOrReplaceTempView("sqldml_err_src")
+    val nonEq = intercept[Exception](spark.sql(
+      s"""MERGE INTO $tbl USING sqldml_err_src s ON $tbl.id > s.id
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(nonEq.getMessage.contains("equality"))
+    val sub = intercept[Exception](spark.sql(
+      s"DELETE FROM $tbl WHERE id IN (SELECT id FROM sqldml_err_src)"))
+    assert(sub.getMessage.contains("subqueries are not supported"))
+    // non-graft target: Spark's own v2-only guard still speaks, not ours
+    val plainDir = java.nio.file.Files.createTempDirectory("sqldml_plain").toString
+    base.write.mode("overwrite").parquet(plainDir)
+    spark.sql(s"DROP TABLE IF EXISTS sqldml_plain_t")
+    spark.sql(s"CREATE TABLE sqldml_plain_t USING parquet LOCATION '$plainDir'")
+    val passthru = intercept[Exception](
+      spark.sql("DELETE FROM sqldml_plain_t WHERE id = 1"))
+    assert(!passthru.getMessage.contains("graft SQL DML"))
+  }
+
+  test("DML through a temp view over a format-loaded graft relation") {
+    val (path, _) = fixture(base, "view")
+    spark.read.format("graft").load(path).createOrReplaceTempView("sqldml_view_v")
+    spark.sql("DELETE FROM sqldml_view_v WHERE id = 1")
+    assert(rows(path).map(_._1) === Set(2L, 3L, 4L))
+  }
+}
