@@ -775,6 +775,14 @@ object SparkEntry {
     // construction (repartition(1) in the builder), so n_files counts
     // carried manifests entries, not write parallelism
     "vt_h" -> ((s, dir) => VersionedTable.history(s, buildVersionedTable(s, dir))),
+    // the SQL maintenance face (plans/GraftSqlParser.scala — Delta's
+    // DESCRIBE HISTORY surface): the SAME protocol-determined log as
+    // vt_h, read through a parsed SQL statement over the path spelling
+    // (graft.`/path`) instead of the Scala API — the statement, the
+    // injected parser, and the command's output schema are all on the
+    // oracle path
+    "vt_sh" -> ((s, dir) =>
+      s.sql(s"DESCRIBE HISTORY graft.`${buildVersionedTable(s, dir)}`")),
     // the data-source face (sources/GraftDataSource.scala — the
     // reference's PRIMARY read idiom, delta_utils.py:22
     // spark.read.format("delta").load(path), ported verbatim with
@@ -1976,6 +1984,23 @@ object SparkEntry {
     // the operation-metrics columns are data-dependent (rows per commit),
     // so the oracle computes them from silver instead of hard-coding
     "vt_h" ->
+      s"""$silverCte,
+         |c AS (
+         |  SELECT COUNT(*) FILTER (WHERE event_type = 'signup') AS su,
+         |         COUNT(*) FILTER (WHERE event_type = 'click') AS cl
+         |  FROM silver
+         |)
+         |SELECT version, ts, op, n_files, n_rows_added, n_dv_rows_deleted FROM (
+         |  SELECT CAST(0 AS BIGINT) AS version, '2026-01-01T00:00:00Z' AS ts,
+         |         'overwrite' AS op, 1 AS n_files, su AS n_rows_added,
+         |         CAST(0 AS BIGINT) AS n_dv_rows_deleted FROM c
+         |  UNION ALL SELECT 1, '2026-01-02T00:00:00Z', 'append', 2, cl, 0 FROM c
+         |  UNION ALL SELECT 2, '2026-01-03T00:00:00Z', 'rollback(0)', 1, su, 0 FROM c
+         |)""".stripMargin,
+
+    // DESCRIBE HISTORY must render the SAME protocol-determined log as
+    // vt_h — one statement, one parse, identical rows
+    "vt_sh" ->
       s"""$silverCte,
          |c AS (
          |  SELECT COUNT(*) FILTER (WHERE event_type = 'signup') AS su,

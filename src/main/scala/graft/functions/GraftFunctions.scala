@@ -125,6 +125,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
     // SQL DELETE/UPDATE/MERGE on USING graft tables (see GraftSqlDml)
     ext.injectResolutionRule(session => new graft.plans.GraftSqlDml(session))
+    // DESCRIBE HISTORY / VACUUM / OPTIMIZE / RESTORE (see GraftSqlParser)
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     ()
   }
 }
