@@ -1,9 +1,10 @@
 package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRelation}
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, Literal, PlanExpression}
+import org.apache.spark.sql.types.StringType
 import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -56,7 +57,40 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       resolveTarget(spark, m.targetTable).fold(m: LogicalPlan) { t =>
         rewriteMerge(spark, m, t)
       }
+    // SQL time travel — SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS
+    // OF 'ts' (Delta's SQL surface). Spark's own resolution throws
+    // timeTravelUnsupportedError for v1 tables BEFORE injected rules run,
+    // so [[GraftSqlParser]] swaps the parsed RelationTimeTravel for this
+    // placeholder; here a graft target becomes the pinned snapshot scan
+    // and anything else gets its original node back for Spark to judge.
+    case GraftTimeTravel(u, tsOpt, vOpt) =>
+      graftCatalogPath(spark, u.multipartIdentifier) match {
+        case None => RelationTimeTravel(u, tsOpt, vOpt)
+        case Some(path) =>
+          val ts = tsOpt.map {
+            case Literal(s, StringType) => s.toString
+            case other => unsupported(
+              s"TIMESTAMP AS OF must be a string literal for graft tables, got ${other.sql}")
+          }
+          val snap = ts match {
+            case Some(t) => VersionedTable.readAsOf(spark, path, t)
+            case None => VersionedTable.readVersion(spark, path,
+              vOpt.map(_.toLong).getOrElse(-1L))
+          }
+          snap.queryExecution.analyzed
+      }
   }
+}
+
+/** Parse-time stand-in for `RelationTimeTravel(UnresolvedRelation)` —
+  * an unresolved leaf Spark's built-in resolution walks past, giving
+  * [[GraftSqlDml]] its chance to decide by provider (graft → snapshot,
+  * anything else → the original node, untouched semantics). */
+final case class GraftTimeTravel(relation: UnresolvedRelation,
+    timestamp: Option[Expression], version: Option[String])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
 }
 
 object GraftSqlDml {
@@ -108,6 +142,22 @@ object GraftSqlDml {
       t.copy(cols = VersionedTable.readVersion(spark, t.path).schema.fieldNames.toSeq)
     }
   }
+
+  /** Storage path iff `parts` names a session-catalog `USING graft`
+    * table; None (including on lookup failure) leaves the plan to
+    * Spark's own resolution. */
+  private def graftCatalogPath(spark: SparkSession, parts: Seq[String]): Option[String] =
+    try {
+      val ti = parts match {
+        case Seq(tbl) => org.apache.spark.sql.catalyst.TableIdentifier(tbl)
+        case Seq(db, tbl) => org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
+        case Seq(cat, db, tbl) =>
+          org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db), Some(cat))
+        case _ => return None
+      }
+      Some(spark.sessionState.catalog.getTableMetadata(ti))
+        .filter(isGraft(_)).map(loc)
+    } catch { case _: org.apache.spark.sql.AnalysisException => None }
 
   private def outIds(p: LogicalPlan): Set[ExprId] =
     if (p.resolved) p.output.map(_.exprId).toSet else Set.empty

@@ -34,7 +34,17 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
     extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    GraftSqlParser.parseGraftCommand(sqlText).getOrElse(delegate.parsePlan(sqlText))
+    GraftSqlParser.parseGraftCommand(sqlText).getOrElse {
+      // time-travel nodes swap for a placeholder the built-in resolution
+      // walks past (it would throw timeTravelUnsupportedError for v1
+      // tables before any injected rule runs); GraftSqlDml restores the
+      // original node verbatim for non-graft targets
+      delegate.parsePlan(sqlText).transformDown {
+        case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, v) =>
+          GraftTimeTravel(u, ts, v)
+      }
+    }
 
   override def parseExpression(sqlText: String): Expression =
     delegate.parseExpression(sqlText)
@@ -66,6 +76,8 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val OptimizeR: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*""".r
+  private val CloneR: Regex =
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
   private val RestoreVR: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTR: Regex =
@@ -86,6 +98,9 @@ object GraftSqlParser {
           case _ => (None, None)
         }
         Some(GraftVacuumCommand(target(p, gp, id), retain, grace, dry != null))
+      case CloneR(ine, tp, tgp, tid, sp, sgp, sid, v, ts, loc) =>
+        Some(GraftCloneCommand(ine != null, target(tp, tgp, tid),
+          target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc)))
       case RestoreVR(p, gp, id, v) =>
         Some(GraftRestoreCommand(target(p, gp, id), Some(v.toLong), None))
       case RestoreTR(p, gp, id, ts) =>
@@ -186,6 +201,57 @@ final case class GraftOptimizeCommand(target: Either[String, Seq[String]],
         VersionedTable.optimize(sparkSession, path, zorderCols = zorderCols)
     }
     Seq(Row(v))
+  }
+}
+
+/** `CREATE TABLE t [IF NOT EXISTS] SHALLOW CLONE s [VERSION AS OF n |
+  * TIMESTAMP AS OF 'ts'] [LOCATION 'path']` — Delta's metadata-only
+  * fork as SQL: file references copy, data does not
+  * ([[VersionedTable.cloneTable]]); a catalog-name target registers the
+  * new table (at LOCATION, else the warehouse default path), a
+  * path-spelled target just writes the clone's log. Returns the
+  * clone's storage path. */
+final case class GraftCloneCommand(ifNotExists: Boolean,
+    cloneTarget: Either[String, Seq[String]], source: Either[String, Seq[String]],
+    version: Option[Long], timestamp: Option[String], location: Option[String])
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("path", StringType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val srcPath = GraftSqlParser.resolvePath(sparkSession, source)
+    val v = version.getOrElse(timestamp.fold(-1L)(ts =>
+      GraftTable.forPath(sparkSession, srcPath).versionAtOrBefore(ts)))
+    cloneTarget match {
+      case Left(path) =>
+        if (ifNotExists && GraftTable.isGraftTable(sparkSession, path)) Seq(Row(path))
+        else {
+          VersionedTable.cloneTable(sparkSession, srcPath, path, v)
+          Seq(Row(path))
+        }
+      case Right(parts) =>
+        val ti = parts match {
+          case Seq(tbl) => TableIdentifier(tbl)
+          case Seq(db, tbl) => TableIdentifier(tbl, Some(db))
+          case Seq(cat, db, tbl) => TableIdentifier(tbl, Some(db), Some(cat))
+          case _ => throw new IllegalArgumentException(
+            s"graft SQL: bad clone target ${parts.mkString(".")}")
+        }
+        val catalog = sparkSession.sessionState.catalog
+        if (catalog.tableExists(ti)) {
+          if (ifNotExists)
+            Seq(Row(catalog.getTableMetadata(ti).location.toString))
+          else throw new IllegalArgumentException(
+            s"clone target table ${parts.mkString(".")} already exists " +
+              "(use IF NOT EXISTS to skip)")
+        } else {
+          val tgt = location.getOrElse(catalog.defaultTablePath(ti).toString)
+          VersionedTable.cloneTable(sparkSession, srcPath, tgt, v)
+          sparkSession.sql(
+            s"CREATE TABLE ${parts.map(q => s"`$q`").mkString(".")} " +
+              s"USING graft LOCATION '$tgt'")
+          Seq(Row(tgt))
+        }
+    }
   }
 }
 

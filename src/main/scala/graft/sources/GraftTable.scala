@@ -44,7 +44,12 @@ final class GraftTable private (spark: SparkSession, path: String) {
     * vs sub-second ISO strings); an entry that doesn't parse falls
     * back to string comparison for that entry only. An `asOf` earlier
     * than every commit is a descriptive error, not an NPE. */
-  def restoreToTimestamp(asOf: String, ts: String = "1970-01-01T00:00:00Z"): Long = {
+  def restoreToTimestamp(asOf: String, ts: String = "1970-01-01T00:00:00Z"): Long =
+    VersionedTable.rollback(spark, path, versionAtOrBefore(asOf), ts)
+
+  /** Latest version committed at or before `asOf` — the timestamp →
+    * version resolution RESTORE and SHALLOW CLONE share. */
+  def versionAtOrBefore(asOf: String): Long = {
     // history is O(versions) rows — driver-side resolve is the shape
     // Delta itself uses for timestamp → version
     val hist = history().select("version", "ts").collect()
@@ -59,7 +64,7 @@ final class GraftTable private (spark: SparkSession, path: String) {
     if (atOrBefore.isEmpty) throw new IllegalArgumentException(
       s"no version at or before '$asOf' at $path (earliest commit ts: " +
         s"${hist.map(_._2).minOption.getOrElse("none")})")
-    VersionedTable.rollback(spark, path, atOrBefore.maxBy(_._1)._1, ts)
+    atOrBefore.maxBy(_._1)._1
   }
 
   /** Reclaimable-file count WITHOUT deleting anything (Delta's

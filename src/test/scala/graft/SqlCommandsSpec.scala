@@ -95,6 +95,30 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, path2).count() === 40L)
   }
 
+  test("CREATE TABLE ... SHALLOW CLONE: metadata fork via SQL") {
+    val (path, tbl) = fixture(base, "cl")
+    VersionedTable.commit(Seq((500L, 5000L)).toDF("id", "v"), path,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    val loc = java.nio.file.Files.createTempDirectory("sqlcmd_clone").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS sqlcmd_clone_t")
+    val got = spark.sql(s"CREATE TABLE sqlcmd_clone_t SHALLOW CLONE $tbl " +
+      s"VERSION AS OF 0 LOCATION '$loc'").head.getString(0)
+    assert(got === loc)
+    // clone carries v0's 40 rows, reads through SQL, evolves independently
+    assert(spark.sql("SELECT count(*) FROM sqlcmd_clone_t").head.getLong(0) === 40L)
+    spark.sql("INSERT INTO sqlcmd_clone_t VALUES (777, 7770)")
+    assert(spark.sql("SELECT count(*) FROM sqlcmd_clone_t").head.getLong(0) === 41L)
+    assert(VersionedTable.readVersion(spark, path).count() === 41L) // 40 + appended 1
+    // IF NOT EXISTS: second clone is a no-op returning the existing path
+    val again = spark.sql(s"CREATE TABLE IF NOT EXISTS sqlcmd_clone_t " +
+      s"SHALLOW CLONE $tbl").head.getString(0)
+    assert(again.endsWith(loc) || again === loc)
+    // path-spelled target, head version
+    val p2 = java.nio.file.Files.createTempDirectory("sqlcmd_clone2").toString + "/t2"
+    spark.sql(s"CREATE TABLE graft.`$p2` SHALLOW CLONE '$path'")
+    assert(VersionedTable.readVersion(spark, p2).count() === 41L)
+  }
+
   test("grammar errors speak; everything else reaches Spark's parser") {
     val (_, tbl) = fixture(base, "err")
     val bad = intercept[Exception](spark.sql(s"VACUUM $tbl RETAIN MANY THINGS"))

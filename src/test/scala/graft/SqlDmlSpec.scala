@@ -148,6 +148,38 @@ class SqlDmlSpec extends SparkSpec {
     assert(!passthru.getMessage.contains("graft SQL DML"))
   }
 
+  test("SQL time travel: SELECT ... VERSION AS OF / TIMESTAMP AS OF") {
+    val t = java.nio.file.Files.createTempDirectory("sqldml_tt").toString
+    VersionedTable.commit(Seq((1L, 10L)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(Seq((2L, 20L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-05T00:00:00Z")
+    spark.sql("DROP TABLE IF EXISTS sqldml_tt_t")
+    spark.sql(s"CREATE TABLE sqldml_tt_t USING graft LOCATION '$t'")
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml_tt_t VERSION AS OF 0")
+      .head.getLong(0) === 1L)
+    assert(spark.sql("SELECT count(*) AS n FROM sqldml_tt_t VERSION AS OF 1")
+      .head.getLong(0) === 2L)
+    assert(spark.sql(
+      "SELECT sum(v) AS s FROM sqldml_tt_t TIMESTAMP AS OF '2026-01-03T00:00:00Z'")
+      .head.getLong(0) === 10L)
+    // alias + join with the head read: two snapshots of one table coexist
+    val joined = spark.sql(
+      """SELECT cur.id FROM sqldml_tt_t cur
+        |LEFT ANTI JOIN sqldml_tt_t VERSION AS OF 0 old ON cur.id = old.id
+        |""".stripMargin).collect().map(_.getLong(0)).toSet
+    assert(joined === Set(2L))
+    // non-graft target: the placeholder reconstructs the original node
+    // and Spark's own time-travel judgment speaks, not ours
+    val plainDir = java.nio.file.Files.createTempDirectory("sqldml_tt_plain").toString
+    Seq((1L, 1L)).toDF("id", "v").write.mode("overwrite").parquet(plainDir)
+    spark.sql("DROP TABLE IF EXISTS sqldml_tt_plain")
+    spark.sql(s"CREATE TABLE sqldml_tt_plain USING parquet LOCATION '$plainDir'")
+    val e = intercept[Exception](
+      spark.sql("SELECT * FROM sqldml_tt_plain VERSION AS OF 0").collect())
+    assert(!e.getMessage.contains("graft"))
+  }
+
   test("DML through a temp view over a format-loaded graft relation") {
     val (path, _) = fixture(base, "view")
     spark.read.format("graft").load(path).createOrReplaceTempView("sqldml_view_v")
