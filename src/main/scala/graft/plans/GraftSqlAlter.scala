@@ -1,0 +1,90 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.TableIdentifier
+import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+
+import graft.sources.VersionedTable
+
+/** SQL schema evolution on `USING graft` tables — `ALTER TABLE ...
+  * ADD COLUMNS / RENAME COLUMN / DROP COLUMN` rewritten from Spark's
+  * v2-only plans (which die in checkAnalysis for v1 providers) to the
+  * library's zero-rewrite column-mapping operations, by
+  * [[GraftSqlDml]]. Each command ALSO syncs the session catalog's
+  * stored schema to the new snapshot schema, so DESCRIBE and
+  * field-name resolution stay truthful after the evolution (the
+  * relation itself always serves the manifest schema — see
+  * [[graft.sources.GraftDataSource]]'s SchemaRelationProvider note).
+  * Catalog-name targets only: path-spelled ALTER has no catalog entry
+  * to resolve through. */
+object GraftSqlAlter {
+  private[plans] def syncCatalogSchema(spark: SparkSession,
+      ident: TableIdentifier, path: String): Unit = {
+    // alterTableDataSchema only permits ADDING columns (the v1 catalog
+    // contract); rename/drop need the wholesale metadata replace. The
+    // relation never reads this schema (the manifest is the source of
+    // truth) — the sync exists so DESCRIBE and ALTER field resolution
+    // stay truthful.
+    val catalog = spark.sessionState.catalog
+    val meta = catalog.getTableMetadata(ident)
+    catalog.alterTable(meta.copy(
+      schema = VersionedTable.readVersion(spark, path).schema))
+  }
+}
+
+/** `ALTER TABLE t RENAME COLUMN old TO new` — metadata-only (column
+  * mapping, zero files rewritten), one commit. */
+final case class GraftRenameColumnCommand(path: String,
+    ident: TableIdentifier, oldName: String, newName: String)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.renameColumn(sparkSession, path, oldName, newName)
+    GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t DROP COLUMN[S] c, ...` — metadata-only drops, one
+  * commit per column (the library's drop is single-column; Delta
+  * commits a multi-drop once — recorded deviation, same end state). */
+final case class GraftDropColumnsCommand(path: String,
+    ident: TableIdentifier, columns: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val present = VersionedTable.readVersion(sparkSession, path)
+      .schema.fieldNames.toSet
+    columns.foreach { c =>
+      if (present.contains(c) || !ifExists)
+        VersionedTable.dropColumn(sparkSession, path, c)
+    }
+    GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ADD COLUMNS (c TYPE, ...)` — a zero-row mergeSchema
+  * commit widens the manifest schema; files written before the ADD
+  * read the new columns as NULL (the manifest-schema read path), which
+  * is why the added columns must be nullable — Delta enforces the
+  * same. */
+final case class GraftAddColumnsCommand(path: String,
+    ident: TableIdentifier, colsToAdd: Seq[StructField])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    require(colsToAdd.forall(_.nullable),
+      "ADD COLUMNS on a graft table requires nullable columns — " +
+        "existing rows read the new column as NULL")
+    val cur = VersionedTable.readVersion(sparkSession, path).schema
+    val clash = colsToAdd.map(_.name).filter(n =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty,
+      s"ADD COLUMNS: ${clash.mkString(", ")} already exist(s) at $path")
+    val widened = StructType(cur.fields ++ colsToAdd)
+    val empty = sparkSession.createDataFrame(
+      java.util.Collections.emptyList[Row](), widened)
+    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
+    GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
+    Seq.empty
+  }
+}

@@ -1,11 +1,12 @@
 package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.analysis.{RelationTimeTravel, ResolvedTable, UnresolvedAttribute, UnresolvedRelation}
 import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRelation}
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, Literal, PlanExpression}
+import org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
 import org.apache.spark.sql.types.StringType
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -57,6 +58,36 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       resolveTarget(spark, m.targetTable).fold(m: LogicalPlan) { t =>
         rewriteMerge(spark, m, t)
       }
+    // SQL schema evolution — ALTER TABLE ADD/RENAME/DROP COLUMN. The v2
+    // plans (Rename/Drop) reach checkAnalysis unrewritten for v1 tables
+    // and die there; ADD is converted by ResolveSessionCatalog into the
+    // v1 command, whose run() rejects non-file-format providers. All
+    // three intercept here and route to the zero-rewrite column-mapping
+    // ops, syncing the catalog's stored schema after.
+    case GraftAlterColumn(orig, parts) =>
+      graftMetaParts(spark, parts) match {
+        case None => orig
+        case Some(meta) => orig match {
+          case RenameColumn(_, col, newName) =>
+            if (col.name.length != 1) unsupported(
+              s"RENAME of nested field ${col.name.mkString(".")}; " +
+                "rename the top-level column")
+            GraftRenameColumnCommand(loc(meta), meta.identifier, col.name.head, newName)
+          case DropColumns(_, cols, ifExists) =>
+            val names = cols.map { c =>
+              if (c.name.length != 1) unsupported(
+                s"DROP of nested field ${c.name.mkString(".")}; " +
+                  "drop the top-level column")
+              c.name.head
+            }
+            GraftDropColumnsCommand(loc(meta), meta.identifier, names, ifExists)
+          case other => other
+        }
+      }
+    case ac @ AlterTableAddColumnsCommand(ti, cols) =>
+      graftMeta(spark, ti).fold(ac: LogicalPlan) { meta =>
+        GraftAddColumnsCommand(loc(meta), meta.identifier, cols)
+      }
     // SQL time travel — SELECT ... FROM t VERSION AS OF n / TIMESTAMP AS
     // OF 'ts' (Delta's SQL surface). Spark's own resolution throws
     // timeTravelUnsupportedError for v1 tables BEFORE injected rules run,
@@ -88,6 +119,18 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
   * anything else → the original node, untouched semantics). */
 final case class GraftTimeTravel(relation: UnresolvedRelation,
     timestamp: Option[Expression], version: Option[String])
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
+}
+
+/** Parse-time stand-in for `RenameColumn`/`DropColumns` over an
+  * unresolved table — same trick as [[GraftTimeTravel]]: Spark's
+  * ResolveSessionCatalog throws for v1 tables before injected rules
+  * run, so the original node hides here until [[GraftSqlDml]] decides
+  * by provider (graft → column-mapping command, anything else → the
+  * original node back, untouched). */
+final case class GraftAlterColumn(original: LogicalPlan, parts: Seq[String])
     extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
   override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
   override lazy val resolved: Boolean = false
@@ -143,21 +186,28 @@ object GraftSqlDml {
     }
   }
 
+  /** CatalogTable iff `ti` names a `USING graft` table. */
+  private def graftMeta(spark: SparkSession, ti: org.apache.spark.sql.catalyst.TableIdentifier): Option[CatalogTable] =
+    try Some(spark.sessionState.catalog.getTableMetadata(ti)).filter(isGraft(_))
+    catch { case _: org.apache.spark.sql.AnalysisException => None }
+
+  /** CatalogTable iff the multipart identifier names a `USING graft`
+    * table in the session catalog. */
+  private def graftMetaParts(spark: SparkSession, parts: Seq[String]): Option[CatalogTable] =
+    parts match {
+      case Seq(tbl) => graftMeta(spark, org.apache.spark.sql.catalyst.TableIdentifier(tbl))
+      case Seq(db, tbl) =>
+        graftMeta(spark, org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db)))
+      case Seq(cat, db, tbl) =>
+        graftMeta(spark, org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db), Some(cat)))
+      case _ => None
+    }
+
   /** Storage path iff `parts` names a session-catalog `USING graft`
     * table; None (including on lookup failure) leaves the plan to
     * Spark's own resolution. */
   private def graftCatalogPath(spark: SparkSession, parts: Seq[String]): Option[String] =
-    try {
-      val ti = parts match {
-        case Seq(tbl) => org.apache.spark.sql.catalyst.TableIdentifier(tbl)
-        case Seq(db, tbl) => org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db))
-        case Seq(cat, db, tbl) =>
-          org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some(db), Some(cat))
-        case _ => return None
-      }
-      Some(spark.sessionState.catalog.getTableMetadata(ti))
-        .filter(isGraft(_)).map(loc)
-    } catch { case _: org.apache.spark.sql.AnalysisException => None }
+    graftMetaParts(spark, parts).map(loc)
 
   private def outIds(p: LogicalPlan): Set[ExprId] =
     if (p.resolved) p.output.map(_.exprId).toSet else Set.empty

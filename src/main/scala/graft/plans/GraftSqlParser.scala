@@ -43,6 +43,16 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
             u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation, ts, v) =>
           GraftTimeTravel(u, ts, v)
+        // ALTER RENAME/DROP COLUMN: ResolveSessionCatalog throws for v1
+        // tables before injected rules run — hide the original node the
+        // same way (GraftSqlDml decides by provider and restores it for
+        // non-graft targets)
+        case rc @ org.apache.spark.sql.catalyst.plans.logical.RenameColumn(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _) =>
+          GraftAlterColumn(rc, u.multipartIdentifier)
+        case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _) =>
+          GraftAlterColumn(dc, u.multipartIdentifier)
       }
     }
 

@@ -44,11 +44,24 @@ import org.apache.spark.sql.types.StructType
   * `partitionBy` (comma-separated logical columns, first commit only),
   * `mergeSchema`, and `ts` (commit timestamp) pass through.
   */
-final class GraftDataSource extends RelationProvider
+final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     with CreatableRelationProvider with StreamSourceProvider
     with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
+
+  /** The LOG owns the schema. The session catalog stores a snapshot of
+    * the schema at CREATE TABLE time and hands it back on every read;
+    * honoring it would brick SELECT after any schema evolution that
+    * happened through the library (rename/drop/widen write the manifest,
+    * not the catalog) with "user-specified schema doesn't match". The
+    * manifest schema is the source of truth — exactly Delta's contract —
+    * so the stored (or user-supplied) schema is deliberately ignored and
+    * the live snapshot schema served. SQL-initiated ALTERs keep the
+    * catalog in sync besides (graft.plans.GraftSqlAlter commands). */
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String], schema: StructType): BaseRelation =
+    createRelation(sqlContext, parameters)
 
   private def pathOf(parameters: Map[String, String]): String =
     parameters.getOrElse("path", throw new IllegalArgumentException(
