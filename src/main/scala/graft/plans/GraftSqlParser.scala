@@ -82,6 +82,14 @@ object GraftSqlParser {
 
   private val HistoryR: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+  private val DetailR: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
+  private val ConvertR: Regex =
+    s"""(?is)\\s*CONVERT\\s+TO\\s+GRAFT\\s+(?:'([^']+)'|parquet\\s*\\.\\s*`([^`]+)`)\\s*;?\\s*""".r
+  private val AddConstraintR: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+ADD\\s+CONSTRAINT\\s+([A-Za-z_]\\w*)\\s+CHECK\\s*\\((.+)\\)\\s*;?\\s*""".r
+  private val DropConstraintR: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$T\\s+DROP\\s+CONSTRAINT\\s+(?:(IF\\s+EXISTS)\\s+)?([A-Za-z_]\\w*)\\s*;?\\s*""".r
   private val VacuumR: Regex =
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val OptimizeR: Regex =
@@ -95,12 +103,22 @@ object GraftSqlParser {
   /** Statements that START like a graft command but fail its grammar
     * error here with usage, instead of a baffling delegate parse error. */
   private val LooksGraft: Regex =
-    """(?is)\s*(VACUUM|OPTIMIZE|RESTORE\s.*|DESC(?:RIBE)?\s+HISTORY\s.*)\b.*""".r
+    """(?is)\s*(VACUUM|OPTIMIZE|CONVERT\s+TO\s+GRAFT|RESTORE\s.*|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL)\s.*)\b.*""".r
 
   private[plans] def parseGraftCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
       case HistoryR(p, gp, id) =>
         Some(GraftDescribeHistoryCommand(target(p, gp, id)))
+      case DetailR(p, gp, id) =>
+        Some(GraftDescribeDetailCommand(target(p, gp, id)))
+      case ConvertR(p, pp) =>
+        Some(GraftConvertCommand(Option(p).getOrElse(pp)))
+      case AddConstraintR(p, gp, id, name, expr) =>
+        Some(GraftConstraintCommand(target(p, gp, id), name,
+          Some(expr.trim), ifExists = false))
+      case DropConstraintR(p, gp, id, ine, name) =>
+        Some(GraftConstraintCommand(target(p, gp, id), name, None,
+          ifExists = ine != null))
       case VacuumR(p, gp, id, n, unit, dry) =>
         val (retain, grace) = (Option(n).map(_.toInt), Option(unit).map(_.toUpperCase)) match {
           case (Some(k), Some("VERSIONS")) => (Some(k), None)
@@ -174,6 +192,59 @@ final case class GraftDescribeHistoryCommand(
   override def run(sparkSession: SparkSession): Seq[Row] =
     VersionedTable.history(sparkSession,
       GraftSqlParser.resolvePath(sparkSession, target)).collect().toSeq
+}
+
+/** `DESCRIBE DETAIL` — the one-row table summary (Delta's surface):
+  * head version, file/byte/row counts, partition/constraint/generated/
+  * bloom metadata in logical names. */
+final case class GraftDescribeDetailCommand(
+    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+  private def arr = org.apache.spark.sql.types.ArrayType(StringType)
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("ts", StringType)(),
+    AttributeReference("operation", StringType)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("num_rows", LongType, nullable = false)(),
+    AttributeReference("partition_columns", arr)(),
+    AttributeReference("constraints", arr)(),
+    AttributeReference("generated_columns", arr)(),
+    AttributeReference("bloom_index_columns", arr)(),
+    AttributeReference("num_vectored_files", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    VersionedTable.describeDetail(sparkSession,
+      GraftSqlParser.resolvePath(sparkSession, target)).collect().toSeq
+}
+
+/** `CONVERT TO GRAFT parquet.`/path`` (Delta's CONVERT TO DELTA) —
+  * in-place v0 manifest over the existing parquet files, no rewrite. */
+final case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(VersionedTable.convert(sparkSession, path)))
+}
+
+/** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
+  * `DROP CONSTRAINT [IF EXISTS] name` — metadata-only commits; ADD
+  * validates the current snapshot first (Delta's behavior). */
+final case class GraftConstraintCommand(target: Either[String, Seq[String]],
+    name: String, check: Option[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(sparkSession, target)
+    val v = check match {
+      case Some(expr) => VersionedTable.addConstraint(sparkSession, path, name, expr)
+      case None =>
+        if (ifExists && !VersionedTable.constraintsOf(sparkSession, path).contains(name))
+          VersionedTable.latestVersion(sparkSession, path)
+        else VersionedTable.dropConstraint(sparkSession, path, name)
+    }
+    Seq(Row(v))
+  }
 }
 
 /** `VACUUM [RETAIN n VERSIONS|HOURS] [DRY RUN]` — returns the

@@ -119,6 +119,47 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, p2).count() === 41L)
   }
 
+  test("DESCRIBE DETAIL ≡ library describeDetail") {
+    val (path, tbl) = fixture(base, "dt")
+    val lib = VersionedTable.describeDetail(spark, path).collect().head
+    val sql = spark.sql(s"DESCRIBE DETAIL $tbl").collect().head
+    assert(sql.getLong(0) === lib.getLong(0))
+    assert(sql.getLong(5) === 40L) // num_rows
+    assert(spark.sql(s"DESCRIBE DETAIL graft.`$path`").columns.toSeq ===
+      VersionedTable.describeDetail(spark, path).columns.toSeq)
+  }
+
+  test("CONVERT TO GRAFT: in-place v0 over existing parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("sqlcmd_conv").toString
+    base.repartition(2).write.mode("overwrite").parquet(dir)
+    // remove _SUCCESS-style markers is unnecessary — convert skips _ files
+    val v = spark.sql(s"CONVERT TO GRAFT parquet.`$dir`").head.getLong(0)
+    assert(v === 0L)
+    assert(VersionedTable.readVersion(spark, dir).count() === 40L)
+    // idempotence guard: converting a versioned table refuses
+    val again = intercept[Exception](spark.sql(s"CONVERT TO GRAFT '$dir'"))
+    assert(again.getMessage.contains("already a versioned table"))
+  }
+
+  test("ADD/DROP CONSTRAINT as SQL: validated, enforced, droppable") {
+    val (path, tbl) = fixture(base, "ck")
+    spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT v_pos CHECK (v > 0)")
+    assert(VersionedTable.constraintsOf(spark, path).contains("v_pos"))
+    // enforcement: a violating insert refuses
+    val bad = intercept[Exception](spark.sql(s"INSERT INTO $tbl VALUES (99, -1)"))
+    assert(bad.getMessage.toLowerCase.contains("constraint")
+      || bad.getMessage.contains("v_pos"))
+    // an already-violated constraint refuses to be added
+    val lies = intercept[Exception](
+      spark.sql(s"ALTER TABLE $tbl ADD CONSTRAINT v_huge CHECK (v > 1000)"))
+    assert(lies.getMessage.nonEmpty)
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT v_pos")
+    assert(!VersionedTable.constraintsOf(spark, path).contains("v_pos"))
+    // IF EXISTS tolerates absence; bare DROP refuses
+    spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT IF EXISTS nope")
+    intercept[Exception](spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT nope"))
+  }
+
   test("grammar errors speak; everything else reaches Spark's parser") {
     val (_, tbl) = fixture(base, "err")
     val bad = intercept[Exception](spark.sql(s"VACUUM $tbl RETAIN MANY THINGS"))
