@@ -110,7 +110,45 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           }
           snap.queryExecution.analyzed
       }
+    // Path-based relations — Delta's `delta.`/path`` idiom, no catalog
+    // entry anywhere: `graft.`/p`` in any FROM/USING/INTO position
+    // resolves to the format relation (insertable, DML-able; the DML
+    // cases above match their outer statement first). Parked behind a
+    // placeholder by [[GraftSqlParser]] because Spark's ResolveSQLOnFile
+    // claims `format.`path`` identifiers for direct-file queries and
+    // throws UNSUPPORTED_DATASOURCE_FOR_DIRECT_QUERY for non-FileFormat
+    // sources before injected rules run. Identifiers that are not a
+    // slash-path over a real manifest get the original node back —
+    // catalog resolution (a db literally named graft) or Spark's
+    // table-not-found proceed as if we were never here.
+    case GraftPathRelation(u) =>
+      graftPathOf(spark, u.multipartIdentifier).fold(u: LogicalPlan)(pathRelation(spark, _))
+    // InsertIntoStatement carries its target as a FIELD — substitute
+    // there too (ResolveRelations has its own insert case for the same
+    // reason)
+    case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+      ins.table match {
+        case GraftPathRelation(u) =>
+          graftPathOf(spark, u.multipartIdentifier) match {
+            case Some(p) => ins.copy(table = pathRelation(spark, p))
+            case None => ins.copy(table = u)
+          }
+        case _ => ins
+      }
   }
+
+  private def pathRelation(spark: SparkSession, p: String): LogicalPlan =
+    SubqueryAlias(
+      org.apache.spark.sql.catalyst.AliasIdentifier(p, Seq("graft")),
+      spark.read.format("graft").load(p).queryExecution.analyzed)
+}
+
+/** Parse-time stand-in for an `UnresolvedRelation` spelled
+  * ``graft.`…` `` — see the GraftPathRelation case in [[GraftSqlDml]]. */
+final case class GraftPathRelation(relation: UnresolvedRelation)
+    extends org.apache.spark.sql.catalyst.plans.logical.LeafNode {
+  override def output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute] = Nil
+  override lazy val resolved: Boolean = false
 }
 
 /** Parse-time stand-in for `RelationTimeTravel(UnresolvedRelation)` —
@@ -143,7 +181,8 @@ object GraftSqlDml {
     * (alias, table name, db.table, catalog.db.table — all lowercase),
     * and its snapshot schema for name canonicalization. */
   private final case class Target(path: String, quals: Set[Seq[String]],
-      cols: Seq[String], outIds: Set[ExprId])
+      cols: Seq[String], outIds: Set[ExprId],
+      ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
 
   private def unsupported(msg: String): Nothing =
     throw new UnsupportedOperationException(s"graft SQL DML: $msg")
@@ -175,10 +214,17 @@ object GraftSqlDml {
         case _ => None
       }
       case u: UnresolvedCatalogRelation if isGraft(u.tableMeta) =>
-        Some(Target(loc(u.tableMeta), quals ++ idQuals(u.tableMeta), Seq.empty, outIds(p)))
+        Some(Target(loc(u.tableMeta), quals ++ idQuals(u.tableMeta),
+          Seq.empty, outIds(p), Some(u.tableMeta.identifier)))
       case d: DataSourceV2Relation =>
         Shims.v1Table(d.table).filter(isGraft(_)).map(meta =>
-          Target(loc(meta), quals ++ idQuals(meta), Seq.empty, outIds(p)))
+          Target(loc(meta), quals ++ idQuals(meta), Seq.empty, outIds(p),
+            Some(meta.identifier)))
+      case GraftPathRelation(u) =>
+        graftPathOf(spark, u.multipartIdentifier).map { path =>
+          Target(path, quals ++ Set(Seq(path.toLowerCase),
+            Seq("graft", path.toLowerCase)), Seq.empty, Set.empty)
+        }
       case _ => None
     }
     walk(plan, Set.empty).map { t =>
@@ -203,11 +249,22 @@ object GraftSqlDml {
       case _ => None
     }
 
+  /** Storage path iff `parts` is the path idiom ``graft.`/p` `` over a
+    * real manifest. The slash requirement keeps a database literally
+    * named `graft` resolvable through the catalog. */
+  private def graftPathOf(spark: SparkSession, parts: Seq[String]): Option[String] =
+    parts match {
+      case Seq(g, p) if g.equalsIgnoreCase("graft") && p.contains('/') &&
+          (try VersionedTable.latestVersion(spark, p) >= 0
+           catch { case scala.util.control.NonFatal(_) => false }) => Some(p)
+      case _ => None
+    }
+
   /** Storage path iff `parts` names a session-catalog `USING graft`
-    * table; None (including on lookup failure) leaves the plan to
-    * Spark's own resolution. */
+    * table or is the ``graft.`/p` `` path idiom; None (including on
+    * lookup failure) leaves the plan to Spark's own resolution. */
   private def graftCatalogPath(spark: SparkSession, parts: Seq[String]): Option[String] =
-    graftMetaParts(spark, parts).map(loc)
+    graftPathOf(spark, parts).orElse(graftMetaParts(spark, parts).map(loc))
 
   private def outIds(p: LogicalPlan): Set[ExprId] =
     if (p.resolved) p.output.map(_.exprId).toSet else Set.empty
@@ -345,9 +402,6 @@ object GraftSqlDml {
   }
 
   private def rewriteMerge(spark: SparkSession, m: MergeIntoTable, t: Target): LogicalPlan = {
-    if (m.withSchemaEvolution)
-      unsupported("MERGE ... WITH SCHEMA EVOLUTION is not supported; " +
-        "evolve the schema with a mergeSchema commit first")
     // source alias spellings, then the ANALYZED source for schema +
     // reference ids (analyzing a subtree inside a rule is the standard
     // pattern — Delta's PreprocessTableMerge does the same)
@@ -362,6 +416,9 @@ object GraftSqlDml {
           acc + Seq(u.tableMeta.identifier.table.toLowerCase)
         case d: DataSourceV2Relation =>
           acc ++ Shims.v1Table(d.table).map(meta => Seq(meta.identifier.table.toLowerCase))
+        case GraftPathRelation(u) =>
+          acc ++ graftPathOf(spark, u.multipartIdentifier).toSet[String]
+            .flatMap(p => Set(Seq(p.toLowerCase), Seq("graft", p.toLowerCase)))
         case _ => acc
       }
       aliases(m.sourceTable, Set.empty)
@@ -370,11 +427,22 @@ object GraftSqlDml {
     val ctx = new MergeCtx(t, sQuals, analyzedSource.schema.fieldNames.toSeq,
       analyzedSource.output.map(_.exprId).toSet)
 
+    // WITH SCHEMA EVOLUTION (Delta's): source-only columns widen the
+    // target (nullable, zero-row mergeSchema commit at EXECUTION) before
+    // the merge, so UPDATE SET * / INSERT * carry them and explicit
+    // clauses may assign them
+    val widen: Seq[org.apache.spark.sql.types.StructField] =
+      if (!m.withSchemaEvolution) Seq.empty
+      else analyzedSource.schema.fields.toSeq
+        .filterNot(f => t.cols.exists(_.equalsIgnoreCase(f.name)))
+        .map(_.copy(nullable = true))
+    val tWide = t.copy(cols = t.cols ++ widen.map(_.name))
+
     val keys = conjuncts(m.mergeCondition).map(ctx.keyOf).distinct
     def cond(c: Option[Expression], what: String): Option[String] =
       c.map(ctx.sql(_, what))
     def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] =
-      assigns.map(a => bareKey(a.key, t, what) -> ctx.sql(a.value, what)).toMap
+      assigns.map(a => bareKey(a.key, tWide, what) -> ctx.sql(a.value, what)).toMap
 
     val matched: Seq[VTAction] = m.matchedActions.map {
       case UpdateStarAction(c) => VTAction.Update(cond(c, "WHEN MATCHED"))
@@ -397,7 +465,8 @@ object GraftSqlDml {
       case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN NOT MATCHED BY SOURCE"))
       case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
-    GraftMergeCommand(t.path, analyzedSource, keys, matched, notMatched, bySource)
+    GraftMergeCommand(t.path, analyzedSource, keys, matched, notMatched,
+      bySource, widen, t.ident)
   }
 }
 
@@ -421,12 +490,30 @@ final case class GraftUpdateCommand(path: String, condition: String,
 }
 
 /** SQL `MERGE INTO <graft table> USING <source> ON ... WHEN ...` over
-  * the captured (already analyzed) source plan. */
+  * the captured (already analyzed) source plan. `widen` (from WITH
+  * SCHEMA EVOLUTION) lists source-only columns to add to the target —
+  * a zero-row mergeSchema commit immediately before the merge, so
+  * UPDATE SET * / INSERT * carry them; re-checked against the live
+  * schema at execution (another writer may have widened first). */
 final case class GraftMergeCommand(path: String, source: LogicalPlan,
     keys: Seq[String], matched: Seq[VTAction],
-    notMatched: Seq[VTAction], bySource: Seq[VTAction])
+    notMatched: Seq[VTAction], bySource: Seq[VTAction],
+    widen: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (widen.nonEmpty) {
+      val cur = VersionedTable.readVersion(sparkSession, path).schema
+      val missing = widen.filterNot(f =>
+        cur.fieldNames.exists(_.equalsIgnoreCase(f.name)))
+      if (missing.nonEmpty) {
+        val empty = sparkSession.createDataFrame(
+          java.util.Collections.emptyList[Row](),
+          org.apache.spark.sql.types.StructType(cur.fields ++ missing))
+        VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
+        ident.foreach(ti => GraftSqlAlter.syncCatalogSchema(sparkSession, ti, path))
+      }
+    }
     VersionedTable.mergeClauses(Shims.ofRows(sparkSession, source), path,
       keys, matched, notMatched, bySource)
     Seq.empty

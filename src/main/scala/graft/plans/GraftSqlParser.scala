@@ -53,6 +53,20 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
             u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _) =>
           GraftAlterColumn(dc, u.multipartIdentifier)
+        // graft.`/path` relations: ResolveSQLOnFile claims format.`path`
+        // identifiers and throws for non-FileFormat sources — park them
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+            if GraftSqlParser.graftSpelled(u) =>
+          GraftPathRelation(u)
+        // InsertIntoStatement holds its target as a FIELD (query is the
+        // only child) — transformDown never descends into it
+        case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
+          ins.table match {
+            case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+                if GraftSqlParser.graftSpelled(u) =>
+              ins.copy(table = GraftPathRelation(u))
+            case _ => ins
+          }
       }
     }
 
@@ -76,6 +90,12 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
 
 object GraftSqlParser {
   import scala.util.matching.Regex
+
+  /** An identifier spelled ``graft.`…` `` (the path idiom's shape). */
+  private[plans] def graftSpelled(
+      u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation): Boolean =
+    u.multipartIdentifier.length == 2 &&
+      u.multipartIdentifier.head.equalsIgnoreCase("graft")
 
   /** Target spelling: quoted path | graft.`path` | identifier chain. */
   private val T = """(?:'([^']+)'|graft\s*\.\s*`([^`]+)`|((?:[A-Za-z_][\w]*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_][\w]*|`[^`]+`))*))"""
