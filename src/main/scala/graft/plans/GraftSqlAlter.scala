@@ -19,6 +19,23 @@ import graft.sources.VersionedTable
   * Catalog-name targets only: path-spelled ALTER has no catalog entry
   * to resolve through. */
 object GraftSqlAlter {
+  /** `to` strictly wins the widening lattice over `from` (the commit's
+    * own safe-upcast chain: byte→short→int→long, float→double). */
+  private[plans] def widens(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def rank(d: DataType): Option[Int] = d match {
+      case ByteType => Some(0); case ShortType => Some(1)
+      case IntegerType => Some(2); case LongType => Some(3)
+      case _ => None
+    }
+    (rank(from), rank(to)) match {
+      case (Some(x), Some(y)) => y > x
+      case _ => from == org.apache.spark.sql.types.FloatType &&
+        to == org.apache.spark.sql.types.DoubleType
+    }
+  }
+
   private[plans] def syncCatalogSchema(spark: SparkSession,
       ident: TableIdentifier, path: String): Unit = {
     // alterTableDataSchema only permits ADDING columns (the v1 catalog
@@ -58,6 +75,40 @@ final case class GraftDropColumnsCommand(path: String,
       if (present.contains(c) || !ifExists)
         VersionedTable.dropColumn(sparkSession, path, c)
     }
+    GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t ALTER COLUMN c TYPE <t>` — type WIDENING as a
+  * zero-row mergeSchema commit (int→long, float→double — the
+  * manifest-schema read path upcasts old files on scan); a narrowing
+  * or incompatible change is rejected by the commit's own widen rule,
+  * never recorded. Delta's type-widening table feature, re-derived. */
+final case class GraftAlterColumnTypeCommand(path: String,
+    ident: TableIdentifier, changes: Map[String, org.apache.spark.sql.types.DataType])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val cur = VersionedTable.readVersion(sparkSession, path).schema
+    val unknown = changes.keys.filterNot(n =>
+      cur.fieldNames.exists(_.equalsIgnoreCase(n))).toSeq.sorted
+    require(unknown.isEmpty,
+      s"ALTER COLUMN targets name no table column at $path: ${unknown.mkString(", ")}")
+    // the requested type must WIN the union (the commit unions types, so
+    // a narrowing request would otherwise land as a silent no-op commit)
+    val widened = StructType(cur.fields.map { f =>
+      changes.collectFirst { case (n, dt) if n.equalsIgnoreCase(f.name) => dt }
+        .fold(f) { dt =>
+          require(GraftSqlAlter.widens(f.dataType, dt),
+            s"ALTER COLUMN ${f.name} TYPE ${dt.simpleString} is not a widening " +
+              s"of ${f.dataType.simpleString} (byte→short→int→long, float→double); " +
+              "narrowing would require rewriting every data file")
+          f.copy(dataType = dt)
+        }
+    })
+    val empty = sparkSession.createDataFrame(
+      java.util.Collections.emptyList[Row](), widened)
+    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
     GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
     Seq.empty
   }

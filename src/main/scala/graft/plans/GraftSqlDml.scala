@@ -81,6 +81,18 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
               c.name.head
             }
             GraftDropColumnsCommand(loc(meta), meta.identifier, names, ifExists)
+          case org.apache.spark.sql.catalyst.plans.logical.AlterColumns(_, specs) =>
+            val changes = specs.map { s =>
+              if (s.column.name.length != 1) unsupported(
+                s"ALTER COLUMN on nested field ${s.column.name.mkString(".")}")
+              s.newDataType match {
+                case Some(dt) => s.column.name.head -> dt
+                case None => unsupported(
+                  "ALTER COLUMN on a graft table supports TYPE changes only " +
+                    "(widening; comments/positions/defaults have no manifest home)")
+              }
+            }
+            GraftAlterColumnTypeCommand(loc(meta), meta.identifier, changes.toMap)
           case other => other
         }
       }

@@ -53,6 +53,9 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         case dc @ org.apache.spark.sql.catalyst.plans.logical.DropColumns(
             u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _) =>
           GraftAlterColumn(dc, u.multipartIdentifier)
+        case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _) =>
+          GraftAlterColumn(ac, u.multipartIdentifier)
         // graft.`/path` relations: ResolveSQLOnFile claims format.`path`
         // identifiers and throws for non-FileFormat sources — park them
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation

@@ -73,6 +73,27 @@ class SqlAlterSpec extends SparkSpec {
     assert(!e.getMessage.contains("graft"))
   }
 
+  test("ALTER COLUMN TYPE: widening commit; narrowing rejects") {
+    val t = java.nio.file.Files.createTempDirectory("sqlalter_ty").toString
+    VersionedTable.commit(Seq((1, 10.5f), (2, 20.5f)).toDF("id", "v"), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    spark.sql("DROP TABLE IF EXISTS sqlalter_ty_t")
+    spark.sql(s"CREATE TABLE sqlalter_ty_t USING graft LOCATION '$t'")
+    spark.sql("ALTER TABLE sqlalter_ty_t ALTER COLUMN id TYPE BIGINT")
+    spark.sql("ALTER TABLE sqlalter_ty_t ALTER COLUMN v TYPE DOUBLE")
+    val out = VersionedTable.readVersion(spark, t)
+    assert(out.schema.map(f => (f.name, f.dataType.simpleString)).toSeq ===
+      Seq(("id", "bigint"), ("v", "double")))
+    assert(out.filter(col("id") === 1L).head.getDouble(1) === 10.5)
+    // narrowing refuses through the commit's own widen rule
+    intercept[Exception](
+      spark.sql("ALTER TABLE sqlalter_ty_t ALTER COLUMN id TYPE INT"))
+    // comment/position changes have no manifest home
+    val cm = intercept[Exception](
+      spark.sql("ALTER TABLE sqlalter_ty_t ALTER COLUMN v COMMENT 'x'"))
+    assert(cm.getMessage.contains("TYPE changes only"))
+  }
+
   test("library-side evolution no longer bricks the catalog relation") {
     val (path, tbl) = fixture("beh")
     // rename BEHIND the catalog's back: the stored schema is now stale
