@@ -291,20 +291,29 @@ final case class GraftVacuumCommand(target: Either[String, Seq[String]],
 }
 
 /** `OPTIMIZE [WHERE pred] [ZORDER BY cols]` — compaction commit;
-  * returns the resulting table version. */
+  * returns the resulting version plus Delta-style file metrics (counts
+  * from the manifest log, no data read). A no-op fold (scope < 2
+  * files) reports the unchanged head with equal before/after. */
 final case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     where: Option[String], zorderCols: Seq[String]) extends LeafRunnableCommand {
-  override val output: Seq[Attribute] =
-    Seq(AttributeReference("version", LongType, nullable = false)())
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_before", IntegerType, nullable = false)(),
+    AttributeReference("n_files_after", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
+    val before = VersionedTable.latestVersion(sparkSession, path)
     val v = where match {
       case Some(cond) =>
         VersionedTable.optimizeWhere(sparkSession, path, cond, zorderCols = zorderCols)
       case None =>
         VersionedTable.optimize(sparkSession, path, zorderCols = zorderCols)
     }
-    Seq(Row(v))
+    val files = VersionedTable.history(sparkSession, path)
+      .filter(org.apache.spark.sql.functions.col("version").isin(before, v))
+      .select("version", "n_files").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    Seq(Row(v, files(before), files(v)))
   }
 }
 

@@ -133,6 +133,17 @@ object GraftTable {
     new GraftTable(spark, path)
   }
 
+  /** The `DeltaTable.forName` analog: a session-catalog `USING graft`
+    * table by name (`t`, `db.t`), resolved to its storage path. */
+  def forName(spark: SparkSession, name: String): GraftTable = {
+    val ti = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val meta = spark.sessionState.catalog.getTableMetadata(ti)
+    require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+      s"$name is not a USING graft table (provider: " +
+        s"${meta.provider.getOrElse("none")})")
+    forPath(spark, meta.location.toString)
+  }
+
   /** The `DeltaTable.isDeltaTable` analog — the reference's
     * create-or-merge branch (batch_scoring.py:169) ports directly. */
   def isGraftTable(spark: SparkSession, path: String): Boolean =

@@ -64,8 +64,10 @@ class SqlCommandsSpec extends SparkSpec {
         path, mode = "append", ts = s"2026-01-0${i + 1}T00:00:00Z")
     }
     val before = VersionedTable.readVersion(spark, path).collect().map(_.toSeq).toSet
-    val v = spark.sql(s"OPTIMIZE $tbl").collect().head.getLong(0)
+    val opt = spark.sql(s"OPTIMIZE $tbl").collect().head
+    val v = opt.getLong(0)
     assert(v === 4L)
+    assert(opt.getInt(1) === 4 && opt.getInt(2) === 1) // 4 small files fold to 1
     assert(VersionedTable.readVersion(spark, path).collect().map(_.toSeq).toSet === before)
     assert(VersionedTable.history(spark, path)
       .filter(col("version") === 4).select("n_files").head.getInt(0) === 1)
@@ -158,6 +160,35 @@ class SqlCommandsSpec extends SparkSpec {
     // IF EXISTS tolerates absence; bare DROP refuses
     spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT IF EXISTS nope")
     intercept[Exception](spark.sql(s"ALTER TABLE $tbl DROP CONSTRAINT nope"))
+  }
+
+  test("GraftTable.forName and CREATE TABLE ... AS SELECT") {
+    val (path, tbl) = fixture(base, "nm")
+    val t = graft.sources.GraftTable.forName(spark, tbl)
+    assert(t.version === 0L)
+    assert(t.toDF.count() === 40L)
+    val bad = intercept[Exception](
+      graft.sources.GraftTable.forName(spark, "sqlcmd_plain_never"))
+    assert(bad.getMessage.nonEmpty)
+    // CTAS through the v1 CreatableRelationProvider seam (managed table:
+    // clear any stale warehouse dir a previous run's DROP left behind —
+    // v1 DROP on a non-FileFormat provider does not delete the location)
+    spark.sql("DROP TABLE IF EXISTS sqlcmd_ctas_t")
+    val wh = new java.io.File("spark-warehouse/sqlcmd_ctas_t")
+    if (wh.exists()) {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      rm(wh)
+    }
+    spark.sql(s"CREATE TABLE sqlcmd_ctas_t USING graft AS SELECT * FROM $tbl WHERE id <= 5")
+    assert(spark.sql("SELECT count(*) FROM sqlcmd_ctas_t").head.getLong(0) === 5L)
+    // the CTAS result is a real versioned table (history, time travel)
+    val loc = spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier("sqlcmd_ctas_t"))
+      .location.toString
+    assert(VersionedTable.history(spark, loc).count() === 1L)
   }
 
   test("grammar errors speak; everything else reaches Spark's parser") {
