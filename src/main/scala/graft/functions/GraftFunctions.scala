@@ -128,6 +128,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // DESCRIBE HISTORY / VACUUM / OPTIMIZE / RESTORE (see GraftSqlParser)
     ext.injectParser((session, delegate) =>
       new graft.plans.GraftSqlParser(session, delegate))
+    // SELECT * FROM table_changes('t', 0, 'id') — the SQL CDF face
+    ext.injectTableFunction((
+      FunctionIdentifier("table_changes"),
+      new ExpressionInfo(classOf[graft.sources.GraftDataSource].getName,
+        "table_changes"),
+      exprs => graft.plans.GraftSqlDml.tableChanges(exprs)))
     ()
   }
 }

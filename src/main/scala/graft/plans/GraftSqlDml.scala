@@ -278,6 +278,46 @@ object GraftSqlDml {
   private def graftCatalogPath(spark: SparkSession, parts: Seq[String]): Option[String] =
     graftPathOf(spark, parts).orElse(graftMetaParts(spark, parts).map(loc))
 
+  /** SQL table-valued CDF — the Databricks `table_changes` idiom with
+    * one extra required argument (this CDF classifies update pre/post
+    * pairs by merge key, exactly like the `readChangeFeed` option):
+    * `table_changes('<table or /path>', startingVersion[,
+    * endingVersion], '<keyCols,comma,separated>')`. Routes through the
+    * public CDF read face, so semantics (insert feed at the anchor,
+    * per-commit diffs, `_commit_version`/`_commit_timestamp` stamps)
+    * are identical to
+    * `spark.read.format("graft").option("readChangeFeed", ...)`. */
+  private[graft] def tableChanges(exprs: Seq[Expression]): LogicalPlan = {
+    val spark = SparkSession.active
+    def str(e: Expression, what: String): String = e match {
+      case Literal(v, StringType) if v != null => v.toString
+      case _ => unsupported(s"table_changes: $what must be a string literal")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v: Number, _) => v.longValue()
+      case _ => unsupported(s"table_changes: $what must be an integer literal")
+    }
+    val (target, start, endOpt, keys) = exprs match {
+      case Seq(t, s, k) => (str(t, "target"), lng(s, "startingVersion"),
+        None, str(k, "keyColumns"))
+      case Seq(t, s, e, k) => (str(t, "target"), lng(s, "startingVersion"),
+        Some(lng(e, "endingVersion")), str(k, "keyColumns"))
+      case _ => unsupported(
+        "table_changes(target, startingVersion[, endingVersion], keyColumns)")
+    }
+    val parts =
+      if (target.contains('/')) Seq("graft", target)
+      else spark.sessionState.sqlParser.parseMultipartIdentifier(target)
+    val path = graftCatalogPath(spark, parts).getOrElse(unsupported(
+      s"table_changes: '$target' is not a graft table (by name or path)"))
+    val rd = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", start.toString)
+      .option("keyColumns", keys)
+    endOpt.fold(rd)(e => rd.option("endingVersion", e.toString))
+      .load(path).queryExecution.analyzed
+  }
+
   private def outIds(p: LogicalPlan): Set[ExprId] =
     if (p.resolved) p.output.map(_.exprId).toSet else Set.empty
 

@@ -191,6 +191,26 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.history(spark, loc).count() === 1L)
   }
 
+  test("table_changes TVF: per-commit CDF from SQL") {
+    val (path, tbl) = fixture(base, "tc")
+    VersionedTable.commit(Seq((99L, 990L)).toDF("id", "v"), path,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.delete(spark, path, "id = 99", ts = "2026-01-03T00:00:00Z")
+    // by name: version 1's insert + version 2's delete
+    val byName = spark.sql(
+      s"SELECT _change_type, _commit_version FROM table_changes('$tbl', 1, 'id')")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(byName === Set(("insert", 1L), ("delete", 2L)))
+    // by path + bounded range
+    val byPath = spark.sql(
+      s"SELECT _change_type FROM table_changes('$path', 1, 1, 'id')")
+      .collect().map(_.getString(0)).toSet
+    assert(byPath === Set("insert"))
+    val bad = intercept[Exception](
+      spark.sql("SELECT * FROM table_changes('no_such_tbl_xyz', 0, 'id')").collect())
+    assert(bad.getMessage.contains("not a graft table"))
+  }
+
   test("grammar errors speak; everything else reaches Spark's parser") {
     val (_, tbl) = fixture(base, "err")
     val bad = intercept[Exception](spark.sql(s"VACUUM $tbl RETAIN MANY THINGS"))
