@@ -62,12 +62,19 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
             if GraftSqlParser.graftSpelled(u) =>
           GraftPathRelation(u)
         // InsertIntoStatement holds its target as a FIELD (query is the
-        // only child) — transformDown never descends into it
+        // only child): a placeholder there would also be invisible to
+        // the DML rule's pattern-pruned walk (field bits don't propagate
+        // up), so graft-spelled INSERT targets resolve to the format
+        // relation RIGHT HERE — a filesystem check plus a format load,
+        // no catalog involved, the parser's session in hand
         case ins: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
           ins.table match {
             case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
                 if GraftSqlParser.graftSpelled(u) =>
-              ins.copy(table = GraftPathRelation(u))
+              GraftSqlDml.graftPathOf(spark, u.multipartIdentifier) match {
+                case Some(p) => ins.copy(table = GraftSqlDml.pathRelation(spark, p))
+                case None => ins
+              }
             case _ => ins
           }
       }

@@ -227,6 +227,24 @@ class SqlDmlSpec extends SparkSpec {
     assert(byId(1L) === ((10L, "alpha", null)))   // untouched: new col NULL
   }
 
+  test("concurrent SQL DMLs on disjoint slices both land") {
+    val t = java.nio.file.Files.createTempDirectory("sqldml_race").toString
+    VersionedTable.commit((1L to 40L).toDF("id").withColumn("v", col("id")), t,
+      mode = "overwrite")
+    spark.sql("DROP TABLE IF EXISTS sqldml_race_t")
+    spark.sql(s"CREATE TABLE sqldml_race_t USING graft LOCATION '$t'")
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val f1 = Future(spark.sql("UPDATE sqldml_race_t SET v = v + 100 WHERE id <= 20"))
+    val f2 = Future(spark.sql("UPDATE sqldml_race_t SET v = v + 1000 WHERE id > 20"))
+    Await.result(Future.sequence(Seq(f1, f2)), 120.seconds)
+    val out = VersionedTable.readVersion(spark, t)
+    assert(out.filter(col("id") <= 20 && col("v") === col("id") + 100).count() === 20L)
+    assert(out.filter(col("id") > 20 && col("v") === col("id") + 1000).count() === 20L)
+    assert(VersionedTable.latestVersion(spark, t) === 2L)
+  }
+
   test("DML through a temp view over a format-loaded graft relation") {
     val (path, _) = fixture(base, "view")
     spark.read.format("graft").load(path).createOrReplaceTempView("sqldml_view_v")
