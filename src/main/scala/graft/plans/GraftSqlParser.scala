@@ -124,6 +124,8 @@ object GraftSqlParser {
     s"""(?is)\\s*VACUUM\\s+$T(?:\\s+RETAIN\\s+(\\d+)\\s+(VERSIONS|HOURS))?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val OptimizeR: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*""".r
+  private val ReplaceWhereR: Regex =
+    s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\s.+|VALUES\\s.+|FROM\\s.+|TABLE\\s.+)""".r
   private val CloneR: Regex =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
   private val RestoreVR: Regex =
@@ -156,6 +158,8 @@ object GraftSqlParser {
           case _ => (None, None)
         }
         Some(GraftVacuumCommand(target(p, gp, id), retain, grace, dry != null))
+      case ReplaceWhereR(p, gp, id, cond, query) =>
+        Some(GraftReplaceWhereCommand(target(p, gp, id), cond.trim, query.trim))
       case CloneR(ine, tp, tgp, tid, sp, sgp, sid, v, ts, loc) =>
         Some(GraftCloneCommand(ine != null, target(tp, tgp, tid),
           target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc)))
@@ -321,6 +325,25 @@ final case class GraftOptimizeCommand(target: Either[String, Seq[String]],
       .select("version", "n_files").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     Seq(Row(v, files(before), files(v)))
+  }
+}
+
+/** `INSERT INTO t REPLACE WHERE <cond> <query>` — Delta's
+  * predicate-scoped overwrite (the idempotent backfill shape): rows of
+  * the query replace exactly the condition's scope; only
+  * scope-intersecting files rewrite, the rest carry by reference
+  * ([[VersionedTable.replaceWhere]]). The query text re-parses at
+  * execution through the session parser (which delegates), so any
+  * SELECT/VALUES/TABLE body works. */
+final case class GraftReplaceWhereCommand(target: Either[String, Seq[String]],
+    condition: String, query: String) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("version", LongType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val df = org.apache.spark.sql.graft.Shims.ofRows(sparkSession,
+      sparkSession.sessionState.sqlParser.parseQuery(query))
+    Seq(Row(VersionedTable.replaceWhere(df,
+      GraftSqlParser.resolvePath(sparkSession, target), condition)))
   }
 }
 

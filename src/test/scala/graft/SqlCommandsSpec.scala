@@ -191,6 +191,24 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.history(spark, loc).count() === 1L)
   }
 
+  test("INSERT INTO ... REPLACE WHERE: predicate-scoped overwrite") {
+    val (path, tbl) = fixture(base, "rw")
+    // replace the id<=10 band with recomputed rows; out-of-band carries
+    val v = spark.sql(
+      s"""INSERT INTO $tbl REPLACE WHERE id <= 10
+         |SELECT id, v * 100 AS v FROM $tbl WHERE id <= 10""".stripMargin)
+      .head.getLong(0)
+    assert(v === 1L)
+    val out = VersionedTable.readVersion(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) === 1000L && out(10L) === 10000L)  // replaced band
+    assert(out(11L) === 110L && out(40L) === 400L)    // carried rows
+    assert(out.size === 40)
+    // plain INSERT INTO stays untouched by the new grammar
+    spark.sql(s"INSERT INTO $tbl VALUES (99, 990)")
+    assert(VersionedTable.readVersion(spark, path).count() === 41L)
+  }
+
   test("table_changes TVF: per-commit CDF from SQL") {
     val (path, tbl) = fixture(base, "tc")
     VersionedTable.commit(Seq((99L, 990L)).toDF("id", "v"), path,
