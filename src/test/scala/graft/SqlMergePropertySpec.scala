@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.sources.{GraftTable, VersionedTable}
+
+/** Differential property battery for the SQL MERGE translation: each
+  * round draws a random clause set (conditional/unconditional matched
+  * update/delete, not-matched insert, by-source update/delete) from a
+  * small expression AST that renders TWO ways — SQL text over
+  * nontrivial statement aliases (`tgt`/`src`) and the library's `t`/`s`
+  * dialect — then runs the SQL MERGE against one table and the builder
+  * against its twin. Any divergence in qualifier classification, clause
+  * ordering, or condition fidelity (literals with dots and quotes are
+  * in the value pool) splits the twins. */
+class SqlMergePropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+
+  /** Condition AST rendering to (sql-over-tgt/src, library-over-t/s). */
+  private sealed trait C { def sql: String; def lib: String }
+  private case class Atom(side: String, col: String, op: String, lit: String) extends C {
+    def sql: String = s"${if (side == "t") "tgt" else "src"}.$col $op $lit"
+    def lib: String = s"$side.$col $op $lit"
+  }
+  private case class Not(c: C) extends C {
+    def sql = s"(NOT ${c.sql})"; def lib = s"(NOT ${c.lib})"
+  }
+  private case class Bin(op: String, l: C, r: C) extends C {
+    def sql = s"(${l.sql} $op ${r.sql})"; def lib = s"(${l.lib} $op ${r.lib})"
+  }
+
+  private def atom(sides: Seq[String]): C = {
+    val side = sides(rnd.nextInt(sides.length))
+    rnd.nextInt(4) match {
+      case 0 => Atom(side, "v", Seq("<", ">=", "=")(rnd.nextInt(3)), rnd.nextInt(90).toString)
+      case 1 => Atom(side, "tag", "=", Seq("'t. literal'", "'s.x'", "'it''s'")(rnd.nextInt(3)))
+      case 2 => Atom(side, "id", "%", s"3 = ${rnd.nextInt(3)}") // id % 3 = k
+      case _ => Atom(side, "v", ">", "40")
+    }
+  }
+  private def cond(depth: Int, sides: Seq[String]): C =
+    if (depth == 0) atom(sides)
+    else rnd.nextInt(4) match {
+      case 0 => Bin("AND", cond(depth - 1, sides), cond(depth - 1, sides))
+      case 1 => Bin("OR", cond(depth - 1, sides), cond(depth - 1, sides))
+      case 2 => Not(cond(depth - 1, sides))
+      case _ => atom(sides)
+    }
+
+  private def freshRows(n: Int, base: Long): DataFrame =
+    (0 until n).map { i =>
+      val id = base + i
+      (id, id * 7 % 97, Seq("alpha", "t. literal", "s.x", "it's")(i % 4))
+    }.toDF("id", "v", "tag")
+
+  private def rows(p: String): Set[Seq[Any]] =
+    VersionedTable.readVersion(spark, p).collect().map(_.toSeq.toVector: Seq[Any]).toSet
+
+  test("15 random clause sets: SQL MERGE ≡ merge builder on twin tables") {
+    val a = java.nio.file.Files.createTempDirectory("mrgprop_sql").toString
+    val b = java.nio.file.Files.createTempDirectory("mrgprop_lib").toString
+    val seed = freshRows(50, 0L)
+    VersionedTable.commit(seed, a, mode = "overwrite")
+    VersionedTable.commit(seed, b, mode = "overwrite")
+    spark.sql("DROP TABLE IF EXISTS mrgprop_t")
+    spark.sql(s"CREATE TABLE mrgprop_t USING graft LOCATION '$a'")
+
+    (1 to 15).foreach { i =>
+      // source overlaps ~half the table plus fresh ids
+      val src = freshRows(30, rnd.nextInt(40).toLong)
+        .withColumn("v", col("v") + 100)
+      src.createOrReplaceTempView("mrgprop_src")
+
+      // matched clauses: optionally one conditional, then one unconditional
+      val mUp = cond(1, Seq("t", "s"))
+      val matchedSql = new StringBuilder
+      var builder = GraftTable.forPath(spark, b).merge(src, Seq("id"))
+      if (rnd.nextBoolean()) {
+        matchedSql ++= s"WHEN MATCHED AND ${mUp.sql} THEN DELETE\n"
+        builder = builder.whenMatchedDelete(Some(mUp.lib))
+        matchedSql ++= "WHEN MATCHED THEN UPDATE SET v = src.v\n"
+        builder = builder.whenMatchedUpdate(Map("v" -> "s.v"))
+      } else {
+        matchedSql ++= "WHEN MATCHED THEN UPDATE SET *\n"
+        builder = builder.whenMatchedUpdateAll()
+      }
+      // not matched: conditional insert half the time
+      if (rnd.nextBoolean()) {
+        val nm = cond(1, Seq("s"))
+        matchedSql ++= s"WHEN NOT MATCHED AND ${nm.sql} THEN INSERT *\n"
+        builder = builder.whenNotMatchedInsertAll(Some(nm.lib))
+      } else {
+        matchedSql ++= "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (src.id, src.v, src.tag)\n"
+        builder = builder.whenNotMatchedInsert(
+          Map("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"))
+      }
+      // by source occasionally
+      if (rnd.nextInt(3) == 0) {
+        val bs = cond(1, Seq("t"))
+        matchedSql ++= s"WHEN NOT MATCHED BY SOURCE AND ${bs.sql} THEN UPDATE SET tag = 'swept'\n"
+        builder = builder.whenNotMatchedBySourceUpdate(Map("tag" -> "'swept'"), Some(bs.lib))
+      }
+
+      spark.sql(
+        s"""MERGE INTO mrgprop_t AS tgt USING mrgprop_src AS src
+           |ON tgt.id = src.id
+           |$matchedSql""".stripMargin)
+      builder.execute()
+      assert(rows(a) === rows(b), s"diverged after merge round $i:\n$matchedSql")
+    }
+  }
+}
