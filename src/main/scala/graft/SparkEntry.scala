@@ -975,6 +975,18 @@ object SparkEntry {
         .unionByName(VersionedTable.changes(s, tbl, Seq("event_id"), 1L, 2L)
           .withColumn("step", lit("v1_v2")))
     }),
+    // the SAME feed through the SQL table function (plans/GraftSqlDml
+    // tableChanges — the Databricks table_changes idiom): versions 1..2
+    // of the merge fixture = changes(0,1) ∪ changes(1,2); the commit
+    // stamp maps to vt_c's step label, so ONE oracle shape pins both
+    // the option-based CDF reader and the TVF
+    "vt_tc" -> ((s, dir) => {
+      val tbl = buildMergeTable(s, dir)
+      s.sql(s"SELECT * FROM table_changes('$tbl', 1, 2, 'event_id')")
+        .withColumn("step", concat(lit("v"), col("_commit_version") - 1,
+          lit("_v"), col("_commit_version")))
+        .drop("_commit_version", "_commit_timestamp")
+    }),
     "a_dem" -> ((s, dir) => Aggregates.demandHourlyByZone(silver(s, dir))),
     // incremental materialized-view maintenance: the standing zone×hour
     // revenue view updated by MERGING the last day's batch into the
@@ -2178,6 +2190,27 @@ object SparkEntry {
     // arithmetic is *2 and <50 comparisons only (exact in binary FP,
     // no accumulation → bit-exact across engines)
     "vt_c" ->
+      s"""$silverCte,
+         |base AS (SELECT event_id, event_type, value FROM silver),
+         |feed AS (
+         |  SELECT event_id, event_type, value, 'insert' AS _change_type,
+         |         'v0_v1' AS step
+         |  FROM base WHERE event_type = 'click'
+         |  UNION ALL
+         |  SELECT event_id, event_type, value, 'update_preimage', 'v0_v1'
+         |  FROM base WHERE event_type = 'signup' AND event_id % 3 = 0
+         |    AND value IS NOT NULL AND value <> 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value * 2, 'update_postimage', 'v0_v1'
+         |  FROM base WHERE event_type = 'signup' AND event_id % 3 = 0
+         |    AND value IS NOT NULL AND value <> 0
+         |  UNION ALL
+         |  SELECT event_id, event_type, value, 'delete', 'v1_v2'
+         |  FROM base WHERE event_type = 'click' AND value < 50
+         |) SELECT * FROM feed""".stripMargin,
+
+    // identical feed, read through the table_changes TVF
+    "vt_tc" ->
       s"""$silverCte,
          |base AS (SELECT event_id, event_type, value FROM silver),
          |feed AS (
