@@ -126,10 +126,6 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       val tsOpt = parameters.get("timestampAsOf")
       require(vOpt.isEmpty || tsOpt.isEmpty,
         "specify at most one of versionAsOf / timestampAsOf")
-      // same pinning for the head read: resolve "latest" once at
-      // relation construction (Delta pins its snapshot at analysis),
-      // so schema and scan always come from the SAME version even if a
-      // writer commits between them
       // the PLAIN head read resolves "latest" AT SCAN TIME (the v1
       // norm — the catalog caches relation instances across statements,
       // so a construction-time pin would serve stale data to a SQL
@@ -266,29 +262,51 @@ object GraftRelation {
   private def simple(name: String): Boolean =
     name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_')
 
-  private[sources] def toColumn(f: Filter): Option[Column] = f match {
-    case EqualTo(a, v) if simple(a) => Some(col(a) === lit(v))
-    case EqualNullSafe(a, v) if simple(a) => Some(col(a) <=> lit(v))
-    case GreaterThan(a, v) if simple(a) => Some(col(a) > lit(v))
-    case GreaterThanOrEqual(a, v) if simple(a) => Some(col(a) >= lit(v))
-    case LessThan(a, v) if simple(a) => Some(col(a) < lit(v))
-    case LessThanOrEqual(a, v) if simple(a) => Some(col(a) <= lit(v))
-    case In(a, vs) if simple(a) => Some(col(a).isInCollection(vs.toSeq))
-    case IsNull(a) if simple(a) => Some(col(a).isNull)
-    case IsNotNull(a) if simple(a) => Some(col(a).isNotNull)
-    case StringStartsWith(a, v) if simple(a) => Some(col(a).startsWith(v))
-    case StringEndsWith(a, v) if simple(a) => Some(col(a).endsWith(v))
-    case StringContains(a, v) if simple(a) => Some(col(a).contains(v))
-    case And(l, r) => (toColumn(l), toColumn(r)) match {
-      // a one-sided AND push is still sound (it only widens)
-      case (Some(lc), Some(rc)) => Some(lc && rc)
-      case (one, other) => one.orElse(other)
+  /** A translated predicate plus whether the translation is EXACT.
+    * Non-exact means WIDER than the source filter (it may keep extra
+    * rows) — sound to apply in positive polarity only, because Spark
+    * re-evaluates the original predicate above the scan. The one
+    * widening source is the one-sided `And` push below. */
+  private final case class Translated(column: Column, exact: Boolean)
+
+  private def translate(f: Filter): Option[Translated] = {
+    def exactly(c: Column): Option[Translated] = Some(Translated(c, exact = true))
+    f match {
+      case EqualTo(a, v) if simple(a) => exactly(col(a) === lit(v))
+      case EqualNullSafe(a, v) if simple(a) => exactly(col(a) <=> lit(v))
+      case GreaterThan(a, v) if simple(a) => exactly(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) if simple(a) => exactly(col(a) >= lit(v))
+      case LessThan(a, v) if simple(a) => exactly(col(a) < lit(v))
+      case LessThanOrEqual(a, v) if simple(a) => exactly(col(a) <= lit(v))
+      case In(a, vs) if simple(a) => exactly(col(a).isInCollection(vs.toSeq))
+      case IsNull(a) if simple(a) => exactly(col(a).isNull)
+      case IsNotNull(a) if simple(a) => exactly(col(a).isNotNull)
+      case StringStartsWith(a, v) if simple(a) => exactly(col(a).startsWith(v))
+      case StringEndsWith(a, v) if simple(a) => exactly(col(a).endsWith(v))
+      case StringContains(a, v) if simple(a) => exactly(col(a).contains(v))
+      case And(l, r) => (translate(l), translate(r)) match {
+        case (Some(lc), Some(rc)) =>
+          Some(Translated(lc.column && rc.column, lc.exact && rc.exact))
+        // a one-sided AND push is sound in positive polarity (it only
+        // widens) — but it is NOT exact, so it must never flow under Not
+        case (one, other) =>
+          one.orElse(other).map(t => Translated(t.column, exact = false))
+      }
+      // OR of widened children is still (only) widened: l'⊇l, r'⊇r ⇒
+      // l'∨r' ⊇ l∨r. Exact only when both children are exact.
+      case Or(l, r) =>
+        for { lc <- translate(l); rc <- translate(r) }
+          yield Translated(lc.column || rc.column, lc.exact && rc.exact)
+      // Not FLIPS polarity: ¬(widened) is NARROWER than ¬(original) and
+      // would silently drop rows at the scan — push only over an EXACT
+      // child.
+      case Not(c) => translate(c).collect {
+        case Translated(cc, true) => Translated(!cc, exact = true)
+      }
+      case _ => None
     }
-    // OR/NOT push only when BOTH/the child translate fully — a partial
-    // OR would be narrower than the original predicate
-    case Or(l, r) =>
-      for { lc <- toColumn(l); rc <- toColumn(r) } yield lc || rc
-    case Not(c) => toColumn(c).map(!_)
-    case _ => None
   }
+
+  private[graft] def toColumn(f: Filter): Option[Column] =
+    translate(f).map(_.column)
 }
