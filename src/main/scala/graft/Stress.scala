@@ -93,6 +93,11 @@ object Stress {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("cdf")) {
+      cdfDeepBackfillLine(spark)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -834,6 +839,39 @@ object Stress {
         f"log bounded at $nManifests manifests + $nCheckpoints checkpoints; 1000 rows exact")
     }
 
+    cdfDeepBackfillLine(spark)
+
     spark.stop()
+  }
+
+  /** BATCH CDF over a 1,000-version log — the deep-backfill shape
+    * (`startingVersion` far behind the head). Gates the balanced-union
+    * plan: a left-leaning 1,000-leg union is O(legs) plan depth and
+    * quadratic analysis; the balanced tree must keep ANALYSIS time in
+    * seconds and leave execution linear in the per-commit diffs. */
+  private def cdfDeepBackfillLine(spark: SparkSession): Unit = {
+    import graft.sources.VersionedTable
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_cdf")}/deep"
+    val one = spark.range(1).selectExpr("id", "id * 10 AS v").coalesce(1)
+    (0 until 1000).foreach { i =>
+      VersionedTable.commit(one, path,
+        mode = if (i == 0) "overwrite" else "append",
+        ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
+    }
+    val t0 = System.nanoTime()
+    val feed = spark.read.format("graft")
+      .option("readChangeFeed", "true")
+      .option("startingVersion", "0")
+      .option("keyColumns", "id")
+      .load(path)
+    feed.queryExecution.optimizedPlan // force analysis + optimization
+    val planS = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val n = feed.count()
+    val execS = (System.nanoTime() - t1) / 1e9
+    require(n == 1000L, s"1,000-version feed lost commits: $n rows")
+    require(planS < 120.0,
+      f"batch CDF analysis blew up at 1k versions: $planS%.1f s")
+    println(f"STRESS cdf_batch_1kversions   plan $planS%.2f s + exec $execS%.2f s ($n change rows)")
   }
 }

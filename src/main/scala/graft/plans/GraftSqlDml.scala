@@ -57,11 +57,13 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
       }
     case u @ UpdateTable(target, assignments, cond) =>
       resolveTarget(spark, target).fold(u: LogicalPlan) { t =>
-        val set = assignments.map { a =>
+        val pairs = assignments.map { a =>
           bareKey(a.key, t, "UPDATE SET") -> bareSql(a.value, t, "UPDATE")
-        }.toMap
+        }
+        dupTargets(pairs.map(_._1)).foreach(d => unsupported(
+          s"duplicate UPDATE SET target(s): ${d.mkString(", ")}"))
         GraftUpdateCommand(t.path,
-          cond.map(bareSql(_, t, "UPDATE")).getOrElse("true"), set)
+          cond.map(bareSql(_, t, "UPDATE")).getOrElse("true"), pairs.toMap)
       }
     case m: MergeIntoTable =>
       resolveTarget(spark, m.targetTable).fold(m: LogicalPlan) { t =>
@@ -127,7 +129,9 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
           val snap = ts match {
             case Some(t) => VersionedTable.readAsOf(spark, path, t)
             case None => VersionedTable.readVersion(spark, path,
-              vOpt.map(_.toLong).getOrElse(-1L))
+              vOpt.map(v => scala.util.Try(v.toLong).getOrElse(unsupported(
+                s"VERSION AS OF must be an integer for graft tables, got '$v'")))
+                .getOrElse(-1L))
           }
           snap.queryExecution.analyzed
       }
@@ -382,6 +386,16 @@ object GraftSqlDml {
   private def canonical(name: String, cols: Seq[String]): Option[String] =
     cols.find(_ == name).orElse(cols.find(_.equalsIgnoreCase(name)))
 
+  /** Duplicate assignment targets (post-canonicalization) — Spark and
+    * Delta raise on `SET v = 1, v = 2`; a silent last-wins `.toMap`
+    * would not. */
+  private def dupTargets(keys: Seq[String]): Option[Seq[String]] = {
+    val d = keys.groupBy(_.toLowerCase).collect {
+      case (_, ks) if ks.size > 1 => ks.head
+    }.toSeq
+    if (d.nonEmpty) Some(d) else None
+  }
+
   private def conjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => conjuncts(l) ++ conjuncts(r)
     case x => Seq(x)
@@ -397,6 +411,18 @@ object GraftSqlDml {
     private val tLower = target.cols.map(_.toLowerCase).toSet
     private val sLower = sCols.map(_.toLowerCase).toSet
 
+    /** Source-column renames (lowercase original → target-canonical
+      * name) induced by differently-named ON keys (`ON t.id =
+      * s.customer_id`). Set once after key extraction; from then on
+      * every source-side reference re-renders under its NEW name, so
+      * clause strings agree with the renamed source plan the command
+      * executes against. */
+    private var sRenames: Map[String, String] = Map.empty
+    def setRenames(m: Map[String, String]): Unit = { sRenames = m }
+
+    private def renamed(parts: Seq[String]): Seq[String] =
+      sRenames.get(parts.head.toLowerCase).map(_ +: parts.tail).getOrElse(parts)
+
     def rewrite(e: Expression, what: String): Expression = {
       guard(e, what)
       e.transformUp {
@@ -404,13 +430,13 @@ object GraftSqlDml {
           stripQual(a.nameParts, target.quals) match {
             case Some(rest) => UnresolvedAttribute("t" +: rest)
             case None => stripQual(a.nameParts, sQuals) match {
-              case Some(rest) => UnresolvedAttribute("s" +: rest)
+              case Some(rest) => UnresolvedAttribute("s" +: renamed(rest))
               case None => classify(a.nameParts, what)
             }
           }
         case ar: AttributeReference =>
           if (target.outIds(ar.exprId)) UnresolvedAttribute(Seq("t", ar.name))
-          else if (sIds(ar.exprId)) UnresolvedAttribute(Seq("s", ar.name))
+          else if (sIds(ar.exprId)) UnresolvedAttribute("s" +: renamed(Seq(ar.name)))
           else classify(Seq(ar.name), what)
       }
     }
@@ -422,7 +448,7 @@ object GraftSqlDml {
           s"ambiguous column ${parts.mkString(".")} in $what — " +
             "it exists on both merge sides; qualify with the target or source alias")
         case (true, false) => UnresolvedAttribute("t" +: parts)
-        case (false, true) => UnresolvedAttribute("s" +: parts)
+        case (false, true) => UnresolvedAttribute("s" +: renamed(parts))
         case _ => unsupported(
           s"unknown column ${parts.mkString(".")} in $what (target: " +
             s"${target.cols.mkString(", ")}; source: ${sCols.mkString(", ")})")
@@ -431,23 +457,31 @@ object GraftSqlDml {
 
     def sql(e: Expression, what: String): String = rewrite(e, what).sql
 
-    /** ON-clause conjunct → shared key column name; the library merges
-      * on key EQUALITY (Delta's dominant shape — the reference merges on
-      * pk+run equality, batch_scoring.py:190), so anything else refuses
-      * loudly rather than silently reclassifying matched rows. */
-    def keyOf(e: Expression): String = e match {
+    /** ON-clause conjunct → (target column, source column) key pair; the
+      * library merges on key EQUALITY (Delta's dominant shape — the
+      * reference merges on pk+run equality, batch_scoring.py:190), so
+      * anything non-equi refuses loudly rather than silently
+      * reclassifying matched rows. Differently-named keys are accepted:
+      * [[rewriteMerge]] renames the source column to the target's name
+      * before handing off to mergeClauses. */
+    def keyPairOf(e: Expression): (String, String) = e match {
       case EqualTo(l, r) =>
+        def pair(tc: String, sc: String): (String, String) = (
+          canonical(tc, target.cols).getOrElse(unsupported(
+            s"ON key $tc names no target column " +
+              s"(target columns: ${target.cols.mkString(", ")})")),
+          canonical(sc, sCols).getOrElse(unsupported(
+            s"ON key $sc names no source column " +
+              s"(source columns: ${sCols.mkString(", ")})")))
         (side(l), side(r)) match {
-          case (Some(("t", lc)), Some(("s", rc))) if lc.equalsIgnoreCase(rc) =>
-            canonical(lc, target.cols).get
-          case (Some(("s", lc)), Some(("t", rc))) if lc.equalsIgnoreCase(rc) =>
-            canonical(rc, target.cols).get
+          case (Some(("t", lc)), Some(("s", rc))) => pair(lc, rc)
+          case (Some(("s", lc)), Some(("t", rc))) => pair(rc, lc)
           case (Some((a, lc)), Some((b, rc))) if a == b => unsupported(
             s"ON condition ${e.sql} compares two $a-side columns ($lc, $rc); " +
               "each conjunct must equate a target column with a source column")
           case _ => unsupported(
             s"ON condition ${e.sql} is not a target-column = source-column " +
-              "equality of same-named columns; graft MERGE keys on shared column names")
+              "equality; graft MERGE keys on column equality only")
         }
       case other => unsupported(
         s"ON condition conjunct ${other.sql} is not an equality; " +
@@ -485,8 +519,43 @@ object GraftSqlDml {
       aliases(m.sourceTable, Set.empty)
     }
     val analyzedSource = Shims.ofRows(spark, m.sourceTable).queryExecution.analyzed
-    val ctx = new MergeCtx(t, sQuals, analyzedSource.schema.fieldNames.toSeq,
+    val sourceCols = analyzedSource.schema.fieldNames.toSeq
+    val ctx = new MergeCtx(t, sQuals, sourceCols,
       analyzedSource.output.map(_.exprId).toSet)
+
+    // ON keys may be differently named (`ON t.id = s.customer_id` —
+    // Delta's dominant CDC shape): the source column is renamed to the
+    // target's name in ONE atomic projection before mergeClauses, and
+    // every later s-side reference re-renders under the new name. Swaps
+    // are fine (atomic projection); a rename landing on a name another
+    // surviving source column still holds is refused loudly.
+    val keyPairs = conjuncts(m.mergeCondition).map(ctx.keyPairOf).distinct
+    keyPairs.groupBy(_._1.toLowerCase).valuesIterator
+      .find(_.map(_._2.toLowerCase).distinct.size > 1)
+      .foreach(ps => unsupported(s"ON equates target column ${ps.head._1} " +
+        s"with multiple source columns: ${ps.map(_._2).mkString(", ")}"))
+    keyPairs.groupBy(_._2.toLowerCase).valuesIterator
+      .find(_.map(_._1.toLowerCase).distinct.size > 1)
+      .foreach(ps => unsupported(s"ON equates source column ${ps.head._2} " +
+        s"with multiple target columns: ${ps.map(_._1).mkString(", ")}"))
+    val renames: Map[String, String] = keyPairs.collect {
+      case (tc, sc) if !sc.equalsIgnoreCase(tc) => sc.toLowerCase -> tc
+    }.toMap
+    val renamedSource =
+      if (renames.isEmpty) analyzedSource
+      else {
+        val finalNames = sourceCols.map(c => renames.getOrElse(c.toLowerCase, c))
+        val dup = finalNames.groupBy(_.toLowerCase).collectFirst {
+          case (_, ns) if ns.size > 1 => ns.head
+        }
+        dup.foreach(n => unsupported(
+          s"renaming ON source key(s) to target names collides on column $n; " +
+            "alias the conflicting source column away before MERGE"))
+        ctx.setRenames(renames)
+        Shims.ofRows(spark, analyzedSource)
+          .withColumnsRenamed(renames.map { case (from, to) => from -> to })
+          .queryExecution.analyzed
+      }
 
     // WITH SCHEMA EVOLUTION (Delta's): source-only columns widen the
     // target (nullable, zero-row mergeSchema commit at EXECUTION) before
@@ -494,16 +563,21 @@ object GraftSqlDml {
     // clauses may assign them
     val widen: Seq[org.apache.spark.sql.types.StructField] =
       if (!m.withSchemaEvolution) Seq.empty
-      else analyzedSource.schema.fields.toSeq
+      else renamedSource.schema.fields.toSeq
         .filterNot(f => t.cols.exists(_.equalsIgnoreCase(f.name)))
         .map(_.copy(nullable = true))
     val tWide = t.copy(cols = t.cols ++ widen.map(_.name))
 
-    val keys = conjuncts(m.mergeCondition).map(ctx.keyOf).distinct
+    val keys = keyPairs.map(_._1).distinct
     def cond(c: Option[Expression], what: String): Option[String] =
       c.map(ctx.sql(_, what))
-    def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] =
-      assigns.map(a => bareKey(a.key, tWide, what) -> ctx.sql(a.value, what)).toMap
+    def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] = {
+      val pairs = assigns.map(a =>
+        bareKey(a.key, tWide, what) -> ctx.sql(a.value, what))
+      dupTargets(pairs.map(_._1)).foreach(d => unsupported(
+        s"duplicate $what target(s): ${d.mkString(", ")}"))
+      pairs.toMap
+    }
 
     val matched: Seq[VTAction] = m.matchedActions.map {
       case UpdateStarAction(c) => VTAction.Update(cond(c, "WHEN MATCHED"))
@@ -526,7 +600,7 @@ object GraftSqlDml {
       case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN NOT MATCHED BY SOURCE"))
       case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
-    GraftMergeCommand(t.path, analyzedSource, keys, matched, notMatched,
+    GraftMergeCommand(t.path, renamedSource, keys, matched, notMatched,
       bySource, widen, t.ident)
   }
 }

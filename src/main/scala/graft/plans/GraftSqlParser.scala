@@ -125,7 +125,7 @@ object GraftSqlParser {
   private val OptimizeR: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$T(?:\\s+WHERE\\s+(.+?))??(?:\\s+ZORDER\\s+BY\\s+\\(?\\s*([\\w`,\\s]+?)\\s*\\)?)?\\s*;?\\s*""".r
   private val ReplaceWhereR: Regex =
-    s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+?)\\s+(SELECT\\s.+|VALUES\\s.+|FROM\\s.+|TABLE\\s.+)""".r
+    s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+)""".r
   private val CloneR: Regex =
     s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
   private val RestoreVR: Regex =
@@ -158,8 +158,14 @@ object GraftSqlParser {
           case _ => (None, None)
         }
         Some(GraftVacuumCommand(target(p, gp, id), retain, grace, dry != null))
-      case ReplaceWhereR(p, gp, id, cond, query) =>
-        Some(GraftReplaceWhereCommand(target(p, gp, id), cond.trim, query.trim))
+      case ReplaceWhereR(p, gp, id, rest) =>
+        val (cond, query) = splitReplaceWhere(rest).getOrElse(
+          throw new IllegalArgumentException(
+            "graft SQL: INSERT INTO <t> REPLACE WHERE <condition> " +
+              "<SELECT|VALUES|FROM|TABLE ...> — no query found after the " +
+              "condition (a query keyword inside quotes or parentheses " +
+              "does not start the query)"))
+        Some(GraftReplaceWhereCommand(target(p, gp, id), cond, query))
       case CloneR(ine, tp, tgp, tid, sp, sgp, sid, v, ts, loc) =>
         Some(GraftCloneCommand(ine != null, target(tp, tgp, tid),
           target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc)))
@@ -178,6 +184,42 @@ object GraftSqlParser {
           "RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF ...")
       case _ => None
     }
+
+  /** Split "condition query" at the first SELECT/VALUES/FROM/TABLE
+    * keyword sitting OUTSIDE single-quoted literals, backtick
+    * identifiers, and parentheses — so a condition like
+    * `tag = 'from paris'` or `id IN (SELECT ...)` never donates its
+    * embedded keyword as the query boundary (the naive first-token
+    * split misparsed both into a garbage condition+query pair). */
+  private def splitReplaceWhere(rest: String): Option[(String, String)] = {
+    val kw = Set("select", "values", "from", "table")
+    var depth = 0; var inQ = false; var inB = false
+    var i = 0
+    while (i < rest.length) {
+      val c = rest.charAt(i)
+      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      else if (inB) { if (c == '`') inB = false; i += 1 }
+      else c match {
+        case '\'' => inQ = true; i += 1
+        case '`' => inB = true; i += 1
+        case '(' => depth += 1; i += 1
+        case ')' => depth -= 1; i += 1
+        case _ if depth == 0 && (c.isLetter || c == '_') &&
+            (i == 0 || { val p = rest.charAt(i - 1)
+              !p.isLetterOrDigit && p != '_' }) =>
+          var j = i
+          while (j < rest.length && { val x = rest.charAt(j)
+            x.isLetterOrDigit || x == '_' }) j += 1
+          val word = rest.substring(i, j).toLowerCase(java.util.Locale.ROOT)
+          if (kw(word) && i > 0 && rest.substring(0, i).trim.nonEmpty)
+            return Some((rest.substring(0, i).trim,
+              rest.substring(i).trim.stripSuffix(";").trim))
+          i = j
+        case _ => i += 1
+      }
+    }
+    None
+  }
 
   /** Regex groups → target: quoted path, graft.`path`, or identifier. */
   private def target(p: String, gp: String, id: String): Either[String, Seq[String]] =
@@ -291,12 +333,19 @@ final case class GraftVacuumCommand(target: Either[String, Seq[String]],
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
     val retain = retainVersions.getOrElse(2)
-    val n =
-      if (dryRun) VersionedTable.vacuumReclaimable(sparkSession, path, retain)
-      else graceMs match {
-        case Some(g) => VersionedTable.vacuum(sparkSession, path, retain, graceMs = g)
-        case None => VersionedTable.vacuum(sparkSession, path, retain)
-      }
+    // DRY RUN uses the SAME grace (incl. the 7-day default) as the real
+    // vacuum — it must report exactly what `VACUUM` would delete today,
+    // not every dead-but-still-young file (Delta's DRY RUN contract)
+    val n = (dryRun, graceMs) match {
+      case (true, Some(g)) =>
+        VersionedTable.vacuumReclaimable(sparkSession, path, retain, graceMs = g)
+      case (true, None) =>
+        VersionedTable.vacuumReclaimable(sparkSession, path, retain)
+      case (false, Some(g)) =>
+        VersionedTable.vacuum(sparkSession, path, retain, graceMs = g)
+      case (false, None) =>
+        VersionedTable.vacuum(sparkSession, path, retain)
+    }
     Seq(Row(n))
   }
 }

@@ -198,7 +198,7 @@ object GraftDataSource {
       s"readChangeFeed range invalid: startingVersion=$start endingVersion=$end")
     val tsOf = VT.history(spark, path).select("version", "ts").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
-    (start to end).map { v =>
+    val legs = (start to end).map { v =>
       val f =
         if (v == 0L || !VT.hasVersion(spark, path, v - 1))
           VT.readVersion(spark, path, v)
@@ -206,7 +206,20 @@ object GraftDataSource {
         else VT.changes(spark, path, keys, v - 1, v)
       f.withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", lit(tsOf.getOrElse(v, null)))
-    }.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    // BALANCED union, not reduce: a left-leaning chain over a deep
+    // startingVersion (1,000+ commits back) is O(legs) plan DEPTH —
+    // analysis re-walks each Union spine per rule, quadratic driver
+    // time, and eventually a StackOverflow. The balanced tree is
+    // O(log legs) deep; per-commit manifest resolution stays the
+    // linear part, exactly like Delta's per-commit CDF file index.
+    def union(ls: IndexedSeq[DataFrame]): DataFrame =
+      if (ls.size == 1) ls.head
+      else {
+        val (a, b) = ls.splitAt(ls.size / 2)
+        union(a).unionByName(union(b), allowMissingColumns = true)
+      }
+    union(legs)
   }
 }
 

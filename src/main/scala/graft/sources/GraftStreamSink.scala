@@ -20,9 +20,17 @@ import org.apache.spark.sql.streaming.OutputMode
   * shape). Options: `partitionBy` also accepted via the writer's
   * `partitionBy(...)` clause; `autoCompactEvery` = fold small files
   * every Nth committed batch (`smallBytes` threshold, default 8 MB) —
-  * replayed batches never trigger it. Commit timestamps default to
-  * EPOCH+batchId seconds (deterministic, strictly increasing); pass
-  * `tsBaseEpochSec` to anchor them elsewhere. */
+  * replayed batches never trigger it.
+  *
+  * Commit timestamps are `tsBase + batchId` seconds, where the base
+  * DEFAULTS TO WALL CLOCK at sink construction: age-based retention
+  * (`VACUUM ... RETAIN n HOURS`, `restoreToTimestamp`, the 7-day
+  * vacuum grace) must see sink commits as CURRENT — an EPOCH-anchored
+  * base would make every commit look 56 years stale, vacuously passing
+  * every retention cutoff and silently disarming the in-flight-commit
+  * grace protection. Pass `tsBaseEpochSec` for deterministic
+  * timestamps (tests, reproducible fixtures) — with it set, age-based
+  * VACUUM on the sink table is on the caller to reason about. */
 final class GraftStreamSink(spark: SparkSession, path: String,
     options: Map[String, String], partitionCols: Seq[String],
     outputMode: OutputMode) extends Sink {
@@ -32,7 +40,8 @@ final class GraftStreamSink(spark: SparkSession, path: String,
   private val smallBytes =
     options.get("smallbytes").map(_.trim.toLong).getOrElse(8L * 1024 * 1024)
   private val tsBase =
-    options.get("tsbaseepochsec").map(_.trim.toLong).getOrElse(0L)
+    options.get("tsbaseepochsec").map(_.trim.toLong)
+      .getOrElse(java.time.Instant.now().getEpochSecond)
   private val mode =
     if (outputMode == OutputMode.Complete()) "overwrite" else "append"
 

@@ -68,12 +68,15 @@ final class GraftTable private (spark: SparkSession, path: String) {
   }
 
   /** Reclaimable-file count WITHOUT deleting anything (Delta's
-    * `VACUUM ... DRY RUN`): live files of the retained versions and
-    * clone-pinned files are excluded, exactly as the real vacuum
-    * excludes them, but the grace window is ignored — the dry run
-    * answers "what is dead", not "what is old enough today". */
-  def vacuumDryRun(retainVersions: Int = 2): Int =
-    VersionedTable.vacuumReclaimable(spark, path, retainVersions)
+    * `VACUUM ... DRY RUN`): exactly the files a real vacuum with the
+    * same `retainVersions`/`graceMs` would delete — live files of the
+    * retained versions and clone-pinned files excluded, and the grace
+    * window applied (a fresh table reports 0, like the `VACUUM` it
+    * previews). Pass `graceMs = 0` to ask "what is dead" regardless of
+    * age. */
+  def vacuumDryRun(retainVersions: Int = 2,
+      graceMs: Long = 7L * 24 * 3600 * 1000): Int =
+    VersionedTable.vacuumReclaimable(spark, path, retainVersions, graceMs)
 
   /** One-row table summary (Delta's DESCRIBE DETAIL): version, commit
     * ts/op, file count, total bytes, manifest-recorded row count,

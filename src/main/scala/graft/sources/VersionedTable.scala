@@ -2498,39 +2498,18 @@ object VersionedTable {
   }
 
   /** Count of data files [[vacuum]] WOULD reclaim (Delta's
-    * `VACUUM ... DRY RUN`): unreferenced by the retained versions and
-    * by recorded clones. The grace window is deliberately ignored —
-    * the dry run answers "what is dead", not "what is old enough
-    * today". */
+    * `VACUUM ... DRY RUN`) — exactly the files a real vacuum with the
+    * SAME `retainVersions`/`graceMs` deletes, via the shared
+    * [[vacuumImpl]] walk (the grace window applies: a fresh table's
+    * dead files are NOT reported reclaimable until they age past it,
+    * matching what `VACUUM` would actually do today — Delta's DRY RUN
+    * contract). Pass `graceMs = 0` to ask "what is dead" regardless of
+    * age. */
   def vacuumReclaimable(spark: SparkSession, path: String,
-      retainVersions: Int = 2): Int = {
-    require(retainVersions >= 1, "must retain at least the latest version")
-    val (hfs, root) = fs(spark, path)
-    val vs = versions(hfs, root)
-    if (vs.isEmpty) return 0
-    val retained = vs.takeRight(retainVersions).map(readManifest(hfs, root, _))
-    val bodies = cloneRecordPaths(hfs, root).map(readLines(hfs, _))
-    val referenced = retained.flatMap(_.files).toSet ++
-      bodies.flatMap(_.filterNot(isHeaderLine))
-    val refDvDirs = retained.flatMap(_.dvs.values).toSet ++
-      bodies.flatMap(_.collect {
-        case l if l.startsWith("dvref=") => l.stripPrefix("dvref=") })
-    val filesDir = new Path(root, "files")
-    if (!hfs.exists(filesDir)) return 0
-    def walk(dir: Path, rel: String): Seq[String] =
-      hfs.listStatus(dir).toSeq.flatMap { s =>
-        val n = s.getPath.getName
-        if (s.isDirectory) walk(s.getPath, s"$rel/$n")
-        else if (s.isFile && n.endsWith(".parquet")) Seq(s"$rel/$n")
-        else Seq.empty
-      }
-    hfs.listStatus(filesDir)
-      .filterNot(c => refDvDirs.contains(s"files/${c.getPath.getName}"))
-      .map { c =>
-        walk(c.getPath, s"files/${c.getPath.getName}")
-          .count(f => !referenced.contains(f))
-      }.sum
-  }
+      retainVersions: Int = 2,
+      graceMs: Long = 7L * 24 * 3600 * 1000): Int =
+    vacuumImpl(spark, path, retainVersions, graceMs, ignoreClones = false,
+      dryRun = true)
 
   /** Exact COUNT(*) of a snapshot from METADATA ALONE: per-file footer
     * row counts recorded at write time (`fr=` manifest lines) minus the
@@ -4218,7 +4197,16 @@ object VersionedTable {
     * Driver-side metadata diff; returns the deleted file count. */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
       graceMs: Long = 7L * 24 * 3600 * 1000,
-      ignoreClones: Boolean = false): Int = {
+      ignoreClones: Boolean = false): Int =
+    vacuumImpl(spark, path, retainVersions, graceMs, ignoreClones,
+      dryRun = false)
+
+  /** Shared walk behind [[vacuum]] and [[vacuumReclaimable]]: one
+    * reference/grace decision, so DRY RUN can never report a different
+    * file set than the deletion it previews. */
+  private def vacuumImpl(spark: SparkSession, path: String,
+      retainVersions: Int, graceMs: Long, ignoreClones: Boolean,
+      dryRun: Boolean): Int = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
@@ -4269,16 +4257,19 @@ object VersionedTable {
             entries.forall(_._1.getModificationTime < cutoff)) {
           deleted += entries
             .count { case (f, _) => f.isFile && f.getPath.getName.endsWith(".parquet") }
-          hfs.delete(cdir.getPath, true)
+          if (!dryRun) hfs.delete(cdir.getPath, true)
         }
       } else {
         entries.foreach { case (f, r) =>
           if (f.isFile && f.getPath.getName.endsWith(".parquet") &&
               !referenced.contains(r) &&
               f.getModificationTime < cutoff) {
-            hfs.delete(f.getPath, false); deleted += 1
-            // its bloom sidecar, if any, dies with it
-            hfs.delete(new Path(f.getPath.toString + ".bloom"), false)
+            deleted += 1
+            if (!dryRun) {
+              hfs.delete(f.getPath, false)
+              // its bloom sidecar, if any, dies with it
+              hfs.delete(new Path(f.getPath.toString + ".bloom"), false)
+            }
           }
         }
       }

@@ -346,6 +346,38 @@ class DataSourceSpec extends SparkSpec {
     assert(rows(spark.read.format("graft").load(t2)) === Set((1L, 3L), (2L, 10L)))
   }
 
+  test("sink timestamps default to wall clock; RETAIN n HOURS is sane on sink tables") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def drainInto(t: String, ckp: String, opts: (String, String)*): Unit = {
+      val mem = MemoryStream[(Long, Long)]
+      mem.addData((1L, 10L))
+      val w = mem.toDF().toDF("id", "v").writeStream.format("graft")
+        .option("checkpointLocation", ckp)
+      val q = opts.foldLeft(w) { case (a, (k, v)) => a.option(k, v) }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(t)
+      q.awaitTermination()
+    }
+    val t = freshTable()
+    drainInto(t, java.nio.file.Files.createTempDirectory("ds_tsckp").toString)
+    // wall-clock default: the sink commit is CURRENT, not 56 years stale
+    val ts = java.time.Instant.parse(VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).select("ts").head().getString(0))
+    assert(java.time.Duration.between(ts, java.time.Instant.now()).abs.toHours < 1,
+      s"sink commit ts not current: $ts")
+    // age-based retention composes: orphan the sink snapshot, then an
+    // hours-based vacuum must PROTECT the young files (grace in force)
+    VersionedTable.commit(df(9), t, mode = "overwrite")
+    assert(VersionedTable.vacuum(spark, t, retainVersions = 1,
+      graceMs = 3600L * 1000) === 0)
+    // deterministic opt-in: tsBaseEpochSec anchors ts at base + batchId
+    val t2 = freshTable()
+    drainInto(t2, java.nio.file.Files.createTempDirectory("ds_tsckp2").toString,
+      "tsBaseEpochSec" -> "1000")
+    assert(VersionedTable.history(spark, t2).select("ts").head().getString(0)
+      === java.time.Instant.EPOCH.plusSeconds(1000L).toString)
+  }
+
   test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)

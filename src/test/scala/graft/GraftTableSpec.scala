@@ -72,7 +72,10 @@ class GraftTableSpec extends SparkSpec {
     VersionedTable.commit(Seq((2L, 2L)).toDF("id", "v"), t, mode = "overwrite")
     VersionedTable.commit(Seq((3L, 3L)).toDF("id", "v"), t, mode = "overwrite")
     val h = GraftTable.forPath(spark, t)
-    val dead = h.vacuumDryRun(retainVersions = 1)
+    // default grace: fresh files are protected, preview says 0 — exactly
+    // what a default vacuum would delete
+    assert(h.vacuumDryRun(retainVersions = 1) === 0)
+    val dead = h.vacuumDryRun(retainVersions = 1, graceMs = 0L)
     assert(dead >= 2) // v0 + v1 files are unreferenced at the head
     // nothing deleted: every historical version still reads
     (0L to 2L).foreach { v =>

@@ -40,15 +40,24 @@ class SqlCommandsSpec extends SparkSpec {
     }
   }
 
-  test("VACUUM DRY RUN counts, VACUUM RETAIN 0 HOURS reclaims") {
+  test("VACUUM DRY RUN previews exactly what VACUUM would delete (grace applies)") {
     val (path, tbl) = fixture(base, "vac")
     // two overwrites orphan the previous snapshots' files
     VersionedTable.commit(base.repartition(1), path, mode = "overwrite",
       ts = "2026-01-02T00:00:00Z")
     VersionedTable.commit(base.repartition(1), path, mode = "overwrite",
       ts = "2026-01-03T00:00:00Z")
-    val dry = spark.sql(s"VACUUM $tbl DRY RUN").collect().head.getInt(0)
-    assert(dry === VersionedTable.vacuumReclaimable(spark, path, 2))
+    // everything is freshly written: under the default 7-day grace a
+    // plain DRY RUN must report 0 — exactly what a plain VACUUM deletes
+    // (the old behavior claimed N then deleted nothing)
+    val dryDefault = spark.sql(s"VACUUM $tbl DRY RUN").collect().head.getInt(0)
+    assert(dryDefault === 0)
+    assert(spark.sql(s"VACUUM $tbl").collect().head.getInt(0) === dryDefault)
+    // with the grace window retained away, DRY RUN counts the dead files
+    // and the matching real vacuum reclaims the same number
+    val dry = spark.sql(s"VACUUM $tbl RETAIN 0 HOURS DRY RUN")
+      .collect().head.getInt(0)
+    assert(dry === VersionedTable.vacuumReclaimable(spark, path, 2, graceMs = 0L))
     assert(dry >= 1)
     val real = spark.sql(s"VACUUM $tbl RETAIN 0 HOURS").collect().head.getInt(0)
     assert(real === dry)
@@ -207,6 +216,32 @@ class SqlCommandsSpec extends SparkSpec {
     // plain INSERT INTO stays untouched by the new grammar
     spark.sql(s"INSERT INTO $tbl VALUES (99, 990)")
     assert(VersionedTable.readVersion(spark, path).count() === 41L)
+  }
+
+  test("REPLACE WHERE condition may contain query keywords in quotes or parens") {
+    // a string column whose literals embed FROM/SELECT — the naive
+    // first-keyword split misparsed these into garbage condition+query
+    val df = Seq((1L, "from paris"), (2L, "select few"), (3L, "plain"))
+      .toDF("id", "tag")
+    val (path, tbl) = fixture(df, "rwkw")
+    spark.sql(
+      s"""INSERT INTO $tbl REPLACE WHERE tag = 'from paris'
+         |SELECT 10 AS id, 'from paris' AS tag""".stripMargin)
+    val afterLit = VersionedTable.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterLit === Set((10L, "from paris"), (2L, "select few"), (3L, "plain")))
+    // a parenthesized IN (... SELECT ...) whose keywords stay inside parens
+    spark.sql(
+      s"""INSERT INTO $tbl REPLACE WHERE id IN (SELECT id FROM $tbl WHERE id <= 3)
+         |SELECT 2 AS id, 'two' AS tag UNION ALL SELECT 3, 'three'""".stripMargin)
+    val afterIn = VersionedTable.readVersion(spark, path).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(afterIn === Set((10L, "from paris"), (2L, "two"), (3L, "three")))
+    // no query at all is a grammar-level usage error, not a baffling
+    // delegate parse failure
+    val e = intercept[Exception](
+      spark.sql(s"INSERT INTO $tbl REPLACE WHERE tag = 'from paris'"))
+    assert(e.getMessage.contains("no query found"))
   }
 
   test("table_changes TVF: per-commit CDF from SQL") {

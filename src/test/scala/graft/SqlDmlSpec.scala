@@ -106,12 +106,62 @@ class SqlDmlSpec extends SparkSpec {
       (3L, 30L, "t. literal"), (4L, 40L, "delta"), (7L, 777L, "seven")))
   }
 
+  test("MERGE with differently-named ON key renames the source (the CDC shape)") {
+    val (path, tbl) = fixture(base, "dnk")
+    Seq((2L, 222L, "two"), (7L, 777L, "seven")).toDF("customer_id", "v", "tag")
+      .createOrReplaceTempView("sqldml_dnk_src")
+    // star clauses: the renamed key column participates as `id`
+    spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_dnk_src s ON t.id = s.customer_id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *
+         |""".stripMargin)
+    assert(rows(path) === Set((1L, 10L, "alpha"), (2L, 222L, "two"),
+      (3L, 30L, "t. literal"), (4L, 40L, "delta"), (7L, 777L, "seven")))
+    // explicit clauses may still reference the ORIGINAL source spelling
+    Seq((2L, 999L)).toDF("customer_id", "nv")
+      .createOrReplaceTempView("sqldml_dnk_src2")
+    spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_dnk_src2 s ON t.id = s.customer_id
+         |WHEN MATCHED AND s.customer_id = 2 THEN UPDATE SET v = s.nv
+         |""".stripMargin)
+    assert(rows(path).contains((2L, 999L, "two")))
+    // a rename landing on a name another source column still holds refuses
+    Seq((2L, 5L, 50L)).toDF("customer_id", "id", "v")
+      .createOrReplaceTempView("sqldml_dnk_bad")
+    val clash = intercept[Exception](spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_dnk_bad s ON t.id = s.customer_id
+         |WHEN MATCHED THEN UPDATE SET v = s.v
+         |""".stripMargin))
+    assert(clash.getMessage.contains("collides"))
+  }
+
+  test("descriptive DML errors: duplicate SET targets, unknown ON key, bad VERSION AS OF") {
+    val (_, tbl) = fixture(base, "derr")
+    val dup = intercept[Exception](spark.sql(s"UPDATE $tbl SET v = 1, v = 2"))
+    assert(dup.getMessage.contains("duplicate UPDATE SET"))
+    Seq((1L, 1L)).toDF("id", "w").createOrReplaceTempView("sqldml_derr_src")
+    val dupM = intercept[Exception](spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_derr_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = 1, v = 2""".stripMargin))
+    assert(dupM.getMessage.contains("duplicate"))
+    // an ON key naming no real column is a descriptive error, not a bare
+    // NoSuchElementException
+    val nk = intercept[Exception](spark.sql(
+      s"""MERGE INTO $tbl t USING sqldml_derr_src s ON t.nope = s.nope
+         |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(nk.getMessage.contains("nope") &&
+      !nk.toString.contains("NoSuchElement"))
+    val bv = intercept[Exception](
+      spark.sql(s"SELECT * FROM $tbl VERSION AS OF 'abc'").collect())
+    assert(bv.getMessage.contains("must be an integer"))
+  }
+
   test("MERGE with unqualified columns classifies by side; ambiguity errors") {
     val (path, tbl) = fixture(base, "unq")
     Seq((2L, "x")).toDF("sid", "stag").createOrReplaceTempView("sqldml_unq_src")
-    // sid/stag exist only on the source, id/v/tag only partially — the ON
-    // equality must still be t-col = s-col of the same name, so use a
-    // renamed view that shares the key name
+    // a view sharing the key name: unqualified non-key columns classify
+    // by which side's schema holds them
     Seq((2L, 222L)).toDF("id", "nv").createOrReplaceTempView("sqldml_unq_src2")
     spark.sql(
       s"""MERGE INTO $tbl USING sqldml_unq_src2 ON $tbl.id = sqldml_unq_src2.id

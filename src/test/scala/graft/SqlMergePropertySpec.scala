@@ -19,10 +19,21 @@ class SqlMergePropertySpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(7)
 
+  /** Per-round spelling of the SOURCE key column in the SQL statement —
+    * "id" for the same-named shape, anything else exercises the
+    * differently-named ON key path (`ON tgt.id = src.key_id`), where the
+    * translation must rename the source column to the target's name and
+    * re-render every s-side reference under it. The library twin always
+    * merges the un-renamed source on "id". */
+  private var srcIdName = "id"
+
   /** Condition AST rendering to (sql-over-tgt/src, library-over-t/s). */
   private sealed trait C { def sql: String; def lib: String }
   private case class Atom(side: String, col: String, op: String, lit: String) extends C {
-    def sql: String = s"${if (side == "t") "tgt" else "src"}.$col $op $lit"
+    def sql: String = {
+      val c = if (side == "s" && col == "id") srcIdName else col
+      s"${if (side == "t") "tgt" else "src"}.$c $op $lit"
+    }
     def lib: String = s"$side.$col $op $lit"
   }
   private case class Not(c: C) extends C {
@@ -69,10 +80,13 @@ class SqlMergePropertySpec extends SparkSpec {
     spark.sql(s"CREATE TABLE mrgprop_t USING graft LOCATION '$a'")
 
     (1 to 15).foreach { i =>
-      // source overlaps ~half the table plus fresh ids
+      // source overlaps ~half the table plus fresh ids; half the rounds
+      // spell the source key under a different name in the SQL
+      srcIdName = if (rnd.nextBoolean()) "id"
+        else Seq("key_id", "src_key", "recId")(rnd.nextInt(3))
       val src = freshRows(30, rnd.nextInt(40).toLong)
         .withColumn("v", col("v") + 100)
-      src.createOrReplaceTempView("mrgprop_src")
+      src.withColumnRenamed("id", srcIdName).createOrReplaceTempView("mrgprop_src")
 
       // matched clauses: optionally one conditional, then one unconditional
       val mUp = cond(1, Seq("t", "s"))
@@ -93,7 +107,7 @@ class SqlMergePropertySpec extends SparkSpec {
         matchedSql ++= s"WHEN NOT MATCHED AND ${nm.sql} THEN INSERT *\n"
         builder = builder.whenNotMatchedInsertAll(Some(nm.lib))
       } else {
-        matchedSql ++= "WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (src.id, src.v, src.tag)\n"
+        matchedSql ++= s"WHEN NOT MATCHED THEN INSERT (id, v, tag) VALUES (src.$srcIdName, src.v, src.tag)\n"
         builder = builder.whenNotMatchedInsert(
           Map("id" -> "s.id", "v" -> "s.v", "tag" -> "s.tag"))
       }
@@ -106,7 +120,7 @@ class SqlMergePropertySpec extends SparkSpec {
 
       spark.sql(
         s"""MERGE INTO mrgprop_t AS tgt USING mrgprop_src AS src
-           |ON tgt.id = src.id
+           |ON tgt.id = src.$srcIdName
            |$matchedSql""".stripMargin)
       builder.execute()
       assert(rows(a) === rows(b), s"diverged after merge round $i:\n$matchedSql")
