@@ -193,6 +193,39 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_se` — the pure-SQL END-TO-END life cycle: every
+    * statement below is `spark.sql`, nothing touches the Scala API, so
+    * the whole arc works in a session configured ONLY via
+    * `spark.sql.extensions` (the no-Scala-imports story the SQL faces
+    * exist for). v0 `CREATE TABLE ... USING graft AS SELECT` (even
+    * customers), v1 `INSERT INTO` (odd customers), v2 `MERGE INTO` on a
+    * DIFFERENTLY-NAMED key (`ON t.id = s.cust_id` — the CDC shape; +1000
+    * to every 7th balance), v3 `OPTIMIZE` (maintenance; content
+    * unchanged). */
+  private def buildSqlE2eTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("se", dir), {
+      val loc = java.nio.file.Files.createTempDirectory("graft_vtse").toString
+      val name = s"vt_se_tbl_${math.abs(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$loc' AS
+           |SELECT c_custkey AS id, c_acctbal AS bal
+           |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 0""".stripMargin)
+      s.sql(
+        s"""INSERT INTO $name
+           |SELECT c_custkey, c_acctbal
+           |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 2 = 1""".stripMargin)
+      s.sql(
+        s"""CREATE OR REPLACE TEMPORARY VIEW vt_se_src AS
+           |SELECT c_custkey AS cust_id, c_acctbal + 1000 AS newbal
+           |FROM parquet.`$dir/customer.parquet` WHERE c_custkey % 7 = 0""".stripMargin)
+      s.sql(
+        s"""MERGE INTO $name t USING vt_se_src s ON t.id = s.cust_id
+           |WHEN MATCHED THEN UPDATE SET bal = s.newbal""".stripMargin)
+      s.sql(s"OPTIMIZE $name")
+      name
+    })
+
   /** Fixture for `vt_rw`: the range-laid silver snapshot (same layout as
     * `vt_w`'s, separate table — replaceWhere MUTATES it) followed by one
     * predicate-scoped overwrite: the [30, 60) value band's rows are
@@ -822,6 +855,31 @@ object SparkEntry {
         .unionByName(snap("deleted", VersionedTable.readVersion(s, tbl, 2L)))
         .unionByName(snap("merged", VersionedTable.readVersion(s, tbl, 3L)))
         .select("snap", "n_rows", "sum_value")
+    }),
+    // pure-SQL end-to-end: CTAS → INSERT → differently-named-key MERGE →
+    // OPTIMIZE in the fixture; the READ is one spark.sql statement
+    // spanning SQL time travel (VERSION AS OF) and the table_changes TVF
+    // over the merge commit — no Scala API call anywhere on either side
+    // of the boundary
+    "vt_se" -> ((s, dir) => {
+      val name = buildSqlE2eTable(s, dir)
+      s.sql(
+        s"""SELECT snap, n_rows, sum_bal FROM (
+           |  SELECT 'v0_ctas' AS snap, count(*) AS n_rows,
+           |         round(sum(round(bal * 100)) / 100, 2) AS sum_bal
+           |  FROM $name VERSION AS OF 0
+           |  UNION ALL
+           |  SELECT 'v1_insert', count(*), round(sum(round(bal * 100)) / 100, 2)
+           |  FROM $name VERSION AS OF 1
+           |  UNION ALL
+           |  SELECT 'head_optimized', count(*), round(sum(round(bal * 100)) / 100, 2)
+           |  FROM $name
+           |  UNION ALL
+           |  SELECT concat('cdf_', _change_type), count(*),
+           |         round(sum(round(bal * 100)) / 100, 2)
+           |  FROM table_changes('$name', 2, 2, 'id')
+           |  GROUP BY _change_type
+           |)""".stripMargin)
     }),
     // copy-on-write MERGE + DELETE on a separate fixture (v0 = signups;
     // v1 = merge doubling every 3rd signup's value + inserting clicks;
@@ -1982,6 +2040,33 @@ object SparkEntry {
          |  SELECT 'merged', count(*), round(sum(round(value * 100)) / 100, 2) FROM v3
          |)
          |SELECT snap, n_rows, sum_value FROM slice""".stripMargin,
+
+    // pure-SQL life cycle: v0 = even customers (CTAS), v1 = all
+    // customers (INSERT), head = v2 content (+1000 on every 7th balance;
+    // the OPTIMIZE v3 moves no rows), and the merge commit's CDF is the
+    // matched slice as update pre/post pairs
+    "vt_se" ->
+      """WITH cust AS (SELECT c_custkey AS id, c_acctbal AS bal FROM customer),
+        |slice AS (
+        |  SELECT 'v0_ctas' AS snap, count(*) AS n_rows,
+        |         round(sum(round(bal * 100)) / 100, 2) AS sum_bal
+        |  FROM cust WHERE id % 2 = 0
+        |  UNION ALL
+        |  SELECT 'v1_insert', count(*), round(sum(round(bal * 100)) / 100, 2)
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT 'head_optimized', count(*),
+        |         round(sum(round(CASE WHEN id % 7 = 0 THEN bal + 1000 ELSE bal END * 100)) / 100, 2)
+        |  FROM cust
+        |  UNION ALL
+        |  SELECT 'cdf_update_preimage', count(*), round(sum(round(bal * 100)) / 100, 2)
+        |  FROM cust WHERE id % 7 = 0
+        |  UNION ALL
+        |  SELECT 'cdf_update_postimage', count(*),
+        |         round(sum(round((bal + 1000) * 100)) / 100, 2)
+        |  FROM cust WHERE id % 7 = 0
+        |)
+        |SELECT snap, n_rows, sum_bal FROM slice""".stripMargin,
 
     // the streamed-roundtrip target must hold exactly the source's head
     // snapshot = the signups slice (vt_tt's rollback state)

@@ -31,12 +31,16 @@ import org.apache.spark.sql.types.StructType
   *     which re-emits the rewritten survivors — Delta's exact caveat)
   *     opts in.
   *
-  * `maxVersionsPerTrigger` bounds catch-up the way the CDF stream's
-  * `maxFilesPerTrigger` does: a long-down consumer drains the backlog
-  * in bounded, individually-checkpointed micro-batches.
+  * `maxVersionsPerTrigger` bounds catch-up by COMMIT count;
+  * `maxFilesPerTrigger` (Delta's option) bounds it by ADDED-FILE count
+  * and splits WITHIN a commit — a single 100-file commit drains in
+  * ceil(100/cap) micro-batches, each individually checkpointed, so one
+  * giant backfill commit can never force a giant batch. Both compose
+  * (version cap applied first, then the file budget).
   *
   * Scale: offsets and classification are header-only reads; each
-  * batch's plan scans ONLY the covered commits' added files. */
+  * batch's plan scans ONLY the covered commits' added files (a
+  * file-paced batch scans only its SLICE of them). */
 final class GraftStreamSource(spark: SparkSession, path: String,
     options: Map[String, String]) extends Source {
 
@@ -46,6 +50,8 @@ final class GraftStreamSource(spark: SparkSession, path: String,
     options.get("ignoredeletes").exists(_.trim.toBoolean)
   private val maxVersions = options.get("maxversionspertrigger")
     .map(_.trim.toLong).filter(_ > 0)
+  private val maxFiles = options.get("maxfilespertrigger")
+    .map(_.trim.toInt).filter(_ > 0)
 
   // the anchor: versions ≤ anchor arrive as ONE snapshot batch (the
   // stream's initial state); startingVersion=N instead tails from N
@@ -70,28 +76,58 @@ final class GraftStreamSource(spark: SparkSession, path: String,
   override def schema: StructType = schema0
 
   /** Highest offset already OFFERED to the engine — the rate limit's
-    * pacing base. Pacing off offered (not committed) offsets is sound:
+    * pacing base, as (fully covered version, extra files of the next
+    * version). Pacing off offered (not committed) offsets is sound:
     * the engine plans batches strictly sequentially within a run, and a
     * restart builds a fresh source whose start comes from the
     * checkpoint, so an advanced-but-unprocessed window dies with the
     * run. */
-  @volatile private var pacedV: Long = anchor
+  @volatile private var paced: (Long, Int) = (anchor, 0)
 
   override def getOffset: Option[OffsetV1] = {
     val latest = VersionedTable.latestVersion(spark, path)
-    val capped = maxVersions
-      .map(mx => math.min(latest, pacedV + mx))
-      .getOrElse(latest)
-    if (capped < anchor) None
-    else {
-      pacedV = math.max(pacedV, capped)
-      Some(LongOffset(capped))
+    val (pv0, pi0) = paced
+    val vCap = maxVersions.map(mx => math.min(latest, pv0 + mx)).getOrElse(latest)
+    if (vCap < anchor) return None
+    val next: (Long, Int) = maxFiles match {
+      case None => (math.max(pv0, vCap), 0)
+      case Some(mf) =>
+        // spend the file budget walking forward from the paced point;
+        // a version's adds split across offers when the budget runs out
+        // mid-commit. Maintenance/no-add commits cost nothing and are
+        // covered for free.
+        var v = pv0; var i = pi0; var budget = mf
+        while (budget > 0 && v < vCap) {
+          val n = VersionedTable.addedFileCount(spark, path, v + 1)
+          if (i >= n) { v += 1; i = 0 }
+          else {
+            val take = math.min(n - i, budget)
+            i += take; budget -= take
+            if (i >= n) { v += 1; i = 0 }
+          }
+        }
+        (v, i)
     }
+    paced = if (next._1 > paced._1 ||
+      (next._1 == paced._1 && next._2 > paced._2)) next else paced
+    // offset format: plain version when nothing is file-split (stable
+    // with pre-existing checkpoints), composite otherwise
+    if (paced._2 == 0) Some(LongOffset(paced._1))
+    else Some(GraftSourceOffset(paced._1, paced._2))
   }
 
-  private def ver(o: OffsetV1): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong
+  /** (fully covered version, extra files of the next version). A plain
+    * long json (the historical format, and every offset with no split)
+    * parses as (v, 0). */
+  private def parseOffset(o: OffsetV1): (Long, Int) = o match {
+    case g: GraftSourceOffset => (g.v, g.i)
+    case l: LongOffset => (l.offset, 0)
+    case other =>
+      val j = other.json.trim
+      GraftSourceOffset.JsonR.findFirstMatchIn(j) match {
+        case Some(m) => (m.group(1).toLong, m.group(2).toInt)
+        case None => (j.toLong, 0)
+      }
   }
 
   /** Batch-align to the source's declared schema: an old version may
@@ -113,20 +149,26 @@ final class GraftStreamSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // exclusive lower bound: the snapshot batch covers ≤ anchor, a
     // startingVersion tail begins at anchor+1 = startingVersion — both
-    // reduce to "no checkpoint means from = anchor"
-    val from = start.map(ver).getOrElse(anchor)
-    val to = ver(end)
+    // reduce to "no checkpoint means from = (anchor, 0)". `si` files of
+    // version from+1 were already delivered; `ei` files of version to+1
+    // belong to THIS batch (the file-paced split points).
+    val (from, si) = start.map(parseOffset).getOrElse((anchor, 0))
+    val (to, ei) = parseOffset(end)
     val snapshotPart: Option[DataFrame] =
       if (start.isEmpty && startingVersion.isEmpty && to >= anchor)
         Some(VersionedTable.readVersion(spark, path, anchor))
       else None
-    val tailParts = ((from + 1) to to).flatMap { v =>
+    val lastV = if (ei > 0) to + 1 else to
+    val tailParts = ((from + 1) to lastV).flatMap { v =>
       val (op, adds, removes, dvFiles, _) =
         VersionedTable.commitSummary(spark, path, v)
       if (isMaintenance(op)) None
       else {
         val deletesRows = removes.nonEmpty || dvFiles.nonEmpty
-        val fullRewrite = op == "overwrite" || op.startsWith("rollback")
+        // version 0 is table CREATION: an "overwrite" there rewrites
+        // nothing and is a pure insert (Delta streams commit 0's adds
+        // under startingVersion=0 the same way)
+        val fullRewrite = (op == "overwrite" && v > 0) || op.startsWith("rollback")
         if ((deletesRows || fullRewrite) && !ignoreChanges) {
           val deleteOnly = adds.isEmpty && !fullRewrite
           if (!(deleteOnly && ignoreDeletes))
@@ -137,7 +179,11 @@ final class GraftStreamSource(spark: SparkSession, path: String,
                 "every commit's added files (rewritten survivors re-emit)")
           None
         }
-        else VersionedTable.addedRows(spark, path, v).map(align)
+        else {
+          val lo = if (v == from + 1) si else 0
+          val hi = if (v == to + 1) ei else Int.MaxValue
+          VersionedTable.addedRows(spark, path, v, lo, hi).map(align)
+        }
       }
     }
     val batch = (snapshotPart.map(align).toSeq ++ tailParts)
@@ -151,4 +197,19 @@ final class GraftStreamSource(spark: SparkSession, path: String,
   override def stop(): Unit = ()
 
   override def toString: String = s"GraftStreamSource[$path]"
+}
+
+/** Composite stream offset for file-paced catch-up: versions ≤ `v`
+  * fully covered, plus the first `i` added files of version `v + 1`.
+  * The unsplit case serializes as the historical plain-long
+  * `LongOffset`, so checkpoints written before (or without)
+  * `maxFilesPerTrigger` keep resolving. */
+private[sources] final case class GraftSourceOffset(v: Long, i: Int)
+    extends OffsetV1 {
+  override def json: String = s"""{"v":$v,"i":$i}"""
+}
+
+private[sources] object GraftSourceOffset {
+  val JsonR: scala.util.matching.Regex =
+    """\{\s*"v"\s*:\s*(-?\d+)\s*,\s*"i"\s*:\s*(\d+)\s*\}""".r
 }

@@ -4033,15 +4033,27 @@ object VersionedTable {
     * vector in the commit that adds them, so the read is a plain
     * mapped scan. */
   private[sources] def addedRows(spark: SparkSession, path: String,
-      v: Long): Option[DataFrame] = {
+      v: Long, fromIdx: Int = 0, untilIdx: Int = Int.MaxValue): Option[DataFrame] = {
     val (hfs, root) = fs(spark, path)
     val raw = readRaw(hfs, root, v)
-    if (raw.adds.isEmpty) None
+    // manifest-recorded order is stable, so [fromIdx, untilIdx) slices
+    // partition a commit's adds deterministically across rate-limited
+    // micro-batches (maxFilesPerTrigger)
+    val files = raw.adds.slice(fromIdx, math.min(untilIdx.toLong, raw.adds.size.toLong).toInt)
+    if (files.isEmpty) None
     else {
       val m = readManifest(hfs, root, v)
-      Some(scanFiles(spark, root, raw.adds, Map.empty, mergeSchema = true,
+      Some(scanFiles(spark, root, files, Map.empty, mergeSchema = true,
         m.colMap, m.retired, physReadSchema(m)))
     }
+  }
+
+  /** Added-file count of one commit — header-only, the streaming
+    * source's file-pacing unit. */
+  private[sources] def addedFileCount(spark: SparkSession, path: String,
+      v: Long): Int = {
+    val (hfs, root) = fs(spark, path)
+    readRaw(hfs, root, v).adds.size
   }
 
   def changes(spark: SparkSession, path: String, keyCols: Seq[String],

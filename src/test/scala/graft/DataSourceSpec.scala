@@ -243,6 +243,42 @@ class DataSourceSpec extends SparkSpec {
       "rate-limited drain must take multiple micro-batches")
   }
 
+  test("maxFilesPerTrigger splits one giant commit across micro-batches") {
+    val t = freshTable()
+    // ONE commit of exactly 25 files (range layout on 100 distinct ids)
+    VersionedTable.commit(df(1L to 100L: _*).repartitionByRange(25, col("id")),
+      t, mode = "overwrite")
+    assert(VersionedTable.snapshotFiles(spark, t).size === 25)
+    val ckp = java.nio.file.Files.createTempDirectory("ds_mft").toString
+    val got = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")   // tail mode: the commit is paced
+      .option("maxFilesPerTrigger", "4")
+      .load(t).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (got.synchronized(got.size) < 100 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    // a second multi-file commit mid-stream: the file budget walks
+    // across the version boundary without losing or duplicating rows
+    VersionedTable.commit(df(101L to 110L: _*).repartitionByRange(5, col("id")),
+      t, mode = "append")
+    while (got.synchronized(got.size) < 110 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    assert(got.toSet === (1L to 110L).toSet,
+      s"file-paced drain lost/duplicated rows: ${got.size}")
+    // the 25-file commit must NOT have arrived as one batch
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 7,
+      s"expected ceil(25/4)+ceil(10/4) batches, got " +
+        s"${q.recentProgress.count(_.numInputRows > 0)}")
+  }
+
   test("readStream startingVersion below an expired log fails loudly; anchor mode survives") {
     val t = freshTable()
     (0 until 25).foreach { i =>
