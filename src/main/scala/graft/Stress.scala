@@ -98,6 +98,11 @@ object Stress {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("ckmulti")) {
+      checkpointMultipartLine(spark)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -840,8 +845,42 @@ object Stress {
     }
 
     cdfDeepBackfillLine(spark)
+    checkpointMultipartLine(spark)
 
     spark.stop()
+  }
+
+  /** MULTI-PART CHECKPOINT at the ≥100k-file regime — the measurement
+    * behind the split decision (BASELINE's checkpoint cost curve
+    * documented a ~300 B/file single-string ceiling at multi-million-
+    * file tables): the same ~110k-file snapshot checkpointed twice,
+    * single-file vs 25k-entry parts. The gate is per-part FLATNESS —
+    * each part write is a bounded string, so total cost stays linear
+    * with no driver-memory cliff, and the parts-resolved read returns
+    * the identical file list. */
+  private def checkpointMultipartLine(spark: SparkSession): Unit = {
+    import graft.sources.VersionedTable
+    val p = s"${java.nio.file.Files.createTempDirectory("graft_ckm")}/t"
+    VersionedTable.commit(
+      spark.range(550000L).selectExpr("id", "id * 10 AS v").repartition(110000),
+      p, mode = "overwrite")
+    val actual = VersionedTable.snapshotFiles(spark, p).size
+    val prev = sys.props.get("graft.checkpointPartLimit")
+    try {
+      sys.props("graft.checkpointPartLimit") = Int.MaxValue.toString
+      val (w1, r1, f1) = VersionedTable.checkpointCost(spark, p)
+      sys.props("graft.checkpointPartLimit") = "25000"
+      val (w2, r2, f2) = VersionedTable.checkpointCost(spark, p)
+      require(f1 == actual && f2 == actual,
+        s"checkpoint lost files: single $f1 / parts $f2 of $actual")
+      val nParts = math.ceil(actual / 25000.0).toInt
+      println(f"STRESS vt_ck_multipart_100k   single w$w1%.2f/r$r1%.2f s vs " +
+        f"$nParts%d-part w$w2%.2f/r$r2%.2f s ($actual%d files, " +
+        f"${w2 / nParts}%.2f s per part)")
+    } finally prev match {
+      case Some(v) => sys.props("graft.checkpointPartLimit") = v
+      case None => sys.props.remove("graft.checkpointPartLimit"); ()
+    }
   }
 
   /** BATCH CDF over a 1,000-version log — the deep-backfill shape

@@ -123,6 +123,23 @@ object VersionedTable {
   private def checkpointPath(root: Path, v: Long): Path =
     new Path(new Path(root, CheckpointDir), f"v$v%08d.checkpoint")
 
+  /** Max file entries per checkpoint PART file. A snapshot larger than
+    * this splits into ceil(files / limit) part files, each carrying its
+    * chunk's stat/row/path lines, with the claimed main checkpoint
+    * holding only the global header plus a `parts=N` pointer — so the
+    * per-write string the driver builds is bounded by the PART size, not
+    * the table size (the single-file design's measured ~300 B/file
+    * ceiling at multi-million-file tables; Delta's multi-part checkpoint
+    * motivation). Snapshots at or under the limit keep the one-file
+    * layout byte-compatible with older logs. Sysprop seam
+    * `graft.checkpointPartLimit` lets specs/stress force tiny parts. */
+  private[graft] def checkpointPartLimit: Int =
+    sys.props.get("graft.checkpointPartLimit").map(_.trim.toInt)
+      .getOrElse(50000)
+
+  private def checkpointPartPath(target: Path, i: Int): Path =
+    new Path(target.getParent, f"${target.getName}.p$i%05d")
+
   /** Resolved snapshot state: (version, ts, op, the FULL relative
     * data-file list, an optional streaming transaction marker
     * `appId -> batchId`, the snapshot's logical schema as Spark DataType
@@ -310,7 +327,7 @@ object VersionedTable {
     * segments), so "contains '='" is NOT a valid header/body split. */
   private val HeaderLineRe = java.util.regex.Pattern.compile(
     "^(?:version|ts|op|base|txn|txnmax|schema|rm|fstat|dv|ck|ckrm|" +
-      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr)=")
+      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr|parts)=")
   private def isHeaderLine(l: String): Boolean =
     HeaderLineRe.matcher(l).find()
 
@@ -359,8 +376,18 @@ object VersionedTable {
     val p = checkpointPath(root, v)
     if (!hfs.exists(p)) None
     else {
-      val lines = readLines(hfs, p)
-      val headerLines = lines.takeWhile(isHeaderLine)
+      val mainLines = readLines(hfs, p)
+      // a multi-part checkpoint's main file carries `parts=N` and no
+      // file list; each part contributes its chunk's stat/row/path
+      // lines, so classification is by prefix (filter), not position
+      val lines = mainLines.collectFirst {
+        case l if l.startsWith("parts=") => l.stripPrefix("parts=").toInt
+      } match {
+        case None => mainLines
+        case Some(n) => mainLines ++
+          (0 until n).flatMap(i => readLines(hfs, checkpointPartPath(p, i)))
+      }
+      val headerLines = lines.filter(isHeaderLine)
       val hdr = headerLines
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
           l.startsWith("dv=") || l.startsWith("ck=") ||
@@ -376,7 +403,7 @@ object VersionedTable {
       val (ckCm, ckRt) = parseMapState(headerLines)
         .getOrElse((Map.empty[String, String], Set.empty[String]))
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-        lines.dropWhile(isHeaderLine), None, hdr.get("schema"),
+        lines.filterNot(isHeaderLine), None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
         parseConstraintLines(headerLines),
         parseBloomCfgLine(headerLines), ckCm, ckRt,
@@ -1997,6 +2024,11 @@ object VersionedTable {
     val v = versions(hfs, root).last
     val target = checkpointPath(root, v)
     if (hfs.exists(target)) hfs.delete(target, false)
+    val ckDir = new Path(root, CheckpointDir)
+    if (hfs.exists(ckDir))
+      hfs.listStatus(ckDir).map(_.getPath)
+        .filter(_.getName.startsWith(target.getName + ".p"))
+        .foreach(hfs.delete(_, false)) // stale parts from a prior measure
     val w0 = System.nanoTime()
     writeCheckpointAt(hfs, root, v)
     val wSec = (System.nanoTime() - w0) / 1e9
@@ -2018,11 +2050,9 @@ object VersionedTable {
       .foldLeft(baseTxn) { case (acc, (a, b)) =>
         acc.updated(a, math.max(acc.getOrElse(a, Long.MinValue), b))
       }
-    val hdr = Seq(s"version=${snap.version}", s"ts=${snap.ts}", s"op=${snap.op}") ++
+    val globalHdr = Seq(s"version=${snap.version}", s"ts=${snap.ts}", s"op=${snap.op}") ++
       snap.schemaJson.map(j => s"schema=$j") ++
       txnmax.toSeq.sortBy(_._1).map { case (a, b) => s"txnmax=$a:$b" } ++
-      statLines(snap.files, snap.stats) ++
-      rowLines(snap.files, snap.rowCounts) ++
       dvLines(snap.dvs, snap.dvCounts) ++
       constraintLines(snap.constraints) ++
       genLines(snap.gens) ++
@@ -2031,9 +2061,30 @@ object VersionedTable {
       mapStateLines(
         if (snap.colMap.isEmpty && snap.retired.isEmpty) None
         else Some((snap.colMap, snap.retired)))
-    writeClaimed(hfs, new Path(root, CheckpointDir), target,
-      (hdr ++ snap.files).mkString("", "\n", "\n"),
-      onLost = () => ()) // lost checkpoint race: the other copy is identical
+    def chunkLines(fs: Seq[String]): Seq[String] =
+      statLines(fs, snap.stats) ++ rowLines(fs, snap.rowCounts) ++ fs
+    val limit = checkpointPartLimit
+    if (snap.files.size <= limit)
+      writeClaimed(hfs, new Path(root, CheckpointDir), target,
+        (globalHdr ++ chunkLines(snap.files)).mkString("", "\n", "\n"),
+        onLost = () => ()) // lost checkpoint race: the other copy is identical
+    else {
+      // multi-part: each part carries one bounded chunk's stat/row/path
+      // lines; parts land BEFORE the main pointer is claimed, so a
+      // reader that sees `parts=N` always finds all N (a crashed writer
+      // leaves only unclaimed orphan parts, which the next attempt
+      // rewrites identically — content is deterministic)
+      val chunks = snap.files.grouped(limit).toSeq
+      chunks.zipWithIndex.foreach { case (fsChunk, i) =>
+        writeClaimed(hfs, new Path(root, CheckpointDir),
+          checkpointPartPath(target, i),
+          chunkLines(fsChunk).mkString("", "\n", "\n"),
+          onLost = () => ())
+      }
+      writeClaimed(hfs, new Path(root, CheckpointDir), target,
+        (globalHdr :+ s"parts=${chunks.size}").mkString("", "\n", "\n"),
+        onLost = () => ())
+    }
   }
 
   private def statLines(files: Seq[String],
@@ -4177,8 +4228,17 @@ object VersionedTable {
     vs.filter(_ < anchor).foreach { v =>
       if (hfs.delete(manifestPath(root, v), false)) deleted += 1
     }
-    checkpoints(hfs, root).filter(_ < anchor).foreach { v =>
-      if (hfs.delete(checkpointPath(root, v), false)) deleted += 1
+    val expired = checkpoints(hfs, root).filter(_ < anchor)
+    if (expired.nonEmpty) {
+      val dirEntries = hfs.listStatus(new Path(root, CheckpointDir))
+        .map(_.getPath)
+      expired.foreach { v =>
+        val base = checkpointPath(root, v).getName
+        // multipart siblings (<base>.pNNNNN) die with their pointer
+        dirEntries.filter(p => p.getName == base ||
+            p.getName.startsWith(base + ".p"))
+          .foreach(p => if (hfs.delete(p, false)) deleted += 1)
+      }
     }
     deleted
   }

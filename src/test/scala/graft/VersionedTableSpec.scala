@@ -491,6 +491,54 @@ class VersionedTableSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, t).count() === 50L)
   }
 
+  test("multi-part checkpoint: bounded parts, expireLog-resolved reads, parts die with their pointer") {
+    val prev = sys.props.get("graft.checkpointPartLimit")
+    sys.props("graft.checkpointPartLimit") = "4"
+    try {
+      val t = freshTable()
+      // 25 single-file append commits → cadence checkpoints at v10
+      // (11 files → 3 parts) and v20 (21 files → 6 parts)
+      (0L until 25L).foreach { i =>
+        VersionedTable.commitIfNew(df(i), t, "app", i,
+          ts = java.time.Instant.EPOCH.plusSeconds(i).toString)
+      }
+      val ck = new java.io.File(s"$t/_checkpoints")
+      def parts(v: Long): Int =
+        ck.listFiles().count(_.getName.startsWith(f"v$v%08d.checkpoint.p"))
+      assert(parts(10L) === 3 && parts(20L) === 6,
+        s"parts: v10=${parts(10L)} v20=${parts(20L)}")
+      // the claimed pointer holds only the global header + parts count —
+      // the per-write string is bounded by the PART size, not the table
+      val main = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$t/_checkpoints/v${"%08d".format(20L)}.checkpoint")),
+        "UTF-8")
+      assert(main.contains("parts=6") && !main.contains("files/"))
+      // content resolves identically through the split checkpoint
+      assert(idSet(VersionedTable.readVersion(spark, t, 20L)) === (0L until 21L).toSet)
+      // stats survive the split: a point probe through the parts-resolved
+      // snapshot still prunes to ~one file
+      assert(VersionedTable.prunedFiles(spark, t, "id = 3", 20L).size <= 2)
+      // the round trip the protocol must survive: checkpoint → expireLog
+      // (cut below the v20 anchor) → resolve through the multi-part anchor
+      val removed = VersionedTable.expireLog(spark, t, retainVersions = 3)
+      assert(removed === 24, // manifests v0..19 + v10's pointer + 3 parts
+        s"expected 24 log files removed, got $removed")
+      intercept[Exception](VersionedTable.readVersion(spark, t, 5L).collect())
+      assert(VersionedTable.readVersion(spark, t).count() === 25L)
+      assert(VersionedTable.readVersion(spark, t, 20L).count() === 21L)
+      // v10's pointer AND its parts died together; v20's parts survive
+      assert(parts(10L) === 0 &&
+        !new java.io.File(ck, "v%08d.checkpoint".format(10L)).exists())
+      assert(parts(20L) === 6)
+      // the txn watermark aggregates across the multi-part anchor
+      assert(VersionedTable.lastTxn(spark, t, "app") === Some(24L))
+      assert(VersionedTable.commitIfNew(df(7), t, "app", 12L) === None)
+    } finally prev match {
+      case Some(v) => sys.props("graft.checkpointPartLimit") = v
+      case None => sys.props.remove("graft.checkpointPartLimit"); ()
+    }
+  }
+
   test("expireLog bounds the manifest log at an anchor checkpoint; the tail stays fully functional") {
     val t = freshTable()
     (0L until 50L).foreach { i =>
