@@ -188,19 +188,25 @@ object GraftSqlParser {
   /** Split "condition query" at the first SELECT/VALUES/FROM/TABLE
     * keyword sitting OUTSIDE single-quoted literals, backtick
     * identifiers, and parentheses — so a condition like
-    * `tag = 'from paris'` or `id IN (SELECT ...)` never donates its
-    * embedded keyword as the query boundary (the naive first-token
-    * split misparsed both into a garbage condition+query pair). */
+    * `tag = 'from paris'` (single- or double-quoted, backslash escapes
+    * included) or `id IN (SELECT ...)` never donates its embedded
+    * keyword as the query boundary (the naive first-token split
+    * misparsed both into a garbage condition+query pair). */
   private def splitReplaceWhere(rest: String): Option[(String, String)] = {
     val kw = Set("select", "values", "from", "table")
-    var depth = 0; var inQ = false; var inB = false
+    var depth = 0; var inB = false
+    var quote: Char = 0 // 0 = outside; '\'' or '"' = inside that literal
     var i = 0
     while (i < rest.length) {
       val c = rest.charAt(i)
-      if (inQ) { if (c == '\'') inQ = false; i += 1 }
+      if (quote != 0) {
+        // Spark string literals escape with backslash by default
+        if (c == '\\') i += 2
+        else { if (c == quote) quote = 0; i += 1 }
+      }
       else if (inB) { if (c == '`') inB = false; i += 1 }
       else c match {
-        case '\'' => inQ = true; i += 1
+        case '\'' | '"' => quote = c; i += 1
         case '`' => inB = true; i += 1
         case '(' => depth += 1; i += 1
         case ')' => depth -= 1; i += 1

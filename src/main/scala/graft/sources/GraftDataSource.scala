@@ -112,12 +112,19 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
         .getOrElse(throw new IllegalArgumentException(
           "readChangeFeed requires keyColumns (comma-separated merge keys: " +
             "update pre/post pairs classify by key)"))
-      val start = parameters.getOrElse("startingVersion",
-        throw new IllegalArgumentException(
-          "readChangeFeed requires startingVersion")).trim.toLong
+      // Delta's four range spellings: starting/endingVersion exact,
+      // starting/endingTimestamp resolved against commit timestamps
+      // (start = first commit at-or-after, end = last at-or-before)
+      val start = parameters.get("startingVersion").map(_.trim.toLong)
+        .orElse(parameters.get("startingTimestamp").map(ts =>
+          GraftTable.forPath(spark, path).versionAtOrAfter(ts.trim)))
+        .getOrElse(throw new IllegalArgumentException(
+          "readChangeFeed requires startingVersion or startingTimestamp"))
       // pin the range NOW: a relation is a consistent snapshot — a
       // commit landing between analysis and execution must not widen it
       val end = parameters.get("endingVersion").map(_.trim.toLong)
+        .orElse(parameters.get("endingTimestamp").map(ts =>
+          GraftTable.forPath(spark, path).versionAtOrBefore(ts.trim)))
         .getOrElse(VersionedTable.latestVersion(spark, path))
       new GraftRelation(spark,
         () => GraftDataSource.changeFeed(spark, path, keys, start, Some(end)))

@@ -55,8 +55,12 @@ final class GraftStreamSource(spark: SparkSession, path: String,
 
   // the anchor: versions ≤ anchor arrive as ONE snapshot batch (the
   // stream's initial state); startingVersion=N instead tails from N
-  // (inclusive) with no snapshot, Delta's option semantics
+  // (inclusive) with no snapshot, Delta's option semantics —
+  // startingTimestamp is the same tail anchored at the first commit
+  // at-or-after the timestamp (Delta's spelling pair)
   private val startingVersion = options.get("startingversion").map(_.trim.toLong)
+    .orElse(options.get("startingtimestamp").map(ts =>
+      GraftTable.forPath(spark, path).versionAtOrAfter(ts.trim)))
   private val anchor: Long = {
     val latest = VersionedTable.latestVersion(spark, path)
     require(latest >= 0, s"no committed versions at $path")

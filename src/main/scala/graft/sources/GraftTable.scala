@@ -67,6 +67,27 @@ final class GraftTable private (spark: SparkSession, path: String) {
     atOrBefore.maxBy(_._1)._1
   }
 
+  /** Earliest version committed at or after `asOf` — the timestamp →
+    * version resolution the CDF/stream `startingTimestamp` option uses
+    * (Delta's semantics: the first commit the timestamp does not
+    * postdate; an `asOf` later than every commit is a descriptive
+    * error). */
+  def versionAtOrAfter(asOf: String): Long = {
+    val hist = history().select("version", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val asOfI = GraftTable.parseTs(asOf)
+    val atOrAfter = hist.filter { case (_, cts) =>
+      (asOfI, GraftTable.parseTs(cts)) match {
+        case (Some(a), Some(c)) => !c.isBefore(a)
+        case _ => cts >= asOf
+      }
+    }
+    if (atOrAfter.isEmpty) throw new IllegalArgumentException(
+      s"no version at or after '$asOf' at $path (latest commit ts: " +
+        s"${hist.map(_._2).maxOption.getOrElse("none")})")
+    atOrAfter.minBy(_._1)._1
+  }
+
   /** Reclaimable-file count WITHOUT deleting anything (Delta's
     * `VACUUM ... DRY RUN`): exactly the files a real vacuum with the
     * same `retainVersions`/`graceMs` would delete — live files of the

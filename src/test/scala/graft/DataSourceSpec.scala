@@ -146,13 +146,35 @@ class DataSourceSpec extends SparkSpec {
     val fmt = cf("startingVersion" -> "2", "endingVersion" -> "2")
       .select("id", "_change_type").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(fmt === lib)
-    // missing keyColumns / startingVersion are loud analysis errors
+    // timestamp range spellings resolve against commit timestamps:
+    // start = first commit at-or-after, end = last at-or-before
+    assert(cf("startingTimestamp" -> "2026-01-02T00:00:00Z").count() === 2L)
+    assert(cf("startingTimestamp" -> "2026-01-01T12:00:00Z",
+      "endingTimestamp" -> "2026-01-02T12:00:00Z").count() === 1L)
+    assert(intercept[IllegalArgumentException](
+      cf("startingTimestamp" -> "2027-01-01T00:00:00Z"))
+      .getMessage.contains("at or after"))
+    // missing keyColumns / starting point are loud analysis errors
     assert(intercept[IllegalArgumentException](spark.read.format("graft")
       .option("readChangeFeed", "true").option("startingVersion", "0").load(t))
       .getMessage.contains("keyColumns"))
     assert(intercept[IllegalArgumentException](spark.read.format("graft")
       .option("readChangeFeed", "true").option("keyColumns", "id").load(t))
       .getMessage.contains("startingVersion"))
+  }
+
+  test("readStream startingTimestamp anchors the tail at the first commit at-or-after") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(2), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.commit(df(3), t, mode = "append", ts = "2026-01-03T00:00:00Z")
+    val q = spark.readStream.format("graft")
+      .option("startingTimestamp", "2026-01-01T12:00:00Z")
+      .load(t).writeStream.format("memory").queryName("gs_sts")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("gs_sts").select("id").collect().map(_.getLong(0)).toSet
+      === Set(2L, 3L))
   }
 
   test("readStream face: snapshot batch, append tail, maintenance silence, change options") {

@@ -237,6 +237,20 @@ class SqlCommandsSpec extends SparkSpec {
     val afterIn = VersionedTable.readVersion(spark, path).collect()
       .map(r => (r.getLong(0), r.getString(1))).toSet
     assert(afterIn === Set((10L, "from paris"), (2L, "two"), (3L, "three")))
+    // double-quoted literals and backslash escapes hide keywords too
+    spark.sql(
+      s"""INSERT INTO $tbl REPLACE WHERE tag = "from paris"
+         |SELECT 10 AS id, 'from paris' AS tag""".stripMargin)
+    assert(VersionedTable.readVersion(spark, path)
+      .filter(col("id") === 10L).count() === 1L)
+    // a backslash-escaped quote inside the literal must not end it: the
+    // batch row is outside the (empty) scope, so the statement reaches
+    // the SCOPE check — reaching it at all proves the split survived
+    val esc = intercept[Exception](spark.sql(
+      s"""INSERT INTO $tbl REPLACE WHERE tag = 'it\\'s from x'
+         |SELECT 99 AS id, 'other' AS tag""".stripMargin))
+    assert(esc.getMessage.contains("outside its scope"),
+      s"expected the scope error, got: ${esc.getMessage}")
     // no query at all is a grammar-level usage error, not a baffling
     // delegate parse failure
     val e = intercept[Exception](
