@@ -155,6 +155,14 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val exists = VersionedTable.latestVersion(spark, path) >= 0
     val ts = parameters.getOrElse("ts", "1970-01-01T00:00:00Z")
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
+    // Delta's predicate-scoped overwrite as a WRITE option (the
+    // idempotent-backfill idiom: .mode("overwrite")
+    // .option("replaceWhere", "date = '...'")): rows of the batch
+    // replace exactly the condition's scope, out-of-scope files carry
+    // by reference
+    val replaceWhere = parameters.get("replaceWhere").map(_.trim).filter(_.nonEmpty)
+    require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
+      "replaceWhere requires SaveMode.Overwrite")
     val pcols = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -164,6 +172,9 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       ()
     }
     mode match {
+      case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
+        VersionedTable.replaceWhere(data, path, replaceWhere.get, ts = ts)
+        ()
       case SaveMode.Append => write("append")
       case SaveMode.Overwrite => write("overwrite")
       case SaveMode.ErrorIfExists if exists =>

@@ -20,7 +20,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * shape). Options: `partitionBy` also accepted via the writer's
   * `partitionBy(...)` clause; `autoCompactEvery` = fold small files
   * every Nth committed batch (`smallBytes` threshold, default 8 MB) —
-  * replayed batches never trigger it.
+  * replayed batches never trigger it; `mergeSchema` = a batch carrying
+  * new columns widens the table instead of failing the query (Delta's
+  * streaming schema-evolution opt-in).
   *
   * Commit timestamps are `tsBase + batchId` seconds, where the base
   * DEFAULTS TO WALL CLOCK at sink construction: age-based retention
@@ -37,6 +39,10 @@ final class GraftStreamSink(spark: SparkSession, path: String,
 
   private val autoCompactEvery =
     options.get("autocompactevery").map(_.trim.toInt).getOrElse(0)
+  // Delta's schema-evolution opt-in for streaming writes: a batch
+  // carrying new columns widens the table instead of failing the query
+  private val mergeSchema =
+    options.get("mergeschema").exists(_.trim.toBoolean)
   private val smallBytes =
     options.get("smallbytes").map(_.trim.toLong).getOrElse(8L * 1024 * 1024)
   private val tsBase =
@@ -56,7 +62,7 @@ final class GraftStreamSink(spark: SparkSession, path: String,
       .getOrElse("graft-stream")
     val ts = java.time.Instant.EPOCH.plusSeconds(tsBase + batchId).toString
     val committed = VersionedTable.commitIfNew(batch, path, appId, batchId,
-      ts, mode = mode, partitionBy = partitionCols)
+      ts, mode = mode, partitionBy = partitionCols, mergeSchema = mergeSchema)
     if (autoCompactEvery > 0 && committed.isDefined &&
         batchId % autoCompactEvery == (autoCompactEvery - 1))
       VersionedTable.compactSmall(spark, path, smallBytes, ts = ts)

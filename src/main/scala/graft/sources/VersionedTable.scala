@@ -384,8 +384,14 @@ object VersionedTable {
         case l if l.startsWith("parts=") => l.stripPrefix("parts=").toInt
       } match {
         case None => mainLines
-        case Some(n) => mainLines ++
-          (0 until n).flatMap(i => readLines(hfs, checkpointPartPath(p, i)))
+        case Some(n) =>
+          // order-preserving parallel read on the bounded ioPool: the
+          // file-list order must stay deterministic across resolves
+          implicit val ec: scala.concurrent.ExecutionContext = ioPool
+          mainLines ++ scala.concurrent.Await.result(
+            scala.concurrent.Future.sequence((0 until n).map(i =>
+              scala.concurrent.Future(readLines(hfs, checkpointPartPath(p, i))))),
+            scala.concurrent.duration.Duration.Inf).flatten
       }
       val headerLines = lines.filter(isHeaderLine)
       val hdr = headerLines
@@ -1723,12 +1729,13 @@ object VersionedTable {
     * as [[graft.streaming.Streams.maintainView]] does). */
   def commitIfNew(df: DataFrame, path: String, appId: String, batchId: Long,
       ts: String = "1970-01-01T00:00:00Z", mode: String = "append",
-      partitionBy: Seq[String] = Seq.empty): Option[Long] = {
+      partitionBy: Seq[String] = Seq.empty,
+      mergeSchema: Boolean = false): Option[Long] = {
     require(!appId.contains(":") && !appId.contains("\n"), s"bad appId: $appId")
     val spark = df.sparkSession
     if (lastTxn(spark, path, appId).exists(_ >= batchId)) None
     else Some(commitInternal(df, path, mode, ts, Some((appId, batchId)),
-      partitionBy = partitionBy))
+      mergeSchema = mergeSchema, partitionBy = partitionBy))
   }
 
   /** Signals a lost optimistic-concurrency race: another writer committed
@@ -2075,12 +2082,22 @@ object VersionedTable {
       // leaves only unclaimed orphan parts, which the next attempt
       // rewrites identically — content is deterministic)
       val chunks = snap.files.grouped(limit).toSeq
-      chunks.zipWithIndex.foreach { case (fsChunk, i) =>
-        writeClaimed(hfs, new Path(root, CheckpointDir),
-          checkpointPartPath(target, i),
-          chunkLines(fsChunk).mkString("", "\n", "\n"),
-          onLost = () => ())
+      // parts are independent files — write them on the shared bounded
+      // [[ioPool]] (a 32-part checkpoint costs ~the slowest part, not
+      // the serial sum); the main pointer is still claimed strictly
+      // after ALL parts are durable
+      implicit val ec: scala.concurrent.ExecutionContext = ioPool
+      val writes = chunks.zipWithIndex.map { case (fsChunk, i) =>
+        scala.concurrent.Future {
+          writeClaimed(hfs, new Path(root, CheckpointDir),
+            checkpointPartPath(target, i),
+            chunkLines(fsChunk).mkString("", "\n", "\n"),
+            onLost = () => ())
+        }
       }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(writes),
+        scala.concurrent.duration.Duration.Inf)
       writeClaimed(hfs, new Path(root, CheckpointDir), target,
         (globalHdr :+ s"parts=${chunks.size}").mkString("", "\n", "\n"),
         onLost = () => ())

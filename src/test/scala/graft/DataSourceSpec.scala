@@ -436,6 +436,52 @@ class DataSourceSpec extends SparkSpec {
       === java.time.Instant.EPOCH.plusSeconds(1000L).toString)
   }
 
+  test("write option replaceWhere: predicate-scoped overwrite through the format") {
+    val t = freshTable()
+    df(1L to 40L: _*).repartitionByRange(4, col("id"))
+      .write.format("graft").mode(SaveMode.Overwrite).save(t)
+    // the idempotent-backfill idiom: recompute one band, carry the rest
+    df(1L to 10L: _*).withColumn("v", col("id") * 1000)
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "id <= 10").save(t)
+    val out = rows(spark.read.format("graft").load(t))
+    assert(out.filter(_._1 <= 10).map(_._2) === (1L to 10L).map(_ * 1000).toSet)
+    assert(out.filter(_._1 > 10) === (11L to 40L).map(i => (i, i * 10)).toSet)
+    assert(out.size === 40)
+    // scope violations and non-overwrite modes refuse loudly
+    assert(intercept[Exception](df(99).write.format("graft")
+      .mode(SaveMode.Overwrite).option("replaceWhere", "id <= 10").save(t))
+      .getMessage.contains("outside its scope"))
+    assert(intercept[Exception](df(5).write.format("graft")
+      .mode(SaveMode.Append).option("replaceWhere", "id <= 10").save(t))
+      .getMessage.contains("SaveMode.Overwrite"))
+  }
+
+  test("sink mergeSchema option: a widened batch evolves the table") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite")
+    val ckp = java.nio.file.Files.createTempDirectory("ds_msckp").toString
+    val mem = MemoryStream[(Long, Long, String)]
+    mem.addData((2L, 20L, "extra"))
+    def start(withOption: Boolean) = {
+      val w = mem.toDF().toDF("id", "v", "note").writeStream.format("graft")
+        .option("checkpointLocation", ckp)
+      (if (withOption) w.option("mergeSchema", "true") else w)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start(t)
+    }
+    // without the opt-in the widened batch fails the query (schema gate)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      start(withOption = false).awaitTermination()
+    }
+    start(withOption = true).awaitTermination()
+    val out = spark.read.format("graft").load(t)
+    assert(out.columns.toSeq === Seq("id", "v", "note"))
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+      === Set((1L, 10L, null), (2L, 20L, "extra")))
+  }
+
   test("write face: append/overwrite/errorIfExists/ignore + partitionBy option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)
