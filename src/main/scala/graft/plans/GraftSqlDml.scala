@@ -538,22 +538,27 @@ object GraftSqlDml {
       .find(_.map(_._1.toLowerCase).distinct.size > 1)
       .foreach(ps => unsupported(s"ON equates source column ${ps.head._2} " +
         s"with multiple target columns: ${ps.map(_._1).mkString(", ")}"))
+    // keyed by the source column's CANONICAL spelling (keyPairOf
+    // canonicalizes), so withColumnsRenamed resolves it even under
+    // spark.sql.caseSensitive=true; the ctx map is lowercase-keyed
+    // because the t/s clause dialect renders case-insensitively
     val renames: Map[String, String] = keyPairs.collect {
-      case (tc, sc) if !sc.equalsIgnoreCase(tc) => sc.toLowerCase -> tc
+      case (tc, sc) if !sc.equalsIgnoreCase(tc) => sc -> tc
     }.toMap
     val renamedSource =
       if (renames.isEmpty) analyzedSource
       else {
-        val finalNames = sourceCols.map(c => renames.getOrElse(c.toLowerCase, c))
+        val byLower = renames.map { case (f, t2) => f.toLowerCase -> t2 }
+        val finalNames = sourceCols.map(c => byLower.getOrElse(c.toLowerCase, c))
         val dup = finalNames.groupBy(_.toLowerCase).collectFirst {
           case (_, ns) if ns.size > 1 => ns.head
         }
         dup.foreach(n => unsupported(
           s"renaming ON source key(s) to target names collides on column $n; " +
             "alias the conflicting source column away before MERGE"))
-        ctx.setRenames(renames)
+        ctx.setRenames(byLower)
         Shims.ofRows(spark, analyzedSource)
-          .withColumnsRenamed(renames.map { case (from, to) => from -> to })
+          .withColumnsRenamed(renames)
           .queryExecution.analyzed
       }
 

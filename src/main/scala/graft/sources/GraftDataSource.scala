@@ -175,6 +175,17 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
         VersionedTable.replaceWhere(data, path, replaceWhere.get, ts = ts)
         ()
+      case SaveMode.Overwrite if replaceWhere.isDefined =>
+        // bootstrap run on a fresh path: the scope contract still holds
+        // (Delta validates the predicate on new tables too) — an
+        // out-of-scope row silently landing here would be carried BY
+        // REFERENCE into every later scoped replace
+        import org.apache.spark.sql.functions.{coalesce, expr, not}
+        if (!data.filter(not(coalesce(expr(replaceWhere.get), lit(false)))).isEmpty)
+          throw new IllegalArgumentException(
+            s"replaceWhere batch contains rows outside its scope " +
+              s"[${replaceWhere.get}] at $path (new table)")
+        write("overwrite")
       case SaveMode.Append => write("append")
       case SaveMode.Overwrite => write("overwrite")
       case SaveMode.ErrorIfExists if exists =>

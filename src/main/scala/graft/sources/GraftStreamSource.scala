@@ -98,11 +98,15 @@ final class GraftStreamSource(spark: SparkSession, path: String,
       case Some(mf) =>
         // spend the file budget walking forward from the paced point;
         // a version's adds split across offers when the budget runs out
-        // mid-commit. Maintenance/no-add commits cost nothing and are
-        // covered for free.
+        // mid-commit. Maintenance commits cost NOTHING even though they
+        // add files (an optimize's compacted outputs never stream —
+        // getBatch skips them — so charging them would stall the paced
+        // stream behind empty micro-batches).
         var v = pv0; var i = pi0; var budget = mf
         while (budget > 0 && v < vCap) {
-          val n = VersionedTable.addedFileCount(spark, path, v + 1)
+          val (op, adds, _, _, _) =
+            VersionedTable.commitSummary(spark, path, v + 1)
+          val n = if (isMaintenance(op)) 0 else adds.size
           if (i >= n) { v += 1; i = 0 }
           else {
             val take = math.min(n - i, budget)
@@ -158,6 +162,15 @@ final class GraftStreamSource(spark: SparkSession, path: String,
     // belong to THIS batch (the file-paced split points).
     val (from, si) = start.map(parseOffset).getOrElse((anchor, 0))
     val (to, ei) = parseOffset(end)
+    // sync the pacing base to the engine's offset: on RESTART the engine
+    // replays getBatch for the last checkpointed batch before asking for
+    // new offsets, so rate limits resume from the checkpoint instead of
+    // from the anchor (which would regress the offset — duplicate
+    // delivery — or, re-anchored at the new head, skip pacing entirely).
+    // DeltaSource syncs its base the same way. (getOffset/getBatch run
+    // on the single stream-execution thread — plain assignment is safe.)
+    if (to > paced._1 || (to == paced._1 && ei > paced._2))
+      paced = (to, ei)
     val snapshotPart: Option[DataFrame] =
       if (start.isEmpty && startingVersion.isEmpty && to >= anchor)
         Some(VersionedTable.readVersion(spark, path, anchor))

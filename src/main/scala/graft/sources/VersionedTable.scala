@@ -327,7 +327,7 @@ object VersionedTable {
     * segments), so "contains '='" is NOT a valid header/body split. */
   private val HeaderLineRe = java.util.regex.Pattern.compile(
     "^(?:version|ts|op|base|txn|txnmax|schema|rm|fstat|dv|ck|ckrm|" +
-      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr|parts)=")
+      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr|parts|nfiles)=")
   private def isHeaderLine(l: String): Boolean =
     HeaderLineRe.matcher(l).find()
 
@@ -391,7 +391,7 @@ object VersionedTable {
           mainLines ++ scala.concurrent.Await.result(
             scala.concurrent.Future.sequence((0 until n).map(i =>
               scala.concurrent.Future(readLines(hfs, checkpointPartPath(p, i))))),
-            scala.concurrent.duration.Duration.Inf).flatten
+            ioWait).flatten
       }
       val headerLines = lines.filter(isHeaderLine)
       val hdr = headerLines
@@ -408,8 +408,14 @@ object VersionedTable {
       }.toMap
       val (ckCm, ckRt) = parseMapState(headerLines)
         .getOrElse((Map.empty[String, String], Set.empty[String]))
+      val body = lines.filterNot(isHeaderLine)
+      // multi-part pointers record their expected file count: stale or
+      // missing parts must fail loudly, never resolve a truncated list
+      hdr.get("nfiles").map(_.toLong).foreach(n => require(body.size == n,
+        s"checkpoint $p resolves ${body.size} files, expected $n — " +
+          "stale or missing part files"))
       Some((Manifest(hdr("version").toLong, hdr("ts"), hdr("op"),
-        lines.filterNot(isHeaderLine), None, hdr.get("schema"),
+        body, None, hdr.get("schema"),
         parseStatsLines(headerLines), parseDvLines(headerLines),
         parseConstraintLines(headerLines),
         parseBloomCfgLine(headerLines), ckCm, ckRt,
@@ -2085,21 +2091,40 @@ object VersionedTable {
       // parts are independent files — write them on the shared bounded
       // [[ioPool]] (a 32-part checkpoint costs ~the slowest part, not
       // the serial sum); the main pointer is still claimed strictly
-      // after ALL parts are durable
+      // after ALL parts are durable AND verified. Verification matters:
+      // a crashed writer running under a DIFFERENT part limit may have
+      // left orphan parts with other chunking that win the claim —
+      // "deterministic content" does not hold across config changes, so
+      // a lost claim is read back and replaced on mismatch.
       implicit val ec: scala.concurrent.ExecutionContext = ioPool
       val writes = chunks.zipWithIndex.map { case (fsChunk, i) =>
         scala.concurrent.Future {
-          writeClaimed(hfs, new Path(root, CheckpointDir),
-            checkpointPartPath(target, i),
-            chunkLines(fsChunk).mkString("", "\n", "\n"),
+          val want = chunkLines(fsChunk)
+          val content = want.mkString("", "\n", "\n")
+          val pp = checkpointPartPath(target, i)
+          writeClaimed(hfs, new Path(root, CheckpointDir), pp, content,
             onLost = () => ())
+          if (readLines(hfs, pp) != want) {
+            hfs.delete(pp, false)
+            writeClaimed(hfs, new Path(root, CheckpointDir), pp, content,
+              onLost = () => ())
+            require(readLines(hfs, pp) == want,
+              s"checkpoint part $pp could not be claimed with the current chunking")
+          }
         }
       }
       scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(writes),
-        scala.concurrent.duration.Duration.Inf)
+        scala.concurrent.Future.sequence(writes), ioWait)
+      // nfiles lets the reader PROVE the parts it resolved are this
+      // pointer's parts (stale/missing parts fail loudly, never a
+      // silently truncated file list). NOTE: multi-part checkpoints are
+      // readable by this library version onward — a jar predating the
+      // feature would misread `parts=` as a body line; keep old readers
+      // off tables whose snapshots exceed the part limit (Delta gates
+      // the same class of change via protocol versions).
       writeClaimed(hfs, new Path(root, CheckpointDir), target,
-        (globalHdr :+ s"parts=${chunks.size}").mkString("", "\n", "\n"),
+        (globalHdr ++ Seq(s"nfiles=${snap.files.size}", s"parts=${chunks.size}"))
+          .mkString("", "\n", "\n"),
         onLost = () => ())
     }
   }

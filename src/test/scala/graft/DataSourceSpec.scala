@@ -455,6 +455,56 @@ class DataSourceSpec extends SparkSpec {
     assert(intercept[Exception](df(5).write.format("graft")
       .mode(SaveMode.Append).option("replaceWhere", "id <= 10").save(t))
       .getMessage.contains("SaveMode.Overwrite"))
+    // bootstrap on a FRESH path: the scope contract still holds — an
+    // out-of-scope row refuses (Delta validates on new tables too), an
+    // in-scope batch creates the table
+    val t2 = freshTable()
+    assert(intercept[Exception](df(1, 99).write.format("graft")
+      .mode(SaveMode.Overwrite).option("replaceWhere", "id <= 10").save(t2))
+      .getMessage.contains("outside its scope"))
+    df(1, 2).write.format("graft").mode(SaveMode.Overwrite)
+      .option("replaceWhere", "id <= 10").save(t2)
+    assert(rows(spark.read.format("graft").load(t2)) === Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("maxFilesPerTrigger resumes from the checkpoint across restarts; maintenance costs no budget") {
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 40L: _*).repartitionByRange(10, col("id")),
+      t, mode = "overwrite")
+    val ckp = java.nio.file.Files.createTempDirectory("ds_mftr").toString
+    val got = scala.collection.mutable.ArrayBuffer[Long]()
+    def run(): Unit = {
+      // AvailableNow pins ONE offset per run, so each RUN drains exactly
+      // one file budget — re-running must continue from the checkpoint
+      // (the pacing-base sync), never re-deliver or skip
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("maxFilesPerTrigger", "3")
+        .load(t).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }
+          ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val afterFirst = got.size
+    assert(afterFirst > 0 && afterFirst < 40,
+      s"first paced run must deliver a bounded slice, got $afterFirst rows")
+    var guard = 0
+    while (got.size < 40 && guard < 20) { run(); guard += 1 }
+    // exactly once across restarts: all 40 rows, zero duplicates
+    assert(got.sorted.toSeq === (1L to 40L),
+      s"restarted paced drain lost or duplicated rows (${got.size})")
+    // maintenance costs no budget: optimize adds many files, but the
+    // appended rows after it still arrive within ONE budgeted run
+    VersionedTable.optimize(spark, t, targetFileBytes = 1L) // many outputs
+    VersionedTable.commit(df(41L, 42L).repartition(1), t, mode = "append")
+    run()
+    assert(got.sorted.toSeq === (1L to 42L),
+      "the optimize commit must be walked for free (and stream nothing)")
   }
 
   test("sink mergeSchema option: a widened batch evolves the table") {

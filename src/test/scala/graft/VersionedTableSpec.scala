@@ -533,6 +533,21 @@ class VersionedTableSpec extends SparkSpec {
       // the txn watermark aggregates across the multi-part anchor
       assert(VersionedTable.lastTxn(spark, t, "app") === Some(24L))
       assert(VersionedTable.commitIfNew(df(7), t, "app", 12L) === None)
+      // STALE-PART defense: plant garbage at the NEXT cadence
+      // checkpoint's part-0 path (the crashed-writer-under-another-
+      // part-limit shape); the verified writer must detect the lost
+      // claim, replace the part, and resolve v30 exactly
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$t/_checkpoints/v00000030.checkpoint.p00000"),
+        "files/bogus/part-00000.parquet\n")
+      (25L until 31L).foreach { i =>
+        VersionedTable.commitIfNew(df(i), t, "app", i,
+          ts = java.time.Instant.EPOCH.plusSeconds(i).toString)
+      }
+      assert(parts(30L) >= 7) // 31 files at a 4-entry limit
+      assert(idSet(VersionedTable.readVersion(spark, t, 30L))
+        === ((0L until 25L).toSet ++ (25L until 31L)), // rows 0..30
+        "the planted stale part must have been replaced, not trusted")
     } finally prev match {
       case Some(v) => sys.props("graft.checkpointPartLimit") = v
       case None => sys.props.remove("graft.checkpointPartLimit"); ()
