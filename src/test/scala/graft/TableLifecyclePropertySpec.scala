@@ -6,22 +6,27 @@ import graft.sources.VersionedTable
 
 /** Model-based lifecycle fuzzer for the versioned table: a seeded
   * stream of random operations (append, overwrite, COW delete, MoR
-  * delete, COW update, merge upsert, optimize, rollback) runs against
-  * BOTH the real table and a driver-side model map; after every
-  * operation the head snapshot must equal the model EXACTLY, and at the
-  * end every recorded version must time-travel back to the model state
-  * it was committed with. This is the interleaving coverage the
-  * per-operation specs can't give: DV deletes under later COW rewrites,
-  * rollbacks across optimizes, merges over vectored files — whatever
-  * the seed composes. The seed is fixed: failures reproduce. */
+  * delete, COW update, merge upsert, replaceWhere, optimize, rollback,
+  * mid-run expireLog) runs against BOTH the real table and a
+  * driver-side model map; after every operation the head snapshot must
+  * equal the model EXACTLY, at the end every still-resolvable version
+  * must time-travel back to the model state it was committed with, and
+  * the CHANGE FEED between every consecutive resolvable pair must
+  * replay the earlier state into the later one (the CDF algebra:
+  * state ∖ deletes ∖ update-pre ∪ inserts ∪ update-post = next state).
+  * This is the interleaving coverage the per-operation specs can't
+  * give: DV deletes under later COW rewrites, rollbacks across
+  * optimizes, merges over vectored files, scoped replaces over log
+  * expiry — whatever the seed composes. Seeds are fixed: failures
+  * reproduce. */
 class TableLifecyclePropertySpec extends SparkSpec {
   import spark.implicits._
 
   private type Row3 = (Long, Long, String)
 
-  test("40 random table ops: head ≡ model after each; every version time-travels to its model state") {
+  private def runLifecycle(seedVal: Long, nOps: Int): Unit = {
     val t = java.nio.file.Files.createTempDirectory("vt_life").toString
-    val rnd = new scala.util.Random(41L) // fixed seed: failures reproduce
+    val rnd = new scala.util.Random(seedVal)
     var nextId = 0L
     var step = 0
     def ts(): String = {
@@ -48,20 +53,25 @@ class TableLifecyclePropertySpec extends SparkSpec {
     model = seed.map(r => r._1 -> r).toMap
     states(0L) = model.values.toSet
 
-    def pred(): (String, Row3 => Boolean) = rnd.nextInt(3) match {
+    // (condition SQL, model predicate, force-a-row-into-scope)
+    def pred(): (String, Row3 => Boolean, Row3 => Row3) = rnd.nextInt(3) match {
       case 0 =>
         val k = rnd.nextInt(3)
-        (s"v % 3 = $k", r => r._2 % 3 == k)
+        (s"v % 3 = $k", r => r._2 % 3 == k,
+          r => (r._1, r._2 - r._2 % 3 + k, r._3))
       case 1 =>
         val x = 20 + rnd.nextInt(60)
-        (s"v < $x", r => r._2 < x)
+        (s"v < $x", r => r._2 < x,
+          r => (r._1, math.min(r._2, x - 1L), r._3))
       case _ =>
         val g = s"t${rnd.nextInt(5)}"
-        (s"tag = '$g'", r => r._3 == g)
+        (s"tag = '$g'", r => r._3 == g, r => (r._1, r._2, g))
     }
 
-    (1 to 40).foreach { opIdx =>
-      val opName: String = rnd.nextInt(8) match {
+    def resolvable(v: Long): Boolean = VersionedTable.hasVersion(spark, t, v)
+
+    (1 to nOps).foreach { opIdx =>
+      val opName: String = rnd.nextInt(10) match {
         case 0 => // append fresh rows
           val rows = freshRows(5 + rnd.nextInt(10))
           VersionedTable.commit(df(rows), t, mode = "append", ts = ts())
@@ -73,17 +83,17 @@ class TableLifecyclePropertySpec extends SparkSpec {
           model = rows.map(r => r._1 -> r).toMap
           "overwrite"
         case 2 => // COW delete
-          val (c, f) = pred()
+          val (c, f, _) = pred()
           VersionedTable.delete(spark, t, c, ts = ts())
           model = model.filterNot { case (_, r) => f(r) }
           s"delete[$c]"
         case 3 => // merge-on-read delete (deletion vectors; may auto-fold)
-          val (c, f) = pred()
+          val (c, f, _) = pred()
           VersionedTable.deleteMergeOnRead(spark, t, c, ts = ts())
           model = model.filterNot { case (_, r) => f(r) }
           s"mor_delete[$c]"
         case 4 => // COW update
-          val (c, f) = pred()
+          val (c, f, _) = pred()
           val add = 100L + rnd.nextInt(100)
           VersionedTable.update(spark, t, c, Map("v" -> s"v + $add"), ts = ts())
           model = model.map { case (id, r) =>
@@ -98,31 +108,73 @@ class TableLifecyclePropertySpec extends SparkSpec {
           VersionedTable.merge(df(src), t, keyCols = Seq("id"), ts = ts())
           model ++= src.map(r => r._1 -> r)
           "merge"
-        case 6 => // maintenance: content must not move
+        case 6 => // predicate-scoped overwrite: in-scope batch replaces scope
+          val (c, f, fix) = pred()
+          val rows = freshRows(3 + rnd.nextInt(5)).map(fix)
+          VersionedTable.replaceWhere(df(rows), t, c, ts = ts())
+          model = model.filterNot { case (_, r) => f(r) } ++
+            rows.map(r => r._1 -> r)
+          s"replaceWhere[$c]"
+        case 7 => // maintenance: content must not move
           VersionedTable.optimize(spark, t, ts = ts())
           "optimize"
-        case _ => // rollback to a random recorded version
-          val target = states.keys.toSeq.sorted.apply(
-            rnd.nextInt(states.size))
+        case 8 => // rollback to a random still-resolvable recorded version
+          val candidates = states.keys.toSeq.sorted.filter(resolvable)
+          val target = candidates(rnd.nextInt(candidates.size))
           VersionedTable.rollback(spark, t, target, ts = ts())
           model = states(target).map(r => r._1 -> r).toMap
           s"rollback[$target]"
+        case _ => // mid-run log expiry: old versions become unresolvable
+          VersionedTable.expireLog(spark, t, retainVersions = 8)
+          "expireLog"
       }
       val head = VersionedTable.latestVersion(spark, t)
       states(head) = model.values.toSet
       assert(tableRows() === model.values.toSet,
-        s"head diverged from model after op #$opIdx ($opName) at v$head")
+        s"seed $seedVal: head diverged from model after op #$opIdx ($opName) at v$head")
     }
 
-    // every recorded version time-travels back to its model state
-    states.toSeq.sortBy(_._1).foreach { case (v, want) =>
+    // every still-resolvable recorded version time-travels back to its
+    // model state (expired versions are gone, like Delta after cleanup)
+    val live = states.toSeq.sortBy(_._1).filter(s => resolvable(s._1))
+    assert(live.size >= 8, s"seed $seedVal: too few resolvable versions survived")
+    live.foreach { case (v, want) =>
       val got = VersionedTable.readVersion(spark, t, v).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
-      assert(got === want, s"time travel to v$v diverged from its model state")
+      assert(got === want,
+        s"seed $seedVal: time travel to v$v diverged from its model state")
     }
-    // the log survives maintenance: expire below a checkpoint anchor and
-    // the head still equals the model
+
+    // CDF algebra over every consecutive resolvable pair: the change
+    // feed replays state(v) into state(v+1) exactly
+    live.map(_._1).sliding(2).foreach {
+      case Seq(a, b) if b == a + 1 =>
+        val feed = VersionedTable.changes(spark, t, Seq("id"), a, b)
+          .select("id", "v", "tag", "_change_type").collect()
+          .map(r => ((r.getLong(0), r.getLong(1), r.getString(2)), r.getString(3)))
+        val dropIds = feed.collect {
+          case ((id, _, _), tpe) if tpe == "delete" || tpe == "update_preimage" => id
+        }.toSet
+        val addRows = feed.collect {
+          case (row, tpe) if tpe == "insert" || tpe == "update_postimage" => row
+        }.toSet
+        val applied = states(a).filterNot(r => dropIds.contains(r._1)) ++ addRows
+        assert(applied === states(b),
+          s"seed $seedVal: CDF algebra broke replaying v$a -> v$b")
+      case _ => ()
+    }
+
+    // the log survives a final expiry: head still equals the model
     VersionedTable.expireLog(spark, t, retainVersions = 5)
-    assert(tableRows() === model.values.toSet, "head diverged after expireLog")
+    assert(tableRows() === model.values.toSet,
+      s"seed $seedVal: head diverged after final expireLog")
+  }
+
+  test("seed 41: 40 random ops — head ≡ model, time travel ≡ states, CDF replays states") {
+    runLifecycle(41L, 40)
+  }
+
+  test("seed 97: 40 random ops — head ≡ model, time travel ≡ states, CDF replays states") {
+    runLifecycle(97L, 40)
   }
 }
