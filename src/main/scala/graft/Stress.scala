@@ -94,7 +94,9 @@ object Stress {
       return
     }
     if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("cdf")) {
-      cdfDeepBackfillLine(spark)
+      val deep = deepLog1k(spark)
+      cdfDeepBackfillLine(spark, deep)
+      streamUnpacedCatchupLine(spark, deep)
       spark.stop()
       return
     }
@@ -844,10 +846,54 @@ object Stress {
         f"log bounded at $nManifests manifests + $nCheckpoints checkpoints; 1000 rows exact")
     }
 
-    cdfDeepBackfillLine(spark)
+    val deepLog = deepLog1k(spark)
+    cdfDeepBackfillLine(spark, deepLog)
+    streamUnpacedCatchupLine(spark, deepLog)
     checkpointMultipartLine(spark)
 
     spark.stop()
+  }
+
+  /** A 1,000-commit log of single-row appends — the deep-backfill
+    * fixture shared by the batch-CDF and unpaced-stream lines. */
+  private def deepLog1k(spark: SparkSession): String = {
+    import graft.sources.VersionedTable
+    val path = s"${java.nio.file.Files.createTempDirectory("graft_cdf")}/deep"
+    val one = spark.range(1).selectExpr("id", "id * 10 AS v").coalesce(1)
+    (0 until 1000).foreach { i =>
+      VersionedTable.commit(one, path,
+        mode = if (i == 0) "overwrite" else "append",
+        ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
+    }
+    path
+  }
+
+  /** UNPACED stream catch-up over the same 1,000-version log:
+    * `startingVersion=0` with neither `maxVersionsPerTrigger` nor
+    * `maxFilesPerTrigger`, so the FIRST batch covers every commit at
+    * once — 1,000 union legs in one plan. Gates the stream source's
+    * balanced catch-up union (a left-leaning reduce chain there is
+    * quadratic analyzer time, the shape the batch CDF already fixed). */
+  private def streamUnpacedCatchupLine(spark: SparkSession, path: String): Unit = {
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_s1k").toString
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val batches = new java.util.concurrent.atomic.AtomicLong(0)
+    val t0 = System.nanoTime()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0").load(path)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        rows.addAndGet(b.count()); batches.incrementAndGet(); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val s = (System.nanoTime() - t0) / 1e9
+    require(rows.get == 1000L,
+      s"unpaced 1k-version drain lost commits: ${rows.get} rows")
+    require(s < 240.0, f"unpaced 1k-version drain blew up: $s%.1f s")
+    println(f"STRESS stream_unpaced_1k      drain $s%.2f s in ${batches.get}%d " +
+      f"batch(es), ${rows.get}%d rows")
   }
 
   /** MULTI-PART CHECKPOINT at the ≥100k-file regime — the measurement
@@ -888,15 +934,7 @@ object Stress {
     * plan: a left-leaning 1,000-leg union is O(legs) plan depth and
     * quadratic analysis; the balanced tree must keep ANALYSIS time in
     * seconds and leave execution linear in the per-commit diffs. */
-  private def cdfDeepBackfillLine(spark: SparkSession): Unit = {
-    import graft.sources.VersionedTable
-    val path = s"${java.nio.file.Files.createTempDirectory("graft_cdf")}/deep"
-    val one = spark.range(1).selectExpr("id", "id * 10 AS v").coalesce(1)
-    (0 until 1000).foreach { i =>
-      VersionedTable.commit(one, path,
-        mode = if (i == 0) "overwrite" else "append",
-        ts = java.time.Instant.EPOCH.plusSeconds(i.toLong).toString)
-    }
+  private def cdfDeepBackfillLine(spark: SparkSession, path: String): Unit = {
     val t0 = System.nanoTime()
     val feed = spark.read.format("graft")
       .option("readChangeFeed", "true")

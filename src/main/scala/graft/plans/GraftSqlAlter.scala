@@ -56,7 +56,8 @@ final case class GraftRenameColumnCommand(path: String,
     ident: TableIdentifier, oldName: String, newName: String)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    VersionedTable.renameColumn(sparkSession, path, oldName, newName)
+    VersionedTable.renameColumn(sparkSession, path, oldName, newName,
+      ts = VersionedTable.TsNow)
     GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
     Seq.empty
   }
@@ -73,7 +74,7 @@ final case class GraftDropColumnsCommand(path: String,
       .schema.fieldNames.toSet
     columns.foreach { c =>
       if (present.contains(c) || !ifExists)
-        VersionedTable.dropColumn(sparkSession, path, c)
+        VersionedTable.dropColumn(sparkSession, path, c, ts = VersionedTable.TsNow)
     }
     GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
     Seq.empty
@@ -108,7 +109,8 @@ final case class GraftAlterColumnTypeCommand(path: String,
     })
     val empty = sparkSession.createDataFrame(
       java.util.Collections.emptyList[Row](), widened)
-    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
+    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true,
+      ts = VersionedTable.TsNow)
     GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
     Seq.empty
   }
@@ -134,8 +136,66 @@ final case class GraftAddColumnsCommand(path: String,
     val widened = StructType(cur.fields ++ colsToAdd)
     val empty = sparkSession.createDataFrame(
       java.util.Collections.emptyList[Row](), widened)
-    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
+    VersionedTable.commit(empty, path, mode = "append", mergeSchema = true,
+      ts = VersionedTable.TsNow)
     GraftSqlAlter.syncCatalogSchema(sparkSession, ident, path)
     Seq.empty
   }
+}
+
+/** `ALTER TABLE t SET TBLPROPERTIES (k = v, ...)` — persisted in the
+  * MANIFEST (the table's own policy travels with the table; two
+  * sessions with different JVM configs apply the same declared
+  * retention/cadence), with the catalog's stored properties synced as
+  * a convenience on name targets. */
+final case class GraftSetPropertiesCommand(path: String,
+    ident: Option[TableIdentifier], props: Map[String, String])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.setProperties(sparkSession, path, props,
+      ts = VersionedTable.TsNow)
+    ident.foreach { ti =>
+      val catalog = sparkSession.sessionState.catalog
+      val meta = catalog.getTableMetadata(ti)
+      catalog.alterTable(meta.copy(properties = meta.properties ++ props))
+    }
+    Seq.empty
+  }
+}
+
+/** `ALTER TABLE t UNSET TBLPROPERTIES [IF EXISTS] (k, ...)`. */
+final case class GraftUnsetPropertiesCommand(path: String,
+    ident: Option[TableIdentifier], keys: Seq[String], ifExists: Boolean)
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    VersionedTable.unsetProperties(sparkSession, path, keys, ifExists,
+      ts = VersionedTable.TsNow)
+    ident.foreach { ti =>
+      val catalog = sparkSession.sessionState.catalog
+      val meta = catalog.getTableMetadata(ti)
+      catalog.alterTable(meta.copy(properties = meta.properties -- keys))
+    }
+    Seq.empty
+  }
+}
+
+/** `SHOW TBLPROPERTIES t [('key')]` — the manifest property state as
+  * rows. Reuses the parsed node's output attributes so the analyzed
+  * parent plan's references stay valid. */
+final case class GraftShowPropertiesCommand(path: String,
+    propertyKey: Option[String],
+    override val output: Seq[org.apache.spark.sql.catalyst.expressions.Attribute])
+    extends LeafRunnableCommand {
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val props = VersionedTable.propertiesOf(sparkSession, path)
+    propertyKey match {
+      case Some(k) =>
+        val v = props.getOrElse(k,
+          s"Table ${ident} does not have property: $k")
+        if (output.size == 1) Seq(Row(v)) else Seq(Row(k, v))
+      case None =>
+        props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+    }
+  }
+  private def ident: String = path
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.catalog.{CatalogTable, UnresolvedCatalogRel
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, ExprId, Expression, Literal, PlanExpression}
 import org.apache.spark.sql.execution.command.AlterTableAddColumnsCommand
 import org.apache.spark.sql.types.StringType
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SubqueryAlias, UpdateAction, UpdateStarAction, UpdateTable, View}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteAction, DeleteFromTable, DropColumns, InsertAction, InsertStarAction, LogicalPlan, MergeIntoTable, RenameColumn, SetTableProperties, ShowTableProperties, SubqueryAlias, UnsetTableProperties, UpdateAction, UpdateStarAction, UpdateTable, View}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.LogicalRelation
@@ -75,6 +75,26 @@ final class GraftSqlDml(spark: SparkSession) extends Rule[LogicalPlan] {
     // v1 command, whose run() rejects non-file-format providers. All
     // three intercept here and route to the zero-rewrite column-mapping
     // ops, syncing the catalog's stored schema after.
+    case GraftAlterColumn(orig, parts) if orig.isInstanceOf[SetTableProperties] ||
+        orig.isInstanceOf[UnsetTableProperties] ||
+        orig.isInstanceOf[ShowTableProperties] =>
+      // TBLPROPERTIES routes by path OR catalog name (the path idiom
+      // has no catalog entry): graft targets read/write the MANIFEST
+      // property state; anything else gets its original node back
+      graftCatalogPath(spark, parts) match {
+        case None => orig
+        case Some(path) =>
+          val ident = graftMetaParts(spark, parts).map(_.identifier)
+          orig match {
+            case SetTableProperties(_, props) =>
+              GraftSetPropertiesCommand(path, ident, props)
+            case UnsetTableProperties(_, keys, ifExists) =>
+              GraftUnsetPropertiesCommand(path, ident, keys, ifExists)
+            case st: ShowTableProperties =>
+              GraftShowPropertiesCommand(path, st.propertyKey, st.output)
+            case other => other // unreachable (guarded above)
+          }
+      }
     case GraftAlterColumn(orig, parts) =>
       graftMetaParts(spark, parts) match {
         case None => orig
@@ -457,14 +477,17 @@ object GraftSqlDml {
 
     def sql(e: Expression, what: String): String = rewrite(e, what).sql
 
-    /** ON-clause conjunct → (target column, source column) key pair; the
-      * library merges on key EQUALITY (Delta's dominant shape — the
-      * reference merges on pk+run equality, batch_scoring.py:190), so
-      * anything non-equi refuses loudly rather than silently
-      * reclassifying matched rows. Differently-named keys are accepted:
-      * [[rewriteMerge]] renames the source column to the target's name
-      * before handing off to mergeClauses. */
-    def keyPairOf(e: Expression): (String, String) = e match {
+    /** ON-clause conjunct → Some(target column, source column) when it
+      * is a target-column = source-column KEY equality (the join keys
+      * the library's merge executes on; Delta's dominant shape — the
+      * reference merges on pk+run equality, batch_scoring.py:190);
+      * None for any other conjunct shape — those are EXTRA predicates
+      * [[rewriteMerge]] folds into the matched-clause conditions.
+      * Differently-named keys are accepted: [[rewriteMerge]] renames
+      * the source column to the target's name before handing off to
+      * mergeClauses. A name that resolves on neither side still errors
+      * loudly (via the rewrite's classify), never silently drops. */
+    def keyPairOf(e: Expression): Option[(String, String)] = e match {
       case EqualTo(l, r) =>
         def pair(tc: String, sc: String): (String, String) = (
           canonical(tc, target.cols).getOrElse(unsupported(
@@ -474,18 +497,12 @@ object GraftSqlDml {
             s"ON key $sc names no source column " +
               s"(source columns: ${sCols.mkString(", ")})")))
         (side(l), side(r)) match {
-          case (Some(("t", lc)), Some(("s", rc))) => pair(lc, rc)
-          case (Some(("s", lc)), Some(("t", rc))) => pair(rc, lc)
-          case (Some((a, lc)), Some((b, rc))) if a == b => unsupported(
-            s"ON condition ${e.sql} compares two $a-side columns ($lc, $rc); " +
-              "each conjunct must equate a target column with a source column")
-          case _ => unsupported(
-            s"ON condition ${e.sql} is not a target-column = source-column " +
-              "equality; graft MERGE keys on column equality only")
+          case (Some(("t", lc)), Some(("s", rc))) => Some(pair(lc, rc))
+          case (Some(("s", lc)), Some(("t", rc))) => Some(pair(rc, lc))
+          case _ => None // t=t, s=s, column=literal, expression=… —
+                         // a residual predicate, not a join key
         }
-      case other => unsupported(
-        s"ON condition conjunct ${other.sql} is not an equality; " +
-          "graft MERGE supports key-equality ON conditions only")
+      case _ => None
     }
 
     private def side(e: Expression): Option[(String, String)] =
@@ -523,13 +540,34 @@ object GraftSqlDml {
     val ctx = new MergeCtx(t, sQuals, sourceCols,
       analyzedSource.output.map(_.exprId).toSet)
 
+    // The ON predicate splits into KEY conjuncts (target-column =
+    // source-column equalities — the join keys the merge executes on)
+    // and EXTRA conjuncts (anything else: `s.ts > t.ts`, `t.flag =
+    // true`, same-side equalities — the conditional-match CDC shape).
+    // Extra conjuncts FOLD INTO THE MATCHED-CLAUSE CONDITIONS: a pair
+    // that key-matches but fails them matches no clause — the target
+    // row survives unchanged and the source row does NOT insert.
+    // (Recorded deviation from Delta, which classifies such pairs as
+    // not-matched on both sides — its NOT MATCHED INSERT can then
+    // create duplicate keys; the fold is the safe CDC reading, and
+    // equivalent to hand-moving the conjunct into each WHEN MATCHED
+    // condition.) An ON with no key conjunct at all refuses loudly —
+    // a key-less merge would be a cross join, not an upsert.
+    //
     // ON keys may be differently named (`ON t.id = s.customer_id` —
     // Delta's dominant CDC shape): the source column is renamed to the
     // target's name in ONE atomic projection before mergeClauses, and
     // every later s-side reference re-renders under the new name. Swaps
     // are fine (atomic projection); a rename landing on a name another
     // surviving source column still holds is refused loudly.
-    val keyPairs = conjuncts(m.mergeCondition).map(ctx.keyPairOf).distinct
+    val onConjuncts = conjuncts(m.mergeCondition)
+    val pairedConjuncts = onConjuncts.map(c => c -> ctx.keyPairOf(c))
+    val keyPairs = pairedConjuncts.flatMap(_._2).distinct
+    val extraConjuncts = pairedConjuncts.collect { case (c, None) => c }
+    if (keyPairs.isEmpty) unsupported(
+      s"ON condition ${m.mergeCondition.sql} contains no target-column = " +
+        "source-column equality conjunct; graft MERGE joins on key " +
+        "equality (extra ON predicates are allowed alongside at least one key)")
     keyPairs.groupBy(_._1.toLowerCase).valuesIterator
       .find(_.map(_._2.toLowerCase).distinct.size > 1)
       .foreach(ps => unsupported(s"ON equates target column ${ps.head._1} " +
@@ -574,6 +612,13 @@ object GraftSqlDml {
     val tWide = t.copy(cols = t.cols ++ widen.map(_.name))
 
     val keys = keyPairs.map(_._1).distinct
+    // extra ON conjuncts render AFTER the renames are set, so s-side
+    // references inside them agree with the renamed source plan
+    val extraCond: Option[String] =
+      if (extraConjuncts.isEmpty) None
+      else Some(extraConjuncts.map(c => s"(${ctx.sql(c, "ON")})").mkString(" AND "))
+    def withExtra(c: Option[String]): Option[String] =
+      extraCond.map(x => c.fold(x)(cc => s"$x AND ($cc)")).orElse(c)
     def cond(c: Option[Expression], what: String): Option[String] =
       c.map(ctx.sql(_, what))
     def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] = {
@@ -585,10 +630,11 @@ object GraftSqlDml {
     }
 
     val matched: Seq[VTAction] = m.matchedActions.map {
-      case UpdateStarAction(c) => VTAction.Update(cond(c, "WHEN MATCHED"))
+      case UpdateStarAction(c) => VTAction.Update(withExtra(cond(c, "WHEN MATCHED")))
       case UpdateAction(c, assigns, _) =>
-        VTAction.Update(cond(c, "WHEN MATCHED"), assignMap(assigns, "WHEN MATCHED UPDATE"))
-      case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN MATCHED"))
+        VTAction.Update(withExtra(cond(c, "WHEN MATCHED")),
+          assignMap(assigns, "WHEN MATCHED UPDATE"))
+      case DeleteAction(c) => VTAction.Delete(withExtra(cond(c, "WHEN MATCHED")))
       case other => unsupported(s"unsupported WHEN MATCHED action: $other")
     }
     val notMatched: Seq[VTAction] = m.notMatchedActions.map {
@@ -615,7 +661,7 @@ object GraftSqlDml {
 final case class GraftDeleteCommand(path: String, condition: String)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    VersionedTable.delete(sparkSession, path, condition)
+    VersionedTable.delete(sparkSession, path, condition, ts = VersionedTable.TsNow)
     Seq.empty
   }
 }
@@ -624,7 +670,8 @@ final case class GraftDeleteCommand(path: String, condition: String)
 final case class GraftUpdateCommand(path: String, condition: String,
     set: Map[String, String]) extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
-    VersionedTable.update(sparkSession, path, condition, set)
+    VersionedTable.update(sparkSession, path, condition, set,
+      ts = VersionedTable.TsNow)
     Seq.empty
   }
 }
@@ -650,12 +697,13 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
         val empty = sparkSession.createDataFrame(
           java.util.Collections.emptyList[Row](),
           org.apache.spark.sql.types.StructType(cur.fields ++ missing))
-        VersionedTable.commit(empty, path, mode = "append", mergeSchema = true)
+        VersionedTable.commit(empty, path, mode = "append", mergeSchema = true,
+          ts = VersionedTable.TsNow)
         ident.foreach(ti => GraftSqlAlter.syncCatalogSchema(sparkSession, ti, path))
       }
     }
     VersionedTable.mergeClauses(Shims.ofRows(sparkSession, source), path,
-      keys, matched, notMatched, bySource)
+      keys, matched, notMatched, bySource, ts = VersionedTable.TsNow)
     Seq.empty
   }
 }

@@ -56,6 +56,19 @@ final class GraftSqlParser(spark: SparkSession, delegate: ParserInterface)
         case ac @ org.apache.spark.sql.catalyst.plans.logical.AlterColumns(
             u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _) =>
           GraftAlterColumn(ac, u.multipartIdentifier)
+        // SET/UNSET/SHOW TBLPROPERTIES: same park-then-decide trick —
+        // graft targets route to the MANIFEST property state (the
+        // catalog's copy is a synced convenience, not the truth), any
+        // other provider gets its original node back untouched
+        case sp @ org.apache.spark.sql.catalyst.plans.logical.SetTableProperties(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _) =>
+          GraftAlterColumn(sp, u.multipartIdentifier)
+        case up @ org.apache.spark.sql.catalyst.plans.logical.UnsetTableProperties(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable, _, _) =>
+          GraftAlterColumn(up, u.multipartIdentifier)
+        case st @ org.apache.spark.sql.catalyst.plans.logical.ShowTableProperties(
+            u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView, _, _) =>
+          GraftAlterColumn(st, u.multipartIdentifier)
         // graft.`/path` relations: ResolveSQLOnFile claims format.`path`
         // identifiers and throws for non-FileFormat sources — park them
         case u: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
@@ -200,8 +213,13 @@ object GraftSqlParser {
     while (i < rest.length) {
       val c = rest.charAt(i)
       if (quote != 0) {
-        // Spark string literals escape with backslash by default
+        // Spark string literals escape with backslash by default, AND
+        // accept the SQL doubled-quote escape ('it''s' / "a""b") — a
+        // doubled quote stays INSIDE the literal, else a keyword later
+        // in it would become the condition/query split point
         if (c == '\\') i += 2
+        else if (c == quote && i + 1 < rest.length && rest.charAt(i + 1) == quote)
+          i += 2
         else { if (c == quote) quote = 0; i += 1 }
       }
       else if (inB) { if (c == '`') inB = false; i += 1 }
@@ -305,7 +323,7 @@ final case class GraftConvertCommand(path: String) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] =
-    Seq(Row(VersionedTable.convert(sparkSession, path)))
+    Seq(Row(VersionedTable.convert(sparkSession, path, ts = VersionedTable.TsNow)))
 }
 
 /** `ALTER TABLE t ADD CONSTRAINT name CHECK (expr)` /
@@ -319,11 +337,13 @@ final case class GraftConstraintCommand(target: Either[String, Seq[String]],
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
     val v = check match {
-      case Some(expr) => VersionedTable.addConstraint(sparkSession, path, name, expr)
+      case Some(expr) => VersionedTable.addConstraint(sparkSession, path, name,
+        expr, ts = VersionedTable.TsNow)
       case None =>
         if (ifExists && !VersionedTable.constraintsOf(sparkSession, path).contains(name))
           VersionedTable.latestVersion(sparkSession, path)
-        else VersionedTable.dropConstraint(sparkSession, path, name)
+        else VersionedTable.dropConstraint(sparkSession, path, name,
+          ts = VersionedTable.TsNow)
     }
     Seq(Row(v))
   }
@@ -371,9 +391,11 @@ final case class GraftOptimizeCommand(target: Either[String, Seq[String]],
     val before = VersionedTable.latestVersion(sparkSession, path)
     val v = where match {
       case Some(cond) =>
-        VersionedTable.optimizeWhere(sparkSession, path, cond, zorderCols = zorderCols)
+        VersionedTable.optimizeWhere(sparkSession, path, cond,
+          ts = VersionedTable.TsNow, zorderCols = zorderCols)
       case None =>
-        VersionedTable.optimize(sparkSession, path, zorderCols = zorderCols)
+        VersionedTable.optimize(sparkSession, path,
+          ts = VersionedTable.TsNow, zorderCols = zorderCols)
     }
     val files = VersionedTable.history(sparkSession, path)
       .filter(org.apache.spark.sql.functions.col("version").isin(before, v))
@@ -398,7 +420,8 @@ final case class GraftReplaceWhereCommand(target: Either[String, Seq[String]],
     val df = org.apache.spark.sql.graft.Shims.ofRows(sparkSession,
       sparkSession.sessionState.sqlParser.parseQuery(query))
     Seq(Row(VersionedTable.replaceWhere(df,
-      GraftSqlParser.resolvePath(sparkSession, target), condition)))
+      GraftSqlParser.resolvePath(sparkSession, target), condition,
+      ts = VersionedTable.TsNow)))
   }
 }
 
@@ -423,7 +446,8 @@ final case class GraftCloneCommand(ifNotExists: Boolean,
       case Left(path) =>
         if (ifNotExists && GraftTable.isGraftTable(sparkSession, path)) Seq(Row(path))
         else {
-          VersionedTable.cloneTable(sparkSession, srcPath, path, v)
+          VersionedTable.cloneTable(sparkSession, srcPath, path, v,
+            ts = VersionedTable.TsNow)
           Seq(Row(path))
         }
       case Right(parts) =>
@@ -443,7 +467,8 @@ final case class GraftCloneCommand(ifNotExists: Boolean,
               "(use IF NOT EXISTS to skip)")
         } else {
           val tgt = location.getOrElse(catalog.defaultTablePath(ti).toString)
-          VersionedTable.cloneTable(sparkSession, srcPath, tgt, v)
+          VersionedTable.cloneTable(sparkSession, srcPath, tgt, v,
+            ts = VersionedTable.TsNow)
           sparkSession.sql(
             s"CREATE TABLE ${parts.map(q => s"`$q`").mkString(".")} " +
               s"USING graft LOCATION '$tgt'")
@@ -462,8 +487,10 @@ final case class GraftRestoreCommand(target: Either[String, Seq[String]],
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
     val v = (version, timestamp) match {
-      case (Some(toV), _) => VersionedTable.rollback(sparkSession, path, toV)
-      case (_, Some(ts)) => GraftTable.forPath(sparkSession, path).restoreToTimestamp(ts)
+      case (Some(toV), _) =>
+        VersionedTable.rollback(sparkSession, path, toV, ts = VersionedTable.TsNow)
+      case (_, Some(ts)) => GraftTable.forPath(sparkSession, path)
+        .restoreToTimestamp(ts, ts = VersionedTable.TsNow)
       case _ => throw new IllegalArgumentException("graft SQL: RESTORE needs a point")
     }
     Seq(Row(v))

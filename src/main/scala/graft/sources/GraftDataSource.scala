@@ -114,7 +114,16 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
             "update pre/post pairs classify by key)"))
       // Delta's four range spellings: starting/endingVersion exact,
       // starting/endingTimestamp resolved against commit timestamps
-      // (start = first commit at-or-after, end = last at-or-before)
+      // (start = first commit at-or-after, end = last at-or-before).
+      // Conflicting spellings of the same bound are an ERROR (Delta's
+      // rule) — a silently ignored startingTimestamp would widen or
+      // narrow the change range without warning.
+      require(parameters.get("startingVersion").isEmpty ||
+        parameters.get("startingTimestamp").isEmpty,
+        "specify at most one of startingVersion / startingTimestamp")
+      require(parameters.get("endingVersion").isEmpty ||
+        parameters.get("endingTimestamp").isEmpty,
+        "specify at most one of endingVersion / endingTimestamp")
       val start = parameters.get("startingVersion").map(_.trim.toLong)
         .orElse(parameters.get("startingTimestamp").map(ts =>
           GraftTable.forPath(spark, path).versionAtOrAfter(ts.trim)))
@@ -153,7 +162,11 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val path = pathOf(parameters)
     val spark = sqlContext.sparkSession
     val exists = VersionedTable.latestVersion(spark, path) >= 0
-    val ts = parameters.getOrElse("ts", "1970-01-01T00:00:00Z")
+    // wall clock unless the caller pins one: this face (and the SQL
+    // CTAS riding it) is user-facing, so DESCRIBE HISTORY must read
+    // current and age-based retention must see fresh commits; pass the
+    // `ts` option for deterministic logs (fixtures, replay)
+    val ts = parameters.getOrElse("ts", VersionedTable.TsNow)
     val mergeSchema = parameters.get("mergeSchema").exists(_.trim.toBoolean)
     // Delta's predicate-scoped overwrite as a WRITE option (the
     // idempotent-backfill idiom: .mode("overwrite")
@@ -166,6 +179,25 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val pcols = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // Delta's overwriteSchema guard (delta_utils.py:29 passes the
+    // option explicitly): an overwrite whose batch SCHEMA differs from
+    // the table's refuses unless `overwriteSchema=true` — the library
+    // `commit` itself keeps its documented replace-the-snapshot
+    // semantics; this face adds the accidental-clobber protection a
+    // writer-facing API owes its users. Changed = the case-insensitive
+    // column-name → type map differs (order and nullability are not
+    // schema changes).
+    if (mode == SaveMode.Overwrite && exists && replaceWhere.isEmpty &&
+        !parameters.get("overwriteSchema").exists(_.trim.toBoolean)) {
+      def typeMap(s: StructType): Map[String, org.apache.spark.sql.types.DataType] =
+        s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
+      val cur = VersionedTable.readVersion(spark, path).schema
+      if (typeMap(cur) != typeMap(data.schema))
+        throw new VersionedTable.SchemaMismatchException(
+          s"overwrite batch schema ${data.schema.simpleString} does not match " +
+            s"table schema ${cur.simpleString} at $path; pass " +
+            """.option("overwriteSchema", "true") to replace the schema with the data""")
+    }
     def write(m: String): Unit = {
       VersionedTable.commit(data, path, m, ts, mergeSchema = mergeSchema,
         partitionBy = pcols)
@@ -195,6 +227,13 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       case SaveMode.Ignore if exists => ()
       case SaveMode.Ignore => write("overwrite")
     }
+    // table-declared auto-compaction (Delta's
+    // delta.autoOptimize.autoCompact): fold accumulated small files
+    // after the commit — a no-op commit-free pass when fewer than two
+    // small files exist. Cheap to consult: the property state is cached
+    // per (table, version) by the commit that just published it.
+    if (VersionedTable.autoCompactEnabled(spark, path))
+      VersionedTable.compactSmall(spark, path, ts = ts)
     new GraftRelation(spark,
       () => GraftDataSource.snapshotDf(spark, path, None, None),
       insertPath = Some(path))
@@ -236,20 +275,25 @@ object GraftDataSource {
       f.withColumn("_commit_version", lit(v))
         .withColumn("_commit_timestamp", lit(tsOf.getOrElse(v, null)))
     }
-    // BALANCED union, not reduce: a left-leaning chain over a deep
-    // startingVersion (1,000+ commits back) is O(legs) plan DEPTH —
-    // analysis re-walks each Union spine per rule, quadratic driver
-    // time, and eventually a StackOverflow. The balanced tree is
-    // O(log legs) deep; per-commit manifest resolution stays the
-    // linear part, exactly like Delta's per-commit CDF file index.
-    def union(ls: IndexedSeq[DataFrame]): DataFrame =
-      if (ls.size == 1) ls.head
-      else {
-        val (a, b) = ls.splitAt(ls.size / 2)
-        union(a).unionByName(union(b), allowMissingColumns = true)
-      }
-    union(legs)
+    // BALANCED union, not reduce — see [[balancedUnion]]; per-commit
+    // manifest resolution stays the linear part, exactly like Delta's
+    // per-commit CDF file index.
+    balancedUnion(legs)
   }
+
+  /** Union many per-commit legs as a BALANCED tree, not a left-leaning
+    * `reduce` chain: a chain over a deep version range (1,000+ commits)
+    * is O(legs) plan DEPTH — analysis re-walks each Union spine per
+    * rule, quadratic driver time, and eventually a StackOverflow. The
+    * balanced tree is O(log legs) deep. Shared by the batch CDF read
+    * and the stream source's catch-up batch (the same shape appears
+    * wherever one batch covers many commits). */
+  private[sources] def balancedUnion(ls: IndexedSeq[DataFrame]): DataFrame =
+    if (ls.size == 1) ls.head
+    else {
+      val (a, b) = ls.splitAt(ls.size / 2)
+      balancedUnion(a).unionByName(balancedUnion(b), allowMissingColumns = true)
+    }
 }
 
 /** One snapshot of a versioned table as a Spark relation. Scan-level
@@ -272,8 +316,24 @@ final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame,
     val path = insertPath.getOrElse(throw new UnsupportedOperationException(
       "INSERT into a time-travel/CDF read is not supported — these are " +
         "read-only views of table history; insert into the plain table"))
+    // the overwriteSchema guard, SQL face: Spark aligns INSERT data to
+    // the relation schema by position, so a name drift here means the
+    // statement bypassed that alignment — refuse rather than clobber
+    // (SQL has no option to pass; use the format writer to re-school)
+    if (overwrite) {
+      val cur = VersionedTable.readVersion(spark, path).schema
+      if (cur.fieldNames.map(_.toLowerCase).toSeq !=
+          data.schema.fieldNames.map(_.toLowerCase).toSeq)
+        throw new VersionedTable.SchemaMismatchException(
+          s"INSERT OVERWRITE schema ${data.schema.simpleString} does not match " +
+            s"table schema ${cur.simpleString} at $path; use " +
+            """df.write.format("graft").option("overwriteSchema", "true") """ +
+            "to replace the schema")
+    }
     VersionedTable.commit(data, path,
-      if (overwrite) "overwrite" else "append")
+      if (overwrite) "overwrite" else "append", ts = VersionedTable.TsNow)
+    if (VersionedTable.autoCompactEnabled(spark, path))
+      VersionedTable.compactSmall(spark, path, ts = VersionedTable.TsNow)
     ()
   }
 

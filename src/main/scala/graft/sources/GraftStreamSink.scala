@@ -24,13 +24,15 @@ import org.apache.spark.sql.streaming.OutputMode
   * new columns widens the table instead of failing the query (Delta's
   * streaming schema-evolution opt-in).
   *
-  * Commit timestamps are `tsBase + batchId` seconds, where the base
-  * DEFAULTS TO WALL CLOCK at sink construction: age-based retention
-  * (`VACUUM ... RETAIN n HOURS`, `restoreToTimestamp`, the 7-day
-  * vacuum grace) must see sink commits as CURRENT — an EPOCH-anchored
-  * base would make every commit look 56 years stale, vacuously passing
-  * every retention cutoff and silently disarming the in-flight-commit
-  * grace protection. Pass `tsBaseEpochSec` for deterministic
+  * Commit timestamps default to the WALL CLOCK of each batch's commit
+  * ([[VersionedTable.TsNow]] — monotonically nudged past the previous
+  * commit): age-based retention (`VACUUM ... RETAIN n HOURS`,
+  * `restoreToTimestamp`, the 7-day vacuum grace) must see sink commits
+  * as CURRENT, and a per-commit clock read stays current however long
+  * the query lives (a construction-time base plus batchId seconds
+  * drifts days behind wall clock on a long-lived low-frequency
+  * trigger, mislocating `timestampAsOf` on the sink table). Pass
+  * `tsBaseEpochSec` for deterministic `base + batchId`-second
   * timestamps (tests, reproducible fixtures) — with it set, age-based
   * VACUUM on the sink table is on the caller to reason about. */
 final class GraftStreamSink(spark: SparkSession, path: String,
@@ -45,9 +47,7 @@ final class GraftStreamSink(spark: SparkSession, path: String,
     options.get("mergeschema").exists(_.trim.toBoolean)
   private val smallBytes =
     options.get("smallbytes").map(_.trim.toLong).getOrElse(8L * 1024 * 1024)
-  private val tsBase =
-    options.get("tsbaseepochsec").map(_.trim.toLong)
-      .getOrElse(java.time.Instant.now().getEpochSecond)
+  private val tsBase = options.get("tsbaseepochsec").map(_.trim.toLong)
   private val mode =
     if (outputMode == OutputMode.Complete()) "overwrite" else "append"
 
@@ -60,11 +60,17 @@ final class GraftStreamSink(spark: SparkSession, path: String,
     // queries
     val appId = Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
       .getOrElse("graft-stream")
-    val ts = java.time.Instant.EPOCH.plusSeconds(tsBase + batchId).toString
+    val ts = tsBase.fold(VersionedTable.TsNow)(base =>
+      java.time.Instant.EPOCH.plusSeconds(base + batchId).toString)
     val committed = VersionedTable.commitIfNew(batch, path, appId, batchId,
       ts, mode = mode, partitionBy = partitionCols, mergeSchema = mergeSchema)
     if (autoCompactEvery > 0 && committed.isDefined &&
         batchId % autoCompactEvery == (autoCompactEvery - 1))
+      VersionedTable.compactSmall(spark, path, smallBytes, ts = ts)
+    // table-declared auto-compaction (graft.autoOptimize.autoCompact)
+    // applies when the sink option doesn't set an explicit cadence
+    else if (autoCompactEvery == 0 && committed.isDefined &&
+        VersionedTable.autoCompactEnabled(spark, path))
       VersionedTable.compactSmall(spark, path, smallBytes, ts = ts)
     ()
   }

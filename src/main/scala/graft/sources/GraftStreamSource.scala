@@ -27,9 +27,10 @@ import org.apache.spark.sql.types.StructType
   *     merge rewrites, MoR deletion vectors, overwrite, rollback)
   *     fails the stream with guidance, unless
   *     `ignoreDeletes` (delete-only commits: removes/vectors but no
-  *     adds) or `ignoreChanges` (any commit: its ADDED files stream,
-  *     which re-emits the rewritten survivors — Delta's exact caveat)
-  *     opts in.
+  *     adds), `ignoreChanges` (any commit: its ADDED files stream,
+  *     which re-emits the rewritten survivors — Delta's exact caveat),
+  *     or `skipChangeCommits` (Delta's current spelling: change
+  *     commits are skipped ENTIRELY, nothing of them streams) opts in.
   *
   * `maxVersionsPerTrigger` bounds catch-up by COMMIT count;
   * `maxFilesPerTrigger` (Delta's option) bounds it by ADDED-FILE count
@@ -48,6 +49,12 @@ final class GraftStreamSource(spark: SparkSession, path: String,
     options.get("ignorechanges").exists(_.trim.toBoolean)
   private val ignoreDeletes =
     options.get("ignoredeletes").exists(_.trim.toBoolean)
+  // Delta's current spelling: a commit that changes or removes existing
+  // rows is skipped ENTIRELY (nothing of it streams, the tail
+  // continues), where ignoreChanges re-emits its added files. When both
+  // are set, skipChangeCommits wins (the stricter, newer semantic).
+  private val skipChangeCommits =
+    options.get("skipchangecommits").exists(_.trim.toBoolean)
   private val maxVersions = options.get("maxversionspertrigger")
     .map(_.trim.toLong).filter(_ > 0)
   private val maxFiles = options.get("maxfilespertrigger")
@@ -58,9 +65,16 @@ final class GraftStreamSource(spark: SparkSession, path: String,
   // (inclusive) with no snapshot, Delta's option semantics —
   // startingTimestamp is the same tail anchored at the first commit
   // at-or-after the timestamp (Delta's spelling pair)
-  private val startingVersion = options.get("startingversion").map(_.trim.toLong)
-    .orElse(options.get("startingtimestamp").map(ts =>
-      GraftTable.forPath(spark, path).versionAtOrAfter(ts.trim)))
+  private val startingVersion = {
+    // conflicting spellings are an error (Delta's rule), not a silent
+    // orElse preference — the ignored one would shift the tail anchor
+    require(options.get("startingversion").isEmpty ||
+      options.get("startingtimestamp").isEmpty,
+      "specify at most one of startingVersion / startingTimestamp")
+    options.get("startingversion").map(_.trim.toLong)
+      .orElse(options.get("startingtimestamp").map(ts =>
+        GraftTable.forPath(spark, path).versionAtOrAfter(ts.trim)))
+  }
   private val anchor: Long = {
     val latest = VersionedTable.latestVersion(spark, path)
     require(latest >= 0, s"no committed versions at $path")
@@ -104,9 +118,15 @@ final class GraftStreamSource(spark: SparkSession, path: String,
         // stream behind empty micro-batches).
         var v = pv0; var i = pi0; var budget = mf
         while (budget > 0 && v < vCap) {
-          val (op, adds, _, _, _) =
+          val (op, adds, removes, dvFiles, _) =
             VersionedTable.commitSummary(spark, path, v + 1)
-          val n = if (isMaintenance(op)) 0 else adds.size
+          // maintenance commits cost nothing (their adds never stream);
+          // under skipChangeCommits, skipped change commits cost
+          // nothing either — charging them would stall the paced
+          // stream behind empty micro-batches
+          val skipped = skipChangeCommits &&
+            isChangeCommit(op, v + 1, adds, removes, dvFiles)
+          val n = if (isMaintenance(op) || skipped) 0 else adds.size
           if (i >= n) { v += 1; i = 0 }
           else {
             val take = math.min(n - i, budget)
@@ -154,6 +174,15 @@ final class GraftStreamSource(spark: SparkSession, path: String,
       op.startsWith("add_generated") || op.startsWith("drop_generated") ||
       op.startsWith("rename_column") || op.startsWith("drop_column")
 
+  /** A commit that changes or removes existing rows — the class that
+    * fails the stream by default, re-emits under `ignoreChanges`, and
+    * is skipped whole under `skipChangeCommits`. Version 0 is table
+    * CREATION: an "overwrite" there rewrites nothing (pure insert). */
+  private def isChangeCommit(op: String, v: Long, adds: Seq[String],
+      removes: Seq[String], dvFiles: Iterable[String]): Boolean =
+    removes.nonEmpty || dvFiles.nonEmpty ||
+      (op == "overwrite" && v > 0) || op.startsWith("rollback")
+
   override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
     // exclusive lower bound: the snapshot batch covers ≤ anchor, a
     // startingVersion tail begins at anchor+1 = startingVersion — both
@@ -180,6 +209,9 @@ final class GraftStreamSource(spark: SparkSession, path: String,
       val (op, adds, removes, dvFiles, _) =
         VersionedTable.commitSummary(spark, path, v)
       if (isMaintenance(op)) None
+      else if (skipChangeCommits && isChangeCommit(op, v, adds, removes, dvFiles))
+        None // Delta's skipChangeCommits: the whole commit is silently
+             // skipped, the tail continues past it
       else {
         val deletesRows = removes.nonEmpty || dvFiles.nonEmpty
         // version 0 is table CREATION: an "overwrite" there rewrites
@@ -192,8 +224,9 @@ final class GraftStreamSource(spark: SparkSession, path: String,
             throw new UnsupportedOperationException(
               s"version $v ($op) at $path changes or removes existing rows; " +
                 "a streaming read tails appends only. Set ignoreDeletes=true " +
-                "to skip delete-only commits, or ignoreChanges=true to stream " +
-                "every commit's added files (rewritten survivors re-emit)")
+                "to skip delete-only commits, ignoreChanges=true to stream " +
+                "every commit's added files (rewritten survivors re-emit), or " +
+                "skipChangeCommits=true to skip change commits entirely")
           None
         }
         else {
@@ -203,9 +236,15 @@ final class GraftStreamSource(spark: SparkSession, path: String,
         }
       }
     }
-    val batch = (snapshotPart.map(align).toSeq ++ tailParts)
-      .reduceOption(_ unionByName _)
-      .getOrElse(align(VersionedTable.readVersion(spark, path, anchor)).limit(0))
+    // BALANCED union (shared with the batch CDF): an UNPACED catch-up —
+    // startingVersion deep in the log with neither maxVersionsPerTrigger
+    // nor maxFilesPerTrigger — covers every version in ONE batch, and a
+    // left-leaning reduce chain over 1,000+ legs is quadratic analyzer
+    // time (the exact plan shape the batch CDF fixed).
+    val legs = (snapshotPart.map(align).toSeq ++ tailParts).toIndexedSeq
+    val batch =
+      if (legs.nonEmpty) GraftDataSource.balancedUnion(legs)
+      else align(VersionedTable.readVersion(spark, path, anchor)).limit(0)
     // the v1 contract: getBatch's frame must be streaming-tagged; the
     // already-planned batch plan is wrapped via its InternalRow RDD
     GraftBridge.streamingDf(spark, batch.queryExecution.toRdd, schema0)

@@ -19,21 +19,21 @@ final class GraftTable private (spark: SparkSession, path: String) {
   def history(): DataFrame = VersionedTable.history(spark, path)
   def version: Long = VersionedTable.latestVersion(spark, path)
 
-  def delete(condition: String, ts: String = "1970-01-01T00:00:00Z"): Long =
+  def delete(condition: String, ts: String = VersionedTable.TsNow): Long =
     VersionedTable.delete(spark, path, condition, ts)
   def update(condition: String, set: Map[String, String],
-      ts: String = "1970-01-01T00:00:00Z"): Long =
+      ts: String = VersionedTable.TsNow): Long =
     VersionedTable.update(spark, path, condition, set, ts)
   def optimize(zorderBy: Seq[String] = Seq.empty,
-      ts: String = "1970-01-01T00:00:00Z"): Long =
+      ts: String = VersionedTable.TsNow): Long =
     VersionedTable.optimize(spark, path, zorderCols = zorderBy, ts = ts)
   def optimizeWhere(condition: String, zorderBy: Seq[String] = Seq.empty,
-      ts: String = "1970-01-01T00:00:00Z"): Long =
+      ts: String = VersionedTable.TsNow): Long =
     VersionedTable.optimizeWhere(spark, path, condition,
       zorderCols = zorderBy, ts = ts)
-  def vacuum(retainVersions: Int = 2): Int =
+  def vacuum(retainVersions: Int = -1): Int =
     VersionedTable.vacuum(spark, path, retainVersions)
-  def restoreToVersion(v: Long, ts: String = "1970-01-01T00:00:00Z"): Long =
+  def restoreToVersion(v: Long, ts: String = VersionedTable.TsNow): Long =
     VersionedTable.rollback(spark, path, v, ts)
 
   /** RESTORE to the latest version at or before `asOf` (Delta's
@@ -44,7 +44,7 @@ final class GraftTable private (spark: SparkSession, path: String) {
     * vs sub-second ISO strings); an entry that doesn't parse falls
     * back to string comparison for that entry only. An `asOf` earlier
     * than every commit is a descriptive error, not an NPE. */
-  def restoreToTimestamp(asOf: String, ts: String = "1970-01-01T00:00:00Z"): Long =
+  def restoreToTimestamp(asOf: String, ts: String = VersionedTable.TsNow): Long =
     VersionedTable.rollback(spark, path, versionAtOrBefore(asOf), ts)
 
   /** Latest version committed at or before `asOf` — the timestamp →
@@ -95,8 +95,8 @@ final class GraftTable private (spark: SparkSession, path: String) {
     * window applied (a fresh table reports 0, like the `VACUUM` it
     * previews). Pass `graceMs = 0` to ask "what is dead" regardless of
     * age. */
-  def vacuumDryRun(retainVersions: Int = 2,
-      graceMs: Long = 7L * 24 * 3600 * 1000): Int =
+  def vacuumDryRun(retainVersions: Int = -1,
+      graceMs: Long = -1L): Int =
     VersionedTable.vacuumReclaimable(spark, path, retainVersions, graceMs)
 
   /** One-row table summary (Delta's DESCRIBE DETAIL): version, commit
@@ -104,6 +104,19 @@ final class GraftTable private (spark: SparkSession, path: String) {
     * partition columns (logical names), constraint/generated-column
     * names, bloom index columns, deletion-vectored file count. */
   def detail(): DataFrame = VersionedTable.describeDetail(spark, path)
+
+  /** Persisted table properties at head (`SHOW TBLPROPERTIES`). */
+  def properties: Map[String, String] = VersionedTable.propertiesOf(spark, path)
+
+  /** Set (merge in) table properties — metadata-only commit. */
+  def setProperties(props: Map[String, String],
+      ts: String = VersionedTable.TsNow): Long =
+    VersionedTable.setProperties(spark, path, props, ts)
+
+  /** Unset table properties — metadata-only commit. */
+  def unsetProperties(keys: Seq[String], ifExists: Boolean = false,
+      ts: String = VersionedTable.TsNow): Long =
+    VersionedTable.unsetProperties(spark, path, keys, ifExists, ts)
 
   /** Start a fluent MERGE keyed on `keyCols` — terminal call is
     * [[GraftMergeBuilder.execute]]. Clause conditions/assignments are
@@ -139,7 +152,7 @@ final class GraftMergeBuilder private[sources] (
   def whenNotMatchedBySourceDelete(condition: Option[String] = None): GraftMergeBuilder =
     copy(bySource = bySource :+ Delete(condition))
 
-  def execute(ts: String = "1970-01-01T00:00:00Z"): Long =
+  def execute(ts: String = VersionedTable.TsNow): Long =
     VersionedTable.mergeClauses(source, path, keyCols,
       matched, notMatched, bySource, ts)
 

@@ -85,14 +85,54 @@ import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, Da
   * parallelism, no data pages), so a wide commit's stats cost is
   * ~files/threads, not files, round-trips.
   *
-  * Timestamps are caller-supplied (`ts`), not wall-clock: replaying a
-  * pipeline reproduces the log byte-for-byte, and `readAsOf` is
-  * deterministic in tests. Pass ingestion batch time in production.
+  * Timestamps are caller-supplied (`ts`), not wall-clock, at THIS
+  * library layer: replaying a pipeline reproduces the log
+  * byte-for-byte, and `readAsOf` is deterministic in tests. Pass
+  * ingestion batch time in production — or [[TsNow]], the wall-clock
+  * sentinel every USER-FACING face (format writer, SQL commands,
+  * [[GraftTable]], the streaming sink) defaults to, so tables built
+  * through those faces always carry current, strictly-ordered commit
+  * timestamps.
   */
 object VersionedTable {
 
   private val ManifestDir = "_manifests"
   private val CheckpointDir = "_checkpoints"
+
+  /** Sentinel commit timestamp: resolve to the WALL CLOCK at
+    * manifest-write time, nudged 1 ms past the previous commit when the
+    * clock reads at-or-before it — `DESCRIBE HISTORY` stays strictly
+    * ordered across rapid commits and `TIMESTAMP AS OF` / `RESTORE TO
+    * TIMESTAMP AS OF` resolve between them (Delta's in-commit-timestamp
+    * monotonicity). This is the DEFAULT on every user-facing write
+    * face (the `format("graft")` batch writer, SQL INSERT/CTAS/DML/
+    * maintenance commands, [[GraftTable]]'s fluent API, the streaming
+    * sink): an epoch-anchored default there would make every commit
+    * look 56 years stale, vacuously passing every age-based retention
+    * cutoff. The library-core methods keep their deterministic epoch
+    * default (the replay-a-pipeline contract documented above) —
+    * fixtures and tests pass explicit timestamps either way. */
+  val TsNow: String = "now"
+
+  /** Fixed-width (millisecond) ISO instant, so wall-clock stamps also
+    * order lexicographically among themselves. */
+  private val TsNowFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  /** Resolve a [[TsNow]] sentinel against the table head — called at
+    * the single manifest-write choke point ([[commitManifest]]), so a
+    * retried/re-pointed commit re-stamps with a fresh clock read. */
+  private def resolveTsNow(hfs: FileSystem, root: Path, m: RawManifest): RawManifest =
+    if (m.ts != TsNow) m
+    else {
+      val prevTs = versions(hfs, root).lastOption
+        .flatMap(v => scala.util.Try(readRaw(hfs, root, v).ts).toOption)
+        .flatMap(GraftTable.parseTs)
+      val now = java.time.Instant.now()
+      val stamped = prevTs.map(_.plusMillis(1)).filter(_.isAfter(now)).getOrElse(now)
+      m.copy(ts = TsNowFmt.format(stamped))
+    }
 
   /** Checkpoint cadence: a full-state checkpoint lands every K commits,
     * bounding every chain walk (and [[lastTxn]]'s tail scan) at K. */
@@ -166,7 +206,8 @@ object VersionedTable {
       gens: Map[String, String] = Map.empty,
       pcols: Seq[String] = Seq.empty,
       rowCounts: Map[String, Long] = Map.empty,
-      dvCounts: Map[String, Long] = Map.empty)
+      dvCounts: Map[String, Long] = Map.empty,
+      props: Map[String, String] = Map.empty)
 
   /** One manifest FILE as written: full (base = None, adds = the whole
     * snapshot) or delta (adds/removes applied to base's state).
@@ -187,7 +228,8 @@ object VersionedTable {
       dropGens: Set[String] = Set.empty,
       pcolsLine: Option[Seq[String]] = None,
       addRows: Map[String, Long] = Map.empty,
-      addDvCounts: Map[String, Long] = Map.empty)
+      addDvCounts: Map[String, Long] = Map.empty,
+      propsState: Option[Map[String, String]] = None)
 
   private def parseGenLines(headerLines: Seq[String]): Map[String, String] =
     // one `gen=<col>|<hex of the SQL expression>` line per generated
@@ -228,6 +270,33 @@ object VersionedTable {
       Seq("cmv=1") ++
         cm.toSeq.sortBy(_._1).map { case (l, p) => s"cm=$l|$p" } ++
         rt.toSeq.sorted.map(p => s"cmrt=$p")
+    case None => Seq.empty
+  }
+
+  /** TABLE PROPERTIES (Delta's `TBLPROPERTIES`, re-derived for the
+    * line format): a `prv=1` marker makes this manifest's
+    * `prop=<key>|<hex of value>` lines the FULL authoritative property
+    * state (SET/UNSET commits and full manifests write it); absence
+    * means a delta manifest inherits its base's state — exactly the
+    * column-mapping `cmv=` pattern. Properties are TABLE metadata: the
+    * table's own policy (retention, vacuum grace, checkpoint cadence,
+    * auto-compaction) travels IN the manifest, so two writers with
+    * different JVM configs apply the same policy, and checkpoints,
+    * clones and rollbacks carry it. */
+  private def parsePropsState(headerLines: Seq[String])
+      : Option[Map[String, String]] =
+    if (!headerLines.contains("prv=1")) None
+    else Some(headerLines.filter(_.startsWith("prop=")).flatMap { l =>
+      l.stripPrefix("prop=").split('|') match {
+        case Array(k, v) => Some(k -> new String(hexDecode(v), "UTF-8"))
+        case Array(k) => Some(k -> "") // empty value hex-encodes to ""
+        case _ => None
+      }
+    }.toMap)
+
+  private def propsLines(st: Option[Map[String, String]]): Seq[String] = st match {
+    case Some(ps) => Seq("prv=1") ++ ps.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"prop=$k|${hexEncode(v.getBytes("UTF-8"))}" }
     case None => Seq.empty
   }
 
@@ -327,9 +396,30 @@ object VersionedTable {
     * segments), so "contains '='" is NOT a valid header/body split. */
   private val HeaderLineRe = java.util.regex.Pattern.compile(
     "^(?:version|ts|op|base|txn|txnmax|schema|rm|fstat|dv|ck|ckrm|" +
-      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr|parts|nfiles)=")
+      "bloomcfg|cmv|cm|cmrt|gen|genrm|pcols|target|dvref|fr|parts|nfiles|" +
+      "reader|prv|prop)=")
   private def isHeaderLine(l: String): Boolean =
     HeaderLineRe.matcher(l).find()
+
+  /** Highest `reader=` protocol version this library resolves — the
+    * minimum-reader feature gate (Delta's reader protocol version,
+    * re-derived for the line format): a metadata file written by a
+    * LATER format generation carries `reader=N` with N above this, and
+    * every read path rejects it with a clear upgrade error instead of
+    * misparsing new header kinds as body file paths. Version 2 = the
+    * multi-part checkpoint generation (its `parts=` pointer files carry
+    * the marker; plain single-file metadata stays unmarked and
+    * byte-compatible with every reader ever shipped). */
+  private[graft] val SupportedReaderVersion = 2
+
+  private def checkReaderVersion(hdr: Map[String, String], p: Path): Unit =
+    hdr.get("reader").map(_.trim.toInt).filter(_ > SupportedReaderVersion)
+      .foreach { r =>
+        throw new IllegalStateException(
+          s"$p was written by a newer format generation (reader=$r; this " +
+            s"library reads up to $SupportedReaderVersion) — upgrade the " +
+            "graft library to read this table")
+      }
 
   private def readLines(hfs: FileSystem, p: Path): Seq[String] = {
     metadataOpens.incrementAndGet()
@@ -345,9 +435,11 @@ object VersionedTable {
       .filterNot(l => l.startsWith("fstat=") || l.startsWith("rm=") ||
         l.startsWith("dv=") || l.startsWith("ck=") || l.startsWith("ckrm=") ||
         l.startsWith("bloomcfg=") || l.startsWith("cm") /* cm=/cmrt=/cmv= */ ||
-        l.startsWith("gen=") || l.startsWith("genrm=") || l.startsWith("fr="))
+        l.startsWith("gen=") || l.startsWith("genrm=") || l.startsWith("fr=") ||
+        l.startsWith("prop=") || l.startsWith("prv="))
       .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
       .toMap
+    checkReaderVersion(hdr, manifestPath(root, v))
     val txn = hdr.get("txn").map { t =>
       val i = t.lastIndexOf(':')
       (t.substring(0, i), t.substring(i + 1).toLong)
@@ -366,7 +458,8 @@ object VersionedTable {
       headerLines.filter(_.startsWith("genrm="))
         .map(_.stripPrefix("genrm=")).toSet,
       hdr.get("pcols").map(splitPcols),
-      parseRowLines(headerLines), parseDvCountLines(headerLines))
+      parseRowLines(headerLines), parseDvCountLines(headerLines),
+      parsePropsState(headerLines))
   }
 
   /** A checkpoint file, if one exists for exactly `v`: the resolved
@@ -377,6 +470,11 @@ object VersionedTable {
     if (!hfs.exists(p)) None
     else {
       val mainLines = readLines(hfs, p)
+      // feature gate FIRST: a pointer from a newer format generation
+      // must fail with the upgrade error before any line is interpreted
+      checkReaderVersion(mainLines.collect {
+        case l if l.startsWith("reader=") => "reader" -> l.stripPrefix("reader=")
+      }.toMap, p)
       // a multi-part checkpoint's main file carries `parts=N` and no
       // file list; each part contributes its chunk's stat/row/path
       // lines, so classification is by prefix (filter), not position
@@ -398,7 +496,8 @@ object VersionedTable {
         .filterNot(l => l.startsWith("fstat=") || l.startsWith("txnmax=") ||
           l.startsWith("dv=") || l.startsWith("ck=") ||
           l.startsWith("bloomcfg=") || l.startsWith("cm") ||
-          l.startsWith("gen=") || l.startsWith("fr="))
+          l.startsWith("gen=") || l.startsWith("fr=") ||
+          l.startsWith("prop=") || l.startsWith("prv="))
         .map { l => val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1) }
         .toMap
       val txnmax = headerLines.filter(_.startsWith("txnmax=")).map { l =>
@@ -421,7 +520,8 @@ object VersionedTable {
         parseBloomCfgLine(headerLines), ckCm, ckRt,
         parseGenLines(headerLines),
         hdr.get("pcols").map(splitPcols).getOrElse(Seq.empty),
-        parseRowLines(headerLines), parseDvCountLines(headerLines)), txnmax))
+        parseRowLines(headerLines), parseDvCountLines(headerLines),
+        parsePropsState(headerLines).getOrElse(Map.empty)), txnmax))
     }
   }
 
@@ -439,7 +539,8 @@ object VersionedTable {
           Manifest(raw.version, raw.ts, raw.op, raw.adds, raw.txn,
             raw.schemaJson, raw.addStats, raw.addDvs, raw.addConstraints,
             raw.bloomCfg, cm, rt, raw.addGens,
-            raw.pcolsLine.getOrElse(Seq.empty), raw.addRows, raw.addDvCounts)
+            raw.pcolsLine.getOrElse(Seq.empty), raw.addRows, raw.addDvCounts,
+            raw.propsState.getOrElse(Map.empty))
         case Some(b) =>
           require(b < v, s"manifest v$v has a non-ancestor base $b")
           val base = readManifest(hfs, root, b)
@@ -455,7 +556,8 @@ object VersionedTable {
             (base.gens -- raw.dropGens) ++ raw.addGens,
             raw.pcolsLine.getOrElse(base.pcols),
             (base.rowCounts -- removed) ++ raw.addRows,
-            (base.dvCounts -- removed) ++ raw.addDvCounts)
+            (base.dvCounts -- removed) ++ raw.addDvCounts,
+            raw.propsState.getOrElse(base.props))
       }
     }
 
@@ -1121,7 +1223,11 @@ object VersionedTable {
       if (base.isEmpty) prevM.map(_.gens).getOrElse(Map.empty) else Map.empty,
       Set.empty,
       if (base.isEmpty && pcols.nonEmpty) Some(pcols) else None,
-      addRows = newRows))
+      addRows = newRows,
+      // table PROPERTIES survive an overwrite (policy, not data — like
+      // constraints); a full manifest must carry them explicitly
+      propsState =
+        if (base.isEmpty) prevM.map(_.props).filter(_.nonEmpty) else None))
     next
   }
 
@@ -1581,7 +1687,8 @@ object VersionedTable {
       if (m.colMap.isEmpty && m.retired.isEmpty) None
       else Some((m.colMap, m.retired)), m.gens,
       pcolsLine = if (m.pcols.nonEmpty) Some(m.pcols) else None,
-      addRows = newRows))
+      addRows = newRows,
+      propsState = Some(m.props).filter(_.nonEmpty)))
     next
   }
 
@@ -1933,11 +2040,111 @@ object VersionedTable {
 
   /** Commit + best-effort checkpoint: every successful commit path goes
     * through here so checkpoints land on cadence no matter which
-    * operation crossed the K boundary. */
+    * operation crossed the K boundary. The just-committed version's
+    * PROPERTIES are derivable without a chain walk — the raw manifest's
+    * own authoritative state, else its base's (cached) — so the
+    * table-declared checkpoint cadence costs no extra metadata reads
+    * per commit. */
   private def publish(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
     commitManifest(hfs, root, m)
-    maybeCheckpoint(hfs, root, m.version)
+    val props = m.propsState.getOrElse(
+      m.base.fold(Map.empty[String, String])(b => propsAt(hfs, root, b)))
+    cacheProps(root, m.version, props)
+    maybeCheckpoint(hfs, root, m.version, props)
   }
+
+  /** Per-(table, version) property cache. Sound because a committed
+    * version's content is immutable — an entry can never go stale; the
+    * size guard only bounds memory on very long sessions. */
+  private val propsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+
+  private def cacheProps(root: Path, v: Long, p: Map[String, String]): Unit = {
+    if (propsCache.size > 4096) propsCache.clear()
+    propsCache.put((root.toString, v), p)
+    ()
+  }
+
+  private def propsAt(hfs: FileSystem, root: Path, v: Long): Map[String, String] = {
+    if (v < 0) return Map.empty
+    val cached = propsCache.get((root.toString, v))
+    if (cached != null) cached
+    else {
+      val p = scala.util.Try(readManifest(hfs, root, v).props).getOrElse(Map.empty)
+      cacheProps(root, v, p)
+      p
+    }
+  }
+
+  /** The table's persisted properties at head (Delta `TBLPROPERTIES`).
+    * Policy properties this library reads itself:
+    *   - `graft.checkpointInterval`     checkpoint cadence (commits)
+    *   - `graft.retainVersions`         [[vacuum]] default retention
+    *   - `graft.vacuumGraceHours`       [[vacuum]] default grace window
+    *   - `graft.logRetainVersions`      [[expireLog]] default retention
+    *   - `graft.autoOptimize.autoCompact`  "true" → the write faces
+    *     fold small files after each commit
+    * Anything else is carried verbatim (user metadata). */
+  def propertiesOf(spark: SparkSession, path: String): Map[String, String] = {
+    val (hfs, root) = fs(spark, path)
+    versions(hfs, root).lastOption.map(propsAt(hfs, root, _)).getOrElse(Map.empty)
+  }
+
+  /** Set (merge in) table properties — a metadata-only commit; the new
+    * full property state rides the manifest, so every later writer in
+    * ANY session/JVM sees the same table-declared policy (Delta
+    * `ALTER TABLE ... SET TBLPROPERTIES`). */
+  def setProperties(spark: SparkSession, path: String,
+      props: Map[String, String], ts: String = "1970-01-01T00:00:00Z"): Long = {
+    props.keys.foreach(k => require(k.nonEmpty &&
+      !Seq("|", "=", "\n").exists(k.contains) && !k.exists(_.isWhitespace),
+      s"bad property key: '$k'"))
+    props.values.foreach(v => require(v != null, "property value may not be null"))
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"setProperties on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts,
+      s"set_properties(${props.keys.toSeq.sorted.mkString(",")})",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      propsState = Some(m.props ++ props)))
+    next
+  }
+
+  /** Unset table properties (Delta `UNSET TBLPROPERTIES`). Unknown keys
+    * are an error unless `ifExists`. */
+  def unsetProperties(spark: SparkSession, path: String, keys: Seq[String],
+      ifExists: Boolean = false, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"unsetProperties on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val missing = keys.filterNot(m.props.contains)
+    if (!ifExists && missing.nonEmpty) throw new IllegalArgumentException(
+      s"no such table propert${if (missing.size == 1) "y" else "ies"} at $path: " +
+        s"${missing.mkString(", ")} (IF EXISTS to ignore)")
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts,
+      s"unset_properties(${keys.sorted.mkString(",")})",
+      Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
+      propsState = Some(m.props -- keys)))
+    next
+  }
+
+  /** Parse a policy property as Int/Long/Double/Boolean, loudly: a
+    * mistyped policy value must fail the operation that consults it,
+    * never silently fall back to the default. */
+  private def propInt(props: Map[String, String], k: String): Option[Int] =
+    props.get(k).map(v => scala.util.Try(v.trim.toInt).getOrElse(
+      throw new IllegalArgumentException(s"table property $k is not an integer: '$v'")))
+  private def propHoursMs(props: Map[String, String], k: String): Option[Long] =
+    props.get(k).map(v => scala.util.Try((v.trim.toDouble * 3600 * 1000).toLong)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table property $k is not a number of hours: '$v'")))
+  private[graft] def autoCompactEnabled(spark: SparkSession, path: String): Boolean =
+    propertiesOf(spark, path).get("graft.autoOptimize.autoCompact")
+      .exists(_.trim.equalsIgnoreCase("true"))
 
   /** Test seam for the disjoint-conflict fast path: a hook registered
     * under a table's root path is removed and fired ONCE by
@@ -2017,12 +2224,19 @@ object VersionedTable {
   }
 
   /** Write `_checkpoints/v<version>.checkpoint` when `version` is on the
-    * cadence: the resolved snapshot (≤ K-read chain walk) plus the
-    * per-appId max batch id — previous checkpoint's map folded with the
-    * ≤ K manifest headers since it. Idempotent: an already-claimed
-    * checkpoint (concurrent writer, replay) is silently kept. */
-  private def maybeCheckpoint(hfs: FileSystem, root: Path, version: Long): Unit = {
-    if (version <= 0 || version % checkpointInterval != 0) return
+    * cadence — the default [[checkpointInterval]], or the table's own
+    * `graft.checkpointInterval` property when declared (`props` is the
+    * just-committed version's property state, handed down by [[publish]]
+    * at zero extra metadata reads): the resolved snapshot (≤ K-read
+    * chain walk) plus the per-appId max batch id — previous checkpoint's
+    * map folded with the ≤ K manifest headers since it. Idempotent: an
+    * already-claimed checkpoint (concurrent writer, replay) is silently
+    * kept. */
+  private def maybeCheckpoint(hfs: FileSystem, root: Path, version: Long,
+      props: Map[String, String]): Unit = {
+    val interval = propInt(props, "graft.checkpointInterval")
+      .filter(_ > 0).getOrElse(checkpointInterval)
+    if (version <= 0 || version % interval != 0) return
     writeCheckpointAt(hfs, root, version)
   }
 
@@ -2073,7 +2287,8 @@ object VersionedTable {
       pcolsLines(snap.pcols) ++
       mapStateLines(
         if (snap.colMap.isEmpty && snap.retired.isEmpty) None
-        else Some((snap.colMap, snap.retired)))
+        else Some((snap.colMap, snap.retired))) ++
+      propsLines(if (snap.props.isEmpty) None else Some(snap.props))
     def chunkLines(fs: Seq[String]): Seq[String] =
       statLines(fs, snap.stats) ++ rowLines(fs, snap.rowCounts) ++ fs
     val limit = checkpointPartLimit
@@ -2117,13 +2332,17 @@ object VersionedTable {
         scala.concurrent.Future.sequence(writes), ioWait)
       // nfiles lets the reader PROVE the parts it resolved are this
       // pointer's parts (stale/missing parts fail loudly, never a
-      // silently truncated file list). NOTE: multi-part checkpoints are
-      // readable by this library version onward — a jar predating the
-      // feature would misread `parts=` as a body line; keep old readers
-      // off tables whose snapshots exceed the part limit (Delta gates
-      // the same class of change via protocol versions).
+      // silently truncated file list). The pointer carries the
+      // minimum-reader marker `reader=2` ([[SupportedReaderVersion]]):
+      // this library generation onward refuses later-generation
+      // metadata with a clear upgrade error, the protocol-version gate
+      // Delta applies to the same class of format change. (A jar
+      // PREDATING the marker still misreads `parts=` as a body line —
+      // unfixable retroactively; keep pre-feature readers off tables
+      // whose snapshots exceed the part limit.)
       writeClaimed(hfs, new Path(root, CheckpointDir), target,
-        (globalHdr ++ Seq(s"nfiles=${snap.files.size}", s"parts=${chunks.size}"))
+        (globalHdr ++ Seq(s"reader=$SupportedReaderVersion",
+          s"nfiles=${snap.files.size}", s"parts=${chunks.size}"))
           .mkString("", "\n", "\n"),
         onLost = () => ())
     }
@@ -2147,9 +2366,10 @@ object VersionedTable {
     cks.toSeq.sortBy(_._1).map { case (n, e) =>
       s"ck=$n|${hexEncode(e.getBytes("UTF-8"))}" }
 
-  private def commitManifest(hfs: FileSystem, root: Path, m: RawManifest): Unit = {
-    val target = manifestPath(root, m.version)
-    if (hfs.exists(target)) throw new ConcurrentCommitException(m.version)
+  private def commitManifest(hfs: FileSystem, root: Path, m0: RawManifest): Unit = {
+    val target = manifestPath(root, m0.version)
+    if (hfs.exists(target)) throw new ConcurrentCommitException(m0.version)
+    val m = resolveTsNow(hfs, root, m0)
     val hdr = Seq(s"version=${m.version}", s"ts=${m.ts}", s"op=${m.op}") ++
       m.base.map(b => s"base=$b") ++
       m.txn.map { case (a, b) => s"txn=$a:$b" } ++
@@ -2164,7 +2384,8 @@ object VersionedTable {
       m.dropGens.toSeq.sorted.map(n => s"genrm=$n") ++
       bloomCfgLine(m.bloomCfg) ++
       m.pcolsLine.map(p => pcolsLines(p)).getOrElse(Seq.empty) ++
-      mapStateLines(m.mapState)
+      mapStateLines(m.mapState) ++
+      propsLines(m.propsState)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
       onLost = () => throw new ConcurrentCommitException(m.version))
@@ -2599,8 +2820,8 @@ object VersionedTable {
     * contract). Pass `graceMs = 0` to ask "what is dead" regardless of
     * age. */
   def vacuumReclaimable(spark: SparkSession, path: String,
-      retainVersions: Int = 2,
-      graceMs: Long = 7L * 24 * 3600 * 1000): Int =
+      retainVersions: Int = -1,
+      graceMs: Long = -1L): Int =
     vacuumImpl(spark, path, retainVersions, graceMs, ignoreClones = false,
       dryRun = true)
 
@@ -2876,7 +3097,8 @@ object VersionedTable {
       if (target.colMap.isEmpty && target.retired.isEmpty) None
       else Some((target.colMap, target.retired)), target.gens,
       pcolsLine = if (target.pcols.nonEmpty) Some(target.pcols) else None,
-      addRows = target.rowCounts, addDvCounts = target.dvCounts))
+      addRows = target.rowCounts, addDvCounts = target.dvCounts,
+      propsState = Some(target.props).filter(_.nonEmpty)))
     next
   }
 
@@ -3916,7 +4138,8 @@ object VersionedTable {
       if (m.colMap.isEmpty && m.retired.isEmpty) None
       else Some((m.colMap, m.retired)), m.gens,
       pcolsLine = if (m.pcols.nonEmpty) Some(m.pcols) else None,
-      addRows = absRows, addDvCounts = absDvCounts))
+      addRows = absRows, addDvCounts = absDvCounts,
+      propsState = Some(m.props).filter(_.nonEmpty)))
     recordCloneRef(spark, shfs, sroot, target, v, m)
     0L
   }
@@ -4259,12 +4482,18 @@ object VersionedTable {
     * long-lived streaming table's storage AND metadata. Reading an
     * expired version throws (file-not-found), as in Delta after log
     * cleanup. Returns the number of metadata files deleted. */
-  def expireLog(spark: SparkSession, path: String, retainVersions: Int = 30): Int = {
-    require(retainVersions >= 1, "must retain at least the latest version")
+  def expireLog(spark: SparkSession, path: String, retainVersions: Int = -1): Int = {
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
     if (vs.isEmpty) return 0
-    val cut = vs.last - retainVersions + 1
+    // table-declared default (Delta's delta.logRetentionDuration idea):
+    // graft.logRetainVersions, else 30; an explicit argument overrides
+    val retain =
+      if (retainVersions >= 0) retainVersions
+      else propInt(propsAt(hfs, root, vs.last), "graft.logRetainVersions")
+        .getOrElse(30)
+    require(retain >= 1, "must retain at least the latest version")
+    val cut = vs.last - retain + 1
     val anchor = checkpoints(hfs, root).filter(_ <= cut).lastOption.getOrElse(return 0)
     var deleted = 0
     vs.filter(_ < anchor).foreach { v =>
@@ -4308,9 +4537,15 @@ object VersionedTable {
     * `ignoreClones = true` (or [[releaseCloneRef]] first) to reclaim
     * anyway when the clones are known dead.
     *
-    * Driver-side metadata diff; returns the deleted file count. */
-  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 2,
-      graceMs: Long = 7L * 24 * 3600 * 1000,
+    * Driver-side metadata diff; returns the deleted file count.
+    *
+    * Defaults read FROM THE TABLE: `retainVersions < 0` (the default)
+    * resolves the table's `graft.retainVersions` property (else 2), and
+    * `graceMs < 0` resolves `graft.vacuumGraceHours` (else 7 days) — so
+    * two sessions with different JVM configs apply the SAME
+    * table-declared retention; explicit arguments override. */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = -1,
+      graceMs: Long = -1L,
       ignoreClones: Boolean = false): Int =
     vacuumImpl(spark, path, retainVersions, graceMs, ignoreClones,
       dryRun = false)
@@ -4319,12 +4554,22 @@ object VersionedTable {
     * reference/grace decision, so DRY RUN can never report a different
     * file set than the deletion it previews. */
   private def vacuumImpl(spark: SparkSession, path: String,
-      retainVersions: Int, graceMs: Long, ignoreClones: Boolean,
+      retainVersions0: Int, graceMs0: Long, ignoreClones: Boolean,
       dryRun: Boolean): Int = {
-    require(retainVersions >= 1, "must retain at least the latest version")
     val (hfs, root) = fs(spark, path)
     val vs = versions(hfs, root)
     if (vs.isEmpty) return 0
+    // table-declared policy fills unspecified arguments (Delta reads
+    // deletedFileRetentionDuration from table properties the same way)
+    val props = propsAt(hfs, root, vs.last)
+    val retainVersions =
+      if (retainVersions0 >= 0) retainVersions0
+      else propInt(props, "graft.retainVersions").getOrElse(2)
+    val graceMs =
+      if (graceMs0 >= 0) graceMs0
+      else propHoursMs(props, "graft.vacuumGraceHours")
+        .getOrElse(7L * 24 * 3600 * 1000)
+    require(retainVersions >= 1, "must retain at least the latest version")
     val retained = vs.takeRight(retainVersions).map(readManifest(hfs, root, _))
     val (cloneFiles, cloneDvDirs) =
       if (ignoreClones) (Set.empty[String], Set.empty[String])

@@ -447,11 +447,14 @@ object Streams {
     * unlike [[toPartitionedSink]] it needs no partition-alignment
     * contract (any row mix per batch is safe) and every batch boundary
     * is a time-travelable snapshot. `tsOf` maps batch id → commit
-    * timestamp (default: deterministic epoch+id, so specs replay
-    * byte-identically; production passes the ingest batch time). */
+    * timestamp; the default stamps each commit with the wall clock
+    * ([[graft.sources.VersionedTable.TsNow]] — age-based retention must
+    * see sink commits as current), and specs wanting byte-identical
+    * replay pass a deterministic lambda (e.g. epoch+id) or the ingest
+    * batch time. */
   def toVersionedSink(df: DataFrame, path: String,
       appId: String = "graft-stream",
-      tsOf: Long => String = id => java.time.Instant.EPOCH.plusSeconds(id).toString,
+      tsOf: Long => String = _ => graft.sources.VersionedTable.TsNow,
       autoCompactEvery: Int = 0,
       smallBytes: Long = 8L * 1024 * 1024,
       partitionBy: Seq[String] = Seq.empty): Unit = {

@@ -333,6 +333,136 @@ class DataSourceSpec extends SparkSpec {
     assert(got.toSet === (0L until 25L).toSet)
   }
 
+  test("skipChangeCommits: change commits skip ENTIRELY, the tail continues past them") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2), t, mode = "overwrite")
+    VersionedTable.commit(df(3), t, mode = "append")
+    // a COW merge rewrite (change commit) then a plain append after it
+    VersionedTable.merge(Seq((2L, 222L)).toDF("id", "v"), t, keyCols = Seq("id"))
+    VersionedTable.commit(df(4), t, mode = "append")
+    val got = scala.collection.mutable.Set[(Long, Long)]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("skipChangeCommits", "true")
+      .load(t).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= rows(b) }; ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // v0 + v1 + v3 stream; the v2 merge contributes NOTHING (not even
+    // its added files — the ignoreChanges re-emit does not happen)
+    assert(got.toSet === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+
+    // mid-stream under a checkpoint: a delete landing between runs is
+    // skipped silently and the tail continues
+    val ckp = java.nio.file.Files.createTempDirectory("ds_scc").toString
+    def run(): Set[(Long, Long)] = {
+      val g = scala.collection.mutable.Set[(Long, Long)]()
+      val q2 = spark.readStream.format("graft")
+        .option("skipChangeCommits", "true")
+        .load(t).writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          g.synchronized { g ++= rows(b) }; ()
+        }
+        .option("checkpointLocation", ckp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      g.toSet
+    }
+    run() // anchor snapshot
+    VersionedTable.delete(spark, t, "id = 1")
+    VersionedTable.commit(df(5), t, mode = "append")
+    assert(run() === Set((5L, 50L)),
+      "the delete commit must skip silently; only the append streams")
+  }
+
+  test("conflicting range spellings are loud errors (stream + CDF), not a silent preference") {
+    val t = freshTable()
+    VersionedTable.commit(df(1), t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.commit(df(2), t, mode = "append", ts = "2026-01-02T00:00:00Z")
+    val e1 = intercept[Exception] {
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", "0")
+        .option("startingTimestamp", "2026-01-02T00:00:00Z")
+        .load(t).writeStream.format("memory").queryName("gs_conflict")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def msg(e: Throwable): String =
+      (Iterator.iterate(e)(_.getCause).takeWhile(_ != null).map(_.getMessage) ++
+        Iterator("")).mkString(" | ")
+    assert(msg(e1).contains("at most one"))
+    assert(intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keyColumns", "id")
+      .option("startingVersion", "0")
+      .option("startingTimestamp", "2026-01-01T00:00:00Z").load(t))
+      .getMessage.contains("at most one"))
+    assert(intercept[IllegalArgumentException](spark.read.format("graft")
+      .option("readChangeFeed", "true").option("keyColumns", "id")
+      .option("startingVersion", "0").option("endingVersion", "1")
+      .option("endingTimestamp", "2026-01-02T00:00:00Z").load(t))
+      .getMessage.contains("at most one"))
+  }
+
+  test("overwriteSchema guard: a schema-changing overwrite refuses without the option") {
+    val t = freshTable()
+    df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)
+    // same-schema overwrite passes with no option (column ORDER and
+    // nullability are not schema changes)
+    spark.range(1).selectExpr("CAST(30 AS bigint) AS v", "CAST(3 AS bigint) AS id")
+      .write.format("graft").mode(SaveMode.Overwrite).save(t)
+    assert(rows(spark.read.format("graft").load(t)) === Set((3L, 30L)))
+    // renamed column → refuses with guidance
+    val renamed = Seq((1L, "x")).toDF("id", "label")
+    val e1 = intercept[Exception](
+      renamed.write.format("graft").mode(SaveMode.Overwrite).save(t))
+    assert(e1.getMessage.contains("overwriteSchema"))
+    // type change → refuses too
+    val retyped = Seq((1L, "10")).toDF("id", "v")
+    val e2 = intercept[Exception](
+      retyped.write.format("graft").mode(SaveMode.Overwrite).save(t))
+    assert(e2.getMessage.contains("overwriteSchema"))
+    // table untouched by the refused writes
+    assert(rows(spark.read.format("graft").load(t)) === Set((3L, 30L)))
+    // with the option the overwrite replaces schema and data (the
+    // reference's standard overwrite writer, delta_utils.py:29, ports
+    // verbatim)
+    renamed.write.format("graft").mode(SaveMode.Overwrite)
+      .option("overwriteSchema", "true").save(t)
+    assert(spark.read.format("graft").load(t).columns.toSeq === Seq("id", "label"))
+    // library commit keeps its documented replace semantics (no guard)
+    VersionedTable.commit(df(7), t, mode = "overwrite")
+    assert(rows(spark.read.format("graft").load(t)) === Set((7L, 70L)))
+  }
+
+  test("unpaced deep catch-up batch plans as a balanced union (log depth, not leg count)") {
+    val t = freshTable()
+    (0 until 64).foreach { i =>
+      VersionedTable.commit(df(i.toLong), t,
+        mode = if (i == 0) "overwrite" else "append")
+    }
+    val got = scala.collection.mutable.Set[Long]()
+    var depth = 0
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .load(t).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }
+        def d(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int =
+          1 + (if (p.children.isEmpty) 0 else p.children.map(d).max)
+        depth = math.max(depth, d(b.queryExecution.logical))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.toSet === (0L until 64L).toSet)
+    // 64 legs in one batch: a reduce chain would be >64 deep; the
+    // balanced tree is ~log2(64)=6 unions plus per-leg project/scan
+    assert(depth > 0 && depth < 30,
+      s"catch-up union depth $depth — left-leaning chain shape")
+  }
+
   test("SQL INSERT INTO / INSERT OVERWRITE on a USING graft table") {
     val t = freshTable()
     VersionedTable.commit(df(1), t, mode = "overwrite")

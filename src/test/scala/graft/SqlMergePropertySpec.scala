@@ -88,18 +88,27 @@ class SqlMergePropertySpec extends SparkSpec {
         .withColumn("v", col("v") + 100)
       src.withColumnRenamed("id", srcIdName).createOrReplaceTempView("mrgprop_src")
 
+      // half the rounds carry an EXTRA (non-key) ON conjunct — the
+      // conditional-match CDC shape. The builder twin hand-folds it
+      // into every matched clause's condition, which is exactly the
+      // semantics the SQL translation must implement.
+      val extraOn: Option[C] =
+        if (rnd.nextBoolean()) Some(cond(1, Seq("t", "s"))) else None
+      def withX(c: Option[String]): Option[String] =
+        extraOn.map(x => c.fold(x.lib)(cc => s"(${x.lib}) AND ($cc)")).orElse(c)
+
       // matched clauses: optionally one conditional, then one unconditional
       val mUp = cond(1, Seq("t", "s"))
       val matchedSql = new StringBuilder
       var builder = GraftTable.forPath(spark, b).merge(src, Seq("id"))
       if (rnd.nextBoolean()) {
         matchedSql ++= s"WHEN MATCHED AND ${mUp.sql} THEN DELETE\n"
-        builder = builder.whenMatchedDelete(Some(mUp.lib))
+        builder = builder.whenMatchedDelete(withX(Some(mUp.lib)))
         matchedSql ++= "WHEN MATCHED THEN UPDATE SET v = src.v\n"
-        builder = builder.whenMatchedUpdate(Map("v" -> "s.v"))
+        builder = builder.whenMatchedUpdate(Map("v" -> "s.v"), withX(None))
       } else {
         matchedSql ++= "WHEN MATCHED THEN UPDATE SET *\n"
-        builder = builder.whenMatchedUpdateAll()
+        builder = builder.whenMatchedUpdateAll(withX(None))
       }
       // not matched: conditional insert half the time
       if (rnd.nextBoolean()) {
@@ -120,10 +129,50 @@ class SqlMergePropertySpec extends SparkSpec {
 
       spark.sql(
         s"""MERGE INTO mrgprop_t AS tgt USING mrgprop_src AS src
-           |ON tgt.id = src.$srcIdName
+           |ON tgt.id = src.$srcIdName${extraOn.fold("")(x => s" AND ${x.sql}")}
            |$matchedSql""".stripMargin)
       builder.execute()
-      assert(rows(a) === rows(b), s"diverged after merge round $i:\n$matchedSql")
+      assert(rows(a) === rows(b),
+        s"diverged after merge round $i (extra ON: ${extraOn.map(_.sql)}):\n$matchedSql")
     }
+  }
+
+  test("extra ON conjunct: the CDC staleness guard gates matched actions; key-less ON refuses") {
+    val a = java.nio.file.Files.createTempDirectory("mrgex_sql").toString
+    val b = java.nio.file.Files.createTempDirectory("mrgex_lib").toString
+    val seed = freshRows(20, 0L)
+    VersionedTable.commit(seed, a, mode = "overwrite")
+    VersionedTable.commit(seed, b, mode = "overwrite")
+    spark.sql("DROP TABLE IF EXISTS mrgex_t")
+    spark.sql(s"CREATE TABLE mrgex_t USING graft LOCATION '$a'")
+    // source: half the rows carry a HIGHER v (fresh), half a lower one
+    // (stale) — `AND src.v > tgt.v` must apply only the fresh ones and
+    // must NOT insert the stale rows as duplicates
+    val src = freshRows(20, 10L)
+      .withColumn("v", when(col("id") % 2 === 0, col("v") + 1000)
+        .otherwise(col("v") - 1000))
+    src.createOrReplaceTempView("mrgex_src")
+    spark.sql(
+      """MERGE INTO mrgex_t AS tgt USING mrgex_src AS src
+        |ON tgt.id = src.id AND src.v > tgt.v
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    GraftTable.forPath(spark, b).merge(src, Seq("id"))
+      .whenMatchedUpdateAll(Some("s.v > t.v"))
+      .whenNotMatchedInsertAll()
+      .execute()
+    assert(rows(a) === rows(b), "SQL extra-ON fold must equal the hand-folded builder")
+    // stale matched rows stayed; no duplicate ids appeared
+    val ids = VersionedTable.readVersion(spark, a).groupBy("id").count()
+      .filter(col("count") > 1).count()
+    assert(ids === 0L, "extra ON conjunct must never insert duplicate keys")
+
+    // an ON with no key equality at all is a loud refusal, not a cross join
+    val e = intercept[UnsupportedOperationException](spark.sql(
+      """MERGE INTO mrgex_t AS tgt USING mrgex_src AS src
+        |ON src.v > tgt.v
+        |WHEN MATCHED THEN DELETE""".stripMargin))
+    assert(e.getMessage.contains("no target-column = source-column equality"))
+    spark.sql("DROP TABLE mrgex_t")
   }
 }
