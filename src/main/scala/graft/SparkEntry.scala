@@ -378,6 +378,52 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_dc` — DEEP CLONE self-containment: a range-laid
+    * silver snapshot with one COW delete, deep-cloned through the SQL
+    * face (`CREATE TABLE ... CLONE`, Delta's default no-SHALLOW
+    * spelling), after which the SOURCE is emptied and vacuumed to zero
+    * files — the clone must still serve the full cloned snapshot from
+    * its own local copies (the property that distinguishes deep from
+    * shallow; a shallow clone would be reading deleted files here). */
+  private def buildDeepCloneTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("dc", dir), {
+      val src = java.nio.file.Files.createTempDirectory("graft_vtdcs").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartitionByRange(4, col("value"))
+      VersionedTable.commit(sv, src, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.delete(s, src, "event_type = 'error'",
+        ts = "2026-01-02T00:00:00Z")
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtdc").toString + "/t"
+      s.sql(s"CREATE TABLE graft.`$tbl` DEEP CLONE '$src'")
+      VersionedTable.delete(s, src, "true", ts = "2026-01-03T00:00:00Z")
+      VersionedTable.vacuum(s, src, retainVersions = 1, graceMs = 0L)
+      tbl
+    })
+
+  /** Fixture for `vt_pp` — persisted TABLE PROPERTIES through pure SQL:
+    * CTAS, `SET TBLPROPERTIES` (a policy key + user metadata + a
+    * to-be-dropped key), `UNSET TBLPROPERTIES`. The read is `SHOW
+    * TBLPROPERTIES`, so the whole prv/prop manifest-state round-trip
+    * (set → inherit → unset → show) is on the oracle path. */
+  private def buildPropsTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("pp", dir), {
+      val loc = java.nio.file.Files.createTempDirectory("graft_vtpp").toString
+      val name = s"vt_pp_tbl_${math.abs(dir.hashCode)}"
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      s.sql(
+        s"""CREATE TABLE $name USING graft LOCATION '$loc' AS
+           |SELECT r_regionkey AS id, r_name AS name
+           |FROM parquet.`$dir/region.parquet`""".stripMargin)
+      s.sql(s"ALTER TABLE $name SET TBLPROPERTIES (" +
+        "'graft.checkpointInterval' = '5', 'team' = 'mobility', " +
+        "'stage' = 'tmp')")
+      // a data commit between SET and UNSET: properties must inherit
+      // through the delta manifest untouched
+      s.sql(s"INSERT INTO $name VALUES (99, 'atlantis')")
+      s.sql(s"ALTER TABLE $name UNSET TBLPROPERTIES ('stage')")
+      name
+    })
+
   /** Fixture for `vt_pt`: silver hash-laid on `event_id` (every file's
     * [min, max] spans the whole id domain — the layout where min/max
     * stats can never prune an equality probe) committed with a bloom
@@ -956,6 +1002,20 @@ object SparkEntry {
       VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
+    // DEEP clone (Delta's default CLONE): full local copy, fresh v0,
+    // SELF-CONTAINED — the fixture empties and vacuums the SOURCE to
+    // zero files after cloning, so this read only matches the oracle
+    // if the clone truly owns its data (shallow references would be
+    // dangling); stats/DV/row-count metadata carried with the copies
+    "vt_dc" -> ((s, dir) => {
+      val tbl = buildDeepCloneTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
+        .select("event_id", "event_type", "value")
+    }),
+    // persisted TABLE PROPERTIES, pure SQL: CTAS → SET TBLPROPERTIES →
+    // INSERT (delta inheritance) → UNSET → SHOW; the oracle pins the
+    // exact surviving key/value set
+    "vt_pp" -> ((s, dir) => s.sql(s"SHOW TBLPROPERTIES ${buildPropsTable(s, dir)}")),
     // predicate-scoped overwrite (Delta replaceWhere): the [30,60) value
     // band's rows atomically replaced with a recomputed batch, one
     // copy-on-write version — only band-intersecting files rewrote. The
@@ -2154,6 +2214,18 @@ object SparkEntry {
       s"""$silverCte
          |SELECT event_id, event_type, value FROM silver
          |WHERE NOT coalesce(event_type = 'click' AND value < 20, FALSE)""".stripMargin,
+
+    // the deep clone serves the cloned snapshot (silver minus the
+    // pre-clone delete) even though the SOURCE was emptied and vacuumed
+    "vt_dc" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE NOT coalesce(event_type = 'error', FALSE)""".stripMargin,
+
+    // the exact property set surviving SET → INSERT → UNSET
+    "vt_pp" ->
+      """SELECT 'graft.checkpointInterval' AS key, '5' AS value
+        |UNION ALL SELECT 'team', 'mobility'""".stripMargin,
 
     // end state of the scoped replace, recomputed row-wise: band rows
     // re-tagged '_r', everything else (incl. NULL value) untouched

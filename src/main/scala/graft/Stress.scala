@@ -850,8 +850,37 @@ object Stress {
     cdfDeepBackfillLine(spark, deepLog)
     streamUnpacedCatchupLine(spark, deepLog)
     checkpointMultipartLine(spark)
+    deepCloneCostLine(spark)
 
     spark.stop()
+  }
+
+  /** DEEP vs SHALLOW clone cost on a 200-file snapshot — the declared
+    * trade measured: shallow is O(metadata) whatever the size, deep
+    * pays O(data) on the bounded ioPool (~files/threads wall-clock) and
+    * buys source-independence. The gate is content equality on both. */
+  private def deepCloneCostLine(spark: SparkSession): Unit = {
+    import graft.sources.VersionedTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dcl").toString
+    val src = s"$root/src"
+    VersionedTable.commit(
+      spark.range(2000000L).selectExpr("id", "id * 10 AS v").repartition(200),
+      src, mode = "overwrite")
+    def bytesUnder(d: java.io.File): Long =
+      Option(d.listFiles()).map(_.map(f =>
+        if (f.isDirectory) bytesUnder(f) else f.length()).sum).getOrElse(0L)
+    val t0 = System.nanoTime()
+    VersionedTable.cloneTable(spark, src, s"$root/shallow")
+    val sSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    VersionedTable.cloneTableDeep(spark, src, s"$root/deep")
+    val dSec = (System.nanoTime() - t1) / 1e9
+    require(VersionedTable.rowCount(spark, s"$root/deep") == 2000000L &&
+      VersionedTable.rowCount(spark, s"$root/shallow") == 2000000L,
+      "clone content mismatch")
+    val mb = bytesUnder(new java.io.File(s"$root/deep/files")) / 1e6
+    println(f"STRESS vt_clone_deep          shallow $sSec%.2f s (0 bytes) vs " +
+      f"deep $dSec%.2f s ($mb%.0f MB copied, 200 files)")
   }
 
   /** A 1,000-commit log of single-row appends — the deep-backfill

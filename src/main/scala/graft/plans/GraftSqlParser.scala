@@ -140,7 +140,7 @@ object GraftSqlParser {
   private val ReplaceWhereR: Regex =
     s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+)""".r
   private val CloneR: Regex =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+SHALLOW\\s+CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
   private val RestoreVR: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTR: Regex =
@@ -179,9 +179,10 @@ object GraftSqlParser {
               "condition (a query keyword inside quotes or parentheses " +
               "does not start the query)"))
         Some(GraftReplaceWhereCommand(target(p, gp, id), cond, query))
-      case CloneR(ine, tp, tgp, tid, sp, sgp, sid, v, ts, loc) =>
+      case CloneR(ine, tp, tgp, tid, kind, sp, sgp, sid, v, ts, loc) =>
         Some(GraftCloneCommand(ine != null, target(tp, tgp, tid),
-          target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc)))
+          target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc),
+          shallow = Option(kind).exists(_.equalsIgnoreCase("SHALLOW"))))
       case RestoreVR(p, gp, id, v) =>
         Some(GraftRestoreCommand(target(p, gp, id), Some(v.toLong), None))
       case RestoreTR(p, gp, id, ts) =>
@@ -425,16 +426,20 @@ final case class GraftReplaceWhereCommand(target: Either[String, Seq[String]],
   }
 }
 
-/** `CREATE TABLE t [IF NOT EXISTS] SHALLOW CLONE s [VERSION AS OF n |
-  * TIMESTAMP AS OF 'ts'] [LOCATION 'path']` — Delta's metadata-only
-  * fork as SQL: file references copy, data does not
-  * ([[VersionedTable.cloneTable]]); a catalog-name target registers the
-  * new table (at LOCATION, else the warehouse default path), a
-  * path-spelled target just writes the clone's log. Returns the
-  * clone's storage path. */
+/** `CREATE TABLE t [IF NOT EXISTS] [SHALLOW | DEEP] CLONE s [VERSION
+  * AS OF n | TIMESTAMP AS OF 'ts'] [LOCATION 'path']` — Delta's CLONE
+  * family as SQL. Bare `CLONE` (and `DEEP CLONE`) is the
+  * SELF-CONTAINED full copy with history truncated to v0
+  * ([[VersionedTable.cloneTableDeep]] — Delta's default); `SHALLOW
+  * CLONE` is the metadata-only fork (file references copy, data does
+  * not — [[VersionedTable.cloneTable]]). A catalog-name target
+  * registers the new table (at LOCATION, else the warehouse default
+  * path), a path-spelled target just writes the clone's log. Returns
+  * the clone's storage path. */
 final case class GraftCloneCommand(ifNotExists: Boolean,
     cloneTarget: Either[String, Seq[String]], source: Either[String, Seq[String]],
-    version: Option[Long], timestamp: Option[String], location: Option[String])
+    version: Option[Long], timestamp: Option[String], location: Option[String],
+    shallow: Boolean = true)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
@@ -442,12 +447,20 @@ final case class GraftCloneCommand(ifNotExists: Boolean,
     val srcPath = GraftSqlParser.resolvePath(sparkSession, source)
     val v = version.getOrElse(timestamp.fold(-1L)(ts =>
       GraftTable.forPath(sparkSession, srcPath).versionAtOrBefore(ts)))
+    def clone(tgt: String): Unit = {
+      if (shallow)
+        VersionedTable.cloneTable(sparkSession, srcPath, tgt, v,
+          ts = VersionedTable.TsNow)
+      else
+        VersionedTable.cloneTableDeep(sparkSession, srcPath, tgt, v,
+          ts = VersionedTable.TsNow)
+      ()
+    }
     cloneTarget match {
       case Left(path) =>
         if (ifNotExists && GraftTable.isGraftTable(sparkSession, path)) Seq(Row(path))
         else {
-          VersionedTable.cloneTable(sparkSession, srcPath, path, v,
-            ts = VersionedTable.TsNow)
+          clone(path)
           Seq(Row(path))
         }
       case Right(parts) =>
@@ -467,8 +480,7 @@ final case class GraftCloneCommand(ifNotExists: Boolean,
               "(use IF NOT EXISTS to skip)")
         } else {
           val tgt = location.getOrElse(catalog.defaultTablePath(ti).toString)
-          VersionedTable.cloneTable(sparkSession, srcPath, tgt, v,
-            ts = VersionedTable.TsNow)
+          clone(tgt)
           sparkSession.sql(
             s"CREATE TABLE ${parts.map(q => s"`$q`").mkString(".")} " +
               s"USING graft LOCATION '$tgt'")

@@ -4144,6 +4144,73 @@ object VersionedTable {
     0L
   }
 
+  /** DEEP clone (Delta's default `CLONE`, no SHALLOW): a NEW table at
+    * `target` whose v0 manifest references LOCAL COPIES of the source
+    * snapshot's data files (and deletion-vector datasets and bloom
+    * sidecars) — self-contained from birth: vacuuming or deleting the
+    * source can never break it, so no `_clones/` registry record is
+    * needed. History is truncated to the fresh v0 (Delta's deep-clone
+    * contract); schema, stats, row counts, constraints, generated
+    * columns, bloom config, column mapping, partitioning and table
+    * PROPERTIES all carry. Copies run on the bounded [[ioPool]] —
+    * wall-clock ~files/threads, cost O(data) by definition (this is
+    * the backup/promote-to-prod shape; [[cloneTable]] stays the
+    * zero-copy dev-fork shape). Deep-cloning a SHALLOW clone re-homes
+    * its absolute references under their layout-relative names, so
+    * the copy is normal-form regardless of the source's own shape. */
+  def cloneTableDeep(spark: SparkSession, source: String, target: String,
+      version: Long = -1L, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (shfs, sroot) = fs(spark, source)
+    val v = if (version >= 0) version
+      else versions(shfs, sroot).lastOption.getOrElse(
+        throw new IllegalArgumentException(s"clone of empty table at $source"))
+    val m = readManifest(shfs, sroot, v)
+    val (thfs, troot) = fs(spark, target)
+    require(versions(thfs, troot).isEmpty, s"clone target $target is not empty")
+    // target-relative name per entry: layout-local entries keep their
+    // relative path, absolute entries (the source is itself a shallow
+    // clone) re-home under their layout-relative suffix
+    val fileMap: Seq[(String, String)] = m.files.map(f => f -> relLayoutName(f))
+    require(fileMap.map(_._2).distinct.size == fileMap.size,
+      s"deep clone of $source: two source references share a layout name; " +
+        "optimize the source self-contained first")
+    val dvMap: Map[String, String] =
+      m.dvs.values.toSeq.distinct.map(d => d -> relLayoutName(d)).toMap
+    val conf = spark.sparkContext.hadoopConfiguration
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    val copies = fileMap.map { case (from, to) =>
+      scala.concurrent.Future {
+        val src = new Path(sroot, from)
+        org.apache.hadoop.fs.FileUtil.copy(shfs, src, thfs,
+          new Path(troot, to), false, conf)
+        val bloom = new Path(src.toString + ".bloom")
+        if (shfs.exists(bloom))
+          org.apache.hadoop.fs.FileUtil.copy(shfs, bloom, thfs,
+            new Path(troot, to + ".bloom"), false, conf)
+      }
+    } ++ dvMap.map { case (from, to) =>
+      scala.concurrent.Future {
+        org.apache.hadoop.fs.FileUtil.copy(shfs, new Path(sroot, from), thfs,
+          new Path(troot, to), false, conf)
+        ()
+      }
+    }
+    scala.concurrent.Await.result(scala.concurrent.Future.sequence(copies), ioWait)
+    def rekey[A](src: Map[String, A]): Map[String, A] =
+      fileMap.flatMap { case (f, r) => src.get(f).map(r -> _) }.toMap
+    val schema = m.schemaJson.getOrElse(snapshotSchema(spark, sroot, m).json)
+    publish(thfs, troot, RawManifest(0L, ts, s"clone_deep(v$v)", None,
+      fileMap.map(_._2), Seq.empty, None, Some(schema), rekey(m.stats),
+      rekey(m.dvs).map { case (f, d) => f -> dvMap.getOrElse(d, d) },
+      m.constraints, Set.empty, m.bloomCfg,
+      if (m.colMap.isEmpty && m.retired.isEmpty) None
+      else Some((m.colMap, m.retired)), m.gens,
+      pcolsLine = if (m.pcols.nonEmpty) Some(m.pcols) else None,
+      addRows = rekey(m.rowCounts), addDvCounts = rekey(m.dvCounts),
+      propsState = Some(m.props).filter(_.nonEmpty)))
+    0L
+  }
+
   /** Whether any CHECK constraint's SQL references column `c` — rename
     * and drop refuse when one does (Delta's dependency rule): the
     * constraint would throw unresolved-attribute on every later write

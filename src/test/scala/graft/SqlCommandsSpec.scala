@@ -130,6 +130,29 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, p2).count() === 41L)
   }
 
+  test("CREATE TABLE ... CLONE (no SHALLOW) is the self-contained DEEP clone") {
+    val (path, tbl) = fixture(base, "dcl")
+    val loc = java.nio.file.Files.createTempDirectory("sqlcmd_dclone").toString + "/t"
+    spark.sql("DROP TABLE IF EXISTS sqlcmd_dclone_t")
+    val got = spark.sql(s"CREATE TABLE sqlcmd_dclone_t CLONE $tbl LOCATION '$loc'")
+      .head.getString(0)
+    assert(got === loc)
+    assert(spark.sql("SELECT count(*) FROM sqlcmd_dclone_t").head.getLong(0) === 40L)
+    // deep: local data files, fresh v0, no clone-ref pin on the source
+    assert(new java.io.File(loc, "files").exists())
+    assert(VersionedTable.history(spark, loc).count() === 1L)
+    assert(VersionedTable.cloneRefs(spark, path).isEmpty)
+    // DEEP spelling accepted too, path target
+    val p3 = java.nio.file.Files.createTempDirectory("sqlcmd_dclone2").toString + "/t3"
+    spark.sql(s"CREATE TABLE graft.`$p3` DEEP CLONE '$path'")
+    // the source's data can vanish; the deep clone survives
+    VersionedTable.delete(spark, path, "true")
+    VersionedTable.vacuum(spark, path, retainVersions = 1, graceMs = 0L)
+    assert(VersionedTable.readVersion(spark, p3).count() === 40L)
+    assert(spark.sql("SELECT count(*) FROM sqlcmd_dclone_t").head.getLong(0) === 40L)
+    spark.sql("DROP TABLE sqlcmd_dclone_t")
+  }
+
   test("DESCRIBE DETAIL ≡ library describeDetail") {
     val (path, tbl) = fixture(base, "dt")
     val lib = VersionedTable.describeDetail(spark, path).collect().head

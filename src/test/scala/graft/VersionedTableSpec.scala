@@ -953,6 +953,52 @@ class VersionedTableSpec extends SparkSpec {
     }
   }
 
+  test("deep clone: self-contained copy — source vacuum/delete cannot break it") {
+    val src = freshTable()
+    VersionedTable.commit(df(1, 2, 3, 4), src, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    // a DV, a constraint, a property and a second commit, so the deep
+    // copy must carry vectors, metadata and stats — not just files
+    VersionedTable.commit(df(5), src, mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, src, "id = 2",
+      ts = "2026-01-03T00:00:00Z", maxVectoredFraction = 1.0)
+    VersionedTable.addConstraint(spark, src, "v_nn", "v IS NOT NULL",
+      ts = "2026-01-04T00:00:00Z")
+    VersionedTable.setProperties(spark, src, Map("team" -> "mobility"),
+      ts = "2026-01-05T00:00:00Z")
+    val tgt = freshTable()
+    assert(VersionedTable.cloneTableDeep(spark, src, tgt,
+      ts = "2026-01-06T00:00:00Z") === 0L)
+    // content ≡ source snapshot (through the copied deletion vector)
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === Set(1L, 3L, 4L, 5L))
+    // history truncated to the fresh v0; metadata carried
+    val h = VersionedTable.history(spark, tgt).collect()
+    assert(h.length === 1 && h.head.getString(2) === "clone_deep(v4)")
+    assert(VersionedTable.constraintsOf(spark, tgt) === Map("v_nn" -> "v IS NOT NULL"))
+    assert(VersionedTable.propertiesOf(spark, tgt) === Map("team" -> "mobility"))
+    // self-contained: the clone owns local copies, records NO clone ref,
+    // and destroying the source leaves it intact
+    assert(new java.io.File(tgt, "files").exists())
+    assert(VersionedTable.cloneRefs(spark, src).isEmpty)
+    VersionedTable.delete(spark, src, "true", ts = "2026-01-07T00:00:00Z")
+    VersionedTable.vacuum(spark, src, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, tgt)) === Set(1L, 3L, 4L, 5L))
+    // row counts carried: COUNT(*) stays metadata-only on the clone
+    assert(VersionedTable.rowCount(spark, tgt) === 4L)
+    // deep clone OF a shallow clone re-homes absolute references
+    val src2 = freshTable()
+    VersionedTable.commit(df(7, 8), src2, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z")
+    val shal = freshTable()
+    VersionedTable.cloneTable(spark, src2, shal, ts = "2026-01-02T00:00:00Z")
+    val deep2 = freshTable()
+    VersionedTable.cloneTableDeep(spark, shal, deep2, ts = "2026-01-03T00:00:00Z")
+    VersionedTable.delete(spark, src2, "true", ts = "2026-01-04T00:00:00Z")
+    VersionedTable.releaseCloneRef(spark, src2, shal)
+    VersionedTable.vacuum(spark, src2, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, deep2)) === Set(7L, 8L))
+  }
+
   test("clone evolves independently: appends and COW rewrites never touch the source") {
     val src = freshTable()
     val base = (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
