@@ -105,6 +105,11 @@ object Stress {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("deepclone")) {
+      deepCloneCostLine(spark)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 

@@ -359,20 +359,17 @@ final case class GraftVacuumCommand(target: Either[String, Seq[String]],
     Seq(AttributeReference("n_files", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
-    val retain = retainVersions.getOrElse(2)
-    // DRY RUN uses the SAME grace (incl. the 7-day default) as the real
-    // vacuum — it must report exactly what `VACUUM` would delete today,
-    // not every dead-but-still-young file (Delta's DRY RUN contract)
-    val n = (dryRun, graceMs) match {
-      case (true, Some(g)) =>
-        VersionedTable.vacuumReclaimable(sparkSession, path, retain, graceMs = g)
-      case (true, None) =>
-        VersionedTable.vacuumReclaimable(sparkSession, path, retain)
-      case (false, Some(g)) =>
-        VersionedTable.vacuum(sparkSession, path, retain, graceMs = g)
-      case (false, None) =>
-        VersionedTable.vacuum(sparkSession, path, retain)
-    }
+    // unspecified clauses resolve to TABLE-DECLARED policy
+    // (graft.retainVersions / graft.vacuumGraceHours, else 2 / 7 days) —
+    // the library's own defaulting; DRY RUN uses the SAME resolution as
+    // the real vacuum, so it reports exactly what `VACUUM` would delete
+    // today (Delta's DRY RUN contract)
+    val retain = retainVersions.getOrElse(-1)
+    val grace = graceMs.getOrElse(-1L)
+    val n =
+      if (dryRun) VersionedTable.vacuumReclaimable(sparkSession, path,
+        retain, graceMs = grace)
+      else VersionedTable.vacuum(sparkSession, path, retain, graceMs = grace)
     Seq(Row(n))
   }
 }
