@@ -140,7 +140,12 @@ object GraftSqlParser {
   private val ReplaceWhereR: Regex =
     s"""(?is)\\s*INSERT\\s+INTO\\s+$T\\s+REPLACE\\s+WHERE\\s+(.+)""".r
   private val CloneR: Regex =
-    s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
+    s"""(?is)\\s*CREATE\\s+TABLE\\s+(IF\\s+NOT\\s+EXISTS\\s+)?$T\\s+(?:(SHALLOW|DEEP)\\s+)?CLONE\\s+$T(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)|\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)')?(?:\\s+TBLPROPERTIES\\s*\\(([^)]*)\\))?(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""".r
+
+  /** `'k' = 'v', ...` inside a CLONE's TBLPROPERTIES clause. */
+  private def parseProps(s: String): Map[String, String] =
+    """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2)).toMap
   private val RestoreVR: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTR: Regex =
@@ -179,10 +184,11 @@ object GraftSqlParser {
               "condition (a query keyword inside quotes or parentheses " +
               "does not start the query)"))
         Some(GraftReplaceWhereCommand(target(p, gp, id), cond, query))
-      case CloneR(ine, tp, tgp, tid, kind, sp, sgp, sid, v, ts, loc) =>
+      case CloneR(ine, tp, tgp, tid, kind, sp, sgp, sid, v, ts, props, loc) =>
         Some(GraftCloneCommand(ine != null, target(tp, tgp, tid),
           target(sp, sgp, sid), Option(v).map(_.toLong), Option(ts), Option(loc),
-          shallow = Option(kind).exists(_.equalsIgnoreCase("SHALLOW"))))
+          shallow = Option(kind).exists(_.equalsIgnoreCase("SHALLOW")),
+          props = Option(props).map(parseProps).getOrElse(Map.empty)))
       case RestoreVR(p, gp, id, v) =>
         Some(GraftRestoreCommand(target(p, gp, id), Some(v.toLong), None))
       case RestoreTR(p, gp, id, ts) =>
@@ -312,7 +318,8 @@ final case class GraftDescribeDetailCommand(
     AttributeReference("constraints", arr)(),
     AttributeReference("generated_columns", arr)(),
     AttributeReference("bloom_index_columns", arr)(),
-    AttributeReference("num_vectored_files", LongType, nullable = false)())
+    AttributeReference("num_vectored_files", LongType, nullable = false)(),
+    AttributeReference("properties", arr)())
   override def run(sparkSession: SparkSession): Seq[Row] =
     VersionedTable.describeDetail(sparkSession,
       GraftSqlParser.resolvePath(sparkSession, target)).collect().toSeq
@@ -436,7 +443,7 @@ final case class GraftReplaceWhereCommand(target: Either[String, Seq[String]],
 final case class GraftCloneCommand(ifNotExists: Boolean,
     cloneTarget: Either[String, Seq[String]], source: Either[String, Seq[String]],
     version: Option[Long], timestamp: Option[String], location: Option[String],
-    shallow: Boolean = true)
+    shallow: Boolean = true, props: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("path", StringType, nullable = false)())
@@ -450,6 +457,11 @@ final case class GraftCloneCommand(ifNotExists: Boolean,
           ts = VersionedTable.TsNow)
       else
         VersionedTable.cloneTableDeep(sparkSession, srcPath, tgt, v,
+          ts = VersionedTable.TsNow)
+      // Delta's CLONE ... TBLPROPERTIES: overrides MERGE onto the
+      // properties the clone carried from its source
+      if (props.nonEmpty)
+        VersionedTable.setProperties(sparkSession, tgt, props,
           ts = VersionedTable.TsNow)
       ()
     }

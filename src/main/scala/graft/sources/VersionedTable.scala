@@ -1093,6 +1093,9 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption
     val prevM = prev.map(p => readManifest(hfs, root, p))
+    // an overwrite of a NON-EMPTY table replaces its rows
+    if (mode == "overwrite")
+      prevM.foreach(pm => requireNotAppendOnly(pm.props, path, "overwrite"))
     // GENERATED columns compute-if-absent BEFORE the schema check: a
     // batch omitting a generated column is the intended write shape
     // (the paired gen_<name> CHECK constraint validates batches that
@@ -2132,6 +2135,21 @@ object VersionedTable {
     next
   }
 
+  /** `graft.appendOnly=true` (Delta's `delta.appendOnly`): the table
+    * accepts APPENDS ONLY — every operation that deletes or updates
+    * existing rows (COW/MoR delete and update, merges with matched or
+    * by-source clauses, replaceWhere, overwrite of a non-empty table)
+    * refuses with the property named. Insert-only merges, appends,
+    * optimize/compact (no row change) and history surgery
+    * (rollback/expireLog/vacuum — admin ops) stay allowed. */
+  private def requireNotAppendOnly(props: Map[String, String], path: String,
+      op: String): Unit =
+    if (props.get("graft.appendOnly").exists(_.trim.equalsIgnoreCase("true")))
+      throw new UnsupportedOperationException(
+        s"$op on $path is blocked: table property graft.appendOnly=true " +
+          "permits appends only (Delta's delta.appendOnly); UNSET it to " +
+          "delete or update existing rows")
+
   /** Parse a policy property as Int/Long/Double/Boolean, loudly: a
     * mistyped policy value must fail the operation that consults it,
     * never silently fall back to the default. */
@@ -2666,6 +2684,7 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
+    requireNotAppendOnly(m.props, path, "deleteMergeOnRead")
     val candidates =
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
     val next = prev + 1
@@ -2805,10 +2824,11 @@ object VersionedTable {
       m.constraints.keys.toSeq.sorted,
       m.gens.keys.toSeq.sorted,
       m.bloomCfg.map(_._1).getOrElse(Seq.empty),
-      m.dvs.size.toLong))
+      m.dvs.size.toLong,
+      m.props.toSeq.sortBy(_._1).map { case (k, pv) => s"$k=$pv" }))
       .toDF("version", "ts", "operation", "num_files", "size_bytes",
         "num_rows", "partition_columns", "constraints", "generated_columns",
-        "bloom_index_columns", "num_vectored_files")
+        "bloom_index_columns", "num_vectored_files", "properties")
   }
 
   /** Count of data files [[vacuum]] WOULD reclaim (Delta's
@@ -3258,6 +3278,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"merge into empty table at $path"))
     val m = readManifest(hfs, root, prev)
     val updates = applyGens(updates0, m.gens)
+    requireNotAppendOnly(m.props, path, "merge") // unconditional matched UPDATE
     val snapSchema = snapshotSchema(spark, root, m)
     val drift = updates0.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
     if (drift.nonEmpty) throw new SchemaMismatchException(
@@ -3388,6 +3409,10 @@ object VersionedTable {
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"merge into empty table at $path"))
     val m = readManifest(hfs, root, prev)
+    // insert-only merges stay allowed on an append-only table (Delta's
+    // rule: only existing rows are protected)
+    if (matched.nonEmpty || notMatchedBySource.nonEmpty)
+      requireNotAppendOnly(m.props, path, "mergeClauses (matched/bySource clauses)")
     val snapSchema = snapshotSchema(spark, root, m)
     require(keyCols.nonEmpty && keyCols.forall(snapSchema.fieldNames.contains) &&
       keyCols.forall(source.columns.contains),
@@ -3808,6 +3833,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"delete from empty table at $path"))
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
+    requireNotAppendOnly(m.props, path, "delete")
     // stats-pruned discovery: files whose manifest [min,max] ranges prove
     // the predicate false contain no deletable row and are never opened
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
@@ -3902,6 +3928,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"update of empty table at $path"))
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
+    requireNotAppendOnly(m.props, path, "update")
     val touched = updatePlan(spark, root, m, snapSchema, condition, set, path)
     val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
@@ -3950,6 +3977,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"update of empty table at $path"))
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
+    requireNotAppendOnly(m.props, path, "updateMergeOnRead")
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val unknown = set.keys.filterNot(snapSchema.fieldNames.contains)
     if (unknown.nonEmpty) throw new SchemaMismatchException(
@@ -4044,6 +4072,7 @@ object VersionedTable {
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"replaceWhere on empty table at $path"))
     val m = readManifest(hfs, root, prev)
+    requireNotAppendOnly(m.props, path, "replaceWhere")
     val df = applyGens(df0, m.gens)
     val snapSchema = snapshotSchema(spark, root, m)
     if (snapSchema.fieldNames.toSet != df.schema.fieldNames.toSet)

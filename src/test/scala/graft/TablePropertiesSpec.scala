@@ -165,6 +165,66 @@ final class TablePropertiesSpec extends SparkSpec {
     spark.sql("DROP TABLE props_sql_t")
   }
 
+  test("graft.appendOnly blocks every row-deleting/updating face; appends and insert-only merges pass") {
+    val t = fresh()
+    seed(t)
+    VersionedTable.setProperties(spark, t, Map("graft.appendOnly" -> "true"),
+      ts = "2026-01-02T00:00:00Z")
+    def blocked(op: => Any): Unit = {
+      val e = intercept[UnsupportedOperationException](op)
+      assert(e.getMessage.contains("graft.appendOnly"), e.getMessage)
+    }
+    blocked(VersionedTable.delete(spark, t, "id = 1"))
+    blocked(VersionedTable.deleteMergeOnRead(spark, t, "id = 1"))
+    blocked(VersionedTable.update(spark, t, "id = 1", Map("v" -> "v + 1")))
+    blocked(VersionedTable.updateMergeOnRead(spark, t, "id = 1", Map("v" -> "v + 1")))
+    blocked(VersionedTable.merge(Seq((1L, 99L)).toDF("id", "v"), t, Seq("id")))
+    blocked(VersionedTable.replaceWhere(
+      Seq((1L, 99L)).toDF("id", "v"), t, "id = 1"))
+    blocked(VersionedTable.commit(Seq((1L, 1L)).toDF("id", "v"), t,
+      mode = "overwrite"))
+    blocked(spark.sql(s"DELETE FROM graft.`$t` WHERE id = 1"))
+    // appends and INSERT-ONLY merges stay allowed (only existing rows
+    // are protected — Delta's delta.appendOnly rule)
+    VersionedTable.commit(Seq((100L, 1L)).toDF("id", "v"), t,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    VersionedTable.mergeClauses(Seq((101L, 1L), (1L, 999L)).toDF("id", "v"), t,
+      Seq("id"), matched = Seq.empty,
+      notMatched = Seq(VersionedTable.MergeAction.Insert()),
+      ts = "2026-01-04T00:00:00Z")
+    val ids = VersionedTable.readVersion(spark, t).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === ((1L to 10L) ++ Seq(100L, 101L)).toSet)
+    // id 1 survived UNMODIFIED (the insert-only merge matched it away)
+    assert(VersionedTable.readVersion(spark, t).filter("id = 1")
+      .select("v").head().getLong(0) === 10L)
+    // unset re-opens the table
+    VersionedTable.unsetProperties(spark, t, Seq("graft.appendOnly"),
+      ts = "2026-01-05T00:00:00Z")
+    VersionedTable.delete(spark, t, "id = 1", ts = "2026-01-06T00:00:00Z")
+    assert(!VersionedTable.readVersion(spark, t).select("id")
+      .collect().map(_.getLong(0)).contains(1L))
+  }
+
+  test("DESCRIBE DETAIL reports properties; CLONE ... TBLPROPERTIES merges overrides") {
+    val t = fresh()
+    seed(t)
+    VersionedTable.setProperties(spark, t,
+      Map("team" -> "mobility", "graft.retainVersions" -> "5"),
+      ts = "2026-01-02T00:00:00Z")
+    val detail = VersionedTable.describeDetail(spark, t).collect().head
+    assert(detail.getAs[Seq[String]]("properties")
+      === Seq("graft.retainVersions=5", "team=mobility"))
+    // clone with overrides: source props carry, overrides merge on top
+    val c = fresh() + "/c"
+    spark.sql(s"CREATE TABLE graft.`$c` SHALLOW CLONE '$t' " +
+      "TBLPROPERTIES ('team' = 'ml', 'tier' = 'dev')")
+    assert(VersionedTable.propertiesOf(spark, c) === Map(
+      "team" -> "ml", "tier" -> "dev", "graft.retainVersions" -> "5"))
+    // and the source's own properties are untouched
+    assert(VersionedTable.propertiesOf(spark, t)("team") === "mobility")
+  }
+
   test("fluent face + stream sink honor the property surface") {
     val t = fresh()
     seed(t)
