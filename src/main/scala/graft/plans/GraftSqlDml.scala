@@ -326,28 +326,40 @@ object GraftSqlDml {
       case Literal(v, StringType) if v != null => v.toString
       case _ => unsupported(s"table_changes: $what must be a string literal")
     }
-    def lng(e: Expression, what: String): Long = e match {
-      case Literal(v: Number, _) => v.longValue()
-      case _ => unsupported(s"table_changes: $what must be an integer literal")
+    // a range bound is an integer literal (version) or a timestamp
+    // STRING literal (Databricks' table_changes accepts both spellings;
+    // timestamps resolve against commit timestamps like the
+    // starting/endingTimestamp read options)
+    def bound(e: Expression, what: String): Either[Long, String] = e match {
+      case Literal(v: Number, _) => Left(v.longValue())
+      case Literal(v, StringType) if v != null => Right(v.toString)
+      case _ => unsupported(
+        s"table_changes: $what must be an integer (version) or string " +
+          "(timestamp) literal")
     }
     val (target, start, endOpt, keys) = exprs match {
-      case Seq(t, s, k) => (str(t, "target"), lng(s, "startingVersion"),
+      case Seq(t, s, k) => (str(t, "target"), bound(s, "start"),
         None, str(k, "keyColumns"))
-      case Seq(t, s, e, k) => (str(t, "target"), lng(s, "startingVersion"),
-        Some(lng(e, "endingVersion")), str(k, "keyColumns"))
+      case Seq(t, s, e, k) => (str(t, "target"), bound(s, "start"),
+        Some(bound(e, "end")), str(k, "keyColumns"))
       case _ => unsupported(
-        "table_changes(target, startingVersion[, endingVersion], keyColumns)")
+        "table_changes(target, start[, end], keyColumns) — start/end are " +
+          "versions (integers) or commit timestamps (strings)")
     }
     val parts =
       if (target.contains('/')) Seq("graft", target)
       else spark.sessionState.sqlParser.parseMultipartIdentifier(target)
     val path = graftCatalogPath(spark, parts).getOrElse(unsupported(
       s"table_changes: '$target' is not a graft table (by name or path)"))
-    val rd = spark.read.format("graft")
+    def withBound(rd: org.apache.spark.sql.DataFrameReader, prefix: String,
+        b: Either[Long, String]) = b match {
+      case Left(v) => rd.option(s"${prefix}Version", v.toString)
+      case Right(ts) => rd.option(s"${prefix}Timestamp", ts)
+    }
+    val rd = withBound(spark.read.format("graft")
       .option("readChangeFeed", "true")
-      .option("startingVersion", start.toString)
-      .option("keyColumns", keys)
-    endOpt.fold(rd)(e => rd.option("endingVersion", e.toString))
+      .option("keyColumns", keys), "starting", start)
+    endOpt.fold(rd)(withBound(rd, "ending", _))
       .load(path).queryExecution.analyzed
   }
 

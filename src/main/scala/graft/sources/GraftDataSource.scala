@@ -179,6 +179,20 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val pcols = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
+    // Delta's idempotent-writer options (txnAppId + txnVersion, the
+    // foreachBatch manual-checkpoint idiom): the write commits with the
+    // transaction marker and a REPLAY — same appId, version at or below
+    // the recorded watermark — is a silent no-op, never duplicate rows
+    val txnAppId = parameters.get("txnAppId").map(_.trim).filter(_.nonEmpty)
+    val txnVersion = parameters.get("txnVersion").map(_.trim.toLong)
+    require(txnAppId.isDefined == txnVersion.isDefined,
+      "txnAppId and txnVersion must be set together")
+    require(txnAppId.isEmpty || replaceWhere.isEmpty,
+      "txnAppId/txnVersion compose with plain append/overwrite writes, " +
+        "not replaceWhere")
+    require(txnAppId.isEmpty ||
+      mode == SaveMode.Append || mode == SaveMode.Overwrite,
+      "txnAppId/txnVersion require SaveMode.Append or Overwrite")
     // Delta's overwriteSchema guard (delta_utils.py:29 passes the
     // option explicitly): an overwrite whose batch SCHEMA differs from
     // the table's refuses unless `overwriteSchema=true` — the library
@@ -199,8 +213,14 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
             """.option("overwriteSchema", "true") to replace the schema with the data""")
     }
     def write(m: String): Unit = {
-      VersionedTable.commit(data, path, m, ts, mergeSchema = mergeSchema,
-        partitionBy = pcols)
+      (txnAppId, txnVersion) match {
+        case (Some(a), Some(v)) =>
+          VersionedTable.commitIfNew(data, path, a, v, ts, mode = m,
+            partitionBy = pcols, mergeSchema = mergeSchema)
+        case _ =>
+          VersionedTable.commit(data, path, m, ts, mergeSchema = mergeSchema,
+            partitionBy = pcols)
+      }
       ()
     }
     mode match {

@@ -36,8 +36,13 @@ import org.apache.spark.sql.types.StructType
   * `maxFilesPerTrigger` (Delta's option) bounds it by ADDED-FILE count
   * and splits WITHIN a commit — a single 100-file commit drains in
   * ceil(100/cap) micro-batches, each individually checkpointed, so one
-  * giant backfill commit can never force a giant batch. Both compose
-  * (version cap applied first, then the file budget).
+  * giant backfill commit can never force a giant batch;
+  * `maxBytesPerTrigger` (Delta's option; `"100m"`/`"1g"`/bytes) bounds
+  * it by ADDED BYTES — the knob that actually tracks executor memory
+  * when file sizes vary — as a soft max (a batch may exceed it by at
+  * most one file, and one over-budget file still makes progress). All
+  * three compose (version cap applied first, then whichever of the
+  * file/byte budgets exhausts first).
   *
   * Scale: offsets and classification are header-only reads; each
   * batch's plan scans ONLY the covered commits' added files (a
@@ -59,6 +64,18 @@ final class GraftStreamSource(spark: SparkSession, path: String,
     .map(_.trim.toLong).filter(_ > 0)
   private val maxFiles = options.get("maxfilespertrigger")
     .map(_.trim.toInt).filter(_ > 0)
+  // Delta's byte-budget spelling ("100m", "1g", or plain bytes): a SOFT
+  // max — files admit while budget remains, so a batch may exceed it by
+  // at most one file and a single over-budget file still makes progress
+  private val maxBytes = options.get("maxbytespertrigger")
+    .map(GraftStreamSource.parseBytes).filter(_ > 0)
+
+  /** Per-file sizes for the byte budget, memoized — data files are
+    * immutable, so an entry can never go stale; one stat per file per
+    * stream run, same order as the header reads pacing already does. */
+  private val sizeCache = scala.collection.mutable.HashMap.empty[String, Long]
+  private def sizeOf(f: String): Long =
+    sizeCache.getOrElseUpdate(f, VersionedTable.dataFileSize(spark, path, f))
 
   // the anchor: versions ≤ anchor arrive as ONE snapshot batch (the
   // stream's initial state); startingVersion=N instead tails from N
@@ -107,35 +124,37 @@ final class GraftStreamSource(spark: SparkSession, path: String,
     val (pv0, pi0) = paced
     val vCap = maxVersions.map(mx => math.min(latest, pv0 + mx)).getOrElse(latest)
     if (vCap < anchor) return None
-    val next: (Long, Int) = maxFiles match {
-      case None => (math.max(pv0, vCap), 0)
-      case Some(mf) =>
-        // spend the file budget walking forward from the paced point;
-        // a version's adds split across offers when the budget runs out
-        // mid-commit. Maintenance commits cost NOTHING even though they
-        // add files (an optimize's compacted outputs never stream —
-        // getBatch skips them — so charging them would stall the paced
-        // stream behind empty micro-batches).
-        var v = pv0; var i = pi0; var budget = mf
-        while (budget > 0 && v < vCap) {
+    val next: (Long, Int) =
+      if (maxFiles.isEmpty && maxBytes.isEmpty) (math.max(pv0, vCap), 0)
+      else {
+        // spend the file/byte budgets walking forward from the paced
+        // point; a version's adds split across offers when a budget
+        // runs out mid-commit. Maintenance commits cost NOTHING even
+        // though they add files (an optimize's compacted outputs never
+        // stream — getBatch skips them), and under skipChangeCommits
+        // skipped change commits cost nothing either — charging either
+        // would stall the paced stream behind empty micro-batches.
+        var v = pv0; var i = pi0
+        var fBudget: Long = maxFiles.map(_.toLong).getOrElse(Long.MaxValue)
+        var bBudget: Long = maxBytes.getOrElse(Long.MaxValue)
+        while (fBudget > 0 && bBudget > 0 && v < vCap) {
           val (op, adds, removes, dvFiles, _) =
             VersionedTable.commitSummary(spark, path, v + 1)
-          // maintenance commits cost nothing (their adds never stream);
-          // under skipChangeCommits, skipped change commits cost
-          // nothing either — charging them would stall the paced
-          // stream behind empty micro-batches
           val skipped = skipChangeCommits &&
             isChangeCommit(op, v + 1, adds, removes, dvFiles)
           val n = if (isMaintenance(op) || skipped) 0 else adds.size
           if (i >= n) { v += 1; i = 0 }
           else {
-            val take = math.min(n - i, budget)
-            i += take; budget -= take
+            // per-file admission: the byte budget is a soft max (a file
+            // admits while ANY budget remains, saturating at zero)
+            if (maxBytes.isDefined)
+              bBudget = math.max(0L, bBudget - math.max(1L, sizeOf(adds(i))))
+            fBudget -= 1; i += 1
             if (i >= n) { v += 1; i = 0 }
           }
         }
         (v, i)
-    }
+      }
     paced = if (next._1 > paced._1 ||
       (next._1 == paced._1 && next._2 > paced._2)) next else paced
     // offset format: plain version when nothing is file-split (stable
@@ -268,4 +287,22 @@ private[sources] final case class GraftSourceOffset(v: Long, i: Int)
 private[sources] object GraftSourceOffset {
   val JsonR: scala.util.matching.Regex =
     """\{\s*"v"\s*:\s*(-?\d+)\s*,\s*"i"\s*:\s*(\d+)\s*\}""".r
+}
+
+private[graft] object GraftStreamSource {
+  /** `"123"`, `"100k"`, `"64m"`, `"1g"` → bytes (Delta's size-string
+    * option spelling). */
+  private[graft] def parseBytes(s: String): Long = {
+    val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+    val (num, mult) = t.last match {
+      case 'k' => (t.dropRight(1), 1L << 10)
+      case 'm' => (t.dropRight(1), 1L << 20)
+      case 'g' => (t.dropRight(1), 1L << 30)
+      case 'b' => (t.dropRight(1), 1L)
+      case _ => (t, 1L)
+    }
+    require(num.nonEmpty && num.forall(_.isDigit),
+      s"bad maxBytesPerTrigger: '$s' (use bytes or a k/m/g suffix)")
+    num.toLong * mult
+  }
 }

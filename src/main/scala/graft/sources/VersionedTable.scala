@@ -4439,6 +4439,16 @@ object VersionedTable {
       raw.base.contains(v - 1))
   }
 
+  /** On-disk size of one manifest file entry (relative or
+    * clone-absolute) — the stream source's byte-budget pacing unit.
+    * 0 for an unstattable file (pacing is an optimization; the batch
+    * read itself still fails loudly on a truly missing file). */
+  private[graft] def dataFileSize(spark: SparkSession, path: String,
+      file: String): Long = {
+    val (hfs, root) = fs(spark, path)
+    scala.util.Try(hfs.getFileStatus(new Path(root, file)).getLen).getOrElse(0L)
+  }
+
   /** The rows a commit ADDED — its manifest's added data files, read
     * under that snapshot's column mapping and recorded schema. The
     * streaming source's per-version feed: added files carry no deletion

@@ -405,6 +405,87 @@ class DataSourceSpec extends SparkSpec {
       .getMessage.contains("at most one"))
   }
 
+  test("maxBytesPerTrigger paces catch-up by added bytes (soft max, composes with files)") {
+    val t = freshTable()
+    // one 25-file commit (~few KB per file)
+    VersionedTable.commit(df(1L to 100L: _*).repartitionByRange(25, col("id")),
+      t, mode = "overwrite")
+    val files = VersionedTable.snapshotFiles(spark, t)
+    assert(files.size === 25)
+    val perFile = VersionedTable.dataFileSize(spark, t, files.head)
+    assert(perFile > 0)
+    // budget of ~3 files' bytes → the backlog drains in many batches
+    val ckp = java.nio.file.Files.createTempDirectory("ds_mbt").toString
+    val got = scala.collection.mutable.Set[Long]()
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxBytesPerTrigger", (perFile * 3).toString)
+      .load(t).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got.synchronized { got ++= b.select("id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(0)).start()
+    val deadline = System.currentTimeMillis() + 60000
+    while (got.synchronized(got.size) < 100 && System.currentTimeMillis() < deadline)
+      Thread.sleep(100)
+    q.stop()
+    assert(got.toSet === (1L to 100L).toSet,
+      s"byte-paced drain lost/duplicated rows: ${got.size}")
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 5,
+      s"expected ~ceil(25/4) byte-paced batches, got " +
+        s"${q.recentProgress.count(_.numInputRows > 0)}")
+    // a single file FAR over budget still makes progress (soft max)
+    val t2 = freshTable()
+    VersionedTable.commit(df(1L to 50L: _*).repartition(1), t2, mode = "overwrite")
+    val got2 = scala.collection.mutable.Set[Long]()
+    val q2 = spark.readStream.format("graft")
+      .option("startingVersion", "0")
+      .option("maxBytesPerTrigger", "10")
+      .load(t2).writeStream
+      .foreachBatch { (b: DataFrame, _: Long) =>
+        got2.synchronized { got2 ++= b.select("id").collect().map(_.getLong(0)) }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(got2.toSet === (1L to 50L).toSet)
+    // size-string spelling parses; garbage refuses
+    assert(graft.sources.GraftStreamSource.parseBytes("64m") === (64L << 20))
+    assert(graft.sources.GraftStreamSource.parseBytes("1g") === (1L << 30))
+    intercept[IllegalArgumentException](
+      graft.sources.GraftStreamSource.parseBytes("lots"))
+  }
+
+  test("txnAppId/txnVersion writer options: replays are silent no-ops (idempotent foreachBatch)") {
+    val t = freshTable()
+    def write(ver: Long, d: DataFrame): Unit =
+      d.write.format("graft").mode(SaveMode.Append)
+        .option("txnAppId", "job42").option("txnVersion", ver.toString).save(t)
+    df(1, 2).write.format("graft").save(t)
+    write(0L, df(3))
+    write(1L, df(4))
+    // replays at or below the watermark commit nothing
+    write(1L, df(99))
+    write(0L, df(98))
+    assert(rows(spark.read.format("graft").load(t))
+      === Set((1L, 10L), (2L, 20L), (3L, 30L), (4L, 40L)))
+    assert(VersionedTable.latestVersion(spark, t) === 2L)
+    // a DIFFERENT appId is its own watermark
+    df(5).write.format("graft").mode(SaveMode.Append)
+      .option("txnAppId", "other").option("txnVersion", "0").save(t)
+    assert(VersionedTable.latestVersion(spark, t) === 3L)
+    // the options must come as a pair, and not with replaceWhere
+    assert(intercept[IllegalArgumentException](df(6).write.format("graft")
+      .mode(SaveMode.Append).option("txnAppId", "x").save(t))
+      .getMessage.contains("together"))
+    assert(intercept[IllegalArgumentException](df(6).write.format("graft")
+      .mode(SaveMode.Overwrite).option("txnAppId", "x")
+      .option("txnVersion", "1").option("replaceWhere", "id = 6").save(t))
+      .getMessage.contains("replaceWhere"))
+  }
+
   test("overwriteSchema guard: a schema-changing overwrite refuses without the option") {
     val t = freshTable()
     df(1, 2).write.format("graft").mode(SaveMode.Overwrite).save(t)

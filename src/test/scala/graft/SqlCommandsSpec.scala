@@ -299,6 +299,17 @@ class SqlCommandsSpec extends SparkSpec {
     val bad = intercept[Exception](
       spark.sql("SELECT * FROM table_changes('no_such_tbl_xyz', 0, 'id')").collect())
     assert(bad.getMessage.contains("not a graft table"))
+    // TIMESTAMP bounds (Databricks' spelling): start = first commit
+    // at-or-after, end = last at-or-before; mixes with version bounds
+    val byTs = spark.sql(
+      s"""SELECT _change_type FROM table_changes('$tbl',
+         |'2026-01-01T12:00:00Z', '2026-01-02T12:00:00Z', 'id')""".stripMargin)
+      .collect().map(_.getString(0)).toSet
+    assert(byTs === Set("insert"))
+    val mixed = spark.sql(
+      s"SELECT _change_type FROM table_changes('$tbl', 1, '2026-01-03T00:00:00Z', 'id')")
+      .collect().map(_.getString(0)).toSet
+    assert(mixed === Set("insert", "delete"))
   }
 
   test("grammar errors speak; everything else reaches Spark's parser") {
