@@ -4698,7 +4698,6 @@ object VersionedTable {
     val filesDir = new Path(root, "files")
     if (!hfs.exists(filesDir)) return 0
     val cutoff = System.currentTimeMillis() - graceMs
-    var deleted = 0
     // entries are walked RECURSIVELY: a partitioned commit dir nests its
     // parquet files under `p__col=value` subdirectories, and a flat
     // one-level listing would see only unreferenced directory names —
@@ -4709,6 +4708,13 @@ object VersionedTable {
         if (s.isDirectory) walkFiles(s.getPath, s"$rel/$n")
         else Seq((s, s"$rel/$n"))
       }
+    // the reference/grace DECISION is driver-side metadata; the DELETE
+    // round-trips run on the bounded [[ioPool]] — a vacuum reclaiming
+    // thousands of files costs ~files/threads wall-clock, not a serial
+    // filesystem call per file (Delta runs its vacuum deletes as a
+    // parallel job for the same reason)
+    val deleteTasks = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
+    var deleted = 0
     hfs.listStatus(filesDir).filter { cdir =>
       !refDvDirs.contains(s"files/${cdir.getPath.getName}")
     }.foreach { cdir =>
@@ -4722,7 +4728,7 @@ object VersionedTable {
             entries.forall(_._1.getModificationTime < cutoff)) {
           deleted += entries
             .count { case (f, _) => f.isFile && f.getPath.getName.endsWith(".parquet") }
-          if (!dryRun) hfs.delete(cdir.getPath, true)
+          if (!dryRun) deleteTasks += (() => { hfs.delete(cdir.getPath, true); () })
         }
       } else {
         entries.foreach { case (f, r) =>
@@ -4730,14 +4736,22 @@ object VersionedTable {
               !referenced.contains(r) &&
               f.getModificationTime < cutoff) {
             deleted += 1
-            if (!dryRun) {
+            if (!dryRun) deleteTasks += (() => {
               hfs.delete(f.getPath, false)
               // its bloom sidecar, if any, dies with it
               hfs.delete(new Path(f.getPath.toString + ".bloom"), false)
-            }
+              ()
+            })
           }
         }
       }
+    }
+    if (deleteTasks.nonEmpty) {
+      implicit val ec: scala.concurrent.ExecutionContext = ioPool
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(
+          deleteTasks.toSeq.map(t => scala.concurrent.Future(t()))), ioWait)
+      ()
     }
     deleted
   }
