@@ -176,6 +176,16 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val replaceWhere = parameters.get("replaceWhere").map(_.trim).filter(_.nonEmpty)
     require(replaceWhere.isEmpty || mode == SaveMode.Overwrite,
       "replaceWhere requires SaveMode.Overwrite")
+    // dynamic partition overwrite: the writer option wins, Spark's
+    // session conf is the fallback (Delta's precedence). Composes with
+    // nothing — replaceWhere already IS a scoped overwrite.
+    val dynamicPO = mode == SaveMode.Overwrite && exists &&
+      parameters.get("partitionOverwriteMode")
+        .orElse(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode"))
+        .exists(_.trim.equalsIgnoreCase("dynamic"))
+    require(!dynamicPO || replaceWhere.isEmpty,
+      "partitionOverwriteMode=dynamic and replaceWhere are both scoped " +
+        "overwrites — use one")
     val pcols = parameters.get("partitionBy")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Seq.empty)
@@ -187,9 +197,9 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     val txnVersion = parameters.get("txnVersion").map(_.trim.toLong)
     require(txnAppId.isDefined == txnVersion.isDefined,
       "txnAppId and txnVersion must be set together")
-    require(txnAppId.isEmpty || replaceWhere.isEmpty,
+    require(txnAppId.isEmpty || (replaceWhere.isEmpty && !dynamicPO),
       "txnAppId/txnVersion compose with plain append/overwrite writes, " +
-        "not replaceWhere")
+        "not scoped overwrites")
     require(txnAppId.isEmpty ||
       mode == SaveMode.Append || mode == SaveMode.Overwrite,
       "txnAppId/txnVersion require SaveMode.Append or Overwrite")
@@ -202,6 +212,8 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
     // column-name → type map differs (order and nullability are not
     // schema changes).
     if (mode == SaveMode.Overwrite && exists && replaceWhere.isEmpty &&
+        !dynamicPO && // a dynamic overwrite rides replaceWhere's own
+                      // strict schema-equality check
         !parameters.get("overwriteSchema").exists(_.trim.toBoolean)) {
       def typeMap(s: StructType): Map[String, org.apache.spark.sql.types.DataType] =
         s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
@@ -224,6 +236,13 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       ()
     }
     mode match {
+      case SaveMode.Overwrite if dynamicPO =>
+        val pcols2 = VersionedTable.partitionColumnsOf(spark, path)
+        require(pcols2.nonEmpty,
+          s"partitionOverwriteMode=dynamic on the unpartitioned table at " +
+            s"$path — there are no partitions to scope the overwrite to")
+        GraftDataSource.dynamicOverwrite(data, path, pcols2, ts)
+        ()
       case SaveMode.Overwrite if replaceWhere.isDefined && exists =>
         VersionedTable.replaceWhere(data, path, replaceWhere.get, ts = ts)
         ()
@@ -262,6 +281,39 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
 
 object GraftDataSource {
   import graft.sources.{VersionedTable => VT}
+
+  /** DYNAMIC PARTITION OVERWRITE (Delta's `partitionOverwriteMode =
+    * dynamic`, honoring the writer option first and Spark's session
+    * conf `spark.sql.sources.partitionOverwriteMode` as the fallback —
+    * Delta's own precedence): an overwrite replaces ONLY the partitions
+    * the batch carries, expressed as a [[VersionedTable.replaceWhere]]
+    * over the batch's distinct partition tuples — so untouched
+    * partitions carry by reference, the idempotent daily-re-ingest
+    * shape without hand-writing the predicate. The distinct-tuple
+    * collect is bounded by the number of partitions TOUCHED (the
+    * writer's own output partition count), never row count. */
+  private[sources] def dynamicOverwrite(data: DataFrame, path: String,
+      pcols: Seq[String], ts: String): Long = {
+    def lit(v: Any): String = v match {
+      case null => "NULL"
+      case s: String => "'" + s.replace("'", "''") + "'"
+      case d: java.sql.Date => s"DATE '$d'"
+      case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
+      case x => x.toString
+    }
+    val tuples = data.select(pcols.map(org.apache.spark.sql.functions.col): _*)
+      .distinct().collect()
+    // an empty batch names no partitions — a NO-OP, exactly Spark's own
+    // dynamic-overwrite semantics (a static overwrite would truncate)
+    if (tuples.isEmpty) return VT.latestVersion(data.sparkSession, path)
+    val cond = tuples.map { r =>
+      pcols.zipWithIndex.map { case (c, i) =>
+        val v = r.get(i)
+        if (v == null) s"$c IS NULL" else s"$c = ${lit(v)}"
+      }.mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    VT.replaceWhere(data, path, cond, ts = ts)
+  }
 
   private[sources] def snapshotDf(spark: SparkSession, path: String,
       versionAsOf: Option[Long], timestampAsOf: Option[String]): DataFrame =
@@ -350,8 +402,18 @@ final class GraftRelation(spark: SparkSession, mkDf: () => DataFrame,
             """df.write.format("graft").option("overwriteSchema", "true") """ +
             "to replace the schema")
     }
-    VersionedTable.commit(data, path,
-      if (overwrite) "overwrite" else "append", ts = VersionedTable.TsNow)
+    // Spark's dynamic-partition-overwrite session conf applies to
+    // INSERT OVERWRITE of a PARTITIONED graft table (Delta honors it
+    // the same way): only the batch's partitions replace
+    val pcols = if (overwrite) VersionedTable.partitionColumnsOf(spark, path)
+      else Seq.empty
+    if (overwrite && pcols.nonEmpty &&
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          .exists(_.trim.equalsIgnoreCase("dynamic")))
+      GraftDataSource.dynamicOverwrite(data, path, pcols, VersionedTable.TsNow)
+    else
+      VersionedTable.commit(data, path,
+        if (overwrite) "overwrite" else "append", ts = VersionedTable.TsNow)
     if (VersionedTable.autoCompactEnabled(spark, path))
       VersionedTable.compactSmall(spark, path, ts = VersionedTable.TsNow)
     ()

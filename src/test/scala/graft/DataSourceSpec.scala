@@ -405,6 +405,44 @@ class DataSourceSpec extends SparkSpec {
       .getMessage.contains("at most one"))
   }
 
+  test("dynamic partition overwrite: only the batch's partitions replace") {
+    val t = freshTable()
+    Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "b", 30L), (4L, "c", 40L))
+      .toDF("id", "part", "v").write.format("graft")
+      .option("partitionBy", "part").save(t)
+    // writer-option spelling: replace partitions a and c, leave b
+    Seq((11L, "a", 110L), (14L, "c", 140L)).toDF("id", "part", "v")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic").save(t)
+    def state(): Set[(Long, String, Long)] =
+      spark.read.format("graft").load(t).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(state() === Set((11L, "a", 110L), (3L, "b", 30L), (14L, "c", 140L)))
+    // session-conf spelling drives SQL INSERT OVERWRITE the same way
+    spark.sql(s"CREATE TABLE ds_dynpo USING graft LOCATION '$t'")
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      spark.sql("INSERT OVERWRITE ds_dynpo VALUES (21, 'b', 210)")
+      assert(state() === Set((11L, "a", 110L), (21L, "b", 210L), (14L, "c", 140L)))
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.sources.partitionOverwriteMode"))(
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", _))
+      spark.sql("DROP TABLE ds_dynpo")
+    }
+    // STATIC overwrite (the default) still replaces the whole snapshot
+    Seq((99L, "z", 990L)).toDF("id", "part", "v")
+      .write.format("graft").mode(SaveMode.Overwrite)
+      .option("partitionBy", "part").save(t)
+    assert(state() === Set((99L, "z", 990L)))
+    // dynamic on an unpartitioned table refuses with guidance
+    val t2 = freshTable()
+    df(1).write.format("graft").save(t2)
+    assert(intercept[Exception](df(2).write.format("graft")
+      .mode(SaveMode.Overwrite).option("partitionOverwriteMode", "dynamic")
+      .save(t2)).getMessage.contains("unpartitioned"))
+  }
+
   test("maxBytesPerTrigger paces catch-up by added bytes (soft max, composes with files)") {
     val t = freshTable()
     // one 25-file commit (~few KB per file)
