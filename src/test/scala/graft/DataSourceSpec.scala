@@ -521,7 +521,7 @@ class DataSourceSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](df(6).write.format("graft")
       .mode(SaveMode.Overwrite).option("txnAppId", "x")
       .option("txnVersion", "1").option("replaceWhere", "id = 6").save(t))
-      .getMessage.contains("replaceWhere"))
+      .getMessage.contains("scoped overwrites"))
   }
 
   test("overwriteSchema guard: a schema-changing overwrite refuses without the option") {
