@@ -424,6 +424,27 @@ object SparkEntry {
       name
     })
 
+  /** Fixture for `vt_po` — DYNAMIC PARTITION OVERWRITE (Delta's
+    * `partitionOverwriteMode=dynamic`): silver committed hive-
+    * partitioned by `event_type`, then the click partition RECOMPUTED
+    * (+1000) through a plain `.mode("overwrite")` format write with the
+    * dynamic option — only the batch's partition replaces; every other
+    * partition carries by reference (the no-hand-written-predicate
+    * idempotent re-ingest shape). */
+  private def buildDynPoTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("po", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtpo").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv, tbl, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", partitionBy = Seq("event_type"))
+      sv.filter(col("event_type") === "click")
+        .withColumn("value", col("value") + 1000)
+        .write.format("graft").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("ts", "2026-01-02T00:00:00Z").save(tbl)
+      tbl
+    })
+
   /** Fixture for `vt_pt`: silver hash-laid on `event_id` (every file's
     * [min, max] spans the whole id domain — the layout where min/max
     * stats can never prune an equality probe) committed with a bloom
@@ -1016,6 +1037,15 @@ object SparkEntry {
     // INSERT (delta inheritance) → UNSET → SHOW; the oracle pins the
     // exact surviving key/value set
     "vt_pp" -> ((s, dir) => s.sql(s"SHOW TBLPROPERTIES ${buildPropsTable(s, dir)}")),
+    // dynamic partition overwrite: the click partition recomputed via
+    // .mode("overwrite") + partitionOverwriteMode=dynamic — the oracle
+    // recomputes the end state row-wise (clicks +1000, everything else
+    // untouched), pinning that ONLY the batch's partition replaced
+    "vt_po" -> ((s, dir) => {
+      val tbl = buildDynPoTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
+        .select("event_id", "event_type", "value")
+    }),
     // predicate-scoped overwrite (Delta replaceWhere): the [30,60) value
     // band's rows atomically replaced with a recomputed batch, one
     // copy-on-write version — only band-intersecting files rewrote. The
@@ -2226,6 +2256,16 @@ object SparkEntry {
     "vt_pp" ->
       """SELECT 'graft.checkpointInterval' AS key, '5' AS value
         |UNION ALL SELECT 'team', 'mobility'""".stripMargin,
+
+    // dynamic overwrite end state: the click partition recomputed,
+    // every other partition (and NULL-value click rows: +1000 of NULL
+    // is NULL) as silver had it
+    "vt_po" ->
+      s"""$silverCte
+         |SELECT event_id, event_type,
+         |       CASE WHEN event_type = 'click' THEN value + 1000
+         |            ELSE value END AS value
+         |FROM silver""".stripMargin,
 
     // end state of the scoped replace, recomputed row-wise: band rows
     // re-tagged '_r', everything else (incl. NULL value) untouched
