@@ -124,7 +124,7 @@ object GraftSqlParser {
   private val T = """(?:'([^']+)'|graft\s*\.\s*`([^`]+)`|((?:[A-Za-z_][\w]*|`[^`]+`)(?:\s*\.\s*(?:[A-Za-z_][\w]*|`[^`]+`))*))"""
 
   private val HistoryR: Regex =
-    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T\\s*;?\\s*""".r
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$T(?:\\s+LIMIT\\s+(\\d+))?\\s*;?\\s*""".r
   private val DetailR: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$T\\s*;?\\s*""".r
   private val ConvertR: Regex =
@@ -157,8 +157,9 @@ object GraftSqlParser {
 
   private[plans] def parseGraftCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
-      case HistoryR(p, gp, id) =>
-        Some(GraftDescribeHistoryCommand(target(p, gp, id)))
+      case HistoryR(p, gp, id, lim) =>
+        Some(GraftDescribeHistoryCommand(target(p, gp, id),
+          Option(lim).map(_.toInt)))
       case DetailR(p, gp, id) =>
         Some(GraftDescribeDetailCommand(target(p, gp, id)))
       case ConvertR(p, pp) =>
@@ -286,9 +287,11 @@ object GraftSqlParser {
   }
 }
 
-/** `DESCRIBE HISTORY` — the manifest log as rows (Delta's surface). */
+/** `DESCRIBE HISTORY [LIMIT n]` — the manifest log as rows (Delta's
+  * surface; LIMIT keeps the NEWEST n commits, Delta's semantics). */
 final case class GraftDescribeHistoryCommand(
-    target: Either[String, Seq[String]]) extends LeafRunnableCommand {
+    target: Either[String, Seq[String]], limit: Option[Int] = None)
+    extends LeafRunnableCommand {
   override val output: Seq[Attribute] = Seq(
     AttributeReference("version", LongType, nullable = false)(),
     AttributeReference("ts", StringType)(),
@@ -296,9 +299,11 @@ final case class GraftDescribeHistoryCommand(
     AttributeReference("n_files", IntegerType, nullable = false)(),
     AttributeReference("n_rows_added", LongType, nullable = false)(),
     AttributeReference("n_dv_rows_deleted", LongType, nullable = false)())
-  override def run(sparkSession: SparkSession): Seq[Row] =
-    VersionedTable.history(sparkSession,
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val rows = VersionedTable.history(sparkSession,
       GraftSqlParser.resolvePath(sparkSession, target)).collect().toSeq
+    limit.fold(rows)(n => rows.sortBy(-_.getLong(0)).take(n))
+  }
 }
 
 /** `DESCRIBE DETAIL` — the one-row table summary (Delta's surface):

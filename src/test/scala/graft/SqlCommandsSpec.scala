@@ -130,6 +130,20 @@ class SqlCommandsSpec extends SparkSpec {
     assert(VersionedTable.readVersion(spark, p2).count() === 41L)
   }
 
+  test("DESCRIBE HISTORY LIMIT n keeps the newest n commits") {
+    val (path, tbl) = fixture(base, "hl")
+    VersionedTable.commit(Seq((501L, 1L)).toDF("id", "v"), path,
+      mode = "append", ts = "2026-01-02T00:00:00Z")
+    VersionedTable.commit(Seq((502L, 1L)).toDF("id", "v"), path,
+      mode = "append", ts = "2026-01-03T00:00:00Z")
+    val limited = spark.sql(s"DESCRIBE HISTORY $tbl LIMIT 2").collect()
+    assert(limited.map(_.getLong(0)).toSeq === Seq(2L, 1L),
+      "LIMIT keeps the NEWEST n, newest first")
+    assert(spark.sql(s"DESCRIBE HISTORY $tbl").count() === 3L)
+    assert(spark.sql(s"DESCRIBE HISTORY graft.`$path` LIMIT 1")
+      .head().getLong(0) === 2L)
+  }
+
   test("CREATE TABLE ... CLONE (no SHALLOW) is the self-contained DEEP clone") {
     val (path, tbl) = fixture(base, "dcl")
     val loc = java.nio.file.Files.createTempDirectory("sqlcmd_dclone").toString + "/t"
