@@ -1167,12 +1167,14 @@ object SparkEntry {
     "a_cum" -> ((s, dir) => Aggregates.revenueCumulativeByZone(silver(s, dir))),
     "a_ret" -> ((s, dir) => Aggregates.retentionCohorts(silver(s, dir))),
     "a_fun" -> ((s, dir) => Aggregates.conversionFunnel(silver(s, dir))),
-    // rows-only: HLL++/quantile sketches are implementation-specific —
-    // the spec asserts approx-vs-exact tolerance instead of an oracle
-    "dq_pf" -> ((s, dir) => DataQuality.corpusProfile(Tables.documents(s, dir))),
-    // rows-only: per-day HLL sketches merged by union — sketch bytes are
-    // implementation-specific; merged-vs-exact tolerance is spec-asserted
-    "dq_s" -> ((s, dir) => DataQuality.sketchUnionDistinct(silver(s, dir))),
+    // exact-counter corpus profile (oracle green); the HLL++/quantile
+    // sketch variant (corpusProfile) stays spec-asserted against these
+    // exact counterparts — sketch estimates are implementation-specific
+    "dq_pf" -> ((s, dir) => DataQuality.corpusProfileExact(Tables.documents(s, dir))),
+    // exact distinct ledger (oracle green); the per-day-HLL union
+    // variant (sketchUnionDistinct) stays spec-asserted — merged-vs-exact
+    // tolerance — because sketch bytes are implementation-specific
+    "dq_s" -> ((s, dir) => DataQuality.distinctLedger(silver(s, dir))),
     "dq_sm" -> ((s, dir) => DataQuality.summary(
       silver(s, dir), Seq("event_id", "user_id", "ts", "event_type", "value", "zone_id"))),
     // k-anonymity privacy audit: QI = (event_type, hour-of-day), the
@@ -1563,10 +1565,14 @@ object SparkEntry {
     // itself is the documented deterministic stub — no codec libs here
     "mm_dc" -> ((s, dir) =>
       Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
-    // rows-only: the full frame pipeline — decode → sample → resize —
-    // pipelined per partition with no intermediate materialization
+    // the full frame pipeline — decode → sample → resize — pipelined per
+    // partition with no intermediate materialization. The GEOMETRY
+    // columns are pure arithmetic over the payload byte length, so they
+    // oracle exactly; only the stub resample checksum (spec-asserted) is
+    // excluded from the compared output
     "mm_rz" -> ((s, dir) => Multimodal.resizeFrames(Multimodal.sampleFrames(
-      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))))).toDF()),
+      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir)))))
+      .toDF().drop("resized_checksum")),
     // §2.8 similarity search
     // rows-only: deterministic Lloyd k-means cluster assignment (seeded by
     // lowest vec_ids) — no tractable SQL equivalent; determinism + full
@@ -4162,6 +4168,62 @@ object SparkEntry {
         |       1 - len(list_distinct(tg)) / nullif(len(tg), 0) AS dup_trigram_frac,
         |       (1 - len(list_distinct(tg)) / nullif(len(tg), 0)) > 0.2 AS repetitive
         |FROM t""".stripMargin,
+
+    // exact corpus profile: every column replays in DuckDB (the sketch
+    // variant of the same operator is spec-asserted, not oracle'd)
+    "dq_pf" ->
+      """SELECT count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs,
+        |       count(DISTINCT source) AS n_sources,
+        |       round(avg(length(text)), 6) AS avg_chars,
+        |       min(length(text)) AS min_chars,
+        |       max(length(text)) AS max_chars,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens
+        |FROM documents""".stripMargin,
+
+    // exact distinct ledger: daily partials + the exact merged distinct
+    "dq_s" ->
+      s"""$silverCte,
+         |keyed AS (SELECT event_date, user_id FROM silver WHERE user_id IS NOT NULL),
+         |daily AS (
+         |  SELECT event_date,
+         |         count(DISTINCT user_id) AS day_distinct,
+         |         count(*) AS day_rows
+         |  FROM keyed GROUP BY event_date
+         |),
+         |totals AS (
+         |  SELECT count(*) AS n_days,
+         |         sum(day_distinct) AS sum_daily_distinct,
+         |         sum(day_rows) AS total_rows
+         |  FROM daily
+         |)
+         |SELECT CAST(n_days AS BIGINT) AS n_days,
+         |       CAST(sum_daily_distinct AS BIGINT) AS sum_daily_distinct,
+         |       CAST(total_rows AS BIGINT) AS total_rows,
+         |       (SELECT count(DISTINCT user_id) FROM keyed) AS merged_distinct
+         |FROM totals""".stripMargin,
+
+    // decode→sample→resize geometry: the stub decoder's frame count and
+    // side derive from the payload BYTE length only (1 + len%3 frames
+    // capped at 3, square side 16 + len%16); sampling keeps frame 0 and,
+    // when present, frame 2; the resize fits into a 224 box with the
+    // same double arithmetic both engines evaluate identically
+    "mm_rz" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, idx AS frame_idx,
+        |         CAST(16 + len % 16 AS INTEGER) AS side
+        |  FROM d, (VALUES (0), (2)) AS v(idx)
+        |  WHERE idx < least(3, 1 + len % 3)
+        |)
+        |SELECT doc_id, frame_idx,
+        |       side AS src_w, side AS src_h,
+        |       greatest(1, CAST(round(side * (224.0 / side)) AS INTEGER)) AS out_w,
+        |       greatest(1, CAST(round(side * (224.0 / side)) AS INTEGER)) AS out_h,
+        |       224.0 / side AS scale
+        |FROM f""".stripMargin,
 
     // magic_hex slices the first 4 BYTES (substr over the hex dump), not
     // the first 4 CHARACTERS — Spark's substring on BinaryType is

@@ -556,15 +556,13 @@ object GraftSqlDml {
     // source-column equalities — the join keys the merge executes on)
     // and EXTRA conjuncts (anything else: `s.ts > t.ts`, `t.flag =
     // true`, same-side equalities — the conditional-match CDC shape).
-    // Extra conjuncts FOLD INTO THE MATCHED-CLAUSE CONDITIONS: a pair
-    // that key-matches but fails them matches no clause — the target
-    // row survives unchanged and the source row does NOT insert.
-    // (Recorded deviation from Delta, which classifies such pairs as
-    // not-matched on both sides — its NOT MATCHED INSERT can then
-    // create duplicate keys; the fold is the safe CDC reading, and
-    // equivalent to hand-moving the conjunct into each WHEN MATCHED
-    // condition.) An ON with no key conjunct at all refuses loudly —
-    // a key-less merge would be a cross join, not an upsert.
+    // Extra conjuncts join into the FULL match condition (Delta's
+    // classification): a pair that key-matches but fails them is NOT
+    // MATCHED on both sides — WHEN NOT MATCHED INSERT fires for its
+    // source row (possibly creating a second row per key, Delta's
+    // documented behavior) and WHEN NOT MATCHED BY SOURCE clauses see
+    // its target row. An ON with no key conjunct at all refuses
+    // loudly — a key-less merge would be a cross join, not an upsert.
     //
     // ON keys may be differently named (`ON t.id = s.customer_id` —
     // Delta's dominant CDC shape): the source column is renamed to the
@@ -625,12 +623,12 @@ object GraftSqlDml {
 
     val keys = keyPairs.map(_._1).distinct
     // extra ON conjuncts render AFTER the renames are set, so s-side
-    // references inside them agree with the renamed source plan
+    // references inside them agree with the renamed source plan; they
+    // ride to mergeClauses as the full-ON remainder, NOT folded into
+    // clause conditions
     val extraCond: Option[String] =
       if (extraConjuncts.isEmpty) None
       else Some(extraConjuncts.map(c => s"(${ctx.sql(c, "ON")})").mkString(" AND "))
-    def withExtra(c: Option[String]): Option[String] =
-      extraCond.map(x => c.fold(x)(cc => s"$x AND ($cc)")).orElse(c)
     def cond(c: Option[Expression], what: String): Option[String] =
       c.map(ctx.sql(_, what))
     def assignMap(assigns: Seq[Assignment], what: String): Map[String, String] = {
@@ -642,11 +640,11 @@ object GraftSqlDml {
     }
 
     val matched: Seq[VTAction] = m.matchedActions.map {
-      case UpdateStarAction(c) => VTAction.Update(withExtra(cond(c, "WHEN MATCHED")))
+      case UpdateStarAction(c) => VTAction.Update(cond(c, "WHEN MATCHED"))
       case UpdateAction(c, assigns, _) =>
-        VTAction.Update(withExtra(cond(c, "WHEN MATCHED")),
+        VTAction.Update(cond(c, "WHEN MATCHED"),
           assignMap(assigns, "WHEN MATCHED UPDATE"))
-      case DeleteAction(c) => VTAction.Delete(withExtra(cond(c, "WHEN MATCHED")))
+      case DeleteAction(c) => VTAction.Delete(cond(c, "WHEN MATCHED"))
       case other => unsupported(s"unsupported WHEN MATCHED action: $other")
     }
     val notMatched: Seq[VTAction] = m.notMatchedActions.map {
@@ -664,7 +662,7 @@ object GraftSqlDml {
       case other => unsupported(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
     }
     GraftMergeCommand(t.path, renamedSource, keys, matched, notMatched,
-      bySource, widen, t.ident)
+      bySource, widen, t.ident, extraCond)
   }
 }
 
@@ -698,7 +696,8 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
     keys: Seq[String], matched: Seq[VTAction],
     notMatched: Seq[VTAction], bySource: Seq[VTAction],
     widen: Seq[org.apache.spark.sql.types.StructField] = Seq.empty,
-    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None)
+    ident: Option[org.apache.spark.sql.catalyst.TableIdentifier] = None,
+    extraOn: Option[String] = None)
     extends LeafRunnableCommand {
   override def run(sparkSession: SparkSession): Seq[Row] = {
     if (widen.nonEmpty) {
@@ -715,7 +714,8 @@ final case class GraftMergeCommand(path: String, source: LogicalPlan,
       }
     }
     VersionedTable.mergeClauses(Shims.ofRows(sparkSession, source), path,
-      keys, matched, notMatched, bySource, ts = VersionedTable.TsNow)
+      keys, matched, notMatched, bySource, ts = VersionedTable.TsNow,
+      extraOn = extraOn)
     Seq.empty
   }
 }

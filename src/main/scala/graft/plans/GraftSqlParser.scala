@@ -300,9 +300,12 @@ final case class GraftDescribeHistoryCommand(
     AttributeReference("n_rows_added", LongType, nullable = false)(),
     AttributeReference("n_dv_rows_deleted", LongType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
+    // always newest-first (Delta's DESCRIBE HISTORY ordering), LIMIT or
+    // not — the same command must not flip ordering based on LIMIT
     val rows = VersionedTable.history(sparkSession,
-      GraftSqlParser.resolvePath(sparkSession, target)).collect().toSeq
-    limit.fold(rows)(n => rows.sortBy(-_.getLong(0)).take(n))
+      GraftSqlParser.resolvePath(sparkSession, target))
+      .collect().toSeq.sortBy(-_.getLong(0))
+    limit.fold(rows)(n => rows.take(n))
   }
 }
 

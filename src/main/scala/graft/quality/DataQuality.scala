@@ -57,6 +57,26 @@ object DataQuality {
     * `approx_percentile` is a mergeable quantile sketch. Everything
     * computes in ONE aggregate over one scan, the same single-pass
     * discipline as [[summary]]. */
+  /** Exact-counter corpus profile — the oracle-checkable face of
+    * [[corpusProfile]]: the same one-aggregate/one-scan discipline over
+    * only columns a replay engine can recompute bit-for-bit (counts,
+    * exact distincts over LOW-cardinality columns, min/max/avg lengths,
+    * whitespace-token total). The sketch columns (HLL distincts,
+    * approx-percentiles) live in [[corpusProfile]], whose estimates are
+    * spec-asserted against these exact counterparts. `n_langs`/
+    * `n_sources` are exact distincts — sound here because both columns
+    * are enum-like (the 100 TB-scale rule: exact distinct on bounded
+    * cardinality, HLL on unbounded like `text`). */
+  def corpusProfileExact(docs: DataFrame): DataFrame =
+    docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(avg(length(col("text"))), 6).as("avg_chars"),
+      min(length(col("text"))).as("min_chars"),
+      max(length(col("text"))).as("max_chars"),
+      sum(size(split(col("text"), " ")).cast("long")).as("total_ws_tokens"))
+
   def corpusProfile(docs: DataFrame): DataFrame =
     docs.agg(
       count(lit(1)).as("n_docs"),
@@ -93,6 +113,30 @@ object DataQuality {
       hll_sketch_estimate(hll_union_agg(col("sketch"))).as("merged_distinct"),
       sum(hll_sketch_estimate(col("sketch"))).as("sum_daily_distinct"),
       sum(col("day_rows")).as("total_rows"))
+  }
+
+  /** Exact twin of [[sketchUnionDistinct]]'s ledger — the
+    * oracle-checkable face: the same daily-partial shape (per-day
+    * distinct + row counts roll up in one pass) plus the exact merged
+    * distinct, which NEEDS a second scan over the raw keys — precisely
+    * the full-corpus re-scan the HLL union avoids at 100 TB (that cost
+    * asymmetry is the point of the sketch variant; this twin exists to
+    * oracle the exact columns and to let the spec bound the sketch's
+    * estimation error against truth). Both aggregates are single-row;
+    * the cross join is scalar-broadcast, not data-sized. */
+  def distinctLedger(events: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val keyed = events.filter(col(keyCol).isNotNull)
+    val daily = keyed
+      .groupBy(col("event_date"))
+      .agg(
+        countDistinct(col(keyCol)).as("day_distinct"),
+        count(lit(1)).as("day_rows"))
+    val totals = daily.agg(
+      count(lit(1)).as("n_days"),
+      sum(col("day_distinct")).as("sum_daily_distinct"),
+      sum(col("day_rows")).as("total_rows"))
+    totals.crossJoin(
+      keyed.agg(countDistinct(col(keyCol)).as("merged_distinct")))
   }
 
   /** k-anonymity audit: one row per quasi-identifier equivalence class

@@ -178,11 +178,21 @@ final class GraftDataSource extends RelationProvider with SchemaRelationProvider
       "replaceWhere requires SaveMode.Overwrite")
     // dynamic partition overwrite: the writer option wins, Spark's
     // session conf is the fallback (Delta's precedence). Composes with
-    // nothing — replaceWhere already IS a scoped overwrite.
-    val dynamicPO = mode == SaveMode.Overwrite && exists &&
+    // nothing — replaceWhere already IS a scoped overwrite. The fallback
+    // is softer than the option: a session-wide
+    // spark.sql.sources.partitionOverwriteMode=dynamic on an
+    // UNPARTITIONED table degrades to a plain static overwrite (Delta's
+    // and the INSERT OVERWRITE path's behavior — there are no partitions
+    // to scope to); only the explicit writer option makes that an error.
+    val dynamicExplicit = mode == SaveMode.Overwrite && exists &&
       parameters.get("partitionOverwriteMode")
-        .orElse(spark.conf.getOption("spark.sql.sources.partitionOverwriteMode"))
         .exists(_.trim.equalsIgnoreCase("dynamic"))
+    val dynamicPO = dynamicExplicit || (
+      mode == SaveMode.Overwrite && exists &&
+        !parameters.contains("partitionOverwriteMode") &&
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+          .exists(_.trim.equalsIgnoreCase("dynamic")) &&
+        VersionedTable.partitionColumnsOf(spark, path).nonEmpty)
     require(!dynamicPO || replaceWhere.isEmpty,
       "partitionOverwriteMode=dynamic and replaceWhere are both scoped " +
         "overwrites — use one")

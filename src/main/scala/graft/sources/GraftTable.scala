@@ -118,17 +118,36 @@ final class GraftTable private (spark: SparkSession, path: String) {
       ts: String = VersionedTable.TsNow): Long =
     VersionedTable.unsetProperties(spark, path, keys, ifExists, ts)
 
+  /** Declare an identity column (Delta `GENERATED ALWAYS AS IDENTITY
+    * (START WITH start INCREMENT BY step)`; `always = false` is
+    * `GENERATED BY DEFAULT`). Creation-time only — see
+    * [[VersionedTable.addIdentityColumn]]. */
+  def addIdentityColumn(name: String, start: Long = 1L, step: Long = 1L,
+      always: Boolean = true, ts: String = VersionedTable.TsNow): Long =
+    VersionedTable.addIdentityColumn(spark, path, name, start, step, always, ts)
+
+  /** Identity columns at head (name → spec with high-water mark). */
+  def identityColumns: Map[String, VersionedTable.IdentitySpec] =
+    VersionedTable.identityColumnsOf(spark, path)
+
   /** Start a fluent MERGE keyed on `keyCols` — terminal call is
     * [[GraftMergeBuilder.execute]]. Clause conditions/assignments are
-    * SQL over the `t`/`s` struct aliases ([[VersionedTable.MergeAction]]). */
-  def merge(source: DataFrame, keyCols: Seq[String]): GraftMergeBuilder =
-    new GraftMergeBuilder(source, path, keyCols, Nil, Nil, Nil)
+    * SQL over the `t`/`s` struct aliases ([[VersionedTable.MergeAction]]).
+    * `extraOn` is the non-key remainder of the ON condition (same
+    * dialect, e.g. `Some("s.ts > t.ts")`): it joins into the FULL match
+    * condition, so a pair that key-matches but fails it is NOT MATCHED
+    * on both sides — Delta's classification, see
+    * [[VersionedTable.mergeClauses]]. */
+  def merge(source: DataFrame, keyCols: Seq[String],
+      extraOn: Option[String] = None): GraftMergeBuilder =
+    new GraftMergeBuilder(source, path, keyCols, extraOn, Nil, Nil, Nil)
 }
 
 /** Accumulates MERGE clauses in call order (order IS evaluation order,
   * first-true-wins) and executes via [[VersionedTable.mergeClauses]]. */
 final class GraftMergeBuilder private[sources] (
     source: DataFrame, path: String, keyCols: Seq[String],
+    extraOn: Option[String],
     matched: Seq[VersionedTable.MergeAction],
     notMatched: Seq[VersionedTable.MergeAction],
     bySource: Seq[VersionedTable.MergeAction]) {
@@ -154,13 +173,14 @@ final class GraftMergeBuilder private[sources] (
 
   def execute(ts: String = VersionedTable.TsNow): Long =
     VersionedTable.mergeClauses(source, path, keyCols,
-      matched, notMatched, bySource, ts)
+      matched, notMatched, bySource, ts, extraOn)
 
   private def copy(
       matched: Seq[VersionedTable.MergeAction] = matched,
       notMatched: Seq[VersionedTable.MergeAction] = notMatched,
       bySource: Seq[VersionedTable.MergeAction] = bySource): GraftMergeBuilder =
-    new GraftMergeBuilder(source, path, keyCols, matched, notMatched, bySource)
+    new GraftMergeBuilder(source, path, keyCols, extraOn,
+      matched, notMatched, bySource)
 }
 
 object GraftTable {

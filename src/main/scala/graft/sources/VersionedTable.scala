@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, pmod, regexp_extract, struct, when, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, monotonically_increasing_id, pmod, regexp_extract, struct, when, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, IntegerType, LongType, MapType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
@@ -407,9 +407,13 @@ object VersionedTable {
     * LATER format generation carries `reader=N` with N above this, and
     * every read path rejects it with a clear upgrade error instead of
     * misparsing new header kinds as body file paths. Version 2 = the
-    * multi-part checkpoint generation (its `parts=` pointer files carry
-    * the marker; plain single-file metadata stays unmarked and
-    * byte-compatible with every reader ever shipped). */
+    * multi-part checkpoint + TBLPROPERTIES generation: `parts=` pointer
+    * files AND any manifest/checkpoint carrying `prv=`/`prop=` lines
+    * write the marker. Metadata with neither feature stays unmarked and
+    * byte-compatible with every reader ever shipped; property-bearing
+    * tables are, by construction, unreadable by pre-gate jars (the
+    * marker makes that a loud upgrade error, not a misparse, for every
+    * jar that understands the gate). */
   private[graft] val SupportedReaderVersion = 2
 
   private def checkReaderVersion(hdr: Map[String, String], p: Path): Unit =
@@ -997,6 +1001,177 @@ object VersionedTable {
     next
   }
 
+  // ------------------------------------------------- identity columns
+  //
+  // Delta's `GENERATED ALWAYS AS IDENTITY` (re-derived for the manifest
+  // format): a BIGINT column the ENGINE fills on write with unique,
+  // step-aligned, strictly-advancing values. The spec and the per-table
+  // HIGH-WATER MARK ride table properties (`graft.identity.<col>` =
+  // "start|step|always|hwm"), so the counter is transactional for free:
+  // the data commit that assigns values carries the advanced hwm in the
+  // SAME manifest (propsState is the full authoritative map), and a
+  // concurrent-writer race loses the manifest claim before any
+  // duplicate value becomes visible. Values are assigned per row as
+  // `hwm + step * (monotonically_increasing_id() + 1)` — unique and
+  // beyond every previously assigned value, with GAPS between
+  // partitions, exactly the contract Delta documents (identity promises
+  // uniqueness and direction, never density). The new hwm is read back
+  // from the freshly written files' FOOTER STATS (already collected for
+  // pruning), so assignment costs zero extra passes over the batch.
+  //
+  // Scope (documented, loud): assignment runs on the commit faces —
+  // append / overwrite / the streaming sink / commitIfNew. MERGE with
+  // NOT MATCHED INSERT clauses, replaceWhere and dynamic-partition
+  // overwrites refuse on GENERATED ALWAYS identity tables rather than
+  // silently landing NULLs.
+
+  final case class IdentitySpec(start: Long, step: Long, always: Boolean,
+      highWaterMark: Option[Long]) {
+    /** Next value floor: one step past the last assigned (or start). */
+    private[VersionedTable] def base: Long =
+      highWaterMark.fold(start - step)(identity)
+  }
+
+  private val IdentityPropPrefix = "graft.identity."
+
+  /** Parse identity specs out of table properties — loudly (the propInt
+    * policy): a malformed spec silently ignored would hand out
+    * duplicate values. */
+  private[sources] def identitySpecs(props: Map[String, String])
+      : Map[String, IdentitySpec] =
+    props.collect { case (k, v) if k.startsWith(IdentityPropPrefix) =>
+      val col = k.stripPrefix(IdentityPropPrefix)
+      // -1 limit: an empty hwm (nothing assigned yet) keeps its slot
+      v.split("\\|", -1) match {
+        case Array(s, st, a, h) =>
+          col -> IdentitySpec(s.toLong, st.toLong, a.toBoolean,
+            if (h.isEmpty) None else Some(h.toLong))
+        case _ => throw new IllegalStateException(
+          s"malformed identity property $k=$v (want start|step|always|hwm)")
+      }
+    }
+
+  private def identityProp(col: String, s: IdentitySpec): (String, String) =
+    s"$IdentityPropPrefix$col" ->
+      s"${s.start}|${s.step}|${s.always}|${s.highWaterMark.fold("")(_.toString)}"
+
+  /** The table's identity columns at head (name → spec). */
+  def identityColumnsOf(spark: SparkSession, path: String): Map[String, IdentitySpec] =
+    identitySpecs(propertiesOf(spark, path))
+
+  /** Declare `name` as an identity column (Delta `GENERATED ALWAYS AS
+    * IDENTITY (START WITH start INCREMENT BY step)`; `always = false`
+    * is `GENERATED BY DEFAULT` — explicit values pass through and the
+    * hwm advances past them). Like Delta, the declaration is a
+    * creation-time property: it is only accepted while the table holds
+    * ZERO live data files, and it widens the schema with a BIGINT
+    * column in the same metadata-only commit. */
+  def addIdentityColumn(spark: SparkSession, path: String, name: String,
+      start: Long = 1L, step: Long = 1L, always: Boolean = true,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    require(step != 0L, "identity step must be nonzero")
+    require(name.nonEmpty && !name.contains('|') && !name.contains('='),
+      s"bad identity column name: $name")
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"addIdentityColumn on empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    // "creation time" = zero live rows: an empty-batch bootstrap commit
+    // may have written a rowless part file, which is still creation
+    // (manifest row counts are authoritative and present on every file
+    // this library ever wrote)
+    val hasRows = m.files.exists(f => m.rowCounts.get(f).forall(_ > 0L))
+    require(!hasRows,
+      s"identity columns are declared at table creation (Delta's rule): " +
+        s"$path already holds data")
+    val cur = m.schemaJson.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(StructType(Nil))
+    require(!cur.fieldNames.exists(_.equalsIgnoreCase(name)),
+      s"column $name already exists at $path")
+    require(!m.props.contains(s"$IdentityPropPrefix$name"),
+      s"column $name is already an identity column at $path")
+    val widened = StructType(cur.fields :+ StructField(name, LongType))
+    val next = prev + 1
+    publish(hfs, root, RawManifest(next, ts, s"add_identity($name)",
+      Some(prev), Seq.empty, Seq.empty, None, Some(widened.json), Map.empty,
+      propsState = Some(m.props +
+        identityProp(name, IdentitySpec(start, step, always, None)))))
+    next
+  }
+
+  /** Assign identity values to a batch (commit faces call this before
+    * the schema check, like [[applyGens]]): columns the batch omits get
+    * engine values from each spec's base; a batch CARRYING a
+    * `GENERATED ALWAYS` column refuses (Delta's error), while a
+    * BY-DEFAULT column passes explicit values through. Returns the
+    * assigned frame plus the set of engine-assigned columns (whose new
+    * hwm must be read from the written files' stats). */
+  private def assignIdentity(df: DataFrame,
+      specs: Map[String, IdentitySpec], path: String)
+      : (DataFrame, Set[String]) = {
+    if (specs.isEmpty) return (df, Set.empty)
+    val present = df.columns.toSet
+    specs.foreach { case (c, s) =>
+      if (s.always && present.contains(c)) throw new SchemaMismatchException(
+        s"$c is GENERATED ALWAYS AS IDENTITY at $path; the engine assigns " +
+          "it — remove the column from the batch (or declare BY DEFAULT)")
+    }
+    val toAssign = specs.filterNot { case (c, _) => present.contains(c) }
+    val out = toAssign.toSeq.sortBy(_._1).foldLeft(df) { case (d, (c, s)) =>
+      d.withColumn(c,
+        lit(s.base) + lit(s.step) * (monotonically_increasing_id() + lit(1L)))
+    }
+    (out, toAssign.keySet)
+  }
+
+  /** Advance each assigned (or explicitly written BY-DEFAULT) identity
+    * column's hwm from the new files' footer stats — strictly forward,
+    * never backward (an explicit BY-DEFAULT value below the mark leaves
+    * it untouched). INT64 parquet footers always carry min/max, so a
+    * missing stat is a broken write, not a soft case. */
+  private def advanceIdentity(props: Map[String, String],
+      specs: Map[String, IdentitySpec], written: Set[String],
+      cmap: Map[String, String],
+      newStats: Map[String, Map[String, (String, String)]],
+      path: String): Map[String, String] =
+    written.foldLeft(props) { case (p, c) =>
+      val s = specs(c)
+      val phys = physOf(cmap, c)
+      val maxes = newStats.valuesIterator
+        .flatMap(_.get(phys))
+        .map { case (mn, mx) => (if (s.step > 0) mx else mn).toLong }
+        .toSeq
+      if (maxes.isEmpty) p // zero-row batch: nothing assigned
+      else {
+        val extreme = if (s.step > 0) maxes.max else maxes.min
+        val advanced =
+          if (s.highWaterMark.forall(h =>
+            if (s.step > 0) extreme > h else extreme < h))
+            s.copy(highWaterMark = Some(extreme))
+          else s
+        p + identityProp(c, advanced)
+      }
+    }
+
+  /** Refuse DML shapes that cannot maintain the identity counter:
+    * row-INSERTING paths outside the commit faces (they would land
+    * NULLs or stale-hwm values), and assignments to GENERATED ALWAYS
+    * columns (Delta's error). */
+  private def requireNoIdentityConflict(props: Map[String, String],
+      path: String, op: String, inserts: Boolean = false,
+      assignedCols: Iterable[String] = Nil): Unit = {
+    val specs = identitySpecs(props)
+    if (specs.isEmpty) return
+    if (inserts) throw new UnsupportedOperationException(
+      s"$op inserts rows on the identity table at $path; the engine only " +
+        "assigns identity values on the append/overwrite commit faces — " +
+        "route inserts through append")
+    val hit = assignedCols.filter(c => specs.get(c).exists(_.always)).toSeq.sorted
+    if (hit.nonEmpty) throw new UnsupportedOperationException(
+      s"$op assigns GENERATED ALWAYS AS IDENTITY column(s) " +
+        s"${hit.mkString(", ")} at $path — the engine owns their values")
+  }
+
   /** The table's generated columns (name → SQL expression) at head. */
   def generatedColumnsOf(spark: SparkSession, path: String): Map[String, String] = {
     val (hfs, root) = fs(spark, path)
@@ -1099,8 +1274,11 @@ object VersionedTable {
     // GENERATED columns compute-if-absent BEFORE the schema check: a
     // batch omitting a generated column is the intended write shape
     // (the paired gen_<name> CHECK constraint validates batches that
-    // carry it explicitly)
-    val df = applyGens(df0, prevM.map(_.gens).getOrElse(Map.empty))
+    // carry it explicitly). IDENTITY columns assign the same way (and a
+    // batch CARRYING a GENERATED ALWAYS identity column refuses).
+    val idSpecs = prevM.map(pm => identitySpecs(pm.props)).getOrElse(Map.empty)
+    val (df, _) = assignIdentity(
+      applyGens(df0, prevM.map(_.gens).getOrElse(Map.empty)), idSpecs, path)
     val prevSchema =
       if (mode == "append")
         prev.map(p => headSchema(spark, hfs, root, p, readRaw(hfs, root, p)))
@@ -1228,9 +1406,17 @@ object VersionedTable {
       if (base.isEmpty && pcols.nonEmpty) Some(pcols) else None,
       addRows = newRows,
       // table PROPERTIES survive an overwrite (policy, not data — like
-      // constraints); a full manifest must carry them explicitly
-      propsState =
-        if (base.isEmpty) prevM.map(_.props).filter(_.nonEmpty) else None))
+      // constraints); a full manifest must carry them explicitly. A
+      // commit that assigned identity values carries the ADVANCED
+      // high-water mark in the same manifest (transactional counter).
+      propsState = {
+        val baseProps = prevM.map(_.props).getOrElse(Map.empty)
+        if (idSpecs.nonEmpty)
+          Some(advanceIdentity(baseProps, idSpecs, idSpecs.keySet, cmap,
+            newStats, path))
+        else if (base.isEmpty) Some(baseProps).filter(_.nonEmpty)
+        else None
+      }))
     next
   }
 
@@ -2052,30 +2238,51 @@ object VersionedTable {
     commitManifest(hfs, root, m)
     val props = m.propsState.getOrElse(
       m.base.fold(Map.empty[String, String])(b => propsAt(hfs, root, b)))
-    cacheProps(root, m.version, props)
+    cacheProps(hfs, root, m.version, props)
     maybeCheckpoint(hfs, root, m.version, props)
   }
 
-  /** Per-(table, version) property cache. Sound because a committed
-    * version's content is immutable — an entry can never go stale; the
-    * size guard only bounds memory on very long sessions. */
-  private val propsCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Map[String, String]]()
+  /** Per-(table, version) property cache, salted with the version's raw
+    * manifest file identity (mtime, length): a committed version's
+    * content is immutable, but a table DELETED AND RECREATED at the same
+    * path reuses version numbers — the salt makes the old table's
+    * entries unreachable instead of served stale. The size guard only
+    * bounds memory on very long sessions. */
+  private val propsCache = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), Map[String, String]]()
 
-  private def cacheProps(root: Path, v: Long, p: Map[String, String]): Unit = {
-    if (propsCache.size > 4096) propsCache.clear()
-    propsCache.put((root.toString, v), p)
-    ()
-  }
+  /** Stable identity of version `v`'s raw manifest file, or None when it
+    * is absent (e.g. expired under a covering checkpoint) — then props
+    * resolve uncached rather than under an ambiguous key. */
+  private def manifestIdentity(hfs: FileSystem, root: Path, v: Long): Option[Long] =
+    scala.util.Try(hfs.getFileStatus(manifestPath(root, v))).toOption
+      .map(st => st.getModificationTime * 31L + st.getLen)
+
+  private def cacheProps(hfs: FileSystem, root: Path, v: Long,
+      p: Map[String, String]): Unit =
+    manifestIdentity(hfs, root, v).foreach { id =>
+      if (propsCache.size > 4096) propsCache.clear()
+      propsCache.put((root.toString, v, id), p)
+    }
 
   private def propsAt(hfs: FileSystem, root: Path, v: Long): Map[String, String] = {
     if (v < 0) return Map.empty
-    val cached = propsCache.get((root.toString, v))
-    if (cached != null) cached
-    else {
-      val p = scala.util.Try(readManifest(hfs, root, v).props).getOrElse(Map.empty)
-      cacheProps(root, v, p)
-      p
+    manifestIdentity(hfs, root, v) match {
+      case Some(id) =>
+        val key = (root.toString, v, id)
+        val cached = propsCache.get(key)
+        if (cached != null) cached
+        else {
+          // read failures PROPAGATE (the parse-loudly policy propInt /
+          // propHoursMs already follow): a transient IO error must never
+          // silently revert a table-declared retention to the defaults,
+          // and a failure result is never cached
+          val p = readManifest(hfs, root, v).props
+          if (propsCache.size > 4096) propsCache.clear()
+          propsCache.put(key, p)
+          p
+        }
+      case None => readManifest(hfs, root, v).props
     }
   }
 
@@ -2306,6 +2513,11 @@ object VersionedTable {
       mapStateLines(
         if (snap.colMap.isEmpty && snap.retired.isEmpty) None
         else Some((snap.colMap, snap.retired))) ++
+      // same generation-2 marker as property-bearing manifests: a
+      // single-file checkpoint carrying prv=/prop= must gate, not
+      // misparse, under a pre-props reader
+      (if (snap.props.nonEmpty) Seq(s"reader=$SupportedReaderVersion")
+       else Seq.empty) ++
       propsLines(if (snap.props.isEmpty) None else Some(snap.props))
     def chunkLines(fs: Seq[String]): Seq[String] =
       statLines(fs, snap.stats) ++ rowLines(fs, snap.rowCounts) ++ fs
@@ -2403,6 +2615,12 @@ object VersionedTable {
       bloomCfgLine(m.bloomCfg) ++
       m.pcolsLine.map(p => pcolsLines(p)).getOrElse(Seq.empty) ++
       mapStateLines(m.mapState) ++
+      // property-bearing metadata is generation-2 format: the marker
+      // makes any reader that understands the gate but not prv=/prop=
+      // fail with the upgrade error instead of misparsing prop= lines
+      // as body data-file paths
+      (if (m.propsState.isDefined) Seq(s"reader=$SupportedReaderVersion")
+       else Seq.empty) ++
       propsLines(m.propsState)
     writeClaimed(hfs, new Path(root, ManifestDir), target,
       (hdr ++ m.adds).mkString("", "\n", "\n"),
@@ -3279,6 +3497,7 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val updates = applyGens(updates0, m.gens)
     requireNotAppendOnly(m.props, path, "merge") // unconditional matched UPDATE
+    requireNoIdentityConflict(m.props, path, "merge", inserts = true)
     val snapSchema = snapshotSchema(spark, root, m)
     val drift = updates0.schema.fieldNames.filterNot(snapSchema.fieldNames.contains)
     if (drift.nonEmpty) throw new SchemaMismatchException(
@@ -3397,12 +3616,21 @@ object VersionedTable {
     * per-clause scans. A source with duplicate keys that actually
     * match a target row is rejected (Delta's multi-match ambiguity
     * error). Inserted rows compute generated columns and every output
-    * row gates on the table's CHECK constraints. */
+    * row gates on the table's CHECK constraints.
+    *
+    * `extraOn` is the non-key remainder of the ON condition (SQL over
+    * the `t`/`s` aliases, e.g. `"s.ts > t.ts"`), ANDed with the key
+    * equality to form the FULL join condition — Delta's classification:
+    * a pair that key-matches but fails `extraOn` is NOT MATCHED on both
+    * sides, so `notMatched` INSERT fires for its source row (possibly
+    * creating a second row per key — Delta's documented gotcha, not a
+    * bug) and `notMatchedBySource` clauses see its target row. */
   def mergeClauses(source: DataFrame, path: String, keyCols: Seq[String],
       matched: Seq[MergeAction] = Seq(MergeAction.Update()),
       notMatched: Seq[MergeAction] = Seq(MergeAction.Insert()),
       notMatchedBySource: Seq[MergeAction] = Seq.empty,
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z",
+      extraOn: Option[String] = None): Long = {
     import MergeAction._
     val spark = source.sparkSession
     val (hfs, root) = fs(spark, path)
@@ -3413,6 +3641,12 @@ object VersionedTable {
     // rule: only existing rows are protected)
     if (matched.nonEmpty || notMatchedBySource.nonEmpty)
       requireNotAppendOnly(m.props, path, "mergeClauses (matched/bySource clauses)")
+    requireNoIdentityConflict(m.props, path, "mergeClauses",
+      inserts = notMatched.nonEmpty,
+      assignedCols = (matched ++ notMatchedBySource).flatMap {
+        case Update(_, set) => set.keys
+        case _ => Nil
+      })
     val snapSchema = snapshotSchema(spark, root, m)
     require(keyCols.nonEmpty && keyCols.forall(snapSchema.fieldNames.contains) &&
       keyCols.forall(source.columns.contains),
@@ -3487,6 +3721,19 @@ object VersionedTable {
     // optimization); existing keys are still excluded via the
     // candidate scan below.
     val insertOnly = matched.isEmpty && notMatchedBySource.isEmpty
+    // source rows carried as keys + the `s` struct (hoisted: the
+    // full-ON paths below need it during discovery too)
+    val sStructAll = struct(source.columns.map(col).toIndexedSeq: _*)
+    val srcS = source
+      .select((keyCols.map(col) :+ sStructAll.as("s")).toIndexedSeq: _*)
+    // FULL join condition (key equality AND `extraOn`) between a plan
+    // carrying top-level key columns + a `t` struct and [[srcS]]; the
+    // extra conjunct resolves against the two struct aliases
+    def fullCond(left: DataFrame): Column =
+      (keyCols.map(k => left(k) === srcS(k)) ++ extraOn.map(expr))
+        .reduce(_ && _)
+    def withT(df: DataFrame): DataFrame = df.select((df.columns.map(col) :+
+      struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
     val keyBounds = updateKeyBounds(source, keyCols)
     val keyCand = candidateFiles(m, keyBounds)
     val bySrcCand =
@@ -3525,6 +3772,11 @@ object VersionedTable {
       }.getOrElse(m.files)
     val candidates = (keyCand ++ bySrcCand).distinct
     val srcKeys = source.select(keyCols.map(col): _*).distinct()
+    // not-matched classification fires on every bySource clause whose
+    // condition passes with s = NULL
+    val bySrcFire = notMatchedBySource.map(c =>
+      condOf(c).fold(lit(true))(x => coalesce(expr(x), lit(false))))
+      .foldLeft(lit(false))((a, b) => a || b)
     val touched =
       if (candidates.isEmpty || insertOnly) Set.empty[String]
       else {
@@ -3538,26 +3790,41 @@ object VersionedTable {
         // semantics are identical, and semi joins over this scan's
         // __file projection trip the PushDownLeftSemiAntiJoin /
         // ColumnPruning / CollapseProject fixpoint loop (see [[merge]])
-        val matchFiles = live
-          .join(srcKeys, keyCols, "inner")
-          .select("__file").distinct()
-        val bySrcFiles =
-          if (notMatchedBySource.isEmpty) matchFiles.limit(0)
-          else {
-            // rows NO source key matches, where some bySource clause
-            // fires (its condition sees s as NULL)
-            val nullS = lit(null).cast(sType).as("s")
-            val fire = notMatchedBySource.map(c =>
-              condOf(c).fold(lit(true))(x => coalesce(expr(x), lit(false))))
-              .reduce(_ || _)
-            live.join(srcKeys, keyCols, "left_anti")
-              .select(col("__file"),
-                struct(snapSchema.fieldNames
-                  .map(col).toIndexedSeq: _*).as("t"))
-              .withColumn("s", nullS)
-              .filter(fire)
+        val (matchFiles, bySrcFiles) = extraOn match {
+          case None =>
+            val mf = live
+              .join(srcKeys, keyCols, "inner")
               .select("__file").distinct()
-          }
+            val bf =
+              if (notMatchedBySource.isEmpty) mf.limit(0)
+              else {
+                // rows NO source key matches, where some bySource
+                // clause fires (its condition sees s as NULL)
+                live.join(srcKeys, keyCols, "left_anti")
+                  .select(col("__file"),
+                    struct(snapSchema.fieldNames
+                      .map(col).toIndexedSeq: _*).as("t"))
+                  .withColumn("s", lit(null).cast(sType))
+                  .filter(bySrcFire)
+                  .select("__file").distinct()
+              }
+            (mf, bf)
+          case Some(_) =>
+            // full-ON classification (Delta's): a file rewrites when it
+            // holds a FULL (keys AND extra) match, or when a bySource
+            // clause may fire on a row with no full match — which now
+            // includes key-matching pairs that fail the extra conjunct
+            val liveT = withT(live)
+            val mf = liveT.join(srcS, fullCond(liveT), "inner")
+              .select("__file").distinct()
+            val bf =
+              if (notMatchedBySource.isEmpty) mf.limit(0)
+              else liveT.join(srcS, fullCond(liveT), "left_anti")
+                .withColumn("s", lit(null).cast(sType))
+                .filter(bySrcFire)
+                .select("__file").distinct()
+            (mf, bf)
+        }
         matchFiles.unionByName(bySrcFiles).distinct()
           .collect().map(_.getString(0)).toSet
       }
@@ -3566,33 +3833,51 @@ object VersionedTable {
     // ---- multi-match ambiguity (Delta's error): duplicate source keys
     // are fatal only when they MATCH a target row
     if (matched.nonEmpty && touchedFiles.nonEmpty) {
-      val dupKeys = source.groupBy(keyCols.map(col): _*).count()
-        .filter(col("count") > 1).drop("count")
-      val ambiguous = readTouched(spark, path, touchedFiles.toSeq.sorted)
-        .join(dupKeys, keyCols, "left_semi").limit(1).count()
-      require(ambiguous == 0L,
-        s"merge source has duplicate keys matching target rows at $path " +
-          "(ambiguous MATCHED action; de-duplicate the source)")
+      extraOn match {
+        case None =>
+          val dupKeys = source.groupBy(keyCols.map(col): _*).count()
+            .filter(col("count") > 1).drop("count")
+          val ambiguous = readTouched(spark, path, touchedFiles.toSeq.sorted)
+            .join(dupKeys, keyCols, "left_semi").limit(1).count()
+          require(ambiguous == 0L,
+            s"merge source has duplicate keys matching target rows at $path " +
+              "(ambiguous MATCHED action; de-duplicate the source)")
+        case Some(_) =>
+          // under the full ON condition, duplicate source KEYS are fine
+          // as long as at most one source row FULL-matches each target
+          // row (Delta's rule): count full matches per target row
+          val tS = withT(readTouched(spark, path, touchedFiles.toSeq.sorted))
+            .withColumn("__tid", monotonically_increasing_id())
+          val ambiguous = tS.join(srcS, fullCond(tS), "inner")
+            .groupBy("__tid").count().filter(col("count") > 1)
+            .limit(1).count()
+          require(ambiguous == 0L,
+            s"merge source has multiple rows matching one target row under " +
+              s"the ON condition at $path (ambiguous MATCHED action; " +
+              "de-duplicate the source)")
+      }
     }
     // ---- the three row classes
     val tgt =
       if (touchedFiles.isEmpty) None
       else Some(readTouched(spark, path, touchedFiles.toSeq.sorted))
-    val sStructAll = struct(source.columns.map(col).toIndexedSeq: _*)
-    val srcS = source
-      .select((keyCols.map(col) :+ sStructAll.as("s")).toIndexedSeq: _*)
     val matchedOut = tgt.map { t =>
       val tS = t.select((keyCols.map(col) :+
         struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
       val res = foldTarget(matched)
-      tS.join(srcS, keyCols, "inner")
-        .select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
+      val pairs = extraOn match {
+        case None => tS.join(srcS, keyCols, "inner")
+        case Some(_) => tS.join(srcS, fullCond(tS), "inner")
+      }
+      pairs.select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
     }
     val bySourceOut = tgt.map { t =>
-      val tS = t.select((keyCols.map(col) :+
+      val tS0 = t.select((keyCols.map(col) :+
         struct(snapSchema.fieldNames.map(col).toIndexedSeq: _*).as("t")).toIndexedSeq: _*)
-        .join(srcKeys, keyCols, "left_anti")
-        .withColumn("s", lit(null).cast(sType))
+      val tS = (extraOn match {
+        case None => tS0.join(srcKeys, keyCols, "left_anti")
+        case Some(_) => tS0.join(srcS, fullCond(tS0), "left_anti")
+      }).withColumn("s", lit(null).cast(sType))
       val res = foldTarget(notMatchedBySource)
       tS.select(res.as("r")).filter(!col("r.__del")).select("r.row.*")
     }
@@ -3603,15 +3888,32 @@ object VersionedTable {
         // or, for the no-rewrite insert-only path, the candidate scan
         // (stats-pruned; a file that can't hold a source key is never
         // opened)
-        val tgtKeys =
-          if (insertOnly)
-            (if (candidates.isEmpty) None
-             else Some(scanLive(spark, root, candidates, m.dvs, m.colMap,
-               m.retired, physReadSchema(m))
-               .select(keyCols.map(col): _*).distinct()))
-          else tgt.map(_.select(keyCols.map(col): _*).distinct())
-        val unmatchedSrc = tgtKeys
-          .fold(srcS)(k => srcS.join(k, keyCols, "left_anti"))
+        val unmatchedSrc0 = extraOn match {
+          case None =>
+            val tgtKeys =
+              if (insertOnly)
+                (if (candidates.isEmpty) None
+                 else Some(scanLive(spark, root, candidates, m.dvs, m.colMap,
+                   m.retired, physReadSchema(m))
+                   .select(keyCols.map(col): _*).distinct()))
+              else tgt.map(_.select(keyCols.map(col): _*).distinct())
+            tgtKeys.fold(srcS)(k => srcS.join(k, keyCols, "left_anti"))
+          case Some(_) =>
+            // exclusion by FULL match: a source row inserts unless some
+            // target row satisfies keys AND extra (touched files hold
+            // every key match, hence every full match; the insert-only
+            // path scans the stats-pruned candidates)
+            val tRows =
+              if (insertOnly)
+                (if (candidates.isEmpty) None
+                 else Some(scanLive(spark, root, candidates, m.dvs, m.colMap,
+                   m.retired, physReadSchema(m))))
+              else tgt
+            tRows.map(r => withT(r.select(snapSchema.fieldNames.map(col)
+                .toIndexedSeq: _*)))
+              .fold(srcS)(tr => srcS.join(tr, fullCond(tr), "left_anti"))
+        }
+        val unmatchedSrc = unmatchedSrc0
           .withColumn("t", lit(null).cast(tType))
         // first-true insert clause; rows matching none drop. Generated
         // columns compute on inserted rows whose values omit them —
@@ -3929,6 +4231,7 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
     requireNotAppendOnly(m.props, path, "update")
+    requireNoIdentityConflict(m.props, path, "update", assignedCols = set.keys)
     val touched = updatePlan(spark, root, m, snapSchema, condition, set, path)
     val touchedFiles = resolveTouched(m.files, touched)
     val next = prev + 1
@@ -3978,6 +4281,8 @@ object VersionedTable {
     val m = readManifest(hfs, root, prev)
     val snapSchema = snapshotSchema(spark, root, m)
     requireNotAppendOnly(m.props, path, "updateMergeOnRead")
+    requireNoIdentityConflict(m.props, path, "updateMergeOnRead",
+      assignedCols = set.keys)
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val unknown = set.keys.filterNot(snapSchema.fieldNames.contains)
     if (unknown.nonEmpty) throw new SchemaMismatchException(
@@ -4073,6 +4378,7 @@ object VersionedTable {
       throw new IllegalArgumentException(s"replaceWhere on empty table at $path"))
     val m = readManifest(hfs, root, prev)
     requireNotAppendOnly(m.props, path, "replaceWhere")
+    requireNoIdentityConflict(m.props, path, "replaceWhere", inserts = true)
     val df = applyGens(df0, m.gens)
     val snapSchema = snapshotSchema(spark, root, m)
     if (snapSchema.fieldNames.toSet != df.schema.fieldNames.toSet)

@@ -366,6 +366,27 @@ class PipelineSpec extends SparkSpec {
     assert(p.getAs[Double]("avg_chars") > 0)
   }
 
+  test("exact twins: corpusProfileExact / distinctLedger agree with the sketch variants") {
+    val docs = Tables.documents(spark, sfDir)
+    val ex = DataQuality.corpusProfileExact(docs).head()
+    val sk = DataQuality.corpusProfile(docs).head()
+    assert(ex.getAs[Long]("n_docs") === sk.getAs[Long]("n_docs"))
+    assert(ex.getAs[Long]("n_langs") === sk.getAs[Long]("n_langs"))
+    assert(ex.getAs[Long]("total_ws_tokens") === sk.getAs[Long]("total_ws_tokens"))
+    assert(ex.getAs[Int]("min_chars") <= ex.getAs[Int]("max_chars"))
+    assert(ex.getAs[Double]("avg_chars") >= ex.getAs[Int]("min_chars").toDouble)
+    assert(ex.getAs[Double]("avg_chars") <= ex.getAs[Int]("max_chars").toDouble)
+    val led = graft.quality.DataQuality.distinctLedger(silver).head()
+    val skl = graft.quality.DataQuality.sketchUnionDistinct(silver).head()
+    assert(led.getAs[Long]("n_days") === skl.getAs[Long]("n_days"))
+    assert(led.getAs[Long]("total_rows") === skl.getAs[Long]("total_rows"))
+    // the ledger's merged column IS the exact answer the sketch estimates
+    val exact = led.getAs[Long]("merged_distinct").toDouble
+    assert(math.abs(skl.getAs[Long]("merged_distinct") - exact) <= exact * 0.05,
+      "HLL merged estimate drifted from the exact ledger")
+    assert(led.getAs[Long]("sum_daily_distinct") >= led.getAs[Long]("merged_distinct"))
+  }
+
   test("key-skew report: hot key's share/straggler multiple/salt factor, deterministic top-N cut") {
     import spark.implicits._
     val df = (Seq.fill(6)("hot") ++ Seq("a", "a", "b", "c") :+ null)

@@ -89,26 +89,26 @@ class SqlMergePropertySpec extends SparkSpec {
       src.withColumnRenamed("id", srcIdName).createOrReplaceTempView("mrgprop_src")
 
       // half the rounds carry an EXTRA (non-key) ON conjunct — the
-      // conditional-match CDC shape. The builder twin hand-folds it
-      // into every matched clause's condition, which is exactly the
-      // semantics the SQL translation must implement.
+      // conditional-match CDC shape. The builder twin passes it as the
+      // merge's full-ON remainder (`extraOn`), which is exactly the
+      // Delta classification the SQL translation must implement:
+      // key-matching pairs failing it are not-matched on BOTH sides.
       val extraOn: Option[C] =
         if (rnd.nextBoolean()) Some(cond(1, Seq("t", "s"))) else None
-      def withX(c: Option[String]): Option[String] =
-        extraOn.map(x => c.fold(x.lib)(cc => s"(${x.lib}) AND ($cc)")).orElse(c)
 
       // matched clauses: optionally one conditional, then one unconditional
       val mUp = cond(1, Seq("t", "s"))
       val matchedSql = new StringBuilder
-      var builder = GraftTable.forPath(spark, b).merge(src, Seq("id"))
+      var builder = GraftTable.forPath(spark, b)
+        .merge(src, Seq("id"), extraOn.map(_.lib))
       if (rnd.nextBoolean()) {
         matchedSql ++= s"WHEN MATCHED AND ${mUp.sql} THEN DELETE\n"
-        builder = builder.whenMatchedDelete(withX(Some(mUp.lib)))
+        builder = builder.whenMatchedDelete(Some(mUp.lib))
         matchedSql ++= "WHEN MATCHED THEN UPDATE SET v = src.v\n"
-        builder = builder.whenMatchedUpdate(Map("v" -> "s.v"), withX(None))
+        builder = builder.whenMatchedUpdate(Map("v" -> "s.v"), None)
       } else {
         matchedSql ++= "WHEN MATCHED THEN UPDATE SET *\n"
-        builder = builder.whenMatchedUpdateAll(withX(None))
+        builder = builder.whenMatchedUpdateAll(None)
       }
       // not matched: conditional insert half the time
       if (rnd.nextBoolean()) {
@@ -137,7 +137,7 @@ class SqlMergePropertySpec extends SparkSpec {
     }
   }
 
-  test("extra ON conjunct: the CDC staleness guard gates matched actions; key-less ON refuses") {
+  test("extra ON conjunct: Delta classification — stale pairs insert; key-less ON refuses") {
     val a = java.nio.file.Files.createTempDirectory("mrgex_sql").toString
     val b = java.nio.file.Files.createTempDirectory("mrgex_lib").toString
     val seed = freshRows(20, 0L)
@@ -146,8 +146,11 @@ class SqlMergePropertySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS mrgex_t")
     spark.sql(s"CREATE TABLE mrgex_t USING graft LOCATION '$a'")
     // source: half the rows carry a HIGHER v (fresh), half a lower one
-    // (stale) — `AND src.v > tgt.v` must apply only the fresh ones and
-    // must NOT insert the stale rows as duplicates
+    // (stale). Delta's classification: `AND src.v > tgt.v` is part of
+    // the JOIN condition, so a stale pair is not-matched on both sides
+    // — the fresh rows UPDATE, and the stale rows INSERT as second rows
+    // per key (Delta's documented merge-condition gotcha, reproduced
+    // faithfully)
     val src = freshRows(20, 10L)
       .withColumn("v", when(col("id") % 2 === 0, col("v") + 1000)
         .otherwise(col("v") - 1000))
@@ -157,15 +160,21 @@ class SqlMergePropertySpec extends SparkSpec {
         |ON tgt.id = src.id AND src.v > tgt.v
         |WHEN MATCHED THEN UPDATE SET *
         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    GraftTable.forPath(spark, b).merge(src, Seq("id"))
-      .whenMatchedUpdateAll(Some("s.v > t.v"))
+    GraftTable.forPath(spark, b).merge(src, Seq("id"), Some("s.v > t.v"))
+      .whenMatchedUpdateAll()
       .whenNotMatchedInsertAll()
       .execute()
-    assert(rows(a) === rows(b), "SQL extra-ON fold must equal the hand-folded builder")
-    // stale matched rows stayed; no duplicate ids appeared
-    val ids = VersionedTable.readVersion(spark, a).groupBy("id").count()
-      .filter(col("count") > 1).count()
-    assert(ids === 0L, "extra ON conjunct must never insert duplicate keys")
+    assert(rows(a) === rows(b), "SQL extra-ON must equal the builder's extraOn")
+    // matched ids are 10..19: the 5 even ones (fresh) updated in place,
+    // the 5 odd ones (stale) inserted a second row per key — and the
+    // original stale target rows survived unchanged
+    val dupIds = VersionedTable.readVersion(spark, a).groupBy("id").count()
+      .filter(col("count") > 1).collect().map(_.getLong(0)).sorted
+    assert(dupIds.toSeq === Seq(11L, 13L, 15L, 17L, 19L),
+      "stale key-matching source rows must insert (Delta's classification)")
+    val updated = VersionedTable.readVersion(spark, a)
+      .filter(col("id") === 10L).select("v").collect().map(_.getLong(0))
+    assert(updated.forall(_ > 1000L), "fresh pairs must take the matched UPDATE")
 
     // an ON with no key equality at all is a loud refusal, not a cross join
     val e = intercept[UnsupportedOperationException](spark.sql(
