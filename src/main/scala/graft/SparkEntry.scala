@@ -445,6 +445,33 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_id`: a GENERATED ALWAYS AS IDENTITY table (start
+    * 1000, step 7) filled by two appends. Each batch is
+    * `repartition(1).sortWithinPartitions`, which pins the engine's
+    * identity assignment to a DETERMINISTIC dense sequence (one
+    * partition → monotonically_increasing_id counts 0..n-1 in the
+    * sorted order), so the oracle replays the exact values with
+    * row_number(); the second batch starts one step past the first's
+    * recorded high-water mark — the transactional-counter contract. */
+  private def buildIdentityTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("id", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtid").toString
+      val sv = silver(s, dir).select("event_id")
+      VersionedTable.commit(sv.limit(0), tbl, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z")
+      VersionedTable.addIdentityColumn(s, tbl, "row_id",
+        start = 1000L, step = 7L, ts = "2026-01-01T00:10:00Z")
+      VersionedTable.commit(
+        sv.filter(col("event_id") % 2 === 0)
+          .repartition(1).sortWithinPartitions("event_id"),
+        tbl, mode = "append", ts = "2026-01-02T00:00:00Z")
+      VersionedTable.commit(
+        sv.filter(col("event_id") % 2 =!= 0)
+          .repartition(1).sortWithinPartitions("event_id"),
+        tbl, mode = "append", ts = "2026-01-03T00:00:00Z")
+      tbl
+    })
+
   /** Fixture for `vt_pt`: silver hash-laid on `event_id` (every file's
     * [min, max] spans the whole id domain — the layout where min/max
     * stats can never prune an equality probe) committed with a bloom
@@ -1037,6 +1064,14 @@ object SparkEntry {
     // INSERT (delta inheritance) → UNSET → SHOW; the oracle pins the
     // exact surviving key/value set
     "vt_pp" -> ((s, dir) => s.sql(s"SHOW TBLPROPERTIES ${buildPropsTable(s, dir)}")),
+    // identity column: engine-assigned GENERATED ALWAYS values over two
+    // appends — dense per batch (single-partition fixture), the second
+    // batch continuing one step past the first's high-water mark; the
+    // oracle replays the exact sequence with row_number()
+    "vt_id" -> ((s, dir) => {
+      val tbl = buildIdentityTable(s, dir)
+      VersionedTable.readVersion(s, tbl).select("event_id", "row_id")
+    }),
     // dynamic partition overwrite: the click partition recomputed via
     // .mode("overwrite") + partitionOverwriteMode=dynamic — the oracle
     // recomputes the end state row-wise (clicks +1000, everything else
@@ -2262,6 +2297,26 @@ object SparkEntry {
     "vt_pp" ->
       """SELECT 'graft.checkpointInterval' AS key, '5' AS value
         |UNION ALL SELECT 'team', 'mobility'""".stripMargin,
+
+    // identity values replayed exactly: batch 1 (even event_ids, sorted)
+    // takes 1000, 1007, 1014, …; batch 2 (odd, sorted) continues one
+    // step past batch 1's high-water mark
+    "vt_id" ->
+      s"""$silverCte,
+         |b1 AS (
+         |  SELECT event_id,
+         |         1000 + 7 * (row_number() OVER (ORDER BY event_id) - 1) AS row_id
+         |  FROM silver WHERE event_id % 2 = 0
+         |),
+         |b2 AS (
+         |  SELECT event_id,
+         |         (SELECT coalesce(max(row_id), 993) FROM b1)
+         |           + 7 * row_number() OVER (ORDER BY event_id) AS row_id
+         |  FROM silver WHERE event_id % 2 = 1
+         |)
+         |SELECT event_id, row_id FROM b1
+         |UNION ALL
+         |SELECT event_id, row_id FROM b2""".stripMargin,
 
     // dynamic overwrite end state: the click partition recomputed,
     // every other partition (and NULL-value click rows: +1000 of NULL

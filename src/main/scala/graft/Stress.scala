@@ -110,6 +110,11 @@ object Stress {
       spark.stop()
       return
     }
+    if (sys.env.get("SPARK_GRAFT_STRESS_ONLY").contains("soak")) {
+      streamSoakLine(spark)
+      spark.stop()
+      return
+    }
 
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
 
@@ -856,8 +861,67 @@ object Stress {
     streamUnpacedCatchupLine(spark, deepLog)
     checkpointMultipartLine(spark)
     deepCloneCostLine(spark)
+    streamSoakLine(spark)
 
     spark.stop()
+  }
+
+  /** LONG-LIVED STREAM SOAK (`Trigger.ProcessingTime`) — the tail shape
+    * the stream-source specs cover functionally but no epoch had
+    * measured standing: a continuously-triggered reader drains a table
+    * receiving concurrent appends. Gates: ZERO lost or duplicated rows
+    * after the writer stops, and FLAT per-trigger execution cost
+    * (last-third mean vs first-third mean of Spark's own
+    * `triggerExecution` durations over data-carrying batches) — the
+    * microbatch planning path must stay O(delta) as versions accumulate,
+    * not grow with the log. */
+  private def streamSoakLine(spark: SparkSession): Unit = {
+    import graft.sources.VersionedTable
+    val tbl = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_soak_ck").toString
+    VersionedTable.commit(
+      spark.range(1).select(col("id").as("k"), lit(0L).as("batch")),
+      tbl, mode = "overwrite")
+    val rows = new java.util.concurrent.atomic.AtomicLong(0)
+    val q = spark.readStream.format("graft").load(tbl)
+      .writeStream
+      .foreachBatch { (b: DataFrame, _: Long) => rows.addAndGet(b.count()); () }
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("150 milliseconds"))
+      .start()
+    val writes = 40
+    val perBatch = 500L
+    val t0 = System.nanoTime()
+    (1 to writes).foreach { i =>
+      VersionedTable.commit(
+        spark.range(perBatch).select((col("id") + i * 100000L).as("k"),
+          lit(i.toLong).as("batch")),
+        tbl, mode = "append")
+      Thread.sleep(100)
+    }
+    val want = 1L + writes * perBatch
+    val deadline = System.nanoTime() + 180L * 1000000000L
+    while (rows.get < want && System.nanoTime() < deadline) Thread.sleep(100)
+    val progress = q.recentProgress.toSeq
+    q.stop(); q.awaitTermination()
+    val s = (System.nanoTime() - t0) / 1e9
+    require(rows.get == want,
+      s"stream soak lost or duplicated rows: ${rows.get} vs $want")
+    val execMs = progress
+      .filter(_.numInputRows > 0)
+      .flatMap(p => Option(p.durationMs.get("triggerExecution")).map(_.toDouble))
+    val third = math.max(1, execMs.size / 3)
+    val early = execMs.take(third).sum / third
+    val late = execMs.takeRight(third).sum / third
+    // generous bound: this is a single-box soak sharing the machine with
+    // the writer loop — the gate catches super-linear planning growth,
+    // not scheduler noise
+    require(late <= math.max(4.0 * early, early + 250.0),
+      f"per-trigger drain cost grew with the log: first-third $early%.0f ms " +
+        f"vs last-third $late%.0f ms over ${execMs.size}%d data batches")
+    println(f"STRESS stream_soak_pt         $s%.1f s, ${execMs.size}%d data " +
+      f"batches, per-trigger first-third $early%.0f ms vs last-third " +
+      f"$late%.0f ms, ${rows.get}%d rows exact")
   }
 
   /** DEEP vs SHALLOW clone cost on a 200-file snapshot — the declared

@@ -95,6 +95,48 @@ class MergeClausesSpec extends SparkSpec {
       (1L, "a", 10L), (2L, "stale", 20L), (3L, "a", 30L)))
   }
 
+  test("extra ON conjunct (full-condition classification): failed pairs are not-matched on BOTH sides") {
+    // ON t.id = s.id AND s.amount > t.amount — Delta's classification:
+    // a key-matching pair failing the extra conjunct is invisible to
+    // MATCHED clauses, its source row INSERTS, and its target row is
+    // seen by NOT MATCHED BY SOURCE clauses
+    val t = freshTable()
+    VersionedTable.commit(base((1, "a", 10), (2, "a", 20), (3, "a", 30)),
+      t, mode = "overwrite")
+    val src = Seq(
+      (1L, "f", 100L), // fresh: full match → UPDATE
+      (2L, "s", 5L)    // stale: key matches, extra fails → INSERT (dup key)
+    ).toDF("id", "state", "amount")
+    VersionedTable.mergeClauses(src, t, Seq("id"),
+      matched = Seq(Update(set = Map("amount" -> "s.amount"))),
+      notMatched = Seq(Insert()),
+      notMatchedBySource = Seq(
+        Update(set = Map("state" -> "'unseen'"))),
+      extraOn = Some("s.amount > t.amount"))
+    assert(contents(t) === Set(
+      (1L, "a", 100L),      // matched UPDATE (only amount assigned)
+      (2L, "unseen", 20L),  // target of the failed pair: bySource fired
+      (2L, "s", 5L),        // source of the failed pair: inserted
+      (3L, "unseen", 30L))) // no source row at all: bySource fired
+    // duplicate-key ambiguity is judged under the FULL condition: two
+    // source rows sharing a key are fine when at most one full-matches
+    val t2 = freshTable()
+    VersionedTable.commit(base((1, "a", 10)), t2, mode = "overwrite")
+    val dup = Seq((1L, "x", 100L), (1L, "y", 5L)).toDF("id", "state", "amount")
+    VersionedTable.mergeClauses(dup, t2, Seq("id"),
+      matched = Seq(Update(set = Map("amount" -> "s.amount"))),
+      notMatched = Seq.empty, notMatchedBySource = Seq.empty,
+      extraOn = Some("s.amount > t.amount"))
+    assert(contents(t2) === Set((1L, "a", 100L)))
+    val both = Seq((1L, "x", 150L), (1L, "y", 200L)).toDF("id", "state", "amount")
+    val e = intercept[IllegalArgumentException](
+      VersionedTable.mergeClauses(both, t2, Seq("id"),
+        matched = Seq(Update(set = Map("amount" -> "s.amount"))),
+        notMatched = Seq.empty, notMatchedBySource = Seq.empty,
+        extraOn = Some("s.amount > t.amount")))
+    assert(e.getMessage.contains("multiple rows matching"))
+  }
+
   test("duplicate source keys error only when they match a target row") {
     val t = freshTable()
     VersionedTable.commit(base((1, "a", 10)), t, mode = "overwrite")

@@ -70,9 +70,11 @@ class PlanAuditSpec extends SparkSpec {
     // dd_sev: the blocking-recall QA row's truth side is the exact
     //   cosine-threshold pair set over the BOUNDED eval slice (plus the
     //   1-row n_cand scalar crossJoined onto the confusion row)
+    // dq_s: the exact distinct ledger crossJoins TWO single-row
+    //   aggregates (daily totals × merged distinct) — 1-row both sides
     val allowed = Set("v_bf", "v_rad", "t_tf", "t_lm1", "t_pmi",
       "f_bin", "mn_cp", "v_pq", "dsir", "m_pr", "t_ppl", "sc_km", "dc_em",
-      "iv_ag", "dq_kh", "v_ev", "v_iqe", "dd_sev")
+      "iv_ag", "dq_kh", "v_ev", "v_iqe", "dd_sev", "dq_s")
     val nlj = planStrings.collect {
       case (name, plan) if plan.contains("BroadcastNestedLoopJoin") => name
     }
