@@ -1595,11 +1595,14 @@ object SparkEntry {
     "mn_er" -> ((s, dir) => Monitoring.embeddingDrift(Tables.embeddings(s, dir))),
     // §2.10 multimodal
     "mm_mt" -> ((s, dir) => Multimodal.metadata(Tables.documents(s, dir)).drop("payload")),
-    // rows-only: the decode pipeline runs end-to-end over the binary
-    // payloads (per-partition decoder init, typed frames out); the decoder
-    // itself is the documented deterministic stub — no codec libs here
+    // the decode pipeline runs end-to-end over the binary payloads
+    // (per-partition decoder init, typed frames out); the stub decoder's
+    // GEOMETRY (frame count, square side, channels) derives from the
+    // payload byte length, so it oracles exactly — only the stub frame
+    // checksum (spec-asserted) is excluded from the compared output
     "mm_dc" -> ((s, dir) =>
-      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir))).toDF()),
+      Multimodal.decodeFrames(s, Multimodal.metadata(Tables.documents(s, dir)))
+        .toDF().drop("frame_checksum")),
     // the full frame pipeline — decode → sample → resize — pipelined per
     // partition with no intermediate materialization. The GEOMETRY
     // columns are pure arithmetic over the payload byte length, so they
@@ -4258,11 +4261,27 @@ object SparkEntry {
          |       (SELECT count(DISTINCT user_id) FROM keyed) AS merged_distinct
          |FROM totals""".stripMargin,
 
-    // decode→sample→resize geometry: the stub decoder's frame count and
-    // side derive from the payload BYTE length only (1 + len%3 frames
-    // capped at 3, square side 16 + len%16); sampling keeps frame 0 and,
-    // when present, frame 2; the resize fits into a 224 box with the
-    // same double arithmetic both engines evaluate identically
+    // decode geometry: the stub decoder's frame count and side derive
+    // from the payload BYTE length only (1 + len%3 frames capped at 3,
+    // square side 16 + len%16, 3 channels)
+    "mm_dc" ->
+      """WITH d AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
+        |),
+        |f AS (
+        |  SELECT doc_id, idx AS frame_idx,
+        |         CAST(16 + len % 16 AS INTEGER) AS side
+        |  FROM d, (VALUES (0), (1), (2)) AS v(idx)
+        |  WHERE idx < least(3, 1 + len % 3)
+        |)
+        |SELECT doc_id, frame_idx, side AS width, side AS height,
+        |       3 AS n_channels
+        |FROM f""".stripMargin,
+
+    // decode→sample→resize geometry: same stub-geometry derivation;
+    // sampling keeps frame 0 and, when present, frame 2; the resize fits
+    // into a 224 box with the same double arithmetic both engines
+    // evaluate identically
     "mm_rz" ->
       """WITH d AS (
         |  SELECT doc_id, octet_length(encode(text)) AS len FROM documents
