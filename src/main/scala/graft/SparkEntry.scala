@@ -508,6 +508,28 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_rg`: the `vt_dv` shape (hash layout + two
+    * merge-on-read deletes leaving deletion vectors on most files)
+    * followed by SQL `REORG TABLE ... APPLY (PURGE)` — the vectored
+    * files rewrite without their soft-deleted rows, vector-free files
+    * carry by reference, and a VACUUM at zero grace reclaims the purged
+    * originals, so the oracle passes only if the rewritten files are
+    * self-contained and content-identical. */
+  private def buildReorgTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("rg", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtrg").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+        .repartition(8, col("event_id"))
+      VersionedTable.commit(sv, tbl, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+      VersionedTable.deleteMergeOnRead(s, tbl, "event_id % 97 = 0",
+        ts = "2026-01-02T00:00:00Z")
+      VersionedTable.deleteMergeOnRead(s, tbl,
+        "event_type = 'signup' AND value > 90", ts = "2026-01-03T00:00:00Z")
+      s.sql(s"REORG TABLE graft.`$tbl` APPLY (PURGE)").collect()
+      VersionedTable.vacuum(s, tbl, retainVersions = 1, graceMs = 0L)
+      tbl
+    })
+
   /** Fixture for `vt_u`: silver hash-laid on `event_id`, then BOTH
     * update flavors — a copy-on-write UPDATE (cheap clicks doubled,
     * touched files rewritten) and a merge-on-read UPDATE (expensive
@@ -1037,6 +1059,16 @@ object SparkEntry {
     // compare pins the END STATE of the vectored table exactly
     "vt_dv" -> ((s, dir) => {
       val tbl = buildDvTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
+        .select("event_id", "event_type", "value")
+    }),
+    // REORG APPLY (PURGE): deletion vectors materialized by rewriting
+    // only the vectored files, then a zero-grace vacuum reclaims the
+    // originals — same end state as vt_dv, now with the soft-deleted
+    // bytes actually gone (the oracle passes only if the purge rewrite
+    // was content-identical AND self-contained post-vacuum)
+    "vt_rg" -> ((s, dir) => {
+      val tbl = buildReorgTable(s, dir)
       VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
@@ -2277,6 +2309,15 @@ object SparkEntry {
     // predicates applied with three-valued semantics (NULL-evaluating
     // rows survive, exactly like the COW delete's contract)
     "vt_dv" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE NOT coalesce(event_id % 97 = 0, FALSE)
+         |  AND NOT coalesce(event_type = 'signup' AND value > 90, FALSE)""".stripMargin,
+
+    // REORG APPLY (PURGE) is content-identical: same end state as the
+    // vectored table it purged (and the zero-grace vacuum proves the
+    // purge rewrite is self-contained)
+    "vt_rg" ->
       s"""$silverCte
          |SELECT event_id, event_type, value FROM silver
          |WHERE NOT coalesce(event_id % 97 = 0, FALSE)

@@ -146,6 +146,8 @@ object GraftSqlParser {
   private def parseProps(s: String): Map[String, String] =
     """'([^']*)'\s*=\s*'([^']*)'""".r.findAllMatchIn(s)
       .map(m => m.group(1) -> m.group(2)).toMap
+  private val ReorgR: Regex =
+    s"""(?is)\\s*REORG\\s+TABLE\\s+$T(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
   private val RestoreVR: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTR: Regex =
@@ -153,7 +155,7 @@ object GraftSqlParser {
   /** Statements that START like a graft command but fail its grammar
     * error here with usage, instead of a baffling delegate parse error. */
   private val LooksGraft: Regex =
-    """(?is)\s*(VACUUM|OPTIMIZE|CONVERT\s+TO\s+GRAFT|RESTORE\s.*|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL)\s.*)\b.*""".r
+    """(?is)\s*(VACUUM|OPTIMIZE|REORG\s+TABLE|CONVERT\s+TO\s+GRAFT|RESTORE\s.*|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL)\s.*)\b.*""".r
 
   private[plans] def parseGraftCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -194,6 +196,9 @@ object GraftSqlParser {
         Some(GraftRestoreCommand(target(p, gp, id), Some(v.toLong), None))
       case RestoreTR(p, gp, id, ts) =>
         Some(GraftRestoreCommand(target(p, gp, id), None, Some(ts)))
+      case ReorgR(p, gp, id, where) =>
+        Some(GraftReorgCommand(target(p, gp, id),
+          Option(where).map(_.trim).filter(_.nonEmpty)))
       case OptimizeR(p, gp, id, where, zorder) =>
         Some(GraftOptimizeCommand(target(p, gp, id), Option(where),
           Option(zorder).toSeq.flatMap(_.split(',').map(_.trim.stripPrefix("`")
@@ -202,6 +207,7 @@ object GraftSqlParser {
         s"graft SQL: could not parse '${stmt.trim.takeWhile(_ != '\n')}...' — expected " +
           "DESCRIBE HISTORY <t> | VACUUM <t> [RETAIN n VERSIONS|HOURS] [DRY RUN] | " +
           "OPTIMIZE <t> [WHERE pred] [ZORDER BY (cols)] | " +
+          "REORG TABLE <t> [WHERE pred] APPLY (PURGE) | " +
           "RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF ...")
       case _ => None
     }
@@ -415,6 +421,27 @@ final case class GraftOptimizeCommand(target: Either[String, Seq[String]],
       .select("version", "n_files").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     Seq(Row(v, files(before), files(v)))
+  }
+}
+
+/** `REORG TABLE t [WHERE pred] APPLY (PURGE)` — Delta's deletion-vector
+  * materialization: rewrite ONLY the vectored files (purging their
+  * soft-deleted rows), everything else carries by reference. Returns
+  * the new version and how many files were purged; a no-op (nothing
+  * vectored in scope) reports the current version with 0 purged. */
+final case class GraftReorgCommand(target: Either[String, Seq[String]],
+    where: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("n_files_purged", IntegerType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(sparkSession, target)
+    def vectored(): Long = VersionedTable.describeDetail(sparkSession, path)
+      .select("num_vectored_files").head().getLong(0)
+    val before = vectored()
+    val v = VersionedTable.reorgPurge(sparkSession, path, where,
+      ts = VersionedTable.TsNow)
+    Seq(Row(v, (before - vectored()).toInt))
   }
 }
 

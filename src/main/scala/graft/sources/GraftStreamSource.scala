@@ -186,7 +186,8 @@ final class GraftStreamSource(spark: SparkSession, path: String,
         .cast(f.dataType).as(f.name)).toIndexedSeq: _*)
 
   private val NoDataChangeOps =
-    Set("optimize", "optimize_where", "compact", "set_bloom_index")
+    Set("optimize", "optimize_where", "compact", "set_bloom_index",
+      "reorg_purge")
   private def isMaintenance(op: String): Boolean =
     NoDataChangeOps.contains(op) ||
       op.startsWith("add_constraint") || op.startsWith("drop_constraint") ||

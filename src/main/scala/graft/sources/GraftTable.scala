@@ -31,6 +31,12 @@ final class GraftTable private (spark: SparkSession, path: String) {
       ts: String = VersionedTable.TsNow): Long =
     VersionedTable.optimizeWhere(spark, path, condition,
       zorderCols = zorderBy, ts = ts)
+  /** Delta's `REORG TABLE ... APPLY (PURGE)`: rewrite only the files
+    * carrying a deletion vector so the soft-deleted bytes actually
+    * leave disk once [[vacuum]] runs. */
+  def reorgPurge(condition: Option[String] = None,
+      ts: String = VersionedTable.TsNow): Long =
+    VersionedTable.reorgPurge(spark, path, condition, ts = ts)
   def vacuum(retainVersions: Int = -1): Int =
     VersionedTable.vacuum(spark, path, retainVersions)
   def restoreToVersion(v: Long, ts: String = VersionedTable.TsNow): Long =

@@ -1924,6 +1924,51 @@ object VersionedTable {
     next
   }
 
+  /** Delta's `REORG TABLE ... APPLY (PURGE)`: materialize deletion
+    * vectors by rewriting ONLY the files that carry one — the
+    * hard-delete completion step behind GDPR erasure: a merge-on-read
+    * DELETE soft-deletes rows into a vector while the original bytes
+    * stay on disk; PURGE rewrites exactly those files without the
+    * deleted rows, so [[vacuum]] can reclaim the originals and the
+    * bytes are actually gone. Everything vector-free carries by
+    * reference in a delta manifest — at 100 TB the cost is O(vectored
+    * files), never O(table). `condition` optionally narrows the scope
+    * (stats pruning over the vectored set — e.g. purge one partition).
+    * Content-identical by construction (the rewrite IS the DV-applied
+    * scan); returns the current version untouched when nothing in
+    * scope carries a vector. Dropped-column data purge is [[optimize]]
+    * (schema surgery needs the full rewrite). */
+  def reorgPurge(spark: SparkSession, path: String,
+      condition: Option[String] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      ts: String = "1970-01-01T00:00:00Z"): Long = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"reorg of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    val vectored0 = m.dvs.keySet.toSeq.sorted
+    val vectored = condition.fold(vectored0) { c =>
+      val e = spark.sessionState.sqlParser.parseExpression(c)
+      vectored0.filter(f => mayMatch(logicalStatsOf(m, f), e))
+    }
+    if (vectored.isEmpty) return prev
+    val bytes = vectored.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
+    val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
+    val cur = scanFiles(spark, root, vectored, m.dvs, mergeSchema = true,
+      m.colMap, m.retired, physReadSchema(m))
+    val next = prev + 1
+    val dataDir = newDataDir(next)
+    writeDataFiles(cur.repartition(target), m.colMap, m.pcols, root, dataDir)
+    val (newFiles, newStats, newRows) = listWithStats(hfs, root, dataDir)
+    m.bloomCfg.foreach { case (cs, b) =>
+      writeBlooms(spark, hfs, root, dataDir, cs.map(physOf(m.colMap, _)), b) }
+    // rm drops the rewritten files AND their dv entries (base application
+    // subtracts removed files from the inherited vector map)
+    publish(hfs, root, RawManifest(next, ts, "reorg_purge", Some(prev),
+      newFiles, vectored, None, m.schemaJson, newStats, addRows = newRows))
+    next
+  }
+
   /** Incremental compaction (Delta auto-compaction / the real shape of
     * `OPTIMIZE`): rewrite ONLY the files smaller than `smallBytes` into
     * ~`targetFileBytes` files, carrying everything else by reference —

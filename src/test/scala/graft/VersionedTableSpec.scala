@@ -1173,6 +1173,62 @@ class VersionedTableSpec extends SparkSpec {
     assert(idSet(VersionedTable.readVersion(spark, t)) === (expect - 1L))
   }
 
+  test("reorgPurge rewrites ONLY vectored files, drops their vectors, vacuum reclaims") {
+    val t = dvTable()
+    // vector lands only on files holding ids ≤ 5 (a subset of the 4)
+    VersionedTable.deleteMergeOnRead(spark, t, "id <= 5", ts = "2026-01-02T00:00:00Z")
+    val before = VersionedTable.snapshotFiles(spark, t).toSet
+    val detailBefore = VersionedTable.describeDetail(spark, t)
+      .select("num_vectored_files").head().getLong(0)
+    assert(detailBefore > 0 && detailBefore < 4,
+      s"fixture needs a PARTIAL vector spread, got $detailBefore of 4")
+    val v = VersionedTable.reorgPurge(spark, t, ts = "2026-01-03T00:00:00Z")
+    val after = VersionedTable.snapshotFiles(spark, t, v).toSet
+    // vector-free files carried BY REFERENCE; vectored ones replaced
+    assert((before intersect after).size === (4 - detailBefore.toInt),
+      "unvectored files must carry by reference through the purge")
+    assert(VersionedTable.describeDetail(spark, t)
+      .select("num_vectored_files").head().getLong(0) === 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 40L).toSet)
+    val op = VersionedTable.history(spark, t)
+      .filter(col("version") === v).select("op").head().getString(0)
+    assert(op === "reorg_purge")
+    // zero-grace vacuum reclaims the purged originals; content intact
+    VersionedTable.vacuum(spark, t, retainVersions = 1, graceMs = 0L)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 40L).toSet)
+    // idempotent: nothing vectored → no-op, same version back
+    assert(VersionedTable.reorgPurge(spark, t, ts = "2026-01-04T00:00:00Z") === v)
+  }
+
+  test("reorg_purge is maintenance to the stream source: nothing re-emits") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id <= 5", ts = "2026-01-02T00:00:00Z")
+    val v = VersionedTable.reorgPurge(spark, t, ts = "2026-01-03T00:00:00Z")
+    // tail from the purge version: its added (rewritten) files are
+    // dataChange=false — a stream must re-emit NOTHING
+    val ckp = java.nio.file.Files.createTempDirectory("rg_ckp").toString
+    val q = spark.readStream.format("graft")
+      .option("startingVersion", v.toString).load(t)
+      .writeStream.format("memory").queryName("rg_stream")
+      .option("checkpointLocation", ckp)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(spark.table("rg_stream").count() === 0L,
+      "a purge rewrite must never re-emit rows into a tailing stream")
+  }
+
+  test("REORG TABLE SQL: WHERE scopes the purge; reports purged count") {
+    val t = dvTable()
+    VersionedTable.deleteMergeOnRead(spark, t, "id <= 5", ts = "2026-01-02T00:00:00Z")
+    // a WHERE touching no vectored file's stat range is a no-op
+    val miss = spark.sql(s"REORG TABLE graft.`$t` WHERE id > 1000 APPLY (PURGE)")
+      .head()
+    assert(miss.getInt(1) === 0, "out-of-range WHERE must purge nothing")
+    val hit = spark.sql(s"REORG TABLE graft.`$t` APPLY (PURGE)").head()
+    assert(hit.getInt(1) > 0, "unscoped purge must clear the vectors")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 40L).toSet)
+  }
+
   test("CDF reports MoR-deleted rows as deletes and rollback as inserts") {
     val t = dvTable()
     val v = VersionedTable.deleteMergeOnRead(spark, t, "id IN (2, 22)", ts = "2026-01-02T00:00:00Z")
