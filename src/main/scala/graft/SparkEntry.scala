@@ -530,6 +530,28 @@ object SparkEntry {
       tbl
     })
 
+  /** Fixture for `vt_fk` — FSCK REPAIR TABLE: silver hive-partitioned
+    * by event_type, then a foreign process deletes the click
+    * partition's data files from disk (the cloud-storage-incident
+    * shape); FSCK drops the dead references in one metadata commit —
+    * O(files) existence HEADs, zero data reads — so the snapshot scans
+    * again. The oracle is silver minus the lost partition: it passes
+    * only if the repair removed exactly the vanished files. */
+  private def buildFsckTable(s: SparkSession, dir: String): String =
+    vtFixtures.getOrElseUpdate(("fk", dir), {
+      val tbl = java.nio.file.Files.createTempDirectory("graft_vtfk").toString
+      val sv = silver(s, dir).select("event_id", "event_type", "value")
+      VersionedTable.commit(sv, tbl, mode = "overwrite",
+        ts = "2026-01-01T00:00:00Z", partitionBy = Seq("event_type"))
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tbl)).iterator().asScala
+        .filter(p => p.toString.contains("event_type=click") &&
+          p.toString.endsWith(".parquet"))
+        .toSeq.foreach(java.nio.file.Files.delete)
+      s.sql(s"FSCK REPAIR TABLE graft.`$tbl`").collect()
+      tbl
+    })
+
   /** Fixture for `vt_u`: silver hash-laid on `event_id`, then BOTH
     * update flavors — a copy-on-write UPDATE (cheap clicks doubled,
     * touched files rewritten) and a merge-on-read UPDATE (expensive
@@ -1069,6 +1091,14 @@ object SparkEntry {
     // was content-identical AND self-contained post-vacuum)
     "vt_rg" -> ((s, dir) => {
       val tbl = buildReorgTable(s, dir)
+      VersionedTable.readVersion(s, tbl)
+        .select("event_id", "event_type", "value")
+    }),
+    // FSCK REPAIR TABLE: references to files a foreign process deleted
+    // from disk drop in one metadata commit; the surviving snapshot is
+    // exactly silver minus the lost partition
+    "vt_fk" -> ((s, dir) => {
+      val tbl = buildFsckTable(s, dir)
       VersionedTable.readVersion(s, tbl)
         .select("event_id", "event_type", "value")
     }),
@@ -2322,6 +2352,14 @@ object SparkEntry {
          |SELECT event_id, event_type, value FROM silver
          |WHERE NOT coalesce(event_id % 97 = 0, FALSE)
          |  AND NOT coalesce(event_type = 'signup' AND value > 90, FALSE)""".stripMargin,
+
+    // FSCK repair after losing the click partition's files: exactly the
+    // other partitions survive (NULL-safe — a NULL event_type rides its
+    // own hive partition dir and is untouched)
+    "vt_fk" ->
+      s"""$silverCte
+         |SELECT event_id, event_type, value FROM silver
+         |WHERE event_type IS DISTINCT FROM 'click'""".stripMargin,
 
     // clone ≡ source snapshot, then the delete's three-valued semantics:
     // rows where the predicate IS TRUE leave; NULL-value rows survive

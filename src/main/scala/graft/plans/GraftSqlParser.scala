@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference,
 import org.apache.spark.sql.catalyst.parser.ParserInterface
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructType}
+import org.apache.spark.sql.types.{BooleanType, DataType, IntegerType, LongType, StringType, StructType}
 
 import graft.sources.{GraftTable, VersionedTable}
 
@@ -148,6 +148,8 @@ object GraftSqlParser {
       .map(m => m.group(1) -> m.group(2)).toMap
   private val ReorgR: Regex =
     s"""(?is)\\s*REORG\\s+TABLE\\s+$T(?:\\s+WHERE\\s+(.+?))?\\s+APPLY\\s*\\(\\s*PURGE\\s*\\)\\s*;?\\s*""".r
+  private val FsckR: Regex =
+    s"""(?is)\\s*FSCK\\s+REPAIR\\s+TABLE\\s+$T(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   private val RestoreVR: Regex =
     s"""(?is)\\s*RESTORE\\s+(?:TABLE\\s+)?$T\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
   private val RestoreTR: Regex =
@@ -155,7 +157,7 @@ object GraftSqlParser {
   /** Statements that START like a graft command but fail its grammar
     * error here with usage, instead of a baffling delegate parse error. */
   private val LooksGraft: Regex =
-    """(?is)\s*(VACUUM|OPTIMIZE|REORG\s+TABLE|CONVERT\s+TO\s+GRAFT|RESTORE\s.*|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL)\s.*)\b.*""".r
+    """(?is)\s*(VACUUM|OPTIMIZE|REORG\s+TABLE|FSCK|CONVERT\s+TO\s+GRAFT|RESTORE\s.*|DESC(?:RIBE)?\s+(?:HISTORY|DETAIL)\s.*)\b.*""".r
 
   private[plans] def parseGraftCommand(sqlText: String): Option[LogicalPlan] =
     sqlText match {
@@ -199,6 +201,8 @@ object GraftSqlParser {
       case ReorgR(p, gp, id, where) =>
         Some(GraftReorgCommand(target(p, gp, id),
           Option(where).map(_.trim).filter(_.nonEmpty)))
+      case FsckR(p, gp, id, dry) =>
+        Some(GraftFsckCommand(target(p, gp, id), dry != null))
       case OptimizeR(p, gp, id, where, zorder) =>
         Some(GraftOptimizeCommand(target(p, gp, id), Option(where),
           Option(zorder).toSeq.flatMap(_.split(',').map(_.trim.stripPrefix("`")
@@ -208,6 +212,7 @@ object GraftSqlParser {
           "DESCRIBE HISTORY <t> | VACUUM <t> [RETAIN n VERSIONS|HOURS] [DRY RUN] | " +
           "OPTIMIZE <t> [WHERE pred] [ZORDER BY (cols)] | " +
           "REORG TABLE <t> [WHERE pred] APPLY (PURGE) | " +
+          "FSCK REPAIR TABLE <t> [DRY RUN] | " +
           "RESTORE [TABLE] <t> TO VERSION|TIMESTAMP AS OF ...")
       case _ => None
     }
@@ -442,6 +447,22 @@ final case class GraftReorgCommand(target: Either[String, Seq[String]],
     val v = VersionedTable.reorgPurge(sparkSession, path, where,
       ts = VersionedTable.TsNow)
     Seq(Row(v, (before - vectored()).toInt))
+  }
+}
+
+/** `FSCK REPAIR TABLE t [DRY RUN]` — Delta's missing-file repair: drop
+  * snapshot references to data files that no longer exist in storage so
+  * the table scans again. One row per missing file; `removed` is false
+  * under DRY RUN (reported, nothing committed). */
+final case class GraftFsckCommand(target: Either[String, Seq[String]],
+    dryRun: Boolean) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("data_file", StringType, nullable = false)(),
+    AttributeReference("removed", BooleanType, nullable = false)())
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val path = GraftSqlParser.resolvePath(sparkSession, target)
+    VersionedTable.fsck(sparkSession, path, dryRun,
+      ts = VersionedTable.TsNow).map(f => Row(f, !dryRun))
   }
 }
 

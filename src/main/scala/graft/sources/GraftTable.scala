@@ -37,6 +37,10 @@ final class GraftTable private (spark: SparkSession, path: String) {
   def reorgPurge(condition: Option[String] = None,
       ts: String = VersionedTable.TsNow): Long =
     VersionedTable.reorgPurge(spark, path, condition, ts = ts)
+  /** Delta's `FSCK REPAIR TABLE`: drop references to physically-missing
+    * data files so the snapshot scans again; returns the dropped paths. */
+  def fsck(dryRun: Boolean = false, ts: String = VersionedTable.TsNow): Seq[String] =
+    VersionedTable.fsck(spark, path, dryRun, ts = ts)
   def vacuum(retainVersions: Int = -1): Int =
     VersionedTable.vacuum(spark, path, retainVersions)
   def restoreToVersion(v: Long, ts: String = VersionedTable.TsNow): Long =

@@ -1969,6 +1969,38 @@ object VersionedTable {
     next
   }
 
+  /** Delta's `FSCK REPAIR TABLE`: drop snapshot references to data
+    * files that no longer exist in storage (the recovery path after a
+    * cloud-storage incident, an over-eager lifecycle policy, or a
+    * foreign process deleting under the table) — without it every scan
+    * of the snapshot fails on the first missing file. Existence checks
+    * are one metadata HEAD per file on the bounded [[ioPool]] — at
+    * 100 TB the cost is O(files) cheap RPCs, zero data reads. Returns
+    * the missing (dropped) entries, sorted; empty = snapshot intact,
+    * nothing committed. `dryRun` reports without repairing. The repair
+    * commit removes the entries (their stats / row counts / deletion
+    * vectors fall away with them via base application) and the vanished
+    * rows surface in the change feed as deletes — losing data IS a data
+    * change, matching Delta's FSCK. */
+  def fsck(spark: SparkSession, path: String, dryRun: Boolean = false,
+      ts: String = "1970-01-01T00:00:00Z"): Seq[String] = {
+    val (hfs, root) = fs(spark, path)
+    val prev = versions(hfs, root).lastOption.getOrElse(
+      throw new IllegalArgumentException(s"fsck of empty table at $path"))
+    val m = readManifest(hfs, root, prev)
+    implicit val ec: scala.concurrent.ExecutionContext = ioPool
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    val missing = Await.result(
+      Future.traverse(m.files.sorted)(f =>
+        Future(if (hfs.exists(new Path(root, f))) None else Some(f))),
+      Duration.Inf).flatten
+    if (missing.nonEmpty && !dryRun)
+      publish(hfs, root, RawManifest(prev + 1, ts, "fsck_repair", Some(prev),
+        Seq.empty, missing, None, m.schemaJson, Map.empty))
+    missing
+  }
+
   /** Incremental compaction (Delta auto-compaction / the real shape of
     * `OPTIMIZE`): rewrite ONLY the files smaller than `smallBytes` into
     * ~`targetFileBytes` files, carrying everything else by reference —

@@ -1229,6 +1229,76 @@ class VersionedTableSpec extends SparkSpec {
     assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 40L).toSet)
   }
 
+  test("fsck: DRY RUN reports missing files, repair drops them, survivors scan") {
+    val t = freshTable()
+    val d = (1L to 40L).toDF("id")
+      .withColumn("part", when(col("id") <= 20, lit("a")).otherwise(lit("b")))
+      .withColumn("v", col("id") * 10)
+    VersionedTable.commit(d, t, mode = "overwrite",
+      ts = "2026-01-01T00:00:00Z", partitionBy = Seq("part"))
+    val v0 = VersionedTable.latestVersion(spark, t)
+    // a foreign process deletes the part=a data files under the table
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(t)
+    val doomed = java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => p.toString.contains("part=a") && p.toString.endsWith(".parquet"))
+      .toSeq
+    assert(doomed.nonEmpty)
+    doomed.foreach(java.nio.file.Files.delete)
+    // DRY RUN: reports every vanished entry, commits nothing
+    val dry = VersionedTable.fsck(spark, t, dryRun = true)
+    assert(dry.size === doomed.size && dry.forall(_.contains("part=a")))
+    assert(VersionedTable.latestVersion(spark, t) === v0)
+    // repair: one commit, survivors scan, metadata-only counts follow
+    val fixed = VersionedTable.fsck(spark, t, ts = "2026-01-02T00:00:00Z")
+    assert(fixed.toSet === dry.toSet)
+    assert(VersionedTable.latestVersion(spark, t) === v0 + 1)
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (21L to 40L).toSet)
+    assert(VersionedTable.rowCount(spark, t) === 20L)
+    val op = VersionedTable.history(spark, t)
+      .orderBy(col("version").desc).select("op").head().getString(0)
+    assert(op === "fsck_repair")
+    // intact snapshot: no-op, nothing committed
+    assert(VersionedTable.fsck(spark, t).isEmpty)
+    assert(VersionedTable.latestVersion(spark, t) === v0 + 1)
+  }
+
+  test("fsck drops a missing file's deletion vector with it") {
+    // range layout: each of the 4 files holds a contiguous id decade, so
+    // "id % 10 = 1" deterministically vectors every file
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 40L: _*).repartitionByRange(4, col("id")),
+      t, mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    VersionedTable.deleteMergeOnRead(spark, t, "id % 10 = 1", ts = "2026-01-02T00:00:00Z")
+    val before = VersionedTable.describeDetail(spark, t)
+      .select("num_vectored_files").head().getLong(0)
+    assert(before === 4L, "fixture expects every file vectored")
+    val victim = VersionedTable.snapshotFiles(spark, t).sorted.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, victim))
+    val fixed = VersionedTable.fsck(spark, t, ts = "2026-01-03T00:00:00Z")
+    assert(fixed === Seq(victim))
+    assert(VersionedTable.describeDetail(spark, t)
+      .select("num_vectored_files").head().getLong(0) === before - 1)
+    // surviving rows still honor their vectors
+    val ids = idSet(VersionedTable.readVersion(spark, t))
+    assert(ids.nonEmpty && ids.forall(_ % 10 != 1))
+  }
+
+  test("FSCK REPAIR TABLE SQL: dry run flags removed=false, repair heals the scan") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3).repartition(3, col("id")), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val victim = VersionedTable.snapshotFiles(spark, t).sorted.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, victim))
+    val dry = spark.sql(s"FSCK REPAIR TABLE graft.`$t` DRY RUN").collect()
+    assert(dry.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq((victim, false)))
+    val rep = spark.sql(s"FSCK REPAIR TABLE graft.`$t`").collect()
+    assert(rep.map(r => (r.getString(0), r.getBoolean(1))).toSeq ===
+      Seq((victim, true)))
+    assert(idSet(VersionedTable.readVersion(spark, t)).size === 2)
+  }
+
   test("CDF reports MoR-deleted rows as deletes and rollback as inserts") {
     val t = dvTable()
     val v = VersionedTable.deleteMergeOnRead(spark, t, "id IN (2, 22)", ts = "2026-01-02T00:00:00Z")
