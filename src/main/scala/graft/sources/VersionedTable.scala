@@ -4,7 +4,7 @@ import java.util.concurrent.atomic.AtomicLong
 
 import org.apache.hadoop.fs.{FileSystem, LocalFileSystem, Path, RawLocalFileSystem}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, explode, expr, input_file_name, lit, monotonically_increasing_id, pmod, regexp_extract, struct, when, xxhash64}
+import org.apache.spark.sql.functions.{array, broadcast, coalesce, col, collect_set, concat, count, explode, expr, input_file_name, lit, monotonically_increasing_id, pmod, regexp_extract, struct, when, xxhash64}
 import org.apache.spark.sql.types.{ArrayType, BinaryType, ByteType, DataType, DateType, IntegerType, LongType, MapType, NumericType, ShortType, StringType, StructField, StructType, TimestampType}
 
 /** Snapshot-versioned parquet table: the Delta-lake surface the reference
@@ -4203,8 +4203,13 @@ object VersionedTable {
     * only files containing a match are rewritten, the rest carry by
     * reference (same machinery as [[merge]], with the predicate as the
     * match — manifest stats prune the discovery candidates via
-    * [[mayMatch]], including typed DATE/TIMESTAMP ranges). `condition`
-    * is a SQL boolean expression over the table's columns. */
+    * [[mayMatch]], including typed DATE/TIMESTAMP ranges). A file whose
+    * live rows ALL match is dropped outright with ZERO rewrite (Delta's
+    * file-level delete) — the shape of a retention sweep: `DELETE WHERE
+    * ts < cutoff` on time-laid data removes whole files from the
+    * manifest and rewrites only the single boundary file, so the cost
+    * is O(boundary), not O(deleted bytes). `condition` is a SQL boolean
+    * expression over the table's columns. */
   def delete(spark: SparkSession, path: String, condition: String,
       ts: String = "1970-01-01T00:00:00Z"): Long = {
     val (hfs, root) = fs(spark, path)
@@ -4214,28 +4219,36 @@ object VersionedTable {
     val snapSchema = snapshotSchema(spark, root, m)
     requireNotAppendOnly(m.props, path, "delete")
     // stats-pruned discovery: files whose manifest [min,max] ranges prove
-    // the predicate false contain no deletable row and are never opened
+    // the predicate false contain no deletable row and are never opened.
+    // ONE pass counts matching vs total live rows per candidate file —
+    // the same shuffle the old distinct-touched scan paid, now also
+    // proving which files are FULLY deleted (dropped, never rewritten)
     val condExpr = spark.sessionState.sqlParser.parseExpression(condition)
     val candidates =
       m.files.filter(f => mayMatch(logicalStatsOf(m, f), condExpr))
-    val touched =
-      if (candidates.isEmpty) Set.empty[String]
+    val perFile =
+      if (candidates.isEmpty) Array.empty[(String, Long, Long)]
       else scanLive(spark, root, candidates, m.dvs, m.colMap, m.retired,
           physReadSchema(m))
-        .filter(expr(condition))
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
+        .groupBy("__file")
+        .agg(count(lit(1)).as("n_live"),
+          count(when(coalesce(expr(condition), lit(false)), 1)).as("n_match"))
+        .filter(col("n_match") > 0)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val touched = perFile.map(_._1).toSet
     require(!touched.contains(""), "scan returned a file outside the table layout")
+    val fullyGone = perFile.collect { case (f, n, nm) if nm == n => f }.toSet
     val touchedFiles = resolveTouched(m.files, touched)
+    val rewriteFiles = resolveTouched(m.files, touched -- fullyGone)
     val next = prev + 1
     val dataDir = newDataDir(next)
-    val (newFiles, newStats, newRows) = if (touchedFiles.nonEmpty) {
-      // rewrite reads ONLY the touched files (readTouched — the plan's
-      // scan is touched-set-sized); keep rows where the predicate is
+    val (newFiles, newStats, newRows) = if (rewriteFiles.nonEmpty) {
+      // rewrite reads ONLY the partially-covered files (readTouched — the
+      // plan's scan is boundary-sized); keep rows where the predicate is
       // false OR NULL (three-valued logic: only cond-IS-TRUE rows are
       // deleted, Delta's semantics — a bare !cond would silently drop
       // NULL-evaluating rows)
-      val survivors = readTouched(spark, path, touchedFiles.toSeq.sorted)
+      val survivors = readTouched(spark, path, rewriteFiles.toSeq.sorted)
         .filter(!coalesce(expr(condition), lit(false)))
       writeDataFiles(survivors, m.colMap, m.pcols, root, dataDir)
       val listed = listWithStats(hfs, root, dataDir)

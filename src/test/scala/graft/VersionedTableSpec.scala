@@ -1229,6 +1229,33 @@ class VersionedTableSpec extends SparkSpec {
     assert(idSet(VersionedTable.readVersion(spark, t)) === (6L to 40L).toSet)
   }
 
+  test("delete drops fully-covered files outright; only the boundary file rewrites") {
+    // four files with exact decade ranges (one single-partition commit each)
+    val t = freshTable()
+    VersionedTable.commit(df(1L to 10L: _*).coalesce(1), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    (1 to 3).foreach { i =>
+      VersionedTable.commit(df((i * 10 + 1L) to (i * 10 + 10L): _*).coalesce(1),
+        t, mode = "append", ts = s"2026-01-01T0$i:00:00Z")
+    }
+    val before = VersionedTable.snapshotFiles(spark, t)
+    assert(before.size === 4)
+    // covers [1-10] fully and [11-15] partially: the full file must DROP
+    // with zero rewrite, the boundary file rewrites, two carry untouched
+    val v = VersionedTable.delete(spark, t, "id <= 15", ts = "2026-01-02T00:00:00Z")
+    val after = VersionedTable.snapshotFiles(spark, t, v)
+    assert((before.toSet intersect after.toSet).size === 2,
+      "the two untouched decades must carry by reference")
+    assert((after.toSet -- before.toSet).size === 1,
+      "exactly one new file: the boundary rewrite — a fully-covered file must never rewrite")
+    assert(idSet(VersionedTable.readVersion(spark, t)) === (16L to 40L).toSet)
+    // full-table delete: every file drops, zero bytes written
+    val v2 = VersionedTable.delete(spark, t, "id >= 0", ts = "2026-01-03T00:00:00Z")
+    assert(VersionedTable.snapshotFiles(spark, t, v2).isEmpty)
+    assert(VersionedTable.readVersion(spark, t).count() === 0L)
+    assert(VersionedTable.rowCount(spark, t) === 0L)
+  }
+
   test("fsck: DRY RUN reports missing files, repair drops them, survivors scan") {
     val t = freshTable()
     val d = (1L to 40L).toDF("id")
