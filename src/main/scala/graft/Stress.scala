@@ -882,6 +882,11 @@ object Stress {
     VersionedTable.commit(
       spark.range(1).select(col("id").as("k"), lit(0L).as("batch")),
       tbl, mode = "overwrite")
+    // recentProgress is a ring buffer (default 100 entries); a 150 ms
+    // trigger over a ~25 s soak overflows it and evicts the EARLY
+    // batches — the exact ones the first-third-vs-last-third flat-cost
+    // gate must sample. Widen it for this query.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     val rows = new java.util.concurrent.atomic.AtomicLong(0)
     val q = spark.readStream.format("graft").load(tbl)
       .writeStream

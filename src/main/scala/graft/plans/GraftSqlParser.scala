@@ -441,12 +441,9 @@ final case class GraftReorgCommand(target: Either[String, Seq[String]],
     AttributeReference("n_files_purged", IntegerType, nullable = false)())
   override def run(sparkSession: SparkSession): Seq[Row] = {
     val path = GraftSqlParser.resolvePath(sparkSession, target)
-    def vectored(): Long = VersionedTable.describeDetail(sparkSession, path)
-      .select("num_vectored_files").head().getLong(0)
-    val before = vectored()
-    val v = VersionedTable.reorgPurge(sparkSession, path, where,
-      ts = VersionedTable.TsNow)
-    Seq(Row(v, (before - vectored()).toInt))
+    val (v, purged) = VersionedTable.reorgPurgeCounted(sparkSession, path,
+      where, ts = VersionedTable.TsNow)
+    Seq(Row(v, purged))
   }
 }
 

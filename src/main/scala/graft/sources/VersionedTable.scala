@@ -1153,6 +1153,21 @@ object VersionedTable {
       }
     }
 
+  /** An identity column may not be a partition column: the hive layout
+    * renders it as directory values, so the written parquet footers
+    * carry no stats for it and [[advanceIdentity]] would silently skip
+    * the high-water advance — the next batch would re-assign the same
+    * values. Refuse loudly instead (partitioning by a unique counter is
+    * one directory per row anyway). */
+  private def requireIdentityNotPartition(specs: Map[String, IdentitySpec],
+      pcols: Seq[String], cmap: Map[String, String], path: String): Unit = {
+    val hit = specs.keySet.map(physOf(cmap, _)) intersect pcols.toSet
+    if (hit.nonEmpty) throw new UnsupportedOperationException(
+      s"identity column(s) ${hit.toSeq.sorted.mkString(", ")} cannot be " +
+        s"partition columns at $path — partition directories carry no " +
+        "footer stats, so the identity high-water mark could not advance")
+  }
+
   /** Refuse DML shapes that cannot maintain the identity counter:
     * row-INSERTING paths outside the commit faces (they would land
     * NULLs or stale-hwm values), and assignments to GENERATED ALWAYS
@@ -1368,6 +1383,7 @@ object VersionedTable {
         cur
       } else declaredP
     validatePcols(pcols, toPhysical(df, cmap).schema, path)
+    requireIdentityNotPartition(idSpecs, pcols, cmap, path)
     val next = prev.map(_ + 1).getOrElse(0L)
     // Data first: a crash after this leaves an orphaned directory that
     // vacuum reclaims; the table is unchanged until the manifest claims.
@@ -1941,7 +1957,16 @@ object VersionedTable {
   def reorgPurge(spark: SparkSession, path: String,
       condition: Option[String] = None,
       targetFileBytes: Long = 128L * 1024 * 1024,
-      ts: String = "1970-01-01T00:00:00Z"): Long = {
+      ts: String = "1970-01-01T00:00:00Z"): Long =
+    reorgPurgeCounted(spark, path, condition, targetFileBytes, ts)._1
+
+  /** [[reorgPurge]] plus how many vectored files it rewrote — the SQL
+    * command's report row, without re-resolving the snapshot before and
+    * after just to diff vector counts. */
+  private[graft] def reorgPurgeCounted(spark: SparkSession, path: String,
+      condition: Option[String] = None,
+      targetFileBytes: Long = 128L * 1024 * 1024,
+      ts: String = "1970-01-01T00:00:00Z"): (Long, Int) = {
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"reorg of empty table at $path"))
@@ -1951,7 +1976,7 @@ object VersionedTable {
       val e = spark.sessionState.sqlParser.parseExpression(c)
       vectored0.filter(f => mayMatch(logicalStatsOf(m, f), e))
     }
-    if (vectored.isEmpty) return prev
+    if (vectored.isEmpty) return (prev, 0)
     val bytes = vectored.map(f => hfs.getFileStatus(new Path(root, f)).getLen).sum
     val target = math.max(1, math.ceil(bytes.toDouble / targetFileBytes).toInt)
     val cur = scanFiles(spark, root, vectored, m.dvs, mergeSchema = true,
@@ -1966,7 +1991,7 @@ object VersionedTable {
     // subtracts removed files from the inherited vector map)
     publish(hfs, root, RawManifest(next, ts, "reorg_purge", Some(prev),
       newFiles, vectored, None, m.schemaJson, newStats, addRows = newRows))
-    next
+    (next, vectored.size)
   }
 
   /** Delta's `FSCK REPAIR TABLE`: drop snapshot references to data
@@ -1979,9 +2004,10 @@ object VersionedTable {
     * the missing (dropped) entries, sorted; empty = snapshot intact,
     * nothing committed. `dryRun` reports without repairing. The repair
     * commit removes the entries (their stats / row counts / deletion
-    * vectors fall away with them via base application) and the vanished
-    * rows surface in the change feed as deletes — losing data IS a data
-    * change, matching Delta's FSCK. */
+    * vectors fall away with them via base application). The vanished
+    * rows are UNRECOVERABLE — the bytes are gone — so a change-feed
+    * range crossing the repair version refuses loudly ([[changes]])
+    * rather than failing mid-scan or silently under-reporting. */
   def fsck(spark: SparkSession, path: String, dryRun: Boolean = false,
       ts: String = "1970-01-01T00:00:00Z"): Seq[String] = {
     val (hfs, root) = fs(spark, path)
@@ -2183,7 +2209,14 @@ object VersionedTable {
     // name is a label; retries re-point the manifest at the same files
     val first = versions(hfs, root).lastOption
     val firstM = first.map(readManifest(hfs, root, _))
-    val df = applyGens(df0, firstM.map(_.gens).getOrElse(Map.empty))
+    // IDENTITY columns assign against the FIRST head's high-water mark
+    // (the data is written once); the retry loop refuses to re-claim if
+    // a concurrent winner moved the counter — those values could
+    // duplicate the winner's, so the caller must re-run the whole
+    // commit against the new head (fresh assignment)
+    val idSpecs = firstM.map(pm => identitySpecs(pm.props)).getOrElse(Map.empty)
+    val (df, _) = assignIdentity(
+      applyGens(df0, firstM.map(_.gens).getOrElse(Map.empty)), idSpecs, path)
     val firstCmap = firstM.map(_.colMap).getOrElse(Map.empty[String, String])
     // retirement guard BEFORE any data lands (the physical write below
     // would otherwise fail on a duplicate storage name with an opaque
@@ -2211,6 +2244,7 @@ object VersionedTable {
         s"append partitionBy ${declaredP.mkString("[", ",", "]")} does not " +
           s"match table partitioning ${firstP.mkString("[", ",", "]")} at $path")
     validatePcols(firstP, toPhysical(df, firstCmap).schema, path)
+    requireIdentityNotPartition(idSpecs, firstP, firstCmap, path)
     val firstSnap = firstM.flatMap(_.schemaJson)
       .map(j => unionSchema(
         DataType.fromJson(j).asInstanceOf[StructType], df.schema))
@@ -2262,6 +2296,13 @@ object VersionedTable {
       if (headM.exists(_.pcols != firstP))
         throw new SchemaMismatchException(
           s"table partitioning changed concurrently during commitWithRetry at $path; re-run")
+      // identity counter guard: a winner that advanced the high-water
+      // mark (or declared/changed a spec) may have assigned the same
+      // values this batch carries — refuse the claim, the caller
+      // re-runs and re-assigns from the new head
+      if (headM.map(pm => identitySpecs(pm.props)).getOrElse(Map.empty) != idSpecs)
+        throw new SchemaMismatchException(
+          s"identity counter changed concurrently during commitWithRetry at $path; re-run")
       // same retirement guard as commitInternal: an evolved batch may
       // not introduce a logical column colliding with an in-use or
       // retired physical name
@@ -2284,7 +2325,14 @@ object VersionedTable {
         publish(hfs, root, RawManifest(next, ts, "append", prev, newFiles,
           Seq.empty, None, Some(snapSchema.json), newStats,
           pcolsLine = if (prev.isEmpty && firstP.nonEmpty) Some(firstP) else None,
-          addRows = newRows))
+          addRows = newRows,
+          // the assigned batch's advanced high-water mark rides the same
+          // manifest as the data (the transactional-counter contract)
+          propsState =
+            if (idSpecs.isEmpty) None
+            else Some(advanceIdentity(
+              headM.map(_.props).getOrElse(Map.empty), idSpecs,
+              idSpecs.keySet, firstCmap, newStats, path))))
         return next
       } catch {
         case e: ConcurrentCommitException =>
@@ -2387,6 +2435,7 @@ object VersionedTable {
       !Seq("|", "=", "\n").exists(k.contains) && !k.exists(_.isWhitespace),
       s"bad property key: '$k'"))
     props.values.foreach(v => require(v != null, "property value may not be null"))
+    requireNotEngineProps(props.keys, path, "SET TBLPROPERTIES")
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"setProperties on empty table at $path"))
@@ -2403,6 +2452,7 @@ object VersionedTable {
     * are an error unless `ifExists`. */
   def unsetProperties(spark: SparkSession, path: String, keys: Seq[String],
       ifExists: Boolean = false, ts: String = "1970-01-01T00:00:00Z"): Long = {
+    requireNotEngineProps(keys, path, "UNSET TBLPROPERTIES")
     val (hfs, root) = fs(spark, path)
     val prev = versions(hfs, root).lastOption.getOrElse(
       throw new IllegalArgumentException(s"unsetProperties on empty table at $path"))
@@ -2417,6 +2467,22 @@ object VersionedTable {
       Some(prev), Seq.empty, Seq.empty, None, m.schemaJson, Map.empty,
       propsState = Some(m.props -- keys)))
     next
+  }
+
+  /** The identity counter lives in `graft.identity.*` properties but is
+    * ENGINE state, not user policy: a user SET would corrupt or brick
+    * the counter (malformed value → every append throws) and an UNSET
+    * would erase the high-water mark (re-declaring restarts at start →
+    * duplicate values). Both property faces refuse the namespace;
+    * [[addIdentityColumn]] is the only writer. */
+  private def requireNotEngineProps(keys: Iterable[String], path: String,
+      op: String): Unit = {
+    val hit = keys.filter(_.startsWith(IdentityPropPrefix)).toSeq.sorted
+    if (hit.nonEmpty) throw new UnsupportedOperationException(
+      s"$op may not touch engine-managed propert" +
+        s"${if (hit.size == 1) "y" else "ies"} ${hit.mkString(", ")} at " +
+        s"$path — the identity counter is maintained by the commit faces " +
+        "(declare identity columns via addIdentityColumn)")
   }
 
   /** `graft.appendOnly=true` (Delta's `delta.appendOnly`): the table
@@ -3772,8 +3838,13 @@ object VersionedTable {
     val tType = snapSchema
     val sType = source.schema
     val tStruct = struct(snapSchema.fieldNames.map(c => col(s"t.$c")).toIndexedSeq: _*)
+    // UPDATE SET * never assigns identity columns (Delta's rule: the
+    // engine owns the counter; an explicit SET on a BY DEFAULT column
+    // stays allowed, an explicit SET on ALWAYS is refused above)
+    val idCols = identitySpecs(m.props).keySet
     def updateAllSet: Map[String, String] = snapSchema.fieldNames
-      .filter(source.columns.contains).map(c => c -> s"s.$c").toMap
+      .filter(source.columns.contains).filterNot(idCols.contains)
+      .map(c => c -> s"s.$c").toMap
     def newRow(set: Map[String, String]): Column =
       struct(snapSchema.fields.map(f =>
         expr(set.getOrElse(f.name, s"t.${f.name}"))
@@ -4879,6 +4950,18 @@ object VersionedTable {
     val (hfs, root) = fs(spark, path)
     val fromM = readManifest(hfs, root, fromVersion)
     val toM = readManifest(hfs, root, toVersion)
+    // an fsck_repair inside the range removed files that are PHYSICALLY
+    // GONE — their rows cannot be reconstructed as deletes. Refuse
+    // loudly up front (same class as replaying past a vacuum) instead
+    // of failing mid-scan on the missing file.
+    ((fromVersion + 1) to toVersion).foreach { v =>
+      if (scala.util.Try(readRaw(hfs, root, v)).toOption.exists(_.op == "fsck_repair"))
+        throw new UnsupportedOperationException(
+          s"change feed range $fromVersion..$toVersion at $path crosses an " +
+            s"fsck_repair commit (v$v): the repaired files are physically " +
+            "missing, so their rows cannot be replayed as deletes — start " +
+            s"the feed at or after v$v")
+    }
     val from = fromM.files
     val to = toM.files
     val removed = from.filterNot(to.toSet)

@@ -133,6 +133,97 @@ class IdentityColumnsSpec extends SparkSpec {
     assert(left.length === 1 && left.head.getAs[Long]("v") === 42L)
   }
 
+  test("commitWithRetry assigns identity and advances the hwm; ALWAYS still refuses") {
+    val p = freshTable()
+    val t = GraftTable.forPath(spark, p)
+    t.addIdentityColumn("id", start = 1L, step = 1L)
+    VersionedTable.commitWithRetry(Seq(("a", 1L), ("b", 2L)).toDF("name", "v"), p)
+    val ids1 = rows(p).map(_.getAs[Long]("id"))
+    assert(ids1.length === 2 && ids1.distinct.length === 2,
+      "the multi-writer append face must assign unique identity values")
+    val hwm1 = t.identityColumns("id").highWaterMark.get
+    assert(hwm1 === ids1.max, "the retry face must advance the hwm it assigned")
+    // a second retry-append continues strictly past the mark
+    VersionedTable.commitWithRetry(Seq(("c", 3L)).toDF("name", "v"), p)
+    val ids2 = rows(p).map(_.getAs[Long]("id"))
+    assert(ids2.length === 3 && ids2.distinct.length === 3)
+    assert(ids2.filterNot(ids1.contains).forall(_ > hwm1))
+    // GENERATED ALWAYS refuses explicit values on this face too
+    intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitWithRetry(
+        Seq(("x", 9L, 999L)).toDF("name", "v", "id"), p)
+    }
+  }
+
+  test("commitWithRetry refuses to re-claim after a winner moved the identity counter") {
+    val p = freshTable()
+    GraftTable.forPath(spark, p).addIdentityColumn("id", start = 1L, step = 1L)
+    // the winner lands between our data write and the manifest claim and
+    // ADVANCES the counter — re-claiming our pre-assigned values could
+    // duplicate the winner's, so the loop must surface instead of retry
+    var once = true
+    val e = intercept[VersionedTable.SchemaMismatchException] {
+      VersionedTable.commitWithRetryImpl(
+        Seq(("a", 1L)).toDF("name", "v"), p, "1970-01-01T00:00:00Z",
+        mergeSchema = false, maxRetries = 5, { _ =>
+          if (once) {
+            once = false
+            VersionedTable.commit(Seq(("w", 9L)).toDF("name", "v"), p,
+              mode = "append")
+          }
+        })
+    }
+    assert(e.getMessage.contains("identity counter changed concurrently"))
+    // no duplicates landed: only the winner's row is visible
+    val ids = rows(p).map(_.getAs[Long]("id"))
+    assert(ids.length === 1 && ids.distinct.length === 1)
+  }
+
+  test("merge UPDATE SET * never assigns an identity column the source carries") {
+    import VersionedTable.MergeAction.Update
+    val p = freshTable()
+    val t = GraftTable.forPath(spark, p)
+    t.addIdentityColumn("id", start = 1L, step = 1L)
+    VersionedTable.commit(Seq(("a", 1L), ("b", 2L)).toDF("name", "v"), p,
+      mode = "append")
+    val before = rows(p).map(r =>
+      r.getAs[String]("name") -> r.getAs[Long]("id")).toMap
+    // the source carries id = 999 for both rows; SET * must not take it
+    val src = Seq(("a", 10L, 999L), ("b", 20L, 999L)).toDF("name", "v", "id")
+    VersionedTable.mergeClauses(src, p, Seq("name"),
+      matched = Seq(Update()), notMatched = Seq.empty)
+    val after = rows(p)
+    assert(after.map(_.getAs[Long]("v")).sorted === Array(10L, 20L),
+      "SET * must still take the source's data columns")
+    after.foreach(r =>
+      assert(r.getAs[Long]("id") === before(r.getAs[String]("name")),
+        "SET * must leave the engine-owned identity column untouched"))
+  }
+
+  test("TBLPROPERTIES faces refuse the engine-managed identity namespace") {
+    val p = freshTable()
+    GraftTable.forPath(spark, p).addIdentityColumn("id")
+    intercept[UnsupportedOperationException] {
+      VersionedTable.setProperties(spark, p, Map("graft.identity.id" -> "oops"))
+    }
+    intercept[UnsupportedOperationException] {
+      VersionedTable.unsetProperties(spark, p, Seq("graft.identity.id"))
+    }
+    // unrelated properties still flow
+    VersionedTable.setProperties(spark, p, Map("graft.custom.note" -> "ok"))
+    assert(GraftTable.forPath(spark, p).properties("graft.custom.note") === "ok")
+  }
+
+  test("an identity column cannot be a partition column (no footer stats, no hwm)") {
+    val p = freshTable()
+    GraftTable.forPath(spark, p).addIdentityColumn("id")
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.commit(Seq(("a", 1L)).toDF("name", "v"), p,
+        mode = "overwrite", partitionBy = Seq("id"))
+    }
+    assert(e.getMessage.contains("partition"))
+  }
+
   test("hwm is transactional metadata: visible via properties, time-travel consistent") {
     val p = freshTable()
     val t = GraftTable.forPath(spark, p)

@@ -1326,6 +1326,27 @@ class VersionedTableSpec extends SparkSpec {
     assert(idSet(VersionedTable.readVersion(spark, t)).size === 2)
   }
 
+  test("change feed refuses a range crossing fsck_repair (rows unrecoverable)") {
+    val t = freshTable()
+    VersionedTable.commit(df(1, 2, 3).repartition(3, col("id")), t,
+      mode = "overwrite", ts = "2026-01-01T00:00:00Z")
+    val victim = VersionedTable.snapshotFiles(spark, t).sorted.head
+    java.nio.file.Files.delete(java.nio.file.Paths.get(t, victim))
+    VersionedTable.fsck(spark, t, ts = "2026-01-02T00:00:00Z")
+    val vRepair = VersionedTable.latestVersion(spark, t)
+    // the repaired file is physically gone: its rows cannot replay as
+    // deletes — the feed must refuse up front, not die mid-scan
+    val e = intercept[UnsupportedOperationException] {
+      VersionedTable.changes(spark, t, Seq("id"), 0L, vRepair).collect()
+    }
+    assert(e.getMessage.contains("fsck_repair"))
+    // starting AT the repair version replays normally
+    VersionedTable.commit(df(9), t, mode = "append", ts = "2026-01-03T00:00:00Z")
+    val feed = VersionedTable.changes(spark, t, Seq("id"), vRepair,
+      VersionedTable.latestVersion(spark, t))
+    assert(feed.filter(col("_change_type") === "insert").count() === 1L)
+  }
+
   test("CDF reports MoR-deleted rows as deletes and rollback as inserts") {
     val t = dvTable()
     val v = VersionedTable.deleteMergeOnRead(spark, t, "id IN (2, 22)", ts = "2026-01-02T00:00:00Z")
