@@ -36,6 +36,101 @@ object Probe {
       }
       spark.stop(); return
     }
+    // similarity decomposition: where do v_iq / v_pq spend their time —
+    // the fits (driver-round jobs) or the ADC query path?
+    if (args.length > 1 && args(1) == "simparts") {
+      import org.apache.spark.sql.functions.col
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jobStart = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+          jobStart.put(j.jobId, System.nanoTime()); ()
+        }
+        override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val t0 = jobStart.remove(j.jobId)
+          println(f"  JOB ${j.jobId}%3d ${(System.nanoTime() - t0) / 1e9}%6.3f s")
+        }
+      })
+      val emb = Tables.embeddings(spark, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      for (pass <- 1 to 2) {
+        def t(name: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val (j0, s0) = (jobs.get(), stages.get())
+          val r = f
+          val n = r match { case l: Long => s" ($l rows)"; case _ => "" }
+          println(f"SIMPART $name%-16s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+            f"jobs=${jobs.get() - j0}%2d stages=${stages.get() - s0}%2d$n")
+        }
+        t("kmeansFit")(graft.similarity.Similarity.kmeansFit(emb))
+        t("pqFit")(graft.similarity.Similarity.pqFit(emb))
+        t("ivfPqTopK")(graft.similarity.Similarity.ivfPqTopK(emb, q).count())
+        t("pqTopK")(graft.similarity.Similarity.pqTopK(emb, q).count())
+        t("bruteForceTopK")(graft.similarity.Similarity.bruteForceTopK(emb, q).count())
+        t("ivfPqEval")(graft.similarity.Similarity.ivfPqEval(emb, q).count())
+      }
+      spark.stop(); return
+    }
+    // ML decomposition: per-fit cost at the bench scale, and the effect
+    // of the cached training frame's partition count on the sequential
+    // tree fits (GBT = ~20 boosting rounds × several jobs each; with a
+    // KB-per-partition aggregate-grain train set, per-task scheduling
+    // overhead is the hypothesis to test)
+    if (args.length > 1 && args(1) == "mlparts") {
+      import org.apache.spark.sql.functions.col
+      val feat = graft.features.FeatureEngineering.demandFeatures(
+        graft.pipeline.Silver.cleanEvents(
+          graft.pipeline.Bronze.ingestEvents(Tables.events(spark, dir))))
+      val labeled = feat.withColumn("label", col("event_count").cast("double"))
+      val train = labeled.filter(col("trip_date") < "2024-01-25")
+      println("train rows: " + train.count() + ", partitions: " + train.rdd.getNumPartitions)
+      def prep = {
+        val zoneIdx = new org.apache.spark.ml.feature.StringIndexer()
+          .setInputCol("zone_id").setOutputCol("zone_idx").setHandleInvalid("keep")
+        val zoneOh = new org.apache.spark.ml.feature.OneHotEncoder()
+          .setInputCol("zone_idx").setOutputCol("zone_oh")
+        val va = new org.apache.spark.ml.feature.VectorAssembler()
+          .setInputCols(Array("hour", "demand_lag_1", "demand_lag_7", "demand_avg_7d",
+            "demand_avg_30d", "avg_value", "is_peak_hour", "is_night", "zone_oh"))
+          .setOutputCol("features")
+        Seq(zoneIdx, zoneOh, va)
+      }
+      for (p <- Seq(0, 8, 4, 1); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cached = (if (p == 0) train else train.coalesce(p)).persist()
+        val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(20).setMaxDepth(6).setSeed(42)
+        val model = new org.apache.spark.ml.Pipeline()
+          .setStages((prep :+ gbt).toArray).fit(cached)
+        cached.unpersist()
+        println(f"MLPART gbt_p$p%-2d($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"(stages=${model.stages.length})")
+      }
+      // scale-correct order: fill the cache at full parallelism, read the
+      // row count off the materialization, then feed the fit a coalesced
+      // VIEW of the cache (narrow, per-job) — no second evaluation of the
+      // feature chain, no driver guess at the data size
+      for (pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cached = train.persist()
+        val n = cached.count()
+        val p = math.min(spark.sparkContext.defaultParallelism,
+          math.max(1, (n / 8192L).toInt + 1))
+        val fitInput = cached.coalesce(p)
+        val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(20).setMaxDepth(6).setSeed(42)
+        val model = new org.apache.spark.ml.Pipeline()
+          .setStages((prep :+ gbt).toArray).fit(fitInput)
+        cached.unpersist()
+        println(f"MLPART gbt_view_p$p%-2d($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"(stages=${model.stages.length})")
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "curstages") {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)

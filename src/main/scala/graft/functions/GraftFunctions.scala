@@ -21,6 +21,7 @@ object GraftFunctions {
   val bucketName = "graft_hyperplane_bucket"
   val bloomName  = "graft_bloom_contains"
   val lnName     = "graft_ln"
+  val pqCodesName = "graft_pq_codes"
 
   private def cosineBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"$cosineName expects 2 arguments, got ${exprs.length}")
@@ -48,6 +49,23 @@ object GraftFunctions {
     NativeLog(exprs.head)
   }
 
+  /** [[pqCodesBuilder]] exposed for the extensions injector. */
+  private[functions] def pqCodesExprBuilder: Seq[Expression] => Expression =
+    pqCodesBuilder
+
+  private def pqCodesBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"$pqCodesName expects 2 arguments, got ${exprs.length}")
+    require(exprs(1).foldable, s"$pqCodesName's codebooks must be a literal")
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val books = exprs(1).eval().asInstanceOf[ArrayData]
+      .toObjectArray(ArrayType(ArrayType(DoubleType)))
+      .map(_.asInstanceOf[ArrayData]
+        .toObjectArray(ArrayType(DoubleType))
+        .map(_.asInstanceOf[ArrayData].toDoubleArray()))
+    PqCodes(exprs.head, books)
+  }
+
   /** Register graft functions into an existing session (idempotent), plus
     * the HOF-cosine auto-acceleration rule (see
     * [[graft.plans.CosineRewriteRule]]) via experimental
@@ -62,6 +80,8 @@ object GraftFunctions {
       bloomName, bloomBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       lnName, lnBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      pqCodesName, pqCodesBuilder, "built-in")
     if (!spark.experimental.extraOptimizations.contains(graft.plans.CosineRewriteRule))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ graft.plans.CosineRewriteRule
@@ -89,6 +109,15 @@ object GraftFunctions {
     * sketch build). Same registration contract as [[cosineSim]]. */
   def bloomContains(filterBytes: Column, value: Column): Column =
     call_function(bloomName, filterBytes, value)
+
+  /** Fused PQ code assignment over a unit-vector column — all m subspace
+    * argmaxes in one native per-row loop (see [[PqCodes]] for the
+    * bit-exactness contract vs the expression-forest formulation it
+    * replaces). `books` rides as one array literal. Same registration
+    * contract as [[cosineSim]]. */
+  def pqCodes(unitVec: Column, books: Array[Array[Array[Double]]]): Column =
+    call_function(pqCodesName, unitVec,
+      org.apache.spark.sql.functions.typedLit(books.map(_.map(_.toSeq).toSeq).toSeq))
 
   /** Natural log via the intrinsified `Math.log` — see [[NativeLog]] for
     * why this beats the built-in `log` (StrictMath) when the output faces
@@ -121,6 +150,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(GraftFunctions.lnName),
       new ExpressionInfo(classOf[NativeLog].getName, GraftFunctions.lnName),
       exprs => NativeLog(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier(GraftFunctions.pqCodesName),
+      new ExpressionInfo(classOf[PqCodes].getName, GraftFunctions.pqCodesName),
+      GraftFunctions.pqCodesExprBuilder))
     // portable HOF cosine → fused native kernel, for every session query
     ext.injectOptimizerRule(_ => graft.plans.CosineRewriteRule)
     // SQL DELETE/UPDATE/MERGE on USING graft tables (see GraftSqlDml)

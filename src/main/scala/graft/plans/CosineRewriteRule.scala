@@ -70,8 +70,14 @@ object CosineRewriteRule extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  /** Pattern-pruned walk (the round-13 GraftSqlDml lesson: an injected
+    * rule runs on EVERY query in the session, so an unconditional
+    * transform taxes exactly the largest plans). Any rewritable shape
+    * contains an [[ArrayAggregate]] — a higher-order function — so
+    * subtrees without HIGH_ORDER_FUNCTION bits are skipped wholesale. */
   override def apply(plan: LogicalPlan): LogicalPlan =
-    plan.transformAllExpressions {
+    plan.transformAllExpressionsWithPruning(
+      _.containsPattern(org.apache.spark.sql.catalyst.trees.TreePattern.HIGH_ORDER_FUNCTION)) {
       case d: Divide =>
         (d.left, d.right) match {
           case (HofDot(a, b), m: Multiply) =>

@@ -169,7 +169,40 @@ object Similarity {
     * a sequential JOB-COUNT multiplier — the driver coordinates one Spark
     * job per round, so at cluster scale the knob trades centroid quality
     * against scheduler round-trips, never against shuffle volume. */
-  def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2): Array[Array[Double]] = {
+  /** The `n` lowest-vec_id embeddings as driver arrays — ONE bounded
+    * collect (n×dim doubles, KB-sized) shared by the k-means seed set
+    * and, unit-normalized driver-side, the PQ subspace seed sets, so
+    * composed fits ([[ivfPqTopK]], [[buildAnnIndex]]) pay one seed job
+    * instead of one per fit. */
+  private[graft] def seedRows(corpus: DataFrame, n: Int): Array[Array[Double]] =
+    corpus.orderBy("vec_id").limit(n).select("embedding").collect()
+      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+
+  /** Driver-side L2 normalization, bit-identical to [[unitCol]] over the
+    * source column type: the norm is the same left-to-right fold of
+    * squares (transform-then-aggregate ≡ foldLeft of x·x — identical
+    * IEEE op order), and each element divides by the same double. On an
+    * `array<float>` column the HOF squares in FLOAT before the double
+    * accumulation (Multiply(float,float) → float), so the driver replay
+    * must square through float too — the collected doubles are exact
+    * float widenings, so the roundtrip loses nothing. */
+  private def unitize(v: Array[Double], floatElems: Boolean): Array[Double] = {
+    val n = math.sqrt(v.foldLeft(0.0)((acc, x) =>
+      acc + (if (floatElems) (x.toFloat * x.toFloat).toDouble else x * x)))
+    v.map(_ / n)
+  }
+
+  /** Whether the embedding column stores float elements (decides the
+    * [[unitize]] square precision). */
+  private def floatEmbedding(corpus: DataFrame): Boolean =
+    corpus.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => true
+      case _ => false
+    }
+
+  def kmeansFit(corpus: DataFrame, nlist: Int = 16, iters: Int = 2,
+      seeds: Option[Array[Array[Double]]] = None): Array[Array[Double]] = {
     // self-register the native cosine (idempotent): cellOf's assignment
     // column resolves graft_cosine_sim at analysis time, and relying on a
     // PREVIOUS query having registered it makes the call order-dependent
@@ -178,9 +211,8 @@ object Similarity {
     // accept array<float|double> like every other embedding consumer
     // (CosineSimilarity/HyperplaneBuckets); the dimension comes from the
     // vectors themselves, not a parameter that could disagree with them
-    var cents: Array[Array[Double]] = corpus.orderBy("vec_id").limit(nlist)
-      .select("embedding").collect()
-      .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+    var cents: Array[Array[Double]] =
+      seeds.map(_.take(nlist)).getOrElse(seedRows(corpus, nlist))
     val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
       val means = corpus.withColumn("cell", cellOf(cents))
@@ -365,26 +397,29 @@ object Similarity {
 
   // ---------------------------------------------------------------- PQ
 
-  /** element-wise dot of an embedding column with a literal vector. */
-  private def dotTo2(cent: Array[Double], v: Column): Column =
-    aggregate(zip_with(v, array(cent.map(lit): _*), (a, b) => a * b),
-      lit(0.0), (acc, x) => acc + x)
+  // The L2-nearest-centroid assignment (argmin ‖x−c‖² ≡ argmax
+  // (x·c − ‖c‖²/2), the dot riding cos·‖x‖·‖c‖) lives in the fused
+  // native kernel [[graft.functions.PqCodes]] — the earlier Column
+  // formulation built m×k cosine+norm subtrees per row, and both its
+  // plan size and its per-row evaluation dominated the PQ paths.
 
-  /** L2-nearest centroid index: argmin ‖x−c‖² ≡ argmax (x·c − ‖c‖²/2).
-    * The dot rides the NATIVE cosine kernel (x·c = cos(x,c)·‖x‖·‖c‖;
-    * ‖c‖ folds into literals, ‖x‖ is one HOF per row shared by all k
-    * centroid terms) — the first cut ran k interpreted HOF dots per
-    * subspace per row, and encode dominated sim_pq's measured cost. */
-  private def l2Best(cents: Array[Array[Double]], v: Column): Column = {
-    val nx = sqrt(aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x))
-    array_max(array(cents.zipWithIndex.map { case (c, i) =>
-      val n2 = c.map(x => x * x).sum
-      val nc = math.sqrt(n2)
-      val score =
-        if (nc == 0.0) lit(0.0) - lit(n2 / 2.0)
-        else cosine(v, typedLit(c.toSeq)) * nx * lit(nc) - lit(n2 / 2.0)
-      struct(score.as("score"), lit(i).as("cell"))
-    }: _*)).getField("cell")
+  /** `(vec_id, c0..c{m-1})` PQ codes: unit vector projected once, then
+    * ONE fused native argmax kernel per row ([[graft.functions.PqCodes]]
+    * — bit-identical to the m×k centroid-score expression forest it
+    * replaces, at a fraction of both the plan size and the per-row
+    * cost). `keep` carries extra columns (e.g. the IVF cell) through
+    * the projection chain. */
+  private def pqCodeCols(corpus: DataFrame, books: Array[Array[Array[Double]]],
+      keep: Seq[(Column, String)] = Seq.empty): DataFrame = {
+    val m = books.length
+    val kept = keep.map { case (c, n) => c.as(n) }
+    val keptRefs = keep.map { case (_, n) => col(n) }
+    corpus
+      .select(Seq(col("vec_id"), unitCol(col("embedding")).as("u")) ++ kept: _*)
+      .select(Seq(col("vec_id")) ++ keptRefs :+
+        graft.functions.GraftFunctions.pqCodes(col("u"), books).as("codes"): _*)
+      .select(Seq(col("vec_id")) ++ keptRefs ++
+        (0 until m).map(s => element_at(col("codes"), s + 1).as(s"c$s")): _*)
   }
 
   /** L2-normalize an embedding column (PQ approximates DOT products; on
@@ -404,17 +439,22 @@ object Similarity {
     * Scale: m×iters bounded driver rounds, each ONE distributed pass
     * collecting k×(D/m) means — KB-sized at any corpus size. */
   def pqFit(corpus: DataFrame, m: Int = 4, k: Int = 16,
-      iters: Int = 2): Array[Array[Array[Double]]] = {
+      iters: Int = 2, seeds: Option[Array[Array[Double]]] = None): Array[Array[Array[Double]]] = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
+    // seeds: ONE collect of the k lowest-vec_id RAW vectors (shareable
+    // with the k-means seed collect in composed fits), unit-normalized
+    // driver-side (bit-identical to unitCol — see [[unitize]]) and
+    // sliced into every subspace's seed set. The vector dimension reads
+    // off the seed rows — the old separate `select(size(...)).head()`
+    // job carried no information the seeds don't.
+    val seedRaw = seeds.map(_.take(k)).getOrElse(seedRows(corpus, k))
+    require(seedRaw.nonEmpty, "pqFit needs a non-empty corpus")
+    val dim = seedRaw.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
     val unit = corpus.select(col("vec_id"), unitCol(col("embedding")).as("embedding"))
-    // seeds: ONE collect of the k lowest-vec_id unit vectors, sliced
-    // driver-side into every subspace's seed set
     var books: Array[Array[Array[Double]]] = {
-      val rows = unit.orderBy("vec_id").limit(k).select("embedding").collect()
-        .map(_.getSeq[Number](0).map(_.doubleValue()).toArray)
+      val rows = seedRaw.map(unitize(_, floatEmbedding(corpus)))
       Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
     }
     // ONE Spark job per iteration fits ALL m subspaces together (the
@@ -424,9 +464,13 @@ object Similarity {
     // assignments in one projection, the embedding explodes once, and
     // (subspace, cell, dim) means collect as ONE m×k×dsub result.
     for (_ <- 0 until iters) {
-      val cells = (0 until m).map(s =>
-        l2Best(books(s), slice(col("embedding"), s * dsub + 1, dsub)).as(s"cell$s"))
-      val assigned = unit.select((col("embedding") +: cells): _*)
+      // fused native code assignment (see [[graft.functions.PqCodes]]
+      // for the bit-exactness contract vs the old expression forest)
+      val assigned = unit
+        .select(col("embedding"),
+          graft.functions.GraftFunctions.pqCodes(col("embedding"), books).as("codes"))
+        .select(col("embedding") +:
+          (0 until m).map(s => element_at(col("codes"), s + 1).as(s"cell$s")): _*)
       val means = assigned
         .select(col("*"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .withColumn("s", floor(col("pos") / dsub).cast("int"))
@@ -457,12 +501,7 @@ object Similarity {
     * codegen'd projection. */
   def pqEncode(corpus: DataFrame, books: Array[Array[Array[Double]]]): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val m = books.length
-    val dsub = books.head.head.length
-    val unit = unitCol(col("embedding"))
-    val codes = (0 until m).map(s =>
-      l2Best(books(s), slice(unit, s * dsub + 1, dsub)).as(s"c$s"))
-    corpus.select(col("vec_id") +: codes: _*)
+    pqCodeCols(corpus, books)
   }
 
   /** Asymmetric-distance (ADC) top-k: each query's approximate cosine to
@@ -484,17 +523,13 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int = 5,
       m: Int = 4, kCent: Int = 16, iters: Int = 2, refine: Int = 4): DataFrame = {
     val books = pqFit(corpus, m, kCent, iters)
-    val dsub = books.head.head.length
     val enc = pqEncode(corpus, books)
       .withColumnRenamed("vec_id", "neighbor_id")
     val q = queries.select(col("vec_id").as("query_id"),
       unitCol(col("embedding")).as("q_unit"))
-    val bookCols: Array[Column] =
-      books.map(b => array(b.map(c => array(c.map(lit): _*)): _*))
-    val score = (0 until m).map { s =>
-      dotCol(slice(col("q_unit"), s * dsub + 1, dsub),
-        element_at(bookCols(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
+      .select(Seq(col("query_id"), col("q_unit")) ++
+        adcLutCols(books, col("q_unit")): _*)
+    val score = adcLutScore(m)
     val wAdc = Window.partitionBy("query_id").orderBy(col("approx_cosine").desc, col("neighbor_id"))
     val shortlist = enc.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -517,6 +552,30 @@ object Similarity {
   /** zip_with dot of two array columns (non-literal sides). */
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Per-QUERY ADC lookup tables — the classic PQ trick (Jégou 2011
+    * §III.C): `lut_s[c] = q_slice_s · books(s)(c)` computed once per
+    * query row, so the per-(query, candidate) score collapses to m
+    * codegen'd `element_at` probes + adds instead of m interpreted
+    * zip_with/aggregate dot folds. Bit-identical to scoring each pair
+    * directly: the dot over the SAME centroid literal runs the same
+    * left-to-right fold, only hoisted from per-pair to per-query, and
+    * doubles read back from an array are the doubles written. At any
+    * scale the candidate side dwarfs the query side, so this removes
+    * the interpreted-HOF term from the scan entirely. */
+  private def adcLutCols(books: Array[Array[Array[Double]]], qUnit: Column): Seq[Column] = {
+    val dsub = books.head.head.length
+    books.indices.map { s =>
+      array(books(s).map(c =>
+        dotCol(slice(qUnit, s * dsub + 1, dsub), array(c.map(lit).toIndexedSeq: _*))): _*)
+        .as(s"lut$s")
+    }
+  }
+
+  /** ADC score from [[adcLutCols]] tables against code columns c0..c{m-1}:
+    * same left-to-right subspace sum as the inline form. */
+  private def adcLutScore(m: Int): Column =
+    (0 until m).map(s => element_at(col(s"lut$s"), col(s"c$s") + 1)).reduce(_ + _)
 
   /** IVF-PQ (Jégou 2011 §IV / the FAISS `IVFx,PQy` index — the actual
     * 100 TB ANN architecture), composed from this file's two halves,
@@ -546,25 +605,23 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, kCent: Int = 16,
       iters: Int = 2, refine: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    val cents = kmeansFit(corpus, nlist, iters)
-    val books = pqFit(corpus, m, kCent, iters)
-    val dsub = books.head.head.length
-    // the standing index: ONE projection → (id, cell, m codes)
-    val unit = unitCol(col("embedding"))
-    val codes = (0 until m).map(s =>
-      l2Best(books(s), slice(unit, s * dsub + 1, dsub)).as(s"c$s"))
-    val index = corpus.select(Seq(col("vec_id").as("neighbor_id"),
-      cellOf(cents).as("cell")) ++ codes: _*)
-    // query side: unit slices + the nprobe nearest cells, broadcast
+    // one seed collect feeds both fits (each takes its prefix)
+    val seeds = seedRows(corpus, math.max(nlist, kCent))
+    val cents = kmeansFit(corpus, nlist, iters, Some(seeds))
+    val books = pqFit(corpus, m, kCent, iters, Some(seeds))
+    // the standing index: (id, cell, m codes) via the CSE'd projections
+    val index = pqCodeCols(corpus, books, keep = Seq(cellOf(cents) -> "cell"))
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // query side: unit vector, the nprobe nearest cells, and the
+    // per-query ADC tables (query rows are broadcast-small by contract,
+    // so rebuilding the KB-sized tables per probe row is noise next to
+    // the per-candidate fold they eliminate)
     val q = queries.select(col("vec_id").as("query_id"),
       unitCol(col("embedding")).as("q_unit"),
       explode(nearestCells(cents, nprobe)).as("cell"))
-    val bookCols: Array[Column] =
-      books.map(b => array(b.map(c => array(c.map(lit): _*)): _*))
-    val score = (0 until m).map { s =>
-      dotCol(slice(col("q_unit"), s * dsub + 1, dsub),
-        element_at(bookCols(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
+      .select(Seq(col("query_id"), col("q_unit"), col("cell")) ++
+        adcLutCols(books, col("q_unit")): _*)
+    val score = adcLutScore(m)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_cosine").desc, col("neighbor_id"))
     val shortlist = index.join(broadcast(q), Seq("cell"))
@@ -610,13 +667,14 @@ object Similarity {
       m: Int = 4, kCent: Int = 16, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    val cents = kmeansFit(corpus, nlist, iters)
-    val books = pqFit(corpus, m, kCent, iters)
+    // one seed collect feeds both fits (each takes its prefix)
+    val seeds = seedRows(corpus, math.max(nlist, kCent))
+    val cents = kmeansFit(corpus, nlist, iters, Some(seeds))
+    val books = pqFit(corpus, m, kCent, iters, Some(seeds))
     val dsub = books.head.head.length
-    val unit = unitCol(col("embedding"))
-    val codes = (0 until m).map(s =>
-      l2Best(books(s), slice(unit, s * dsub + 1, dsub)).as(s"c$s"))
-    corpus.select(Seq(col("vec_id"), cellOf(cents).as("cell")) ++ codes: _*)
+    pqCodeCols(corpus, books, keep = Seq(cellOf(cents) -> "cell"))
+      .select(Seq(col("vec_id"), col("cell")) ++
+        (0 until m).map(s => col(s"c$s")): _*)
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
     val lines: Seq[String] =
       Seq(s"nlist=$nlist", s"m=$m", s"kcent=$kCent", s"dsub=$dsub") ++
@@ -666,18 +724,14 @@ object Similarity {
     graft.functions.GraftFunctions.register(spark)
     val (cents, books) = loadModel(spark, path)
     val m = books.length
-    val dsub = books.head.head.length
     val index = spark.read.parquet(s"$path/index")
       .withColumnRenamed("vec_id", "neighbor_id")
     val q = queries.select(col("vec_id").as("query_id"),
       unitCol(col("embedding")).as("q_unit"),
       explode(nearestCells(cents, nprobe)).as("cell"))
-    val bookCols: Array[Column] =
-      books.map(b => array(b.map(c => array(c.map(lit): _*)): _*))
-    val score = (0 until m).map { s =>
-      dotCol(slice(col("q_unit"), s * dsub + 1, dsub),
-        element_at(bookCols(s), col(s"c$s") + 1))
-    }.reduce(_ + _)
+      .select(Seq(col("query_id"), col("q_unit"), col("cell")) ++
+        adcLutCols(books, col("q_unit")): _*)
+    val score = adcLutScore(m)
     val wAdc = Window.partitionBy("query_id")
       .orderBy(col("approx_cosine").desc, col("neighbor_id"))
     val shortlist = index.join(broadcast(q), Seq("cell"))

@@ -375,7 +375,16 @@ object TextFunctions {
   def bpeLearn(docs: DataFrame, rounds: Int = 8): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var vocab = docs
+    // ONE persisted word-frequency table for the whole loop. Each round
+    // applies the merges learned so far as a chained codegen'd regex
+    // projection over this base repr inside the round's own count job —
+    // the earlier shape re-persisted a rewritten vocab every round, which
+    // paid a second materialization job per round (the round loop is
+    // job-count bound: the vocab table is KB-to-MB-sized at any corpus
+    // scale while `rounds` multiplies sequential scheduler latency).
+    // The regex chain is at most `rounds` literal lookaround replaces —
+    // the exact plan shape bpeEncodeWith already runs in one projection.
+    val vocab = docs
       .select(explode(filter(toks(col("text")), t => t =!= "")).as("word"))
       .groupBy("word").agg(count(lit(1)).as("weight"))
       .withColumn("repr", concat_ws(" ", split(col("word"), "")))
@@ -385,7 +394,15 @@ object TextFunctions {
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
-      val syms = split(col("repr"), " ")
+      // repr after the merges learned so far (identical strings to the
+      // old materialize-per-round loop: same replaces, same order)
+      val reprNow = merges.foldLeft(col("repr")) { case (c, (_, l, r, _)) =>
+        val pat = "(?<= )" + java.util.regex.Pattern.quote(l) + " " +
+          java.util.regex.Pattern.quote(r) + "(?= )"
+        val rep = java.util.regex.Matcher.quoteReplacement(l + r)
+        trim(regexp_replace(concat(lit(" "), c, lit(" ")), pat, rep))
+      }
+      val syms = split(reprNow, " ")
       val top = vocab
         .select(col("weight"), syms.as("syms"))
         .select(col("weight"), explode(transform(
@@ -404,15 +421,6 @@ object TextFunctions {
       else {
         val (l, r, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((round, l, r, w))
-        val pat = "(?<= )" + java.util.regex.Pattern.quote(l) + " " +
-          java.util.regex.Pattern.quote(r) + "(?= )"
-        val rep = java.util.regex.Matcher.quoteReplacement(l + r)
-        val next = vocab.withColumn("repr",
-          trim(regexp_replace(concat(lit(" "), col("repr"), lit(" ")), pat, rep)))
-          .persist()
-        next.count()
-        vocab.unpersist()
-        vocab = next
         round += 1
       }
     }
