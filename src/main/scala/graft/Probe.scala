@@ -131,6 +131,36 @@ object Probe {
       }
       spark.stop(); return
     }
+    // one-pass curation report decomposition
+    if (args.length > 1 && args(1) == "curparts") {
+      import org.apache.spark.sql.functions._
+      val docs = Tables.documents(spark, dir)
+      val bench = docs.filter(col("doc_id") % 20 === 0)
+      for (pass <- 1 to 2) {
+        def t(name: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          f
+          println(f"CURPART $name%-16s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+        }
+        val hashW = org.apache.spark.sql.expressions.Window.partitionBy(md5(lower(col("text"))))
+        val flagged = docs
+          .withColumn("n_toks", size(filter(split(lower(col("text")), " "), t => t =!= "")))
+          .withColumn("q", graft.text.TextFunctions.qualityScoreCol(col("text")) >= 0.2)
+          .withColumn("e", col("q") && col("doc_id") === min(when(col("q"), col("doc_id"))).over(hashW))
+          .persist()
+        t("flag_fill")(flagged.count())
+        val exactKept = flagged.filter(col("e"))
+        var pairs: org.apache.spark.sql.DataFrame = null
+        t("lsh_pairs")({ pairs = graft.dedup.Dedup.minhashLsh(exactKept).persist(); pairs.count() })
+        var clusters: org.apache.spark.sql.DataFrame = null
+        t("dupClusters")({ clusters = graft.dedup.Dedup.dupClusters(exactKept, pairs) })
+        t("nearIds")(graft.dedup.Dedup.nearHitIds(exactKept, bench, 3, 5).count())
+        t("full_report")(graft.pipeline.Pipeline.curationReport(
+          docs, bench, 0.2, Map("en" -> 0.5, "de" -> 0.25), 0.1).count())
+        pairs.unpersist(); flagged.unpersist()
+      }
+      spark.stop(); return
+    }
     if (args.length > 1 && args(1) == "curstages") {
       import org.apache.spark.sql.functions._
       val docs = Tables.documents(spark, dir)

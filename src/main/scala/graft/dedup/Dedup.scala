@@ -840,24 +840,35 @@ object Dedup {
     * paraphrases, partial copies). Benchmarks are tiny next to corpora, so
     * both probes broadcast the benchmark side; the corpus is never
     * shuffled, cost is one scan + per-row hash/shingle work. */
-  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
-      minOverlap: Int = 5): DataFrame = {
-    val benchHashes = benchmark
-      .select(md5(lower(col("text"))).as("bench_hash")).distinct()
+  /** The distinct normalized-text hashes of a benchmark set (the exact-
+    * leak probe of [[decontaminate]], shared with the one-pass curation
+    * report). */
+  private[graft] def benchHashSet(benchmark: DataFrame): DataFrame =
+    benchmark.select(md5(lower(col("text"))).as("bench_hash")).distinct()
+
+  /** doc_ids of `corpus` rows sharing ≥ `minOverlap` distinct n-gram
+    * shingles with some single benchmark doc (the near-leak probe of
+    * [[decontaminate]], shared with the one-pass curation report). */
+  private[graft] def nearHitIds(corpus: DataFrame, benchmark: DataFrame,
+      n: Int, minOverlap: Int): DataFrame = {
     val benchShingles = benchmark
       .select(col("doc_id").as("bench_id"), explode(shingleCol(n)).as("shingle"))
-    val nearHits = corpus
+    corpus
       .select(col("doc_id"), explode(shingleCol(n)).as("shingle"))
       .join(broadcast(benchShingles), "shingle")
       .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minOverlap)
       .select("doc_id").distinct()
+  }
+
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame, n: Int = 3,
+      minOverlap: Int = 5): DataFrame = {
     corpus
-      .join(broadcast(benchHashes),
+      .join(broadcast(benchHashSet(benchmark)),
         md5(lower(col("text"))) === col("bench_hash"), "left_anti")
       // no broadcast hint: nearHits is usually tiny (AQE broadcasts it)
       // but is bounded by the CORPUS under heavy contamination
-      .join(nearHits, Seq("doc_id"), "left_anti")
+      .join(nearHitIds(corpus, benchmark, n, minOverlap), Seq("doc_id"), "left_anti")
   }
 
   /** Per-benchmark-item contamination AUDIT — the benchmark-side view of

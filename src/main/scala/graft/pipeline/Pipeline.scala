@@ -235,6 +235,8 @@ object Pipeline {
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       pinStages: Boolean = false): DataFrame = {
+    if (!pinStages)
+      return curationReportOnePass(docs, benchmark, minQuality, rates, defaultRate)
     import org.apache.spark.sql.functions._
     val stages = runCuration(docs, benchmark, minQuality, rates, defaultRate)
     val splits = stages("split")
@@ -269,6 +271,107 @@ object Pipeline {
       if (pinStages) report.localCheckpoint(true) else report
     } finally {
       pinned.foreach(_.unpersist())
+      ()
+    }
+  }
+
+  /** The default execution of [[curationReport]]: every stage of the
+    * curation funnel is a FLAG COLUMN on one persisted corpus frame, and
+    * the nine report rows fall out of a single conditional-sum aggregate
+    * — instead of nine union branches each re-evaluating its stage
+    * lineage (the quality scan ran ~8×, the exact-dedup window ~7× in
+    * the staged shape; Spark performs no cross-branch reuse). The stage
+    * SETS are provably identical:
+    *
+    *   - `q`  — quality_score ≥ minQuality, the same
+    *     [[graft.text.TextFunctions.qualityScoreCol]] expression the
+    *     staged path joins in;
+    *   - `e`  — q AND doc_id = min(quality doc_id) over the same
+    *     md5(lower(text)) window ([[graft.dedup.Dedup.exactDedup]]'s
+    *     groups restricted to quality docs via min-over-when);
+    *   - `nk` — e AND not in the NON-canonical set of
+    *     [[graft.dedup.Dedup.dupClusters]] over the SAME exact-kept
+    *     frame and LSH pairs (the non-canonical set is dup-volume-sized,
+    *     so the flag join broadcasts);
+    *   - `dec`— nk AND neither decontamination probe fires (same
+    *     [[graft.dedup.Dedup.benchHashSet]]/`nearHitIds` probes, the
+    *     near probe computed over the nk subset exactly as
+    *     `decontaminate(nearKept, benchmark)` would);
+    *   - `cur`— dec AND the stratified hash-sample predicate
+    *     (same [[graft.sampling.Sampling.hashFraction]] salt/rates);
+    *   - splits — the same "graft:split" hash thresholds.
+    *
+    * Counts are exact integer sums, so the collapse is value-identical,
+    * not approximately so — the `cur` DuckDB oracle replays it, and
+    * `pinStages = true` keeps the independent staged execution as a
+    * cross-check (spec-asserted equal). The corpus text scans exactly
+    * twice per report (flag fill + the LSH signing inside the cached
+    * frame), versus ~9 staged evaluations. */
+  private def curationReportOnePass(docs: DataFrame, benchmark: DataFrame,
+      minQuality: Double,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val hashW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(lower(col("text"))))
+    val flagged = docs
+      .withColumn("n_toks",
+        size(filter(split(lower(col("text")), " "), t => t =!= "")))
+      .withColumn("q",
+        graft.text.TextFunctions.qualityScoreCol(col("text")) >= minQuality)
+      .withColumn("e",
+        col("q") && col("doc_id") === min(when(col("q"), col("doc_id"))).over(hashW))
+      .persist()
+    flagged.count() // fill once; every downstream pass reads the cache
+    try {
+      val exactKept = flagged.filter(col("e"))
+      val clusters = graft.dedup.Dedup.dupClusters(
+        exactKept, graft.dedup.Dedup.minhashLsh(exactKept))
+      val nonCanon = clusters.filter(col("is_canonical") === 0)
+        .select(col("doc_id"), lit(1).as("nc"))
+      val withNk = flagged
+        .join(nonCanon, Seq("doc_id"), "left")
+        .withColumn("nk", col("e") && col("nc").isNull)
+      val nearIds = graft.dedup.Dedup
+        .nearHitIds(withNk.filter(col("nk")), benchmark, 3, 5)
+        .withColumn("nh", lit(1))
+      val rateCol = rates.foldLeft(lit(defaultRate): org.apache.spark.sql.Column) {
+        case (acc, (k, r)) => when(col("lang") === k, lit(r)).otherwise(acc)
+      }
+      val curFlag =
+        if (rates.isEmpty && defaultRate >= 1.0) col("dec")
+        else col("dec") &&
+          graft.sampling.Sampling.hashFraction(col("doc_id"), "graft") < rateCol
+      val splitF = graft.sampling.Sampling.hashFraction(col("doc_id"), "graft:split")
+      val full = withNk
+        .join(broadcast(graft.dedup.Dedup.benchHashSet(benchmark)),
+          md5(lower(col("text"))) === col("bench_hash"), "left")
+        .join(nearIds, Seq("doc_id"), "left")
+        .withColumn("dec", col("nk") && col("bench_hash").isNull && col("nh").isNull)
+        .withColumn("cur", curFlag)
+        .withColumn("s_tr", col("cur") && splitF < 0.8)
+        .withColumn("s_va", col("cur") && splitF >= 0.8 && splitF < 0.9)
+        .withColumn("s_te", col("cur") && splitF >= 0.9)
+      def cnt(f: org.apache.spark.sql.Column) = coalesce(sum(when(f, 1L)), lit(0L))
+      def tok(f: org.apache.spark.sql.Column) = coalesce(sum(when(f, col("n_toks").cast("long"))), lit(0L))
+      val names = Seq("input", "quality_kept", "exact_kept", "near_kept",
+        "decontaminated", "curated", "split_train", "split_val", "split_test")
+      val flags = Seq(lit(true), col("q"), col("e"), col("nk"),
+        col("dec"), col("cur"), col("s_tr"), col("s_va"), col("s_te"))
+      val aggs = flags.zipWithIndex.flatMap { case (f, i) =>
+        Seq(cnt(f).as(s"d$i"), tok(f).as(s"t$i"))
+      }
+      val one = full.agg(aggs.head, aggs.tail: _*)
+      val rows = names.zipWithIndex.map { case (n, i) =>
+        struct(lit(i).as("stage_idx"), lit(n).as("stage"),
+          col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+      }
+      // 9 rows; materialize before the cache drops in finally
+      one.select(explode(array(rows: _*)).as("r"))
+        .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
+        .localCheckpoint(true)
+    } finally {
+      flagged.unpersist()
       ()
     }
   }

@@ -52,6 +52,17 @@ object TextFunctions {
   /** Quality scoring: length, token, alpha/punct/stopword ratios and a
     * bounded composite score. All ratios are exact integer divisions
     * evaluated in double precision. */
+  /** The quality_score expression over a text column — shared by
+    * [[quality]] and the one-pass curation report (which needs the score
+    * as a FLAG on the corpus frame, not a joined projection). */
+  private[graft] def qualityScoreCol(t: Column): Column = {
+    val nChars = length(t)
+    val nTokens = size(toks(t))
+    val punct = length(regexp_replace(lower(t), "[a-z0-9 ]", ""))
+    least(nTokens.cast("double") / 50.0, lit(1.0)) *
+      (lit(1.0) - punct.cast("double") / nChars)
+  }
+
   def quality(docs: DataFrame): DataFrame = {
     val t = col("text")
     val nChars = length(t)
@@ -67,8 +78,7 @@ object TextFunctions {
       (alpha.cast("double") / nChars).as("alpha_ratio"),
       (punct.cast("double") / nChars).as("punct_ratio"),
       (stop.cast("double") / nTokens).as("stopword_ratio"),
-      (least(nTokens.cast("double") / 50.0, lit(1.0)) *
-        (lit(1.0) - punct.cast("double") / nChars)).as("quality_score"))
+      qualityScoreCol(t).as("quality_score"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens (letter runs,
