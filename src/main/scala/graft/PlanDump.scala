@@ -39,6 +39,22 @@ object PlanDump {
       Files.writeString(outDir.resolve(s"${name}_$tag.txt"), txt)
       println(s"wrote $outDir/${name}_$tag.txt (${txt.length} chars)")
     }
+    // `cur` materializes via localCheckpoint inside the operator, so its
+    // query plan is just the checkpoint scan; additionally dump the LAZY
+    // one-pass aggregate plan (what actually executes before the pin).
+    if (keys.contains("cur")) {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.documents(spark, dir)
+      val flagged = graft.pipeline.Pipeline.onePassFlagged(docs, 0.2).persist()
+      flagged.count()
+      val lazyReport = graft.pipeline.Pipeline.onePassReport(
+        flagged, docs.filter(col("doc_id") % 20 === 0),
+        Map("en" -> 0.5, "de" -> 0.25), 0.1)
+      val txt = lazyReport.queryExecution.explainString(FormattedMode)
+      Files.writeString(outDir.resolve(s"cur_onepass_$tag.txt"), txt)
+      flagged.unpersist()
+      println(s"wrote $outDir/cur_onepass_$tag.txt (${txt.length} chars)")
+    }
     spark.stop()
   }
 }

@@ -187,10 +187,29 @@ object Models {
       .sortBy(_._2("rmse"))
   }
 
-  /** RMSE / MAE / R² on a predictions frame (one evaluator pass each). */
+  /** RMSE / MAE / R² on a predictions frame — ONE aggregation job for
+    * all three (the evaluator API runs one summarizer pass per metric:
+    * three sequential jobs for numbers derivable from five sums). Same
+    * definitions as `RegressionMetrics`: rmse = √(Σe²/n), mae = Σ|e|/n,
+    * r2 = 1 − SSerr/SStot with SStot = Σ(y−ȳ)² expanded to
+    * Σy² − (Σy)²/n (one-pass form; last-ulp drift vs the two-pass
+    * summarizer is inside the rows-only ml_* tolerance, and every
+    * in-repo parity assertion compares THROUGH this one function). */
   def regressionMetrics(predictions: DataFrame): Map[String, Double] = {
-    val ev = new RegressionEvaluator().setLabelCol("label").setPredictionCol("prediction")
-    Seq("rmse", "mae", "r2").map(m => m -> ev.setMetricName(m).evaluate(predictions)).toMap
+    val e = col("prediction") - col("label")
+    val row = predictions.agg(
+      count(lit(1)).as("n"),
+      sum(e * e).as("sse"),
+      sum(abs(e)).as("sae"),
+      sum(col("label")).as("sy"),
+      sum(col("label") * col("label")).as("syy")).head()
+    val n = row.getAs[Long]("n").toDouble
+    val sse = row.getAs[Double]("sse")
+    val ssTot = row.getAs[Double]("syy") - row.getAs[Double]("sy") * row.getAs[Double]("sy") / n
+    Map(
+      "rmse" -> math.sqrt(sse / n),
+      "mae" -> row.getAs[Double]("sae") / n,
+      "r2" -> (1.0 - sse / ssTot))
   }
 
   private val surgeFeatureCols = Array(

@@ -311,19 +311,38 @@ object Pipeline {
       minQuality: Double,
       rates: Map[String, Double],
       defaultRate: Double): DataFrame = {
+    val flagged = onePassFlagged(docs, minQuality).persist()
+    flagged.count() // fill once; every downstream pass reads the cache
+    // 9 rows; materialize before the cache drops in finally
+    try onePassReport(flagged, benchmark, rates, defaultRate).localCheckpoint(true)
+    finally {
+      flagged.unpersist()
+      ()
+    }
+  }
+
+  /** The flag frame of the one-pass report (lazy; callers persist). */
+  private[graft] def onePassFlagged(docs: DataFrame, minQuality: Double): DataFrame = {
     import org.apache.spark.sql.functions._
     val hashW = org.apache.spark.sql.expressions.Window
       .partitionBy(md5(lower(col("text"))))
-    val flagged = docs
+    docs
       .withColumn("n_toks",
         size(filter(split(lower(col("text")), " "), t => t =!= "")))
       .withColumn("q",
         graft.text.TextFunctions.qualityScoreCol(col("text")) >= minQuality)
       .withColumn("e",
         col("q") && col("doc_id") === min(when(col("q"), col("doc_id"))).over(hashW))
-      .persist()
-    flagged.count() // fill once; every downstream pass reads the cache
-    try {
+  }
+
+  /** The lazy 9-row report over a (persisted) flag frame — split out so
+    * plan audits can `explain` the aggregate without the operator's own
+    * checkpoint hiding it. */
+  private[graft] def onePassReport(flagged: DataFrame, benchmark: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    {
       val exactKept = flagged.filter(col("e"))
       val clusters = graft.dedup.Dedup.dupClusters(
         exactKept, graft.dedup.Dedup.minhashLsh(exactKept))
@@ -366,13 +385,8 @@ object Pipeline {
         struct(lit(i).as("stage_idx"), lit(n).as("stage"),
           col(s"d$i").as("n_docs"), col(s"t$i").as("n_tokens"))
       }
-      // 9 rows; materialize before the cache drops in finally
       one.select(explode(array(rows: _*)).as("r"))
         .select(col("r.stage_idx"), col("r.stage"), col("r.n_docs"), col("r.n_tokens"))
-        .localCheckpoint(true)
-    } finally {
-      flagged.unpersist()
-      ()
     }
   }
 }
