@@ -142,8 +142,14 @@ object Bench {
     // sf as the directory BASENAME: the full path spends 15 bytes of the
     // 2 KB archive budget saying "/root/testdata/" every time
     val sfName = new java.io.File(sfDir).getName
+    // "cpus" makes multi-core archive runs self-describing: the driver's
+    // low-core scaling pass overwrites this file, and without the field
+    // the 32-core per-query dump is indistinguishable from the 8-core one
+    // (a number when the env var is numeric; "local[*]"-style opt-ins
+    // fall back to a JSON string rather than corrupting the line)
+    val cpusJson = cpus.toIntOption.map(_.toString).getOrElse(jstr(cpus))
     val fullLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":${qsLine(rq)},$errJson"sf":"$sfName"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","cpus":$cpusJson,"queries":${qsLine(rq)},$errJson"sf":"$sfName"}"""
     // a filtered run must never clobber the full-surface archive; its
     // per-query detail goes to stderr instead (stdout keeps the pinned
     // one-line shape either way)

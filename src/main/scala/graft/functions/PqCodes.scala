@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
 
@@ -38,7 +38,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *     ties won by the higher cell (struct field 2), replicated below.
   */
 case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
-  extends UnaryExpression with CodegenFallback {
+  extends UnaryExpression {
+
+  // Array fields compare by reference under case-class equality, so two
+  // structurally identical PqCodes built separately would never be
+  // semanticEquals / canonicalize the same (missed CSE and cached-plan
+  // reuse, never wrong results). Deep-compare the codebooks instead.
+  override def equals(other: Any): Boolean = other match {
+    case p: PqCodes =>
+      child == p.child && java.util.Arrays.deepEquals(
+        books.asInstanceOf[Array[AnyRef]], p.books.asInstanceOf[Array[AnyRef]])
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * child.hashCode() +
+      java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
@@ -66,8 +80,22 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
     else if (java.lang.Double.isNaN(x)) { if (java.lang.Double.isNaN(y)) 0 else 1 }
     else -1
 
-  override def nullSafeEval(v: Any): Any = {
-    val u = v.asInstanceOf[ArrayData]
+  override def nullSafeEval(v: Any): Any = assign(v.asInstanceOf[ArrayData])
+
+  /** Whole-stage codegen: evaluate the child natively and call the fused
+    * kernel once per row through a bound reference — one virtual call,
+    * versus CodegenFallback's `Expression.eval(row)` which (a) rebuilds
+    * an input row per call and (b) disqualifies the ENTIRE enclosing
+    * plan node from whole-stage codegen
+    * (CollapseCodegenStages.supportCodegen rejects CodegenFallback
+    * expressions), interpreting the surrounding projection too. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = ctx.addReferenceObj("pqCodes", this, classOf[PqCodes].getName)
+    nullSafeCodeGen(ctx, ev, u => s"${ev.value} = $kernel.assign($u);")
+  }
+
+  /** The per-row kernel (shared by interpreted eval and generated code). */
+  def assign(u: ArrayData): ArrayData = {
     val len = u.numElements()
     val m = books.length
     val codes = new Array[Int](m)

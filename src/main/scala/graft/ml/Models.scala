@@ -126,8 +126,13 @@ object Models {
     * byte-identical to [[demandRandomForest]] (spec-asserted) — the
     * round-trip is the operator under test. */
   def persistRoundTrip(feat: DataFrame, path: String): DataFrame = {
-    fitDemandRf(feat).write.overwrite().save(path)
-    val reloaded = PipelineModel.load(path)
+    // same on-disk layout as PipelineModel.write/load (cross-loadable,
+    // spec-asserted), with the per-stage writes/reads fanned out on a
+    // bounded pool — stage artifacts are independent, so wall-clock is
+    // the slowest stage instead of the sum of sequential tiny-job chains
+    val spark = feat.sparkSession
+    org.apache.spark.ml.GraftParallelPersist.save(fitDemandRf(feat), spark, path)
+    val reloaded = org.apache.spark.ml.GraftParallelPersist.load(spark, path)
     val (_, test) = demandSplit(feat)
     reloaded.transform(test)
       .select("trip_date", "hour", "zone_id", "label", "prediction")
@@ -187,22 +192,29 @@ object Models {
       .sortBy(_._2("rmse"))
   }
 
-  /** RMSE / MAE / R² on a predictions frame — ONE aggregation job for
-    * all three (the evaluator API runs one summarizer pass per metric:
-    * three sequential jobs for numbers derivable from five sums). Same
-    * definitions as `RegressionMetrics`: rmse = √(Σe²/n), mae = Σ|e|/n,
-    * r2 = 1 − SSerr/SStot with SStot = Σ(y−ȳ)² expanded to
-    * Σy² − (Σy)²/n (one-pass form; last-ulp drift vs the two-pass
-    * summarizer is inside the rows-only ml_* tolerance, and every
-    * in-repo parity assertion compares THROUGH this one function). */
+  /** RMSE / MAE / R² on a predictions frame — TWO aggregation jobs (a
+    * one-column mean, then one five-sum pass) where the evaluator API ran
+    * one summarizer pass per metric. Same definitions as
+    * `RegressionMetrics`: rmse = √(Σe²/n), mae = Σ|e|/n,
+    * r2 = 1 − SSerr/SStot. SStot sums SHIFTED squares around the label
+    * mean, Σ(y−ȳ)² − (Σ(y−ȳ))²/n: mathematically the same as the
+    * expanded Σy² − (Σy)²/n one-pass form, but immune to its
+    * catastrophic cancellation when the label mean is large relative to
+    * the label spread (the expanded form can return SStot ≤ 0 → r² ≥ 1
+    * or ±Inf on real data at scale). Callers pass CACHED prediction
+    * frames, so the extra mean job reads memory, not lineage. Every
+    * in-repo parity assertion compares THROUGH this one function. */
   def regressionMetrics(predictions: DataFrame): Map[String, Double] = {
     val e = col("prediction") - col("label")
+    val cRow = predictions.agg(avg(col("label"))).head()
+    val c = if (cRow.isNullAt(0)) 0.0 else cRow.getDouble(0)
+    val dy = col("label") - lit(c)
     val row = predictions.agg(
       count(lit(1)).as("n"),
       sum(e * e).as("sse"),
       sum(abs(e)).as("sae"),
-      sum(col("label")).as("sy"),
-      sum(col("label") * col("label")).as("syy")).head()
+      sum(dy).as("sy"),
+      sum(dy * dy).as("syy")).head()
     val n = row.getAs[Long]("n").toDouble
     val sse = row.getAs[Double]("sse")
     val ssTot = row.getAs[Double]("syy") - row.getAs[Double]("sy") * row.getAs[Double]("sy") / n

@@ -229,7 +229,15 @@ object Pipeline {
     * stage, fill the caches sequentially in dependency order (concurrent
     * tasks racing an unfilled cache each recompute it), and unpersist
     * after the report materializes — each stage then executes exactly
-    * once at the price of one job of latency per stage. */
+    * once at the price of one job of latency per stage.
+    *
+    * EXECUTION NOTE: both paths return an eagerly materialized
+    * `localCheckpoint` of the 9-row report, not a lazy plan — the report
+    * executes at call time, its lineage is cut (explain shows a
+    * checkpoint scan; it will not recompute if the source data changes),
+    * and localCheckpoint blocks are unrecoverable on executor loss under
+    * dynamic allocation. Fine for a 9-row frame; callers wanting a fresh
+    * report re-call the operator. */
   def curationReport(docs: DataFrame, benchmark: DataFrame,
       minQuality: Double = 0.2,
       rates: Map[String, Double] = Map.empty,
@@ -243,9 +251,9 @@ object Pipeline {
     // CacheManager substitutes by logical-plan fragment at planning time,
     // so persisting here also serves the frames derived from these inside
     // runCuration (e.g. splits was built from `curated` before this call).
+    // pinStages is always true past the early return above
     val pinned =
-      if (!pinStages) Seq.empty
-      else Seq("quality_kept", "exact_kept", "near_kept",
+      Seq("quality_kept", "exact_kept", "near_kept",
         "decontaminated", "curated").map(stages) :+ splits
     pinned.foreach { df => df.persist(); df.count(); () }
     try {
@@ -267,8 +275,8 @@ object Pipeline {
           .select(lit(i).as("stage_idx"), lit(name).as("stage"),
             col("n_docs"), col("n_tokens"))
       }.reduce(_.unionByName(_))
-      // when pinned, materialize BEFORE the caches drop in finally
-      if (pinStages) report.localCheckpoint(true) else report
+      // materialize BEFORE the caches drop in finally
+      report.localCheckpoint(true)
     } finally {
       pinned.foreach(_.unpersist())
       ()

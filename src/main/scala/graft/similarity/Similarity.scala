@@ -213,25 +213,138 @@ object Similarity {
     // vectors themselves, not a parameter that could disagree with them
     var cents: Array[Array[Double]] =
       seeds.map(_.take(nlist)).getOrElse(seedRows(corpus, nlist))
-    val dim = cents.headOption.map(_.length).getOrElse(0)
     for (_ <- 0 until iters) {
-      val means = corpus.withColumn("cell", cellOf(cents))
-        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
-        .groupBy("cell", "dim").agg(avg("v").as("m"))
-        .collect()
-        .groupBy(_.getAs[Int]("cell"))
-      cents = cents.indices.map { c =>
-        means.get(c) match {
-          case Some(rows) =>
-            val m = new Array[Double](dim)
-            rows.foreach(r => m(r.getAs[Int]("dim")) = r.getAs[Double]("m"))
-            m
-          case None => cents(c) // empty cell keeps its seed
-        }
-      }.toArray
+      val acc = roundAcc(corpus, Some(cents), None)
+      cents = kmRebuild(acc.kmCnt, acc.kmSum, cents)
     }
     cents
   }
+
+  // ------------------------------------------------------- Lloyd engine
+  //
+  // One Lloyd round of either fit needs only (per-cell, per-dim) value
+  // sums and counts. The first formulation ran them as a
+  // posexplode → groupBy → collect chain, which at ANY corpus size costs
+  // one Exchange (AQE materializes it as its own job) on top of the
+  // result job — at bench scale the fits were pure sequential scheduler
+  // latency (guide §1.2), and at cluster scale the explode shuffles
+  // corpus×dim pre-aggregated rows it never needed to. roundAcc replaces
+  // the chain with ONE narrow treeAggregate job per round (guide §2.4
+  // shuffle removal): assignments stay the SAME codegen'd projection
+  // (cellOf / PqCodes-over-unitCol), each (cell, dim) sum adds the same
+  // double values in the same within-partition row order the hash
+  // aggregate's partial buffers did, and mean = sum / count in one double
+  // division, exactly Average's final divide. On a single-split corpus
+  // the result is bit-identical; at multi-partition scale the partials
+  // merge in treeAggregate's combine order where the exchange merged
+  // them in fetch-arrival order — the same (allowlisted) accumulation-
+  // order class, with KB-sized driver traffic either way.
+
+  /** Partial sums for one Lloyd round: k-means per (cell, dim) and/or PQ
+    * per (subspace, cell, dim) counts and value sums. Null arrays when
+    * the corresponding fit is absent from the round. */
+  private final case class RoundAcc(
+      kmCnt: Array[Array[Long]], kmSum: Array[Array[Double]],
+      pqCnt: Array[Array[Array[Long]]], pqSum: Array[Array[Array[Double]]])
+
+  /** ONE job computing the round's sums for the k-means fit
+    * (`cents` given), the PQ fit (`books` given), or BOTH fused
+    * ([[fitIvfPq]] — the rounds are independent: cents_r depends only on
+    * cents_{r-1}, books_r only on books_{r-1}, so composed fits pay one
+    * job per round instead of one per fit per round). */
+  private def roundAcc(corpus: DataFrame,
+      cents: Option[Array[Array[Double]]],
+      books: Option[Array[Array[Array[Double]]]]): RoundAcc = {
+    val nlist = cents.map(_.length).getOrElse(0)
+    val dim = cents.flatMap(_.headOption).map(_.length).getOrElse(0)
+    val m = books.map(_.length).getOrElse(0)
+    val kC = books.flatMap(_.headOption).map(_.length).getOrElse(0)
+    val dsub = books.flatMap(_.headOption.flatMap(_.headOption)).map(_.length).getOrElse(0)
+    val hasKm = cents.isDefined
+    val hasPq = books.isDefined
+    val pqBase = if (hasKm) 2 else 0
+    // the SAME assignment expressions the replaced groupBy chain ran:
+    // raw-embedding cell argmax for k-means, fused code kernel over the
+    // unit projection for PQ — values identical by construction
+    val kmCols: Seq[Column] = cents.toSeq.flatMap(cs =>
+      Seq(cellOf(cs).as("cell"), col("embedding").as("raw")))
+    val pqCols: Seq[Column] = books.toSeq.flatMap { bs =>
+      val u = unitCol(col("embedding"))
+      Seq(graft.functions.GraftFunctions.pqCodes(u, bs).as("codes"), u.as("u"))
+    }
+    def zero = RoundAcc(
+      if (hasKm) Array.fill(nlist)(new Array[Long](dim)) else null,
+      if (hasKm) Array.fill(nlist)(new Array[Double](dim)) else null,
+      if (hasPq) Array.fill(m, kC)(new Array[Long](dsub)) else null,
+      if (hasPq) Array.fill(m, kC)(new Array[Double](dsub)) else null)
+    def seqOp(acc: RoundAcc, r: org.apache.spark.sql.Row): RoundAcc = {
+      if (hasKm && !r.isNullAt(0) && !r.isNullAt(1)) {
+        val cell = r.getInt(0)
+        val raw = r.getSeq[Number](1)
+        val n = math.min(dim, raw.length)
+        var d = 0
+        while (d < n) {
+          acc.kmCnt(cell)(d) += 1L
+          acc.kmSum(cell)(d) += raw(d).doubleValue()
+          d += 1
+        }
+      }
+      if (hasPq && !r.isNullAt(pqBase) && !r.isNullAt(pqBase + 1)) {
+        val codes = r.getSeq[Int](pqBase)
+        val u = r.getSeq[Double](pqBase + 1)
+        var pos = 0
+        while (pos < u.length) {
+          val s = pos / dsub
+          if (s < m) {
+            val cell = codes(s)
+            acc.pqCnt(s)(cell)(pos - s * dsub) += 1L
+            acc.pqSum(s)(cell)(pos - s * dsub) += u(pos)
+          }
+          pos += 1
+        }
+      }
+      acc
+    }
+    def combOp(a: RoundAcc, b: RoundAcc): RoundAcc = {
+      if (hasKm) {
+        var c = 0
+        while (c < nlist) {
+          var d = 0
+          while (d < dim) {
+            a.kmCnt(c)(d) += b.kmCnt(c)(d); a.kmSum(c)(d) += b.kmSum(c)(d); d += 1
+          }
+          c += 1
+        }
+      }
+      if (hasPq) {
+        var s = 0
+        while (s < m) {
+          var c = 0
+          while (c < kC) {
+            var d = 0
+            while (d < dsub) {
+              a.pqCnt(s)(c)(d) += b.pqCnt(s)(c)(d); a.pqSum(s)(c)(d) += b.pqSum(s)(c)(d); d += 1
+            }
+            c += 1
+          }
+          s += 1
+        }
+      }
+      a
+    }
+    corpus.select(kmCols ++ pqCols: _*).rdd.treeAggregate(zero)(seqOp, combOp)
+  }
+
+  /** New centroids from a round's sums: mean = sum / count per dim (the
+    * exact Average divide); a cell no row quantized into keeps its
+    * previous centroid (the replaced chain's missing-group case). */
+  private def kmRebuild(cnt: Array[Array[Long]], sum: Array[Array[Double]],
+      prev: Array[Array[Double]]): Array[Array[Double]] =
+    prev.indices.map { c =>
+      if (cnt(c).forall(_ == 0L)) prev(c)
+      else Array.tabulate(prev(c).length)(d =>
+        if (cnt(c)(d) == 0L) 0.0 else sum(c)(d) / cnt(c)(d))
+    }.toArray
 
   /** Cluster assignment for a fitted [[kmeansFit]] model: every vector's
     * cell plus its cosine to the winning centroid — shuffle-free (the
@@ -452,7 +565,6 @@ object Similarity {
     val dim = seedRaw.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
-    val unit = corpus.select(col("vec_id"), unitCol(col("embedding")).as("embedding"))
     var books: Array[Array[Array[Double]]] = {
       val rows = seedRaw.map(unitize(_, floatEmbedding(corpus)))
       Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
@@ -461,38 +573,53 @@ object Similarity {
     // first cut ran m separate jobs per round — 12 sequential job
     // launches dominated the measured 17 s; per-job overhead, not data,
     // is the cost at index-build time): every row computes its m cell
-    // assignments in one projection, the embedding explodes once, and
-    // (subspace, cell, dim) means collect as ONE m×k×dsub result.
+    // assignments in one projection and the (subspace, cell, dim) sums
+    // accumulate in the round's single narrow job (see [[roundAcc]]).
     for (_ <- 0 until iters) {
-      // fused native code assignment (see [[graft.functions.PqCodes]]
-      // for the bit-exactness contract vs the old expression forest)
-      val assigned = unit
-        .select(col("embedding"),
-          graft.functions.GraftFunctions.pqCodes(col("embedding"), books).as("codes"))
-        .select(col("embedding") +:
-          (0 until m).map(s => element_at(col("codes"), s + 1).as(s"cell$s")): _*)
-      val means = assigned
-        .select(col("*"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .withColumn("s", floor(col("pos") / dsub).cast("int"))
-        .withColumn("d", (col("pos") % dsub).cast("int"))
-        .withColumn("cell",
-          element_at(array((0 until m).map(i => col(s"cell$i")): _*), col("s") + 1))
-        .groupBy("s", "cell", "d").agg(avg("v").as("m"))
-        .collect()
-        .groupBy(r => (r.getAs[Int]("s"), r.getAs[Int]("cell")))
-      books = Array.tabulate(m) { s =>
-        Array.tabulate(k) { c =>
-          means.get((s, c)) match {
-            case Some(rows) =>
-              val mArr = new Array[Double](dsub)
-              rows.foreach(r => mArr(r.getAs[Int]("d")) = r.getAs[Double]("m"))
-              mArr
-            case None => books(s)(c)
-          }
-        }
-      }
+      val acc = roundAcc(corpus, None, Some(books))
+      books = pqRebuild(acc.pqCnt, acc.pqSum, books)
     }
     books
+  }
+
+  /** New codebooks from a round's sums — the [[kmRebuild]] contract per
+    * subspace. */
+  private def pqRebuild(cnt: Array[Array[Array[Long]]],
+      sum: Array[Array[Array[Double]]],
+      prev: Array[Array[Array[Double]]]): Array[Array[Array[Double]]] =
+    Array.tabulate(prev.length) { s =>
+      Array.tabulate(prev(s).length) { c =>
+        if (cnt(s)(c).forall(_ == 0L)) prev(s)(c)
+        else Array.tabulate(prev(s)(c).length)(d =>
+          if (cnt(s)(c)(d) == 0L) 0.0 else sum(s)(c)(d) / cnt(s)(c)(d))
+      }
+    }
+
+  /** The composed IVF-PQ fit: one shared seed collect, then `iters`
+    * FUSED rounds — k-means round r and PQ round r share one job, since
+    * neither depends on the other's state ([[roundAcc]]'s contract).
+    * Fit job count: 1 + iters, vs 1 + 2×iters(×2 with AQE's Exchange
+    * materialization) for the sequential pair it replaces. */
+  private[graft] def fitIvfPq(corpus: DataFrame, nlist: Int, m: Int,
+      kCent: Int, iters: Int): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val seeds = seedRows(corpus, math.max(nlist, kCent))
+    var cents = seeds.take(nlist)
+    val seedRaw = seeds.take(kCent)
+    require(seedRaw.nonEmpty, "fitIvfPq needs a non-empty corpus")
+    val dim = seedRaw.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    var books: Array[Array[Array[Double]]] = {
+      val rows = seedRaw.map(unitize(_, floatEmbedding(corpus)))
+      Array.tabulate(m)(s => rows.map(_.slice(s * dsub, (s + 1) * dsub)))
+    }
+    for (_ <- 0 until iters) {
+      val acc = roundAcc(corpus, Some(cents), Some(books))
+      cents = kmRebuild(acc.kmCnt, acc.kmSum, cents)
+      books = pqRebuild(acc.pqCnt, acc.pqSum, books)
+    }
+    (cents, books)
   }
 
   /** Encode every vector as `m` small codes — the 100 TB memory story:
@@ -605,10 +732,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 4, kCent: Int = 16,
       iters: Int = 2, refine: Int = 4): DataFrame = {
     graft.functions.GraftFunctions.register(corpus.sparkSession)
-    // one seed collect feeds both fits (each takes its prefix)
-    val seeds = seedRows(corpus, math.max(nlist, kCent))
-    val cents = kmeansFit(corpus, nlist, iters, Some(seeds))
-    val books = pqFit(corpus, m, kCent, iters, Some(seeds))
+    // one seed collect + one fused job per round fits both halves
+    val (cents, books) = fitIvfPq(corpus, nlist, m, kCent, iters)
     // the standing index: (id, cell, m codes) via the CSE'd projections
     val index = pqCodeCols(corpus, books, keep = Seq(cellOf(cents) -> "cell"))
       .withColumnRenamed("vec_id", "neighbor_id")
@@ -667,10 +792,8 @@ object Similarity {
       m: Int = 4, kCent: Int = 16, iters: Int = 2): Unit = {
     val spark = corpus.sparkSession
     graft.functions.GraftFunctions.register(spark)
-    // one seed collect feeds both fits (each takes its prefix)
-    val seeds = seedRows(corpus, math.max(nlist, kCent))
-    val cents = kmeansFit(corpus, nlist, iters, Some(seeds))
-    val books = pqFit(corpus, m, kCent, iters, Some(seeds))
+    // one seed collect + one fused job per round fits both halves
+    val (cents, books) = fitIvfPq(corpus, nlist, m, kCent, iters)
     val dsub = books.head.head.length
     pqCodeCols(corpus, books, keep = Seq(cellOf(cents) -> "cell"))
       .select(Seq(col("vec_id"), col("cell")) ++
