@@ -185,6 +185,39 @@ object Probe {
       spark.stop()
       return
     }
+    // post-execution plan + job/stage counts for named keys: AQE's FINAL
+    // plan (with ReusedQueryStage/ReusedExchange nodes runtime reuse
+    // actually produced — the pre-execution dump can't show them) plus
+    // the per-key job/stage count under the bench's force methodology.
+    if (args.length > 2 && args(1) == "final") {
+      import org.apache.spark.sql.functions.{col, count, to_json, xxhash64}
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size); ()
+        }
+      })
+      for (name <- args(2).split(',').toSeq; pass <- 1 to 2) {
+        val df = SparkEntry.queries(name)(spark, dir)
+        val cols = df.schema.fields.map { f =>
+          if (Bench.containsMap(f.dataType)) to_json(col(f.name)) else col(f.name)
+        }
+        val forced = df.agg(count(xxhash64(cols.toIndexedSeq: _*)))
+        val (j0, s0) = (jobs.get(), stages.get())
+        val t0 = System.nanoTime()
+        forced.head()
+        println(f"FINAL $name%-8s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          f"jobs=${jobs.get() - j0}%3d stages=${stages.get() - s0}%3d")
+        if (pass == 2) {
+          val txt = forced.queryExecution.executedPlan.toString
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"/tmp/final_$name.txt"), txt)
+          println(s"  wrote /tmp/final_$name.txt (${txt.length} chars)")
+        }
+      }
+      spark.stop(); return
+    }
     // generic mode: `runMain graft.Probe <dir> q1,q2` times the named
     // SparkEntry queries (2 passes each) instead of the cadence sweep
     if (args.length > 1) {

@@ -490,15 +490,20 @@ object Dedup {
     * nothing is all-pairs. Output: (doc_a, doc_b, start_a, start_b,
     * match_len) per maximal shared run, 1-based token offsets.
     *
-    * Plan note (same shape as [[ngramJaccard]]): the anchor explode feeds
-    * the stop-list count, the anti-join probe, and both self-join sides —
-    * Catalyst evaluates each branch independently, ~4 text scans. At test
-    * SF the explode is sub-second so this is irrelevant; at very large
-    * corpora set `persistAnchors = true` so the tokenize+hash runs once
-    * and every branch reads the cached anchor table (the anchor cache is
-    * token-stream-sized and stays resident for the result's lifetime —
-    * unpersist via the session catalog when done, same contract as
-    * [[ngramJaccard]]'s `persistShingles`). */
+    * Plan note (same shape as [[ngramJaccard]]): the occurrence cap is a
+    * WINDOW over the anchor table (count per fingerprint, filter
+    * ≤ dfMax) rather than a separate stop-list aggregate + anti-join —
+    * the aggregate+anti-join form made each self-join side evaluate the
+    * anchor explode TWICE (once directly, once under the stop list;
+    * per-branch column pruning defeats exchange reuse), 4 tokenize+hash
+    * corpus scans at runtime where the window form pays 2 (one per
+    * self-join side — the floor without persisting anchors), and the
+    * window rides the same per-fp exchange the anti-join needed anyway.
+    * At very large corpora set `persistAnchors = true` so the
+    * tokenize+hash runs once and both sides read the cached anchor
+    * table (token-stream-sized; stays resident for the result's
+    * lifetime — unpersist via the session catalog when done, same
+    * contract as [[ngramJaccard]]'s `persistShingles`). */
   def substringDups(docs: DataFrame, k: Int = 10, minTokens: Int = 20,
       dfMax: Int = DefaultStopShingleDf, persistAnchors: Boolean = false): DataFrame = {
     require(minTokens >= k, s"minTokens ($minTokens) must be >= k ($k)")
@@ -515,11 +520,11 @@ object Dedup {
         posexplode(slice(fpRaw, lit(1), greatest(size(t) - (k - 1), lit(0)))))
       .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("fp"))
     val anchors = if (persistAnchors) anchorsRaw.persist() else anchorsRaw
-    val stop = anchors
-      .groupBy("fp").agg(count(lit(1)).as("occurrences"))
-      .filter(col("occurrences") > dfMax)
-      .select(col("fp").as("stop_fp"))
-    val kept = anchors.join(stop, col("fp") === col("stop_fp"), "left_anti")
+    val wFp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val kept = anchors
+      .withColumn("occurrences", count(lit(1)).over(wFp))
+      .filter(col("occurrences") <= dfMax)
+      .drop("occurrences")
     val paired = kept.alias("a")
       .join(kept.alias("b"),
         col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))

@@ -111,14 +111,40 @@ object Experiments {
     }
     val fits = Seq(
       ("random_forest", Map("numTrees" -> "20", "maxDepth" -> "8", "seed" -> "42"),
-        Models.demandRandomForest(feat)),
+        () => Models.demandRandomForest(feat)),
       ("linear", Map("regParam" -> "0.1", "elasticNetParam" -> "0.0"),
-        Models.demandLinear(feat)))
-    fits.foreach { case (model, params, preds) =>
-      val cached = preds.persist()
-      try logRun(spark, path, model, params, Models.regressionMetrics(cached), trainedAt)
-      finally { cached.unpersist(); () }
+        () => Models.demandLinear(feat)))
+    // the two fits are independent; Spark overlaps jobs submitted from
+    // different threads (optimization guide §2.6), so wall-clock is the
+    // slower fit, not the sum. The table APPENDS stay sequential in the
+    // declared order — concurrent appends to one path share the
+    // FileOutputCommitter staging dir (see the object scaladoc) — and
+    // each run row is computed before any write, so the table content is
+    // byte-identical to the sequential form.
+    import scala.concurrent.{Await, Future}
+    implicit val ec: scala.concurrent.ExecutionContext = fitPool
+    val measured = Await.result(
+      Future.sequence(fits.map { case (model, params, fit) =>
+        Future {
+          val cached = fit().persist()
+          try (model, params, Models.regressionMetrics(cached))
+          finally { cached.unpersist(); () }
+        }
+      }),
+      scala.concurrent.duration.Duration.Inf)
+    measured.foreach { case (model, params, metrics) =>
+      logRun(spark, path, model, params, metrics, trainedAt)
     }
     runsTable(spark, path)
   }
+
+  /** Bounded daemon pool for overlapping independent tracked fits. */
+  private lazy val fitPool: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newFixedThreadPool(2,
+        (r: Runnable) => {
+          val t = new Thread(r, "graft-ml-fits")
+          t.setDaemon(true)
+          t
+        }))
 }

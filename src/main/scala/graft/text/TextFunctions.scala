@@ -200,10 +200,22 @@ object TextFunctions {
     * proportionally for the same reason). Resample by weight with
     * [[graft.sampling.Sampling]] if a fixed token budget is needed.
     *
-    * Scale: one explode of the corpus, one dim-bounded feature aggregate
-    * (≤ `dim` rows — broadcast back), one broadcast join on `feat_idx`,
-    * one doc-keyed aggregate. The corpus text is scanned once; nothing
-    * driver-side. */
+    * Scale: one explode of the corpus builds the dim-bounded feature
+    * aggregate (≤ `dim` rows), a second explode scores against the
+    * broadcast log-ratios, one doc-keyed aggregate — the corpus text is
+    * scanned exactly TWICE (the theoretical floor: once to fit the LM,
+    * once to score). The first formulation left the reuse to Catalyst
+    * and paid SIX corpus explodes at runtime (totals re-derived
+    * featStats, the selection threshold re-derived the whole scored
+    * frame, and per-branch column pruning defeats exchange reuse —
+    * measured: zero ReusedExchange in the executed plan). Now the
+    * feature totals are a single-partition window over the ≤dim-row
+    * aggregate (bounded at any corpus size), the per-doc score frame is
+    * persisted for the one extra pass the corpus-mean threshold needs,
+    * and the output is pinned via an eager localCheckpoint before the
+    * cache drops — the operator therefore EXECUTES AT CALL TIME and
+    * returns a lineage-cut result (the [[graft.pipeline.Pipeline]]
+    * curation-report contract); re-call it for fresh data. */
   def dsirWeights(docs: DataFrame, targetLang: String = "en",
       dim: Int = 4096, alpha: Double = 1.0): DataFrame = {
     val toksDf = docs
@@ -212,15 +224,17 @@ object TextFunctions {
       .withColumn("feat_idx",
         pmod(conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long"), lit(dim.toLong)))
       .select("doc_id", "lang", "feat_idx")
-    val featStats = toksDf
+    // totals ride a single-partition window over the ≤dim-row feature
+    // table (exact long sums — order-free, value-identical to the
+    // replaced separate aggregate + crossJoin)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+    val ratios = toksDf
       .groupBy("feat_idx")
       .agg(
         count(lit(1)).as("n_raw"),
         sum(when(col("lang") === targetLang, lit(1L)).otherwise(lit(0L))).as("n_tgt"))
-    val totals = featStats.agg(
-      sum("n_raw").as("tot_raw"), sum("n_tgt").as("tot_tgt"))
-    val ratios = featStats
-      .crossJoin(broadcast(totals))
+      .withColumn("tot_raw", sum("n_raw").over(wAll))
+      .withColumn("tot_tgt", sum("n_tgt").over(wAll))
       .withColumn("log_ratio",
         log((col("n_tgt") + alpha) / (col("tot_tgt") + alpha * dim))
           - log((col("n_raw") + alpha) / (col("tot_raw") + alpha * dim)))
@@ -232,14 +246,24 @@ object TextFunctions {
         count(lit(1)).as("n_tokens"),
         sum("log_ratio").as("logw_raw"),
         avg("log_ratio").as("lpt_raw"))
-    val mu = scored.agg(avg("lpt_raw").as("mu"))
-    scored
-      .crossJoin(broadcast(mu))
-      .select(
-        col("doc_id"), col("n_tokens"),
-        round(col("logw_raw"), 6).as("logw"),
-        round(col("lpt_raw"), 6).as("logw_per_tok"),
-        when(col("lpt_raw") > col("mu"), lit(1)).otherwise(lit(0)).as("selected"))
+      .persist()
+    try {
+      // one bounded pass over the cached scores computes the corpus-mean
+      // threshold (the same avg the replaced broadcast subplan computed
+      // by re-deriving the whole frame)
+      val muRow = scored.agg(avg("lpt_raw")).head()
+      val mu = if (muRow.isNullAt(0)) Double.NaN else muRow.getDouble(0)
+      scored
+        .select(
+          col("doc_id"), col("n_tokens"),
+          round(col("logw_raw"), 6).as("logw"),
+          round(col("lpt_raw"), 6).as("logw_per_tok"),
+          when(col("lpt_raw") > lit(mu), lit(1)).otherwise(lit(0)).as("selected"))
+        .localCheckpoint(true)
+    } finally {
+      scored.unpersist()
+      ()
+    }
   }
 
   /** Bigram language-model scoring — the sharper sibling of
@@ -254,9 +278,16 @@ object TextFunctions {
     * can't see — score a high avg_nll here.
     *
     * Scale: the same two data-growing shuffle keys as the unigram LM
-    * (bigram for the count build + join, doc_id for the roll-up); the
-    * prefix-marginal aggregates the bigram COUNT table, never re-scans
-    * the corpus. NLLs round to 6 dp (engine-order double accumulation). */
+    * (bigram for the count build + join, doc_id for the roll-up). The
+    * prefix-marginal is a WINDOW over the bigram COUNT table — same
+    * exact long sums as a separate prefix aggregate, but one lineage:
+    * the aggregate+join formulation made Catalyst evaluate the bigram
+    * count build (and its corpus explode) TWICE, because the two
+    * branches prune different columns and per-branch pruning defeats
+    * exchange reuse (measured: zero ReusedExchange in the executed
+    * plan). Corpus explodes: 3 → 2 — the count build and the scoring
+    * join, the theoretical floor without persisting doc-grain bigrams.
+    * NLLs round to 6 dp (engine-order double accumulation). */
   def bigramLogProb(docs: DataFrame): DataFrame = {
     val t = col("t")
     val bgRaw = transform(
@@ -266,14 +297,13 @@ object TextFunctions {
       .select(col("doc_id"), filter(toks(col("text")), x => x =!= "").as("t"))
       .select(col("doc_id"),
         explode(slice(bgRaw, lit(1), greatest(size(t) - 1, lit(0)))).as("bigram"))
+    val wPrefix = org.apache.spark.sql.expressions.Window.partitionBy("prefix")
     val bigramCounts = docBigrams
       .groupBy("bigram").agg(count(lit(1)).as("pair_count"))
       .withColumn("prefix", split(col("bigram"), " ").getItem(0))
-    val prefixCounts = bigramCounts
-      .groupBy("prefix").agg(sum(col("pair_count")).as("c_prefix"))
+      .withColumn("c_prefix", sum(col("pair_count")).over(wPrefix))
     docBigrams
       .join(bigramCounts, "bigram")
-      .join(prefixCounts, "prefix")
       .withColumn("nll", -log(col("pair_count").cast("double") / col("c_prefix")))
       .groupBy("doc_id")
       .agg(
@@ -508,10 +538,14 @@ object TextFunctions {
     * below a handful of observations anyway. The ln-chain is mirrored
     * shape-for-shape in the oracle so the doubles stay bit-comparable.
     *
-    * The two COUNT tables feed five plan branches (totals, both marginal
-    * joins, the output filter), and Catalyst re-evaluates each branch —
-    * ~5 text scans at default settings (irrelevant at test SF). At
-    * corpus scale set `persistCounts = true`: the cached tables are
+    * The scalar totals ride single-partition WINDOWS over the two
+    * vocab-sized count tables (exact long sums — value-identical to a
+    * separate aggregate) instead of a separate totals subplan: the
+    * aggregate+crossJoin form re-derived each count table once more
+    * (per-branch column pruning defeats exchange reuse), ~5 text scans
+    * at runtime where the window form pays 3 (one bigram build + one
+    * per unigram-marginal join side — the floor without persisting).
+    * At corpus scale set `persistCounts = true`: the cached tables are
     * vocab-sized, not corpus-sized, and the text then scans exactly
     * twice (once per count build) — same remedy as
     * [[graft.dedup.Dedup.ngramJaccard]]'s `persistShingles`. */
@@ -531,20 +565,20 @@ object TextFunctions {
     val (bigrams, uni) =
       if (persistCounts) (bigramsRaw.persist(), uniRaw.persist())
       else (bigramsRaw, uniRaw)
-    // totals aggregate the count tables, not the corpus re-scanned.
-    // n_bg sums ALL bigrams (the probability denominator), not just the
-    // ones surviving minCount.
-    val totals = broadcast(
-      uni.agg(sum(col("c_word")).as("n_uni"))
-        .crossJoin(bigrams.agg(sum(col("pair_count")).as("n_bg"))))
+    // totals ride windows over the count tables, not the corpus
+    // re-scanned. n_bg sums ALL bigrams (the probability denominator),
+    // not just the ones surviving minCount — so it attaches BEFORE the
+    // minCount filter; n_uni rides the word_a marginal side.
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
     graft.functions.GraftFunctions.register(docs.sparkSession)
     bigrams
+      .withColumn("n_bg", sum(col("pair_count")).over(wAll))
       .filter(col("pair_count") >= minCount)
       .withColumn("word_a", split(col("bigram"), " ").getItem(0))
       .withColumn("word_b", split(col("bigram"), " ").getItem(1))
-      .join(uni.select(col("word").as("word_a"), col("c_word").as("c_a")), "word_a")
+      .join(uni.select(col("word").as("word_a"), col("c_word").as("c_a"),
+        sum(col("c_word")).over(wAll).as("n_uni")), "word_a")
       .join(uni.select(col("word").as("word_b"), col("c_word").as("c_b")), "word_b")
-      .crossJoin(totals)
       // NativeLog + 6 dp round: the log argument is an exact-integer-ratio
       // chain (bit-identical on both engines), the ln itself rides libm —
       // Math.log matches the oracle's glibc on 99.97% of args and the
