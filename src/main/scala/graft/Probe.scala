@@ -109,6 +109,27 @@ object Probe {
         println(f"MLPART gbt_p$p%-2d($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
           s"(stages=${model.stages.length})")
       }
+      // same-semantics spark.ml knobs on the view shape: cacheNodeIds
+      // (NodeIdCache instead of re-broadcasting the partial ensemble per
+      // level) and a bigger maxMemoryInMB (more nodes per findBestSplits
+      // group) — neither changes splits, both only reshape the job stream
+      for (knob <- Seq("nodeids", "mem1024"); pass <- 1 to 2) {
+        val t0 = System.nanoTime()
+        val cached = train.persist()
+        val n = cached.count()
+        val p = math.min(spark.sparkContext.defaultParallelism,
+          math.max(1, (n / 8192L).toInt + 1))
+        val gbt = new org.apache.spark.ml.regression.GBTRegressor()
+          .setLabelCol("label").setFeaturesCol("features")
+          .setMaxIter(20).setMaxDepth(6).setSeed(42)
+        if (knob == "nodeids") gbt.setCacheNodeIds(true)
+        else gbt.setMaxMemoryInMB(1024)
+        val model = new org.apache.spark.ml.Pipeline()
+          .setStages((prep :+ gbt).toArray).fit(cached.coalesce(p))
+        cached.unpersist()
+        println(f"MLPART gbt_$knob%-8s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
+          s"(stages=${model.stages.length})")
+      }
       // scale-correct order: fill the cache at full parallelism, read the
       // row count off the materialization, then feed the fit a coalesced
       // VIEW of the cache (narrow, per-job) — no second evaluation of the
@@ -206,7 +227,11 @@ object Probe {
         val forced = df.agg(count(xxhash64(cols.toIndexedSeq: _*)))
         val (j0, s0) = (jobs.get(), stages.get())
         val t0 = System.nanoTime()
-        forced.head()
+        // collect(), not head(): head() executes a limit-wrapped COPY of
+        // the plan, leaving `forced.queryExecution` unexecuted — the dump
+        // below would then show the initial AQE plan instead of the final
+        // one with its runtime codegen spans and reused stages
+        forced.collect()
         println(f"FINAL $name%-8s($pass) ${(System.nanoTime() - t0) / 1e9}%6.2f s " +
           f"jobs=${jobs.get() - j0}%3d stages=${stages.get() - s0}%3d")
         if (pass == 2) {

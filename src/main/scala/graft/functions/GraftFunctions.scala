@@ -54,7 +54,8 @@ object GraftFunctions {
     pqCodesBuilder
 
   private def pqCodesBuilder(exprs: Seq[Expression]): Expression = {
-    require(exprs.length == 2, s"$pqCodesName expects 2 arguments, got ${exprs.length}")
+    require(exprs.length == 2 || exprs.length == 3,
+      s"$pqCodesName expects 2 or 3 arguments, got ${exprs.length}")
     require(exprs(1).foldable, s"$pqCodesName's codebooks must be a literal")
     import org.apache.spark.sql.catalyst.util.ArrayData
     import org.apache.spark.sql.types.{ArrayType, DoubleType}
@@ -63,7 +64,11 @@ object GraftFunctions {
       .map(_.asInstanceOf[ArrayData]
         .toObjectArray(ArrayType(DoubleType))
         .map(_.asInstanceOf[ArrayData].toDoubleArray()))
-    PqCodes(exprs.head, books)
+    val unitize = exprs.length == 3 && {
+      require(exprs(2).foldable, s"$pqCodesName's unitize flag must be a literal")
+      exprs(2).eval().asInstanceOf[Boolean]
+    }
+    PqCodes(exprs.head, books, unitize)
   }
 
   /** Register graft functions into an existing session (idempotent), plus
@@ -118,6 +123,17 @@ object GraftFunctions {
   def pqCodes(unitVec: Column, books: Array[Array[Array[Double]]]): Column =
     call_function(pqCodesName, unitVec,
       org.apache.spark.sql.functions.typedLit(books.map(_.map(_.toSeq).toSeq).toSeq))
+
+  /** [[pqCodes]] over the RAW `array<float|double>` embedding: the L2
+    * normalization folds into the kernel, bit-identical to
+    * `unitCol → pqCodes` (see [[PqCodes]]'s `unitize` contract). Use on
+    * the corpus/scan side: without the interpreted `transform`/`aggregate`
+    * HOFs in the projection the encode stage stays in whole-stage
+    * codegen. Same registration contract as [[cosineSim]]. */
+  def pqCodesRaw(rawVec: Column, books: Array[Array[Array[Double]]]): Column =
+    call_function(pqCodesName, rawVec,
+      org.apache.spark.sql.functions.typedLit(books.map(_.map(_.toSeq).toSeq).toSeq),
+      org.apache.spark.sql.functions.lit(true))
 
   /** Natural log via the intrinsified `Math.log` — see [[NativeLog]] for
     * why this beats the built-in `log` (StrictMath) when the output faces

@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType}
 
 /** Fused PQ code assignment: all `m` subspace argmaxes over a UNIT
   * vector column in one per-row loop.
@@ -36,8 +36,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   *     candidate struct compares GREATER — score compared with Spark's
   *     SQLOrderingUtil double ordering (NaN greatest, -0.0 == 0.0), score
   *     ties won by the higher cell (struct field 2), replicated below.
+  *
+  * `unitize = true` additionally folds the L2 normalization INTO the
+  * kernel (input then is the RAW `array<float|double>` embedding):
+  * norm = √(index-ordered fold of squares, squared in FLOAT when the
+  * column is float — Multiply(float,float) is float — then widened),
+  * and every element the kernel reads is `x/norm`, the exact double
+  * `unitCol`'s `transform(v, x => x / n)` produces. This matters for
+  * whole-stage codegen: `unitCol` is built from `ArrayTransform` /
+  * `ArrayAggregate`, which are CodegenFallback and disqualify the whole
+  * projection from codegen — with the fold inside the kernel the encode
+  * projection is pure native expressions and stays in the generated
+  * stage.
   */
-case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
+case class PqCodes(child: Expression, books: Array[Array[Array[Double]]],
+    unitize: Boolean = false)
   extends UnaryExpression {
 
   // Array fields compare by reference under case-class equality, so two
@@ -46,18 +59,28 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
   // reuse, never wrong results). Deep-compare the codebooks instead.
   override def equals(other: Any): Boolean = other match {
     case p: PqCodes =>
-      child == p.child && java.util.Arrays.deepEquals(
+      child == p.child && unitize == p.unitize && java.util.Arrays.deepEquals(
         books.asInstanceOf[Array[AnyRef]], p.books.asInstanceOf[Array[AnyRef]])
     case _ => false
   }
   override def hashCode(): Int =
-    31 * child.hashCode() +
+    31 * (31 * child.hashCode() + unitize.hashCode()) +
       java.util.Arrays.deepHashCode(books.asInstanceOf[Array[AnyRef]])
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(FloatType, _) if unitize => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"$prettyName expects array<double> (a unit-normalized embedding), got $other")
+      s"$prettyName expects array<double>" +
+        s"${if (unitize) " or array<float> (a raw embedding)" else " (a unit-normalized embedding)"}, got $other")
+  }
+
+  /** Float elements square in FLOAT inside unitCol's norm fold; the
+    * kernel replicates that (lazy: the child may be unresolved at
+    * construction). */
+  private lazy val floatElems: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
   }
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
@@ -95,8 +118,27 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
   }
 
   /** The per-row kernel (shared by interpreted eval and generated code). */
-  def assign(u: ArrayData): ArrayData = {
-    val len = u.numElements()
+  def assign(v: ArrayData): ArrayData = {
+    val len = v.numElements()
+    // unit view of the input: with unitize the raw element divides by the
+    // L2 norm exactly as unitCol's transform did (float squares stay
+    // float inside the fold; the division widens); without it the input
+    // IS the unit vector and reads through unchanged
+    val norm: Double =
+      if (!unitize) 1.0
+      else {
+        var acc = 0.0
+        var i = 0
+        while (i < len) {
+          if (floatElems) { val f = v.getFloat(i); acc += (f * f).toDouble }
+          else { val x = v.getDouble(i); acc += x * x }
+          i += 1
+        }
+        math.sqrt(acc)
+      }
+    @inline def u(i: Int): Double =
+      if (!unitize) v.getDouble(i)
+      else (if (floatElems) v.getFloat(i).toDouble else v.getDouble(i)) / norm
     val m = books.length
     val codes = new Array[Int](m)
     var s = 0
@@ -106,7 +148,7 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
       var nxAcc = 0.0
       var i = 0
       while (i < take) {
-        val x = u.getDouble(start + i); nxAcc += x * x; i += 1
+        val x = u(start + i); nxAcc += x * x; i += 1
       }
       val nx = math.sqrt(nxAcc)
       val cents = books(s)
@@ -124,7 +166,7 @@ case class PqCodes(child: Expression, books: Array[Array[Array[Double]]])
             var dot = 0.0; var na = 0.0; var nb = 0.0
             var j = 0
             while (j < nL) {
-              val x = u.getDouble(start + j); val y = cent(j)
+              val x = u(start + j); val y = cent(j)
               dot += x * y; na += x * x; nb += y * y
               j += 1
             }

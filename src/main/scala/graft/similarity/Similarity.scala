@@ -268,9 +268,10 @@ object Similarity {
     // unit projection for PQ — values identical by construction
     val kmCols: Seq[Column] = cents.toSeq.flatMap(cs =>
       Seq(cellOf(cs).as("cell"), col("embedding").as("raw")))
+    val floatEmb = hasPq && floatEmbedding(corpus)
     val pqCols: Seq[Column] = books.toSeq.flatMap { bs =>
-      val u = unitCol(col("embedding"))
-      Seq(graft.functions.GraftFunctions.pqCodes(u, bs).as("codes"), u.as("u"))
+      Seq(graft.functions.GraftFunctions.pqCodesRaw(col("embedding"), bs).as("codes"),
+        col("embedding").as("praw"))
     }
     def zero = RoundAcc(
       if (hasKm) Array.fill(nlist)(new Array[Long](dim)) else null,
@@ -291,14 +292,24 @@ object Similarity {
       }
       if (hasPq && !r.isNullAt(pqBase) && !r.isNullAt(pqBase + 1)) {
         val codes = r.getSeq[Int](pqBase)
-        val u = r.getSeq[Double](pqBase + 1)
+        val praw = r.getSeq[Number](pqBase + 1)
+        // unit view of the raw row, bit-identical to unitCol: squares in
+        // FLOAT when the column is float, then the double division
+        var nAcc = 0.0
+        var i = 0
+        while (i < praw.length) {
+          val x = praw(i).doubleValue()
+          nAcc += (if (floatEmb) (x.toFloat * x.toFloat).toDouble else x * x)
+          i += 1
+        }
+        val nrm = math.sqrt(nAcc)
         var pos = 0
-        while (pos < u.length) {
+        while (pos < praw.length) {
           val s = pos / dsub
           if (s < m) {
             val cell = codes(s)
             acc.pqCnt(s)(cell)(pos - s * dsub) += 1L
-            acc.pqSum(s)(cell)(pos - s * dsub) += u(pos)
+            acc.pqSum(s)(cell)(pos - s * dsub) += praw(pos).doubleValue() / nrm
           }
           pos += 1
         }
@@ -516,11 +527,13 @@ object Similarity {
   // formulation built m×k cosine+norm subtrees per row, and both its
   // plan size and its per-row evaluation dominated the PQ paths.
 
-  /** `(vec_id, c0..c{m-1})` PQ codes: unit vector projected once, then
-    * ONE fused native argmax kernel per row ([[graft.functions.PqCodes]]
-    * — bit-identical to the m×k centroid-score expression forest it
-    * replaces, at a fraction of both the plan size and the per-row
-    * cost). `keep` carries extra columns (e.g. the IVF cell) through
+  /** `(vec_id, c0..c{m-1})` PQ codes in ONE fused native kernel per row
+    * ([[graft.functions.PqCodes]] with the L2 normalization folded in —
+    * bit-identical to the unitCol → m×k centroid-score expression forest
+    * it replaces, at a fraction of both the plan size and the per-row
+    * cost, and with NO interpreted `transform`/`aggregate` HOF in the
+    * projection, so the corpus-side encode stage stays in whole-stage
+    * codegen). `keep` carries extra columns (e.g. the IVF cell) through
     * the projection chain. */
   private def pqCodeCols(corpus: DataFrame, books: Array[Array[Array[Double]]],
       keep: Seq[(Column, String)] = Seq.empty): DataFrame = {
@@ -528,9 +541,9 @@ object Similarity {
     val kept = keep.map { case (c, n) => c.as(n) }
     val keptRefs = keep.map { case (_, n) => col(n) }
     corpus
-      .select(Seq(col("vec_id"), unitCol(col("embedding")).as("u")) ++ kept: _*)
-      .select(Seq(col("vec_id")) ++ keptRefs :+
-        graft.functions.GraftFunctions.pqCodes(col("u"), books).as("codes"): _*)
+      .select(Seq(col("vec_id"),
+        graft.functions.GraftFunctions.pqCodesRaw(col("embedding"), books).as("codes")) ++
+        kept: _*)
       .select(Seq(col("vec_id")) ++ keptRefs ++
         (0 until m).map(s => element_at(col("codes"), s + 1).as(s"c$s")): _*)
   }
