@@ -71,6 +71,27 @@ class ModelsSpec extends SparkSpec {
     assert(reloaded.exceptAll(direct).count() === 0)
   }
 
+  test("parallel persistence is byte-compatible with stock PipelineModel save/load") {
+    import org.apache.spark.ml.{GraftParallelPersist, PipelineModel}
+    val parallelPath = "/root/repo/target/test_ml_persist_par"
+    val stockPath = "/root/repo/target/test_ml_persist_stock"
+    // cross pairs: parallel-write → STOCK load, stock-write → PARALLEL load
+    Models.persistRoundTrip(demandFeat, parallelPath) // parallel save
+    val stockLoaded = PipelineModel.load(parallelPath)
+    val model = stockLoaded
+    model.write.overwrite().save(stockPath)
+    val parLoaded = GraftParallelPersist.load(spark, stockPath)
+    val test = demandFeat
+      .withColumn("label", org.apache.spark.sql.functions.col("event_count").cast("double"))
+      .filter(org.apache.spark.sql.functions.col("trip_date") >= "2024-01-25")
+    val cols = Seq("trip_date", "hour", "zone_id", "prediction").map(
+      org.apache.spark.sql.functions.col)
+    val a = stockLoaded.transform(test).select(cols: _*)
+    val b = parLoaded.transform(test).select(cols: _*)
+    assert(a.exceptAll(b).count() === 0)
+    assert(b.exceptAll(a).count() === 0)
+  }
+
   test("quality classifier: AUC beats naive on a planted garbage stratum") {
     import spark.implicits._
     val docs = Tables.documents(spark, dir).select("doc_id", "text")
